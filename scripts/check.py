@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate: run each oracle SQL
+in DuckDB over the same parquet tables, load the corresponding Spark
+result parquet, sort columns by name + rows by value, compare exactly.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        mine_dir = os.path.join(out, name)
+        if not os.path.isdir(mine_dir):
+            print(f"FAIL {name}: no spark output dir")
+            n_fail += 1
+            continue
+        try:
+            mine = con.execute(
+                f"SELECT * FROM read_parquet('{mine_dir}/*.parquet')")
+            mrows, mcols = mine.fetchall(), [d[0] for d in mine.description]
+            oq = con.execute(sql)
+            orows, ocols = oq.fetchall(), [d[0] for d in oq.description]
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        mc, mr = canon(mrows, mcols)
+        oc, orr = canon(orows, ocols)
+        if mc != oc:
+            print(f"FAIL {name}: schema {mc} vs oracle {oc}")
+            n_fail += 1
+            continue
+        if len(mr) != len(orr):
+            print(f"FAIL {name}: rows {len(mr)} vs oracle {len(orr)}")
+            print("  mine-only:", [r for r in mr[:2000] if r not in set(orr)][:3])
+            print("  oracle-only:", [r for r in orr[:2000] if r not in set(mr)][:3])
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(mr, orr) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(mr)} rows differ; first: ")
+            for a, b in bad[:3]:
+                print("   mine  :", a)
+                print("   oracle:", b)
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(mr)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.core.{Element, GraftStage}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's 9-operator surface (SURVEY.md §2), each exercised
+  * end-to-end through the [[graft.core.GraftStage]] DSL over the
+  * driver's parquet tables, with a DuckDB-expressible oracle.
+  * Operator → reference cite:
+  *   map        pypeln/process/api/map.py:19-27
+  *   flat_map   pypeln/process/api/flat_map.py:19-28
+  *   filter     pypeln/process/api/filter.py:19-27
+  *   each/run   pypeln/process/api/each.py:19-26, run.py:15-43
+  *   concat     pypeln/process/api/concat.py:14-55
+  *   ordered    pypeln/process/api/ordered.py:12-20
+  *   from_iterable / to_iterable  pypeln/process/api/from_iterable.py:11-77
+  */
+object ParityOps {
+
+  final case class LineSlim(l_orderkey: Long, l_linenumber: Int, l_quantity: Double,
+                            l_extendedprice: Double, l_discount: Double, l_returnflag: String)
+  final case class MapOut(l_orderkey: Long, l_linenumber: Int, revenue: Double)
+  final case class FilterOut(l_orderkey: Long, l_linenumber: Int, l_quantity: Double)
+  final case class DocSlim(doc_id: Long, text: String)
+  final case class TokenOut(doc_id: Long, pos: Long, token: String)
+  final case class TagOut(l_orderkey: Long, l_linenumber: Int, tag: String)
+  final case class OrdOut(ord: Long, doc_id: Long)
+  final case class PipeOut(idx: Long, value: Long)
+
+  private def lineSlim(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice",
+        $"l_discount", $"l_returnflag").as[LineSlim]
+  }
+
+  /** map: 1→1 revenue projection through the DSL (opaque-lambda path). */
+  def opMap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    GraftStage.fromDataset(lineSlim(spark, sfDir))
+      .map(r => MapOut(r.l_orderkey, r.l_linenumber, r.l_extendedprice * (1 - r.l_discount)))
+      .ds.select($"value.*")
+  }
+
+  /** filter: predicate through the DSL. */
+  def opFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    GraftStage.fromDataset(lineSlim(spark, sfDir))
+      .filter(_.l_quantity > 45.0)
+      .map(r => FilterOut(r.l_orderkey, r.l_linenumber, r.l_quantity))
+      .ds.select($"value.*")
+  }
+
+  /** flat_map: tokenize documents; the child position `pos` IS the index
+    * dimension flat_map appends (index = parent :+ pos). */
+  def opFlatMap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").select($"doc_id", $"text").as[DocSlim]
+    GraftStage.fromDataset(docs)
+      .flatMap(d => d.text.split(" ").iterator.map(t => (d.doc_id, t)))
+      .ds.select($"value._1".as("doc_id"),
+        element_at($"index", 2).as("pos"), $"value._2".as("token"))
+  }
+
+  /** concat: union-all of two filtered branches of one cached source
+    * (also exercises fan-out / stage reuse, pypeln/process/queue.py:114-129). */
+  def opConcat(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = GraftStage.fromDataset(lineSlim(spark, sfDir))
+    val r = src.filter(_.l_returnflag == "R").map(x => TagOut(x.l_orderkey, x.l_linenumber, "r"))
+    val a = src.filter(_.l_returnflag == "A").map(x => TagOut(x.l_orderkey, x.l_linenumber, "a"))
+    r.concat(a).ds.select($"value.*")
+  }
+
+  /** ordered: restore creation order after transforms; `ord` is the
+    * source index, proving index fidelity through the chain. */
+  def opOrdered(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+      .orderBy($"doc_id").select($"doc_id", $"text").as[DocSlim]
+    GraftStage.fromDataset(docs)
+      .map(d => d.doc_id)
+      .ordered
+      .ds.select(element_at($"index", 1).as("ord"), $"value".as("doc_id"))
+  }
+
+  /** from_iterable |> map |> filter |> ordered |> to_iterable — the
+    * reference's hello pipeline (README.md:46-52) at n=1000. */
+  def opPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    GraftStage.fromIterable(0L until 1000L)
+      .map(x => x * 2 + 1)
+      .filter(_ % 7 != 0)
+      .ordered
+      .ds.select(element_at($"index", 1).as("idx"), $"value")
+  }
+
+  /** each + run: side-effect sink; the query returns exactly the rows
+    * delivered to the sink (verified via an accumulator in tests). */
+  def opEachRun(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("graft_each")
+    val st = GraftStage.fromDataset(lineSlim(spark, sfDir))
+      .filter(_.l_quantity >= 49.0)
+      .each(_ => acc.add(1))
+    st.run() // drain for side effects, reference run() contract
+    st.ds.select($"value.l_orderkey", $"value.l_linenumber", $"value.l_quantity")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_map" -> (opMap _),
+    "op_filter" -> (opFilter _),
+    "op_flat_map" -> (opFlatMap _),
+    "op_concat" -> (opConcat _),
+    "op_ordered" -> (opOrdered _),
+    "op_pipeline" -> (opPipeline _),
+    "op_each_run" -> (opEachRun _))
+
+  val oracleSql: Map[String, String] = Map(
+    "op_map" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue
+        |FROM lineitem""".stripMargin,
+    "op_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45.0""",
+    "op_flat_map" ->
+      """SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS pos,
+        |       unnest(toks) AS token
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin,
+    "op_concat" ->
+      """SELECT l_orderkey, l_linenumber, 'r' AS tag FROM lineitem WHERE l_returnflag = 'R'
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'a' AS tag FROM lineitem WHERE l_returnflag = 'A'""".stripMargin,
+    "op_ordered" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS ord, doc_id FROM documents""",
+    "op_pipeline" ->
+      """SELECT i AS idx, i * 2 + 1 AS value FROM generate_series(0, 999) AS g(i)
+        |WHERE (i * 2 + 1) % 7 <> 0""".stripMargin,
+    "op_each_run" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49.0""")
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Relational extension suite (absent from the reference — SURVEY.md
+  * §2.2 — built Spark-first on testdata): scan→filter→agg, joins with
+  * explicit broadcast of small dimensions, window functions, semi/anti
+  * joins, distinct aggregation. Every double aggregate goes through the
+  * decimal-exact [[Tables.dsum]] so results are reproducible at any
+  * parallelism (local[32] today, 1000 executors at 100 TB).
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: full scan + 4-way decimal-exact agg.
+    * Scale posture: map-side partial agg on 6 groups → negligible shuffle. */
+  def q1Pricing(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = load(spark, sfDir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Q3-style shipping priority: 3-way join, group, deterministic top-10.
+    * orders⋈lineitem shuffles on orderkey; customer side is broadcast
+    * (small dim at any SF ratio that matters here). */
+  def q3TopRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = load(spark, sfDir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = load(spark, sfDir, "orders")
+    val li = load(spark, sfDir, "lineitem")
+    val joined = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    joined.orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+  }
+
+  /** Q5-style local-supplier revenue by nation: 6-table star join.
+    * region/nation/supplier/customer all broadcast (true dims);
+    * only orders⋈lineitem shuffles. */
+  def q5NationRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = load(spark, sfDir, "region")
+    val nation = load(spark, sfDir, "nation")
+    val cust = load(spark, sfDir, "customer")
+    val supp = load(spark, sfDir, "supplier")
+    val ord = load(spark, sfDir, "orders")
+    val li = load(spark, sfDir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  /** Broadcast-join aggregate: part (tiny) ⋈ lineitem by brand. */
+  def qBrandVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = load(spark, sfDir, "part")
+    val li = load(spark, sfDir, "lineitem")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Window top-N per group: 3 priciest orders per customer,
+    * deterministic tie-break on o_orderkey. */
+  def qTopOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = load(spark, sfDir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** Anti join: customers with no orders (NOT EXISTS). */
+  def qCustomersNoOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = load(spark, sfDir, "customer")
+    val ord = load(spark, sfDir, "orders")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Semi join: suppliers that shipped at least one >49-qty line (EXISTS). */
+  def qActiveSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val supp = load(spark, sfDir, "supplier")
+    val li = load(spark, sfDir, "lineitem").filter(col("l_quantity") > 49)
+    supp.join(li, supp("s_suppkey") === li("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
+  /** Distinct aggregation: per order-status, distinct customers + counts. */
+  def qStatusStats(spark: SparkSession, sfDir: String): DataFrame = {
+    load(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** Running revenue per supplier (cumulative window, decimal-exact —
+    * DuckDB's segment-tree window sum and Spark's streaming frame agree
+    * only because the accumulation is exact decimal). */
+  def qRunningRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = load(spark, sfDir, "lineitem").filter(col("l_suppkey") <= 3)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      dsumOver(col("l_extendedprice") * (lit(1) - col("l_discount")), w).as("running_rev"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> (q1Pricing _),
+    "q3_top_revenue" -> (q3TopRevenue _),
+    "q5_nation_revenue" -> (q5NationRevenue _),
+    "q_brand_volume" -> (qBrandVolume _),
+    "q_top_orders_per_customer" -> (qTopOrdersPerCustomer _),
+    "q_customers_no_orders" -> (qCustomersNoOrders _),
+    "q_active_suppliers" -> (qActiveSuppliers _),
+    "q_status_stats" -> (qStatusStats _),
+    "q_running_revenue" -> (qRunningRevenue _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name""".stripMargin,
+    "q_brand_volume" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q_top_orders_per_customer" ->
+      """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders) t WHERE rank <= 3""".stripMargin,
+    "q_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_active_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity > 49)""".stripMargin,
+    "q_status_stats" ->
+      """SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_running_revenue" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+        |    OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+        |FROM lineitem WHERE l_suppkey <= 3""".stripMargin)
+}
