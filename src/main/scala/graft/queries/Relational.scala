@@ -82,7 +82,7 @@ object Relational {
     val ord = load(spark, sfDir, "orders")
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    ord.withColumn("rank", row_number().over(w))
+    ord.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= 3)
       .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice"))
   }
