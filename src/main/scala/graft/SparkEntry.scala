@@ -15,8 +15,8 @@ object SparkEntry {
     Relational.q1Pricing(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityOps.queries ++ Relational.queries
+    ParityOps.queries ++ Relational.queries ++ TextQueries.queries
 
   def oracleSql: Map[String, String] =
-    ParityOps.oracleSql ++ Relational.oracleSql
+    ParityOps.oracleSql ++ Relational.oracleSql ++ TextQueries.oracleSql
 }

@@ -58,7 +58,7 @@ object ParityOps {
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents").select($"doc_id", $"text").as[DocSlim]
     GraftStage.fromDataset(docs)
-      .flatMap(d => d.text.split(" ").iterator.map(t => (d.doc_id, t)))
+      .flatMap(d => d.text.split(" ", -1).iterator.map(t => (d.doc_id, t)))
       .ds.select($"value._1".as("doc_id"),
         element_at($"index", 2).as("pos"), $"value._2".as("token"))
   }
@@ -97,14 +97,17 @@ object ParityOps {
       .ds.select(element_at($"index", 1).as("idx"), $"value")
   }
 
-  /** each + run: side-effect sink; the query returns exactly the rows
-    * delivered to the sink (verified via an accumulator in tests). */
+  /** each + run: side-effect sink. The stage is cached before `run()` so
+    * the side effect fires exactly once per element even when the result
+    * is re-read by a later action (deliver-once contract of the
+    * reference's each/run; exactly-once asserted in EachRunSpec). */
   def opEachRun(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("graft_each")
     val st = GraftStage.fromDataset(lineSlim(spark, sfDir))
       .filter(_.l_quantity >= 49.0)
       .each(_ => acc.add(1))
+      .cached
     st.run() // drain for side effects, reference run() contract
     st.ds.select($"value.l_orderkey", $"value.l_linenumber", $"value.l_quantity")
   }

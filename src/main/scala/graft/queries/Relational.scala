@@ -32,23 +32,28 @@ object Relational {
   }
 
   /** Q3-style shipping priority: 3-way join, group, deterministic top-10.
-    * orders⋈lineitem shuffles on orderkey; customer side is broadcast
-    * (small dim at any SF ratio that matters here). */
+    * orders⋈lineitem shuffles on orderkey. Customer is SF-scaled (not a
+    * fixed dim), so it gets NO forced broadcast hint: at 100 TB a forced
+    * broadcast OOMs the executors. AQE promotes it to broadcast at small
+    * SF automatically, and sort-merge-joins it at scale — the right plan
+    * either way. The BUILDING filter pushes into the parquet scan. */
   def q3TopRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = load(spark, sfDir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = load(spark, sfDir, "orders")
     val li = load(spark, sfDir, "lineitem")
     val joined = li
       .join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
     joined.orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
   }
 
   /** Q5-style local-supplier revenue by nation: 6-table star join.
-    * region/nation/supplier/customer all broadcast (true dims);
-    * only orders⋈lineitem shuffles. */
+    * Only region/nation carry broadcast hints — they are TRUE fixed-size
+    * dims (5 / 25 rows at every SF). supplier and customer scale with SF,
+    * so they are left to AQE: broadcast at small SF, shuffle join at
+    * 100 TB. Only orders⋈lineitem (+ the SF-scaled sides) shuffle. */
   def q5NationRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val region = load(spark, sfDir, "region")
     val nation = load(spark, sfDir, "nation")
@@ -57,8 +62,8 @@ object Relational {
     val ord = load(spark, sfDir, "orders")
     val li = load(spark, sfDir, "lineitem")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey") &&
         cust("c_nationkey") === supp("s_nationkey"))
       .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
@@ -87,10 +92,14 @@ object Relational {
       .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice"))
   }
 
-  /** Anti join: customers with no orders (NOT EXISTS). */
+  /** Anti join: customers with no orders since 2000 (NOT EXISTS). The
+    * date predicate keeps the result non-empty at every SF, so the
+    * oracle actually verifies the anti-join (an all-time variant matched
+    * on 0 rows — vacuous). Filter pushes into the orders scan. */
   def qCustomersNoOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = load(spark, sfDir, "customer")
     val ord = load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
     cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
   }
@@ -181,7 +190,8 @@ object Relational {
         |  FROM orders) t WHERE rank <= 3""".stripMargin,
     "q_customers_no_orders" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')""".stripMargin,
     "q_active_suppliers" ->
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE EXISTS (SELECT 1 FROM lineitem
