@@ -1,45 +1,69 @@
 package graft.core
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions.{col, struct}
+import org.apache.spark.sql.types.StructType
 
+import java.util.concurrent.{Callable, TimeUnit, TimeoutException => JTimeoutException}
 import scala.concurrent.duration.Duration
-import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+import scala.concurrent.{Await, Future, TimeoutException}
 
 /** Per-worker identity handed to lifecycle hooks and user functions,
   * mirroring the reference's `worker_info` dependency injection
   * (reference: pypeln/process/worker.py:48-49,92-94). On Spark a
-  * "worker" is a partition-task; `index` is the partition id.
+  * "worker" is a partition-task: `index` is the partition id and
+  * `numWorkers` the stage's partition count — together they also cover
+  * the reference's `stage_status` surface (active worker census,
+  * pypeln/process/worker.py:103-117,189-209), which on Spark is a
+  * scheduler concern, not user code.
   */
-final case class WorkerInfo(index: Int, stageId: Int, attempt: Long)
+final case class WorkerInfo(index: Int, numWorkers: Int, stageId: Int, attempt: Long)
 
 /** A lazy pipeline stage: the Spark-native analog of the reference's
-  * `Stage` DAG node (reference: pypeln/process/stage.py:13-24). Wraps a
-  * `Dataset[Element[T]]` — Spark's lineage IS the lazy DAG, Catalyst is
-  * the planner the reference never had, and the shuffle is the
-  * inter-stage queue. Nothing executes until a terminal action
-  * (`toIterable` / `run` / `collect`), exactly like the reference's
-  * iterate-to-run contract (reference: docs/advanced.md:35).
+  * `Stage` DAG node (reference: pypeln/process/stage.py:13-24). Nothing
+  * executes until a terminal action (`toIterable` / `run` / `collect`),
+  * exactly like the reference's iterate-to-run contract
+  * (reference: docs/advanced.md:35).
+  *
+  * Two parallel plans are maintained, both pure lineage (no execution):
+  *
+  *   - `plain: Dataset[T]` — the Tungsten path. Operator chains that
+  *     never observe creation order stay here: parquet pushdown, column
+  *     pruning, and whole-stage codegen all survive, and no indexing
+  *     job ever runs.
+  *   - `indexed: Dataset[Element[T]]` — the creation-order path,
+  *     materialized ON DEMAND (first use of `ordered` /
+  *     `toIterableWithIndex` / `indexedDF`). Source indices come from
+  *     `zipWithIndex` (an extra job — the price of the reference's
+  *     enumeration contract, pypeln/process/api/from_iterable.py:15-22),
+  *     paid only when something downstream actually consumes indices.
   *
   * Concurrency mapping:
   *   - `workers = n`  → `repartition(n)` (reference: process/stage.py:51-64)
   *   - task-backend async IO with `workers = n` → [[mapAsync]]: a bounded
   *     in-flight window of Futures inside each partition
   *     (reference: task/worker.py:217-283 semaphore-bounded TaskPool)
-  *   - `timeout` → per-element Future + await, element dropped on expiry
+  *   - `timeout` → per-element bounded wait, element dropped on expiry
+  *     and the in-flight attempt interrupted
   *     (reference: process/supervisor.py:19-32, worker.py:152-161)
   *   - `on_start` / `on_done` → partition open/close hooks
   *     (reference: process/worker.py:68-127)
   */
-final class GraftStage[T](val ds: Dataset[Element[T]]) extends Serializable {
+final class GraftStage[T](
+    val plain: Dataset[T],
+    mkIndexed: () => Dataset[Element[T]]) {
 
-  private def spark: SparkSession = ds.sparkSession
+  /** Creation-order plan; forcing this builds (and memoizes) the indexed
+    * lineage, including the source `zipWithIndex` job when first acted on. */
+  lazy val indexed: Dataset[Element[T]] = mkIndexed()
+
+  private def spark: SparkSession = plain.sparkSession
 
   /** 1→1 transform; index passes through untouched
     * (reference: pypeln/process/api/map.py:19-27). */
-  def map[B](f: T => B)(implicit e: Encoder[Element[B]]): GraftStage[B] =
-    new GraftStage(ds.map(el => Element(el.index, f(el.value))))
+  def map[B](f: T => B)(implicit eb: Encoder[B], ee: Encoder[Element[B]]): GraftStage[B] =
+    new GraftStage(plain.map(f), () => indexed.map(el => Element(el.index, f(el.value))))
 
   /** `map` with the full reference option surface: `workers` (partition
     * fan-out), per-element `timeout` (drop on expiry), `onStart`/`onDone`
@@ -51,103 +75,163 @@ final class GraftStage[T](val ds: Dataset[Element[T]]) extends Serializable {
       workers: Int = 0,
       timeout: Duration = Duration.Zero,
       onStart: WorkerInfo => S = (_: WorkerInfo) => null.asInstanceOf[S],
-      onDone: S => Unit = (_: S) => ())(implicit e: Encoder[Element[B]]): GraftStage[B] = {
-    val in = if (workers > 0) ds.repartition(workers) else ds
-    val t = timeout
-    new GraftStage(in.mapPartitions { iter =>
-      val tc = TaskContext.get()
-      val wi = WorkerInfo(tc.partitionId(), tc.stageId(), tc.taskAttemptId())
-      val state = onStart(wi)
-      tc.addTaskCompletionListener[Unit](_ => onDone(state))
-      if (t <= Duration.Zero) iter.map(el => Element(el.index, f(el.value, state)))
-      else {
-        // Timeout semantics per the reference: the element is DROPPED,
-        // the pipeline continues (process/api/map_process_test.py:63-76).
-        // The worker thread is not killed (Spark tasks are not
-        // restartable mid-partition); the user fn runs on a scratch
-        // thread so a hung element can't wedge the task.
-        implicit val ec: ExecutionContext = GraftStage.timeoutEc
-        iter.flatMap { el =>
-          try Some(Element(el.index, Await.result(Future(f(el.value, state)), t)))
-          catch { case _: TimeoutException => None }
+      onDone: S => Unit = (_: S) => ())(implicit eb: Encoder[B], ee: Encoder[Element[B]]): GraftStage[B] = {
+    def run[A, C](d: Dataset[A], g: (A, S) => Option[C])(implicit e: Encoder[C]): Dataset[C] = {
+      val in = if (workers > 0) d.repartition(workers) else d
+      val t = timeout
+      in.mapPartitions { iter =>
+        val tc = TaskContext.get()
+        val wi = WorkerInfo(tc.partitionId(), tc.numPartitions(), tc.stageId(), tc.taskAttemptId())
+        val state = onStart(wi)
+        tc.addTaskCompletionListener[Unit](_ => onDone(state))
+        if (t <= Duration.Zero) iter.flatMap(a => g(a, state))
+        else iter.flatMap { a =>
+          // Timeout semantics per the reference: the element is DROPPED,
+          // the pipeline continues (process/api/map_process_test.py:63-76).
+          // The attempt is cancelled with interrupt — cooperative user
+          // code stops; non-interruptible code is abandoned on its
+          // (daemon) scratch thread so it can't wedge the task.
+          GraftStage.withTimeout(t)(g(a, state)).flatten
         }
       }
-    })
+    }
+    new GraftStage(
+      run[T, B](plain, (a, s) => Some(f(a, s))),
+      () => run[Element[T], Element[B]](indexed, (el, s) => Some(Element(el.index, f(el.value, s)))))
   }
 
   /** 1→N transform; each child element i gets index `parent :+ i`
     * (reference: pypeln/process/api/flat_map.py:22-28). */
-  def flatMap[B](f: T => IterableOnce[B])(implicit e: Encoder[Element[B]]): GraftStage[B] =
-    new GraftStage(ds.flatMap { el =>
-      f(el.value).iterator.zipWithIndex.map { case (v, i) => Element(el.push(i.toLong), v) }
-    })
+  def flatMap[B](f: T => IterableOnce[B])(implicit eb: Encoder[B], ee: Encoder[Element[B]]): GraftStage[B] =
+    new GraftStage(
+      plain.flatMap(f),
+      () => indexed.flatMap { el =>
+        f(el.value).iterator.zipWithIndex.map { case (v, i) => Element(el.push(i.toLong), v) }
+      })
 
-  /** Keep elements where the predicate holds; index untouched
-    * (reference: pypeln/process/api/filter.py:19-27). */
+  /** Keep elements where the predicate holds; surviving elements keep
+    * their original index (reference: pypeln/process/api/filter.py:19-27). */
   def filter(p: T => Boolean): GraftStage[T] =
-    new GraftStage(ds.filter((el: Element[T]) => p(el.value)))
+    new GraftStage(plain.filter(p), () => indexed.filter((el: Element[T]) => p(el.value)))
+
+  /** Column-expression filter: the Catalyst path. On the plain plan the
+    * predicate reaches the parquet scan (PushedFilters) — this is the
+    * filter to use when the predicate is expressible, keeping the scan
+    * pruned at 100 TB. Indices of survivors are unchanged, same contract
+    * as [[filter]]. */
+  def filterCol(c: Column): GraftStage[T] =
+    new GraftStage(plain.filter(c), () => GraftStage.filterIndexed(indexed, c))
 
   /** Async-IO map: the task-backend analog. Keeps up to `workers`
     * Futures in flight per partition (bounded window ≈ the reference's
     * semaphore-bounded TaskPool, task/worker.py:225-238). Completions
     * are drained in submission order (per-partition order preserved;
     * global order is not, same as the reference under concurrency).
+    * `timeout` bounds each element's wait once it reaches the head of
+    * the window; on expiry the element is DROPPED (reference task
+    * backend: asyncio.wait_for + swallowed TimeoutError,
+    * task/worker.py:246-255) — a hung Future can no longer wedge the
+    * task forever.
     */
-  def mapAsync[B](f: T => Future[B], workers: Int = 8)(implicit e: Encoder[Element[B]]): GraftStage[B] = {
+  def mapAsync[B](f: T => Future[B], workers: Int = 8, timeout: Duration = Duration.Inf)(
+      implicit eb: Encoder[B], ee: Encoder[Element[B]]): GraftStage[B] = {
     val n = math.max(1, workers)
-    new GraftStage(ds.mapPartitions { iter =>
-      val window = new scala.collection.mutable.Queue[(Seq[Long], Future[B])]()
-      new Iterator[Element[B]] {
-        private def fill(): Unit =
-          while (window.size < n && iter.hasNext) {
-            val el = iter.next()
-            window.enqueue((el.index, f(el.value)))
+    val t = timeout
+    def run[A, C](d: Dataset[A], idx: A => Seq[Long], value: A => T, mk: (A, B) => C)(
+        implicit e: Encoder[C]): Dataset[C] =
+      d.mapPartitions { iter =>
+        val window = new scala.collection.mutable.Queue[(A, Future[B])]()
+        new Iterator[C] {
+          private var pending: Option[C] = None
+          private def fill(): Unit =
+            while (window.size < n && iter.hasNext) {
+              val a = iter.next()
+              window.enqueue((a, f(value(a))))
+            }
+          private def advance(): Unit = {
+            while (pending.isEmpty && { fill(); window.nonEmpty }) {
+              val (a, fut) = window.dequeue()
+              try pending = Some(mk(a, Await.result(fut, t)))
+              catch { case _: TimeoutException => () } // drop on timeout
+            }
           }
-        def hasNext: Boolean = { fill(); window.nonEmpty }
-        def next(): Element[B] = {
-          fill()
-          val (idx, fut) = window.dequeue()
-          Element(idx, Await.result(fut, Duration.Inf))
+          def hasNext: Boolean = { advance(); pending.nonEmpty }
+          def next(): C = {
+            advance()
+            val r = pending.get; pending = None; r
+          }
         }
       }
-    })
+    new GraftStage(
+      run[T, B](plain, _ => Nil, identity, (_, b) => b),
+      () => run[Element[T], Element[B]](indexed, _.index, _.value, (a, b) => Element(a.index, b)))
   }
 
-  /** Side-effect sink (reference: pypeln/process/api/each.py:19-26).
-    * Lazy like the reference; call [[run]] to execute. */
+  /** Side-effect call per element, passing elements through unchanged
+    * (reference: pypeln/process/api/each.py:19-26). Lazy like the
+    * reference; the effect fires when the stage is executed — cache
+    * (or use [[eachRun]]) for exactly-once delivery across repeated
+    * actions. */
   def each(f: T => Unit): GraftStage[T] = {
-    implicit val enc: Encoder[Element[T]] = ds.encoder
-    new GraftStage(ds.map { el => f(el.value); el })
+    implicit val ep: Encoder[T] = plain.encoder
+    new GraftStage(
+      plain.map { v => f(v); v },
+      () => { implicit val ei: Encoder[Element[T]] = indexed.encoder
+              indexed.map { el => f(el.value); el } })
   }
+
+  /** Terminal each: deliver every element to `f` exactly once via a
+    * single `foreach` action — the reference's `each(..., run=True)`
+    * (pypeln/process/api/each.py:137-141). No lineage is left behind to
+    * re-fire the effect. */
+  def eachRun(f: T => Unit): Unit =
+    GraftErrors.unwrap(plain.foreach(f(_)))
 
   /** Drain the stage for its side effects
-    * (reference: pypeln/process/api/run.py:15-43). */
-  def run(): Unit = ds.foreach((_: Element[T]) => ())
+    * (reference: pypeln/process/api/run.py:15-43). User exceptions are
+    * re-thrown with their original type (see [[GraftErrors]]). */
+  def run(): Unit = GraftErrors.unwrap(plain.foreach((_: T) => ()))
 
   /** Union-all of stages; interleaving is partition-order, order not
     * preserved — same contract as the concurrent backends
     * (reference: pypeln/process/api/concat.py:14-16). */
   def concat(others: GraftStage[T]*): GraftStage[T] =
-    new GraftStage(others.foldLeft(ds)((a, b) => a.union(b.ds)))
+    new GraftStage(
+      others.foldLeft(plain)((a, b) => a.union(b.plain)),
+      () => others.foldLeft(indexed)((a, b) => a.union(b.indexed)))
 
   /** Restore source-creation order by sorting on the index path — a
     * plain Spark `Sort` over `array<bigint>` (range-partitioned, fully
     * distributed), vs. the reference's accumulate-everything
     * single-worker insertion sort (pypeln/process/api/ordered.py:12-20,66).
+    * Forces the indexed plan (and the one-time source indexing job).
     */
-  def ordered: GraftStage[T] = new GraftStage(ds.orderBy(col("index")))
+  def ordered(implicit et: Encoder[T]): GraftStage[T] = {
+    val sorted = indexed.orderBy(col("index"))
+    new GraftStage(sorted.map(_.value), () => sorted)
+  }
 
   /** Fan-out support: persist so N downstream consumers share one
     * computation (reference broadcast-to-all-output-queues,
-    * pypeln/process/queue.py:114-129). */
-  def cached: GraftStage[T] = new GraftStage(ds.cache())
+    * pypeln/process/queue.py:114-129). The indexed plan is cached
+    * independently, on first use. */
+  def cached: GraftStage[T] = new GraftStage(plain.cache(), () => indexed.cache())
 
-  /** Materialize as a local iterator of values; `returnIndex = true`
-    * yields full Elements (reference: pypeln/process/api/to_iterable.py:26-53). */
-  def toIterable: Iterator[T] = ds.toLocalIterator().asScala.map(_.value)
-  def toIterableWithIndex: Iterator[Element[T]] = ds.toLocalIterator().asScala
+  /** Materialize as a local iterator of values; the `WithIndex` variant
+    * yields full Elements (`return_index=True`,
+    * reference: pypeln/process/api/to_iterable.py:26-53). */
+  def toIterable: Iterator[T] =
+    GraftErrors.unwrapIterator(plain.toLocalIterator().asScala)
+  def toIterableWithIndex: Iterator[Element[T]] =
+    GraftErrors.unwrapIterator(indexed.toLocalIterator().asScala)
 
-  def collectValues(): Seq[T] = ds.collect().toSeq.map(_.value)
+  def collectValues(): Seq[T] = GraftErrors.unwrap(plain.collect().toSeq)
+
+  /** The stage as a DataFrame (plain path — use in declared queries). */
+  def toDF: DataFrame = plain.toDF()
+
+  /** The indexed plan as a DataFrame (`index: array<bigint>`, `value`). */
+  def indexedDF: DataFrame = indexed.toDF()
 
   /** Pipe composition: `stage |> (_.map(f)) |> (_.filter(p))`
     * (reference: pypeln/utils.py:74-75,87-98 `__or__`/Partial). */
@@ -162,27 +246,113 @@ final class GraftStage[T](val ds: Dataset[Element[T]]) extends Serializable {
 }
 
 object GraftStage {
-  /** Shared pool for per-element timeout evaluation; daemon threads so
-    * hung user code never blocks JVM exit. */
-  private[core] lazy val timeoutEc: ExecutionContext =
-    ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newCachedThreadPool(r => {
-        val t = new Thread(r, "graft-timeout"); t.setDaemon(true); t
-      }))
 
   /** Source from a local iterable; index `(i)` assigned by enumeration,
     * the creation-order contract of the reference
-    * (pypeln/process/api/from_iterable.py:15-22). */
-  def fromIterable[T](xs: Iterable[T])(implicit spark: SparkSession, e: Encoder[Element[T]]): GraftStage[T] =
-    new GraftStage(spark.createDataset(
-      xs.iterator.zipWithIndex.map { case (v, i) => Element(Seq(i.toLong), v) }.toSeq))
+    * (pypeln/process/api/from_iterable.py:15-22). Indices here are free
+    * (assigned driver-side), so the indexed plan costs no extra job. */
+  def fromIterable[T](xs: Iterable[T])(
+      implicit spark: SparkSession, et: Encoder[T], ee: Encoder[Element[T]]): GraftStage[T] = {
+    val elems = xs.iterator.zipWithIndex.map { case (v, i) => Element(Seq(i.toLong), v) }.toSeq
+    val ind = spark.createDataset(elems)
+    new GraftStage(spark.createDataset(xs.toSeq), () => ind)
+  }
 
-  /** Source from an existing Dataset. `zipWithIndex` (one extra job)
-    * gives faithful creation-order indices; `monotonically_increasing_id`
-    * would NOT (not dense, not creation-ordered across partitions). */
-  def fromDataset[T](d: Dataset[T])(implicit e: Encoder[Element[T]]): GraftStage[T] = {
-    val enc = e
-    new GraftStage(d.sparkSession.createDataset(
-      d.rdd.zipWithIndex.map { case (v, i) => Element(Seq(i), v) })(enc))
+  /** Source from an existing Dataset. The plain plan IS the dataset —
+    * scans stay pruned/pushed-down. Creation-order indices are derived
+    * lazily via `zipWithIndex` (one extra job, faithful enumeration —
+    * `monotonically_increasing_id` would NOT be: not dense, not
+    * creation-ordered across partitions), and only if the pipeline
+    * actually demands order (`ordered` / `toIterableWithIndex`). */
+  def fromDataset[T](d: Dataset[T])(implicit ee: Encoder[Element[T]]): GraftStage[T] =
+    new GraftStage(d, () =>
+      d.sparkSession.createDataset(
+        d.rdd.zipWithIndex.map { case (v, i) => Element(Seq(i), v) })(ee))
+
+  /** Column filter on an indexed plan: flatten value-struct fields so the
+    * caller's Column resolves by payload field name, filter, re-nest.
+    * (For atomic payloads the column is addressed as `value` — the same
+    * name Spark gives single-column datasets, so conditions written for
+    * the plain plan resolve unchanged.) */
+  private[core] def filterIndexed[T](ind: Dataset[Element[T]], c: Column): Dataset[Element[T]] = {
+    implicit val enc: Encoder[Element[T]] = ind.encoder
+    ind.schema("value").dataType match {
+      case st: StructType =>
+        ind.select(col("index"), col("value.*"))
+          .filter(c)
+          .select(col("index"), struct(st.fieldNames.toSeq.map(col): _*).as("value"))
+          .as[Element[T]]
+      case _ => ind.filter(c)
+    }
+  }
+
+  /** Shared scratch pool for per-element timeout evaluation; daemon
+    * threads so abandoned (non-interruptible) user code never blocks JVM
+    * exit. Unbounded by design: a bounded pool would deadlock elements
+    * behind abandoned hung ones; interrupt-on-timeout (below) reclaims
+    * threads from any user code that honors interruption. */
+  private lazy val timeoutPool = java.util.concurrent.Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "graft-timeout"); t.setDaemon(true); t
+  })
+
+  /** Run `body` with a wall-clock bound: Some(result) if it finishes,
+    * None if not — in which case the attempt is cancelled WITH interrupt
+    * (reference semantics: kill worker, drop element, keep going —
+    * process/supervisor.py:26-31). */
+  private[graft] def withTimeout[A](t: Duration)(body: => A): Option[A] = {
+    val fut = timeoutPool.submit(new Callable[A] { def call(): A = body })
+    try Some(fut.get(t.toMillis, TimeUnit.MILLISECONDS))
+    catch {
+      case _: JTimeoutException => fut.cancel(true); None
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    }
+  }
+}
+
+/** Typed error propagation (reference: worker exceptions cross the
+  * process boundary as `PipelineException` and are re-raised in the
+  * caller with the ORIGINAL type + remote traceback,
+  * pypeln/process/queue.py:88-104, pypeln/utils.py:21-39, test
+  * map_process_test.py:168-183). Spark already ships the serialized
+  * cause back to the driver inside SparkException — we unwrap the cause
+  * chain and re-throw the user's exception, remote stack intact.
+  */
+object GraftErrors {
+  private def isEngine(e: Throwable): Boolean = {
+    val n = e.getClass.getName
+    n.startsWith("org.apache.spark.Spark") || n.startsWith("org.apache.spark.sql")
+  }
+
+  /** Innermost non-Spark cause, or the original throwable if none. */
+  def userCause(e: Throwable): Throwable = {
+    var cur: Throwable = e
+    var best: Throwable = e
+    while (cur != null) {
+      if (!isEngine(cur)) { best = cur; cur = null }
+      else cur = cur.getCause
+    }
+    best
+  }
+
+  def unwrap[A](body: => A): A =
+    try body catch { case e: Throwable if isEngine(e) => throw userCause(e) }
+
+  def unwrapIterator[A](it: Iterator[A]): Iterator[A] = new Iterator[A] {
+    def hasNext: Boolean = unwrap(it.hasNext)
+    def next(): A = unwrap(it.next())
+  }
+}
+
+/** `to_stage`-style implicit coercions (reference:
+  * pypeln/process/api/to_stage.py:9-13): any Seq or Dataset lifts into a
+  * GraftStage at a pipe boundary via `.toStage`. */
+object GraftImplicits {
+  implicit class SeqToStage[T](private val xs: Iterable[T]) extends AnyVal {
+    def toStage(implicit spark: SparkSession, et: Encoder[T], ee: Encoder[Element[T]]): GraftStage[T] =
+      GraftStage.fromIterable(xs)
+  }
+  implicit class DatasetToStage[T](private val d: Dataset[T]) extends AnyVal {
+    def toStage(implicit ee: Encoder[Element[T]]): GraftStage[T] =
+      GraftStage.fromDataset(d)
   }
 }

@@ -35,31 +35,35 @@ object ParityOps {
         $"l_discount", $"l_returnflag").as[LineSlim]
   }
 
-  /** map: 1→1 revenue projection through the DSL (opaque-lambda path). */
+  /** map: 1→1 revenue projection through the DSL. Rides the plain
+    * (Tungsten) plan — no indexing job, column pruning intact. */
   def opMap(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     GraftStage.fromDataset(lineSlim(spark, sfDir))
       .map(r => MapOut(r.l_orderkey, r.l_linenumber, r.l_extendedprice * (1 - r.l_discount)))
-      .ds.select($"value.*")
+      .toDF
   }
 
-  /** filter: predicate through the DSL. */
+  /** filter: Catalyst-expressible predicate via `filterCol` — reaches
+    * the parquet scan as a PushedFilter on the plain plan (the opaque
+    * lambda `filter` variant is covered by ScalaTest). */
   def opFilter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     GraftStage.fromDataset(lineSlim(spark, sfDir))
-      .filter(_.l_quantity > 45.0)
+      .filterCol(col("l_quantity") > 45.0)
       .map(r => FilterOut(r.l_orderkey, r.l_linenumber, r.l_quantity))
-      .ds.select($"value.*")
+      .toDF
   }
 
   /** flat_map: tokenize documents; the child position `pos` IS the index
-    * dimension flat_map appends (index = parent :+ pos). */
+    * dimension flat_map appends (index = parent :+ pos) — inherently an
+    * indexed-plan consumer. */
   def opFlatMap(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents").select($"doc_id", $"text").as[DocSlim]
     GraftStage.fromDataset(docs)
       .flatMap(d => d.text.split(" ", -1).iterator.map(t => (d.doc_id, t)))
-      .ds.select($"value._1".as("doc_id"),
+      .indexedDF.select($"value._1".as("doc_id"),
         element_at($"index", 2).as("pos"), $"value._2".as("token"))
   }
 
@@ -67,10 +71,10 @@ object ParityOps {
     * (also exercises fan-out / stage reuse, pypeln/process/queue.py:114-129). */
   def opConcat(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val src = GraftStage.fromDataset(lineSlim(spark, sfDir))
+    val src = GraftStage.fromDataset(lineSlim(spark, sfDir)).cached
     val r = src.filter(_.l_returnflag == "R").map(x => TagOut(x.l_orderkey, x.l_linenumber, "r"))
     val a = src.filter(_.l_returnflag == "A").map(x => TagOut(x.l_orderkey, x.l_linenumber, "a"))
-    r.concat(a).ds.select($"value.*")
+    r.concat(a).toDF
   }
 
   /** ordered: restore creation order after transforms; `ord` is the
@@ -82,7 +86,7 @@ object ParityOps {
     GraftStage.fromDataset(docs)
       .map(d => d.doc_id)
       .ordered
-      .ds.select(element_at($"index", 1).as("ord"), $"value".as("doc_id"))
+      .indexedDF.select(element_at($"index", 1).as("ord"), $"value".as("doc_id"))
   }
 
   /** from_iterable |> map |> filter |> ordered |> to_iterable — the
@@ -94,22 +98,22 @@ object ParityOps {
       .map(x => x * 2 + 1)
       .filter(_ % 7 != 0)
       .ordered
-      .ds.select(element_at($"index", 1).as("idx"), $"value")
+      .indexedDF.select(element_at($"index", 1).as("idx"), $"value")
   }
 
   /** each + run: side-effect sink. The stage is cached before `run()` so
     * the side effect fires exactly once per element even when the result
     * is re-read by a later action (deliver-once contract of the
-    * reference's each/run; exactly-once asserted in EachRunSpec). */
+    * reference's each/run; exactly-once asserted in GraftStageSpec). */
   def opEachRun(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("graft_each")
     val st = GraftStage.fromDataset(lineSlim(spark, sfDir))
-      .filter(_.l_quantity >= 49.0)
+      .filterCol(col("l_quantity") >= 49.0)
       .each(_ => acc.add(1))
       .cached
     st.run() // drain for side effects, reference run() contract
-    st.ds.select($"value.l_orderkey", $"value.l_linenumber", $"value.l_quantity")
+    st.toDF.select($"l_orderkey", $"l_linenumber", $"l_quantity")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
