@@ -286,6 +286,18 @@ object GraftStage {
     }
   }
 
+  /** Executor-side ExecutionContext for [[GraftStage.mapAsync]] user
+    * functions — the analog of the reference task backend's per-worker
+    * event loop (task/utils.py:34-51). Reference it INSIDE the lambda
+    * (`Future(...)(GraftStage.asyncEc)`): as an object member it
+    * resolves statically on the executor, whereas a driver-side
+    * ExecutionContext captured in the closure is not serializable. */
+  lazy val asyncEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-async"); t.setDaemon(true); t
+      }))
+
   /** Shared scratch pool for per-element timeout evaluation; daemon
     * threads so abandoned (non-interruptible) user code never blocks JVM
     * exit. Unbounded by design: a bounded pool would deadlock elements

@@ -1,0 +1,204 @@
+package graft
+
+import graft.core.{Element, GraftStage, WorkerInfo}
+import graft.core.GraftImplicits._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.util.concurrent.atomic.AtomicInteger
+import scala.concurrent.duration._
+import scala.concurrent.{ExecutionContext, Future, Promise}
+
+/** Shared mutable counters for lifecycle/side-effect assertions. Hooks
+  * run on executor threads — same JVM under local[*], so statics are
+  * visible (the reference asserts the same way via namespaces,
+  * map_process_test.py:47-61). */
+object Counters {
+  val started = new AtomicInteger(0)
+  val done = new AtomicInteger(0)
+  val effects = new AtomicInteger(0)
+  def reset(): Unit = { started.set(0); done.set(0); effects.set(0) }
+}
+
+final class GraftUserError(msg: String) extends RuntimeException(msg)
+
+final case class KV(k: Long, s: String)
+
+/** Operator tests vs Scala-collection oracles, mirroring the reference's
+  * property tests (pypeln/process/api/map_process_test.py:14-42) and
+  * feature tests (:47-61 hooks, :63-76 timeout, :168-183 errors). */
+class GraftStageSpec extends AnyFunSuite {
+
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  // Hypothesis-style example sets (MAX_EXAMPLES=10 in the reference).
+  private val examples: Seq[Seq[Int]] = Seq(
+    Seq.empty, Seq(0), Seq(1, 2, 3), (0 until 50).toSeq,
+    Seq(-5, 5, -5, 5), (0 until 97).map(i => i * i % 13),
+    Seq(Int.MaxValue, Int.MinValue, 0), (1 to 10).toSeq,
+    Seq(7, 7, 7, 7, 7), (0 until 31).map(_ - 15))
+
+  test("map: identity and square vs Seq oracle (multiset)") {
+    for (xs <- examples) {
+      val got = xs.toStage.map(x => x * x).collectValues()
+      assert(got.sorted == xs.map(x => x * x).sorted)
+    }
+  }
+
+  test("map: ordered restores creation order exactly") {
+    for (xs <- examples) {
+      val got = xs.toStage.map(x => x + 1).ordered.collectValues()
+      assert(got == xs.map(_ + 1))
+    }
+  }
+
+  test("filter: lambda predicate vs Seq oracle") {
+    for (xs <- examples) {
+      val got = xs.toStage.filter(_ % 2 == 0).ordered.collectValues()
+      assert(got == xs.filter(_ % 2 == 0))
+    }
+  }
+
+  test("flatMap: child order is parent-then-position") {
+    for (xs <- examples) {
+      val got = xs.toStage.flatMap(x => Seq(x, x * 10, x * 100)).ordered.collectValues()
+      assert(got == xs.flatMap(x => Seq(x, x * 10, x * 100)))
+    }
+  }
+
+  test("flatMap: empty and variable-width expansions") {
+    val f = (x: Int) => Seq.fill(x % 3)(x)
+    for (xs <- examples) {
+      val got = xs.toStage.flatMap(f).ordered.collectValues()
+      assert(got == xs.flatMap(f))
+    }
+  }
+
+  test("concat: union-all multiset of branches") {
+    val a = Seq(1, 2, 3, 4, 5)
+    val b = Seq(10, 20, 30)
+    val got = a.toStage.concat(b.toStage).collectValues()
+    assert(got.sorted == (a ++ b).sorted)
+  }
+
+  test("pipeline: map |> filter |> ordered round trip (README.md:46-52)") {
+    val xs = (0 until 1000).toSeq
+    val got = xs.toStage
+      .|>(_.map(x => x * 2 + 1))
+      .|>(_.filter(_ % 7 != 0))
+      .ordered.collectValues()
+    assert(got == xs.map(_ * 2 + 1).filter(_ % 7 != 0))
+  }
+
+  test("toIterable: local iterator yields all values; WithIndex carries index") {
+    val xs = Seq(5, 6, 7, 8)
+    assert(xs.toStage.toIterable.toSeq.sorted == xs.sorted)
+    val els = xs.toStage.toIterableWithIndex.toSeq.sortBy(_.index)(Element.indexOrdering)
+    assert(els.map(_.value) == xs)
+    assert(els.map(_.index) == xs.indices.map(i => Seq(i.toLong)))
+  }
+
+  test("index fidelity: filter keeps original indices of survivors") {
+    val xs = (0 until 20).toSeq
+    val els = xs.toStage.filter(_ % 3 == 0).toIterableWithIndex.toSeq
+      .sortBy(_.index)(Element.indexOrdering)
+    assert(els.map(_.index.head) == (0 until 20 by 3).map(_.toLong))
+  }
+
+  test("index fidelity: flatMap extends index by child position") {
+    val els = Seq(10, 20).toStage.flatMap(x => Seq(x + 1, x + 2))
+      .toIterableWithIndex.toSeq.sortBy(_.index)(Element.indexOrdering)
+    assert(els.map(_.index) == Seq(Seq(0L, 0L), Seq(0L, 1L), Seq(1L, 0L), Seq(1L, 1L)))
+    assert(els.map(_.value) == Seq(11, 12, 21, 22))
+  }
+
+  test("mapEx: timeout drops the hung element, keeps the rest (map_process_test.py:63-76)") {
+    val xs = (0 until 10).toSeq
+    val got = xs.toStage
+      .mapEx[Null, Int]((x, _) => { if (x == 3) Thread.sleep(60000); x }, timeout = 500.millis)
+      .collectValues()
+    assert(got.sorted == xs.filterNot(_ == 3))
+  }
+
+  test("mapEx: onStart/onDone fire once per worker; state reaches f") {
+    Counters.reset()
+    val got = (0 until 40).toSeq.toStage
+      .mapEx[Int, Int](
+        (x, s) => x + s,
+        workers = 3,
+        onStart = (wi: WorkerInfo) => { Counters.started.incrementAndGet(); assert(wi.numWorkers == 3); 1000 },
+        onDone = (_: Int) => Counters.done.incrementAndGet())
+      .collectValues()
+    assert(got.sorted == (0 until 40).map(_ + 1000).sorted)
+    assert(Counters.started.get() == 3)
+    assert(Counters.done.get() == 3)
+  }
+
+  test("error propagation: the ORIGINAL exception type reaches the caller (map_process_test.py:168-183)") {
+    val st = Seq(1, 2, 3).toStage.map { x =>
+      if (x == 2) throw new GraftUserError("boom"); x
+    }
+    val e = intercept[GraftUserError] { st.run() }
+    assert(e.getMessage == "boom")
+    intercept[GraftUserError] { st.collectValues() }
+  }
+
+  test("mapAsync: bounded async window preserves values; per-partition submission order") {
+    // The EC is referenced statically inside the lambda: GraftStage.asyncEc
+    // resolves executor-side (a captured driver EC is not serializable).
+    val xs = (0 until 200).toSeq
+    val got = xs.toStage
+      .mapAsync(x => Future(x * 3)(GraftStage.asyncEc), workers = 16)
+      .ordered.collectValues()
+    assert(got == xs.map(_ * 3))
+  }
+
+  test("mapAsync: timeout drops the never-completing element") {
+    val got = (0 until 10).toSeq.toStage
+      .mapAsync(
+        x => if (x == 4) Promise[Int]().future else Future.successful(x),
+        workers = 4, timeout = 500.millis)
+      .collectValues()
+    assert(got.sorted == (0 until 10).filterNot(_ == 4))
+  }
+
+  test("each + run: side effect fires exactly once per element when cached (deliver-once)") {
+    Counters.reset()
+    val st = (0 until 25).toSeq.toStage.each(_ => Counters.effects.incrementAndGet()).cached
+    st.run()
+    assert(Counters.effects.get() == 25)
+    st.collectValues() // re-read must NOT re-fire effects
+    assert(Counters.effects.get() == 25)
+  }
+
+  test("eachRun: terminal exactly-once delivery without lineage") {
+    Counters.reset()
+    (0 until 30).toSeq.toStage.eachRun(_ => Counters.effects.incrementAndGet())
+    assert(Counters.effects.get() == 30)
+  }
+
+  test("filterCol: Catalyst filter agrees with lambda filter on both plans") {
+    // filterCol addresses payload fields by ENCODER field names (case
+    // class fields) — the names present on both the plain and the
+    // flattened indexed plan.
+    val ds = spark.createDataset((0 until 100).map(i => KV(i.toLong, s"s$i")))
+    val st = GraftStage.fromDataset(ds).filterCol(col("k") > 90)
+    assert(st.collectValues().map(_.k).sorted == (91L until 100L).toSeq)
+    val viaIndexed = st.toIterableWithIndex.toSeq.map(_.value.k).sorted
+    assert(viaIndexed == (91L until 100L).toSeq)
+  }
+
+  test("workers: mapEx repartitions to n partitions") {
+    val st = (0 until 64).toSeq.toStage.mapEx[Null, Int]((x, _) => x, workers = 7)
+    assert(st.plain.rdd.getNumPartitions == 7)
+  }
+
+  test("fan-out: one cached source feeds two branches (stage reuse)") {
+    val src = (0 until 50).toSeq.toStage.cached
+    val evens = src.filter(_ % 2 == 0).collectValues().sorted
+    val odds = src.filter(_ % 2 == 1).collectValues().sorted
+    assert(evens == (0 until 50 by 2) && odds == (1 until 50 by 2))
+  }
+}
