@@ -15,8 +15,10 @@ object SparkEntry {
     Relational.q1Pricing(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityOps.queries ++ Relational.queries ++ TextQueries.queries
+    ParityOps.queries ++ Relational.queries ++ TextQueries.queries ++
+      DedupQueries.queries
 
   def oracleSql: Map[String, String] =
-    ParityOps.oracleSql ++ Relational.oracleSql ++ TextQueries.oracleSql
+    ParityOps.oracleSql ++ Relational.oracleSql ++ TextQueries.oracleSql ++
+      DedupQueries.oracleSql
 }

@@ -1,0 +1,85 @@
+package graft.ext
+
+import graft.functions.HashExprs
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deduplication primitives for large-scale training-data pipelines
+  * (extension beyond the reference surface — SURVEY.md §2.2): exact
+  * content fingerprints, MinHash signatures with banded LSH (the
+  * shuffle-by-bucket near-dup plan that NEVER goes all-pairs), SimHash
+  * bit signatures, and n-gram Jaccard.
+  *
+  * The sketch kernels are native Catalyst expressions
+  * ([[graft.functions.HashExprs]]) — one imperative pass per row; the
+  * equivalent nested higher-order-function columns re-evaluate their
+  * argument arrays once per lambda invocation (bands × hashes × |fps|
+  * work amplification — measured minutes-per-1000-rows, see HashExprs
+  * scaladoc). Set algebra (Jaccard) stays on built-ins, which evaluate
+  * once. Every function has an exact DuckDB spelling so the oracle
+  * hash-matches.
+  *
+  * Scale posture (100 TB): near-dup candidate generation shuffles
+  * (band, signature, doc_id) triples — tiny fixed-width rows — and
+  * joins within buckets only. Hot buckets (boilerplate/spam clusters)
+  * are the known skew risk: cap them with [[capBuckets]] before the
+  * self-join, or salt the band key. Exact dedup is a hash groupBy on
+  * the fingerprint — map-side combine, one shuffle of (fp, id) pairs.
+  */
+object DedupOps {
+
+  /** Modulus shared by every hash here (fits products in 64-bit). */
+  val P = HashExprs.P
+
+  /** Per-shingle polynomial fingerprints (content hash of each k-gram).
+    * DuckDB: list_transform(shingles, s -> <fingerprint fold>). */
+  def shingleFps(toks: Column, k: Int): Column = HashExprs.shingleFps(toks, k)
+
+  /** Per-token polynomial fingerprints.
+    * DuckDB: list_transform(tokens, t -> <fingerprint fold>). */
+  def tokenFps(toks: Column): Column = HashExprs.tokenFps(toks)
+
+  /** MinHash signature: n permutation-hashes h_i(f) = (f*(2i+1) +
+    * 104729*(i+1)) mod P, each taking the min over the shingle-fp set;
+    * empty set → sentinel P. Classic Broder sketch: agreement frequency
+    * between two signatures estimates Jaccard similarity.
+    * DuckDB: list_transform(range(0, n), i -> coalesce(list_min(
+    *   list_transform(fps, f -> (f*(2*i+1) + 104729*(i+1)) % P)), P)). */
+  def minhash(fps: Column, n: Int): Column = HashExprs.minhashSig(fps, n)
+
+  /** Banded-LSH keys: fold each band of r signature rows into one
+    * bucket id (seeded with the band index). Two docs sharing ANY
+    * (band, sig) bucket become a candidate pair — P(candidate) ≈
+    * 1-(1-j^r)^b, the LSH S-curve. DuckDB: list_transform(range(0,b),
+    * j -> list_reduce(list_prepend(CAST(j AS BIGINT),
+    *   list_slice(mh, j*r+1, j*r+r)), (s,x) -> (s*1000003 + x) % P)). */
+  def bandSigs(mh: Column, b: Int, r: Int): Column = HashExprs.bandKeys(mh, b, r)
+
+  /** Exact Jaccard over two fp arrays, set semantics: |A∩B| / |A∪B|
+    * (array_intersect/array_union deduplicate in both engines; bigint /
+    * bigint is IEEE double division in both). DuckDB:
+    *   len(list_filter(list_distinct(a), x -> list_contains(b, x)))
+    *     / len(list_distinct(list_concat(a, b))). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("bigint") /
+      size(array_union(a, b)).cast("bigint")
+
+  /** SimHash over token fingerprints, `bits` bits: bit j of the
+    * signature is set iff Σ_tokens (2·bit_j(fp) − 1) > 0. Near-dup docs
+    * differ in O(1) signature bits → dedup by hamming-ball or
+    * band-split on the signature halves. DuckDB spelling uses
+    * (f % 2^(j+1)) >= 2^j bit extraction — pure arithmetic, identical
+    * result for the non-negative fps used here. */
+  def simhash(fps: Column, bits: Int): Column = HashExprs.simhash(fps, bits)
+
+  /** Skew guard for the LSH self-join: drop buckets with more than
+    * `max` members (boilerplate clusters that would square into the
+    * join). `exploded` must have columns (band, sig); returns it
+    * filtered. At 100 TB this is the difference between a bounded
+    * bucket join and a runaway hot key. */
+  def capBuckets(exploded: org.apache.spark.sql.DataFrame, max: Int): org.apache.spark.sql.DataFrame = {
+    val counts = exploded.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bucket_n"))
+    exploded.join(counts, Seq("band", "sig")).filter(col("bucket_n") <= max).drop("bucket_n")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ext
+
+import graft.functions.HashExprs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search primitives over embedding columns
+  * (`array<float>`) — LLM-pipeline pillar: approximate-nearest-neighbor
+  * at 100 TB. Extension beyond the reference surface (SURVEY.md §2.2).
+  *
+  * The kernels (cosine, SRP-LSH bucket) are native Catalyst
+  * expressions ([[graft.functions.HashExprs]]): one pass per row over
+  * the vector, float→double casts exact, LEFT-TO-RIGHT folds — the
+  * identical order DuckDB's `list_reduce` uses, so scores are
+  * bit-identical across engines at any parallelism (similarity math is
+  * per-row; only counts/top-k cross rows).
+  *
+  * Scale posture:
+  *   - Brute-force top-k: broadcast the (small) query set, one corpus
+  *     scan, per-query rank — no corpus collect, no shuffle of the
+  *     corpus except the final (queries × k)-bounded rank exchange.
+  *   - LSH path: sign-random-projection buckets (deterministic
+  *     integer-hash hyperplanes) — candidates meet only inside buckets,
+  *     the same shuffle-by-bucket shape as MinHash dedup. At 1000
+  *     executors the bucket join shuffles O(corpus) fixed-width rows,
+  *     never O(corpus²) and never corpus × queries.
+  */
+object SimOps {
+
+  /** Cosine similarity (native single-pass kernel). */
+  def cosine(a: Column, b: Column): Column = HashExprs.cosineSim(a, b)
+
+  /** Sign-random-projection LSH bucket id over `bits` deterministic
+    * hyperplanes (Charikar SimHash for real vectors). */
+  def srpBucket(v: Column, bits: Int): Column = HashExprs.srpBucket(v, bits)
+
+  /** Brute-force exact top-k neighbors: every (query, corpus) cosine,
+    * ranked per query. `queries` must be small — it is broadcast, so
+    * the corpus is scanned once and never shuffled pre-rank.
+    * Deterministic tie-break on vec_id. */
+  def topkBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_vec")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** LSH-bucketed ANN top-k: corpus and queries are both bucketed by
+    * [[srpBucket]]; candidates are corpus rows in the query's bucket
+    * (equi-join on the bucket id — shuffle-by-bucket, never all-pairs),
+    * then exact cosine + per-query rank within candidates. Recall is
+    * tuned by `bits` (fewer bits → bigger buckets → higher recall,
+    * more compute). */
+  def topkLsh(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bc = corpus.select(col("vec_id"), col("embedding"),
+      srpBucket(col("embedding"), bits).as("bucket"))
+    val bq = broadcast(queries.select(col("q_id"), col("q_vec"),
+      srpBucket(col("q_vec"), bits).as("bucket")))
+    bc.join(bq, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_vec")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+}

@@ -38,19 +38,22 @@ object TextOps {
 
   /** Rolling polynomial document fingerprint over characters:
     * fold(h = (h*31 + codepoint) mod 1e9+7). A content-addressable id
-    * that both engines compute identically (verified: left fold).
+    * that both engines compute identically (left fold over codepoints,
+    * single-pass native expression — see graft.functions.HashExprs).
     * DuckDB: list_reduce(list_prepend(0, list_transform(string_split(c,''),
     *   ch -> CAST(unicode(ch) AS BIGINT))), (a,b) -> (a*31+b) % 1000000007).
     */
-  def fingerprint(c: Column): Column =
-    aggregate(transform(split(c, ""), ch => ascii(ch).cast("bigint")),
-      lit(0L), (a, b) => (a * 31 + b) % 1000000007L)
+  def fingerprint(c: Column): Column = graft.functions.HashExprs.fingerprint(c)
 
   /** Word k-gram shingles over a token array (1-based element access in
-    * both engines). The unit of near-duplicate detection. */
+    * both engines). The unit of near-duplicate detection. Guarded for
+    * docs shorter than k tokens (Spark's sequence(1, 0) would generate a
+    * DESCENDING range, not an empty one — DuckDB's range(1, 1) is empty). */
   def shingles(toks: Column, k: Int): Column =
-    transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
-      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
 
   /** Language marker-word lexicons for the heuristic language ID.
     * (The driver's synthetic corpus shares one vocabulary across its

@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.ext.{DedupOps, TextOps}
+import graft.ext.DedupOps._
+import graft.ext.TextOps.{fingerprint, tokens}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Deduplication suite over `documents` (LLM-pipeline pillar #1).
+  * The driver's synthetic corpus has no duplicate texts, so each query
+  * PLANTS deterministic duplicates (a doc_id+1,000,000 shifted copy —
+  * exact, or with the first token dropped — near), then detects them.
+  * That way a green oracle row proves the operator actually removes /
+  * pairs something, not that it matched on an empty result.
+  *
+  * Scale notes are per-query; the common rule: candidate generation is
+  * always bucket-local (hash group or LSH band join), NEVER all-pairs.
+  */
+object DedupQueries {
+
+  private val SHIFT = 1000000L
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+
+  /** Exact dedup: content-fingerprint hash groupBy over a corpus with
+    * planted exact copies. One shuffle of (fp, doc_id) pairs with
+    * map-side combine; the representative is min(doc_id) — the standard
+    * keep-first rule, deterministic at any parallelism. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val corpus = d.unionAll(d.select((col("doc_id") + SHIFT).as("doc_id"), col("text")))
+    corpus.select(fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Near-dup detection, the full MinHash → banded-LSH → verify plan:
+    * 3-token shingles → 64 minhashes → 16 bands × 4 rows → self-join on
+    * (band, sig) buckets → exact Jaccard ≥ 0.7 on candidates only.
+    * Planted near-dups (first token dropped) share ~(m−1)/m of their
+    * shingle set, so the LSH S-curve surfaces them with probability
+    * ≈ 1. Shuffle volume: 16 fixed-width (band, sig, id) rows per doc —
+    * at 100 TB this joins within buckets, never across the corpus. */
+  def dedupNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val mut = d.select((col("doc_id") + SHIFT).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val corpus = d.unionAll(mut)
+    val withFps = corpus
+      .select(col("doc_id"), shingleFps(tokens(col("text")), 3).as("fps"))
+    val sigs = withFps.select(col("doc_id"),
+      bandSigs(minhash(col("fps"), 64), 16, 4).as("sigs"))
+    val exploded = sigs.select(col("doc_id"),
+      posexplode(col("sigs")).as(Seq("band", "sig")))
+    val a = exploded.as("a"); val b = exploded.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val fa = withFps.select(col("doc_id").as("doc_a"), col("fps").as("fps_a"))
+    val fb = withFps.select(col("doc_id").as("doc_b"), col("fps").as("fps_b"))
+    pairs.join(fa, "doc_a").join(fb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        DedupOps.jaccard(col("fps_a"), col("fps_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
+  }
+
+  /** SimHash signatures (30-bit, token-level): near-identical docs land
+    * within a small hamming ball. Emitting the signature per doc — the
+    * downstream dedup is a band-split on signature halves (same bucket
+    * shape as LSH). Pure arithmetic bit extraction, engine-portable. */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), DedupOps.tokenFps(tokens(col("text"))).as("fps"))
+      .select(col("doc_id"), simhash(col("fps"), 30).as("simhash"))
+
+  /** n-gram Jaccard as a pairwise operator: 3-gram similarity of each
+    * consecutive doc pair — a deterministic non-empty pair set that
+    * exercises the set-similarity kernel on unrelated docs (values near
+    * 0) without an all-pairs join. */
+  def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val withFps = docs(spark, sfDir)
+      .select(col("doc_id"), shingleFps(tokens(col("text")), 3).as("fps"))
+    val a = withFps.select(col("doc_id").as("doc_a"), col("fps").as("fps_a"))
+    val b = withFps.select(col("doc_id").as("doc_b"), col("fps").as("fps_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"),
+        DedupOps.jaccard(col("fps_a"), col("fps_b")).as("jaccard"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_near" -> (dedupNear _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_jaccard" -> (dedupJaccard _))
+
+  // ---- DuckDB oracle spellings -------------------------------------
+  // Shared fragments (kept textually identical across queries so the
+  // oracle exercises the same arithmetic as the Spark expressions).
+
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  private def fpFold(v: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($v, ''), ch -> CAST(unicode(ch) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % 1000000007)"
+
+  private val shinglesSql =
+    s"CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1), " +
+      s"i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE [] END"
+
+  private val corpusExactSql =
+    "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents"
+
+  private val corpusNearSql =
+    "SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1) FROM documents"
+
+  private val minhashSql =
+    "list_transform(range(0, 64), i -> coalesce(list_min(list_transform(fps, " +
+      "f -> (f * (2*i + 1) + 104729 * (i + 1)) % 1000000007)), 1000000007))"
+
+  private val bandSql =
+    "list_reduce(list_prepend(CAST(j AS BIGINT), list_slice(mh, j*4 + 1, j*4 + 4)), " +
+      "(s, x) -> (s * 1000003 + x) % 1000000007)"
+
+  private val jaccardSql =
+    "len(list_filter(list_distinct(fps_a), x -> list_contains(fps_b, x))) / " +
+      "len(list_distinct(list_concat(fps_a, fps_b)))"
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT ${fpFold("text")} AS fp, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+         |FROM ($corpusExactSql)
+         |GROUP BY fp""".stripMargin,
+    "dedup_near" ->
+      s"""WITH corpus AS ($corpusNearSql),
+         |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+         |sh_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, list_transform(sh, s -> ${fpFold("s")}) AS fps FROM sh_t),
+         |mh_t AS (SELECT doc_id, fps, $minhashSql AS mh FROM fp_t),
+         |bands AS (SELECT doc_id, j AS band, $bandSql AS sig
+         |          FROM mh_t, (SELECT unnest(range(0, 16)) AS j)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, $jaccardSql AS jaccard
+         |FROM pairs
+         |JOIN (SELECT doc_id AS doc_a, fps AS fps_a FROM fp_t) USING (doc_a)
+         |JOIN (SELECT doc_id AS doc_b, fps AS fps_b FROM fp_t) USING (doc_b)
+         |WHERE $jaccardSql >= 0.7""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH fp_t AS (SELECT doc_id,
+         |    list_transform($toksSql, t -> ${fpFold("t")}) AS fps FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(0, 30), j -> CASE WHEN
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(fps,
+         |        f -> CAST(CASE WHEN (f % (CAST(power(2, j) AS BIGINT) * 2)) >= CAST(power(2, j) AS BIGINT)
+         |                       THEN 1 ELSE -1 END AS BIGINT))), (a, b) -> a + b) > 0
+         |      THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |    (a, b) -> a + b) AS simhash
+         |FROM fp_t""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |sh_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, list_transform(sh, s -> ${fpFold("s")}) AS fps FROM sh_t)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jaccardSql AS jaccard
+         |FROM (SELECT doc_id, fps AS fps_a FROM fp_t) a
+         |JOIN (SELECT doc_id, fps AS fps_b FROM fp_t) b ON b.doc_id = a.doc_id + 1""".stripMargin)
+}
