@@ -16,9 +16,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityOps.queries ++ Relational.queries ++ TextQueries.queries ++
-      DedupQueries.queries
+      DedupQueries.queries ++ SimQueries.queries
 
   def oracleSql: Map[String, String] =
     ParityOps.oracleSql ++ Relational.oracleSql ++ TextQueries.oracleSql ++
-      DedupQueries.oracleSql
+      DedupQueries.oracleSql ++ SimQueries.oracleSql
 }

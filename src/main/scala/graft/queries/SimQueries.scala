@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.ext.SimOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Similarity-search suite over `embeddings` (LLM-pipeline pillar #2):
+  * brute-force exact top-k as the correctness baseline, SRP-LSH
+  * bucketed ANN as the scale path, embedding near-dup pairing, and an
+  * IVF-style coarse quantizer (decimal-exact centroids + nearest-
+  * centroid assignment).
+  *
+  * Plans are collect-free and cartesian-free: query sets are broadcast
+  * (they are small by construction), LSH candidates meet only inside
+  * buckets, and centroid assignment broadcasts the (labels × dims)
+  * centroid table. Per-row cosine math is a native single-pass kernel
+  * whose IEEE fold order matches the DuckDB oracle bit-exactly
+  * (graft.functions.HashExprs scaladoc).
+  */
+object SimQueries {
+
+  private val SHIFT = 1000000L
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "embeddings")
+
+  /** Every 100th vector queries the corpus (5 queries at sf0.01). */
+  private def querySet(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+  /** Exact top-10 cosine neighbors per query — the ANN ground truth.
+    * One corpus scan; the only shuffle is the per-query rank over
+    * queries × corpus scored rows. */
+  def simTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    SimOps.topkBrute(e.select(col("vec_id"), col("embedding")), querySet(e), 10)
+  }
+
+  /** ANN top-10 via 4-bit SRP-LSH buckets: candidates are bucket-mates
+    * only (~1/16 of the corpus per query), exact cosine re-rank inside
+    * the bucket. The 100 TB shape: score O(corpus/buckets × queries)
+    * instead of O(corpus × queries). */
+  def simLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    SimOps.topkLsh(e.select(col("vec_id"), col("embedding")), querySet(e), 10, 4)
+  }
+
+  /** Embedding near-duplicate pairs: corpus ∪ planted exact copies
+    * (vec_id+1e6), bucketed by 16-bit SRP — identical vectors collide
+    * with probability 1 — then cosine ≥ 0.999 verification inside
+    * buckets. 500 planted pairs out, zero cross-pairs (random 64-dim
+    * unit vectors never reach 0.999). Bucket join, never all-pairs. */
+  def simPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val corpus = e.unionAll(e.select((col("vec_id") + SHIFT).as("vec_id"), col("embedding")))
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      SimOps.srpBucket(col("embedding"), 16).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        SimOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= 0.999)
+  }
+
+  /** IVF coarse quantizer: per-label centroids via decimal-exact
+    * per-dimension means (order-independent under any shuffle — the
+    * only cross-row float aggregation in the suite), then every vector
+    * assigned to its nearest centroid by cosine; output is the
+    * label × assigned confusion matrix. Centroids are labels × dims —
+    * broadcast; the corpus is scanned once. */
+  def simIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val comp = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    val cents = comp.groupBy(col("label"), col("pos")).agg(davg(col("v")).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x("cv")).as("c_vec"))
+      .select(col("label").as("c_label"), col("c_vec"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"),
+        col("c_label"), SimOps.cosine(col("embedding"), col("c_vec")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_label"))))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("c_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk" -> (simTopk _),
+    "sim_lsh" -> (simLsh _),
+    "sim_pairs" -> (simPairs _),
+    "sim_ivf" -> (simIvf _))
+
+  // ---- DuckDB oracle spellings -------------------------------------
+  // The cosine/SRP folds are spelled with list_reduce(list_prepend(...))
+  // left folds — the same IEEE operation order as the native kernels.
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (s,x) -> s + x)"
+
+  /** dot(a,c) where c is already DOUBLE (centroid). */
+  private def dotMixedSql(a: String, c: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * $c[i])), (s,x) -> s + x)"
+
+  private def dotDDSql(c: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($c)+1), " +
+      s"i -> $c[i] * $c[i])), (s,x) -> s + x)"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private def cosMixedSql(a: String, c: String): String =
+    s"${dotMixedSql(a, c)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotDDSql(c)}))"
+
+  private def srpSql(v: String, bits: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $bits), p -> " +
+      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($v)+1), i -> CAST($v[i] AS DOUBLE) * " +
+      s"(((p*1315423911 + (i-1)*2654435761 + 97531) % 1000003) / 500001.5 - 1.0))), " +
+      s"(s,x) -> s + x) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
+      s"(acc, b) -> acc*2 + b)"
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS (SELECT q_id, vec_id, ${cosSql("embedding", "q_vec")} AS cos
+         |           FROM embeddings, q WHERE vec_id <> q_id)
+         |SELECT q_id, vec_id, cos FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10""".stripMargin,
+    "sim_lsh" ->
+      s"""WITH bc AS (SELECT vec_id, embedding, ${srpSql("embedding", 4)} AS bucket FROM embeddings),
+         |bq AS (SELECT vec_id AS q_id, embedding AS q_vec, ${srpSql("embedding", 4)} AS bucket
+         |       FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS (SELECT q_id, vec_id, ${cosSql("embedding", "q_vec")} AS cos
+         |           FROM bc JOIN bq USING (bucket) WHERE vec_id <> q_id)
+         |SELECT q_id, vec_id, cos FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10""".stripMargin,
+    "sim_pairs" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+         |                UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+         |b AS (SELECT vec_id, embedding, ${srpSql("embedding", 16)} AS bucket FROM corpus),
+         |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |                 ${cosSql("a.embedding", "b.embedding")} AS cos
+         |          FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.999""".stripMargin,
+    "sim_ivf" ->
+      s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         |                     unnest(embedding) AS v FROM embeddings),
+         |cd AS (SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS cv
+         |       FROM comp GROUP BY label, pos),
+         |cents AS (SELECT label AS c_label, list(cv ORDER BY pos) AS c_vec FROM cd GROUP BY label),
+         |scored AS (SELECT vec_id, label, c_label,
+         |                  ${cosMixedSql("embedding", "c_vec")} AS cos
+         |           FROM embeddings, cents),
+         |best AS (SELECT vec_id, label, c_label,
+         |                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rk
+         |         FROM scored)
+         |SELECT label, c_label, COUNT(*) AS n FROM best WHERE rk = 1 GROUP BY label, c_label""".stripMargin)
+}
