@@ -16,9 +16,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityOps.queries ++ Relational.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ SimQueries.queries
+      DedupQueries.queries ++ SimQueries.queries ++ EventQueries.queries
 
   def oracleSql: Map[String, String] =
     ParityOps.oracleSql ++ Relational.oracleSql ++ TextQueries.oracleSql ++
-      DedupQueries.oracleSql ++ SimQueries.oracleSql
+      DedupQueries.oracleSql ++ SimQueries.oracleSql ++ EventQueries.oracleSql
 }

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Event-time suite over `events` (the streaming-shaped table: ns
+  * timestamps, 150 users, 5 event types, JSON props). These are the
+  * BATCH oracles for the streaming module (graft.streaming) — each
+  * query's shape is what the corresponding Structured Streaming
+  * pipeline computes per micro-batch / watermark window, verified here
+  * deterministically against DuckDB.
+  *
+  * `ts` arrives as nanos-since-epoch BIGINT (Spark 4 rejects
+  * TIMESTAMP(NANOS) parquet unless spark.sql.legacy.parquet.nanosAsLong
+  * is set — both CLI mains set it). Conversions use integer `div` —
+  * a double division would lose precision above 2^53 ns.
+  *
+  * Scale posture: tumbling windows and daily aggregates are hash
+  * aggregations with map-side combine (shuffle = groups, not rows).
+  * Sessionization shuffles each user's events once (partitionBy user),
+  * which is the minimum for gap-based sessions; at 100 TB the skew
+  * risk is a bot user with millions of events — cap per-user events
+  * upstream or sessionize via flatMapGroupsWithState in streaming.
+  * COUNT(DISTINCT) is exact here to match the oracle; the 100 TB
+  * variant is approx_count_distinct (HLL sketch, no exact shuffle).
+  */
+object EventQueries {
+
+  private val GAP_NS = 1800L * 1000 * 1000 * 1000 // 30 min session gap
+
+  private def events(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "events")
+
+  private def tsMicros = timestamp_micros(expr("ts div 1000"))
+
+  /** 1-day tumbling event-time window per event type — Spark's native
+    * `window()` (the Structured Streaming window primitive) in batch
+    * mode. */
+  def eventsWindow(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(window(tsMicros, "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization (30-min inactivity): lag to flag session
+    * starts, running sum to number sessions, then per-session rollup.
+    * The batch oracle for streaming session windows
+    * (flatMapGroupsWithState). Deterministic ordering: (ts, event_id). */
+  def eventsSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    // µs basis: DuckDB's TIMESTAMP is µs internally, so its TIMESTAMP_NS
+    // parquet read truncates sub-µs — match it with `ts div 1000`.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") > GAP_NS / 1000, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("tus")).as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        (max(col("tus")) - min(col("tus"))).as("dur_us"))
+  }
+
+  /** Daily active users + event volume. Exact COUNT(DISTINCT) to match
+    * the oracle; see scaladoc for the sketch-based 100 TB variant. */
+  def eventsDailyActive(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(to_date(tsMicros).as("day"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        count(lit(1)).as("n_events"))
+
+  /** Semi-structured extraction: pull `k` out of the JSON props column
+    * and aggregate per event type — get_json_object stays a column
+    * expression (no UDF), the portable subset of JSON-path both engines
+    * agree on. */
+  def eventsProps(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_window" -> (eventsWindow _),
+    "events_sessions" -> (eventsSessions _),
+    "events_daily_active" -> (eventsDailyActive _),
+    "events_props" -> (eventsProps _))
+
+  val oracleSql: Map[String, String] = Map(
+    "events_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessions" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                    ORDER BY epoch_us(ts), event_id) AS prev
+        |           FROM events),
+        |s AS (SELECT user_id, event_id, tus,
+        |             CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |                  THEN 1 ELSE 0 END AS new_s FROM g),
+        |c AS (SELECT user_id, tus,
+        |             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS session_no FROM s)
+        |SELECT user_id, session_no, MIN(tus) AS session_start_us,
+        |       COUNT(*) AS n_events, MAX(tus) - MIN(tus) AS dur_us
+        |FROM c GROUP BY user_id, session_no""".stripMargin,
+    "events_daily_active" ->
+      """SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS active_users,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "events_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin)
+}
