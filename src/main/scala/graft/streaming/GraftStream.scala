@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.core.{GraftErrors, WorkerInfo}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, ForeachWriter, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming pipeline stage: the unbounded analog of
+  * [[graft.core.GraftStage]], built on Structured Streaming. The
+  * reference's signature capability is an unbounded iterable flowing
+  * through bounded queues (`maxsize` backpressure,
+  * reference: pypeln/process/stage.py:41-43, docs/advanced.md:72;
+  * its 100M-url benchmark streams an infinite generator,
+  * benchmarks/100_million_downloads/client-pypeln-io.py:11-12). The
+  * Spark-native mapping:
+  *
+  *   - unbounded source   → `readStream` (rate / file / kafka)
+  *   - `maxsize` bound    → per-trigger admission caps
+  *                          (`maxFilesPerTrigger`, `rowsPerSecond`,
+  *                          `maxOffsetsPerTrigger`) — the engine never
+  *                          buffers more than one trigger's worth of
+  *                          input per stage, which IS bounded-queue
+  *                          backpressure in micro-batch form
+  *   - map/flatMap/filter → identical lazy transforms on the streaming
+  *                          Dataset (one WholeStageCodegen per batch)
+  *   - `each`/`run`       → `ForeachWriter` (open/process/close =
+  *                          on_start/f/on_done lifecycle,
+  *                          reference: process/worker.py:68-127) or
+  *                          `foreachBatch`
+  *   - event-time windows → watermark + window()/session_window()
+  *                          (extension beyond the reference, SURVEY §2.2;
+  *                          batch oracles in graft.queries.EventQueries)
+  *
+  * At 100 TB/day the same code runs against kafka with
+  * `maxOffsetsPerTrigger` sizing each micro-batch to cluster capacity;
+  * state stores (windows, dedup, sessions) are RocksDB-backed and keyed
+  * by the groupBy columns, so state shuffles once per key, not per
+  * event.
+  */
+final class GraftStream[T](val ds: Dataset[T]) {
+
+  def map[B](f: T => B)(implicit eb: Encoder[B]): GraftStream[B] =
+    new GraftStream(ds.map(f))
+
+  def flatMap[B](f: T => IterableOnce[B])(implicit eb: Encoder[B]): GraftStream[B] =
+    new GraftStream(ds.flatMap(f))
+
+  def filter(p: T => Boolean): GraftStream[T] = new GraftStream(ds.filter(p))
+
+  def filterCol(c: Column): GraftStream[T] = new GraftStream(ds.filter(c))
+
+  /** Per-element side-effect sink with the full worker lifecycle:
+    * `onStart` once per partition-epoch (open), `f` per element,
+    * `onDone` on close — the streaming `each(..., run=True)`
+    * (reference: pypeln/process/api/each.py:137-141 + ForeachWriter's
+    * open/process/close contract). Returns the started query. */
+  def eachStart[S](f: (T, S) => Unit,
+      onStart: WorkerInfo => S = (_: WorkerInfo) => null.asInstanceOf[S],
+      onDone: S => Unit = (_: S) => ()): StreamingQuery =
+    ds.writeStream.foreach(new ForeachWriter[T] {
+      @transient private var state: S = _
+      def open(partitionId: Long, epochId: Long): Boolean = {
+        val tc = TaskContext.get()
+        state = onStart(WorkerInfo(partitionId.toInt,
+          if (tc == null) -1 else tc.numPartitions(), -1, epochId))
+        true
+      }
+      def process(value: T): Unit = f(value, state)
+      def close(errorOrNull: Throwable): Unit = onDone(state)
+    }).start()
+
+  /** Micro-batch sink: `f(batchDf, batchId)` — the bulk-side-effect
+    * form (write a batch to a store, call a service per batch). */
+  def eachBatch(f: (Dataset[T], Long) => Unit): StreamingQuery =
+    ds.writeStream.foreachBatch(f).start()
+
+  /** Drain everything currently available through the sink writer, then
+    * stop — the bounded-drain `run` used by tests and batch-like jobs
+    * (reference: pypeln/process/api/run.py:15-43). User exceptions
+    * re-throw with their original type. */
+  def runAvailable(writer: DataStreamWriter[T] => DataStreamWriter[T] = identity): Unit =
+    GraftErrors.unwrap {
+      val q = writer(ds.writeStream.format("noop")).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+  def writeStream: DataStreamWriter[T] = ds.writeStream
+
+  def toDF: DataFrame = ds.toDF()
+
+  def |>[B](f: GraftStream[T] => GraftStream[B]): GraftStream[B] = f(this)
+}
+
+object GraftStream {
+
+  /** Unbounded rate source (the infinite-generator analog):
+    * `rowsPerSecond` IS the maxsize knob — admission is bounded per
+    * trigger, downstream pulls, nothing buffers unboundedly. Columns:
+    * `timestamp: TimestampType`, `value: LongType`. */
+  def rate(spark: SparkSession, rowsPerSecond: Long): GraftStream[Row] =
+    new GraftStream(spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load())
+
+  /** File-backed stream over a parquet directory; `maxFilesPerTrigger`
+    * is the maxsize analog (bounded files admitted per micro-batch). */
+  def files(spark: SparkSession, path: String, schema: StructType,
+      maxFilesPerTrigger: Int = 1): GraftStream[Row] =
+    new GraftStream(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(path))
+
+  /** Watermarked tumbling-window aggregate — the streaming form of
+    * graft.queries.EventQueries.eventsWindow (its batch oracle). */
+  def windowedCounts(df: DataFrame, tsCol: String, watermark: String,
+      windowLen: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+
+  /** Watermarked session windows (gap-based) — the streaming form of
+    * EventQueries.eventsSessions. Spark's native session_window state
+    * machine; keyed state shuffles once per (key, session). */
+  def sessionCounts(df: DataFrame, tsCol: String, keyCol: String,
+      watermark: String, gap: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("n_events"))
+}
