@@ -16,9 +16,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityOps.queries ++ Relational.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ SimQueries.queries ++ EventQueries.queries
+      DedupQueries.queries ++ SimQueries.queries ++ EventQueries.queries ++
+      MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
     ParityOps.oracleSql ++ Relational.oracleSql ++ TextQueries.oracleSql ++
-      DedupQueries.oracleSql ++ SimQueries.oracleSql ++ EventQueries.oracleSql
+      DedupQueries.oracleSql ++ SimQueries.oracleSql ++ EventQueries.oracleSql ++
+      MultimodalQueries.oracleSql
 }

@@ -1,0 +1,167 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support (LLM-pipeline pillar #4): image/audio/
+  * video payloads travel as opaque `binary` columns beside a typed
+  * metadata struct; decode/resize/frame-sample run batch-at-a-time
+  * inside partitions (the Scala analog of `mapInPandas` — same batch
+  * shape, same executor-side placement, no driver involvement).
+  *
+  * REAL here: the schema convention, the byte-level feature kernels
+  * (native expressions — histograms/stats over the raw bytes are
+  * genuine signal and need no media libraries), the partition/batch
+  * plumbing, and the frame-sampling index math.
+  * STUBBED here: pixel/sample decoding — this container has no
+  * image/audio codecs, so [[fakeDecode]] is a clearly-marked
+  * deterministic stand-in (documented at each use). Swapping it for a
+  * real JNI/javax.imageio decoder changes no schema, partitioning, or
+  * call shape.
+  *
+  * Scale posture: media blobs are large (MB+) — never shuffle them.
+  * Every operator below is map-side (scan → decode → project); outputs
+  * are small typed columns (features, stats, thumbnails), and any
+  * downstream join/group moves those, not the blobs. Partition sizing:
+  * media tables want smaller `maxPartitionBytes` so a partition's
+  * blobs fit executor memory during decode.
+  */
+object MultimodalOps {
+
+  /** Typed metadata carried beside every media blob. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("modality", StringType, nullable = false),
+    StructField("fmt", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  /** content + meta — the canonical media-table schema. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", metaSchema, nullable = false)))
+
+  /** Byte-level stats over a blob — one native pass, no boxing.
+    * n_bytes / sum / min / max are real features (and oracle-checkable:
+    * for ASCII text payloads they equal the codepoint stats DuckDB
+    * computes from the string). */
+  case class ByteStatsExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("sum_bytes", LongType, nullable = false),
+      StructField("min_byte", IntegerType, nullable = false),
+      StructField("max_byte", IntegerType, nullable = false)))
+    override def nullSafeEval(input: Any): Any = {
+      val bs = input.asInstanceOf[Array[Byte]]
+      var sum = 0L; var mn = 256; var mx = -1
+      var i = 0
+      while (i < bs.length) {
+        val v = bs(i) & 0xff
+        sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        i += 1
+      }
+      if (bs.isEmpty) { mn = 0; mx = 0 }
+      org.apache.spark.sql.catalyst.InternalRow(bs.length.toLong, sum, mn, mx)
+    }
+    override protected def withNewChildInternal(c: Expression): ByteStatsExpr = copy(child = c)
+    override def prettyName: String = "graft_byte_stats"
+  }
+
+  /** Normalized byte histogram (`bins` buckets) as float features —
+    * the real, codec-free feature vector for any modality; feeds
+    * straight into [[SimOps]] cosine / SRP-LSH. */
+  case class ByteHistExpr(child: Expression, bins: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(bins > 0 && 256 % bins == 0)
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val bs = input.asInstanceOf[Array[Byte]]
+      val width = 256 / bins
+      val counts = new Array[Long](bins)
+      var i = 0
+      while (i < bs.length) { counts((bs(i) & 0xff) / width) += 1; i += 1 }
+      val n = math.max(1, bs.length).toFloat
+      val out = new Array[Float](bins)
+      i = 0
+      while (i < bins) { out(i) = counts(i) / n; i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): ByteHistExpr = copy(child = c)
+    override def prettyName: String = "graft_byte_hist"
+  }
+
+  def byteStats(c: Column): Column = toColumn(ByteStatsExpr(toExpression(c)))
+  def byteHist(c: Column, bins: Int): Column = toColumn(ByteHistExpr(toExpression(c), bins))
+
+  /** DETERMINISTIC FAKE decoder — stands in for libjpeg/ffmpeg (absent
+    * in this container). Produces `w*h` floats in [0,1) from a
+    * splitmix-style hash of the bytes; bit-reproducible, so tests can
+    * assert end-to-end plumbing. A real decoder drops in with the same
+    * (Array[Byte], Int, Int) => Array[Float] signature. */
+  def fakeDecode(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
+    var seed = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < bytes.length) { seed = (seed ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    val out = new Array[Float](w * h)
+    i = 0
+    while (i < out.length) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      out(i) = ((seed >>> 40).toInt & 0xffffff) / 16777216.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Decode each blob to pixel features, batch-at-a-time inside the
+    * partition — the `mapInPandas` shape: elements are staged into
+    * `batchSize` groups so a real decoder can amortize codec setup
+    * (and a vectorized library can process a batch per call). Output:
+    * (media_id, pixels: array<float>) — blobs never leave the scan. */
+  def decodeToPixels(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("pixels", ArrayType(FloatType, containsNull = false), nullable = false)))
+    df.select(col("media_id"), col("content"), col("meta.width"), col("meta.height"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // one "codec call" per batch (stubbed: fakeDecode per element)
+          batch.iterator.map { r =>
+            val px = fakeDecode(r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3))
+            Row(r.getLong(0), px.toSeq)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Deterministic frame sampling for video blobs: every `every`-th
+    * frame index plus always the last — the index math is real; the
+    * per-frame byte ranges assume fixed-size frames (n_bytes/n_frames),
+    * which holds for raw containers and stands in for a demuxer. */
+  def sampleFrameIndices(nFrames: Int, every: Int): Seq[Int] = {
+    if (nFrames <= 0) Seq.empty
+    else ((0 until nFrames by every) ++ Seq(nFrames - 1)).distinct
+  }
+
+  /** Explode sampled frames: (media_id, frame_idx, frame_bytes).
+    * Slicing is real byte math over the blob; decode of each frame
+    * would chain [[decodeToPixels]]. */
+  def sampleFrames(df: DataFrame, every: Int): DataFrame = {
+    val idx = udf((nFrames: Int) => sampleFrameIndices(nFrames, every))
+    val slice = udf((content: Array[Byte], nFrames: Int, i: Int) => {
+      val sz = math.max(1, content.length / math.max(1, nFrames))
+      content.slice(i * sz, math.min(content.length, (i + 1) * sz))
+    })
+    df.select(col("media_id"), col("content"), col("meta.n_frames").as("nf"))
+      .withColumn("frame_idx", explode(idx(col("nf"))))
+      .select(col("media_id"), col("frame_idx"),
+        slice(col("content"), col("nf"), col("frame_idx")).as("frame_bytes"))
+  }
+}

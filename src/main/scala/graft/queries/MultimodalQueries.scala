@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.ext.{MultimodalOps, SimOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Multimodal-column suite: the oracle-checkable slice of
+  * [[graft.ext.MultimodalOps]]. The binary payload is
+  * `encode(text, 'UTF-8')` over `documents` — a real BinaryType column
+  * flowing through the real kernels (byte stats, histograms, content
+  * hashing); DuckDB reproduces each from the string side (the corpus
+  * is ASCII, so bytes == codepoints). Codec-dependent operators
+  * (decodeToPixels, sampleFrames) have no SQL oracle — they are
+  * covered by MultimodalSpec in ScalaTest, per the stub contract.
+  */
+object MultimodalQueries {
+
+  private def bin(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+
+  /** Blob metadata projection: byte length + content hash — the
+    * dedup/integrity primitives for any media column (md5 on the raw
+    * bytes is exactly how image dedup keys are built at scale). */
+  def mmMeta(spark: SparkSession, sfDir: String): DataFrame =
+    bin(spark, sfDir).select(col("doc_id"),
+      length(col("content")).cast("bigint").as("n_bytes"),
+      md5(col("content")).as("content_md5"))
+
+  /** Byte-level stats via the native single-pass kernel. */
+  def mmBytes(spark: SparkSession, sfDir: String): DataFrame =
+    bin(spark, sfDir)
+      .select(col("doc_id"), MultimodalOps.byteStats(col("content")).as("s"))
+      .select(col("doc_id"), col("s.n_bytes"), col("s.sum_bytes"),
+        col("s.min_byte"), col("s.max_byte"))
+
+  /** Multimodal → similarity integration: 16-bin byte histograms as
+    * float features, cosine between consecutive blobs — the
+    * codec-free feature path any modality gets for free. */
+  def mmHistSim(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = bin(spark, sfDir)
+      .select(col("doc_id"), MultimodalOps.byteHist(col("content"), 16).as("hist"))
+    val a = h.select(col("doc_id").as("doc_a"), col("hist").as("hist_a"))
+    val b = h.select(col("doc_id").as("doc_b"), col("hist").as("hist_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"),
+        SimOps.cosine(col("hist_a"), col("hist_b")).as("cos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta" -> (mmMeta _),
+    "mm_bytes" -> (mmBytes _),
+    "mm_hist_sim" -> (mmHistSim _))
+
+  // ASCII corpus ⇒ byte view == codepoint view; DuckDB works from text.
+  private val cpsSql = "list_transform(string_split(text, ''), ch -> unicode(ch))"
+
+  private val histSql =
+    s"list_transform(range(0, 16), b -> CAST(len(list_filter(cps, c -> c // 16 = b)) AS FLOAT)" +
+      s" / CAST(greatest(1, len(cps)) AS FLOAT))"
+
+  private def cosDSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($x)+1), " +
+        s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (s,x) -> s + x)"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |       md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+    "mm_bytes" ->
+      s"""WITH c AS (SELECT doc_id, $cpsSql AS cps FROM documents)
+         |SELECT doc_id, CAST(len(cps) AS BIGINT) AS n_bytes,
+         |       CAST(list_aggregate(cps, 'sum') AS BIGINT) AS sum_bytes,
+         |       CAST(CASE WHEN len(cps) = 0 THEN 0 ELSE list_aggregate(cps, 'min') END AS INTEGER) AS min_byte,
+         |       CAST(CASE WHEN len(cps) = 0 THEN 0 ELSE list_aggregate(cps, 'max') END AS INTEGER) AS max_byte
+         |FROM c""".stripMargin,
+    "mm_hist_sim" ->
+      s"""WITH c AS (SELECT doc_id, $cpsSql AS cps FROM documents),
+         |h AS (SELECT doc_id, $histSql AS hist FROM c)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       ${cosDSql("a.hist", "b.hist")} AS cos
+         |FROM h a JOIN h b ON b.doc_id = a.doc_id + 1""".stripMargin)
+}

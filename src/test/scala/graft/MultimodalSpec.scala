@@ -1,0 +1,82 @@
+package graft
+
+import graft.ext.MultimodalOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing tests: schema convention, batch-shaped decode,
+  * frame sampling, and the real byte-feature kernels — everything the
+  * oracle can't see because the decode step is stubbed (no codecs in
+  * this container; MultimodalOps.fakeDecode is the documented
+  * deterministic stand-in).
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Synthetic media corpus: deterministic blobs + typed metadata. */
+  private def corpus(n: Int) = {
+    val rows = (0 until n).map { i =>
+      val bytes = Array.tabulate[Byte](100 + i)(j => ((i * 31 + j * 7) % 256).toByte)
+      Row(i.toLong, bytes, Row("video", "raw", 4, 3, 0, 10))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), MultimodalOps.mediaSchema)
+  }
+
+  test("decodeToPixels: batch-shaped decode yields w*h floats per blob, deterministic") {
+    val out = MultimodalOps.decodeToPixels(corpus(10), batchSize = 4)
+    val got = out.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got.size == 10)
+    assert(got.values.forall(_.length == 12)) // 4x3
+    assert(got.values.forall(_.forall(p => p >= 0f && p < 1f)))
+    // determinism: same corpus → bit-identical pixels
+    val again = MultimodalOps.decodeToPixels(corpus(10), batchSize = 7)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got == again)
+  }
+
+  test("sampleFrames: index math + byte slicing partitions the blob") {
+    assert(MultimodalOps.sampleFrameIndices(10, 3) == Seq(0, 3, 6, 9))
+    assert(MultimodalOps.sampleFrameIndices(10, 4) == Seq(0, 4, 8, 9))
+    assert(MultimodalOps.sampleFrameIndices(0, 3) == Seq.empty)
+    val frames = MultimodalOps.sampleFrames(corpus(5), every = 3).collect()
+    assert(frames.length == 5 * 4)
+    // each sampled frame holds n_bytes/n_frames bytes (raw fixed-size frames)
+    frames.foreach { r =>
+      val id = r.getLong(0)
+      val fb = r.getAs[Array[Byte]](2)
+      assert(fb.length == (100 + id.toInt) / 10,
+        s"media $id frame ${r.getInt(1)}: ${fb.length}")
+    }
+  }
+
+  test("byteStats/byteHist agree with a Scala oracle on raw blobs") {
+    val df = corpus(8).select(col("media_id"), col("content"))
+    val stats = df.select(col("media_id"),
+        MultimodalOps.byteStats(col("content")).as("s"),
+        MultimodalOps.byteHist(col("content"), 16).as("h"))
+      .collect()
+    val expected = (0 until 8).map { i =>
+      i.toLong -> Array.tabulate[Byte](100 + i)(j => ((i * 31 + j * 7) % 256).toByte)
+    }.toMap
+    stats.foreach { r =>
+      val bs = expected(r.getLong(0)).map(_ & 0xff)
+      val s = r.getStruct(1)
+      assert(s.getLong(0) == bs.length)
+      assert(s.getLong(1) == bs.map(_.toLong).sum)
+      assert(s.getInt(2) == bs.min && s.getInt(3) == bs.max)
+      val h = r.getSeq[Float](2)
+      val counts = bs.groupBy(_ / 16).view.mapValues(_.length).toMap
+      (0 until 16).foreach { b =>
+        assert(h(b) == counts.getOrElse(b, 0).toFloat / bs.length)
+      }
+    }
+  }
+
+  test("blobs never shuffle: decode plan is map-side only (no Exchange)") {
+    val plan = MultimodalOps.decodeToPixels(corpus(10))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode plan must not shuffle blobs:\n$plan")
+  }
+}
