@@ -286,6 +286,26 @@ object GraftStage {
     }
   }
 
+  /** Live census of a running stage — the reference's `stage_status`
+    * dependency injection (pypeln/process/worker.py:103-117,189-209:
+    * `active_workers`, `done`). On Spark the scheduler owns worker
+    * lifecycle, so the census is a DRIVER-side view over
+    * `SparkStatusTracker` (executor-side code sees its own identity via
+    * [[WorkerInfo]] instead — accumulator reads don't flow back into
+    * tasks on a real cluster). */
+  final case class StageStatus(stageId: Int, activeWorkers: Int, completed: Int, total: Int) {
+    def done: Boolean = activeWorkers == 0 && completed >= total
+  }
+
+  /** Status of every currently-active Spark stage (empty when idle). */
+  def stageStatus(spark: SparkSession): Seq[StageStatus] = {
+    val tracker = spark.sparkContext.statusTracker
+    tracker.getActiveStageIds.toSeq.sorted.flatMap { id =>
+      tracker.getStageInfo(id).map(si =>
+        StageStatus(id, si.numActiveTasks, si.numCompletedTasks, si.numTasks))
+    }
+  }
+
   /** Executor-side ExecutionContext for [[GraftStage.mapAsync]] user
     * functions — the analog of the reference task backend's per-worker
     * event loop (task/utils.py:34-51). Reference it INSIDE the lambda

@@ -116,7 +116,27 @@ object ParityOps {
     st.toDF.select($"l_orderkey", $"l_linenumber", $"l_quantity")
   }
 
+  /** to_iterable with return_index=True: the stage is materialized
+    * through `toIterableWithIndex` (a real `toLocalIterator` pull — the
+    * reference's sink-to-iterator, to_iterable.py:26-53), consumed on
+    * the driver, and the consumed Elements re-parallelized so the
+    * oracle can check both values AND indices. Driver-bounded by
+    * construction (25-row nation) — to_iterable is the one pypeln
+    * terminal that is inherently local. */
+  def opToIterable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.load(spark, sfDir, "nation")
+      .orderBy($"n_nationkey").select($"n_nationkey", $"n_name").as[(Long, String)]
+    val consumed = GraftStage.fromDataset(nat)
+      .map { case (k, n) => (k, n.toLowerCase) }
+      .toIterableWithIndex
+      .map(el => (el.index.head, el.value._1, el.value._2))
+      .toSeq
+    spark.createDataset(consumed).toDF("idx", "n_nationkey", "n_name_lower")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_to_iterable" -> (opToIterable _),
     "op_map" -> (opMap _),
     "op_filter" -> (opFilter _),
     "op_flat_map" -> (opFlatMap _),
@@ -126,6 +146,9 @@ object ParityOps {
     "op_each_run" -> (opEachRun _))
 
   val oracleSql: Map[String, String] = Map(
+    "op_to_iterable" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS idx,
+        |       n_nationkey, lower(n_name) AS n_name_lower FROM nation""".stripMargin,
     "op_map" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue
         |FROM lineitem""".stripMargin,

@@ -201,4 +201,26 @@ class GraftStageSpec extends AnyFunSuite {
     val odds = src.filter(_ % 2 == 1).collectValues().sorted
     assert(evens == (0 until 50 by 2) && odds == (1 until 50 by 2))
   }
+
+  test("stage_status: census shows active workers mid-run, empty when idle (worker.py:103-117)") {
+    // A watcher thread polls the driver-side census while a slow stage
+    // runs; it must observe >=1 active worker, and after the action the
+    // census must drain to empty.
+    val observed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val st = (0 until 8).toSeq.toStage
+      .mapEx[Null, Int]((x, _) => { Thread.sleep(300); x }, workers = 4)
+    val watcher = new Thread(() => {
+      (0 until 40).foreach { _ =>
+        val ss = GraftStage.stageStatus(spark)
+        if (ss.exists(_.activeWorkers > 0))
+          observed.updateAndGet(m => math.max(m, ss.map(_.activeWorkers).max))
+        Thread.sleep(25)
+      }
+    })
+    watcher.start()
+    st.run()
+    watcher.join()
+    assert(observed.get() >= 1, "watcher never saw an active worker")
+    assert(GraftStage.stageStatus(spark).isEmpty, "census must drain when idle")
+  }
 }
