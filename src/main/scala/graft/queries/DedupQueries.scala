@@ -48,8 +48,15 @@ object DedupQueries {
     val mut = d.select((col("doc_id") + SHIFT).as("doc_id"),
       expr("substring(text, instr(text, ' ') + 1)").as("text"))
     val corpus = d.unionAll(mut)
+    // The signature table is consumed 4× (both sides of the bucket
+    // self-join, both sides of the Jaccard verify) and Spark reuses no
+    // identical subplans — without persist the full tokenize→shingle→
+    // minhash sketch recomputes per consumer. persist() is the local
+    // analog of staging signatures to a parquet work table, which is
+    // the 100 TB play (sketch once, join many).
     val withFps = corpus
       .select(col("doc_id"), shingleFps(tokens(col("text")), 3).as("fps"))
+      .persist()
     val sigs = withFps.select(col("doc_id"),
       bandSigs(minhash(col("fps"), 64), 16, 4).as("sigs"))
     val exploded = sigs.select(col("doc_id"),
