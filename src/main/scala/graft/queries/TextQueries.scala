@@ -52,11 +52,50 @@ object TextQueries {
       .select(col("rank"), col("token"), col("cnt"))
   }
 
+  /** Quality scoring: punctuation density, digit density, mean word
+    * length and a composite [0,1] quality score — the boilerplate/spam
+    * filters every pretraining pipeline runs first. Pure column
+    * arithmetic; the regex char-class is the dialect-portable subset
+    * (no shorthand classes, identical in Java regex and RE2). */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = load(spark, sfDir, "documents")
+    val toks = tokens(col("text"))
+    val nch = col("n_chars").cast("bigint")
+    val punct = expr("regexp_count(text, '[.,!?;:]')").cast("bigint")
+    val digits = expr("regexp_count(text, '[0-9]')").cast("bigint")
+    val stop = wordRatio(toks, Seq("the", "a", "data", "table"))
+    docs.select(col("doc_id"),
+        punct.as("n_punct"), digits.as("n_digits"),
+        (punct / nch).as("punct_ratio"),
+        (digits / nch).as("digit_ratio"),
+        stop.as("stop_ratio"))
+      // composite: stopword presence up-weights, punct/digit walls down-weight
+      .withColumn("quality",
+        greatest(lit(0.0), least(lit(1.0),
+          lit(0.5) + col("stop_ratio") - col("punct_ratio") * 2 - col("digit_ratio"))))
+  }
+
+  /** BPE-ish token counting: GPT-2-style pre-tokenizer classes —
+    * letter runs, digit runs, single non-alphanumerics — via
+    * regexp_extract_all (the alternation branches are disjoint char
+    * classes, so Java and RE2 agree). n_ws is the whitespace baseline;
+    * the bpe/ws ratio is the fertility proxy used to size token
+    * budgets. */
+  def textBpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents").select(col("doc_id"),
+      tokenCount(col("text")).as("n_ws"),
+      size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("bigint").as("n_bpe"),
+      size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .cast("bigint").as("n_alpha"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_fingerprint" -> (textFingerprint _),
     "text_lang_id" -> (textLangId _),
-    "text_token_freq" -> (textTokenFreq _))
+    "text_token_freq" -> (textTokenFreq _),
+    "text_quality" -> (textQuality _),
+    "text_bpe_tokens" -> (textBpeTokens _))
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
@@ -93,6 +132,26 @@ object TextQueries {
          |      FROM (SELECT doc_id, lang,
          |              ${TextOps.langMarkers.map { case (l, ws) => s"${markerSql(ws)} AS score_$l" }.mkString(", ")}
          |            FROM documents))""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+         |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) / n_chars AS punct_ratio,
+         |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) / n_chars AS digit_ratio,
+         |  CAST(len(list_filter($toksSql, t -> t IN ('the','a','data','table'))) AS BIGINT)
+         |    / CAST(len($toksSql) AS BIGINT) AS stop_ratio,
+         |  GREATEST(0.0, LEAST(1.0,
+         |    0.5 + CAST(len(list_filter($toksSql, t -> t IN ('the','a','data','table'))) AS BIGINT)
+         |            / CAST(len($toksSql) AS BIGINT)
+         |        - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) / n_chars * 2
+         |        - CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) / n_chars)) AS quality
+         |FROM documents""".stripMargin,
+    "text_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n_ws,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha
+         |FROM documents""".stripMargin,
     "text_token_freq" ->
       """SELECT rank, token, cnt FROM (
         |  SELECT token, cnt,
