@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts for the extension suites — the properties
+  * that make these queries survive a 100× scale-up. Each assertion
+  * pins a plan shape that a refactor could silently regress (a forced
+  * broadcast of a fact table, a cartesian candidate join, a lost
+  * partial top-k).
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  /** Count operator instances via the formatted detail lines ("(7) Op")
+    * — the tree section would double-count. */
+  private def nOps(p: String, op: String): Int =
+    ("\\(\\d+\\) " + op).r.findAllIn(p).length
+
+  test("sim_topk: query side broadcast, partial top-k before the rank exchange") {
+    val p = plan("sim_topk")
+    assert(p.contains("WindowGroupLimit"), "rank limit must push a partial top-k")
+    assert(p.contains("BroadcastExchange"), "query set must broadcast")
+    // corpus must NOT be broadcast: exactly one broadcast (the query set)
+    assert(nOps(p, "BroadcastExchange") == 1, p)
+  }
+
+  test("sim_lsh: bucket equi-join (hash), never nested-loop over the corpus") {
+    val p = plan("sim_lsh")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_near: candidate generation is equi-join on (band,sig) — no cartesian") {
+    val p = plan("dedup_near")
+    assert(!p.contains("CartesianProduct"), "LSH must never go all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_exact: single shuffle with map-side partial aggregation") {
+    val p = plan("dedup_exact")
+    // partial + final HashAggregate pair around one Exchange
+    assert(nOps(p, "HashAggregate") >= 2, p)
+    assert(nOps(p, "Exchange") <= 1, p)
+  }
+
+  test("events_window / events_daily_active: pruned scans (only needed columns read)") {
+    val pw = plan("events_window")
+    val sch = "ReadSchema.*".r.findFirstIn(pw).getOrElse("")
+    assert(sch.contains("ts") && sch.contains("event_type") && sch.contains("value"), sch)
+    assert(!sch.contains("props") && !sch.contains("user_id"),
+      s"window agg must not read unused columns: $sch")
+    val pd = plan("events_daily_active")
+    val sch2 = "ReadSchema.*".r.findFirstIn(pd).getOrElse("")
+    assert(!sch2.contains("props") && !sch2.contains("event_type"), sch2)
+  }
+
+  test("text_token_freq: top-k via partial WindowGroupLimit, map-side combine wordcount") {
+    val p = plan("text_token_freq")
+    // Spark picks TakeOrderedAndProject (limit pushdown through the
+    // rank filter) or WindowGroupLimit — both are partial top-k.
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
+      "global top-20 must pre-limit per partition")
+    assert(nOps(p, "HashAggregate") >= 2, "wordcount needs partial agg")
+  }
+
+  test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
+    // No broadcast() hint on customer/supplier survives in the source —
+    // at sf0.001 AQE may still pick broadcasts (everything is tiny);
+    // the contract here is textual: the query code carries no forced
+    // hint on fact-scaled relations.
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("src/main/scala/graft/queries/Relational.scala"),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val forced = "broadcast\\((cust|supp|orders|lineitem|li|ord)\\b".r.findAllIn(src).toList
+    assert(forced.isEmpty, s"forced broadcast of SF-scaled tables: $forced")
+  }
+}
