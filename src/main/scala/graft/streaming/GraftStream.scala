@@ -119,6 +119,17 @@ object GraftStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("n"))
 
+  /** Streaming exact dedup: drop re-occurrences of `keyCols` with
+    * bounded state — the watermark expires dedup state older than the
+    * lateness bound, so state is O(keys-per-watermark-window), not
+    * O(stream). The streaming form of the dedup_exact fingerprint
+    * groupBy (use graft.ext.TextOps.fingerprint as the key column for
+    * content dedup). */
+  def dedupExact(df: DataFrame, tsCol: String, watermark: String,
+      keyCols: String*): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.toSeq)
+
   /** Watermarked session windows (gap-based) — the streaming form of
     * EventQueries.eventsSessions. Spark's native session_window state
     * machine; keyed state shuffles once per (key, session). */

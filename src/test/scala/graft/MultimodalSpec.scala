@@ -74,6 +74,17 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("capBuckets: hot LSH buckets are dropped before the self-join (skew guard)") {
+    import spark.implicits._
+    // 3 buckets: sizes 50 (hot), 3, 1 — cap at 10 keeps only the small ones
+    val exploded = ((0 until 50).map(i => (0, 7L, i.toLong)) ++
+      (50 until 53).map(i => (1, 8L, i.toLong)) ++ Seq((2, 9L, 53L)))
+      .toDF("band", "sig", "doc_id")
+    val kept = graft.ext.DedupOps.capBuckets(exploded, max = 10)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == (50L until 54L), s"hot bucket must be dropped, got $kept")
+  }
+
   test("blobs never shuffle: decode plan is map-side only (no Exchange)") {
     val plan = MultimodalOps.decodeToPixels(corpus(10))
       .queryExecution.executedPlan.toString

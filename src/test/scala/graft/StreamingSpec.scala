@@ -98,6 +98,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streaming dedup: duplicate keys within the watermark are dropped, state bounded") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "k")
+    val rows = new ConcurrentLinkedQueue[Long]()
+    val q = GraftStream.dedupExact(df, "ts", "10 minutes", "k")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        { b.collect().foreach(r => rows.add(r.getLong(1))); () })
+      .start()
+    val base = 1700000000000L
+    // 100 events over 20 keys: every key repeats 5x inside the watermark
+    in.addData((0 until 100).map(i => (new Timestamp(base + i * 1000L), (i % 20).toLong)): _*)
+    q.processAllAvailable(); q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[Long]).sorted.toSeq
+    assert(got == (0L until 20L), s"each key exactly once, got $got")
+  }
+
   test("streaming session_window equals the lag-based batch sessionization shape") {
     // Batch check of the same session_window operator the stream uses:
     // session count and per-session event totals must equal the
