@@ -3,8 +3,6 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -52,25 +50,19 @@ object MultimodalOps {
     * n_bytes / sum / min / max are real features (and oracle-checkable:
     * for ASCII text payloads they equal the codepoint stats DuckDB
     * computes from the string). */
-  case class ByteStatsExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class ByteStatsExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StructType(Seq(
       StructField("n_bytes", LongType, nullable = false),
       StructField("sum_bytes", LongType, nullable = false),
       StructField("min_byte", IntegerType, nullable = false),
       StructField("max_byte", IntegerType, nullable = false)))
-    override def nullSafeEval(input: Any): Any = {
-      val bs = input.asInstanceOf[Array[Byte]]
-      var sum = 0L; var mn = 256; var mx = -1
-      var i = 0
-      while (i < bs.length) {
-        val v = bs(i) & 0xff
-        sum += v; if (v < mn) mn = v; if (v > mx) mx = v
-        i += 1
-      }
-      if (bs.isEmpty) { mn = 0; mx = 0 }
-      org.apache.spark.sql.catalyst.InternalRow(bs.length.toLong, sum, mn, mx)
-    }
+    override def nullSafeEval(input: Any): Any =
+      graft.functions.HashKernels.byteStats(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.byteStats($c)")
     override protected def withNewChildInternal(c: Expression): ByteStatsExpr = copy(child = c)
     override def prettyName: String = "graft_byte_stats"
   }
@@ -78,22 +70,16 @@ object MultimodalOps {
   /** Normalized byte histogram (`bins` buckets) as float features —
     * the real, codec-free feature vector for any modality; feeds
     * straight into [[SimOps]] cosine / SRP-LSH. */
-  case class ByteHistExpr(child: Expression, bins: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class ByteHistExpr(child: Expression, bins: Int) extends UnaryExpression {
     require(bins > 0 && 256 % bins == 0)
     override def dataType: DataType = ArrayType(FloatType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val bs = input.asInstanceOf[Array[Byte]]
-      val width = 256 / bins
-      val counts = new Array[Long](bins)
-      var i = 0
-      while (i < bs.length) { counts((bs(i) & 0xff) / width) += 1; i += 1 }
-      val n = math.max(1, bs.length).toFloat
-      val out = new Array[Float](bins)
-      i = 0
-      while (i < bins) { out(i) = counts(i) / n; i += 1 }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      graft.functions.HashKernels.byteHist(input.asInstanceOf[Array[Byte]], bins)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.byteHist($c, $bins)")
     override protected def withNewChildInternal(c: Expression): ByteHistExpr = copy(child = c)
     override def prettyName: String = "graft_byte_hist"
   }

@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -17,10 +17,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * CollapseProject inlines the producing expression — so the composed
   * column form recomputes the full shingle+fingerprint pipeline
   * `bands × hashes` times per row (measured: a 1000-doc corpus wedged
-  * for >15 min). Each expression below is ONE imperative pass over its
-  * input, evaluating children exactly once per row — the preference
-  * order mandated by the build rules: native Expression > UDF > HOF
-  * nest, for anything on a 100 TB hot path.
+  * for >15 min). Each expression below evaluates its child exactly once
+  * per row and runs ONE imperative pass ([[HashKernels]]) — the
+  * preference order mandated by the build rules: native Expression >
+  * UDF > HOF nest, for anything on a 100 TB hot path.
+  *
+  * Codegen: each expression emits a single static kernel call via
+  * `defineCodeGen`, so it participates in WholeStageCodegen like any
+  * built-in (no CodegenFallback row detour); the interpreted path
+  * (`nullSafeEval`) calls the same kernel.
   *
   * Every kernel's arithmetic is spelled identically in the DuckDB
   * oracle SQL (see graft.queries.DedupQueries / SimQueries): 64-bit
@@ -29,48 +34,31 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HashExprs {
   /** Shared prime modulus (products stay inside 64 bits). */
-  val P = 1000000007L
+  val P = HashKernels.P
 
   private val LongArray = ArrayType(LongType, containsNull = false)
+  private val K = "graft.functions.HashKernels"
 
-  /** Polynomial fold h = (h*31 + codepoint) mod P over a string's
-    * unicode codepoints — matches DuckDB
+  /** fingerprint(text): whole-string polynomial content hash
+    * h = (h*31 + codepoint) mod P, matching DuckDB's
     * list_reduce over string_split(s,'') + unicode(). */
-  @inline private[functions] def foldFp(s: UTF8String, h0: Long): Long = {
-    val str = s.toString
-    var h = h0
-    var i = 0
-    val n = str.length
-    while (i < n) {
-      val cp = str.codePointAt(i)
-      h = (h * 31 + cp) % P
-      i += Character.charCount(cp)
-    }
-    h
-  }
-
-  /** fingerprint(text): whole-string polynomial content hash. */
-  case class FingerprintExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class FingerprintExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =
-      foldFp(input.asInstanceOf[UTF8String], 0L)
+      HashKernels.fingerprint(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.fingerprint($c)")
     override protected def withNewChildInternal(c: Expression): FingerprintExpr = copy(child = c)
     override def prettyName: String = "graft_fingerprint"
   }
 
   /** token_fps(tokens): per-token polynomial fingerprints. */
-  case class TokenFpsExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class TokenFpsExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongArray
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val out = new Array[Long](n)
-      var i = 0
-      while (i < n) { out(i) = foldFp(arr.getUTF8String(i), 0L); i += 1 }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.tokenFps(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.tokenFps($c)")
     override protected def withNewChildInternal(c: Expression): TokenFpsExpr = copy(child = c)
     override def prettyName: String = "graft_token_fps"
   }
@@ -78,30 +66,14 @@ object HashExprs {
   /** shingle_fps(tokens, k): fingerprint of each k-gram of tokens
     * joined by single spaces — one pass, no k-gram strings allocated
     * (the space separator is folded in as codepoint 32). Fewer than k
-    * tokens → empty array (matches the guarded HOF/DuckDB spelling). */
-  case class ShingleFpsExpr(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+    * tokens → empty array (matches the guarded DuckDB spelling). */
+  case class ShingleFpsExpr(child: Expression, k: Int) extends UnaryExpression {
     require(k >= 1)
     override def dataType: DataType = LongArray
-    override def nullSafeEval(input: Any): Any = {
-      val toks = input.asInstanceOf[ArrayData]
-      val n = toks.numElements()
-      if (n < k) return new GenericArrayData(Array.emptyLongArray)
-      val out = new Array[Long](n - k + 1)
-      var i = 0
-      while (i <= n - k) {
-        var h = 0L
-        var j = 0
-        while (j < k) {
-          if (j > 0) h = (h * 31 + 32) % P
-          h = foldFp(toks.getUTF8String(i + j), h)
-          j += 1
-        }
-        out(i) = h
-        i += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.shingleFps(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.shingleFps($c, $k)")
     override protected def withNewChildInternal(c: Expression): ShingleFpsExpr = copy(child = c)
     override def prettyName: String = "graft_shingle_fps"
   }
@@ -109,26 +81,12 @@ object HashExprs {
   /** minhash_sig(fps, n): Broder sketch — n permutation-hashes
     * h_i(f) = (f*(2i+1) + 104729*(i+1)) mod P, min over the fp set;
     * empty set → sentinel P. */
-  case class MinHashSigExpr(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHashSigExpr(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = LongArray
-    override def nullSafeEval(input: Any): Any = {
-      val fps = input.asInstanceOf[ArrayData]
-      val m = fps.numElements()
-      val out = Array.fill(n)(P)
-      var j = 0
-      while (j < m) {
-        val f = fps.getLong(j)
-        var i = 0
-        while (i < n) {
-          val h = (f * (2L * i + 1) + 104729L * (i + 1)) % P
-          if (h < out(i)) out(i) = h
-          i += 1
-        }
-        j += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.minhashSig(input.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.minhashSig($c, $n)")
     override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
     override def prettyName: String = "graft_minhash_sig"
   }
@@ -136,87 +94,44 @@ object HashExprs {
   /** band_keys(sig, b, r): LSH banding — band j's key is the seeded
     * fold s = j; s = (s*1000003 + sig[j*r + t]) mod P over the band's
     * r signature rows. */
-  case class BandKeysExpr(child: Expression, b: Int, r: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class BandKeysExpr(child: Expression, b: Int, r: Int) extends UnaryExpression {
     override def dataType: DataType = LongArray
-    override def nullSafeEval(input: Any): Any = {
-      val sig = input.asInstanceOf[ArrayData]
-      val out = new Array[Long](b)
-      var j = 0
-      while (j < b) {
-        var s = j.toLong
-        var t = 0
-        while (t < r && j * r + t < sig.numElements()) {
-          s = (s * 1000003L + sig.getLong(j * r + t)) % P
-          t += 1
-        }
-        out(j) = s
-        j += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.bandKeys(input.asInstanceOf[ArrayData], b, r)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.bandKeys($c, $b, $r)")
     override protected def withNewChildInternal(c: Expression): BandKeysExpr = copy(child = c)
     override def prettyName: String = "graft_band_keys"
   }
 
   /** simhash(fps, bits): bit j of the signature is set iff the sum of
     * per-fp votes (+1 if bit j of fp set, else −1) is positive. */
-  case class SimHashExpr(child: Expression, bits: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
     require(bits >= 1 && bits <= 62)
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val fps = input.asInstanceOf[ArrayData]
-      val m = fps.numElements()
-      val votes = new Array[Long](bits)
-      var i = 0
-      while (i < m) {
-        val f = fps.getLong(i)
-        var j = 0
-        while (j < bits) {
-          votes(j) += (if (((f >> j) & 1L) == 1L) 1L else -1L)
-          j += 1
-        }
-        i += 1
-      }
-      var sig = 0L
-      var j = 0
-      while (j < bits) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
-      sig
-    }
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.simhash(input.asInstanceOf[ArrayData], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.simhash($c, $bits)")
     override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
     override def prettyName: String = "graft_simhash"
   }
 
-  /** cosine(a, b) over float vectors: the three sums (dot, |a|², |b|²)
-    * accumulate left-to-right in double (float→double casts are exact),
-    * then one sqrt·sqrt and one division — bit-identical to DuckDB's
-    * list_reduce spelling at any parallelism, because nothing crosses
-    * rows. */
-  case class CosineExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  /** cosine(a, b) over float/double vectors: the three sums (dot,
+    * |a|², |b|²) accumulate left-to-right in double (float→double
+    * casts exact), then one sqrt·sqrt and one division — bit-identical
+    * to DuckDB's list_reduce spelling at any parallelism (similarity
+    * math never crosses rows). Element width resolved at plan time. */
+  case class CosineExpr(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    private def reader(e: Expression): (ArrayData, Int) => Double =
-      e.dataType.asInstanceOf[ArrayType].elementType match {
-        case FloatType => (a, i) => a.getFloat(i).toDouble
-        case _         => (a, i) => a.getDouble(i)
-      }
-    @transient private lazy val readL = reader(left)
-    @transient private lazy val readR = reader(right)
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val va = a.asInstanceOf[ArrayData]
-      val vb = b.asInstanceOf[ArrayData]
-      val n = math.min(va.numElements(), vb.numElements())
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < n) {
-        val x = readL(va, i)
-        val y = readR(vb, i)
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+    private def isFloat(e: Expression): Boolean =
+      e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        isFloat(left), isFloat(right))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"$K.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)})")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineExpr =
       copy(left = l, right = r)
     override def prettyName: String = "graft_cosine"
@@ -226,28 +141,13 @@ object HashExprs {
     * Hyperplane component for plane p, dim d is a deterministic integer
     * hash mapped into [-1, 1): ((p*1315423911 + d*2654435761 + 97531)
     * mod 1000003) / 500001.5 − 1. Bucket id folds the projection signs
-    * MSB-first: acc = acc*2 + (proj > 0). */
-  case class SrpBucketExpr(child: Expression, bits: Int)
-      extends UnaryExpression with CodegenFallback {
+    * MSB-first: acc = acc*2 + (proj > 0). Float vectors only. */
+  case class SrpBucketExpr(child: Expression, bits: Int) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
-      val n = v.numElements()
-      var acc = 0L
-      var p = 0
-      while (p < bits) {
-        var proj = 0.0
-        var d = 0
-        while (d < n) {
-          val hv = (p.toLong * 1315423911L + d.toLong * 2654435761L + 97531L) % 1000003L
-          proj += v.getFloat(d).toDouble * (hv / 500001.5 - 1.0)
-          d += 1
-        }
-        acc = acc * 2 + (if (proj > 0) 1L else 0L)
-        p += 1
-      }
-      acc
-    }
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.srpBucket(input.asInstanceOf[ArrayData], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.srpBucket($c, $bits)")
     override protected def withNewChildInternal(c: Expression): SrpBucketExpr = copy(child = c)
     override def prettyName: String = "graft_srp_bucket"
   }

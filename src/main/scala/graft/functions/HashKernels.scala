@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Imperative kernels behind [[HashExprs]]. Top-level object → Scala
+  * emits static forwarders, so generated (Janino) code calls
+  * `graft.functions.HashKernels.xxx(...)` directly — one static call
+  * per row inside WholeStageCodegen, no boxing, no InternalRow
+  * round-trip (vs CodegenFallback's eval-per-row detour).
+  *
+  * All arithmetic matches the DuckDB oracle spellings documented in
+  * graft.queries.* (64-bit modular hashes; IEEE double left folds).
+  */
+object HashKernels {
+  val P = 1000000007L
+
+  @inline private def foldFp(s: UTF8String, h0: Long): Long = {
+    val str = s.toString
+    var h = h0
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  def fingerprint(s: UTF8String): Long = foldFp(s, 0L)
+
+  def tokenFps(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = foldFp(arr.getUTF8String(i), 0L); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def shingleFps(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        if (j > 0) h = (h * 31 + 32) % P
+        h = foldFp(toks.getUTF8String(i + j), h)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def minhashSig(fps: ArrayData, n: Int): ArrayData = {
+    val m = fps.numElements()
+    val out = Array.fill(n)(P)
+    var j = 0
+    while (j < m) {
+      val f = fps.getLong(j)
+      var i = 0
+      while (i < n) {
+        val h = (f * (2L * i + 1) + 104729L * (i + 1)) % P
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def bandKeys(sig: ArrayData, b: Int, r: Int): ArrayData = {
+    val out = new Array[Long](b)
+    var j = 0
+    while (j < b) {
+      var s = j.toLong
+      var t = 0
+      while (t < r && j * r + t < sig.numElements()) {
+        s = (s * 1000003L + sig.getLong(j * r + t)) % P
+        t += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def simhash(fps: ArrayData, bits: Int): Long = {
+    val m = fps.numElements()
+    val votes = new Array[Long](bits)
+    var i = 0
+    while (i < m) {
+      val f = fps.getLong(i)
+      var j = 0
+      while (j < bits) {
+        votes(j) += (if (((f >> j) & 1L) == 1L) 1L else -1L)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** leftFloat/rightFloat are resolved at plan time from the array
+    * element types (float embeddings vs double centroids). */
+  def cosine(a: ArrayData, b: ArrayData, leftFloat: Boolean, rightFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def srpBucket(v: ArrayData, bits: Int): Long = {
+    val n = v.numElements()
+    var acc = 0L
+    var p = 0
+    while (p < bits) {
+      var proj = 0.0
+      var d = 0
+      while (d < n) {
+        val hv = (p.toLong * 1315423911L + d.toLong * 2654435761L + 97531L) % 1000003L
+        proj += v.getFloat(d).toDouble * (hv / 500001.5 - 1.0)
+        d += 1
+      }
+      acc = acc * 2 + (if (proj > 0) 1L else 0L)
+      p += 1
+    }
+    acc
+  }
+
+  def byteStats(bs: Array[Byte]): InternalRow = {
+    var sum = 0L; var mn = 256; var mx = -1
+    var i = 0
+    while (i < bs.length) {
+      val v = bs(i) & 0xff
+      sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+      i += 1
+    }
+    if (bs.isEmpty) { mn = 0; mx = 0 }
+    InternalRow(bs.length.toLong, sum, mn, mx)
+  }
+
+  def byteHist(bs: Array[Byte], bins: Int): ArrayData = {
+    val width = 256 / bins
+    val counts = new Array[Long](bins)
+    var i = 0
+    while (i < bs.length) { counts((bs(i) & 0xff) / width) += 1; i += 1 }
+    val n = math.max(1, bs.length).toFloat
+    val out = new Array[Float](bins)
+    i = 0
+    while (i < bins) { out(i) = counts(i) / n; i += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -68,6 +68,19 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "HashAggregate") >= 2, "wordcount needs partial agg")
   }
 
+  test("native kernels generate valid Janino code (no codegen fallback needed)") {
+    // With fallback disabled, any malformed generated code (or a kernel
+    // not reachable as a static call) fails the query instead of
+    // silently degrading to interpreted eval.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      Seq("dedup_near", "dedup_simhash", "sim_lsh", "mm_bytes", "mm_hist_sim",
+        "text_fingerprint").foreach { q =>
+        assert(SparkEntry.queries(q)(spark, sf).count() >= 0, q)
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
