@@ -1,0 +1,76 @@
+package graft.sql
+
+import graft.ext.MultimodalOps.{ByteHistExpr, ByteStatsExpr}
+import graft.functions.HashExprs._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-visible registration of every graft native function (SURVEY
+  * §7.1 `sql/` layer): users on the pure-SQL path (`spark.sql`, JDBC,
+  * notebooks) get the same single-pass kernels as the DataFrame DSL —
+  * `SELECT graft_minhash_sig(fps, 64) FROM ...`.
+  *
+  * Two entry points:
+  *   - [[GraftExtensions]] for `spark.sql.extensions=graft.sql.GraftExtensions`
+  *     (cluster-wide, injected at session build — the idiomatic path);
+  *   - [[GraftFunctions.register]] for an already-built session (used
+  *     by the CLI mains and tests).
+  *
+  * Sketch-size arguments (hash count, bands, bits…) must be integer
+  * literals — they parameterize plan-time expression construction, not
+  * per-row input.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal argument, got: $other")
+  }
+
+  /** name → (usage doc, builder). */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_fingerprint", "graft_fingerprint(str) - polynomial content hash",
+      es => FingerprintExpr(es.head)),
+    ("graft_token_fps", "graft_token_fps(tokens) - per-token fingerprints",
+      es => TokenFpsExpr(es.head)),
+    ("graft_shingle_fps", "graft_shingle_fps(tokens, k) - k-gram shingle fingerprints",
+      es => ShingleFpsExpr(es.head, intLit(es(1), "graft_shingle_fps"))),
+    ("graft_minhash_sig", "graft_minhash_sig(fps, n) - n-hash MinHash signature",
+      es => MinHashSigExpr(es.head, intLit(es(1), "graft_minhash_sig"))),
+    ("graft_band_keys", "graft_band_keys(sig, b, r) - banded LSH bucket keys",
+      es => BandKeysExpr(es.head, intLit(es(1), "graft_band_keys"),
+        intLit(es(2), "graft_band_keys"))),
+    ("graft_simhash", "graft_simhash(fps, bits) - SimHash bit signature",
+      es => SimHashExpr(es.head, intLit(es(1), "graft_simhash"))),
+    ("graft_cosine", "graft_cosine(a, b) - cosine similarity of vectors",
+      es => CosineExpr(es.head, es(1))),
+    ("graft_srp_bucket", "graft_srp_bucket(vec, bits) - sign-random-projection LSH bucket",
+      es => SrpBucketExpr(es.head, intLit(es(1), "graft_srp_bucket"))),
+    ("graft_byte_stats", "graft_byte_stats(bin) - n/sum/min/max over raw bytes",
+      es => ByteStatsExpr(es.head)),
+    ("graft_byte_hist", "graft_byte_hist(bin, bins) - normalized byte histogram",
+      es => ByteHistExpr(es.head, intLit(es(1), "graft_byte_hist"))))
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "scala_udf")
+
+  /** Register (or refresh) every graft function on a live session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, usage, b) =>
+      reg.registerFunction(FunctionIdentifier(name), info(name, usage), b)
+    }
+  }
+}
+
+/** `spark.sql.extensions=graft.sql.GraftExtensions` injection point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, usage, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "scala_udf"), b))
+    }
+}

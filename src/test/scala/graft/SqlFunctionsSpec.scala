@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.HashKernels
+import graft.sql.GraftFunctions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface registration: every native kernel callable from pure
+  * SQL, matching the DSL/kernel results exactly, plus the
+  * SparkSessionExtensions injection path.
+  */
+class SqlFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("registered SQL functions compute the kernel results") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_fingerprint('spark native engine') AS fp,
+        |  graft_minhash_sig(graft_shingle_fps(array('a','b','c','d'), 3), 8) AS mh,
+        |  graft_band_keys(graft_minhash_sig(graft_token_fps(array('x','y')), 8), 4, 2) AS bk,
+        |  graft_simhash(graft_token_fps(array('x','y','z')), 16) AS sh,
+        |  graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |               array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
+        |  graft_byte_stats(encode('abc', 'UTF-8')).sum_bytes AS sb,
+        |  graft_byte_hist(encode('abc', 'UTF-8'), 16)[6] AS h6,
+        |  graft_srp_bucket(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 4) AS srp
+        |""".stripMargin).head()
+    assert(r.getLong(0) == HashKernels.fingerprint(UTF8String.fromString("spark native engine")))
+    assert(r.getSeq[Long](1).length == 8)
+    assert(r.getSeq[Long](2).length == 4)
+    assert(r.getLong(3) >= 0)
+    assert(r.getDouble(4) == 1.0)
+    assert(r.getLong(5) == 'a'.toInt + 'b'.toInt + 'c'.toInt)
+    assert(r.getFloat(6) == 1.0f) // 'a'(97),'b'(98),'c'(99) all in bin 6
+    assert(r.getLong(7) >= 0 && r.getLong(7) < 16)
+  }
+
+  test("SQL path equals DSL path on real data (dedup fingerprints)") {
+    GraftFunctions.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("docs_v")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_fingerprint(text) AS fp FROM docs_v ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaDsl = queries.TextQueries.textFingerprint(spark, sf)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == viaDsl)
+  }
+
+  test("SparkSessionExtensions injection applies cleanly (builder-config path)") {
+    // A shared test JVM can't build a second independent session
+    // (getOrCreate returns the active one, ignoring the extensions
+    // conf), so assert the injection itself: every builder registers
+    // into a fresh SparkSessionExtensions without error.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.sql.GraftExtensions().apply(ext)
+    assert(GraftFunctions.builders.map(_._1).distinct.size == 10)
+  }
+}
