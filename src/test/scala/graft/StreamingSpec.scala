@@ -116,6 +116,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == (0L until 20L), s"each key exactly once, got $got")
   }
 
+  test("saltedJoin: equals the plain join result while scattering the hot key") {
+    import spark.implicits._
+    // 10k rows of one hot key + 1k spread over 100 keys
+    val big = ((0 until 10000).map(i => (1L, i.toLong)) ++
+      (0 until 1000).map(i => ((i % 100 + 2).toLong, i.toLong)))
+      .toDF("k", "payload")
+    val small = (1L to 101L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = big.join(small, "k")
+    val salted = graft.ext.SkewOps.saltedJoin(big, small, "k", "payload", 8)
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum($"payload")).head().getLong(0) ==
+      plain.agg(sum($"payload")).head().getLong(0))
+    // the hot key's probe rows spread across all 8 salts
+    val spread = big.filter($"k" === 1)
+      .withColumn("_salt", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash($"payload"), org.apache.spark.sql.functions.lit(8)))
+      .groupBy("_salt").count().count()
+    assert(spread == 8, s"hot key must scatter over all salts, got $spread")
+  }
+
+  test("custom keyed state: mapGroupsWithState running per-user counts") {
+    // The reference's arbitrary-state escape hatch (SURVEY §7.3):
+    // flatMapGroupsWithState-family for operators session_window can't
+    // express. Running count per key across micro-batches.
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Long)]
+    val counts = new ConcurrentLinkedQueue[(Long, Long)]()
+    val q = in.toDS().groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + events.size
+          state.update(n)
+          (user, n)
+      }
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
+        { b.collect().foreach(counts.add); () })
+      .start()
+    in.addData((0 until 30).map(i => ((i % 3).toLong, i.toLong)): _*)
+    q.processAllAvailable()
+    in.addData((0 until 20).map(i => ((i % 2).toLong, i.toLong)): _*)
+    q.processAllAvailable(); q.stop()
+    val last = counts.toArray.map(_.asInstanceOf[(Long, Long)])
+      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+    assert(last == Map(0L -> 20L, 1L -> 20L, 2L -> 10L), s"got $last")
+  }
+
   test("streaming session_window equals the lag-based batch sessionization shape") {
     // Batch check of the same session_window operator the stream uses:
     // session count and per-session event totals must equal the
