@@ -1,0 +1,80 @@
+package graft
+
+import graft.core.GraftImplicits._
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based operator tests vs Scala-collection oracles — the
+  * ScalaCheck mirror of the reference's Hypothesis suite
+  * (pypeln/process/api/map_process_test.py:14-42: random int lists,
+  * MAX_EXAMPLES=10, pipeline result == plain map/filter/comprehension).
+  * Unordered comparisons are multiset (sorted) — pypeln's concurrent
+  * backends make the same guarantee (process/api/map.py:85); `ordered`
+  * restores exact sequence order.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy implicit val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private val MaxExamples = 10
+  private val listGen: Gen[List[Int]] =
+    Gen.listOf(Gen.chooseNum(-1000000, 1000000))
+
+  /** Deterministic sample stream: seed 0..MAX_EXAMPLES-1, sizes 0..~60. */
+  private def examples: Seq[List[Int]] =
+    (0 until MaxExamples).map { i =>
+      listGen(Gen.Parameters.default.withSize(i * 7), Seed(i.toLong)).getOrElse(Nil)
+    }
+
+  test("prop: map identity and square equal Seq oracle (map_process_test.py:14-42)") {
+    examples.foreach { xs =>
+      assert(xs.toStage.map(identity[Int]).collectValues().sorted == xs.sorted)
+      assert(xs.toStage.map(x => x * x).collectValues().sorted == xs.map(x => x * x).sorted)
+    }
+  }
+
+  test("prop: filter equals Seq oracle") {
+    examples.foreach { xs =>
+      assert(xs.toStage.filter(_ % 3 == 0).collectValues().sorted ==
+        xs.filter(_ % 3 == 0).sorted)
+    }
+  }
+
+  test("prop: flatMap variable expansion equals Seq oracle") {
+    val f = (x: Int) => List.fill(math.abs(x) % 3)(x)
+    examples.foreach { xs =>
+      assert(xs.toStage.flatMap(f).collectValues().sorted == xs.flatMap(f).sorted)
+    }
+  }
+
+  test("prop: concat equals list concatenation (multiset)") {
+    examples.grouped(2).foreach {
+      case Seq(a, b) =>
+        assert(a.toStage.concat(b.toStage).collectValues().sorted == (a ++ b).sorted)
+      case _ => ()
+    }
+  }
+
+  test("prop: map |> filter |> ordered equals the sequential pipeline exactly") {
+    examples.foreach { xs =>
+      val got = xs.toStage.map(_ * 2 + 1).filter(_ % 7 != 0).ordered.collectValues()
+      assert(got == xs.map(_ * 2 + 1).filter(_ % 7 != 0))
+    }
+  }
+
+  test("prop: mapEx under worker fan-out preserves the multiset") {
+    examples.foreach { xs =>
+      val got = xs.toStage.mapEx[Null, Int]((x, _) => x - 1, workers = 5)
+        .collectValues().sorted
+      assert(got == xs.map(_ - 1).sorted)
+    }
+  }
+
+  test("prop: toIterable drains every element") {
+    examples.foreach { xs =>
+      assert(xs.toStage.toIterable.toList.sorted == xs.sorted)
+    }
+  }
+}
