@@ -72,6 +72,39 @@ object DedupOps {
     * result for the non-negative fps used here. */
   def simhash(fps: Column, bits: Int): Column = HashExprs.simhash(fps, bits)
 
+  /** The full near-duplicate pipeline as one call: tokens → k-shingle
+    * fingerprints → `hashes` minhashes → `bands` LSH bands → bucket
+    * self-join (equi-join on (band, key) — never all-pairs) → exact
+    * Jaccard verify at `threshold`. Returns (id_a, id_b, jaccard)
+    * candidate pairs with id_a < id_b.
+    *
+    * `maxBucket` (optional) drops buckets larger than the bound before
+    * the self-join — the boilerplate/spam skew guard ([[capBuckets]]).
+    * The signature relation is persisted: it feeds 4 consumers and
+    * Spark reuses no identical subplans (at warehouse scale, stage it
+    * to a work table instead).
+    */
+  def nearDupPairs(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int = 3, hashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      maxBucket: Int = 0): org.apache.spark.sql.DataFrame = {
+    val r = hashes / bands
+    val withFps = df.select(col(idCol).as("_id"),
+      shingleFps(TextOps.tokens(col(textCol)), k).as("fps")).persist()
+    val exploded = withFps.select(col("_id"),
+      posexplode(bandSigs(minhash(col("fps"), hashes), bands, r)).as(Seq("band", "sig")))
+    val buckets = if (maxBucket > 0) capBuckets(exploded, maxBucket) else exploded
+    val pairs = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    pairs
+      .join(withFps.select(col("_id").as("id_a"), col("fps").as("fps_a")), "id_a")
+      .join(withFps.select(col("_id").as("id_b"), col("fps").as("fps_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("fps_a"), col("fps_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Skew guard for the LSH self-join: drop buckets with more than
     * `max` members (boilerplate clusters that would square into the
     * join). `exploded` must have columns (band, sig); returns it

@@ -48,31 +48,9 @@ object DedupQueries {
     val mut = d.select((col("doc_id") + SHIFT).as("doc_id"),
       expr("substring(text, instr(text, ' ') + 1)").as("text"))
     val corpus = d.unionAll(mut)
-    // The signature table is consumed 4× (both sides of the bucket
-    // self-join, both sides of the Jaccard verify) and Spark reuses no
-    // identical subplans — without persist the full tokenize→shingle→
-    // minhash sketch recomputes per consumer. persist() is the local
-    // analog of staging signatures to a parquet work table, which is
-    // the 100 TB play (sketch once, join many).
-    val withFps = corpus
-      .select(col("doc_id"), shingleFps(tokens(col("text")), 3).as("fps"))
-      .persist()
-    val sigs = withFps.select(col("doc_id"),
-      bandSigs(minhash(col("fps"), 64), 16, 4).as("sigs"))
-    val exploded = sigs.select(col("doc_id"),
-      posexplode(col("sigs")).as(Seq("band", "sig")))
-    val a = exploded.as("a"); val b = exploded.as("b")
-    val pairs = a.join(b,
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val fa = withFps.select(col("doc_id").as("doc_a"), col("fps").as("fps_a"))
-    val fb = withFps.select(col("doc_id").as("doc_b"), col("fps").as("fps_b"))
-    pairs.join(fa, "doc_a").join(fb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        DedupOps.jaccard(col("fps_a"), col("fps_b")).as("jaccard"))
-      .filter(col("jaccard") >= 0.7)
+    DedupOps.nearDupPairs(corpus, "doc_id", "text",
+        k = 3, hashes = 64, bands = 16, threshold = 0.7)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
   }
 
   /** SimHash signatures (30-bit, token-level): near-identical docs land
