@@ -66,11 +66,15 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions=graft.sql.GraftExtensions` injection point. */
+/** `spark.sql.extensions=graft.sql.GraftExtensions` injection point:
+  * the SQL function surface plus the opt-in LSH similarity-join
+  * rewrite ([[graft.plans.LshJoinRewrite]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, usage, b) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "scala_udf"), b))
     }
+    ext.injectOptimizerRule(_ => graft.plans.LshJoinRewrite())
+  }
 }

@@ -68,6 +68,38 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "HashAggregate") >= 2, "wordcount needs partial agg")
   }
 
+  test("LshJoinRewrite: cosine-threshold join becomes a bucket equi-join (opt-in)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.HashExprs
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.unionAll(e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val a = corpus.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = corpus.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    def pairs = a.join(b,
+      HashExprs.cosineSim(col("va"), col("vb")) >= 0.999 && col("ida") < col("idb"))
+      .select(col("ida"), col("idb"))
+
+    val n = e.count()
+    // Without the rewrite: quadratic nested-loop scoring
+    val before = pairs.queryExecution.executedPlan.toString
+    assert(before.contains("BroadcastNestedLoopJoin") || before.contains("CartesianProduct"), before)
+
+    spark.experimental.extraOptimizations = Seq(graft.plans.LshJoinRewrite())
+    spark.conf.set("spark.graft.lsh.rewrite", "true")
+    try {
+      val after = pairs.queryExecution.executedPlan.toString
+      assert(!after.contains("BroadcastNestedLoopJoin") && !after.contains("CartesianProduct"),
+        s"rewrite must produce an equi-join:\n$after")
+      // identical planted copies always collide in their bucket → full recall
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == (0L until n).map(i => (i, i + 1000000L)), s"got ${got.take(5)}...")
+    } finally {
+      spark.conf.set("spark.graft.lsh.rewrite", "false")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("native kernels generate valid Janino code (no codegen fallback needed)") {
     // With fallback disabled, any malformed generated code (or a kernel
     // not reachable as a static call) fails the query instead of
