@@ -133,7 +133,17 @@ object Relational {
       dsumOver(col("l_extendedprice") * (lit(1) - col("l_discount")), w).as("running_rev"))
   }
 
+  /** Hierarchical rollup: (returnflag, linestatus) → returnflag →
+    * grand total in one pass — Spark expands the grouping sets before
+    * the partial aggregation, so the shuffle stays one exchange of
+    * (group, partials) at every level. */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup" -> (qRollup _),
     "q1_pricing" -> (q1Pricing _),
     "q3_top_revenue" -> (q3TopRevenue _),
     "q5_nation_revenue" -> (q5NationRevenue _),
@@ -145,6 +155,10 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,

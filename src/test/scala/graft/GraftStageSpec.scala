@@ -202,6 +202,22 @@ class GraftStageSpec extends AnyFunSuite {
     assert(evens == (0 until 50 by 2) && odds == (1 until 50 by 2))
   }
 
+  test("mapAsync: IO latency overlaps inside the bounded window (task-backend throughput)") {
+    // The reference's signature workload is wide async IO
+    // (benchmarks/100_million_downloads: workers=1000 overlapping
+    // request latency). 64 elements x 50ms simulated IO = 3.2s serial;
+    // a 16-wide window per partition must land far under that.
+    import scala.concurrent.Future
+    val xs = (0 until 64).toList
+    val t0 = System.nanoTime()
+    val got = xs.toStage
+      .mapAsync(x => Future { Thread.sleep(50); x * 2 }(GraftStage.asyncEc), workers = 16)
+      .collectValues().sorted
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got == xs.map(_ * 2))
+    assert(secs < 2.0, f"async window must overlap IO: $secs%.2f s vs 3.2 s serial")
+  }
+
   test("stage_status: census shows active workers mid-run, empty when idle (worker.py:103-117)") {
     // A watcher thread polls the driver-side census while a slow stage
     // runs; it must observe >=1 active worker, and after the action the

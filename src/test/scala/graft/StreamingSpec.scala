@@ -116,6 +116,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == (0L until 20L), s"each key exactly once, got $got")
   }
 
+  test("streaming events end-to-end: file-sourced windowed counts equal the batch query") {
+    // The real events table through the streaming path: file source →
+    // ns→µs timestamp → watermark → 1-day tumbling window, compared
+    // against the same aggregation computed in batch. Streaming and
+    // batch must agree exactly on a bounded input.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stage = Files.createTempDirectory("graft_events_stream")
+    Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val src = GraftStream.files(spark, stage.toString, schema, maxFilesPerTrigger = 1)
+    val withTs = src.toDF
+      .withColumn("tm", timestamp_micros(expr("ts div 1000")))
+    val rows = new ConcurrentLinkedQueue[(java.sql.Timestamp, Long)]()
+    val q = GraftStream.windowedCounts(withTs, "tm", "1 minute", "1 day")
+      .writeStream.outputMode("update")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        { b.collect().foreach(r => rows.add((r.getTimestamp(0), r.getLong(1)))); () })
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = rows.toArray.map(_.asInstanceOf[(java.sql.Timestamp, Long)])
+      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 } // last update wins
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(window(timestamp_micros(expr("ts div 1000")), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("saltedJoin: equals the plain join result while scattering the hot key") {
     import spark.implicits._
     // 10k rows of one hot key + 1k spread over 100 keys
