@@ -105,6 +105,46 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Duplicate clusters from candidate pairs: connected components via
+    * min-label propagation, so each member maps to the smallest id in
+    * its component (`cluster_rep` — the keep-first representative;
+    * dedup = keep rows where id = cluster_rep). Input: (id_a, id_b)
+    * pairs (e.g. from [[nearDupPairs]]).
+    *
+    * Iterative: each round propagates the minimum label across edges
+    * (one join + one aggregation), converging in O(component diameter)
+    * rounds — duplicate clusters are shallow (near-cliques from LSH),
+    * so a handful of rounds suffices; `maxIter` bounds adversarial
+    * chains. localCheckpoint truncates the growing lineage each round
+    * (at warehouse scale: stage labels to a work table per round).
+    * The per-round driver sync is one count() — the loop is
+    * driver-coordinated but all data stays distributed. */
+  def dupClusters(pairs: org.apache.spark.sql.DataFrame, maxIter: Int = 10): org.apache.spark.sql.DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNbr = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nbr_label"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("min_nbr"))
+      val next = labels.join(viaNbr, "id")
+        .select(col("id"), least(col("label"), col("min_nbr")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_rep"))
+  }
+
   /** Skew guard for the LSH self-join: drop buckets with more than
     * `max` members (boilerplate clusters that would square into the
     * join). `exploded` must have columns (band, sig); returns it

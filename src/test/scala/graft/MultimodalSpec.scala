@@ -74,6 +74,17 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("dupClusters: connected components map every member to the min-id representative") {
+    import spark.implicits._
+    // chain {1,2,3}, pair {5,6}, chain {7,8,9,10} (diameter 3 forces propagation)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val got = graft.ext.DedupOps.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L), s"got $got")
+  }
+
   test("capBuckets: hot LSH buckets are dropped before the self-join (skew guard)") {
     import spark.implicits._
     // 3 buckets: sizes 50 (hot), 3, 1 — cap at 10 keeps only the small ones
