@@ -84,13 +84,42 @@ object EventQueries {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** Ordered-sequence funnel view→click→purchase: per-user first-touch
+    * times, then stage counts requiring strict event-time order. One
+    * groupBy (conditional min aggregation — map-side combined) plus a
+    * single-row rollup; no joins, no windows. */
+  def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    def firstTouch(t: String) =
+      min(when(col("event_type") === t, expr("ts div 1000"))).as(s"t_$t")
+    events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(firstTouch("view"), firstTouch("click"), firstTouch("purchase"))
+      .agg(
+        count(when(col("t_view").isNotNull, 1)).as("n_view"),
+        count(when(col("t_view") < col("t_click"), 1)).as("n_view_click"),
+        count(when(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"), 1))
+          .as("n_view_click_purchase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> (eventsFunnel _),
     "events_window" -> (eventsWindow _),
     "events_sessions" -> (eventsSessions _),
     "events_daily_active" -> (eventsDailyActive _),
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH m AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |    MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+        |       COUNT(CASE WHEN t_view < t_click THEN 1 END) AS n_view_click,
+        |       COUNT(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END)
+        |         AS n_view_click_purchase
+        |FROM m""".stripMargin,
     "events_window" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value

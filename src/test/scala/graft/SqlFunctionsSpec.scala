@@ -48,6 +48,14 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(viaSql == viaDsl)
   }
 
+  test("fingerprint folds unicode CODEPOINTS (not UTF-16 units) — matches DuckDB unicode()") {
+    // 'é' = U+00E9, '🎉' = U+1F389 (a surrogate pair in UTF-16: a
+    // char-wise fold would see two units and diverge from DuckDB).
+    val expected = "héllo🎉".codePoints().toArray
+      .foldLeft(0L)((h, cp) => (h * 31 + cp) % 1000000007L)
+    assert(HashKernels.fingerprint(UTF8String.fromString("héllo🎉")) == expected)
+  }
+
   test("SparkSessionExtensions injection applies cleanly (builder-config path)") {
     // A shared test JVM can't build a second independent session
     // (getOrCreate returns the active one, ignoring the extensions
