@@ -50,6 +50,34 @@ object SimOps {
       .drop("rk")
   }
 
+  /** Multi-probe SRP-LSH ANN top-k: each query probes its own bucket
+    * PLUS every 1-bit-flipped neighbor bucket (the planes most likely
+    * to have mis-signed a near neighbor). Recall rises from ~(1−φ/π)^b
+    * toward 1 at the cost of (bits+1)× more QUERY-side rows — the
+    * corpus is still scanned and bucketed exactly once, so at 100 TB
+    * the extra work is only the (tiny) broadcast fan-out. */
+  def topkLshMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bc = corpus.select(col("vec_id"), col("embedding"),
+      srpBucket(col("embedding"), bits).as("bucket"))
+    val probes = queries.select(col("q_id"), col("q_vec"),
+        srpBucket(col("q_vec"), bits).as("b0"))
+      .withColumn("flip", explode(sequence(lit(0), lit(bits))))
+      // flip == bits probes the home bucket; otherwise XOR plane `flip`
+      .select(col("q_id"), col("q_vec"),
+        when(col("flip") === bits, col("b0"))
+          .otherwise(expr(s"b0 ^ shiftleft(1L, flip)")).as("bucket"))
+    bc.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_vec")).as("cos"))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** LSH-bucketed ANN top-k: corpus and queries are both bucketed by
     * [[srpBucket]]; candidates are corpus rows in the query's bucket
     * (equi-join on the bucket id — shuffle-by-bucket, never all-pairs),

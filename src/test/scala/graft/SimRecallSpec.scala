@@ -1,0 +1,38 @@
+package graft
+
+import graft.ext.SimOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN quality: recall of the LSH paths against the exact top-k ground
+  * truth, and the multi-probe recall dominance property.
+  */
+class SimRecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+
+  test("multi-probe LSH recall >= single-probe recall; both nonzero") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = topkSet(SimOps.topkBrute(e, q, 10))
+    val single = topkSet(SimOps.topkLsh(e, q, 10, 4))
+    val multi = topkSet(SimOps.topkLshMultiProbe(e, q, 10, 4))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val hits = exact.map { case (qid, truth) =>
+        approx.getOrElse(qid, Set.empty).count(truth.contains).toDouble / truth.size
+      }
+      hits.sum / hits.size
+    }
+    val rs = recall(single)
+    val rm = recall(multi)
+    assert(rs > 0.0, "single-probe must find some true neighbors")
+    assert(rm >= rs, f"multi-probe recall $rm%.2f must dominate single-probe $rs%.2f")
+    assert(rm >= 0.5, f"multi-probe recall too low: $rm%.2f")
+  }
+}
