@@ -137,34 +137,13 @@ final class GraftStage[T](
       implicit eb: Encoder[B], ee: Encoder[Element[B]]): GraftStage[B] = {
     val n = math.max(1, workers)
     val t = timeout
-    def run[A, C](d: Dataset[A], idx: A => Seq[Long], value: A => T, mk: (A, B) => C)(
+    def run[A, C](d: Dataset[A], value: A => T, mk: (A, B) => C)(
         implicit e: Encoder[C]): Dataset[C] =
-      d.mapPartitions { iter =>
-        val window = new scala.collection.mutable.Queue[(A, Future[B])]()
-        new Iterator[C] {
-          private var pending: Option[C] = None
-          private def fill(): Unit =
-            while (window.size < n && iter.hasNext) {
-              val a = iter.next()
-              window.enqueue((a, f(value(a))))
-            }
-          private def advance(): Unit = {
-            while (pending.isEmpty && { fill(); window.nonEmpty }) {
-              val (a, fut) = window.dequeue()
-              try pending = Some(mk(a, Await.result(fut, t)))
-              catch { case _: TimeoutException => () } // drop on timeout
-            }
-          }
-          def hasNext: Boolean = { advance(); pending.nonEmpty }
-          def next(): C = {
-            advance()
-            val r = pending.get; pending = None; r
-          }
-        }
-      }
+      d.mapPartitions(iter =>
+        GraftStage.asyncWindowIterator(iter, n, t, (a: A) => f(value(a)), mk))
     new GraftStage(
-      run[T, B](plain, _ => Nil, identity, (_, b) => b),
-      () => run[Element[T], Element[B]](indexed, _.index, _.value, (a, b) => Element(a.index, b)))
+      run[T, B](plain, identity, (_, b) => b),
+      () => run[Element[T], Element[B]](indexed, _.value, (a, b) => Element(a.index, b)))
   }
 
   /** Side-effect call per element, passing elements through unchanged
@@ -283,6 +262,38 @@ object GraftStage {
           .select(col("index"), struct(st.fieldNames.toSeq.map(col): _*).as("value"))
           .as[Element[T]]
       case _ => ind.filter(c)
+    }
+  }
+
+  /** Bounded in-flight async window over a partition iterator — the
+    * shared engine of batch [[GraftStage.mapAsync]] and streaming
+    * `GraftStream.mapAsync`. Keeps ≤ n Futures outstanding, drains in
+    * submission order, drops elements whose Future exceeds `t`
+    * (reference task-backend semantics: semaphore-bounded TaskPool +
+    * asyncio.wait_for, task/worker.py:225-255). */
+  private[graft] def asyncWindowIterator[A, B, C](
+      iter: Iterator[A], n: Int, t: Duration,
+      submit: A => Future[B], mk: (A, B) => C): Iterator[C] = {
+    val window = new scala.collection.mutable.Queue[(A, Future[B])]()
+    new Iterator[C] {
+      private var pending: Option[C] = None
+      private def fill(): Unit =
+        while (window.size < n && iter.hasNext) {
+          val a = iter.next()
+          window.enqueue((a, submit(a)))
+        }
+      private def advance(): Unit = {
+        while (pending.isEmpty && { fill(); window.nonEmpty }) {
+          val (a, fut) = window.dequeue()
+          try pending = Some(mk(a, Await.result(fut, t)))
+          catch { case _: TimeoutException => () } // drop on timeout
+        }
+      }
+      def hasNext: Boolean = { advance(); pending.nonEmpty }
+      def next(): C = {
+        advance()
+        val r = pending.get; pending = None; r
+      }
     }
   }
 

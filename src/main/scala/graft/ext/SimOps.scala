@@ -78,6 +78,52 @@ object SimOps {
       .drop("rk")
   }
 
+  /** IVF (inverted-file) ANN top-k: the corpus is assigned ONCE to its
+    * nearest centroid (the coarse quantizer — at warehouse scale this
+    * assignment is precomputed and the table is bucketed/partitioned by
+    * `cent`); each query scores only the posting lists of its `nprobe`
+    * nearest centroids. Work per query: O(nprobe × corpus/centroids)
+    * instead of O(corpus). `centroids` must be small (labels × dims) —
+    * broadcast on both sides. */
+  def topkIvf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        cosine(col("embedding"), col("c_vec")).as("cc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("c_id"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cent"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_vec"), col("c_id"),
+        cosine(col("q_vec"), col("c_vec")).as("qc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("qc").desc, col("c_id"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("c_id").as("cent"))
+    assigned.join(broadcast(probes), "cent")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_vec")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** Per-label centroids with decimal-exact (order-independent) means:
+    * (c_id, c_vec) — the coarse quantizer for [[topkIvf]]. */
+  def labelCentroids(corpus: DataFrame, labelCol: String): DataFrame =
+    corpus.select(col(labelCol), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+        .cast("double") / count(lit(1))).as("cv"))
+      .groupBy(col(labelCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x("cv")).as("c_vec"))
+      .select(col(labelCol).cast("long").as("c_id"), col("c_vec"))
+
   /** LSH-bucketed ANN top-k: corpus and queries are both bucketed by
     * [[srpBucket]]; candidates are corpus rows in the query's bucket
     * (equi-join on the bucket id — shuffle-by-bucket, never all-pairs),

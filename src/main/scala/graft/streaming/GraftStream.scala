@@ -51,6 +51,20 @@ final class GraftStream[T](val ds: Dataset[T]) {
 
   def filterCol(c: Column): GraftStream[T] = new GraftStream(ds.filter(c))
 
+  /** Async-IO map on the unbounded stream — the reference's flagship
+    * workload (100M downloads: task backend, workers=1000 overlapping
+    * request latency, benchmarks/100_million_downloads/client-pypeln-io.py).
+    * Same bounded in-flight window as the batch
+    * [[graft.core.GraftStage.mapAsync]], applied per micro-batch
+    * partition; `timeout` drops stragglers. Build Futures on
+    * `GraftStage.asyncEc` inside the lambda. */
+  def mapAsync[B](f: T => scala.concurrent.Future[B], workers: Int = 8,
+      timeout: scala.concurrent.duration.Duration = scala.concurrent.duration.Duration.Inf)(
+      implicit eb: Encoder[B]): GraftStream[B] =
+    new GraftStream(ds.mapPartitions(it =>
+      graft.core.GraftStage.asyncWindowIterator(
+        it, math.max(1, workers), timeout, f, (_: T, b: B) => b)))
+
   /** Per-element side-effect sink with the full worker lifecycle:
     * `onStart` once per partition-epoch (open), `f` per element,
     * `onDone` on close — the streaming `each(..., run=True)`

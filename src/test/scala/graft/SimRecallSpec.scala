@@ -35,4 +35,23 @@ class SimRecallSpec extends AnyFunSuite {
     assert(rm >= rs, f"multi-probe recall $rm%.2f must dominate single-probe $rs%.2f")
     assert(rm >= 0.5, f"multi-probe recall too low: $rm%.2f")
   }
+
+  test("IVF search: probing all centroids equals exact; fewer probes still finds neighbors") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cents = SimOps.labelCentroids(e, "label")
+    val nCents = cents.count().toInt
+    val exact = topkSet(SimOps.topkBrute(corpus, q, 10))
+    // nprobe = all centroids → every posting list scanned → exact result
+    val full = topkSet(SimOps.topkIvf(corpus, q, cents, 10, nCents))
+    assert(full == exact, "nprobe=all must recover the exact top-k")
+    // nprobe = 2: random labels carry no cluster structure, so recall is
+    // partial — require it nonzero and bounded work
+    val probed = topkSet(SimOps.topkIvf(corpus, q, cents, 10, 2))
+    val hits = exact.map { case (qid, truth) =>
+      probed.getOrElse(qid, Set.empty).count(truth.contains).toDouble / truth.size }
+    assert(hits.sum / hits.size > 0.0)
+  }
 }

@@ -98,6 +98,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streaming mapAsync: async IO on an unbounded source preserves values") {
+    import graft.core.GraftStage
+    import scala.concurrent.Future
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Int]
+    val out = new ConcurrentLinkedQueue[Int]()
+    val st = new GraftStream(in.toDS())
+      .mapAsync(x => Future { Thread.sleep(2); x * 3 }(GraftStage.asyncEc), workers = 8)
+    val q = st.eachBatch((b, _) => { b.collect().foreach(out.add); () })
+    in.addData(1 to 40: _*)
+    q.processAllAvailable()
+    in.addData(41 to 60: _*)
+    q.processAllAvailable(); q.stop()
+    assert(out.toArray.map(_.asInstanceOf[Int]).sorted.toSeq == (1 to 60).map(_ * 3))
+  }
+
   test("streaming dedup: duplicate keys within the watermark are dropped, state bounded") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
