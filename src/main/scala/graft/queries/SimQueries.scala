@@ -73,12 +73,8 @@ object SimQueries {
     * broadcast; the corpus is scanned once. */
   def simIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
-    val comp = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-    val cents = comp.groupBy(col("label"), col("pos")).agg(davg(col("v")).as("cv"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-        x => x("cv")).as("c_vec"))
-      .select(col("label").as("c_label"), col("c_vec"))
+    val cents = SimOps.labelCentroids(e, "label")
+      .select(col("c_id").cast("int").as("c_label"), col("c_vec"))
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"),
         col("c_label"), SimOps.cosine(col("embedding"), col("c_vec")).as("cos"))
