@@ -144,6 +144,46 @@ object GraftStream {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.toSeq)
 
+  /** Streaming near-duplicate candidates: incoming documents are
+    * sketched (shingle fps → MinHash → banded LSH, the same native
+    * kernels as batch [[graft.ext.DedupOps.nearDupPairs]]) and each
+    * (band, key) bucket keeps its member ids as KEYED STATE — a new
+    * document emits a candidate pair against every doc already in any
+    * of its buckets, across micro-batch boundaries. This is the
+    * incoming-training-data dedup shape: state per bucket, shuffle per
+    * (band, key), never a corpus-wide join.
+    *
+    * `maxBucket` caps state per bucket (boilerplate floods get
+    * truncated — the streaming capBuckets). Pairs may repeat when two
+    * docs share several buckets; feed through a downstream
+    * [[dedupExact]]-style dropDuplicates or dedupe at the sink.
+    * Verify candidates with exact Jaccard offline (candidates are a
+    * superset; verification needs the fps, which the caller retains). */
+  def nearDupCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, hashes: Int = 64, bands: Int = 16, maxBucket: Int = 64): Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.ext.{DedupOps, TextOps}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = df.select(col(idCol).cast("long").as("id"),
+        posexplode(DedupOps.bandSigs(DedupOps.minhash(
+          DedupOps.shingleFps(TextOps.tokens(col(textCol)), k), hashes), bands, hashes / bands))
+          .as(Seq("band", "sig")))
+      .as[(Long, Int, Long)]
+    sigs.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[(Long, Int, Long)], state: GroupState[Seq[Long]]) =>
+          val prev = state.getOption.getOrElse(Seq.empty)
+          val fresh = rows.map(_._1).toSeq.distinct.filterNot(prev.contains)
+          val cross = for { n <- fresh; p <- prev }
+            yield (math.min(n, p), math.max(n, p))
+          val intra = fresh.combinations(2).map { case Seq(a, b) =>
+            (math.min(a, b), math.max(a, b)) }.toSeq
+          state.update((prev ++ fresh).take(maxBucket))
+          (cross ++ intra).iterator
+      }
+  }
+
   /** Watermarked session windows (gap-based) — the streaming form of
     * EventQueries.eventsSessions. Spark's native session_window state
     * machine; keyed state shuffles once per (key, session). */

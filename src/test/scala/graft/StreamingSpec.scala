@@ -183,6 +183,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(spread == 8, s"hot key must scatter over all salts, got $spread")
   }
 
+  test("streaming near-dup: candidates found across micro-batch boundaries") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "text")
+    val pairs = new ConcurrentLinkedQueue[(Long, Long)]()
+    val q = GraftStream.nearDupCandidates(df, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
+        { b.collect().foreach(pairs.add); () })
+      .start()
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    in.addData((1L, base), (2L, "completely unrelated words about spark physical plans"))
+    q.processAllAvailable()
+    // batch 2: a near-dup of doc 1 (first token dropped) — the candidate
+    // pair must surface against batch-1 state
+    in.addData((3L, base.substring(base.indexOf(' ') + 1)))
+    q.processAllAvailable(); q.stop()
+    val got = pairs.toArray.map(_.asInstanceOf[(Long, Long)]).toSet
+    assert(got.contains((1L, 3L)), s"cross-batch near-dup must be caught, got $got")
+    assert(!got.exists(p => p._1 == 2L || p._2 == 2L),
+      s"unrelated doc must not pair, got $got")
+  }
+
   test("custom keyed state: mapGroupsWithState running per-user counts") {
     // The reference's arbitrary-state escape hatch (SURVEY §7.3):
     // flatMapGroupsWithState-family for operators session_window can't
