@@ -76,7 +76,22 @@ object DedupQueries {
         DedupOps.jaccard(col("fps_a"), col("fps_b")).as("jaccard"))
   }
 
+  /** End-to-end dedup decision: LSH candidate pairs → connected
+    * components → keep-first representative per member. The oracle
+    * recomputes the same pairs in SQL and closes them with a recursive
+    * CTE — so the distributed min-label propagation is verified against
+    * an exact transitive closure. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val mut = d.select((col("doc_id") + SHIFT).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val pairs = DedupOps.nearDupPairs(d.unionAll(mut), "doc_id", "text",
+      k = 3, hashes = 64, bands = 16, threshold = 0.7)
+    DedupOps.dupClusters(pairs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_near" -> (dedupNear _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -117,6 +132,28 @@ object DedupQueries {
       "len(list_distinct(list_concat(fps_a, fps_b)))"
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE corpus AS ($corpusNearSql),
+         |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+         |sh_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, list_transform(sh, s -> ${fpFold("s")}) AS fps FROM sh_t),
+         |mh_t AS (SELECT doc_id, fps, $minhashSql AS mh FROM fp_t),
+         |bands AS (SELECT doc_id, j AS band, $bandSql AS sig
+         |          FROM mh_t, (SELECT unnest(range(0, 16)) AS j)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |verified AS (SELECT doc_a, doc_b
+         |             FROM cand
+         |             JOIN (SELECT doc_id AS doc_a, fps AS fps_a FROM fp_t) USING (doc_a)
+         |             JOIN (SELECT doc_id AS doc_b, fps AS fps_b FROM fp_t) USING (doc_b)
+         |             WHERE $jaccardSql >= 0.7),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM verified
+         |        UNION SELECT doc_b, doc_a FROM verified),
+         |reach AS (SELECT a, b FROM sym
+         |          UNION
+         |          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+         |SELECT a AS id, LEAST(a, MIN(b)) AS cluster_rep FROM reach GROUP BY a""".stripMargin,
     "dedup_exact" ->
       s"""SELECT ${fpFold("text")} AS fp, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
          |FROM ($corpusExactSql)
