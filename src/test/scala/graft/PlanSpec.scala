@@ -100,6 +100,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables co-locate: the bucket join runs with NO shuffle exchange") {
+    // The 100 TB join strategy the brief calls out: pre-bucket both
+    // fact tables on the join key → sort-merge join reads bucketed
+    // files directly, no Exchange on either side.
+    import org.apache.spark.sql.functions._
+    // warehouse.dir is a static conf — tables land in ./spark-warehouse
+    // (gitignored) and are dropped (managed → files deleted) at the end.
+    spark.sql("DROP TABLE IF EXISTS li_b"); spark.sql("DROP TABLE IF EXISTS ord_b")
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_b")
+    val joined = spark.table("li_b")
+      .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+    val p = joined.queryExecution.explainString(FormattedMode)
+    assert(nOps(p, "Exchange") == 0, s"bucketed join must not shuffle:\n$p")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE ord_b")
+  }
+
   test("native kernels generate valid Janino code (no codegen fallback needed)") {
     // With fallback disabled, any malformed generated code (or a kernel
     // not reachable as a static call) fails the query instead of
