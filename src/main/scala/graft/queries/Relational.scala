@@ -142,7 +142,23 @@ object Relational {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
 
+  /** The salted-join technique under the oracle gate: orders⋈customer
+    * by custkey through [[graft.ext.SkewOps.saltedJoin]] (8 salts,
+    * scattered on order id) must produce byte-identical aggregates to
+    * the plain join — salting changes the shuffle layout, never the
+    * result. */
+  def qSaltedOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = load(spark, sfDir, "orders")
+      .select(col("o_custkey").as("k"), col("o_orderkey"), col("o_totalprice"))
+    val small = load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+    graft.ext.SkewOps.saltedJoin(big, small, "k", "o_orderkey", 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_orders" -> (qSaltedOrders _),
     "q_rollup" -> (qRollup _),
     "q1_pricing" -> (q1Pricing _),
     "q3_top_revenue" -> (q3TopRevenue _),
@@ -155,6 +171,11 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_salted_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
