@@ -100,6 +100,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE skew-join: a hot key is split at runtime (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one key carries ~all rows; with thresholds lowered AQE must
+    // split the oversized partition instead of wedging one task
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = (0 until 200000).map(i => (if (i % 100 == 0) i.toLong else 1L, s"payload-$i"))
+        .toDF("k", "p")
+      val right = (0L until 4000L).map(k => (k, s"r$k")).toDF("k", "r")
+      val j = big.join(right, "k")
+      // drive THIS queryExecution (count() would spawn its own) so AQE
+      // finalizes the inspected plan
+      val qe = j.queryExecution
+      assert(qe.executedPlan.execute().count() > 0)
+      val finalPlan = qe.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the skewed join:\n${finalPlan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate: the bucket join runs with NO shuffle exchange") {
     // The 100 TB join strategy the brief calls out: pre-bucket both
     // fact tables on the join key → sort-merge join reads bucketed
