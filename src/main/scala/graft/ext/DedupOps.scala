@@ -127,17 +127,22 @@ object DedupOps {
       .agg(min(col("dst")).as("nbr"))
       .select(col("id"), least(col("id"), col("nbr")).as("label"))
       .localCheckpoint()
+    // Convergence via the label-sum fixpoint: labels only ever decrease
+    // (least), so an unchanged sum ⇔ no label changed — one cheap
+    // aggregate per round instead of a join-diff.
+    var prevSum = Long.MinValue
     var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
+    var done = false
+    while (iter < maxIter && !done) {
       val viaNbr = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nbr_label"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("min_nbr"))
       val next = labels.join(viaNbr, "id")
         .select(col("id"), least(col("label"), col("min_nbr")).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
+      val s = next.agg(sum(col("label"))).head().getLong(0)
+      done = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }
