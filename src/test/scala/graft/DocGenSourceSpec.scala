@@ -27,6 +27,23 @@ class DocGenSourceSpec extends AnyFunSuite {
     assert(a(42L) == graft.sources.DocGenSource.textFor(42L))
   }
 
+  test("scale smoke: fingerprint + MinHash sketch over 1M generated docs") {
+    // 100x the oracle corpus, generated executor-side — exercises the
+    // codegen kernel path at a size where any per-row interpreter
+    // detour or HOF re-evaluation would take minutes.
+    val d = docs(1000000L, 32)
+    val sketched = d.select(col("doc_id"),
+      graft.ext.TextOps.fingerprint(col("text")).as("fp"),
+      graft.ext.DedupOps.minhash(
+        graft.ext.DedupOps.shingleFps(graft.ext.TextOps.tokens(col("text")), 3), 16).as("mh"))
+    val agg = sketched.agg(
+      countDistinct(col("fp")).as("n_fp"),
+      count(lit(1)).as("n")).head()
+    assert(agg.getLong(1) == 1000000L)
+    // generator texts are near-unique; organic fingerprint collisions stay tiny
+    assert(agg.getLong(0) > 990000L, s"distinct fps: ${agg.getLong(0)}")
+  }
+
   test("feeds the dedup kernels: exact dedup over generated corpus + planted copies") {
     val d = docs(2000, 8)
     val corpus = d.unionAll(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
