@@ -157,7 +157,37 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
   }
 
+  /** TPC-H Q6-style forecast revenue: every predicate reaches the
+    * parquet scan (PushedFilters on date, discount and quantity), then
+    * a single scalar decimal-exact aggregate — the minimal-IO query
+    * shape. */
+  def q6Forecast(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H Q4-style order priority: EXISTS as a left-semi join of
+    * windowed orders against flagged lineitems (the synthetic schema
+    * has no commit/receipt dates, so "has a returned item" stands in
+    * for "late") — only orderkeys cross the semi shuffle. */
+  def q4Priority(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+    val flagged = load(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    ord.join(flagged, ord("o_orderkey") === flagged("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast" -> (q6Forecast _),
+    "q4_priority" -> (q4Priority _),
     "q_salted_orders" -> (qSaltedOrders _),
     "q_rollup" -> (qRollup _),
     "q1_pricing" -> (q1Pricing _),
@@ -171,6 +201,19 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q6_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
     "q_salted_orders" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
