@@ -154,9 +154,13 @@ object GraftStream {
     * (band, key), never a corpus-wide join.
     *
     * `maxBucket` caps state per bucket (boilerplate floods get
-    * truncated — the streaming capBuckets). Pairs may repeat when two
-    * docs share several buckets; feed through a downstream
-    * [[dedupExact]]-style dropDuplicates or dedupe at the sink.
+    * truncated — the streaming capBuckets); bucket COUNT still grows
+    * with corpus vocabulary, so an unbounded run wants
+    * GroupStateTimeout (age out cold buckets) or periodic state
+    * compaction — NoTimeout here keeps the detection exact over the
+    * job's lifetime. Pairs may repeat when two docs share several
+    * buckets; feed through a downstream [[dedupExact]]-style
+    * dropDuplicates or dedupe at the sink.
     * Verify candidates with exact Jaccard offline (candidates are a
     * superset; verification needs the fps, which the caller retains). */
   def nearDupCandidates(df: DataFrame, idCol: String, textCol: String,
