@@ -78,6 +78,19 @@ object HashExprs {
     override def prettyName: String = "graft_shingle_fps"
   }
 
+  /** char_shingle_fps(str, k): fingerprints of every k-codepoint
+    * window — the character-level n-gram unit for short-text dedup. */
+  case class CharShingleFpsExpr(child: Expression, k: Int) extends UnaryExpression {
+    require(k >= 1)
+    override def dataType: DataType = LongArray
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.charShingleFps(input.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.charShingleFps($c, $k)")
+    override protected def withNewChildInternal(c: Expression): CharShingleFpsExpr = copy(child = c)
+    override def prettyName: String = "graft_char_shingle_fps"
+  }
+
   /** minhash_sig(fps, n): Broder sketch — n permutation-hashes
     * h_i(f) = (f*(2i+1) + 104729*(i+1)) mod P, min over the fp set;
     * empty set → sentinel P. */
@@ -156,6 +169,7 @@ object HashExprs {
   def fingerprint(c: Column): Column = toColumn(FingerprintExpr(toExpression(c)))
   def tokenFps(toks: Column): Column = toColumn(TokenFpsExpr(toExpression(toks)))
   def shingleFps(toks: Column, k: Int): Column = toColumn(ShingleFpsExpr(toExpression(toks), k))
+  def charShingleFps(s: Column, k: Int): Column = toColumn(CharShingleFpsExpr(toExpression(s), k))
   def minhashSig(fps: Column, n: Int): Column = toColumn(MinHashSigExpr(toExpression(fps), n))
   def bandKeys(sig: Column, b: Int, r: Int): Column = toColumn(BandKeysExpr(toExpression(sig), b, r))
   def simhash(fps: Column, bits: Int): Column = toColumn(SimHashExpr(toExpression(fps), bits))

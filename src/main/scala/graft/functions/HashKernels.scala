@@ -58,6 +58,25 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Character k-gram fingerprints: polynomial fold of every k-length
+    * codepoint window (the short-text near-dup unit; word shingles are
+    * [[shingleFps]]). */
+  def charShingleFps(s: UTF8String, k: Int): ArrayData = {
+    val str = s.toString
+    val cps = str.codePoints().toArray
+    if (cps.length < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](cps.length - k + 1)
+    var i = 0
+    while (i <= cps.length - k) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 31 + cps(i + j)) % P; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def minhashSig(fps: ArrayData, n: Int): ArrayData = {
     val m = fps.numElements()
     val out = Array.fill(n)(P)

@@ -90,7 +90,46 @@ object DedupQueries {
     DedupOps.dupClusters(pairs)
   }
 
+  /** Character 5-gram Jaccard over consecutive doc pairs — the
+    * short-text variant of [[dedupJaccard]] (word shingles miss edits
+    * inside words; char n-grams catch them). */
+  def dedupCharJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val withFps = docs(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.HashExprs.charShingleFps(col("text"), 5).as("fps"))
+    val a = withFps.select(col("doc_id").as("doc_a"), col("fps").as("fps_a"))
+    val b = withFps.select(col("doc_id").as("doc_b"), col("fps").as("fps_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"),
+        DedupOps.jaccard(col("fps_a"), col("fps_b")).as("jaccard"))
+  }
+
+  /** SimHash hamming-ball pairing: corpus ∪ planted exact copies, all
+    * docs bucketed by each HALF of the 30-bit signature (pigeonhole:
+    * hamming distance ≤ 1 ⇒ some half matches exactly), pairs kept at
+    * bit_count(xor) ≤ 2 — the banded-signature shape on SimHash. */
+  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val corpus = d.unionAll(d.select((col("doc_id") + SHIFT).as("doc_id"), col("text")))
+    val sigs = corpus
+      .select(col("doc_id"), DedupOps.tokenFps(tokens(col("text"))).as("fps"))
+      .select(col("doc_id"), simhash(col("fps"), 30).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        (col("sig") % 32768L).as("lo"), expr("sig div 32768").as("hi"))
+    val byLo = sigs.as("a").join(sigs.as("b"),
+      col("a.lo") === col("b.lo") && col("a.doc_id") < col("b.doc_id"))
+    val byHi = sigs.as("a").join(sigs.as("b"),
+      col("a.hi") === col("b.hi") && col("a.doc_id") < col("b.doc_id"))
+    byLo.unionAll(byHi)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.sig ^ b.sig)").cast("bigint").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_char_jaccard" -> (dedupCharJaccard _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_near" -> (dedupNear _),
@@ -130,6 +169,15 @@ object DedupQueries {
   private val jaccardSql =
     "len(list_filter(list_distinct(fps_a), x -> list_contains(fps_b, x))) / " +
       "len(list_distinct(list_concat(fps_a, fps_b)))"
+
+  private val simhash30Sql =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(0, 30), j -> CASE WHEN
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(fps,
+      |        f -> CAST(CASE WHEN (f % (CAST(power(2, j) AS BIGINT) * 2)) >= CAST(power(2, j) AS BIGINT)
+      |                       THEN 1 ELSE -1 END AS BIGINT))), (a, b) -> a + b) > 0
+      |      THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |    (a, b) -> a + b)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dedup_clusters" ->
@@ -177,15 +225,29 @@ object DedupQueries {
     "dedup_simhash" ->
       s"""WITH fp_t AS (SELECT doc_id,
          |    list_transform($toksSql, t -> ${fpFold("t")}) AS fps FROM documents)
-         |SELECT doc_id,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(range(0, 30), j -> CASE WHEN
-         |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(fps,
-         |        f -> CAST(CASE WHEN (f % (CAST(power(2, j) AS BIGINT) * 2)) >= CAST(power(2, j) AS BIGINT)
-         |                       THEN 1 ELSE -1 END AS BIGINT))), (a, b) -> a + b) > 0
-         |      THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-         |    (a, b) -> a + b) AS simhash
+         |SELECT doc_id, $simhash30Sql AS simhash
          |FROM fp_t""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH corpus AS ($corpusExactSql),
+         |fp_t AS (SELECT doc_id, list_transform($toksSql, t -> ${fpFold("t")}) AS fps FROM corpus),
+         |s_t AS (SELECT doc_id, $simhash30Sql AS sig FROM fp_t),
+         |h_t AS (SELECT doc_id, sig, sig % 32768 AS lo, sig // 32768 AS hi FROM s_t),
+         |cand AS (SELECT a.doc_id AS da, b.doc_id AS db, a.sig AS sa, b.sig AS sb
+         |         FROM h_t a JOIN h_t b ON a.lo = b.lo AND a.doc_id < b.doc_id
+         |         UNION ALL
+         |         SELECT a.doc_id, b.doc_id, a.sig, b.sig
+         |         FROM h_t a JOIN h_t b ON a.hi = b.hi AND a.doc_id < b.doc_id)
+         |SELECT DISTINCT da AS doc_a, db AS doc_b,
+         |       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 2""".stripMargin,
+    "dedup_char_jaccard" ->
+      s"""WITH fp_t AS (SELECT doc_id,
+         |    CASE WHEN len(text) >= 5
+         |         THEN list_transform(range(1, len(text) - 3), i -> ${fpFold("substr(text, i, 5)")})
+         |         ELSE [] END AS fps FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jaccardSql AS jaccard
+         |FROM (SELECT doc_id, fps AS fps_a FROM fp_t) a
+         |JOIN (SELECT doc_id, fps AS fps_b FROM fp_t) b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |sh_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),
