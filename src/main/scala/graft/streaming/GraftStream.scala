@@ -65,6 +65,12 @@ final class GraftStream[T](val ds: Dataset[T]) {
       graft.core.GraftStage.asyncWindowIterator(
         it, math.max(1, workers), timeout, f, (_: T, b: B) => b)))
 
+  /** Union-all of streams; micro-batches interleave as they arrive,
+    * order not preserved — the concurrent-backend concat contract
+    * (reference: pypeln/process/api/concat.py:14-16). */
+  def concat(others: GraftStream[T]*): GraftStream[T] =
+    new GraftStream(others.foldLeft(ds)((a, b) => a.union(b.ds)))
+
   /** Per-element side-effect sink with the full worker lifecycle:
     * `onStart` once per partition-epoch (open), `f` per element,
     * `onDone` on close — the streaming `each(..., run=True)`

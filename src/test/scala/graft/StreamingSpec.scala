@@ -98,6 +98,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("stream concat: union-all of two sources delivers every element") {
+    implicit val sq = spark.sqlContext
+    val in1 = MemoryStream[Int]
+    val in2 = MemoryStream[Int]
+    val out = new ConcurrentLinkedQueue[Int]()
+    val st = new GraftStream(in1.toDS()).concat(new GraftStream(in2.toDS()))
+    val q = st.eachBatch((b, _) => { b.collect().foreach(out.add); () })
+    in1.addData(1 to 30: _*)
+    in2.addData(31 to 50: _*)
+    q.processAllAvailable(); q.stop()
+    assert(out.toArray.map(_.asInstanceOf[Int]).sorted.toSeq == (1 to 50))
+  }
+
   test("streaming mapAsync: async IO on an unbounded source preserves values") {
     import graft.core.GraftStage
     import scala.concurrent.Future
