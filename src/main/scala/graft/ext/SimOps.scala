@@ -88,13 +88,18 @@ object SimOps {
   def topkIvf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Nearest-centroid assignment as an aggregate (max_by with a
+    // deterministic (score, -c_id) tie-break): partial maxima combine
+    // map-side, so the exchange moves one row per vector — a window
+    // rank here would shuffle every (vector × centroid) score row.
     val assigned = corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("c_id"),
         cosine(col("embedding"), col("c_vec")).as("cc"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("c_id"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cent"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("c_id")),
+        struct(col("cc"), (-col("c_id")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.c_id").as("cent"))
     val probes = queries.crossJoin(broadcast(centroids))
       .select(col("q_id"), col("q_vec"), col("c_id"),
         cosine(col("q_vec"), col("c_vec")).as("qc"))

@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.ext.SimOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -75,12 +74,14 @@ object SimQueries {
     val e = emb(spark, sfDir)
     val cents = SimOps.labelCentroids(e, "label")
       .select(col("c_id").cast("int").as("c_label"), col("c_vec"))
+    // assignment via max_by (map-side-combined argmax — one row per
+    // vector crosses the shuffle; see SimOps.topkIvf), identical
+    // semantics to a (cos DESC, c_label ASC) rank-1 window
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"),
         col("c_label"), SimOps.cosine(col("embedding"), col("c_vec")).as("cos"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_label"))))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max_by(col("c_label"), struct(col("cos"), (-col("c_label")).as("nc"))).as("c_label"))
       .groupBy(col("label"), col("c_label"))
       .agg(count(lit(1)).as("n"))
   }
