@@ -185,7 +185,46 @@ object Relational {
       .agg(count(lit(1)).as("order_count"))
   }
 
+  /** TPC-H Q7-style cross-nation trade volume: the two nation lookups
+    * are the only broadcast dims; the ordered (supp < cust) pair keeps
+    * each flow counted once per direction pair. */
+  def q7Volume(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = load(spark, sfDir, "lineitem")
+    val ord = load(spark, sfDir, "orders")
+    val supp = load(spark, sfDir, "supplier")
+    val cust = load(spark, sfDir, "customer")
+    val n1 = load(spark, sfDir, "nation").select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = load(spark, sfDir, "nation").select(
+      col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") < col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  /** TPC-H Q10-style returned-item losers: customers ranked by revenue
+    * of returned lineitems, deterministic top-20. */
+  def q10Returns(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = load(spark, sfDir, "lineitem").filter(col("l_returnflag") === "R")
+    val ord = load(spark, sfDir, "orders")
+    val cust = load(spark, sfDir, "customer")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume" -> (q7Volume _),
+    "q10_returns" -> (q10Returns _),
     "q6_forecast" -> (q6Forecast _),
     "q4_priority" -> (q4Priority _),
     "q_salted_orders" -> (qSaltedOrders _),
@@ -201,6 +240,27 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name < n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q6_forecast" ->
       """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
         |       COUNT(*) AS n
