@@ -51,11 +51,14 @@ def main():
             n_fail += 1
             continue
         try:
-            mine = con.execute(
-                f"SELECT * FROM read_parquet('{mine_dir}/*.parquet')")
-            mrows, mcols = mine.fetchall(), [d[0] for d in mine.description]
-            oq = con.execute(sql)
-            orows, ocols = oq.fetchall(), [d[0] for d in oq.description]
+            # .df() (pandas) on both sides, like the driver: this is what
+            # exposes DuckDB HUGEINT results (e.g. SUM(BIGINT)) degrading
+            # to float64 — fetchall() would hide the divergence.
+            mdf = con.execute(
+                f"SELECT * FROM read_parquet('{mine_dir}/*.parquet')").df()
+            mrows, mcols = list(mdf.itertuples(index=False, name=None)), list(mdf.columns)
+            odf = con.execute(sql).df()
+            orows, ocols = list(odf.itertuples(index=False, name=None)), list(odf.columns)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1

@@ -133,8 +133,8 @@ object EventQueries {
         |             CASE WHEN prev IS NULL OR tus - prev > 1800000000
         |                  THEN 1 ELSE 0 END AS new_s FROM g),
         |c AS (SELECT user_id, tus,
-        |             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |               ROWS UNBOUNDED PRECEDING) AS session_no FROM s)
+        |             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM s)
         |SELECT user_id, session_no, MIN(tus) AS session_start_us,
         |       COUNT(*) AS n_events, MAX(tus) - MIN(tus) AS dur_us
         |FROM c GROUP BY user_id, session_no""".stripMargin,
@@ -144,7 +144,7 @@ object EventQueries {
         |FROM events GROUP BY 1""".stripMargin,
     "events_props" ->
       """SELECT event_type, COUNT(*) AS n,
-        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin)
