@@ -120,8 +120,14 @@ object DedupOps {
     * The per-round driver sync is one count() — the loop is
     * driver-coordinated but all data stays distributed. */
   def dupClusters(pairs: org.apache.spark.sql.DataFrame, maxIter: Int = 10): org.apache.spark.sql.DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Symmetrize in ONE pass over `pairs` (explode of a 2-struct array)
+    // — a self-union would execute the whole upstream candidate
+    // pipeline twice before the persist materializes.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nbr"))
@@ -129,8 +135,12 @@ object DedupOps {
       .localCheckpoint()
     // Convergence via the label-sum fixpoint: labels only ever decrease
     // (least), so an unchanged sum ⇔ no label changed — one cheap
-    // aggregate per round instead of a join-diff.
-    var prevSum = Long.MinValue
+    // aggregate per round instead of a join-diff. Seeding prevSum with
+    // the INITIAL labels' sum (a ~free aggregate over the checkpointed
+    // rows) makes round 1 double as the confirmation round: LSH dup
+    // components are near-cliques that converge at initialization, so
+    // this saves a full propagation round in the common case.
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
