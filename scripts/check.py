@@ -63,6 +63,15 @@ def main():
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
+        # Integer columns that pandas degraded to float64 (nullable ints,
+        # DuckDB HUGEINT) lose exactness above 2^53 on BOTH sides — the
+        # compare can then mask genuine large-integer divergences. Warn.
+        degraded = [c for c in odf.columns
+                    if str(odf[c].dtype) == "float64"
+                    and c in mdf.columns and str(mdf[c].dtype).startswith("int")]
+        if degraded:
+            print(f"WARN {name}: oracle columns degraded to float64 vs int "
+                  f"spark side {degraded} — >2^53 values compare inexactly")
         mc, mr = canon(mrows, mcols)
         oc, orr = canon(orows, ocols)
         if mc != oc:

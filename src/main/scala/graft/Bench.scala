@@ -4,10 +4,13 @@ import java.nio.file.{Files, Paths}
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR.
   * One untimed warmup pass first (JVM/codegen/broadcast warmup — without
-  * it the first query pays ~5s of JIT and poisons its number), then a
-  * timed pass. Emits ONE JSON line on stdout AND writes it to
-  * bench_result.json so the driver's parse doesn't depend on scraping
-  * sbt-prefixed logs.
+  * it the first query pays ~5s of JIT and poisons its number), then TWO
+  * timed passes reporting the per-query MINIMUM: a single co-tenant
+  * load spike can inflate one pass 10x (round-3 postmortem: the same
+  * tree measured 94.9s on a loaded machine and 28.0s clean), and min-of
+  * -two makes one noisy pass unable to poison the number. Emits ONE
+  * JSON line on stdout AND writes it to bench_result.json so the
+  * driver's parse doesn't depend on scraping sbt-prefixed logs.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,15 +30,19 @@ object Bench {
     // let Catalyst prune the very projections being measured (e.g. a
     // fingerprint query degenerates to counting rows).
     def exec(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-    // Warmup: full pass, results discarded.
-    names.foreach { n => try exec(n) catch { case _: Throwable => () } }
-    val results = names.map { name =>
+      finally graft.ext.DedupOps.releaseCaches()
+    def timed(name: String): Double = {
       val t0 = System.nanoTime()
       try exec(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    // Warmup: full pass, results discarded.
+    names.foreach { n => try exec(n) catch { case _: Throwable => () } }
+    val pass1 = names.map(n => n -> timed(n)).toMap
+    val pass2 = names.map(n => n -> timed(n)).toMap
+    val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

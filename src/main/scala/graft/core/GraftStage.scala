@@ -193,8 +193,11 @@ final class GraftStage[T](
   /** Fan-out support: persist so N downstream consumers share one
     * computation (reference broadcast-to-all-output-queues,
     * pypeln/process/queue.py:114-129). The indexed plan is cached
-    * independently, on first use. */
-  def cached: GraftStage[T] = new GraftStage(plain.cache(), () => indexed.cache())
+    * independently, on first use. Both persists are registered with
+    * [[QueryCaches]] so a long-lived session can release them after
+    * the pipeline's terminal action. */
+  def cached: GraftStage[T] =
+    new GraftStage(QueryCaches.track(plain), () => QueryCaches.track(indexed))
 
   /** Materialize as a local iterator of values; the `WithIndex` variant
     * yields full Elements (`return_index=True`,

@@ -31,6 +31,20 @@ object DedupOps {
   /** Modulus shared by every hash here (fits products in 64-bit). */
   val P = HashExprs.P
 
+  // ---- Query-scoped cache tracking -----------------------------------
+  // Sketch relations are persisted because they feed several consumers
+  // of the SAME query (Spark reuses no identical subplans). The persist
+  // must not outlive the query (round-3 finding); see
+  // [[graft.core.QueryCaches]] — the harness calls [[releaseCaches]]
+  // after each query's terminal action.
+
+  /** Persist `df` and register it for release at end-of-query. */
+  def trackPersist(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.core.QueryCaches.track(df)
+
+  /** Unpersist every tracked frame/checkpoint (idempotent). */
+  def releaseCaches(): Unit = graft.core.QueryCaches.release()
+
   /** Per-shingle polynomial fingerprints (content hash of each k-gram).
     * DuckDB: list_transform(shingles, s -> <fingerprint fold>). */
   def shingleFps(toks: Column, k: Int): Column = HashExprs.shingleFps(toks, k)
@@ -80,16 +94,17 @@ object DedupOps {
     *
     * `maxBucket` (optional) drops buckets larger than the bound before
     * the self-join — the boilerplate/spam skew guard ([[capBuckets]]).
-    * The signature relation is persisted: it feeds 4 consumers and
-    * Spark reuses no identical subplans (at warehouse scale, stage it
-    * to a work table instead).
+    * The signature relation is persisted via [[trackPersist]] — it
+    * feeds 4 consumers and Spark reuses no identical subplans (at
+    * warehouse scale, stage it to a work table instead); the harness
+    * releases it after the query's terminal action ([[releaseCaches]]).
     */
   def nearDupPairs(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       k: Int = 3, hashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
       maxBucket: Int = 0): org.apache.spark.sql.DataFrame = {
     val r = hashes / bands
-    val withFps = df.select(col(idCol).as("_id"),
-      shingleFps(TextOps.tokens(col(textCol)), k).as("fps")).persist()
+    val withFps = trackPersist(df.select(col(idCol).as("_id"),
+      shingleFps(TextOps.tokens(col(textCol)), k).as("fps")))
     val exploded = withFps.select(col("_id"),
       posexplode(bandSigs(minhash(col("fps"), hashes), bands, r)).as(Seq("band", "sig")))
     val buckets = if (maxBucket > 0) capBuckets(exploded, maxBucket) else exploded
@@ -129,10 +144,24 @@ object DedupOps {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    var labels = edges.groupBy(col("src").as("id"))
+    val sc = pairs.sparkSession.sparkContext
+    // Each round's localCheckpoint caches blocks that are the ONLY copy
+    // of that round's labels (lineage is truncated). Superseded rounds
+    // are unpersisted as soon as the next round materializes; the FINAL
+    // round's blocks back the returned DataFrame, so they are registered
+    // with QueryCaches and freed by the harness after the query's
+    // terminal action. (Id-diff tracking assumes one query builds at a
+    // time — the harness contract.)
+    def checkpoint(df: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def drop(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    var (labels, ckptIds) = checkpoint(edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nbr"))
-      .select(col("id"), least(col("id"), col("nbr")).as("label"))
-      .localCheckpoint()
+      .select(col("id"), least(col("id"), col("nbr")).as("label")))
     // Convergence via the label-sum fixpoint: labels only ever decrease
     // (least), so an unchanged sum ⇔ no label changed — one cheap
     // aggregate per round instead of a join-diff. Seeding prevSum with
@@ -140,23 +169,29 @@ object DedupOps {
     // rows) makes round 1 double as the confirmation round: LSH dup
     // components are near-cliques that converge at initialization, so
     // this saves a full propagation round in the common case.
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // coalesce: SUM over zero rows is NULL — an empty pair set must
+    // yield an empty result, not an NPE at the fixpoint seed.
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
       val viaNbr = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nbr_label"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("min_nbr"))
-      val next = labels.join(viaNbr, "id")
-        .select(col("id"), least(col("label"), col("min_nbr")).as("label"))
-        .localCheckpoint()
-      val s = next.agg(sum(col("label"))).head().getLong(0)
+      val (next, newIds) = checkpoint(labels.join(viaNbr, "id")
+        .select(col("id"), least(col("label"), col("min_nbr")).as("label")))
+      val s = labelSum(next)
       done = s == prevSum
       prevSum = s
+      drop(ckptIds)
       labels = next
+      ckptIds = newIds
       iter += 1
     }
     edges.unpersist()
+    ckptIds.foreach(graft.core.QueryCaches.trackRddId(sc, _))
     labels.select(col("id"), col("label").as("cluster_rep"))
   }
 
@@ -165,9 +200,57 @@ object DedupOps {
     * join). `exploded` must have columns (band, sig); returns it
     * filtered. At 100 TB this is the difference between a bounded
     * bucket join and a runaway hot key. */
-  def capBuckets(exploded: org.apache.spark.sql.DataFrame, max: Int): org.apache.spark.sql.DataFrame = {
-    val counts = exploded.groupBy(col("band"), col("sig"))
+  def capBuckets(exploded: org.apache.spark.sql.DataFrame, max: Int): org.apache.spark.sql.DataFrame =
+    capBuckets(exploded, max, Seq("band", "sig"))
+
+  /** [[capBuckets]] over arbitrary bucket-key columns. */
+  def capBuckets(exploded: org.apache.spark.sql.DataFrame, max: Int,
+      keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val counts = exploded.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("bucket_n"))
-    exploded.join(counts, Seq("band", "sig")).filter(col("bucket_n") <= max).drop("bucket_n")
+    exploded.join(counts, keyCols).filter(col("bucket_n") <= max).drop("bucket_n")
+  }
+
+  /** SimHash banded pairing, the scale-safe generalization of the
+    * fixed lo/hi-half pigeonhole: a `bits`-bit simhash over token
+    * fingerprints is split into `bands` contiguous bands (band
+    * `bands-1` absorbs the remainder bits); docs sharing ANY
+    * (band, key) bucket are candidates (pigeonhole: hamming distance
+    * < `bands` ⇒ at least one band matches exactly — choose
+    * `bands` = maxHamming+1 for guaranteed recall at the filter bound);
+    * candidates are verified at `bit_count(xor) <= maxHamming`.
+    *
+    * Plan shape (the [[nearDupPairs]] band-join shape): the signature
+    * relation is computed ONCE ([[trackPersist]]) and posexploded to
+    * `bands` fixed-width (band, key) rows per doc — a single bucket
+    * equi-join, never two half self-joins, never all-pairs. Candidate
+    * volume is Σ_buckets n_b² — bounded at any corpus size by
+    * `maxBucket` ([[capBuckets]] over (band, key)), the same hot-bucket
+    * guard as MinHash-LSH; wider bands (larger `bits`/`bands`) shrink
+    * organic buckets exponentially. Returns (id_a, id_b, hamming) with
+    * id_a < id_b. */
+  def simhashPairs(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      bits: Int = 30, bands: Int = 2, maxHamming: Int = 2,
+      maxBucket: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(bands >= 1 && bits >= bands)
+    val sigs = trackPersist(df.select(col(idCol).as("_id"),
+      simhash(tokenFps(TextOps.tokens(col(textCol))), bits).as("sig")))
+    val width = bits / bands
+    val bandKeys = array((0 until bands).map { j =>
+      val lo = j * width
+      val w = if (j == bands - 1) bits - lo else width
+      shiftrightunsigned(col("sig"), lo).bitwiseAND(lit((1L << w) - 1L))
+    }: _*)
+    val exploded = sigs.select(col("_id"), col("sig"),
+      posexplode(bandKeys).as(Seq("band", "key")))
+    val buckets =
+      if (maxBucket > 0) capBuckets(exploded, maxBucket, Seq("band", "key")) else exploded
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        expr("bit_count(a.sig ^ b.sig)").cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -104,27 +104,35 @@ object DedupQueries {
         DedupOps.jaccard(col("fps_a"), col("fps_b")).as("jaccard"))
   }
 
-  /** SimHash hamming-ball pairing: corpus ∪ planted exact copies, all
-    * docs bucketed by each HALF of the 30-bit signature (pigeonhole:
-    * hamming distance ≤ 1 ⇒ some half matches exactly), pairs kept at
-    * bit_count(xor) ≤ 2 — the banded-signature shape on SimHash. */
+  /** SimHash banded pairing: corpus ∪ planted exact copies through
+    * [[DedupOps.simhashPairs]] — 30-bit signature split into 2 15-bit
+    * bands (pigeonhole: hamming ≤ 1 ⇒ some band matches; the oracle
+    * keeps pairs to hamming ≤ 2, same recall contract both sides),
+    * ONE posexploded (band, key) bucket equi-join over a
+    * computed-once persisted signature table. At larger corpora widen
+    * `bits`/`bands` and engage `maxBucket` — candidate volume is then
+    * bucket-bounded instead of N²/2^width. */
   def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val corpus = d.unionAll(d.select((col("doc_id") + SHIFT).as("doc_id"), col("text")))
-    val sigs = corpus
-      .select(col("doc_id"), DedupOps.tokenFps(tokens(col("text"))).as("fps"))
-      .select(col("doc_id"), simhash(col("fps"), 30).as("sig"))
-      .select(col("doc_id"), col("sig"),
-        (col("sig") % 32768L).as("lo"), expr("sig div 32768").as("hi"))
-    val byLo = sigs.as("a").join(sigs.as("b"),
-      col("a.lo") === col("b.lo") && col("a.doc_id") < col("b.doc_id"))
-    val byHi = sigs.as("a").join(sigs.as("b"),
-      col("a.hi") === col("b.hi") && col("a.doc_id") < col("b.doc_id"))
-    byLo.unionAll(byHi)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.sig ^ b.sig)").cast("bigint").as("hamming"))
-      .filter(col("hamming") <= 2)
-      .distinct()
+    DedupOps.simhashPairs(corpus, "doc_id", "text",
+        bits = 30, bands = 2, maxHamming = 2)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+  }
+
+  /** [[dedupNear]] with the hot-bucket skew guard ENGAGED
+    * (maxBucket = 4): any (band, sig) bucket holding more than 4 docs —
+    * boilerplate/template clusters that would square into the
+    * self-join — is dropped before candidate generation. The oracle
+    * spells the cap as a HAVING-bounded bucket CTE, so the green row
+    * proves the 100 TB guard changes results exactly as specified. */
+  def dedupNearCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val mut = d.select((col("doc_id") + SHIFT).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    DedupOps.nearDupPairs(d.unionAll(mut), "doc_id", "text",
+        k = 3, hashes = 64, bands = 16, threshold = 0.7, maxBucket = 4)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -133,6 +141,7 @@ object DedupQueries {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_near" -> (dedupNear _),
+    "dedup_near_capped" -> (dedupNearCapped _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_jaccard" -> (dedupJaccard _))
 
@@ -216,6 +225,24 @@ object DedupQueries {
          |          FROM mh_t, (SELECT unnest(range(0, 16)) AS j)),
          |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, $jaccardSql AS jaccard
+         |FROM pairs
+         |JOIN (SELECT doc_id AS doc_a, fps AS fps_a FROM fp_t) USING (doc_a)
+         |JOIN (SELECT doc_id AS doc_b, fps AS fps_b FROM fp_t) USING (doc_b)
+         |WHERE $jaccardSql >= 0.7""".stripMargin,
+    "dedup_near_capped" ->
+      s"""WITH corpus AS ($corpusNearSql),
+         |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+         |sh_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, list_transform(sh, s -> ${fpFold("s")}) AS fps FROM sh_t),
+         |mh_t AS (SELECT doc_id, fps, $minhashSql AS mh FROM fp_t),
+         |bands AS (SELECT doc_id, j AS band, $bandSql AS sig
+         |          FROM mh_t, (SELECT unnest(range(0, 16)) AS j)),
+         |kept AS (SELECT band, sig FROM bands GROUP BY band, sig HAVING COUNT(*) <= 4),
+         |cb AS (SELECT doc_id, band, sig FROM bands JOIN kept USING (band, sig)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM cb a JOIN cb b
          |            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, $jaccardSql AS jaccard
          |FROM pairs
