@@ -133,7 +133,8 @@ final class GraftStage[T](
     * task/worker.py:246-255) — a hung Future can no longer wedge the
     * task forever.
     */
-  def mapAsync[B](f: T => Future[B], workers: Int = 8, timeout: Duration = Duration.Inf)(
+  def mapAsync[B](f: T => Future[B], workers: Int = 8,
+      timeout: Duration = GraftStage.DefaultAsyncTimeout)(
       implicit eb: Encoder[B], ee: Encoder[Element[B]]): GraftStage[B] = {
     val n = math.max(1, workers)
     val t = timeout
@@ -209,6 +210,25 @@ final class GraftStage[T](
 
   def collectValues(): Seq[T] = GraftErrors.unwrap(plain.collect().toSeq)
 
+  /** Awaitable-stage parity: the whole stage gathered into a Future —
+    * the task backend's `await stage` (reference:
+    * pypeln/task/stage.py:105-115 `__await__` → list-gather). The
+    * caller's thread never blocks; the drain runs on `ec`. User
+    * exceptions fail the Future with their ORIGINAL type. */
+  def toFutureSeq(implicit ec: scala.concurrent.ExecutionContext): Future[Seq[T]] =
+    Future(collectValues())
+
+  /** Async-pull terminal — the task backend's `to_async_iterable`
+    * (reference: pypeln/task/api/to_iterable.py:62-101: the sync
+    * source is pumped from an executor thread into a bounded queue and
+    * consumed without blocking the event loop; same bridge here). A
+    * daemon producer drains `toLocalIterator` into a `maxsize`-bounded
+    * queue (backpressure: the producer blocks, Spark stops pulling
+    * partitions), and each `next()` returns a Future — the consumer
+    * thread never blocks per element. */
+  def toAsyncIterator(maxsize: Int = 256): GraftStage.AsyncValueIterator[T] =
+    new GraftStage.AsyncValueIterator[T](toIterable, maxsize)
+
   /** The stage as a DataFrame (plain path — use in declared queries). */
   def toDF: DataFrame = plain.toDF()
 
@@ -228,6 +248,54 @@ final class GraftStage[T](
 }
 
 object GraftStage {
+
+  /** Default per-element bound for [[GraftStage.mapAsync]]: FINITE, so
+    * the default configuration can never wedge a task behind one hung
+    * Future (round-3 finding — `Duration.Inf` let an unresponsive
+    * service stall the partition forever; the reference's task backend
+    * swallows `asyncio.TimeoutError` per element when a bound is set,
+    * task/worker.py:246-255, and a production async stage should
+    * always have one). Pass `timeout = Duration.Inf` explicitly to opt
+    * back into unbounded waits. */
+  val DefaultAsyncTimeout: Duration = Duration(60, java.util.concurrent.TimeUnit.SECONDS)
+
+  /** Async-pull iterator over a stage's values: `next()` completes with
+    * `Some(value)` per element and `None` at exhaustion; a failure in
+    * the pipeline fails the Future with the user's original exception.
+    * Sequential-consumption contract (await each `next()` before the
+    * next call), like any async-iterator protocol. */
+  final class AsyncValueIterator[T] private[core] (source: Iterator[T], maxsize: Int) {
+    private val END = new AnyRef
+    private val queue = new java.util.concurrent.LinkedBlockingQueue[AnyRef](math.max(1, maxsize))
+    private val producer = new Thread(() => {
+      try { source.foreach(v => queue.put(v.asInstanceOf[AnyRef])); queue.put(END) }
+      catch { case e: Throwable => queue.put(Failed(GraftErrors.userCause(e))) }
+    }, "graft-async-drain")
+    producer.setDaemon(true)
+    producer.start()
+    private case class Failed(e: Throwable)
+    @volatile private var exhausted = false
+
+    def next(): Future[Option[T]] = Future {
+      if (exhausted) None
+      else queue.take() match {
+        case END => exhausted = true; None
+        case Failed(e) => exhausted = true; throw e
+        case v => Some(v.asInstanceOf[T])
+      }
+    }(asyncEc)
+
+    /** Gather the remainder — `await stage` ergonomics on top of the
+      * async pull. */
+    def toSeq: Future[Seq[T]] = {
+      implicit val ec: scala.concurrent.ExecutionContext = asyncEc
+      def loop(acc: List[T]): Future[List[T]] = next().flatMap {
+        case Some(v) => loop(v :: acc)
+        case None => Future.successful(acc.reverse)
+      }
+      loop(Nil)
+    }
+  }
 
   /** Source from a local iterable; index `(i)` assigned by enumeration,
     * the creation-order contract of the reference

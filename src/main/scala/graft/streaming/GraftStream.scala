@@ -59,7 +59,7 @@ final class GraftStream[T](val ds: Dataset[T]) {
     * partition; `timeout` drops stragglers. Build Futures on
     * `GraftStage.asyncEc` inside the lambda. */
   def mapAsync[B](f: T => scala.concurrent.Future[B], workers: Int = 8,
-      timeout: scala.concurrent.duration.Duration = scala.concurrent.duration.Duration.Inf)(
+      timeout: scala.concurrent.duration.Duration = graft.core.GraftStage.DefaultAsyncTimeout)(
       implicit eb: Encoder[B]): GraftStream[B] =
     new GraftStream(ds.mapPartitions(it =>
       graft.core.GraftStage.asyncWindowIterator(

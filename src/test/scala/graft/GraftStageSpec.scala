@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import java.util.concurrent.atomic.AtomicInteger
 import scala.concurrent.duration._
-import scala.concurrent.{ExecutionContext, Future, Promise}
+import scala.concurrent.{Await, ExecutionContext, Future, Promise}
 
 /** Shared mutable counters for lifecycle/side-effect assertions. Hooks
   * run on executor threads — same JVM under local[*], so statics are
@@ -238,5 +238,41 @@ class GraftStageSpec extends AnyFunSuite {
     watcher.join()
     assert(observed.get() >= 1, "watcher never saw an active worker")
     assert(GraftStage.stageStatus(spark).isEmpty, "census must drain when idle")
+  }
+
+  test("mapAsync: the DEFAULT timeout is finite — a hung Future cannot wedge the default config") {
+    // Round-3 finding: Duration.Inf default let one unresponsive
+    // service stall a partition forever. The default bound must be
+    // finite; drop-on-expiry behavior under a bound is covered by the
+    // explicit-timeout test above (same code path — the default is just
+    // the parameter's value).
+    assert(GraftStage.DefaultAsyncTimeout.isFinite,
+      "DefaultAsyncTimeout must be a finite bound")
+    assert(GraftStage.DefaultAsyncTimeout.toSeconds <= 300)
+  }
+
+  test("toFutureSeq: awaitable stage — `await stage` gathers values (task/stage.py:105-115)") {
+    implicit val ec: scala.concurrent.ExecutionContext = GraftStage.asyncEc
+    val fut = (0 until 30).toSeq.toStage.map(_ * 2).toFutureSeq
+    assert(Await.result(fut, 60.seconds).sorted == (0 until 30).map(_ * 2))
+  }
+
+  test("toAsyncIterator: async-pull consumption without blocking the caller per element (to_iterable.py:62-101)") {
+    implicit val ec: scala.concurrent.ExecutionContext = GraftStage.asyncEc
+    val it = (0 until 50).toSeq.toStage.map(_ + 1).toAsyncIterator(maxsize = 8)
+    // Consume purely via Future continuations — the ONLY blocking wait
+    // is the single terminal Await on the aggregate future.
+    val all = Await.result(it.toSeq, 60.seconds)
+    assert(all.sorted == (1 to 50))
+    // exhausted iterator keeps yielding None
+    assert(Await.result(it.next(), 10.seconds).isEmpty)
+  }
+
+  test("toAsyncIterator: pipeline failure fails the Future with the ORIGINAL exception type") {
+    val it = Seq(1, 2, 3).toStage
+      .map { x => if (x == 2) throw new GraftUserError("async-boom"); x }
+      .toAsyncIterator()
+    val e = intercept[GraftUserError] { Await.result(it.toSeq, 60.seconds) }
+    assert(e.getMessage == "async-boom")
   }
 }
