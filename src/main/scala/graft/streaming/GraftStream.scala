@@ -160,17 +160,35 @@ object GraftStream {
     * (band, key), never a corpus-wide join.
     *
     * `maxBucket` caps state per bucket (boilerplate floods get
-    * truncated — the streaming capBuckets); bucket COUNT still grows
-    * with corpus vocabulary, so an unbounded run wants
-    * GroupStateTimeout (age out cold buckets) or periodic state
-    * compaction — NoTimeout here keeps the detection exact over the
-    * job's lifetime. Pairs may repeat when two docs share several
-    * buckets; feed through a downstream [[dedupExact]]-style
+    * truncated — the streaming capBuckets); bucket COUNT is bounded by
+    * `stateTtl`: each bucket's state carries a processing-time timeout,
+    * RE-ARMED on every access, so hot buckets (active boilerplate,
+    * recurring templates) live as long as they keep matching while cold
+    * buckets — vocabulary seen once and never again — are evicted after
+    * `stateTtl` of inactivity. Total state is then O(buckets touched
+    * per TTL window), not O(vocabulary over the job's lifetime). The
+    * recall trade is explicit: a duplicate arriving AFTER its
+    * original's buckets went cold re-seeds the buckets instead of
+    * pairing (the tested contract); size `stateTtl` to the dedup
+    * horizon the pipeline needs. `stateTtl = ""` disables eviction
+    * (NoTimeout): detection stays exact for the job's lifetime, state
+    * grows with vocabulary — the bounded-run mode.
+    *
+    * Engine caveat with eviction on: ProcessingTimeTimeout makes
+    * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` always true,
+    * so the engine schedules timeout-check batches continuously and
+    * `StreamingQuery.processAllAvailable()` NEVER observes quiescence
+    * — drive such queries by trigger/polling (see StreamingSpec), and
+    * give them a real trigger interval in production.
+    *
+    * Pairs may repeat when two docs share
+    * several buckets; feed through a downstream [[dedupExact]]-style
     * dropDuplicates or dedupe at the sink.
     * Verify candidates with exact Jaccard offline (candidates are a
     * superset; verification needs the fps, which the caller retains). */
   def nearDupCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, hashes: Int = 64, bands: Int = 16, maxBucket: Int = 64): Dataset[(Long, Long)] = {
+      k: Int = 3, hashes: Int = 64, bands: Int = 16, maxBucket: Int = 64,
+      stateTtl: String = "30 minutes"): Dataset[(Long, Long)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.ext.{DedupOps, TextOps}
     val spark = df.sparkSession
@@ -180,17 +198,28 @@ object GraftStream {
           DedupOps.shingleFps(TextOps.tokens(col(textCol)), k), hashes), bands, hashes / bands))
           .as(Seq("band", "sig")))
       .as[(Long, Int, Long)]
+    val ttl = stateTtl
+    val timeoutConf =
+      if (ttl.isEmpty) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
     sigs.groupByKey(r => (r._2, r._3))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (_: (Int, Long), rows: Iterator[(Long, Int, Long)], state: GroupState[Seq[Long]]) =>
-          val prev = state.getOption.getOrElse(Seq.empty)
-          val fresh = rows.map(_._1).toSeq.distinct.filterNot(prev.contains)
-          val cross = for { n <- fresh; p <- prev }
-            yield (math.min(n, p), math.max(n, p))
-          val intra = fresh.combinations(2).map { case Seq(a, b) =>
-            (math.min(a, b), math.max(a, b)) }.toSeq
-          state.update((prev ++ fresh).take(maxBucket))
-          (cross ++ intra).iterator
+          if (state.hasTimedOut) {
+            // cold bucket: evict (no rows accompany a timeout callback)
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(Seq.empty)
+            val fresh = rows.map(_._1).toSeq.distinct.filterNot(prev.contains)
+            val cross = for { n <- fresh; p <- prev }
+              yield (math.min(n, p), math.max(n, p))
+            val intra = fresh.combinations(2).map { case Seq(a, b) =>
+              (math.min(a, b), math.max(a, b)) }.toSeq
+            state.update((prev ++ fresh).take(maxBucket))
+            if (ttl.nonEmpty) state.setTimeoutDuration(ttl) // re-arm on every access
+            (cross ++ intra).iterator
+          }
       }
   }
 
