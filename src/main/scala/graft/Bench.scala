@@ -32,7 +32,10 @@ object Bench {
     def exec(name: String): Unit =
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      finally graft.ext.DedupOps.releaseCaches()
+      finally {
+        graft.ext.DedupOps.releaseCaches()
+        spark.conf.set("spark.graft.lsh.rewrite", "false")
+      }
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       try exec(name) catch { case _: Throwable => () }

@@ -30,7 +30,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally graft.ext.DedupOps.releaseCaches()
+      finally {
+        graft.ext.DedupOps.releaseCaches()
+        // per-query session hygiene: a query that opts into the LSH
+        // rewrite must not leak it into whatever query runs next
+        spark.conf.set("spark.graft.lsh.rewrite", "false")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -64,6 +64,35 @@ object SimQueries {
       .filter(col("cos") >= 0.999)
   }
 
+  /** The Catalyst rewrite under the oracle gate: the join is DECLARED
+    * in its naive quadratic form — `graft_cosine(a, b) >= 0.999` as the
+    * ONLY similarity predicate — and [[graft.plans.LshJoinRewrite]]
+    * (injected at runtime, enabled via `spark.graft.lsh.rewrite`)
+    * conjoins `graft_srp_bucket(a, 16) = graft_srp_bucket(b, 16)`,
+    * which Catalyst extracts as the hash-join key: candidates meet only
+    * inside SRP buckets, O(collisions) instead of O(N²) nested-loop
+    * scoring. The oracle spells the REWRITTEN (bucket-conjoined)
+    * semantics, so the green row pins the rule's approximate contract —
+    * identical planted copies always share their bucket (full recall at
+    * cos ≥ 0.999 on this corpus); PlanSpec separately proves the
+    * nested-loop → equi-join plan change. */
+  def simPairsRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    // CLI mains build plain sessions: inject the rule at runtime (the
+    // idiomatic deployment is spark.sql.extensions=graft.sql.GraftExtensions).
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.LshJoinRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LshJoinRewrite()
+    spark.conf.set("spark.graft.lsh.rewrite", "true")
+    spark.conf.set("spark.graft.lsh.bits", "16")
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val corpus = e.unionAll(e.select((col("vec_id") + SHIFT).as("vec_id"), col("embedding")))
+    corpus.as("a").join(corpus.as("b"),
+        SimOps.cosine(col("a.embedding"), col("b.embedding")) >= 0.999 &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        SimOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+  }
+
   /** IVF coarse quantizer: per-label centroids via decimal-exact
     * per-dimension means (order-independent under any shuffle — the
     * only cross-row float aggregation in the suite), then every vector
@@ -90,6 +119,7 @@ object SimQueries {
     "sim_topk" -> (simTopk _),
     "sim_lsh" -> (simLsh _),
     "sim_pairs" -> (simPairs _),
+    "sim_pairs_rewrite" -> (simPairsRewrite _),
     "sim_ivf" -> (simIvf _))
 
   // ---- DuckDB oracle spellings -------------------------------------
@@ -139,6 +169,17 @@ object SimQueries {
          |SELECT q_id, vec_id, cos FROM scored
          |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10""".stripMargin,
     "sim_pairs" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+         |                UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+         |b AS (SELECT vec_id, embedding, ${srpSql("embedding", 16)} AS bucket FROM corpus),
+         |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |                 ${cosSql("a.embedding", "b.embedding")} AS cos
+         |          FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.999""".stripMargin,
+    // The rewrite rule's contract: the Spark side declares ONLY the
+    // cosine predicate; the oracle spells the srp-bucket conjunction the
+    // rule adds (16-bit buckets per spark.graft.lsh.bits).
+    "sim_pairs_rewrite" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
          |                UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
          |b AS (SELECT vec_id, embedding, ${srpSql("embedding", 16)} AS bucket FROM corpus),

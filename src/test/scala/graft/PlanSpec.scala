@@ -35,6 +35,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("sim_pairs_rewrite (declared): the rule turns the naive cosine join into an equi-join") {
+    // The DECLARED query only states graft_cosine >= θ; the injected
+    // LshJoinRewrite must leave no nested-loop in the physical plan.
+    try {
+      val p = plan("sim_pairs_rewrite")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"rewrite must produce an equi-join:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    } finally {
+      spark.conf.set("spark.graft.lsh.rewrite", "false")
+    }
+  }
+
   test("dedup_near: candidate generation is equi-join on (band,sig) — no cartesian") {
     val p = plan("dedup_near")
     assert(!p.contains("CartesianProduct"), "LSH must never go all-pairs")
