@@ -73,6 +73,22 @@ object EventQueries {
       .agg(countDistinct(col("user_id")).as("active_users"),
         count(lit(1)).as("n_events"))
 
+  /** The 100 TB DAU shape promised above: HLL++ sketch
+    * (`approx_count_distinct`) instead of exact COUNT(DISTINCT).
+    * The sketch merges map-side, so the shuffle carries one fixed-size
+    * sketch per (day, map task) instead of every distinct user id —
+    * at warehouse scale that is the difference between a bounded
+    * exchange and shuffling the id universe. Approximate by nature, so
+    * NOT oracle-hashable: EventQueriesSpec bounds its relative error
+    * against [[eventsDailyActive]] instead (rsd defaults to 5%; HLL++
+    * is exact in sparse mode at small cardinalities). */
+  def eventsDailyActiveApprox(spark: SparkSession, sfDir: String,
+      rsd: Double = 0.05): DataFrame =
+    events(spark, sfDir)
+      .groupBy(to_date(tsMicros).as("day"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("active_users_approx"),
+        count(lit(1)).as("n_events"))
+
   /** Semi-structured extraction: pull `k` out of the JSON props column
     * and aggregate per event type — get_json_object stays a column
     * expression (no UDF), the portable subset of JSON-path both engines
