@@ -76,6 +76,28 @@ object DedupQueries {
         DedupOps.jaccard(col("fps_a"), col("fps_b")).as("jaccard"))
   }
 
+  /** MinHash calibration: the Broder estimator beside the exact value.
+    * For consecutive doc pairs, the fraction of agreeing minhash rows
+    * (of 64) estimates Jaccard similarity — THE property the whole LSH
+    * pipeline rests on, made visible: est_jaccard ≈ jaccard within
+    * sketch variance (σ ≈ √(J(1−J)/64)). At 100 TB the estimator is
+    * what lets banding prune candidates without touching shingle sets;
+    * the agreement fold is per-row arithmetic over two 64-element
+    * signature attributes (no re-shuffle, no set algebra). */
+  def dedupMinhashEst(spark: SparkSession, sfDir: String): DataFrame = {
+    val withSig = docs(spark, sfDir)
+      .select(col("doc_id"), shingleFps(tokens(col("text")), 3).as("fps"))
+      .select(col("doc_id"), col("fps"), minhash(col("fps"), 64).as("mh"))
+    val a = withSig.select(col("doc_id").as("doc_a"), col("fps").as("fps_a"), col("mh").as("mh_a"))
+    val b = withSig.select(col("doc_id").as("doc_b"), col("fps").as("fps_b"), col("mh").as("mh_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("mh_a"), col("mh_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).cast("double") / 64.0).as("est_jaccard"),
+        DedupOps.jaccard(col("fps_a"), col("fps_b")).as("jaccard"))
+  }
+
   /** End-to-end dedup decision: LSH candidate pairs → connected
     * components → keep-first representative per member. The oracle
     * recomputes the same pairs in SQL and closes them with a recursive
@@ -140,6 +162,7 @@ object DedupQueries {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_near" -> (dedupNear _),
     "dedup_near_capped" -> (dedupNearCapped _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -267,6 +290,18 @@ object DedupQueries {
          |SELECT DISTINCT da AS doc_a, db AS doc_b,
          |       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 2""".stripMargin,
+    "dedup_minhash_est" ->
+      s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |sh_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, list_transform(sh, s -> ${fpFold("s")}) AS fps FROM sh_t),
+         |mh_t AS (SELECT doc_id, fps, $minhashSql AS mh FROM fp_t)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 65),
+         |    i -> CAST(CASE WHEN mh_a[i] = mh_b[i] THEN 1 ELSE 0 END AS BIGINT))),
+         |    (acc, v) -> acc + v) AS DOUBLE) / 64.0 AS est_jaccard,
+         |  $jaccardSql AS jaccard
+         |FROM (SELECT doc_id, fps AS fps_a, mh AS mh_a FROM mh_t) a
+         |JOIN (SELECT doc_id, fps AS fps_b, mh AS mh_b FROM mh_t) b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "dedup_char_jaccard" ->
       s"""WITH fp_t AS (SELECT doc_id,
          |    CASE WHEN len(text) >= 5

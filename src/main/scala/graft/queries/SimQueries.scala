@@ -93,6 +93,41 @@ object SimQueries {
         SimOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
   }
 
+  /** Symmetric int8 quantization — the standard ANN compression step
+    * (4x smaller vectors, SIMD-friendly dot products): per-vector
+    * scale = 127 / max|v|, q_i = round(v_i · scale). Pure per-row
+    * column arithmetic over the embedding attribute (float→double
+    * casts exact, one max fold + one rounding map — no shuffle, no
+    * UDF); at 100 TB this runs inside the scan projection. Emits the
+    * scale so consumers can dequantize (v ≈ q · maxabs/127).
+    *
+    * The DECLARED row projects the int8 vector to scalar checksums
+    * (sum, L1, dot) — the comparator hashes scalars, and the three
+    * folds jointly pin every element's rounding — while [[quantized]]
+    * returns the actual array column for pipeline use. */
+  def quantized(e: DataFrame): DataFrame = {
+    // two-step projection so the rounding lambda multiplies by an
+    // attribute; if CollapseProject inlines the max-fold back into the
+    // lambda the cost is still only dims² flops/row (64-dim: 4k flops)
+    // — constant per row, unlike the sketch kernels that went native
+    val maxabs = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+    e.select(col("vec_id"), col("label"), col("embedding"),
+        when(maxabs > 0.0, lit(127.0) / maxabs).otherwise(lit(0.0)).as("scale"))
+      .select(col("vec_id"), col("label"), col("scale"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * col("scale")).cast("int")).as("q"))
+  }
+
+  def simQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      aggregate(col("q"), lit(0L), (acc, v) => acc + f(v.cast("long")))
+    quantized(emb(spark, sfDir))
+      .select(col("vec_id"), col("label"), col("scale"),
+        fold(identity).as("q_sum"),
+        fold(abs).as("q_l1"),
+        fold(v => v * v).as("q_dot"))
+  }
+
   /** IVF coarse quantizer: per-label centroids via decimal-exact
     * per-dimension means (order-independent under any shuffle — the
     * only cross-row float aggregation in the suite), then every vector
@@ -120,6 +155,7 @@ object SimQueries {
     "sim_lsh" -> (simLsh _),
     "sim_pairs" -> (simPairs _),
     "sim_pairs_rewrite" -> (simPairsRewrite _),
+    "sim_quantize" -> (simQuantize _),
     "sim_ivf" -> (simIvf _))
 
   // ---- DuckDB oracle spellings -------------------------------------
@@ -187,6 +223,22 @@ object SimQueries {
          |                 ${cosSql("a.embedding", "b.embedding")} AS cos
          |          FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.999""".stripMargin,
+    "sim_quantize" ->
+      s"""WITH m_t AS (SELECT vec_id, label, embedding,
+         |  list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS m
+         |  FROM embeddings),
+         |q_t AS (SELECT vec_id, label,
+         |  CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale,
+         |  list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) *
+         |    CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END) AS BIGINT)) AS q
+         |FROM m_t)
+         |SELECT vec_id, label, scale,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), q), (acc, v) -> acc + v) AS q_sum,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, v -> abs(v))),
+         |    (acc, v) -> acc + v) AS q_l1,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, v -> v * v)),
+         |    (acc, v) -> acc + v) AS q_dot
+         |FROM q_t""".stripMargin,
     "sim_ivf" ->
       s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
          |                     unnest(embedding) AS v FROM embeddings),

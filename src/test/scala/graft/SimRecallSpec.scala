@@ -54,4 +54,26 @@ class SimRecallSpec extends AnyFunSuite {
       probed.getOrElse(qid, Set.empty).count(truth.contains).toDouble / truth.size }
     assert(hits.sum / hits.size > 0.0)
   }
+
+  test("int8 quantization round-trips within half a quantization step per element") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val rows = graft.queries.SimQueries.quantized(e)
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("scale"), col("q"), col("embedding"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(0)
+      val q = r.getSeq[Int](1)
+      val v = r.getSeq[Float](2)
+      assert(q.length == v.length && scale > 0.0)
+      assert(q.forall(x => x >= -127 && x <= 127), "int8 range")
+      // dequantized error bounded by half a step (rounding), per element
+      q.zip(v).foreach { case (qi, vi) =>
+        val deq = qi / scale
+        assert(math.abs(deq - vi) <= 0.5 / scale + 1e-9,
+          s"dequant error ${math.abs(deq - vi)} exceeds half-step ${0.5 / scale}")
+      }
+    }
+  }
 }
