@@ -58,9 +58,9 @@ class DocGenSourceSpec extends AnyFunSuite {
     // verify join's probe side to broadcast (r=4 measured 1.08M
     // organic candidates → two 10M-row sort-merge shuffles). The PLAN
     // SHAPE is identical to the oracle-gated dedup_near/_capped.
-    // Phase costs at local[16] (measured): ~42 s fps sketch+persist,
-    // ~15 s bucket aggregation, ~10 s verify — budget 150 s absorbs a
-    // loaded co-tenant (the round-3 bench lesson).
+    // Phase costs at local[16] (measured): 46 s end-to-end idle —
+    // budget 180 s absorbs a ~3.5x loaded co-tenant (round 3 saw the
+    // driver's machine inflate a 28 s bench to 95 s).
     val t0 = System.nanoTime()
     val d = docs(10000000L, 64)
     val pairs = graft.ext.DedupOps.nearDupPairs(
@@ -70,7 +70,7 @@ class DocGenSourceSpec extends AnyFunSuite {
     graft.ext.DedupOps.releaseCaches()
     val secs = (System.nanoTime() - t0) / 1e9
     assert(n < 100000, s"candidate explosion: $n pairs")
-    assert(secs < 150.0, f"10M-doc near-dup pipeline took $secs%.1f s (budget 150 s on local[16])")
+    assert(secs < 180.0, f"10M-doc near-dup pipeline took $secs%.1f s (budget 180 s on local[16])")
     info(f"10M docs end-to-end in $secs%.1f s, $n verified pairs")
   }
 

@@ -48,6 +48,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_near_capped: one-shuffle bucket aggregation, no count-join, no self-join") {
+    // The capped path must be [groupBy collect_list -> size filter ->
+    // two generators], NOT [bucket-count join + bucket self-join]: the
+    // only join in the plan is the final Jaccard-verify lookup of the
+    // (tiny, broadcast-able) pair set against the signature relation.
+    val p = plan("dedup_near_capped")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(nOps(p, "Generate") >= 2, "pair generation must be explode-based:\n" + p)
+    val joins = nOps(p, "SortMergeJoin") + nOps(p, "BroadcastHashJoin") +
+      nOps(p, "ShuffledHashJoin")
+    assert(joins <= 2, s"capped path must not join the exploded relation ($joins joins):\n$p")
+  }
+
   test("dedup_near: candidate generation is equi-join on (band,sig) — no cartesian") {
     val p = plan("dedup_near")
     assert(!p.contains("CartesianProduct"), "LSH must never go all-pairs")

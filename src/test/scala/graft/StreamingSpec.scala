@@ -260,7 +260,20 @@ class StreamingSpec extends AnyFunSuite {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     in.addData((1L, base))
     awaitOffset(0) // doc 1's buckets seeded, 1s TTL armed
-    Thread.sleep(1500) // timeout-check batches run meanwhile → cold buckets evicted
+    // Wait until (a) the TTL has elapsed AND (b) at least two further
+    // batches COMPLETED after that instant — guaranteeing a
+    // timeout-check batch ran post-expiry and evicted doc 1's buckets
+    // before doc 2 arrives (a fixed sleep could straddle a load stall
+    // where no batch runs, leaving state alive for doc 2's batch).
+    val tArm = System.currentTimeMillis()
+    def batchId: Long = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+    val expiry = tArm + 1200
+    while (System.currentTimeMillis() < expiry) Thread.sleep(50)
+    val bAtExpiry = batchId
+    val evictDeadline = System.currentTimeMillis() + 60000
+    while (batchId < bAtExpiry + 2 && System.currentTimeMillis() < evictDeadline)
+      Thread.sleep(50)
+    assert(batchId >= bAtExpiry + 2, "no timeout-check batches ran after TTL expiry")
     // late duplicate: original evicted → re-seeds instead of pairing
     in.addData((2L, base))
     awaitOffset(1)
