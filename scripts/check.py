@@ -71,7 +71,22 @@ def main():
                     and c in mdf.columns and str(mdf[c].dtype).startswith("int")]
         if degraded:
             print(f"WARN {name}: oracle columns degraded to float64 vs int "
-                  f"spark side {degraded} — >2^53 values compare inexactly")
+                  f"spark side {degraded} — running exact fetchall pass on them")
+            # Secondary exact pass: fetchall keeps HUGEINT/BIGINT as
+            # Python ints, so >2^53 values compare exactly.
+            exact_ok = True
+            for c in degraded:
+                ov = sorted(r[0] for r in con.execute(
+                    f"SELECT \"{c}\" FROM ({sql})").fetchall())
+                mv = sorted(r[0] for r in con.execute(
+                    f"SELECT \"{c}\" FROM read_parquet('{mine_dir}/*.parquet')").fetchall())
+                if [int(x) for x in ov if x is not None] != \
+                        [int(x) for x in mv if x is not None]:
+                    print(f"FAIL {name}: exact-int mismatch in degraded column {c}")
+                    exact_ok = False
+            if not exact_ok:
+                n_fail += 1
+                continue
         mc, mr = canon(mrows, mcols)
         oc, orr = canon(orows, ocols)
         if mc != oc:

@@ -89,7 +89,44 @@ object TextQueries {
       size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
         .cast("bigint").as("n_alpha"))
 
+  /** The composed training-data curation pipeline in ONE declared
+    * query — what a pretraining-data user actually runs: corpus (with
+    * planted exact duplicates) → quality score ≥ 0.5 → language-ID
+    * filter (drop 'und') → exact dedup keep-first on the content
+    * fingerprint → per-language corpus stats. Every stage is one of
+    * this suite's oracle-gated kernels; composing them under a single
+    * hash check proves the operators pipeline correctly, not just
+    * individually. Plan shape: one scan, all scoring in the scan
+    * projection, two hash aggregations (fp dedup, language rollup) —
+    * the minimum shuffles for the semantics at any scale. */
+  def curatePipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents").select(col("doc_id"), col("text"), col("n_chars"))
+    val corpus = d.unionAll(
+      d.select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("n_chars")))
+    val toks = tokens(col("text"))
+    val nch = col("n_chars").cast("bigint")
+    val punct = expr("regexp_count(text, '[.,!?;:]')").cast("bigint")
+    val digits = expr("regexp_count(text, '[0-9]')").cast("bigint")
+    val stop = wordRatio(toks, Seq("the", "a", "data", "table"))
+    val scored = corpus.select(col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      langId(toks).as("pred_lang"),
+      greatest(lit(0.0), least(lit(1.0),
+        lit(0.5) + stop - (punct / nch) * 2 - (digits / nch))).as("quality"),
+      fingerprint(col("text")).as("fp"))
+    // group by (fp, pred_lang): identical text implies identical
+    // pred_lang, so this is the same dedup — and keeping the string
+    // out of the aggregate buffer keeps the aggregation hash-based
+    // (min(string) would force SortAggregate + an extra sort)
+    scored.filter(col("quality") >= 0.5 && col("pred_lang") =!= "und")
+      .groupBy(col("fp"), col("pred_lang"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"))
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_pipeline" -> (curatePipeline _),
     "text_stats" -> (textStats _),
     "text_fingerprint" -> (textFingerprint _),
     "text_lang_id" -> (textLangId _),
@@ -108,7 +145,36 @@ object TextQueries {
     s"CASE $whens ELSE 'und' END"
   }
 
+  private val qualitySql =
+    s"""GREATEST(0.0, LEAST(1.0,
+       |    0.5 + CAST(len(list_filter($toksSql, t -> t IN ('the','a','data','table'))) AS BIGINT)
+       |            / CAST(len($toksSql) AS BIGINT)
+       |        - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) / n_chars * 2
+       |        - CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) / n_chars))""".stripMargin
+
+  private val fpSql =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "curate_pipeline" ->
+      s"""WITH corpus AS (SELECT doc_id, text, n_chars FROM documents
+         |                UNION ALL SELECT doc_id + 1000000, text, n_chars FROM documents),
+         |s1 AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |         ${TextOps.langMarkers.map { case (l, ws) => s"${markerSql(ws)} AS score_$l" }.mkString(", ")},
+         |         $qualitySql AS quality,
+         |         $fpSql AS fp
+         |       FROM corpus),
+         |s2 AS (SELECT *,
+         |         GREATEST(${TextOps.langMarkers.map { case (l, _) => s"score_$l" }.mkString(", ")}) AS best
+         |       FROM s1),
+         |s3 AS (SELECT doc_id, n_tokens, quality, fp, $langCase AS pred_lang FROM s2),
+         |f AS (SELECT * FROM s3 WHERE quality >= 0.5 AND pred_lang <> 'und'),
+         |k AS (SELECT fp, pred_lang, MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
+         |      FROM f GROUP BY fp, pred_lang)
+         |SELECT pred_lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM k GROUP BY pred_lang""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id, n_chars,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens,

@@ -48,6 +48,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("curate_pipeline: scoring lives in the scan projection — no joins, two aggregations") {
+    // quality + language + fingerprint are computed inline over the
+    // union scan; the only exchanges are the fp-dedup and language
+    // rollup hash aggregations (partial + final each). A join or a
+    // window here would mean a stage recomputed or shuffled the corpus.
+    val p = plan("curate_pipeline")
+    val joins = nOps(p, "SortMergeJoin") + nOps(p, "BroadcastHashJoin") +
+      nOps(p, "ShuffledHashJoin") + nOps(p, "BroadcastNestedLoopJoin") +
+      nOps(p, "CartesianProduct")
+    assert(joins == 0, s"curation pipeline must be join-free:\n$p")
+    assert(nOps(p, "HashAggregate") >= 4, "two partial+final aggregations expected:\n" + p)
+    assert(!p.contains("Window"), "no window operator expected:\n" + p)
+  }
+
   test("dedup_near_capped: one-shuffle bucket aggregation, no count-join, no self-join") {
     // The capped path must be [groupBy collect_list -> size filter ->
     // two generators], NOT [bucket-count join + bucket self-join]: the
