@@ -125,8 +125,29 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  /** PII scrubbing — the redaction pass every pretraining pipeline
+    * runs: plant a deterministic email per document (the synthetic
+    * corpus has none, and a green row must prove something was
+    * actually redacted), count matches, and fingerprint the redacted
+    * text. The email pattern uses only character classes, `+` and an
+    * escaped dot — the Java-regex/RE2 common subset, so both engines
+    * see identical matches; Spark's regexp_replace is global by
+    * default and the oracle passes 'g'. */
+  def textRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val pat = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now")).as("text"))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '${pat.replace("\\", "\\\\")}', 0)"))
+          .cast("bigint").as("n_emails"),
+        fingerprint(regexp_replace(col("text"), pat, "[EMAIL]")).as("redacted_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_pipeline" -> (curatePipeline _),
+    "text_redact" -> (textRedact _),
     "text_stats" -> (textStats _),
     "text_fingerprint" -> (textFingerprint _),
     "text_lang_id" -> (textLangId _),
@@ -158,6 +179,17 @@ object TextQueries {
       |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "text_redact" ->
+      s"""WITH pii AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+')) AS BIGINT) AS n_emails,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+', '[EMAIL]', 'g'), ''),
+         |      ch -> CAST(unicode(ch) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS redacted_fp
+         |FROM pii""".stripMargin,
     "curate_pipeline" ->
       s"""WITH corpus AS (SELECT doc_id, text, n_chars FROM documents
          |                UNION ALL SELECT doc_id + 1000000, text, n_chars FROM documents),
