@@ -76,12 +76,17 @@ def main():
             # Python ints, so >2^53 values compare exactly.
             exact_ok = True
             for c in degraded:
-                ov = sorted(r[0] for r in con.execute(
-                    f"SELECT \"{c}\" FROM ({sql})").fetchall())
-                mv = sorted(r[0] for r in con.execute(
-                    f"SELECT \"{c}\" FROM read_parquet('{mine_dir}/*.parquet')").fetchall())
-                if [int(x) for x in ov if x is not None] != \
-                        [int(x) for x in mv if x is not None]:
+                # filter NULLs BEFORE sorting (None vs int is unorderable
+                # — and nullable ints are exactly what degrades to
+                # float64), then compare null counts separately
+                ov = [r[0] for r in con.execute(
+                    f"SELECT \"{c}\" FROM ({sql})").fetchall()]
+                mv = [r[0] for r in con.execute(
+                    f"SELECT \"{c}\" FROM read_parquet('{mine_dir}/*.parquet')").fetchall()]
+                o_ints = sorted(int(x) for x in ov if x is not None)
+                m_ints = sorted(int(x) for x in mv if x is not None)
+                if o_ints != m_ints or \
+                        sum(x is None for x in ov) != sum(x is None for x in mv):
                     print(f"FAIL {name}: exact-int mismatch in degraded column {c}")
                     exact_ok = False
             if not exact_ok:

@@ -17,12 +17,26 @@ import org.apache.spark.sql.Dataset
   * lineage — its blocks are the only copy).
   */
 object QueryCaches {
+  // Strong references on purpose: release() must unpersist
+  // DETERMINISTICALLY even after the query's terminal action dropped
+  // the last caller reference (a weak ref can be GC-cleared in that
+  // window, leaving the blocks to the ContextCleaner's eventual
+  // GC-driven sweep — the leak test then flakes). The registry is a
+  // query-scoped contract: the harness (Bench/Verify/tests) calls
+  // release() after every query; a long-lived embedding application
+  // should do the same per batch, or unpersist its Datasets itself
+  // (track() purges entries already unpersisted out-of-band, so
+  // self-managed callers don't grow the buffer).
   private val frames = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
   private val rddIds = scala.collection.mutable.ArrayBuffer.empty[(SparkContext, Int)]
 
   /** Persist `ds` (default storage level) and register it for release. */
   def track[T](ds: Dataset[T]): Dataset[T] =
-    synchronized { frames += ds.persist(); ds }
+    synchronized {
+      frames.filterInPlace(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      frames += ds.persist()
+      ds
+    }
 
   /** Register an already-persisted RDD by id (localCheckpoint blocks —
     * the Dataset API offers no unpersist handle for them; the id comes

@@ -167,16 +167,22 @@ object DedupOps {
     // are unpersisted as soon as the next round materializes; the FINAL
     // round's blocks back the returned DataFrame, so they are registered
     // with QueryCaches and freed by the harness after the query's
-    // terminal action. (Id-diff tracking assumes one query builds at a
-    // time — the harness contract.)
-    def checkpoint(df: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
+    // terminal action. The checkpoint's OWN rdd id is read from the
+    // resulting LogicalRDD plan — a persistent-map diff around the call
+    // would also capture the edges/withFps caches whose lazy RDDs first
+    // register while the seed checkpoint materializes, and dropping
+    // those after round 1 would force every later round to recompute
+    // the whole candidate pipeline.
+    def checkpoint(df: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Option[Int]) = {
       val out = df.localCheckpoint()
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+      val id = out.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }
+      (out, id)
     }
-    def drop(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    var (labels, ckptIds) = checkpoint(edges.groupBy(col("src").as("id"))
+    def drop(id: Option[Int]): Unit =
+      id.foreach(i => sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
+    var (labels, ckptId) = checkpoint(edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nbr"))
       .select(col("id"), least(col("id"), col("nbr")).as("label")))
     // Convergence via the label-sum fixpoint: labels only ever decrease
@@ -197,18 +203,18 @@ object DedupOps {
       val viaNbr = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nbr_label"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("min_nbr"))
-      val (next, newIds) = checkpoint(labels.join(viaNbr, "id")
+      val (next, newId) = checkpoint(labels.join(viaNbr, "id")
         .select(col("id"), least(col("label"), col("min_nbr")).as("label")))
       val s = labelSum(next)
       done = s == prevSum
       prevSum = s
-      drop(ckptIds)
+      drop(ckptId)
       labels = next
-      ckptIds = newIds
+      ckptId = newId
       iter += 1
     }
     edges.unpersist()
-    ckptIds.foreach(graft.core.QueryCaches.trackRddId(sc, _))
+    ckptId.foreach(graft.core.QueryCaches.trackRddId(sc, _))
     labels.select(col("id"), col("label").as("cluster_rep"))
   }
 
@@ -249,7 +255,13 @@ object DedupOps {
   def simhashPairs(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       bits: Int = 30, bands: Int = 2, maxHamming: Int = 2,
       maxBucket: Int = 0): org.apache.spark.sql.DataFrame = {
-    require(bands >= 1 && bits >= bands)
+    // bits ≤ 62 also keeps every band narrower than 64 bits, so the
+    // (1L << w) - 1 band mask below can never wrap to 0 (which would
+    // collapse all docs into one bucket — the all-pairs join this
+    // function exists to prevent); the simhash kernel enforces the
+    // same bound at expression-construction time.
+    require(bands >= 1 && bits >= bands && bits <= 62,
+      s"simhashPairs requires 1 <= bands <= bits <= 62, got bits=$bits bands=$bands")
     val sigs = trackPersist(df.select(col(idCol).as("_id"),
       simhash(tokenFps(TextOps.tokens(col(textCol))), bits).as("sig")))
     val width = bits / bands

@@ -77,6 +77,18 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(DedupOps.dupClusters(empty).count() == 0)
   }
 
+  test("dupClusters: chain component converges over multiple propagation rounds") {
+    // A 12-node path graph needs several min-label rounds (LSH cliques
+    // converge at the seed; chains exercise the loop) — regression
+    // cover for the fixpoint's per-round checkpoint bookkeeping: only
+    // the superseded round's OWN checkpoint may be dropped, never the
+    // persisted edges/sketch caches the later rounds re-read.
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = DedupOps.dupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 11L).map(_ -> 0L).toMap, s"got $got")
+  }
+
   test("releaseCaches: no persisted RDDs leak after declared queries (persist, checkpoint, cached fan-out)") {
     val sc = spark.sparkContext
     val baseline = sc.getPersistentRDDs.keySet
