@@ -117,6 +117,39 @@ object SimOps {
       .drop("rk")
   }
 
+  /** Embedding near-duplicate pairs: SRP-bucket the corpus, pair
+    * within buckets, verify with exact cosine ≥ `threshold`. Never
+    * all-pairs. `maxBucket > 0` engages the hot-bucket skew guard —
+    * buckets larger than the bound (embedding-space boilerplate:
+    * zero-ish vectors, templated content) are dropped WHOLE before
+    * pairing, the [[graft.ext.DedupOps.nearDupPairs]] contract on the
+    * embedding pillar. The capped path is the one-shuffle shape:
+    * collect each bucket's (id, vector) members, drop oversized
+    * buckets, generate ordered pairs with two generators — per-bucket
+    * state is bounded by maxBucket × dims. The uncapped path keeps
+    * the spilling self-join. Returns (vec_a, vec_b, cos). */
+  def embNearDupPairs(corpus: DataFrame, bits: Int, threshold: Double,
+      maxBucket: Int = 0): DataFrame = {
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      srpBucket(col("embedding"), bits).as("bucket"))
+    val scored =
+      if (maxBucket > 0)
+        b.groupBy(col("bucket"))
+          .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ms"))
+          .filter(size(col("ms")).between(2, maxBucket))
+          .select(explode(col("ms")).as("a"), col("ms"))
+          .select(col("a"), explode(col("ms")).as("b"))
+          .filter(col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      else
+        b.as("a").join(b.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+    scored.filter(col("cos") >= threshold)
+  }
+
   /** Per-label centroids with decimal-exact (order-independent) means:
     * (c_id, c_vec) — the coarse quantizer for [[topkIvf]]. */
   def labelCentroids(corpus: DataFrame, labelCol: String): DataFrame =

@@ -55,13 +55,20 @@ object SimQueries {
   def simPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
     val corpus = e.unionAll(e.select((col("vec_id") + SHIFT).as("vec_id"), col("embedding")))
-    val b = corpus.select(col("vec_id"), col("embedding"),
-      SimOps.srpBucket(col("embedding"), 16).as("bucket"))
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        SimOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
-      .filter(col("cos") >= 0.999)
+    SimOps.embNearDupPairs(corpus, bits = 16, threshold = 0.999)
+  }
+
+  /** [[simPairs]] with the hot-bucket guard ENGAGED (maxBucket = 4):
+    * SRP buckets holding more than 4 vectors — embedding-space
+    * boilerplate that would square into the pairing — are dropped
+    * whole before pair generation, spelled in the oracle as a
+    * HAVING-bounded bucket CTE. Closes the loop on the fixed-width
+    * bucket saturation note: at any corpus size, candidate volume is
+    * ≤ buckets × maxBucket². */
+  def simPairsCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val corpus = e.unionAll(e.select((col("vec_id") + SHIFT).as("vec_id"), col("embedding")))
+    SimOps.embNearDupPairs(corpus, bits = 16, threshold = 0.999, maxBucket = 4)
   }
 
   /** The Catalyst rewrite under the oracle gate: the join is DECLARED
@@ -154,6 +161,7 @@ object SimQueries {
     "sim_topk" -> (simTopk _),
     "sim_lsh" -> (simLsh _),
     "sim_pairs" -> (simPairs _),
+    "sim_pairs_capped" -> (simPairsCapped _),
     "sim_pairs_rewrite" -> (simPairsRewrite _),
     "sim_quantize" -> (simQuantize _),
     "sim_ivf" -> (simIvf _))
@@ -211,6 +219,16 @@ object SimQueries {
          |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |                 ${cosSql("a.embedding", "b.embedding")} AS cos
          |          FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.999""".stripMargin,
+    "sim_pairs_capped" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+         |                UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+         |b AS (SELECT vec_id, embedding, ${srpSql("embedding", 16)} AS bucket FROM corpus),
+         |kept AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= 4),
+         |cb AS (SELECT vec_id, embedding, bucket FROM b JOIN kept USING (bucket)),
+         |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |                 ${cosSql("a.embedding", "b.embedding")} AS cos
+         |          FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.999""".stripMargin,
     // The rewrite rule's contract: the Spark side declares ONLY the
     // cosine predicate; the oracle spells the srp-bucket conjunction the

@@ -75,6 +75,15 @@ class PlanSpec extends AnyFunSuite {
     assert(joins <= 2, s"capped path must not join the exploded relation ($joins joins):\n$p")
   }
 
+  test("sim_pairs_capped: one-shuffle bucket aggregation, join-free pair generation") {
+    val p = plan("sim_pairs_capped")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(nOps(p, "Generate") >= 2, "pair generation must be explode-based:\n" + p)
+    val joins = nOps(p, "SortMergeJoin") + nOps(p, "BroadcastHashJoin") +
+      nOps(p, "ShuffledHashJoin")
+    assert(joins == 0, s"capped embedding pairing must be join-free ($joins joins):\n$p")
+  }
+
   test("dedup_near: candidate generation is equi-join on (band,sig) — no cartesian") {
     val p = plan("dedup_near")
     assert(!p.contains("CartesianProduct"), "LSH must never go all-pairs")
