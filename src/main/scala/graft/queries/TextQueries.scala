@@ -145,8 +145,28 @@ object TextQueries {
         fingerprint(regexp_replace(col("text"), pat, "[EMAIL]")).as("redacted_fp"))
   }
 
+  /** Deterministic stratified sampling for training-data mixing:
+    * admit a document iff `fingerprint(text) mod 100` falls under its
+    * language's mixing rate (en 40%, others 15%). Hash-based sampling
+    * is THE reproducible mixing primitive at 100 TB — no RNG state, no
+    * seed plumbing, stable under retries/re-partitioning, and any two
+    * engines agree (which is also what makes it oracle-able, unlike
+    * `sample()`). Content-keyed: a duplicated doc is sampled
+    * identically everywhere it appears. Output: per-language admitted
+    * counts + the rate for the row's audit. */
+  def curateSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val rate = when(col("lang") === "en", 40L).otherwise(15L)
+    d.select(col("doc_id"), col("lang"), rate.as("rate"),
+        pmod(fingerprint(col("text")), lit(100L)).as("h"))
+      .filter(col("h") < col("rate"))
+      .groupBy(col("lang"), col("rate"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_pipeline" -> (curatePipeline _),
+    "curate_sample" -> (curateSample _),
     "text_redact" -> (textRedact _),
     "text_stats" -> (textStats _),
     "text_fingerprint" -> (textFingerprint _),
@@ -179,6 +199,14 @@ object TextQueries {
       |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "curate_sample" ->
+      s"""WITH h_t AS (SELECT doc_id, lang,
+         |  CASE WHEN lang = 'en' THEN 40 ELSE 15 END AS rate,
+         |  $fpSql % 100 AS h
+         |  FROM documents)
+         |SELECT lang, CAST(rate AS BIGINT) AS rate, COUNT(*) AS n_sampled,
+         |       MIN(doc_id) AS first_doc
+         |FROM h_t WHERE h < rate GROUP BY lang, rate""".stripMargin,
     "text_redact" ->
       s"""WITH pii AS (SELECT doc_id,
          |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' AS text
