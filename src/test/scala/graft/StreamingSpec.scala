@@ -145,6 +145,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == (0L until 20L), s"each key exactly once, got $got")
   }
 
+  test("streaming curation: quality gate + bounded-state dedup admits the same docs as batch") {
+    // The incoming-training-data shape: documents stream in across
+    // micro-batches with planted duplicates and junk; a stateless
+    // quality gate (token count) plus fingerprint dedup with
+    // watermark-bounded state must admit exactly the doc set the batch
+    // pipeline (filter + keep-first-arrival per fingerprint) computes.
+    import graft.ext.TextOps
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    def curate(d: org.apache.spark.sql.DataFrame) =
+      d.filter(size(TextOps.tokens(col("text"))) >= 4)
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+    val admitted = new ConcurrentLinkedQueue[Long]()
+    val q = GraftStream.dedupExact(curate(df), "ts", "10 minutes", "fp")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        { b.collect().foreach(r => admitted.add(r.getAs[Long]("doc_id"))); () })
+      .start()
+    val base = 1700000000000L
+    def doc(i: Int, text: String) = (new Timestamp(base + i * 1000L), i.toLong, text)
+    val batch1 = Seq(
+      doc(0, "the quick brown fox jumps high"),
+      doc(1, "short junk"), // fails quality gate
+      doc(2, "a completely different document about spark plans"))
+    val batch2 = Seq(
+      doc(3, "the quick brown fox jumps high"), // dup of 0, cross-batch
+      doc(4, "short junk"), // junk again
+      doc(5, "novel text that survives the quality gate fine"))
+    in.addData(batch1: _*); q.processAllAvailable()
+    in.addData(batch2: _*); q.processAllAvailable(); q.stop()
+    val got = admitted.toArray.map(_.asInstanceOf[Long]).sorted.toSeq
+    // batch oracle on the same rows: keep first arrival per fp
+    import org.apache.spark.sql.expressions.Window
+    val all = (batch1 ++ batch2).toDF("ts", "doc_id", "text")
+    val expected = curate(all)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("ts"), col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expected, s"streaming admitted $got, batch admits $expected")
+    assert(got == Seq(0L, 2L, 5L))
+  }
+
   test("streaming events end-to-end: file-sourced windowed counts equal the batch query") {
     // The real events table through the streaming path: file source →
     // ns→µs timestamp → watermark → 1-day tumbling window, compared
