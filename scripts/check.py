@@ -71,25 +71,33 @@ def main():
                     and c in mdf.columns and str(mdf[c].dtype).startswith("int")]
         if degraded:
             print(f"WARN {name}: oracle columns degraded to float64 vs int "
-                  f"spark side {degraded} — running exact fetchall pass on them")
-            # Secondary exact pass: fetchall keeps HUGEINT/BIGINT as
-            # Python ints, so >2^53 values compare exactly.
-            exact_ok = True
-            for c in degraded:
-                # filter NULLs BEFORE sorting (None vs int is unorderable
-                # — and nullable ints are exactly what degrades to
-                # float64), then compare null counts separately
-                ov = [r[0] for r in con.execute(
-                    f"SELECT \"{c}\" FROM ({sql})").fetchall()]
-                mv = [r[0] for r in con.execute(
-                    f"SELECT \"{c}\" FROM read_parquet('{mine_dir}/*.parquet')").fetchall()]
-                o_ints = sorted(int(x) for x in ov if x is not None)
-                m_ints = sorted(int(x) for x in mv if x is not None)
-                if o_ints != m_ints or \
-                        sum(x is None for x in ov) != sum(x is None for x in mv):
-                    print(f"FAIL {name}: exact-int mismatch in degraded column {c}")
-                    exact_ok = False
-            if not exact_ok:
+                  f"spark side {degraded} — re-running the row compare in exact mode")
+            # Exact-mode re-compare of FULL ROWS via fetchall (one query
+            # per side): HUGEINT/BIGINT stay Python ints, so >2^53
+            # values compare exactly, and row association is preserved
+            # (per-column multisets would miss values swapped between
+            # rows that round to the same float64).
+            try:
+                ocur = con.execute(sql)
+                ecols_o = [d[0] for d in ocur.description]
+                erows_o = ocur.fetchall()
+                mcur = con.execute(
+                    f"SELECT * FROM read_parquet('{mine_dir}/*.parquet')")
+                ecols_m = [d[0] for d in mcur.description]
+                erows_m = mcur.fetchall()
+            except Exception as e:
+                print(f"FAIL {name}: exact pass errored: {e}")
+                n_fail += 1
+                continue
+            ec_m, er_m = canon(erows_m, ecols_m)
+            ec_o, er_o = canon(erows_o, ecols_o)
+            if ec_m != ec_o or er_m != er_o:
+                bad = [(a, b) for a, b in zip(er_m, er_o) if a != b]
+                print(f"FAIL {name}: exact-mode mismatch "
+                      f"({len(bad)}/{len(er_m)} rows differ)")
+                for a, b in bad[:3]:
+                    print("   mine  :", a)
+                    print("   oracle:", b)
                 n_fail += 1
                 continue
         mc, mr = canon(mrows, mcols)

@@ -123,26 +123,33 @@ object SimOps {
     * buckets larger than the bound (embedding-space boilerplate:
     * zero-ish vectors, templated content) are dropped WHOLE before
     * pairing, the [[graft.ext.DedupOps.nearDupPairs]] contract on the
-    * embedding pillar. The capped path is the one-shuffle shape:
-    * collect each bucket's (id, vector) members, drop oversized
-    * buckets, generate ordered pairs with two generators — per-bucket
-    * state is bounded by maxBucket × dims. The uncapped path keeps
-    * the spilling self-join. Returns (vec_a, vec_b, cos). */
+    * embedding pillar. The capped path collects only the bucket's
+    * VECTOR IDS (8 bytes/member — a million-member boilerplate bucket
+    * buffers ~8 MB, not hundreds of MB of vectors), drops oversized
+    * buckets, generates ordered id pairs with two generators, then
+    * joins the (cap-bounded, broadcast-able) pair set back to the
+    * corpus for the exact-cosine verify — the candidates-then-lookup
+    * shape of MinHash [[graft.ext.DedupOps.nearDupPairs]]. The
+    * uncapped path keeps the spilling self-join.
+    * Returns (vec_a, vec_b, cos). */
   def embNearDupPairs(corpus: DataFrame, bits: Int, threshold: Double,
       maxBucket: Int = 0): DataFrame = {
     val b = corpus.select(col("vec_id"), col("embedding"),
       srpBucket(col("embedding"), bits).as("bucket"))
     val scored =
-      if (maxBucket > 0)
-        b.groupBy(col("bucket"))
-          .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ms"))
+      if (maxBucket > 0) {
+        val pairs = b.groupBy(col("bucket"))
+          .agg(collect_list(col("vec_id")).as("ms"))
           .filter(size(col("ms")).between(2, maxBucket))
-          .select(explode(col("ms")).as("a"), col("ms"))
-          .select(col("a"), explode(col("ms")).as("b"))
-          .filter(col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            cosine(col("a.embedding"), col("b.embedding")).as("cos"))
-      else
+          .select(explode(col("ms")).as("vec_a"), col("ms"))
+          .select(col("vec_a"), explode(col("ms")).as("vec_b"))
+          .filter(col("vec_a") < col("vec_b"))
+        val e = corpus.select(col("vec_id"), col("embedding"))
+        pairs
+          .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+          .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+          .select(col("vec_a"), col("vec_b"), cosine(col("emb_a"), col("emb_b")).as("cos"))
+      } else
         b.as("a").join(b.as("b"),
             col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
