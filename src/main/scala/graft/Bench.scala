@@ -29,6 +29,10 @@ object Bench {
     // Materialize EVERY column through the noop sink: a count() would
     // let Catalyst prune the very projections being measured (e.g. a
     // fingerprint query degenerates to counting rows).
+    // A failed query must be VISIBLE, not a suspiciously fast number:
+    // failures are collected and emitted in the JSON's "errors" map
+    // (extra key — the driver's parse reads "value"/"queries").
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def exec(name: String): Unit =
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -38,7 +42,10 @@ object Bench {
       }
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      try exec(name) catch { case _: Throwable => () }
+      try exec(name) catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(name, String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Warmup: full pass, results discarded.
@@ -48,8 +55,10 @@ object Bench {
     val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     spark.stop()
