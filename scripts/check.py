@@ -66,9 +66,17 @@ def main():
         # Integer columns that pandas degraded to float64 (nullable ints,
         # DuckDB HUGEINT) lose exactness above 2^53 on BOTH sides — the
         # compare can then mask genuine large-integer divergences. Warn.
+        # (round-4 advice: trigger when EITHER side degraded — if the
+        # Spark parquet column also lands as float64 in pandas, both
+        # sides being float64 must not skip the exact re-compare.)
+        def f64(df, c):
+            return str(df[c].dtype) == "float64"
+        def integral(df, c):
+            return str(df[c].dtype).startswith(("int", "uint", "Int", "UInt"))
         degraded = [c for c in odf.columns
-                    if str(odf[c].dtype) == "float64"
-                    and c in mdf.columns and str(mdf[c].dtype).startswith("int")]
+                    if c in mdf.columns
+                    and ((f64(odf, c) and integral(mdf, c))
+                         or (f64(mdf, c) and integral(odf, c)))]
         if degraded:
             print(f"WARN {name}: oracle columns degraded to float64 vs int "
                   f"spark side {degraded} — re-running the row compare in exact mode")

@@ -40,19 +40,34 @@ object Bench {
         graft.ext.DedupOps.releaseCaches()
         spark.conf.set("spark.graft.lsh.rewrite", "false")
       }
-    def timed(name: String): Double = {
+    def timed(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
+      var ok = true
       try exec(name) catch {
         case e: Throwable =>
+          ok = false
           errors.getOrElseUpdate(name, String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     // Warmup: full pass, results discarded.
     names.foreach { n => try exec(n) catch { case _: Throwable => () } }
     val pass1 = names.map(n => n -> timed(n)).toMap
     val pass2 = names.map(n => n -> timed(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
+    // min over SUCCESSFUL passes only: a fast failure (e.g. 0.1s throw in
+    // pass 2 after a 5s success in pass 1) must not understate the time.
+    // Both passes failed -> report the max so the number reads as an
+    // upper bound beside its "errors" entry, never an optimistic one.
+    val results = names.map { n =>
+      val (t1, ok1) = pass1(n)
+      val (t2, ok2) = pass2(n)
+      n -> ((ok1, ok2) match {
+        case (true, true)  => math.min(t1, t2)
+        case (true, false) => t1
+        case (false, true) => t2
+        case (false, false) => math.max(t1, t2)
+      })
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }

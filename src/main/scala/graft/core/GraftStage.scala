@@ -342,6 +342,16 @@ object GraftStage {
     * submission order, drops elements whose Future exceeds `t`
     * (reference task-backend semantics: semaphore-bounded TaskPool +
     * asyncio.wait_for, task/worker.py:225-255). */
+  /** Elements dropped by [[GraftStage.mapAsync]] timeout expiry in THIS
+    * JVM — drop-on-timeout must never be silent data loss (round-4
+    * advice: the finite default timeout + silent drop could lose
+    * elements invisibly). Each drop is also logged at WARN. On a
+    * cluster every executor counts its own drops (the counter does not
+    * flow back to the driver — watch executor logs/metrics there). */
+  private val asyncDropped = new java.util.concurrent.atomic.LongAdder
+  def asyncDroppedCount: Long = asyncDropped.sum()
+  private lazy val asyncLog = org.slf4j.LoggerFactory.getLogger("graft.core.GraftStage")
+
   private[graft] def asyncWindowIterator[A, B, C](
       iter: Iterator[A], n: Int, t: Duration,
       submit: A => Future[B], mk: (A, B) => C): Iterator[C] = {
@@ -357,7 +367,11 @@ object GraftStage {
         while (pending.isEmpty && { fill(); window.nonEmpty }) {
           val (a, fut) = window.dequeue()
           try pending = Some(mk(a, Await.result(fut, t)))
-          catch { case _: TimeoutException => () } // drop on timeout
+          catch {
+            case _: TimeoutException => // drop on timeout — counted, never silent
+              asyncDropped.increment()
+              asyncLog.warn(s"mapAsync dropped an element after $t (total dropped in this JVM: ${asyncDropped.sum()})")
+          }
         }
       }
       def hasNext: Boolean = { advance(); pending.nonEmpty }

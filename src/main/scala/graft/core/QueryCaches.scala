@@ -27,14 +27,23 @@ object QueryCaches {
   // should do the same per batch, or unpersist its Datasets itself
   // (track() purges entries already unpersisted out-of-band, so
   // self-managed callers don't grow the buffer).
-  private val frames = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
-  private val rddIds = scala.collection.mutable.ArrayBuffer.empty[(SparkContext, Int)]
+  // Entries are OWNED by the thread that registered them (round-4
+  // advice): under concurrent queries in one JVM (thrift-server use,
+  // parallel suites), a JVM-wide release() could drop another in-flight
+  // query's localCheckpoint blocks — whose lineage is truncated, so
+  // that query would fail with lost blocks rather than recompute.
+  // release() therefore only sweeps the calling thread's entries, plus
+  // entries whose owner thread has died (their query can no longer be
+  // in flight — this keeps the sequential-harness leak guarantee even
+  // when a test registered from a short-lived thread).
+  private val frames = scala.collection.mutable.ArrayBuffer.empty[(Thread, Dataset[_])]
+  private val rddIds = scala.collection.mutable.ArrayBuffer.empty[(Thread, SparkContext, Int)]
 
   /** Persist `ds` (default storage level) and register it for release. */
   def track[T](ds: Dataset[T]): Dataset[T] =
     synchronized {
-      frames.filterInPlace(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-      frames += ds.persist()
+      frames.filterInPlace(_._2.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      frames += Thread.currentThread() -> ds.persist()
       ds
     }
 
@@ -42,15 +51,21 @@ object QueryCaches {
     * the Dataset API offers no unpersist handle for them; the id comes
     * from a before/after diff of `sc.getPersistentRDDs`). */
   private[graft] def trackRddId(sc: SparkContext, id: Int): Unit =
-    synchronized { rddIds += sc -> id }
+    synchronized { rddIds += ((Thread.currentThread(), sc, id)) }
 
-  /** Unpersist everything tracked (idempotent; non-blocking). */
+  /** Unpersist everything the CALLING thread tracked, plus orphans from
+    * dead threads (idempotent; non-blocking). Another live thread's
+    * in-flight entries are left alone. */
   def release(): Unit = synchronized {
-    frames.foreach(_.unpersist(blocking = false))
-    frames.clear()
-    rddIds.foreach { case (sc, id) =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+    val me = Thread.currentThread()
+    def sweep(owner: Thread): Boolean = (owner eq me) || !owner.isAlive
+    frames.filterInPlace { case (owner, ds) =>
+      if (sweep(owner)) { ds.unpersist(blocking = false); false } else true
     }
-    rddIds.clear()
+    rddIds.filterInPlace { case (owner, sc, id) =>
+      if (sweep(owner)) {
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)); false
+      } else true
+    }
   }
 }

@@ -253,21 +253,33 @@ object DedupOps {
     * organic buckets exponentially. Returns (id_a, id_b, hamming) with
     * id_a < id_b. */
   def simhashPairs(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-      bits: Int = 30, bands: Int = 2, maxHamming: Int = 2,
+      bits: Int = 30, bands: Int = 0, maxHamming: Int = 2,
       maxBucket: Int = 0): org.apache.spark.sql.DataFrame = {
+    // bands = 0 (the default) resolves to maxHamming + 1 — the smallest
+    // band count with the pigeonhole recall guarantee (round-4 advice:
+    // a fixed default of 2 with maxHamming = 2 silently missed pairs
+    // whose 2 differing bits straddle the bands). Passing bands <=
+    // maxHamming explicitly is allowed (a declared query may spell the
+    // reduced-recall contract in its oracle) but warns.
+    val b0 = if (bands == 0) maxHamming + 1 else bands
+    if (b0 <= maxHamming)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"simhashPairs: bands=$b0 <= maxHamming=$maxHamming drops the pigeonhole " +
+          "recall guarantee (a pair within maxHamming can straddle every band); " +
+          "use bands >= maxHamming + 1 for guaranteed recall")
     // bits ≤ 62 also keeps every band narrower than 64 bits, so the
     // (1L << w) - 1 band mask below can never wrap to 0 (which would
     // collapse all docs into one bucket — the all-pairs join this
     // function exists to prevent); the simhash kernel enforces the
     // same bound at expression-construction time.
-    require(bands >= 1 && bits >= bands && bits <= 62,
-      s"simhashPairs requires 1 <= bands <= bits <= 62, got bits=$bits bands=$bands")
+    require(b0 >= 1 && bits >= b0 && bits <= 62,
+      s"simhashPairs requires 1 <= bands <= bits <= 62, got bits=$bits bands=$b0")
     val sigs = trackPersist(df.select(col(idCol).as("_id"),
       simhash(tokenFps(TextOps.tokens(col(textCol))), bits).as("sig")))
-    val width = bits / bands
-    val bandKeys = array((0 until bands).map { j =>
+    val width = bits / b0
+    val bandKeys = array((0 until b0).map { j =>
       val lo = j * width
-      val w = if (j == bands - 1) bits - lo else width
+      val w = if (j == b0 - 1) bits - lo else width
       shiftrightunsigned(col("sig"), lo).bitwiseAND(lit((1L << w) - 1L))
     }: _*)
     val exploded = sigs.select(col("_id"), col("sig"),

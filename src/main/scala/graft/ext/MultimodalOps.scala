@@ -137,17 +137,25 @@ object MultimodalOps {
   }
 
   /** Explode sampled frames: (media_id, frame_idx, frame_bytes).
-    * Slicing is real byte math over the blob; decode of each frame
-    * would chain [[decodeToPixels]]. */
+    * Pure column expressions end-to-end (round-4 advice: the former
+    * index/slice UDFs broke whole-stage codegen on a path that scans
+    * every blob): the index set is a stepped `sequence` plus the final
+    * frame, first-occurrence-dedup'd by `array_distinct` — exactly
+    * [[sampleFrameIndices]] — and the slice is `substr` on the binary
+    * column, which clamps at the blob end like `Array.slice`. Slicing
+    * is real byte math over the blob; decode of each frame would chain
+    * [[decodeToPixels]]. */
   def sampleFrames(df: DataFrame, every: Int): DataFrame = {
-    val idx = udf((nFrames: Int) => sampleFrameIndices(nFrames, every))
-    val slice = udf((content: Array[Byte], nFrames: Int, i: Int) => {
-      val sz = math.max(1, content.length / math.max(1, nFrames))
-      content.slice(i * sz, math.min(content.length, (i + 1) * sz))
-    })
+    require(every >= 1, s"every must be >= 1, got $every")
+    val nf = col("nf")
+    val idx = when(nf <= 0, array().cast("array<int>"))
+      .otherwise(array_distinct(concat(
+        sequence(lit(0), nf - 1, lit(every)), array(nf - 1))))
+    val sz = greatest(lit(1),
+      floor(length(col("content")) / greatest(nf, lit(1))).cast("int"))
     df.select(col("media_id"), col("content"), col("meta.n_frames").as("nf"))
-      .withColumn("frame_idx", explode(idx(col("nf"))))
+      .withColumn("frame_idx", explode(idx))
       .select(col("media_id"), col("frame_idx"),
-        slice(col("content"), col("nf"), col("frame_idx")).as("frame_bytes"))
+        col("content").substr(col("frame_idx") * sz + lit(1), sz).as("frame_bytes"))
   }
 }

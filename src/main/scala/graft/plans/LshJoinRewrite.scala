@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.functions.HashExprs.{CosineExpr, SrpBucketExpr}
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -32,9 +32,16 @@ case class LshJoinRewrite() extends Rule[LogicalPlan] {
   private def hasSrp(e: Expression): Boolean =
     e.exists(_.isInstanceOf[SrpBucketExpr])
 
+  // Both spellings of "cosine at least θ": cosine-on-the-left
+  // (cos >= θ / cos > θ) AND literal-on-the-left (θ <= cos / θ < cos) —
+  // round-4 finding: matching only the first silently left the flipped
+  // form (and the lower bound of a BETWEEN, which parses to it) on the
+  // quadratic nested-loop plan with the rewrite "enabled".
   private def cosOf(cond: Expression): Option[CosineExpr] = cond.collectFirst {
     case GreaterThanOrEqual(c: CosineExpr, Literal(_, _)) => c
     case GreaterThan(c: CosineExpr, Literal(_, _)) => c
+    case LessThanOrEqual(Literal(_, _), c: CosineExpr) => c
+    case LessThan(Literal(_, _), c: CosineExpr) => c
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

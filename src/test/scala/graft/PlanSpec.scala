@@ -152,6 +152,52 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("LshJoinRewrite: literal-on-left spelling (θ <= cosine) also becomes an equi-join") {
+    // Round-4 finding: only `cos >= θ` matched — `lit(θ) <= cos` (and
+    // the lower bound a BETWEEN parses to) silently kept the quadratic
+    // nested-loop plan with the rewrite "enabled".
+    import org.apache.spark.sql.functions._
+    import graft.functions.HashExprs
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    def pairs = a.join(b,
+      lit(0.999) <= HashExprs.cosineSim(col("va"), col("vb")) && col("ida") < col("idb"))
+      .select(col("ida"), col("idb"))
+    val before = pairs.queryExecution.executedPlan.toString
+    assert(before.contains("BroadcastNestedLoopJoin") || before.contains("CartesianProduct"), before)
+    spark.experimental.extraOptimizations = Seq(graft.plans.LshJoinRewrite())
+    spark.conf.set("spark.graft.lsh.rewrite", "true")
+    try {
+      val after = pairs.queryExecution.executedPlan.toString
+      assert(!after.contains("BroadcastNestedLoopJoin") && !after.contains("CartesianProduct"),
+        s"flipped spelling must also rewrite to an equi-join:\n$after")
+    } finally {
+      spark.conf.set("spark.graft.lsh.rewrite", "false")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("sampleFrames: pure column expressions — no ScalaUDF in the plan (codegen survives)") {
+    // Round-4 finding: the index/slice UDFs broke whole-stage codegen on
+    // a path that scans every blob. The plan must carry no UDF nodes.
+    import org.apache.spark.sql.Row
+    import graft.ext.MultimodalOps
+    val rows = (0 until 4).map { i =>
+      Row(i.toLong, Array.tabulate[Byte](100)(_.toByte), Row("video", "raw", 4, 3, 0, 10))
+    }
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultimodalOps.mediaSchema)
+    val frames = MultimodalOps.sampleFrames(media, every = 3)
+    val hasUdf = frames.queryExecution.optimizedPlan.collect { case p => p.expressions }
+      .flatten.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]))
+    assert(!hasUdf, "sampleFrames must not plan any ScalaUDF")
+    assert(frames.queryExecution.explainString(FormattedMode).contains("codegen id"),
+      "frame sampling must stay inside whole-stage codegen")
+  }
+
   test("AQE skew-join: a hot key is split at runtime (skew=true in the final plan)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
