@@ -142,6 +142,24 @@ object DedupQueries {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
   }
 
+  /** [[dedupSimhashPairs]] with the hot-bucket skew guard ENGAGED
+    * (maxBucket = 4) and the pigeonhole-valid band count
+    * (bands = maxHamming + 1 = 3, the recall contract simhashPairs
+    * defaults to): any (band, key) bucket holding more than 4 docs —
+    * the template cliques this corpus is full of — is dropped before
+    * the bucket self-join. Closes the skew-guard set: all three sketch
+    * families (MinHash `dedup_near_capped`, SRP `sim_pairs_capped`,
+    * SimHash here) now have an oracle-verified cap. The oracle spells
+    * the 3 10-bit band keys arithmetically and the cap as a
+    * HAVING-bounded (band, key) CTE. */
+  def dedupSimhashPairsCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val corpus = d.unionAll(d.select((col("doc_id") + SHIFT).as("doc_id"), col("text")))
+    DedupOps.simhashPairs(corpus, "doc_id", "text",
+        bits = 30, bands = 3, maxHamming = 2, maxBucket = 4)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+  }
+
   /** [[dedupNear]] with the hot-bucket skew guard ENGAGED
     * (maxBucket = 4): any (band, sig) bucket holding more than 4 docs —
     * boilerplate/template clusters that would square into the
@@ -160,6 +178,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_char_jaccard" -> (dedupCharJaccard _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
+    "dedup_simhash_pairs_capped" -> (dedupSimhashPairsCapped _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
@@ -287,6 +306,20 @@ object DedupQueries {
          |         UNION ALL
          |         SELECT a.doc_id, b.doc_id, a.sig, b.sig
          |         FROM h_t a JOIN h_t b ON a.hi = b.hi AND a.doc_id < b.doc_id)
+         |SELECT DISTINCT da AS doc_a, db AS doc_b,
+         |       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 2""".stripMargin,
+    "dedup_simhash_pairs_capped" ->
+      s"""WITH corpus AS ($corpusExactSql),
+         |fp_t AS (SELECT doc_id, list_transform($toksSql, t -> ${fpFold("t")}) AS fps FROM corpus),
+         |s_t AS (SELECT doc_id, $simhash30Sql AS sig FROM fp_t),
+         |b_t AS (SELECT doc_id, sig, j AS band,
+         |        (sig // CAST(power(2, j*10) AS BIGINT)) % 1024 AS bkey
+         |        FROM s_t, (SELECT unnest(range(0, 3)) AS j)),
+         |kept AS (SELECT band, bkey FROM b_t GROUP BY band, bkey HAVING COUNT(*) <= 4),
+         |cb AS (SELECT doc_id, sig, band, bkey FROM b_t JOIN kept USING (band, bkey)),
+         |cand AS (SELECT a.doc_id AS da, b.doc_id AS db, a.sig AS sa, b.sig AS sb
+         |         FROM cb a JOIN cb b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT DISTINCT da AS doc_a, db AS doc_b,
          |       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 2""".stripMargin,
