@@ -203,14 +203,27 @@ object DedupOps {
       val viaNbr = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nbr_label"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("min_nbr"))
-      val (next, newId) = checkpoint(labels.join(viaNbr, "id")
-        .select(col("id"), least(col("label"), col("min_nbr")).as("label")))
-      val s = labelSum(next)
-      done = s == prevSum
-      prevSum = s
-      drop(ckptId)
-      labels = next
-      ckptId = newId
+      val nextPlan = labels.join(viaNbr, "id")
+        .select(col("id"), least(col("label"), col("min_nbr")).as("label"))
+      // Aggregate the round's sum over the UNMATERIALIZED plan first:
+      // when it equals prevSum no label changed, the current checkpoint
+      // already IS the fixpoint, and the round needs no checkpoint at
+      // all — in the common case (LSH dup components are near-cliques
+      // that converge at initialization) the whole loop then runs ONE
+      // checkpoint (the seed) instead of two. Only a round that
+      // actually changed labels pays the checkpoint; its join
+      // recomputes once from the cached inputs (edges persist + the
+      // previous round's blocks), which is cheaper than writing
+      // checkpoint blocks every round including the confirmation one.
+      val s = labelSum(nextPlan)
+      if (s == prevSum) done = true
+      else {
+        val (next, newId) = checkpoint(nextPlan)
+        drop(ckptId)
+        labels = next
+        ckptId = newId
+        prevSum = s
+      }
       iter += 1
     }
     edges.unpersist()
