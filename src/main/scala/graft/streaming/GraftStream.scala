@@ -185,7 +185,9 @@ object GraftStream {
     * several buckets; feed through a downstream [[dedupExact]]-style
     * dropDuplicates or dedupe at the sink.
     * Verify candidates with exact Jaccard offline (candidates are a
-    * superset; verification needs the fps, which the caller retains). */
+    * superset; verification needs the fps, which the caller retains) —
+    * or use [[nearDupVerified]], which keeps the minhash signature in
+    * state and emits estimator-verified pairs in-stream. */
   def nearDupCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, hashes: Int = 64, bands: Int = 16, maxBucket: Int = 64,
       stateTtl: String = "30 minutes"): Dataset[(Long, Long)] = {
@@ -219,6 +221,67 @@ object GraftStream {
             state.update((prev ++ fresh).take(maxBucket))
             if (ttl.nonEmpty) state.setTimeoutDuration(ttl) // re-arm on every access
             (cross ++ intra).iterator
+          }
+      }
+  }
+
+  /** Streaming near-duplicate VERIFIED pairs: the same bucketed
+    * keyed-state plan as [[nearDupCandidates]], but each bucket member's
+    * state carries its compact MinHash signature alongside the id
+    * (~8·`hashes` bytes/member vs 8 B id-only), so candidate pairs are
+    * verified IN-STREAM with the Broder estimator — est = |{i :
+    * sig_a(i) = sig_b(i)}| / hashes ≈ Jaccard(a, b) (the estimator the
+    * batch `dedup_minhash_est` query calibrates against exact Jaccard
+    * under the DuckDB oracle) — and only pairs at `threshold` or above
+    * are emitted, as (id_a, id_b, est) with id_a < id_b. No offline
+    * verification pass needed; the recall trade vs batch
+    * [[graft.ext.DedupOps.nearDupPairs]] is the estimator's sampling
+    * error (sd ≈ √(j(1−j)/hashes)) instead of exact-Jaccard truth.
+    *
+    * Same state bounds as the candidates variant: `maxBucket` caps
+    * members per bucket, `stateTtl` (processing-time, re-armed on
+    * access) bounds bucket count — and the same engine caveat: with a
+    * TTL, `processAllAvailable()` never observes quiescence (drive by
+    * trigger/polling). Pairs sharing several buckets repeat with
+    * identical est values — `dropDuplicates` downstream. */
+  def nearDupVerified(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, hashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      maxBucket: Int = 64, stateTtl: String = "30 minutes"): Dataset[(Long, Long, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.ext.{DedupOps, TextOps}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = df
+      .select(col(idCol).cast("long").as("id"),
+        DedupOps.minhash(DedupOps.shingleFps(TextOps.tokens(col(textCol)), k), hashes).as("mh"))
+      .select(col("id"), col("mh"),
+        posexplode(DedupOps.bandSigs(col("mh"), bands, hashes / bands)).as(Seq("band", "sig")))
+      .as[(Long, Seq[Long], Int, Long)]
+    val ttl = stateTtl
+    val timeoutConf =
+      if (ttl.isEmpty) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
+    sigs.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (_: (Int, Long), rows: Iterator[(Long, Seq[Long], Int, Long)],
+            state: GroupState[Seq[(Long, Seq[Long])]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(Seq.empty)
+            val prevIds = prev.map(_._1).toSet
+            val fresh = rows.map(r => (r._1, r._2)).toSeq
+              .distinctBy(_._1).filterNot(p => prevIds.contains(p._1))
+            def est(a: Seq[Long], b: Seq[Long]): Double =
+              a.iterator.zip(b.iterator).count(t => t._1 == t._2).toDouble / hashes
+            val cross = for { (ni, ns) <- fresh; (pi, ps) <- prev }
+              yield (math.min(ni, pi), math.max(ni, pi), est(ns, ps))
+            val intra = fresh.combinations(2).map { case Seq((a, sa), (b, sb)) =>
+              (math.min(a, b), math.max(a, b), est(sa, sb)) }.toSeq
+            state.update((prev ++ fresh).take(maxBucket))
+            if (ttl.nonEmpty) state.setTimeoutDuration(ttl) // re-arm on every access
+            (cross ++ intra).iterator.filter(_._3 >= threshold)
           }
       }
   }

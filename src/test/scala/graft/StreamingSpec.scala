@@ -267,6 +267,55 @@ class StreamingSpec extends AnyFunSuite {
       s"unrelated doc must not pair, got $got")
   }
 
+  test("streaming near-dup verified: in-stream estimator pairs equal batch nearDupPairs") {
+    // VERDICT r4 #5: signature-in-state lets the stream emit VERIFIED
+    // pairs (Broder estimate >= threshold), no offline Jaccard pass.
+    // Contract under test: on the same corpus — fed across TWO
+    // micro-batches so cross-batch state pairing is exercised — the
+    // stream's verified pair-id set equals the batch nearDupPairs
+    // result, and each emitted estimate is close to the exact Jaccard.
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "text")
+    val out = new ConcurrentLinkedQueue[(Long, Long, Double)]()
+    val q = GraftStream.nearDupVerified(df, "doc_id", "text", stateTtl = "")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long, Double)], _: Long) =>
+        { b.collect().foreach(out.add); () })
+      .start()
+    val base = "the quick brown fox jumps over the lazy dog again and again today and tomorrow"
+    val tmpl = "subscribe to our newsletter for weekly updates on all the latest product releases"
+    val docs = Seq(
+      1L -> base,
+      2L -> base.substring(base.indexOf(' ') + 1),          // near-dup of 1
+      3L -> "completely unrelated words about spark physical plans and shuffles",
+      4L -> tmpl,
+      5L -> (tmpl + " now"),                                 // near-dup of 4
+      6L -> "another singleton document mentioning catalyst expressions only")
+    val (batch1, batch2) = docs.splitAt(3)
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = out.toArray.map(_.asInstanceOf[(Long, Long, Double)])
+    val streamIds = streamed.map(p => (p._1, p._2)).toSet
+    val batchDf = docs.toDF("doc_id", "text")
+    val batchPairs = graft.ext.DedupOps.nearDupPairs(batchDf, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    graft.ext.DedupOps.releaseCaches()
+    assert(streamIds == batchPairs.keySet,
+      s"stream-verified pairs must equal batch nearDupPairs: stream=$streamIds batch=${batchPairs.keySet}")
+    // estimator accuracy: every emitted est within sampling error of
+    // exact Jaccard (sd ~ sqrt(j(1-j)/64) ~ 0.06; deterministic here)
+    streamed.foreach { case (a, b, est) =>
+      val j = batchPairs((a, b))
+      assert(math.abs(est - j) <= 0.2, s"est $est vs exact $j for ($a,$b)")
+    }
+    // duplicates across buckets repeat with IDENTICAL est values
+    assert(streamed.groupBy(p => (p._1, p._2)).values
+      .forall(g => g.map(_._3).distinct.size == 1))
+  }
+
   test("streaming near-dup: cold bucket state evicts after stateTtl; late duplicate re-seeds (recall trade)") {
     // The unbounded-runtime guard (round-3 finding): bucket state
     // carries a processing-time timeout re-armed on access. A bucket
