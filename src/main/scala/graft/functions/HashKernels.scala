@@ -152,8 +152,9 @@ object HashKernels {
       var proj = 0.0
       var d = 0
       while (d < n) {
-        val hv = (p.toLong * 1315423911L + d.toLong * 2654435761L + 97531L) % 1000003L
-        proj += v.getFloat(d).toDouble * (hv / 500001.5 - 1.0)
+        val x = p.toLong * 4099L + d.toLong + 1L
+        val hv = ((x * x) % 999999937L) * x % 999999937L
+        proj += v.getFloat(d).toDouble * (hv / 499999968.5 - 1.0)
         d += 1
       }
       acc = acc * 2 + (if (proj > 0) 1L else 0L)

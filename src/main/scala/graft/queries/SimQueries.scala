@@ -64,11 +64,16 @@ object SimQueries {
     * whole before pair generation, spelled in the oracle as a
     * HAVING-bounded bucket CTE. Closes the loop on the fixed-width
     * bucket saturation note: at any corpus size, candidate volume is
-    * ≤ buckets × maxBucket². */
+    * ≤ buckets × maxBucket². COARSE 8-bit buckets here so the cap
+    * engages organically at oracle scale: 2·|emb| members over 2^8
+    * near-uniform buckets (the decorrelated plane hash) average ~4 per
+    * bucket, so a meaningful fraction exceed the cap and are dropped —
+    * with 16-bit buckets every bucket holds exactly one twin pair and
+    * the guard would be verified-but-idle. */
   def simPairsCapped(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
     val corpus = e.unionAll(e.select((col("vec_id") + SHIFT).as("vec_id"), col("embedding")))
-    SimOps.embNearDupPairs(corpus, bits = 16, threshold = 0.999, maxBucket = 4)
+    SimOps.embNearDupPairs(corpus, bits = 8, threshold = 0.999, maxBucket = 4)
   }
 
   /** The Catalyst rewrite under the oracle gate: the join is DECLARED
@@ -193,7 +198,8 @@ object SimQueries {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $bits), p -> " +
       s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(range(1, len($v)+1), i -> CAST($v[i] AS DOUBLE) * " +
-      s"(((p*1315423911 + (i-1)*2654435761 + 97531) % 1000003) / 500001.5 - 1.0))), " +
+      s"((((p*4099 + i) * (p*4099 + i)) % 999999937) * (p*4099 + i) % 999999937 " +
+      s"/ 499999968.5 - 1.0))), " +
       s"(s,x) -> s + x) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
       s"(acc, b) -> acc*2 + b)"
 
@@ -223,7 +229,7 @@ object SimQueries {
     "sim_pairs_capped" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
          |                UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
-         |b AS (SELECT vec_id, embedding, ${srpSql("embedding", 16)} AS bucket FROM corpus),
+         |b AS (SELECT vec_id, embedding, ${srpSql("embedding", 8)} AS bucket FROM corpus),
          |kept AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= 4),
          |cb AS (SELECT vec_id, embedding, bucket FROM b JOIN kept USING (bucket)),
          |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
