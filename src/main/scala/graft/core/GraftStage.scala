@@ -180,6 +180,40 @@ final class GraftStage[T](
       others.foldLeft(plain)((a, b) => a.union(b.plain)),
       () => others.foldLeft(indexed)((a, b) => a.union(b.indexed)))
 
+  /** Deterministic round-robin concat — the reference SYNC backend's
+    * concat contract (pypeln/sync/stage.py:36-47 `iter_dependencies`,
+    * sync/api/concat.py:21): one element from each live stage per
+    * cycle, exhausted stages dropping out — [1,2,3] ++ [4,5,6,7] →
+    * 1,4,2,5,3,6,7. (Plain [[concat]] is the concurrent-backend
+    * contract: union-all, arrival order.)
+    *
+    * Spark-first shape: the interleave IS a distributed sort. Each
+    * stage's creation order comes from its indexed plan; the per-stage
+    * ordinal rank from `zipWithIndex` (distributed two-pass count —
+    * same idiom as [[GraftStage.fromDataset]], never a one-partition
+    * window); then elements sort lexicographically by (rank, stage#) —
+    * Spark's range-partitioned Sort, no driver accumulation (the
+    * reference holds every iterator on one thread). Forces the indexed
+    * plans and pays one rank job per input: order-defining by nature —
+    * use [[concat]] when arrival order is acceptable. */
+  def concatRoundRobin(others: GraftStage[T]*)(
+      implicit et: Encoder[T], ee: Encoder[Element[T]]): GraftStage[T] = {
+    val sess = spark
+    val ranked = (this +: others).zipWithIndex.map { case (s, sNo) =>
+      val n = sNo.toLong
+      sess.createDataset(
+        s.indexed.orderBy(col("index")).rdd.zipWithIndex.map {
+          case (el, rank) => Element(Seq(rank, n), el.value) })(ee)
+    }
+    val merged = ranked.reduce(_ union _).orderBy(col("index"))
+    new GraftStage(
+      merged.map(_.value),
+      // dense re-enumeration of the interleaved order, so downstream
+      // ordered/flatMap indexing sees a normal source index space
+      () => sess.createDataset(
+        merged.rdd.zipWithIndex.map { case (el, j) => Element(Seq(j), el.value) })(ee))
+  }
+
   /** Restore source-creation order by sorting on the index path — a
     * plain Spark `Sort` over `array<bigint>` (range-partitioned, fully
     * distributed), vs. the reference's accumulate-everything

@@ -83,6 +83,47 @@ class GraftStageSpec extends AnyFunSuite {
     assert(got.sorted == (a ++ b).sorted)
   }
 
+  /** The reference SYNC backend's interleave (sync/stage.py:36-47):
+    * one element per live queue per cycle, exhausted queues removed. */
+  private def rrOracle[A](ss: Seq[A]*): Seq[A] = {
+    val bufs = ss.map(s => scala.collection.mutable.Queue(s: _*))
+    val out = scala.collection.mutable.ArrayBuffer[A]()
+    var live = bufs.filter(_.nonEmpty)
+    while (live.nonEmpty) {
+      live.foreach(q => out += q.dequeue())
+      live = live.filter(_.nonEmpty)
+    }
+    out.toSeq
+  }
+
+  test("concatRoundRobin: sync-backend interleave, exhausted stages drop out (sync/api/concat.py:21)") {
+    // the reference's doc example: [1,2,3] ++ [4,5,6,7] -> 1,4,2,5,3,6,7
+    assert(Seq(1, 2, 3).toStage.concatRoundRobin(Seq(4, 5, 6, 7).toStage)
+      .toIterable.toSeq == Seq(1, 4, 2, 5, 3, 6, 7))
+    // three stages, uneven lengths, one empty
+    val (a, b, c) = ((0 until 9).toSeq, Seq(100, 101), Seq.empty[Int])
+    assert(a.toStage.concatRoundRobin(b.toStage, c.toStage)
+      .toIterable.toSeq == rrOracle(a, b, c))
+    // upstream operators feed it in each stage's creation order
+    val got = a.toStage.map(_ * 2).concatRoundRobin(b.toStage.filter(_ % 2 == 0))
+      .toIterable.toSeq
+    assert(got == rrOracle(a.map(_ * 2), b.filter(_ % 2 == 0)))
+  }
+
+  test("Partial: argless currying sugar — reusable, composable, pipes with |> (utils.py:87-98)") {
+    import graft.core.Graft
+    val pipeline = Graft.map[Int, Int](_ * 2) |> Graft.filter(_ % 3 != 0)
+    val xs = (0 until 100).toSeq
+    val ys = Seq(7, 8, 9)
+    val oracle = (s: Seq[Int]) => s.map(_ * 2).filter(_ % 3 != 0)
+    // the SAME partial applies to two different stages (reusability)
+    assert((xs.toStage |> pipeline).ordered.collectValues() == oracle(xs))
+    assert((ys.toStage |> pipeline).ordered.collectValues() == oracle(ys))
+    // chaining beyond the partial keeps working
+    val chained = ys.toStage |> pipeline |> Graft.flatMap[Int, Int](x => Seq(x, -x))
+    assert(chained.ordered.collectValues() == oracle(ys).flatMap(x => Seq(x, -x)))
+  }
+
   test("pipeline: map |> filter |> ordered round trip (README.md:46-52)") {
     val xs = (0 until 1000).toSeq
     val got = xs.toStage
