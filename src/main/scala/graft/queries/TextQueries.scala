@@ -164,7 +164,28 @@ object TextQueries {
       .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
   }
 
+  /** Within-document n-gram repetition — the boilerplate/spam signal
+    * (listing pages, keyword stuffing, templated chrome repeat the same
+    * shingles): rep_ratio = 1 − |distinct 3-gram fps| / |3-gram fps|.
+    * Reuses the dedup pillar's shingle-fingerprint kernel
+    * ([[graft.ext.DedupOps.shingleFps]]); the two-step projection keeps
+    * the kernel evaluated ONCE per row (CollapseProject does not inline
+    * a non-cheap expression referenced three times). Docs shorter than
+    * one shingle are excluded (no denominator). Pure per-row column
+    * work — runs inside the scan projection at any corpus size. */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.ext.DedupOps.shingleFps(tokens(col("text")), 3).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("bigint").as("n_grams"),
+        size(array_distinct(col("fps"))).cast("bigint").as("n_distinct"),
+        (lit(1.0) - size(array_distinct(col("fps"))).cast("bigint") /
+          size(col("fps")).cast("bigint")).as("rep_ratio"))
+      .filter(col("n_grams") > 0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (textRepetition _),
     "curate_pipeline" -> (curatePipeline _),
     "curate_sample" -> (curateSample _),
     "text_redact" -> (textRedact _),
@@ -199,6 +220,18 @@ object TextQueries {
       |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |sh_t AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+         |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE [] END AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, list_transform(sh, s ->
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(s, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007)) AS fps FROM sh_t)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_grams,
+         |  CAST(len(list_distinct(fps)) AS BIGINT) AS n_distinct,
+         |  1.0 - CAST(len(list_distinct(fps)) AS BIGINT) / CAST(len(fps) AS BIGINT) AS rep_ratio
+         |FROM fp_t WHERE len(fps) > 0""".stripMargin,
     "curate_sample" ->
       s"""WITH h_t AS (SELECT doc_id, lang,
          |  CASE WHEN lang = 'en' THEN 40 ELSE 15 END AS rate,
