@@ -65,18 +65,30 @@ def main():
             continue
         # Integer columns that pandas degraded to float64 (nullable ints,
         # DuckDB HUGEINT) lose exactness above 2^53 on BOTH sides — the
-        # compare can then mask genuine large-integer divergences. Warn.
-        # (round-4 advice: trigger when EITHER side degraded — if the
-        # Spark parquet column also lands as float64 in pandas, both
-        # sides being float64 must not skip the exact re-compare.)
+        # compare can then mask genuine large-integer divergences. The
+        # trigger consults the DECLARED (DuckDB DESCRIBE) types, not the
+        # pandas dtypes: if BOTH sides degrade to float64 (oracle
+        # HUGEINT + nullable-int parquet), pandas alone can no longer
+        # tell the column was integral, and the exact re-compare must
+        # still fire (round-4 advice, second iteration).
         def f64(df, c):
             return str(df[c].dtype) == "float64"
-        def integral(df, c):
-            return str(df[c].dtype).startswith(("int", "uint", "Int", "UInt"))
+        INT_TYPES = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
+        def decl_types(q):
+            try:
+                return {r[0]: str(r[1]) for r in
+                        con.execute(f"DESCRIBE {q}").fetchall()}
+            except Exception:
+                return {}
+        ot = decl_types(sql)
+        mt = decl_types(f"SELECT * FROM read_parquet('{mine_dir}/*.parquet')")
+        def declared_integral(c):
+            return ot.get(c, "") in INT_TYPES or mt.get(c, "") in INT_TYPES
         degraded = [c for c in odf.columns
                     if c in mdf.columns
-                    and ((f64(odf, c) and integral(mdf, c))
-                         or (f64(mdf, c) and integral(odf, c)))]
+                    and (f64(odf, c) or f64(mdf, c))
+                    and declared_integral(c)]
         if degraded:
             print(f"WARN {name}: oracle columns degraded to float64 vs int "
                   f"spark side {degraded} — re-running the row compare in exact mode")

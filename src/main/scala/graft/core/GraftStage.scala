@@ -194,8 +194,11 @@ final class GraftStage[T](
     * window); then elements sort lexicographically by (rank, stage#) —
     * Spark's range-partitioned Sort, no driver accumulation (the
     * reference holds every iterator on one thread). Forces the indexed
-    * plans and pays one rank job per input: order-defining by nature —
-    * use [[concat]] when arrival order is acceptable. */
+    * plans and pays one rank job per input AT CALL TIME (zipWithIndex
+    * computes partition offsets eagerly — same behavior as [[ordered]],
+    * a documented exception to the nothing-runs-before-the-terminal
+    * contract): order-defining by nature — use [[concat]] when arrival
+    * order is acceptable. */
   def concatRoundRobin(others: GraftStage[T]*)(
       implicit et: Encoder[T], ee: Encoder[Element[T]]): GraftStage[T] = {
     val sess = spark

@@ -56,9 +56,20 @@ object QueryCaches {
   /** Unpersist everything the CALLING thread tracked, plus orphans from
     * dead threads (idempotent; non-blocking). Another live thread's
     * in-flight entries are left alone. */
-  def release(): Unit = synchronized {
-    val me = Thread.currentThread()
-    def sweep(owner: Thread): Boolean = (owner eq me) || !owner.isAlive
+  def release(): Unit = releaseWhere { owner =>
+    (owner eq Thread.currentThread()) || !owner.isAlive
+  }
+
+  /** Unpersist EVERY tracked entry regardless of owning thread — the
+    * shutdown/idle-sweep escape hatch for pooled-thread applications
+    * (a pool worker that registered caches and returned to the pool
+    * stays alive without ever calling [[release]], so its entries are
+    * invisible to other threads' release() by design). Only call when
+    * no query is in flight: dropping a live query's localCheckpoint
+    * blocks fails it with lost blocks, not a recompute. */
+  def releaseAll(): Unit = releaseWhere(_ => true)
+
+  private def releaseWhere(sweep: Thread => Boolean): Unit = synchronized {
     frames.filterInPlace { case (owner, ds) =>
       if (sweep(owner)) { ds.unpersist(blocking = false); false } else true
     }

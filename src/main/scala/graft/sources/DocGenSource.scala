@@ -33,10 +33,12 @@ class DocGenSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-docs"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = DocGenSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new DocGenTable(
-      properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "8").toInt)
+      properties: util.Map[String, String]): Table = {
+    val rows = properties.getOrDefault("rows", "1000").toLong
+    new RangeGenTable(s"graft-docs($rows)", rows,
+      properties.getOrDefault("partitions", "8").toInt, DocGenSource.schema,
+      id => InternalRow(id, UTF8String.fromString(DocGenSource.textFor(id))))
+  }
 }
 
 object DocGenSource {
@@ -65,37 +67,3 @@ object DocGenSource {
   }
 }
 
-private class DocGenTable(rows: Long, partitions: Int) extends Table with SupportsRead {
-  override def name(): String = s"graft-docs($rows)"
-  override def schema(): StructType = DocGenSource.schema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
-      override def build(): Scan = this
-      override def readSchema(): StructType = DocGenSource.schema
-      override def toBatch: Batch = this
-      override def planInputPartitions(): Array[InputPartition] = {
-        val per = (rows + partitions - 1) / partitions
-        (0 until partitions).map { i =>
-          DocGenPartition(i * per, math.min(rows, (i + 1) * per)): InputPartition
-        }.toArray
-      }
-      override def createReaderFactory(): PartitionReaderFactory = DocGenReaderFactory()
-    }
-}
-
-private case class DocGenPartition(start: Long, end: Long) extends InputPartition
-
-private case class DocGenReaderFactory() extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[DocGenPartition]
-    new PartitionReader[InternalRow] {
-      private var cur = p.start - 1
-      override def next(): Boolean = { cur += 1; cur < p.end }
-      override def get(): InternalRow =
-        InternalRow(cur, UTF8String.fromString(DocGenSource.textFor(cur)))
-      override def close(): Unit = ()
-    }
-  }
-}

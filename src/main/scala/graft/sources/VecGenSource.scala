@@ -36,11 +36,14 @@ class VecGenSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-vecs"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = VecGenSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new VecGenTable(
-      properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "8").toInt,
-      properties.getOrDefault("dims", "32").toInt)
+      properties: util.Map[String, String]): Table = {
+    val rows = properties.getOrDefault("rows", "1000").toLong
+    val dims = properties.getOrDefault("dims", "32").toInt
+    require(dims >= 1, s"graft-vecs: dims must be >= 1, got $dims")
+    new RangeGenTable(s"graft-vecs($rows x $dims)", rows,
+      properties.getOrDefault("partitions", "8").toInt, VecGenSource.schema,
+      id => InternalRow(id, new GenericArrayData(VecGenSource.vecFor(id, dims))))
+  }
 }
 
 object VecGenSource {
@@ -63,37 +66,3 @@ object VecGenSource {
   }
 }
 
-private class VecGenTable(rows: Long, partitions: Int, dims: Int) extends Table with SupportsRead {
-  override def name(): String = s"graft-vecs($rows x $dims)"
-  override def schema(): StructType = VecGenSource.schema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
-      override def build(): Scan = this
-      override def readSchema(): StructType = VecGenSource.schema
-      override def toBatch: Batch = this
-      override def planInputPartitions(): Array[InputPartition] = {
-        val per = (rows + partitions - 1) / partitions
-        (0 until partitions).map { i =>
-          VecGenPartition(i * per, math.min(rows, (i + 1) * per), dims): InputPartition
-        }.toArray
-      }
-      override def createReaderFactory(): PartitionReaderFactory = VecGenReaderFactory()
-    }
-}
-
-private case class VecGenPartition(start: Long, end: Long, dims: Int) extends InputPartition
-
-private case class VecGenReaderFactory() extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[VecGenPartition]
-    new PartitionReader[InternalRow] {
-      private var cur = p.start - 1
-      override def next(): Boolean = { cur += 1; cur < p.end }
-      override def get(): InternalRow =
-        InternalRow(cur, new GenericArrayData(VecGenSource.vecFor(cur, p.dims)))
-      override def close(): Unit = ()
-    }
-  }
-}

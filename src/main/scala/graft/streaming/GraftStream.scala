@@ -159,8 +159,10 @@ object GraftStream {
     * incoming-training-data dedup shape: state per bucket, shuffle per
     * (band, key), never a corpus-wide join.
     *
-    * `maxBucket` caps state per bucket (boilerplate floods get
-    * truncated — the streaming capBuckets); bucket COUNT is bounded by
+    * `maxBucket` caps state per bucket AND trigger-local intra pairing
+    * (boilerplate floods get truncated — the streaming capBuckets;
+    * overflow members still pair against the stored prefix, linearly);
+    * bucket COUNT is bounded by
     * `stateTtl`: each bucket's state carries a processing-time timeout,
     * RE-ARMED on every access, so hot buckets (active boilerplate,
     * recurring templates) live as long as they keep matching while cold
@@ -214,11 +216,22 @@ object GraftStream {
           } else {
             val prev = state.getOption.getOrElse(Seq.empty)
             val fresh = rows.map(_._1).toSeq.distinct.filterNot(prev.contains)
+            // maxBucket must bound the trigger-local work too: M copies
+            // of a template arriving in ONE micro-batch would otherwise
+            // emit ~M²/2 intra pairs before any post-hoc state cap. Only
+            // ADMITTED members (up to the bucket's remaining capacity)
+            // pair among themselves and enter state; every fresh member
+            // still pairs against the stored prefix (cross is linear,
+            // ≤ maxBucket per element — detection against the bucket's
+            // established members continues at any flood size, matching
+            // the pre-cap behavior where overflow members paired but
+            // were not remembered).
+            val admitted = fresh.take(math.max(0, maxBucket - prev.size))
             val cross = for { n <- fresh; p <- prev }
               yield (math.min(n, p), math.max(n, p))
-            val intra = fresh.combinations(2).map { case Seq(a, b) =>
+            val intra = admitted.combinations(2).map { case Seq(a, b) =>
               (math.min(a, b), math.max(a, b)) }.toSeq
-            state.update((prev ++ fresh).take(maxBucket))
+            state.update(prev ++ admitted)
             if (ttl.nonEmpty) state.setTimeoutDuration(ttl) // re-arm on every access
             (cross ++ intra).iterator
           }
@@ -271,15 +284,21 @@ object GraftStream {
           } else {
             val prev = state.getOption.getOrElse(Seq.empty)
             val prevIds = prev.map(_._1).toSet
+            // Same flood bound as [[nearDupCandidates]] (see the comment
+            // there): intra pairing over ADMITTED members only — each
+            // emitted pair also pays an O(hashes) estimator scan here —
+            // while every fresh member still verifies against the stored
+            // prefix (linear, ≤ maxBucket per element).
             val fresh = rows.map(r => (r._1, r._2)).toSeq
               .distinctBy(_._1).filterNot(p => prevIds.contains(p._1))
+            val admitted = fresh.take(math.max(0, maxBucket - prev.size))
             def est(a: Seq[Long], b: Seq[Long]): Double =
               a.iterator.zip(b.iterator).count(t => t._1 == t._2).toDouble / hashes
             val cross = for { (ni, ns) <- fresh; (pi, ps) <- prev }
               yield (math.min(ni, pi), math.max(ni, pi), est(ns, ps))
-            val intra = fresh.combinations(2).map { case Seq((a, sa), (b, sb)) =>
+            val intra = admitted.combinations(2).map { case Seq((a, sa), (b, sb)) =>
               (math.min(a, b), math.max(a, b), est(sa, sb)) }.toSeq
-            state.update((prev ++ fresh).take(maxBucket))
+            state.update(prev ++ admitted)
             if (ttl.nonEmpty) state.setTimeoutDuration(ttl) // re-arm on every access
             (cross ++ intra).iterator.filter(_._3 >= threshold)
           }
