@@ -318,6 +318,48 @@ class StreamingSpec extends AnyFunSuite {
       .forall(g => g.map(_._3).distinct.size == 1))
   }
 
+  test("streaming near-dup: maxBucket bounds trigger-local intra pairing; overflow still pairs against stored state") {
+    // The flood-bound contract (round-5 review finding): M copies of a
+    // template in ONE micro-batch must not emit ~M^2/2 intra pairs —
+    // only ADMITTED members (up to remaining capacity) pair among
+    // themselves and enter state, while every fresh member still pairs
+    // against the stored prefix (linear, detection continues at any
+    // flood size).
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // repartition(1): admission takes "the first fresh members" in group
+    // iterator order, which is input order only under a single map task
+    // — keeps WHICH trio gets admitted deterministic across all 16
+    // band-buckets (identical text ⇒ identical buckets).
+    val df = in.toDF().toDF("doc_id", "text").repartition(1)
+    val pairs = new ConcurrentLinkedQueue[(Long, Long)]()
+    val q = GraftStream.nearDupCandidates(df, "doc_id", "text",
+        maxBucket = 4, stateTtl = "")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
+        { b.collect().foreach(pairs.add); () })
+      .start()
+    val tmpl = "the quick brown fox jumps over the lazy dog again and again today"
+    // batch 1: one original seeds the buckets (1 member of cap 4)
+    in.addData((1L, tmpl))
+    q.processAllAvailable()
+    // batch 2: a 10-copy flood of the same template. Capacity left = 3,
+    // so 3 are admitted: intra pairs = C(3,2) = 3, cross = 10 x 1 = 10
+    // per bucket — NOT C(10,2) = 45 intra. Sets below are per-pair
+    // (bucket repeats collapse), so: cross pairs (1, x) for ALL 10
+    // flood ids; intra pairs only among the 3 admitted.
+    val flood = (10L until 20L).map(i => (i, tmpl))
+    in.addData(flood: _*)
+    q.processAllAvailable(); q.stop()
+    val got = pairs.toArray.map(_.asInstanceOf[(Long, Long)]).toSet
+    val crossGot = got.filter(_._1 == 1L)
+    assert(crossGot.size == 10,
+      s"every flood member must pair against stored state, got $crossGot")
+    val intraGot = got.filter(p => p._1 >= 10L && p._2 >= 10L)
+    assert(intraGot == Set((10L, 11L), (10L, 12L), (11L, 12L)),
+      s"intra pairing must cover exactly the C(3,2) admitted members, got $intraGot")
+  }
+
   test("streaming near-dup: cold bucket state evicts after stateTtl; late duplicate re-seeds (recall trade)") {
     // The unbounded-runtime guard (round-3 finding): bucket state
     // carries a processing-time timeout re-armed on access. A bucket
