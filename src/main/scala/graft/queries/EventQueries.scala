@@ -117,7 +117,27 @@ object EventQueries {
           .as("n_view_click_purchase"))
   }
 
+  /** D1 retention: of the users active on day d, how many return on
+    * day d+1. One distinct (day, user) projection — a single shuffle of
+    * fixed-width pairs — then a self-equi-join keyed on (user_id,
+    * day+1 = day) and two hash aggregates. At 100 TB the distinct set
+    * is the bounded exchange (users × days, not events); the self-join
+    * shuffles it once more on user_id. */
+  def eventsRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = events(spark, sfDir)
+      .select(to_date(tsMicros).as("day"), col("user_id")).distinct()
+    val act = du.groupBy(col("day")).agg(count(lit(1)).as("active_users"))
+    val ret = du.as("a").join(du.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.day") === date_add(col("a.day"), 1))
+      .groupBy(col("a.day").as("day")).agg(count(lit(1)).as("retained_d1"))
+    act.join(ret, Seq("day"), "left")
+      .select(col("day"), col("active_users"),
+        coalesce(col("retained_d1"), lit(0L)).as("retained_d1"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_retention" -> (eventsRetention _),
     "events_funnel" -> (eventsFunnel _),
     "events_window" -> (eventsWindow _),
     "events_sessions" -> (eventsSessions _),
@@ -125,6 +145,15 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_retention" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |act AS (SELECT day, COUNT(*) AS active_users FROM du GROUP BY day),
+        |ret AS (SELECT a.day AS day, COUNT(*) AS retained_d1
+        |        FROM du a JOIN du b ON a.user_id = b.user_id
+        |          AND b.day = a.day + INTERVAL 1 DAY
+        |        GROUP BY a.day)
+        |SELECT act.day, act.active_users, COALESCE(ret.retained_d1, 0) AS retained_d1
+        |FROM act LEFT JOIN ret USING (day)""".stripMargin,
     "events_funnel" ->
       """WITH m AS (SELECT user_id,
         |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,

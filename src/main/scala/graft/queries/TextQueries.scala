@@ -184,7 +184,30 @@ object TextQueries {
           size(col("fps")).cast("bigint")).as("rep_ratio"))
       .filter(col("n_grams") > 0)
 
+  /** Train/test decontamination — the eval-leak scan every pretraining
+    * pipeline runs before training: flag corpus documents sharing any
+    * 5-gram with the benchmark set (here: every 97th document stands in
+    * for the held-out evals). Plan shape at 100 TB: the benchmark's
+    * distinct gram fingerprints are SMALL (evals are thousands of docs,
+    * not billions) — broadcast them; the corpus is scanned once, each
+    * doc's distinct grams probe the broadcast hash relation, and a
+    * per-doc hash aggregate counts hits. No corpus-side shuffle except
+    * the (contaminated-docs-only) aggregation. Output: doc_id × number
+    * of leaked grams (benchmark members flag themselves — the caller
+    * drops `doc_id % 97 = 0` rows or joins them out). */
+  def curateDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(array_distinct(
+        graft.ext.DedupOps.shingleFps(tokens(col("text")), 5))).as("fp"))
+    val bench = grams(d.filter(col("doc_id") % 97 === 0)).select(col("fp")).distinct()
+    grams(d).join(broadcast(bench), "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_decontaminate" -> (curateDecontaminate _),
     "text_repetition" -> (textRepetition _),
     "curate_pipeline" -> (curatePipeline _),
     "curate_sample" -> (curateSample _),
@@ -220,6 +243,19 @@ object TextQueries {
       |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "curate_decontaminate" ->
+      s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |sh_t AS (SELECT doc_id, CASE WHEN len(tk) >= 5 THEN list_transform(range(1, len(tk) - 3),
+         |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])
+         |  ELSE [] END AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, list_distinct(list_transform(sh, s ->
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(s, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007))) AS fps FROM sh_t),
+         |g AS (SELECT doc_id, unnest(fps) AS fp FROM fp_t),
+         |bench AS (SELECT DISTINCT fp FROM g WHERE doc_id % 97 = 0)
+         |SELECT g.doc_id, COUNT(*) AS n_hits
+         |FROM g JOIN bench USING (fp) GROUP BY g.doc_id""".stripMargin,
     "text_repetition" ->
       s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |sh_t AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
