@@ -10,9 +10,10 @@ import Tables._
   * `encode(text, 'UTF-8')` over `documents` — a real BinaryType column
   * flowing through the real kernels (byte stats, histograms, content
   * hashing); DuckDB reproduces each from the string side (the corpus
-  * is ASCII, so bytes == codepoints). Codec-dependent operators
-  * (decodeToPixels, sampleFrames) have no SQL oracle — they are
-  * covered by MultimodalSpec in ScalaTest, per the stub contract.
+  * is ASCII, so bytes == codepoints). The one codec-DEPENDENT operator
+  * (decodeToPixels) has no SQL oracle — ScalaTest covers it per the
+  * stub contract; frame SAMPLING is pure byte math and is oracle-gated
+  * here ([[mmFrames]]).
   */
 object MultimodalQueries {
 
@@ -48,7 +49,27 @@ object MultimodalQueries {
         SimOps.cosine(col("hist_a"), col("hist_b")).as("cos"))
   }
 
+  /** Frame sampling under the oracle gate: each blob is treated as a
+    * fixed-frame raw container (n_frames = 8), sampled every 3rd frame
+    * plus the last ([[MultimodalOps.sampleFrames]] — the whole path is
+    * pure column expressions after the round-4 de-UDF). Output is the
+    * scalar view of each sampled frame (index, byte length, md5);
+    * DuckDB reproduces the identical slices from the text side (ASCII
+    * corpus: character positions == byte positions). */
+  def mmFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = bin(spark, sfDir).select(col("doc_id").as("media_id"), col("content"),
+      struct(lit("video").as("modality"), lit("raw").as("fmt"),
+        lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"),
+        lit(8).as("n_frames")).as("meta"))
+    MultimodalOps.sampleFrames(media, every = 3)
+      .select(col("media_id").as("doc_id"),
+        col("frame_idx").cast("bigint").as("frame_idx"),
+        length(col("frame_bytes")).cast("bigint").as("n_frame_bytes"),
+        md5(col("frame_bytes")).as("frame_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_frames" -> (mmFrames _),
     "mm_meta" -> (mmMeta _),
     "mm_bytes" -> (mmBytes _),
     "mm_hist_sim" -> (mmHistSim _))
@@ -68,6 +89,18 @@ object MultimodalQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // nf=8, every=3 ⇒ sampled indices distinct([0,3,6] ++ [7]) = [0,3,6,7];
+    // frame size = max(1, n_bytes // 8); substring clamps at the end on
+    // both engines (empty slice ⇒ md5 of the empty string, equal).
+    "mm_frames" ->
+      """WITH f AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+        |i AS (SELECT doc_id, text, greatest(1, nb // 8) AS sz,
+        |             unnest([0, 3, 6, 7]) AS frame_idx FROM f)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(octet_length(encode(substring(text, frame_idx*sz + 1, sz))) AS BIGINT)
+        |         AS n_frame_bytes,
+        |       md5(substring(text, frame_idx*sz + 1, sz)) AS frame_md5
+        |FROM i""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       md5(text) AS content_md5
