@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-prior) join — the temporal join Spark has no
+  * built-in operator for: each left row is matched with the latest
+  * right row of the same key whose time is ≤ the left row's time
+  * (attribution, point-in-time feature lookup, last-quote-before-trade).
+  *
+  * Implementation is the SCALE-CORRECT union + sort + carry-forward
+  * plan, not a range join: both sides are tagged and unioned, one
+  * window per key partition orders rows by (time, side, seq), and the
+  * right payload is carried forward with `last(ignoreNulls)` — so each
+  * key's data is shuffled ONCE and scanned ONCE, O((|L|+|R|) log)
+  * locally per partition. A range-predicate join would either
+  * nested-loop (quadratic per key) or explode time buckets; this shape
+  * is how warehouse engines implement ASOF JOIN internally. Skewed
+  * keys behave like any single-key window (cap upstream or pre-split).
+  */
+object AsOfJoin {
+
+  /** Join `left` to the most recent `right` row per `keys` with
+    * `right.[rightTime] <= left.[leftTime]`.
+    *
+    * Output columns: every `left` column, then every non-key `right`
+    * column (INCLUDING `rightTime` — it is the matched row's
+    * timestamp), null when no prior right row exists. Non-key column
+    * names must be disjoint across sides (rename before calling).
+    *
+    * `leftSeq` / `rightSeq` are per-side tie-break columns (unique
+    * within a (key, time) group, e.g. an event id) that make the
+    * carry-forward deterministic when timestamps collide; right rows
+    * at exactly `leftTime` ARE visible to the left row (≤ semantics,
+    * right-before-left at equal times).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      leftSeq: String, rightSeq: String): DataFrame = {
+    val leftRest = left.columns.filterNot(keys.contains).toSeq
+    val rightVals = right.columns.filterNot(keys.contains).toSeq
+    require(leftRest.intersect(rightVals).isEmpty,
+      s"as-of join column clash: ${leftRest.intersect(rightVals).mkString(", ")}")
+    val lT = left.select(
+      keys.map(col) ++ Seq(col(leftTime).as("_ts"), lit(1).as("_side"),
+        col(leftSeq).cast("long").as("_seq")) ++
+        leftRest.map(col) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rT = right.select(
+      keys.map(col) ++ Seq(col(rightTime).as("_ts"), lit(0).as("_side"),
+        col(rightSeq).cast("long").as("_seq")) ++
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_side"), col("_seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lT.unionByName(rT)
+      .select(keys.map(col) ++ leftRest.map(col) ++ Seq(col("_side")) ++
+        rightVals.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("_side") === 1)
+      .drop("_side")
+  }
+}

@@ -169,6 +169,36 @@ object SimOps {
         x => x("cv")).as("c_vec"))
       .select(col(labelCol).cast("long").as("c_id"), col("c_vec"))
 
+  /** Bucketed k-NN graph: every vector's top-k cosine neighbors among
+    * its SRP bucket-mates — the all-N analog of [[topkLsh]] where the
+    * "query set" IS the corpus, so nothing is broadcast: the bucket
+    * equi-join is a SHUFFLE join keyed on the bucket id (both sides
+    * O(N) fixed-width rows), then a per-source rank bounded by the
+    * bucket population. This is the standard kNN-graph build behind
+    * graph-based dedup, diversity sampling and label propagation; at
+    * 100 TB it shuffles O(N) rows twice (bucket join + rank exchange),
+    * never O(N²), and `maxBucket` (via [[capBuckets]]-style pre-drop)
+    * bounds boilerplate buckets exactly like the pairing ops.
+    * Returns (vec_id, rk, nbr_id, cos), rk in 1..k. */
+  def knnGraph(corpus: DataFrame, k: Int, bits: Int, maxBucket: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b0 = corpus.select(col("vec_id"), col("embedding"),
+      srpBucket(col("embedding"), bits).as("bucket"))
+    val b = if (maxBucket > 0) {
+      val kept = b0.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .filter(col("n") <= maxBucket).select(col("bucket"))
+      b0.join(kept, "bucket")
+    } else b0
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr_id"))).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("rk"), col("nbr_id"), col("cos"))
+  }
+
   /** LSH-bucketed ANN top-k: corpus and queries are both bucketed by
     * [[srpBucket]]; candidates are corpus rows in the query's bucket
     * (equi-join on the bucket id — shuffle-by-bucket, never all-pairs),

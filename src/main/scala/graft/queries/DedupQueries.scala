@@ -175,7 +175,47 @@ object DedupQueries {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
   }
 
+  /** Canonical-document selection — the decision step AFTER clustering
+    * that every dedup pipeline actually ships: within each near-dup
+    * cluster keep the highest-QUALITY member (not blindly the lowest
+    * id), tie-broken by min doc_id. Composes three oracle-gated
+    * kernels under one hash check: LSH pairing → connected components
+    * → the text-quality score (over length(text), since mutants differ
+    * from the stored n_chars). Plan: the cluster map (id, cluster_rep)
+    * joins the scored corpus on id — both sides hash-partitioned on
+    * the id — then one per-cluster window picks the argmax. At 100 TB
+    * the window partitions are cluster-sized (bounded by the LSH cap),
+    * never corpus-sized. */
+  def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, sfDir)
+    val mut = d.select((col("doc_id") + SHIFT).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val corpus = d.unionAll(mut)
+    val clusters = DedupOps.dupClusters(
+      DedupOps.nearDupPairs(corpus, "doc_id", "text",
+        k = 3, hashes = 64, bands = 16, threshold = 0.7))
+    val toks = tokens(col("text"))
+    val nch = length(col("text")).cast("bigint")
+    val punct = expr("regexp_count(text, '[.,!?;:]')").cast("bigint")
+    val digits = expr("regexp_count(text, '[0-9]')").cast("bigint")
+    val stop = TextOps.wordRatio(toks, Seq("the", "a", "data", "table"))
+    val scored = corpus.select(col("doc_id"),
+      greatest(lit(0.0), least(lit(1.0),
+        lit(0.5) + stop - (punct / nch) * 2 - (digits / nch))).as("quality"))
+    val wCount = Window.partitionBy(col("cluster_rep"))
+    val wRank = wCount.orderBy(col("quality").desc, col("id"))
+    clusters.join(scored, col("id") === col("doc_id"))
+      .select(col("cluster_rep"), col("id"), col("quality"))
+      .withColumn("n_members", count(lit(1)).over(wCount))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") === 1)
+      .select(col("cluster_rep"), col("id").as("kept_id"),
+        col("quality").as("best_quality"), col("n_members"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_canonical" -> (dedupCanonical _),
     "dedup_char_jaccard" -> (dedupCharJaccard _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_simhash_pairs_capped" -> (dedupSimhashPairsCapped _),
@@ -231,6 +271,41 @@ object DedupQueries {
       |    (a, b) -> a + b)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE corpus AS ($corpusNearSql),
+         |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+         |sh_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, list_transform(sh, s -> ${fpFold("s")}) AS fps FROM sh_t),
+         |mh_t AS (SELECT doc_id, fps, $minhashSql AS mh FROM fp_t),
+         |bands AS (SELECT doc_id, j AS band, $bandSql AS sig
+         |          FROM mh_t, (SELECT unnest(range(0, 16)) AS j)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |verified AS (SELECT doc_a, doc_b
+         |             FROM cand
+         |             JOIN (SELECT doc_id AS doc_a, fps AS fps_a FROM fp_t) USING (doc_a)
+         |             JOIN (SELECT doc_id AS doc_b, fps AS fps_b FROM fp_t) USING (doc_b)
+         |             WHERE $jaccardSql >= 0.7),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM verified
+         |        UNION SELECT doc_b, doc_a FROM verified),
+         |reach AS (SELECT a, b FROM sym
+         |          UNION
+         |          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |cl AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster_rep FROM reach GROUP BY a),
+         |q AS (SELECT doc_id, GREATEST(0.0, LEAST(1.0,
+         |        0.5 + CAST(len(list_filter($toksSql, t -> t IN ('the','a','data','table'))) AS BIGINT)
+         |                / CAST(len($toksSql) AS BIGINT)
+         |            - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) / length(text) * 2
+         |            - CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) / length(text))) AS quality
+         |      FROM corpus),
+         |m AS (SELECT cl.cluster_rep, cl.id, q.quality,
+         |             COUNT(*) OVER (PARTITION BY cl.cluster_rep) AS n_members,
+         |             row_number() OVER (PARTITION BY cl.cluster_rep
+         |               ORDER BY q.quality DESC, cl.id) AS rk
+         |      FROM cl JOIN q ON q.doc_id = cl.id)
+         |SELECT cluster_rep, id AS kept_id, quality AS best_quality, n_members
+         |FROM m WHERE rk = 1""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE corpus AS ($corpusNearSql),
          |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),

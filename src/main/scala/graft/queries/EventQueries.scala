@@ -136,7 +136,64 @@ object EventQueries {
         coalesce(col("retained_d1"), lit(0L)).as("retained_d1"))
   }
 
+  /** Top session-local event-type transitions (path mining): sessionize
+    * exactly like [[eventsSessions]], take each event's successor WITHIN
+    * its session, count (src → dst) transition bigrams, rank the top 20.
+    * All four window computations (lag, running session number, lead of
+    * type, lead of session) share ONE (user_id, ts, event_id) window
+    * spec — one shuffle + one sort per user partition, then a hash
+    * aggregate over ≤ |event types|² groups. The successor is validated
+    * by lead(session_no) = session_no rather than a second
+    * (user, session) window, which would re-shuffle. */
+  def eventsPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") > GAP_NS / 1000, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_s")).over(wRun))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_s", lead(col("session_no"), 1).over(w))
+    sess.filter(col("next_type").isNotNull && col("next_s") === col("session_no"))
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("src"), col("dst"))).cast("bigint"))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("src"), col("dst"), col("cnt"))
+  }
+
+  /** Click→view attribution via the AS-OF join operator
+    * ([[graft.ext.AsOfJoin]]): each click matched with the same user's
+    * most recent view at or before the click. The operator's plan is
+    * union + one per-user window + carry-forward — each side shuffled
+    * once, no range join, no per-row probe — and this row pins its
+    * semantics (≤ matching, right-before-left at equal times, nulls
+    * when no prior view) against a DuckDB spelling of the same
+    * carry-forward. */
+  def eventsAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("tus"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("tus"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_event_id"),
+        col("tus").as("view_tus"))
+    graft.ext.AsOfJoin.asOfJoin(clicks, views, Seq("user_id"),
+        leftTime = "tus", rightTime = "view_tus",
+        leftSeq = "event_id", rightSeq = "view_event_id")
+      .select(col("user_id"), col("event_id"), col("tus").as("click_tus"),
+        col("view_event_id"), col("view_tus"),
+        (col("tus") - col("view_tus")).as("gap_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_paths" -> (eventsPaths _),
+    "events_attribution" -> (eventsAttribution _),
     "events_retention" -> (eventsRetention _),
     "events_funnel" -> (eventsFunnel _),
     "events_window" -> (eventsWindow _),
@@ -145,6 +202,45 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_paths" ->
+      """WITH g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+        |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                    ORDER BY epoch_us(ts), event_id) AS prev
+        |           FROM events),
+        |s AS (SELECT user_id, event_id, event_type, tus,
+        |             CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |                  THEN 1 ELSE 0 END AS new_s FROM g),
+        |c AS (SELECT user_id, event_id, event_type, tus,
+        |             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM s),
+        |n AS (SELECT event_type AS src,
+        |             lead(event_type) OVER w2 AS dst,
+        |             session_no,
+        |             lead(session_no) OVER w2 AS next_s
+        |      FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |t AS (SELECT src, dst, COUNT(*) AS cnt FROM n
+        |      WHERE dst IS NOT NULL AND next_s = session_no GROUP BY src, dst)
+        |SELECT rk, src, dst, cnt FROM (
+        |  SELECT src, dst, cnt,
+        |         CAST(row_number() OVER (ORDER BY cnt DESC, src, dst) AS BIGINT) AS rk
+        |  FROM t)
+        |WHERE rk <= 20""".stripMargin,
+    "events_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |u AS (SELECT user_id, event_id, tus, 1 AS side, event_id AS seq,
+        |             CAST(NULL AS BIGINT) AS view_event_id, CAST(NULL AS BIGINT) AS view_tus
+        |      FROM ev WHERE event_type = 'click'
+        |      UNION ALL
+        |      SELECT user_id, NULL, tus, 0, event_id, event_id, tus
+        |      FROM ev WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id, tus, side,
+        |             last_value(view_event_id IGNORE NULLS) OVER w AS view_event_id,
+        |             last_value(view_tus IGNORE NULLS) OVER w AS view_tus
+        |      FROM u WINDOW w AS (PARTITION BY user_id ORDER BY tus, side, seq
+        |                          ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, event_id, tus AS click_tus, view_event_id, view_tus,
+        |       tus - view_tus AS gap_us
+        |FROM c WHERE side = 1""".stripMargin,
     "events_retention" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         |act AS (SELECT day, COUNT(*) AS active_users FROM du GROUP BY day),

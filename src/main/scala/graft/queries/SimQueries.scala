@@ -162,7 +162,20 @@ object SimQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Bucketed k-NN graph over the whole corpus: top-5 cosine neighbors
+    * per vector among its 4-bit SRP bucket-mates ([[SimOps.knnGraph]]).
+    * Unlike [[simLsh]] nothing is broadcast — the "query set" is the
+    * corpus itself, so the bucket equi-join is a shuffle join (O(N)
+    * fixed-width rows per side). The graph is what diversity sampling /
+    * graph dedup consume downstream; the oracle spells the identical
+    * bucketed semantics, so the green row pins both the SRP bucketing
+    * and the per-source (cos DESC, nbr ASC) rank. */
+  def simKnnGraph(spark: SparkSession, sfDir: String): DataFrame =
+    SimOps.knnGraph(
+      emb(spark, sfDir).select(col("vec_id"), col("embedding")), k = 5, bits = 4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_graph" -> (simKnnGraph _),
     "sim_topk" -> (simTopk _),
     "sim_lsh" -> (simLsh _),
     "sim_pairs" -> (simPairs _),
@@ -204,6 +217,15 @@ object SimQueries {
       s"(acc, b) -> acc*2 + b)"
 
   val oracleSql: Map[String, String] = Map(
+    "sim_knn_graph" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${srpSql("embedding", 4)} AS bucket FROM embeddings),
+         |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         |                  ${cosSql("a.embedding", "b.embedding")} AS cos
+         |           FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, CAST(row_number() OVER (PARTITION BY vec_id
+         |         ORDER BY cos DESC, nbr_id) AS BIGINT) AS rk, nbr_id, cos
+         |FROM scored
+         |QUALIFY rk <= 5""".stripMargin,
     "sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 100 = 0),
          |scored AS (SELECT q_id, vec_id, ${cosSql("embedding", "q_vec")} AS cos

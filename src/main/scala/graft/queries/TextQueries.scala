@@ -206,7 +206,33 @@ object TextQueries {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** TF-IDF keyword extraction — the per-document salient-term view
+    * search/curation pipelines build over any corpus: term frequency
+    * per (doc, token), document frequency per token, rarity weight
+    * N/df, top-3 terms per document. The idf is the RATIONAL form
+    * (tf · N / df, no logarithm): ln() is not bit-reproducible across
+    * engines/libms, while integer-valued doubles and one division are
+    * IEEE-exact — which is what makes the ranking oracle-hashable.
+    * Plan shape at 100 TB: explode shuffles (doc, token) pairs once
+    * with map-side combine; df is a vocab-sized aggregate of that
+    * table (not a second corpus scan); N is a 1-row broadcast; the
+    * rank exchange carries only (doc × distinct-token) rows. */
+  def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = load(spark, sfDir, "documents")
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token"))).cast("bigint"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (textTfidf _),
     "curate_decontaminate" -> (curateDecontaminate _),
     "text_repetition" -> (textRepetition _),
     "curate_pipeline" -> (curatePipeline _),
@@ -243,6 +269,19 @@ object TextQueries {
       |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "text_tfidf" ->
+      s"""WITH tf_t AS (SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+         |  GROUP BY doc_id, token),
+         |df_t AS (SELECT token, COUNT(*) AS df FROM tf_t GROUP BY token),
+         |n_t AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY tfidf DESC, token) AS BIGINT) AS rk,
+         |       token, tf, df, tfidf
+         |FROM (SELECT doc_id, token, tf, df,
+         |        CAST(tf AS DOUBLE) * n_docs / df AS tfidf
+         |      FROM tf_t JOIN df_t USING (token), n_t)
+         |QUALIFY rk <= 3""".stripMargin,
     "curate_decontaminate" ->
       s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |sh_t AS (SELECT doc_id, CASE WHEN len(tk) >= 5 THEN list_transform(range(1, len(tk) - 3),

@@ -414,19 +414,28 @@ class StreamingSpec extends AnyFunSuite {
     // late duplicate: original evicted → re-seeds instead of pairing
     in.addData((2L, base))
     awaitOffset(1)
-    // fresh duplicate: pairs against the re-seeded state
-    in.addData((3L, base))
-    awaitOffset(2)
+    // fresh duplicates: pair against the re-seeded state. Under a load
+    // stall the 1 s TTL can ALSO fire between two consecutive feeds,
+    // evicting the just-re-seeded bucket — so keep feeding duplicates
+    // until one lands inside its predecessor's TTL window (any pair
+    // among ids ≥ 2 proves re-seeded state pairs subsequent docs; a
+    // single fixed (2,3) expectation was timing-flaky).
     def got = pairs.toArray.map(_.asInstanceOf[(Long, Long)]).toSet
-    val deadline = System.currentTimeMillis() + 30000
-    while (!got.contains((2L, 3L)) && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    var next = 3L
+    val deadline = System.currentTimeMillis() + 60000
+    while (!got.exists(_._1 >= 2L) && System.currentTimeMillis() < deadline) {
+      in.addData((next, base))
+      awaitOffset(next - 1)
+      next += 1
+      val settle = System.currentTimeMillis() + 500
+      while (!got.exists(_._1 >= 2L) && System.currentTimeMillis() < settle)
+        Thread.sleep(50)
+    }
     q.stop()
-    assert(got.contains((2L, 3L)),
+    assert(got.exists(p => p._1 >= 2L && p._2 > p._1),
       s"re-seeded bucket must pair subsequent duplicates, got $got")
-    assert(!got.contains((1L, 2L)),
-      s"evicted bucket must not pair the late duplicate, got $got")
-    assert(!got.contains((1L, 3L)),
-      s"evicted bucket must not pair any later duplicate, got $got")
+    assert(got.forall(p => p._1 != 1L && p._2 != 1L),
+      s"evicted bucket must not pair the late duplicates, got $got")
   }
 
   test("custom keyed state: mapGroupsWithState running per-user counts") {
