@@ -89,6 +89,26 @@ object EventQueries {
       .agg(approx_count_distinct(col("user_id"), rsd).as("active_users_approx"),
         count(lit(1)).as("n_events"))
 
+  /** Value-distribution quantiles per event type via the
+    * approx_percentile sketch (Greenwald-Khanna) — the 100 TB quantile
+    * shape, completing the sketch pillar beside the HLL DAU variant:
+    * the sketch is MERGEABLE, so the shuffle carries one bounded-size
+    * summary per (type, map task) instead of sorting the value column
+    * globally (exact percentile = a full sort per group). The GK
+    * guarantee is on RANK error (≤ n/accuracy), not value error —
+    * EventQueriesSpec bounds exactly that against the exact sorted
+    * distribution; approximate by nature, so tested rather than
+    * hash-declared. */
+  def eventsValueQuantilesApprox(spark: SparkSession, sfDir: String,
+      accuracy: Int = 10000): DataFrame =
+    events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("value"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(accuracy)).as("q"))
+      .select(col("event_type"), col("n"),
+        col("q")(0).as("p50"), col("q")(1).as("p95"), col("q")(2).as("p99"))
+
   /** Semi-structured extraction: pull `k` out of the JSON props column
     * and aggregate per event type — get_json_object stays a column
     * expression (no UDF), the portable subset of JSON-path both engines

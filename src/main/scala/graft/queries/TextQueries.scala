@@ -219,8 +219,14 @@ object TextQueries {
     * rank exchange carries only (doc × distinct-token) rows. */
   def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = load(spark, sfDir, "documents")
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // computed-once persisted tf table (the simhashPairs signature-table
+    // pattern): without it the df branch re-explodes the corpus —
+    // Catalyst prunes the count from that branch's partial aggregate,
+    // so the subtrees differ and AQE exchange reuse can never kick in.
+    // Query-scoped: the harness releases it after the terminal action.
+    val tf = graft.core.QueryCaches.track(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(dfreq, "token").crossJoin(broadcast(n))

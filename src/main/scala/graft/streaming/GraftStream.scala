@@ -315,4 +315,26 @@ object GraftStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col(keyCol), col("session_window.start").as("session_start"),
         col("n_events"))
+
+  /** Watermarked stream-stream interval join — the streaming form of
+    * the attribution shape ([[graft.ext.AsOfJoin]] in batch): each left
+    * row joins right rows with the same key whose event time falls in
+    * `[leftTs − lookback, leftTs]`. The time bound is what makes the
+    * join STATE-BOUNDED: with both sides watermarked and the range
+    * condition on the event-time columns, Spark evicts right-side state
+    * older than `watermark + lookback` and left rows once their match
+    * window closes — state never grows with stream length, only with
+    * rate × window. The batch operator picks exactly one (latest)
+    * match; the stream emits every in-window match as it arrives
+    * (latest-per-left is a downstream aggregate once the watermark
+    * closes — streaming can't retract an already-emitted "latest").
+    * Non-key column names must be disjoint across sides. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      rightKeyCol: String, leftTs: String, rightTs: String,
+      watermark: String, lookback: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(keyCol) === col(rightKeyCol) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+          col(rightTs) <= col(leftTs))
 }

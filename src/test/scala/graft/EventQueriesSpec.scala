@@ -27,6 +27,57 @@ class EventQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("AsOfJoin semantics: latest-prior wins, equal-time matches, no-match is null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // key 1: views at t=10,20 before click@25 → latest (20) wins;
+    //        a view at exactly the click time (t=25, id 103) is VISIBLE
+    //        (≤ semantics) and is the latest → it wins over 102;
+    // key 2: only a LATER view (t=50 > click@40) → no match, nulls;
+    // key 3: click with no views at all → nulls.
+    val clicks = Seq((1L, 25L, 11L), (2L, 40L, 21L), (3L, 5L, 31L))
+      .toDF("k", "t", "click_id")
+    val views = Seq((1L, 10L, 101L), (1L, 20L, 102L), (1L, 25L, 103L),
+      (2L, 50L, 201L)).toDF("k", "vt", "view_id")
+    val out = graft.ext.AsOfJoin.asOfJoin(clicks, views, Seq("k"),
+        leftTime = "t", rightTime = "vt", leftSeq = "click_id", rightSeq = "view_id")
+      .select(col("click_id"), col("view_id"), col("vt"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(out == Set(
+      (11L, Some(103L), Some(25L)),
+      (21L, None, None),
+      (31L, None, None)), out.toString)
+  }
+
+  test("approx percentile (GK sketch): rank error bounded by n/accuracy, per event type") {
+    import org.apache.spark.sql.functions.col
+    val acc = 100
+    val got = graft.queries.EventQueries.eventsValueQuantilesApprox(spark, sf, accuracy = acc)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val vals = graft.queries.Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2).sorted }
+    assert(got.keySet == vals.keySet)
+    for ((t, sorted) <- vals; (p, v) <- Seq(0.5, 0.95, 0.99).zip(
+        Seq(got(t)._2, got(t)._3, got(t)._4))) {
+      val n = sorted.length
+      // returned value must be an actual element whose rank is within
+      // the GK bound (n/accuracy) + 1 of the target rank ceil(p*n)
+      val idx = sorted.indexWhere(_ >= v)
+      assert(idx >= 0 && sorted.contains(v), s"$t p$p: $v not in data")
+      val target = math.ceil(p * n)
+      val lo = sorted.indexOf(v) + 1      // 1-based min rank of v
+      val hi = sorted.lastIndexOf(v) + 1  // 1-based max rank of v
+      val bound = n.toDouble / acc + 1
+      assert(lo - bound <= target && target <= hi + bound,
+        s"$t p$p: value $v ranks [$lo,$hi], target $target, bound $bound (n=$n)")
+    }
+  }
+
   test("approx sketch merges map-side: plan has partial + final HashAggregate, no id shuffle") {
     val p = graft.queries.EventQueries.eventsDailyActiveApprox(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)

@@ -253,6 +253,44 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE ord_b")
   }
 
+  test("events_attribution: as-of join plans as union + window — no join operator at all") {
+    // The carry-forward shape is the whole point of AsOfJoin: a range
+    // join would nested-loop per key. The plan must contain a Window
+    // and ZERO join nodes of any kind.
+    val p = plan("events_attribution")
+    val joins = nOps(p, "SortMergeJoin") + nOps(p, "BroadcastHashJoin") +
+      nOps(p, "ShuffledHashJoin") + nOps(p, "BroadcastNestedLoopJoin") +
+      nOps(p, "CartesianProduct")
+    assert(joins == 0, s"as-of join must be join-free (union + window):\n$p")
+    assert(nOps(p, "Window") >= 1, p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("sim_knn_graph: bucket equi-join with partial top-k, never nested-loop") {
+    val p = plan("sim_knn_graph")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), "per-source top-k must push a partial rank limit")
+  }
+
+  test("text_tfidf: the corpus is exploded once — df reads the persisted tf table") {
+    // Without the persist the df branch re-explodes the corpus (its
+    // partial aggregate is count-pruned, so the subtrees differ and AQE
+    // exchange reuse never matches). With it, `documents` is scanned
+    // for token data exactly once (the N-count scan is column-pruned)
+    // and both join children read the in-memory tf relation.
+    try {
+      val p = plan("text_tfidf")
+      assert(nOps(p, "Scan parquet") <= 2,
+        s"df must read the tf cache, not re-explode the corpus:\n$p")
+      assert(nOps(p, "InMemoryTableScan") + nOps(p, "TableCacheQueryStage") >= 2,
+        s"both tf consumers must read the cached relation:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        "top-3-per-doc must push a partial rank limit")
+    } finally graft.ext.DedupOps.releaseCaches()
+  }
+
   test("native kernels generate valid Janino code (no codegen fallback needed)") {
     // With fallback disabled, any malformed generated code (or a kernel
     // not reachable as a static call) fails the query instead of

@@ -98,6 +98,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("stream-stream interval join: same-key in-window matches only") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val cdf = clicks.toDF().toDF("user_id", "click_ts", "click_id")
+    val vdf = views.toDF().toDF("v_user_id", "view_ts", "view_id")
+    val rows = new ConcurrentLinkedQueue[Row]()
+    val joined = GraftStream.intervalJoin(cdf, vdf, "user_id", "v_user_id",
+        "click_ts", "view_ts", watermark = "10 seconds", lookback = "60 seconds")
+      .select(col("click_id"), col("view_id"))
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        { b.collect().foreach(rows.add); () })
+      .start()
+    val base = 1700000000000L
+    def t(s: Long) = new Timestamp(base + s * 1000L)
+    // user 1: view at 10s IS in the click@60s lookback window [0,60];
+    // view at 100s is later than the click; user 2's view has no click;
+    // user 3's click has no view (inner join: no row for either).
+    views.addData((1L, t(10), 101L), (1L, t(100), 102L), (2L, t(50), 201L))
+    clicks.addData((1L, t(60), 1L), (3L, t(60), 3L))
+    q.processAllAvailable(); q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[Row])
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 101L)),
+      s"only the same-user in-window (click 1, view 101) pair must join, got $got")
+  }
+
   test("stream concat: union-all of two sources delivers every element") {
     implicit val sq = spark.sqlContext
     val in1 = MemoryStream[Int]
