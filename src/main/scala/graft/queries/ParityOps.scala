@@ -67,6 +67,23 @@ object ParityOps {
         element_at($"index", 2).as("pos"), $"value._2".as("token"))
   }
 
+  /** concat, sync-backend round-robin contract: deterministic
+    * one-element-per-live-stage interleave via `concatRoundRobin` (the
+    * distributed (rank, stage#) sort replicating
+    * /root/reference/pypeln/sync/stage.py:36-47). Declared WITH the
+    * global interleave position, so the oracle hash pins the ORDER of
+    * the interleave (row_number over (rank, stage)), not just the
+    * union membership that plain [[opConcat]] checks. */
+  def opConcatRr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id").orderBy($"doc_id").as[Long]
+    val even = GraftStage.fromDataset(docs.filter(_ % 2 == 0))
+    val odd = GraftStage.fromDataset(docs.filter(_ % 2 == 1))
+    even.concatRoundRobin(odd)
+      .indexedDF.select(element_at($"index", 1).as("pos"), $"value".as("doc_id"))
+  }
+
   /** concat: union-all of two filtered branches of one cached source
     * (also exercises fan-out / stage reuse, pypeln/process/queue.py:114-129). */
   def opConcat(spark: SparkSession, sfDir: String): DataFrame = {
@@ -141,6 +158,7 @@ object ParityOps {
     "op_filter" -> (opFilter _),
     "op_flat_map" -> (opFlatMap _),
     "op_concat" -> (opConcat _),
+    "op_concat_rr" -> (opConcatRr _),
     "op_ordered" -> (opOrdered _),
     "op_pipeline" -> (opPipeline _),
     "op_each_run" -> (opEachRun _))
@@ -162,6 +180,14 @@ object ParityOps {
       """SELECT l_orderkey, l_linenumber, 'r' AS tag FROM lineitem WHERE l_returnflag = 'R'
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'a' AS tag FROM lineitem WHERE l_returnflag = 'A'""".stripMargin,
+    "op_concat_rr" ->
+      """WITH e AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r, 0 AS s
+        |           FROM documents WHERE doc_id % 2 = 0),
+        |o AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r, 1 AS s
+        |      FROM documents WHERE doc_id % 2 = 1),
+        |u AS (SELECT doc_id, r, s FROM e UNION ALL SELECT doc_id, r, s FROM o)
+        |SELECT CAST(row_number() OVER (ORDER BY r, s) - 1 AS BIGINT) AS pos, doc_id
+        |FROM u""".stripMargin,
     "op_ordered" ->
       """SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS ord, doc_id FROM documents""",
     "op_pipeline" ->

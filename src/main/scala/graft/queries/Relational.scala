@@ -208,6 +208,40 @@ object Relational {
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
   }
 
+  /** TPC-H Q8-style national market share: within one region's market
+    * for one part type, the yearly revenue share delivered by one
+    * supplier nation — the widest join in the suite (part, lineitem,
+    * orders, customer, supplier, nation ×2, region: 8 relations). Only
+    * the true fixed-size dims (nation, region) carry broadcast hints;
+    * part/customer/supplier are SF-scaled and left to AQE (broadcast at
+    * small SF, shuffle join at 100 TB). The share is a
+    * conditional-sum-over-total-sum aggregate: both sums decimal-exact,
+    * ONE IEEE division at the end — association-proof at any
+    * parallelism. */
+  def q8MktShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = load(spark, sfDir, "part").filter(col("p_type") === "ECONOMY")
+    val li = load(spark, sfDir, "lineitem")
+    val ord = load(spark, sfDir, "orders")
+    val cust = load(spark, sfDir, "customer")
+    val supp = load(spark, sfDir, "supplier")
+    val n1 = load(spark, sfDir, "nation").select(
+      col("n_nationkey").as("cn_key"), col("n_regionkey").as("cr_key"))
+    val n2 = load(spark, sfDir, "nation").select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val region = load(spark, sfDir, "region").filter(col("r_name") === "AMERICA")
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(part, li("l_partkey") === part("p_partkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(region), col("cr_key") === col("r_regionkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((dsum(when(col("supp_nation") === "NATION_6", vol).otherwise(lit(0.0))) /
+        dsum(vol)).as("mkt_share"))
+  }
+
   /** TPC-H Q10-style returned-item losers: customers ranked by revenue
     * of returned lineitems, deterministic top-20. */
   def q10Returns(spark: SparkSession, sfDir: String): DataFrame = {
@@ -224,6 +258,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_volume" -> (q7Volume _),
+    "q8_mkt_share" -> (q8MktShare _),
     "q10_returns" -> (q10Returns _),
     "q6_forecast" -> (q6Forecast _),
     "q4_priority" -> (q4Priority _),
@@ -240,6 +275,23 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q8_mkt_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_6'
+        |                          THEN l_extendedprice * (1 - l_discount)
+        |                          ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+        |       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        |         AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        |GROUP BY 1""".stripMargin,
     "q7_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(o_orderdate) AS INTEGER) AS o_year,

@@ -174,7 +174,20 @@ object SimQueries {
     SimOps.knnGraph(
       emb(spark, sfDir).select(col("vec_id"), col("embedding")), k = 5, bits = 4)
 
+  /** Multi-probe SRP-LSH under the oracle gate: each query probes its
+    * home bucket PLUS every 1-bit-flipped bucket
+    * ([[SimOps.topkLshMultiProbe]]) — recall recovered from mis-signed
+    * planes at the cost of (bits+1)× QUERY-side rows only (the corpus
+    * is bucketed once). The oracle spells the identical probe set
+    * (xor of each plane bit), so the green row pins the probe
+    * expansion arithmetic, not just the happy-path bucket match. */
+  def simLshProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    SimOps.topkLshMultiProbe(e.select(col("vec_id"), col("embedding")), querySet(e), 10, 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_lsh_probe" -> (simLshProbe _),
     "sim_knn_graph" -> (simKnnGraph _),
     "sim_topk" -> (simTopk _),
     "sim_lsh" -> (simLsh _),
@@ -217,6 +230,18 @@ object SimQueries {
       s"(acc, b) -> acc*2 + b)"
 
   val oracleSql: Map[String, String] = Map(
+    "sim_lsh_probe" ->
+      s"""WITH bc AS (SELECT vec_id, embedding, ${srpSql("embedding", 4)} AS bucket FROM embeddings),
+         |bq AS (SELECT vec_id AS q_id, embedding AS q_vec, ${srpSql("embedding", 4)} AS b0
+         |       FROM embeddings WHERE vec_id % 100 = 0),
+         |probes AS (SELECT q_id, q_vec,
+         |             CASE WHEN f = 4 THEN b0
+         |                  ELSE xor(b0, CAST(power(2, f) AS BIGINT)) END AS bucket
+         |           FROM bq, (SELECT unnest(range(0, 5)) AS f)),
+         |scored AS (SELECT DISTINCT q_id, vec_id, ${cosSql("embedding", "q_vec")} AS cos
+         |           FROM bc JOIN probes USING (bucket) WHERE vec_id <> q_id)
+         |SELECT q_id, vec_id, cos FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10""".stripMargin,
     "sim_knn_graph" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${srpSql("embedding", 4)} AS bucket FROM embeddings),
          |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,

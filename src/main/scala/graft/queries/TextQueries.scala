@@ -237,7 +237,40 @@ object TextQueries {
       .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Per-source corpus mix report — the domain-mix dashboard every
+    * pretraining pipeline tracks per crawl/source: doc count, token
+    * volume, decimal-exact mean quality, and the exact-duplicate ratio
+    * (1 − distinct fingerprints / docs). One scan with all scoring in
+    * the projection, one hash aggregation keyed by (source, fp) for the
+    * distinct count, one rollup by source — the same two-aggregation
+    * shape as [[curatePipeline]], grouped by provenance instead of
+    * language. */
+  def curateSources(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val toks = tokens(col("text"))
+    val nch = col("n_chars").cast("bigint")
+    val punct = expr("regexp_count(text, '[.,!?;:]')").cast("bigint")
+    val digits = expr("regexp_count(text, '[0-9]')").cast("bigint")
+    val stop = wordRatio(toks, Seq("the", "a", "data", "table"))
+    val scored = d.select(col("source"),
+      tokenCount(col("text")).as("n_tokens"),
+      greatest(lit(0.0), least(lit(1.0),
+        lit(0.5) + stop - (punct / nch) * 2 - (digits / nch))).as("quality"),
+      fingerprint(col("text")).as("fp"))
+    // single hash aggregate keyed by source; COUNT(DISTINCT fp) is the
+    // exact form to match the oracle (the 100 TB variant is the HLL
+    // sketch, same trade as eventsDailyActiveApprox); mean quality via
+    // the decimal-exact davg so the fold is association-proof
+    scored.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("fp")).as("n_distinct"),
+      sum(col("n_tokens")).as("sum_tokens"),
+      Tables.davg(col("quality")).as("mean_quality"),
+      (lit(1.0) - countDistinct(col("fp")).cast("double") / count(lit(1))).as("dup_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_sources" -> (curateSources _),
     "text_tfidf" -> (textTfidf _),
     "curate_decontaminate" -> (curateDecontaminate _),
     "text_repetition" -> (textRepetition _),
@@ -275,6 +308,17 @@ object TextQueries {
       |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "curate_sources" ->
+      s"""WITH s1 AS (SELECT source,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  $qualitySql AS quality,
+         |  $fpSql AS fp
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean_quality,
+         |  1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_ratio
+         |FROM s1 GROUP BY source""".stripMargin,
     "text_tfidf" ->
       s"""WITH tf_t AS (SELECT doc_id, token, COUNT(*) AS tf
          |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
