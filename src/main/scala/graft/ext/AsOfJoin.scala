@@ -34,10 +34,17 @@ object AsOfJoin {
     * carry-forward deterministic when timestamps collide; right rows
     * at exactly `leftTime` ARE visible to the left row (≤ semantics,
     * right-before-left at equal times).
+    *
+    * `tolerance` (optional, in the time columns' own units — they must
+    * be numeric to use it) bounds match staleness: a carried match with
+    * `leftTime − rightTime > tolerance` is nulled out, the
+    * `merge_asof(tolerance=)` contract. Applied AFTER the carry-forward
+    * projection, so it adds zero shuffles.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      leftSeq: String, rightSeq: String): DataFrame = {
+      leftSeq: String, rightSeq: String,
+      tolerance: Option[Long] = None): DataFrame = {
     val leftRest = left.columns.filterNot(keys.contains).toSeq
     val rightVals = right.columns.filterNot(keys.contains).toSeq
     require(leftRest.intersect(rightVals).isEmpty,
@@ -55,10 +62,15 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts"), col("_side"), col("_seq"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lT.unionByName(rT)
+    val carried = lT.unionByName(rT)
       .select(keys.map(col) ++ leftRest.map(col) ++ Seq(col("_side")) ++
         rightVals.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
       .filter(col("_side") === 1)
       .drop("_side")
+    tolerance.fold(carried) { tol =>
+      val fresh = col(rightTime) >= col(leftTime) - lit(tol)
+      carried.select(keys.map(col) ++ leftRest.map(col) ++
+        rightVals.map(c => when(fresh, col(c)).as(c)): _*)
+    }
   }
 }

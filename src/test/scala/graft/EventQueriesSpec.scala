@@ -52,6 +52,53 @@ class EventQueriesSpec extends AnyFunSuite {
       (31L, None, None)), out.toString)
   }
 
+  test("AsOfJoin tolerance: stale matches are nulled, fresh ones kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // key 1: view at t=20 before click@25, staleness 5 ≤ tol=10 → kept;
+    // key 2: view at t=10 before click@40, staleness 30 > tol=10 → nulled.
+    val clicks = Seq((1L, 25L, 11L), (2L, 40L, 21L)).toDF("k", "t", "click_id")
+    val views = Seq((1L, 20L, 101L), (2L, 10L, 201L)).toDF("k", "vt", "view_id")
+    val out = graft.ext.AsOfJoin.asOfJoin(clicks, views, Seq("k"),
+        leftTime = "t", rightTime = "vt", leftSeq = "click_id", rightSeq = "view_id",
+        tolerance = Some(10L))
+      .select(col("click_id"), col("view_id"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(out == Set((11L, Some(101L)), (21L, None)), out.toString)
+  }
+
+  test("scale smoke: as-of join over 10M synthetic rows — every click matches its engineered view") {
+    // 250k users × 20 views (t = k·100) and 20 clicks (t = k·100 + 50):
+    // each click's unique correct match is its user's view 50 units
+    // earlier, so correctness is verifiable with a collect-free
+    // aggregate at 2000× the oracle row count. One union + one
+    // per-user window shuffle — the operator's whole scale story.
+    // Budget 240 s absorbs a loaded co-tenant (round-3 postmortem).
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val n = 5000000L
+    val views = spark.range(n).select(
+      expr("id div 20").as("user_id"),
+      ((col("id") % 20) * 100L).as("view_tus"),
+      col("id").as("view_id"))
+    val clicks = spark.range(n).select(
+      expr("id div 20").as("user_id"),
+      ((col("id") % 20) * 100L + 50L).as("tus"),
+      col("id").as("click_id"))
+    val out = graft.ext.AsOfJoin.asOfJoin(clicks, views, Seq("user_id"),
+      leftTime = "tus", rightTime = "view_tus",
+      leftSeq = "click_id", rightSeq = "view_id")
+    val r = out.agg(count(lit(1)).as("n"),
+      count(when(col("view_tus") === col("tus") - 50L &&
+        col("view_id") === col("click_id"), 1)).as("ok")).head()
+    assert(r.getLong(0) == n, s"row count ${r.getLong(0)} != $n")
+    assert(r.getLong(1) == n, s"correct matches ${r.getLong(1)} != $n")
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 240.0, f"10M-row as-of smoke took $secs%.1f s (budget 240 s)")
+    info(f"10M rows as-of joined in $secs%.1f s")
+  }
+
   test("approx percentile (GK sketch): rank error bounded by n/accuracy, per event type") {
     import org.apache.spark.sql.functions.col
     val acc = 100
