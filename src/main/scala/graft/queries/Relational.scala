@@ -242,6 +242,26 @@ object Relational {
         dsum(vol)).as("mkt_share"))
   }
 
+  /** Range-band join: facts classified into a tiny banded dimension via
+    * a BETWEEN join — the histogram-dim / SLA-bucket / price-tier
+    * pattern. With no equi-key the right distributed plan IS a
+    * broadcast nested-loop against the band table — deliberate: the
+    * build side is O(bands) rows, so the "nested loop" is three
+    * comparisons per fact row inside the scan stage and the fact side
+    * never shuffles pre-aggregation. (A CASE expression would be
+    * equivalent compute; the join form keeps the bands an editable,
+    * joinable TABLE rather than code.) */
+  def qValueBands(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(("low", 1.0, 16.0), ("mid", 17.0, 33.0), ("high", 34.0, 50.0))
+      .toDF("band", "lo", "hi")
+    load(spark, sfDir, "lineitem")
+      .join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+  }
+
   /** TPC-H Q10-style returned-item losers: customers ranked by revenue
     * of returned lineitems, deterministic top-20. */
   def q10Returns(spark: SparkSession, sfDir: String): DataFrame = {
@@ -259,6 +279,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_volume" -> (q7Volume _),
     "q8_mkt_share" -> (q8MktShare _),
+    "q_value_bands" -> (qValueBands _),
     "q10_returns" -> (q10Returns _),
     "q6_forecast" -> (q6Forecast _),
     "q4_priority" -> (q4Priority _),
@@ -275,6 +296,14 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_value_bands" ->
+      """SELECT band, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN (VALUES ('low', 1.0, 16.0), ('mid', 17.0, 33.0), ('high', 34.0, 50.0))
+        |  AS v(band, lo, hi)
+        |  ON l_quantity >= lo AND l_quantity <= hi
+        |GROUP BY band""".stripMargin,
     "q8_mkt_share" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |       CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_6'

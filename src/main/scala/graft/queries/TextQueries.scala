@@ -269,7 +269,32 @@ object TextQueries {
       (lit(1.0) - countDistinct(col("fp")).cast("double") / count(lit(1))).as("dup_ratio"))
   }
 
+  /** Token-budget sequence sharding — the packing step training-data
+    * loaders run after curation: per (language, range-shard) the
+    * documents are concatenated in doc_id order and split at 2048-token
+    * offsets; each doc's shard is the bin its STARTING offset falls in
+    * (cum − n_tokens) div budget — the deterministic offset-sharding
+    * form of sequence packing. The cumulative sum runs per
+    * (lang, doc_id div 2000) shard, NOT per language: a per-language
+    * window would serialize each language onto one partition at 100 TB,
+    * while range shards stay bounded (≤2000 docs) at any corpus size
+    * and every shard's packing is independent. Output: per-bin doc
+    * count, token fill, and first doc — the loader's shard manifest. */
+  def curatePack(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), expr("doc_id div 2000").as("shard"),
+        tokenCount(col("text")).as("n_tokens"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr("(cum - n_tokens) div 2048"))
+      .groupBy(col("lang"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_pack" -> (curatePack _),
     "curate_sources" -> (curateSources _),
     "text_tfidf" -> (textTfidf _),
     "curate_decontaminate" -> (curateDecontaminate _),
@@ -308,6 +333,16 @@ object TextQueries {
       |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "curate_pack" ->
+      s"""WITH t AS (SELECT doc_id, lang, doc_id // 2000 AS shard,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, lang, shard, n_tokens,
+         |        SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+         |b AS (SELECT lang, shard, (cum - n_tokens) // 2048 AS bin, n_tokens, doc_id FROM c)
+         |SELECT lang, shard, bin, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, MIN(doc_id) AS first_doc
+         |FROM b GROUP BY lang, shard, bin""".stripMargin,
     "curate_sources" ->
       s"""WITH s1 AS (SELECT source,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens,

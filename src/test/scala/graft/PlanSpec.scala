@@ -291,6 +291,16 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.ext.DedupOps.releaseCaches()
   }
 
+  test("q_value_bands: BETWEEN join broadcasts the 3-row band table (BNLJ is deliberate)") {
+    // no equi-key ⇒ nested loop is unavoidable; correctness of the
+    // SHAPE is that the loop runs against a broadcast O(bands) build
+    // side inside the fact scan stage — the fact table never shuffles
+    // before aggregation.
+    val p = plan("q_value_bands")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(nOps(p, "BroadcastExchange") == 1, p)
+  }
+
   test("native kernels generate valid Janino code (no codegen fallback needed)") {
     // With fallback disabled, any malformed generated code (or a kernel
     // not reachable as a static call) fails the query instead of
