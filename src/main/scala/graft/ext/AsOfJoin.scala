@@ -49,6 +49,9 @@ object AsOfJoin {
     val rightVals = right.columns.filterNot(keys.contains).toSeq
     require(leftRest.intersect(rightVals).isEmpty,
       s"as-of join column clash: ${leftRest.intersect(rightVals).mkString(", ")}")
+    val reserved = Seq("_ts", "_side", "_seq")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"as-of join reserves column names ${reserved.mkString(", ")}")
     val lT = left.select(
       keys.map(col) ++ Seq(col(leftTime).as("_ts"), lit(1).as("_side"),
         col(leftSeq).cast("long").as("_seq")) ++

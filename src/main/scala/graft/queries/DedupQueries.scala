@@ -183,9 +183,11 @@ object DedupQueries {
     * → the text-quality score (over length(text), since mutants differ
     * from the stored n_chars). Plan: the cluster map (id, cluster_rep)
     * joins the scored corpus on id — both sides hash-partitioned on
-    * the id — then one per-cluster window picks the argmax. At 100 TB
-    * the window partitions are cluster-sized (bounded by the LSH cap),
-    * never corpus-sized. */
+    * the id — then ONE hash aggregate per cluster picks the argmax
+    * (max_by with a (quality, −id) struct tie-break: partial maxima
+    * combine map-side, so the exchange moves one row per cluster — a
+    * window rank here would SORT the full membership table; same
+    * trade as [[SimQueries.simIvf]]'s assignment). */
   def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(spark, sfDir)
@@ -203,15 +205,13 @@ object DedupQueries {
     val scored = corpus.select(col("doc_id"),
       greatest(lit(0.0), least(lit(1.0),
         lit(0.5) + stop - (punct / nch) * 2 - (digits / nch))).as("quality"))
-    val wCount = Window.partitionBy(col("cluster_rep"))
-    val wRank = wCount.orderBy(col("quality").desc, col("id"))
     clusters.join(scored, col("id") === col("doc_id"))
       .select(col("cluster_rep"), col("id"), col("quality"))
-      .withColumn("n_members", count(lit(1)).over(wCount))
-      .withColumn("rk", row_number().over(wRank))
-      .filter(col("rk") === 1)
-      .select(col("cluster_rep"), col("id").as("kept_id"),
-        col("quality").as("best_quality"), col("n_members"))
+      .groupBy(col("cluster_rep"))
+      .agg(
+        max_by(col("id"), struct(col("quality"), (-col("id")).as("ni"))).as("kept_id"),
+        max(col("quality")).as("best_quality"),
+        count(lit(1)).as("n_members"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

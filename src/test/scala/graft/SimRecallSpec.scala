@@ -41,6 +41,28 @@ class SimRecallSpec extends AnyFunSuite {
     assert(rm >= 0.4, f"multi-probe recall too low: $rm%.2f")
   }
 
+  test("knnGraph: maxBucket drops hot buckets whole; capped edges are a subset") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def edges(maxBucket: Int) =
+      SimOps.knnGraph(e, k = 3, bits = 4, maxBucket = maxBucket)
+        .select(col("vec_id"), col("nbr_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = edges(0)
+    // 500 vectors over 2^4 buckets: pigeonhole guarantees a bucket of
+    // ≥ 32 members, so a 25-cap always binds somewhere
+    val capped = edges(25)
+    val uncappedByBigLimit = edges(1000000)
+    assert(full.nonEmpty)
+    // subset holds BECAUSE buckets partition the corpus: a surviving
+    // vector's candidate set (its bucket-mates) is unchanged by the
+    // cap, so its top-k is identical; a dropped vector loses all edges.
+    // (In banded LSH a cap can PROMOTE lower-ranked candidates — not here.)
+    assert(capped.subsetOf(full), "cap must only REMOVE edges, never invent them")
+    assert(capped.size < full.size, "a 40-cap must drop at least one hot bucket here")
+    assert(uncappedByBigLimit == full, "a never-binding cap must be a no-op")
+  }
+
   test("IVF search: probing all centroids equals exact; fewer probes still finds neighbors") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val corpus = e.select(col("vec_id"), col("embedding"))
