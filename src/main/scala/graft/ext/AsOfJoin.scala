@@ -49,27 +49,42 @@ object AsOfJoin {
     val rightVals = right.columns.filterNot(keys.contains).toSeq
     require(leftRest.intersect(rightVals).isEmpty,
       s"as-of join column clash: ${leftRest.intersect(rightVals).mkString(", ")}")
-    val reserved = Seq("_ts", "_side", "_seq")
+    val reserved = Seq("_ts", "_side", "_seq", "_rv")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"as-of join reserves column names ${reserved.mkString(", ")}")
+    def isNumeric(df: DataFrame, c: String) =
+      df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    require(isNumeric(left, leftSeq) && isNumeric(right, rightSeq),
+      "seq tie-break columns must be numeric (a cast('long') of a string id " +
+        "would silently null out and break the deterministic ordering)")
+    // The right payload travels as ONE nullable struct, not as
+    // independent columns: carrying each column with its own
+    // last(ignoreNulls) would TEAR rows — a NULL field in the matched
+    // (latest) right row would be back-filled from an older row. The
+    // struct is null exactly on left rows (a struct OF nulls is still
+    // non-null, so building it per-side is what keeps ignoreNulls
+    // meaning "no right row seen yet", field nulls intact).
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c)))
     val lT = left.select(
       keys.map(col) ++ Seq(col(leftTime).as("_ts"), lit(1).as("_side"),
-        col(leftSeq).cast("long").as("_seq")) ++
-        leftRest.map(col) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        col(leftSeq).cast("long").as("_seq"),
+        lit(null).cast(rvType).as("_rv")) ++
+        leftRest.map(col): _*)
     val rT = right.select(
       keys.map(col) ++ Seq(col(rightTime).as("_ts"), lit(0).as("_side"),
-        col(rightSeq).cast("long").as("_seq")) ++
-        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(col): _*)
+        col(rightSeq).cast("long").as("_seq"),
+        struct(rightVals.map(col): _*).as("_rv")) ++
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts"), col("_side"), col("_seq"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lT.unionByName(rT)
-      .select(keys.map(col) ++ leftRest.map(col) ++ Seq(col("_side")) ++
-        rightVals.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .select(keys.map(col) ++ leftRest.map(col) ++ Seq(col("_side"),
+        last(col("_rv"), ignoreNulls = true).over(w).as("_rv")): _*)
       .filter(col("_side") === 1)
-      .drop("_side")
+      .select(keys.map(col) ++ leftRest.map(col) ++
+        rightVals.map(c => col("_rv")(c).as(c)): _*)
     tolerance.fold(carried) { tol =>
       val fresh = col(rightTime) >= col(leftTime) - lit(tol)
       carried.select(keys.map(col) ++ leftRest.map(col) ++

@@ -189,7 +189,6 @@ object DedupQueries {
     * window rank here would SORT the full membership table; same
     * trade as [[SimQueries.simIvf]]'s assignment). */
   def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = docs(spark, sfDir)
     val mut = d.select((col("doc_id") + SHIFT).as("doc_id"),
       expr("substring(text, instr(text, ' ') + 1)").as("text"))

@@ -52,6 +52,23 @@ class EventQueriesSpec extends AnyFunSuite {
       (31L, None, None)), out.toString)
   }
 
+  test("AsOfJoin atomicity: a NULL field in the matched row is not back-filled from older rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // latest view (t=20) has x = NULL; the click at t=25 must see THAT
+    // row's x as null — per-column carry-forward would tear the row and
+    // resurrect the stale x=5 from t=10.
+    val clicks = Seq((1L, 25L, 11L)).toDF("k", "t", "click_id")
+    val views = Seq((1L, 10L, 101L, Some(5L)), (1L, 20L, 102L, None: Option[Long]))
+      .toDF("k", "vt", "view_id", "x")
+    val r = graft.ext.AsOfJoin.asOfJoin(clicks, views, Seq("k"),
+        leftTime = "t", rightTime = "vt", leftSeq = "click_id", rightSeq = "view_id")
+      .select(col("vt"), col("view_id"), col("x")).head()
+    assert(r.getLong(0) == 20L && r.getLong(1) == 102L,
+      s"must match the t=20 view, got $r")
+    assert(r.isNullAt(2), s"matched row's NULL x must stay null, got $r")
+  }
+
   test("AsOfJoin tolerance: stale matches are nulled, fresh ones kept") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

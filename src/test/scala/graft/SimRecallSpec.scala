@@ -59,7 +59,7 @@ class SimRecallSpec extends AnyFunSuite {
     // cap, so its top-k is identical; a dropped vector loses all edges.
     // (In banded LSH a cap can PROMOTE lower-ranked candidates — not here.)
     assert(capped.subsetOf(full), "cap must only REMOVE edges, never invent them")
-    assert(capped.size < full.size, "a 40-cap must drop at least one hot bucket here")
+    assert(capped.size < full.size, "a 25-cap must drop at least one hot bucket here")
     assert(uncappedByBigLimit == full, "a never-binding cap must be a no-op")
   }
 
