@@ -186,7 +186,42 @@ object SimQueries {
     SimOps.topkLshMultiProbe(e.select(col("vec_id"), col("embedding")), querySet(e), 10, 4)
   }
 
+  /** Embedding-outlier QC — the cross-table curation pass: documents
+    * joined to their embeddings (shared id space), per-LANGUAGE
+    * centroids (decimal-exact means, the [[simIvf]] aggregation), then
+    * every doc scored by cosine to its own language's centroid and
+    * flagged when it sits far from the pack — how curation pipelines
+    * catch mislabeled/garbage documents before training. Plan: the
+    * doc⋈embedding equi-join shuffles on the id once; centroids are
+    * langs × dims (broadcast); scoring is one scan projection. */
+  def curateOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = load(spark, sfDir, "documents").select(col("doc_id"), col("lang"))
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val joined = docs.join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("embedding"))
+    // same decimal-exact per-dimension means as SimOps.labelCentroids,
+    // keyed by the string lang (labelCentroids casts its key to long).
+    // The float widens to DOUBLE before the decimal quantization on
+    // BOTH sides: engines disagree on float→decimal directly (shortest
+    // decimal representation vs widened-binary rounding), and unlike
+    // sim_ivf's count-only confusion matrix this query EXPOSES the raw
+    // centroid-derived doubles to the hash.
+    val centsByLang = joined.select(col("lang"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("lang"), col("pos"))
+      .agg((sum(col("v").cast("double").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+        .cast("double") / count(lit(1))).as("cv"))
+      .groupBy(col("lang"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x("cv")).as("c_vec"))
+      .select(col("lang").as("c_lang"), col("c_vec"))
+    joined.join(broadcast(centsByLang), col("lang") === col("c_lang"))
+      .select(col("doc_id"), col("lang"),
+        SimOps.cosine(col("embedding"), col("c_vec")).as("cos_centroid"))
+      .withColumn("outlier", (col("cos_centroid") < 0.1).cast("boolean"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_outliers" -> (curateOutliers _),
     "sim_lsh_probe" -> (simLshProbe _),
     "sim_knn_graph" -> (simKnnGraph _),
     "sim_topk" -> (simTopk _),
@@ -230,6 +265,18 @@ object SimQueries {
       s"(acc, b) -> acc*2 + b)"
 
   val oracleSql: Map[String, String] = Map(
+    "curate_outliers" ->
+      s"""WITH j AS (SELECT doc_id, lang, embedding
+         |           FROM documents JOIN embeddings ON doc_id = vec_id),
+         |comp AS (SELECT lang, generate_subscripts(embedding, 1) - 1 AS pos,
+         |                unnest(embedding) AS v FROM j),
+         |cd AS (SELECT lang, pos,
+         |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS cv
+         |       FROM comp GROUP BY lang, pos),
+         |cents AS (SELECT lang, list(cv ORDER BY pos) AS c_vec FROM cd GROUP BY lang)
+         |SELECT doc_id, lang, ${cosMixedSql("embedding", "c_vec")} AS cos_centroid,
+         |       ${cosMixedSql("embedding", "c_vec")} < 0.1 AS outlier
+         |FROM j JOIN cents USING (lang)""".stripMargin,
     "sim_lsh_probe" ->
       s"""WITH bc AS (SELECT vec_id, embedding, ${srpSql("embedding", 4)} AS bucket FROM embeddings),
          |bq AS (SELECT vec_id AS q_id, embedding AS q_vec, ${srpSql("embedding", 4)} AS b0
