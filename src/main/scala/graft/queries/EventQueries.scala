@@ -211,7 +211,32 @@ object EventQueries {
         (col("tus") - col("view_tus")).as("gap_us"))
   }
 
+  /** Trailing-window spike detection — the volume-anomaly monitor ops
+    * teams run per event type: a day is a spike when its count exceeds
+    * 2× the mean of the previous 7 days. The comparison is spelled in
+    * INTEGERS (7·n > 2·trailing_sum) so the flag is exact in both
+    * engines — no float mean, no epsilon. Only days with a full 7-day
+    * history are emitted (a partial window would compare against a
+    * deflated baseline). Scale posture: the corpus-sized work is the
+    * map-side-combined daily count; the window input is |types| ×
+    * |days| rows — bounded regardless of event volume, so the
+    * per-type sort is trivial at any scale. */
+  def eventsSpikes(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(tsMicros).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("trail", sum(col("n")).over(w))
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .filter(col("n_prev") === 7)
+      .select(col("event_type"), col("day"), col("n"), col("trail"),
+        (col("n") * 7 > col("trail") * 2).as("spike"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_spikes" -> (eventsSpikes _),
     "events_paths" -> (eventsPaths _),
     "events_attribution" -> (eventsAttribution _),
     "events_retention" -> (eventsRetention _),
@@ -222,6 +247,16 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_spikes" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n,
+        |        CAST(SUM(n) OVER tw AS BIGINT) AS trail,
+        |        COUNT(*) OVER tw AS n_prev
+        |      FROM d WINDOW tw AS (PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n, trail, n * 7 > trail * 2 AS spike
+        |FROM w WHERE n_prev = 7""".stripMargin,
     "events_paths" ->
       """WITH g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
         |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id

@@ -276,7 +276,99 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q14-style promo revenue share: one month of lineitem joined
+    * to part, conditional-sum-over-total-sum. The date window pushes
+    * into the lineitem scan; part is SF-scaled so it carries no forced
+    * broadcast (AQE promotes at small SF, shuffle-joins at 100 TB).
+    * Both sums decimal-exact, one IEEE multiply+divide at the end. */
+  def q14Promo(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+    val part = load(spark, sfDir, "part")
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(part, li("l_partkey") === part("p_partkey"))
+      .agg((lit(100.0) * dsum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0))) /
+        dsum(vol)).as("promo_share"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q15-style top supplier: quarterly revenue per supplier, then
+    * the supplier(s) at the maximum. The max is a 1-row aggregate
+    * broadcast back over the revenue table (no global-order window —
+    * a rank() over an unpartitioned ORDER BY would serialize the whole
+    * revenue table through one partition at scale); equality on the
+    * decimal-exact double is deterministic because both sides fold the
+    * identical decimal sum. */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mr"))
+    rev.crossJoin(broadcast(mx)).filter(col("total_rev") === col("mr"))
+      .join(load(spark, sfDir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: lineitems below 20% of
+    * their part's average quantity, for one brand. The correlated
+    * per-part average is decorrelated into a partkey-keyed aggregate
+    * (map-side combined — one row per part crosses the shuffle) joined
+    * back to the brand-filtered lineitems; no per-row subquery probe
+    * survives into the plan. The 0.2× bound is (decimal-sum/count)×0.2 —
+    * the same IEEE op order both engines. */
+  def q17SmallQty(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = load(spark, sfDir, "lineitem")
+    val bound = li.groupBy(col("l_partkey").as("b_partkey"))
+      .agg((davg(col("l_quantity")) * 0.2).as("qty_bound"))
+    val brandParts = load(spark, sfDir, "part")
+      .filter(col("p_brand") === "Brand#4").select(col("p_partkey"))
+    li.join(brandParts, li("l_partkey") === col("p_partkey"))
+      .join(bound, li("l_partkey") === col("b_partkey"))
+      .filter(col("l_quantity") < col("qty_bound"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q18-style large-volume orders: orders whose line quantities
+    * sum past 250, with their customer. The HAVING pre-aggregate runs
+    * FIRST (map-side combined on orderkey) so only qualifying orderkeys
+    * reach the 3-way join — at 100 TB the join input is the handful of
+    * outlier orders, not the fact table. */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = load(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    big.join(load(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(load(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+  }
+
+  /** TPC-H Q22-style idle rich customers: above-average account balance
+    * (the scalar subquery: a 1-row decimal-exact aggregate broadcast
+    * over the customer scan) with no recent orders (anti join on the
+    * date-pruned orders side), rolled up per nation. */
+  def q22RichIdle(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = load(spark, sfDir, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(davg(col("c_acctbal")).as("ab"))
+    val recent = load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    cust.crossJoin(broadcast(avgBal)).filter(col("c_acctbal") > col("ab"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_promo" -> (q14Promo _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_qty" -> (q17SmallQty _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q22_rich_idle" -> (q22RichIdle _),
     "q7_volume" -> (q7Volume _),
     "q8_mkt_share" -> (q8MktShare _),
     "q_value_bands" -> (qValueBands _),
@@ -296,6 +388,54 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q14_promo" ->
+      """SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |                     THEN l_extendedprice * (1 - l_discount)
+        |                     ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+        |       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        |         AS promo_share,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""".stripMargin,
+    "q17_small_qty" ->
+      """WITH b AS (
+        |  SELECT l_partkey AS b_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) * 0.2 AS qty_bound
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN b ON l_partkey = b_partkey
+        |WHERE p_brand = 'Brand#4' AND l_quantity < qty_bound""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q22_rich_idle" ->
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+        |                   FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey""".stripMargin,
     "q_value_bands" ->
       """SELECT band, COUNT(*) AS n,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty

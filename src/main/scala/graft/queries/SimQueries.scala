@@ -220,7 +220,44 @@ object SimQueries {
       .withColumn("outlier", (col("cos_centroid") < 0.1).cast("boolean"))
   }
 
+  /** One k-means (Lloyd) iteration — the semantic-clustering primitive
+    * SemDeDup-style curation and IVF index training iterate: k = 8
+    * deterministic seeds (the first 8 vectors), every vector assigned
+    * to its nearest seed by cosine, then per-cluster centroids
+    * recomputed as decimal-exact per-dimension means. The declared row
+    * emits per-cluster (size, centroid-component fold) — the fold in
+    * pos order pins every centroid dimension to the hash while keeping
+    * the output schema scalar. Plan at 100 TB: seeds are k × dims
+    * (broadcast), assignment is one scan + a map-side-combined argmax
+    * (one row per vector crosses the shuffle — the [[simIvf]] max_by
+    * shape), the centroid update aggregates k × dims cells. Iterating
+    * is re-running this plan with the output centroids as next seeds. */
+  def simKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("s_id"), col("embedding").as("s_vec"))
+    // argmax over the 8 broadcast seeds; first(embedding) is
+    // deterministic here — every row in the group carries the same array
+    val assigned = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("s_id"),
+        SimOps.cosine(col("embedding"), col("s_vec")).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("s_id"), struct(col("cos"), (-col("s_id")).as("ns"))).as("c_id"),
+        first(col("embedding")).as("embedding"))
+    val cd = assigned
+      .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("c_id"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("v").cast("double").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double") / count(lit(1))).as("cv"))
+    cd.groupBy(col("c_id"))
+      .agg(max(col("n")).as("n"),
+        aggregate(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x("cv")), lit(0.0), (a, v) => a + v).as("c_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans" -> (simKmeans _),
     "curate_outliers" -> (curateOutliers _),
     "sim_lsh_probe" -> (simLshProbe _),
     "sim_knn_graph" -> (simKnnGraph _),
@@ -265,6 +302,26 @@ object SimQueries {
       s"(acc, b) -> acc*2 + b)"
 
   val oracleSql: Map[String, String] = Map(
+    "sim_kmeans" ->
+      s"""WITH seeds AS (SELECT vec_id AS s_id, embedding AS s_vec
+         |               FROM embeddings WHERE vec_id < 8),
+         |scored AS (SELECT vec_id, embedding, s_id,
+         |             ${cosSql("embedding", "s_vec")} AS cos
+         |           FROM embeddings, seeds),
+         |best AS (SELECT vec_id, embedding, s_id AS c_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY cos DESC, s_id) AS rk
+         |         FROM scored),
+         |a AS (SELECT vec_id, embedding, c_id FROM best WHERE rk = 1),
+         |comp AS (SELECT c_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         |                unnest(embedding) AS v FROM a),
+         |cd AS (SELECT c_id, pos, COUNT(*) AS n,
+         |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS cv
+         |       FROM comp GROUP BY c_id, pos)
+         |SELECT c_id, MAX(n) AS n,
+         |       list_reduce(list_prepend(CAST(0 AS DOUBLE), list(cv ORDER BY pos)),
+         |         (a, b) -> a + b) AS c_sum
+         |FROM cd GROUP BY c_id""".stripMargin,
     "curate_outliers" ->
       s"""WITH j AS (SELECT doc_id, lang, embedding
          |           FROM documents JOIN embeddings ON doc_id = vec_id),

@@ -293,7 +293,36 @@ object TextQueries {
         min(col("doc_id")).as("first_doc"))
   }
 
+  /** Cross-document boilerplate detection — the line/paragraph-dedup
+    * analog for a corpus without line structure: per document, the
+    * fraction of its distinct 5-gram shingles that appear in at least
+    * one OTHER document (shared navigation chrome, templates, licence
+    * headers — the spans C4/RefinedWeb-style pipelines strip before
+    * training). Unlike [[curateDecontaminate]] the frequency side is
+    * the WHOLE corpus, so the gram table is corpus-sized and the
+    * df-join is a fp-keyed shuffle join, never a broadcast. Plan at
+    * 100 TB: one scan explodes distinct per-doc gram fingerprints
+    * (fixed-width longs), one map-side-combined aggregate builds df,
+    * one equi-join + per-doc aggregate — all exchanges carry (long,
+    * long) rows, no text. The gram table is computed once and persisted
+    * (query-scoped) because both the df branch and the join probe it. */
+  def curateBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val grams = graft.core.QueryCaches.track(
+      d.select(col("doc_id"),
+        explode(array_distinct(
+          graft.ext.DedupOps.shingleFps(tokens(col("text")), 5))).as("fp")))
+    val dfreq = grams.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ratio",
+        col("n_shared").cast("double") / col("n_grams"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_boilerplate" -> (curateBoilerplate _),
     "curate_pack" -> (curatePack _),
     "curate_sources" -> (curateSources _),
     "text_tfidf" -> (textTfidf _),
@@ -333,6 +362,22 @@ object TextQueries {
       |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "curate_boilerplate" ->
+      s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |sh_t AS (SELECT doc_id, CASE WHEN len(tk) >= 5 THEN list_transform(range(1, len(tk) - 3),
+         |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])
+         |  ELSE [] END AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, list_distinct(list_transform(sh, s ->
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(s, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007))) AS fps FROM sh_t),
+         |g AS (SELECT doc_id, unnest(fps) AS fp FROM fp_t),
+         |d_t AS (SELECT fp, COUNT(*) AS df FROM g GROUP BY fp)
+         |SELECT doc_id, n_grams, n_shared,
+         |       CAST(n_shared AS DOUBLE) / n_grams AS shared_ratio
+         |FROM (SELECT g.doc_id, COUNT(*) AS n_grams,
+         |        CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |      FROM g JOIN d_t USING (fp) GROUP BY g.doc_id)""".stripMargin,
     "curate_pack" ->
       s"""WITH t AS (SELECT doc_id, lang, doc_id // 2000 AS shard,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
