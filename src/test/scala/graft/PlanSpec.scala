@@ -301,6 +301,58 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "BroadcastExchange") == 1, p)
   }
 
+  test("q18_large_orders: lineitem pre-aggregates before any join (only outliers join)") {
+    // The HAVING aggregate must run on the fact table FIRST so the
+    // 3-way join sees qualifying orderkeys only — at 100 TB the join
+    // input is the outlier set, not 600B lineitems.
+    val p = plan("q18_large_orders")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val joins = nOps(p, "SortMergeJoin") + nOps(p, "BroadcastHashJoin") +
+      nOps(p, "ShuffledHashJoin")
+    assert(joins == 2, s"exactly orders+customer joins expected:\n$p")
+    assert(nOps(p, "HashAggregate") >= 2, s"partial+final HAVING aggregate expected:\n$p")
+  }
+
+  test("q17_small_qty: the correlated per-part average decorrelates to equi-joins") {
+    // No per-row subquery probe and no nested loop may survive — the
+    // bound is a partkey-keyed aggregate joined back to the fact rows.
+    val p = plan("q17_small_qty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(nOps(p, "HashAggregate") >= 2, s"per-part bound aggregate expected:\n$p")
+  }
+
+  test("scalar-subquery queries: the 1-row aggregate broadcasts; facts never do") {
+    // q22: avg-acctbal crossJoin is a broadcast of ONE row; the NOT
+    // EXISTS is a genuine anti join. q15: max-revenue equality joins
+    // against a 1-row broadcast (Catalyst may hash-join the equality).
+    val p22 = plan("q22_rich_idle")
+    assert(p22.contains("LeftAnti"), s"anti join expected:\n$p22")
+    assert(!p22.contains("CartesianProduct"), p22)
+    assert(nOps(p22, "BroadcastExchange") >= 1, p22)
+    val p15 = plan("q15_top_supplier")
+    assert(!p15.contains("CartesianProduct"), p15)
+    assert(nOps(p15, "BroadcastExchange") >= 1, p15)
+  }
+
+  test("sim_kmeans: seeds broadcast once; the corpus is never broadcast") {
+    val p = plan("sim_kmeans")
+    assert(nOps(p, "BroadcastExchange") == 1, s"exactly the seed set broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("curate_boilerplate: grams exploded once — df reads the persisted gram table") {
+    // Same contract as text_tfidf: the corpus-sized explode happens a
+    // single time; both the df aggregate and the join probe read the
+    // cached gram relation.
+    try {
+      val p = plan("curate_boilerplate")
+      assert(nOps(p, "Scan parquet") <= 1,
+        s"corpus must be scanned once (through the gram cache):\n$p")
+      assert(nOps(p, "InMemoryTableScan") + nOps(p, "TableCacheQueryStage") >= 2,
+        s"both gram consumers must read the cached relation:\n$p")
+    } finally graft.ext.DedupOps.releaseCaches()
+  }
+
   test("native kernels generate valid Janino code (no codegen fallback needed)") {
     // With fallback disabled, any malformed generated code (or a kernel
     // not reachable as a static call) fails the query instead of
