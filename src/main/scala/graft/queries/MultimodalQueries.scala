@@ -68,7 +68,25 @@ object MultimodalQueries {
         md5(col("frame_bytes")).as("frame_md5"))
   }
 
+  /** Exact media dedup on the content hash — the first pass every
+    * image/video pipeline runs before any perceptual dedup: planted
+    * duplicate blobs (doc_id + 1e6) must collapse onto their originals.
+    * One map-side-combined hash aggregate keyed by md5(content): only
+    * (16-byte hash, id) pairs cross the shuffle, the blob itself never
+    * leaves its scan partition — the shape that holds when blobs are
+    * megabytes. Output: per duplicated hash, the kept (min) id and the
+    * copy count. */
+  def mmDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = bin(spark, sfDir)
+    val corpus = b.unionAll(
+      b.select((col("doc_id") + 1000000L).as("doc_id"), col("content")))
+    corpus.groupBy(md5(col("content")).as("content_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dedup" -> (mmDedup _),
     "mm_frames" -> (mmFrames _),
     "mm_meta" -> (mmMeta _),
     "mm_bytes" -> (mmBytes _),
@@ -89,6 +107,11 @@ object MultimodalQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "mm_dedup" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |                UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM corpus GROUP BY md5(text) HAVING COUNT(*) >= 2""".stripMargin,
     // nf=8, every=3 ⇒ sampled indices distinct([0,3,6] ++ [7]) = [0,3,6,7];
     // frame size = max(1, n_bytes // 8); substring clamps at the end on
     // both engines (empty slice ⇒ md5 of the empty string, equal).

@@ -316,6 +316,71 @@ object GraftStream {
       .select(col(keyCol), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Streaming trailing-window spike detection — the unbounded form of
+    * [[graft.queries.EventQueries.eventsSpikes]]: per key, daily event
+    * counts, a day flagged when 7·n(day) > 2·Σ(previous 7 closed days).
+    * ONE stateful operator does both the counting and the flagging
+    * (Spark restricts (flat)MapGroupsWithState downstream of a
+    * streaming aggregation, and a second state machine would shuffle
+    * again anyway): keyed state holds the OPEN per-day counts plus the
+    * ≤7-day closed tail, and the query's event-time watermark decides
+    * when a day is final (day_end ≤ watermark). Emission is
+    * watermark-driven via EventTimeTimeout re-armed just past the
+    * current watermark, so a key's days close and flag even when that
+    * key receives no further events. State per key is O(days open
+    * within the watermark + 7) fixed-width longs — bounded by
+    * rate × watermark delay, never by stream length. The flag compare
+    * is all-integer (7·n > 2·trail), identical to the batch oracle;
+    * only days with a FULL 7-closed-day history emit (the batch
+    * `n_prev = 7` guard). Late events inside the watermark land in
+    * their still-open day; once a day closed, stragglers are dropped
+    * by the watermark before reaching the operator. */
+  def spikeDetect(df: DataFrame, tsCol: String, keyCol: String,
+      watermark: String): Dataset[(String, java.sql.Timestamp, Long, Long, Boolean)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val DayMs = 86400000L
+    // the WATERMARKED event-time column itself must reach the state
+    // operator (EventTimeTimeout rejects a plan whose event-time
+    // attribute was projected away, and a cast strips the watermark
+    // metadata — so `tsCol` must already be TimestampType and is
+    // aliased, never rewritten); day bucketing happens inside.
+    val keyed = df.withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("et"))
+      .as[(String, java.sql.Timestamp)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[(Map[Long, Long], Seq[(Long, Long)], Long)]) =>
+          val (open0, tail0, closed0) =
+            state.getOption.getOrElse((Map.empty[Long, Long], Seq.empty[(Long, Long)], 0L))
+          // fold this trigger's events into their (possibly new) open days
+          val open = rows.foldLeft(open0) { case (m, (_, ts)) =>
+            val d = math.floorDiv(ts.getTime, DayMs) * DayMs
+            m.updated(d, m.getOrElse(d, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (closable, stillOpen) = open.partition { case (d, _) => d + DayMs <= wm }
+          var tail = tail0
+          var nClosed = closed0
+          val out = Seq.newBuilder[(String, java.sql.Timestamp, Long, Long, Boolean)]
+          for ((d, n) <- closable.toSeq.sortBy(_._1)) {
+            if (nClosed >= 7) { // tail holds exactly the 7 preceding closed days
+              val trail = tail.map(_._2).sum
+              out += ((key, new java.sql.Timestamp(d), n, trail, n * 7 > trail * 2))
+            }
+            tail = (tail :+ (d, n)).takeRight(7)
+            nClosed += 1
+          }
+          state.update((stillOpen, tail, nClosed))
+          // re-arm just past the current watermark: the next watermark
+          // advance re-invokes this key even with no new data
+          state.setTimeoutTimestamp(wm + 1L)
+          out.result().iterator
+      }
+  }
+
   /** Watermarked stream-stream interval join — the streaming form of
     * the attribution shape ([[graft.ext.AsOfJoin]] in batch): each left
     * row joins right rows with the same key whose event time falls in

@@ -495,6 +495,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == Map(0L -> 20L, 1L -> 20L, 2L -> 10L), s"got $last")
   }
 
+  test("streaming spike detection: watermark-closed days equal the batch trailing-window flags") {
+    // 2 keys × 12 days; key "a" has an engineered 10-event day 10 (the
+    // spike), key "b" is flat. Batch semantics (events_spikes): a day
+    // emits once it has 7 closed predecessors; 7·n > 2·trail flags it.
+    // Two sentinel batches advance the watermark so days 0..11 close
+    // (the sentinel's own day stays open and must never emit).
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "etype")
+    val rows = new ConcurrentLinkedQueue[(String, Long, Long, Long, Boolean)]()
+    val q = GraftStream.spikeDetect(df, "ts", "etype", "0 seconds")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Timestamp, Long, Long, Boolean)],
+          _: Long) => {
+        b.collect().foreach(r => rows.add((r._1, r._2.getTime, r._3, r._4, r._5))); ()
+      })
+      .start()
+    // day d maps to calendar day d+1: a ts-0 event is not LATER than
+    // the initial watermark (0) and would be dropped as late data
+    def ev(day: Int, i: Int, k: String) = (new Timestamp((day + 1) * 86400000L + i * 1000L), k)
+    val events = (0 until 12).flatMap { d =>
+      val na = if (d == 10) 10 else 3
+      (0 until na).map(i => ev(d, i, "a")) ++ (0 until 2).map(i => ev(d, i, "b"))
+    }
+    in.addData(events: _*)
+    q.processAllAvailable() // wm still 0 — nothing closes
+    in.addData(ev(40, 0, "a")) // wm -> day 11: closes days 0..10 (both keys)
+    q.processAllAvailable()
+    in.addData(ev(41, 0, "a")) // wm -> day 40: closes day 11 (timeout batches may then close day 40 too)
+    q.processAllAvailable()
+    q.stop()
+    def dayMs(d: Int) = (d + 1) * 86400000L
+    // the sentinel's own day eventually closes via timeout batches and
+    // emits (correct ROWS-over-closed-days semantics) — the assertion
+    // scopes to the 12-day observation window
+    val got = rows.toArray.map(_.asInstanceOf[(String, Long, Long, Long, Boolean)])
+      .filter(_._2 < dayMs(12)).toSet
+    def cnt(k: String, d: Int) = if (k == "a") { if (d == 10) 10L else 3L } else 2L
+    val expected = (for { k <- Seq("a", "b"); d <- 7 to 11 } yield {
+      val n = cnt(k, d)
+      val trail = (d - 7 until d).map(cnt(k, _)).sum
+      (k, dayMs(d), n, trail, n * 7 > trail * 2)
+    }).toSet
+    assert(got == expected, s"got $got")
+    assert(got.count(_._5) == 1 && got.exists(t => t._1 == "a" && t._2 == dayMs(10) && t._5))
+  }
+
   test("streaming session_window equals the lag-based batch sessionization shape") {
     // Batch check of the same session_window operator the stream uses:
     // session count and per-session event totals must equal the
