@@ -321,7 +321,39 @@ object TextQueries {
         col("n_shared").cast("double") / col("n_grams"))
   }
 
+  /** Target-mix rebalancing — the step BEFORE [[curateSample]]: given a
+    * target token share per language (en 20%, others 10% — flatter than
+    * the corpus), derive each language's admission rate from its actual
+    * token volume, then hash-sample at that rate and report the
+    * achieved mix. The rate is ALL-INTEGER — floor(share·total/actual),
+    * capped at 100 — so both engines agree exactly (no float division
+    * feeding a comparison). Plan at 100 TB: one scan projects (lang,
+    * n_tokens, content hash) — persisted query-scoped because both the
+    * stats branch and the sampling filter read it; per-language volumes
+    * are a map-side-combined aggregate; the rate table is |langs| rows
+    * (broadcast); the admission filter + achieved-mix rollup is one
+    * more hash aggregate. Content-keyed hash sampling keeps the
+    * admission reproducible under retries and repartitioning. */
+  def curateMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = graft.core.QueryCaches.track(
+      load(spark, sfDir, "documents").select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("n_tokens"),
+        pmod(fingerprint(col("text")), lit(100L)).as("h")))
+    val stats = d.groupBy(col("lang")).agg(sum(col("n_tokens")).as("a_tokens"))
+    val total = stats.agg(sum(col("a_tokens")).as("t_tokens"))
+    val rates = stats.crossJoin(broadcast(total))
+      .withColumn("share", when(col("lang") === "en", 20L).otherwise(10L))
+      .selectExpr("lang AS r_lang", "a_tokens",
+        "least(CAST(100 AS BIGINT), (share * t_tokens) div a_tokens) AS rate_pct")
+    d.join(broadcast(rates), col("lang") === col("r_lang"))
+      .filter(col("h") < col("rate_pct"))
+      .groupBy(col("lang"))
+      .agg(min(col("rate_pct")).as("rate_pct"), min(col("a_tokens")).as("a_tokens"),
+        count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("kept_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_mix" -> (curateMix _),
     "curate_boilerplate" -> (curateBoilerplate _),
     "curate_pack" -> (curatePack _),
     "curate_sources" -> (curateSources _),
@@ -362,6 +394,21 @@ object TextQueries {
       |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "curate_mix" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  $fpSql % 100 AS h
+         |  FROM documents),
+         |s AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS a_tokens FROM d GROUP BY lang),
+         |t AS (SELECT CAST(SUM(a_tokens) AS BIGINT) AS t_tokens FROM s),
+         |r AS (SELECT lang AS r_lang, a_tokens,
+         |        LEAST(CAST(100 AS BIGINT),
+         |          (CASE WHEN lang = 'en' THEN 20 ELSE 10 END * t_tokens) // a_tokens) AS rate_pct
+         |      FROM s, t)
+         |SELECT lang, CAST(MIN(rate_pct) AS BIGINT) AS rate_pct,
+         |       CAST(MIN(a_tokens) AS BIGINT) AS a_tokens,
+         |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+         |FROM d JOIN r ON lang = r_lang WHERE h < rate_pct GROUP BY lang""".stripMargin,
     "curate_boilerplate" ->
       s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |sh_t AS (SELECT doc_id, CASE WHEN len(tk) >= 5 THEN list_transform(range(1, len(tk) - 3),
