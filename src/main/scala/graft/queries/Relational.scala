@@ -363,7 +363,25 @@ object Relational {
       .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
   }
 
+  /** TPC-H Q13-style order-count distribution: every customer (orderless
+    * ones included — the LEFT join is the point) → per-customer order
+    * count → histogram of counts. The per-customer aggregate keys on
+    * the join key, so it reuses the join's hash partitioning with no
+    * extra exchange; the histogram aggregate shuffles |distinct counts|
+    * rows. COUNT(o_orderkey) over the null-extended rows gives
+    * orderless customers a 0 bucket in both engines. */
+  def q13OrderDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = load(spark, sfDir, "customer")
+    val ord = load(spark, sfDir, "orders")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_custs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_order_dist" -> (q13OrderDist _),
     "q14_promo" -> (q14Promo _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q17_small_qty" -> (q17SmallQty _),
@@ -388,6 +406,12 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q13_order_dist" ->
+      """SELECT c_count, COUNT(*) AS n_custs FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
     "q14_promo" ->
       """SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
         |                     THEN l_extendedprice * (1 - l_discount)
