@@ -169,6 +169,48 @@ object SimOps {
         x => x("cv")).as("c_vec"))
       .select(col(labelCol).cast("long").as("c_id"), col("c_vec"))
 
+  /** Full Lloyd's loop (spherical k-means on cosine): `iters` rounds of
+    * assign-to-nearest-centroid + decimal-exact centroid recompute.
+    * Seeds are the k lowest-id vectors (deterministic — no RNG). Per
+    * round the ONLY driver materialization is the k × dims centroid
+    * table (the `dupClusters` per-round-scalar pattern; the corpus
+    * never leaves the executors), re-entering the next round's plan as
+    * a broadcast literal relation, so each round's assignment is one
+    * corpus scan + a map-side-combined argmax — one row per vector
+    * crosses the shuffle. Empty clusters carry their previous centroid
+    * forward (deterministic cluster identity). Returns the final
+    * (vec_id, c_id, cos) assignment, computed lazily against the last
+    * centroids. A 100 TB run costs `iters` scans — the canonical
+    * distributed k-means shape; the declared `sim_kmeans` row pins one
+    * round's arithmetic to the DuckDB oracle, this loop composes it. */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    var cents: Array[(Long, Seq[Double])] = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    def assign(cs: Array[(Long, Seq[Double])]): DataFrame = {
+      val cdf = cs.toSeq.toDF("c_id", "c_vec")
+      e.crossJoin(broadcast(cdf))
+        .select(col("vec_id"), col("embedding"), col("c_id"),
+          cosine(col("embedding"), col("c_vec")).as("cc"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("embedding"), col("c_id")),
+          struct(col("cc"), (-col("c_id")).as("nc"))).as("best"),
+          max(col("cc")).as("cos"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+          col("best.c_id").as("c_id"), col("cos"))
+    }
+    for (_ <- 1 until iters) {
+      val next = labelCentroids(assign(cents), "c_id")
+        .as[(Long, Seq[Double])].collect().toMap
+      cents = cents.map { case (id, old) => (id, next.getOrElse(id, old)) }
+    }
+    assign(cents).select(col("vec_id"), col("c_id"), col("cos"))
+  }
+
   /** Bucketed k-NN graph: every vector's top-k cosine neighbors among
     * its SRP bucket-mates — the all-N analog of [[topkLsh]] where the
     * "query set" IS the corpus, so nothing is broadcast: the bucket

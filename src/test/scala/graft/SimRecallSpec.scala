@@ -82,6 +82,23 @@ class SimRecallSpec extends AnyFunSuite {
     assert(hits.sum / hits.size > 0.0)
   }
 
+  test("kmeans: Lloyd objective non-decreasing per round; deterministic; partitions the corpus") {
+    // Spherical k-means monotonicity: re-centering (decimal-exact mean
+    // direction) then re-assigning can never lower the summed cosine.
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    def objective(iters: Int): Double =
+      graft.ext.SimOps.kmeans(e, 8, iters)
+        .agg(org.apache.spark.sql.functions.sum("cos")).head().getDouble(0)
+    val o = (1 to 3).map(objective)
+    assert(o(1) >= o(0) - 1e-9 && o(2) >= o(1) - 1e-9, s"objective regressed: $o")
+    assert(objective(2) == o(1), "same seeds + same data must reproduce exactly")
+    val a = graft.ext.SimOps.kmeans(e, 8, 2)
+    assert(a.count() == e.count(), "every vector assigned exactly once")
+    assert(a.select("c_id").distinct().count() <= 8)
+  }
+
   test("int8 quantization round-trips within half a quantization step per element") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val rows = graft.queries.SimQueries.quantized(e)
