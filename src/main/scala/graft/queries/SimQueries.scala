@@ -256,7 +256,46 @@ object SimQueries {
           x => x("cv")), lit(0.0), (a, v) => a + v).as("c_sum"))
   }
 
+  /** SemDeDup-style semantic dedup — the composition curation pipelines
+    * actually run over embeddings: cluster the corpus (here one
+    * deterministic Lloyd assignment against the [[simKmeans]] seeds),
+    * then find near-duplicates ONLY within a cluster, bucketed by 8-bit
+    * SRP inside it, and count what gets dropped (the larger id of each
+    * verified pair). Planted exact copies (vec_id + 1e6) land in their
+    * original's cluster and bucket by construction, so the green row
+    * pins the whole chain: argmax assignment, per-cluster bucketing,
+    * pair verification, drop accounting. Plan at 100 TB: seeds
+    * broadcast, assignment is the one-row-per-vector argmax, the
+    * assigned+bucketed table is computed ONCE (query-scoped persist —
+    * it feeds both sides of the pair self-join), and candidates meet
+    * only inside (cluster, bucket) — the join is a fixed-width-key
+    * equi-join, never all-pairs. */
+  def simSemanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val corpus = e.unionAll(e.select((col("vec_id") + SHIFT).as("vec_id"), col("embedding")))
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("s_id"), col("embedding").as("s_vec"))
+    val assigned = graft.core.QueryCaches.track(
+      corpus.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("embedding"), col("s_id"),
+          SimOps.cosine(col("embedding"), col("s_vec")).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("embedding"), col("s_id")),
+          struct(col("cos"), (-col("s_id")).as("ns"))).as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+          col("best.s_id").as("c_id"))
+        .withColumn("bucket", SimOps.srpBucket(col("embedding"), 8)))
+    val pairs = assigned.as("a").join(assigned.as("x"),
+        col("a.c_id") === col("x.c_id") && col("a.bucket") === col("x.bucket") &&
+          col("a.vec_id") < col("x.vec_id"))
+      .filter(SimOps.cosine(col("a.embedding"), col("x.embedding")) >= 0.999)
+      .select(col("a.c_id").as("c_id"), col("x.vec_id").as("vec_b"))
+    pairs.groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("vec_b")).as("n_dropped"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_semantic_dedup" -> (simSemanticDedup _),
     "sim_kmeans" -> (simKmeans _),
     "curate_outliers" -> (curateOutliers _),
     "sim_lsh_probe" -> (simLshProbe _),
@@ -302,6 +341,26 @@ object SimQueries {
       s"(acc, b) -> acc*2 + b)"
 
   val oracleSql: Map[String, String] = Map(
+    "sim_semantic_dedup" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+         |                UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+         |seeds AS (SELECT vec_id AS s_id, embedding AS s_vec
+         |          FROM embeddings WHERE vec_id < 8),
+         |scored AS (SELECT vec_id, embedding, s_id,
+         |             ${cosSql("embedding", "s_vec")} AS cos
+         |           FROM corpus, seeds),
+         |best AS (SELECT vec_id, embedding, s_id AS c_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY cos DESC, s_id) AS rk
+         |         FROM scored),
+         |a AS (SELECT vec_id, embedding, c_id, ${srpSql("embedding", 8)} AS bucket
+         |      FROM best WHERE rk = 1),
+         |p AS (SELECT a.c_id AS c_id, x.vec_id AS vec_b
+         |      FROM a a JOIN a x ON a.c_id = x.c_id AND a.bucket = x.bucket
+         |        AND a.vec_id < x.vec_id
+         |      WHERE ${cosSql("a.embedding", "x.embedding")} >= 0.999)
+         |SELECT c_id, COUNT(*) AS n_pairs, COUNT(DISTINCT vec_b) AS n_dropped
+         |FROM p GROUP BY c_id""".stripMargin,
     "sim_kmeans" ->
       s"""WITH seeds AS (SELECT vec_id AS s_id, embedding AS s_vec
          |               FROM embeddings WHERE vec_id < 8),
