@@ -75,4 +75,22 @@ class VecGenSourceSpec extends AnyFunSuite {
     assert(secs < 240.0, f"10M-vector ANN smoke took $secs%.1f s (budget 240 s)")
     info(f"10M vectors: near-dup + top-k in $secs%.1f s, $nPairs pairs, $nPlanted planted recovered")
   }
+
+  test("scale smoke: two Lloyd rounds over 1M generated vectors") {
+    // The iterative-clustering loop at 2000x the oracle corpus: per
+    // round one corpus scan + broadcast-argmax (8 centroids) + the
+    // decimal-exact centroid aggregate (k × dims cells across the
+    // exchange); between rounds only k × dims doubles visit the
+    // driver. Budget as above absorbs co-tenant noise.
+    val t0 = System.nanoTime()
+    val corpus = vecs(1000000L, 32)
+    val a = graft.ext.SimOps.kmeans(corpus, k = 8, iters = 2)
+    val r = a.agg(count(lit(1)).as("n"),
+      countDistinct(col("c_id")).as("k"), min(col("cos")).as("worst")).head()
+    assert(r.getLong(0) == 1000000L, "every vector assigned exactly once")
+    assert(r.getLong(1) <= 8 && r.getLong(1) >= 2, s"degenerate clustering: k=${r.getLong(1)}")
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 240.0, f"1M-vector kmeans smoke took $secs%.1f s (budget 240 s)")
+    info(f"1M vectors, 2 Lloyd rounds in $secs%.1f s, ${r.getLong(1)} live clusters")
+  }
 }
