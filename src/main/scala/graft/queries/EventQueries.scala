@@ -235,7 +235,30 @@ object EventQueries {
         (col("n") * 7 > col("trail") * 2).as("spike"))
   }
 
+  /** Weekly cohort retention matrix — the acquisition dashboard beside
+    * [[eventsRetention]]'s D1 view: users bucketed by their FIRST
+    * active week (epoch-week numbering — engine-neutral, no locale
+    * week-start), counted per week offset since. Plan at 100 TB: one
+    * distinct (user, week) projection bounds everything downstream to
+    * users × weeks (the same exchange-bounding trick as retention) and
+    * is persisted query-scoped because both the first-touch aggregate
+    * and the offset join read it; both subsequent operations key on
+    * user_id, so the join reuses the aggregate's partitioning. */
+  def eventsCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = graft.core.QueryCaches.track(
+      events(spark, sfDir)
+        .select(col("user_id"), to_date(tsMicros).as("d"))
+        .selectExpr("user_id",
+          "CAST(datediff(d, DATE '1970-01-01') AS BIGINT) div 7 AS week")
+        .distinct())
+    du.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+      .join(du, "user_id")
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cohorts" -> (eventsCohorts _),
     "events_spikes" -> (eventsSpikes _),
     "events_paths" -> (eventsPaths _),
     "events_attribution" -> (eventsAttribution _),
@@ -247,6 +270,15 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_cohorts" ->
+      """WITH du AS (SELECT DISTINCT user_id,
+        |              CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7 AS week
+        |            FROM events),
+        |f AS (SELECT user_id, MIN(week) AS cohort FROM du GROUP BY user_id)
+        |SELECT cohort, week - cohort AS week_offset,
+        |       COUNT(DISTINCT du.user_id) AS n_active
+        |FROM du JOIN f USING (user_id)
+        |GROUP BY cohort, week - cohort""".stripMargin,
     "events_spikes" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
         |           FROM events GROUP BY 1, 2),
