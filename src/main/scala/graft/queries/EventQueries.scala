@@ -257,7 +257,34 @@ object EventQueries {
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
 
+  /** Exact discrete quantiles (p25/p50/p75 of `value` per event type)
+    * by rank selection — the hash-checkable counterpart of the GK
+    * sketch (`eventsValueQuantilesApprox`): percentile_disc picks an
+    * actual population member, so the value is deterministic even
+    * among ties, and the rank arithmetic is all-integer (ceil(q·n) as
+    * (n+3) div 4 etc). The per-type total sort is the honest cost of
+    * EXACT quantiles — at 100 TB each type's values cross one
+    * partition, which is exactly why the mergeable GK sketch is the
+    * scale path; this row pins the ground truth the sketch is tested
+    * against. */
+  def eventsQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir).select(col("event_type"), col("value"))
+    val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    ev.withColumn("rk", row_number().over(w).cast("bigint"))
+      .join(broadcast(n), "event_type")
+      .filter(col("rk") === expr("(n + 3) div 4") ||
+        col("rk") === expr("(n + 1) div 2") ||
+        col("rk") === expr("(3*n + 3) div 4"))
+      .select(col("event_type"), col("n"), col("rk"),
+        when(col("rk") === expr("(n + 3) div 4"), "p25")
+          .when(col("rk") === expr("(n + 1) div 2"), "p50")
+          .otherwise("p75").as("q"),
+        col("value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_quantiles" -> (eventsQuantiles _),
     "events_cohorts" -> (eventsCohorts _),
     "events_spikes" -> (eventsSpikes _),
     "events_paths" -> (eventsPaths _),
@@ -270,6 +297,18 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_quantiles" ->
+      """WITH n_t AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+        |r AS (SELECT event_type, value,
+        |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rk
+        |      FROM events)
+        |SELECT r.event_type, n, rk,
+        |       CASE WHEN rk = (n + 3) // 4 THEN 'p25'
+        |            WHEN rk = (n + 1) // 2 THEN 'p50'
+        |            ELSE 'p75' END AS q,
+        |       value
+        |FROM r JOIN n_t USING (event_type)
+        |WHERE rk = (n + 3) // 4 OR rk = (n + 1) // 2 OR rk = (3*n + 3) // 4""".stripMargin,
     "events_cohorts" ->
       """WITH du AS (SELECT DISTINCT user_id,
         |              CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7 AS week
