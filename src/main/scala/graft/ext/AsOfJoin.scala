@@ -71,20 +71,32 @@ object AsOfJoin {
         col(leftSeq).cast("long").as("_seq"),
         lit(null).cast(rvType).as("_rv")) ++
         leftRest.map(col): _*)
-    val rT = right.select(
-      keys.map(col) ++ Seq(col(rightTime).as("_ts"), lit(0).as("_side"),
-        col(rightSeq).cast("long").as("_seq"),
-        struct(rightVals.map(col): _*).as("_rv")) ++
-        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // JOIN null semantics (merge_asof likewise): a NULL key never
+    // matches, a NULL right time is never "prior". The window would
+    // otherwise group all null-key rows into one partition and sort
+    // null _ts FIRST — a null-time right row would be carried into
+    // every row of its key. Right rows that can never match are
+    // dropped before the union; null-key LEFT rows stay in the output
+    // but their extracted match columns are nulled below. (A null-TIME
+    // left row needs no special case: nulls sort first, so it precedes
+    // every surviving right row and carries nothing.)
+    val rT = right
+      .filter((keys :+ rightTime).map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(col(rightTime).as("_ts"), lit(0).as("_side"),
+          col(rightSeq).cast("long").as("_seq"),
+          struct(rightVals.map(col): _*).as("_rv")) ++
+          leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts"), col("_side"), col("_seq"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keyIsNull = keys.map(col(_).isNull).reduce(_ || _)
     val carried = lT.unionByName(rT)
       .select(keys.map(col) ++ leftRest.map(col) ++ Seq(col("_side"),
         last(col("_rv"), ignoreNulls = true).over(w).as("_rv")): _*)
       .filter(col("_side") === 1)
       .select(keys.map(col) ++ leftRest.map(col) ++
-        rightVals.map(c => col("_rv")(c).as(c)): _*)
+        rightVals.map(c => when(!keyIsNull, col("_rv")(c)).as(c)): _*)
     tolerance.fold(carried) { tol =>
       val fresh = col(rightTime) >= col(leftTime) - lit(tol)
       carried.select(keys.map(col) ++ leftRest.map(col) ++

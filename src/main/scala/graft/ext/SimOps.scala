@@ -184,6 +184,7 @@ object SimOps {
     * distributed k-means shape; the declared `sim_kmeans` row pins one
     * round's arithmetic to the DuckDB oracle, this loop composes it. */
   def kmeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
     val spark = corpus.sparkSession
     import spark.implicits._
     val e = corpus.select(col("vec_id"), col("embedding"))
@@ -203,7 +204,10 @@ object SimOps {
         .select(col("vec_id"), col("best.embedding").as("embedding"),
           col("best.c_id").as("c_id"), col("cos"))
     }
-    for (_ <- 1 until iters) {
+    // `iters` full Lloyd rounds (assign + recompute); the returned
+    // assignment is against the LAST recomputed centroids, so
+    // iters = 1 performs exactly one genuine update of the seeds.
+    for (_ <- 0 until iters) {
       val next = labelCentroids(assign(cents), "c_id")
         .as[(Long, Seq[Double])].collect().toMap
       cents = cents.map { case (id, old) => (id, next.getOrElse(id, old)) }

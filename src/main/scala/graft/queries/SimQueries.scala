@@ -197,8 +197,12 @@ object SimQueries {
   def curateOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = load(spark, sfDir, "documents").select(col("doc_id"), col("lang"))
     val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val joined = docs.join(e, col("doc_id") === col("vec_id"))
-      .select(col("doc_id"), col("lang"), col("embedding"))
+    // persisted query-scoped: both the centroid aggregate and the
+    // scoring join read the doc⋈embedding result — without it the
+    // equi-join (and both scans) would execute twice
+    val joined = graft.core.QueryCaches.track(
+      docs.join(e, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("embedding")))
     // same decimal-exact per-dimension means as SimOps.labelCentroids,
     // keyed by the string lang (labelCentroids casts its key to long).
     // The float widens to DOUBLE before the decimal quantization on

@@ -374,9 +374,13 @@ object GraftStream {
             nClosed += 1
           }
           state.update((stillOpen, tail, nClosed))
-          // re-arm just past the current watermark: the next watermark
-          // advance re-invokes this key even with no new data
-          state.setTimeoutTimestamp(wm + 1L)
+          // re-arm ONLY while this key has open days awaiting closure:
+          // the next watermark advance must re-invoke it even with no
+          // new data. A key with nothing open stays dormant (new data
+          // re-invokes it anyway) — otherwise every key ever seen would
+          // time out on every watermark advance forever, scanning the
+          // whole state store per trigger at high key cardinality.
+          if (stillOpen.nonEmpty) state.setTimeoutTimestamp(wm + 1L)
           out.result().iterator
       }
   }

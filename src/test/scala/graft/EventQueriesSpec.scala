@@ -69,6 +69,29 @@ class EventQueriesSpec extends AnyFunSuite {
     assert(r.isNullAt(2), s"matched row's NULL x must stay null, got $r")
   }
 
+  test("AsOfJoin null semantics: NULL keys never match, NULL right times are never prior") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // JOIN semantics (and merge_asof): a NULL key matches nothing — a
+    // null-key click must NOT be attributed to a null-key view; a view
+    // with a NULL time is never "most recent prior"; a null-TIME click
+    // matches nothing.
+    val clicks = Seq((Some(1L), Some(25L), 11L), (None: Option[Long], Some(25L), 12L),
+      (Some(1L), None: Option[Long], 13L)).toDF("k", "t", "click_id")
+    val views = Seq((Some(1L), Some(10L), 101L), (None: Option[Long], Some(5L), 102L),
+      (Some(1L), None: Option[Long], 103L)).toDF("k", "vt", "view_id")
+    val out = graft.ext.AsOfJoin.asOfJoin(clicks, views, Seq("k"),
+        leftTime = "t", rightTime = "vt", leftSeq = "click_id", rightSeq = "view_id")
+      .select(col("click_id"), col("view_id"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(out == Set(
+      (11L, Some(101L)), // normal match (null-time view 103 ignored)
+      (12L, None),       // null key: no attribution
+      (13L, None)),      // null left time: nothing is prior
+      out.toString)
+  }
+
   test("AsOfJoin tolerance: stale matches are nulled, fresh ones kept") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -325,13 +325,15 @@ class PlanSpec extends AnyFunSuite {
     // q22: avg-acctbal crossJoin is a broadcast of ONE row; the NOT
     // EXISTS is a genuine anti join. q15: max-revenue equality joins
     // against a 1-row broadcast (Catalyst may hash-join the equality).
-    val p22 = plan("q22_rich_idle")
-    assert(p22.contains("LeftAnti"), s"anti join expected:\n$p22")
-    assert(!p22.contains("CartesianProduct"), p22)
-    assert(nOps(p22, "BroadcastExchange") >= 1, p22)
-    val p15 = plan("q15_top_supplier")
-    assert(!p15.contains("CartesianProduct"), p15)
-    assert(nOps(p15, "BroadcastExchange") >= 1, p15)
+    try {
+      val p22 = plan("q22_rich_idle")
+      assert(p22.contains("LeftAnti"), s"anti join expected:\n$p22")
+      assert(!p22.contains("CartesianProduct"), p22)
+      assert(nOps(p22, "BroadcastExchange") >= 1, p22)
+      val p15 = plan("q15_top_supplier")
+      assert(!p15.contains("CartesianProduct"), p15)
+      assert(nOps(p15, "BroadcastExchange") >= 1, p15)
+    } finally graft.ext.DedupOps.releaseCaches() // q15 tracks its rev table
   }
 
   test("sim_kmeans: seeds broadcast once; the corpus is never broadcast") {
