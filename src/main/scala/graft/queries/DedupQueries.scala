@@ -213,7 +213,36 @@ object DedupQueries {
         count(lit(1)).as("n_members"))
   }
 
+  /** Asymmetric containment beside Jaccard — the subset-duplicate
+    * detector: a snippet quoted inside a larger document scores LOW on
+    * Jaccard (the union is big) but 1.0 on containment-in-source, which
+    * is why curation pipelines (quote expansion, chrome-wrapped
+    * articles) threshold containment, not Jaccard. Each doc is paired
+    * with a planted prefix snippet (its first ⌈n/2⌉ tokens, id+1e6):
+    * prefix shingles are a true subset of the source's, so
+    * `containment_snip` is EXACTLY 1.0 while `jaccard` sits near the
+    * length ratio — every value integer-ratio exact. Per-row column
+    * work on an id-equi pair join; at scale the pair set comes from
+    * LSH candidates exactly like [[dedupNear]]. */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val full = d.select(col("doc_id"), shingleFps(tokens(col("text")), 3).as("fps"))
+    val snip = d.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select((col("doc_id") + SHIFT).as("doc_id"),
+        shingleFps(expr("slice(tk, 1, CAST((size(tk) + 1) div 2 AS INT))"), 3).as("fps"))
+    val a = full.select(col("doc_id").as("doc_a"), col("fps").as("fps_a"))
+    val b = snip.select(col("doc_id").as("doc_b"), col("fps").as("fps_b"))
+    val inter = size(array_intersect(col("fps_a"), col("fps_b"))).cast("bigint")
+    a.join(b, col("doc_b") === col("doc_a") + SHIFT)
+      .filter(size(col("fps_a")) > 0 && size(col("fps_b")) > 0)
+      .select(col("doc_a"), col("doc_b"),
+        DedupOps.jaccard(col("fps_a"), col("fps_b")).as("jaccard"),
+        (inter / size(array_distinct(col("fps_b"))).cast("bigint")).as("containment_snip"),
+        (inter / size(array_distinct(col("fps_a"))).cast("bigint")).as("containment_full"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> (dedupContainment _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_char_jaccard" -> (dedupCharJaccard _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
@@ -417,6 +446,22 @@ object DedupQueries {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jaccardSql AS jaccard
          |FROM (SELECT doc_id, fps AS fps_a FROM fp_t) a
          |JOIN (SELECT doc_id, fps AS fps_b FROM fp_t) b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |f_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),
+         |full_t AS (SELECT doc_id, list_transform(sh, s -> ${fpFold("s")}) AS fps FROM f_t),
+         |sn_tk AS (SELECT doc_id, tk[1:(len(tk)+1)//2] AS tk FROM tk_t),
+         |s_t AS (SELECT doc_id, $shinglesSql AS sh FROM sn_tk),
+         |snip_t AS (SELECT doc_id + 1000000 AS doc_id, list_transform(sh, s -> ${fpFold("s")}) AS fps FROM s_t)
+         |SELECT doc_a, doc_b, $jaccardSql AS jaccard,
+         |  len(list_filter(list_distinct(fps_a), x -> list_contains(fps_b, x)))
+         |    / len(list_distinct(fps_b)) AS containment_snip,
+         |  len(list_filter(list_distinct(fps_a), x -> list_contains(fps_b, x)))
+         |    / len(list_distinct(fps_a)) AS containment_full
+         |FROM (SELECT doc_id AS doc_a, fps AS fps_a FROM full_t) a
+         |JOIN (SELECT doc_id AS doc_b, fps AS fps_b FROM snip_t) b
+         |  ON doc_b = doc_a + 1000000
+         |WHERE len(fps_a) > 0 AND len(fps_b) > 0""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |sh_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),
