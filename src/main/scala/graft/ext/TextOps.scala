@@ -45,6 +45,26 @@ object TextOps {
     */
   def fingerprint(c: Column): Column = graft.functions.HashExprs.fingerprint(c)
 
+  /** Count-min-sketch token frequencies — the mergeable heavy-hitter
+    * sketch completing the approximate family (HLL distincts, GK
+    * quantiles, CMS counts): per-partition sketches of width ⌈e/eps⌉
+    * merge associatively map-side, so the exchange carries ONE
+    * fixed-size sketch per task instead of the token vocabulary — the
+    * 100 TB trade against the exact [[graft.queries.TextQueries
+    * .textTokenFreq]] wordcount. Deterministic (fixed seed). Returns
+    * the merged sketch; estimates are one-sided: est ≥ true, and
+    * est ≤ true + eps·N with probability `confidence` (the spec bounds
+    * both on the real corpus against exact counts). */
+  def tokenFreqSketch(docs: org.apache.spark.sql.DataFrame,
+      eps: Double = 0.0001, confidence: Double = 0.99)
+      : org.apache.spark.util.sketch.CountMinSketch = {
+    val bytes = docs.select(explode(tokens(col("text"))).as("token"))
+      .agg(expr(s"count_min_sketch(token, ${eps}d, ${confidence}d, 42)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
   /** Word k-gram shingles over a token array (1-based element access in
     * both engines). The unit of near-duplicate detection. Guarded for
     * docs shorter than k tokens (Spark's sequence(1, 0) would generate a

@@ -65,4 +65,27 @@ class SqlFunctionsSpec extends AnyFunSuite {
     new graft.sql.GraftExtensions().apply(ext)
     assert(GraftFunctions.builders.map(_._1).distinct.size == 10)
   }
+
+  test("CMS token sketch: one-sided estimates bounded by eps·N for the exact top tokens") {
+    // The heavy-hitter sketch beside the exact wordcount: CMS never
+    // undercounts, and with width ⌈e/eps⌉ overcounts by at most eps·N
+    // (w.p. confidence; deterministic here — fixed seed). Checked for
+    // the exact top-10 tokens of the real corpus.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = docs.select(explode(graft.ext.TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = docs.select(sum(size(graft.ext.TextOps.tokens(col("text")))))
+      .head().getLong(0)
+    val eps = 0.0001
+    val sk = graft.ext.TextOps.tokenFreqSketch(docs, eps)
+    exact.foreach { case (tok, cnt) =>
+      val est = sk.estimateCount(tok)
+      assert(est >= cnt, s"CMS undercounted '$tok': $est < $cnt")
+      assert(est <= cnt + (eps * total).ceil.toLong,
+        s"CMS overcount for '$tok' beyond eps*N: $est vs $cnt + ${(eps * total).ceil}")
+    }
+  }
 }
