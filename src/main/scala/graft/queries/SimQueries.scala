@@ -298,7 +298,31 @@ object SimQueries {
       .agg(count(lit(1)).as("n_pairs"), countDistinct(col("vec_b")).as("n_dropped"))
   }
 
+  /** Connected components over the EMBEDDING near-dup graph — the
+    * cross-pillar composition: [[SimOps.embNearDupPairs]] candidate
+    * edges feed the same distributed label-propagation fixpoint the
+    * text pillar uses ([[graft.ext.DedupOps.dupClusters]] vs the
+    * recursive-CTE oracle). Each vector is planted with TWO duplicates
+    * (an exact copy at +1e6 and a float-scaled copy at +2e6 — same
+    * direction ⇒ same SRP bucket, cosine ≈ 1), so every component is a
+    * 3-clique and the closure genuinely merges multiple edges per
+    * node. Scale shape: bucketed pair generation (never all-pairs) +
+    * O(diameter) label-propagation rounds, one join + one aggregate
+    * each. */
+  def simComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val scaled = e.select((col("vec_id") + 2 * SHIFT).as("vec_id"),
+      transform(col("embedding"), v => (v * lit(1.0001f)).cast("float")).as("embedding"))
+    val corpus = e
+      .unionAll(e.select((col("vec_id") + SHIFT).as("vec_id"), col("embedding")))
+      .unionAll(scaled)
+    val pairs = SimOps.embNearDupPairs(corpus, bits = 16, threshold = 0.999)
+      .select(col("vec_a").as("id_a"), col("vec_b").as("id_b"))
+    graft.ext.DedupOps.dupClusters(pairs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_components" -> (simComponents _),
     "sim_semantic_dedup" -> (simSemanticDedup _),
     "sim_kmeans" -> (simKmeans _),
     "curate_outliers" -> (curateOutliers _),
@@ -345,6 +369,22 @@ object SimQueries {
       s"(acc, b) -> acc*2 + b)"
 
   val oracleSql: Map[String, String] = Map(
+    "sim_components" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 2000000,
+         |    list_transform(embedding, v -> v * CAST(1.0001 AS FLOAT)) FROM embeddings),
+         |b AS (SELECT vec_id, embedding, ${srpSql("embedding", 16)} AS bucket FROM corpus),
+         |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |          FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |          WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.999),
+         |sym AS (SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs),
+         |reach AS (SELECT a, b FROM sym
+         |          UNION
+         |          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |cl AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster_rep FROM reach GROUP BY a)
+         |SELECT id, cluster_rep FROM cl""".stripMargin,
     "sim_semantic_dedup" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
          |                UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
