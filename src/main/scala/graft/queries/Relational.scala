@@ -382,7 +382,40 @@ object Relational {
       .agg(count(lit(1)).as("n_custs"))
   }
 
+  /** Pivot: order counts and decimal-exact revenue as a segment ×
+    * status matrix — Spark's `pivot` with the value set DECLARED
+    * (['F','O','P']), which keeps the plan a single hash aggregation
+    * with one output column per (status, measure); an undeclared pivot
+    * would first run a distinct scan to discover values. The oracle
+    * spells the same matrix as conditional aggregation — what pivot
+    * compiles to. */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = load(spark, sfDir, "orders")
+    val cust = load(spark, sfDir, "customer")
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+  }
+
+  /** Set operators: customers ordering in BOTH 1995 and 1996
+    * (INTERSECT) minus those also ordering in 1997 (EXCEPT) — loyalty
+    * churn analysis. Spark's intersect/except compile to left-semi /
+    * left-anti joins over distinct keys, so each year's key set
+    * shuffles once at its distinct size, never the orders table. */
+  def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = load(spark, sfDir, "orders")
+    def buyers(y: Int) = ord
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    buyers(1995).intersect(buyers(1996)).except(buyers(1997))
+      .select(col("o_custkey").as("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> (qPivot _),
+    "q_set_ops" -> (qSetOps _),
     "q13_order_dist" -> (q13OrderDist _),
     "q14_promo" -> (q14Promo _),
     "q15_top_supplier" -> (q15TopSupplier _),
@@ -408,6 +441,29 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT c_mktsegment,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |           THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS F_rev,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |           THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS O_rev,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |           THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS P_rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_set_ops" ->
+      """SELECT o_custkey AS c_custkey FROM (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')""".stripMargin,
     "q13_order_dist" ->
       """SELECT c_count, COUNT(*) AS n_custs FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
