@@ -241,7 +241,31 @@ object DedupQueries {
         (inter / size(array_distinct(col("fps_a"))).cast("bigint")).as("containment_full"))
   }
 
+  /** Per-source MinHash UNION sketch via the typed Aggregator
+    * ([[graft.functions.SketchAggs.MinHashUnion]] — the §2.3 custom-
+    * UDAF surface): each document's 64-hash signature folds
+    * element-wise-min per source, yielding the signature of the UNION
+    * of that source's shingle sets — the mergeable corpus-overlap
+    * sketch (cross-source Jaccard estimates from two 64-long vectors,
+    * no second corpus pass). Map-side combine comes free with the
+    * Aggregator: only one partial signature per (task, source) crosses
+    * the exchange. Declared with scalar projections of the folded
+    * signature (the sketch-row convention); the oracle rebuilds the
+    * same fold as posexplode → per-position MIN. */
+  def dedupSourceSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = load(spark, sfDir, "documents").select(col("source"),
+      DedupOps.minhash(shingleFps(tokens(col("text")), 3), 64).as("sig"))
+    sigs.groupBy(col("source"))
+      .agg(graft.functions.SketchAggs.minhashUnion(col("sig")).as("u"),
+        count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        aggregate(col("u"), lit(0L), (a, v) => a + v).as("sig_sum"),
+        array_min(col("u")).as("sig_min"),
+        array_max(col("u")).as("sig_max"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_source_sketch" -> (dedupSourceSketch _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_char_jaccard" -> (dedupCharJaccard _),
@@ -446,6 +470,18 @@ object DedupQueries {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jaccardSql AS jaccard
          |FROM (SELECT doc_id, fps AS fps_a FROM fp_t) a
          |JOIN (SELECT doc_id, fps AS fps_b FROM fp_t) b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "dedup_source_sketch" ->
+      s"""WITH tk_t AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+         |sh_t AS (SELECT doc_id, source, $shinglesSql AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, source, list_transform(sh, s -> ${fpFold("s")}) AS fps FROM sh_t),
+         |mh_t AS (SELECT doc_id, source, $minhashSql AS mh FROM fp_t),
+         |e AS (SELECT source, generate_subscripts(mh, 1) AS pos, unnest(mh) AS v FROM mh_t),
+         |m AS (SELECT source, pos, MIN(v) AS mv FROM e GROUP BY source, pos),
+         |n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+         |SELECT source, n_docs,
+         |       CAST(SUM(mv) AS BIGINT) AS sig_sum,
+         |       MIN(mv) AS sig_min, MAX(mv) AS sig_max
+         |FROM m JOIN n USING (source) GROUP BY source, n_docs""".stripMargin,
     "dedup_containment" ->
       s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |f_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),
