@@ -47,7 +47,8 @@ object TextOps {
 
   /** Count-min-sketch token frequencies — the mergeable heavy-hitter
     * sketch completing the approximate family (HLL distincts, GK
-    * quantiles, CMS counts): per-partition sketches of width ⌈e/eps⌉
+    * quantiles, CMS counts): per-partition sketches of width ⌈2/eps⌉
+    * (Spark's CountMinSketchImpl sizing, not stream-lib's ⌈e/eps⌉)
     * merge associatively map-side, so the exchange carries ONE
     * fixed-size sketch per task instead of the token vocabulary — the
     * 100 TB trade against the exact [[graft.queries.TextQueries

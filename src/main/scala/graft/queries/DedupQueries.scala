@@ -476,12 +476,12 @@ object DedupQueries {
          |fp_t AS (SELECT doc_id, source, list_transform(sh, s -> ${fpFold("s")}) AS fps FROM sh_t),
          |mh_t AS (SELECT doc_id, source, $minhashSql AS mh FROM fp_t),
          |e AS (SELECT source, generate_subscripts(mh, 1) AS pos, unnest(mh) AS v FROM mh_t),
-         |m AS (SELECT source, pos, MIN(v) AS mv FROM e GROUP BY source, pos),
-         |n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
-         |SELECT source, n_docs,
+         |m AS (SELECT source, pos, MIN(v) AS mv, COUNT(*) AS nd
+         |      FROM e GROUP BY source, pos)
+         |SELECT source, CAST(MAX(nd) AS BIGINT) AS n_docs,
          |       CAST(SUM(mv) AS BIGINT) AS sig_sum,
          |       MIN(mv) AS sig_min, MAX(mv) AS sig_max
-         |FROM m JOIN n USING (source) GROUP BY source, n_docs""".stripMargin,
+         |FROM m GROUP BY source""".stripMargin,
     "dedup_containment" ->
       s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |f_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),

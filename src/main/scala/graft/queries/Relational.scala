@@ -396,6 +396,10 @@ object Relational {
       .groupBy(col("c_mktsegment"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+      // pivot initializes absent (segment, status) slots to NULL; a
+      // COUNT of an empty group is 0 — align the count columns with
+      // COUNT semantics (the rev sums stay NULL on both sides)
+      .na.fill(0L, Seq("F_n", "O_n", "P_n"))
   }
 
   /** Set operators: customers ordering in BOTH 1995 and 1996
