@@ -85,6 +85,21 @@ def main():
         mt = decl_types(f"SELECT * FROM read_parquet('{mine_dir}/*.parquet')")
         def declared_integral(c):
             return ot.get(c, "") in INT_TYPES or mt.get(c, "") in INT_TYPES
+        # Driver-hash emulation: the driver hashes the stringified cell
+        # values, so a column that is float64 on ONE side and int64 on
+        # the other ("3.0" vs "3") hash-mismatches even though Python's
+        # cross-type == would call the values equal (round-6 curate_pack:
+        # DuckDB SUM OVER window -> HUGEINT -> pandas float64). Fail it
+        # here so the local gate catches what the driver will flag —
+        # the fix is always a CAST on the oracle side.
+        kind_bad = [c for c in odf.columns if c in mdf.columns
+                    and {odf[c].dtype.kind, mdf[c].dtype.kind} == {"f", "i"}]
+        if kind_bad:
+            print(f"FAIL {name}: pandas dtype-kind mismatch {kind_bad} "
+                  f"(float on one side, int on the other — the driver's "
+                  f"value hash will differ; CAST the oracle column)")
+            n_fail += 1
+            continue
         degraded = [c for c in odf.columns
                     if c in mdf.columns
                     and (f64(odf, c) or f64(mdf, c))

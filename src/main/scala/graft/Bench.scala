@@ -73,9 +73,35 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench_result.json"), full + "\n")
+    // The driver recovers the stdout JSON from the LAST ~2000 chars of
+    // the (sbt-suffixed) output. Round 6's 92-query full-precision line
+    // was ~2900 chars, started before that window, and parsed as null.
+    // So the printed line is budget-bounded: 3-decimal values, most
+    // expensive queries first (the ones performance review needs),
+    // cheap tail omitted once the budget is reached. The COMPLETE
+    // full-precision map is always in bench_result.json (committed).
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val budget = 1800
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","nq":${results.size},"queries":{"""
+    val tail = s"""},"errors":$errs,"sf":"$sfDir"}"""
+    val entries = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val body = new StringBuilder
+    var kept = 0
+    for (e <- entries) {
+      val add = (if (kept == 0) 0 else 1) + e.length
+      // +70 covers the longer omitted-count suffix variant.
+      if (head.length + body.length + add + tail.length + 70 <= budget) {
+        if (kept > 0) body.append(',')
+        body.append(e); kept += 1
+      }
+    }
+    val omitted = results.size - kept
+    val json = head + body +
+      (if (omitted > 0) s"""},"omitted_cheapest":$omitted,"full":"bench_result.json","errors":$errs,"sf":"$sfDir"}"""
+       else tail)
     println(json)
-    Files.writeString(Paths.get("bench_result.json"), json + "\n")
     spark.stop()
   }
 }

@@ -431,7 +431,9 @@ object TextQueries {
          |c AS (SELECT doc_id, lang, shard, n_tokens,
          |        SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
          |          ROWS UNBOUNDED PRECEDING) AS cum FROM t),
-         |b AS (SELECT lang, shard, (cum - n_tokens) // 2048 AS bin, n_tokens, doc_id FROM c)
+         |b AS (SELECT lang, shard,
+         |        CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+         |        n_tokens, doc_id FROM c)
          |SELECT lang, shard, bin, COUNT(*) AS n_docs,
          |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, MIN(doc_id) AS first_doc
          |FROM b GROUP BY lang, shard, bin""".stripMargin,
