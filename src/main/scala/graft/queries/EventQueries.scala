@@ -283,7 +283,60 @@ object EventQueries {
         col("value"))
   }
 
+  /** Within-60s event-type co-occurrence — the banded RANGE JOIN
+    * pattern: the naive form is an inequality self-join (quadratic
+    * nested loop); the scale form buckets time into 60-s bands and
+    * equi-joins on (user, band) with the "first" side probing its own
+    * band AND the next one — every qualifying pair meets exactly once
+    * (the second event's band is fixed, and for 0 ≤ Δ ≤ 60 s it is
+    * band or band+1 of the first), candidates are band-bounded, and
+    * the exact time/tie predicate filters inside the join. The oracle
+    * spells the naive inequality join — identical semantics, so the
+    * green row pins the banding rewrite. Pair orientation: earlier
+    * event first (ties broken by event_id). */
+  def eventsCooccur(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.core.QueryCaches.track(
+      events(spark, sfDir).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts div 1000").as("tus"),
+        expr("(ts div 1000) div 60000000").as("bk")))
+    val first = e.select(col("user_id"), col("event_id").as("id_a"),
+      col("event_type").as("type_a"), col("tus").as("us_a"), col("bk"))
+    val probes = first.unionAll(first.withColumn("bk", col("bk") + 1))
+    val second = e.select(col("user_id"), col("event_id").as("id_b"),
+      col("event_type").as("type_b"), col("tus").as("us_b"), col("bk"))
+    probes.join(second, Seq("user_id", "bk"))
+      .filter(col("us_b") - col("us_a") >= 0L &&
+        col("us_b") - col("us_a") <= 60000000L &&
+        (col("us_a") < col("us_b") ||
+          (col("us_a") === col("us_b") && col("id_a") < col("id_b"))))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Power-of-2 histogram of per-user inter-event gaps — the cadence
+    * profile that picks sessionization gaps and watermark delays. The
+    * log2 bucket is ALL-INTEGER on both engines: floor(log2(g)) =
+    * length(bin(g)) − 1 (and bin(0)='0' puts zero-gaps in bucket 0),
+    * sidestepping cross-engine float log rounding at bucket
+    * boundaries. One lag window per user partition + one hash
+    * aggregate; same scale posture (and same skew caveat) as
+    * sessionization. */
+  def eventsGapHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_s", expr("(tus - prev) div 1000000"))
+      .withColumn("bucket", (length(bin(col("gap_s"))) - 1).cast("bigint"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"), min(col("gap_s")).as("min_gap"),
+        max(col("gap_s")).as("max_gap"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cooccur" -> (eventsCooccur _),
+    "events_gap_hist" -> (eventsGapHist _),
     "events_quantiles" -> (eventsQuantiles _),
     "events_cohorts" -> (eventsCohorts _),
     "events_spikes" -> (eventsSpikes _),
@@ -297,6 +350,21 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_cooccur" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_pairs
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.us - a.us BETWEEN 0 AND 60000000
+        |  AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+        |GROUP BY 1, 2""".stripMargin,
+    "events_gap_hist" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT us - lag(us) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) AS dus FROM e),
+        |s AS (SELECT dus // 1000000 AS gap_s FROM g WHERE dus IS NOT NULL)
+        |SELECT CAST(length(bin(gap_s)) - 1 AS BIGINT) AS bucket,
+        |       COUNT(*) AS n_gaps, MIN(gap_s) AS min_gap, MAX(gap_s) AS max_gap
+        |FROM s GROUP BY 1""".stripMargin,
     "events_quantiles" ->
       """WITH n_t AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
         |r AS (SELECT event_type, value,

@@ -417,7 +417,68 @@ object Relational {
       .select(col("o_custkey").as("c_custkey"))
   }
 
+  /** Per-nation customer-balance quartiles: ntile(4) runs PARTITIONED
+    * by nation, so the sort parallelizes across nations — the
+    * partitioned form of equal-height bucketing (a GLOBAL ntile would
+    * serialize the corpus through one partition; at 100 TB the global
+    * variant is approx-quantile range boundaries + bucket-by-range).
+    * Quartile populations then roll up decimal-exact. Tie-break
+    * c_custkey makes tile assignment deterministic; both engines use
+    * the SQL-standard "first (n mod 4) tiles get the extra row". */
+  def qNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    load(spark, sfDir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+      .groupBy(col("c_nationkey"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).cast("double").as("min_bal"),
+        max(col("c_acctbal")).cast("double").as("max_bal"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+  }
+
+  /** Full CUBE over (status, priority): all four grouping sets — the
+    * two marginals, the cross table, and the grand total — in ONE
+    * pass. Spark expands the sets BEFORE the partial aggregation
+    * (like [[qRollup]]), so the shuffle carries (group, partials) for
+    * ≤ 4×|groups| keys, not data rows. NULL marks the rolled-up
+    * dimension on both engines. */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+
+  /** Exact per-status price percentiles (p25/p50/p75) by rank index —
+    * the [[EventQueries.eventsQuantiles]] pattern on a DECIMAL column:
+    * rank positions are all-integer ((n+3) div 4 etc.), the picked
+    * VALUE is an actual row's price (percentile_disc semantics — no
+    * interpolation, so decimal→double is exact), and the o_orderkey
+    * tie-break pins row choice. Exact ranking serializes per status —
+    * this is the ground-truth row the 100 TB approx_percentile path
+    * is validated against, same posture as events_quantiles. */
+  def qPricePercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = load(spark, sfDir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+    val n = o.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.withColumn("rk", row_number().over(w).cast("bigint"))
+      .join(broadcast(n), "o_orderstatus")
+      .filter(col("rk") === expr("(n + 3) div 4") ||
+        col("rk") === expr("(n + 1) div 2") ||
+        col("rk") === expr("(3*n + 3) div 4"))
+      .select(col("o_orderstatus"), col("n"), col("rk"),
+        when(col("rk") === expr("(n + 3) div 4"), "p25")
+          .when(col("rk") === expr("(n + 1) div 2"), "p50")
+          .otherwise("p75").as("q"),
+        col("o_totalprice").cast("double").as("price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ntile" -> (qNtile _),
+    "q_cube" -> (qCube _),
+    "q_price_percentiles" -> (qPricePercentiles _),
     "q_pivot" -> (qPivot _),
     "q_set_ops" -> (qSetOps _),
     "q13_order_dist" -> (q13OrderDist _),
@@ -445,6 +506,33 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_ntile" ->
+      """WITH r AS (SELECT c_nationkey, c_acctbal,
+        |    CAST(ntile(4) OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+        |  FROM customer)
+        |SELECT c_nationkey, quartile, COUNT(*) AS n,
+        |  CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+        |  CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_price_percentiles" ->
+      """WITH n_t AS (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1),
+        |r AS (SELECT o_orderstatus, o_totalprice,
+        |        CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |          ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rk
+        |      FROM orders)
+        |SELECT r.o_orderstatus, n, rk,
+        |       CASE WHEN rk = (n + 3) // 4 THEN 'p25'
+        |            WHEN rk = (n + 1) // 2 THEN 'p50'
+        |            ELSE 'p75' END AS q,
+        |       CAST(o_totalprice AS DOUBLE) AS price
+        |FROM r JOIN n_t USING (o_orderstatus)
+        |WHERE rk = (n + 3) // 4 OR rk = (n + 1) // 2 OR rk = (3*n + 3) // 4""".stripMargin,
     "q_pivot" ->
       """SELECT c_mktsegment,
         |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_n,

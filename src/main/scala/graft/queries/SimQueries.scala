@@ -321,7 +321,89 @@ object SimQueries {
     graft.ext.DedupOps.dupClusters(pairs)
   }
 
+  /** Mutual-kNN edge set, oriented u < v: an (undirected) edge survives
+    * only when EACH endpoint ranks the other inside its top-5
+    * ([[SimOps.knnGraph]] both directions). Mutuality is the standard
+    * symmetrization for kNN graphs feeding clustering/propagation — it
+    * strips the asymmetric "hub" edges that make plain kNN graphs
+    * skew-prone. Plan shape: the directed graph is computed ONCE
+    * (persisted query-scoped — the mutual join reads it twice), the
+    * mutual check is a self equi-join on the reversed key pair, and
+    * every downstream consumer sees O(N·k) fixed-width edge rows. */
+  private def mutualEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = graft.core.QueryCaches.track(
+      SimOps.knnGraph(
+        emb(spark, sfDir).select(col("vec_id"), col("embedding")), k = 5, bits = 4)
+        .select(col("vec_id"), col("nbr_id")))
+    g.as("f").join(g.as("r"),
+        col("f.vec_id") === col("r.nbr_id") && col("f.nbr_id") === col("r.vec_id"))
+      .filter(col("f.vec_id") < col("f.nbr_id"))
+      .select(col("f.vec_id").as("u"), col("f.nbr_id").as("v"))
+  }
+
+  /** Distributed triangle counting over the mutual-kNN graph — the
+    * classic graph-quality metric (clustering coefficient numerator)
+    * for embedding-space neighborhoods. The u<v orientation makes each
+    * triangle (a<b<c) appear exactly once as edges (a,b),(b,c),(a,c):
+    * two equi-joins keyed on a shared vertex, no enumeration of
+    * wedges beyond what the joins produce. Per-vertex degree is
+    * bounded by k (=5) by construction, so the wedge join carries at
+    * most k²/2 rows per vertex — no skew guard needed at any corpus
+    * size. Output: per-vertex triangle membership counts. */
+  def simTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = graft.core.QueryCaches.track(mutualEdges(spark, sfDir))
+    val tri = m.as("ab").join(m.as("bc"), col("ab.v") === col("bc.u"))
+      .join(m.as("ac"),
+        col("ab.u") === col("ac.u") && col("bc.v") === col("ac.v"))
+      .select(col("ab.u").as("a"), col("ab.v").as("b"), col("bc.v").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Bounded-depth min-label propagation over the mutual-kNN graph:
+    * labels start as vec_id and each of 3 rounds replaces a vertex's
+    * label with the minimum over its closed neighborhood — after r
+    * rounds label(v) = min id within graph distance ≤ r, i.e.
+    * fixed-horizon community seeds (the bounded cousin of the
+    * [[simComponents]] fixpoint, useful when diameter-long convergence
+    * is not wanted). Each round is ONE equi-join of the adjacency list
+    * with the label table plus ONE min-aggregate — the Pregel
+    * iteration expressed as joins; adjacency (edges both directions +
+    * self-loops, O(N·k) rows) is persisted once and reused by all
+    * rounds. */
+  def simLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = emb(spark, sfDir).select(col("vec_id"))
+    val m = mutualEdges(spark, sfDir)
+    val adj = graft.core.QueryCaches.track(
+      m.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(m.select(col("v").as("src"), col("u").as("dst")))
+        .unionAll(ids.select(col("vec_id").as("src"), col("vec_id").as("dst"))))
+    var labels = ids.select(col("vec_id").as("id"), col("vec_id").as("label"))
+    for (_ <- 1 to 3)
+      labels = adj.join(labels, col("dst") === col("id"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("label"))
+        .select(col("src").as("id"), col("label"))
+    labels.select(col("id").as("vec_id"), col("label"))
+  }
+
+  /** SRP bucket-occupancy histogram — the skew diagnostic that feeds
+    * every maxBucket choice in this suite: how many 8-bit buckets hold
+    * exactly `sz` vectors. Two map-side-combined aggregates over one
+    * scan (bucket→size, size→bucket-count); nothing else moves. At
+    * 100 TB this is the cheap pre-flight run before picking LSH
+    * parameters — a heavy tail here is the signal to cap or re-bit. */
+  def simBucketHist(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir)
+      .select(SimOps.srpBucket(col("embedding"), 8).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_buckets"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_triangles" -> (simTriangles _),
+    "sim_label_prop" -> (simLabelProp _),
+    "sim_bucket_hist" -> (simBucketHist _),
     "sim_components" -> (simComponents _),
     "sim_semantic_dedup" -> (simSemanticDedup _),
     "sim_kmeans" -> (simKmeans _),
@@ -368,7 +450,47 @@ object SimQueries {
       s"(s,x) -> s + x) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
       s"(acc, b) -> acc*2 + b)"
 
+  /** Shared CTE chain: directed 5-NN graph (the sim_knn_graph
+    * semantics) symmetrized to mutual u<v edges. */
+  private def mutualSql: String =
+    s"""b AS (SELECT vec_id, embedding, ${srpSql("embedding", 4)} AS bucket FROM embeddings),
+       |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+       |                  ${cosSql("a.embedding", "b.embedding")} AS cos
+       |           FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |knn AS (SELECT vec_id, nbr_id FROM (
+       |          SELECT vec_id, nbr_id,
+       |                 row_number() OVER (PARTITION BY vec_id
+       |                   ORDER BY cos DESC, nbr_id) AS rk
+       |          FROM scored) WHERE rk <= 5),
+       |m AS (SELECT f.vec_id AS u, f.nbr_id AS v
+       |      FROM knn f JOIN knn r ON f.vec_id = r.nbr_id AND f.nbr_id = r.vec_id
+       |      WHERE f.vec_id < f.nbr_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "sim_triangles" ->
+      s"""WITH $mutualSql,
+         |tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+         |        FROM m ab JOIN m bc ON ab.v = bc.u
+         |                  JOIN m ac ON ab.u = ac.u AND bc.v = ac.v),
+         |corners AS (SELECT a AS vec_id FROM tri
+         |            UNION ALL SELECT b FROM tri
+         |            UNION ALL SELECT c FROM tri)
+         |SELECT vec_id, COUNT(*) AS n_tri FROM corners GROUP BY vec_id""".stripMargin,
+    "sim_label_prop" ->
+      s"""WITH $mutualSql,
+         |adj AS (SELECT u AS src, v AS dst FROM m
+         |        UNION ALL SELECT v, u FROM m
+         |        UNION ALL SELECT vec_id, vec_id FROM embeddings),
+         |l1 AS (SELECT src AS id, MIN(dst) AS label FROM adj GROUP BY src),
+         |l2 AS (SELECT a.src AS id, MIN(l.label) AS label
+         |       FROM adj a JOIN l1 l ON a.dst = l.id GROUP BY a.src),
+         |l3 AS (SELECT a.src AS id, MIN(l.label) AS label
+         |       FROM adj a JOIN l2 l ON a.dst = l.id GROUP BY a.src)
+         |SELECT id AS vec_id, label FROM l3""".stripMargin,
+    "sim_bucket_hist" ->
+      s"""WITH b AS (SELECT ${srpSql("embedding", 8)} AS bucket FROM embeddings),
+         |s AS (SELECT bucket, COUNT(*) AS sz FROM b GROUP BY bucket)
+         |SELECT sz, COUNT(*) AS n_buckets FROM s GROUP BY sz""".stripMargin,
     "sim_components" ->
       s"""WITH RECURSIVE corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
