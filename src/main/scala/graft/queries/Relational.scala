@@ -449,6 +449,25 @@ object Relational {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
 
+  /** Month-over-month revenue growth — window-over-aggregate: monthly
+    * rollup first (hash aggregate, map-side combined, all-integer
+    * yyyyMM keys), THEN the lag window over the |months| aggregate
+    * rows. The global ORDER BY month is a single partition by design —
+    * it sorts ~decades×12 rows, not orders — which is the right
+    * layering at any scale: never window the fact table when the
+    * window only needs the aggregate. Growth is a double subtraction
+    * of two decimal-exact doubles (deterministic IEEE on both
+    * engines); the first month's NULL growth rides through both. */
+  def qMonthlyGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = load(spark, sfDir, "orders")
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("bigint").as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    val w = Window.orderBy(col("month"))
+    m.withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("growth", col("revenue") - col("prev_revenue"))
+  }
+
   /** Exact per-status price percentiles (p25/p50/p75) by rank index —
     * the [[EventQueries.eventsQuantiles]] pattern on a DECIMAL column:
     * rank positions are all-integer ((n+3) div 4 etc.), the picked
@@ -478,6 +497,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ntile" -> (qNtile _),
     "q_cube" -> (qCube _),
+    "q_monthly_growth" -> (qMonthlyGrowth _),
     "q_price_percentiles" -> (qPricePercentiles _),
     "q_pivot" -> (qPivot _),
     "q_set_ops" -> (qSetOps _),
@@ -520,6 +540,15 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_monthly_growth" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1)
+        |SELECT month, n_orders, revenue,
+        |  lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+        |  revenue - lag(revenue) OVER (ORDER BY month) AS growth
+        |FROM m""".stripMargin,
     "q_price_percentiles" ->
       """WITH n_t AS (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1),
         |r AS (SELECT o_orderstatus, o_totalprice,

@@ -368,6 +368,27 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("events_cooccur: banded range join plans as equi-join — no nested loop, no cartesian") {
+    // The naive spelling is an inequality self-join (quadratic). The
+    // banding rewrite must leave only (user, band)-keyed equi-joins.
+    try {
+      val p = plan("events_cooccur")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin"), p)
+    } finally graft.ext.DedupOps.releaseCaches() // cooccur tracks its event projection
+  }
+
+  test("sim_triangles / sim_label_prop: vertex-keyed equi-joins only, never all-pairs") {
+    try {
+      Seq("sim_triangles", "sim_label_prop").foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"$q: $p")
+      }
+    } finally graft.ext.DedupOps.releaseCaches() // both track edge/adjacency tables
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
