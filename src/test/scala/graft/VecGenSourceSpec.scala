@@ -93,4 +93,60 @@ class VecGenSourceSpec extends AnyFunSuite {
     assert(secs < 240.0, f"1M-vector kmeans smoke took $secs%.1f s (budget 240 s)")
     info(f"1M vectors, 2 Lloyd rounds in $secs%.1f s, ${r.getLong(1)} live clusters")
   }
+
+  test("scale smoke: mutual-kNN graph + triangles + label prop over 1M vectors") {
+    // The graph-analytics pillar at 2000x the oracle corpus: SRP-
+    // bucketed directed 5-NN (16-bit buckets keep occupancy ~15, so
+    // scoring stays linear in the corpus), mutuality self-join,
+    // triangle join chain, one min-label-propagation round. Every
+    // 1000th vector is planted with TWO scaled copies (same direction
+    // ⇒ same bucket, pairwise cosine ≈ 1): each trio is forced into
+    // mutual top-5 edges and must surface as a triangle — recovery is
+    // the correctness signal; the joins all being vertex/bucket-keyed
+    // equi-joins over fixed-degree (≤ k) rows is the headroom
+    // argument, mirroring the near-dup smoke above.
+    val t0 = System.nanoTime()
+    val base = vecs(1000000L, 32)
+    def planted(off: Long, scale: Float) = base.filter(col("vec_id") % 1000 === 0)
+      .select((col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(scale)).cast("float")).as("embedding"))
+    val corpus = base.unionAll(planted(20000000L, 1.0001f))
+      .unionAll(planted(21000000L, 1.0002f))
+    val g = graft.core.QueryCaches.track(
+      graft.ext.SimOps.knnGraph(corpus, k = 5, bits = 16)
+        .select(col("vec_id"), col("nbr_id")))
+    val m = graft.core.QueryCaches.track(
+      g.as("f").join(g.as("r"),
+          col("f.vec_id") === col("r.nbr_id") && col("f.nbr_id") === col("r.vec_id"))
+        .filter(col("f.vec_id") < col("f.nbr_id"))
+        .select(col("f.vec_id").as("u"), col("f.nbr_id").as("v")))
+    try {
+      val tri = m.as("ab").join(m.as("bc"), col("ab.v") === col("bc.u"))
+        .join(m.as("ac"), col("ab.u") === col("ac.u") && col("bc.v") === col("ac.v"))
+        .select(col("ab.u").as("a"), col("ab.v").as("b"), col("bc.v").as("c"))
+      // a planted trio (x, x+20M, x+21M) is a triangle in u<v orientation
+      val r = tri.agg(count(lit(1)).as("n"),
+        count(when(col("b") === col("a") + 20000000L &&
+          col("c") === col("a") + 21000000L, 1)).as("planted")).head()
+      assert(r.getLong(1) >= 900, s"planted-triangle recovery too low: ${r.getLong(1)} / 1000")
+
+      // one label-prop round: closed-neighborhood min must only shrink
+      // labels, and the planted cliques guarantee nontrivial collapse
+      val ids = corpus.select(col("vec_id"))
+      val adj = m.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(m.select(col("v").as("src"), col("u").as("dst")))
+        .unionAll(ids.select(col("vec_id").as("src"), col("vec_id").as("dst")))
+      val l1 = adj.groupBy(col("src")).agg(min(col("dst")).as("label"))
+      val s = l1.agg(count(lit(1)).as("n"),
+        count(when(col("label") > col("src"), 1)).as("grew"),
+        countDistinct(col("label")).as("k")).head()
+      assert(s.getLong(0) == 1002000L, "every vertex must carry a label")
+      assert(s.getLong(1) == 0L, "min-propagation must never grow a label")
+      assert(s.getLong(2) < 1002000L - 1500L, s"no collapse happened: k=${s.getLong(2)}")
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(secs < 240.0, f"1M-vector graph smoke took $secs%.1f s (budget 240 s)")
+      info(f"1M vectors: ${r.getLong(0)} triangles (${r.getLong(1)} planted), " +
+        f"label collapse to ${s.getLong(2)} in $secs%.1f s")
+    } finally graft.ext.DedupOps.releaseCaches()
+  }
 }
