@@ -126,6 +126,47 @@ class StreamingSpec extends AnyFunSuite {
       s"only the same-user in-window (click 1, view 101) pair must join, got $got")
   }
 
+  test("stream-stream interval self-join == batch banded co-occurrence (events_cooccur shape)") {
+    // The streaming analog of the events_cooccur oracle row: pairs of
+    // same-user events within 60 s, earlier-first (ties by id). The
+    // batch query generates candidates by 60-s band equi-join; the
+    // stream generates them with watermark-bounded interval-join state
+    // — SAME pair predicate, so on identical input the pair sets must
+    // be identical.
+    implicit val sq = spark.sqlContext
+    val fs = MemoryStream[(Long, Timestamp, Long)]
+    val ss = MemoryStream[(Long, Timestamp, Long)]
+    val first = fs.toDF().toDF("f_user", "f_ts", "f_id")
+    val second = ss.toDF().toDF("s_user", "s_ts", "s_id")
+    val rows = new ConcurrentLinkedQueue[Row]()
+    val joined = GraftStream.intervalJoin(second, first, "s_user", "f_user",
+        "s_ts", "f_ts", watermark = "10 seconds", lookback = "60 seconds")
+      .filter(col("f_ts") < col("s_ts") ||
+        (col("f_ts") === col("s_ts") && col("f_id") < col("s_id")))
+      .select(col("f_id"), col("s_id"))
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        { b.collect().foreach(rows.add); () })
+      .start()
+    val base = 1700000000000L
+    def t(s: Long) = new Timestamp(base + s * 1000L)
+    // user 1: chain 0s→30s→90s plus a 90s tie; user 2: gap > 60s;
+    // user 3: singleton
+    val data = Seq((1L, 0L, 1L), (1L, 30L, 2L), (1L, 90L, 3L), (1L, 90L, 4L),
+      (2L, 10L, 5L), (2L, 200L, 6L), (3L, 5L, 7L))
+    val expected = (for {
+      (ua, ta, ia) <- data; (ub, tb, ib) <- data
+      if ua == ub && tb - ta >= 0 && tb - ta <= 60 &&
+        (ta < tb || (ta == tb && ia < ib))
+    } yield (ia, ib)).toSet
+    fs.addData(data.map { case (u, s, i) => (u, t(s), i) }: _*)
+    ss.addData(data.map { case (u, s, i) => (u, t(s), i) }: _*)
+    q.processAllAvailable(); q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[Row])
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"stream pairs $got != batch-predicate pairs $expected")
+  }
+
   test("stream concat: union-all of two sources delivers every element") {
     implicit val sq = spark.sqlContext
     val in1 = MemoryStream[Int]
