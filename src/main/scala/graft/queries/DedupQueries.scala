@@ -4,6 +4,7 @@ import graft.ext.{DedupOps, TextOps}
 import graft.ext.DedupOps._
 import graft.ext.TextOps.{fingerprint, tokens}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -34,6 +35,39 @@ object DedupQueries {
     corpus.select(fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Incremental (new-batch-vs-corpus) exact dedup — the admission
+    * check every production ingest runs: an arriving batch is screened
+    * against the historical corpus AND against itself before landing.
+    * Batch construction plants all three outcomes: +1e6 exact copies
+    * (corpus dups), +2e6 first-token-dropped texts (novel), +3e6
+    * copies of every 5th doc (dup of corpus AND of the batch's own
+    * +1e6 row). Per new doc: corpus-match count, whether an
+    * earlier-id batch row owns the same fingerprint, and the combined
+    * admission verdict. Plan at 100 TB: the corpus side collapses to
+    * its fingerprint index (fp, count — 16 B rows; in production a
+    * maintained table, re-derived here so the oracle is
+    * self-contained), the batch ranks within fp (dup groups are tiny
+    * by construction), and the left join ships only the batch's fp
+    * keys — the corpus text is never rescanned per batch row. */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val corpusFps = d.select(fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_corpus"))
+    val batch = d.select((col("doc_id") + SHIFT).as("doc_id"), col("text"))
+      .unionAll(d.select((col("doc_id") + 2 * SHIFT).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+      .unionAll(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 3 * SHIFT).as("doc_id"), col("text")))
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    batch.withColumn("rk", row_number().over(w))
+      .join(corpusFps, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
+        (col("rk") > 1).as("dup_in_batch"),
+        (coalesce(col("n_corpus"), lit(0L)) > 0 || col("rk") > 1).as("is_dup"))
   }
 
   /** Near-dup detection, the full MinHash → banded-LSH → verify plan:
@@ -272,6 +306,7 @@ object DedupQueries {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_simhash_pairs_capped" -> (dedupSimhashPairsCapped _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_near" -> (dedupNear _),
@@ -380,6 +415,21 @@ object DedupQueries {
          |          UNION
          |          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
          |SELECT a AS id, LEAST(a, MIN(b)) AS cluster_rep FROM reach GROUP BY a""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH cf AS (SELECT ${fpFold("text")} AS fp, COUNT(*) AS n_corpus
+         |           FROM documents GROUP BY 1),
+         |batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |          UNION ALL SELECT doc_id + 2000000,
+         |            substr(text, strpos(text, ' ') + 1) FROM documents
+         |          UNION ALL SELECT doc_id + 3000000, text FROM documents
+         |          WHERE doc_id % 5 = 0),
+         |bf AS (SELECT doc_id, ${fpFold("text")} AS fp FROM batch),
+         |r AS (SELECT doc_id, fp, CAST(row_number() OVER (PARTITION BY fp
+         |        ORDER BY doc_id) AS BIGINT) AS rk FROM bf)
+         |SELECT r.doc_id, r.fp, COALESCE(n_corpus, 0) AS n_corpus,
+         |       rk > 1 AS dup_in_batch,
+         |       COALESCE(n_corpus, 0) > 0 OR rk > 1 AS is_dup
+         |FROM r LEFT JOIN cf USING (fp)""".stripMargin,
     "dedup_exact" ->
       s"""SELECT ${fpFold("text")} AS fp, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
          |FROM ($corpusExactSql)
