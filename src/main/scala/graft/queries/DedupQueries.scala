@@ -70,6 +70,42 @@ object DedupQueries {
         (coalesce(col("n_corpus"), lit(0L)) > 0 || col("rk") > 1).as("is_dup"))
   }
 
+  /** Fuzzy (near-dup) decontamination — the eval-leak scan for
+    * benchmarks that appear PARAPHRASED or truncated rather than
+    * verbatim: where [[graft.queries.TextQueries.curateDecontaminate]]
+    * probes exact 5-gram fingerprints, this runs cross-TABLE MinHash
+    * banding (corpus bands ⋈ benchmark bands) and an exact-Jaccard
+    * verify, so a near copy that shares no exact long n-gram still
+    * flags. The planted benchmark is every 97th doc with its first
+    * token dropped — by construction a NEAR (not exact) copy of its
+    * source. Output per contaminated corpus doc: leaked-benchmark
+    * count and worst overlap. Plan at 100 TB: the benchmark side is
+    * tiny (its 16 (band, sig) rows per item broadcast); the corpus
+    * computes fixed-width band rows in one scan — candidates meet in
+    * the broadcast hash join, never all-pairs — and only candidate
+    * docs ship their fps arrays into the verify. */
+  def curateDecontaminateNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    def sigs(df: DataFrame) = df.select(col("doc_id"),
+        shingleFps(tokens(col("text")), 3).as("fps"))
+      .select(col("doc_id"), col("fps"), minhash(col("fps"), 64).as("mh"))
+    val corpus = trackPersist(sigs(d))
+    val bench = trackPersist(sigs(d.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + SHIFT).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))))
+    def bandsOf(df: DataFrame, id: String) = df.select(col("doc_id").as(id),
+      posexplode(bandSigs(col("mh"), 16, 4)).as(Seq("band", "sig")))
+    val cand = bandsOf(corpus, "doc_id")
+      .join(broadcast(bandsOf(bench, "bench_id")), Seq("band", "sig"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    cand.join(corpus.select(col("doc_id"), col("fps").as("fps_a")), "doc_id")
+      .join(bench.select(col("doc_id").as("bench_id"), col("fps").as("fps_b")), "bench_id")
+      .select(col("doc_id"), DedupOps.jaccard(col("fps_a"), col("fps_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_near"), max(col("jaccard")).as("max_jaccard"))
+  }
+
   /** Near-dup detection, the full MinHash → banded-LSH → verify plan:
     * 3-token shingles → 64 minhashes → 16 bands × 4 rows → self-join on
     * (band, sig) buckets → exact Jaccard ≥ 0.7 on candidates only.
@@ -307,6 +343,7 @@ object DedupQueries {
     "dedup_simhash_pairs_capped" -> (dedupSimhashPairsCapped _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_incremental" -> (dedupIncremental _),
+    "curate_decontaminate_near" -> (curateDecontaminateNear _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_near" -> (dedupNear _),
@@ -415,6 +452,31 @@ object DedupQueries {
          |          UNION
          |          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
          |SELECT a AS id, LEAST(a, MIN(b)) AS cluster_rep FROM reach GROUP BY a""".stripMargin,
+    "curate_decontaminate_near" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |bench0 AS (SELECT doc_id + 1000000 AS doc_id,
+         |             substr(text, strpos(text, ' ') + 1) AS text
+         |           FROM documents WHERE doc_id % 97 = 0),
+         |ctk AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+         |csh AS (SELECT doc_id, $shinglesSql AS sh FROM ctk),
+         |cfp AS (SELECT doc_id, list_transform(sh, s -> ${fpFold("s")}) AS fps FROM csh),
+         |cmh AS (SELECT doc_id, fps, $minhashSql AS mh FROM cfp),
+         |btk AS (SELECT doc_id, $toksSql AS tk FROM bench0),
+         |bsh AS (SELECT doc_id, $shinglesSql AS sh FROM btk),
+         |bfp AS (SELECT doc_id, list_transform(sh, s -> ${fpFold("s")}) AS fps FROM bsh),
+         |bmh AS (SELECT doc_id, fps, $minhashSql AS mh FROM bfp),
+         |cb AS (SELECT doc_id, j AS band, $bandSql AS sig
+         |       FROM cmh, (SELECT unnest(range(0, 16)) AS j)),
+         |bb AS (SELECT doc_id AS bench_id, j AS band, $bandSql AS sig
+         |       FROM bmh, (SELECT unnest(range(0, 16)) AS j)),
+         |cand AS (SELECT DISTINCT cb.doc_id, bb.bench_id
+         |         FROM cb JOIN bb USING (band, sig)),
+         |ver AS (SELECT c.doc_id, $jaccardSql AS jaccard
+         |        FROM cand c
+         |        JOIN (SELECT doc_id, fps AS fps_a FROM cfp) USING (doc_id)
+         |        JOIN (SELECT doc_id AS bench_id, fps AS fps_b FROM bfp) USING (bench_id))
+         |SELECT doc_id, COUNT(*) AS n_bench_near, MAX(jaccard) AS max_jaccard
+         |FROM ver WHERE jaccard >= 0.5 GROUP BY doc_id""".stripMargin,
     "dedup_incremental" ->
       s"""WITH cf AS (SELECT ${fpFold("text")} AS fp, COUNT(*) AS n_corpus
          |           FROM documents GROUP BY 1),
