@@ -1,6 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation helpers for the joins AQE can't fix on its own.
@@ -29,5 +32,46 @@ object SkewOps {
     val smallS = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Bloom-filter build over `keyHash` (must be a LongType column —
+    * wrap arbitrary keys in `xxhash64`): Spark's OWN runtime-filter
+    * aggregate (`BloomFilterAggregate`, the sketch behind
+    * spark.sql.optimizer.runtime.bloomFilter) surfaced as a library
+    * aggregate — fixed-size sketch buffers, merged map-side, one
+    * binary blob out. */
+  def bloomAgg(keyHash: Column, expectedItems: Long, numBits: Long): Column =
+    toColumn(new BloomFilterAggregate(toExpression(keyHash),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+
+  /** Membership probe against a SERIALIZED bloom filter (binary
+    * literal): codegen'd, usable inside any scan-stage filter. */
+  def bloomMightContain(bfBytes: Array[Byte], keyHash: Column): Column =
+    toColumn(BloomFilterMightContain(Literal(bfBytes),
+      toExpression(keyHash)))
+
+  /** Semi-join of `big` against `small`'s keys with an EXPLICIT
+    * Bloom-filter runtime prefilter — the `InjectRuntimeFilter` shape
+    * (build a sketch over the small side's join keys, probe it in the
+    * big side's scan stage so the shuffle only carries surviving
+    * rows), made deterministic and available where the optimizer
+    * would not inject it (DataFrame API, custom thresholds).
+    *
+    * The build side executes EAGERLY (`.head()`) and the fixed-size
+    * sketch embeds as a binary literal: `might_contain` demands a
+    * constant/scalar-subquery filter, and a literal keeps the probe
+    * foldable-per-batch and codegen'd. That is one driver round-trip
+    * of numBits/8 bytes — the broadcast-variable pattern, not a data
+    * collect. False positives are removed by the exact semi-join, so
+    * the result is EXACTLY the plain semi-join's (the oracle-gated
+    * property); the filter only prunes shuffle input. */
+  def bloomPrunedSemiJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      expectedItems: Long, numBits: Long): DataFrame = {
+    val bf = small.agg(bloomAgg(xxhash64(col(smallKey)), expectedItems, numBits))
+      .head().getAs[Array[Byte]](0)
+    big.filter(bloomMightContain(bf, xxhash64(col(bigKey))))
+      .join(small.select(col(smallKey)).distinct(),
+        col(bigKey) === col(smallKey), "left_semi")
   }
 }

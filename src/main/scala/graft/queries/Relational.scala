@@ -417,6 +417,30 @@ object Relational {
       .select(col("o_custkey").as("c_custkey"))
   }
 
+  /** Bloom-filter runtime prefilter under the oracle gate
+    * ([[graft.ext.SkewOps.bloomPrunedSemiJoin]]): lineitem semi-joined
+    * against high-value orders (totalprice > 400k — a ~0.5% key set),
+    * with Spark's own BloomFilterAggregate built over the order keys
+    * and probed INSIDE lineitem's scan stage, so the semi-join
+    * shuffle receives only rows that might match instead of the whole
+    * fact table. False positives are removed by the exact semi-join —
+    * the result is provably the plain semi-join's, which is exactly
+    * what the oracle spells. At 100 TB this is the difference between
+    * shuffling ~0.5% of lineitem and shuffling all of it when the
+    * optimizer's own runtime filter does not fire (DataFrame API,
+    * non-equi buildable sides, custom thresholds). */
+  def qBloomPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val hot = load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"))
+    val li = load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+    graft.ext.SkewOps.bloomPrunedSemiJoin(li, hot, "l_orderkey", "o_orderkey",
+        expectedItems = 10000L, numBits = 100000L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
   /** Per-nation customer-balance quartiles: ntile(4) runs PARTITIONED
     * by nation, so the sort parallelizes across nations — the
     * partitioned form of equal-height bucketing (a GLOBAL ntile would
@@ -495,6 +519,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_prune" -> (qBloomPrune _),
     "q_ntile" -> (qNtile _),
     "q_cube" -> (qCube _),
     "q_monthly_growth" -> (qMonthlyGrowth _),
@@ -526,6 +551,12 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_bloom_prune" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY l_returnflag""".stripMargin,
     "q_ntile" ->
       """WITH r AS (SELECT c_nationkey, c_acctbal,
         |    CAST(ntile(4) OVER (PARTITION BY c_nationkey

@@ -52,7 +52,25 @@ object GraftFunctions {
     ("graft_byte_stats", "graft_byte_stats(bin) - n/sum/min/max over raw bytes",
       es => ByteStatsExpr(es.head)),
     ("graft_byte_hist", "graft_byte_hist(bin, bins) - normalized byte histogram",
-      es => ByteHistExpr(es.head, intLit(es(1), "graft_byte_hist"))))
+      es => ByteHistExpr(es.head, intLit(es(1), "graft_byte_hist"))),
+    // Spark's internal runtime-filter pair, surfaced for the SQL path
+    // (upstream registers neither): build with graft_bloom_agg(
+    // xxhash64(k), items, bits) in a scalar subquery, probe with
+    // graft_might_contain(bf, xxhash64(k)) — see SkewOps.bloomPrunedSemiJoin
+    // for the DataFrame form and the eager-literal variant.
+    ("graft_bloom_agg",
+      "graft_bloom_agg(longCol, est_items, num_bits) - bloom filter aggregate (binary)",
+      // size args must be LongType literals; SQL integer literals
+      // arrive as INT, so fold-cast them up
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es.head,
+          org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.catalyst.expressions.Cast(es(2), org.apache.spark.sql.types.LongType))
+        .toAggregateExpression()),
+    ("graft_might_contain",
+      "graft_might_contain(bloom_bin, longCol) - bloom membership probe",
+      es => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es.head, es(1))))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "scala_udf")

@@ -389,6 +389,24 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.ext.DedupOps.releaseCaches() // both track edge/adjacency tables
   }
 
+  test("q_bloom_prune: bloom probe in the fact scan — no false negatives, real pruning") {
+    import graft.queries.Tables
+    import org.apache.spark.sql.functions._
+    val hot = Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice") > 400000).select(col("o_orderkey"))
+    val li = Tables.load(spark, sf, "lineitem").select(col("l_orderkey"))
+    val bf = hot.agg(graft.ext.SkewOps.bloomAgg(
+      xxhash64(col("o_orderkey")), 10000L, 100000L)).head().getAs[Array[Byte]](0)
+    val total = li.count()
+    val bfKept = li.filter(graft.ext.SkewOps.bloomMightContain(
+      bf, xxhash64(col("l_orderkey")))).count()
+    val exact = li.join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(bfKept >= exact, "a bloom filter must never drop a true match")
+    assert(bfKept < total / 2, s"probe pruned nothing: $bfKept of $total kept")
+    val p = plan("q_bloom_prune")
+    assert(p.contains("might_contain"), "probe must appear in the declared plan")
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);

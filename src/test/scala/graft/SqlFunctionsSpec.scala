@@ -36,6 +36,20 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(r.getLong(7) >= 0 && r.getLong(7) < 16)
   }
 
+  test("bloom pair from SQL: scalar-subquery build + probe filters like the exact semi-join") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(1L, 5L, 9L, 400L).toDF("k").createOrReplaceTempView("bloom_small")
+    spark.range(0, 500).toDF("id").createOrReplaceTempView("bloom_big")
+    val kept = spark.sql(
+      """SELECT id FROM bloom_big WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(k), 100, 4000) FROM bloom_small),
+        |  xxhash64(id))""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 5L, 9L, 400L).subsetOf(kept), s"false negative: $kept")
+    assert(kept.size < 100, s"probe pruned nothing: ${kept.size} of 500 kept")
+  }
+
   test("SQL path equals DSL path on real data (dedup fingerprints)") {
     GraftFunctions.register(spark)
     val sf = "/root/testdata/sf0.001"
@@ -63,7 +77,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
     // into a fresh SparkSessionExtensions without error.
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.sql.GraftExtensions().apply(ext)
-    assert(GraftFunctions.builders.map(_._1).distinct.size == 10)
+    assert(GraftFunctions.builders.map(_._1).distinct.size ==
+      GraftFunctions.builders.size) // every builder name unique + registered
   }
 
   test("CMS token sketch: one-sided estimates bounded by eps·N for the exact top tokens") {
