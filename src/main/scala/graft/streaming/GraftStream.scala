@@ -385,6 +385,53 @@ object GraftStream {
       }
   }
 
+  /** Streaming weekly-cohort tracker — the unbounded feed of the
+    * `events_cohorts` matrix: per user, state holds the cohort (first
+    * active epoch-week) and the recently-seen week set; the FIRST time
+    * a (user, week) pair appears, ONE `(cohort_week, week_offset)`
+    * increment is emitted (exactly-once per pair via the state dedup),
+    * so any downstream count of increments per (cohort, offset)
+    * reproduces the batch matrix's `n_active`.
+    *
+    * State bound: `seen` keeps only weeks the watermark can still
+    * touch — an event older than the watermark is dropped before the
+    * operator, so a week strictly below the watermark week can never
+    * be seen again and is trimmed on every invocation. Per-user state
+    * is therefore O(weeks inside the watermark horizon) + 1 long,
+    * independent of stream length. Cohort assignment is append-only:
+    * within one trigger the minimum week wins exactly; an
+    * out-of-order EARLIER first-week arriving in a LATER trigger
+    * (possible only inside the watermark, i.e. ≤ horizon/7 weeks of
+    * skew) re-bases the cohort for FUTURE emissions but cannot
+    * retract rows already appended — the standard streaming-cohort
+    * tradeoff; the batch query remains the exact reference. */
+  def cohortUpdates(df: DataFrame, tsCol: String, userCol: String,
+      watermark: String): Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val WeekMs = 7L * 86400000L
+    val keyed = df.withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("string").as("u"), col(tsCol).as("et"))
+      .as[(String, java.sql.Timestamp)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[(Long, Set[Long])]) =>
+          val weeks = rows.map(r => math.floorDiv(r._2.getTime, WeekMs)).toSeq
+          val (cohort0, seen0) = state.getOption.getOrElse((Long.MaxValue, Set.empty[Long]))
+          val cohort = math.min(cohort0, if (weeks.isEmpty) Long.MaxValue else weeks.min)
+          val fresh = weeks.distinct.filterNot(seen0)
+          val wmWeek = math.floorDiv(state.getCurrentWatermarkMs(), WeekMs)
+          // weeks below the watermark week are unreachable by any
+          // future event — trim them from state (they stay "seen"
+          // implicitly: an event for them would be watermark-dropped)
+          val seen = (seen0 ++ fresh).filter(_ >= wmWeek)
+          state.update((cohort, seen))
+          fresh.sorted.iterator.map(w => (cohort, w - cohort))
+      }
+  }
+
   /** Watermarked stream-stream interval join — the streaming form of
     * the attribution shape ([[graft.ext.AsOfJoin]] in batch): each left
     * row joins right rows with the same key whose event time falls in

@@ -167,6 +167,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected, s"stream pairs $got != batch-predicate pairs $expected")
   }
 
+  test("streaming cohorts: increment feed reproduces the batch cohort matrix") {
+    // cohortUpdates emits one (cohort, week_offset) increment per
+    // first-seen (user, week); summed per cell it must equal the
+    // events_cohorts batch matrix computed over the same tuples.
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val df = in.toDF().toDF("user_id", "ts")
+    val rows = new ConcurrentLinkedQueue[Row]()
+    val q = GraftStream.cohortUpdates(df, "ts", "user_id", "10 seconds")
+      .toDF("cohort", "week_offset")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        { b.collect().foreach(rows.add); () })
+      .start()
+    val W = 7L * 86400000L
+    def t(week: Long, off: Long = 1000) = new Timestamp(week * W + off)
+    // trigger 1: users 1,2 start in week 100; user 3 in week 101;
+    // a same-week repeat (user 1) must NOT double-emit
+    in.addData((1L, t(100)), (1L, t(100, 2000)), (2L, t(100)), (3L, t(101)))
+    q.processAllAvailable()
+    // trigger 2: later weeks, plus a repeat of (3, 101) across triggers
+    in.addData((1L, t(101)), (1L, t(102)), (2L, t(102)), (3L, t(101, 5000)), (3L, t(102)))
+    q.processAllAvailable(); q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[Row])
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val data = Seq((1L, 100L), (1L, 100L), (2L, 100L), (3L, 101L),
+      (1L, 101L), (1L, 102L), (2L, 102L), (3L, 101L), (3L, 102L))
+    val du = data.distinct
+    val first = du.groupBy(_._1).map { case (u, s) => u -> s.map(_._2).min }
+    val expected = du.map { case (u, w) => (first(u), w - first(u)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == expected, s"stream cohort cells $got != batch $expected")
+  }
+
   test("stream concat: union-all of two sources delivers every element") {
     implicit val sq = spark.sqlContext
     val in1 = MemoryStream[Int]
