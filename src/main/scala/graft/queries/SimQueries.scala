@@ -321,6 +321,46 @@ object SimQueries {
     graft.ext.DedupOps.dupClusters(pairs)
   }
 
+  /** Product quantization — the standard ANN compression beyond
+    * [[simQuantize]]'s scalar int8: the 64-dim vector splits into
+    * M = 8 subvectors of 8 dims, each assigned to its nearest of
+    * K = 4 codewords by squared-L2, so a vector stores as 8 2-bit
+    * codes (16 bits total vs 256 float bytes). Codewords here are the
+    * first 4 vectors' subvectors — deterministic seeds the oracle can
+    * spell (production trains them with [[graft.ext.SimOps.kmeans]]
+    * per subspace — the same Lloyd loop, M independent runs). The
+    * declared row pins the full assignment: an integer code-checksum
+    * (Σ code_s · 4^s — every code position lands in the hash) and the
+    * decimal-exact total reconstruction error. Plan at 100 TB: the
+    * codebook is M×K tiny rows (broadcast); subvector explode is
+    * M fixed-width rows per vector; the argmin is a map-side-combined
+    * max_by per (vector, subspace) — one row per subspace crosses the
+    * shuffle, then one row per vector. L2 folds are spelled in
+    * zip-then-left-fold order, IEEE-identical to the oracle. */
+  def simPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val M = 8; val sub = 8; val K = 4
+    val e = emb(spark, sfDir)
+    def subvecs(df: DataFrame, idAs: String, svAs: String) = df
+      .select(col("vec_id").as(idAs), col("embedding"),
+        explode(sequence(lit(0), lit(M - 1))).as("s"))
+      .select(col(idAs), col("s"),
+        expr(s"slice(embedding, s * $sub + 1, $sub)").as(svAs))
+    val sv = subvecs(e, "vec_id", "sv")
+    val cb = broadcast(subvecs(e.filter(col("vec_id") < K), "code", "cw"))
+    val l2 = expr(
+      "aggregate(zip_with(sv, cw, (x, y) -> " +
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    sv.join(cb, "s")
+      .select(col("vec_id"), col("s"), col("code"), (-l2).as("negd"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(max_by(col("code"), struct(col("negd"), (-col("code")).as("nc"))).as("code"),
+        (-max(col("negd"))).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("shiftleft(code, 2 * s)")).as("code_key"),
+        dsum(col("dist")).as("recon_err"))
+  }
+
   /** Mutual-kNN edge set, oriented u < v: an (undirected) edge survives
     * only when EACH endpoint ranks the other inside its top-5
     * ([[SimOps.knnGraph]] both directions). Mutuality is the standard
@@ -401,6 +441,7 @@ object SimQueries {
       .groupBy(col("sz")).agg(count(lit(1)).as("n_buckets"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq" -> (simPq _),
     "sim_triangles" -> (simTriangles _),
     "sim_label_prop" -> (simLabelProp _),
     "sim_bucket_hist" -> (simBucketHist _),
@@ -467,6 +508,25 @@ object SimQueries {
        |      WHERE f.vec_id < f.nbr_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "sim_pq" ->
+      s"""WITH sub AS (SELECT vec_id, s, list_slice(embedding, s*8 + 1, s*8 + 8) AS sv
+         |            FROM embeddings, (SELECT unnest(range(0, 8)) AS s)),
+         |cb AS (SELECT vec_id AS code, s, list_slice(embedding, s*8 + 1, s*8 + 8) AS cw
+         |       FROM embeddings, (SELECT unnest(range(0, 8)) AS s)
+         |       WHERE vec_id < 4),
+         |d AS (SELECT vec_id, sub.s AS s, code,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+         |          i -> (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)) *
+         |               (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)))),
+         |          (a, b) -> a + b) AS dist
+         |      FROM sub JOIN cb USING (s)),
+         |a AS (SELECT vec_id, s, code, dist,
+         |        row_number() OVER (PARTITION BY vec_id, s
+         |          ORDER BY dist, code) AS rk FROM d)
+         |SELECT vec_id,
+         |  CAST(SUM(code << (2*s)) AS BIGINT) AS code_key,
+         |  CAST(SUM(CAST(dist AS DECIMAL(38,6))) AS DOUBLE) AS recon_err
+         |FROM a WHERE rk = 1 GROUP BY vec_id""".stripMargin,
     "sim_triangles" ->
       s"""WITH $mutualSql,
          |tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
