@@ -266,4 +266,81 @@ object SimOps {
       .filter(col("rk") <= k)
       .drop("rk")
   }
+
+  // ---- Product quantization (encode + asymmetric-distance search) ----
+
+  /** PQ-encode `corpus`: each vector's M subvectors of `sub` dims are
+    * assigned to their nearest codeword (squared L2, ties → lowest
+    * code) from `codebook` rows (code, s, cw: array&lt;float&gt;). Output
+    * (vec_id, s, code) — M fixed-width rows per vector, the compressed
+    * representation downstream search consumes. The codebook (M×K tiny
+    * rows) broadcasts; assignment is a map-side-combined argmax. */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int, sub: Int): DataFrame = {
+    val sv = corpus
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("vec_id"), col("s"),
+        expr(s"slice(embedding, s * $sub + 1, $sub)").as("sv"))
+    val negL2 = expr(
+      "-aggregate(zip_with(sv, cw, (x, y) -> " +
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    sv.join(broadcast(codebook), "s")
+      .select(col("vec_id"), col("s"), col("code"), negL2.as("negd"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(max_by(col("code"), struct(col("negd"), (-col("code")).as("nc"))).as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    * FULL-PRECISION and precomputes its distance to every codeword
+    * ((q_id, s, code, d) — queries × M × K rows, broadcast); each
+    * encoded vector's approximate distance is then Σ_s d[s, code_s] —
+    * a lookup-sum over its M code rows, no vector math per candidate.
+    * This is how PQ indexes scan billions of vectors: the corpus-side
+    * exchange carries (vec_id, s, code) triples partially aggregated
+    * map-side to one row per (query, vector), 256× less data than the
+    * raw vectors. Exact re-rank of the top candidates (here: none —
+    * callers re-rank against the full vectors if needed) trades recall
+    * for that compression. Returns (q_id, vec_id, adist), k smallest
+    * approximate distances per query, ties → lowest vec_id. */
+  def pqTopk(codes: DataFrame, queries: DataFrame, codebook: DataFrame,
+      k: Int, m: Int, sub: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qsv = queries
+      .select(col("q_id"), col("q_vec"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("q_id"), col("s"),
+        expr(s"slice(q_vec, s * $sub + 1, $sub)").as("sv"))
+    val l2 = expr(
+      "aggregate(zip_with(sv, cw, (x, y) -> " +
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    val dtable = broadcast(qsv.join(codebook, "s")
+      .select(col("q_id"), col("s"), col("code"), l2.as("d")))
+    codes.join(dtable, Seq("s", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      // decimal-quantized sum: associative, so adist is identical at
+      // any shuffle order — two vectors with the same codes ALWAYS tie
+      // exactly (a raw double sum could differ in the last ulp by
+      // addition order and flip ranks nondeterministically)
+      .agg(sum(col("d").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double").as("adist"), count(lit(1)).as("nsub"))
+      // only vectors with all M subspace lookups present rank (guards
+      // against a truncated codes relation miscounting as "close")
+      .filter(col("nsub") === m)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("adist"))
+  }
+
+  /** Deterministic codebook from the first K corpus vectors (the
+    * [[graft.queries.SimQueries.simPq]] seeds): rows (code, s, cw).
+    * Production: one [[kmeans]] per subspace instead. */
+  def pqSeedCodebook(corpus: DataFrame, kCodes: Int, m: Int, sub: Int): DataFrame =
+    corpus.filter(col("vec_id") < kCodes)
+      .select(col("vec_id").as("code"), col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("code"), col("s"),
+        expr(s"slice(embedding, s * $sub + 1, $sub)").as("cw"))
 }

@@ -120,4 +120,35 @@ class SimRecallSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("PQ ADC search: identical vectors share codes, twins retrieved at the self distance") {
+    // Encode corpus + planted exact copies; ADC distance depends ONLY
+    // on the codes, so a vector and its copy must score identically
+    // against every query — the twin always ranks alongside the self
+    // match in the approximate top-k.
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.unionAll(
+      e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val cb = SimOps.pqSeedCodebook(e, kCodes = 4, m = 8, sub = 8)
+    val codes = SimOps.pqEncode(corpus, cb, m = 8, sub = 8)
+    // every vector gets exactly M code rows
+    val bad = codes.groupBy(col("vec_id")).count()
+      .filter(col("count") =!= 8).count()
+    assert(bad == 0, s"$bad vectors missing subspace codes")
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val top = SimOps.pqTopk(codes, queries, cb, k = 10, m = 8, sub = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byQ = top.groupBy(_._1)
+    queries.select(col("q_id")).collect().map(_.getLong(0)).foreach { q =>
+      val rows = byQ.getOrElse(q, Array.empty)
+      val self = rows.find(_._2 == q)
+      val twin = rows.find(_._2 == q + 1000000L)
+      assert(self.isDefined && twin.isDefined,
+        s"query $q: self/twin missing from approximate top-10: ${rows.mkString(",")}")
+      assert(self.get._3 == twin.get._3,
+        s"query $q: identical codes must give identical ADC distance")
+    }
+  }
 }
