@@ -89,13 +89,17 @@ object Bench {
     val entries = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + f3(v) }
     val body = new StringBuilder
     var kept = 0
-    for (e <- entries) {
+    var overflow = false
+    for (e <- entries if !overflow) {
       val add = (if (kept == 0) 0 else 1) + e.length
-      // +70 covers the longer omitted-count suffix variant.
+      // +70 covers the longer omitted-count suffix variant. Stop at
+      // the FIRST entry that doesn't fit: continuing would admit
+      // cheaper entries past a skipped expensive one, making the
+      // omitted set not-the-cheapest and the ordering claim false.
       if (head.length + body.length + add + tail.length + 70 <= budget) {
         if (kept > 0) body.append(',')
         body.append(e); kept += 1
-      }
+      } else overflow = true
     }
     val omitted = results.size - kept
     val json = head + body +

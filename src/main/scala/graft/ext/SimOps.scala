@@ -269,26 +269,35 @@ object SimOps {
 
   // ---- Product quantization (encode + asymmetric-distance search) ----
 
+  /** Zip-then-left-fold squared L2 between two float-array columns
+    * referenced BY NAME — the ONE spelling of the PQ distance, shared
+    * by encode, search and the declared `sim_pq` query so the IEEE
+    * fold order can never diverge from the DuckDB oracle's
+    * list_transform + list_reduce(list_prepend(0.0, …)) form. */
+  private def sqL2(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> " +
+      "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
   /** PQ-encode `corpus`: each vector's M subvectors of `sub` dims are
     * assigned to their nearest codeword (squared L2, ties → lowest
     * code) from `codebook` rows (code, s, cw: array&lt;float&gt;). Output
-    * (vec_id, s, code) — M fixed-width rows per vector, the compressed
-    * representation downstream search consumes. The codebook (M×K tiny
-    * rows) broadcasts; assignment is a map-side-combined argmax. */
+    * (vec_id, s, code, dist) — M fixed-width rows per vector, the
+    * compressed representation downstream search consumes (dist = the
+    * subspace quantization error, free from the same argmax). The
+    * codebook (M×K tiny rows) broadcasts; assignment is a
+    * map-side-combined argmax. */
   def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int, sub: Int): DataFrame = {
     val sv = corpus
       .select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0), lit(m - 1))).as("s"))
       .select(col("vec_id"), col("s"),
         expr(s"slice(embedding, s * $sub + 1, $sub)").as("sv"))
-    val negL2 = expr(
-      "-aggregate(zip_with(sv, cw, (x, y) -> " +
-        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
     sv.join(broadcast(codebook), "s")
-      .select(col("vec_id"), col("s"), col("code"), negL2.as("negd"))
+      .select(col("vec_id"), col("s"), col("code"), (-sqL2("sv", "cw")).as("negd"))
       .groupBy(col("vec_id"), col("s"))
-      .agg(max_by(col("code"), struct(col("negd"), (-col("code")).as("nc"))).as("code"))
+      .agg(max_by(col("code"), struct(col("negd"), (-col("code")).as("nc"))).as("code"),
+        (-max(col("negd"))).as("dist"))
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
@@ -311,12 +320,8 @@ object SimOps {
         explode(sequence(lit(0), lit(m - 1))).as("s"))
       .select(col("q_id"), col("s"),
         expr(s"slice(q_vec, s * $sub + 1, $sub)").as("sv"))
-    val l2 = expr(
-      "aggregate(zip_with(sv, cw, (x, y) -> " +
-        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
     val dtable = broadcast(qsv.join(codebook, "s")
-      .select(col("q_id"), col("s"), col("code"), l2.as("d")))
+      .select(col("q_id"), col("s"), col("code"), sqL2("sv", "cw").as("d")))
     codes.join(dtable, Seq("s", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       // decimal-quantized sum: associative, so adist is identical at

@@ -70,8 +70,13 @@ object SkewOps {
       expectedItems: Long, numBits: Long): DataFrame = {
     val bf = small.agg(bloomAgg(xxhash64(col(smallKey)), expectedItems, numBits))
       .head().getAs[Array[Byte]](0)
+    // rename the build-side key: with bigKey == smallKey both join
+    // children would expose the same column name and the unqualified
+    // condition would be AMBIGUOUS_REFERENCE. No distinct() — a
+    // left-semi join already emits each probe row at most once, so
+    // deduplicating the build side only adds an exchange.
     big.filter(bloomMightContain(bf, xxhash64(col(bigKey))))
-      .join(small.select(col(smallKey)).distinct(),
-        col(bigKey) === col(smallKey), "left_semi")
+      .join(small.select(col(smallKey).as("_graft_bloom_key")),
+        col(bigKey) === col("_graft_bloom_key"), "left_semi")
   }
 }

@@ -338,24 +338,9 @@ object SimQueries {
     * shuffle, then one row per vector. L2 folds are spelled in
     * zip-then-left-fold order, IEEE-identical to the oracle. */
   def simPq(spark: SparkSession, sfDir: String): DataFrame = {
-    val M = 8; val sub = 8; val K = 4
     val e = emb(spark, sfDir)
-    def subvecs(df: DataFrame, idAs: String, svAs: String) = df
-      .select(col("vec_id").as(idAs), col("embedding"),
-        explode(sequence(lit(0), lit(M - 1))).as("s"))
-      .select(col(idAs), col("s"),
-        expr(s"slice(embedding, s * $sub + 1, $sub)").as(svAs))
-    val sv = subvecs(e, "vec_id", "sv")
-    val cb = broadcast(subvecs(e.filter(col("vec_id") < K), "code", "cw"))
-    val l2 = expr(
-      "aggregate(zip_with(sv, cw, (x, y) -> " +
-        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-    sv.join(cb, "s")
-      .select(col("vec_id"), col("s"), col("code"), (-l2).as("negd"))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(max_by(col("code"), struct(col("negd"), (-col("code")).as("nc"))).as("code"),
-        (-max(col("negd"))).as("dist"))
+    SimOps.pqEncode(e.select(col("vec_id"), col("embedding")),
+        SimOps.pqSeedCodebook(e, kCodes = 4, m = 8, sub = 8), m = 8, sub = 8)
       .groupBy(col("vec_id"))
       .agg(sum(expr("shiftleft(code, 2 * s)")).as("code_key"),
         dsum(col("dist")).as("recon_err"))

@@ -394,9 +394,10 @@ object GraftStream {
     * reproduces the batch matrix's `n_active`.
     *
     * State bound: `seen` keeps only weeks the watermark can still
-    * touch — an event older than the watermark is dropped before the
-    * operator, so a week strictly below the watermark week can never
-    * be seen again and is trimmed on every invocation. Per-user state
+    * touch — the operator itself drops rows whose week is below the
+    * watermark week (Spark's built-in late-row filter for fmGWS only
+    * engages under EventTimeTimeout, not the NoTimeout used here), so
+    * a trimmed week can never be seen again. Per-user state
     * is therefore O(weeks inside the watermark horizon) + 1 long,
     * independent of stream length. Cohort assignment is append-only:
     * within one trigger the minimum week wins exactly; an
@@ -418,14 +419,21 @@ object GraftStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[(String, java.sql.Timestamp)],
          state: GroupState[(Long, Set[Long])]) =>
-          val weeks = rows.map(r => math.floorDiv(r._2.getTime, WeekMs)).toSeq
+          val wmWeek = math.floorDiv(state.getCurrentWatermarkMs(), WeekMs)
+          // EXPLICITLY drop rows whose week the watermark has passed:
+          // Spark filters late input to flatMapGroupsWithState only
+          // under EventTimeTimeout (verified in
+          // FlatMapGroupsWithStateExecBase — NoTimeout passes
+          // stragglers through), and the seen-week trim below assumes
+          // such a week can never reappear. Without this filter a
+          // straggler would re-emit an already-counted increment.
+          val weeks = rows.map(r => math.floorDiv(r._2.getTime, WeekMs))
+            .filter(_ >= wmWeek).toSeq
           val (cohort0, seen0) = state.getOption.getOrElse((Long.MaxValue, Set.empty[Long]))
           val cohort = math.min(cohort0, if (weeks.isEmpty) Long.MaxValue else weeks.min)
           val fresh = weeks.distinct.filterNot(seen0)
-          val wmWeek = math.floorDiv(state.getCurrentWatermarkMs(), WeekMs)
-          // weeks below the watermark week are unreachable by any
-          // future event — trim them from state (they stay "seen"
-          // implicitly: an event for them would be watermark-dropped)
+          // weeks below the watermark week are unreachable now that
+          // the input filter above enforces it — trim them from state
           val seen = (seen0 ++ fresh).filter(_ >= wmWeek)
           state.update((cohort, seen))
           fresh.sorted.iterator.map(w => (cohort, w - cohort))

@@ -389,6 +389,13 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.ext.DedupOps.releaseCaches() // both track edge/adjacency tables
   }
 
+  test("sim_pq: codebook is the only broadcast; no cartesian in the assignment join") {
+    val p = plan("sim_pq")
+    assert(nOps(p, "BroadcastExchange") == 1,
+      s"exactly the codebook must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_bloom_prune: bloom probe in the fact scan — no false negatives, real pruning") {
     import graft.queries.Tables
     import org.apache.spark.sql.functions._

@@ -77,8 +77,10 @@ class SqlFunctionsSpec extends AnyFunSuite {
     // into a fresh SparkSessionExtensions without error.
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.sql.GraftExtensions().apply(ext)
-    assert(GraftFunctions.builders.map(_._1).distinct.size ==
-      GraftFunctions.builders.size) // every builder name unique + registered
+    // pinned count catches an accidentally dropped builder; distinct
+    // catches a duplicated name
+    assert(GraftFunctions.builders.size == 12)
+    assert(GraftFunctions.builders.map(_._1).distinct.size == 12)
   }
 
   test("CMS token sketch: one-sided estimates bounded by eps·N for the exact top tokens") {

@@ -189,12 +189,24 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     // trigger 2: later weeks, plus a repeat of (3, 101) across triggers
     in.addData((1L, t(101)), (1L, t(102)), (2L, t(102)), (3L, t(101, 5000)), (3L, t(102)))
+    q.processAllAvailable()
+    // trigger 3: advances user 2's state — the update runs with the
+    // watermark now past week 100, so week 100 is trimmed from `seen`
+    in.addData((2L, t(103)))
+    q.processAllAvailable()
+    val beforeStraggler = rows.size
+    // trigger 4: a straggler for the TRIMMED week 100 must NOT re-emit
+    // its increment — Spark's fmGWS does not drop late rows under
+    // NoTimeout, the operator itself must filter them
+    in.addData((2L, t(100, 9000)))
     q.processAllAvailable(); q.stop()
+    assert(rows.size == beforeStraggler,
+      s"straggler for a trimmed week re-emitted: ${rows.size - beforeStraggler} extra rows")
     val got = rows.toArray.map(_.asInstanceOf[Row])
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     val data = Seq((1L, 100L), (1L, 100L), (2L, 100L), (3L, 101L),
-      (1L, 101L), (1L, 102L), (2L, 102L), (3L, 101L), (3L, 102L))
+      (1L, 101L), (1L, 102L), (2L, 102L), (3L, 101L), (3L, 102L), (2L, 103L))
     val du = data.distinct
     val first = du.groupBy(_._1).map { case (u, s) => u -> s.map(_._2).min }
     val expected = du.map { case (u, w) => (first(u), w - first(u)) }
