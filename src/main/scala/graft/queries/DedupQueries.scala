@@ -106,6 +106,26 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_bench_near"), max(col("jaccard")).as("max_jaccard"))
   }
 
+  /** Edit distance as the character-level verify primitive — the
+    * fuzzy matcher for SHORT fields (titles, names, ids) where
+    * set-based Jaccard is too coarse: each doc against its
+    * first-token-dropped mutant, Levenshtein over the 80-char
+    * prefixes. The length bound is the scale contract: Levenshtein is
+    * O(n·m) PER ROW, so at 100 TB it never touches full documents —
+    * like the exact-Jaccard step it is a verify that runs AFTER
+    * candidate generation (LSH bands), on bounded slices. Both
+    * engines implement classic unit-cost Levenshtein, so the distance
+    * is integer-exact cross-engine. */
+  def dedupEditDistance(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        expr("substring(text, 1, 80)").as("a"),
+        expr("substring(substring(text, instr(text, ' ') + 1), 1, 80)").as("b"))
+      .select(col("doc_id"),
+        levenshtein(col("a"), col("b")).cast("bigint").as("edit_dist"),
+        length(col("a")).cast("bigint").as("len_a"),
+        length(col("b")).cast("bigint").as("len_b"))
+
   /** Near-dup detection, the full MinHash → banded-LSH → verify plan:
     * 3-token shingles → 64 minhashes → 16 bands × 4 rows → self-join on
     * (band, sig) buckets → exact Jaccard ≥ 0.7 on candidates only.
@@ -343,6 +363,7 @@ object DedupQueries {
     "dedup_simhash_pairs_capped" -> (dedupSimhashPairsCapped _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_edit_distance" -> (dedupEditDistance _),
     "curate_decontaminate_near" -> (curateDecontaminateNear _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
@@ -452,6 +473,14 @@ object DedupQueries {
          |          UNION
          |          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
          |SELECT a AS id, LEAST(a, MIN(b)) AS cluster_rep FROM reach GROUP BY a""".stripMargin,
+    "dedup_edit_distance" ->
+      s"""SELECT doc_id,
+         |  CAST(levenshtein(a, b) AS BIGINT) AS edit_dist,
+         |  CAST(length(a) AS BIGINT) AS len_a,
+         |  CAST(length(b) AS BIGINT) AS len_b
+         |FROM (SELECT doc_id, substr(text, 1, 80) AS a,
+         |        substr(substr(text, strpos(text, ' ') + 1), 1, 80) AS b
+         |      FROM documents)""".stripMargin,
     "curate_decontaminate_near" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),
          |bench0 AS (SELECT doc_id + 1000000 AS doc_id,

@@ -492,6 +492,22 @@ object Relational {
       .withColumn("growth", col("revenue") - col("prev_revenue"))
   }
 
+  /** Explicit GROUPING SETS — the general form [[qRollup]] and
+    * [[qCube]] compile to, declared directly: the two one-dimension
+    * marginals plus the grand total (NOT the cross table — the set
+    * list is the point), with GROUPING() markers so NULL-as-subtotal
+    * is distinguishable from a (hypothetical) NULL group value. Same
+    * execution shape as rollup/cube: Spark expands the sets before
+    * the partial aggregation, one exchange of (group, partials). */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        grouping(col("o_orderstatus")).cast("bigint").as("g_status"),
+        grouping(col("o_orderpriority")).cast("bigint").as("g_priority"))
+
   /** Exact per-status price percentiles (p25/p50/p75) by rank index —
     * the [[EventQueries.eventsQuantiles]] pattern on a DECIMAL column:
     * rank positions are all-integer ((n+3) div 4 etc.), the picked
@@ -520,6 +536,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_prune" -> (qBloomPrune _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_ntile" -> (qNtile _),
     "q_cube" -> (qCube _),
     "q_monthly_growth" -> (qMonthlyGrowth _),
@@ -551,6 +568,13 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "q_bloom_prune" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
