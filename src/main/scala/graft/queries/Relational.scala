@@ -133,6 +133,26 @@ object Relational {
       dsumOver(col("l_extendedprice") * (lit(1) - col("l_discount")), w).as("running_rev"))
   }
 
+  /** Trailing-30-day revenue per supplier — a RANGE frame (the VALUE-
+    * bounded window mechanism, vs [[qRunningRevenue]]'s ROWS frame):
+    * the frame holds every row whose ship_day lies within 30 of the
+    * current row's, so same-day peer rows always aggregate together
+    * and the result is deterministic under any tie order. Day keys
+    * are all-integer (epoch-day), the sum decimal-exact; one shuffle
+    * + sort per supplier partition, the minimum for any ordered
+    * window. */
+  def qTrailing30d(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = load(spark, sfDir, "lineitem").filter(col("l_suppkey") <= 3)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("bigint").as("ship_day"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("ship_day"))
+      .rangeBetween(-30, 0)
+    li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      col("ship_day"), dsumOver(col("rev"), w).as("rev_30d"))
+  }
+
   /** Hierarchical rollup: (returnflag, linestatus) → returnflag →
     * grand total in one pass — Spark expands the grouping sets before
     * the partial aggregation, so the shuffle stays one exchange of
@@ -537,6 +557,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_prune" -> (qBloomPrune _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_trailing_30d" -> (qTrailing30d _),
     "q_ntile" -> (qNtile _),
     "q_cube" -> (qCube _),
     "q_monthly_growth" -> (qMonthlyGrowth _),
@@ -568,6 +589,16 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_trailing_30d" ->
+      """WITH t AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ship_day,
+        |  l_extendedprice * (1 - l_discount) AS rev
+        |FROM lineitem WHERE l_suppkey <= 3)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, ship_day,
+        |  CAST(SUM(CAST(rev AS DECIMAL(38,6))) OVER (PARTITION BY l_suppkey
+        |    ORDER BY ship_day RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS rev_30d
+        |FROM t""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
