@@ -25,6 +25,12 @@ object DedupQueries {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
 
+  /** The planted NEAR-duplicate mutation, defined once: drop the first
+    * token. Oracle spelling (kept in lockstep everywhere this is
+    * used): `substr(text, strpos(text, ' ') + 1)`. */
+  private def firstTokenDropped: org.apache.spark.sql.Column =
+    expr("substring(text, instr(text, ' ') + 1)")
+
   /** Exact dedup: content-fingerprint hash groupBy over a corpus with
     * planted exact copies. One shuffle of (fp, doc_id) pairs with
     * map-side combine; the representative is min(doc_id) — the standard
@@ -57,7 +63,7 @@ object DedupQueries {
       .groupBy(col("fp")).agg(count(lit(1)).as("n_corpus"))
     val batch = d.select((col("doc_id") + SHIFT).as("doc_id"), col("text"))
       .unionAll(d.select((col("doc_id") + 2 * SHIFT).as("doc_id"),
-        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+        firstTokenDropped.as("text")))
       .unionAll(d.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 3 * SHIFT).as("doc_id"), col("text")))
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
@@ -92,7 +98,7 @@ object DedupQueries {
     val corpus = trackPersist(sigs(d))
     val bench = trackPersist(sigs(d.filter(col("doc_id") % 97 === 0)
       .select((col("doc_id") + SHIFT).as("doc_id"),
-        expr("substring(text, instr(text, ' ') + 1)").as("text"))))
+        firstTokenDropped.as("text"))))
     def bandsOf(df: DataFrame, id: String) = df.select(col("doc_id").as(id),
       posexplode(bandSigs(col("mh"), 16, 4)).as(Seq("band", "sig")))
     val cand = bandsOf(corpus, "doc_id")
@@ -113,18 +119,23 @@ object DedupQueries {
     * prefixes. The length bound is the scale contract: Levenshtein is
     * O(n·m) PER ROW, so at 100 TB it never touches full documents —
     * like the exact-Jaccard step it is a verify that runs AFTER
-    * candidate generation (LSH bands), on bounded slices. Both
-    * engines implement classic unit-cost Levenshtein, so the distance
-    * is integer-exact cross-engine. */
-  def dedupEditDistance(spark: SparkSession, sfDir: String): DataFrame =
+    * candidate generation (LSH bands), on bounded slices. Inputs are
+    * normalized to printable ASCII first: DuckDB's levenshtein counts
+    * BYTE edits while Spark's counts CODEPOINT edits (a non-ASCII
+    * substitution scores 2 vs 1), so the engines agree only on ASCII
+    * — the strip makes that precondition true by construction instead
+    * of an accident of the current corpus. */
+  def dedupEditDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    def ascii(c: org.apache.spark.sql.Column) = regexp_replace(c, "[^ -~]", "")
     docs(spark, sfDir)
       .select(col("doc_id"),
-        expr("substring(text, 1, 80)").as("a"),
-        expr("substring(substring(text, instr(text, ' ') + 1), 1, 80)").as("b"))
+        substring(ascii(col("text")), 1, 80).as("a"),
+        substring(ascii(firstTokenDropped), 1, 80).as("b"))
       .select(col("doc_id"),
         levenshtein(col("a"), col("b")).cast("bigint").as("edit_dist"),
         length(col("a")).cast("bigint").as("len_a"),
         length(col("b")).cast("bigint").as("len_b"))
+  }
 
   /** Near-dup detection, the full MinHash → banded-LSH → verify plan:
     * 3-token shingles → 64 minhashes → 16 bands × 4 rows → self-join on
@@ -136,7 +147,7 @@ object DedupQueries {
   def dedupNear(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val mut = d.select((col("doc_id") + SHIFT).as("doc_id"),
-      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      firstTokenDropped.as("text"))
     val corpus = d.unionAll(mut)
     DedupOps.nearDupPairs(corpus, "doc_id", "text",
         k = 3, hashes = 64, bands = 16, threshold = 0.7)
@@ -196,7 +207,7 @@ object DedupQueries {
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val mut = d.select((col("doc_id") + SHIFT).as("doc_id"),
-      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      firstTokenDropped.as("text"))
     val pairs = DedupOps.nearDupPairs(d.unionAll(mut), "doc_id", "text",
       k = 3, hashes = 64, bands = 16, threshold = 0.7)
     DedupOps.dupClusters(pairs)
@@ -259,7 +270,7 @@ object DedupQueries {
   def dedupNearCapped(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val mut = d.select((col("doc_id") + SHIFT).as("doc_id"),
-      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      firstTokenDropped.as("text"))
     DedupOps.nearDupPairs(d.unionAll(mut), "doc_id", "text",
         k = 3, hashes = 64, bands = 16, threshold = 0.7, maxBucket = 4)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
@@ -281,7 +292,7 @@ object DedupQueries {
   def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val mut = d.select((col("doc_id") + SHIFT).as("doc_id"),
-      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      firstTokenDropped.as("text"))
     val corpus = d.unionAll(mut)
     val clusters = DedupOps.dupClusters(
       DedupOps.nearDupPairs(corpus, "doc_id", "text",
@@ -478,8 +489,10 @@ object DedupQueries {
          |  CAST(levenshtein(a, b) AS BIGINT) AS edit_dist,
          |  CAST(length(a) AS BIGINT) AS len_a,
          |  CAST(length(b) AS BIGINT) AS len_b
-         |FROM (SELECT doc_id, substr(text, 1, 80) AS a,
-         |        substr(substr(text, strpos(text, ' ') + 1), 1, 80) AS b
+         |FROM (SELECT doc_id,
+         |        substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 80) AS a,
+         |        substr(regexp_replace(substr(text, strpos(text, ' ') + 1),
+         |          '[^ -~]', '', 'g'), 1, 80) AS b
          |      FROM documents)""".stripMargin,
     "curate_decontaminate_near" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),
