@@ -165,7 +165,17 @@ object EventQueries {
     * aggregate over ≤ |event types|² groups. The successor is validated
     * by lead(session_no) = session_no rather than a second
     * (user, session) window, which would re-shuffle. */
-  def eventsPaths(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventsPaths(spark: SparkSession, sfDir: String): DataFrame =
+    sessionBigrams(spark, sfDir)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("src"), col("dst"))).cast("bigint"))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("src"), col("dst"), col("cnt"))
+
+  /** Shared (src → dst, cnt) session-bigram table for [[eventsPaths]]
+    * and [[eventsMarkov]] — the single-window machinery documented on
+    * eventsPaths. */
+  private def sessionBigrams(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sess = events(spark, sfDir)
@@ -180,11 +190,19 @@ object EventQueries {
     sess.filter(col("next_type").isNotNull && col("next_s") === col("session_no"))
       .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("src"), col("dst"))).cast("bigint"))
-      .filter(col("rk") <= 20)
-      .select(col("rk"), col("src"), col("dst"), col("cnt"))
   }
+
+  /** The full Markov transition matrix behind [[eventsPaths]]'s
+    * top-20: every session-local (src → dst) bigram with its count
+    * and conditional probability p(dst|src) = cnt / Σ_dst cnt. The
+    * probability is ONE integer-over-integer IEEE division — exact
+    * cross-engine — and the per-src total is a window over the
+    * ≤ |types|² aggregate rows, never the event stream. */
+  def eventsMarkov(spark: SparkSession, sfDir: String): DataFrame =
+    sessionBigrams(spark, sfDir)
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"), col("cnt"), col("total"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("p"))
 
   /** Click→view attribution via the AS-OF join operator
     * ([[graft.ext.AsOfJoin]]): each click matched with the same user's
@@ -336,6 +354,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_cooccur" -> (eventsCooccur _),
+    "events_markov" -> (eventsMarkov _),
     "events_gap_hist" -> (eventsGapHist _),
     "events_quantiles" -> (eventsQuantiles _),
     "events_cohorts" -> (eventsCohorts _),
@@ -350,6 +369,29 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_markov" ->
+      """WITH g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+        |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                    ORDER BY epoch_us(ts), event_id) AS prev
+        |           FROM events),
+        |s AS (SELECT user_id, event_id, event_type, tus,
+        |             CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |                  THEN 1 ELSE 0 END AS new_s FROM g),
+        |c AS (SELECT user_id, event_id, event_type, tus,
+        |             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM s),
+        |n AS (SELECT event_type AS src,
+        |             lead(event_type) OVER w2 AS dst,
+        |             session_no,
+        |             lead(session_no) OVER w2 AS next_s
+        |      FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |t AS (SELECT src, dst, COUNT(*) AS cnt FROM n
+        |      WHERE dst IS NOT NULL AND next_s = session_no GROUP BY src, dst),
+        |w AS (SELECT src, dst, cnt,
+        |        CAST(SUM(cnt) OVER (PARTITION BY src) AS BIGINT) AS total FROM t)
+        |SELECT src, dst, cnt, total,
+        |       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS p
+        |FROM w""".stripMargin,
     "events_cooccur" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
         |SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_pairs
