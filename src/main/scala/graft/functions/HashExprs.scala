@@ -174,6 +174,20 @@ object HashExprs {
     override def prettyName: String = "graft_srp_bucket"
   }
 
+  /** edit_within(a, b, k): banded early-exit Levenshtein bound —
+    * [[HashKernels.editWithin]] as a codegen'd boolean predicate. */
+  case class EditWithinExpr(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.editWithin(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.editWithin($a, $b, $k)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): EditWithinExpr =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_edit_within"
+  }
+
   // ---- Column-facing wrappers --------------------------------------
   def fingerprint(c: Column): Column = toColumn(FingerprintExpr(toExpression(c)))
   def tokenFps(toks: Column): Column = toColumn(TokenFpsExpr(toExpression(toks)))
@@ -182,6 +196,8 @@ object HashExprs {
   def minhashSig(fps: Column, n: Int): Column = toColumn(MinHashSigExpr(toExpression(fps), n))
   def bandKeys(sig: Column, b: Int, r: Int): Column = toColumn(BandKeysExpr(toExpression(sig), b, r))
   def simhash(fps: Column, bits: Int): Column = toColumn(SimHashExpr(toExpression(fps), bits))
+  def editWithin(a: Column, b: Column, k: Int): Column =
+    toColumn(EditWithinExpr(toExpression(a), toExpression(b), k))
   def cosineSim(a: Column, b: Column): Column = toColumn(CosineExpr(toExpression(a), toExpression(b)))
   def srpBucket(v: Column, bits: Int): Column = toColumn(SrpBucketExpr(toExpression(v), bits))
 }

@@ -129,6 +129,50 @@ object HashKernels {
     sig
   }
 
+  /** Banded (Ukkonen-style) edit-distance bound: true iff
+    * levenshtein(a, b) <= k, in O((2k+1)*n) time and O(m) space —
+    * only cells within k of the diagonal can stay <= k, so the DP
+    * visits a 2k+1 band and exits the moment a whole row's band
+    * exceeds k. This is the scale form of the edit-distance verify:
+    * the full O(n*m) algorithm is what the ORACLE runs; candidates in
+    * a pipeline only need the boolean. Codepoint-based like Spark's
+    * levenshtein (callers ASCII-normalize for DuckDB parity — its
+    * levenshtein counts bytes). */
+  def editWithin(a: UTF8String, b: UTF8String, k: Int): Boolean = {
+    val sa = a.toString.codePoints().toArray
+    val ta = b.toString.codePoints().toArray
+    val n = sa.length; val m = ta.length
+    if (math.abs(n - m) > k) return false
+    val inf = k + 1
+    var prev = new Array[Int](m + 1)
+    var curr = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, inf)
+    var j = 0
+    while (j <= math.min(m, k)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(curr, inf)
+      if (i <= k) curr(0) = i
+      var best = curr(0)
+      val lo = math.max(1, i - k); val hi = math.min(m, i + k)
+      var jj = lo
+      while (jj <= hi) {
+        val cost = if (sa(i - 1) == ta(jj - 1)) 0 else 1
+        var v = prev(jj - 1) + cost
+        if (prev(jj) + 1 < v) v = prev(jj) + 1
+        if (curr(jj - 1) + 1 < v) v = curr(jj - 1) + 1
+        if (v > inf) v = inf
+        curr(jj) = v
+        if (v < best) best = v
+        jj += 1
+      }
+      if (best > k) return false
+      val tmp = prev; prev = curr; curr = tmp
+      i += 1
+    }
+    prev(m) <= k
+  }
+
   /** leftFloat/rightFloat are resolved at plan time from the array
     * element types (float embeddings vs double centroids). */
   def cosine(a: ArrayData, b: ArrayData, leftFloat: Boolean, rightFloat: Boolean): Double = {

@@ -137,6 +137,24 @@ object DedupQueries {
         length(col("b")).cast("bigint").as("len_b"))
   }
 
+  /** The BANDED edit-distance bound under the oracle gate: the same
+    * ASCII slices as [[dedupEditDistance]], but the predicate is the
+    * native early-exit kernel ([[graft.functions.HashExprs.EditWithinExpr]],
+    * O((2k+1)·n) per row) while the ORACLE computes the full O(n·m)
+    * levenshtein and compares <= k — so the green row proves the band
+    * optimization is exact, not just fast. k = 12 keeps both planted
+    * mutants (first token + space, typically <= 11 chars) and genuine
+    * rejections in the output. */
+  def dedupEditWithin(spark: SparkSession, sfDir: String): DataFrame = {
+    def ascii(c: org.apache.spark.sql.Column) = regexp_replace(c, "[^ -~]", "")
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        substring(ascii(col("text")), 1, 80).as("a"),
+        substring(ascii(firstTokenDropped), 1, 80).as("b"))
+      .select(col("doc_id"),
+        graft.functions.HashExprs.editWithin(col("a"), col("b"), 12).as("within_12"))
+  }
+
   /** Near-dup detection, the full MinHash → banded-LSH → verify plan:
     * 3-token shingles → 64 minhashes → 16 bands × 4 rows → self-join on
     * (band, sig) buckets → exact Jaccard ≥ 0.7 on candidates only.
@@ -375,6 +393,7 @@ object DedupQueries {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_edit_distance" -> (dedupEditDistance _),
+    "dedup_edit_within" -> (dedupEditWithin _),
     "curate_decontaminate_near" -> (curateDecontaminateNear _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
@@ -484,6 +503,13 @@ object DedupQueries {
          |          UNION
          |          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
          |SELECT a AS id, LEAST(a, MIN(b)) AS cluster_rep FROM reach GROUP BY a""".stripMargin,
+    "dedup_edit_within" ->
+      s"""SELECT doc_id, levenshtein(a, b) <= 12 AS within_12
+         |FROM (SELECT doc_id,
+         |        substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 80) AS a,
+         |        substr(regexp_replace(substr(text, strpos(text, ' ') + 1),
+         |          '[^ -~]', '', 'g'), 1, 80) AS b
+         |      FROM documents)""".stripMargin,
     "dedup_edit_distance" ->
       s"""SELECT doc_id,
          |  CAST(levenshtein(a, b) AS BIGINT) AS edit_dist,

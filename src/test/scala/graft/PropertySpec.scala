@@ -77,4 +77,39 @@ class PropertySpec extends AnyFunSuite {
       assert(xs.toStage.toIterable.toList.sorted == xs.sorted)
     }
   }
+
+  test("prop: banded editWithin == full-DP levenshtein <= k (incl. non-ASCII codepoints)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // reference: classic O(n·m) DP over CODEPOINTS (Spark's levenshtein
+    // semantics; the banded kernel must agree for every k)
+    def lev(s: String, t: String): Int = {
+      val a = s.codePoints().toArray; val b = t.codePoints().toArray
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prevDiag = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val tmp = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prevDiag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prevDiag = tmp
+        }
+      }
+      dp(a.length)
+    }
+    val rng = new scala.util.Random(42)
+    // element-wise (not charAt) so the non-BMP 🎉 never splits into a
+    // lone surrogate; tiny alphabet forces collisions
+    val alphabet = Array("a", "b", " ", "c", "🎉", "é")
+    def randStr(maxLen: Int): String =
+      Seq.fill(rng.nextInt(maxLen + 1))(alphabet(rng.nextInt(alphabet.length))).mkString
+    for (_ <- 0 until 300) {
+      val (s, t) = (randStr(25), randStr(25))
+      val k = rng.nextInt(12)
+      val expected = lev(s, t) <= k
+      val got = graft.functions.HashKernels.editWithin(
+        UTF8String.fromString(s), UTF8String.fromString(t), k)
+      assert(got == expected,
+        s"editWithin('$s','$t',$k)=$got but lev=${lev(s, t)}")
+    }
+  }
 }
