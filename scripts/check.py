@@ -92,8 +92,28 @@ def main():
         # DuckDB SUM OVER window -> HUGEINT -> pandas float64). Fail it
         # here so the local gate catches what the driver will flag —
         # the fix is always a CAST on the oracle side.
+        # Normalize kinds first: unsigned counts as integer, and object/
+        # extension columns (nullable Int64, or plain object rows that
+        # arise when a side has NULLs) are sniffed from their non-null
+        # values — otherwise an int-vs-float pairing hiding behind kind
+        # 'u'/'O' slips past the gate while the driver's stringified
+        # hash still mismatches.
+        def kind_of(df, c):
+            k = df[c].dtype.kind
+            if k == "u":
+                return "i"
+            if k == "O":
+                vals = [v for v in df[c] if v is not None
+                        and not (isinstance(v, float) and math.isnan(v))]
+                if vals and all(isinstance(v, bool) for v in vals):
+                    return "b"
+                if vals and all(isinstance(v, int) for v in vals):
+                    return "i"
+                if vals and all(isinstance(v, (int, float)) for v in vals):
+                    return "f"
+            return k
         kind_bad = [c for c in odf.columns if c in mdf.columns
-                    and {odf[c].dtype.kind, mdf[c].dtype.kind} == {"f", "i"}]
+                    and {kind_of(odf, c), kind_of(mdf, c)} == {"f", "i"}]
         if kind_bad:
             print(f"FAIL {name}: pandas dtype-kind mismatch {kind_bad} "
                   f"(float on one side, int on the other — the driver's "

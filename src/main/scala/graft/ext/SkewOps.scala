@@ -68,15 +68,42 @@ object SkewOps {
   def bloomPrunedSemiJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String,
       expectedItems: Long, numBits: Long): DataFrame = {
-    val bf = small.agg(bloomAgg(xxhash64(col(smallKey)), expectedItems, numBits))
-      .head().getAs[Array[Byte]](0)
+    import org.apache.spark.sql.types._
+    // xxhash64 is TYPE-sensitive: the same numeric value hashes
+    // differently as IntegerType vs LongType, and a mismatch here
+    // would turn bloom false-positives into false NEGATIVES —
+    // silently dropping rows the exact semi-join matches. Normalize
+    // integral keys to long on both sides; anything else must already
+    // agree on type (fail fast rather than drop rows).
+    val bigT = big.schema(bigKey).dataType
+    val smallT = small.schema(smallKey).dataType
+    def isIntegral(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val (bigHashKey, smallHashKey) =
+      if (isIntegral(bigT) && isIntegral(smallT))
+        (col(bigKey).cast(LongType), col(smallKey).cast(LongType))
+      else if (bigT == smallT) (col(bigKey), col(smallKey))
+      else throw new IllegalArgumentException(
+        s"bloomPrunedSemiJoin: incompatible key types $bigT vs $smallT — " +
+          "xxhash64 is type-sensitive; cast the keys to a common type first")
     // rename the build-side key: with bigKey == smallKey both join
     // children would expose the same column name and the unqualified
-    // condition would be AMBIGUOUS_REFERENCE. No distinct() — a
-    // left-semi join already emits each probe row at most once, so
-    // deduplicating the build side only adds an exchange.
-    big.filter(bloomMightContain(bf, xxhash64(col(bigKey))))
-      .join(small.select(col(smallKey).as("_graft_bloom_key")),
-        col(bigKey) === col("_graft_bloom_key"), "left_semi")
+    // condition would be AMBIGUOUS_REFERENCE. Derive a name absent
+    // from big's columns so a probe-side column can't collide either.
+    // No distinct() — a left-semi join already emits each probe row at
+    // most once, so deduplicating the build side only adds an exchange.
+    val buildKey = Iterator.from(0).map(i => s"_graft_bloom_key$i")
+      .find(n => !big.columns.contains(n)).get
+    val bf = small.agg(bloomAgg(xxhash64(smallHashKey), expectedItems, numBits))
+      .head().getAs[Array[Byte]](0)
+    // Empty build side ⇒ BloomFilterAggregate yields null; the true
+    // semi-join is empty, so return that directly instead of leaning
+    // on might_contain accepting a null bloom blob.
+    if (bf == null) return big.limit(0)
+    big.filter(bloomMightContain(bf, xxhash64(bigHashKey)))
+      .join(small.select(col(smallKey).as(buildKey)),
+        col(bigKey) === col(buildKey), "left_semi")
   }
 }

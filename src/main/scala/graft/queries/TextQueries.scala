@@ -321,6 +321,62 @@ object TextQueries {
         col("n_shared").cast("double") / col("n_grams"))
   }
 
+  /** Cross-document LINE-level boilerplate REMOVAL — the CCNet/
+    * RefinedWeb line-dedup: drop every line that repeats across ≥5
+    * documents (navigation chrome, licence headers, templated
+    * footers) and REBUILD each document from its surviving lines in
+    * position order. The synthetic corpus has no newlines, so lines
+    * are constructed deterministically — a planted per-source 5-token
+    * nav header (the [[textRedact]] plant pattern: a green row must
+    * prove something was actually removed) followed by consecutive
+    * 5-token chunks of the content. Plan at 100 TB: one corpus scan
+    * explodes (doc_id, line_no, line, line_fp); the line relation is
+    * persisted query-scoped because both the df aggregate and the
+    * join probe read it; df counts DISTINCT documents per line_fp
+    * (a line repeated within one doc is not boilerplate); the df-join
+    * is an fp-keyed SHUFFLE join (the frequency side is corpus-sized
+    * — same call as [[curateBoilerplate]], never a broadcast); the
+    * rebuild is one per-doc hash aggregate whose array_sort puts
+    * surviving lines back in position order — no window, nothing
+    * single-partition. Output: per-doc line counts and the rebuilt
+    * text's fingerprint (proving byte-exact reassembly cross-engine). */
+  def curateLineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val allToks = concat(
+      array(lit("nav"), lit("home"), col("source"), lit("menu"), lit("login")),
+      tokens(col("text")))
+    // line i = tokens[5i..5i+4] (last chunk may be short); the header
+    // is exactly one chunk so content chunk boundaries are unshifted
+    val lineArr = transform(
+      sequence(lit(0), ((size(allToks) - lit(1)) / lit(5)).cast("int")),
+      i => array_join(slice(allToks, i * lit(5) + lit(1), lit(5)), " "))
+    val lines = graft.core.QueryCaches.track(
+      d.select(col("doc_id"), posexplode(lineArr).as(Seq("line_no", "line")))
+        .select(col("doc_id"), col("line_no").cast("bigint").as("line_no"),
+          col("line"), fingerprint(col("line")).as("lfp")))
+    val dfreq = lines.groupBy(col("lfp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val rebuilt = lines.join(dfreq, "lfp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("df") >= 5, 1L).otherwise(0L)).as("dropped_lines"),
+        // collect_list skips the nulls the `when` leaves for dropped
+        // lines; array_sort orders the (line_no, line) structs by
+        // line_no — the pos-ordered rebuild without any Window
+        array_join(transform(
+          array_sort(collect_list(when(col("df") < 5,
+            struct(col("line_no"), col("line"))))),
+          s => s.getField("line")), " ").as("kept_text"))
+    // empty-rebuild guard: the Spark kernel folds "" to 0 while
+    // DuckDB's string_split('','') yields [''] (unicode −1) — pin the
+    // all-lines-dropped case to 0 explicitly on both sides
+    rebuilt.select(col("doc_id"), col("n_lines"),
+      (col("n_lines") - col("dropped_lines")).as("kept_lines"),
+      col("dropped_lines"),
+      when(length(col("kept_text")) === 0, 0L)
+        .otherwise(fingerprint(col("kept_text"))).as("new_fp"))
+  }
+
   /** Target-mix rebalancing — the step BEFORE [[curateSample]]: given a
     * target token share per language (en 20%, others 10% — flatter than
     * the corpus), derive each language's admission rate from its actual
@@ -354,6 +410,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_mix" -> (curateMix _),
+    "curate_line_dedup" -> (curateLineDedup _),
     "curate_boilerplate" -> (curateBoilerplate _),
     "curate_pack" -> (curatePack _),
     "curate_sources" -> (curateSources _),
@@ -409,6 +466,30 @@ object TextQueries {
          |       CAST(MIN(a_tokens) AS BIGINT) AS a_tokens,
          |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
          |FROM d JOIN r ON lang = r_lang WHERE h < rate_pct GROUP BY lang""".stripMargin,
+    "curate_line_dedup" ->
+      s"""WITH tk_t AS (SELECT doc_id,
+         |  list_concat(['nav','home',source,'menu','login'], $toksSql) AS tk
+         |  FROM documents),
+         |ln0 AS (SELECT doc_id, tk,
+         |  unnest(range(0, (len(tk) - 1) // 5 + 1)) AS line_no FROM tk_t),
+         |ln AS (SELECT doc_id, CAST(line_no AS BIGINT) AS line_no,
+         |  array_to_string(tk[line_no*5+1 : line_no*5+5], ' ') AS line FROM ln0),
+         |fp AS (SELECT doc_id, line_no, line,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(line, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS lfp FROM ln),
+         |d_t AS (SELECT lfp, COUNT(DISTINCT doc_id) AS df FROM fp GROUP BY lfp),
+         |r AS (SELECT doc_id, COUNT(*) AS n_lines,
+         |        CAST(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_lines,
+         |        COALESCE(string_agg(CASE WHEN df < 5 THEN line END, ' ' ORDER BY line_no), '') AS kept_text
+         |      FROM fp JOIN d_t USING (lfp) GROUP BY doc_id)
+         |SELECT doc_id, n_lines,
+         |  CAST(n_lines - dropped_lines AS BIGINT) AS kept_lines, dropped_lines,
+         |  CASE WHEN kept_text = '' THEN CAST(0 AS BIGINT) ELSE
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(kept_text, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+         |      (a, b) -> (a * 31 + b) % 1000000007) END AS new_fp
+         |FROM r""".stripMargin,
     "curate_boilerplate" ->
       s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |sh_t AS (SELECT doc_id, CASE WHEN len(tk) >= 5 THEN list_transform(range(1, len(tk) - 3),

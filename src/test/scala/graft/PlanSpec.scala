@@ -355,6 +355,23 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.ext.DedupOps.releaseCaches()
   }
 
+  test("curate_line_dedup: one corpus scan, df + rebuild both read the cached line relation, no Window") {
+    // The line relation is exploded once and persisted; the df
+    // aggregate and the join probe both read the cache. The rebuild
+    // is a hash aggregate (array_sort over collected structs), NOT a
+    // window — a per-doc Window would be fine, but a missing
+    // partition key there has sunk plans before; pin its absence.
+    try {
+      val p = plan("curate_line_dedup")
+      assert(nOps(p, "Scan parquet") <= 1,
+        s"corpus must be scanned once (through the line cache):\n$p")
+      assert(nOps(p, "InMemoryTableScan") + nOps(p, "TableCacheQueryStage") >= 2,
+        s"both line consumers must read the cached relation:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      assert(nOps(p, "Window") == 0, s"rebuild must be aggregate-shaped, not a window:\n$p")
+    } finally graft.ext.DedupOps.releaseCaches()
+  }
+
   test("native kernels generate valid Janino code (no codegen fallback needed)") {
     // With fallback disabled, any malformed generated code (or a kernel
     // not reachable as a static call) fails the query instead of
@@ -412,6 +429,34 @@ class PlanSpec extends AnyFunSuite {
     assert(bfKept < total / 2, s"probe pruned nothing: $bfKept of $total kept")
     val p = plan("q_bloom_prune")
     assert(p.contains("might_contain"), "probe must appear in the declared plan")
+  }
+
+  test("bloomPrunedSemiJoin: mixed integer widths, empty build side, name collision — all exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // xxhash64 is type-sensitive: an INT probe key vs a LONG build key
+    // hash differently and an unnormalized bloom would false-NEGATIVE
+    // every match. The op must cast both to long and stay exact.
+    val big = (1 to 1000).toDF("k").withColumn("k", col("k").cast("int"))
+    val small = Seq(10L, 20L, 999L, 5000L).toDF("k")
+    val got = graft.ext.SkewOps.bloomPrunedSemiJoin(big, small, "k", "k", 100L, 10000L)
+      .select(col("k").cast("long")).as[Long].collect().sorted
+    assert(got.toSeq == Seq(10L, 20L, 999L), s"mixed-width keys must match exactly: ${got.toSeq}")
+    // empty build side: BloomFilterAggregate yields null — result must
+    // be the (empty) semi-join, not an analysis/NPE failure
+    val none = graft.ext.SkewOps.bloomPrunedSemiJoin(
+      big, small.filter(col("k") < 0), "k", "k", 100L, 10000L)
+    assert(none.count() == 0L)
+    // probe side already owning the derived build-key name must not
+    // make the join condition ambiguous
+    val clash = big.withColumn("_graft_bloom_key0", lit(1))
+    val gotClash = graft.ext.SkewOps.bloomPrunedSemiJoin(clash, small, "k", "k", 100L, 10000L)
+    assert(gotClash.count() == 3L)
+    // non-integral type mismatch must fail fast, not drop rows
+    intercept[IllegalArgumentException] {
+      graft.ext.SkewOps.bloomPrunedSemiJoin(
+        big.withColumn("k", col("k").cast("string")), small, "k", "k", 100L, 10000L)
+    }
   }
 
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
