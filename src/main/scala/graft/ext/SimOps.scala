@@ -327,8 +327,13 @@ object SimOps {
       // decimal-quantized sum: associative, so adist is identical at
       // any shuffle order — two vectors with the same codes ALWAYS tie
       // exactly (a raw double sum could differ in the last ulp by
-      // addition order and flip ranks nondeterministically)
-      .agg(sum(col("d").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+      // addition order and flip ranks nondeterministically). Scale 6,
+      // not 18: Spark's double→decimal cast rounds the SHORTEST string
+      // repr while DuckDB expands the exact binary value, so the two
+      // agree only when the quantum (1e-6) dwarfs the ~5e-17 repr gap
+      // — the same trade as Tables.dsum, and what makes the ranking
+      // oracle-hashable cross-engine (sim_pq_topk).
+      .agg(sum(col("d").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
         .cast("double").as("adist"), count(lit(1)).as("nsub"))
       // only vectors with all M subspace lookups present rank (guards
       // against a truncated codes relation miscounting as "close")

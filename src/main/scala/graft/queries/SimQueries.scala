@@ -346,6 +346,31 @@ object SimQueries {
         dsum(col("dist")).as("recon_err"))
   }
 
+  /** ADC search over the PQ index — the paired SEARCH half of
+    * [[simPq]]: every 100th vector plays the query set, stays
+    * full-precision, and precomputes its distance to each of the
+    * M×K codewords; each encoded corpus vector then ranks by the
+    * lookup-SUM of its codes' entries (asymmetric distance), top-5
+    * per query, ties → lowest vec_id. The sum is decimal-quantized
+    * (DECIMAL(38,6)) so it is associative — identical at any shuffle
+    * order, and identical across engines, which is what lets a DuckDB
+    * oracle hash-match an approximate-distance RANKING. Plan at
+    * 100 TB: the codebook broadcasts into the encode argmin; the
+    * (queries × M × K) distance table broadcasts into the code scan;
+    * the per-(query, vector) sum is map-side combined; the final
+    * top-k is a partial-then-global WindowGroupLimit — the corpus
+    * never shuffles vectors, only (q_id, vec_id, partial sum) rows. */
+  def simPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    val cb = SimOps.pqSeedCodebook(e, kCodes = 4, m = 8, sub = 8)
+    val codes = SimOps.pqEncode(corpus, cb, m = 8, sub = 8)
+      .select(col("vec_id"), col("s"), col("code"))
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    SimOps.pqTopk(codes, queries, cb, k = 5, m = 8, sub = 8)
+  }
+
   /** Mutual-kNN edge set, oriented u < v: an (undirected) edge survives
     * only when EACH endpoint ranks the other inside its top-5
     * ([[SimOps.knnGraph]] both directions). Mutuality is the standard
@@ -427,6 +452,7 @@ object SimQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq" -> (simPq _),
+    "sim_pq_topk" -> (simPqTopk _),
     "sim_triangles" -> (simTriangles _),
     "sim_label_prop" -> (simLabelProp _),
     "sim_bucket_hist" -> (simBucketHist _),
@@ -512,6 +538,39 @@ object SimQueries {
          |  CAST(SUM(code << (2*s)) AS BIGINT) AS code_key,
          |  CAST(SUM(CAST(dist AS DECIMAL(38,6))) AS DOUBLE) AS recon_err
          |FROM a WHERE rk = 1 GROUP BY vec_id""".stripMargin,
+    "sim_pq_topk" ->
+      s"""WITH sub AS (SELECT vec_id, s, list_slice(embedding, s*8 + 1, s*8 + 8) AS sv
+         |            FROM embeddings, (SELECT unnest(range(0, 8)) AS s)),
+         |cb AS (SELECT vec_id AS code, s, list_slice(embedding, s*8 + 1, s*8 + 8) AS cw
+         |       FROM embeddings, (SELECT unnest(range(0, 8)) AS s)
+         |       WHERE vec_id < 4),
+         |d AS (SELECT vec_id, sub.s AS s, code,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+         |          i -> (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)) *
+         |               (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)))),
+         |          (a, b) -> a + b) AS dist
+         |      FROM sub JOIN cb USING (s)),
+         |codes AS (SELECT vec_id, s, code FROM (
+         |            SELECT vec_id, s, code,
+         |              row_number() OVER (PARTITION BY vec_id, s
+         |                ORDER BY dist, code) AS rk FROM d) WHERE rk = 1),
+         |q AS (SELECT vec_id AS q_id, s, list_slice(embedding, s*8 + 1, s*8 + 8) AS sv
+         |      FROM embeddings, (SELECT unnest(range(0, 8)) AS s)
+         |      WHERE vec_id % 100 = 0),
+         |dt AS (SELECT q_id, q.s AS s, code,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+         |          i -> (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)) *
+         |               (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)))),
+         |          (a, b) -> a + b) AS d
+         |       FROM q JOIN cb USING (s)),
+         |ad AS (SELECT q_id, vec_id,
+         |         CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) AS adist
+         |       FROM codes JOIN dt USING (s, code)
+         |       GROUP BY q_id, vec_id)
+         |SELECT q_id, vec_id, adist FROM (
+         |  SELECT q_id, vec_id, adist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+         |  FROM ad) WHERE rk <= 5""".stripMargin,
     "sim_triangles" ->
       s"""WITH $mutualSql,
          |tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c

@@ -413,6 +413,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sim_pq_topk: only the codebook + distance table broadcast; partial top-k present") {
+    // The corpus never broadcasts and never nested-loops: the encode
+    // argmin joins the broadcast codebook, the distance-table build
+    // joins the broadcast codebook again (queries × M rows probe it),
+    // the ADC scan joins the broadcast (queries × M × K) distance
+    // table — three broadcasts, all O(M·K) / O(queries·M·K) tiny —
+    // and the final rank pushes a WindowGroupLimit partial top-k
+    // before the exchange.
+    val p = plan("sim_pq_topk")
+    assert(nOps(p, "BroadcastExchange") == 3,
+      s"exactly codebook (×2) + distance table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), s"rank limit must push a partial top-k:\n$p")
+  }
+
   test("q_bloom_prune: bloom probe in the fact scan — no false negatives, real pruning") {
     import graft.queries.Tables
     import org.apache.spark.sql.functions._
