@@ -334,6 +334,65 @@ object GraftStage {
     }
   }
 
+  /** Async-pull iterator bridged into a SYNC `Iterator` through a
+    * `maxsize`-bounded queue — the pump half of [[fromAsyncIterator]],
+    * exposed for tests. A daemon pump awaits each `nextF()` Future
+    * SEQUENTIALLY (the async-iterator protocol: never request element
+    * i+1 before i resolves) and `put`s into the bounded queue; when
+    * the queue is full the pump blocks BEFORE requesting the next
+    * element, so the producer is never advanced more than
+    * `maxsize + 1` elements past the consumer — the reference's
+    * `maxsize` backpressure contract. A failed Future surfaces on the
+    * consumer side with the user's ORIGINAL exception. */
+  final class AsyncSourceIterator[T] private[graft] (
+      nextF: () => Future[Option[T]], maxsize: Int) extends Iterator[T] {
+    private val END = new AnyRef
+    private case class Failed(e: Throwable)
+    private val queue = new java.util.concurrent.LinkedBlockingQueue[AnyRef](math.max(1, maxsize))
+    private val pump = new Thread(() => {
+      try {
+        var done = false
+        while (!done) {
+          Await.result(nextF(), Duration.Inf) match {
+            case Some(v) => queue.put(v.asInstanceOf[AnyRef])
+            case None => done = true; queue.put(END)
+          }
+        }
+      } catch { case e: Throwable => queue.put(Failed(GraftErrors.userCause(e))) }
+    }, "graft-async-source-pump")
+    pump.setDaemon(true)
+    pump.start()
+    private var head: AnyRef = _
+    private var exhausted = false
+    def hasNext: Boolean = {
+      if (exhausted) return false
+      if (head == null) queue.take() match {
+        case END => exhausted = true
+        case Failed(e) => exhausted = true; throw e
+        case v => head = v
+      }
+      !exhausted
+    }
+    def next(): T = {
+      if (!hasNext) throw new NoSuchElementException("async source exhausted")
+      val v = head; head = null; v.asInstanceOf[T]
+    }
+  }
+
+  /** Source from an ASYNC producer — the task backend's
+    * `from_iterable(async_iterable)` (reference:
+    * pypeln/task/api/from_iterable.py:14-80: the async source is pumped
+    * from the event loop through a bounded queue into the pipeline).
+    * `next()` yields `Some(value)` per element and `None` at
+    * exhaustion, awaited sequentially; `maxsize` bounds how far the
+    * producer runs ahead while the elements stage driver-side (a local
+    * buffer is inherent on Spark — a Dataset source materializes before
+    * the cluster plan sees it; the bound is the producer-side
+    * backpressure, same as the reference's queue). */
+  def fromAsyncIterator[T](next: () => Future[Option[T]], maxsize: Int = 256)(
+      implicit spark: SparkSession, et: Encoder[T], ee: Encoder[Element[T]]): GraftStage[T] =
+    fromIterable(new AsyncSourceIterator(next, maxsize).toSeq)
+
   /** Source from a local iterable; index `(i)` assigned by enumeration,
     * the creation-order contract of the reference
     * (pypeln/process/api/from_iterable.py:15-22). Indices here are free

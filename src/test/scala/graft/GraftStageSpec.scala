@@ -316,4 +316,50 @@ class GraftStageSpec extends AnyFunSuite {
     val e = intercept[GraftUserError] { Await.result(it.toSeq, 60.seconds) }
     assert(e.getMessage == "async-boom")
   }
+
+  test("fromAsyncIterator: async source round-trips through the pipeline in order (task/api/from_iterable.py:14-80)") {
+    implicit val ec: ExecutionContext = GraftStage.asyncEc
+    val n = new AtomicInteger(0)
+    val src = () => Future {
+      val i = n.getAndIncrement()
+      if (i < 40) Some(i) else None
+    }
+    val got = GraftStage.fromAsyncIterator(src, maxsize = 8)
+      .map(_ * 2).ordered.collectValues()
+    assert(got == (0 until 40).map(_ * 2))
+  }
+
+  test("fromAsyncIterator pump: producer blocks at maxsize until the consumer drains") {
+    implicit val ec: ExecutionContext = GraftStage.asyncEc
+    val produced = new AtomicInteger(0)
+    val src = () => Future {
+      val i = produced.incrementAndGet()
+      if (i <= 1000) Some(i) else None
+    }
+    val it = new GraftStage.AsyncSourceIterator[Int](src, maxsize = 4)
+    // un-consumed: the pump may hold queue(4) + 1 blocked in put + 1
+    // in-flight await — but must NOT run the producer to exhaustion
+    val deadline = System.nanoTime() + 2_000_000_000L
+    while (produced.get() < 5 && System.nanoTime() < deadline) Thread.sleep(10)
+    Thread.sleep(200) // give a runaway pump time to overrun if it would
+    val stalled = produced.get()
+    assert(stalled <= 4 + 2, s"producer ran $stalled elements ahead of an idle consumer")
+    // draining releases the backpressure and yields every element in order
+    assert(it.toList == (1 to 1000).toList)
+    assert(produced.get() == 1001) // 1000 values + the terminal None pull
+  }
+
+  test("fromAsyncIterator: a failed producer Future surfaces with the ORIGINAL exception") {
+    implicit val ec: ExecutionContext = GraftStage.asyncEc
+    val n = new AtomicInteger(0)
+    val src = () => Future[Option[Int]] {
+      val i = n.getAndIncrement()
+      if (i == 3) throw new GraftUserError("source-boom")
+      Some(i)
+    }
+    val e = intercept[GraftUserError] {
+      new GraftStage.AsyncSourceIterator[Int](src, maxsize = 8).toList
+    }
+    assert(e.getMessage == "source-boom")
+  }
 }
