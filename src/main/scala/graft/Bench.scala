@@ -25,7 +25,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_BENCH_ONLY=a,b: local-iteration subset (unset in the
+    // driver's run — the full inventory is the reported surface).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Materialize EVERY column through the noop sink: a count() would
     // let Catalyst prune the very projections being measured (e.g. a
     // fingerprint query degenerates to counting rows).

@@ -306,12 +306,16 @@ object DedupQueries {
     * (max_by with a (quality, −id) struct tie-break: partial maxima
     * combine map-side, so the exchange moves one row per cluster — a
     * window rank here would SORT the full membership table; same
-    * trade as [[SimQueries.simIvf]]'s assignment). */
+    * trade as [[SimQueries.simIvf]]'s assignment). The corpus
+    * projection (doc_id, text) is persisted query-scoped: the LSH
+    * pairing branch and the quality-scoring branch both read it, and
+    * without the cache each would re-run the scan + mutant regex work
+    * (measured ~0.4 s of the query at sf0.1). */
   def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val mut = d.select((col("doc_id") + SHIFT).as("doc_id"),
       firstTokenDropped.as("text"))
-    val corpus = d.unionAll(mut)
+    val corpus = graft.core.QueryCaches.track(d.unionAll(mut))
     val clusters = DedupOps.dupClusters(
       DedupOps.nearDupPairs(corpus, "doc_id", "text",
         k = 3, hashes = 64, bands = 16, threshold = 0.7))
