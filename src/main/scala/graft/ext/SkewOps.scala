@@ -34,6 +34,38 @@ object SkewOps {
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Global n-tile WITHOUT the single-partition window: `ntile(n)
+    * OVER (ORDER BY v)` serializes the whole relation through one
+    * task, which is exactly the plan q_ntile documents avoiding (it
+    * partitions by nation). This is the global-scale path: quantile
+    * BOUNDARIES come from one `approxQuantile` pass (a driver
+    * round-trip of n−1 doubles — the bounded-scalar sync, like the
+    * kmeans centroid loop), then every row buckets by range
+    * comparison inside its own scan partition — no sort, no window,
+    * no exchange beyond whatever the caller aggregates next.
+    *
+    * Semantics vs exact ntile: with `relativeError = 0` the
+    * boundaries are exact quantile VALUES, so on distinct values the
+    * assignment matches `ntile` exactly when the count divides `n`;
+    * rows TIED on a boundary value all land in the lower tile
+    * (value-determined, deterministic, engine-agnostic) whereas exact
+    * ntile splits ties by rank — the inherent trade of value-range
+    * bucketing, and the right one at scale (tile membership becomes a
+    * pure function of the value, stable under re-partitioning). A
+    * nonzero `relativeError` adds rank slack in exchange for a
+    * fixed-size sketch per partition. */
+  def globalNtile(df: DataFrame, valueCol: String, n: Int,
+      relativeError: Double = 0.0): DataFrame = {
+    require(n >= 2, s"globalNtile needs n >= 2, got $n")
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds = df.stat.approxQuantile(valueCol, probs, relativeError)
+    // first boundary >= value wins → tile = smallest i with v <= b_i
+    val tile = bounds.zipWithIndex.foldRight(lit(n.toLong)) {
+      case ((b, i), acc) => when(col(valueCol) <= b, lit(i + 1L)).otherwise(acc)
+    }
+    df.withColumn("tile", tile)
+  }
+
   /** Bloom-filter build over `keyHash` (must be a LongType column —
     * wrap arbitrary keys in `xxhash64`): Spark's OWN runtime-filter
     * aggregate (`BloomFilterAggregate`, the sketch behind

@@ -87,22 +87,45 @@ object SimQueries {
     * semantics, so the green row pins the rule's approximate contract —
     * identical planted copies always share their bucket (full recall at
     * cos ≥ 0.999 on this corpus); PlanSpec separately proves the
-    * nested-loop → equi-join plan change. */
+    * nested-loop → equi-join plan change.
+    *
+    * Session hygiene (round-7 advice): the rewrite confs are SCOPED to
+    * this query — prior values are saved, the join executes EAGERLY
+    * under the rule via `localCheckpoint` (the result is the pair set,
+    * bounded; its blocks register with [[graft.core.QueryCaches]] and
+    * the harness frees them after the terminal action), and the confs
+    * are restored in a finally. A shared session that plans an
+    * unrelated cosine join afterwards sees the UN-rewritten plan
+    * unless it opts in itself — the rule stays injected (idiomatic
+    * deployment: `spark.sql.extensions=graft.sql.GraftExtensions`,
+    * always present, conf-gated) but inert. */
   def simPairsRewrite(spark: SparkSession, sfDir: String): DataFrame = {
-    // CLI mains build plain sessions: inject the rule at runtime (the
-    // idiomatic deployment is spark.sql.extensions=graft.sql.GraftExtensions).
+    // CLI mains build plain sessions: inject the rule at runtime (once;
+    // repeat runs must not stack duplicate instances).
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.LshJoinRewrite]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LshJoinRewrite()
+    val prev = Seq("spark.graft.lsh.rewrite", "spark.graft.lsh.bits")
+      .map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.graft.lsh.rewrite", "true")
     spark.conf.set("spark.graft.lsh.bits", "16")
-    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val corpus = e.unionAll(e.select((col("vec_id") + SHIFT).as("vec_id"), col("embedding")))
-    corpus.as("a").join(corpus.as("b"),
-        SimOps.cosine(col("a.embedding"), col("b.embedding")) >= 0.999 &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        SimOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+    try {
+      val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+      val corpus = e.unionAll(e.select((col("vec_id") + SHIFT).as("vec_id"), col("embedding")))
+      val out = corpus.as("a").join(corpus.as("b"),
+          SimOps.cosine(col("a.embedding"), col("b.embedding")) >= 0.999 &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          SimOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        .localCheckpoint() // executes NOW, while the rule is engaged
+      out.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.foreach(graft.core.QueryCaches.trackRddId(spark.sparkContext, _))
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   /** Symmetric int8 quantization — the standard ANN compression step

@@ -35,16 +35,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("sim_pairs_rewrite (declared): the rule turns the naive cosine join into an equi-join") {
-    // The DECLARED query only states graft_cosine >= θ; the injected
-    // LshJoinRewrite must leave no nested-loop in the physical plan.
+  test("sim_pairs_rewrite (declared): executes under the rule, leaves the session CLEAN") {
+    // The DECLARED query only states graft_cosine >= θ and runs under
+    // the injected rule (the nested-loop → equi-join plan change is
+    // proved by the two LshJoinRewrite tests below). Round-7 advice:
+    // the query must not leak its opt-in — after it returns, the
+    // touched confs are restored and an UNRELATED cosine join planned
+    // in the same session keeps its naive quadratic plan unless the
+    // caller opts in itself.
+    import org.apache.spark.sql.functions._
+    import graft.functions.HashExprs
+    spark.conf.unset("spark.graft.lsh.rewrite")
+    spark.conf.set("spark.graft.lsh.bits", "7") // sentinel: must survive
     try {
-      val p = plan("sim_pairs_rewrite")
-      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-        s"rewrite must produce an equi-join:\n$p")
-      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+      val got = SparkEntry.queries("sim_pairs_rewrite")(spark, sf)
+      assert(got.count() > 0, "planted twins must pair")
+      assert(spark.conf.getOption("spark.graft.lsh.rewrite").isEmpty,
+        "query must restore the rewrite conf it set")
+      assert(spark.conf.get("spark.graft.lsh.bits") == "7",
+        "query must restore the prior bits value, not clobber it")
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+      val unrelated = a.join(b,
+        HashExprs.cosineSim(col("va"), col("vb")) >= 0.9 && col("ida") < col("idb"))
+        .queryExecution.executedPlan.toString
+      assert(unrelated.contains("BroadcastNestedLoopJoin") || unrelated.contains("CartesianProduct"),
+        s"an unrelated cosine join must NOT inherit the rewrite:\n$unrelated")
     } finally {
-      spark.conf.set("spark.graft.lsh.rewrite", "false")
+      spark.conf.unset("spark.graft.lsh.bits")
+      graft.ext.DedupOps.releaseCaches()
     }
   }
 
@@ -473,6 +494,34 @@ class PlanSpec extends AnyFunSuite {
         big.withColumn("k", col("k").cast("string")), small, "k", "k", 100L, 10000L)
     }
   }
+
+  test("globalNtile: matches exact ntile on distinct values; plan has NO window, nothing single-partition") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 1000 distinct values, shuffled order, count divisible by n
+    val vals = scala.util.Random.shuffle((1 to 1000).toList).toDF("v")
+      .repartition(8).cache()
+    try {
+      val exact = vals.withColumn("t", ntile(4).over(W.orderBy(col("v"))).cast("long"))
+      val got = graft.ext.SkewOps.globalNtile(vals, "v", 4)
+      val diff = got.join(exact, "v")
+        .filter(col("tile") =!= col("t")).count()
+      assert(diff == 0, s"$diff rows assigned differently from exact ntile")
+      // boundary ties: all tied rows land in the LOWER tile (documented)
+      val tied = Seq(1, 5, 5, 5, 9, 10).toDF("v")
+      val tt = graft.ext.SkewOps.globalNtile(tied, "v", 3)
+        .filter(col("v") === 5).select(col("tile")).distinct().as[Long].collect()
+      assert(tt.length == 1, s"tied values split across tiles: ${tt.toSeq}")
+      // the whole point: no Window operator, no single-partition exchange
+      val p = got2plan(graft.ext.SkewOps.globalNtile(vals, "v", 4))
+      assert(nOps(p, "Window") == 0, s"globalNtile must not plan a window:\n$p")
+      assert(!p.contains("SinglePartition"), s"nothing may serialize to one partition:\n$p")
+    } finally vals.unpersist()
+  }
+
+  private def got2plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
 
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
