@@ -53,12 +53,18 @@ object DedupOps {
     * DuckDB: list_transform(tokens, t -> <fingerprint fold>). */
   def tokenFps(toks: Column): Column = HashExprs.tokenFps(toks)
 
-  /** MinHash signature: n permutation-hashes h_i(f) = (f*(2i+1) +
-    * 104729*(i+1)) mod P, each taking the min over the shingle-fp set;
-    * empty set → sentinel P. Classic Broder sketch: agreement frequency
-    * between two signatures estimates Jaccard similarity.
-    * DuckDB: list_transform(range(0, n), i -> coalesce(list_min(
-    *   list_transform(fps, f -> (f*(2*i+1) + 104729*(i+1)) % P)), P)). */
+  /** MinHash signature: n permutation-hashes h_i(f) = (f·a_i +
+    * 104729·(i+1)) mod P with a_i from [[graft.functions.HashKernels
+    * .MH_A]] (64 independent splitmix64 constants), each taking the
+    * min over the shingle-fp set; empty set → sentinel P. Classic
+    * Broder sketch: agreement frequency between two signatures
+    * estimates Jaccard similarity. The multipliers are independent
+    * constants on purpose — any family linear in i factors to scalar
+    * multiples of ONE hash and correlates the per-position argmins,
+    * inflating the estimator on dissimilar sets (see the HashKernels
+    * comment). DuckDB: same arithmetic with the multiplier table
+    * inlined as a list literal (DedupQueries.minhashSql interpolates
+    * MH_A — single source of truth). */
   def minhash(fps: Column, n: Int): Column = HashExprs.minhashSig(fps, n)
 
   /** Banded-LSH keys: fold each band of r signature rows into one

@@ -92,8 +92,11 @@ object HashExprs {
   }
 
   /** minhash_sig(fps, n): Broder sketch — n permutation-hashes
-    * h_i(f) = (f*(2i+1) + 104729*(i+1)) mod P, min over the fp set;
-    * empty set → sentinel P. */
+    * h_i(f) = (f·a_i + 104729·(i+1)) mod P with a_i drawn from
+    * [[HashKernels.MH_A]] (independent splitmix64 constants — a
+    * linear-in-i family correlates the per-position argmins; see the
+    * HashKernels comment), min over the fp set; empty set → sentinel
+    * P. */
   case class MinHashSigExpr(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = LongArray
     override def nullSafeEval(input: Any): Any =

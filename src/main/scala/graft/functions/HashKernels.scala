@@ -77,7 +77,29 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-position MinHash multipliers: splitmix64(i) reduced to
+    * [1, P−1]. INDEPENDENTLY generated constants, not a linear
+    * function of i — any affine family a_i = c·(i+1) factors the whole
+    * sketch as h_i(f) = (i+1)·(f·c + b) mod P, a ONE-dimensional
+    * family whose per-position argmins stay correlated, giving the
+    * Broder estimator a false-positive tail (measured: J≈0.03 doc
+    * pairs matching 12–16 of 16 positions — see StreamScaleSpec's
+    * generator; the original (2i+1) family was additionally
+    * near-monotone in f). The DuckDB oracle inlines THESE values
+    * (DedupQueries builds its SQL from this array — single source of
+    * truth), so both engines hash identically by construction.
+    * f, a_i < P ≈ 1e9 keeps f·a_i < 1.1e18 — no i64 overflow in
+    * either engine. */
+  val MH_A: Array[Long] = Array.tabulate(64) { i =>
+    var z = i.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    java.lang.Math.floorMod(z, P - 1) + 1
+  }
+
   def minhashSig(fps: ArrayData, n: Int): ArrayData = {
+    require(n <= MH_A.length, s"minhash supports at most ${MH_A.length} hashes, got $n")
     val m = fps.numElements()
     val out = Array.fill(n)(P)
     var j = 0
@@ -85,7 +107,7 @@ object HashKernels {
       val f = fps.getLong(j)
       var i = 0
       while (i < n) {
-        val h = (f * (2L * i + 1) + 104729L * (i + 1)) % P
+        val h = (f * MH_A(i) + 104729L * (i + 1)) % P
         if (h < out(i)) out(i) = h
         i += 1
       }

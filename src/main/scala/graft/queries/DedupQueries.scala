@@ -428,9 +428,12 @@ object DedupQueries {
     "SELECT doc_id, text FROM documents UNION ALL " +
       "SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1) FROM documents"
 
+  // the multiplier table is inlined from the kernel's own constants —
+  // single source of truth, so engine and oracle cannot drift
   private val minhashSql =
-    "list_transform(range(0, 64), i -> coalesce(list_min(list_transform(fps, " +
-      "f -> (f * (2*i + 1) + 104729 * (i + 1)) % 1000000007)), 1000000007))"
+    s"list_transform(range(0, 64), i -> coalesce(list_min(list_transform(fps, " +
+      s"f -> (f * ([${graft.functions.HashKernels.MH_A.mkString(",")}][i+1]) " +
+      "+ 104729 * (i + 1)) % 1000000007)), 1000000007))"
 
   private val bandSql =
     "list_reduce(list_prepend(CAST(j AS BIGINT), list_slice(mh, j*4 + 1, j*4 + 4)), " +
