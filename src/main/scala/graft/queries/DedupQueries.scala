@@ -336,6 +336,53 @@ object DedupQueries {
         count(lit(1)).as("n_members"))
   }
 
+  /** Exact-substring duplication report — the long-verbatim-span
+    * signal (the "exact substring dedup" of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better":
+    * training data repeats 50+-token spans verbatim far more often
+    * than whole documents repeat): per document, the LONGEST run of
+    * consecutive 10-token windows shared verbatim with at least one
+    * OTHER document, plus shared-window totals. A suffix array is the
+    * single-machine tool; the distributed equivalent is rolling-window
+    * fingerprints + gaps-and-islands: one scan posexplodes (doc, pos,
+    * window-fp) — fixed-width rows, persisted query-scoped because the
+    * df aggregate and the join probe both read it; cross-document df
+    * counts DISTINCT docs per fp (a span repeated within one doc is
+    * repetition, not duplication — [[graft.queries.TextQueries
+    * .textRepetition]] measures that); consecutive shared positions
+    * collapse to islands with the pos − row_number() trick under a
+    * PER-DOCUMENT window (bounded partitions at any corpus size —
+    * never a global sort). span_tokens = longest_run + k − 1 converts
+    * window count back to tokens. The planted mutants (first token
+    * dropped) share their entire suffix with the original, so the
+    * expected longest run is the full window count — while organic
+    * 10-token collisions are ~0, making the report's selectivity
+    * visible under the oracle hash. */
+  def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val corpus = d.unionAll(
+      d.select((col("doc_id") + SHIFT).as("doc_id"), firstTokenDropped.as("text")))
+    val wins = graft.core.QueryCaches.track(
+      corpus.select(col("doc_id"),
+          posexplode(shingleFps(tokens(col("text")), 10)).as(Seq("pos", "fp")))
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("fp")))
+    val dfreq = wins.groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("df"))
+    val shared = wins.join(dfreq, "fp").filter(col("df") >= 2)
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = shared
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_islands"), max(col("run")).as("longest_run"),
+        sum(col("run")).as("n_shared"))
+    wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+      .join(islands, "doc_id")
+      .select(col("doc_id"), col("n_windows"), col("n_shared"), col("n_islands"),
+        col("longest_run"), (col("longest_run") + 9).as("span_tokens"))
+  }
+
   /** Asymmetric containment beside Jaccard — the subset-duplicate
     * detector: a snippet quoted inside a larger document scores LOW on
     * Jaccard (the union is big) but 1.0 on containment-in-source, which
@@ -400,6 +447,7 @@ object DedupQueries {
     "dedup_edit_within" -> (dedupEditWithin _),
     "curate_decontaminate_near" -> (curateDecontaminateNear _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_near" -> (dedupNear _),
     "dedup_near_capped" -> (dedupNearCapped _),
@@ -420,6 +468,13 @@ object DedupQueries {
   private val shinglesSql =
     s"CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1), " +
       s"i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE [] END"
+
+  /** k-token window strings (the general form of [[shinglesSql]]) —
+    * space-joined so the fold matches ShingleFpsExpr exactly. */
+  private def windowsSql(k: Int): String =
+    s"CASE WHEN len(tk) >= $k THEN list_transform(range(1, len(tk) - ${k - 2}), " +
+      s"i -> ${(0 until k).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]").mkString(" || ' ' || ")}) " +
+      "ELSE [] END"
 
   private val corpusExactSql =
     "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents"
@@ -567,6 +622,26 @@ object DedupQueries {
          |       rk > 1 AS dup_in_batch,
          |       COALESCE(n_corpus, 0) > 0 OR rk > 1 AS is_dup
          |FROM r LEFT JOIN cf USING (fp)""".stripMargin,
+    "dedup_substring" ->
+      s"""WITH corpus AS ($corpusNearSql),
+         |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+         |sh_t AS (SELECT doc_id, ${windowsSql(10)} AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, list_transform(sh, s -> ${fpFold("s")}) AS fps FROM sh_t),
+         |w AS (SELECT doc_id, unnest(range(0, len(fps))) AS pos, unnest(fps) AS fp FROM fp_t),
+         |d_t AS (SELECT fp, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY fp),
+         |s_t AS (SELECT doc_id, pos FROM w JOIN d_t USING (fp) WHERE df >= 2),
+         |r_t AS (SELECT doc_id,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM s_t),
+         |i_t AS (SELECT doc_id, grp, COUNT(*) AS run FROM r_t GROUP BY doc_id, grp),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_islands,
+         |          CAST(MAX(run) AS BIGINT) AS longest_run,
+         |          CAST(SUM(run) AS BIGINT) AS n_shared
+         |        FROM i_t GROUP BY doc_id),
+         |nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY doc_id)
+         |SELECT doc_id, n_windows, n_shared, n_islands, longest_run,
+         |  CAST(longest_run + 9 AS BIGINT) AS span_tokens
+         |FROM nw JOIN agg USING (doc_id)""".stripMargin,
     "dedup_exact" ->
       s"""SELECT ${fpFold("text")} AS fp, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
          |FROM ($corpusExactSql)

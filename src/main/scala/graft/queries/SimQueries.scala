@@ -47,6 +47,30 @@ object SimQueries {
     SimOps.topkLsh(e.select(col("vec_id"), col("embedding")), querySet(e), 10, 4)
   }
 
+  /** ANN quality measurement as a declared query — "measure, don't
+    * guess" for the LSH parameters: per-query recall@10 of the 4-bit
+    * SRP-LSH search ([[simLsh]]) against the exact brute-force truth
+    * ([[simTopk]]), the number every ANN deployment tunes bits/probes
+    * by. Joins the two oracle-gated result sets on (query, neighbor)
+    * and counts hits — recall = |approx ∩ truth| / |truth| as an
+    * integer-ratio double (exact cross-engine). Plan: both rankings
+    * use the partial-top-k WindowGroupLimit shape; the recall join
+    * keys on (q_id, vec_id) — queries × 10 fixed-width rows per side,
+    * negligible beside the scoring scans at any corpus size. */
+  def simRecallReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val truth = SimOps.topkBrute(e.select(col("vec_id"), col("embedding")), querySet(e), 10)
+      .select(col("q_id"), col("vec_id"))
+    val approx = SimOps.topkLsh(e.select(col("vec_id"), col("embedding")), querySet(e), 10, 4)
+      .select(col("q_id").as("a_q"), col("vec_id").as("a_v"))
+    truth.join(approx,
+        col("q_id") === col("a_q") && col("vec_id") === col("a_v"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("a_v").isNotNull, 1L).otherwise(0L)).as("n_found"))
+      .withColumn("recall", col("n_found").cast("double") / col("n_truth"))
+  }
+
   /** Embedding near-duplicate pairs: corpus ∪ planted exact copies
     * (vec_id+1e6), bucketed by 16-bit SRP — identical vectors collide
     * with probability 1 — then cosine ≥ 0.999 verification inside
@@ -486,6 +510,7 @@ object SimQueries {
     "sim_lsh_probe" -> (simLshProbe _),
     "sim_knn_graph" -> (simKnnGraph _),
     "sim_topk" -> (simTopk _),
+    "sim_recall_report" -> (simRecallReport _),
     "sim_lsh" -> (simLsh _),
     "sim_pairs" -> (simPairs _),
     "sim_pairs_capped" -> (simPairsCapped _),
@@ -713,6 +738,24 @@ object SimQueries {
          |           FROM embeddings, q WHERE vec_id <> q_id)
          |SELECT q_id, vec_id, cos FROM scored
          |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10""".stripMargin,
+    "sim_recall_report" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 100 = 0),
+         |bscored AS (SELECT q_id, vec_id, ${cosSql("embedding", "q_vec")} AS cos
+         |            FROM embeddings, q WHERE vec_id <> q_id),
+         |t AS (SELECT q_id, vec_id FROM bscored
+         |      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10),
+         |bc AS (SELECT vec_id, embedding, ${srpSql("embedding", 4)} AS bucket FROM embeddings),
+         |bq AS (SELECT vec_id AS q_id, embedding AS q_vec, ${srpSql("embedding", 4)} AS bucket
+         |       FROM embeddings WHERE vec_id % 100 = 0),
+         |lscored AS (SELECT q_id, vec_id, ${cosSql("embedding", "q_vec")} AS cos
+         |            FROM bc JOIN bq USING (bucket) WHERE vec_id <> q_id),
+         |l AS (SELECT q_id, vec_id FROM lscored
+         |      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10)
+         |SELECT t.q_id, COUNT(*) AS n_truth,
+         |  CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+         |  CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+         |FROM t LEFT JOIN l ON t.q_id = l.q_id AND t.vec_id = l.vec_id
+         |GROUP BY t.q_id""".stripMargin,
     "sim_lsh" ->
       s"""WITH bc AS (SELECT vec_id, embedding, ${srpSql("embedding", 4)} AS bucket FROM embeddings),
          |bq AS (SELECT vec_id AS q_id, embedding AS q_vec, ${srpSql("embedding", 4)} AS bucket

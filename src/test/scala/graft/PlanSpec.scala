@@ -393,6 +393,30 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.ext.DedupOps.releaseCaches()
   }
 
+  test("dedup_substring: windows exploded once; island detection windows per-document only") {
+    // The (doc, pos, fp) relation is exploded once and persisted — df
+    // aggregate, shared-join probe, and the n_windows rollup all read
+    // the cache. The gaps-and-islands row_number is partitioned by
+    // doc_id (bounded partitions); nothing may serialize globally.
+    try {
+      val p = plan("dedup_substring")
+      assert(nOps(p, "Scan parquet") <= 2,
+        s"corpus union feeds the window cache once per branch:\n$p")
+      assert(nOps(p, "InMemoryTableScan") + nOps(p, "TableCacheQueryStage") >= 3,
+        s"all three window consumers must read the cached relation:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("SinglePartition"), s"nothing may serialize to one partition:\n$p")
+    } finally graft.ext.DedupOps.releaseCaches()
+  }
+
+  test("sim_recall_report: both rankings keep the partial top-k; corpus never cartesians unbroadcast") {
+    val p = plan("sim_recall_report")
+    assert(nOps(p, "WindowGroupLimit") >= 2,
+      s"both the brute and LSH rankings must push partial top-k:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(nOps(p, "BroadcastExchange") >= 2, s"query sets must broadcast:\n$p")
+  }
+
   test("native kernels generate valid Janino code (no codegen fallback needed)") {
     // With fallback disabled, any malformed generated code (or a kernel
     // not reachable as a static call) fails the query instead of
