@@ -377,6 +377,25 @@ object TextQueries {
         .otherwise(fingerprint(col("kept_text"))).as("new_fp"))
   }
 
+  /** Deterministic train/val/test split manifest — the LAST step of a
+    * curation pipeline: assign each document to a split by content
+    * hash (fp mod 100 → train < 90 ≤ val < 95 ≤ test), report per
+    * (split, language) doc and token counts. Content-keyed splitting
+    * is the reproducibility contract eval pipelines depend on: no RNG
+    * state, stable under retries and re-partitioning, any two engines
+    * agree, and an exact duplicate can never straddle train and test
+    * (the leak [[curateDecontaminate]] hunts) because identical text
+    * hashes identically. One scan, all hashing in the projection, one
+    * hash aggregate — nothing here changes shape at any corpus size. */
+  def curateSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val h = pmod(fingerprint(col("text")), lit(100L))
+    d.select(col("lang"), tokenCount(col("text")).as("n_tokens"),
+        when(h < 90, "train").when(h < 95, "val").otherwise("test").as("split"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+  }
+
   /** Target-mix rebalancing — the step BEFORE [[curateSample]]: given a
     * target token share per language (en 20%, others 10% — flatter than
     * the corpus), derive each language's admission rate from its actual
@@ -411,6 +430,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_mix" -> (curateMix _),
     "curate_line_dedup" -> (curateLineDedup _),
+    "curate_split" -> (curateSplit _),
     "curate_boilerplate" -> (curateBoilerplate _),
     "curate_pack" -> (curatePack _),
     "curate_sources" -> (curateSources _),
@@ -466,6 +486,17 @@ object TextQueries {
          |       CAST(MIN(a_tokens) AS BIGINT) AS a_tokens,
          |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
          |FROM d JOIN r ON lang = r_lang WHERE h < rate_pct GROUP BY lang""".stripMargin,
+    "curate_split" ->
+      s"""WITH h_t AS (SELECT lang,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  $fpSql % 100 AS h
+         |  FROM documents),
+         |s_t AS (SELECT lang, n_tokens,
+         |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM h_t)
+         |SELECT split, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM s_t GROUP BY split, lang""".stripMargin,
     "curate_line_dedup" ->
       s"""WITH tk_t AS (SELECT doc_id,
          |  list_concat(['nav','home',source,'menu','login'], $toksSql) AS tk
