@@ -396,6 +396,48 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  /** Hashed-n-gram importance scoring — data selection via importance
+    * resampling (DSIR; Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every raw document by
+    * how target-like its hashed-bigram distribution is, here with
+    * lang='en' as the target domain. The likelihood ratio is
+    * integer-quantized so both engines agree bit-for-bit: per bucket
+    * b (bigram fp mod 512), w_b = (t_cnt+1)·10^6 div (r_cnt+1) — the
+    * add-one-smoothed target/raw count ratio at 1e-6 resolution, with
+    * the corpus-total normalization folded into the selection
+    * threshold (mean bucket weight) rather than each w_b, keeping
+    * every product inside int64 headroom (w ≤ 10^6·(t+1); at trillion-
+    * bigram scale move the 10^6 scale to DECIMAL(38,0)). A doc is
+    * selected when its mean bigram weight beats the corpus mean —
+    * score > n·mean_w, an all-integer comparison. Plan: ONE exploded
+    * (doc, lang, bucket) relation feeds both the distribution
+    * aggregate (512-key shuffle, map-side combined) and the scoring
+    * aggregate; the 512-row weight table and the scalar threshold are
+    * broadcast, so scoring adds no shuffle beyond the per-doc
+    * aggregate. The explode is persisted query-scoped because two
+    * branches read it; at 100 TB you would instead estimate the
+    * distribution from a sample (it converges at ~10^6 docs) and scan
+    * the corpus once. */
+  def curateDsir(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val grams = graft.core.QueryCaches.track(
+      d.select(col("doc_id"), col("lang"),
+          explode(graft.functions.HashExprs.shingleFps(tokens(col("text")), 2)).as("fp"))
+        .select(col("doc_id"), col("lang"), pmod(col("fp"), lit(512L)).as("b")))
+    val w = grams.groupBy(col("b"))
+      .agg(count(lit(1)).as("r_cnt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"))
+      .select(col("b"), expr("(t_cnt + 1) * 1000000 div (r_cnt + 1)").as("w"))
+    val meanW = w.agg(expr("sum(w) div count(1)").as("mean_w"))
+    grams.join(broadcast(w), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("score"))
+      .crossJoin(broadcast(meanW))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("score"),
+        when(col("score") > col("n_bigrams") * col("mean_w"), 1L).otherwise(0L)
+          .as("selected"))
+  }
+
   /** Target-mix rebalancing — the step BEFORE [[curateSample]]: given a
     * target token share per language (en 20%, others 10% — flatter than
     * the corpus), derive each language's admission rate from its actual
@@ -431,6 +473,7 @@ object TextQueries {
     "curate_mix" -> (curateMix _),
     "curate_line_dedup" -> (curateLineDedup _),
     "curate_split" -> (curateSplit _),
+    "curate_dsir" -> (curateDsir _),
     "curate_boilerplate" -> (curateBoilerplate _),
     "curate_pack" -> (curatePack _),
     "curate_sources" -> (curateSources _),
@@ -497,6 +540,28 @@ object TextQueries {
          |SELECT split, lang, COUNT(*) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
          |FROM s_t GROUP BY split, lang""".stripMargin,
+    "curate_dsir" ->
+      s"""WITH tk_t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+         |bg AS (SELECT doc_id, lang,
+         |  unnest(CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1]) ELSE [] END) AS s FROM tk_t),
+         |g AS (SELECT doc_id, lang,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(s, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007) % 512 AS b FROM bg),
+         |dist AS (SELECT b, COUNT(*) AS r_cnt,
+         |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt
+         |  FROM g GROUP BY b),
+         |w_t AS (SELECT b, CAST((t_cnt + 1) * 1000000 // (r_cnt + 1) AS BIGINT) AS w
+         |  FROM dist),
+         |m AS (SELECT CAST(SUM(w) // COUNT(*) AS BIGINT) AS mean_w FROM w_t),
+         |sc AS (SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(w) AS BIGINT) AS score FROM g JOIN w_t USING (b)
+         |  GROUP BY doc_id, lang)
+         |SELECT doc_id, lang, n_bigrams, score,
+         |  CAST(CASE WHEN score > n_bigrams * mean_w THEN 1 ELSE 0 END AS BIGINT)
+         |    AS selected
+         |FROM sc, m""".stripMargin,
     "curate_line_dedup" ->
       s"""WITH tk_t AS (SELECT doc_id,
          |  list_concat(['nav','home',source,'menu','login'], $toksSql) AS tk
