@@ -253,6 +253,36 @@ object EventQueries {
         (col("n") * 7 > col("trail") * 2).as("spike"))
   }
 
+  /** Per-type daily-count trend line — the OLS slope behind every
+    * "is this event type growing?" dashboard, kept EXACT across
+    * engines by never dividing: slope = slope_num / slope_den with
+    * slope_num = n·Σxy − Σx·Σy and slope_den = n·Σx² − (Σx)² over
+    * (x = epoch day, y = daily count), all int64 sums (day numbers
+    * ~2·10^4, so Σx² per type stays ≤ ~10^13 even at decades of
+    * daily rows; the daily counts — the only corpus-sized factor —
+    * enter linearly, and at 10^15-event scale the sums move to
+    * DECIMAL(38,0) unchanged). `rising` is the sign test num > 0
+    * (den ≥ 0 always). Plan: the daily aggregate map-side combines
+    * to (type, day) — the only corpus-sized exchange — then five
+    * running sums collapse per type; no window, no sort, no
+    * division. */
+  def eventsTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(tsMicros).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        expr("CAST(datediff(day, DATE '1970-01-01') AS BIGINT)").as("x"),
+        col("n").as("y"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("sum_count"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"), col("sum_count"),
+        (col("n_days") * col("sxy") - col("sx") * col("sum_count")).as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        (col("n_days") * col("sxy") - col("sx") * col("sum_count") > 0).as("rising"))
+  }
+
   /** Weekly cohort retention matrix — the acquisition dashboard beside
     * [[eventsRetention]]'s D1 view: users bucketed by their FIRST
     * active week (epoch-week numbering — engine-neutral, no locale
@@ -359,6 +389,7 @@ object EventQueries {
     "events_quantiles" -> (eventsQuantiles _),
     "events_cohorts" -> (eventsCohorts _),
     "events_spikes" -> (eventsSpikes _),
+    "events_trend" -> (eventsTrend _),
     "events_paths" -> (eventsPaths _),
     "events_attribution" -> (eventsAttribution _),
     "events_retention" -> (eventsRetention _),
@@ -438,6 +469,20 @@ object EventQueries {
         |        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, day, n, trail, n * 7 > trail * 2 AS spike
         |FROM w WHERE n_prev = 7""".stripMargin,
+    "events_trend" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |x_t AS (SELECT event_type,
+        |          CAST(day - DATE '1970-01-01' AS BIGINT) AS x, n AS y FROM d),
+        |a AS (SELECT event_type, COUNT(*) AS n_days,
+        |        CAST(SUM(y) AS BIGINT) AS sum_count,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x) AS BIGINT) AS sx,
+        |        CAST(SUM(x * x) AS BIGINT) AS sxx FROM x_t GROUP BY event_type)
+        |SELECT event_type, n_days, sum_count,
+        |  CAST(n_days * sxy - sx * sum_count AS BIGINT) AS slope_num,
+        |  CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+        |  n_days * sxy - sx * sum_count > 0 AS rising
+        |FROM a""".stripMargin,
     "events_paths" ->
       """WITH g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
         |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
