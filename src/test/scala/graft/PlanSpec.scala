@@ -393,6 +393,39 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.ext.DedupOps.releaseCaches()
   }
 
+  test("curate_dsir: corpus exploded once; weight table + threshold broadcast; no corpus shuffle join") {
+    // The 512-row weight table must reach the scoring side as a
+    // broadcast hash join and the scalar threshold as the 1-row
+    // broadcast idiom — the corpus-sized gram relation must never be
+    // the build side of anything, and it is exploded exactly once
+    // (both the distribution aggregate and the scoring join read the
+    // cache).
+    try {
+      val p = plan("curate_dsir")
+      assert(nOps(p, "Scan parquet") <= 1,
+        s"corpus must be scanned once (through the gram cache):\n$p")
+      assert(nOps(p, "InMemoryTableScan") + nOps(p, "TableCacheQueryStage") >= 2,
+        s"both gram consumers must read the cached relation:\n$p")
+      assert(nOps(p, "BroadcastHashJoin") >= 1,
+        s"the 512-row weight table must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(nOps(p, "BroadcastNestedLoopJoin") <= 1,
+        s"only the 1-row threshold may ride the BNLJ scalar idiom:\n$p")
+      assert(nOps(p, "Window") == 0, p)
+    } finally graft.ext.DedupOps.releaseCaches()
+  }
+
+  test("events_trend: two aggregates, no window, no join, pruned scan") {
+    val p = plan("events_trend")
+    assert(nOps(p, "Scan parquet") == 1, p)
+    assert(nOps(p, "HashAggregate") >= 4, // partial+final × two aggregates
+      s"daily rollup then per-type sums must both map-side combine:\n$p")
+    assert(nOps(p, "Window") == 0 && !p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string>")
+      || p.contains("ReadSchema: struct<event_type:string,ts:bigint>"),
+      s"scan must prune to (ts, event_type):\n$p")
+  }
+
   test("dedup_substring: windows exploded once; island detection windows per-document only") {
     // The (doc, pos, fp) relation is exploded once and persisted — df
     // aggregate, shared-join probe, and the n_windows rollup all read
