@@ -293,12 +293,34 @@ object DedupOps {
     // same bound at expression-construction time.
     require(b0 >= 1 && bits >= b0 && bits <= 62,
       s"simhashPairs requires 1 <= bands <= bits <= 62, got bits=$bits bands=$b0")
-    val sigs = trackPersist(df.select(col(idCol).as("_id"),
-      simhash(tokenFps(TextOps.tokens(col(textCol))), bits).as("sig")))
-    val width = bits / b0
-    val bandKeys = array((0 until b0).map { j =>
+    hammingPairs(df.select(col(idCol).as("_id"),
+        simhash(tokenFps(TextOps.tokens(col(textCol))), bits).as("sig")),
+      "_id", "sig", bits, b0, maxHamming, maxBucket)
+  }
+
+  /** Banded hamming pairing over ANY precomputed ≤62-bit locality
+    * hash column — the candidate-generation engine [[simhashPairs]]
+    * rides, factored out so other hash families (the byte-level
+    * perceptual hash [[MultimodalOps.byteSegGradHash]], future
+    * audio fingerprints) pair without re-deriving the banding. Same
+    * contract: hash split into `bands` contiguous bands (last absorbs
+    * remainder bits), bucket equi-join on (band, key), exact
+    * `bit_count(xor) <= maxHamming` verify, (id_a, id_b, hamming)
+    * with id_a < id_b. `bands >= maxHamming + 1` gives the pigeonhole
+    * recall guarantee; `maxBucket` engages the [[capBuckets]] hot-
+    * bucket guard. The hash relation is computed once
+    * ([[trackPersist]]) and posexploded to `bands` fixed-width rows —
+    * never all-pairs, never two half self-joins. */
+  def hammingPairs(df: org.apache.spark.sql.DataFrame, idCol: String, hashCol: String,
+      bits: Int, bands: Int, maxHamming: Int = 2,
+      maxBucket: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(bands >= 1 && bits >= bands && bits <= 62,
+      s"hammingPairs requires 1 <= bands <= bits <= 62, got bits=$bits bands=$bands")
+    val sigs = trackPersist(df.select(col(idCol).as("_id"), col(hashCol).as("sig")))
+    val width = bits / bands
+    val bandKeys = array((0 until bands).map { j =>
       val lo = j * width
-      val w = if (j == b0 - 1) bits - lo else width
+      val w = if (j == bands - 1) bits - lo else width
       shiftrightunsigned(col("sig"), lo).bitwiseAND(lit((1L << w) - 1L))
     }: _*)
     val exploded = sigs.select(col("_id"), col("sig"),

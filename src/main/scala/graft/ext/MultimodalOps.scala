@@ -84,8 +84,34 @@ object MultimodalOps {
     override def prettyName: String = "graft_byte_hist"
   }
 
+  /** Perceptual hash over raw bytes — dHash's structure (gradients
+    * between downscaled regions) applied codec-free: `segs` equal
+    * byte segments, one MEAN-gradient bit per adjacent pair
+    * ([[graft.functions.HashKernels.byteSegGradHash]], all-integer).
+    * Stable under tail-local edits (an edit inside one segment can
+    * flip at most its two adjacent gradient bits), discriminative
+    * across blobs (positional structure, unlike a global histogram —
+    * on the test corpus a 32-bin histogram hash collapses 500 docs
+    * to 4 values while this spreads them to 500). Pairs via
+    * [[DedupOps.hammingPairs]] banding — never all-pairs. */
+  case class ByteSegGradHashExpr(child: Expression, segs: Int) extends UnaryExpression {
+    require(segs >= 2 && segs <= 63, s"segs must be in [2, 63], got $segs")
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      graft.functions.HashKernels.byteSegGradHash(input.asInstanceOf[Array[Byte]], segs)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.byteSegGradHash($c, $segs)")
+    override protected def withNewChildInternal(c: Expression): ByteSegGradHashExpr = copy(child = c)
+    override def prettyName: String = "graft_byte_seg_grad_hash"
+  }
+
   def byteStats(c: Column): Column = toColumn(ByteStatsExpr(toExpression(c)))
   def byteHist(c: Column, bins: Int): Column = toColumn(ByteHistExpr(toExpression(c), bins))
+  def byteSegGradHash(c: Column, segs: Int): Column =
+    toColumn(ByteSegGradHashExpr(toExpression(c), segs))
 
   /** DETERMINISTIC FAKE decoder — stands in for libjpeg/ffmpeg (absent
     * in this container). Produces `w*h` floats in [0,1) from a

@@ -252,4 +252,39 @@ object HashKernels {
     while (i < bins) { out(i) = counts(i) / n; i += 1 }
     new GenericArrayData(out)
   }
+
+  /** Positional gradient hash (dHash): split the blob into `segs`
+    * equal byte segments (boundaries j·n/segs, integer), then one
+    * gradient bit per adjacent pair — bit j set iff segment j+1's
+    * MEAN byte value exceeds segment j's, compared cross-multiplied
+    * (sum·len vs sum·len) so the whole hash is integer arithmetic.
+    * All-integer matters twice: engines agree exactly, and segment
+    * means stay exact for blobs of any size (a float mean would round
+    * past 2^24 bytes). segs−1 bits, so segs ≤ 63 keeps the hash in a
+    * positive long. Empty/short blobs degrade deterministically
+    * (empty segments have sum = len = 0, so their comparisons are
+    * 0 > 0 = false). */
+  def byteSegGradHash(bs: Array[Byte], segs: Int): Long = {
+    val n = bs.length
+    val sums = new Array[Long](segs)
+    val lens = new Array[Long](segs)
+    var j = 0
+    while (j < segs) {
+      val lo = (j.toLong * n / segs).toInt
+      val hi = ((j + 1).toLong * n / segs).toInt
+      lens(j) = (hi - lo).toLong
+      var s = 0L
+      var i = lo
+      while (i < hi) { s += (bs(i) & 0xff).toLong; i += 1 }
+      sums(j) = s
+      j += 1
+    }
+    var h = 0L
+    j = 0
+    while (j < segs - 1) {
+      if (sums(j + 1) * lens(j) > sums(j) * lens(j + 1)) h |= 1L << j
+      j += 1
+    }
+    h
+  }
 }

@@ -85,7 +85,33 @@ object MultimodalQueries {
       .filter(col("n_copies") >= 2)
   }
 
+  /** PERCEPTUAL media near-dup — the second pass after [[mmDedup]]'s
+    * exact-hash collapse: pair blobs whose positional byte-gradient
+    * hashes ([[MultimodalOps.byteSegGradHash]], 32 segments → 31
+    * gradient bits) differ by ≤ 2 bits, via the banded hamming join
+    * ([[graft.ext.DedupOps.hammingPairs]] — 3 bands, pigeonhole-exact
+    * recall, bucket equi-join, never all-pairs). Planted near-dups:
+    * each blob re-enters with its LAST byte replaced — the blob length
+    * is unchanged, so every segment boundary is identical and only the
+    * final segment's sum moves, flipping at most gradient bit 30 ⇒
+    * every planted pair is within hamming 1 BY CONSTRUCTION (the
+    * recall contract the oracle hash then proves). At scale this runs
+    * exactly like the text near-dup path: only (hash, id) crosses the
+    * shuffle, blobs never leave their scan partition. */
+  def mmPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = b.unionAll(b.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(expr("substring(text, 1, length(text) - 1)"), lit("~")).as("text")))
+    val hashed = corpus.select(col("doc_id"),
+      MultimodalOps.byteSegGradHash(encode(col("text"), "UTF-8"), 32).as("phash"))
+    graft.ext.DedupOps.hammingPairs(hashed, "doc_id", "phash",
+        bits = 31, bands = 3, maxHamming = 2)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash" -> (mmPhash _),
     "mm_dedup" -> (mmDedup _),
     "mm_frames" -> (mmFrames _),
     "mm_meta" -> (mmMeta _),
@@ -107,6 +133,35 @@ object MultimodalQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // 32 equal byte segments (1-based inclusive slices), cross-multiplied
+    // mean-gradient bits, then the 3-band (10/10/11-bit) pigeonhole join —
+    // the exact arithmetic of byteSegGradHash + hammingPairs(31, 3, 2).
+    "mm_phash" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, substr(text, 1, len(text) - 1) || '~'
+         |  FROM documents),
+         |c AS (SELECT doc_id, $cpsSql AS cps FROM corpus),
+         |seg AS (SELECT doc_id,
+         |  list_transform(range(0, 32), j -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    cps[(j * len(cps)) // 32 + 1 : ((j + 1) * len(cps)) // 32]),
+         |    (a, b) -> a + b)) AS s,
+         |  list_transform(range(0, 32),
+         |    j -> ((j + 1) * len(cps)) // 32 - (j * len(cps)) // 32) AS l
+         |  FROM c),
+         |p AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range(0, 31), j -> CASE
+         |    WHEN s[j+2] * l[j+1] > s[j+1] * l[j+2]
+         |    THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |  (a, b) -> a + b) AS ph FROM seg),
+         |b_t AS (SELECT doc_id, ph, band, CASE band
+         |    WHEN 0 THEN ph % 1024 WHEN 1 THEN (ph // 1024) % 1024
+         |    ELSE ph // 1048576 END AS key
+         |  FROM p, (SELECT unnest([0, 1, 2]) AS band))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+         |FROM b_t a JOIN b_t b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph, b.ph)) <= 2""".stripMargin,
     "mm_dedup" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents
         |                UNION ALL SELECT doc_id + 1000000, text FROM documents)

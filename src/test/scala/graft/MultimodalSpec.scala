@@ -74,6 +74,44 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("byteSegGradHash: locality (an edit flips only adjacent-segment bits), determinism, edges") {
+    import graft.functions.HashKernels.byteSegGradHash
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val n = 64 + rnd.nextInt(900)
+      val bs = Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+      val h0 = byteSegGradHash(bs, 32)
+      // single-byte edit inside segment j can flip only gradient bits
+      // j-1 and j (the two comparisons segment j participates in)
+      val pos = rnd.nextInt(n)
+      // the kernel's own boundary rule (NOT pos*32/n — the floored
+      // boundaries make that inverse off by one near segment starts)
+      val seg = (0 until 32).findLast(j => (j.toLong * n / 32).toInt <= pos).get
+      val mutated = bs.clone(); mutated(pos) = (mutated(pos) ^ 0x55).toByte
+      val flipped = h0 ^ byteSegGradHash(mutated, 32)
+      val allowed = (if (seg > 0) 1L << (seg - 1) else 0L) | (if (seg < 31) 1L << seg else 0L)
+      assert((flipped & ~allowed) == 0L,
+        s"edit in segment $seg flipped bits outside ${java.lang.Long.toBinaryString(allowed)}: " +
+          java.lang.Long.toBinaryString(flipped))
+      // deterministic + kernel == expression path
+      assert(h0 == byteSegGradHash(bs.clone(), 32))
+    }
+    // last-byte replacement (the mm_phash planted perturbation) can flip
+    // only bit 30 — hamming <= 1 by construction
+    (0 until 20).foreach { i =>
+      val bs = Array.fill[Byte](100 + i * 13)(rnd.nextInt(256).toByte)
+      val mutated = bs.clone(); mutated(bs.length - 1) = '~'.toByte
+      val d = java.lang.Long.bitCount(byteSegGradHash(bs, 32) ^ byteSegGradHash(mutated, 32))
+      assert(d <= 1, s"tail edit moved hamming $d > 1")
+    }
+    assert(byteSegGradHash(Array.emptyByteArray, 32) == 0L)
+    assert(byteSegGradHash(Array[Byte](1), 32) == 0L) // 31 empty segments
+    // short blob (n < segs): monotone increasing bytes -> low bits set
+    // where segments are nonempty and increasing
+    val inc = Array.tabulate[Byte](8)(j => (j * 10).toByte)
+    assert(byteSegGradHash(inc, 32) >= 0L)
+  }
+
   test("dupClusters: connected components map every member to the min-id representative") {
     import spark.implicits._
     // chain {1,2,3}, pair {5,6}, chain {7,8,9,10} (diameter 3 forces propagation)

@@ -457,7 +457,7 @@ class PlanSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       Seq("dedup_near", "dedup_simhash", "sim_lsh", "mm_bytes", "mm_hist_sim",
-        "text_fingerprint", "dedup_edit_within").foreach { q =>
+        "text_fingerprint", "dedup_edit_within", "mm_phash").foreach { q =>
         assert(SparkEntry.queries(q)(spark, sf).count() >= 0, q)
       }
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
