@@ -1,6 +1,6 @@
 package graft.sql
 
-import graft.ext.MultimodalOps.{ByteHistExpr, ByteStatsExpr}
+import graft.ext.MultimodalOps.{ByteHistExpr, ByteSegGradHashExpr, ByteStatsExpr}
 import graft.functions.HashExprs._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -53,6 +53,9 @@ object GraftFunctions {
       es => ByteStatsExpr(es.head)),
     ("graft_byte_hist", "graft_byte_hist(bin, bins) - normalized byte histogram",
       es => ByteHistExpr(es.head, intLit(es(1), "graft_byte_hist"))),
+    ("graft_byte_phash",
+      "graft_byte_phash(bin, segs) - positional segment-gradient perceptual hash",
+      es => ByteSegGradHashExpr(es.head, intLit(es(1), "graft_byte_phash"))),
     // Spark's internal runtime-filter pair, surfaced for the SQL path
     // (upstream registers neither): build with graft_bloom_agg(
     // xxhash64(k), items, bits) in a scalar subquery, probe with

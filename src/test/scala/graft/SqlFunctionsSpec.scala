@@ -24,7 +24,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
         |               array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
         |  graft_byte_stats(encode('abc', 'UTF-8')).sum_bytes AS sb,
         |  graft_byte_hist(encode('abc', 'UTF-8'), 16)[6] AS h6,
-        |  graft_srp_bucket(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 4) AS srp
+        |  graft_srp_bucket(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 4) AS srp,
+        |  graft_byte_phash(encode('abcdef', 'UTF-8'), 4) AS ph
         |""".stripMargin).head()
     assert(r.getLong(0) == HashKernels.fingerprint(UTF8String.fromString("spark native engine")))
     assert(r.getSeq[Long](1).length == 8)
@@ -34,6 +35,9 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(r.getLong(5) == 'a'.toInt + 'b'.toInt + 'c'.toInt)
     assert(r.getFloat(6) == 1.0f) // 'a'(97),'b'(98),'c'(99) all in bin 6
     assert(r.getLong(7) >= 0 && r.getLong(7) < 16)
+    // segs=4 over 'abcdef': segments [a],[bc],[d],[ef] — all three
+    // adjacent mean-gradients ascend, so the hash is 0b111
+    assert(r.getLong(8) == 7L)
   }
 
   test("bloom pair from SQL: scalar-subquery build + probe filters like the exact semi-join") {
