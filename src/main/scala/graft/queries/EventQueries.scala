@@ -253,6 +253,42 @@ object EventQueries {
         (col("n") * 7 > col("trail") * 2).as("spike"))
   }
 
+  /** Robust daily-volume outliers — median absolute deviation instead
+    * of [[eventsSpikes]]' trailing mean, because one genuine spike in
+    * the trailing window masks the next one (the classic robustness
+    * argument for MAD over z-scores). Everything stays integer-exact:
+    * med and mad are percentile_disc-style rank selections (row_number
+    * = (d+1) div 2 over the per-type sort — the [[eventsQuantiles]]
+    * idiom, deterministic under count ties because only the VALUE at
+    * the rank is kept), and the flag is the all-integer comparison
+    * |n − med| > 2·mad. Scale: every relation after the first
+    * aggregate is |types| × |days| — calendar-bounded, not
+    * event-bounded — so the two rank windows and three broadcast
+    * joins cost nothing at any event volume; the one corpus-sized
+    * exchange is the map-side-combined daily count. */
+  def eventsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = graft.core.QueryCaches.track(
+      events(spark, sfDir)
+        .groupBy(col("event_type"), to_date(tsMicros).as("day"))
+        .agg(count(lit(1)).as("n")))
+    val d = daily.groupBy(col("event_type")).agg(count(lit(1)).as("d"))
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("n"))
+    val med = daily.withColumn("rk", row_number().over(wv).cast("bigint"))
+      .join(broadcast(d), "event_type")
+      .filter(col("rk") === expr("(d + 1) div 2"))
+      .select(col("event_type"), col("n").as("med"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("n") - col("med")))
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("dev"))
+    val mad = dev.withColumn("rk", row_number().over(wd).cast("bigint"))
+      .join(broadcast(d), "event_type")
+      .filter(col("rk") === expr("(d + 1) div 2"))
+      .select(col("event_type"), col("dev").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("day"), col("n"), col("med"), col("mad"),
+        (abs(col("n") - col("med")) > col("mad") * 2).as("outlier"))
+  }
+
   /** Per-type daily-count trend line — the OLS slope behind every
     * "is this event type growing?" dashboard, kept EXACT across
     * engines by never dividing: slope = slope_num / slope_den with
@@ -390,6 +426,7 @@ object EventQueries {
     "events_cohorts" -> (eventsCohorts _),
     "events_spikes" -> (eventsSpikes _),
     "events_trend" -> (eventsTrend _),
+    "events_anomaly" -> (eventsAnomaly _),
     "events_paths" -> (eventsPaths _),
     "events_attribution" -> (eventsAttribution _),
     "events_retention" -> (eventsRetention _),
@@ -469,6 +506,22 @@ object EventQueries {
         |        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, day, n, trail, n * 7 > trail * 2 AS spike
         |FROM w WHERE n_prev = 7""".stripMargin,
+    "events_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |               FROM events GROUP BY 1, 2),
+        |d_t AS (SELECT event_type, COUNT(*) AS d FROM daily GROUP BY 1),
+        |r1 AS (SELECT event_type, n, row_number() OVER (PARTITION BY event_type
+        |         ORDER BY n) AS rk FROM daily),
+        |med AS (SELECT event_type, n AS med FROM r1 JOIN d_t USING (event_type)
+        |        WHERE rk = (d + 1) // 2),
+        |dev AS (SELECT daily.event_type, day, n, med, abs(n - med) AS dev
+        |        FROM daily JOIN med USING (event_type)),
+        |r2 AS (SELECT event_type, dev, row_number() OVER (PARTITION BY event_type
+        |         ORDER BY dev) AS rk FROM dev),
+        |mad AS (SELECT event_type, dev AS mad FROM r2 JOIN d_t USING (event_type)
+        |        WHERE rk = (d + 1) // 2)
+        |SELECT dev.event_type, day, n, med, mad, abs(n - med) > mad * 2 AS outlier
+        |FROM dev JOIN mad USING (event_type)""".stripMargin,
     "events_trend" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
         |           FROM events GROUP BY 1, 2),
