@@ -253,6 +253,46 @@ object EventQueries {
         (col("n") * 7 > col("trail") * 2).as("spike"))
   }
 
+  /** KMV (k-minimum-values) distinct sketch per event type — the
+    * third member of the approximate family, and the one the oracle
+    * CAN hash: unlike HLL ([[eventsDailyActiveApprox]]) or GK
+    * quantiles, a KMV sketch is just the k smallest hash values — a
+    * deterministic integer set, so the k-th minimum and the estimate
+    * (k−1)·P div h_k (P = the fingerprint field 1e9+7, hashes
+    * ~uniform on [0,P)) are bit-exact across engines. Reported beside
+    * the collision-collapsed exact count (the [[dedupMinhashEst]]
+    * sketch-beside-truth calibration pattern). Types with fewer than
+    * k distinct users yield NULL h_k/estimate (the sketch is exact
+    * there — its member set IS the value set; a production reader
+    * falls back to n_hashes). Scale: the distinct (type, hash)
+    * projection is the one corpus-sized exchange (map-side combined);
+    * the rank filter rk ≤ k = 16 plans as a partial WindowGroupLimit,
+    * so each map task forwards at most 16 rows per type to the final
+    * per-type sort — the mergeable-sketch property, expressed as a
+    * plan shape. */
+  def eventsKmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 16
+    val h = graft.core.QueryCaches.track(
+      events(spark, sfDir)
+        .select(col("event_type"),
+          // salted fold: bare small-integer strings fold to TINY values
+          // (a 3-digit id never wraps the 1e9+7 field), which breaks the
+          // KMV uniformity assumption (measured: est 9.5M for 150 users).
+          // The prefix+suffix make every hash wrap the field repeatedly,
+          // spreading ids ~uniformly (est 148 for 150 actual).
+          graft.ext.TextOps.fingerprint(
+            concat(lit("kmv|"), col("user_id").cast("string"), lit("|graft"))).as("h"))
+        .distinct())
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val kth = h.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= K).filter(col("rk") === K)
+      .select(col("event_type"), col("h").as("h_k"))
+    h.groupBy(col("event_type")).agg(count(lit(1)).as("n_hashes"))
+      .join(kth, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_hashes"), col("h_k"),
+        expr("CAST(15000000105 div h_k AS BIGINT)").as("est_distinct"))
+  }
+
   /** Robust daily-volume outliers — median absolute deviation instead
     * of [[eventsSpikes]]' trailing mean, because one genuine spike in
     * the trailing window masks the next one (the classic robustness
@@ -427,6 +467,7 @@ object EventQueries {
     "events_spikes" -> (eventsSpikes _),
     "events_trend" -> (eventsTrend _),
     "events_anomaly" -> (eventsAnomaly _),
+    "events_kmv_distinct" -> (eventsKmvDistinct _),
     "events_paths" -> (eventsPaths _),
     "events_attribution" -> (eventsAttribution _),
     "events_retention" -> (eventsRetention _),
@@ -506,6 +547,20 @@ object EventQueries {
         |        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, day, n, trail, n * 7 > trail * 2 AS spike
         |FROM w WHERE n_prev = 7""".stripMargin,
+    "events_kmv_distinct" ->
+      """WITH h_t AS (SELECT DISTINCT event_type,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('kmv|' || CAST(user_id AS VARCHAR) || '|graft', ''),
+        |        ch -> CAST(unicode(ch) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY h) AS rk FROM h_t),
+        |k_t AS (SELECT event_type, h AS h_k FROM r WHERE rk = 16),
+        |e_t AS (SELECT event_type, COUNT(*) AS n_hashes FROM h_t GROUP BY 1)
+        |SELECT event_type, n_hashes, h_k,
+        |  CAST(15000000105 // h_k AS BIGINT) AS est_distinct
+        |FROM e_t LEFT JOIN k_t USING (event_type)""".stripMargin,
     "events_anomaly" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
         |               FROM events GROUP BY 1, 2),
