@@ -415,6 +415,18 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.ext.DedupOps.releaseCaches()
   }
 
+  test("events_kmv_distinct: rank filter keeps the partial WindowGroupLimit (mergeable-sketch shape)") {
+    // The k-th-min selection must prune to <= 16 rows per type BEFORE
+    // the final per-type sort — losing this turns a fixed-size sketch
+    // into a full distinct-id sort at the window.
+    try {
+      val p = plan("events_kmv_distinct")
+      assert(nOps(p, "WindowGroupLimit") >= 1,
+        s"rk <= 16 must infer a WindowGroupLimit:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    } finally graft.ext.DedupOps.releaseCaches()
+  }
+
   test("events_trend: two aggregates, no window, no join, pruned scan") {
     val p = plan("events_trend")
     assert(nOps(p, "Scan parquet") == 1, p)
