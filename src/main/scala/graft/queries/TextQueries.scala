@@ -438,6 +438,63 @@ object TextQueries {
           .as("selected"))
   }
 
+  /** The END-TO-END curation run — every pipeline stage this module
+    * ships, composed under ONE hash: cross-document line dedup
+    * ([[curateLineDedup]]'s rebuild), a token-count quality gate,
+    * DSIR importance selection ([[curateDsir]]'s quantized ratio,
+    * recomputed over the REBUILT corpus — selection must see the text
+    * that survives cleaning, not the raw text), and the content-hash
+    * split manifest ([[curateSplit]]). A green row here proves the
+    * stages COMPOSE: every intermediate (rebuilt text, bucket
+    * distributions, thresholds, split hashes) feeds the next stage
+    * bit-exactly in both engines. Plan: three query-scoped persists —
+    * the line relation (df aggregate + rebuild), the gated corpus
+    * (distribution + scoring + manifest), the gram relation
+    * (distribution + scoring) — every join is either fp/doc-keyed
+    * shuffle (corpus-sized, fixed-width keys) or broadcast (512-row
+    * weights, 1-row threshold); no stage adds a shape the standalone
+    * queries don't already carry at scale. */
+  def curateE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val allToks = concat(
+      array(lit("nav"), lit("home"), col("source"), lit("menu"), lit("login")),
+      tokens(col("text")))
+    val lineArr = transform(
+      sequence(lit(0), ((size(allToks) - lit(1)) / lit(5)).cast("int")),
+      i => array_join(slice(allToks, i * lit(5) + lit(1), lit(5)), " "))
+    val lines = graft.core.QueryCaches.track(
+      d.select(col("doc_id"), posexplode(lineArr).as(Seq("line_no", "line")))
+        .select(col("doc_id"), col("line_no").cast("bigint").as("line_no"),
+          col("line"), fingerprint(col("line")).as("lfp")))
+    val dfreq = lines.groupBy(col("lfp")).agg(countDistinct(col("doc_id")).as("df"))
+    val rebuilt = lines.join(dfreq, "lfp").groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(when(col("df") < 5,
+          struct(col("line_no"), col("line"))))),
+        s => s.getField("line")), " ").as("kept_text"))
+    val gated = graft.core.QueryCaches.track(
+      rebuilt.join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .filter(tokenCount(col("kept_text")) >= 10))
+    val grams = graft.core.QueryCaches.track(
+      gated.select(col("doc_id"), col("lang"),
+          explode(graft.functions.HashExprs.shingleFps(tokens(col("kept_text")), 2)).as("fp"))
+        .select(col("doc_id"), col("lang"), pmod(col("fp"), lit(512L)).as("b")))
+    val w = grams.groupBy(col("b"))
+      .agg(count(lit(1)).as("r_cnt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"))
+      .select(col("b"), expr("(t_cnt + 1) * 1000000 div (r_cnt + 1)").as("w"))
+    val meanW = w.agg(expr("sum(w) div count(1)").as("mean_w"))
+    val sc = grams.join(broadcast(w), "b").groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("score"))
+    val sel = gated.join(sc, "doc_id").crossJoin(broadcast(meanW))
+      .filter(col("score") > col("n_bigrams") * col("mean_w"))
+    val h = pmod(fingerprint(col("kept_text")), lit(100L))
+    sel.select(col("lang"), tokenCount(col("kept_text")).as("n_tokens"),
+        when(h < 90, "train").when(h < 95, "val").otherwise("test").as("split"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+  }
+
   /** Target-mix rebalancing — the step BEFORE [[curateSample]]: given a
     * target token share per language (en 20%, others 10% — flatter than
     * the corpus), derive each language's admission rate from its actual
@@ -474,6 +531,7 @@ object TextQueries {
     "curate_line_dedup" -> (curateLineDedup _),
     "curate_split" -> (curateSplit _),
     "curate_dsir" -> (curateDsir _),
+    "curate_e2e" -> (curateE2e _),
     "curate_boilerplate" -> (curateBoilerplate _),
     "curate_pack" -> (curatePack _),
     "curate_sources" -> (curateSources _),
@@ -512,6 +570,12 @@ object TextQueries {
     """list_reduce(list_prepend(CAST(0 AS BIGINT),
       |    list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT))),
       |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
+  /** The parametric form of [[fpSql]] — fold any string expression. */
+  private def foldSql(v: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($v, ''), ch -> CAST(unicode(ch) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
     "curate_mix" ->
@@ -562,6 +626,46 @@ object TextQueries {
          |  CAST(CASE WHEN score > n_bigrams * mean_w THEN 1 ELSE 0 END AS BIGINT)
          |    AS selected
          |FROM sc, m""".stripMargin,
+    "curate_e2e" ->
+      s"""WITH tk_t AS (SELECT doc_id,
+         |  list_concat(['nav','home',source,'menu','login'], $toksSql) AS tk
+         |  FROM documents),
+         |ln0 AS (SELECT doc_id, tk,
+         |  unnest(range(0, (len(tk) - 1) // 5 + 1)) AS line_no FROM tk_t),
+         |ln AS (SELECT doc_id, CAST(line_no AS BIGINT) AS line_no,
+         |  array_to_string(tk[line_no*5+1 : line_no*5+5], ' ') AS line FROM ln0),
+         |fp_t AS (SELECT doc_id, line_no, line, ${foldSql("line")} AS lfp FROM ln),
+         |d_t AS (SELECT lfp, COUNT(DISTINCT doc_id) AS df FROM fp_t GROUP BY lfp),
+         |r AS (SELECT doc_id,
+         |        COALESCE(string_agg(CASE WHEN df < 5 THEN line END, ' '
+         |          ORDER BY line_no), '') AS kept_text
+         |      FROM fp_t JOIN d_t USING (lfp) GROUP BY doc_id),
+         |g0 AS (SELECT r.doc_id AS doc_id, lang, kept_text,
+         |        list_filter(string_split(kept_text, ' '), t -> t <> '') AS ktk
+         |      FROM r JOIN documents USING (doc_id)
+         |      WHERE len(list_filter(string_split(kept_text, ' '), t -> t <> '')) >= 10),
+         |bg AS (SELECT doc_id, lang,
+         |  unnest(CASE WHEN len(ktk) >= 2 THEN list_transform(range(1, len(ktk)),
+         |    i -> ktk[i] || ' ' || ktk[i+1]) ELSE [] END) AS s FROM g0),
+         |g AS (SELECT doc_id, lang, ${foldSql("s")} % 512 AS b FROM bg),
+         |dist AS (SELECT b, COUNT(*) AS r_cnt,
+         |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt
+         |  FROM g GROUP BY b),
+         |w_t AS (SELECT b, CAST((t_cnt + 1) * 1000000 // (r_cnt + 1) AS BIGINT) AS w
+         |  FROM dist),
+         |m AS (SELECT CAST(SUM(w) // COUNT(*) AS BIGINT) AS mean_w FROM w_t),
+         |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(w) AS BIGINT) AS score FROM g JOIN w_t USING (b)
+         |  GROUP BY doc_id),
+         |sel AS (SELECT g0.doc_id, g0.lang, g0.kept_text,
+         |        CAST(len(g0.ktk) AS BIGINT) AS n_tokens
+         |      FROM g0 JOIN sc USING (doc_id), m
+         |      WHERE score > n_bigrams * mean_w)
+         |SELECT CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+         |         ELSE 'test' END AS split, lang,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM (SELECT lang, n_tokens, ${foldSql("kept_text")} % 100 AS h FROM sel)
+         |GROUP BY 1, 2""".stripMargin,
     "curate_line_dedup" ->
       s"""WITH tk_t AS (SELECT doc_id,
          |  list_concat(['nav','home',source,'menu','login'], $toksSql) AS tk

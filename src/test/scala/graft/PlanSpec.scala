@@ -415,6 +415,24 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.ext.DedupOps.releaseCaches()
   }
 
+  test("curate_e2e: stage composition stays cache-fed — bounded scans, broadcast-only scalar joins") {
+    // Three persisted intermediates (lines, gated corpus, grams) must
+    // actually feed their consumers; documents is scanned at most
+    // twice (line explode + lang projection); the only BNLJ is the
+    // 1-row threshold; no window anywhere (rebuild is the aggregate
+    // shape).
+    try {
+      val p = plan("curate_e2e")
+      assert(nOps(p, "Scan parquet") <= 2, s"documents must be scanned <= 2x:\n$p")
+      assert(nOps(p, "InMemoryTableScan") + nOps(p, "TableCacheQueryStage") >= 5,
+        s"the cached line/gated/gram relations must feed all consumers:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(nOps(p, "BroadcastNestedLoopJoin") <= 1,
+        s"only the 1-row threshold may ride the BNLJ scalar idiom:\n$p")
+      assert(nOps(p, "Window") == 0, p)
+    } finally graft.ext.DedupOps.releaseCaches()
+  }
+
   test("events_kmv_distinct: rank filter keeps the partial WindowGroupLimit (mergeable-sketch shape)") {
     // The k-th-min selection must prune to <= 16 rows per type BEFORE
     // the final per-type sort — losing this turns a fixed-size sketch
