@@ -74,6 +74,34 @@ class DocGenSourceSpec extends AnyFunSuite {
     info(f"10M docs end-to-end in $secs%.1f s, $n verified pairs")
   }
 
+  test("scale smoke: perceptual-hash near-dup (byteSegGradHash + hammingPairs) over 1M docs") {
+    // The mm_phash pipeline at 1000x its oracle corpus. Hash width is
+    // the scale knob: the oracle's 31-bit hash has ~10-bit band keys —
+    // fine at 1k docs, but 1M docs would pile ~1000 ids per bucket and
+    // the candidate join would square it. segs=63 → 62 bits → ~20-bit
+    // band keys → ~1 id per bucket at 1M. The planted contract is
+    // width-independent: a last-byte REPLACE (length unchanged) moves
+    // only the final segment's sum, flipping at most one gradient bit,
+    // and bands=3 > maxHamming=2 gives pigeonhole-exact recall — so
+    // every planted pair MUST surface, uncapped, at any scale.
+    val t0 = System.nanoTime()
+    val d = docs(1000000L, 32)
+    val planted = d.filter(col("doc_id") < 10000L)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(expr("substring(text, 1, length(text) - 1)"), lit("~")).as("text"))
+    val corpus = d.select(col("doc_id"), col("text")).unionAll(planted)
+    val hashed = corpus.select(col("doc_id"),
+      graft.ext.MultimodalOps.byteSegGradHash(encode(col("text"), "UTF-8"), 63).as("ph"))
+    val pairs = graft.ext.DedupOps.hammingPairs(
+      hashed, "doc_id", "ph", bits = 62, bands = 3, maxHamming = 2)
+    val nPlanted = pairs.filter(col("id_b") === col("id_a") + 1000000000L).count()
+    graft.ext.DedupOps.releaseCaches()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(nPlanted >= 10000L, s"planted recall broken: $nPlanted of 10000 pairs")
+    assert(secs < 150.0, f"1M-doc phash pipeline took $secs%.1f s (budget 150 s)")
+    info(f"1M docs + 10k planted tail-edits in $secs%.1f s, $nPlanted planted pairs found")
+  }
+
   test("feeds the dedup kernels: exact dedup over generated corpus + planted copies") {
     val d = docs(2000, 8)
     val corpus = d.unionAll(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))

@@ -83,8 +83,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
     new graft.sql.GraftExtensions().apply(ext)
     // pinned count catches an accidentally dropped builder; distinct
     // catches a duplicated name
-    assert(GraftFunctions.builders.size == 13)
-    assert(GraftFunctions.builders.map(_._1).distinct.size == 13)
+    assert(GraftFunctions.builders.size == 14)
+    assert(GraftFunctions.builders.map(_._1).distinct.size == 14)
   }
 
   test("CMS token sketch: one-sided estimates bounded by eps·N for the exact top tokens") {
