@@ -385,6 +385,54 @@ object GraftStream {
       }
   }
 
+  /** Streaming incremental trend — the unbounded form of
+    * [[graft.queries.EventQueries.eventsTrend]]: the five OLS sums
+    * (n, Σx, Σy, Σxy, Σx²) are associative, so the keyed state folds
+    * each watermark-CLOSED day into them and emits the refreshed
+    * EXACT slope fraction (slope_num = n·Σxy − Σx·Σy, slope_den =
+    * n·Σx² − (Σx)² — never a division, the batch query's integer
+    * contract) after every closure. Same state discipline as
+    * [[spikeDetect]]: open-day counts accumulate until the watermark
+    * passes day end, EventTimeTimeout re-arms only while days are
+    * open, so per-key state is O(open days + 5 longs) — bounded by
+    * the lateness horizon, never by stream length. The row emitted
+    * when a key's LAST day closes carries exactly the batch
+    * eventsTrend sums over the same days (StreamingSpec parity). */
+  def trendUpdates(df: DataFrame, tsCol: String, keyCol: String,
+      watermark: String): Dataset[(String, java.sql.Timestamp, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val DayMs = 86400000L
+    val keyed = df.withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("et"))
+      .as[(String, java.sql.Timestamp)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[(Map[Long, Long], (Long, Long, Long, Long, Long))]) =>
+          val (open0, sums0) =
+            state.getOption.getOrElse((Map.empty[Long, Long], (0L, 0L, 0L, 0L, 0L)))
+          val open = rows.foldLeft(open0) { case (m, (_, ts)) =>
+            val d = math.floorDiv(ts.getTime, DayMs) * DayMs
+            m.updated(d, m.getOrElse(d, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (closable, stillOpen) = open.partition { case (d, _) => d + DayMs <= wm }
+          var (nD, sx, sy, sxy, sxx) = sums0
+          val out = Seq.newBuilder[(String, java.sql.Timestamp, Long, Long, Long, Long)]
+          for ((d, n) <- closable.toSeq.sortBy(_._1)) {
+            val x = d / DayMs
+            nD += 1; sx += x; sy += n; sxy += x * n; sxx += x * x
+            out += ((key, new java.sql.Timestamp(d), nD, sy,
+              nD * sxy - sx * sy, nD * sxx - sx * sx))
+          }
+          state.update((stillOpen, (nD, sx, sy, sxy, sxx)))
+          if (stillOpen.nonEmpty) state.setTimeoutTimestamp(wm + 1L)
+          out.result().iterator
+      }
+  }
+
   /** Streaming weekly-cohort tracker — the unbounded feed of the
     * `events_cohorts` matrix: per user, state holds the cohort (first
     * active epoch-week) and the recently-seen week set; the FIRST time

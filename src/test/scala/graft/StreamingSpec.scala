@@ -630,6 +630,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count(_._5) == 1 && got.exists(t => t._1 == "a" && t._2 == dayMs(10) && t._5))
   }
 
+  test("streaming incremental trend: final per-key OLS sums equal batch events_trend exactly") {
+    // The whole sf0.001 events table streamed through trendUpdates;
+    // a far-future sentinel (its own key, excluded) advances the
+    // watermark so every real day closes. The LAST emission per key
+    // (max n_days — emission order across partitions is not day
+    // order) must carry byte-identical integer sums to the batch
+    // query over the same rows.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), timestamp_micros(expr("ts div 1000")).as("tm"))
+      .collect().map(r => (r.getTimestamp(1), r.getString(0)))
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "etype")
+    val rows = new ConcurrentLinkedQueue[(String, Long, Long, Long, Long)]()
+    val q = GraftStream.trendUpdates(df, "ts", "etype", "0 seconds")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Timestamp, Long, Long, Long, Long)],
+          _: Long) => {
+        b.collect().foreach(r => rows.add((r._1, r._3, r._4, r._5, r._6))); ()
+      })
+      .start()
+    in.addData(ev.toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData((new Timestamp(ev.map(_._1.getTime).max + 3L * 86400000L), "zz"))
+    q.processAllAvailable()
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(String, Long, Long, Long, Long)])
+      .groupBy(_._1).collect { case (k, vs) if k != "zz" =>
+        val f = vs.maxBy(_._2); k -> (f._2, f._3, f._4, f._5)
+      }.toMap
+    val batch = queries.EventQueries.eventsTrend(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == batch, s"stream $got\nbatch $batch")
+  }
+
   test("streaming session_window equals the lag-based batch sessionization shape") {
     // Batch check of the same session_window operator the stream uses:
     // session count and per-session event totals must equal the
