@@ -344,6 +344,37 @@ object SimOps {
       .select(col("q_id"), col("vec_id"), col("adist"))
   }
 
+  /** IVF-restricted ADC top-k — [[pqTopk]] with the inverted-list
+    * discipline: the distance-table join ALSO matches `listCol`, so
+    * each query scores only candidates in its own coarse cell
+    * (nprobe = 1; probe more cells by unioning the query rows with
+    * alternate list ids before calling). This is the IVF-PQ scan
+    * shape: the corpus-side exchange still carries only (list, s,
+    * code) triples, but the join fan-out drops from |corpus| to
+    * |corpus| / n_lists per query — the factor that makes
+    * billion-vector ADC tractable. Same decimal-quantized sum and
+    * all-M-subspaces guard as [[pqTopk]]. */
+  def pqTopkWithin(codes: DataFrame, queries: DataFrame, codebook: DataFrame,
+      k: Int, m: Int, sub: Int, listCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qsv = queries
+      .select(col("q_id"), col(listCol), col("q_vec"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("q_id"), col(listCol), col("s"),
+        expr(s"slice(q_vec, s * $sub + 1, $sub)").as("sv"))
+    val dtable = broadcast(qsv.join(codebook, "s")
+      .select(col("q_id"), col(listCol), col("s"), col("code"), sqL2("sv", "cw").as("d")))
+    codes.join(dtable, Seq(listCol, "s", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+        .cast("double").as("adist"), count(lit(1)).as("nsub"))
+      .filter(col("nsub") === m)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("adist"))
+  }
+
   /** Deterministic codebook from the first K corpus vectors (the
     * [[graft.queries.SimQueries.simPq]] seeds): rows (code, s, cw).
     * Production: one [[kmeans]] per subspace instead. */

@@ -418,6 +418,53 @@ object SimQueries {
     SimOps.pqTopk(codes, queries, cb, k = 5, m = 8, sub = 8)
   }
 
+  /** IVF-PQ — the production ANN index composition (the FAISS
+    * `IVFx,PQy` shape) assembled from this module's oracle-proven
+    * parts: coarse-quantize every vector to its nearest label
+    * centroid ([[simIvf]]'s argmax), PQ-encode the RESIDUAL v − c
+    * (residual encoding is what makes PQ codes sharp — residuals
+    * cluster near 0 so the codebook's resolution concentrates where
+    * the data is), then ADC-search with the inverted-list
+    * restriction ([[SimOps.pqTopkWithin]]): each query (every 100th
+    * vector, nprobe = 1) scores ONLY its own cell's codes. Residuals
+    * are quantized to an INTEGER milli-grid — floor((v − c)·1000) —
+    * before encoding: scalar-quantize-then-PQ is standard practice,
+    * and here it is also what makes a three-stage approximate index
+    * hash-exact cross-engine. (floor on a double is pure IEEE
+    * arithmetic, identical everywhere — unlike the double→decimal
+    * cast, whose shortest-repr rounding diverges between engines on
+    * the full-precision doubles residual subtraction produces; every
+    * downstream distance is then integer-valued and exact. Measured:
+    * without the grid, adist drifted 1e-6 on ~2 of 500 rows.) Plan:
+    * centroids + seed
+    * codebook + query distance tables broadcast; the residual
+    * relation is persisted query-scoped (codebook seed, encode, and
+    * query branches all read it); corpus-sized exchanges carry only
+    * (vec_id, cell, s, code) fixed-width rows. */
+  def simIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val cents = SimOps.labelCentroids(e, "label")
+      .select(col("c_id").cast("int").as("c_label"), col("c_vec"))
+    val best = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_label"),
+        SimOps.cosine(col("embedding"), col("c_vec")).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_label"), struct(col("cos"), (-col("c_label")).as("nc"))).as("c_label"))
+    val resid = graft.core.QueryCaches.track(
+      e.select(col("vec_id"), col("embedding")).join(best, "vec_id")
+        .join(broadcast(cents), "c_label")
+        .select(col("vec_id"), col("c_label"),
+          zip_with(col("embedding"), col("c_vec"),
+            (a, b) => floor((a.cast("double") - b) * lit(1000.0)).cast("bigint"))
+            .as("embedding")))
+    val cb = SimOps.pqSeedCodebook(resid, kCodes = 4, m = 8, sub = 8)
+    val codes = SimOps.pqEncode(resid.select(col("vec_id"), col("embedding")), cb, m = 8, sub = 8)
+      .join(resid.select(col("vec_id"), col("c_label")), "vec_id")
+    val queries = resid.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("c_label"), col("embedding").as("q_vec"))
+    SimOps.pqTopkWithin(codes, queries, cb, k = 5, m = 8, sub = 8, listCol = "c_label")
+  }
+
   /** Mutual-kNN edge set, oriented u < v: an (undirected) edge survives
     * only when EACH endpoint ranks the other inside its top-5
     * ([[SimOps.knnGraph]] both directions). Mutuality is the standard
@@ -516,7 +563,8 @@ object SimQueries {
     "sim_pairs_capped" -> (simPairsCapped _),
     "sim_pairs_rewrite" -> (simPairsRewrite _),
     "sim_quantize" -> (simQuantize _),
-    "sim_ivf" -> (simIvf _))
+    "sim_ivf" -> (simIvf _),
+    "sim_ivf_pq" -> (simIvfPq _))
 
   // ---- DuckDB oracle spellings -------------------------------------
   // The cosine/SRP folds are spelled with list_reduce(list_prepend(...))
@@ -821,5 +869,55 @@ object SimQueries {
          |best AS (SELECT vec_id, label, c_label,
          |                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rk
          |         FROM scored)
-         |SELECT label, c_label, COUNT(*) AS n FROM best WHERE rk = 1 GROUP BY label, c_label""".stripMargin)
+         |SELECT label, c_label, COUNT(*) AS n FROM best WHERE rk = 1 GROUP BY label, c_label""".stripMargin,
+    "sim_ivf_pq" ->
+      s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         |                     unnest(embedding) AS v FROM embeddings),
+         |cd AS (SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS cv
+         |       FROM comp GROUP BY label, pos),
+         |cents AS (SELECT label AS c_label, list(cv ORDER BY pos) AS c_vec FROM cd GROUP BY label),
+         |scored AS (SELECT vec_id, c_label, ${cosMixedSql("embedding", "c_vec")} AS cos
+         |           FROM embeddings, cents),
+         |best AS (SELECT vec_id, c_label FROM (
+         |           SELECT vec_id, c_label,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rk
+         |           FROM scored) WHERE rk = 1),
+         |resid AS (SELECT e.vec_id, b.c_label,
+         |            list_transform(range(1, len(embedding) + 1),
+         |              i -> CAST(floor((CAST(embedding[i] AS DOUBLE) - c_vec[i]) * 1000)
+         |                   AS BIGINT)) AS emb
+         |          FROM embeddings e JOIN best b USING (vec_id)
+         |          JOIN cents c ON b.c_label = c.c_label),
+         |sub AS (SELECT vec_id, c_label, s, emb[s*8 + 1 : s*8 + 8] AS sv
+         |        FROM resid, (SELECT unnest(range(0, 8)) AS s)),
+         |cb AS (SELECT vec_id AS code, s, emb[s*8 + 1 : s*8 + 8] AS cw
+         |       FROM resid, (SELECT unnest(range(0, 8)) AS s)
+         |       WHERE vec_id < 4),
+         |d AS (SELECT vec_id, c_label, sub.s AS s, code,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+         |          i -> (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)) *
+         |               (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)))),
+         |          (a, b) -> a + b) AS dist
+         |      FROM sub JOIN cb USING (s)),
+         |codes AS (SELECT vec_id, c_label, s, code FROM (
+         |            SELECT vec_id, c_label, s, code,
+         |              row_number() OVER (PARTITION BY vec_id, s
+         |                ORDER BY dist, code) AS rk FROM d) WHERE rk = 1),
+         |q AS (SELECT vec_id AS q_id, c_label, s, emb[s*8 + 1 : s*8 + 8] AS sv
+         |      FROM resid, (SELECT unnest(range(0, 8)) AS s)
+         |      WHERE vec_id % 100 = 0),
+         |dt AS (SELECT q_id, q.c_label AS c_label, q.s AS s, code,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+         |          i -> (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)) *
+         |               (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)))),
+         |          (a, b) -> a + b) AS d
+         |       FROM q JOIN cb USING (s)),
+         |ad AS (SELECT q_id, vec_id,
+         |         CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) AS adist
+         |       FROM codes JOIN dt USING (c_label, s, code)
+         |       GROUP BY q_id, vec_id HAVING COUNT(*) = 8)
+         |SELECT q_id, vec_id, adist FROM (
+         |  SELECT q_id, vec_id, adist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+         |  FROM ad) WHERE rk <= 5""".stripMargin)
 }

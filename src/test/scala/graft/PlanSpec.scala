@@ -536,6 +536,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"rank limit must push a partial top-k:\n$p")
   }
 
+  test("sim_ivf_pq: centroids/codebook/distance-table broadcast; corpus never broadcast or looped") {
+    // The IVF-PQ composition inherits every contract of its parts:
+    // centroid table and seed codebook and the (queries × M × K)
+    // distance table are the ONLY broadcasts (all O(k)/O(M·K)-sized);
+    // the residual corpus rides the cache into three consumers; the
+    // final rank keeps the partial top-k.
+    try {
+      val p = plan("sim_ivf_pq")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(nOps(p, "BroadcastNestedLoopJoin") <= 1,
+        s"only the centroid assignment may ride the scalar-broadcast BNLJ:\n$p")
+      assert(p.contains("WindowGroupLimit"), s"rank limit must push a partial top-k:\n$p")
+      assert(nOps(p, "InMemoryTableScan") + nOps(p, "TableCacheQueryStage") >= 3,
+        s"the persisted residual relation must feed codebook/encode/query branches:\n$p")
+    } finally graft.ext.DedupOps.releaseCaches()
+  }
+
   test("q_bloom_prune: bloom probe in the fact scan — no false negatives, real pruning") {
     import graft.queries.Tables
     import org.apache.spark.sql.functions._
