@@ -177,6 +177,23 @@ object HashExprs {
     override def prettyName: String = "graft_srp_bucket"
   }
 
+  /** zorder(a, b, bits): Morton bit-interleave of two integer keys —
+    * the multi-dimensional clustering key behind layout-driven data
+    * skipping (sort/bucket by z, and a min-max index prunes on BOTH
+    * dimensions instead of just the leading sort column). Codegen'd
+    * single loop; [[HashKernels.zInterleave]]. */
+  case class ZInterleaveExpr(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.zInterleave(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.zInterleave($a, $b, $bits)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ZInterleaveExpr =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_zorder"
+  }
+
   /** edit_within(a, b, k): banded early-exit Levenshtein bound —
     * [[HashKernels.editWithin]] as a codegen'd boolean predicate. */
   case class EditWithinExpr(left: Expression, right: Expression, k: Int)
@@ -203,4 +220,6 @@ object HashExprs {
     toColumn(EditWithinExpr(toExpression(a), toExpression(b), k))
   def cosineSim(a: Column, b: Column): Column = toColumn(CosineExpr(toExpression(a), toExpression(b)))
   def srpBucket(v: Column, bits: Int): Column = toColumn(SrpBucketExpr(toExpression(v), bits))
+  def zorder(a: Column, b: Column, bits: Int): Column =
+    toColumn(ZInterleaveExpr(toExpression(a), toExpression(b), bits))
 }

@@ -31,6 +31,22 @@ object HashKernels {
 
   def fingerprint(s: UTF8String): Long = foldFp(s, 0L)
 
+  /** Morton/Z-order bit interleave of two non-negative keys: bit i of
+    * `a` lands at position 2i, bit i of `b` at 2i+1. `bits` ≤ 31 so the
+    * result stays in 63 bits. The DuckDB oracle spells the SAME value
+    * as an explicit shift-mask-multiply sum (see Relational.zSql), so
+    * the kernel is proved exact cross-engine, not just self-consistent. */
+  def zInterleave(a: Long, b: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((a >>> i) & 1L) << (2 * i)
+      z |= ((b >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
   def tokenFps(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)

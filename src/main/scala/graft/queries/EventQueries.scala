@@ -458,7 +458,84 @@ object EventQueries {
         max(col("gap_s")).as("max_gap"))
   }
 
+  /** SCD2 / CDC change-interval compaction — the MERGE-pattern rollup a
+    * warehouse runs to turn an event feed into slowly-changing-dimension
+    * history: per (user, event_type) stream ordered by (ts, event_id), a
+    * new validity interval opens exactly when the tracked state (the
+    * value band floor(value/50) — both engines do one IEEE divide + floor,
+    * then all comparisons are integer) differs from the previous row's.
+    * Reported per event type: events in, intervals out, and the integer
+    * compaction percentage — the storage win SCD2 exists for.
+    * Scale: one lag window partitioned by (user, type) — millions of
+    * independent partitions, no global sort — then a map-side-combined
+    * aggregate to |types| rows. Same skew posture as sessionization:
+    * one pathological user serializes only their own partition. */
+  def eventsScd(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") / lit(50.0d)).as("state"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("state"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("chg")).as("n_intervals"))
+      .withColumn("compression_pct",
+        expr("100 * (n_events - n_intervals) div n_events"))
+  }
+
+  /** KMV sketch ALGEBRA — the property that makes sketches the 100 TB
+    * tool: two per-type KMV sketches of distinct (user, day) active
+    * pairs are MERGED (k smallest of the union of the two k-sets) into
+    * a union estimate, and inclusion-exclusion yields the intersection
+    * estimate ("user-days with a click AND a purchase") WITHOUT ever
+    * joining the underlying corpora. Estimates use the
+    * [[eventsKmvDistinct]] estimator ((K−1)·P div h_k, K=64) on the
+    * same salted fingerprint; `exact_inter` is the ground truth both
+    * engines compute for calibration. Scale: the corpus is touched by
+    * ONE distinct-projection; everything after operates on ≤ 2K = 128
+    * sketch rows, so the two unpartitioned rank windows and the
+    * scalar broadcasts are O(K), independent of event volume. */
+  def eventsKmvOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 64
+    val est = (K - 1) * 1000000007L
+    val pairs = graft.core.QueryCaches.track(
+      events(spark, sfDir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          graft.ext.TextOps.fingerprint(concat(lit("kmv|"),
+            col("user_id").cast("string"), lit("|"),
+            expr("ts div 86400000000000").cast("string"),
+            lit("|graft"))).as("h"))
+        .distinct())
+    val sk = graft.core.QueryCaches.track(
+      pairs.withColumn("rk", row_number()
+          .over(Window.partitionBy(col("event_type")).orderBy(col("h")))
+          .cast("bigint"))
+        .filter(col("rk") <= K))
+    val perType = sk.filter(col("rk") === K)
+      .select(col("event_type"), expr(s"$est div h").as("est_d"))
+    val u = sk.select(col("h")).distinct()
+      .withColumn("rk", row_number().over(Window.orderBy(col("h"))).cast("bigint"))
+      .filter(col("rk") === K)
+      .select(expr(s"$est div h").as("est_union"))
+    val exact = pairs.groupBy(col("h")).agg(count(lit(1)).as("nt"))
+      .agg(sum(when(col("nt") === 2L, 1L).otherwise(0L)).as("exact_inter"))
+    val a = perType.filter(col("event_type") === "click")
+      .select(col("est_d").as("est_a"))
+    val b = perType.filter(col("event_type") === "purchase")
+      .select(col("est_d").as("est_b"))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(u)).crossJoin(broadcast(exact))
+      .select(lit("click").as("type_a"), lit("purchase").as("type_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_inter"),
+        col("exact_inter"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_scd" -> (eventsScd _),
+    "events_kmv_overlap" -> (eventsKmvOverlap _),
     "events_cooccur" -> (eventsCooccur _),
     "events_markov" -> (eventsMarkov _),
     "events_gap_hist" -> (eventsGapHist _),
@@ -478,6 +555,42 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_scd" ->
+      """WITH s AS (SELECT event_type,
+        |    CAST(floor(value / 50) AS BIGINT) AS state,
+        |    lag(CAST(floor(value / 50) AS BIGINT)) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |g AS (SELECT event_type, count(*) AS n_events,
+        |    CAST(sum(CASE WHEN prev IS NULL OR prev <> state
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals
+        |  FROM s GROUP BY 1)
+        |SELECT event_type, n_events, n_intervals,
+        |  CAST(100 * (n_events - n_intervals) // n_events AS BIGINT) AS compression_pct
+        |FROM g""".stripMargin,
+    "events_kmv_overlap" ->
+      """WITH p AS (SELECT DISTINCT event_type,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('kmv|' || CAST(user_id AS VARCHAR) || '|' ||
+        |          CAST(epoch_us(ts) // 86400000000 AS VARCHAR) || '|graft', ''),
+        |        ch -> CAST(unicode(ch) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY h) AS rk FROM p),
+        |sk AS (SELECT event_type, h, rk FROM r WHERE rk <= 64),
+        |t AS (SELECT event_type, CAST(63000000441 // h AS BIGINT) AS est_d
+        |      FROM sk WHERE rk = 64),
+        |ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rk
+        |       FROM (SELECT DISTINCT h FROM sk)),
+        |u AS (SELECT CAST(63000000441 // h AS BIGINT) AS est_union FROM ur WHERE rk = 64),
+        |x AS (SELECT CAST(sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+        |      FROM (SELECT h, count(*) AS nt FROM p GROUP BY 1)),
+        |a AS (SELECT est_d AS est_a FROM t WHERE event_type = 'click'),
+        |b AS (SELECT est_d AS est_b FROM t WHERE event_type = 'purchase')
+        |SELECT 'click' AS type_a, 'purchase' AS type_b, est_a, est_b, est_union,
+        |  est_a + est_b - est_union AS est_inter, exact_inter
+        |FROM a, b, u, x""".stripMargin,
     "events_markov" ->
       """WITH g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
         |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id

@@ -70,6 +70,9 @@ object GraftFunctions {
           org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.catalyst.expressions.Cast(es(2), org.apache.spark.sql.types.LongType))
         .toAggregateExpression()),
+    ("graft_zorder",
+      "graft_zorder(a, b, bits) - Morton/Z-order bit interleave of two keys",
+      es => ZInterleaveExpr(es.head, es(1), intLit(es(2), "graft_zorder"))),
     ("graft_edit_within",
       "graft_edit_within(a, b, k) - banded early-exit levenshtein(a,b) <= k",
       es => EditWithinExpr(es.head, es(1), intLit(es(2), "graft_edit_within"))),

@@ -488,6 +488,42 @@ object GraftStream {
       }
   }
 
+  /** Streaming KMV distinct sketch — the unbounded feed of
+    * [[graft.queries.EventQueries.eventsKmvDistinct]]: per key, state
+    * holds the k SMALLEST salted id-hashes seen (a monotone min-set, so
+    * no watermark is needed — late data can only improve the sketch,
+    * never invalidate it). Whenever a trigger changes the sketch and it
+    * holds k values, the refreshed (h_k, est_distinct = (k−1)·P div h_k)
+    * is appended; the LAST emission per key equals the batch query's
+    * row over the same data (StreamingSpec parity). Per-key state is
+    * exactly k longs — this is the streaming sketch whose batch-side
+    * merge [[graft.queries.EventQueries.eventsKmvOverlap]] exercises,
+    * and the state bound holds at any stream length or cardinality.
+    * `hashCol` must already be the salted fingerprint column (the
+    * batch query's `kmv|id|graft` spelling) so stream and batch agree
+    * bit-exactly. */
+  def kmvUpdates(df: DataFrame, keyCol: String, hashCol: String,
+      k: Int = 16): Dataset[(String, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val estNum = (k - 1) * 1000000007L
+    val keyed = df.select(col(keyCol).cast("string").as("k"),
+      col(hashCol).cast("long").as("h")).as[(String, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[Seq[Long]]) =>
+          val cur = state.getOption.getOrElse(Seq.empty)
+          val merged = (cur ++ rows.map(_._2)).distinct.sorted.take(k)
+          state.update(merged)
+          if (merged.length == k && merged != cur) {
+            val hk = merged.last
+            Iterator.single((key, hk, estNum / hk))
+          } else Iterator.empty
+      }
+  }
+
   /** Watermarked stream-stream interval join — the streaming form of
     * the attribution shape ([[graft.ext.AsOfJoin]] in batch): each left
     * row joins right rows with the same key whose event time falls in

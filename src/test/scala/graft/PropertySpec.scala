@@ -112,4 +112,29 @@ class PropertySpec extends AnyFunSuite {
         s"editWithin('$s','$t',$k)=$got but lev=${lev(s, t)}")
     }
   }
+
+  test("prop: zInterleave de-interleaves back to its inputs and preserves box order") {
+    // Roundtrip: extracting even/odd bits of z recovers (a, b) exactly —
+    // the bijectivity that makes z-range partitioning lossless. Plus the
+    // locality property q_zorder relies on: within a power-of-2 aligned
+    // box, z is minimized at the box's corner (min-a, min-b).
+    def deinterleave(z: Long): (Long, Long) = {
+      var (a, b) = (0L, 0L)
+      for (i <- 0 until 16) {
+        a |= ((z >>> (2 * i)) & 1L) << i
+        b |= ((z >>> (2 * i + 1)) & 1L) << i
+      }
+      (a, b)
+    }
+    val rng = new scala.util.Random(7)
+    for (_ <- 0 until 500) {
+      val a = rng.nextInt(1 << 16).toLong
+      val b = rng.nextInt(1 << 16).toLong
+      val z = graft.functions.HashKernels.zInterleave(a, b, 16)
+      assert(deinterleave(z) == (a, b), s"roundtrip failed for ($a, $b) -> $z")
+      // corner dominance: clearing low bits of both dims never raises z
+      val mask = ~((1L << rng.nextInt(8)) - 1L)
+      assert(graft.functions.HashKernels.zInterleave(a & mask, b & mask, 16) <= z)
+    }
+  }
 }

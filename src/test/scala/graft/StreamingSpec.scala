@@ -667,6 +667,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got\nbatch $batch")
   }
 
+  test("streaming KMV sketch: final per-key (h_k, est) equals batch events_kmv_distinct") {
+    // sf0.01 (150 distinct users — above the K=16 sketch size, so the
+    // batch query's h_k is non-null). The stream feeds the SAME salted
+    // fingerprints in two chunks to exercise incremental sketch
+    // merging; the final (minimum-h_k) emission per key must equal the
+    // batch sketch bit-exactly — KMV's monotone min-set makes the last
+    // word independent of chunking.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val hashed = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        graft.ext.TextOps.fingerprint(
+          concat(lit("kmv|"), col("user_id").cast("string"), lit("|graft"))).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val in = MemoryStream[(String, Long)]
+    val df = in.toDF().toDF("etype", "h")
+    val rows = new ConcurrentLinkedQueue[(String, Long, Long)]()
+    val q = GraftStream.kmvUpdates(df, "etype", "h", 16)
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    val (first, second) = hashed.splitAt(hashed.length / 2)
+    in.addData(first.toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(second.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(String, Long, Long)])
+      .groupBy(_._1).map { case (k, vs) =>
+        val f = vs.minBy(_._2); k -> (f._2, f._3)
+      }
+    val batch = queries.EventQueries.eventsKmvDistinct(spark, dir).collect()
+      .filter(!_.isNullAt(2))
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(batch.nonEmpty && got == batch, s"stream $got\nbatch $batch")
+  }
+
   test("streaming session_window equals the lag-based batch sessionization shape") {
     // Batch check of the same session_window operator the stream uses:
     // session count and per-session event totals must equal the
