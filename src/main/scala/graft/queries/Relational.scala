@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Tables._
 
 /** Relational extension suite (absent from the reference — SURVEY.md
@@ -602,7 +603,9 @@ object Relational {
     // both engines agree without a unique tiebreaker column.
     val wLin = Window.orderBy(col("pk"), col("sk"))
     val wZ = Window.orderBy(col("z"), col("pk"), col("sk"))
-    val b = base.crossJoin(broadcast(mx))
+    // persisted: BOTH layout branches fold this ranked frame — without
+    // it each union branch re-runs the sort/rank windows from scratch
+    val b = graft.core.QueryCaches.track(base.crossJoin(broadcast(mx))
       .withColumn("z", graft.functions.HashExprs.zorder(
         expr("pk * 65536 div (pkm + 1)"), expr("sk * 65536 div (skm + 1)"), 16))
       .withColumn("rkl", row_number().over(wLin).cast("bigint"))
@@ -612,7 +615,7 @@ object Relational {
       expr(s"(rkl - 1) * $nB div nr").as("b_lin"),
       expr(s"(rkz - 1) * $nB div nr").as("b_z"),
       expr("pkm div 4").as("p_lo"), expr("pkm div 2").as("p_hi"),
-      expr("skm div 4").as("s_lo"), expr("skm div 2").as("s_hi"))
+      expr("skm div 4").as("s_lo"), expr("skm div 2").as("s_hi")))
     def layout(bucket: org.apache.spark.sql.Column, name: String): DataFrame = {
       val hit = col("pk_min") <= col("p_hi") && col("pk_max") >= col("p_lo") &&
         col("sk_min") <= col("s_hi") && col("sk_max") >= col("s_lo")
@@ -634,6 +637,43 @@ object Relational {
     layout(col("b_lin"), "linear_pk").unionAll(layout(col("b_z"), "zorder_pk_sk"))
   }
 
+  /** Incremental materialized-view maintenance — the partial-aggregate
+    * ALGEBRA that makes 100 TB rollups refreshable without full
+    * recompute: a monthly revenue MV built from pre-cutoff orders is
+    * merged with a delta aggregate over post-cutoff orders by
+    * RE-AGGREGATING the partials (sums of sums, counts of counts — the
+    * same associativity map-side combine rides), and the merged view is
+    * emitted beside the from-scratch aggregate over all orders. The
+    * oracle hash proves n/sum equal column-for-column — the refresh is
+    * exact, not approximately so. Decimal partials stay DECIMAL(38,6)
+    * until the final cast (casting per-leg would round twice and break
+    * associativity). Scale: each leg is one map-side-combined hash
+    * aggregate (the delta leg's cutoff filter pushes into the scan);
+    * the merge folds |groups| rows; nothing shuffles more than
+    * (group, partial) pairs. */
+  def qIncrementalMv(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1996-01-01").cast("timestamp")
+    val o = graft.core.QueryCaches.track(
+      load(spark, sfDir, "orders").select(
+        col("o_orderstatus").as("st"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("bigint").as("month"),
+        col("o_orderdate").as("d"),
+        col("o_totalprice").cast(DecimalType(38, 6)).as("p")))
+    def leg(f: org.apache.spark.sql.Column): DataFrame =
+      o.filter(f).groupBy(col("st"), col("month"))
+        .agg(sum(col("p")).as("ps"), count(lit(1)).as("pn"))
+    val merged = leg(col("d") < cutoff).unionAll(leg(col("d") >= cutoff))
+      .groupBy(col("st"), col("month"))
+      .agg(sum(col("ps")).cast(DecimalType(38, 6)).as("ms"), sum(col("pn")).as("n_merged"))
+    val full = o.groupBy(col("st"), col("month"))
+      .agg(sum(col("p")).as("fs"), count(lit(1)).as("n_full"))
+    merged.join(full, Seq("st", "month"))
+      .select(col("st"), col("month"), col("n_full"), col("n_merged"),
+        col("fs").cast("double").as("sum_full"),
+        col("ms").cast("double").as("sum_merged"))
+  }
+
   /** The oracle's spelling of [[graft.functions.HashKernels.zInterleave]]:
     * Σ_i ((a>>i)&1)·4^i + ((b>>i)&1)·2·4^i — plain BIGINT arithmetic
     * both engines agree on bit-exactly. */
@@ -645,6 +685,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder" -> (qZorder _),
+    "q_incremental_mv" -> (qIncrementalMv _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_trailing_30d" -> (qTrailing30d _),
@@ -679,6 +720,21 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_incremental_mv" ->
+      """WITH o AS (SELECT o_orderstatus AS st,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month,
+        |    o_orderdate AS d, CAST(o_totalprice AS DECIMAL(38,6)) AS p FROM orders),
+        |b AS (SELECT st, month, SUM(p) AS ps, COUNT(*) AS pn FROM o
+        |      WHERE d < TIMESTAMP '1996-01-01' GROUP BY 1, 2),
+        |dl AS (SELECT st, month, SUM(p) AS ps, COUNT(*) AS pn FROM o
+        |       WHERE d >= TIMESTAMP '1996-01-01' GROUP BY 1, 2),
+        |mg AS (SELECT st, month, CAST(SUM(ps) AS DECIMAL(38,6)) AS ms,
+        |         CAST(SUM(pn) AS BIGINT) AS n_merged
+        |       FROM (SELECT * FROM b UNION ALL SELECT * FROM dl) GROUP BY 1, 2),
+        |f AS (SELECT st, month, SUM(p) AS fs, COUNT(*) AS n_full FROM o GROUP BY 1, 2)
+        |SELECT st, month, n_full, n_merged,
+        |  CAST(fs AS DOUBLE) AS sum_full, CAST(ms AS DOUBLE) AS sum_merged
+        |FROM mg JOIN f USING (st, month)""".stripMargin,
     "q_zorder" ->
       s"""WITH b0 AS (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
         |m AS (SELECT max(pk) AS pkm, max(sk) AS skm, count(*) AS nr FROM b0),
