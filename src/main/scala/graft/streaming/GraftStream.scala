@@ -488,6 +488,58 @@ object GraftStream {
       }
   }
 
+  /** Streaming SCD2 / change-interval tracker — the unbounded feed of
+    * [[graft.queries.EventQueries.eventsScd]]: per key, rows buffer
+    * until the watermark passes their event time, then fold in exact
+    * (ts, tiebreak) order; each fold step whose state differs from the
+    * previous CLOSED row's state appends one `(key, valid_from_ms,
+    * state)` interval-open row — the SCD2 history table grows by
+    * appends, valid_to of an interval being the next interval's
+    * valid_from (the standard open-ended encoding, no retractions
+    * needed). Late rows below the watermark are dropped explicitly
+    * (same fmGWS caveat as [[cohortUpdates]]: Spark's built-in late
+    * filter only engages under EventTimeTimeout — which IS used here,
+    * but the drop must not depend on it). State is the open buffer
+    * (bounded by lateness horizon × arrival rate, NEVER stream length)
+    * plus 2 longs; EventTimeTimeout re-arms while the buffer is
+    * non-empty so a quiet key still flushes when the watermark
+    * advances. Fold order ties broken by `tieCol` (event_id) — the
+    * batch query's exact window order, which is what makes the final
+    * interval count per key equal the batch `n_intervals`
+    * (StreamingSpec parity). */
+  def scdUpdates(df: DataFrame, tsCol: String, keyCol: String,
+      stateCol: String, tieCol: String,
+      watermark: String): Dataset[(String, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("et"),
+        col(stateCol).cast("long").as("s"), col(tieCol).cast("long").as("tb"))
+      .as[(String, java.sql.Timestamp, Long, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp, Long, Long)],
+         state: GroupState[(Boolean, Long, Seq[(Long, Long, Long)])]) =>
+          val (hasLast0, last0, buf0) =
+            state.getOption.getOrElse((false, 0L, Seq.empty[(Long, Long, Long)]))
+          val wm = state.getCurrentWatermarkMs()
+          // buffer new in-horizon rows; drop late stragglers explicitly
+          val buf = buf0 ++ rows.map(r => (r._2.getTime, r._4, r._3))
+            .filter(_._1 >= wm)
+          val (ripe, open) = buf.partition(_._1 < wm)
+          var (hasLast, last) = (hasLast0, last0)
+          val out = Seq.newBuilder[(String, Long, Long)]
+          for ((ts, _, s) <- ripe.sorted) {
+            if (!hasLast || s != last) out += ((key, ts, s))
+            hasLast = true; last = s
+          }
+          state.update((hasLast, last, open))
+          if (open.nonEmpty) state.setTimeoutTimestamp(wm + 1L)
+          out.result().iterator
+      }
+  }
+
   /** Streaming KMV distinct sketch — the unbounded feed of
     * [[graft.queries.EventQueries.eventsKmvDistinct]]: per key, state
     * holds the k SMALLEST salted id-hashes seen (a monotone min-set, so

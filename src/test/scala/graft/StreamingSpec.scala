@@ -667,6 +667,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got\nbatch $batch")
   }
 
+  test("streaming SCD intervals: per-type interval count equals batch events_scd") {
+    // sf0.001 events streamed through scdUpdates in three contiguous
+    // time chunks, SHUFFLED WITHIN each chunk (bounded disorder — the
+    // realistic feed shape; the watermark buffer must re-sort, but a
+    // 0-second watermark means cross-chunk stragglers would be
+    // dropped, so chunks stay time-contiguous); a far-future sentinel
+    // closes every buffer. Interval-open rows per event_type must
+    // equal the batch n_intervals exactly.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(concat(col("user_id").cast("string"), lit("|"), col("event_type")).as("k"),
+        timestamp_micros(expr("ts div 1000")).as("tm"),
+        floor(col("value") / lit(50.0d)).as("s"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    val rng = new scala.util.Random(11)
+    val chunks = ev.sortBy(r => (r._2.getTime, r._4)).grouped((ev.length + 2) / 3)
+      .map(c => rng.shuffle(c.toSeq)).toSeq
+    val in = MemoryStream[(String, Timestamp, Long, Long)]
+    val df = in.toDF().toDF("k", "ts", "s", "eid")
+    val rows = new ConcurrentLinkedQueue[(String, Long, Long)]()
+    val q = GraftStream.scdUpdates(df, "ts", "k", "s", "eid", "0 seconds")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    chunks.foreach { c =>
+      in.addData(c.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    in.addData(("zz|zz", new Timestamp(ev.map(_._2.getTime).max + 86400000L), 0L, 0L))
+    q.processAllAvailable()
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(String, Long, Long)])
+      .filter(_._1 != "zz|zz")
+      .groupBy(_._1.split("\\|")(1)).view.mapValues(_.length.toLong).toMap
+    val batch = queries.EventQueries.eventsScd(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == batch, s"stream $got\nbatch $batch")
+  }
+
   test("streaming KMV sketch: final per-key (h_k, est) equals batch events_kmv_distinct") {
     // sf0.01 (150 distinct users — above the K=16 sketch size, so the
     // batch query's h_k is non-null). The stream feeds the SAME salted
