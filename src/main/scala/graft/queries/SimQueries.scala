@@ -532,6 +532,46 @@ object SimQueries {
     labels.select(col("id").as("vec_id"), col("label"))
   }
 
+  /** Integer-exact PageRank over the mutual-kNN graph — the canonical
+    * centrality beside [[simTriangles]]/[[simLabelProp]], closing the
+    * graph-analytics suite. Three damped rounds (d = 85/100), spelled
+    * ENTIRELY in 64-bit integer arithmetic so both engines agree
+    * bit-exactly: scores live at scale 10^12, each round is
+    * pr' = (15·S) div (100·N) + (85·Σ_{u→v} pr(u) div deg(u)) div 100
+    * with truncating division on non-negative operands (identical in
+    * Spark `div` and DuckDB `//`). Dangling mass is dropped (isolated
+    * vertices keep the teleport term only) — the standard simplified
+    * formulation, declared by the oracle. Scale posture: identical to
+    * label-prop — contributions are ONE vertex-keyed equi-join +
+    * map-side-combined sum per round (3 shuffles of the edge list
+    * total, never all-pairs); the scalar node count broadcasts. */
+  def simPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val Scale = 1000000000000L
+    val ids = graft.core.QueryCaches.track(
+      emb(spark, sfDir).select(col("vec_id").as("id")))
+    val m = mutualEdges(spark, sfDir)
+    val adj = graft.core.QueryCaches.track(
+      m.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(m.select(col("v").as("src"), col("u").as("dst"))))
+    val deg = graft.core.QueryCaches.track(
+      adj.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val n = ids.agg(count(lit(1)).as("n_nodes"))
+    var pr = ids.crossJoin(broadcast(n))
+      .select(col("id"), expr(s"$Scale div n_nodes").as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = adj.join(deg, "src")
+        .join(pr.select(col("id").as("src"), col("pr").as("ppr")), "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("ppr div deg")).as("sc"))
+        .select(col("dst").as("id"), col("sc"))
+      pr = ids.crossJoin(broadcast(n)).join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (expr(s"(15 * $Scale) div (100 * n_nodes)") +
+            expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("pr"))
+    }
+    pr.select(col("id").as("vec_id"), col("pr"))
+  }
+
   /** SRP bucket-occupancy histogram — the skew diagnostic that feeds
     * every maxBucket choice in this suite: how many 8-bit buckets hold
     * exactly `sz` vectors. Two map-side-combined aggregates over one
@@ -549,6 +589,7 @@ object SimQueries {
     "sim_pq_topk" -> (simPqTopk _),
     "sim_triangles" -> (simTriangles _),
     "sim_label_prop" -> (simLabelProp _),
+    "sim_pagerank" -> (simPagerank _),
     "sim_bucket_hist" -> (simBucketHist _),
     "sim_components" -> (simComponents _),
     "sim_semantic_dedup" -> (simSemanticDedup _),
@@ -676,6 +717,25 @@ object SimQueries {
          |            UNION ALL SELECT b FROM tri
          |            UNION ALL SELECT c FROM tri)
          |SELECT vec_id, COUNT(*) AS n_tri FROM corners GROUP BY vec_id""".stripMargin,
+    "sim_pagerank" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (SELECT a.dst AS id, CAST(SUM(p.pr // d.deg) AS BIGINT) AS sc
+           |        FROM adj a JOIN dg d ON a.src = d.src
+           |        JOIN p${i - 1} p ON a.src = p.id GROUP BY a.dst),
+           |p$i AS (SELECT p${i - 1}.id AS id,
+           |          CAST((15 * 1000000000000) // (100 * n_nodes)
+           |            + (85 * COALESCE(c$i.sc, 0)) // 100 AS BIGINT) AS pr
+           |        FROM p${i - 1} LEFT JOIN c$i ON p${i - 1}.id = c$i.id, nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $mutualSql,
+         |adj AS (SELECT u AS src, v AS dst FROM m UNION ALL SELECT v, u FROM m),
+         |dg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n_nodes FROM embeddings),
+         |p0 AS (SELECT vec_id AS id, CAST(1000000000000 // n_nodes AS BIGINT) AS pr
+         |       FROM embeddings, nn),
+         |$rounds
+         |SELECT id AS vec_id, pr FROM p3""".stripMargin
+    },
     "sim_label_prop" ->
       s"""WITH $mutualSql,
          |adj AS (SELECT u AS src, v AS dst FROM m

@@ -514,6 +514,21 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.ext.DedupOps.releaseCaches() // both track edge/adjacency tables
   }
 
+  test("sim_pagerank: vertex-keyed equi-joins per round; scalar broadcasts only") {
+    try {
+      val p = plan("sim_pagerank")
+      assert(!p.contains("CartesianProduct"), p)
+      // 3 rounds of (adj ⋈ deg ⋈ pr) + the contribution re-key: every
+      // data-sized join is an equi-join (hash or sort-merge)
+      assert(nOps(p, "SortMergeJoin") + nOps(p, "BroadcastHashJoin") >= 3, p)
+      // the only nested-loop joins are the 1-row scalar n_nodes
+      // broadcasts (the crossJoin(broadcast(agg)) idiom): each BNLJ in
+      // the formatted plan must sit beside a BroadcastExchange of a
+      // single-row HashAggregate, never of a corpus relation
+      assert(nOps(p, "BroadcastNestedLoopJoin") <= 4, p)
+    } finally graft.ext.DedupOps.releaseCaches()
+  }
+
   test("sim_pq: codebook is the only broadcast; no cartesian in the assignment join") {
     val p = plan("sim_pq")
     assert(nOps(p, "BroadcastExchange") == 1,
