@@ -1,0 +1,83 @@
+package graft.ext
+
+import graft.functions.HashExprs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators — the write-side half of scan pruning at
+  * 100 TB. A lakehouse table is only as skippable as its file layout:
+  * min-max footer stats prune a file iff the sort that produced the
+  * files CLUSTERS the predicate columns. These helpers produce (and
+  * measure) the two standard layouts:
+  *
+  *   - leading-column sort: perfect pruning on one column, none on the
+  *     rest;
+  *   - Z-order (Morton): bits of BOTH columns interleaved after
+  *     per-column min-max normalization to a common width, so a range
+  *     partitioning of the z-value clusters every dimension at once
+  *     ([[graft.functions.HashKernels.zInterleave]], the native
+  *     codegen'd kernel; `graft_zorder` on the SQL surface).
+  *
+  * The declared query `q_zorder` (queries/Relational.scala) pins the
+  * whole pipeline oracle-exactly with rank-based bucket cuts; these
+  * library entry points use the PRODUCTION spelling instead —
+  * `repartitionByRange` + `sortWithinPartitions`, a distributed
+  * range-partitioned sort with NO single-partition window — which a
+  * writer then streams straight to parquet (each output partition =
+  * one file whose footer stats are tight). ZorderScaleSpec drives this
+  * path at 20M rows: 19/256 files scanned vs 64 for the linear sort.
+  */
+object LayoutOps {
+
+  /** Morton z-value of two integral columns normalized to `bits` each:
+    * `(a·2^bits div (aMax+1)) interleave (b·2^bits div (bMax+1))`.
+    * Normalization is what makes the curve balanced — interleaving raw
+    * columns of unequal magnitude degenerates toward a sort on the
+    * wider one (measured in q_zorder's development: no win at 15-vs-10
+    * raw bits). `aMax`/`bMax` are columns so callers can fan a
+    * broadcast maxima row across the scan (the scalar-broadcast idiom)
+    * instead of hardcoding data bounds. */
+  def zValue(a: Column, b: Column, aMax: Column, bMax: Column,
+      bits: Int = 16): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val hi = 1L << bits
+    // integral `div` (not Column./ — float division loses exactness
+    // above 2^53 and rounds at the boundary)
+    def idiv(x: Column, y: Column): Column =
+      toColumn(IntegralDivide(toExpression(x), toExpression(y)))
+    HashExprs.zorder(
+      idiv((a.cast("long") * hi), aMax.cast("long") + 1L),
+      idiv((b.cast("long") * hi), bMax.cast("long") + 1L), bits)
+  }
+
+  /** The z-order table writer: one scan computes maxima (map-side
+    * combined, broadcast back), a second computes the z-value in-line
+    * and range-partitions into `nFiles` sorted output partitions.
+    * Sampled range boundaries make file sizes approximately equal —
+    * the writer tradeoff every OPTIMIZE-style command accepts. The
+    * returned frame carries the original columns only (z is dropped);
+    * write it with any sink and each partition's min-max footer stats
+    * are tight on BOTH `aCol` and `bCol`. */
+  def zorderRepartition(df: DataFrame, aCol: String, bCol: String,
+      nFiles: Int, bits: Int = 16): DataFrame = {
+    val mx = df.agg(max(col(aCol)).as("_za_max"), max(col(bCol)).as("_zb_max"))
+    df.crossJoin(broadcast(mx))
+      .withColumn("_z", zValue(col(aCol), col(bCol),
+        col("_za_max"), col("_zb_max"), bits))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z", "_za_max", "_zb_max")
+  }
+
+  /** Per-output-partition min-max footer stats for `cols` — what a
+    * parquet writer would persist per file, materialized as a relation
+    * so pruning can be ESTIMATED before committing to a layout (the
+    * q_zorder measurement, available on any frame). One map-side
+    * combined aggregate keyed by partition id; |files| rows out. */
+  def fileStats(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(spark_partition_id().cast("bigint").as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"))): _*)
+}

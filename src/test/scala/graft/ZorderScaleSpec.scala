@@ -1,6 +1,5 @@
 package graft
 
-import graft.functions.HashExprs
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -23,31 +22,29 @@ class ZorderScaleSpec extends AnyFunSuite {
     val base = spark.range(0L, n, 1L, 32)
       .select(pmod(xxhash64(col("id")), lit(65536L)).as("x"),
         pmod(xxhash64(col("id") + n), lit(65536L)).as("y"))
-      .withColumn("z", HashExprs.zorder(col("x"), col("y"), 16))
     val (bLo, bHi) = (16384L, 32767L) // the [0.25, 0.5)² box of q_zorder
-    def scanCost(layoutCol: String): (Long, Long, Long) = {
-      val stats = base.repartitionByRange(files, col(layoutCol))
-        .groupBy(spark_partition_id().as("file"))
-        .agg(min(col("x")).as("x_min"), max(col("x")).as("x_max"),
-          min(col("y")).as("y_min"), max(col("y")).as("y_max"),
-          count(lit(1)).as("n_rows"),
-          sum(when(col("x").between(bLo, bHi) &&
-            col("y").between(bLo, bHi), 1L).otherwise(0L)).as("n_match"))
-        .collect()
+    def scanCost(laidOut: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      // the writer's footer stats via the library op
+      val stats = graft.ext.LayoutOps.fileStats(laidOut, Seq("x", "y")).collect()
       val hit = stats.filter(r => r.getAs[Long]("x_min") <= bHi &&
         r.getAs[Long]("x_max") >= bLo &&
         r.getAs[Long]("y_min") <= bHi && r.getAs[Long]("y_max") >= bLo)
-      (hit.length.toLong, hit.map(_.getAs[Long]("n_rows")).sum,
-        stats.map(_.getAs[Long]("n_match")).sum)
+      (hit.length.toLong, hit.map(_.getAs[Long]("n_rows")).sum)
     }
     val t0 = System.nanoTime()
-    val (zFiles, zRows, zMatch) = scanCost("z")
-    val (lFiles, lRows, lMatch) = scanCost("x")
+    val (zFiles, zRows) = scanCost(
+      graft.ext.LayoutOps.zorderRepartition(base, "x", "y", files))
+    val (lFiles, lRows) = scanCost(
+      base.repartitionByRange(files, col("x")))
+    // layout-invariant by construction; pins the box matches ~1/16 of rows
+    val nMatch = base.agg(sum(when(col("x").between(bLo, bHi) &&
+      col("y").between(bLo, bHi), 1L).otherwise(0L))).head().getLong(0)
     val secs = (System.nanoTime() - t0) / 1e9
     info(f"20M rows, $files files: z-order reads $zFiles files / $zRows rows; " +
-      f"linear reads $lFiles files / $lRows rows; matched $zMatch; $secs%.1f s")
-    assert(zMatch == lMatch, "layouts must not change the answer")
-    assert(zMatch > 1000000L, "box should match ~1/16 of 20M rows")
+      f"linear reads $lFiles files / $lRows rows; matched $nMatch; $secs%.1f s")
+    assert(nMatch > 1000000L, "box should match ~1/16 of 20M rows")
+    assert(zRows >= nMatch && lRows >= nMatch,
+      "min-max pruning must keep every matching row")
     // the win the layout exists for: strictly fewer rows behind the
     // min-max index, with honest headroom (≥ 1.5×, measured ~2-3×)
     assert(zRows * 3 < lRows * 2,
