@@ -34,6 +34,41 @@ object SkewOps {
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** EXACT global row_number WITHOUT the single-partition window —
+    * the two-job distributed rank: `repartitionByRange` on the sort
+    * key gives ordered, disjoint partitions; `sortWithinPartitions`
+    * orders inside each; `zipWithIndex` (one count job + one map job,
+    * no extra shuffle) assigns the contiguous global index. Appended
+    * as `outCol` (1-based, LongType).
+    *
+    * Exactness caveat, same shape as every rank: rows TIED on the full
+    * sort key receive an arbitrary-but-valid permutation of their rank
+    * range (range partitioning may split a tie group across partition
+    * boundaries). Any aggregate invariant under tie permutation —
+    * equal-size bucket cuts over fully-determined rows (q_zorder),
+    * counts, min/max — is exact; a consumer that needs a DETERMINISTIC
+    * winner inside tie groups must put a total key in `sortCols`.
+    *
+    * Cost: the RDD detour deserializes rows once (the
+    * [[graft.core.GraftStage.concatRoundRobin]] precedent — eager,
+    * documented); at any scale this is 2 jobs + the one range
+    * exchange, vs the window form's everything-through-one-task. */
+  def globalRank(df: DataFrame, sortCols: Seq[String],
+      outCol: String = "_rk", partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val np = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val cols = sortCols.map(col)
+    val sorted = df.repartitionByRange(np, cols: _*).sortWithinPartitions(cols: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    sorted.sparkSession.createDataFrame(ranked, schema)
+  }
+
   /** Global n-tile WITHOUT the single-partition window: `ntile(n)
     * OVER (ORDER BY v)` serializes the whole relation through one
     * task, which is exactly the plan q_ntile documents avoiding (it

@@ -576,15 +576,14 @@ object Relational {
     * one map-side-combined aggregate broadcast back; bucket stats are a
     * 256-group hash aggregate per layout (map-side combined — only 256
     * rows cross each exchange); the final rollup folds 256 rows. The
-    * rank windows spell the bucket cut oracle-exactly; the production
-    * writer replaces them with `repartitionByRange(z).
-    * sortWithinPartitions(z)` — a distributed range-partitioned sort,
-    * no single-partition window — and gets the same files up to
-    * boundary jitter (same posture as events_quantiles: exact ranking
-    * is the ground truth the scale path is validated against). The
-    * oracle spells the interleave as explicit shift-mask-multiply
-    * arithmetic ([[zSql]]), proving the native kernel exact
-    * cross-engine rather than self-consistent. */
+    * equal-size cut ranks come from [[graft.ext.SkewOps.globalRank]] —
+    * the two-job distributed rank (repartitionByRange +
+    * sortWithinPartitions + zipWithIndex), so NOTHING serializes
+    * through one task at any scale; the write-side twin of the same
+    * layout is [[graft.ext.LayoutOps.zorderRepartition]]. The oracle
+    * spells the interleave as explicit shift-mask-multiply arithmetic
+    * ([[zSql]]), proving the native kernel exact cross-engine rather
+    * than self-consistent. */
   def qZorder(spark: SparkSession, sfDir: String): DataFrame = {
     val nB = 256
     val base = graft.core.QueryCaches.track(
@@ -597,19 +596,25 @@ object Relational {
     // with a 10-bit sk leaves the top z-bits pure pk bits — the curve
     // degenerates to a pk sort and multi-dim skipping evaporates
     // (measured: 18 buckets read vs linear's 17 before normalizing).
-    // row_number ties (duplicate (pk,sk) rows) may straddle a bucket
-    // boundary arbitrarily, but tied rows are INDISTINGUISHABLE, so
-    // every per-bucket aggregate below is invariant to the choice —
-    // both engines agree without a unique tiebreaker column.
-    val wLin = Window.orderBy(col("pk"), col("sk"))
-    val wZ = Window.orderBy(col("z"), col("pk"), col("sk"))
-    // persisted: BOTH layout branches fold this ranked frame — without
-    // it each union branch re-runs the sort/rank windows from scratch
-    val b = graft.core.QueryCaches.track(base.crossJoin(broadcast(mx))
+    // Ranks come from SkewOps.globalRank — the two-job distributed
+    // rank, NO single-partition window. Its tie caveat is moot here:
+    // rows tied on a full sort key are INDISTINGUISHABLE (z is a
+    // function of (pk, sk)), so every per-bucket aggregate below is
+    // invariant to tie permutation and both engines agree without a
+    // unique tiebreaker column.
+    // each globalRank runs THREE jobs over its input (range-boundary
+    // sampling, zipWithIndex count, final map) — persist every rank
+    // input or those jobs re-execute the whole upstream lineage
+    // (scan + maxima broadcast) once per job
+    val zed = graft.core.QueryCaches.track(base.crossJoin(broadcast(mx))
       .withColumn("z", graft.functions.HashExprs.zorder(
-        expr("pk * 65536 div (pkm + 1)"), expr("sk * 65536 div (skm + 1)"), 16))
-      .withColumn("rkl", row_number().over(wLin).cast("bigint"))
-      .withColumn("rkz", row_number().over(wZ).cast("bigint"))
+        expr("pk * 65536 div (pkm + 1)"), expr("sk * 65536 div (skm + 1)"), 16)))
+    val rkl = graft.core.QueryCaches.track(
+      graft.ext.SkewOps.globalRank(zed, Seq("pk", "sk"), "rkl"))
+    // persisted: BOTH layout branches fold this ranked frame — without
+    // it each union branch re-runs the rank jobs from scratch
+    val b = graft.core.QueryCaches.track(
+      graft.ext.SkewOps.globalRank(rkl, Seq("z", "pk", "sk"), "rkz")
       .select(
       col("pk"), col("sk"),
       expr(s"(rkl - 1) * $nB div nr").as("b_lin"),

@@ -544,29 +544,37 @@ object SimQueries {
     * formulation, declared by the oracle. Scale posture: identical to
     * label-prop — contributions are ONE vertex-keyed equi-join +
     * map-side-combined sum per round (3 shuffles of the edge list
-    * total, never all-pairs); the scalar node count broadcasts. */
+    * total, never all-pairs); the node count is one collected long
+    * (the kmeans bounded-scalar sync), folding the teleport term to a
+    * literal. */
   def simPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     val Scale = 1000000000000L
     val ids = graft.core.QueryCaches.track(
       emb(spark, sfDir).select(col("vec_id").as("id")))
     val m = mutualEdges(spark, sfDir)
-    val adj = graft.core.QueryCaches.track(
+    // adj ⋈ deg pre-joined ONCE outside the loop (deg is per-vertex
+    // constant across rounds — joining it per round tripled the join
+    // count); node count collected eagerly like the kmeans centroid
+    // sync (one long — bounded scalar, not a data collect), so the
+    // teleport term folds to a literal instead of re-broadcasting a
+    // 1-row aggregate every round.
+    val adjDeg = graft.core.QueryCaches.track(
       m.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(m.select(col("v").as("src"), col("u").as("dst"))))
-    val deg = graft.core.QueryCaches.track(
-      adj.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-    val n = ids.agg(count(lit(1)).as("n_nodes"))
-    var pr = ids.crossJoin(broadcast(n))
-      .select(col("id"), expr(s"$Scale div n_nodes").as("pr"))
+        .unionAll(m.select(col("v").as("src"), col("u").as("dst")))
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src")))))
+    val nNodes = ids.count()
+    val teleport = (15L * Scale) / (100L * nNodes)
+    var pr = ids.select(col("id"), lit(Scale / nNodes).as("pr"))
     for (_ <- 1 to 3) {
-      val contrib = adj.join(deg, "src")
+      val contrib = adjDeg
         .join(pr.select(col("id").as("src"), col("pr").as("ppr")), "src")
         .groupBy(col("dst"))
         .agg(sum(expr("ppr div deg")).as("sc"))
         .select(col("dst").as("id"), col("sc"))
-      pr = ids.crossJoin(broadcast(n)).join(contrib, Seq("id"), "left")
+      pr = ids.join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (expr(s"(15 * $Scale) div (100 * n_nodes)") +
+          (lit(teleport) +
             expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("pr"))
     }
     pr.select(col("id").as("vec_id"), col("pr"))

@@ -66,6 +66,46 @@ class StreamScaleSpec extends AnyFunSuite {
     info(f"1M events through cohortUpdates in $secs%.1f s")
   }
 
+  test("scale smoke: scdUpdates compacts 1M events / 100k users to exactly 2 intervals each") {
+    implicit val sq = spark.sqlContext
+    val users = 100000
+    val days = 10
+    val DayMs = 86400000L
+    val base = 1704067200000L
+    val in = MemoryStream[(String, Timestamp, Long, Long)]
+    val df = in.toDF().toDF("k", "ts", "s", "eid")
+    val total = new java.util.concurrent.atomic.AtomicLong
+    val q = GraftStream.scdUpdates(df, "ts", "k", "s", "eid", "0 seconds")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Long)], _: Long) => {
+        total.addAndGet(b.filter(_._1 != "zz").count()); ()
+      }).start()
+    val t0 = System.nanoTime()
+    // one event per (user, day); the tracked state flips once at day 5
+    // (d/5: 0 then 1), so the 10-event history per user MUST compact to
+    // exactly 2 interval-opens — the structural oracle. Chunks are
+    // contiguous day ranges so nothing falls behind the watermark;
+    // within a chunk, timestamps scatter inside each day.
+    val rnd = new scala.util.Random(13)
+    for (range <- Seq(0 until 3, 3 until 6, 6 until 9, 9 until 10)) {
+      val batch = for {
+        d <- range.toVector
+        u <- 0 until users
+      } yield (u.toString, new Timestamp(base + d * DayMs + rnd.nextInt(DayMs.toInt)),
+        (d / 5).toLong, (d.toLong * users + u))
+      in.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    in.addData(("zz", new Timestamp(base + 30L * DayMs), 0L, 0L))
+    q.processAllAvailable()
+    q.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(total.get() == 2L * users,
+      s"expected 2 intervals per user, got ${total.get()} total")
+    assert(secs < 150.0, f"1M-event SCD stream took $secs%.1f s (budget 150 s)")
+    info(f"1M events through scdUpdates in $secs%.1f s (${2L * users} intervals)")
+  }
+
   test("scale smoke: nearDupVerified over 200k streamed docs finds every planted duplicate") {
     implicit val sq = spark.sqlContext
     val n = 200000
