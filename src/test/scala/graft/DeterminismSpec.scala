@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Determinism under re-partitioning — the retry-safety property every
+  * declared query must hold at 100 TB: a stage retry, an AQE re-plan,
+  * or a different cluster size changes shuffle partitioning, and the
+  * RESULT must not. One pillar-covering query per suite runs twice
+  * with different `spark.sql.shuffle.partitions` (which also drives
+  * `SkewOps.globalRank`'s range partitioning — this empirically backs
+  * its tie-permutation-invariance argument) and must produce the
+  * identical multiset of rows. Floating aggregates survive because
+  * every double goes through the DECIMAL(38,6) fold (Tables.dsum);
+  * ranks survive because ties are either fully determined or feed
+  * tie-invariant aggregates.
+  */
+class DeterminismSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val pillarQueries = Seq(
+    "q1_pricing",        // decimal-exact aggregation
+    "q_incremental_mv",  // partial re-aggregation algebra
+    "q_zorder",          // globalRank equal-size cuts (tie permutation)
+    "dedup_near",        // MinHash LSH banding join
+    "dedup_clusters",    // iterative label fixpoint
+    "sim_pagerank",      // integer iteration + scalar sync
+    "text_tfidf",        // per-doc rank with declared tiebreak
+    "curate_dsir",       // hashed-feature scoring + broadcast threshold
+    "events_scd",        // partitioned lag window
+    "events_kmv_distinct", // order-statistic sketch
+    "mm_phash",          // byte-kernel + banded hamming pairing
+    "op_concat_rr")      // order-defining round-robin interleave
+
+  private def run(name: String, parts: Int): Seq[String] = {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val rows = SparkEntry.queries(name)(spark, sf).collect()
+        .map(_.toString).sorted.toSeq
+      rows
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+      graft.ext.DedupOps.releaseCaches()
+      spark.conf.set("spark.graft.lsh.rewrite", "false")
+    }
+  }
+
+  test("pillar queries produce identical row multisets at 5 vs 16 shuffle partitions") {
+    pillarQueries.foreach { q =>
+      val a = run(q, 5)
+      val b = run(q, 16)
+      assert(a == b, s"$q differs across partitionings " +
+        s"(${a.length} vs ${b.length} rows; first diff: " +
+        s"${a.zip(b).find(p => p._1 != p._2).orElse(Some(("<len>", "<len>")))})")
+      assert(a.nonEmpty, s"$q returned no rows at sf0.001")
+    }
+  }
+}
