@@ -485,6 +485,34 @@ object EventQueries {
         expr("100 * (n_events - n_intervals) div n_events"))
   }
 
+  /** CDC MERGE under the oracle gate — the lakehouse upsert: events
+    * before 2024-01-15 build the base snapshot (latest value per user),
+    * events after are the changelog ('error' rows = deletes, everything
+    * else = upserts), and [[graft.ext.MergeOps.cdcMerge]] applies it
+    * last-writer-wins by (ts, event_id). Values ride as
+    * floor(value·1e6) BIGINT — one IEEE multiply + floor in both
+    * engines, then all comparisons are integer. The oracle spells the
+    * same MERGE with row_number windows + FULL JOIN; the Spark plan has
+    * NO window at all (PlanSpec) — both folds are map-side-combined
+    * max_by argmaxes, so only |users| rows cross each exchange and the
+    * single full-outer join is key-partitioned. That asymmetry (window
+    * spelling vs aggregate plan) is exactly the 100 TB posture: history
+    * is aggregated, never sorted. */
+  def eventsCdcMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutUs = 1705276800000000L // 2024-01-15T00:00:00Z, micros
+    val e = graft.core.QueryCaches.track(
+      events(spark, sfDir).select(col("user_id"),
+        expr("ts div 1000").as("tus"), col("event_id"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        floor(col("value") * lit(1000000.0d)).cast("bigint").as("val")))
+    val base = graft.ext.MergeOps.latestSnapshot(
+      e.filter(col("tus") < cutUs).drop("op"),
+      "user_id", Seq("tus", "event_id"), Seq("val"))
+    val changes = e.filter(col("tus") >= cutUs)
+    graft.ext.MergeOps.cdcMerge(base, changes, "user_id",
+      Seq("tus", "event_id"), "op", Seq("val"))
+  }
+
   /** KMV sketch ALGEBRA — the property that makes sketches the 100 TB
     * tool: two per-type KMV sketches of distinct (user, day) active
     * pairs are MERGED (k smallest of the union of the two k-sets) into
@@ -535,6 +563,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_scd" -> (eventsScd _),
+    "events_cdc_merge" -> (eventsCdcMerge _),
     "events_kmv_overlap" -> (eventsKmvOverlap _),
     "events_cooccur" -> (eventsCooccur _),
     "events_markov" -> (eventsMarkov _),
@@ -568,6 +597,30 @@ object EventQueries {
         |SELECT event_type, n_events, n_intervals,
         |  CAST(100 * (n_events - n_intervals) // n_events AS BIGINT) AS compression_pct
         |FROM g""".stripMargin,
+    "events_cdc_merge" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS val
+        |  FROM events),
+        |base AS (SELECT user_id, val FROM (
+        |    SELECT user_id, val, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY tus DESC, event_id DESC) AS rn
+        |    FROM e WHERE tus < 1705276800000000) WHERE rn = 1),
+        |chg AS (SELECT user_id, op, val, n_changes FROM (
+        |    SELECT user_id, op, val,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY tus DESC, event_id DESC) AS rn,
+        |      count(*) OVER (PARTITION BY user_id) AS n_changes
+        |    FROM e WHERE tus >= 1705276800000000) WHERE rn = 1)
+        |SELECT coalesce(b.user_id, c.user_id) AS user_id,
+        |  CASE WHEN c.user_id IS NULL THEN b.val ELSE c.val END AS val,
+        |  CASE WHEN c.user_id IS NULL THEN 'kept'
+        |       WHEN b.user_id IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS status,
+        |  CAST(CASE WHEN c.user_id IS NULL THEN 0 ELSE n_changes END
+        |    AS BIGINT) AS n_changes
+        |FROM base b FULL JOIN chg c ON b.user_id = c.user_id
+        |WHERE c.user_id IS NULL OR c.op <> 'D'""".stripMargin,
     "events_kmv_overlap" ->
       """WITH p AS (SELECT DISTINCT event_type,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -655,6 +655,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("events_cdc_merge: aggregate-shaped MERGE — no window, one full-outer join") {
+    // The oracle spells the MERGE with row_number windows; the Spark
+    // plan must instead fold both sides with map-side-combined max_by
+    // aggregates (only |keys| rows cross each exchange) and meet in a
+    // single key-partitioned full-outer join. A Window here would mean
+    // history gets sorted, not aggregated — the shape that dies first
+    // at 100 TB.
+    val p = plan("events_cdc_merge")
+    assert(nOps(p, "Window") == 0, s"MERGE must aggregate history, not sort it:\n$p")
+    assert(p.contains("FullOuter"), s"snapshot-vs-changelog must be a full outer join:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") +
+      nOps(p, "BroadcastHashJoin") == 1, s"exactly one join expected:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
