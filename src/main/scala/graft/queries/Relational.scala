@@ -679,6 +679,28 @@ object Relational {
         col("ms").cast("double").as("sum_merged"))
   }
 
+  /** Data-quality constraint suite under the oracle gate — the
+    * validation pass that fronts every production ingest, via
+    * [[graft.ext.QualityOps]]: two completeness checks, exact
+    * uniqueness, a numeric range, an accepted-value set (deliberately
+    * tightened to {O, F} so the violation COUNTER is exercised — the
+    * synthetic data is clean, a suite of all-zero rows would prove
+    * nothing), and referential integrity orders.o_custkey ⊆ customer.
+    * Plan: all five row-level checks ride ONE aggregate over ONE scan
+    * (the uniqueness distinct expands in the same scan); the ref check
+    * is a LEFT ANTI join counting only misses. */
+  def qDqReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.QualityOps._
+    report(load(spark, sfDir, "orders"), Seq(
+      Completeness("o_totalprice"),
+      Completeness("o_orderdate"),
+      Unique("o_orderkey"),
+      InRange("o_totalprice", 0.0, 400000.0),
+      AcceptedValues("o_orderstatus", Seq("O", "F")),
+      RefIntegrity("o_custkey", "customer",
+        load(spark, sfDir, "customer"), "c_custkey")))
+  }
+
   /** The oracle's spelling of [[graft.functions.HashKernels.zInterleave]]:
     * Σ_i ((a>>i)&1)·4^i + ((b>>i)&1)·2·4^i — plain BIGINT arithmetic
     * both engines agree on bit-exactly. */
@@ -690,6 +712,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder" -> (qZorder _),
+    "q_dq_report" -> (qDqReport _),
     "q_incremental_mv" -> (qIncrementalMv _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -725,6 +748,33 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_dq_report" ->
+      """WITH t AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_comp_price,
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_comp_date,
+        |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+        |      AS BIGINT) AS v_uniq,
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |        AND (o_totalprice < 0 OR o_totalprice > 400000)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |        AND o_orderstatus NOT IN ('O', 'F')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_acc
+        |  FROM orders),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS v_ref FROM orders o
+        |  WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |SELECT 'completeness:o_totalprice' AS check_name,
+        |  v_comp_price AS violations, n AS total, v_comp_price <= 0 AS pass FROM t
+        |UNION ALL SELECT 'completeness:o_orderdate', v_comp_date, n,
+        |  v_comp_date <= 0 FROM t
+        |UNION ALL SELECT 'unique:o_orderkey', v_uniq, n, v_uniq <= 0 FROM t
+        |UNION ALL SELECT 'range:o_totalprice', v_range, n, v_range <= 0 FROM t
+        |UNION ALL SELECT 'accepted:o_orderstatus', v_acc, n, v_acc <= 0 FROM t
+        |UNION ALL SELECT 'ref:o_custkey->customer.c_custkey', v_ref, n,
+        |  v_ref <= 0 FROM t, r""".stripMargin,
     "q_incremental_mv" ->
       """WITH o AS (SELECT o_orderstatus AS st,
         |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month,

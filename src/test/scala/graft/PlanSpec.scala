@@ -670,6 +670,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_dq_report: all row-level checks share one aggregate; ref check is an anti join") {
+    // Five row-level checks must NOT mean five scans: the suite
+    // compiles to one aggregate (uniqueness expands inside it), so
+    // orders is scanned exactly twice — once for the shared aggregate,
+    // once as the anti-join probe of the referential check.
+    val p = plan("q_dq_report")
+    // 3 scans total: orders for the shared aggregate, orders as the
+    // anti-join probe, customer as the anti-join build.
+    assert(nOps(p, "Scan parquet") <= 3,
+      s"row-level checks must share ONE aggregate scan:\n$p")
+    assert(p.contains("LeftAnti"), s"ref integrity must be an anti join:\n$p")
+    assert(nOps(p, "Window") == 0 && !p.contains("CartesianProduct"), p)
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
