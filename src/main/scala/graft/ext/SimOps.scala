@@ -384,4 +384,32 @@ object SimOps {
         explode(sequence(lit(0), lit(m - 1))).as("s"))
       .select(col("code"), col("s"),
         expr(s"slice(embedding, s * $sub + 1, $sub)").as("cw"))
+
+  /** One-pass Gram matrix — the second-moment sums Σ x_i·x_j for
+    * dimensions i ≤ j < `dims` of `vecCol`, the primitive under
+    * covariance, PCA, and whitening: cov = (S_xy − S_x·S_y/n)/n is
+    * driver-side arithmetic once these sums exist, and a 100 TB corpus
+    * needs exactly ONE scan to get them. Each row expands to its
+    * d(d+1)/2 upper-triangle products (floats widen to double BEFORE
+    * the multiply — float×float would round differently than the
+    * oracle), which the hash aggregate collapses map-side: the exchange
+    * carries at most d(d+1)/2 groups per partition, independent of row
+    * count. The decimal(38,6) accumulation makes the sums
+    * association-proof at any parallelism ([[graft.queries.Tables.dsum]]
+    * contract). Per-row CPU is O(d²) — at BERT-width (d=768) prefer a
+    * typed Aggregator accumulating a primitive array per partition;
+    * at pipeline-feature width (d ≤ 128) this plan wins on simplicity
+    * and stays fully codegen'd. */
+  def gramMatrix(corpus: DataFrame, vecCol: String, dims: Int): DataFrame =
+    corpus.select(explode(expr(
+      s"""flatten(transform(sequence(0, ${dims - 1}), i ->
+         |  transform(sequence(i, ${dims - 1}), j -> struct(
+         |    cast(i as bigint) as i, cast(j as bigint) as j,
+         |    cast($vecCol[i] as double) * cast($vecCol[j] as double) as p))))"""
+        .stripMargin)).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("p").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as("s_xy"))
 }

@@ -592,7 +592,20 @@ object SimQueries {
       .groupBy(col("bucket")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz")).agg(count(lit(1)).as("n_buckets"))
 
+  /** One-pass Gram matrix over the first 16 embedding dimensions —
+    * [[graft.ext.SimOps.gramMatrix]] under the oracle gate: the
+    * covariance/PCA/whitening primitive as a single scan whose hash
+    * aggregate collapses the per-row d(d+1)/2 products map-side (the
+    * exchange carries groups, not rows). Floats widen to double BEFORE
+    * the multiply and the sums accumulate as DECIMAL(38,6) (the
+    * [[Tables.dsum]] contract), so 136 cross-moment sums hash-match
+    * DuckDB bit-for-bit. The oracle spells the expansion as a
+    * range-join lateral product. */
+  def simGram(spark: SparkSession, sfDir: String): DataFrame =
+    SimOps.gramMatrix(emb(spark, sfDir), "embedding", 16)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_gram" -> (simGram _),
     "sim_pq" -> (simPq _),
     "sim_pq_topk" -> (simPqTopk _),
     "sim_triangles" -> (simTriangles _),
@@ -664,6 +677,16 @@ object SimQueries {
        |      WHERE f.vec_id < f.nbr_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "sim_gram" ->
+      """SELECT CAST(ii AS BIGINT) AS i, CAST(jj AS BIGINT) AS j,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CAST(CAST(embedding[ii + 1] AS DOUBLE) *
+        |    CAST(embedding[jj + 1] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS s_xy
+        |FROM embeddings,
+        |  (SELECT unnest(range(0, 16)) AS ii),
+        |  (SELECT unnest(range(0, 16)) AS jj)
+        |WHERE jj >= ii
+        |GROUP BY 1, 2""".stripMargin,
     "sim_pq" ->
       s"""WITH sub AS (SELECT vec_id, s, list_slice(embedding, s*8 + 1, s*8 + 8) AS sv
          |            FROM embeddings, (SELECT unnest(range(0, 8)) AS s)),

@@ -684,6 +684,17 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "Window") == 0 && !p.contains("CartesianProduct"), p)
   }
 
+  test("sim_gram: one scan, join-free, aggregate collapses the expansion map-side") {
+    // The d(d+1)/2 per-row product expansion must be collapsed by a
+    // two-phase hash aggregate (partial before the exchange) — a join
+    // or window spelling of the pair expansion would shuffle row-scaled
+    // data instead of 136 groups.
+    val p = plan("sim_gram")
+    assert(nOps(p, "Scan parquet") == 1, s"exactly one embeddings scan:\n$p")
+    assert(!p.contains("Join") && nOps(p, "Window") == 0, s"join/window-free:\n$p")
+    assert(nOps(p, "HashAggregate") == 2, s"partial+final hash aggregate:\n$p")
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);

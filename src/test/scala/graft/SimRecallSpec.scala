@@ -151,4 +151,23 @@ class SimRecallSpec extends AnyFunSuite {
         s"query $q: identical codes must give identical ADC distance")
     }
   }
+
+  test("gramMatrix: sums match a driver-side exact computation on a toy corpus") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(-1.0f, 0.5f, 2.0f)),
+      (2L, Array(0.0f, -2.0f, 1.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = SimOps.gramMatrix(df, "embedding", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    for (i <- 0 until 3; j <- i until 3) {
+      val want = vecs.map { case (_, v) => v(i).toDouble * v(j).toDouble }.sum
+      val (n, s) = got((i.toLong, j.toLong))
+      assert(n == 3L, s"cell ($i,$j) count")
+      assert(math.abs(s - want) < 1e-6, s"cell ($i,$j): got $s want $want")
+    }
+    assert(got.size == 6, "upper triangle only: d(d+1)/2 cells")
+  }
 }
