@@ -701,6 +701,39 @@ object Relational {
         load(spark, sfDir, "customer"), "c_custkey")))
   }
 
+  /** Distribution-drift monitor — the companion to [[qDqReport]] a
+    * pipeline runs between two snapshots: per price band
+    * floor(o_totalprice/25000), the 1995 and 1996 order counts, the
+    * cross-multiplied count gap |cnt_a·n_b − cnt_b·n_a| (the
+    * total-variation-distance numerator kept ALL-INTEGER — comparing
+    * normalized shares as doubles would put the drift flag at the
+    * mercy of cross-engine rounding), and the global drift verdict
+    * 10·Σgaps > n_a·n_b (⇔ TVD > 0.05). Scale: both snapshot
+    * histograms ride ONE conditional-sum aggregate over one scan
+    * (map-side combined to ≤ |bands| groups); everything after
+    * operates on band rows, and the two scalar folds broadcast back —
+    * event volume never touches a window or a join. */
+  def qDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = load(spark, sfDir, "orders")
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .select(floor(col("o_totalprice") / lit(25000.0d)).cast("bigint").as("band"),
+        (year(col("o_orderdate")) === 1995).as("isa"))
+    val bands = graft.core.QueryCaches.track(
+      o.groupBy(col("band")).agg(
+        sum(when(col("isa"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("cnt_b")))
+    val tot = bands.agg(sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"))
+    val wt = graft.core.QueryCaches.track(
+      bands.crossJoin(broadcast(tot))
+        .withColumn("diff_scaled",
+          abs(col("cnt_a") * col("n_b") - col("cnt_b") * col("n_a"))))
+    val tvd = wt.agg(sum(col("diff_scaled")).as("tvd_num"))
+    wt.crossJoin(broadcast(tvd))
+      .select(col("band"), col("cnt_a"), col("cnt_b"), col("n_a"), col("n_b"),
+        col("diff_scaled"), col("tvd_num"),
+        (lit(10L) * col("tvd_num") > col("n_a") * col("n_b")).as("drifted"))
+  }
+
   /** The oracle's spelling of [[graft.functions.HashKernels.zInterleave]]:
     * Σ_i ((a>>i)&1)·4^i + ((b>>i)&1)·2·4^i — plain BIGINT arithmetic
     * both engines agree on bit-exactly. */
@@ -713,6 +746,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder" -> (qZorder _),
     "q_dq_report" -> (qDqReport _),
+    "q_drift" -> (qDrift _),
     "q_incremental_mv" -> (qIncrementalMv _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -748,6 +782,23 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_drift" ->
+      """WITH o AS (SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS band,
+        |    year(o_orderdate) = 1995 AS isa
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+        |bands AS (SELECT band,
+        |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |    CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+        |  FROM o GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+        |    CAST(sum(cnt_b) AS BIGINT) AS n_b FROM bands),
+        |wt AS (SELECT band, cnt_a, cnt_b, n_a, n_b,
+        |    abs(cnt_a * n_b - cnt_b * n_a) AS diff_scaled FROM bands, tot),
+        |tv AS (SELECT CAST(sum(diff_scaled) AS BIGINT) AS tvd_num FROM wt)
+        |SELECT band, cnt_a, cnt_b, n_a, n_b,
+        |  CAST(diff_scaled AS BIGINT) AS diff_scaled, tvd_num,
+        |  10 * tvd_num > n_a * n_b AS drifted
+        |FROM wt, tv""".stripMargin,
     "q_dq_report" ->
       """WITH t AS (SELECT count(*) AS n,
         |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)

@@ -695,6 +695,14 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "HashAggregate") == 2, s"partial+final hash aggregate:\n$p")
   }
 
+  test("q_drift: both snapshot histograms in one scan; only scalar broadcasts after") {
+    val p = plan("q_drift")
+    assert(nOps(p, "Scan parquet") == 1, s"one conditional-sum scan for both years:\n$p")
+    assert(nOps(p, "Window") == 0, p)
+    // the two folds (totals, tvd numerator) come back only as broadcasts
+    assert(nOps(p, "BroadcastNestedLoopJoin") <= 2 && !p.contains("CartesianProduct"), p)
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
