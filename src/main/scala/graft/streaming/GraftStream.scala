@@ -576,6 +576,51 @@ object GraftStream {
       }
   }
 
+  /** Streaming CDC upsert fold — the unbounded feed of
+    * [[graft.ext.MergeOps.cdcMerge]]'s changelog side: per key, state
+    * holds the current last-writer-wins winner ((ord, tie) argmax over
+    * op + payload) plus the running change count. The argmax is
+    * associative and order-independent, so NO watermark is needed —
+    * a late row with a smaller (ord, tie) simply loses, one with a
+    * larger wins, and the fold converges to the batch answer under any
+    * chunking (same monotone-state argument as [[kmvUpdates]]). Each
+    * trigger that touches a key re-emits its winner
+    * (key, op, value, n_changes); the LAST emission per key equals the
+    * batch changelog fold bit-exactly (StreamingSpec parity), ready to
+    * be applied to the base snapshot with `foreachBatch(cdcMerge)`.
+    * Per-key state is one winner tuple + a counter — bounded at any
+    * stream length, no timeout to manage. */
+  def cdcUpdates(df: DataFrame, keyCol: String, ordCol: String,
+      tieCol: String, opCol: String, valCol: String): Dataset[(String, String, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(keyCol).cast("string").as("k"),
+      col(ordCol).cast("long").as("o"), col(tieCol).cast("long").as("t"),
+      col(opCol).cast("string").as("op"), col(valCol).cast("long").as("v"))
+      .as[(String, Long, Long, String, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long, String, Long)],
+         state: GroupState[(Long, Long, String, Long, Long)]) =>
+          val cur = state.getOption
+          var best = cur.map(s => (s._1, s._2, s._3, s._4))
+          var n = cur.map(_._5).getOrElse(0L)
+          var touched = false
+          for (r <- rows) {
+            n += 1; touched = true
+            val cand = (r._2, r._3, r._4, r._5)
+            if (best.forall(b => cand._1 > b._1 ||
+                (cand._1 == b._1 && cand._2 > b._2)))
+              best = Some(cand)
+          }
+          val b = best.get // rows is non-empty on a data call
+          state.update((b._1, b._2, b._3, b._4, n))
+          if (touched) Iterator.single((key, b._3, b._4, n))
+          else Iterator.empty
+      }
+  }
+
   /** Watermarked stream-stream interval join — the streaming form of
     * the attribution shape ([[graft.ext.AsOfJoin]] in batch): each left
     * row joins right rows with the same key whose event time falls in

@@ -709,6 +709,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got\nbatch $batch")
   }
 
+  test("streaming CDC upsert fold: last emission per key equals the batch changelog fold") {
+    // The events_cdc_merge changelog (post-cutoff events) fed through
+    // cdcUpdates in three seed-shuffled chunks: last-writer-wins is an
+    // order-independent argmax, so the final emission per key must
+    // equal the batch max_by fold bit-exactly regardless of arrival
+    // order or chunking — no watermark involved.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val cut = 1705276800000000L
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").cast("string").as("k"),
+        expr("ts div 1000").as("o"), col("event_id").as("t"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        floor(col("value") * lit(1000000.0d)).cast("bigint").as("v"))
+      .filter(col("o") >= cut)
+    val data = new scala.util.Random(42).shuffle(
+      ev.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSeq)
+    assert(data.nonEmpty, "cutoff must leave a changelog")
+    val in = MemoryStream[(String, Long, Long, String, Long)]
+    val df = in.toDF().toDF("k", "o", "t", "op", "v")
+    val rows = new ConcurrentLinkedQueue[(String, String, Long, Long)]()
+    val q = GraftStream.cdcUpdates(df, "k", "o", "t", "op", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, String, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    data.grouped((data.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(String, String, Long, Long)])
+      .groupBy(_._1).map { case (k, vs) =>
+        val last = vs.maxBy(_._4) // n_changes is strictly increasing
+        k -> ((last._2, last._3, last._4))
+      }
+    val batch = ev.groupBy(col("k"))
+      .agg(max_by(struct(col("op"), col("v")), struct(col("o"), col("t"))).as("w"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getStruct(1).getString(0), r.getStruct(1).getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == batch, s"stream $got\nbatch $batch")
+  }
+
   test("streaming KMV sketch: final per-key (h_k, est) equals batch events_kmv_distinct") {
     // sf0.01 (150 distinct users — above the K=16 sketch size, so the
     // batch query's h_k is non-null). The stream feeds the SAME salted
