@@ -95,4 +95,23 @@ object TextOps {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und")) { case ((lang, s), els) => when(s === best && s > 0, lang).otherwise(els) }
   }
+
+  /** Per-domain admission cap — the C4/Gopher-style "at most k docs per
+    * domain" guard against a single crawl host dominating the training
+    * mix. Keeps the k best rows per `domainCol` under the deterministic
+    * priority `ord` (pass a tie-breaking column last — a non-total
+    * order would make admission nondeterministic across runs), with the
+    * rank exposed as `rk`. Scale: a rank-filter window, but Spark plans
+    * `rank <= k` as WindowGroupLimit — each map task pre-trims to its
+    * local top-k per domain BEFORE the exchange, so the shuffle carries
+    * ≤ k·|domains| rows per task, not the corpus (PlanSpec-pinned).
+    * A pathological single domain costs one k-bounded heap per task —
+    * never a full-domain sort. */
+  def perDomainCap(df: org.apache.spark.sql.DataFrame, domainCol: String,
+      k: Int, ord: Seq[Column]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("rk", row_number().over(
+        Window.partitionBy(col(domainCol)).orderBy(ord: _*)).cast("bigint"))
+      .filter(col("rk") <= k)
+  }
 }

@@ -526,7 +526,28 @@ object TextQueries {
         count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("kept_tokens"))
   }
 
+  /** Per-domain admission cap under the oracle gate —
+    * [[graft.ext.TextOps.perDomainCap]]: keep the 10 longest docs per
+    * source (n_chars DESC, doc_id tiebreak), report each kept doc with
+    * its rank and its domain's total count. Complements [[curateMix]]
+    * (rate-based sampling) with the CAP-based guard real crawls need —
+    * a single hot host must not dominate the mix no matter its volume.
+    * Scale: the rank filter plans as WindowGroupLimit (map-side top-k
+    * per domain BEFORE the exchange, PlanSpec-pinned); the per-domain
+    * totals are a map-side-combined aggregate whose |domains| rows
+    * broadcast back onto the capped survivors. */
+  def curateDomainCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val kept = graft.ext.TextOps.perDomainCap(
+      d.select(col("doc_id"), col("source"), col("n_chars")),
+      "source", 10, Seq(col("n_chars").desc, col("doc_id").asc))
+    val totals = d.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+    kept.join(broadcast(totals), Seq("source"))
+      .select(col("doc_id"), col("source"), col("rk"), col("n_source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_domain_cap" -> (curateDomainCap _),
     "curate_mix" -> (curateMix _),
     "curate_line_dedup" -> (curateLineDedup _),
     "curate_split" -> (curateSplit _),
@@ -578,6 +599,15 @@ object TextQueries {
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
+    "curate_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+        |  FROM documents),
+        |t AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1)
+        |SELECT doc_id, r.source AS source, rk, n_source
+        |FROM r JOIN t ON r.source = t.source
+        |WHERE rk <= 10""".stripMargin,
     "curate_mix" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens,

@@ -703,6 +703,16 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "BroadcastNestedLoopJoin") <= 2 && !p.contains("CartesianProduct"), p)
   }
 
+  test("curate_domain_cap: rank filter plans as a partial WindowGroupLimit") {
+    // The cap must pre-trim per map task: WindowGroupLimit (Partial)
+    // before the exchange means the shuffle carries <= k rows per
+    // (task, domain), not the corpus. Totals come back as a broadcast.
+    val p = plan("curate_domain_cap")
+    assert(p.contains("WindowGroupLimit"), s"cap must push a partial top-k:\n$p")
+    assert(p.contains("BroadcastExchange"), s"domain totals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
