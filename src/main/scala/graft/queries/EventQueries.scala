@@ -513,6 +513,42 @@ object EventQueries {
       Seq("tus", "event_id"), "op", Seq("val"))
   }
 
+  /** Change-point detection — per event type, the day boundary where
+    * the daily-count mean shifts most (CUSUM-style split statistic),
+    * completing the time-series trio: [[eventsTrend]] (drift),
+    * [[eventsAnomaly]] (outliers), and this (regime change). For every
+    * split k of the T daily counts the statistic is the cross-
+    * multiplied mean gap |cum_k·(T−k) − (S−cum_k)·k| — ALL-INTEGER, so
+    * the argmax cannot flip on cross-engine float rounding; ties break
+    * to the earliest day via a (stat, −day) argmax struct. Scale: the
+    * corpus collapses to |types|×|days| rows in one map-side-combined
+    * aggregate; the cumulative window and the argmax run over that
+    * rollup, never the fact table (the [[qMonthlyGrowth]]
+    * window-over-aggregate posture). */
+  def eventsChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = graft.core.QueryCaches.track(
+      events(spark, sfDir)
+        .groupBy(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("c")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val cum = daily
+      .withColumn("k", row_number().over(w).cast("bigint"))
+      .withColumn("cum", sum(col("c")).over(w))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("s_total"), count(lit(1)).as("t_days"))
+    cum.join(broadcast(tot), Seq("event_type"))
+      .filter(col("k") < col("t_days"))
+      .withColumn("stat", abs(col("cum") * (col("t_days") - col("k")) -
+        (col("s_total") - col("cum")) * col("k")))
+      .groupBy(col("event_type"))
+      .agg(max_by(struct(col("day"), col("stat")),
+          struct(col("stat"), (lit(-1L) * col("day")).as("nd"))).as("b"),
+        min(col("s_total")).as("s_total"), min(col("t_days")).as("t_days"))
+      .select(col("event_type"), col("b.day").as("cp_day"),
+        col("b.stat").as("stat"), col("s_total"), col("t_days"))
+  }
+
   /** KMV sketch ALGEBRA — the property that makes sketches the 100 TB
     * tool: two per-type KMV sketches of distinct (user, day) active
     * pairs are MERGED (k smallest of the union of the two k-sets) into
@@ -564,6 +600,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_scd" -> (eventsScd _),
     "events_cdc_merge" -> (eventsCdcMerge _),
+    "events_changepoint" -> (eventsChangepoint _),
     "events_kmv_overlap" -> (eventsKmvOverlap _),
     "events_cooccur" -> (eventsCooccur _),
     "events_markov" -> (eventsMarkov _),
@@ -597,6 +634,26 @@ object EventQueries {
         |SELECT event_type, n_events, n_intervals,
         |  CAST(100 * (n_events - n_intervals) // n_events AS BIGINT) AS compression_pct
         |FROM g""".stripMargin,
+    "events_changepoint" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS c FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, day,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS k,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM daily),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s_total,
+        |    CAST(count(*) AS BIGINT) AS t_days FROM daily GROUP BY 1),
+        |st AS (SELECT c.event_type AS event_type, day,
+        |    abs(cum * (t_days - k) - (s_total - cum) * k) AS stat,
+        |    s_total, t_days
+        |  FROM cum c JOIN tot t ON c.event_type = t.event_type
+        |  WHERE k < t_days),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY stat DESC, day ASC) AS rn FROM st)
+        |SELECT event_type, day AS cp_day, stat, s_total, t_days
+        |FROM r WHERE rn = 1""".stripMargin,
     "events_cdc_merge" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
         |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
