@@ -604,8 +604,40 @@ object SimQueries {
   def simGram(spark: SparkSession, sfDir: String): DataFrame =
     SimOps.gramMatrix(emb(spark, sfDir), "embedding", 16)
 
+  /** Power iteration over the Gram relation — the top-principal-
+    * direction estimate that turns [[simGram]]'s one-pass sums into
+    * actual PCA, spelled the way iterative linear algebra should look
+    * on a cluster: matrix-vector products as joins against a broadcast
+    * vector, never a driver-side matrix. v0 = e_0, so v1 is Gram
+    * column 0 and v2 = G·v1; each dot product accumulates as
+    * DECIMAL(38,6) ([[Tables.dsum]]) making the 16-term sums
+    * order-independent — the float left-fold would differ between
+    * engines. Unnormalized on purpose: the direction is what PCA needs,
+    * normalization is one driver-side scalar, and avoiding sqrt keeps
+    * the row hash-exact (the [[simPagerank]] integer-rounds argument,
+    * decimal flavor). Scale: the corpus is touched ONCE (inside
+    * gramMatrix); both iterations join ≤ d² Gram rows with a broadcast
+    * d-row vector — free at any corpus size. */
+  def simPcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    // persist the 136-row Gram relation: the symmetrized union reads it
+    // twice, and v1/v2 each read the union — without the persist the
+    // corpus would be scanned four times.
+    val g = graft.core.QueryCaches.track(
+      SimOps.gramMatrix(emb(spark, sfDir), "embedding", 16)
+        .select(col("i"), col("j"), col("s_xy")))
+    val sym = g.unionAll(g.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("s_xy")))
+    val v1 = sym.filter(col("j") === 0L).select(col("i"), col("s_xy").as("v1"))
+    val v2 = sym.join(broadcast(v1.select(col("i").as("j"), col("v1").as("vj"))), Seq("j"))
+      .groupBy(col("i"))
+      .agg(sum((col("s_xy") * col("vj")).cast(dec)).cast("double").as("v2"))
+    v1.join(v2, Seq("i"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_gram" -> (simGram _),
+    "sim_pca_power" -> (simPcaPower _),
     "sim_pq" -> (simPq _),
     "sim_pq_topk" -> (simPqTopk _),
     "sim_triangles" -> (simTriangles _),
@@ -677,6 +709,21 @@ object SimQueries {
        |      WHERE f.vec_id < f.nbr_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "sim_pca_power" ->
+      """WITH gram AS (SELECT CAST(ii AS BIGINT) AS i, CAST(jj AS BIGINT) AS j,
+        |    CAST(SUM(CAST(CAST(embedding[ii + 1] AS DOUBLE) *
+        |      CAST(embedding[jj + 1] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS s
+        |  FROM embeddings,
+        |    (SELECT unnest(range(0, 16)) AS ii),
+        |    (SELECT unnest(range(0, 16)) AS jj)
+        |  WHERE jj >= ii GROUP BY 1, 2),
+        |sym AS (SELECT i, j, s FROM gram
+        |  UNION ALL SELECT j AS i, i AS j, s FROM gram WHERE i <> j),
+        |v1 AS (SELECT i, s AS v1 FROM sym WHERE j = 0),
+        |v2 AS (SELECT sym.i AS i,
+        |    CAST(SUM(CAST(sym.s * v1.v1 AS DECIMAL(38,6))) AS DOUBLE) AS v2
+        |  FROM sym JOIN v1 ON sym.j = v1.i GROUP BY 1)
+        |SELECT v1.i AS i, v1, v2 FROM v1 JOIN v2 ON v1.i = v2.i""".stripMargin,
     "sim_gram" ->
       """SELECT CAST(ii AS BIGINT) AS i, CAST(jj AS BIGINT) AS j,
         |  CAST(count(*) AS BIGINT) AS n_vecs,
