@@ -143,6 +143,64 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the AllPairs/
+    * PPJoin family; distributed shape per Vernica, Carey & Li, SIGMOD'10
+    * "Efficient Parallel Set-Similarity Joins Using MapReduce").
+    * Returns every pair with Jaccard(fps_a, fps_b) ≥ num/den — no false
+    * negatives, unlike the MinHash/SimHash sketch paths: this is the
+    * exact counterpart that pins their recall.
+    *
+    * Filter lemma: order every set's elements by a global total order
+    * (here ascending document frequency, rarest first, fp as
+    * tie-break) and keep each set's PREFIX of length
+    * p = s − ⌈τ·s⌉ + 1. If two sets' prefixes are disjoint, every
+    * common element lies in one set's suffix, so |A∩B| ≤ ⌈τ·|A|⌉ − 1
+    * < τ·|A∪B| — the pair cannot reach the threshold. Hence joining
+    * prefixes on element equality generates ALL qualifying pairs;
+    * df-ascending ordering makes prefixes the rarest elements, so
+    * candidate buckets are the SMALL df tails, not the stopword heads.
+    *
+    * Plan: df counts (one map-side-combined groupBy over exploded
+    * elements), per-set ordered arrays (one groupBy-id with an in-row
+    * sort_array — no window, no global rank), prefix explode, fp-keyed
+    * equi-join (never all-pairs), then id-keyed verification joins
+    * computing the exact intersection in-row (array_intersect). All
+    * comparisons integer: J ≥ num/den ⟺ (num+den)·inter ≥ num·(sa+sb).
+    * At 100 TB candidate volume is Σ_prefix-fp df² — bounded by how
+    * rare prefixes are; hot elements (boilerplate shingles) can
+    * additionally be capped with [[capBuckets]] on the exploded prefix
+    * relation, trading exactness for the documented skew guard. */
+  def prefixJoin(withFps: org.apache.spark.sql.DataFrame, idCol: String, fpsCol: String,
+      num: Int, den: Int): org.apache.spark.sql.DataFrame = {
+    require(0 < num && num <= den, s"threshold $num/$den not in (0,1]")
+    val base = withFps.select(col(idCol).as("_id"), array_distinct(col(fpsCol)).as("_fps"))
+      .filter(size(col("_fps")) > 0)
+    val toks = base.select(col("_id"), explode(col("_fps")).as("fp"))
+    val dfreq = toks.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    // (df, fp)-sorted element array + size, computed once for the
+    // prefix generation AND both verification probes.
+    val ordered = trackPersist(toks.join(dfreq, "fp")
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("fp")))).as("arr"))
+      .select(col("_id"), transform(col("arr"), e => e("fp")).as("fps"),
+        size(col("arr")).cast("bigint").as("s")))
+    // p = s − ⌈(num/den)·s⌉ + 1, all-integer: ⌈n·s/d⌉ = (n·s + d − 1) div d.
+    val prefix = ordered.select(col("_id"),
+      explode(expr(s"slice(fps, 1, int(s - (($num*s + ${den - 1}) div $den) + 1))")).as("fp"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.fp") === col("b.fp") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b")).distinct()
+    cand
+      .join(ordered.select(col("_id").as("id_a"), col("fps").as("fps_a"), col("s").as("sa")), "id_a")
+      .join(ordered.select(col("_id").as("id_b"), col("fps").as("fps_b"), col("s").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("fps_a"), col("fps_b"))).cast("bigint").as("inter"),
+        (col("sa") + col("sb")).as("szsum"))
+      .filter(col("inter") * (num + den) >= col("szsum") * num)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("szsum") - col("inter")).as("uni"))
+  }
+
   /** Duplicate clusters from candidate pairs: connected components via
     * min-label propagation, so each member maps to the smallest id in
     * its component (`cluster_rep` — the keep-first representative;

@@ -434,7 +434,25 @@ object DedupQueries {
         array_max(col("u")).as("sig_max"))
   }
 
+  /** EXACT set-similarity self-join at Jaccard ≥ 4/5 over 3-shingle
+    * fingerprint sets of the near-dup-planted corpus, via
+    * [[DedupOps.prefixJoin]] (prefix filtering — no false negatives).
+    * The oracle is the NAIVE all-pairs token join, so a green row
+    * proves the prefix filter generated every qualifying candidate —
+    * the recall-100% contract the sketch families (dedup_near,
+    * dedup_simhash_pairs) only approximate. Output is all-integer
+    * (intersection / union sizes); J ≥ 4/5 ⟺ 9·inter ≥ 4·(sa+sb). */
+  def dedupPrefixJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val corpus = d.unionAll(d.select((col("doc_id") + SHIFT).as("doc_id"),
+      firstTokenDropped.as("text")))
+    val withFps = corpus.select(col("doc_id"),
+      shingleFps(tokens(col("text")), 3).as("fps"))
+    DedupOps.prefixJoin(withFps, "doc_id", "fps", 4, 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_prefix_join" -> (dedupPrefixJoin _),
     "dedup_source_sketch" -> (dedupSourceSketch _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_canonical" -> (dedupCanonical _),
@@ -764,6 +782,19 @@ object DedupQueries {
          |JOIN (SELECT doc_id AS doc_b, fps AS fps_b FROM snip_t) b
          |  ON doc_b = doc_a + 1000000
          |WHERE len(fps_a) > 0 AND len(fps_b) > 0""".stripMargin,
+    "dedup_prefix_join" ->
+      s"""WITH corpus AS ($corpusNearSql),
+         |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+         |sh_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${fpFold("s")})) AS fps FROM sh_t),
+         |tok AS (SELECT doc_id, unnest(fps) AS fp FROM fp_t WHERE len(fps) > 0),
+         |sz AS (SELECT doc_id, len(fps) AS s FROM fp_t WHERE len(fps) > 0),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |          FROM tok a JOIN tok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter, sa.s + sb.s - inter AS uni
+         |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE 9 * inter >= 4 * (sa.s + sb.s)""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |sh_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),
