@@ -597,7 +597,34 @@ object EventQueries {
         col("exact_inter"))
   }
 
+  /** Calendar gap-fill (time-series resample): daily HIGH-VALUE event
+    * counts per type with missing days materialized as 0 over the
+    * corpus's [min day, max day] span — the densification step every
+    * downstream trend/anomaly/forecast op assumes (a missing day IS a
+    * zero, not an absent row; 46 of 150 (type, day) cells are gaps at
+    * the value > 200 threshold). Plan: one map-side-combined daily
+    * aggregate (the only pass over the events table — the bounds ride
+    * the same scan as a second aggregate), then the calendar spine is
+    * sequence()-exploded from the 1-row bounds relation and
+    * cross-joined with the distinct types — both broadcast-sized
+    * (|days| × |types|, calendar-bounded regardless of event volume) —
+    * and the counts LEFT-join the spine. At 100 TB the dense side of
+    * the join is the tiny one; the fact table is touched once. */
+  def eventsGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = load(spark, sfDir, "events")
+    val hi = ev.filter(col("value") > 200.0)
+    val daily = hi.groupBy(col("event_type"), to_date(tsMicros).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(min(to_date(tsMicros)).as("mn"), max(to_date(tsMicros)).as("mx"))
+    val days = bounds.select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    types.crossJoin(broadcast(days))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_gapfill" -> (eventsGapfill _),
     "events_scd" -> (eventsScd _),
     "events_cdc_merge" -> (eventsCdcMerge _),
     "events_changepoint" -> (eventsChangepoint _),
@@ -621,6 +648,15 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_gapfill" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |           FROM events WHERE value > 200.0 GROUP BY 1, 2),
+        |b AS (SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events),
+        |cal AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |t AS (SELECT DISTINCT event_type FROM events)
+        |SELECT t.event_type, cal.day, coalesce(d.n, 0) AS n
+        |FROM t CROSS JOIN cal
+        |LEFT JOIN d ON d.event_type = t.event_type AND d.day = cal.day""".stripMargin,
     "events_scd" ->
       """WITH s AS (SELECT event_type,
         |    CAST(floor(value / 50) AS BIGINT) AS state,

@@ -283,6 +283,62 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
   }
 
+  /** Snapshot diff (table-audit operator): per-customer order count +
+    * revenue as of cutoff T1 vs cutoff T2, each key classified
+    * added / changed / unchanged — the "what moved between yesterday's
+    * load and today's" audit. The oracle spells the textbook
+    * two-snapshot LEFT JOIN; the engine computes BOTH snapshots in ONE
+    * scan + ONE shuffle via conditional aggregation (count/sum over
+    * `CASE WHEN date < T1`), which is the 100 TB plan — the fact table
+    * is read once and no snapshot-to-snapshot join exists at all. The
+    * conditional decimal sums are order-independent, so they equal the
+    * oracle's per-snapshot sums exactly. Appended-only facts mean
+    * 'removed' cannot occur; the classification still covers it (a T1
+    * key with zero T2 rows never surfaces — documented contract). */
+  def qSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val t1 = "1999-01-01"
+    val ord = load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+    val old = col("o_orderdate") < lit(t1).cast("timestamp")
+    ord.groupBy(col("o_custkey"))
+      .agg(count(when(old, 1)).as("cnt_old"),
+        count(lit(1)).as("cnt_new"),
+        dsum(when(old, col("o_totalprice"))).as("rev_old_raw"),
+        dsum(col("o_totalprice")).as("rev_new"))
+      .select(col("o_custkey"),
+        when(col("cnt_old") === 0, "added")
+          .when(col("cnt_old") =!= col("cnt_new"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("cnt_old"), col("cnt_new"),
+        coalesce(col("rev_old_raw"), lit(0.0)).as("rev_old"), col("rev_new"))
+  }
+
+  /** SKYLINE (Pareto frontier) operator: parts not dominated on
+    * (maximize p_size, minimize p_retailprice) — q dominates p iff
+    * q.size ≥ p.size ∧ q.price ≤ p.price with one strict. The oracle
+    * spells the textbook NOT EXISTS anti-join (quadratic); the engine
+    * plan is the distributed 2-D sweep: per-size min price (ONE
+    * map-side-combined aggregate — the only pass over the table's
+    * full width), then a cumulative strict-min window over the
+    * per-size relation, whose size is the ATTRIBUTE DOMAIN (|distinct
+    * p_size| ≤ 50), not the table — so the unpartitioned window is a
+    * constant-size driver-free step at any corpus scale — and a
+    * broadcast join back to recover every tied frontier part. No
+    * arithmetic on the doubles (min + compare only), so values are
+    * bit-identical cross-engine. */
+  def qSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = load(spark, sfDir, "part")
+    val minp = part.groupBy(col("p_size")).agg(min(col("p_retailprice")).as("minp"))
+    val w = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = minp.withColumn("strict", min(col("minp")).over(w))
+      .filter(col("strict").isNull || col("minp") < col("strict"))
+      .select(col("p_size").as("_fs"), col("minp"))
+    part.join(broadcast(frontier),
+        part("p_size") === col("_fs") && part("p_retailprice") === col("minp"))
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+  }
+
   /** TPC-H Q10-style returned-item losers: customers ranked by revenue
     * of returned lineitems, deterministic top-20. */
   def q10Returns(spark: SparkSession, sfDir: String): DataFrame = {
@@ -766,6 +822,8 @@ object Relational {
     "q7_volume" -> (q7Volume _),
     "q8_mkt_share" -> (q8MktShare _),
     "q_value_bands" -> (qValueBands _),
+    "q_skyline" -> (qSkyline _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "q10_returns" -> (q10Returns _),
     "q6_forecast" -> (q6Forecast _),
     "q4_priority" -> (q4Priority _),
@@ -1021,6 +1079,25 @@ object Relational {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH a AS (SELECT o_custkey, COUNT(*) AS cnt,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01' GROUP BY 1),
+        |b AS (SELECT o_custkey, COUNT(*) AS cnt,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01' GROUP BY 1)
+        |SELECT b.o_custkey,
+        |  CASE WHEN a.o_custkey IS NULL THEN 'added'
+        |       WHEN a.cnt <> b.cnt THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  coalesce(a.cnt, 0) AS cnt_old, b.cnt AS cnt_new,
+        |  coalesce(a.rev, 0.0) AS rev_old, b.rev AS rev_new
+        |FROM b LEFT JOIN a ON a.o_custkey = b.o_custkey""".stripMargin,
+    "q_skyline" ->
+      """SELECT p_partkey, p_size, p_retailprice FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))""".stripMargin,
     "q_value_bands" ->
       """SELECT band, COUNT(*) AS n,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty

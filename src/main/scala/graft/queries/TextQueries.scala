@@ -164,6 +164,27 @@ object TextQueries {
       .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
   }
 
+  /** Weighted (probability-proportional-to-size) Bernoulli sampling —
+    * the companion to [[curateSample]]'s stratified rates: each doc is
+    * admitted with probability n_chars/2000 (longer docs more likely),
+    * decided by `fingerprint(text) mod 2000 < n_chars`. Same
+    * reproducibility contract: content-keyed, no RNG, stable under
+    * retries and re-partitioning, identical in any engine. PPS is the
+    * variance-optimal design for totals correlated with the weight;
+    * each sampled row carries its Horvitz-Thompson contribution
+    * (tok_n · 2000)/n_chars — an unbiased estimate of corpus token
+    * count from the sample alone (spelled with the same operation
+    * order in both engines: int·int product, then ONE IEEE division).
+    * Pure per-row scan work — no shuffle at any corpus size. */
+  def curatePpsSample(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"), TextOps.tokenCount(col("text")).as("tok_n"),
+        pmod(fingerprint(col("text")), lit(2000L)).as("h"))
+      .filter(col("h") < col("n_chars"))
+      .select(col("doc_id"), col("n_chars"), col("tok_n"),
+        ((col("tok_n") * lit(2000L)).cast("double") / col("n_chars").cast("double"))
+          .as("ht_contrib"))
+
   /** Within-document n-gram repetition — the boilerplate/spam signal
     * (listing pages, keyword stuffing, templated chrome repeat the same
     * shingles): rep_ratio = 1 − |distinct 3-gram fps| / |3-gram fps|.
@@ -561,6 +582,7 @@ object TextQueries {
     "text_repetition" -> (textRepetition _),
     "curate_pipeline" -> (curatePipeline _),
     "curate_sample" -> (curateSample _),
+    "curate_pps_sample" -> (curatePpsSample _),
     "text_redact" -> (textRedact _),
     "text_stats" -> (textStats _),
     "text_fingerprint" -> (textFingerprint _),
@@ -805,6 +827,14 @@ object TextQueries {
          |SELECT lang, CAST(rate AS BIGINT) AS rate, COUNT(*) AS n_sampled,
          |       MIN(doc_id) AS first_doc
          |FROM h_t WHERE h < rate GROUP BY lang, rate""".stripMargin,
+    "curate_pps_sample" ->
+      s"""WITH h_t AS (SELECT doc_id, n_chars,
+         |  CAST(len($toksSql) AS BIGINT) AS tok_n,
+         |  $fpSql % 2000 AS h
+         |  FROM documents)
+         |SELECT doc_id, n_chars, tok_n,
+         |       CAST(tok_n * 2000 AS DOUBLE) / CAST(n_chars AS DOUBLE) AS ht_contrib
+         |FROM h_t WHERE h < n_chars""".stripMargin,
     "text_redact" ->
       s"""WITH pii AS (SELECT doc_id,
          |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' AS text
