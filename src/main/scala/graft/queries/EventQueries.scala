@@ -608,16 +608,21 @@ object EventQueries {
     * sequence()-exploded from the 1-row bounds relation and
     * cross-joined with the distinct types — both broadcast-sized
     * (|days| × |types|, calendar-bounded regardless of event volume) —
-    * and the counts LEFT-join the spine. At 100 TB the dense side of
-    * the join is the tiny one; the fact table is touched once. */
+    * and the counts LEFT-join the spine. At 100 TB the fact table is
+    * touched ONCE: the daily aggregate groups ALL events (counting
+    * only the high-value ones conditionally), so the calendar bounds
+    * and the type dimension both derive from the persisted
+    * |types|×|days| aggregate instead of re-scanning events — and a
+    * (type, day) cell whose events are all low-value carries n = 0
+    * through either the aggregate row or the spine join identically. */
   def eventsGapfill(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = load(spark, sfDir, "events")
-    val hi = ev.filter(col("value") > 200.0)
-    val daily = hi.groupBy(col("event_type"), to_date(tsMicros).as("day"))
-      .agg(count(lit(1)).as("n"))
-    val bounds = ev.agg(min(to_date(tsMicros)).as("mn"), max(to_date(tsMicros)).as("mx"))
+    val daily = graft.ext.DedupOps.trackPersist(
+      ev.groupBy(col("event_type"), to_date(tsMicros).as("day"))
+        .agg(count(when(col("value") > 200.0, 1)).as("n")))
+    val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
     val days = bounds.select(explode(sequence(col("mn"), col("mx"))).as("day"))
-    val types = ev.select(col("event_type")).distinct()
+    val types = daily.select(col("event_type")).distinct()
     types.crossJoin(broadcast(days))
       .join(daily, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"))

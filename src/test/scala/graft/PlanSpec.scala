@@ -713,6 +713,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dedup_prefix_join: candidate generation is an fp equi-join, never all-pairs") {
+    val p = plan("dedup_prefix_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "prefix filter must join prefixes on element equality, not enumerate pairs:\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q_skyline: frontier (attribute-domain-sized) broadcasts back to the table") {
+    val p = plan("q_skyline")
+    assert(p.contains("BroadcastExchange"), s"frontier must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("events_gapfill: exactly ONE scan of the fact table; spine joins are tiny") {
+    val p = plan("events_gapfill")
+    assert(nOps(p, "Scan parquet") == 1,
+      s"bounds and types must derive from the daily aggregate, not re-scan events:\n$p")
+    // the |types| x |days| spine cross join is the one deliberate BNLJ
+    assert(nOps(p, "BroadcastNestedLoopJoin") <= 1 && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_snapshot_diff: both snapshots in ONE scan, join-free conditional aggregation") {
+    val p = plan("q_snapshot_diff")
+    assert(nOps(p, "Scan parquet") == 1, s"one scan for both cutoffs:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "BroadcastHashJoin") +
+      nOps(p, "ShuffledHashJoin") + nOps(p, "BroadcastNestedLoopJoin") +
+      nOps(p, "CartesianProduct") == 0,
+      s"snapshot diff must not join snapshot to snapshot:\n$p")
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
