@@ -635,7 +635,37 @@ object SimQueries {
     v1.join(v2, Seq("i"))
   }
 
+  /** Bounded k-core peel over the mutual-kNN graph — the degeneracy-
+    * trimming op beside [[simTriangles]]/[[simLabelProp]]/
+    * [[simPagerank]]: 5 rounds of "drop vertices with degree < 3,
+    * restrict edges to survivors". The true 3-core is this peel's
+    * fixpoint; a FIXED round count (the [[simLabelProp]] bounded-
+    * horizon contract) keeps the result deterministic at every scale
+    * factor and bounds latency — each extra round is one map-side-
+    * combined degree aggregate plus two vertex-keyed semi-joins, so
+    * peel depth is a declared knob, not a data-dependent loop. Every
+    * round's edge relation is query-scope persisted: round r is read
+    * twice by round r+1 (degree count + restriction), and an
+    * unpersisted chain would re-execute the LSH-bucketed kNN pipeline
+    * 2^rounds times. Output: surviving vertices with their degree in
+    * the round-5 subgraph. */
+  def simKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = graft.core.QueryCaches.track(mutualEdges(spark, sfDir))
+    var adj = m.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(m.select(col("v").as("src"), col("u").as("dst")))
+    for (_ <- 1 to 5) {
+      val keep = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 3).select(col("src").as("kid"))
+      adj = graft.core.QueryCaches.track(
+        adj.join(keep, col("src") === col("kid"), "left_semi")
+          .join(keep, col("dst") === col("kid"), "left_semi"))
+    }
+    adj.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("vec_id"), col("core_deg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kcore" -> (simKcore _),
     "sim_gram" -> (simGram _),
     "sim_pca_power" -> (simPcaPower _),
     "sim_pq" -> (simPq _),
@@ -795,6 +825,18 @@ object SimQueries {
          |            UNION ALL SELECT b FROM tri
          |            UNION ALL SELECT c FROM tri)
          |SELECT vec_id, COUNT(*) AS n_tri FROM corners GROUP BY vec_id""".stripMargin,
+    "sim_kcore" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""k$i AS (SELECT src FROM (SELECT src, COUNT(*) AS deg
+           |        FROM a${i - 1} GROUP BY src) WHERE deg >= 3),
+           |a$i AS (SELECT a.src, a.dst FROM a${i - 1} a
+           |        JOIN k$i s ON a.src = s.src JOIN k$i t ON a.dst = t.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $mutualSql,
+         |a0 AS (SELECT u AS src, v AS dst FROM m UNION ALL SELECT v, u FROM m),
+         |$rounds
+         |SELECT src AS vec_id, COUNT(*) AS core_deg FROM a5 GROUP BY src""".stripMargin
+    },
     "sim_pagerank" -> {
       val rounds = (1 to 3).map { i =>
         s"""c$i AS (SELECT a.dst AS id, CAST(SUM(p.pr // d.deg) AS BIGINT) AS sc
