@@ -735,6 +735,44 @@ object Relational {
         col("ms").cast("double").as("sum_merged"))
   }
 
+  /** JOIN-view delta maintenance, extending [[qIncrementalMv]] from
+    * aggregate-only to join views: V = orders ⋈ customer rolled up per
+    * nation. Join distributes over the fact partition
+    * ((base ∪ Δ) ⋈ dim = base⋈dim ∪ Δ⋈dim), so maintaining V under a
+    * new batch costs ONE Δ-proportional broadcast join + partial
+    * re-aggregation of decimal (sum, count) states — the base facts
+    * are never re-scanned at refresh time. The row carries the
+    * maintained and the fully-recomputed states side by side under one
+    * hash, so the gate proves maintained == recompute exactly (decimal
+    * partials are order/association-proof; this is the same contract a
+    * warehouse MERGE refresh relies on). customer is SF-scaled, so no
+    * broadcast is forced — AQE picks the join side per actual sizes
+    * (the repo-wide q3/q5 rule); each leg shuffles once on the rollup
+    * key after the key-equi join. */
+  def qIncrementalJoinMv(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cust = load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val o = graft.core.QueryCaches.track(
+      load(spark, sfDir, "orders").select(col("o_custkey"),
+        col("o_orderdate").as("d"),
+        col("o_totalprice").cast(DecimalType(38, 6)).as("p")))
+    def leg(f: org.apache.spark.sql.Column): DataFrame =
+      o.filter(f).join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("p")).as("ps"), count(lit(1)).as("pn"))
+    val merged = leg(col("d") < cutoff).unionAll(leg(col("d") >= cutoff))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("ps")).cast(DecimalType(38, 6)).as("ms"), sum(col("pn")).as("n_merged"))
+    val full = o.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("p")).as("fs"), count(lit(1)).as("n_full"))
+    merged.join(full, Seq("c_nationkey"))
+      .select(col("c_nationkey"), col("n_full"), col("n_merged"),
+        col("fs").cast("double").as("sum_full"),
+        col("ms").cast("double").as("sum_merged"))
+  }
+
   /** Data-quality constraint suite under the oracle gate — the
     * validation pass that fronts every production ingest, via
     * [[graft.ext.QualityOps]]: two completeness checks, exact
@@ -804,6 +842,7 @@ object Relational {
     "q_dq_report" -> (qDqReport _),
     "q_drift" -> (qDrift _),
     "q_incremental_mv" -> (qIncrementalMv _),
+    "q_incremental_join_mv" -> (qIncrementalJoinMv _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_trailing_30d" -> (qTrailing30d _),
@@ -899,6 +938,22 @@ object Relational {
         |SELECT st, month, n_full, n_merged,
         |  CAST(fs AS DOUBLE) AS sum_full, CAST(ms AS DOUBLE) AS sum_merged
         |FROM mg JOIN f USING (st, month)""".stripMargin,
+    "q_incremental_join_mv" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate AS d,
+        |    CAST(o_totalprice AS DECIMAL(38,6)) AS p FROM orders),
+        |j AS (SELECT c_nationkey, d, p FROM o
+        |      JOIN customer ON o_custkey = c_custkey),
+        |b AS (SELECT c_nationkey, SUM(p) AS ps, COUNT(*) AS pn FROM j
+        |      WHERE d < TIMESTAMP '1998-01-01' GROUP BY 1),
+        |dl AS (SELECT c_nationkey, SUM(p) AS ps, COUNT(*) AS pn FROM j
+        |       WHERE d >= TIMESTAMP '1998-01-01' GROUP BY 1),
+        |mg AS (SELECT c_nationkey, CAST(SUM(ps) AS DECIMAL(38,6)) AS ms,
+        |         CAST(SUM(pn) AS BIGINT) AS n_merged
+        |       FROM (SELECT * FROM b UNION ALL SELECT * FROM dl) GROUP BY 1),
+        |f AS (SELECT c_nationkey, SUM(p) AS fs, COUNT(*) AS n_full FROM j GROUP BY 1)
+        |SELECT c_nationkey, n_full, n_merged,
+        |  CAST(fs AS DOUBLE) AS sum_full, CAST(ms AS DOUBLE) AS sum_merged
+        |FROM mg JOIN f USING (c_nationkey)""".stripMargin,
     "q_zorder" ->
       s"""WITH b0 AS (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
         |m AS (SELECT max(pk) AS pkm, max(sk) AS skm, count(*) AS nr FROM b0),

@@ -185,6 +185,36 @@ object TextQueries {
         ((col("tok_n") * lit(2000L)).cast("double") / col("n_chars").cast("double"))
           .as("ht_contrib"))
 
+  /** Inverted-index construction (the search-infrastructure operator):
+    * per term, document frequency, collection frequency, and a BOUNDED
+    * posting-list preview (first 10 doc_ids ascending, comma-joined).
+    * The cap is enforced BEFORE any collect: distinct (term, doc_id)
+    * postings are ranked per term and trimmed via the rank filter that
+    * plans as a partial WindowGroupLimit (map tasks ship ≤ 10 rows per
+    * term — a stopword's million-doc posting list never crosses the
+    * exchange, the same guard as curate_domain_cap), then the ≤
+    * 10-element groups collect in-row. df/cf ride a separate
+    * aggregate of the same exploded relation — count states, not
+    * lists, so the unbounded side of the index is aggregate-shaped.
+    * Real index builds shard full postings to files per term range;
+    * the preview column is what an audit/gate query would keep. */
+  def textInvertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = graft.ext.DedupOps.trackPersist(
+      load(spark, sfDir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term")))
+    val stats = toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    val top = toks.select(col("term"), col("doc_id")).distinct()
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("term"),
+        concat_ws(",", transform(col("ids"), v => v.cast("string"))).as("postings"))
+    stats.join(top, Seq("term"))
+      .select(col("term"), col("df"), col("cf"), col("postings"))
+  }
+
   /** Within-document n-gram repetition — the boilerplate/spam signal
     * (listing pages, keyword stuffing, templated chrome repeat the same
     * shingles): rep_ratio = 1 − |distinct 3-gram fps| / |3-gram fps|.
@@ -583,6 +613,7 @@ object TextQueries {
     "curate_pipeline" -> (curatePipeline _),
     "curate_sample" -> (curateSample _),
     "curate_pps_sample" -> (curatePpsSample _),
+    "text_inverted_index" -> (textInvertedIndex _),
     "text_redact" -> (textRedact _),
     "text_stats" -> (textStats _),
     "text_fingerprint" -> (textFingerprint _),
@@ -835,6 +866,13 @@ object TextQueries {
          |SELECT doc_id, n_chars, tok_n,
          |       CAST(tok_n * 2000 AS DOUBLE) / CAST(n_chars AS DOUBLE) AS ht_contrib
          |FROM h_t WHERE h < n_chars""".stripMargin,
+    "text_inverted_index" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf,
+         |  array_to_string(list_transform(
+         |    list_sort(list_distinct(list(doc_id)))[1:10],
+         |    v -> CAST(v AS VARCHAR)), ',') AS postings
+         |FROM tok GROUP BY term""".stripMargin,
     "text_redact" ->
       s"""WITH pii AS (SELECT doc_id,
          |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' AS text

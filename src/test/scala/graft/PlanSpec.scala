@@ -744,6 +744,18 @@ class PlanSpec extends AnyFunSuite {
       s"snapshot diff must not join snapshot to snapshot:\n$p")
   }
 
+  test("text_inverted_index: posting cap plans as a partial WindowGroupLimit") {
+    val p = plan("text_inverted_index")
+    assert(p.contains("WindowGroupLimit"),
+      s"postings must trim per map task before the exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_incremental_join_mv: key-equi joins only, no forced broadcast of the dim") {
+    val p = plan("q_incremental_join_mv")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
