@@ -621,6 +621,53 @@ object GraftStream {
       }
   }
 
+  /** Streaming 2-D skyline maintenance — the unbounded twin of the
+    * batch Pareto-frontier operator (graft.queries.Relational
+    * .qSkyline): per key, state holds the current frontier under
+    * (maximize x, minimize y). A new point is dropped if dominated,
+    * otherwise inserted and every point it dominates evicted — the
+    * fold is order-independent (the frontier of a set is unique), so
+    * NO watermark is needed and the final state equals the batch
+    * skyline under any chunking/arrival order (the [[cdcUpdates]]
+    * monotone-state argument; StreamingSpec pins parity against a
+    * naive in-test oracle). Emits (key, n_points, "x:y;…" sorted x
+    * desc) whenever the frontier changes; state is OUTPUT-bounded —
+    * exactly the frontier itself, one (x, y) pair per surviving x
+    * (expected O(log n) for independent dimensions), never the point
+    * history. */
+  def skylineUpdates(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): Dataset[(String, Long, String)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(keyCol).cast("string").as("k"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .as[(String, Long, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[Seq[(Long, Long)]]) =>
+          var frontier = state.getOption.getOrElse(Seq.empty)
+          var changed = false
+          for ((_, x, y) <- rows) {
+            val dominated = frontier.exists { case (px, py) =>
+              px >= x && py <= y && (px > x || py < y) }
+            val dup = frontier.contains((x, y))
+            if (!dominated && !dup) {
+              frontier = frontier.filterNot { case (px, py) =>
+                x >= px && y <= py } :+ ((x, y))
+              changed = true
+            }
+          }
+          if (changed) {
+            val sorted = frontier.sortBy(p => (-p._1, p._2))
+            state.update(sorted)
+            Iterator.single((key, sorted.length.toLong,
+              sorted.map(p => s"${p._1}:${p._2}").mkString(";")))
+          } else Iterator.empty
+      }
+  }
+
   /** Watermarked stream-stream interval join — the streaming form of
     * the attribution shape ([[graft.ext.AsOfJoin]] in batch): each left
     * row joins right rows with the same key whose event time falls in

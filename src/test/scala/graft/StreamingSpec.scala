@@ -756,6 +756,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got\nbatch $batch")
   }
 
+  test("streaming skyline: final frontier per key equals a naive batch Pareto oracle") {
+    // Frontier maintenance is an order-independent fold (a set's
+    // skyline is unique), so the last emission per key must equal the
+    // naive O(n^2) domination scan regardless of chunking/arrival
+    // order. Points: (x = event_id mod 97, y = floor(value*100)) per
+    // event type at sf0.001.
+    implicit val sq = spark.sqlContext
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_type").as("k"), (col("event_id") % 97).as("x"),
+        floor(col("value") * 100).cast("bigint").as("y"))
+    val data = new scala.util.Random(7).shuffle(
+      ev.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    val in = MemoryStream[(String, Long, Long)]
+    val df = in.toDF().toDF("k", "x", "y")
+    val rows = new ConcurrentLinkedQueue[(String, Long, String)]()
+    val q = GraftStream.skylineUpdates(df, "k", "x", "y")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, String)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    var lastSeen = Map.empty[String, String]
+    data.grouped((data.length + 3) / 4).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+      rows.toArray.map(_.asInstanceOf[(String, Long, String)])
+        .foreach(r => lastSeen += r._1 -> r._3) // queue preserves emission order
+    }
+    q.stop()
+    val naive = data.groupBy(_._1).map { case (k, pts) =>
+      val ps = pts.map(p => (p._2, p._3)).distinct
+      val front = ps.filterNot(p => ps.exists(q =>
+        q._1 >= p._1 && q._2 <= p._2 && (q._1 > p._1 || q._2 < p._2)))
+      k -> front.sortBy(p => (-p._1, p._2)).map(p => s"${p._1}:${p._2}").mkString(";")
+    }
+    assert(lastSeen == naive, s"stream $lastSeen\nbatch $naive")
+  }
+
   test("streaming KMV sketch: final per-key (h_k, est) equals batch events_kmv_distinct") {
     // sf0.01 (150 distinct users — above the K=16 sketch size, so the
     // batch query's h_k is non-null). The stream feeds the SAME salted
