@@ -628,7 +628,32 @@ object EventQueries {
       .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Trailing 7-day ROLLING MEDIAN of daily counts per event type —
+    * the robust smoother beside the trailing-mean spike rule
+    * ([[eventsSpikes]]) and the global MAD flags ([[eventsAnomaly]]):
+    * a single outlier day shifts a trailing mean but not the window
+    * median. Exactness contract: the window holds exactly 7 integers
+    * (days without a full history are excluded, the spikes rule), the
+    * median is the 4th order statistic of the sorted frame — a value
+    * FROM the data, percentile_disc semantics, no interpolation, no
+    * floats. Scale: the window input is the map-side-combined daily
+    * aggregate (|types| × |days| rows, calendar-bounded), so the
+    * per-type sort and the 7-element frame collect are over the tiny
+    * relation — the same bounded-window argument as events_spikes. */
+  def eventsRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = load(spark, sfDir, "events")
+      .groupBy(col("event_type"), to_date(tsMicros).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    daily.withColumn("frame", collect_list(col("n")).over(w))
+      .filter(size(col("frame")) === 7)
+      .select(col("event_type"), col("day"), col("n"),
+        element_at(sort_array(col("frame")), 4).as("med7"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rolling_median" -> (eventsRollingMedian _),
     "events_gapfill" -> (eventsGapfill _),
     "events_scd" -> (eventsScd _),
     "events_cdc_merge" -> (eventsCdcMerge _),
@@ -653,6 +678,15 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_rolling_median" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, day, n,
+        |        list(n) OVER (PARTITION BY event_type ORDER BY day
+        |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS frame
+        |      FROM d)
+        |SELECT event_type, day, n, list_sort(frame)[4] AS med7
+        |FROM f WHERE len(frame) = 7""".stripMargin,
     "events_gapfill" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
         |           FROM events WHERE value > 200.0 GROUP BY 1, 2),
