@@ -30,6 +30,10 @@ class DeterminismSpec extends AnyFunSuite {
     "events_scd",        // partitioned lag window
     "events_kmv_distinct", // order-statistic sketch
     "mm_phash",          // byte-kernel + banded hamming pairing
+    "dedup_prefix_join", // df-ordered prefix filter + verification joins
+    "sim_kcore",         // iterative peel with per-round persists
+    "q_skyline",         // frontier window + tied-part recovery join
+    "events_gapfill",    // spine cross join + derived bounds
     "op_concat_rr")      // order-defining round-robin interleave
 
   private def run(name: String, parts: Int): Seq[String] = {
