@@ -451,7 +451,38 @@ object DedupQueries {
     DedupOps.prefixJoin(withFps, "doc_id", "fps", 4, 5)
   }
 
+  /** Hybrid lexical+semantic near-dup confirmation — the two-signal
+    * curation decision: exact lexical candidates from the prefix join
+    * (Jaccard ≥ 4/5 over 3-shingle sets — recall-100% by
+    * [[DedupOps.prefixJoin]]'s filter lemma) CONFIRMED by embedding
+    * cosine ≥ 0.99 on the aligned vectors (planted copies reuse the
+    * base doc's embedding via id mod SHIFT, so true dups score 1.0;
+    * lexically-similar-but-semantically-distinct short docs fall
+    * away). Fusion adds NO second candidate generation: the embedding
+    * evidence arrives by two vec-keyed equi-joins onto the
+    * already-bounded pair set, and the cosine is the in-row native
+    * kernel ([[graft.functions.HashExprs.cosineSim]]) — per-pair
+    * column work, no vector shuffle beyond the pair fetch. */
+  def dedupHybrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val corpus = d.unionAll(d.select((col("doc_id") + SHIFT).as("doc_id"),
+      firstTokenDropped.as("text")))
+    val withFps = corpus.select(col("doc_id"),
+      shingleFps(tokens(col("text")), 3).as("fps"))
+    val pairs = DedupOps.prefixJoin(withFps, "doc_id", "fps", 4, 5)
+    val emb = load(spark, sfDir, "embeddings")
+    pairs
+      .join(emb.select(col("vec_id").as("ka"), col("embedding").as("ea")),
+        pmod(col("id_a"), lit(SHIFT)) === col("ka"))
+      .join(emb.select(col("vec_id").as("kb"), col("embedding").as("eb")),
+        pmod(col("id_b"), lit(SHIFT)) === col("kb"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        graft.ext.SimOps.cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= 0.99)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_hybrid" -> (dedupHybrid _),
     "dedup_prefix_join" -> (dedupPrefixJoin _),
     "dedup_source_sketch" -> (dedupSourceSketch _),
     "dedup_containment" -> (dedupContainment _),
@@ -782,6 +813,29 @@ object DedupQueries {
          |JOIN (SELECT doc_id AS doc_b, fps AS fps_b FROM snip_t) b
          |  ON doc_b = doc_a + 1000000
          |WHERE len(fps_a) > 0 AND len(fps_b) > 0""".stripMargin,
+    "dedup_hybrid" -> {
+      val dot = (a: String, b: String) =>
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a)+1), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (s,x) -> s + x)"
+      val cos = s"${dot("ea", "eb")} / (sqrt(${dot("ea", "ea")}) * sqrt(${dot("eb", "eb")}))"
+      s"""WITH corpus AS ($corpusNearSql),
+         |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+         |sh_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${fpFold("s")})) AS fps FROM sh_t),
+         |tok AS (SELECT doc_id, unnest(fps) AS fp FROM fp_t WHERE len(fps) > 0),
+         |sz AS (SELECT doc_id, len(fps) AS s FROM fp_t WHERE len(fps) > 0),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |       FROM tok a JOIN tok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |lex AS (SELECT id_a, id_b, inter, sa.s + sb.s - inter AS uni
+         |        FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |        WHERE 9 * inter >= 4 * (sa.s + sb.s)),
+         |wv AS (SELECT id_a, id_b, inter, uni, va.embedding AS ea, vb.embedding AS eb
+         |       FROM lex JOIN embeddings va ON id_a % 1000000 = va.vec_id
+         |                JOIN embeddings vb ON id_b % 1000000 = vb.vec_id)
+         |SELECT id_a, id_b, inter, uni, $cos AS cos
+         |FROM wv WHERE $cos >= 0.99""".stripMargin
+    },
     "dedup_prefix_join" ->
       s"""WITH corpus AS ($corpusNearSql),
          |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),
