@@ -652,7 +652,41 @@ object EventQueries {
         element_at(sort_array(col("frame")), 4).as("med7"))
   }
 
+  /** Funnel LATENCY distribution — [[eventsFunnel]] counts who
+    * converts; this measures HOW FAST: per user, seconds from first
+    * 'view' to first 'purchase' (converters only), summarized as
+    * exact integer quartiles by rank selection (the
+    * [[eventsQuantiles]] percentile_disc idiom — order statistics are
+    * tie-permutation-safe, no interpolation). Plan: per-user firsts
+    * are ONE map-side-combined conditional min aggregate over the two
+    * event types (no self-join of the fact table); the quartile rank
+    * filter runs over the converters relation (|users| bound), with
+    * the count arriving as a 1-row broadcast. */
+  def eventsFunnelLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val conv = events(spark, sfDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("tus"))).as("fv"),
+        min(when(col("event_type") === "purchase", col("tus"))).as("fp"))
+      .filter(col("fv").isNotNull && col("fp").isNotNull && col("fp") > col("fv"))
+      .select(col("user_id"), expr("(fp - fv) div 1000000").as("lat_s"))
+    val n = conv.agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("lat_s"), col("user_id"))
+    conv.withColumn("rk", row_number().over(w).cast("bigint"))
+      .crossJoin(broadcast(n))
+      .filter(col("rk") === expr("(n + 3) div 4") ||
+        col("rk") === expr("(n + 1) div 2") ||
+        col("rk") === expr("(3*n + 3) div 4"))
+      .select(col("n"), col("rk"),
+        when(col("rk") === expr("(n + 3) div 4"), "p25")
+          .when(col("rk") === expr("(n + 1) div 2"), "p50")
+          .otherwise("p75").as("q"),
+        col("lat_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel_latency" -> (eventsFunnelLatency _),
     "events_rolling_median" -> (eventsRollingMedian _),
     "events_gapfill" -> (eventsGapfill _),
     "events_scd" -> (eventsScd _),
@@ -678,6 +712,22 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_funnel_latency" ->
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+        |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+        |c AS (SELECT user_id, CAST((fp - fv) // 1000000 AS BIGINT) AS lat_s FROM f
+        |      WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp > fv),
+        |n_t AS (SELECT COUNT(*) AS n FROM c),
+        |r AS (SELECT user_id, lat_s,
+        |        row_number() OVER (ORDER BY lat_s, user_id) AS rk FROM c)
+        |SELECT n, rk,
+        |  CASE WHEN rk = (n + 3) // 4 THEN 'p25'
+        |       WHEN rk = (n + 1) // 2 THEN 'p50'
+        |       ELSE 'p75' END AS q, lat_s
+        |FROM r, n_t
+        |WHERE rk = (n + 3) // 4 OR rk = (n + 1) // 2 OR rk = (3 * n + 3) // 4""".stripMargin,
     "events_rolling_median" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
         |           FROM events GROUP BY 1, 2),

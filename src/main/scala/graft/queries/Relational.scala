@@ -313,6 +313,25 @@ object Relational {
         coalesce(col("rev_old_raw"), lit(0.0)).as("rev_old"), col("rev_new"))
   }
 
+  /** UNPIVOT (melt) — the inverse reshape of [[qPivot]], proved by
+    * ROUND-TRIP: orders are pivoted wide (month × one count column per
+    * status — a conditional aggregate over the bounded status domain,
+    * one scan) and melted back to long; the oracle is the straight
+    * long-form GROUP BY, so a green row pins that pivot→unpivot is
+    * lossless (absent combinations surface as pivot NULLs and are
+    * dropped, matching the long form's absent rows). Unpivot itself
+    * is a per-row generator projection — no shuffle beyond the wide
+    * aggregate's own. */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = load(spark, sfDir, "orders")
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("bigint").as("month"))
+      .pivot("o_orderstatus", Seq("O", "F", "P")).agg(count(lit(1)))
+    wide.unpivot(Array(col("month")), Array(col("O"), col("F"), col("P")),
+        "o_orderstatus", "n")
+      .filter(col("n").isNotNull)
+  }
+
   /** SKYLINE (Pareto frontier) operator: parts not dominated on
     * (maximize p_size, minimize p_retailprice) — q dominates p iff
     * q.size ≥ p.size ∧ q.price ≤ p.price with one strict. The oracle
@@ -862,6 +881,7 @@ object Relational {
     "q8_mkt_share" -> (q8MktShare _),
     "q_value_bands" -> (qValueBands _),
     "q_skyline" -> (qSkyline _),
+    "q_unpivot" -> (qUnpivot _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q10_returns" -> (q10Returns _),
     "q6_forecast" -> (q6Forecast _),
@@ -1134,6 +1154,10 @@ object Relational {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey""".stripMargin,
+    "q_unpivot" ->
+      """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month,
+        |       o_orderstatus, COUNT(*) AS n
+        |FROM orders GROUP BY 1, 2""".stripMargin,
     "q_snapshot_diff" ->
       """WITH a AS (SELECT o_custkey, COUNT(*) AS cnt,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
