@@ -153,6 +153,26 @@ object HashExprs {
     override def prettyName: String = "graft_cosine"
   }
 
+  /** dot(a, b): raw inner product over float/double vectors — the MIPS
+    * (maximum-inner-product-search) score beside [[CosineExpr]]'s
+    * angle: same left-to-right double accumulation contract, so it is
+    * bit-identical to DuckDB's list_reduce spelling at any
+    * parallelism. */
+  case class DotExpr(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private def isFloat(e: Expression): Boolean =
+      e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        isFloat(left), isFloat(right))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"$K.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotExpr =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_dot"
+  }
+
   /** srp_bucket(v, bits): sign-random-projection LSH bucket (Charikar).
     * Hyperplane component for plane p, dim d is a deterministic cubic
     * residue mapped into [-1, 1): with x = p*4099 + d + 1,
@@ -219,6 +239,7 @@ object HashExprs {
   def editWithin(a: Column, b: Column, k: Int): Column =
     toColumn(EditWithinExpr(toExpression(a), toExpression(b), k))
   def cosineSim(a: Column, b: Column): Column = toColumn(CosineExpr(toExpression(a), toExpression(b)))
+  def dotProduct(a: Column, b: Column): Column = toColumn(DotExpr(toExpression(a), toExpression(b)))
   def srpBucket(v: Column, bits: Int): Column = toColumn(SrpBucketExpr(toExpression(v), bits))
   def zorder(a: Column, b: Column, bits: Int): Column =
     toColumn(ZInterleaveExpr(toExpression(a), toExpression(b), bits))

@@ -226,6 +226,19 @@ object HashKernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  def dot(a: ArrayData, b: ArrayData, leftFloat: Boolean, rightFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      d += x * y
+      i += 1
+    }
+    d
+  }
+
   def srpBucket(v: ArrayData, bits: Int): Long = {
     val n = v.numElements()
     var acc = 0L

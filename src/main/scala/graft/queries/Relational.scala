@@ -313,6 +313,27 @@ object Relational {
         coalesce(col("rev_old_raw"), lit(0.0)).as("rev_old"), col("rev_new"))
   }
 
+  /** Heavy-hitter key profiler — the diagnosis step that precedes every
+    * skew mitigation in [[graft.ext.SkewOps]]: top-10 order keys by
+    * row count with an all-integer concentration metric (parts per
+    * million of total rows). The rank filter over the key-count
+    * relation plans as a partial WindowGroupLimit — each map task
+    * pre-trims to 10 rows, so the final single-partition rank sees
+    * tasks×10 rows, not |keys| — and the total arrives as a 1-row
+    * broadcast. Ties deterministic: (count desc, key asc). */
+  def qHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = load(spark, sfDir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val total = load(spark, sfDir, "orders").agg(count(lit(1)).as("total"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("o_custkey"))).cast("bigint"))
+      .filter(col("rk") <= 10)
+      .crossJoin(broadcast(total))
+      .select(col("rk"), col("o_custkey"), col("n"),
+        expr("n * 1000000 div total").as("ppm"))
+  }
+
   /** UNPIVOT (melt) — the inverse reshape of [[qPivot]], proved by
     * ROUND-TRIP: orders are pivoted wide (month × one count column per
     * status — a conditional aggregate over the bounded status domain,
@@ -882,6 +903,7 @@ object Relational {
     "q_value_bands" -> (qValueBands _),
     "q_skyline" -> (qSkyline _),
     "q_unpivot" -> (qUnpivot _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q10_returns" -> (q10Returns _),
     "q6_forecast" -> (q6Forecast _),
@@ -1154,6 +1176,13 @@ object Relational {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS total FROM orders),
+        |r AS (SELECT o_custkey, n,
+        |        row_number() OVER (ORDER BY n DESC, o_custkey) AS rk FROM c)
+        |SELECT rk, o_custkey, n, CAST(n * 1000000 // total AS BIGINT) AS ppm
+        |FROM r, t WHERE rk <= 10""".stripMargin,
     "q_unpivot" ->
       """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month,
         |       o_orderstatus, COUNT(*) AS n

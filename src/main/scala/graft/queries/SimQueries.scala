@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.ext.SimOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -664,7 +665,38 @@ object SimQueries {
       .select(col("src").as("vec_id"), col("core_deg"))
   }
 
+  /** Hybrid-retrieval RANK FUSION — reciprocal-rank fusion (RRF, the
+    * standard consensus combiner in IR) of two retrieval orders over
+    * the same corpus: cosine (angle) and raw inner product (MIPS
+    * magnitude — the [[graft.functions.HashExprs.DotExpr]] kernel).
+    * Both rankings score in ONE corpus pass against the broadcast
+    * query set and share one (q_id)-partitioned exchange (two window
+    * sorts over the same shuffle); rrf = 1/(60+rank_cos) +
+    * 1/(60+rank_dot) — two IEEE divisions and one add, spelled in the
+    * same order in both engines — then the fused top-5 per query via a
+    * third window on the same partitioning. Ties deterministic by
+    * vec_id at every rank. */
+  def simRankFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val scored = e.join(broadcast(querySet(e)), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        SimOps.cosine(col("embedding"), col("q_vec")).as("cos"),
+        graft.functions.HashExprs.dotProduct(col("embedding"), col("q_vec")).as("dp"))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val wd = Window.partitionBy(col("q_id")).orderBy(col("dp").desc, col("vec_id"))
+    val ranked = scored
+      .withColumn("rank_cos", row_number().over(wc).cast("bigint"))
+      .withColumn("rank_dot", row_number().over(wd).cast("bigint"))
+      .withColumn("rrf",
+        lit(1.0) / (col("rank_cos") + lit(60L)).cast("double") +
+          lit(1.0) / (col("rank_dot") + lit(60L)).cast("double"))
+    val wf = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("vec_id"))
+    ranked.withColumn("rk", row_number().over(wf)).filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rank_cos"), col("rank_dot"), col("rrf"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_rank_fusion" -> (simRankFusion _),
     "sim_kcore" -> (simKcore _),
     "sim_gram" -> (simGram _),
     "sim_pca_power" -> (simPcaPower _),
@@ -825,6 +857,21 @@ object SimQueries {
          |            UNION ALL SELECT b FROM tri
          |            UNION ALL SELECT c FROM tri)
          |SELECT vec_id, COUNT(*) AS n_tri FROM corners GROUP BY vec_id""".stripMargin,
+    "sim_rank_fusion" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 100 = 0),
+         |s AS (SELECT q_id, vec_id, ${cosSql("embedding", "q_vec")} AS cos,
+         |             ${dotSql("embedding", "q_vec")} AS dp
+         |      FROM embeddings, q WHERE vec_id <> q_id),
+         |r AS (SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank_cos,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, vec_id) AS rank_dot
+         |      FROM s),
+         |f AS (SELECT q_id, vec_id, rank_cos, rank_dot,
+         |        CAST(1 AS DOUBLE) / CAST(rank_cos + 60 AS DOUBLE)
+         |          + CAST(1 AS DOUBLE) / CAST(rank_dot + 60 AS DOUBLE) AS rrf
+         |      FROM r)
+         |SELECT q_id, vec_id, rank_cos, rank_dot, rrf FROM f
+         |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, vec_id) <= 5""".stripMargin,
     "sim_kcore" -> {
       val rounds = (1 to 5).map { i =>
         s"""k$i AS (SELECT src FROM (SELECT src, COUNT(*) AS deg

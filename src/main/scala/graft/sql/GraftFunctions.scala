@@ -47,6 +47,8 @@ object GraftFunctions {
       es => SimHashExpr(es.head, intLit(es(1), "graft_simhash"))),
     ("graft_cosine", "graft_cosine(a, b) - cosine similarity of vectors",
       es => CosineExpr(es.head, es(1))),
+    ("graft_dot", "graft_dot(a, b) - inner product of vectors (MIPS score)",
+      es => DotExpr(es.head, es(1))),
     ("graft_srp_bucket", "graft_srp_bucket(vec, bits) - sign-random-projection LSH bucket",
       es => SrpBucketExpr(es.head, intLit(es(1), "graft_srp_bucket"))),
     ("graft_byte_stats", "graft_byte_stats(bin) - n/sum/min/max over raw bytes",

@@ -26,7 +26,9 @@ class SqlFunctionsSpec extends AnyFunSuite {
         |  graft_byte_hist(encode('abc', 'UTF-8'), 16)[6] AS h6,
         |  graft_srp_bucket(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 4) AS srp,
         |  graft_byte_phash(encode('abcdef', 'UTF-8'), 4) AS ph,
-        |  graft_zorder(CAST(5 AS BIGINT), CAST(3 AS BIGINT), 16) AS z
+        |  graft_zorder(CAST(5 AS BIGINT), CAST(3 AS BIGINT), 16) AS z,
+        |  graft_dot(array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)),
+        |            array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT))) AS dp
         |""".stripMargin).head()
     assert(r.getLong(0) == HashKernels.fingerprint(UTF8String.fromString("spark native engine")))
     assert(r.getSeq[Long](1).length == 8)
@@ -42,6 +44,7 @@ class SqlFunctionsSpec extends AnyFunSuite {
     // z(5=101b, 3=011b): a-bits at even positions (1,0,1 → 1+16),
     // b-bits at odd positions (1,1,0 → 2+8) = 27
     assert(r.getLong(9) == 27L)
+    assert(r.getDouble(10) == 23.0) // 2*4 + 3*5
   }
 
   test("bloom pair from SQL: scalar-subquery build + probe filters like the exact semi-join") {
@@ -87,8 +90,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
     new graft.sql.GraftExtensions().apply(ext)
     // pinned count catches an accidentally dropped builder; distinct
     // catches a duplicated name
-    assert(GraftFunctions.builders.size == 15)
-    assert(GraftFunctions.builders.map(_._1).distinct.size == 15)
+    assert(GraftFunctions.builders.size == 16)
+    assert(GraftFunctions.builders.map(_._1).distinct.size == 16)
   }
 
   test("CMS token sketch: one-sided estimates bounded by eps·N for the exact top tokens") {
