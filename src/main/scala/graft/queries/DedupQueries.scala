@@ -481,7 +481,39 @@ object DedupQueries {
       .filter(col("cos") >= 0.99)
   }
 
+  /** Near-dup ATTRIBUTION by source — the report a curation team acts
+    * on: which domains/feeds contribute duplication. Dups are planted
+    * for a SUBSET (doc_id % 7 == 0) so per-source rates genuinely
+    * vary; the pair relation is the exact prefix join, endpoints are
+    * mapped back to base docs (mod SHIFT) and rolled up per source
+    * beside the source's total count, with an all-integer ppm rate.
+    * Plan: the attribution side is |dup docs| fixed-width ids joining
+    * the (doc_id, source) projection — candidate generation happens
+    * once in the pair step, the rollup adds only key-equi joins and
+    * map-side-combined counts. */
+  def curateDupRateBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val corpus = d.unionAll(
+      d.filter(pmod(col("doc_id"), lit(7L)) === 0)
+        .select((col("doc_id") + SHIFT).as("doc_id"), firstTokenDropped.as("text")))
+    val withFps = corpus.select(col("doc_id"),
+      shingleFps(tokens(col("text")), 3).as("fps"))
+    val pairs = DedupOps.prefixJoin(withFps, "doc_id", "fps", 4, 5)
+    val members = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("cid"))
+      .select(pmod(col("cid"), lit(SHIFT)).as("doc_id")).distinct()
+    val src = load(spark, sfDir, "documents").select(col("doc_id"), col("source"))
+    val totals = src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val dups = members.join(src, "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
+    totals.join(dups, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        expr("coalesce(n_dup_docs, 0) * 1000000 div n_docs").as("ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_dup_rate_by_source" -> (curateDupRateBySource _),
     "dedup_hybrid" -> (dedupHybrid _),
     "dedup_prefix_join" -> (dedupPrefixJoin _),
     "dedup_source_sketch" -> (dedupSourceSketch _),
@@ -813,6 +845,29 @@ object DedupQueries {
          |JOIN (SELECT doc_id AS doc_b, fps AS fps_b FROM snip_t) b
          |  ON doc_b = doc_a + 1000000
          |WHERE len(fps_a) > 0 AND len(fps_b) > 0""".stripMargin,
+    "curate_dup_rate_by_source" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL
+         |  SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1)
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+         |sh_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${fpFold("s")})) AS fps FROM sh_t),
+         |tok AS (SELECT doc_id, unnest(fps) AS fp FROM fp_t WHERE len(fps) > 0),
+         |sz AS (SELECT doc_id, len(fps) AS s FROM fp_t WHERE len(fps) > 0),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |       FROM tok a JOIN tok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |lex AS (SELECT id_a, id_b FROM pr
+         |        JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |        WHERE 9 * inter >= 4 * (sa.s + sb.s)),
+         |mem AS (SELECT DISTINCT cid % 1000000 AS doc_id FROM
+         |        (SELECT id_a AS cid FROM lex UNION ALL SELECT id_b FROM lex)),
+         |tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |dup AS (SELECT source, COUNT(*) AS n_dup_docs
+         |        FROM mem JOIN documents USING (doc_id) GROUP BY 1)
+         |SELECT source, n_docs, coalesce(n_dup_docs, 0) AS n_dup_docs,
+         |  CAST(coalesce(n_dup_docs, 0) * 1000000 // n_docs AS BIGINT) AS ppm
+         |FROM tot LEFT JOIN dup USING (source)""".stripMargin,
     "dedup_hybrid" -> {
       val dot = (a: String, b: String) =>
         s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a)+1), " +

@@ -513,6 +513,39 @@ object EventQueries {
       Seq("tus", "event_id"), "op", Seq("val"))
   }
 
+  /** MERGE idempotence under the hash gate — the re-run-safety property
+    * every warehouse maintenance job leans on: re-applying the SAME
+    * changelog to an already-merged snapshot must be a state no-op
+    * (retried batches never double-apply). Holds structurally for
+    * [[graft.ext.MergeOps.cdcMerge]]: the fold's winner is a pure
+    * function of the changelog, so the second application replaces
+    * each payload with itself, re-deletes absent keys, and re-inserts
+    * nothing new. The row emits apply-once and apply-twice states side
+    * by side through a FULL join (a key appearing in only one side
+    * would surface as a null and break the hash), making idempotence
+    * an oracle-checked equality, not a code-reading argument. */
+  def eventsCdcIdempotent(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutUs = 1705276800000000L
+    val e = graft.core.QueryCaches.track(
+      events(spark, sfDir).select(col("user_id"),
+        expr("ts div 1000").as("tus"), col("event_id"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        floor(col("value") * lit(1000000.0d)).cast("bigint").as("val")))
+    val base = graft.ext.MergeOps.latestSnapshot(
+      e.filter(col("tus") < cutUs).drop("op"),
+      "user_id", Seq("tus", "event_id"), Seq("val"))
+    val changes = graft.core.QueryCaches.track(e.filter(col("tus") >= cutUs))
+    def apply1(b: DataFrame): DataFrame =
+      graft.ext.MergeOps.cdcMerge(b, changes, "user_id",
+        Seq("tus", "event_id"), "op", Seq("val"))
+        .select(col("user_id"), col("val"))
+    val s1 = graft.core.QueryCaches.track(apply1(base))
+    val s2 = apply1(s1)
+    s1.select(col("user_id"), col("val").as("val_once"))
+      .join(s2.select(col("user_id"), col("val").as("val_twice")),
+        Seq("user_id"), "full_outer")
+  }
+
   /** Change-point detection — per event type, the day boundary where
     * the daily-count mean shifts most (CUSUM-style split statistic),
     * completing the time-series trio: [[eventsTrend]] (drift),
@@ -691,6 +724,7 @@ object EventQueries {
     "events_gapfill" -> (eventsGapfill _),
     "events_scd" -> (eventsScd _),
     "events_cdc_merge" -> (eventsCdcMerge _),
+    "events_cdc_idempotent" -> (eventsCdcIdempotent _),
     "events_changepoint" -> (eventsChangepoint _),
     "events_kmv_overlap" -> (eventsKmvOverlap _),
     "events_cooccur" -> (eventsCooccur _),
@@ -779,6 +813,31 @@ object EventQueries {
         |    ORDER BY stat DESC, day ASC) AS rn FROM st)
         |SELECT event_type, day AS cp_day, stat, s_total, t_days
         |FROM r WHERE rn = 1""".stripMargin,
+    "events_cdc_idempotent" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS val
+        |  FROM events),
+        |base AS (SELECT user_id, val FROM (
+        |    SELECT user_id, val, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY tus DESC, event_id DESC) AS rn
+        |    FROM e WHERE tus < 1705276800000000) WHERE rn = 1),
+        |chg AS (SELECT user_id, op, val FROM (
+        |    SELECT user_id, op, val,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY tus DESC, event_id DESC) AS rn
+        |    FROM e WHERE tus >= 1705276800000000) WHERE rn = 1),
+        |s1 AS (SELECT coalesce(b.user_id, c.user_id) AS user_id,
+        |         CASE WHEN c.user_id IS NULL THEN b.val ELSE c.val END AS val
+        |       FROM base b FULL JOIN chg c ON b.user_id = c.user_id
+        |       WHERE c.user_id IS NULL OR c.op <> 'D'),
+        |s2 AS (SELECT coalesce(b.user_id, c.user_id) AS user_id,
+        |         CASE WHEN c.user_id IS NULL THEN b.val ELSE c.val END AS val
+        |       FROM s1 b FULL JOIN chg c ON b.user_id = c.user_id
+        |       WHERE c.user_id IS NULL OR c.op <> 'D')
+        |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |  a.val AS val_once, b.val AS val_twice
+        |FROM s1 a FULL JOIN s2 b ON a.user_id = b.user_id""".stripMargin,
     "events_cdc_merge" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
         |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
