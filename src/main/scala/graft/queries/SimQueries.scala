@@ -645,19 +645,34 @@ object SimQueries {
     * factor and bounds latency — each extra round is one map-side-
     * combined degree aggregate plus two vertex-keyed semi-joins, so
     * peel depth is a declared knob, not a data-dependent loop. Every
-    * round's edge relation is query-scope persisted: round r is read
-    * twice by round r+1 (degree count + restriction), and an
-    * unpersisted chain would re-execute the LSH-bucketed kNN pipeline
-    * 2^rounds times. Output: surviving vertices with their degree in
-    * the round-5 subgraph. */
+    * round's edge relation is localCheckpoint'ed (the [[graft.ext
+    * .DedupOps.dupClusters]] fixpoint pattern): round r is read THREE
+    * times by round r+1 (degree count feeds two semi-joins), and a
+    * persist-only chain measured ~4x growth per round — the cached
+    * self-referencing semi-join plan is not substituted, so the
+    * LSH-bucketed kNN pipeline re-executed ~3^rounds times (94 s for
+    * round 5 alone at sf0.1; checkpointed: the whole peel is
+    * sub-second per round). The checkpoint truncates lineage, so its
+    * blocks are the only copy — they register with
+    * [[graft.core.QueryCaches]] for release after the query's terminal
+    * action, exactly like the dupClusters rounds. Output: surviving
+    * vertices with their degree in the round-5 subgraph. */
   def simKcore(spark: SparkSession, sfDir: String): DataFrame = {
     val m = graft.core.QueryCaches.track(mutualEdges(spark, sfDir))
-    var adj = m.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(m.select(col("v").as("src"), col("u").as("dst")))
+    def checkpoint(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint()
+      out.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          graft.core.QueryCaches.trackRddId(df.sparkSession.sparkContext, l.rdd.id)
+      }
+      out
+    }
+    var adj = checkpoint(m.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(m.select(col("v").as("src"), col("u").as("dst"))))
     for (_ <- 1 to 5) {
       val keep = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= 3).select(col("src").as("kid"))
-      adj = graft.core.QueryCaches.track(
+      adj = checkpoint(
         adj.join(keep, col("src") === col("kid"), "left_semi")
           .join(keep, col("dst") === col("kid"), "left_semi"))
     }
