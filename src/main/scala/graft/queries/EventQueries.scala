@@ -513,6 +513,28 @@ object EventQueries {
       Seq("tus", "event_id"), "op", Seq("val"))
   }
 
+  /** Rolling 7-day distinct-user count (sliding WAU) — the classic
+    * hard-at-scale op done the scalable way: instead of 7 shifted
+    * self-joins or a per-day re-scan, each distinct (user, day)
+    * activity row is EXPLODED to the ≤7 window-end days it covers, and
+    * one distinct + one count per cover-day finishes the job. Exchange
+    * volume is |users|×|days|×7 fixed-width rows — calendar-bounded,
+    * independent of raw event volume (the events_cohorts projection
+    * argument with a coverage factor). Only days with a full trailing
+    * window emit (the spikes/rolling-median contract). All-integer. */
+  def eventsRollingWau(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = events(spark, sfDir)
+      .select(col("user_id"), to_date(tsMicros).as("day")).distinct()
+    val bounds = du.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    du.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+      .distinct()
+      .groupBy(col("wday")).agg(count(lit(1)).as("wau"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("wday") >= date_add(col("mn"), 6) && col("wday") <= col("mx"))
+      .select(col("wday").as("day"), col("wau"))
+  }
+
   /** MERGE idempotence under the hash gate — the re-run-safety property
     * every warehouse maintenance job leans on: re-applying the SAME
     * changelog to an already-merged snapshot must be a state no-op
@@ -725,6 +747,7 @@ object EventQueries {
     "events_scd" -> (eventsScd _),
     "events_cdc_merge" -> (eventsCdcMerge _),
     "events_cdc_idempotent" -> (eventsCdcIdempotent _),
+    "events_rolling_wau" -> (eventsRollingWau _),
     "events_changepoint" -> (eventsChangepoint _),
     "events_kmv_overlap" -> (eventsKmvOverlap _),
     "events_cooccur" -> (eventsCooccur _),
@@ -813,6 +836,15 @@ object EventQueries {
         |    ORDER BY stat DESC, day ASC) AS rn FROM st)
         |SELECT event_type, day AS cp_day, stat, s_total, t_days
         |FROM r WHERE rn = 1""".stripMargin,
+    "events_rolling_wau" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM du),
+        |cov AS (SELECT DISTINCT user_id,
+        |          CAST(unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS wday
+        |        FROM du),
+        |w AS (SELECT wday, COUNT(*) AS wau FROM cov GROUP BY 1)
+        |SELECT wday AS day, wau FROM w, b
+        |WHERE wday >= mn + INTERVAL 6 DAY AND wday <= mx""".stripMargin,
     "events_cdc_idempotent" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
         |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
