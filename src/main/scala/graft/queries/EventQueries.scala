@@ -523,8 +523,10 @@ object EventQueries {
     * argument with a coverage factor). Only days with a full trailing
     * window emit (the spikes/rolling-median contract). All-integer. */
   def eventsRollingWau(spark: SparkSession, sfDir: String): DataFrame = {
-    val du = events(spark, sfDir)
-      .select(col("user_id"), to_date(tsMicros).as("day")).distinct()
+    // the distinct projection feeds both the coverage explode and the
+    // bounds aggregate — persisted so the fact table is scanned ONCE
+    val du = graft.core.QueryCaches.track(events(spark, sfDir)
+      .select(col("user_id"), to_date(tsMicros).as("day")).distinct())
     val bounds = du.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
     du.select(col("user_id"),
         explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))

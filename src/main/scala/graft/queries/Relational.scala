@@ -325,12 +325,14 @@ object Relational {
     val counts = load(spark, sfDir, "orders")
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
     val total = load(spark, sfDir, "orders").agg(count(lit(1)).as("total"))
+    // filter BEFORE the bigint cast — a cast on the rank column defeats
+    // the InsertWindowGroupLimit pattern and loses the partial top-k
     counts
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("n").desc, col("o_custkey"))).cast("bigint"))
-      .filter(col("rk") <= 10)
+      .withColumn("rk0", row_number().over(
+        Window.orderBy(col("n").desc, col("o_custkey"))))
+      .filter(col("rk0") <= 10)
       .crossJoin(broadcast(total))
-      .select(col("rk"), col("o_custkey"), col("n"),
+      .select(col("rk0").cast("bigint").as("rk"), col("o_custkey"), col("n"),
         expr("n * 1000000 div total").as("ppm"))
   }
 

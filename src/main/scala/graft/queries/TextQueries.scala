@@ -52,6 +52,49 @@ object TextQueries {
       .select(col("rank"), col("token"), col("cnt"))
   }
 
+  /** Collocation mining — top-10 bigrams by PMI-style LIFT,
+    * lift = c(xy)·N / (c(x)·c(y)) (how much more often the pair
+    * co-occurs than independence predicts): the corpus-linguistics op
+    * behind phrase detection / tokenizer-merge candidates. The
+    * numerator and denominator are exact int64 products; ONE IEEE
+    * division per bigram (same order both engines) yields the score,
+    * ties broken by bigram text — no logs, so no cross-engine ulp
+    * risk (log-PMI orders identically to lift). Floor c(xy) ≥ 5 (the
+    * standard noise floor). Plan: bigram and unigram counts are two
+    * map-side-combined aggregates of the same scan family; the
+    * unigram relation joins twice by token (vocabulary-sized); the
+    * rank filter plans as a partial top-k. */
+  def textCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val toks = d.select(tokens(col("text")).as("tk"))
+    val uni = graft.ext.DedupOps.trackPersist(
+      toks.select(explode(col("tk")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1")))
+    val n = toks.select(explode(col("tk")).as("w")).agg(count(lit(1)).as("n"))
+    val bi = toks
+      .select(explode(expr(
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] AS w1, tk[i + 1] AS w2)) ELSE array() END")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 5)
+    val scored = bi
+      .join(uni.select(col("w").as("w1"), col("c1").as("cx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("cy")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("cxy"), col("cx"), col("cy"),
+        ((col("cxy") * col("n")).cast("double") /
+          (col("cx") * col("cy")).cast("double")).as("lift"))
+    // rank filter BEFORE the bigint cast: the cast on the rank column
+    // defeats the InsertWindowGroupLimit pattern and loses the partial
+    // top-k (each map task would ship its whole bigram table)
+    scored.withColumn("rank0", row_number().over(
+        Window.orderBy(col("lift").desc, col("w1"), col("w2"))))
+      .filter(col("rank0") <= 10)
+      .select(col("w1"), col("w2"), col("cxy"), col("cx"), col("cy"),
+        col("lift"), col("rank0").cast("bigint").as("rank"))
+  }
+
   /** Quality scoring: punctuation density, digit density, mean word
     * length and a composite [0,1] quality score — the boilerplate/spam
     * filters every pretraining pipeline runs first. Pure column
@@ -614,6 +657,7 @@ object TextQueries {
     "curate_sample" -> (curateSample _),
     "curate_pps_sample" -> (curatePpsSample _),
     "text_inverted_index" -> (textInvertedIndex _),
+    "text_collocations" -> (textCollocations _),
     "text_redact" -> (textRedact _),
     "text_stats" -> (textStats _),
     "text_fingerprint" -> (textFingerprint _),
@@ -866,6 +910,21 @@ object TextQueries {
          |SELECT doc_id, n_chars, tok_n,
          |       CAST(tok_n * 2000 AS DOUBLE) / CAST(n_chars AS DOUBLE) AS ht_contrib
          |FROM h_t WHERE h < n_chars""".stripMargin,
+    "text_collocations" ->
+      s"""WITH tk_t AS (SELECT $toksSql AS tk FROM documents),
+         |uni AS (SELECT w, COUNT(*) AS c1 FROM (SELECT unnest(tk) AS w FROM tk_t) GROUP BY 1),
+         |n_t AS (SELECT COUNT(*) AS n FROM (SELECT unnest(tk) AS w FROM tk_t)),
+         |bi AS (SELECT b.w1, b.w2, COUNT(*) AS cxy FROM (
+         |         SELECT unnest(CASE WHEN len(tk) >= 2 THEN
+         |           list_transform(range(1, len(tk)), i -> {'w1': tk[i], 'w2': tk[i+1]})
+         |           ELSE [] END) AS b FROM tk_t)
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         |sc AS (SELECT w1, w2, cxy, ux.c1 AS cx, uy.c1 AS cy,
+         |         CAST(cxy * n AS DOUBLE) / CAST(ux.c1 * uy.c1 AS DOUBLE) AS lift
+         |       FROM bi JOIN uni ux ON bi.w1 = ux.w JOIN uni uy ON bi.w2 = uy.w, n_t)
+         |SELECT w1, w2, cxy, cx, cy, lift,
+         |       row_number() OVER (ORDER BY lift DESC, w1, w2) AS rank
+         |FROM sc QUALIFY rank <= 10""".stripMargin,
     "text_inverted_index" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents)
          |SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf,

@@ -34,6 +34,9 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_kcore",         // iterative peel with per-round persists
     "q_skyline",         // frontier window + tied-part recovery join
     "events_gapfill",    // spine cross join + derived bounds
+    "events_rolling_wau", // coverage-explode sliding distinct
+    "sim_rank_fusion",   // double-window rank + IEEE rrf ordering
+    "text_collocations", // lift ranking with declared tiebreak
     "op_concat_rr")      // order-defining round-robin interleave
 
   private def run(name: String, parts: Int): Seq[String] = {

@@ -756,6 +756,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("sim_rank_fusion: one corpus scoring pass, query set broadcast, ranks share a partition") {
+    val p = plan("sim_rank_fusion")
+    assert(p.contains("BroadcastExchange"), s"query set must broadcast:\n$p")
+    // two scans: the corpus pass + the (tiny, filtered) query-set side
+    assert(nOps(p, "Scan parquet") == 2, s"both rankings must ride ONE corpus pass:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("events_rolling_wau: coverage explode, no self-joins of the fact table") {
+    val p = plan("events_rolling_wau")
+    assert(nOps(p, "Scan parquet") == 1, s"one scan feeds the coverage explode:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") == 0,
+      s"sliding distinct must not shift-self-join:\n$p")
+  }
+
+  test("dedup_prefix_join_capped: still an fp equi-join after the df guard") {
+    val p = plan("dedup_prefix_join_capped")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("text_collocations: rank filter keeps a partial top-k") {
+    val p = plan("text_collocations")
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
+      s"top-10 must pre-trim per task:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
