@@ -833,6 +833,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty && got == batch, s"stream $got\nbatch $batch")
   }
 
+  test("streaming sliding WAU: coverage explode |> kmvUpdates equals the batch window sketch") {
+    // Sliding-window distinct users with BOUNDED state, by COMPOSING
+    // two existing operators: each (user, day) activity explodes to
+    // the <=7 window-end days it covers (the events_rolling_wau
+    // coverage trick), keyed by window-end day into the KMV sketch
+    // fold — so per-window state is exactly k longs however many users
+    // a window sees, and the monotone min-set makes the final emission
+    // chunking-independent. Parity: the same coverage pairs aggregated
+    // in batch to the k-th smallest hash per window day.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val cov = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+      .distinct()
+      .select(col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6))")).as("wday"))
+      .distinct()
+      .select(col("wday").cast("string").as("wd"),
+        graft.ext.TextOps.fingerprint(
+          concat(lit("wau|"), col("user_id").cast("string"), lit("|graft"))).as("h"))
+      .distinct() // kmv state dedups h; keep the batch rank consistent
+    val pairs = cov.collect().map(r => (r.getString(0), r.getLong(1)))
+    val in = MemoryStream[(String, Long)]
+    val df = in.toDF().toDF("wd", "h")
+    val rows = new ConcurrentLinkedQueue[(String, Long, Long)]()
+    val q = GraftStream.kmvUpdates(df, "wd", "h", 16)
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    new scala.util.Random(11).shuffle(pairs.toSeq).grouped(pairs.length / 3 + 1)
+      .foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(String, Long, Long)])
+      .groupBy(_._1).map { case (k, vs) => val f = vs.minBy(_._2); k -> f._2 }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("wd")).orderBy(col("h"))
+    val batch = cov.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty && got == batch, s"stream $got\nbatch $batch")
+  }
+
   test("streaming session_window equals the lag-based batch sessionization shape") {
     // Batch check of the same session_window operator the stream uses:
     // session count and per-session event totals must equal the
