@@ -39,6 +39,10 @@ class EventGenSource extends TableProvider with DataSourceRegister {
     val rows = properties.getOrDefault("rows", "1000").toLong
     val users = properties.getOrDefault("users", "1000").toLong
     val days = properties.getOrDefault("days", "30").toInt
+    // fail at table resolution, not as a floorMod ArithmeticException
+    // inside an executor task
+    require(users >= 1, s"graft-events: users must be >= 1, got $users")
+    require(days >= 1, s"graft-events: days must be >= 1, got $days")
     new RangeGenTable(s"graft-events($rows)", rows,
       properties.getOrDefault("partitions", "8").toInt, EventGenSource.schema,
       id => EventGenSource.rowFor(id, users, days))
