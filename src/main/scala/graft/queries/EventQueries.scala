@@ -12,9 +12,10 @@ import Tables._
   * pipeline computes per micro-batch / watermark window, verified here
   * deterministically against DuckDB.
   *
-  * `ts` arrives as nanos-since-epoch BIGINT (Spark 4 rejects
-  * TIMESTAMP(NANOS) parquet unless spark.sql.legacy.parquet.nanosAsLong
-  * is set — both CLI mains set it). Conversions use integer `div` —
+  * `ts` is canonicalized to nanos-since-epoch BIGINT by
+  * [[Tables.loadEvents]] whatever the parquet physically stores
+  * (TIMESTAMP(NANOS)-as-long or timestamp[us]/TIMESTAMP_NTZ — the
+  * generator has shipped both). Conversions use integer `div` —
   * a double division would lose precision above 2^53 ns.
   *
   * Scale posture: tumbling windows and daily aggregates are hash
@@ -31,7 +32,7 @@ object EventQueries {
   private val GAP_NS = 1800L * 1000 * 1000 * 1000 // 30 min session gap
 
   private def events(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events")
+    loadEvents(spark, sfDir)
 
   private def tsMicros = timestamp_micros(expr("ts div 1000"))
 
@@ -673,7 +674,7 @@ object EventQueries {
     * (type, day) cell whose events are all low-value carries n = 0
     * through either the aggregate row or the spine join identically. */
   def eventsGapfill(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = load(spark, sfDir, "events")
+    val ev = loadEvents(spark, sfDir)
     val daily = graft.ext.DedupOps.trackPersist(
       ev.groupBy(col("event_type"), to_date(tsMicros).as("day"))
         .agg(count(when(col("value") > 200.0, 1)).as("n")))
@@ -698,7 +699,7 @@ object EventQueries {
     * per-type sort and the 7-element frame collect are over the tiny
     * relation — the same bounded-window argument as events_spikes. */
   def eventsRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = load(spark, sfDir, "events")
+    val daily = loadEvents(spark, sfDir)
       .groupBy(col("event_type"), to_date(tsMicros).as("day"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))

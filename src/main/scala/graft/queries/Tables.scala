@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampType}
 
 /** Table loaders + oracle-parity numeric helpers shared by all query
   * modules. Correctness contract: every value we emit must hash-equal
@@ -16,6 +16,31 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Events loader with a canonical `ts`: nanos-since-epoch BIGINT,
+    * whatever the parquet physically stores. The generator has shipped
+    * two spellings across rounds — TIMESTAMP(NANOS) (read as BIGINT
+    * nanos under spark.sql.legacy.parquet.nanosAsLong) and
+    * timestamp[us] (read as TIMESTAMP_NTZ) — and every downstream
+    * query/stream does integer `ts div …` arithmetic, so the loader is
+    * the ONE place that absorbs the physical type. Schema-drift
+    * tolerance at the source is the 100 TB posture anyway: a lake scan
+    * spans files written by different producer versions.
+    */
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventTs(load(spark, sfDir, "events"))
+
+  /** Rewrite `ts` to nanos-since-epoch BIGINT. TIMESTAMP_NTZ casts to
+    * TIMESTAMP via the session zone — all entry points pin UTC, so the
+    * naive wall time maps to the same instant DuckDB's epoch_us(ts)
+    * reads. Works on batch and streaming DataFrames (pure projection).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df // already nanos
+      case _ => df.withColumn(
+        "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
 
   /** Association-proof sum of a double column: accumulate as
     * DECIMAL(38,6) (exact, order-independent — safe under any Spark

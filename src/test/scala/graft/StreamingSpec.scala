@@ -1,6 +1,7 @@
 package graft
 
 import graft.streaming.GraftStream
+import graft.queries.Tables.normalizeEventTs
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -317,7 +318,7 @@ class StreamingSpec extends AnyFunSuite {
     Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     val src = GraftStream.files(spark, stage.toString, schema, maxFilesPerTrigger = 1)
-    val withTs = src.toDF
+    val withTs = normalizeEventTs(src.toDF)
       .withColumn("tm", timestamp_micros(expr("ts div 1000")))
     val rows = new ConcurrentLinkedQueue[(java.sql.Timestamp, Long)]()
     val q = GraftStream.windowedCounts(withTs, "tm", "1 minute", "1 day")
@@ -328,7 +329,7 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     val streamed = rows.toArray.map(_.asInstanceOf[(java.sql.Timestamp, Long)])
       .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 } // last update wins
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
       .groupBy(window(timestamp_micros(expr("ts div 1000")), "1 day"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start"), col("n"))
@@ -639,7 +640,7 @@ class StreamingSpec extends AnyFunSuite {
     // query over the same rows.
     implicit val sq = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
       .select(col("event_type"), timestamp_micros(expr("ts div 1000")).as("tm"))
       .collect().map(r => (r.getTimestamp(1), r.getString(0)))
     val in = MemoryStream[(Timestamp, String)]
@@ -677,7 +678,7 @@ class StreamingSpec extends AnyFunSuite {
     // equal the batch n_intervals exactly.
     implicit val sq = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
       .select(concat(col("user_id").cast("string"), lit("|"), col("event_type")).as("k"),
         timestamp_micros(expr("ts div 1000")).as("tm"),
         floor(col("value") / lit(50.0d)).as("s"), col("event_id"))
@@ -718,7 +719,7 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sq = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
     val cut = 1705276800000000L
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
       .select(col("user_id").cast("string").as("k"),
         expr("ts div 1000").as("o"), col("event_id").as("t"),
         when(col("event_type") === "error", "D").otherwise("U").as("op"),
@@ -844,7 +845,7 @@ class StreamingSpec extends AnyFunSuite {
     // in batch to the k-th smallest hash per window day.
     implicit val sq = spark.sqlContext
     val dir = "/root/testdata/sf0.01"
-    val cov = spark.read.parquet(s"$dir/events.parquet")
+    val cov = normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
       .select(col("user_id"), to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
       .distinct()
       .select(col("user_id"),
@@ -882,7 +883,7 @@ class StreamingSpec extends AnyFunSuite {
     // session count and per-session event totals must equal the
     // lag+running-sum oracle (EventQueries.eventsSessions) at 30 min.
     val dir = "/root/testdata/sf0.001"
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
       .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("tm"))
     val viaSessionWindow = ev
       .groupBy(session_window(col("tm"), "30 minutes"), col("user_id"))
