@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampNTZType, TimestampType}
 
 /** Table loaders + oracle-parity numeric helpers shared by all query
   * modules. Correctness contract: every value we emit must hash-equal
@@ -31,15 +31,27 @@ object Tables {
     normalizeEventTs(load(spark, sfDir, "events"))
 
   /** Rewrite `ts` to nanos-since-epoch BIGINT. TIMESTAMP_NTZ casts to
-    * TIMESTAMP via the session zone — all entry points pin UTC, so the
-    * naive wall time maps to the same instant DuckDB's epoch_us(ts)
-    * reads. Works on batch and streaming DataFrames (pure projection).
+    * TIMESTAMP via the session zone — the UTC pin is ASSERTED here (not
+    * left to entry-point convention) because a non-UTC session would
+    * silently shift every instant. Any physical type outside the two
+    * known generator spellings (bigint-nanos, timestamp[us/ntz]) throws:
+    * a numeric cast would be misread as seconds, so drift must fail
+    * loudly at load time, not produce wrong nanos. Works on batch and
+    * streaming DataFrames (pure projection).
     */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df // already nanos
-      case _ => df.withColumn(
-        "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case TimestampType | TimestampNTZType =>
+        require(
+          df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+          "normalizeEventTs requires spark.sql.session.timeZone=UTC: " +
+            "the NTZ wall time must map to the same instant DuckDB's epoch_us reads")
+        df.withColumn(
+          "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other; expected " +
+          "BIGINT (nanos) or TIMESTAMP[_NTZ]. Refusing to guess the epoch unit.")
     }
 
   /** Association-proof sum of a double column: accumulate as

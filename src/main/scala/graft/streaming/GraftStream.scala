@@ -130,6 +130,22 @@ object GraftStream {
     new GraftStream(spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(path))
 
+  /** Events-lake stream with the canonical `ts`: nanos-since-epoch
+    * BIGINT, whatever the parquet physically stores (bigint-nanos or
+    * timestamp[us] — the two spellings the generator has shipped).
+    * The schema is taken from the existing files' footers (one
+    * driver-side read; a streaming source needs an explicit schema
+    * anyway), and [[graft.queries.Tables.normalizeEventTs]] — a pure
+    * projection, so streaming-safe — rides every micro-batch. This is
+    * the production entry point: without it every consumer must know
+    * to wrap `files(...)` in the normalizer by hand. */
+  def events(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 1): GraftStream[Row] = {
+    val schema = spark.read.parquet(path).schema
+    new GraftStream(graft.queries.Tables.normalizeEventTs(
+      files(spark, path, schema, maxFilesPerTrigger).toDF))
+  }
+
   /** Watermarked tumbling-window aggregate — the streaming form of
     * graft.queries.EventQueries.eventsWindow (its batch oracle). */
   def windowedCounts(df: DataFrame, tsCol: String, watermark: String,

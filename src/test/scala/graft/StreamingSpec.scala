@@ -313,12 +313,12 @@ class StreamingSpec extends AnyFunSuite {
     // batch must agree exactly on a bounded input.
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = "/root/testdata/sf0.001"
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stage = Files.createTempDirectory("graft_events_stream")
     Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    val src = GraftStream.files(spark, stage.toString, schema, maxFilesPerTrigger = 1)
-    val withTs = normalizeEventTs(src.toDF)
+    // GraftStream.events owns schema inference + ts canonicalization —
+    // the production entry point, not a hand-wrapped files(...).
+    val withTs = GraftStream.events(spark, stage.toString).toDF
       .withColumn("tm", timestamp_micros(expr("ts div 1000")))
     val rows = new ConcurrentLinkedQueue[(java.sql.Timestamp, Long)]()
     val q = GraftStream.windowedCounts(withTs, "tm", "1 minute", "1 day")
