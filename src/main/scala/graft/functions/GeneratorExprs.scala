@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-side flat_map: a real Catalyst [[Generator]] (SURVEY §2.3),
+  * giving the pure-SQL surface 1→N row expansion WITHOUT a pre-built
+  * array column — `LATERAL VIEW graft_explode_shingles(text, 3) s AS
+  * pos, shingle`. The reference's flat_map contract (pypeln/process/
+  * api/flat_map.py:19-28) appends the child position to the parent
+  * index (`parent + (i,)`); `pos` is that `i`, emitted alongside each
+  * child so SQL consumers keep the same index dimension the DSL's
+  * `flatMap` tracks.
+  *
+  * Planner shape: resolves under ExtractGenerators into a `Generate`
+  * node — per-row expansion inside the scan's partition, no shuffle,
+  * no driver involvement; at 100 TB this is a streaming map-side
+  * operator exactly like `explode`. Eval-mode (CodegenFallback): the
+  * split+slide work per row dwarfs the boxing cost, and GenerateExec
+  * runs non-codegen generators in-partition anyway.
+  */
+case class ExplodeShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(k >= 1, s"shingle width must be >= 1, got $k")
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("shingle", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_explode_shingles expects a STRING column, got $other")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Nil
+    else {
+      // split(" ", -1) keeps empty tokens — the DuckDB string_split
+      // parity contract shared with the DSL op_flat_map oracle.
+      val toks = t.asInstanceOf[UTF8String].toString.split(" ", -1)
+      if (toks.length < k) Nil
+      else new Iterator[InternalRow] {
+        private var i = 0
+        override def hasNext: Boolean = i <= toks.length - k
+        override def next(): InternalRow = {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = i + 1
+          while (j < i + k) { sb.append(' ').append(toks(j)); j += 1 }
+          val row = InternalRow(i, UTF8String.fromString(sb.toString))
+          i += 1
+          row
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExplodeShinglesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_explode_shingles"
+}

@@ -67,6 +67,22 @@ object ParityOps {
         element_at($"index", 2).as("pos"), $"value._2".as("token"))
   }
 
+  /** flat_map on the pure-SQL surface: the 1→N expansion runs as a real
+    * Catalyst Generator ([[graft.functions.ExplodeShinglesExpr]]) via
+    * LATERAL VIEW — no pre-built array column, no DSL. `pos` is the
+    * child index the reference appends (flat_map.py:22-28). The
+    * Generate node expands in-partition on the scan side: zero shuffle,
+    * the shape that streams at 100 TB. */
+  def opFlatMapSql(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sql.GraftFunctions.register(spark)
+    Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView("graft_docs_fmsql")
+    spark.sql(
+      """SELECT doc_id, s.pos, s.shingle
+        |FROM graft_docs_fmsql
+        |LATERAL VIEW graft_explode_shingles(text, 3) s AS pos, shingle""".stripMargin)
+  }
+
   /** concat, sync-backend round-robin contract: deterministic
     * one-element-per-live-stage interleave via `concatRoundRobin` (the
     * distributed (rank, stage#) sort replicating
@@ -157,6 +173,7 @@ object ParityOps {
     "op_map" -> (opMap _),
     "op_filter" -> (opFilter _),
     "op_flat_map" -> (opFlatMap _),
+    "op_flat_map_sql" -> (opFlatMapSql _),
     "op_concat" -> (opConcat _),
     "op_concat_rr" -> (opConcatRr _),
     "op_ordered" -> (opOrdered _),
@@ -176,6 +193,13 @@ object ParityOps {
       """SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS pos,
         |       unnest(toks) AS token
         |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin,
+    "op_flat_map_sql" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |      FROM t WHERE len(toks) >= 3)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |       array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+        |FROM p""".stripMargin,
     "op_concat" ->
       """SELECT l_orderkey, l_linenumber, 'r' AS tag FROM lineitem WHERE l_returnflag = 'R'
         |UNION ALL

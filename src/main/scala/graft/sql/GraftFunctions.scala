@@ -81,7 +81,13 @@ object GraftFunctions {
     ("graft_might_contain",
       "graft_might_contain(bloom_bin, longCol) - bloom membership probe",
       es => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(es.head, es(1))))
+        .BloomFilterMightContain(es.head, es(1))),
+    // SQL-side flat_map (SURVEY §2.3): a true Catalyst Generator —
+    // `LATERAL VIEW graft_explode_shingles(text, k) s AS pos, shingle`
+    ("graft_explode_shingles",
+      "graft_explode_shingles(text, k) - UDTF: one row per k-token shingle with position",
+      es => graft.functions.ExplodeShinglesExpr(
+        es.head, intLit(es(1), "graft_explode_shingles"))))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "scala_udf")

@@ -90,8 +90,29 @@ class SqlFunctionsSpec extends AnyFunSuite {
     new graft.sql.GraftExtensions().apply(ext)
     // pinned count catches an accidentally dropped builder; distinct
     // catches a duplicated name
-    assert(GraftFunctions.builders.size == 16)
-    assert(GraftFunctions.builders.map(_._1).distinct.size == 16)
+    assert(GraftFunctions.builders.size == 17)
+    assert(GraftFunctions.builders.map(_._1).distinct.size == 17)
+  }
+
+  test("graft_explode_shingles: a true Generator — 1→N from SQL with child positions") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, "a b c d"), (2L, "x y"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "t").createOrReplaceTempView("gen_docs")
+    val rows = spark.sql(
+      """SELECT id, s.pos, s.shingle FROM gen_docs
+        |LATERAL VIEW graft_explode_shingles(t, 3) s AS pos, shingle""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    // 1 → two 3-shingles with positions 0,1; 2 is too short; 3 is null
+    assert(rows == Seq((1L, 0, "a b c"), (1L, 1, "b c d")))
+    // resolves into a Generate node (the flat_map planner shape), and
+    // the expansion is scan-side: no exchange anywhere in the plan
+    val plan = spark.sql(
+      """SELECT id, s.pos FROM gen_docs
+        |LATERAL VIEW graft_explode_shingles(t, 3) s AS pos, shingle""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("Exchange"), s"1→N expansion must not shuffle:\n$plan")
   }
 
   test("CMS token sketch: one-sided estimates bounded by eps·N for the exact top tokens") {
