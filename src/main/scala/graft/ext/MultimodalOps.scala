@@ -108,10 +108,41 @@ object MultimodalOps {
     override def prettyName: String = "graft_byte_seg_grad_hash"
   }
 
+  /** Audio-fingerprint analog over raw bytes: Haitsma–Kalker band-energy
+    * bits ([[graft.functions.HashKernels.byteBandEnergyHash]] — `frames`
+    * time windows × `bands` byte-value energy bands, one
+    * second-order-difference sign bit per adjacent (frame, band) pair).
+    * This is the generic acoustic-fingerprint SHAPE with the FFT swapped
+    * for byte-value banding (no codecs in this container); a real
+    * spectral frontend drops in at the kernel with the same
+    * (bytes → Long) signature. Pairs via [[DedupOps.hammingPairs]] —
+    * bucket equi-join, never all-pairs. */
+  case class ByteBandEnergyHashExpr(child: Expression, frames: Int, bands: Int)
+      extends UnaryExpression {
+    require(frames >= 2 && bands >= 2 && 256 % bands == 0 &&
+      (frames - 1) * (bands - 1) <= 62,
+      s"need 2<=frames, 2<=bands|256, (frames-1)*(bands-1)<=62; got $frames, $bands")
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      graft.functions.HashKernels.byteBandEnergyHash(
+        input.asInstanceOf[Array[Byte]], frames, bands)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashKernels.byteBandEnergyHash($c, $frames, $bands)")
+    override protected def withNewChildInternal(c: Expression): ByteBandEnergyHashExpr =
+      copy(child = c)
+    override def prettyName: String = "graft_byte_bandhash"
+  }
+
   def byteStats(c: Column): Column = toColumn(ByteStatsExpr(toExpression(c)))
   def byteHist(c: Column, bins: Int): Column = toColumn(ByteHistExpr(toExpression(c), bins))
   def byteSegGradHash(c: Column, segs: Int): Column =
     toColumn(ByteSegGradHashExpr(toExpression(c), segs))
+  def byteBandEnergyHash(c: Column, frames: Int, bands: Int): Column =
+    toColumn(ByteBandEnergyHashExpr(toExpression(c), frames, bands))
 
   /** DETERMINISTIC FAKE decoder — stands in for libjpeg/ffmpeg (absent
     * in this container). Produces `w*h` floats in [0,1) from a

@@ -316,4 +316,45 @@ object HashKernels {
     }
     h
   }
+
+  /** Audio-style band-energy fingerprint — the Haitsma–Kalker bit
+    * formula (sign of the time-derivative of the band-energy
+    * difference) applied codec-free: the blob is cut into `frames`
+    * time windows, each window's "spectrum" is the energy (byte-value
+    * sum) per byte-value band (256/bands wide — the toy stand-in for
+    * FFT bands), and bit (t-1)*(bands-1)+b = 1 iff
+    * (E(t,b)-E(t,b+1)) - (E(t-1,b)-E(t-1,b+1)) > 0.
+    * (frames-1)*(bands-1) bits, all-integer, exact. A single-byte edit
+    * touches ONE frame, so it flips at most 2*(bands-1) bits — and a
+    * LAST-byte edit only (bands-1): the bounded-hamming contract the
+    * pairing threshold rides. */
+  def byteBandEnergyHash(bs: Array[Byte], frames: Int, bands: Int): Long = {
+    val n = bs.length
+    val bandWidth = 256 / bands
+    val e = Array.ofDim[Long](frames, bands)
+    var t = 0
+    while (t < frames) {
+      val lo = (t.toLong * n / frames).toInt
+      val hi = ((t + 1).toLong * n / frames).toInt
+      var i = lo
+      while (i < hi) {
+        val v = bs(i) & 0xff
+        e(t)(v / bandWidth) += v.toLong
+        i += 1
+      }
+      t += 1
+    }
+    var h = 0L
+    t = 1
+    while (t < frames) {
+      var b = 0
+      while (b < bands - 1) {
+        if ((e(t)(b) - e(t)(b + 1)) - (e(t - 1)(b) - e(t - 1)(b + 1)) > 0)
+          h |= 1L << ((t - 1) * (bands - 1) + b)
+        b += 1
+      }
+      t += 1
+    }
+    h
+  }
 }

@@ -110,7 +110,33 @@ object MultimodalQueries {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
   }
 
+  /** AUDIO-fingerprint near-dup — the generic-fingerprint promise of
+    * [[graft.ext.DedupOps.hammingPairs]] delivered for a second
+    * modality: [[MultimodalOps.byteBandEnergyHash]] (Haitsma–Kalker
+    * band-energy bits: 16 time frames × 4 byte-value energy bands → 45
+    * sign-of-second-difference bits — 8×4's 21 bits paired 6% of all
+    * doc pairs on this corpus; 45 bits discriminates) pairs blobs
+    * within hamming ≤ 3 via the 4-band pigeonhole join. Planted
+    * near-dups: each blob re-enters with its LAST byte replaced — only
+    * the final time frame's band energies move, flipping at most
+    * (bands-1)=3 of the 45 bits, so
+    * every planted pair is within the threshold BY CONSTRUCTION and
+    * ≤3-bit recall is pigeonhole-exact (4 bands > 3 flips). Same scale
+    * shape as every hash family here: only (hash, id) crosses the
+    * shuffle, bucket equi-join, never all-pairs. */
+  def mmAudioDupes(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val corpus = b.unionAll(b.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(expr("substring(text, 1, length(text) - 1)"), lit("~")).as("text")))
+    val hashed = corpus.select(col("doc_id"),
+      MultimodalOps.byteBandEnergyHash(encode(col("text"), "UTF-8"), 16, 4).as("ahash"))
+    graft.ext.DedupOps.hammingPairs(hashed, "doc_id", "ahash",
+        bits = 45, bands = 4, maxHamming = 3)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_dupes" -> (mmAudioDupes _),
     "mm_phash" -> (mmPhash _),
     "mm_dedup" -> (mmDedup _),
     "mm_frames" -> (mmFrames _),
@@ -133,6 +159,36 @@ object MultimodalQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // 16 time frames × 4 byte-value energy bands (64-wide), Haitsma–Kalker
+    // second-difference sign bits, then the 4-band (11/11/11/12-bit)
+    // pigeonhole join — the exact arithmetic of byteBandEnergyHash +
+    // hammingPairs(45, 4, 3).
+    "mm_audio_dupes" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, substr(text, 1, len(text) - 1) || '~'
+         |  FROM documents),
+         |c AS (SELECT doc_id, $cpsSql AS cps FROM corpus),
+         |e AS (SELECT doc_id, list_transform(range(0, 16), t ->
+         |    list_transform(range(0, 4), bb ->
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_filter(cps[(t * len(cps)) // 16 + 1 : ((t + 1) * len(cps)) // 16],
+         |                    v -> v // 64 = bb)),
+         |        (x, y) -> x + y))) AS eng FROM c),
+         |p AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    flatten(list_transform(range(1, 16), t -> list_transform(range(0, 3), bb ->
+         |      CASE WHEN (eng[t+1][bb+1] - eng[t+1][bb+2]) - (eng[t][bb+1] - eng[t][bb+2]) > 0
+         |      THEN CAST(power(2, (t - 1) * 3 + bb) AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END)))),
+         |    (a, b) -> a + b) AS ah FROM e),
+         |b_t AS (SELECT doc_id, ah, band, CASE band
+         |    WHEN 0 THEN ah % 2048 WHEN 1 THEN (ah // 2048) % 2048
+         |    WHEN 2 THEN (ah // 4194304) % 2048 ELSE ah // 8589934592 END AS key
+         |  FROM p, (SELECT unnest([0, 1, 2, 3]) AS band))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.ah, b.ah)) AS BIGINT) AS hamming
+         |FROM b_t a JOIN b_t b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ah, b.ah)) <= 3""".stripMargin,
     // 32 equal byte segments (1-based inclusive slices), cross-multiplied
     // mean-gradient bits, then the 3-band (10/10/11-bit) pigeonhole join —
     // the exact arithmetic of byteSegGradHash + hammingPairs(31, 3, 2).

@@ -82,6 +82,10 @@ object GraftFunctions {
       "graft_might_contain(bloom_bin, longCol) - bloom membership probe",
       es => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(es.head, es(1))),
+    ("graft_byte_bandhash",
+      "graft_byte_bandhash(bin, frames, bands) - audio-style band-energy fingerprint",
+      es => graft.ext.MultimodalOps.ByteBandEnergyHashExpr(es.head,
+        intLit(es(1), "graft_byte_bandhash"), intLit(es(2), "graft_byte_bandhash"))),
     // SQL-side flat_map (SURVEY §2.3): a true Catalyst Generator —
     // `LATERAL VIEW graft_explode_shingles(text, k) s AS pos, shingle`
     ("graft_explode_shingles",

@@ -493,10 +493,22 @@ class PlanSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       Seq("dedup_near", "dedup_simhash", "sim_lsh", "mm_bytes", "mm_hist_sim",
-        "text_fingerprint", "dedup_edit_within", "mm_phash").foreach { q =>
+        "text_fingerprint", "dedup_edit_within", "mm_phash",
+        "mm_audio_dupes").foreach { q =>
         assert(SparkEntry.queries(q)(spark, sf).count() >= 0, q)
       }
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("mm_audio_dupes: banded hamming pairing is a bucket equi-join — no nested loop, no cartesian") {
+    // The audio-fingerprint pairing must ride the same (band, key)
+    // equi-join as every hash family; the blob itself never joins.
+    try {
+      val p = plan("mm_audio_dupes")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+        || p.contains("ShuffledHashJoin"), s"banded pairing must be an equi-join:\n$p")
+    } finally graft.ext.DedupOps.releaseCaches()
   }
 
   test("events_cooccur: banded range join plans as equi-join — no nested loop, no cartesian") {
