@@ -135,8 +135,29 @@ object MultimodalQueries {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
   }
 
+  /** [[mmAudioDupes]] under the hot-bucket guard — the 100 TB posture
+    * for a WEAK fingerprint: the band-energy bits are correlated across
+    * text-like blobs (measured at sf0.1: max bucket 2168 of 10 000 rows,
+    * 16M candidate pairs — the hash, not the join, is the skew source),
+    * so production pairing drops buckets larger than `maxBucket=8`
+    * before the self-join. Recall loss is hash-visible and DECLARED:
+    * a planted pair survives only if at least one of its 4 shared
+    * band keys sits in a cold bucket — the oracle counts exactly which
+    * do (the dedup_near_capped / dedup_simhash_pairs_capped contract). */
+  def mmAudioDupesCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val corpus = b.unionAll(b.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(expr("substring(text, 1, length(text) - 1)"), lit("~")).as("text")))
+    val hashed = corpus.select(col("doc_id"),
+      MultimodalOps.byteBandEnergyHash(encode(col("text"), "UTF-8"), 16, 4).as("ahash"))
+    graft.ext.DedupOps.hammingPairs(hashed, "doc_id", "ahash",
+        bits = 45, bands = 4, maxHamming = 3, maxBucket = 8)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_audio_dupes" -> (mmAudioDupes _),
+    "mm_audio_dupes_capped" -> (mmAudioDupesCapped _),
     "mm_phash" -> (mmPhash _),
     "mm_dedup" -> (mmDedup _),
     "mm_frames" -> (mmFrames _),
@@ -158,35 +179,47 @@ object MultimodalQueries {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
+  // 16 time frames × 4 byte-value energy bands (64-wide), Haitsma–Kalker
+  // second-difference sign bits, then the 4-band (11/11/11/12-bit) key
+  // table — the exact arithmetic of byteBandEnergyHash + hammingPairs'
+  // band split. Shared by the capped and uncapped pairings.
+  private val audioBandSql =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, substr(text, 1, len(text) - 1) || '~'
+       |  FROM documents),
+       |c AS (SELECT doc_id, $cpsSql AS cps FROM corpus),
+       |e AS (SELECT doc_id, list_transform(range(0, 16), t ->
+       |    list_transform(range(0, 4), bb ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_filter(cps[(t * len(cps)) // 16 + 1 : ((t + 1) * len(cps)) // 16],
+       |                    v -> v // 64 = bb)),
+       |        (x, y) -> x + y))) AS eng FROM c),
+       |p AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    flatten(list_transform(range(1, 16), t -> list_transform(range(0, 3), bb ->
+       |      CASE WHEN (eng[t+1][bb+1] - eng[t+1][bb+2]) - (eng[t][bb+1] - eng[t][bb+2]) > 0
+       |      THEN CAST(power(2, (t - 1) * 3 + bb) AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END)))),
+       |    (a, b) -> a + b) AS ah FROM e),
+       |b_t AS (SELECT doc_id, ah, band, CASE band
+       |    WHEN 0 THEN ah % 2048 WHEN 1 THEN (ah // 2048) % 2048
+       |    WHEN 2 THEN (ah // 4194304) % 2048 ELSE ah // 8589934592 END AS key
+       |  FROM p, (SELECT unnest([0, 1, 2, 3]) AS band))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    // 16 time frames × 4 byte-value energy bands (64-wide), Haitsma–Kalker
-    // second-difference sign bits, then the 4-band (11/11/11/12-bit)
-    // pigeonhole join — the exact arithmetic of byteBandEnergyHash +
-    // hammingPairs(45, 4, 3).
     "mm_audio_dupes" ->
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 1000000, substr(text, 1, len(text) - 1) || '~'
-         |  FROM documents),
-         |c AS (SELECT doc_id, $cpsSql AS cps FROM corpus),
-         |e AS (SELECT doc_id, list_transform(range(0, 16), t ->
-         |    list_transform(range(0, 4), bb ->
-         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |        list_filter(cps[(t * len(cps)) // 16 + 1 : ((t + 1) * len(cps)) // 16],
-         |                    v -> v // 64 = bb)),
-         |        (x, y) -> x + y))) AS eng FROM c),
-         |p AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    flatten(list_transform(range(1, 16), t -> list_transform(range(0, 3), bb ->
-         |      CASE WHEN (eng[t+1][bb+1] - eng[t+1][bb+2]) - (eng[t][bb+1] - eng[t][bb+2]) > 0
-         |      THEN CAST(power(2, (t - 1) * 3 + bb) AS BIGINT)
-         |      ELSE CAST(0 AS BIGINT) END)))),
-         |    (a, b) -> a + b) AS ah FROM e),
-         |b_t AS (SELECT doc_id, ah, band, CASE band
-         |    WHEN 0 THEN ah % 2048 WHEN 1 THEN (ah // 2048) % 2048
-         |    WHEN 2 THEN (ah // 4194304) % 2048 ELSE ah // 8589934592 END AS key
-         |  FROM p, (SELECT unnest([0, 1, 2, 3]) AS band))
+      s"""$audioBandSql
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.ah, b.ah)) AS BIGINT) AS hamming
          |FROM b_t a JOIN b_t b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ah, b.ah)) <= 3""".stripMargin,
+    "mm_audio_dupes_capped" ->
+      s"""$audioBandSql,
+         |kept AS (SELECT band, key FROM b_t GROUP BY band, key HAVING COUNT(*) <= 8),
+         |cb AS (SELECT doc_id, ah, band, key FROM b_t JOIN kept USING (band, key))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.ah, b.ah)) AS BIGINT) AS hamming
+         |FROM cb a JOIN cb b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ah, b.ah)) <= 3""".stripMargin,
     // 32 equal byte segments (1-based inclusive slices), cross-multiplied

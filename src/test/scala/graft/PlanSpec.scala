@@ -504,10 +504,13 @@ class PlanSpec extends AnyFunSuite {
     // The audio-fingerprint pairing must ride the same (band, key)
     // equi-join as every hash family; the blob itself never joins.
     try {
-      val p = plan("mm_audio_dupes")
-      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
-      assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
-        || p.contains("ShuffledHashJoin"), s"banded pairing must be an equi-join:\n$p")
+      Seq("mm_audio_dupes", "mm_audio_dupes_capped").foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"$q:\n$p")
+        assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+          || p.contains("ShuffledHashJoin"), s"$q: banded pairing must be an equi-join:\n$p")
+      }
     } finally graft.ext.DedupOps.releaseCaches()
   }
 
