@@ -321,6 +321,76 @@ object GraftStream {
       }
   }
 
+  /** Streaming twin of the GENERIC banded hamming pairing
+    * ([[graft.ext.DedupOps.hammingPairs]]) — works for ANY ≤62-bit
+    * locality hash already in a column: SimHash, the byte-gradient
+    * perceptual hash, the audio band-energy fingerprint
+    * ([[graft.ext.MultimodalOps.byteBandEnergyHash]]). The hash is
+    * split into the SAME contiguous bands as the batch operator (width
+    * bits/bands, last band absorbs the remainder), each (band, key)
+    * bucket keeps (id, fullHash) as keyed state, and pairs are VERIFIED
+    * in-stream — `bitCount(xor) <= maxHamming` on the stored hashes, so
+    * the emission is exactly the batch pair set (pigeonhole recall:
+    * choose bands > maxHamming), not a candidate superset. Emits
+    * (id_a, id_b, hamming) with id_a < id_b; pairs sharing several
+    * buckets repeat with identical hamming — dropDuplicates downstream.
+    *
+    * Same state discipline as [[nearDupCandidates]] (flood-bounded
+    * intra pairing over ADMITTED members, `maxBucket` state cap, TTL
+    * re-armed on access — and the same `processAllAvailable` caveat
+    * when a TTL is set); state per member is two longs, so a bucket
+    * costs ≤ 16·maxBucket bytes. */
+  def hammingCandidates(df: DataFrame, idCol: String, hashCol: String,
+      bits: Int, bands: Int, maxHamming: Int = 2,
+      maxBucket: Int = 64, stateTtl: String = "30 minutes"): Dataset[(Long, Long, Long)] = {
+    require(bands >= 1 && bits >= bands && bits <= 62,
+      s"need 1 <= bands <= bits <= 62, got bits=$bits bands=$bands")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val width = bits / bands
+    val bandKeys = array((0 until bands).map { j =>
+      val lo = j * width
+      val w = if (j == bands - 1) bits - lo else width
+      shiftrightunsigned(col("sig"), lo).bitwiseAND(lit((1L << w) - 1L))
+    }: _*)
+    val sigs = df
+      .select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("sig"))
+      .select(col("id"), col("sig"), posexplode(bandKeys).as(Seq("band", "key")))
+      .as[(Long, Long, Int, Long)]
+    val ttl = stateTtl
+    val maxH = maxHamming
+    val timeoutConf =
+      if (ttl.isEmpty) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
+    sigs.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (_: (Int, Long), rows: Iterator[(Long, Long, Int, Long)],
+            state: GroupState[Seq[(Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(Seq.empty)
+            val prevIds = prev.map(_._1).toSet
+            // Flood bound as in [[nearDupCandidates]]: intra pairing
+            // over ADMITTED members only; fresh members still verify
+            // against the stored prefix (linear, ≤ maxBucket each).
+            val fresh = rows.map(r => (r._1, r._2)).toSeq
+              .distinctBy(_._1).filterNot(p => prevIds.contains(p._1))
+            val admitted = fresh.take(math.max(0, maxBucket - prev.size))
+            def ham(a: Long, b: Long): Long = java.lang.Long.bitCount(a ^ b).toLong
+            val cross = for { (ni, ns) <- fresh; (pi, ps) <- prev }
+              yield (math.min(ni, pi), math.max(ni, pi), ham(ns, ps))
+            val intra = admitted.combinations(2).map { case Seq((a, sa), (b, sb)) =>
+              (math.min(a, b), math.max(a, b), ham(sa, sb)) }.toSeq
+            state.update(prev ++ admitted)
+            if (ttl.nonEmpty) state.setTimeoutDuration(ttl) // re-arm on every access
+            (cross ++ intra).iterator.filter(_._3 <= maxH)
+          }
+      }
+  }
+
   /** Watermarked session windows (gap-based) — the streaming form of
     * EventQueries.eventsSessions. Spark's native session_window state
     * machine; keyed state shuffles once per (key, session). */

@@ -435,6 +435,49 @@ class StreamingSpec extends AnyFunSuite {
       .forall(g => g.map(_._3).distinct.size == 1))
   }
 
+  test("streaming hammingCandidates: in-stream verified pairs equal batch hammingPairs (audio fingerprint)") {
+    // The GENERIC hash-family twin: the audio band-energy fingerprints
+    // of the real sf0.001 corpus (+ planted last-byte edits — the
+    // mm_audio_dupes construction) arrive over THREE shuffled
+    // micro-batches, and the stream's verified (id_a, id_b, hamming)
+    // set must equal batch hammingPairs exactly — same band split, same
+    // bit_count verification, pigeonhole recall intact across batch
+    // boundaries (state holds the full hash, so no estimator slack).
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val b = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = b.unionAll(b.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(expr("substring(text, 1, length(text) - 1)"), lit("~")).as("text")))
+    val hashed = corpus.select(col("doc_id"),
+      graft.ext.MultimodalOps.byteBandEnergyHash(encode(col("text"), "UTF-8"), 16, 4)
+        .as("ahash"))
+    val rows = hashed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batchPairs = graft.ext.DedupOps.hammingPairs(hashed, "doc_id", "ahash",
+        bits = 45, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.ext.DedupOps.releaseCaches()
+    val in = MemoryStream[(Long, Long)]
+    val df = in.toDF().toDF("doc_id", "ahash")
+    val out = new ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val q = GraftStream.hammingCandidates(df, "doc_id", "ahash",
+        bits = 45, bands = 4, maxHamming = 3, maxBucket = 10000, stateTtl = "")
+      .writeStream.outputMode("append")
+      .foreachBatch((bt: org.apache.spark.sql.Dataset[(Long, Long, Long)], _: Long) =>
+        { bt.collect().foreach(out.add); () })
+      .start()
+    // deterministic shuffle, planted pairs split across batch boundaries
+    val shuffled = rows.sortBy(r => (r._1 * 2654435761L) % 1000000007L)
+    shuffled.grouped((shuffled.size + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = out.toArray.map(_.asInstanceOf[(Long, Long, Long)]).toSet
+    assert(streamed == batchPairs,
+      s"stream ${streamed.size} pairs vs batch ${batchPairs.size}")
+    assert(batchPairs.nonEmpty, "planted audio near-dups must pair")
+  }
+
   test("streaming near-dup: maxBucket bounds trigger-local intra pairing; overflow still pairs against stored state") {
     // The flood-bound contract (round-5 review finding): M copies of a
     // template in ONE micro-batch must not emit ~M^2/2 intra pairs —
