@@ -870,6 +870,45 @@ object Relational {
         (lit(10L) * col("tvd_num") > col("n_a") * col("n_b")).as("drifted"))
   }
 
+  /** Co-located fact⋈fact join via BUCKETED layout
+    * ([[graft.ext.LayoutOps.bucketedTable]]): lineitem and orders are
+    * both written `bucketBy(8, orderkey)` once, then the per-order
+    * pre-aggregation AND the join run with ZERO exchanges — the bucketed
+    * scans already report `HashPartitioning(orderkey, 8)`, so the only
+    * shuffle in the whole query is the final 5-row priority rollup.
+    * This is the 100 TB posture for the joins a warehouse repeats every
+    * run (lineitem⋈orders is TPC-H's biggest): pay the shuffle once at
+    * layout time. The `merge` hint pins SMJ so the plan demonstrates
+    * the exchange-free join even at test scale, where AQE would
+    * broadcast instead (at production scale neither side broadcasts).
+    * Revenue stays DECIMAL through the two aggregation levels (exact,
+    * association-proof), surfacing as double only at the end — so the
+    * two-level Spark aggregate hash-equals DuckDB's one-level sum.
+    * Table names carry the sfDir hash: one JVM can serve several scale
+    * factors without stale-layout collisions. */
+  def qColocatedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.LayoutOps
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val li = LayoutOps.bucketedTable(
+      load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      s"graft_b_lineitem_$tag", "l_orderkey", buckets = 8)
+    val ord = LayoutOps.bucketedTable(
+      load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      s"graft_b_orders_$tag", "o_orderkey", buckets = 8)
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(38, 6))).as("rev"))
+    perOrder.hint("merge")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("n_items")).as("n_items"),
+        sum(col("rev")).cast("double").as("revenue"))
+  }
+
   /** The oracle's spelling of [[graft.functions.HashKernels.zInterleave]]:
     * Σ_i ((a>>i)&1)·4^i + ((b>>i)&1)·2·4^i — plain BIGINT arithmetic
     * both engines agree on bit-exactly. */
@@ -881,6 +920,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder" -> (qZorder _),
+    "q_colocated_join" -> (qColocatedJoin _),
     "q_dq_report" -> (qDqReport _),
     "q_drift" -> (qDrift _),
     "q_incremental_mv" -> (qIncrementalMv _),
@@ -923,6 +963,16 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    // one-level decimal sum == the query's two-level decimal aggregate
+    // (exact decimal arithmetic is associative); COUNT(DISTINCT) mirrors
+    // the per-order pre-agg row count under the inner join
+    "q_colocated_join" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT l_orderkey) AS n_orders,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q_drift" ->
       """WITH o AS (SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS band,
         |    year(o_orderdate) = 1995 AS isa

@@ -500,6 +500,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("q_colocated_join: bucketed layout makes pre-agg and fact join exchange-free") {
+    // Both scans report HashPartitioning(orderkey, 8), so the per-order
+    // aggregate and the SMJ need no shuffle — the ONLY Exchange in the
+    // plan is the final 5-row priority rollup. Losing this (a dropped
+    // bucket spec, a re-enabled broadcast, a mis-keyed pre-agg) silently
+    // reintroduces the full lineitem shuffle this layout exists to kill.
+    val p = plan("q_colocated_join")
+    assert(nOps(p, "Exchange") == 1,
+      s"exactly one exchange (the final rollup) may appear:\n$p")
+    assert(nOps(p, "SortMergeJoin") == 1, s"the fact join must be the SMJ:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan parquet spark_catalog.default.graft_b_lineitem"),
+      s"lineitem must read from the bucketed table:\n$p")
+  }
+
   test("mm_audio_dupes: banded hamming pairing is a bucket equi-join — no nested loop, no cartesian") {
     // The audio-fingerprint pairing must ride the same (band, key)
     // equi-join as every hash family; the blob itself never joins.
