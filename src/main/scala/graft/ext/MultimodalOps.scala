@@ -137,6 +137,39 @@ object MultimodalOps {
     override def prettyName: String = "graft_byte_bandhash"
   }
 
+  /** Native resize over an already-decoded pixel column: area-average
+    * box filter ([[graft.functions.HashKernels.resizeArea]] — exact
+    * integer block bounds, deterministic float accumulation), source
+    * dims per ROW (`w`/`h` are expressions — media tables mix sizes),
+    * target dims plan-time. Codegen'd; stays inside whole-stage like
+    * the byte kernels. */
+  case class ResizePixelsExpr(pixels: Expression, w: Expression, h: Expression,
+      ow: Int, oh: Int)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    require(ow >= 1 && oh >= 1, s"target dims must be >= 1, got ${ow}x$oh")
+    override def first: Expression = pixels
+    override def second: Expression = w
+    override def third: Expression = h
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override protected def nullSafeEval(p: Any, ww: Any, hh: Any): Any =
+      graft.functions.HashKernels.resizePixels(
+        p.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        ww.asInstanceOf[Int], hh.asInstanceOf[Int], ow, oh)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (p, ww, hh) =>
+        s"graft.functions.HashKernels.resizePixels($p, $ww, $hh, $ow, $oh)")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): ResizePixelsExpr =
+      copy(pixels = f, w = s, h = t)
+    override def prettyName: String = "graft_resize"
+  }
+
+  def resizePixels(px: Column, w: Column, h: Column, ow: Int, oh: Int): Column =
+    toColumn(ResizePixelsExpr(toExpression(px), toExpression(w), toExpression(h), ow, oh))
+
   def byteStats(c: Column): Column = toColumn(ByteStatsExpr(toExpression(c)))
   def byteHist(c: Column, bins: Int): Column = toColumn(ByteHistExpr(toExpression(c), bins))
   def byteSegGradHash(c: Column, segs: Int): Column =
@@ -179,6 +212,30 @@ object MultimodalOps {
           batch.iterator.map { r =>
             val px = fakeDecode(r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3))
             Row(r.getLong(0), px.toSeq)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Decode + resize in ONE partition-local batch pass — the production
+    * thumbnail pipeline: the blob is decoded and immediately downsampled
+    * inside the same batch loop, so the full-resolution pixel array
+    * never rematerializes between operators (at media scale the decoded
+    * frame is the big object, not the blob). Output:
+    * (media_id, thumb: array<float> of `ow`×`oh`). Same batch shape /
+    * stub-decoder contract as [[decodeToPixels]]. */
+  def thumbnails(df: DataFrame, ow: Int, oh: Int, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("thumb", ArrayType(FloatType, containsNull = false), nullable = false)))
+    df.select(col("media_id"), col("content"), col("meta.width"), col("meta.height"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val w = r.getInt(2); val h = r.getInt(3)
+            val px = fakeDecode(r.getAs[Array[Byte]](1), w, h)
+            Row(r.getLong(0),
+              graft.functions.HashKernels.resizeArea(px, w, h, ow, oh).toSeq)
           }
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))

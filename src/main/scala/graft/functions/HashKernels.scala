@@ -282,6 +282,40 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Area-average (box filter) resample of a row-major `w`×`h` float
+    * grid to `ow`×`oh`: out(i,j) = mean of the input block
+    * rows [i·h/oh, (i+1)·h/oh) × cols [j·w/ow, (j+1)·w/ow), each bound
+    * clamped to at least one cell (so upsampling degrades to nearest
+    * neighbor). Integer block boundaries + a fixed row-major summation
+    * order make the result bit-deterministic at any parallelism — the
+    * thumbnail/downsample primitive for decoded media features. */
+  def resizeArea(px: Array[Float], w: Int, h: Int, ow: Int, oh: Int): Array[Float] = {
+    val out = new Array[Float](ow * oh)
+    var i = 0
+    while (i < oh) {
+      val r0 = i.toLong * h / oh; val r1 = math.max((i + 1).toLong * h / oh, r0 + 1)
+      var j = 0
+      while (j < ow) {
+        val c0 = j.toLong * w / ow; val c1 = math.max((j + 1).toLong * w / ow, c0 + 1)
+        var s = 0.0
+        var r = r0
+        while (r < r1) {
+          var c = c0
+          while (c < c1) { s += px((r * w + c).toInt); c += 1 }
+          r += 1
+        }
+        out(i * ow + j) = (s / ((r1 - r0) * (c1 - c0))).toFloat
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** [[resizeArea]] over Catalyst array data (the codegen call shape). */
+  def resizePixels(px: ArrayData, w: Int, h: Int, ow: Int, oh: Int): ArrayData =
+    new GenericArrayData(resizeArea(px.toFloatArray(), w, h, ow, oh))
+
   /** Positional gradient hash (dHash): split the blob into `segs`
     * equal byte segments (boundaries j·n/segs, integer), then one
     * gradient bit per adjacent pair — bit j set iff segment j+1's

@@ -82,6 +82,10 @@ object GraftFunctions {
       "graft_might_contain(bloom_bin, longCol) - bloom membership probe",
       es => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(es.head, es(1))),
+    ("graft_resize",
+      "graft_resize(pixels, w, h, ow, oh) - area-average resample of a row-major float grid",
+      es => graft.ext.MultimodalOps.ResizePixelsExpr(es.head, es(1), es(2),
+        intLit(es(3), "graft_resize"), intLit(es(4), "graft_resize"))),
     ("graft_byte_bandhash",
       "graft_byte_bandhash(bin, frames, bands) - audio-style band-energy fingerprint",
       es => graft.ext.MultimodalOps.ByteBandEnergyHashExpr(es.head,

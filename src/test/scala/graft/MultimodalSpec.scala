@@ -36,6 +36,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == again)
   }
 
+  test("resizeArea kernel: exact block means, ragged bounds, upsample degrades to nearest") {
+    import graft.functions.HashKernels.resizeArea
+    // 4x4 grid, 2x2 target: each output = mean of its 2x2 block
+    val g = Array.tabulate(16)(_.toFloat) // rows [0..3],[4..7],[8..11],[12..15]
+    assert(resizeArea(g, 4, 4, 2, 2).toSeq ==
+      Seq((0f + 1 + 4 + 5) / 4, (2f + 3 + 6 + 7) / 4,
+        (8f + 9 + 12 + 13) / 4, (10f + 11 + 14 + 15) / 4))
+    // ragged 5x3 → 2x2: integer block bounds (rows [0,1)/[1,3), cols [0,2)/[2,5))
+    val r = Array.tabulate(15)(_.toFloat)
+    val out = resizeArea(r, 5, 3, 2, 2)
+    assert(out(0) == (0f + 1) / 2 && out(1) == (2f + 3 + 4) / 3)
+    assert(out(2) == (5f + 6 + 10 + 11) / 4 && out(3) == (7f + 8 + 9 + 12 + 13 + 14) / 6)
+    // upsample 2x2 → 4x4: nearest-neighbor replication (clamped blocks)
+    val up = resizeArea(Array(1f, 2f, 3f, 4f), 2, 2, 4, 4)
+    assert(up.toSeq == Seq(1f, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
+  }
+
+  test("thumbnails: one-pass decode+resize equals decode-then-kernel; SQL graft_resize agrees") {
+    import graft.functions.HashKernels.resizeArea
+    val th = MultimodalOps.thumbnails(corpus(10), ow = 2, oh = 2, batchSize = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(th.size == 10 && th.values.forall(_.length == 4))
+    // parity: thumb == resizeArea(fakeDecode(bytes, 4, 3))
+    (0 until 10).foreach { i =>
+      val bytes = Array.tabulate[Byte](100 + i)(j => ((i * 31 + j * 7) % 256).toByte)
+      val expect = resizeArea(MultimodalOps.fakeDecode(bytes, 4, 3), 4, 3, 2, 2).toSeq
+      assert(th(i.toLong) == expect, s"media $i")
+    }
+    // the native column expression computes the same resample from SQL
+    graft.sql.GraftFunctions.register(spark)
+    val px = MultimodalOps.decodeToPixels(corpus(10))
+    px.createOrReplaceTempView("resize_px")
+    val viaSql = spark.sql(
+      "SELECT media_id, graft_resize(pixels, 4, 3, 2, 2) AS thumb FROM resize_px")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(viaSql == th)
+  }
+
   test("sampleFrames: index math + byte slicing partitions the blob") {
     assert(MultimodalOps.sampleFrameIndices(10, 3) == Seq(0, 3, 6, 9))
     assert(MultimodalOps.sampleFrameIndices(10, 4) == Seq(0, 4, 8, 9))
