@@ -84,6 +84,24 @@ object MultimodalOps {
     override def prettyName: String = "graft_byte_hist"
   }
 
+  /** Integer twin of [[ByteHistExpr]]: raw bucket counts — the
+    * all-integer histogram for exact arithmetic downstream (frame L1
+    * distances in [[graft.queries.MultimodalQueries.mmSceneCuts]]
+    * never touch a float, so the scene verdict can't flip on ulp). */
+  case class ByteHistCountsExpr(child: Expression, bins: Int) extends UnaryExpression {
+    require(bins > 0 && 256 % bins == 0)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      graft.functions.HashKernels.byteHistCounts(input.asInstanceOf[Array[Byte]], bins)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.byteHistCounts($c, $bins)")
+    override protected def withNewChildInternal(c: Expression): ByteHistCountsExpr = copy(child = c)
+    override def prettyName: String = "graft_byte_hist_counts"
+  }
+
   /** Perceptual hash over raw bytes — dHash's structure (gradients
     * between downscaled regions) applied codec-free: `segs` equal
     * byte segments, one MEAN-gradient bit per adjacent pair
@@ -172,6 +190,8 @@ object MultimodalOps {
 
   def byteStats(c: Column): Column = toColumn(ByteStatsExpr(toExpression(c)))
   def byteHist(c: Column, bins: Int): Column = toColumn(ByteHistExpr(toExpression(c), bins))
+  def byteHistCounts(c: Column, bins: Int): Column =
+    toColumn(ByteHistCountsExpr(toExpression(c), bins))
   def byteSegGradHash(c: Column, segs: Int): Column =
     toColumn(ByteSegGradHashExpr(toExpression(c), segs))
   def byteBandEnergyHash(c: Column, frames: Int, bands: Int): Column =

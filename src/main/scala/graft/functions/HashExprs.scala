@@ -122,6 +122,20 @@ object HashExprs {
 
   /** simhash(fps, bits): bit j of the signature is set iff the sum of
     * per-fp votes (+1 if bit j of fp set, else −1) is positive. */
+  /** modal_ngram_count(tokens, k): max occurrence count of any k-token
+    * gram — linear hash-map pass ([[HashKernels.modalNgramCount]]); the
+    * Gopher-repetition mode count. */
+  case class ModalNgramCountExpr(child: Expression, k: Int) extends UnaryExpression {
+    require(k >= 1)
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.modalNgramCount(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.modalNgramCount($c, $k)")
+    override protected def withNewChildInternal(c: Expression): ModalNgramCountExpr = copy(child = c)
+    override def prettyName: String = "graft_modal_ngram_count"
+  }
+
   case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
     require(bits >= 1 && bits <= 62)
     override def dataType: DataType = LongType
@@ -233,6 +247,8 @@ object HashExprs {
   def tokenFps(toks: Column): Column = toColumn(TokenFpsExpr(toExpression(toks)))
   def shingleFps(toks: Column, k: Int): Column = toColumn(ShingleFpsExpr(toExpression(toks), k))
   def charShingleFps(s: Column, k: Int): Column = toColumn(CharShingleFpsExpr(toExpression(s), k))
+  def modalNgramCount(toks: Column, k: Int): Column =
+    toColumn(ModalNgramCountExpr(toExpression(toks), k))
   def minhashSig(fps: Column, n: Int): Column = toColumn(MinHashSigExpr(toExpression(fps), n))
   def bandKeys(sig: Column, b: Int, r: Int): Column = toColumn(BandKeysExpr(toExpression(sig), b, r))
   def simhash(fps: Column, bits: Int): Column = toColumn(SimHashExpr(toExpression(fps), bits))

@@ -258,6 +258,34 @@ object HashKernels {
     acc
   }
 
+  /** Max occurrence count of any k-token n-gram — the mode count the
+    * Gopher repetition rules need ("fraction of tokens in the most
+    * common n-gram"). ONE linear pass with a hash map, vs the oracle's
+    * quadratic list-comprehension spelling (distinct × filter) — the
+    * green hash row proves the linear kernel computes the identical
+    * mode. Equality is on the joined STRING (exact, collision-free),
+    * matching the oracle's `tk[i] || ' ' || tk[i+1]` compares. */
+  def modalNgramCount(toks: ArrayData, k: Int): Long = {
+    val n = toks.numElements()
+    if (n < k) return 0L
+    val m = new java.util.HashMap[String, Integer]()
+    var best = 0
+    var i = 0
+    while (i <= n - k) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val c = m.merge(sb.toString, 1, (a, b) => Integer.valueOf(a + b))
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
   def byteStats(bs: Array[Byte]): InternalRow = {
     var sum = 0L; var mn = 256; var mx = -1
     var i = 0
@@ -280,6 +308,17 @@ object HashKernels {
     i = 0
     while (i < bins) { out(i) = counts(i) / n; i += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Integer twin of [[byteHist]]: raw bucket COUNTS, no normalization —
+    * the all-integer feature for exact cross-engine comparisons
+    * (L1 distances between counts never touch IEEE arithmetic). */
+  def byteHistCounts(bs: Array[Byte], bins: Int): ArrayData = {
+    val width = 256 / bins
+    val counts = new Array[Long](bins)
+    var i = 0
+    while (i < bs.length) { counts((bs(i) & 0xff) / width) += 1; i += 1 }
+    new GenericArrayData(counts)
   }
 
   /** Area-average (box filter) resample of a row-major `w`×`h` float

@@ -710,7 +710,58 @@ object SimQueries {
       .select(col("q_id"), col("vec_id"), col("rank_cos"), col("rank_dot"), col("rrf"))
   }
 
+  /** INCREMENTAL vector admission against a maintained IVF index —
+    * the vector twin of `dedup_incremental`: a new batch screens
+    * against the standing corpus WITHOUT an all-pairs scan. The batch
+    * plants (a) exact duplicates of every 5th corpus vector (must be
+    * flagged) and (b) novels — the REVERSED embedding, which for
+    * near-isotropic vectors is just an unrelated direction (cosine ≈
+    * noise, must be admitted). Both sides assign to the nearest of 8
+    * broadcast coarse centroids (argmax cosine, the [[simKmeans]] seed
+    * cells); candidates are batch ⋈ corpus WITHIN THE SAME CELL only —
+    * the nprobe=1 IVF probe, so per batch vector the screen costs
+    * |cell| comparisons, not |corpus|. An exact duplicate lands in its
+    * original's cell BY CONSTRUCTION (identical vector ⇒ identical
+    * argmax), so nprobe=1 recall on exact dups is structural, not
+    * probabilistic. Output per batch vector: its cell, the candidate
+    * count actually screened, and the admission verdict (dup_of = the
+    * matched corpus id at cosine ≥ 0.99, null ⇒ admitted).
+    *
+    * 100 TB shape: the corpus side of the join is the PRE-ASSIGNED
+    * index (maintained once, like dedup_incremental's (fp, count)
+    * index); the batch side re-assigns per arrival against broadcast
+    * centroids (k×dims, KB); the only shuffle is the cell-keyed
+    * equi-join whose corpus fan-in is bounded by the cell size —
+    * at production k the cell is corpus/k, and the [[simIvfPq]] PQ
+    * codes drop in when even that is too wide. */
+  def simIncrementalIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("s_id"), col("embedding").as("s_vec"))
+    def assign(v: DataFrame, idCol: String, vecCol: String): DataFrame =
+      v.crossJoin(broadcast(seeds))
+        .select(col(idCol), col(vecCol), col("s_id"),
+          SimOps.cosine(col(vecCol), col("s_vec")).as("cos"))
+        .groupBy(col(idCol))
+        .agg(max_by(col("s_id"), struct(col("cos"), (-col("s_id")).as("ns"))).as("c_id"),
+          first(col(vecCol)).as(vecCol))
+    val batch = e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + SHIFT).as("batch_id"), col("embedding").as("b_vec"))
+      .unionAll(e.filter(col("vec_id") % 5 === 1)
+        .select((col("vec_id") + 2 * SHIFT).as("batch_id"),
+          reverse(col("embedding")).as("b_vec")))
+    val ca = assign(e, "vec_id", "embedding")
+    val ba = assign(batch, "batch_id", "b_vec")
+    ba.join(ca, "c_id")
+      .withColumn("cos", SimOps.cosine(col("b_vec"), col("embedding")))
+      .groupBy(col("batch_id"), col("c_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        min(when(col("cos") >= 0.99, col("vec_id"))).as("dup_of"))
+      .withColumn("is_dup", col("dup_of").isNotNull)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_incremental_ivf" -> (simIncrementalIvf _),
     "sim_rank_fusion" -> (simRankFusion _),
     "sim_kcore" -> (simKcore _),
     "sim_gram" -> (simGram _),
@@ -786,6 +837,38 @@ object SimQueries {
        |      WHERE f.vec_id < f.nbr_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "sim_incremental_ivf" ->
+      s"""WITH seeds AS (SELECT vec_id AS s_id, embedding AS s_vec
+         |               FROM embeddings WHERE vec_id < 8),
+         |batch AS (
+         |  SELECT vec_id + 1000000 AS batch_id, embedding AS b_vec
+         |  FROM embeddings WHERE vec_id % 5 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 2000000 AS batch_id, list_reverse(embedding) AS b_vec
+         |  FROM embeddings WHERE vec_id % 5 = 1),
+         |ca AS (SELECT vec_id, embedding, c_id FROM (
+         |         SELECT vec_id, embedding, s_id AS c_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY cos DESC, s_id) AS rk
+         |         FROM (SELECT e.vec_id, e.embedding, s.s_id,
+         |                 ${cosSql("e.embedding", "s.s_vec")} AS cos
+         |               FROM embeddings e, seeds s))
+         |       WHERE rk = 1),
+         |ba AS (SELECT batch_id, b_vec, c_id FROM (
+         |         SELECT batch_id, b_vec, s_id AS c_id,
+         |           row_number() OVER (PARTITION BY batch_id
+         |             ORDER BY cos DESC, s_id) AS rk
+         |         FROM (SELECT b.batch_id, b.b_vec, s.s_id,
+         |                 ${cosSql("b.b_vec", "s.s_vec")} AS cos
+         |               FROM batch b, seeds s))
+         |       WHERE rk = 1),
+         |cand AS (SELECT b.batch_id, b.c_id, c.vec_id,
+         |           ${cosSql("b.b_vec", "c.embedding")} AS cos
+         |         FROM ba b JOIN ca c ON c.c_id = b.c_id)
+         |SELECT batch_id, c_id, COUNT(*) AS n_cand,
+         |       MIN(CASE WHEN cos >= 0.99 THEN vec_id END) AS dup_of,
+         |       MIN(CASE WHEN cos >= 0.99 THEN vec_id END) IS NOT NULL AS is_dup
+         |FROM cand GROUP BY batch_id, c_id""".stripMargin,
     "sim_pca_power" ->
       """WITH gram AS (SELECT CAST(ii AS BIGINT) AS i, CAST(jj AS BIGINT) AS j,
         |    CAST(SUM(CAST(CAST(embedding[ii + 1] AS DOUBLE) *

@@ -640,7 +640,59 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("rk"), col("n_source"))
   }
 
+  /** GOPHER quality-rule bundle (Rae et al. 2021, Table A1 — the
+    * public heuristic suite every big English corpus run applies
+    * before model-based filtering): per document,
+    *   1. word count in [50, 100 000];
+    *   2. mean word length in [3, 10] — spelled CROSS-MULTIPLIED
+    *      (3·n ≤ Σlen ≤ 10·n), all-integer, so the bound can't flip on
+    *      a division ulp;
+    *   3. ≥ 2 stopword hits;
+    *   4. duplicate-line fraction ≤ 0.30 (5-token pseudo-lines — the
+    *      corpus has no newlines; 10·dup ≤ 3·n_lines). Computed IN-ROW
+    *      (size − size∘distinct), quiet on this synthetic corpus —
+    *      GopherSpec exercises it with a planted degenerate doc;
+    *   5. most-common-bigram token share ≤ 0.20 (2·mode/n ≤ 0.2 ⇔
+    *      10·mode ≤ n) — the mode count via the native linear
+    *      [[graft.functions.HashExprs.modalNgramCount]] kernel, which
+    *      the oracle's QUADRATIC distinct×filter spelling proves exact.
+    * Every signal is a per-row expression: the whole query is ONE scan
+    * with ZERO joins and ZERO shuffles (PlanSpec-pinned) — at 100 TB
+    * the rule bundle runs at scan speed, embarrassingly parallel, and
+    * adding a rule adds a column, not a pass (the QualityOps contract
+    * applied to text heuristics). 276/500 docs pass at sf0.01 with
+    * every computed rule band exercised. */
+  def curateGopher(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val base = d.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("bigint").as("n_words"),
+        aggregate(transform(col("tk"), t => length(t).cast("bigint")),
+          lit(0L), (a, b) => a + b).as("sum_word_chars"),
+        size(filter(col("tk"), t => t.isin("the", "a", "data", "table")))
+          .cast("bigint").as("stop_hits"),
+        transform(sequence(lit(0), ((size(col("tk")) - 1) / 5).cast("int")),
+          i => array_join(slice(col("tk"), i * lit(5) + lit(1), lit(5)), " ")).as("lines"),
+        graft.functions.HashExprs.modalNgramCount(col("tk"), 2).as("max_bigram"))
+    base.select(col("doc_id"), col("n_words"), col("sum_word_chars"),
+        col("stop_hits"),
+        size(col("lines")).cast("bigint").as("n_lines"),
+        (size(col("lines")) - size(array_distinct(col("lines"))))
+          .cast("bigint").as("dup_lines"),
+        col("max_bigram"))
+      .withColumn("ok_count", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("ok_mwl",
+        lit(3L) * col("n_words") <= col("sum_word_chars") &&
+          col("sum_word_chars") <= lit(10L) * col("n_words"))
+      .withColumn("ok_stop", col("stop_hits") >= 2)
+      .withColumn("ok_dupline", lit(10L) * col("dup_lines") <= lit(3L) * col("n_lines"))
+      .withColumn("ok_bigram", lit(10L) * col("max_bigram") <= col("n_words"))
+      .withColumn("pass", col("ok_count") && col("ok_mwl") && col("ok_stop") &&
+        col("ok_dupline") && col("ok_bigram"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_gopher" -> (curateGopher _),
     "curate_domain_cap" -> (curateDomainCap _),
     "curate_mix" -> (curateMix _),
     "curate_line_dedup" -> (curateLineDedup _),
@@ -696,6 +748,37 @@ object TextQueries {
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
+    "curate_gopher" ->
+      s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |base AS (SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(tk, t -> CAST(len(t) AS BIGINT))),
+         |      (a, b) -> a + b) AS BIGINT) AS sum_word_chars,
+         |    CAST(len(list_filter(tk,
+         |      t -> t IN ('the','a','data','table'))) AS BIGINT) AS stop_hits,
+         |    list_transform(range(0, (len(tk)-1)//5 + 1),
+         |      i -> array_to_string(tk[i*5+1 : i*5+5], ' ')) AS lines,
+         |    CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS bigs
+         |  FROM tk_t),
+         |sig AS (SELECT doc_id, n_words, sum_word_chars, stop_hits,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dup_lines,
+         |    CAST(COALESCE(list_max(list_transform(list_distinct(bigs),
+         |      b -> len(list_filter(bigs, x -> x = b)))), 0) AS BIGINT) AS max_bigram
+         |  FROM base)
+         |SELECT doc_id, n_words, sum_word_chars, stop_hits, n_lines, dup_lines,
+         |  max_bigram,
+         |  (n_words >= 50 AND n_words <= 100000) AS ok_count,
+         |  (3*n_words <= sum_word_chars AND sum_word_chars <= 10*n_words) AS ok_mwl,
+         |  stop_hits >= 2 AS ok_stop,
+         |  10*dup_lines <= 3*n_lines AS ok_dupline,
+         |  10*max_bigram <= n_words AS ok_bigram,
+         |  (n_words >= 50 AND n_words <= 100000 AND 3*n_words <= sum_word_chars
+         |   AND sum_word_chars <= 10*n_words AND stop_hits >= 2
+         |   AND 10*dup_lines <= 3*n_lines AND 10*max_bigram <= n_words) AS pass
+         |FROM sig""".stripMargin,
     "curate_domain_cap" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(row_number() OVER (PARTITION BY source

@@ -1,6 +1,6 @@
 package graft.sql
 
-import graft.ext.MultimodalOps.{ByteHistExpr, ByteSegGradHashExpr, ByteStatsExpr}
+import graft.ext.MultimodalOps.{ByteHistCountsExpr, ByteHistExpr, ByteSegGradHashExpr, ByteStatsExpr}
 import graft.functions.HashExprs._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -43,6 +43,9 @@ object GraftFunctions {
     ("graft_band_keys", "graft_band_keys(sig, b, r) - banded LSH bucket keys",
       es => BandKeysExpr(es.head, intLit(es(1), "graft_band_keys"),
         intLit(es(2), "graft_band_keys"))),
+    ("graft_modal_ngram_count",
+      "graft_modal_ngram_count(tokens, k) - max occurrence count of any k-gram",
+      es => ModalNgramCountExpr(es.head, intLit(es(1), "graft_modal_ngram_count"))),
     ("graft_simhash", "graft_simhash(fps, bits) - SimHash bit signature",
       es => SimHashExpr(es.head, intLit(es(1), "graft_simhash"))),
     ("graft_cosine", "graft_cosine(a, b) - cosine similarity of vectors",
@@ -55,6 +58,9 @@ object GraftFunctions {
       es => ByteStatsExpr(es.head)),
     ("graft_byte_hist", "graft_byte_hist(bin, bins) - normalized byte histogram",
       es => ByteHistExpr(es.head, intLit(es(1), "graft_byte_hist"))),
+    ("graft_byte_hist_counts",
+      "graft_byte_hist_counts(bin, bins) - integer byte-bucket counts",
+      es => ByteHistCountsExpr(es.head, intLit(es(1), "graft_byte_hist_counts"))),
     ("graft_byte_phash",
       "graft_byte_phash(bin, segs) - positional segment-gradient perceptual hash",
       es => ByteSegGradHashExpr(es.head, intLit(es(1), "graft_byte_phash"))),

@@ -819,6 +819,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("curate_gopher: the whole rule bundle is one scan, zero joins, zero shuffles") {
+    val p = plan("curate_gopher")
+    assert(nOps(p, "Scan parquet") == 1, s"one documents scan:\n$p")
+    assert(nOps(p, "Exchange") == 0, s"per-row rules must not shuffle:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") +
+      nOps(p, "BroadcastHashJoin") == 0, s"no joins in a per-row rule bundle:\n$p")
+  }
+
+  test("mm_scene_cuts: histograms, L1s and cut flags all inside the row — no shuffle, no join") {
+    val p = plan("mm_scene_cuts")
+    assert(nOps(p, "Scan parquet") == 1, s"one scan; frames never explode into a self-join:\n$p")
+    assert(nOps(p, "Exchange") == 0, s"the blob must not leave its scan partition:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") +
+      nOps(p, "BroadcastHashJoin") + nOps(p, "CartesianProduct") == 0, p)
+  }
+
+  test("sim_incremental_ivf: seeds broadcast for assignment; the screen is a cell equi-join") {
+    val p = plan("sim_incremental_ivf")
+    // two assignment passes (corpus, batch) each broadcast the 8-seed set
+    assert(nOps(p, "BroadcastExchange") >= 2, s"seed set must broadcast per assignment:\n$p")
+    // the only nested-loop allowed is the deliberate 8-row seed
+    // crossJoin(broadcast) — the batch×corpus screen itself must plan
+    // as a real equi-join on the cell key
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") +
+      nOps(p, "BroadcastHashJoin") >= 1,
+      s"the cell screen must be an equi-join:\n$p")
+    assert(nOps(p, "CartesianProduct") == 0, p)
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);

@@ -170,4 +170,22 @@ class SimRecallSpec extends AnyFunSuite {
     }
     assert(got.size == 6, "upper triangle only: d(d+1)/2 cells")
   }
+
+  test("incremental IVF admission: planted dups flagged with their original, novels admitted") {
+    val got = SparkEntry.queries("sim_incremental_ivf")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val dups = got.filter(_.getAs[Long]("batch_id") < 2000000L)
+    val novels = got.filter(_.getAs[Long]("batch_id") >= 2000000L)
+    assert(dups.nonEmpty && novels.nonEmpty)
+    dups.foreach { r =>
+      assert(r.getAs[Boolean]("is_dup"), s"planted dup missed: $r")
+      assert(r.getAs[Long]("dup_of") == r.getAs[Long]("batch_id") - 1000000L,
+        s"dup must match its original, not a neighbor: $r")
+    }
+    // reversed embeddings are unrelated directions: none may collide at 0.99
+    novels.foreach { r => assert(!r.getAs[Boolean]("is_dup"), s"novel misflagged: $r") }
+    // nprobe=1 screen: candidates checked is the cell size, well under the corpus
+    val n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    got.foreach { r => assert(r.getAs[Long]("n_cand") < n, s"cell screen wider than corpus: $r") }
+  }
 }

@@ -47,6 +47,20 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(10) == 23.0) // 2*4 + 3*5
   }
 
+  test("graft_modal_ngram_count + graft_byte_hist_counts from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_modal_ngram_count(array('a','b','a','b','a','c'), 2) AS m2,
+        |  graft_modal_ngram_count(array('x'), 2) AS short,
+        |  graft_byte_hist_counts(encode('abc', 'UTF-8'), 16) AS hc
+        |""".stripMargin).head()
+    // bigrams: ab, ba, ab, ba, ac → mode 'a b' (and 'b a') occurs 2×
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == 0L) // fewer tokens than the gram width
+    val hc = r.getSeq[Long](2)
+    assert(hc.length == 16 && hc(6) == 3L && hc.sum == 3L) // 97..99 all in bin 6
+  }
+
   test("bloom pair from SQL: scalar-subquery build + probe filters like the exact semi-join") {
     GraftFunctions.register(spark)
     import spark.implicits._
@@ -90,8 +104,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
     new graft.sql.GraftExtensions().apply(ext)
     // pinned count catches an accidentally dropped builder; distinct
     // catches a duplicated name
-    assert(GraftFunctions.builders.size == 19)
-    assert(GraftFunctions.builders.map(_._1).distinct.size == 19)
+    assert(GraftFunctions.builders.size == 21)
+    assert(GraftFunctions.builders.map(_._1).distinct.size == 21)
   }
 
   test("graft_explode_shingles: a true Generator — 1→N from SQL with child positions") {
