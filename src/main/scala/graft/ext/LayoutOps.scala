@@ -97,6 +97,33 @@ object LayoutOps {
     spark.table(name)
   }
 
+  /** Compaction/bin-packing PLANNER over file metadata — the OPTIMIZE
+    * step every lakehouse table needs once streaming ingest has strewn
+    * small files: files (in a caller-chosen order — usually partition/
+    * z-value order, so compaction preserves clustering) are assigned to
+    * target-size output bins by the streaming rule
+    * `bin = cum_size_before DIV target` — each bin closes as soon as
+    * it crosses the target, the Delta/Iceberg OPTIMIZE shape. ONE
+    * window cumsum computes every assignment.
+    *
+    * Scale posture: the input is file METADATA ([[fileStats]] or a
+    * catalog listing), never data — 100 TB at 128 MB files is ~800k
+    * rows, so the single-partition ordered window here is bounded by
+    * the catalog size, not the table size (the same argument as
+    * q_zorder's planner; the rewrite itself is then one
+    * `repartitionByRange` per bin over only the affected files).
+    * All-integer: the plan is deterministic and oracle-checkable. */
+  def binPack(files: DataFrame, sizeCol: String, orderCol: Column,
+      targetSize: Long): DataFrame = {
+    require(targetSize >= 1, s"targetSize must be >= 1, got $targetSize")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum0", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"CAST(cum0 DIV $targetSize AS BIGINT)"))
+      .drop("cum0")
+  }
+
   /** Per-output-partition min-max footer stats for `cols` — what a
     * parquet writer would persist per file, materialized as a relation
     * so pruning can be ESTIMATED before committing to a layout (the

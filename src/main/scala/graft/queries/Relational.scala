@@ -918,7 +918,36 @@ object Relational {
         s"((($b >> $i) & 1) * ${1L << (2 * i + 1)})")
       .mkString("(", " + ", ")")
 
+  /** Small-file COMPACTION planning under the oracle gate — the
+    * lakehouse OPTIMIZE step beside `q_zorder`'s clustering choice:
+    * monthly ingest "files" (orders rolled up per month — the
+    * metadata relation a catalog listing or [[graft.ext.LayoutOps
+    * .fileStats]] provides) are packed into ~1000-row output bins by
+    * [[graft.ext.LayoutOps.binPack]]'s streaming rule
+    * (bin = running-size-before DIV target), preserving the
+    * time-cluster order so compaction doesn't destroy pruning. The
+    * plan is ALL-INTEGER (cumsum, integer division) so the bin
+    * assignment is deterministic and hash-checked; output reports per
+    * bin its file count, row total, and the preserved month interval.
+    * The ordered cumsum window runs over file METADATA (|months| rows
+    * here; ~|files| in production — catalog-sized, never table-sized),
+    * which is the documented single-partition-window exception the
+    * binPack scaladoc argues; the rewrite each bin implies is a
+    * repartitionByRange over only that bin's files. ZorderScaleSpec's
+    * binPack test drives the same planner over REAL written-file
+    * stats at 20M rows. */
+  def qBinpack(spark: SparkSession, sfDir: String): DataFrame = {
+    val files = load(spark, sfDir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mth"))
+      .agg(count(lit(1)).as("n_rows"))
+    graft.ext.LayoutOps.binPack(files, "n_rows", col("mth"), 1000L)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("bin_rows"),
+        min(col("mth")).as("first_mth"), max(col("mth")).as("last_mth"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_binpack" -> (qBinpack _),
     "q_zorder" -> (qZorder _),
     "q_colocated_join" -> (qColocatedJoin _),
     "q_dq_report" -> (qDqReport _),
@@ -963,6 +992,19 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_binpack" ->
+      """WITH f AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mth,
+        |             COUNT(*) AS n_rows
+        |           FROM orders GROUP BY 1),
+        |c AS (SELECT mth, n_rows,
+        |        COALESCE(SUM(n_rows) OVER (ORDER BY mth
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+        |      FROM f)
+        |SELECT CAST(cum0 // 1000 AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n_files,
+        |       CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
+        |       MIN(mth) AS first_mth, MAX(mth) AS last_mth
+        |FROM c GROUP BY 1""".stripMargin,
     // one-level decimal sum == the query's two-level decimal aggregate
     // (exact decimal arithmetic is associative); COUNT(DISTINCT) mirrors
     // the per-order pre-agg row count under the inner join

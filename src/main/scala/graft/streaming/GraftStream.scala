@@ -754,6 +754,38 @@ object GraftStream {
       }
   }
 
+  /** Streaming drift-histogram fold — the unbounded twin of
+    * `q_drift`'s band relation: per value band, state is the
+    * (side A, side B) counter pair. Counters are an order-independent
+    * MONOTONE fold (the [[kmvUpdates]]/[[cdcUpdates]] argument), so NO
+    * watermark is needed and the final emission per band equals the
+    * batch conditional-sum histogram bit-exactly under any chunking or
+    * arrival order (StreamingSpec parity). Each trigger that touches a
+    * band re-emits (band, cnt_a, cnt_b, n_seen — strictly increasing,
+    * so "latest" is recoverable downstream); the TVD verdict then runs
+    * in `foreachBatch` over the ≤|bands| emitted rows exactly as the
+    * batch query spells it (cross-multiplied integer gaps, scalar
+    * totals broadcast). State is 3 longs per band — bounded by the
+    * band DOMAIN, not the stream length: the always-on drift monitor
+    * costs the same after a year as after an hour. */
+  def driftUpdates(df: DataFrame, bandCol: String,
+      sideACol: String): Dataset[(Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(bandCol).cast("long").as("band"),
+      col(sideACol).cast("boolean").as("isa")).as[(Long, Boolean)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (band: Long, rows: Iterator[(Long, Boolean)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (a, b, n) = state.getOption.getOrElse((0L, 0L, 0L))
+          rows.foreach { r => if (r._2) a += 1 else b += 1; n += 1 }
+          state.update((a, b, n))
+          Iterator.single((band, a, b, n))
+      }
+  }
+
   /** Watermarked stream-stream interval join — the streaming form of
     * the attribution shape ([[graft.ext.AsOfJoin]] in batch): each left
     * row joins right rows with the same key whose event time falls in

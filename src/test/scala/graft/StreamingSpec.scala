@@ -938,4 +938,44 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(viaSessionWindow == viaLag)
   }
+
+  test("streaming drift fold: final per-band counters equal the batch conditional-sum histogram") {
+    // q_drift's band relation (orders 1995 vs 1996, price div 25000)
+    // fed through driftUpdates in three seed-shuffled chunks: counters
+    // are an order-independent monotone fold, so the LAST emission per
+    // band must equal the batch histogram exactly — no watermark, any
+    // chunking.
+    implicit val sq = spark.sqlContext
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .select(floor(col("o_totalprice") / lit(25000.0d)).cast("bigint").as("band"),
+        (year(col("o_orderdate")) === 1995).as("isa"))
+    val data = new scala.util.Random(7).shuffle(
+      o.collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq)
+    assert(data.nonEmpty)
+    val in = MemoryStream[(Long, Boolean)]
+    val df = in.toDF().toDF("band", "isa")
+    val rows = new ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    val q = GraftStream.driftUpdates(df, "band", "isa")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    data.grouped((data.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(Long, Long, Long, Long)])
+      .groupBy(_._1).map { case (band, vs) =>
+        val last = vs.maxBy(_._4) // n_seen strictly increases
+        band -> ((last._2, last._3))
+      }
+    val batch = o.groupBy(col("band"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == batch, s"stream $got\nbatch $batch")
+  }
 }

@@ -50,4 +50,31 @@ class ZorderScaleSpec extends AnyFunSuite {
     assert(zRows * 3 < lRows * 2,
       s"z-order should scan ≥1.5× fewer rows: z=$zRows lin=$lRows")
   }
+
+  test("binPack plans compaction over REAL written-file stats: contiguous bins near target") {
+    // 64 small "files" (footer stats of a 64-partition write) packed
+    // to ~4x-file-sized bins: the planner must cover
+    // every file exactly once, keep bins contiguous in file order, and
+    // land every closed bin within one max-file of the target.
+    val stats = graft.ext.LayoutOps.fileStats(
+      spark.range(0L, 1000000L, 1L, 64).select(col("id")), Seq("id"))
+    val target = 60000L
+    val planned = graft.ext.LayoutOps.binPack(stats, "n_rows", col("id_min"), target)
+      .select(col("bin"), col("file"), col("n_rows"), col("id_min")).collect()
+    assert(planned.map(_.getAs[Long]("file")).distinct.length == 64, "every file planned once")
+    // contiguity: sorted by the packing order, bin ids are non-decreasing
+    val inOrder = planned.sortBy(_.getAs[Long]("id_min")).map(_.getAs[Long]("bin"))
+    assert(inOrder.zip(inOrder.tail).forall { case (a, b) => a <= b },
+      s"bins must be contiguous intervals in pack order: ${inOrder.mkString(",")}")
+    val maxFile = planned.map(_.getAs[Long]("n_rows")).max
+    val byBin = planned.groupBy(_.getAs[Long]("bin"))
+      .view.mapValues(_.map(_.getAs[Long]("n_rows")).sum).toMap
+    val lastBin = byBin.keys.max
+    byBin.foreach { case (bin, total) =>
+      if (bin != lastBin)
+        assert(total >= target - maxFile + 1 && total <= target + maxFile - 1,
+          s"closed bin $bin total $total must be within one file of target $target")
+    }
+    assert(byBin.values.sum == 1000000L, "no rows lost or duplicated")
+  }
 }
