@@ -848,6 +848,16 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "CartesianProduct") == 0, p)
   }
 
+  test("sim_matryoshka: both stages keep partial top-k; vectors re-enter by equi-join after the cut") {
+    val p = plan("sim_matryoshka")
+    assert(p.contains("WindowGroupLimit"), s"stage ranks must pre-trim per task:\n$p")
+    assert(nOps(p, "BroadcastExchange") >= 2, s"query set broadcasts per scoring pass:\n$p")
+    // candidate fan-back to full vectors must be a real equi-join
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") +
+      nOps(p, "BroadcastHashJoin") >= 1, s"vec_id fan-back must be an equi-join:\n$p")
+    assert(nOps(p, "CartesianProduct") == 0, p)
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
