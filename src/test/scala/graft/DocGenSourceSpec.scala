@@ -44,6 +44,31 @@ class DocGenSourceSpec extends AnyFunSuite {
     assert(agg.getLong(0) > 990000L, s"distinct fps: ${agg.getLong(0)}")
   }
 
+  test("scale smoke: Gopher rule bundle (incl. modal-bigram kernel) over 1M generated docs") {
+    // The whole per-row rule suite at 100x oracle scale: proves the
+    // linear modalNgramCount kernel and the in-row line/length/stopword
+    // signals run at scan speed (zero shuffles — any accidental
+    // quadratic or HOF re-evaluation would blow the budget).
+    val t0 = System.nanoTime()
+    val d = docs(1000000L, 32)
+    val tk = graft.ext.TextOps.tokens(col("text"))
+    val sig = d.select(col("doc_id"),
+        size(tk).cast("bigint").as("n_words"),
+        aggregate(transform(tk, t => length(t).cast("bigint")),
+          lit(0L), (a, b) => a + b).as("sum_chars"),
+        graft.functions.HashExprs.modalNgramCount(tk, 2).as("max_big"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(lit(10L) * col("max_big") <= col("n_words"), 1L).otherwise(0L)).as("ok_big"),
+        sum(when(lit(3L) * col("n_words") <= col("sum_chars") &&
+          col("sum_chars") <= lit(10L) * col("n_words"), 1L).otherwise(0L)).as("ok_mwl"))
+      .head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"1M docs through the rule signals in $secs%.1f s")
+    assert(sig.getLong(0) == 1000000L)
+    assert(sig.getLong(2) > 900000L, "generator words are 1-10 chars; mwl passes broadly")
+    assert(secs < 120.0, f"rule bundle must run at scan speed, took $secs%.1f s")
+  }
+
   test("scale smoke: nearDupPairs + capBuckets end-to-end over 10M generated docs") {
     // The whole bucketed near-dup pipeline — tokens → shingle fps →
     // MinHash → banded LSH keys → capBuckets skew guard → bucket

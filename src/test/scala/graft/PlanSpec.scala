@@ -858,6 +858,16 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "CartesianProduct") == 0, p)
   }
 
+  test("events_series_sim: one fact scan; pairing runs over the series relation only") {
+    val p = plan("events_series_sim")
+    assert(nOps(p, "Scan parquet") == 1,
+      s"the oracle's day-grid join must NOT appear — one rollup scan only:\n$p")
+    // the ta<tb pairing is a deliberate nested-loop over the
+    // domain-bounded series relation (|types| rows), never the fact table
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") == 0,
+      s"no shuffled join of fact-scaled relations:\n$p")
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
