@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-side flat_map: a real Catalyst [[Generator]] (SURVEY §2.3),
@@ -64,4 +64,46 @@ case class ExplodeShinglesExpr(child: Expression, k: Int)
     copy(child = newChild)
 
   override def prettyName: String = "graft_explode_shingles"
+}
+
+/** Media-frame UDTF — the multimodal sibling of
+  * [[ExplodeShinglesExpr]]: `LATERAL VIEW graft_explode_frames(
+  * content, 8) f AS frame_idx, frame_bytes` cuts a binary blob into
+  * `n` equal frames (frame size = max(1, len/n), the
+  * [[graft.ext.MultimodalOps.sampleFrames]] byte math) so pure-SQL
+  * consumers get per-frame rows without the DSL. Same planner shape:
+  * a `Generate` node expanding in-partition — the blob is sliced
+  * where it was scanned, nothing wide shuffles. */
+case class ExplodeFramesExpr(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(n >= 1, s"frame count must be >= 1, got $n")
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_bytes", BinaryType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_explode_frames expects a BINARY column, got $other")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else {
+      val bs = v.asInstanceOf[Array[Byte]]
+      val sz = math.max(1, bs.length / n)
+      (0 until n).iterator.map { i =>
+        val from = math.min(i * sz, bs.length)
+        val until = math.min(from + sz, bs.length)
+        InternalRow(i, java.util.Arrays.copyOfRange(bs, from, until))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExplodeFramesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_explode_frames"
 }

@@ -198,7 +198,27 @@ object MultimodalQueries {
         (col("l1") * lit(2L) > col("frame_len")).as("is_cut"))
   }
 
+  /** The frame UDTF under the oracle gate — pure-SQL consumers slice a
+    * media blob into per-frame rows with `LATERAL VIEW
+    * graft_explode_frames(content, 8)` (a true Catalyst `Generator` —
+    * in-partition 1→N, the multimodal sibling of
+    * `graft_explode_shingles`); every frame's byte length and md5 must
+    * hash-match DuckDB slicing the same boundaries from the text side.
+    * This is [[mmFrames]]'s sampling math exposed to SQL, emitting ALL
+    * n frames. */
+  def mmFramesSql(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sql.GraftFunctions.register(spark)
+    bin(spark, sfDir).createOrReplaceTempView("graft_media_fsql")
+    spark.sql(
+      """SELECT doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(length(f.frame_bytes) AS BIGINT) AS n_frame_bytes,
+        |  md5(f.frame_bytes) AS frame_md5
+        |FROM graft_media_fsql
+        |LATERAL VIEW graft_explode_frames(content, 8) f AS frame_idx, frame_bytes""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_frames_sql" -> (mmFramesSql _),
     "mm_scene_cuts" -> (mmSceneCuts _),
     "mm_audio_dupes" -> (mmAudioDupes _),
     "mm_audio_dupes_capped" -> (mmAudioDupesCapped _),
@@ -250,6 +270,15 @@ object MultimodalQueries {
        |  FROM p, (SELECT unnest([0, 1, 2, 3]) AS band))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "mm_frames_sql" ->
+      """WITH c AS (SELECT doc_id, text, greatest(1, len(text) // 8) AS sz
+        |           FROM documents)
+        |SELECT doc_id, CAST(b - 1 AS BIGINT) AS frame_idx,
+        |  CAST(len(substr(text, CAST((b-1)*sz + 1 AS BIGINT),
+        |    CAST(sz AS BIGINT))) AS BIGINT) AS n_frame_bytes,
+        |  md5(substr(text, CAST((b-1)*sz + 1 AS BIGINT),
+        |    CAST(sz AS BIGINT))) AS frame_md5
+        |FROM c, (SELECT unnest(range(1, 9)) AS b)""".stripMargin,
     "mm_scene_cuts" ->
       """WITH m AS (SELECT doc_id, lower(text) || upper(text) AS mt FROM documents),
         |c AS (SELECT doc_id, mt, greatest(1, len(mt) // 8) AS sz FROM m),

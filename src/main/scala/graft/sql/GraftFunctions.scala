@@ -101,7 +101,11 @@ object GraftFunctions {
     ("graft_explode_shingles",
       "graft_explode_shingles(text, k) - UDTF: one row per k-token shingle with position",
       es => graft.functions.ExplodeShinglesExpr(
-        es.head, intLit(es(1), "graft_explode_shingles"))))
+        es.head, intLit(es(1), "graft_explode_shingles"))),
+    ("graft_explode_frames",
+      "graft_explode_frames(bin, n) - UDTF: one row per equal-size media frame",
+      es => graft.functions.ExplodeFramesExpr(
+        es.head, intLit(es(1), "graft_explode_frames"))))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "scala_udf")

@@ -786,6 +786,34 @@ object GraftStream {
       }
   }
 
+  /** Generic keyed monotone-SUM fold — the primitive underneath
+    * [[driftUpdates]] (two-sided counts) and the streaming twin of any
+    * additive rollup: per key, state is one running Long sum plus an
+    * update counter. Addition is associative and commutative, so NO
+    * watermark is needed and the final emission per key equals the
+    * batch `groupBy(key).sum(val)` bit-exactly under any chunking —
+    * which is how the PAA series sketch of `events_series_sim` streams:
+    * key = "type|segment", value = 1 per event, final sums == the
+    * batch segment vector (StreamingSpec parity). State is 2 longs per
+    * key, bounded by the key domain. */
+  def sumUpdates(df: DataFrame, keyCol: String,
+      valCol: String): Dataset[(String, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(keyCol).cast("string").as("k"),
+      col(valCol).cast("long").as("v")).as[(String, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (s, n) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { r => s += r._2; n += 1 }
+          state.update((s, n))
+          Iterator.single((key, s, n))
+      }
+  }
+
   /** Watermarked stream-stream interval join — the streaming form of
     * the attribution shape ([[graft.ext.AsOfJoin]] in batch): each left
     * row joins right rows with the same key whose event time falls in

@@ -104,8 +104,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
     new graft.sql.GraftExtensions().apply(ext)
     // pinned count catches an accidentally dropped builder; distinct
     // catches a duplicated name
-    assert(GraftFunctions.builders.size == 21)
-    assert(GraftFunctions.builders.map(_._1).distinct.size == 21)
+    assert(GraftFunctions.builders.size == 22)
+    assert(GraftFunctions.builders.map(_._1).distinct.size == 22)
   }
 
   test("graft_explode_shingles: a true Generator — 1→N from SQL with child positions") {
@@ -127,6 +127,27 @@ class SqlFunctionsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Generate"), plan)
     assert(!plan.contains("Exchange"), s"1→N expansion must not shuffle:\n$plan")
+  }
+
+  test("graft_explode_frames: binary UDTF slices the blob in-partition") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, "abcdefgh"), (2L, "ab")).toDF("id", "t")
+      .selectExpr("id", "encode(t, 'UTF-8') AS bin")
+      .createOrReplaceTempView("gen_media")
+    val rows = spark.sql(
+      """SELECT id, f.frame_idx, decode(f.frame_bytes, 'UTF-8') AS fb FROM gen_media
+        |LATERAL VIEW graft_explode_frames(bin, 4) f AS frame_idx, frame_bytes""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    // 8 bytes / 4 frames → "ab","cd","ef","gh"; 2 bytes → sz=1: "a","b","",""
+    assert(rows == Seq((1L, 0, "ab"), (1L, 1, "cd"), (1L, 2, "ef"), (1L, 3, "gh"),
+      (2L, 0, "a"), (2L, 1, "b"), (2L, 2, ""), (2L, 3, "")))
+    val plan = spark.sql(
+      """SELECT id, f.frame_idx FROM gen_media
+        |LATERAL VIEW graft_explode_frames(bin, 4) f AS frame_idx, frame_bytes""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("Exchange"), s"frame expansion must not shuffle:\n$plan")
   }
 
   test("CMS token sketch: one-sided estimates bounded by eps·N for the exact top tokens") {

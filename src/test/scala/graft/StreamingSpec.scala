@@ -978,4 +978,41 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == batch, s"stream $got\nbatch $batch")
   }
+
+  test("streaming PAA series sketch by composition: sumUpdates equals the batch segment sums") {
+    // events keyed "type|segment" (the events_series_sim PAA unit) fed
+    // through the generic monotone-sum fold in three shuffled chunks:
+    // addition is order-independent, so the last emission per key must
+    // equal the batch rollup exactly.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val daily = normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("event_type").as("t"), expr("ts div 86400000000000").as("day"))
+    val b = daily.agg(min(col("day")).as("d0"),
+      (max(col("day")) - min(col("day")) + 1).as("tt")).head()
+    val (d0, tt) = (b.getLong(0), b.getLong(1))
+    val keyed = daily.select(
+      concat(col("t"), lit("|"), ((col("day") - d0) * 8 / tt).cast("long")).as("k"))
+    val data = new scala.util.Random(3).shuffle(
+      keyed.collect().map(_.getString(0)).toSeq)
+    val in = MemoryStream[String]
+    val df = in.toDF().toDF("k").withColumn("one", lit(1L))
+    val rows = new ConcurrentLinkedQueue[(String, Long, Long)]()
+    val q = GraftStream.sumUpdates(df, "k", "one")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    data.grouped((data.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(String, Long, Long)])
+      .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._3)._2 }
+    val batch = keyed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == batch, s"stream $got\nbatch $batch")
+  }
 }
