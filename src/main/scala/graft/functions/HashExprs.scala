@@ -122,6 +122,22 @@ object HashExprs {
 
   /** simhash(fps, bits): bit j of the signature is set iff the sum of
     * per-fp votes (+1 if bit j of fp set, else −1) is positive. */
+  /** dtw_band(a, b, band): banded Sakoe–Chiba DTW distance between two
+    * equal-length integer series ([[HashKernels.dtwBand]] — O(n·band)
+    * rolling-row DP; the time-series sibling of [[EditWithinExpr]]). */
+  case class DtwBandExpr(left: Expression, right: Expression, band: Int)
+      extends BinaryExpression {
+    require(band >= 0, s"band must be >= 0, got $band")
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.dtwBand(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], band)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.dtwBand($a, $b, $band)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): DtwBandExpr = copy(left = l, right = r)
+    override def prettyName: String = "graft_dtw"
+  }
+
   /** modal_ngram_count(tokens, k): max occurrence count of any k-token
     * gram — linear hash-map pass ([[HashKernels.modalNgramCount]]); the
     * Gopher-repetition mode count. */
@@ -249,6 +265,8 @@ object HashExprs {
   def charShingleFps(s: Column, k: Int): Column = toColumn(CharShingleFpsExpr(toExpression(s), k))
   def modalNgramCount(toks: Column, k: Int): Column =
     toColumn(ModalNgramCountExpr(toExpression(toks), k))
+  def dtwBand(a: Column, b: Column, band: Int): Column =
+    toColumn(DtwBandExpr(toExpression(a), toExpression(b), band))
   def minhashSig(fps: Column, n: Int): Column = toColumn(MinHashSigExpr(toExpression(fps), n))
   def bandKeys(sig: Column, b: Int, r: Int): Column = toColumn(BandKeysExpr(toExpression(sig), b, r))
   def simhash(fps: Column, bits: Int): Column = toColumn(SimHashExpr(toExpression(fps), bits))

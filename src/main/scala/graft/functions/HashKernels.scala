@@ -258,6 +258,51 @@ object HashKernels {
     acc
   }
 
+  /** Banded (Sakoe–Chiba) Dynamic Time Warping distance between two
+    * equal-length integer series, squared-difference cost:
+    * dp(i,j) = (a_i−b_j)² + min(dp(i−1,j), dp(i,j−1), dp(i−1,j−1)),
+    * cells restricted to |i−j| ≤ band. O(n·band) time, two rolling
+    * rows of memory — the classic pruned-DP kernel (the time-series
+    * analog of [[editWithin]]'s banded Ukkonen bound). All-integer, so
+    * the result is hash-exact cross-engine; the DuckDB oracle spells
+    * the SAME recurrence as an unrolled anti-diagonal CTE chain (cells
+    * on one anti-diagonal are independent — the relational spelling of
+    * wavefront DP), proving the banded kernel EXACT, not just
+    * self-consistent. DTW ≤ squared Euclidean always (the diagonal is
+    * a valid warping path), which the declared query checks on-data. */
+  def dtwBand(a: ArrayData, b: ArrayData, band: Int): Long = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"dtwBand needs equal lengths, got $n vs ${b.numElements()}")
+    if (n == 0) return 0L
+    val INF = Long.MaxValue / 4
+    var prev = Array.fill(n)(INF)
+    var cur = Array.fill(n)(INF)
+    var i = 0
+    while (i < n) {
+      val lo = math.max(0, i - band)
+      val hi = math.min(n - 1, i + band)
+      var j = lo
+      while (j <= hi) {
+        val d = a.getLong(i) - b.getLong(j)
+        val best =
+          if (i == 0 && j == 0) 0L
+          else {
+            var m = INF
+            if (i > 0 && prev(j) < m) m = prev(j) // dp(i-1, j)
+            if (j > 0 && cur(j - 1) < m) m = cur(j - 1) // dp(i, j-1)
+            if (i > 0 && j > 0 && prev(j - 1) < m) m = prev(j - 1) // diag
+            m
+          }
+        cur(j) = if (best >= INF) INF else d * d + best
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, INF)
+      i += 1
+    }
+    prev(n - 1)
+  }
+
   /** Max occurrence count of any k-token n-gram — the mode count the
     * Gopher repetition rules need ("fraction of tokens in the most
     * common n-gram"). ONE linear pass with a hash map, vs the oracle's

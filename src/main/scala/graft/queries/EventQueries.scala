@@ -801,7 +801,108 @@ object EventQueries {
         (col("paa_dist") <= col("lmax") * col("dist_exact")).as("bound_ok"))
   }
 
+  /** Banded DTW over PAA sketches — the alignment-tolerant distance
+    * the Euclidean of [[eventsSeriesSim]] can't provide (a series
+    * shifted by a day scores far under Euclidean, near under DTW):
+    * each type's daily counts collapse to a FIXED 16-segment PAA
+    * vector (fixed length at ANY scale factor or date span — PDTW,
+    * the standard sketch-then-warp speedup), then every pair scores
+    * `graft_dtw(pa, pb, 2)` — the native banded Sakoe–Chiba kernel
+    * ([[graft.functions.HashKernels.dtwBand]], O(n·band) rolling-row
+    * DP inside whole-stage codegen). The oracle spells the SAME
+    * recurrence as a 31-CTE anti-diagonal wavefront (cells on one
+    * anti-diagonal are independent — relational DP), so the green hash
+    * proves the banded kernel EXACT against an independent spelling,
+    * the [[graft.functions.HashExprs.EditWithinExpr]] contract for
+    * time series. `dtw_le` checks DTW ≤ squared-Euclidean on-data
+    * (the diagonal is always a valid warping path). Plan: one fact
+    * scan; the DP runs IN-ROW per pair over the domain-bounded series
+    * relation — at production series counts, pairs are pruned first by
+    * the PAA bound [[eventsSeriesSim]] proves. */
+  def eventsDtw(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = graft.core.QueryCaches.track(
+      loadEvents(spark, sfDir)
+        .select(col("event_type").as("t"), expr("ts div 86400000000000").as("day"))
+        .groupBy(col("t"), col("day")).agg(count(lit(1)).as("c")))
+    val bounds = daily.agg(min(col("day")).as("d0"),
+      (max(col("day")) - min(col("day")) + 1).as("tt"))
+    val segVec = daily.crossJoin(broadcast(bounds))
+      .withColumn("seg", expr("(day - d0) * 16 DIV tt"))
+      .groupBy(col("t"), col("seg")).agg(sum(col("c")).as("s"))
+      .groupBy(col("t"))
+      .agg(map_from_entries(collect_list(struct(col("seg"), col("s")))).as("ms"))
+      .select(col("t"),
+        transform(sequence(lit(0L), lit(15L)),
+          sg => coalesce(element_at(col("ms"), sg), lit(0L))).as("pv"))
+    val ser = graft.core.QueryCaches.track(segVec)
+    def sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (s, v) => s + v)
+    ser.select(col("t").as("ta"), col("pv").as("pa"))
+      .join(ser.select(col("t").as("tb"), col("pv").as("pb")), col("ta") < col("tb"))
+      .select(col("ta"), col("tb"),
+        graft.functions.HashExprs.dtwBand(col("pa"), col("pb"), 2).as("dtw"),
+        sq(col("pa"), col("pb")).as("euclid"))
+      .withColumn("dtw_le", col("dtw") <= col("euclid"))
+  }
+
+  /** The [[eventsDtw]] oracle: banded DTW as an UNROLLED anti-diagonal
+    * CTE chain (dp_d depends only on dp_{d−1} and dp_{d−2} — wavefront
+    * DP in pure SQL; `MATERIALIZED` stops the doubly-referenced chain
+    * from inlining exponentially). Unreachable cells accumulate the
+    * 2^50 sentinel and can never beat a finite path; the one output
+    * cell (15,15) is always diagonal-reachable, so the sentinel never
+    * surfaces. Fixed 16-segment series ⇒ fixed 31-CTE unroll at any
+    * scale factor. */
+  private def dtwOracle: String = {
+    val inf = 1L << 50
+    val base =
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |b AS MATERIALIZED (SELECT MIN(day) AS d0, MAX(day) - MIN(day) + 1 AS tt FROM daily),
+        |tys AS MATERIALIZED (SELECT DISTINCT t FROM daily),
+        |pairs AS MATERIALIZED (SELECT a.t AS ta, b2.t AS tb
+        |  FROM tys a JOIN tys b2 ON a.t < b2.t),
+        |pseg AS MATERIALIZED (
+        |  SELECT d.t, (d.day - b.d0) * 16 // b.tt AS seg, CAST(SUM(d.c) AS BIGINT) AS s
+        |  FROM daily d CROSS JOIN b GROUP BY 1, 2),
+        |segg AS MATERIALIZED (
+        |  SELECT ty.t, sg.seg, COALESCE(p.s, 0) AS s
+        |  FROM tys ty CROSS JOIN (SELECT unnest(range(0, 16)) AS seg) sg
+        |  LEFT JOIN pseg p ON p.t = ty.t AND p.seg = sg.seg),
+        |cost AS MATERIALIZED (
+        |  SELECT p.ta, p.tb, a.seg AS i, b2.seg AS j, (a.s - b2.s) * (a.s - b2.s) AS c
+        |  FROM pairs p JOIN segg a ON a.t = p.ta JOIN segg b2 ON b2.t = p.tb
+        |  WHERE abs(a.seg - b2.seg) <= 2),
+        |eu AS MATERIALIZED (SELECT ta, tb, CAST(SUM(c) AS BIGINT) AS euclid
+        |  FROM cost WHERE i = j GROUP BY 1, 2),
+        |dp0 AS MATERIALIZED (SELECT ta, tb, i, j, CAST(c AS BIGINT) AS v
+        |  FROM cost WHERE i = 0 AND j = 0)""".stripMargin
+    val ctes = (1 to 30).map { d =>
+      val (p3join, p3sel) =
+        if (d >= 2)
+          (s"\n  LEFT JOIN dp${d - 2} p3 ON p3.ta = c.ta AND p3.tb = c.tb" +
+            s" AND p3.i = c.i - 1 AND p3.j = c.j - 1",
+            s", COALESCE(p3.v, $inf)")
+        else ("", "")
+      s"""dp$d AS MATERIALIZED (
+         |  SELECT c.ta, c.tb, c.i, c.j,
+         |    c.c + LEAST(COALESCE(p1.v, $inf), COALESCE(p2.v, $inf)$p3sel) AS v
+         |  FROM cost c
+         |  LEFT JOIN dp${d - 1} p1 ON p1.ta = c.ta AND p1.tb = c.tb AND p1.i = c.i - 1 AND p1.j = c.j
+         |  LEFT JOIN dp${d - 1} p2 ON p2.ta = c.ta AND p2.tb = c.tb AND p2.i = c.i AND p2.j = c.j - 1$p3join
+         |  WHERE c.i + c.j = $d)""".stripMargin
+    }
+    base + ",\n" + ctes.mkString(",\n") +
+      """
+        |SELECT d.ta, d.tb, d.v AS dtw, e.euclid, d.v <= e.euclid AS dtw_le
+        |FROM dp30 d JOIN eu e ON e.ta = d.ta AND e.tb = d.tb
+        |WHERE d.i = 15 AND d.j = 15""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dtw" -> (eventsDtw _),
     "events_series_sim" -> (eventsSeriesSim _),
     "events_funnel_latency" -> (eventsFunnelLatency _),
     "events_rolling_median" -> (eventsRollingMedian _),
@@ -831,6 +932,7 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_dtw" -> dtwOracle,
     "events_series_sim" ->
       """WITH daily AS (SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
         |                 CAST(COUNT(*) AS BIGINT) AS c

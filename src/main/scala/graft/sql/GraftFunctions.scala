@@ -81,6 +81,9 @@ object GraftFunctions {
     ("graft_zorder",
       "graft_zorder(a, b, bits) - Morton/Z-order bit interleave of two keys",
       es => ZInterleaveExpr(es.head, es(1), intLit(es(2), "graft_zorder"))),
+    ("graft_dtw",
+      "graft_dtw(a, b, band) - banded Sakoe-Chiba DTW distance of integer series",
+      es => DtwBandExpr(es.head, es(1), intLit(es(2), "graft_dtw"))),
     ("graft_edit_within",
       "graft_edit_within(a, b, k) - banded early-exit levenshtein(a,b) <= k",
       es => EditWithinExpr(es.head, es(1), intLit(es(2), "graft_edit_within"))),
