@@ -901,7 +901,41 @@ object EventQueries {
         |WHERE d.i = 15 AND d.j = 15""".stripMargin
   }
 
+  /** MULTI-touch attribution — the fractional-credit complement of
+    * [[eventsAttribution]]'s last-touch as-of join: every view in the
+    * 7 days before a purchase shares the conversion credit. Credits
+    * are ALL-INTEGER ppm: each touch gets 1 000 000 DIV n, and the
+    * LATEST touch absorbs the remainder, so credits sum to exactly
+    * 1 000 000 per purchase BY CONSTRUCTION (no float split that
+    * drifts; the oracle hash checks every row). Plan: a user-keyed
+    * equi-join (the [[eventsCooccur]] lesson — the time window is a
+    * filter INSIDE the equi-join, never a nested-loop range probe);
+    * per-user event counts bound the join fan-out at any corpus size,
+    * and both windows (count, latest-rank) share the purchase-keyed
+    * partitioning. */
+  def eventsMultiTouch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.core.QueryCaches.track(
+      loadEvents(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("tus").as("pts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id"), col("tus").as("vts"))
+    val j = p.join(v, "user_id")
+      .filter(col("vts") <= col("pts") && col("vts") > col("pts") - lit(604800000000L))
+    val wc = Window.partitionBy(col("p_id"))
+    val wr = Window.partitionBy(col("p_id")).orderBy(col("vts").desc, col("v_id"))
+    j.withColumn("n_touch", count(lit(1)).over(wc))
+      .withColumn("rk", row_number().over(wr))
+      .select(col("p_id"), col("user_id"), col("v_id"), col("n_touch"),
+        expr("CAST(1000000 DIV n_touch + " +
+          "CASE WHEN rk = 1 THEN 1000000 % n_touch ELSE 0 END AS BIGINT)")
+          .as("credit_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_multi_touch" -> (eventsMultiTouch _),
     "events_dtw" -> (eventsDtw _),
     "events_series_sim" -> (eventsSeriesSim _),
     "events_funnel_latency" -> (eventsFunnelLatency _),
@@ -932,6 +966,21 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_multi_touch" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id, epoch_us(ts) AS vts
+        |      FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.p_id, p.user_id, v.v_id,
+        |        COUNT(*) OVER (PARTITION BY p.p_id) AS n_touch,
+        |        ROW_NUMBER() OVER (PARTITION BY p.p_id
+        |          ORDER BY v.vts DESC, v.v_id) AS rk
+        |      FROM p JOIN v ON v.user_id = p.user_id
+        |      WHERE v.vts <= p.pts AND v.vts > p.pts - 604800000000)
+        |SELECT p_id, user_id, v_id, CAST(n_touch AS BIGINT) AS n_touch,
+        |  CAST(1000000 // n_touch +
+        |    CASE WHEN rk = 1 THEN 1000000 % n_touch ELSE 0 END AS BIGINT) AS credit_ppm
+        |FROM j""".stripMargin,
     "events_dtw" -> dtwOracle,
     "events_series_sim" ->
       """WITH daily AS (SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,

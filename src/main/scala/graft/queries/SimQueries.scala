@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.ext.SimOps
+import graft.functions.HashExprs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -809,7 +810,45 @@ object SimQueries {
         col("bv").isNotNull.as("in_exact"))
   }
 
+  /** MIPS → cosine-ANN reduction proved on-data (Shrivastava & Li
+    * 2014, asymmetric transform made symmetric by the constant-norm
+    * trick): augment every corpus vector with sqrt(M² − |v|²) so its
+    * norm becomes exactly M, pad queries with 0 — then the augmented
+    * COSINE ranking equals the raw INNER-PRODUCT ranking, because
+    * cos(aug_v, aug_q) = v·q / (M·|q|), a positive monotone transform.
+    * The row emits both rankings per query with an `agree` flag —
+    * ranked top-10 by dot, re-ranked by augmented cosine, equal on
+    * every row (ties broken by vec_id identically). WHY it matters:
+    * every bucketed tool in this pillar (SRP-LSH, IVF, PQ-ADC, the
+    * LshJoinRewrite) is a COSINE engine; this reduction is the proof
+    * that inner-product retrieval (the recommender/reranker scoring
+    * mode) rides the same infrastructure with one extra column.
+    * sqrt/division are IEEE-correctly-rounded, spelled identically in
+    * both engines — the hash gate holds on doubles here. */
+  def simMipsReduction(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val q = querySet(e)
+    val m2 = e.select(HashExprs.dotProduct(col("embedding"), col("embedding")).as("nn"))
+      .agg(max(col("nn")).as("m2"))
+    val scored = e.crossJoin(broadcast(q)).crossJoin(broadcast(m2))
+      .select(col("q_id"), col("vec_id"),
+        HashExprs.dotProduct(col("embedding"), col("q_vec")).as("dp"),
+        (HashExprs.dotProduct(col("embedding"), col("q_vec")) /
+          (sqrt(col("m2")) *
+            sqrt(HashExprs.dotProduct(col("q_vec"), col("q_vec"))))).as("cos_aug"))
+    val wd = Window.partitionBy(col("q_id")).orderBy(col("dp").desc, col("vec_id"))
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("cos_aug").desc, col("vec_id"))
+    scored
+      .withColumn("rank_dot", row_number().over(wd).cast("bigint"))
+      .withColumn("rank_aug", row_number().over(wa).cast("bigint"))
+      .filter(col("rank_dot") <= 10)
+      .select(col("q_id"), col("vec_id"), col("rank_dot"), col("rank_aug"),
+        (col("rank_dot") === col("rank_aug")).as("agree"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mips_reduction" -> (simMipsReduction _),
     "sim_matryoshka" -> (simMatryoshka _),
     "sim_incremental_ivf" -> (simIncrementalIvf _),
     "sim_rank_fusion" -> (simRankFusion _),
@@ -887,6 +926,27 @@ object SimQueries {
        |      WHERE f.vec_id < f.nbr_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "sim_mips_reduction" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |n2 AS (SELECT vec_id, embedding,
+         |         ${dotSql("embedding", "embedding")} AS nn FROM embeddings),
+         |m AS (SELECT MAX(nn) AS m2 FROM n2),
+         |scored AS (SELECT q.q_id, n2.vec_id,
+         |             ${dotSql("n2.embedding", "q.q_vec")} AS dp,
+         |             ${dotSql("n2.embedding", "q.q_vec")}
+         |               / (sqrt(m.m2) * sqrt(${dotSql("q.q_vec", "q.q_vec")})) AS cos_aug
+         |           FROM n2, q, m),
+         |r AS (SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY dp DESC, vec_id) AS rank_dot,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cos_aug DESC, vec_id) AS rank_aug
+         |      FROM scored)
+         |SELECT q_id, vec_id, CAST(rank_dot AS BIGINT) AS rank_dot,
+         |       CAST(rank_aug AS BIGINT) AS rank_aug,
+         |       rank_dot = rank_aug AS agree
+         |FROM r WHERE rank_dot <= 10""".stripMargin,
     "sim_matryoshka" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
          |           FROM embeddings WHERE vec_id % 100 = 0),

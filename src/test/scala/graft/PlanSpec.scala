@@ -868,6 +868,20 @@ class PlanSpec extends AnyFunSuite {
       s"no shuffled join of fact-scaled relations:\n$p")
   }
 
+  test("events_multi_touch: user-keyed equi-join with the window filter inside, never a range probe") {
+    val p = plan("events_multi_touch")
+    assert(nOps(p, "CartesianProduct") + nOps(p, "BroadcastNestedLoopJoin") == 0,
+      s"the 7-day window must be a filter inside the user equi-join:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") +
+      nOps(p, "BroadcastHashJoin") >= 1, p)
+  }
+
+  test("sim_mips_reduction: query set and the 1-row max-norm broadcast; no cartesian") {
+    val p = plan("sim_mips_reduction")
+    assert(nOps(p, "BroadcastExchange") >= 2, s"q set + m2 scalar must broadcast:\n$p")
+    assert(nOps(p, "CartesianProduct") == 0, p)
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
