@@ -691,7 +691,45 @@ object TextQueries {
         col("ok_dupline") && col("ok_bigram"))
   }
 
+  /** ONE BPE tokenizer-training merge step at corpus scale (Sennrich
+    * et al. 2016's trick made distributed): the corpus collapses to
+    * its DISTINCT-WORD vocab weighted by occurrence counts in one
+    * wordcount scan — every subsequent merge iteration is vocab-sized
+    * work, never corpus-sized. The step: spell each vocab word as
+    * spaced symbols, count adjacent symbol pairs weighted by word
+    * count (map-side-combined), pick the modal pair (count desc, pair
+    * asc — a 1-row TakeOrdered broadcast), and emit every word's
+    * POST-MERGE representation (left-to-right non-overlapping
+    * `replace`, identical semantics both engines). The top pair on
+    * this corpus is "e r" — the classic first English BPE merge. A
+    * production trainer loops this exact step (the [[graft.ext
+    * .SimOps.kmeans]]-vs-`sim_kmeans` pattern: the declared query IS
+    * one iteration, the loop is library composition); `new_rep`
+    * feeding the next round is what makes the hash gate meaningful —
+    * it checks the merge APPLICATION, not just the argmax. */
+  def textBpeMergeStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = graft.core.QueryCaches.track(
+      load(spark, sfDir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+    val chars = split(col("w"), "")
+    val spaced = words.withColumn("rep", array_join(chars, " "))
+    // zip(chars[0..n-2], chars[1..n-1]) — empty for 1-char words
+    // (sequence(1, n-1) would step BACKWARD for n = 1 and trip ANSI)
+    val pairsArr = zip_with(
+      slice(chars, lit(1), size(chars) - 1), slice(chars, lit(2), size(chars) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val top = spaced.select(col("cnt"), explode(pairsArr).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("pcount"))
+      .orderBy(col("pcount").desc, col("pair").asc).limit(1)
+      .select(col("pair").as("merged_pair"), col("pcount"))
+    spaced.crossJoin(broadcast(top))
+      .select(col("w"), col("cnt"), col("merged_pair"), col("pcount"),
+        expr("replace(rep, merged_pair, replace(merged_pair, ' ', ''))").as("new_rep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_merge_step" -> (textBpeMergeStep _),
     "curate_gopher" -> (curateGopher _),
     "curate_domain_cap" -> (curateDomainCap _),
     "curate_mix" -> (curateMix _),
@@ -748,6 +786,24 @@ object TextQueries {
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_bpe_merge_step" ->
+      s"""WITH words AS (SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+         |               FROM (SELECT unnest($toksSql) AS token FROM documents)
+         |               GROUP BY 1),
+         |spaced AS (SELECT w, cnt,
+         |             array_to_string(string_split(w, ''), ' ') AS rep FROM words),
+         |prs AS (SELECT s.cnt,
+         |          string_split(s.rep, ' ')[i] || ' ' ||
+         |            string_split(s.rep, ' ')[i + 1] AS pair
+         |        FROM spaced s,
+         |          LATERAL (SELECT unnest(range(1,
+         |            len(string_split(s.rep, ' ')))) AS i) ii),
+         |pcnt AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pcount
+         |         FROM prs GROUP BY 1),
+         |top AS (SELECT pair, pcount FROM pcnt ORDER BY pcount DESC, pair LIMIT 1)
+         |SELECT s.w, s.cnt, t.pair AS merged_pair, t.pcount,
+         |       replace(s.rep, t.pair, replace(t.pair, ' ', '')) AS new_rep
+         |FROM spaced s CROSS JOIN top t""".stripMargin,
     "curate_gopher" ->
       s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |base AS (SELECT doc_id,

@@ -882,6 +882,14 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "CartesianProduct") == 0, p)
   }
 
+  test("text_bpe_merge_step: corpus collapses to the vocab; the modal pair is a 1-row TakeOrdered broadcast") {
+    val p = plan("text_bpe_merge_step")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the argmax pair must be a limit-1 partial sort, not a global sort:\n$p")
+    assert(nOps(p, "BroadcastExchange") >= 1, s"the 1-row top pair broadcasts:\n$p")
+    assert(nOps(p, "CartesianProduct") == 0, p)
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
