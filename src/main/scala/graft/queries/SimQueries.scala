@@ -911,17 +911,23 @@ object SimQueries {
 
   /** Shared CTE chain: directed 5-NN graph (the sim_knn_graph
     * semantics) symmetrized to mutual u<v edges. */
+  /** MATERIALIZED throughout: each relation here is referenced 2+
+    * times downstream (knn self-joins; the graph oracles reference the
+    * edge set per round), and DuckDB inlines plain CTEs — the k-core
+    * oracle re-expanded this chain exponentially and OOM'd at sf0.1.
+    * Materialization changes no values, only the evaluation fence
+    * (same fix as the DTW wavefront oracle). */
   private def mutualSql: String =
-    s"""b AS (SELECT vec_id, embedding, ${srpSql("embedding", 4)} AS bucket FROM embeddings),
-       |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+    s"""b AS MATERIALIZED (SELECT vec_id, embedding, ${srpSql("embedding", 4)} AS bucket FROM embeddings),
+       |scored AS MATERIALIZED (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
        |                  ${cosSql("a.embedding", "b.embedding")} AS cos
        |           FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-       |knn AS (SELECT vec_id, nbr_id FROM (
+       |knn AS MATERIALIZED (SELECT vec_id, nbr_id FROM (
        |          SELECT vec_id, nbr_id,
        |                 row_number() OVER (PARTITION BY vec_id
        |                   ORDER BY cos DESC, nbr_id) AS rk
        |          FROM scored) WHERE rk <= 5),
-       |m AS (SELECT f.vec_id AS u, f.nbr_id AS v
+       |m AS MATERIALIZED (SELECT f.vec_id AS u, f.nbr_id AS v
        |      FROM knn f JOIN knn r ON f.vec_id = r.nbr_id AND f.nbr_id = r.vec_id
        |      WHERE f.vec_id < f.nbr_id)""".stripMargin
 
@@ -1110,28 +1116,28 @@ object SimQueries {
          |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, vec_id) <= 5""".stripMargin,
     "sim_kcore" -> {
       val rounds = (1 to 5).map { i =>
-        s"""k$i AS (SELECT src FROM (SELECT src, COUNT(*) AS deg
+        s"""k$i AS MATERIALIZED (SELECT src FROM (SELECT src, COUNT(*) AS deg
            |        FROM a${i - 1} GROUP BY src) WHERE deg >= 3),
-           |a$i AS (SELECT a.src, a.dst FROM a${i - 1} a
+           |a$i AS MATERIALIZED (SELECT a.src, a.dst FROM a${i - 1} a
            |        JOIN k$i s ON a.src = s.src JOIN k$i t ON a.dst = t.src)""".stripMargin
       }.mkString(",\n")
       s"""WITH $mutualSql,
-         |a0 AS (SELECT u AS src, v AS dst FROM m UNION ALL SELECT v, u FROM m),
+         |a0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM m UNION ALL SELECT v, u FROM m),
          |$rounds
          |SELECT src AS vec_id, COUNT(*) AS core_deg FROM a5 GROUP BY src""".stripMargin
     },
     "sim_pagerank" -> {
       val rounds = (1 to 3).map { i =>
-        s"""c$i AS (SELECT a.dst AS id, CAST(SUM(p.pr // d.deg) AS BIGINT) AS sc
+        s"""c$i AS MATERIALIZED (SELECT a.dst AS id, CAST(SUM(p.pr // d.deg) AS BIGINT) AS sc
            |        FROM adj a JOIN dg d ON a.src = d.src
            |        JOIN p${i - 1} p ON a.src = p.id GROUP BY a.dst),
-           |p$i AS (SELECT p${i - 1}.id AS id,
+           |p$i AS MATERIALIZED (SELECT p${i - 1}.id AS id,
            |          CAST((15 * 1000000000000) // (100 * n_nodes)
            |            + (85 * COALESCE(c$i.sc, 0)) // 100 AS BIGINT) AS pr
            |        FROM p${i - 1} LEFT JOIN c$i ON p${i - 1}.id = c$i.id, nn)""".stripMargin
       }.mkString(",\n")
       s"""WITH $mutualSql,
-         |adj AS (SELECT u AS src, v AS dst FROM m UNION ALL SELECT v, u FROM m),
+         |adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM m UNION ALL SELECT v, u FROM m),
          |dg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
          |nn AS (SELECT COUNT(*) AS n_nodes FROM embeddings),
          |p0 AS (SELECT vec_id AS id, CAST(1000000000000 // n_nodes AS BIGINT) AS pr
