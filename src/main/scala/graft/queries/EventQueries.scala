@@ -934,7 +934,31 @@ object EventQueries {
           .as("credit_ppm"))
   }
 
+  /** TIME TRAVEL — point-in-time state reconstruction from the raw
+    * event log (the lakehouse `VERSION AS OF` semantics computed from
+    * facts rather than snapshots): for every (user, type), the tracked
+    * value band AS OF a cutoff 15 days into the corpus, plus the
+    * last-update time and update count. The engine plan is ONE
+    * map-side-combined aggregate — `max_by(band, (ts, event_id))`
+    * folds each key's history to its latest-at-cutoff state, so |keys|
+    * rows cross the exchange no matter how many events precede the
+    * cutoff (the [[graft.ext.MergeOps.cdcMerge]] fold applied to
+    * as-of reads); the oracle spells row_number + window aggregates —
+    * the engine plan has NO window at all (PlanSpec pins the
+    * asymmetry, the events_cdc_merge contract). */
+  def eventsTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"),
+        col("event_id"), floor(col("value") * lit(10.0d)).cast("bigint").as("band"))
+    val cut = ev.agg((min(col("tus")) + lit(15L * 86400000000L)).as("cut"))
+    ev.crossJoin(broadcast(cut)).filter(col("tus") <= col("cut"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(col("band"), struct(col("tus"), col("event_id"))).as("band_at_cut"),
+        max(col("tus")).as("last_tus"), count(lit(1)).as("n_before"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_time_travel" -> (eventsTimeTravel _),
     "events_multi_touch" -> (eventsMultiTouch _),
     "events_dtw" -> (eventsDtw _),
     "events_series_sim" -> (eventsSeriesSim _),
@@ -966,6 +990,21 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_time_travel" ->
+      """WITH b AS (SELECT epoch_us(MIN(ts)) + 15 * 86400000000 AS cut FROM events),
+        |f AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+        |        CAST(floor(value * 10.0) AS BIGINT) AS band
+        |      FROM events, b WHERE epoch_us(ts) <= b.cut),
+        |r AS (SELECT user_id, event_type, tus, band,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |          ORDER BY tus DESC, event_id DESC) AS rk,
+        |        COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_before,
+        |        MAX(tus) OVER (PARTITION BY user_id, event_type) AS last_tus
+        |      FROM f)
+        |SELECT user_id, event_type, band AS band_at_cut,
+        |  CAST(last_tus AS BIGINT) AS last_tus,
+        |  CAST(n_before AS BIGINT) AS n_before
+        |FROM r WHERE rk = 1""".stripMargin,
     "events_multi_touch" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS pts
         |           FROM events WHERE event_type = 'purchase'),

@@ -946,7 +946,30 @@ object Relational {
         min(col("mth")).as("first_mth"), max(col("mth")).as("last_mth"))
   }
 
+  /** K-ANONYMITY / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * 2007) — the governance gate a dataset must clear before release:
+    * group by the quasi-identifier tuple (nation, $1000 balance band),
+    * report each group's size (k-anonymity: a group of n < 5 means
+    * those n customers are re-identifiable by their QI alone) and its
+    * distinct sensitive-attribute count (l-diversity: a group where
+    * every member shares one mktsegment leaks the attribute even at
+    * k ≥ 5). ONE map-side-combined aggregate over one scan — the
+    * distinct count rides the same hash aggregate via Expand, the
+    * QualityOps one-pass contract; at any table size only (QI, partial
+    * counts) cross the exchange. Flag thresholds are integer compares;
+    * the suppression decision (drop k_ok=false groups) is a filter on
+    * this relation. */
+  def qKAnonymity(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "customer")
+      .groupBy(col("c_nationkey").cast("bigint").as("nation"),
+        floor(col("c_acctbal") / lit(1000.0d)).cast("bigint").as("bal_band"))
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(col("c_mktsegment")).as("l_div"))
+      .withColumn("k_ok", col("group_n") >= 5)
+      .withColumn("l_ok", col("l_div") >= 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anonymity" -> (qKAnonymity _),
     "q_binpack" -> (qBinpack _),
     "q_zorder" -> (qZorder _),
     "q_colocated_join" -> (qColocatedJoin _),
@@ -992,6 +1015,14 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_k_anonymity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |       CAST(COUNT(*) AS BIGINT) AS group_n,
+        |       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div,
+        |       COUNT(*) >= 5 AS k_ok,
+        |       COUNT(DISTINCT c_mktsegment) >= 2 AS l_ok
+        |FROM customer GROUP BY 1, 2""".stripMargin,
     "q_binpack" ->
       """WITH f AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mth,
         |             COUNT(*) AS n_rows

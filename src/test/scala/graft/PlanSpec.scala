@@ -890,6 +890,20 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "CartesianProduct") == 0, p)
   }
 
+  test("events_time_travel: one max_by fold, NO window — the oracle spells windows, the engine doesn't") {
+    val p = plan("events_time_travel")
+    assert(!p.contains("Window"), s"as-of state must fold in the aggregate, not a window:\n$p")
+    assert(nOps(p, "HashAggregate") >= 2, s"partial+final fold expected:\n$p")
+    assert(nOps(p, "Scan parquet") <= 2, p) // events + the 1-row cutoff derivation
+  }
+
+  test("q_k_anonymity: one scan; the distinct sensitive count rides the same aggregate") {
+    val p = plan("q_k_anonymity")
+    assert(nOps(p, "Scan parquet") == 1, s"one customer scan:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") +
+      nOps(p, "BroadcastHashJoin") == 0, s"no joins in a one-pass audit:\n$p")
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
