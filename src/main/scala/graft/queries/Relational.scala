@@ -968,7 +968,38 @@ object Relational {
       .withColumn("k_ok", col("group_n") >= 5)
       .withColumn("l_ok", col("l_div") >= 2)
 
+  /** The GENERALIZATION ladder after [[qKAnonymity]]'s audit — the
+    * step a release pipeline actually takes when a group fails k:
+    * groups passing at the fine $1000 band release as level 0;
+    * customers in failing groups re-generalize to the coarser $5000
+    * band (within nation) and re-audit as level 1 (34 of 55 coarse
+    * groups still fail at sf0.01 — those are the level-2/suppression
+    * candidates, visible in the k_ok flag). Every customer appears in
+    * exactly ONE output group. The failing-group set is
+    * QI-DOMAIN-bounded (nations × bands), so it broadcasts back over
+    * the scan — the per-level pass costs one aggregate plus one
+    * broadcast semi-join at any table size. */
+  def qKGeneralize(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = graft.core.QueryCaches.track(
+      load(spark, sfDir, "customer").select(
+        col("c_nationkey").cast("bigint").as("nation"),
+        floor(col("c_acctbal") / lit(1000.0d)).cast("bigint").as("b0"),
+        floor(col("c_acctbal") / lit(5000.0d)).cast("bigint").as("b1")))
+    val g0 = graft.core.QueryCaches.track(
+      c.groupBy(col("nation"), col("b0")).agg(count(lit(1)).as("n")))
+    val pass0 = g0.filter(col("n") >= 5)
+      .select(col("nation"), lit(0L).as("level"), col("b0").as("band"),
+        col("n"), (col("n") >= 5).as("k_ok"))
+    val g1 = c.join(broadcast(g0.filter(col("n") < 5).select(col("nation"), col("b0"))),
+        Seq("nation", "b0"))
+      .groupBy(col("nation"), col("b1")).agg(count(lit(1)).as("n"))
+      .select(col("nation"), lit(1L).as("level"), col("b1").as("band"),
+        col("n"), (col("n") >= 5).as("k_ok"))
+    pass0.unionByName(g1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_generalize" -> (qKGeneralize _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_binpack" -> (qBinpack _),
     "q_zorder" -> (qZorder _),
@@ -1015,6 +1046,23 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_k_generalize" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b0,
+        |             CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS b1
+        |           FROM customer),
+        |g0 AS (SELECT nation, b0, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM c GROUP BY 1, 2),
+        |pass0 AS (SELECT nation, CAST(0 AS BIGINT) AS level, b0 AS band, n,
+        |            n >= 5 AS k_ok
+        |          FROM g0 WHERE n >= 5),
+        |f1 AS (SELECT c.nation, c.b1
+        |       FROM c JOIN g0 ON g0.nation = c.nation AND g0.b0 = c.b0
+        |       WHERE g0.n < 5),
+        |g1 AS (SELECT nation, CAST(1 AS BIGINT) AS level, b1 AS band,
+        |         CAST(COUNT(*) AS BIGINT) AS n, COUNT(*) >= 5 AS k_ok
+        |       FROM f1 GROUP BY 1, 3)
+        |SELECT * FROM pass0 UNION ALL SELECT * FROM g1""".stripMargin,
     "q_k_anonymity" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nation,
         |       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,

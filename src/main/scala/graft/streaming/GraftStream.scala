@@ -786,6 +786,50 @@ object GraftStream {
       }
   }
 
+  /** Streaming HEAVY HITTERS — Space-Saving (Metwally et al. 2005) in
+    * keyed state: keys hash-partition into `buckets` groups (each key
+    * lives in exactly ONE group, so the per-group tables union into
+    * the global answer with no double counting); each group maintains
+    * a capacity-`cap` counter table under the classic rule — hit:
+    * count++; miss with room: insert (1, 0); miss when full: evict the
+    * min-count entry and inherit its count as the new entry's error
+    * bound. State is bounded at buckets × cap entries FOREVER — the
+    * always-on twin of `q_heavy_hitters`' exact batch profile, with
+    * the CMS sketch's one-sided-error shape but a bounded CANDIDATE
+    * SET too. Guarantees (StreamingSpec checks them against batch
+    * exact counts): est ≥ true, est − err ≤ true, and any key with
+    * true count > N_group/cap is present in the final table. Each
+    * trigger re-emits the touched group's table; `n_seen` strictly
+    * increases so downstream keeps the latest emission per group. */
+  def topkUpdates(df: DataFrame, keyCol: String, buckets: Int = 8,
+      cap: Int = 16): Dataset[(Long, String, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(
+      pmod(xxhash64(col(keyCol).cast("string")), lit(buckets.toLong)).as("b"),
+      col(keyCol).cast("string").as("k")).as[(Long, String)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, rows: Iterator[(Long, String)],
+         state: GroupState[(Map[String, (Long, Long)], Long)]) =>
+          var (tab, n) = state.getOption.getOrElse((Map.empty[String, (Long, Long)], 0L))
+          rows.foreach { case (_, k) =>
+            n += 1
+            tab.get(k) match {
+              case Some((c, e)) => tab = tab.updated(k, (c + 1, e))
+              case None if tab.size < cap => tab = tab.updated(k, (1L, 0L))
+              case None =>
+                // deterministic evictee: min count, ties by key
+                val (mk, (mc, _)) = tab.minBy { case (kk, (c, _)) => (c, kk) }
+                tab = (tab - mk).updated(k, (mc + 1, mc))
+            }
+          }
+          state.update((tab, n))
+          tab.iterator.map { case (k, (c, e)) => (bucket, k, c, e, n) }
+      }
+  }
+
   /** Generic keyed monotone-SUM fold — the primitive underneath
     * [[driftUpdates]] (two-sided counts) and the streaming twin of any
     * additive rollup: per key, state is one running Long sum plus an

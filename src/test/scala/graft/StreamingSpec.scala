@@ -1015,4 +1015,55 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == batch, s"stream $got\nbatch $batch")
   }
+
+  test("streaming Space-Saving heavy hitters: bounded state honors the est/err/coverage guarantees") {
+    // Corpus tokens in three shuffled chunks through capacity-16
+    // tables in 8 hash groups. The Space-Saving contract vs the batch
+    // exact counts: est >= true, est - err <= true, and every key with
+    // true > N_group/cap must be present in its group's final table.
+    implicit val sq = spark.sqlContext
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(graft.ext.TextOps.tokens(col("text"))).as("tok"))
+    val withBucket = toks.select(col("tok"),
+      pmod(xxhash64(col("tok")), lit(8L)).as("b"))
+    val truth = withBucket.groupBy(col("b"), col("tok")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nPerBucket = truth.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val data = new scala.util.Random(5).shuffle(
+      toks.collect().map(_.getString(0)).toSeq)
+    val in = MemoryStream[String]
+    val df = in.toDF().toDF("tok")
+    val rows = new ConcurrentLinkedQueue[(Long, String, Long, Long, Long)]()
+    val q = GraftStream.topkUpdates(df, "tok", buckets = 8, cap = 16)
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, String, Long, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    data.grouped((data.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val all = rows.toArray.map(_.asInstanceOf[(Long, String, Long, Long, Long)])
+    // latest emission per bucket = the rows carrying that bucket's max n_seen
+    val finalTabs = all.groupBy(_._1).map { case (b, vs) =>
+      val nMax = vs.map(_._5).max
+      assert(nMax == nPerBucket(b), s"bucket $b must have seen all its rows")
+      b -> vs.filter(_._5 == nMax).map(v => v._2 -> ((v._3, v._4))).toMap
+    }
+    finalTabs.foreach { case (b, tab) =>
+      assert(tab.size <= 16, "state must stay capacity-bounded")
+      tab.foreach { case (k, (est, err)) =>
+        val tru = truth.getOrElse((b, k), 0L)
+        assert(est >= tru, s"SS must never undercount: $b/$k est $est true $tru")
+        assert(est - err <= tru, s"est-err is a lower bound: $b/$k $est-$err vs $tru")
+      }
+      // coverage: heavy keys cannot be evicted
+      truth.filter { case ((bb, _), n) => bb == b && n * 16 > nPerBucket(b) }
+        .foreach { case ((_, k), n) =>
+          assert(tab.contains(k), s"heavy key $k (n=$n) missing from bucket $b table")
+        }
+    }
+  }
 }
