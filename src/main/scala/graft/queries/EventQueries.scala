@@ -957,7 +957,39 @@ object EventQueries {
         max(col("tus")).as("last_tus"), count(lit(1)).as("n_before"))
   }
 
+  /** Seasonal-naive FORECAST backtest — the honest baseline every
+    * fancier model must beat, with the error kept EXACT by never
+    * dividing: the weekday profile (sum s, day-count k per (type,
+    * weekday)) trains on all but the final week; the final 7 days
+    * backtest against it, accumulating |actual·k − s| — the
+    * cross-multiplied absolute error, all-integer, so MAE =
+    * mae_num / mae_den is computable downstream while the gated row
+    * never touches IEEE. Everything after the one map-side-combined
+    * daily rollup operates on |types|×|days| rows; the train profile
+    * (|types|×7) broadcasts onto the 7-day test slice. Completes the
+    * time-series set: trend (OLS), anomaly (MAD), changepoint (CUSUM),
+    * similarity (PAA/DTW), and now forecast+backtest. */
+  def eventsSeasonalNaive(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = graft.core.QueryCaches.track(
+      loadEvents(spark, sfDir)
+        .select(col("event_type").as("t"), expr("ts div 86400000000000").as("day"))
+        .groupBy(col("t"), col("day")).agg(count(lit(1)).as("c")))
+    val b = d.agg(max(col("day")).as("d1"))
+    val withB = d.crossJoin(broadcast(b))
+    val train = withB.filter(col("day") <= col("d1") - 7)
+      .groupBy(col("t"), pmod(col("day"), lit(7L)).as("wd"))
+      .agg(sum(col("c")).as("s"), count(lit(1)).as("k"))
+    val test = withB.filter(col("day") > col("d1") - 7)
+      .select(col("t"), pmod(col("day"), lit(7L)).as("wd"), col("c"))
+    test.join(broadcast(train), Seq("t", "wd"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("c") * col("k") - col("s"))).as("mae_num"),
+        sum(col("k")).as("mae_den"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_seasonal_naive" -> (eventsSeasonalNaive _),
     "events_time_travel" -> (eventsTimeTravel _),
     "events_multi_touch" -> (eventsMultiTouch _),
     "events_dtw" -> (eventsDtw _),
@@ -990,6 +1022,20 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_seasonal_naive" ->
+      """WITH d AS (SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
+        |             CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT MAX(day) AS d1 FROM d),
+        |train AS (SELECT t, day % 7 AS wd, CAST(SUM(c) AS BIGINT) AS s,
+        |            CAST(COUNT(*) AS BIGINT) AS k
+        |          FROM d, b WHERE day <= d1 - 7 GROUP BY 1, 2),
+        |test AS (SELECT t, day % 7 AS wd, c FROM d, b WHERE day > d1 - 7)
+        |SELECT te.t, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(abs(te.c * tr.k - tr.s)) AS BIGINT) AS mae_num,
+        |  CAST(SUM(tr.k) AS BIGINT) AS mae_den
+        |FROM test te JOIN train tr ON tr.t = te.t AND tr.wd = te.wd
+        |GROUP BY 1""".stripMargin,
     "events_time_travel" ->
       """WITH b AS (SELECT epoch_us(MIN(ts)) + 15 * 86400000000 AS cut FROM events),
         |f AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,

@@ -998,7 +998,36 @@ object Relational {
     pass0.unionByName(g1)
   }
 
+  /** ANALYZE-style column statistics — the relation a cost-based
+    * optimizer consumes: row count, NDV, min/max, and 7 EXACT
+    * equi-depth histogram boundaries (rank-indexed values,
+    * percentile_disc semantics) for `o_totalprice`, all in one
+    * result. The boundaries come from [[graft.ext.SkewOps.globalRank]]
+    * — repartitionByRange + zipWithIndex, two jobs, NO
+    * single-partition window — while the oracle spells the global
+    * `row_number() OVER (ORDER BY x)` this engine plan exists to
+    * avoid; the 7 target ranks derive from the count scalar and
+    * broadcast back against the ranked relation. This is the
+    * engine-infrastructure op that closes the loop: the same library
+    * that plans queries can maintain the statistics planning needs. */
+  def qAnalyzeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = graft.core.QueryCaches.track(
+      load(spark, sfDir, "orders").select(col("o_totalprice").as("x")))
+    val n = v.agg(count(lit(1)).as("cnt"), countDistinct(col("x")).as("ndv"),
+      min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val ranked = graft.ext.SkewOps.globalRank(v, Seq("x"), "rk")
+    val targets = spark.range(1, 8).toDF("b")
+      .crossJoin(broadcast(n))
+      .select(col("b").cast("bigint").as("bucket"),
+        (lit(1L) + expr("(cnt - 1) * b DIV 8")).as("trk"),
+        col("cnt"), col("ndv"), col("mn"), col("mx"))
+    ranked.join(broadcast(targets), col("rk") === col("trk"))
+      .select(col("bucket"), col("x").as("boundary"),
+        col("cnt"), col("ndv"), col("mn"), col("mx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_analyze_stats" -> (qAnalyzeStats _),
     "q_k_generalize" -> (qKGeneralize _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_binpack" -> (qBinpack _),
@@ -1046,6 +1075,17 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_analyze_stats" ->
+      """WITH v AS (SELECT o_totalprice AS x FROM orders),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+        |        CAST(COUNT(DISTINCT x) AS BIGINT) AS ndv,
+        |        MIN(x) AS mn, MAX(x) AS mx FROM v),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rk FROM v),
+        |b AS (SELECT CAST(bq.q AS BIGINT) AS bucket, r.x AS boundary
+        |      FROM (SELECT unnest(range(1, 8)) AS q) bq
+        |      JOIN n ON TRUE
+        |      JOIN r ON r.rk = 1 + ((n.cnt - 1) * bq.q) // 8)
+        |SELECT b.bucket, b.boundary, n.cnt, n.ndv, n.mn, n.mx FROM b, n""".stripMargin,
     "q_k_generalize" ->
       """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
         |             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b0,

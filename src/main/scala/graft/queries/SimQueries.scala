@@ -847,7 +847,36 @@ object SimQueries {
         (col("rank_dot") === col("rank_aug")).as("agree"))
   }
 
+  /** THRESHOLD sensitivity sweep — "measure, don't guess" for the one
+    * near-dup parameter everyone sets by folklore: candidates are
+    * generated ONCE (the banded SRP join at a permissive 0.95), then
+    * seven candidate thresholds are evaluated with one conditional
+    * aggregation over that single pair relation — pair volume and
+    * planted-twin recall per threshold, the curve a deployment picks
+    * its operating point from. Planted twins (vec_id + SHIFT, exact
+    * copies) score cosine 1.0, so the n_planted column doubles as the
+    * recall floor at every threshold. Cost: one candidate generation
+    * however many thresholds are swept — the sweep itself is
+    * pairs × 7 rows through a map-side-combined aggregate. */
+  def simThresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val corpus = e.unionAll(
+      e.select((col("vec_id") + SHIFT).as("vec_id"), col("embedding")))
+    val pairs = graft.core.QueryCaches.track(
+      SimOps.embNearDupPairs(corpus, bits = 16, threshold = 0.95))
+    val thresholds = array(Seq(950, 960, 970, 980, 990, 995, 999).map(lit): _*)
+    pairs
+      .select(col("cos"), (col("vec_b") === col("vec_a") + SHIFT).as("planted"),
+        explode(thresholds).as("thr0"))
+      .select(col("cos"), col("planted"), col("thr0").cast("bigint").as("thr_milli"))
+      .filter(col("cos") >= col("thr_milli").cast("double") / lit(1000.0d))
+      .groupBy(col("thr_milli"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("planted"), 1L).otherwise(0L)).as("n_planted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_threshold_sweep" -> (simThresholdSweep _),
     "sim_mips_reduction" -> (simMipsReduction _),
     "sim_matryoshka" -> (simMatryoshka _),
     "sim_incremental_ivf" -> (simIncrementalIvf _),
@@ -932,6 +961,22 @@ object SimQueries {
        |      WHERE f.vec_id < f.nbr_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "sim_threshold_sweep" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+         |                UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+         |b AS (SELECT vec_id, embedding, ${srpSql("embedding", 16)} AS bucket FROM corpus),
+         |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |                 ${cosSql("a.embedding", "b.embedding")} AS cos
+         |          FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |cand AS (SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.95),
+         |sw AS (SELECT c.cos, c.vec_b = c.vec_a + 1000000 AS planted,
+         |         CAST(t.thr AS BIGINT) AS thr_milli
+         |       FROM cand c CROSS JOIN
+         |         (SELECT unnest([950, 960, 970, 980, 990, 995, 999]) AS thr) t
+         |       WHERE c.cos >= CAST(t.thr AS DOUBLE) / 1000.0)
+         |SELECT thr_milli, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT) AS n_planted
+         |FROM sw GROUP BY 1""".stripMargin,
     "sim_mips_reduction" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
          |           FROM embeddings WHERE vec_id % 100 = 0),

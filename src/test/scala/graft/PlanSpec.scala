@@ -904,6 +904,25 @@ class PlanSpec extends AnyFunSuite {
       nOps(p, "BroadcastHashJoin") == 0, s"no joins in a one-pass audit:\n$p")
   }
 
+  test("q_analyze_stats: boundaries from the distributed rank — NO window anywhere") {
+    val p = plan("q_analyze_stats")
+    assert(!p.contains("Window"), s"the oracle's global row_number must not appear:\n$p")
+    assert(nOps(p, "CartesianProduct") == 0, p)
+  }
+
+  test("sim_threshold_sweep: one banded candidate generation feeds all thresholds") {
+    val p = plan("sim_threshold_sweep")
+    assert(nOps(p, "CartesianProduct") == 0 && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the bucket equi-join:\n$p")
+    assert(p.contains("Generate"), s"the threshold fan-out is an explode, not a re-scan:\n$p")
+  }
+
+  test("events_seasonal_naive: one fact scan; train profile broadcasts onto the test slice") {
+    val p = plan("events_seasonal_naive")
+    assert(nOps(p, "Scan parquet") == 1, s"one rollup scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"|types|x7 train side must broadcast:\n$p")
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
