@@ -988,7 +988,38 @@ object EventQueries {
         sum(col("k")).as("mae_den"))
   }
 
+  /** STRICT-ORDER 3-step funnel with per-step conversion windows —
+    * view → click within 24h of the FIRST view → purchase within 24h
+    * of that first qualifying click (150 → 60 → 25 users at sf0.01).
+    * Unlike [[eventsFunnel]]'s unordered membership, each step's
+    * timestamp must strictly follow the previous step's, so the chain
+    * is three conditional-min aggregates stitched by user-keyed
+    * equi-joins — no fact self-join wider than user-keyed, no window;
+    * per-user event counts bound every join's fan-out. */
+  def eventsFunnel3(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = 86400000000L // 24h in micros
+    val e = graft.core.QueryCaches.track(
+      loadEvents(spark, sfDir)
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus")))
+    val v = graft.core.QueryCaches.track(
+      e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t1")))
+    val c = graft.core.QueryCaches.track(
+      e.join(v, "user_id")
+        .filter(col("event_type") === "click" &&
+          col("tus") > col("t1") && col("tus") <= col("t1") + w)
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t2")))
+    val p = e.join(c, "user_id")
+      .filter(col("event_type") === "purchase" &&
+        col("tus") > col("t2") && col("tus") <= col("t2") + w)
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t3"))
+    v.agg(count(lit(1)).as("step1_users"))
+      .crossJoin(c.agg(count(lit(1)).as("step2_users")))
+      .crossJoin(p.agg(count(lit(1)).as("step3_users")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel3" -> (eventsFunnel3 _),
     "events_seasonal_naive" -> (eventsSeasonalNaive _),
     "events_time_travel" -> (eventsTimeTravel _),
     "events_multi_touch" -> (eventsMultiTouch _),
@@ -1022,6 +1053,21 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_funnel3" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |v AS (SELECT user_id, MIN(tus) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.tus) AS t2
+        |      FROM e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.tus > v.t1
+        |        AND e.tus <= v.t1 + 86400000000 GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.tus) AS t3
+        |      FROM e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.tus > c.t2
+        |        AND e.tus <= c.t2 + 86400000000 GROUP BY 1)
+        |SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS step1_users,
+        |       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS step2_users,
+        |       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS step3_users""".stripMargin,
     "events_seasonal_naive" ->
       """WITH d AS (SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
         |             CAST(COUNT(*) AS BIGINT) AS c

@@ -875,7 +875,52 @@ object SimQueries {
         sum(when(col("planted"), 1L).otherwise(0L)).as("n_planted"))
   }
 
+  /** EMBEDDING-distribution drift monitor — `q_drift`'s all-integer
+    * TVD verdict lifted to vectors: the norm² distribution (the one
+    * scalar that catches re-scaled, truncated, or clipped embedding
+    * batches) is banded (floor(‖v‖²·8)) and compared between the even
+    * half (reference) and the odd half twice — CLEAN (as ingested:
+    * identical distribution, verdict must be quiet) and PLANTED
+    * (every 10th odd vector scaled 1.5×, modeled as the exact
+    * norm-band multiplier 2.25 — the verdict must fire). Both
+    * verdicts ride the same cross-multiplied integer machinery
+    * (10·Σ|cnt_a·n_x − cnt_x·n_a| > n_a·n_x ⇔ TVD > 0.05), so the
+    * row is its own calibration: one healthy baseline and one
+    * injected regression, hash-checked. One corpus scan computes all
+    * three band histograms; everything after is band-domain-sized. */
+  def simEmbeddingDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = emb(spark, sfDir).select(col("vec_id"),
+      HashExprs.dotProduct(col("embedding"), col("embedding")).as("nn"))
+    val s = graft.core.QueryCaches.track(n.select(col("vec_id"),
+      floor(col("nn") * lit(8.0d)).cast("bigint").as("band"),
+      floor(col("nn") *
+        when(col("vec_id") % 10 === 7, lit(2.25d)).otherwise(lit(1.0d)) *
+        lit(8.0d)).cast("bigint").as("band_p")))
+    val bands = s.groupBy(col("band").as("b"))
+      .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("cnt_b"))
+    val bandsp = s.filter(col("vec_id") % 2 === 1)
+      .groupBy(col("band_p").as("b")).agg(count(lit(1)).as("cnt_p"))
+    val joined = graft.core.QueryCaches.track(
+      bands.join(bandsp, Seq("b"), "full_outer")
+        .select(col("b").as("band"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+          coalesce(col("cnt_b"), lit(0L)).as("cnt_b"),
+          coalesce(col("cnt_p"), lit(0L)).as("cnt_p")))
+    val tot = joined.agg(sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"),
+      sum(col("cnt_p")).as("n_p"))
+    val wt = graft.core.QueryCaches.track(joined.crossJoin(broadcast(tot))
+      .withColumn("gap_b", abs(col("cnt_a") * col("n_b") - col("cnt_b") * col("n_a")))
+      .withColumn("gap_p", abs(col("cnt_a") * col("n_p") - col("cnt_p") * col("n_a"))))
+    val tvd = wt.agg(sum(col("gap_b")).as("tvd_b"), sum(col("gap_p")).as("tvd_p"))
+    wt.crossJoin(broadcast(tvd))
+      .select(col("band"), col("cnt_a"), col("cnt_b"), col("cnt_p"),
+        col("n_a"), col("n_b"), col("n_p"), col("tvd_b"), col("tvd_p"),
+        (lit(10L) * col("tvd_b") > col("n_a") * col("n_b")).as("drifted_clean"),
+        (lit(10L) * col("tvd_p") > col("n_a") * col("n_p")).as("drifted_planted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_embedding_drift" -> (simEmbeddingDrift _),
     "sim_threshold_sweep" -> (simThresholdSweep _),
     "sim_mips_reduction" -> (simMipsReduction _),
     "sim_matryoshka" -> (simMatryoshka _),
@@ -961,6 +1006,37 @@ object SimQueries {
        |      WHERE f.vec_id < f.nbr_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "sim_embedding_drift" ->
+      s"""WITH n AS (SELECT vec_id, ${dotSql("embedding", "embedding")} AS nn
+         |           FROM embeddings),
+         |s AS (SELECT vec_id,
+         |        CAST(floor(nn * 8.0) AS BIGINT) AS band,
+         |        CAST(floor(nn * CASE WHEN vec_id % 10 = 7 THEN 2.25 ELSE 1.0 END
+         |          * 8.0) AS BIGINT) AS band_p
+         |      FROM n),
+         |bands AS (SELECT band AS b,
+         |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+         |  FROM s GROUP BY 1),
+         |bandsp AS (SELECT band_p AS b, CAST(COUNT(*) AS BIGINT) AS cnt_p
+         |  FROM s WHERE vec_id % 2 = 1 GROUP BY 1),
+         |j AS (SELECT COALESCE(bands.b, bandsp.b) AS band,
+         |        COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b,
+         |        COALESCE(cnt_p, 0) AS cnt_p
+         |      FROM bands FULL JOIN bandsp ON bandsp.b = bands.b),
+         |tot AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+         |          CAST(SUM(cnt_b) AS BIGINT) AS n_b,
+         |          CAST(SUM(cnt_p) AS BIGINT) AS n_p FROM j),
+         |wt AS (SELECT j.*, tot.n_a, tot.n_b, tot.n_p,
+         |         abs(cnt_a * n_b - cnt_b * n_a) AS gap_b,
+         |         abs(cnt_a * n_p - cnt_p * n_a) AS gap_p
+         |       FROM j, tot),
+         |tvd AS (SELECT CAST(SUM(gap_b) AS BIGINT) AS tvd_b,
+         |          CAST(SUM(gap_p) AS BIGINT) AS tvd_p FROM wt)
+         |SELECT band, cnt_a, cnt_b, cnt_p, n_a, n_b, n_p, tvd_b, tvd_p,
+         |  10 * tvd_b > n_a * n_b AS drifted_clean,
+         |  10 * tvd_p > n_a * n_p AS drifted_planted
+         |FROM wt, tvd""".stripMargin,
     "sim_threshold_sweep" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
          |                UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),

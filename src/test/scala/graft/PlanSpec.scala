@@ -923,6 +923,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"|types|x7 train side must broadcast:\n$p")
   }
 
+  test("events_funnel3: user-keyed equi-joins only; no window, no wide self-join") {
+    val p = plan("events_funnel3")
+    assert(!p.contains("Window"), p)
+    assert(nOps(p, "CartesianProduct") <= 2, // the two deliberate 1-row count joins
+      s"only the 1-row count stitching may cross-join:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") +
+      nOps(p, "BroadcastHashJoin") >= 2, s"step joins must be user equi-joins:\n$p")
+  }
+
+  test("sim_embedding_drift: one corpus scan; everything after is band-domain-sized") {
+    val p = plan("sim_embedding_drift")
+    assert(nOps(p, "Scan parquet") == 1, s"one embeddings scan feeds all three histograms:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
