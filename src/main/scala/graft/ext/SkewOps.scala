@@ -53,6 +53,55 @@ object SkewOps {
     * [[graft.core.GraftStage.concatRoundRobin]] precedent — eager,
     * documented); at any scale this is 2 jobs + the one range
     * exchange, vs the window form's everything-through-one-task. */
+  /** EXACT global running total (rank + cumulative sum of `valCol` in
+    * `sortCols` order) with NO single-partition window — the classic
+    * distributed prefix-sum: range-partition + local sort, then ONE
+    * bounded collect of per-partition totals (numShufflePartitions
+    * longs — the kmeans-centroid scalar-sync shape), prefix them on
+    * the driver, broadcast the offsets back, and each partition adds
+    * its offset to a local running sum. Two passes over the sorted
+    * relation (persisted between them, released by the caller's query
+    * scope). `ntile OVER (ORDER BY …)`'s cumulative cousin: powers
+    * Pareto/coverage queries (`events_power_users`) at any row count.
+    * `valCol` must be LongType. */
+  def globalCumSum(df: DataFrame, sortCols: Seq[String], valCol: String,
+      rankCol: String = "_rk", cumCol: String = "_cum",
+      partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val np = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val cols = sortCols.map(col)
+    val sorted = graft.core.QueryCaches.track(
+      df.repartitionByRange(np, cols: _*).sortWithinPartitions(cols: _*))
+    val vIdx = sorted.schema.fieldIndex(valCol)
+    // pass 1: per-partition (count, sum) — np rows to the driver
+    val partAgg = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; var s = 0L
+      it.foreach { r => n += 1; s += r.getLong(vIdx) }
+      Iterator((pid, n, s))
+    }.collect().sortBy(_._1)
+    val nParts = partAgg.length
+    val rankOff = new Array[Long](nParts + 1)
+    val cumOff = new Array[Long](nParts + 1)
+    partAgg.foreach { case (pid, n, s) =>
+      rankOff(pid + 1) = n; cumOff(pid + 1) = s
+    }
+    for (i <- 1 to nParts) { rankOff(i) += rankOff(i - 1); cumOff(i) += cumOff(i - 1) }
+    val schema = StructType(sorted.schema.fields ++ Seq(
+      StructField(rankCol, LongType, nullable = false),
+      StructField(cumCol, LongType, nullable = false)))
+    // pass 2: local prefix + broadcast offsets
+    val withCum = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rk = rankOff(pid); var cum = cumOff(pid)
+      it.map { r =>
+        rk += 1; cum += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq ++ Seq(rk, cum))
+      }
+    }
+    sorted.sparkSession.createDataFrame(withCum, schema)
+  }
+
   def globalRank(df: DataFrame, sortCols: Seq[String],
       outCol: String = "_rk", partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.Row

@@ -1018,7 +1018,32 @@ object EventQueries {
       .crossJoin(p.agg(count(lit(1)).as("step3_users")))
   }
 
+  /** PARETO coverage — "how many users produce 80% of the events":
+    * the concentration question behind every capacity/abuse/sampling
+    * decision. Per-user counts rank by activity through
+    * [[graft.ext.SkewOps.globalCumSum]] — the distributed prefix-sum
+    * (range-sort, one bounded per-partition-totals collect, broadcast
+    * offsets; NO single-partition window even though the ranked
+    * relation is user-scaled), and the answer is the min rank whose
+    * running total crosses the ALL-INTEGER 80% line (5·cum ≥ 4·total).
+    * The oracle spells the global row_number + running-sum windows the
+    * engine plan exists to avoid. */
+  def eventsPowerUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = graft.core.QueryCaches.track(
+      loadEvents(spark, sfDir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("c")))
+    val t = u.agg(sum(col("c")).as("total_events"), count(lit(1)).as("n_users"))
+    val ranked = graft.ext.SkewOps.globalCumSum(
+      u.withColumn("negc", -col("c")), Seq("negc", "user_id"), "c", "rk", "cc")
+    ranked.crossJoin(broadcast(t))
+      .groupBy(col("total_events"), col("n_users"))
+      .agg(min(when(lit(5L) * col("cc") >= lit(4L) * col("total_events"), col("rk")))
+        .as("users_for_80pct"))
+      .select(col("total_events"), col("n_users"), col("users_for_80pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_power_users" -> (eventsPowerUsers _),
     "events_funnel3" -> (eventsFunnel3 _),
     "events_seasonal_naive" -> (eventsSeasonalNaive _),
     "events_time_travel" -> (eventsTimeTravel _),
@@ -1053,6 +1078,17 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_power_users" ->
+      """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS total_events,
+        |        CAST(COUNT(*) AS BIGINT) AS n_users FROM u),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS rk FROM u),
+        |cum AS (SELECT rk, CAST(SUM(c) OVER (ORDER BY rk) AS BIGINT) AS cc FROM r)
+        |SELECT t.total_events, t.n_users,
+        |  CAST(MIN(CASE WHEN 5 * cc >= 4 * t.total_events THEN rk END) AS BIGINT)
+        |    AS users_for_80pct
+        |FROM cum, t GROUP BY 1, 2""".stripMargin,
     "events_funnel3" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
         |v AS (SELECT user_id, MIN(tus) AS t1 FROM e

@@ -728,7 +728,28 @@ object TextQueries {
         expr("replace(rep, merged_pair, replace(merged_pair, ' ', ''))").as("new_rep"))
   }
 
+  /** DATA CARD — the corpus-composition table every dataset release
+    * publishes (docs, tokens, and the exact integer token share per
+    * (lang, source) cell, ranked by volume): one map-side-combined
+    * rollup; the share is `toks·1e6 DIV total` so the column sums to
+    * ~1e6 with no float drift; the rank window runs over the
+    * (lang × source) DOMAIN (97 rows at sf0.01), bounded at any
+    * corpus size — the binPack catalog-window argument. */
+  def curateDataCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = graft.core.QueryCaches.track(
+      load(spark, sfDir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("docs"), sum(tokenCount(col("text"))).as("toks")))
+    val t = g.agg(sum(col("toks")).as("total"))
+    val w = Window.orderBy(col("toks").desc, col("lang"), col("source"))
+    g.crossJoin(broadcast(t))
+      .select(col("lang"), col("source"), col("docs"), col("toks"),
+        expr("CAST(toks * 1000000 DIV total AS BIGINT)").as("share_ppm"),
+        row_number().over(w).cast("bigint").as("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_data_card" -> (curateDataCard _),
     "text_bpe_merge_step" -> (textBpeMergeStep _),
     "curate_gopher" -> (curateGopher _),
     "curate_domain_cap" -> (curateDomainCap _),
@@ -786,6 +807,16 @@ object TextQueries {
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
+    "curate_data_card" ->
+      s"""WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS docs,
+         |             CAST(SUM(len($toksSql)) AS BIGINT) AS toks
+         |           FROM documents GROUP BY 1, 2),
+         |t AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM g)
+         |SELECT g.lang, g.source, g.docs, g.toks,
+         |  CAST(g.toks * 1000000 // t.total AS BIGINT) AS share_ppm,
+         |  CAST(row_number() OVER (ORDER BY g.toks DESC, g.lang, g.source)
+         |    AS BIGINT) AS rnk
+         |FROM g, t""".stripMargin,
     "text_bpe_merge_step" ->
       s"""WITH words AS (SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS cnt
          |               FROM (SELECT unnest($toksSql) AS token FROM documents)

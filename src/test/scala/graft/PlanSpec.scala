@@ -675,6 +675,39 @@ class PlanSpec extends AnyFunSuite {
     } finally vals.unpersist()
   }
 
+  test("globalCumSum: equals the single-partition window cumsum; two bounded passes, no Window") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    val vals = (1 to 500).map(i => (i.toLong, rng.nextInt(100).toLong + 1L))
+      .toDF("id", "v").repartition(8).cache()
+    try {
+      val exact = vals
+        .withColumn("erk", row_number().over(W.orderBy(col("id"))).cast("long"))
+        .withColumn("ecum", sum(col("v")).over(
+          W.orderBy(col("id")).rowsBetween(W.unboundedPreceding, W.currentRow)))
+      val got = graft.ext.SkewOps.globalCumSum(vals, Seq("id"), "v", "rk", "cc")
+      val diff = got.join(exact.select(col("id"), col("erk"), col("ecum")), "id")
+        .filter(col("rk") =!= col("erk") || col("cc") =!= col("ecum")).count()
+      assert(diff == 0, s"$diff rows differ from the exact window cumsum")
+    } finally {
+      vals.unpersist()
+      graft.core.QueryCaches.releaseAll()
+    }
+  }
+
+  test("events_power_users: Pareto coverage with NO window (oracle spells two global windows)") {
+    val p = plan("events_power_users")
+    assert(!p.contains("Window"), s"the running total must come from the distributed prefix-sum:\n$p")
+  }
+
+  test("curate_data_card: one rollup scan; the rank window runs over the lang x source domain") {
+    val p = plan("curate_data_card")
+    assert(nOps(p, "Scan parquet") == 1, p)
+    assert(nOps(p, "CartesianProduct") == 0, p)
+  }
+
   private def got2plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.explainString(FormattedMode)
 
