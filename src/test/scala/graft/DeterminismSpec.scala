@@ -37,7 +37,15 @@ class DeterminismSpec extends AnyFunSuite {
     "events_rolling_wau", // coverage-explode sliding distinct
     "sim_rank_fusion",   // double-window rank + IEEE rrf ordering
     "text_collocations", // lift ranking with declared tiebreak
-    "op_concat_rr")      // order-defining round-robin interleave
+    "op_concat_rr",      // order-defining round-robin interleave
+    // round-10b additions with partitioning-sensitive machinery:
+    "events_power_users", // globalCumSum distributed prefix-sum
+    "q_analyze_stats",   // globalRank boundary selection
+    "events_dtw",        // in-row DP over map-built vectors
+    "curate_gopher",     // modal-ngram kernel + in-row rules
+    "sim_incremental_ivf", // broadcast argmax assignment + cell join
+    "q_binpack",         // ordered cumsum bin assignment
+    "mm_scene_cuts")     // per-row frame histograms
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
