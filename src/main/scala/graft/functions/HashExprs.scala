@@ -244,6 +244,22 @@ object HashExprs {
     override def prettyName: String = "graft_zorder"
   }
 
+  /** jaro_winkler(a, b): record-linkage similarity, bit-exact to
+    * DuckDB's `jaro_winkler_similarity` ([[HashKernels.jaroWinkler]])
+    * — the fuzzy-compare half of blocked entity resolution (the
+    * blocking equi-join bounds pairs; this scores them). */
+  case class JaroWinklerExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.jaroWinkler($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): JaroWinklerExpr = copy(left = l, right = r)
+    override def prettyName: String = "graft_jaro_winkler"
+  }
+
   /** edit_within(a, b, k): banded early-exit Levenshtein bound —
     * [[HashKernels.editWithin]] as a codegen'd boolean predicate. */
   case class EditWithinExpr(left: Expression, right: Expression, k: Int)
@@ -272,6 +288,8 @@ object HashExprs {
   def simhash(fps: Column, bits: Int): Column = toColumn(SimHashExpr(toExpression(fps), bits))
   def editWithin(a: Column, b: Column, k: Int): Column =
     toColumn(EditWithinExpr(toExpression(a), toExpression(b), k))
+  def jaroWinkler(a: Column, b: Column): Column =
+    toColumn(JaroWinklerExpr(toExpression(a), toExpression(b)))
   def cosineSim(a: Column, b: Column): Column = toColumn(CosineExpr(toExpression(a), toExpression(b)))
   def dotProduct(a: Column, b: Column): Column = toColumn(DotExpr(toExpression(a), toExpression(b)))
   def srpBucket(v: Column, bits: Int): Column = toColumn(SrpBucketExpr(toExpression(v), bits))

@@ -211,6 +211,61 @@ object HashKernels {
     prev(m) <= k
   }
 
+  /** Jaro–Winkler similarity, bit-exact to DuckDB's
+    * `jaro_winkler_similarity` (verified pairwise over 400+ corpus
+    * pairs): standard Jaro with match window max(|a|,|b|)/2 − 1
+    * (clamped ≥ 0), transpositions halved by integer division, then
+    * the Winkler boost j + p·0.1·(1−j) for a common prefix p ≤ 4 —
+    * applied only when j > 0.7 (DuckDB's rapidfuzz default). DuckDB
+    * quirk preserved: either string empty (including BOTH empty) →
+    * 0.0. Arithmetic order matters for the bit-match: the three
+    * match ratios sum left-to-right before the single ÷3, and the
+    * boost multiplies (p·0.1)·(1−j) before the add — identical IEEE
+    * op sequence in both engines. Codepoint-based (data ASCII;
+    * DuckDB also operates on codepoints). O(|a|·window) time,
+    * O(|a|+|b|) space — a per-pair verify kernel, only ever run on
+    * candidate pairs a blocking equi-join already bounded. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s = a.toString.codePoints().toArray
+    val t = b.toString.codePoints().toArray
+    val n = s.length; val m = t.length
+    if (n == 0 || m == 0) return 0.0
+    val w = math.max(math.max(n, m) / 2 - 1, 0)
+    val ms = new Array[Boolean](n); val mt = new Array[Boolean](m)
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val hi = math.min(m, i + w + 1)
+      var j = math.max(0, i - w)
+      var unmatched = true
+      while (j < hi && unmatched) {
+        if (!mt(j) && s(i) == t(j)) {
+          ms(i) = true; mt(j) = true; matches += 1; unmatched = false
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var trans = 0; var k = 0
+    i = 0
+    while (i < n) {
+      if (ms(i)) {
+        while (!mt(k)) k += 1
+        if (s(i) != t(k)) trans += 1
+        k += 1
+      }
+      i += 1
+    }
+    val th = trans / 2
+    val md = matches.toDouble
+    val j0 = (md / n + md / m + (md - th) / md) / 3
+    var p = 0
+    val pmax = math.min(4, math.min(n, m))
+    while (p < pmax && s(p) == t(p)) p += 1
+    if (j0 > 0.7) j0 + p * 0.1 * (1 - j0) else j0
+  }
+
   /** leftFloat/rightFloat are resolved at plan time from the array
     * element types (float embeddings vs double centroids). */
   def cosine(a: ArrayData, b: ArrayData, leftFloat: Boolean, rightFloat: Boolean): Double = {

@@ -531,7 +531,31 @@ object DedupQueries {
     DedupOps.prefixJoin(withFps, "doc_id", "fps", 4, 5, maxDf = 4)
   }
 
+  /** Blocked fuzzy entity resolution (record linkage): treat each
+    * document's leading 24 chars as an entity mention, block on the
+    * mention's first token, and score candidate pairs with the native
+    * Jaro–Winkler kernel ([[graft.functions.HashExprs.JaroWinklerExpr]]
+    * — bit-exact to DuckDB's `jaro_winkler_similarity`, so the double
+    * passes the hash gate raw, no rounding). The classic linkage
+    * shape: a cheap BLOCKING equi-join bounds the candidate set (never
+    * all-pairs — at 100 TB the block key would widen to
+    * (first-token, length-bucket) or a phonetic key, same plan), then
+    * the O(len·window) compare runs only inside blocks. sf0.1: 417k
+    * candidates → 870 pairs at the 0.92 threshold. */
+  def dedupEntityJw(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = docs(spark, sfDir)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("mention"))
+      .withColumn("blk", split(col("mention"), " ").getItem(0))
+    val a = m.select(col("doc_id").as("doc_a"), col("mention").as("ma"), col("blk"))
+    val b = m.select(col("doc_id").as("doc_b"), col("mention").as("mb"), col("blk"))
+    a.join(b, Seq("blk")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jw", graft.functions.HashExprs.jaroWinkler(col("ma"), col("mb")))
+      .filter(col("jw") >= lit(0.92))
+      .select(col("doc_a"), col("doc_b"), col("jw"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_entity_jw" -> (dedupEntityJw _),
     "dedup_prefix_join_capped" -> (dedupPrefixJoinCapped _),
     "curate_dup_rate_by_source" -> (curateDupRateBySource _),
     "dedup_hybrid" -> (dedupHybrid _),
@@ -670,6 +694,14 @@ object DedupQueries {
          |          UNION
          |          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
          |SELECT a AS id, LEAST(a, MIN(b)) AS cluster_rep FROM reach GROUP BY a""".stripMargin,
+    "dedup_entity_jw" ->
+      s"""WITH m AS (SELECT doc_id, substr(text, 1, 24) AS mention,
+         |             string_split(substr(text, 1, 24), ' ')[1] AS blk
+         |           FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       jaro_winkler_similarity(a.mention, b.mention) AS jw
+         |FROM m a JOIN m b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |WHERE jaro_winkler_similarity(a.mention, b.mention) >= 0.92""".stripMargin,
     "dedup_edit_within" ->
       s"""SELECT doc_id, levenshtein(a, b) <= 12 AS within_12
          |FROM (SELECT doc_id,

@@ -108,6 +108,13 @@ class PlanSpec extends AnyFunSuite {
     assert(joins <= 2, s"only the two verify lookups may join ($joins joins):\n$p")
   }
 
+  test("dedup_entity_jw: blocking equi-join bounds candidates — no cartesian, JW codegen'd") {
+    val p = plan("dedup_entity_jw")
+    assert(!p.contains("CartesianProduct"), "entity resolution must never go all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the JW score must run inside whole-stage codegen, not a row detour
+    assert(p.contains("graft_jaro_winkler"), p)
+  }
   test("dedup_near: candidate generation is equi-join on (band,sig) — no cartesian") {
     val p = plan("dedup_near")
     assert(!p.contains("CartesianProduct"), "LSH must never go all-pairs")

@@ -113,6 +113,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("jaroWinkler matches DuckDB jaro_winkler_similarity on pinned pairs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double = graft.functions.HashKernels
+      .jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
+    // exact doubles read off DuckDB 1.0.0 (the oracle engine) — the
+    // kernel's contract is BIT equality, so == on doubles is the point
+    assert(jw("martha", "marhta") == 0.9611111111111111) // 2 transpositions + prefix 3
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332) // unequal lengths
+    assert(jw("abcdef", "abczzz") == 0.6666666666666666) // jaro < 0.7 → NO winkler boost
+    assert(jw("jellyfish", "smellyfish") == 0.8962962962962964) // boost, prefix 0
+    assert(jw("ab", "ba") == 0.0) // window 0: adjacent transposition can't match
+    assert(jw("a", "a") == 1.0)
+    assert(jw("", "x") == 0.0)
+    assert(jw("", "") == 0.0) // DuckDB quirk: both-empty is 0, not 1
+    assert(jw("key agg row", "key agg row") == 1.0)
+    // prefix boost caps at 4 shared chars: identical 10-char prefix on
+    // differing tails must use p=4, not p=10
+    val j = jw("abcdefghij", "abcdefghiX")
+    assert(j > 0.9 && j < 1.0)
+  }
+
   test("prop: zInterleave de-interleaves back to its inputs and preserves box order") {
     // Roundtrip: extracting even/odd bits of z recovers (a, b) exactly —
     // the bijectivity that makes z-range partitioning lossless. Plus the
