@@ -311,6 +311,49 @@ object TextQueries {
     * with map-side combine; df is a vocab-sized aggregate of that
     * table (not a second corpus scan); N is a 1-row broadcast; the
     * rank exchange carries only (doc × distinct-token) rows. */
+  /** BM25 retrieval (k1 = 1.2, b = 0.75): top-5 docs for each of three
+    * fixed keyword queries. One corpus pass builds the (doc, token) tf
+    * table (computed-once persisted, shared by the df branch); the
+    * 7-row query-term table is BROADCAST so only matching terms'
+    * postings survive the join — the plan never materializes scores
+    * for non-query terms. Cross-engine determinism: `ln` differs from
+    * DuckDB's by 1 ulp on ~0.1% of inputs (measured 25/20k), so the
+    * idf is rounded through DECIMAL(38,6) immediately after the log —
+    * both engines collapse to the same 6-dp value (verified 0/20k
+    * mismatches post-rounding); every other factor is single-order
+    * IEEE arithmetic on exact integers, and the per-(query, doc) sum
+    * rides [[Tables.dsum]]. Fractional literals are CAST(… AS DOUBLE)
+    * in the oracle because bare decimals parse as DECIMAL there.
+    * At 100 TB the same plan holds: the query set stays broadcast-
+    * small, tf/df are one shuffle each, top-k is a WindowGroupLimit
+    * partial. */
+  def textBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docsT = load(spark, sfDir, "documents")
+    val qterms = Seq((1L, "spark"), (1L, "join"), (2L, "hash"), (2L, "table"),
+      (3L, "stream"), (3L, "batch"), (3L, "window")).toDF("query_id", "token")
+    val tf = graft.core.QueryCaches.track(
+      docsT.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
+    val dl = docsT.select(col("doc_id"), tokenCount(col("text")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val qtf = tf.join(broadcast(qterms), "token")
+    val dfreq = tf.join(broadcast(qterms.select("token").distinct()), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_dl").cast("double") / col("n_docs")
+    val idf6 = log(((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double")
+    val tfnorm = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl)))
+    qtf.join(broadcast(dfreq), "token").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("contrib", idf6 * tfnorm)
+      .groupBy(col("query_id"), col("doc_id")).agg(dsum(col("contrib")).as("score"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))).cast("bigint"))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("score"))
+  }
+
   def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = load(spark, sfDir, "documents")
     // computed-once persisted tf table (the simhashPairs signature-table
@@ -762,6 +805,7 @@ object TextQueries {
     "curate_pack" -> (curatePack _),
     "curate_sources" -> (curateSources _),
     "text_tfidf" -> (textTfidf _),
+    "text_bm25" -> (textBm25 _),
     "curate_decontaminate" -> (curateDecontaminate _),
     "text_repetition" -> (textRepetition _),
     "curate_pipeline" -> (curatePipeline _),
@@ -1026,6 +1070,34 @@ object TextQueries {
          |  CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean_quality,
          |  1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_ratio
          |FROM s1 GROUP BY source""".stripMargin,
+    "text_bm25" ->
+      s"""WITH q(query_id, token) AS (
+         |  SELECT CAST(query_id AS BIGINT), token FROM (VALUES
+         |    (1,'spark'),(1,'join'),(2,'hash'),(2,'table'),
+         |    (3,'stream'),(3,'batch'),(3,'window')) v(query_id, token)),
+         |tf_t AS (SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+         |  GROUP BY doc_id, token),
+         |dl_t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+         |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl_t),
+         |df_t AS (SELECT token, COUNT(*) AS df FROM tf_t
+         |         WHERE token IN (SELECT token FROM q) GROUP BY token),
+         |sc AS (SELECT q.query_id, t.doc_id,
+         |  CAST(CAST(ln(((n_docs - df) + CAST(0.5 AS DOUBLE))
+         |        / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+         |      AS DECIMAL(38,6)) AS DOUBLE)
+         |  * ((tf * CAST(2.2 AS DOUBLE))
+         |     / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+         |        + CAST(0.75 AS DOUBLE) * (dl / (CAST(total_dl AS DOUBLE) / n_docs)))))
+         |    AS contrib
+         |  FROM tf_t t JOIN q ON t.token = q.token JOIN df_t ON t.token = df_t.token
+         |       JOIN dl_t ON t.doc_id = dl_t.doc_id, st),
+         |agg AS (SELECT query_id, doc_id,
+         |          CAST(SUM(CAST(contrib AS DECIMAL(38,6))) AS DOUBLE) AS score
+         |        FROM sc GROUP BY query_id, doc_id)
+         |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY score DESC, doc_id) AS BIGINT) AS rk, doc_id, score
+         |FROM agg QUALIFY rk <= 5""".stripMargin,
     "text_tfidf" ->
       s"""WITH tf_t AS (SELECT doc_id, token, COUNT(*) AS tf
          |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)

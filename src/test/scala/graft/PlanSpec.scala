@@ -108,6 +108,15 @@ class PlanSpec extends AnyFunSuite {
     assert(joins <= 2, s"only the two verify lookups may join ($joins joins):\n$p")
   }
 
+  test("text_bm25: query terms broadcast, partial top-k, no cartesian") {
+    val p = plan("text_bm25")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), "top-5 must push a partial top-k:\n" + p)
+    // query-term set, df table, and the scalar stats row all broadcast;
+    // only tf⨝dl may shuffle
+    assert(nOps(p, "BroadcastExchange") >= 3, p)
+  }
+
   test("dedup_entity_jw: blocking equi-join bounds candidates — no cartesian, JW codegen'd") {
     val p = plan("dedup_entity_jw")
     assert(!p.contains("CartesianProduct"), "entity resolution must never go all-pairs")
