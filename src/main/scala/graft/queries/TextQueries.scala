@@ -354,6 +354,40 @@ object TextQueries {
       .select(col("query_id"), col("rk"), col("doc_id"), col("score"))
   }
 
+  /** Bigram language-model quality score (the CCNet/KenLM-shaped
+    * perplexity filter, in mean-probability form): train add-1-smoothed
+    * bigram probabilities p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) on the
+    * corpus itself, score each doc by the MEAN probability of its
+    * bigrams, and flag the low tail as atypical text. Mean-prob rather
+    * than mean-log-prob keeps every step portable IEEE arithmetic
+    * (each p is one division of exact integers; the per-doc mean rides
+    * [[Tables.davg]]) — log is monotone, so the flagged tail is the
+    * same set perplexity would flag, without importing `ln` ulp drift.
+    * Scale shape: the bigram-count (≤V²) and unigram-count (V) model
+    * tables BROADCAST — the corpus makes ONE pass through two
+    * broadcast lookups plus the per-doc aggregate; only the model
+    * training groupBys shuffle, and those shuffle counts, not text. */
+  def textNgramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val tk = graft.core.QueryCaches.track(
+      d.select(col("doc_id"), tokens(col("text")).as("tk")))
+    val uni = graft.ext.DedupOps.trackPersist(
+      tk.select(explode(col("tk")).as("w")).groupBy(col("w")).agg(count(lit(1)).as("c1")))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = tk.select(col("doc_id"), explode(expr(
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] AS w1, tk[i + 1] AS w2)) ELSE array() END")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    bi.join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(uni.select(col("w").as("w1"), col("c1"))), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p", (col("c2") + lit(1)).cast("double") / (col("c1") + col("v")).cast("double"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), davg(col("p")).as("avg_p"))
+      .withColumn("flagged", col("avg_p") < lit(0.0315))
+  }
+
   def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = load(spark, sfDir, "documents")
     // computed-once persisted tf table (the simhashPairs signature-table
@@ -806,6 +840,7 @@ object TextQueries {
     "curate_sources" -> (curateSources _),
     "text_tfidf" -> (textTfidf _),
     "text_bm25" -> (textBm25 _),
+    "text_ngram_lm" -> (textNgramLm _),
     "curate_decontaminate" -> (curateDecontaminate _),
     "text_repetition" -> (textRepetition _),
     "curate_pipeline" -> (curatePipeline _),
@@ -1070,6 +1105,23 @@ object TextQueries {
          |  CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean_quality,
          |  1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_ratio
          |FROM s1 GROUP BY source""".stripMargin,
+    "text_ngram_lm" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |uni AS (SELECT w, COUNT(*) AS c1
+         |        FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY w),
+         |voc AS (SELECT COUNT(*) AS v FROM uni),
+         |bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+         |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |               i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS b
+         |             FROM tk)),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+         |sc AS (SELECT doc_id, CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE) AS p
+         |       FROM bi JOIN c2 USING (w1, w2) JOIN uni ON bi.w1 = uni.w, voc)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |       CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_p,
+         |       CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+         |         < CAST(0.0315 AS DOUBLE) AS flagged
+         |FROM sc GROUP BY doc_id""".stripMargin,
     "text_bm25" ->
       s"""WITH q(query_id, token) AS (
          |  SELECT CAST(query_id AS BIGINT), token FROM (VALUES

@@ -108,6 +108,16 @@ class PlanSpec extends AnyFunSuite {
     assert(joins <= 2, s"only the two verify lookups may join ($joins joins):\n$p")
   }
 
+  test("text_ngram_lm: model tables broadcast — corpus makes one pass, no shuffle joins") {
+    val p = plan("text_ngram_lm")
+    assert(!p.contains("CartesianProduct"), p)
+    // bigram-count, unigram-count, and vocab-size models all broadcast:
+    // the scoring pass must not shuffle the exploded corpus
+    assert(nOps(p, "BroadcastExchange") >= 3, p)
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") == 0,
+      "LM lookup must be broadcast-only:\n" + p)
+  }
+
   test("text_bm25: query terms broadcast, partial top-k, no cartesian") {
     val p = plan("text_bm25")
     assert(!p.contains("CartesianProduct"), p)
