@@ -32,6 +32,40 @@ object SimQueries {
     e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
 
+  /** Contrastive hard-example mining (the triplet-selection step of
+    * embedding training): for each anchor, the 3 most-similar vectors
+    * with a DIFFERENT label (hard negatives — the pairs a contrastive
+    * loss learns most from) plus the least-similar SAME-label vector
+    * (hardest positive). One broadcast-anchor corpus pass computes
+    * every score; the scored relation is query-scoped persisted so the
+    * neg and pos branches share it instead of re-scanning the corpus.
+    * rk filters run on the raw window output (bigint cast after — the
+    * WindowGroupLimit pattern), so each branch ships only its top rows
+    * per anchor out of the map side. At 100 TB the anchor set stays
+    * the bounded mining batch (broadcast); the corpus side is one scan
+    * whatever k is. */
+  def simHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val anchors = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val scored = graft.core.QueryCaches.track(
+      e.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+          SimOps.cosine(col("embedding"), col("q_vec")).as("cos")))
+    val negs = scored.filter(col("label") =!= col("q_label"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 3).withColumn("kind", lit("neg"))
+    val pos = scored.filter(col("label") === col("q_label"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").asc, col("vec_id"))))
+      .filter(col("rk") <= 1).withColumn("kind", lit("pos"))
+    negs.unionAll(pos).select(col("q_id"), col("kind"),
+      col("rk").cast("bigint").as("rk"), col("vec_id"), col("label"), col("cos"))
+  }
+
   /** Exact top-10 cosine neighbors per query — the ANN ground truth.
     * One corpus scan; the only shuffle is the per-query rank over
     * queries × corpus scored rows. */
@@ -942,6 +976,7 @@ object SimQueries {
     "sim_lsh_probe" -> (simLshProbe _),
     "sim_knn_graph" -> (simKnnGraph _),
     "sim_topk" -> (simTopk _),
+    "sim_hard_negatives" -> (simHardNegatives _),
     "sim_recall_report" -> (simRecallReport _),
     "sim_lsh" -> (simLsh _),
     "sim_pairs" -> (simPairs _),
@@ -1370,6 +1405,24 @@ object SimQueries {
          |         ORDER BY cos DESC, nbr_id) AS BIGINT) AS rk, nbr_id, cos
          |FROM scored
          |QUALIFY rk <= 5""".stripMargin,
+    "sim_hard_negatives" ->
+      s"""WITH a AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS MATERIALIZED (
+         |  SELECT q_id, q_label, vec_id, label,
+         |         ${cosSql("embedding", "q_vec")} AS cos
+         |  FROM embeddings, a WHERE vec_id <> q_id),
+         |negs AS (SELECT q_id, 'neg' AS kind,
+         |           CAST(row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
+         |           vec_id, label, cos
+         |         FROM scored WHERE label <> q_label QUALIFY rk <= 3),
+         |pos AS (SELECT q_id, 'pos' AS kind,
+         |          CAST(row_number() OVER (PARTITION BY q_id
+         |            ORDER BY cos ASC, vec_id) AS BIGINT) AS rk,
+         |          vec_id, label, cos
+         |        FROM scored WHERE label = q_label QUALIFY rk <= 1)
+         |SELECT * FROM negs UNION ALL SELECT * FROM pos""".stripMargin,
     "sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 100 = 0),
          |scored AS (SELECT q_id, vec_id, ${cosSql("embedding", "q_vec")} AS cos

@@ -108,6 +108,15 @@ class PlanSpec extends AnyFunSuite {
     assert(joins <= 2, s"only the two verify lookups may join ($joins joins):\n$p")
   }
 
+  test("sim_hard_negatives: anchors broadcast once, partial top-k on both branches") {
+    val p = plan("sim_hard_negatives")
+    assert(nOps(p, "BroadcastExchange") == 1, "only the anchor set may broadcast:\n" + p)
+    assert(nOps(p, "WindowGroupLimit") >= 2,
+      "neg and pos branches must each push a partial top-k:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "both branches must share the persisted scored pass, not re-scan:\n" + p)
+  }
+
   test("text_ngram_lm: model tables broadcast — corpus makes one pass, no shuffle joins") {
     val p = plan("text_ngram_lm")
     assert(!p.contains("CartesianProduct"), p)
