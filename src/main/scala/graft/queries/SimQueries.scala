@@ -257,6 +257,33 @@ object SimQueries {
     SimOps.knnGraph(
       emb(spark, sfDir).select(col("vec_id"), col("embedding")), k = 5, bits = 4)
 
+  /** Label-quality audit via k-NN classification: predict every
+    * vector's label by majority vote of its bucketed 5-NN
+    * ([[SimOps.knnGraph]] — SRP buckets, never all-pairs), then report
+    * per-label accuracy. The embedding-QA op behind mislabeled-data
+    * hunts: a label whose k-NN accuracy craters is either noisy or not
+    * linearly clustered. Vote argmax is map-side `max_by` over
+    * (votes, −label) — one row per vector crosses the shuffle, ties
+    * break to the smallest label (oracle spells the identical rank-1
+    * window). Vectors alone in their SRP bucket have no neighbors and
+    * drop out (inner-join semantics) — per-label n counts CLASSIFIED
+    * vectors; coverage is sim_bucket_hist's job. */
+  def simKnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val knn = SimOps.knnGraph(e.select(col("vec_id"), col("embedding")), k = 5, bits = 4)
+    val votes = knn
+      .join(e.select(col("vec_id").as("nbr_id"), col("label").as("nbr_label")), "nbr_id")
+      .groupBy(col("vec_id"), col("nbr_label")).agg(count(lit(1)).as("votes"))
+    val pred = votes.groupBy(col("vec_id"))
+      .agg(max_by(col("nbr_label"),
+        struct(col("votes"), (-col("nbr_label")).as("nl"))).as("pred_label"))
+    pred.join(e.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_label") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", col("n_correct").cast("double") / col("n").cast("double"))
+  }
+
   /** Multi-probe SRP-LSH under the oracle gate: each query probes its
     * home bucket PLUS every 1-bit-flipped bucket
     * ([[SimOps.topkLshMultiProbe]]) — recall recovered from mis-signed
@@ -977,6 +1004,7 @@ object SimQueries {
     "sim_knn_graph" -> (simKnnGraph _),
     "sim_topk" -> (simTopk _),
     "sim_hard_negatives" -> (simHardNegatives _),
+    "sim_knn_classify" -> (simKnnClassify _),
     "sim_recall_report" -> (simRecallReport _),
     "sim_lsh" -> (simLsh _),
     "sim_pairs" -> (simPairs _),
@@ -1405,6 +1433,27 @@ object SimQueries {
          |         ORDER BY cos DESC, nbr_id) AS BIGINT) AS rk, nbr_id, cos
          |FROM scored
          |QUALIFY rk <= 5""".stripMargin,
+    "sim_knn_classify" ->
+      s"""WITH b AS MATERIALIZED (SELECT vec_id, embedding,
+         |       ${srpSql("embedding", 4)} AS bucket FROM embeddings),
+         |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         |             ${cosSql("a.embedding", "b.embedding")} AS cos
+         |           FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |knn AS MATERIALIZED (SELECT vec_id, nbr_id FROM (
+         |        SELECT vec_id, nbr_id, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, nbr_id) AS rk FROM scored) WHERE rk <= 5),
+         |votes AS (SELECT k.vec_id, e.label AS nbr_label, COUNT(*) AS votes
+         |          FROM knn k JOIN embeddings e ON k.nbr_id = e.vec_id
+         |          GROUP BY k.vec_id, e.label),
+         |pred AS (SELECT vec_id, nbr_label AS pred_label FROM votes
+         |         QUALIFY row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY votes DESC, nbr_label ASC) = 1)
+         |SELECT label, COUNT(*) AS n,
+         |       CAST(SUM(CASE WHEN pred_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |       CAST(CAST(SUM(CASE WHEN pred_label = label THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS accuracy
+         |FROM pred JOIN embeddings USING (vec_id)
+         |GROUP BY label""".stripMargin,
     "sim_hard_negatives" ->
       s"""WITH a AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
          |           FROM embeddings WHERE vec_id % 100 = 0),

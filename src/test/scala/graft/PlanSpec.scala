@@ -108,6 +108,13 @@ class PlanSpec extends AnyFunSuite {
     assert(joins <= 2, s"only the two verify lookups may join ($joins joins):\n$p")
   }
 
+  test("sim_knn_classify: bucketed candidates, map-side vote argmax, no cartesian") {
+    val p = plan("sim_knn_classify")
+    assert(!p.contains("CartesianProduct"), "kNN must stay bucket-local:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("max_by"), "vote argmax must be the map-side aggregate:\n" + p)
+  }
+
   test("sim_hard_negatives: anchors broadcast once, partial top-k on both branches") {
     val p = plan("sim_hard_negatives")
     assert(nOps(p, "BroadcastExchange") == 1, "only the anchor set may broadcast:\n" + p)
