@@ -391,6 +391,64 @@ object GraftStream {
       }
   }
 
+  /** Streaming blocked entity resolution — the unbounded twin of
+    * `dedup_entity_jw`: each arriving record's mention (leading
+    * `mentionLen` chars) is compared by [[HashKernels.jaroWinkler]]
+    * against the mentions already stored for its BLOCKING key (the
+    * mention's first token), and pairs scoring ≥ `threshold` are
+    * emitted as (id_lo, id_hi, jw). Same flood bounds as
+    * [[nearDupCandidates]]: intra-batch pairing only among members
+    * admitted under `maxBlock`; fresh members always compare against
+    * the stored prefix (linear, ≤ maxBlock each); `stateTtl` evicts
+    * cold blocks. State carries (id, mention) — ~mentionLen bytes per
+    * member, bounded by maxBlock × live blocks. The JW kernel is the
+    * SAME bit-exact function the batch oracle gates, so stream ==
+    * batch parity is exact, not approximate. */
+  def jwLinkage(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.92, mentionLen: Int = 24,
+      maxBlock: Int = 64, stateTtl: String = "30 minutes"): Dataset[(Long, Long, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mentions = df
+      .select(col(idCol).cast("long").as("id"),
+        substring(col(textCol), 1, mentionLen).as("mention"))
+      .select(col("id"), col("mention"),
+        split(col("mention"), " ").getItem(0).as("blk"))
+      .as[(Long, String, String)]
+    val ttl = stateTtl
+    val thr = threshold
+    val timeoutConf =
+      if (ttl.isEmpty) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
+    def jw(a: String, b: String): Double =
+      graft.functions.HashKernels.jaroWinkler(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    mentions.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (_: String, rows: Iterator[(Long, String, String)],
+            state: GroupState[Seq[(Long, String)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(Seq.empty)
+            val prevIds = prev.map(_._1).toSet
+            val fresh = rows.map(r => (r._1, r._2)).toSeq
+              .distinctBy(_._1).filterNot(p => prevIds.contains(p._1))
+            val admitted = fresh.take(math.max(0, maxBlock - prev.size))
+            val cross = for { (ni, nm) <- fresh; (pi, pm) <- prev }
+              yield if (ni < pi) (ni, pi, jw(nm, pm)) else (pi, ni, jw(pm, nm))
+            val intra = admitted.combinations(2).map { case Seq((a, ma), (b, mb)) =>
+              if (a < b) (a, b, jw(ma, mb)) else (b, a, jw(mb, ma)) }.toSeq
+            state.update(prev ++ admitted)
+            if (ttl.nonEmpty) state.setTimeoutDuration(ttl) // re-arm on every access
+            (cross ++ intra).iterator.filter(_._3 >= thr)
+          }
+      }
+  }
+
   /** Watermarked session windows (gap-based) — the streaming form of
     * EventQueries.eventsSessions. Spark's native session_window state
     * machine; keyed state shuffles once per (key, session). */

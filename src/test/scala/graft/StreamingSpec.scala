@@ -435,6 +435,51 @@ class StreamingSpec extends AnyFunSuite {
       .forall(g => g.map(_._3).distinct.size == 1))
   }
 
+  test("streaming jwLinkage: blocked Jaro-Winkler pairs equal the batch dedup_entity_jw shape") {
+    // The streaming twin of dedup_entity_jw: same blocking key (first
+    // token of the 24-char mention), same bit-exact JW kernel, so the
+    // stream's pair set must EQUAL the batch blocked join — including a
+    // pair split across the micro-batch boundary (cross path: 1 | 2)
+    // and one inside a single batch (intra path: 4, 5).
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "text")
+    val out = new ConcurrentLinkedQueue[(Long, Long, Double)]()
+    val q = GraftStream.jwLinkage(df, "doc_id", "text", threshold = 0.9, stateTtl = "")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long, Double)], _: Long) =>
+        { b.collect().foreach(out.add); () })
+      .start()
+    val docs = Seq(
+      1L -> "orders table scan with hash join on custkey and filter",
+      3L -> "stream window agg over event time with watermark bounds",
+      2L -> "orders table scan with hash aggregate on custkey only", // ~dup of 1, NEXT batch
+      4L -> "vector index probe for cosine topk retrieval queries",
+      5L -> "vector index probe for cosine topk ranking pipeline",   // ~dup of 4, same batch
+      6L -> "unrelated singleton mentioning catalyst rules only")
+    val (b1, b2) = docs.splitAt(2)
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = out.toArray.map(_.asInstanceOf[(Long, Long, Double)]).toSet
+    // batch oracle: the dedup_entity_jw plan shape over the same rows
+    val bdf = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("mention"))
+      .withColumn("blk", split(col("mention"), " ").getItem(0))
+    val a = bdf.select(col("doc_id").as("da"), col("mention").as("ma"), col("blk"))
+    val b = bdf.select(col("doc_id").as("db"), col("mention").as("mb"), col("blk"))
+    val batch = a.join(b, Seq("blk")).filter(col("da") < col("db"))
+      .withColumn("jw", graft.functions.HashExprs.jaroWinkler(col("ma"), col("mb")))
+      .filter(col("jw") >= lit(0.9))
+      .select(col("da"), col("db"), col("jw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch,
+      s"stream pairs must equal batch blocked JW join: stream=$streamed batch=$batch")
+    assert(batch.map(p => (p._1, p._2)) == Set((1L, 2L), (4L, 5L)),
+      s"fixture must exercise both cross and intra paths: $batch")
+  }
+
   test("streaming hammingCandidates: in-stream verified pairs equal batch hammingPairs (audio fingerprint)") {
     // The GENERIC hash-family twin: the audio band-energy fingerprints
     // of the real sf0.001 corpus (+ planted last-byte edits — the
