@@ -969,6 +969,34 @@ object EventQueries {
     * (|types|×7) broadcasts onto the 7-day test slice. Completes the
     * time-series set: trend (OLS), anomaly (MAD), changepoint (CUSUM),
     * similarity (PAA/DTW), and now forecast+backtest. */
+  /** Exponential-smoothing (SES, α = 0.5) one-step backtest per event
+    * type: level₀ = x₀, levelᵢ = 0.5·xᵢ + 0.5·levelᵢ₋₁, with each
+    * step's error measured against the PRE-update level — the true
+    * one-step-ahead forecast error — accumulated in the same fold.
+    * The per-type daily series collapses to ONE array row
+    * (sort_array over ≤ calendar-bounded days), so the recurrence is
+    * an in-row `aggregate` fold with a (level, err) struct
+    * accumulator: no window, no iteration, |types| rows total after
+    * the daily rollup — at 100 TB only the (type, day) aggregate
+    * touches the fact table. α = 0.5 makes every step exact halving;
+    * the err sum is left-to-right in BOTH engines (the oracle spells
+    * the identical recurrence as a recursive CTE), so the doubles
+    * hash raw. Final level = the next-day forecast. */
+  def eventsSesForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = loadEvents(spark, sfDir)
+      .select(col("event_type").as("t"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("t"), col("day")).agg(count(lit(1)).as("c"))
+    d.groupBy(col("t"))
+      .agg(expr("transform(sort_array(collect_list(struct(day, c))), x -> x.c)").as("cs"))
+      .select(col("t"), size(col("cs")).cast("bigint").as("n_days"),
+        expr("aggregate(slice(cs, 2, size(cs) - 1), " +
+          "named_struct('level', CAST(cs[0] AS DOUBLE), 'err', CAST(0.0 AS DOUBLE)), " +
+          "(a, x) -> named_struct('level', 0.5 * x + 0.5 * a.level, " +
+          "'err', a.err + abs(x - a.level)))").as("f"))
+      .select(col("t"), col("n_days"), col("f.level").as("level"),
+        (col("f.err") / (col("n_days") - lit(1)).cast("double")).as("mae"))
+  }
+
   def eventsSeasonalNaive(spark: SparkSession, sfDir: String): DataFrame = {
     val d = graft.core.QueryCaches.track(
       loadEvents(spark, sfDir)
@@ -1046,6 +1074,7 @@ object EventQueries {
     "events_power_users" -> (eventsPowerUsers _),
     "events_funnel3" -> (eventsFunnel3 _),
     "events_seasonal_naive" -> (eventsSeasonalNaive _),
+    "events_ses_forecast" -> (eventsSesForecast _),
     "events_time_travel" -> (eventsTimeTravel _),
     "events_multi_touch" -> (eventsMultiTouch _),
     "events_dtw" -> (eventsDtw _),
@@ -1104,6 +1133,25 @@ object EventQueries {
         |SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS step1_users,
         |       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS step2_users,
         |       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS step3_users""".stripMargin,
+    "events_ses_forecast" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT t, CAST(row_number() OVER (PARTITION BY t ORDER BY day)
+        |          AS BIGINT) AS i, c FROM d),
+        |n AS (SELECT t, MAX(i) AS n_days FROM ser GROUP BY t),
+        |rec AS (
+        |  SELECT t, i, CAST(c AS DOUBLE) AS level, CAST(0 AS DOUBLE) AS err
+        |  FROM ser WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.t, s.i,
+        |         CAST(0.5 AS DOUBLE) * s.c + CAST(0.5 AS DOUBLE) * r.level,
+        |         r.err + abs(s.c - r.level)
+        |  FROM rec r JOIN ser s ON s.t = r.t AND s.i = r.i + 1)
+        |SELECT r.t, n.n_days, r.level,
+        |       r.err / CAST(n.n_days - 1 AS DOUBLE) AS mae
+        |FROM rec r JOIN n ON r.t = n.t AND r.i = n.n_days""".stripMargin,
     "events_seasonal_naive" ->
       """WITH d AS (SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
         |             CAST(COUNT(*) AS BIGINT) AS c

@@ -108,6 +108,14 @@ class PlanSpec extends AnyFunSuite {
     assert(joins <= 2, s"only the two verify lookups may join ($joins joins):\n$p")
   }
 
+  test("events_ses_forecast: recurrence is an in-row fold — no Window, no join, one scan") {
+    val p = plan("events_ses_forecast")
+    assert(!p.contains(") Window"), "SES must fold in-row, not via a window:\n" + p)
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "BroadcastHashJoin") +
+      nOps(p, "ShuffledHashJoin") == 0, "no joins:\n" + p)
+    assert(nOps(p, "Scan parquet") == 1, "one fact scan:\n" + p)
+  }
+
   test("sim_knn_classify: bucketed candidates, map-side vote argmax, no cartesian") {
     val p = plan("sim_knn_classify")
     assert(!p.contains("CartesianProduct"), "kNN must stay bucket-local:\n" + p)
