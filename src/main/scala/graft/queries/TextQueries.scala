@@ -388,6 +388,29 @@ object TextQueries {
       .withColumn("flagged", col("avg_p") < lit(0.0315))
   }
 
+  /** Curriculum materialization: the global training ORDER a data
+    * loader streams — quality band first (marker-stopword count,
+    * capped at 3 — all-integer, no float score), content-hash shuffle
+    * WITHIN each band (deterministic, seedless, reshuffle = change
+    * one literal), doc_id as the total-order tiebreak. The global
+    * position comes from [[graft.ext.SkewOps.globalRank]]
+    * (repartitionByRange + zipWithIndex, two jobs) — the oracle
+    * spells the single global row_number window the plan exists to
+    * avoid: at 100 TB a `row_number() OVER (ORDER BY …)` serializes
+    * the corpus through one task; range-partitioned rank scales with
+    * the cluster. */
+  def curateCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val toks = tokens(col("text"))
+    val base = d.select(col("doc_id"),
+        least(TextOps.wordCount(toks, Seq("the", "a", "data", "table")), lit(3L)).as("band"),
+        pmod(fingerprint(col("text")), lit(1000000L)).as("h"),
+        tokenCount(col("text")).as("n_tokens"))
+      .withColumn("band_ord", lit(3L) - col("band"))
+    graft.ext.SkewOps.globalRank(base, Seq("band_ord", "h", "doc_id"), "pos")
+      .select(col("pos"), col("doc_id"), col("band"), col("n_tokens"))
+  }
+
   def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = load(spark, sfDir, "documents")
     // computed-once persisted tf table (the simhashPairs signature-table
@@ -841,6 +864,7 @@ object TextQueries {
     "text_tfidf" -> (textTfidf _),
     "text_bm25" -> (textBm25 _),
     "text_ngram_lm" -> (textNgramLm _),
+    "curate_curriculum" -> (curateCurriculum _),
     "curate_decontaminate" -> (curateDecontaminate _),
     "text_repetition" -> (textRepetition _),
     "curate_pipeline" -> (curatePipeline _),
@@ -1105,6 +1129,15 @@ object TextQueries {
          |  CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean_quality,
          |  1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_ratio
          |FROM s1 GROUP BY source""".stripMargin,
+    "curate_curriculum" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  LEAST(${markerSql(Seq("the", "a", "data", "table"))}, 3) AS band,
+         |  $fpSql % 1000000 AS h,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |FROM documents)
+         |SELECT CAST(row_number() OVER (ORDER BY 3 - band, h, doc_id) AS BIGINT) AS pos,
+         |       doc_id, band, n_tokens
+         |FROM b""".stripMargin,
     "text_ngram_lm" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |uni AS (SELECT w, COUNT(*) AS c1

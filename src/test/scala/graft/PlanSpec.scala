@@ -108,6 +108,15 @@ class PlanSpec extends AnyFunSuite {
     assert(joins <= 2, s"only the two verify lookups may join ($joins joins):\n$p")
   }
 
+  test("curate_curriculum: global order via range-ranked zipWithIndex — no single-partition window") {
+    // the range sort + zipWithIndex live upstream of the ExistingRDD
+    // boundary (SkewOps.globalRank), so like q_analyze_stats the pin is
+    // the ABSENCE of the oracle's global-order window
+    val p = plan("curate_curriculum")
+    assert(!p.contains("Window"),
+      "global position must come from globalRank, not a global-order window:\n" + p)
+  }
+
   test("events_ses_forecast: recurrence is an in-row fold — no Window, no join, one scan") {
     val p = plan("events_ses_forecast")
     assert(!p.contains(") Window"), "SES must fold in-row, not via a window:\n" + p)
