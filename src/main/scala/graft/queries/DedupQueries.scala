@@ -554,8 +554,23 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("jw"))
   }
 
+  /** Entity formation on top of [[dedupEntityJw]]: the verified JW
+    * pairs become edges and connected components
+    * ([[DedupOps.dupClusters]] — label-sum fixpoint, checkpointed per
+    * round) collapse transitive matches into entities, each member
+    * labeled with the min-id representative. The pairs → entities step
+    * every record-linkage pipeline ends with; same scale posture as
+    * dedup_clusters (edges are the bounded verified-pair set, never
+    * the corpus). */
+  def dedupEntityClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupEntityJw(spark, sfDir)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    DedupOps.dupClusters(pairs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_entity_jw" -> (dedupEntityJw _),
+    "dedup_entity_clusters" -> (dedupEntityClusters _),
     "dedup_prefix_join_capped" -> (dedupPrefixJoinCapped _),
     "curate_dup_rate_by_source" -> (curateDupRateBySource _),
     "dedup_hybrid" -> (dedupHybrid _),
@@ -688,6 +703,19 @@ object DedupQueries {
          |             JOIN (SELECT doc_id AS doc_a, fps AS fps_a FROM fp_t) USING (doc_a)
          |             JOIN (SELECT doc_id AS doc_b, fps AS fps_b FROM fp_t) USING (doc_b)
          |             WHERE $jaccardSql >= 0.7),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM verified
+         |        UNION SELECT doc_b, doc_a FROM verified),
+         |reach AS (SELECT a, b FROM sym
+         |          UNION
+         |          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+         |SELECT a AS id, LEAST(a, MIN(b)) AS cluster_rep FROM reach GROUP BY a""".stripMargin,
+    "dedup_entity_clusters" ->
+      s"""WITH RECURSIVE m AS (SELECT doc_id, substr(text, 1, 24) AS mention,
+         |             string_split(substr(text, 1, 24), ' ')[1] AS blk
+         |           FROM documents),
+         |verified AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |             FROM m a JOIN m b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |             WHERE jaro_winkler_similarity(a.mention, b.mention) >= 0.92),
          |sym AS (SELECT doc_a AS a, doc_b AS b FROM verified
          |        UNION SELECT doc_b, doc_a FROM verified),
          |reach AS (SELECT a, b FROM sym

@@ -1026,7 +1026,31 @@ object Relational {
         col("cnt"), col("ndv"), col("mn"), col("mx"))
   }
 
+  /** Merkle-style table content checksum per key range — the
+    * replica-sync / backup-integrity audit: two copies of a table
+    * agree iff every bucket's (n_rows, checksum) agrees, and a drifted
+    * bucket pinpoints WHERE to re-sync without comparing rows. The
+    * per-row fingerprint is the polynomial content hash of a canonical
+    * '|'-joined row rendering (doubles cast DECIMAL(12,2) first so both
+    * engines print identical strings); the bucket checksum is the SUM
+    * of row fps as DECIMAL(38,0) — commutative and exact, so it is
+    * partition-order-independent at any parallelism (1e12 rows × 1e9
+    * max fp still 17 digits below the 38-digit ceiling). One scan, one
+    * map-side-combined aggregate; bucket = custkey div 1000 keeps the
+    * audit relation catalog-sized. */
+  def qTableChecksum(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = load(spark, sfDir, "customer")
+    val row = concat_ws("|", col("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("c_acctbal").cast(DecimalType(12, 2)), col("c_mktsegment"))
+    c.select(expr("c_custkey div 1000").as("bucket"),
+        graft.functions.HashExprs.fingerprint(row).as("fp"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("fp").cast(DecimalType(38, 0))).as("checksum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_checksum" -> (qTableChecksum _),
     "q_analyze_stats" -> (qAnalyzeStats _),
     "q_k_generalize" -> (qKGeneralize _),
     "q_k_anonymity" -> (qKAnonymity _),
@@ -1075,6 +1099,14 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_table_checksum" ->
+      """SELECT c_custkey // 1000 AS bucket, COUNT(*) AS n_rows,
+        |  SUM(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(concat_ws('|', c_custkey, c_name,
+        |        c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)), c_mktsegment), ''),
+        |      ch -> CAST(unicode(ch) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS DECIMAL(38,0))) AS checksum
+        |FROM customer GROUP BY 1""".stripMargin,
     "q_analyze_stats" ->
       """WITH v AS (SELECT o_totalprice AS x FROM orders),
         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,

@@ -160,6 +160,14 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "BroadcastExchange") >= 3, p)
   }
 
+  test("q_table_checksum: one scan, one map-side-combined aggregate, fp codegen'd") {
+    val p = plan("q_table_checksum")
+    assert(nOps(p, "Scan parquet") == 1, p)
+    assert(nOps(p, "HashAggregate") == 2, "partial+final aggregate only:\n" + p)
+    assert(p.contains("graft_fingerprint"), "row hash must be the native kernel:\n" + p)
+    assert(nOps(p, "Exchange") == 1, "only the bucket-key exchange:\n" + p)
+  }
+
   test("dedup_entity_jw: blocking equi-join bounds candidates — no cartesian, JW codegen'd") {
     val p = plan("dedup_entity_jw")
     assert(!p.contains("CartesianProduct"), "entity resolution must never go all-pairs")
