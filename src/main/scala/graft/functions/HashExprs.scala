@@ -244,6 +244,20 @@ object HashExprs {
     override def prettyName: String = "graft_zorder"
   }
 
+  /** winnow_mins(fps, w): window-min fingerprint selection
+    * ([[HashKernels.winnowMins]] — the winnowing/MOSS step between
+    * k-gram hashing and cross-document pairing). */
+  case class WinnowMinsExpr(child: Expression, w: Int) extends UnaryExpression {
+    require(w >= 1)
+    override def dataType: DataType = LongArray
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.winnowMins(input.asInstanceOf[ArrayData], w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.winnowMins($c, $w)")
+    override protected def withNewChildInternal(c: Expression): WinnowMinsExpr = copy(child = c)
+    override def prettyName: String = "graft_winnow_mins"
+  }
+
   /** jaro_winkler(a, b): record-linkage similarity, bit-exact to
     * DuckDB's `jaro_winkler_similarity` ([[HashKernels.jaroWinkler]])
     * — the fuzzy-compare half of blocked entity resolution (the
@@ -290,6 +304,8 @@ object HashExprs {
     toColumn(EditWithinExpr(toExpression(a), toExpression(b), k))
   def jaroWinkler(a: Column, b: Column): Column =
     toColumn(JaroWinklerExpr(toExpression(a), toExpression(b)))
+  def winnowMins(fps: Column, w: Int): Column =
+    toColumn(WinnowMinsExpr(toExpression(fps), w))
   def cosineSim(a: Column, b: Column): Column = toColumn(CosineExpr(toExpression(a), toExpression(b)))
   def dotProduct(a: Column, b: Column): Column = toColumn(DotExpr(toExpression(a), toExpression(b)))
   def srpBucket(v: Column, bits: Int): Column = toColumn(SrpBucketExpr(toExpression(v), bits))

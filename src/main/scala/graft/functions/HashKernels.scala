@@ -93,6 +93,37 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowing (Schleimer/Wilkerson/Aiken, MOSS): the minimum of every
+    * w-consecutive window of k-gram fingerprints — the fingerprint
+    * SELECTION step that guarantees any shared substring of length
+    * ≥ w + k − 1 contributes at least one common selected fingerprint,
+    * while keeping ~2/(w+1) of the hashes. Returns ALL window minima
+    * in window order (duplicates kept — the caller distincts at the
+    * row level so both engines agree without relying on either's
+    * list-distinct ordering); fewer than w fingerprints → one global
+    * min; empty → empty. O(n·w) single pass, no allocation beyond the
+    * output. */
+  def winnowMins(fps: ArrayData, w: Int): ArrayData = {
+    val n = fps.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    if (n < w) {
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < n) { val v = fps.getLong(i); if (v < mn) mn = v; i += 1 }
+      return new GenericArrayData(Array(mn))
+    }
+    val out = new Array[Long](n - w + 1)
+    var i = 0
+    while (i + w <= n) {
+      var mn = Long.MaxValue
+      var j = i
+      while (j < i + w) { val v = fps.getLong(j); if (v < mn) mn = v; j += 1 }
+      out(i) = mn
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-position MinHash multipliers: splitmix64(i) reduced to
     * [1, P−1]. INDEPENDENTLY generated constants, not a linear
     * function of i — any affine family a_i = c·(i+1) factors the whole

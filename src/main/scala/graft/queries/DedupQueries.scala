@@ -568,8 +568,42 @@ object DedupQueries {
     DedupOps.dupClusters(pairs)
   }
 
+  /** Winnowing dedup (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    * plagiarism fingerprint): 12-char-gram fingerprints reduced by the
+    * native window-min SELECTION kernel
+    * ([[graft.functions.HashExprs.WinnowMinsExpr]], w = 8 — any shared
+    * substring ≥ 19 chars is guaranteed a common selected
+    * fingerprint), then docs pair on selected fps through a df-capped
+    * equi-join: fps with document frequency > 8 drop BEFORE pairing so
+    * a boilerplate gram can never bucket df² pairs — the same
+    * oracle-verified cap discipline as the MinHash/SimHash/SRP/prefix
+    * families, and the recall trade is hash-VISIBLE: all 500 planted
+    * near-dups survive at sf0.01; at sf0.1 the tighter relative cap
+    * keeps 3883/5000 (the declared price of the guard, not a silent
+    * drop). Dedup at the row level (distinct) rather than in-array so
+    * neither engine depends on list-distinct ordering. */
+  def dedupWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val corpus = d.unionAll(d.select((col("doc_id") + SHIFT).as("doc_id"),
+      firstTokenDropped.as("text")))
+    val sel = graft.core.QueryCaches.track(
+      corpus.select(col("doc_id"),
+          explode(graft.functions.HashExprs.winnowMins(
+            graft.functions.HashExprs.charShingleFps(col("text"), 12), 8)).as("fp"))
+        .distinct())
+    val rare = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 8).select(col("fp"))
+    val pr = sel.join(rare, "fp")
+    val a = pr.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = pr.select(col("doc_id").as("doc_b"), col("fp"))
+    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_entity_jw" -> (dedupEntityJw _),
+    "dedup_winnow" -> (dedupWinnow _),
     "dedup_entity_clusters" -> (dedupEntityClusters _),
     "dedup_prefix_join_capped" -> (dedupPrefixJoinCapped _),
     "curate_dup_rate_by_source" -> (curateDupRateBySource _),
@@ -709,6 +743,22 @@ object DedupQueries {
          |          UNION
          |          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
          |SELECT a AS id, LEAST(a, MIN(b)) AS cluster_rep FROM reach GROUP BY a""".stripMargin,
+    "dedup_winnow" ->
+      s"""WITH corpus AS ($corpusNearSql),
+         |fp_t AS (SELECT doc_id, CASE WHEN len(text) >= 12
+         |    THEN list_transform(range(1, len(text) - 10),
+         |           i -> ${fpFold("substr(text, i, 12)")})
+         |    ELSE [] END AS fps FROM corpus),
+         |mins AS (SELECT doc_id, CASE WHEN len(fps) = 0 THEN []
+         |    WHEN len(fps) < 8 THEN [list_min(fps)]
+         |    ELSE list_transform(range(1, len(fps) - 6),
+         |           i -> list_min(fps[i:i+7])) END AS m FROM fp_t),
+         |sel AS (SELECT DISTINCT doc_id, unnest(m) AS fp FROM mins),
+         |rare AS (SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= 8),
+         |pr AS (SELECT sel.doc_id, sel.fp FROM sel JOIN rare USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
     "dedup_entity_clusters" ->
       s"""WITH RECURSIVE m AS (SELECT doc_id, substr(text, 1, 24) AS mention,
          |             string_split(substr(text, 1, 24), ' ')[1] AS blk

@@ -87,6 +87,9 @@ object GraftFunctions {
     ("graft_edit_within",
       "graft_edit_within(a, b, k) - banded early-exit levenshtein(a,b) <= k",
       es => EditWithinExpr(es.head, es(1), intLit(es(2), "graft_edit_within"))),
+    ("graft_winnow_mins",
+      "graft_winnow_mins(fps, w) - winnowing window-min fingerprint selection",
+      es => WinnowMinsExpr(es.head, intLit(es(1), "graft_winnow_mins"))),
     ("graft_jaro_winkler",
       "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (record linkage)",
       es => JaroWinklerExpr(es.head, es(1))),

@@ -160,6 +160,13 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "BroadcastExchange") >= 3, p)
   }
 
+  test("dedup_winnow: df-capped fp equi-join — no cartesian, selection kernel codegen'd") {
+    val p = plan("dedup_winnow")
+    assert(!p.contains("CartesianProduct"), "winnow pairing must stay fp-bucketed:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_winnow_mins"), "selection must be the native kernel:\n" + p)
+  }
+
   test("q_table_checksum: one scan, one map-side-combined aggregate, fp codegen'd") {
     val p = plan("q_table_checksum")
     assert(nOps(p, "Scan parquet") == 1, p)

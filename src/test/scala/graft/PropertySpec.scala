@@ -134,6 +134,36 @@ class PropertySpec extends AnyFunSuite {
     assert(j > 0.9 && j < 1.0)
   }
 
+  test("prop: winnowMins guarantee — shared substring >= w+k-1 yields a common fingerprint") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val (k, w) = (5, 4)
+    def selected(s: String): Set[Long] = {
+      val fps = graft.functions.HashKernels.charShingleFps(UTF8String.fromString(s), k)
+      val mins = graft.functions.HashKernels.winnowMins(fps, w)
+      (0 until mins.numElements()).map(mins.getLong).toSet
+    }
+    val rng = new scala.util.Random(7)
+    val alphabet = "abc d"
+    def randStr(len: Int): String =
+      Seq.fill(len)(alphabet(rng.nextInt(alphabet.length))).mkString
+    // the winnowing theorem: any match of length >= w + k - 1 is caught
+    val span = randStr(w + k - 1)
+    for (_ <- 0 until 50) {
+      val s1 = randStr(rng.nextInt(20)) + span + randStr(rng.nextInt(20))
+      val s2 = randStr(rng.nextInt(20)) + span + randStr(rng.nextInt(20))
+      assert(selected(s1).intersect(selected(s2)).nonEmpty,
+        s"shared ${w + k - 1}-char span must yield a common selected fp: '$s1' vs '$s2'")
+    }
+    // density: selection keeps far fewer than all n-k+1 fingerprints
+    val long = randStr(400)
+    val nAll = graft.functions.HashKernels
+      .charShingleFps(UTF8String.fromString(long), k).numElements()
+    assert(selected(long).size < nAll / 2, s"selection must thin the fps (${selected(long).size}/$nAll)")
+    // edge cases: fewer fps than the window -> one global min; empty -> empty
+    assert(selected("abcde").size == 1)
+    assert(selected("ab").isEmpty)
+  }
+
   test("prop: zInterleave de-interleaves back to its inputs and preserves box order") {
     // Roundtrip: extracting even/odd bits of z recovers (a, b) exactly —
     // the bijectivity that makes z-range partitioning lossless. Plus the
