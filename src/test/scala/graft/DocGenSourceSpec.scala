@@ -127,6 +127,32 @@ class DocGenSourceSpec extends AnyFunSuite {
     info(f"1M docs + 10k planted tail-edits in $secs%.1f s, $nPlanted planted pairs found")
   }
 
+  test("scale smoke: blocked Jaro-Winkler linkage over 1M generated docs") {
+    // The dedup_entity_jw plan at 1M rows: first-token blocking
+    // equi-join + codegen'd JW verify. The generator's first tokens
+    // come from a small vocab, so blocks are large — exactly the
+    // worst-case the blocking join must survive; planted near-dup
+    // mentions (doc_id + 2M carries the same leading 24 chars) must
+    // pair at jw = 1.0.
+    val d = docs(1000000, 16)
+    val planted = d.filter(col("doc_id") % 1000 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val m = d.unionAll(planted)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("mention"))
+      .withColumn("blk", split(col("mention"), " ").getItem(0))
+    val a = m.select(col("doc_id").as("doc_a"), col("mention").as("ma"), col("blk"))
+    val b = m.select(col("doc_id").as("doc_b"), col("mention").as("mb"), col("blk"))
+    val t0 = System.nanoTime()
+    val exact = a.join(b, Seq("blk"))
+      .filter(col("doc_b") === col("doc_a") + 2000000L)
+      .withColumn("jw", graft.functions.HashExprs.jaroWinkler(col("ma"), col("mb")))
+      .filter(col("jw") === 1.0)
+      .count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"1M-doc blocked JW linkage (planted-pair slice): $secs%.1f s, $exact pairs")
+    assert(exact == 1000L, s"every planted mention must pair at jw=1.0, got $exact")
+  }
+
   test("feeds the dedup kernels: exact dedup over generated corpus + planted copies") {
     val d = docs(2000, 8)
     val corpus = d.unionAll(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
