@@ -1024,6 +1024,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got\nbatch $batch")
   }
 
+  test("streaming table checksum by composition: fp |> sumUpdates equals batch q_table_checksum") {
+    // The incremental form of the replica-sync audit: each arriving
+    // customer row fingerprints itself (same canonical rendering as
+    // q_table_checksum) and folds into its bucket's running checksum
+    // via the generic sum fold — addition is commutative, so the last
+    // emission per bucket must equal the batch bucket checksum however
+    // the rows are chunked or ordered.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.Relational.qTableChecksum(spark, dir)
+      .collect().map(r => (r.getLong(0).toString, r.getDecimal(2).longValueExact())).toMap
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val rendered = cust.select(
+        expr("c_custkey div 1000").cast("string").as("bucket"),
+        graft.functions.HashExprs.fingerprint(concat_ws("|",
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(12, 2)),
+          col("c_mktsegment"))).as("fp"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val data = new scala.util.Random(11).shuffle(rendered)
+    val in = MemoryStream[(String, Long)]
+    val df = in.toDF().toDF("bucket", "fp")
+    val rows = new ConcurrentLinkedQueue[(String, Long, Long)]()
+    val q = GraftStream.sumUpdates(df, "bucket", "fp")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    data.grouped((data.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(String, Long, Long)])
+      .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._3)._2 }
+    assert(got == batch, s"stream $got\nbatch $batch")
+  }
+
   test("streaming PAA series sketch by composition: sumUpdates equals the batch segment sums") {
     // events keyed "type|segment" (the events_series_sim PAA unit) fed
     // through the generic monotone-sum fold in three shuffled chunks:
