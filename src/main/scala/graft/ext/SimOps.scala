@@ -400,6 +400,70 @@ object SimOps {
     * typed Aggregator accumulating a primitive array per partition;
     * at pipeline-feature width (d ≤ 128) this plan wins on simplicity
     * and stays fully codegen'd. */
+  /** Multi-source BFS hop distances over an edge relation — frontier
+    * expansion, the graph-suite primitive the components/label-prop/
+    * k-core family still lacked (those converge on LABELS; this
+    * computes DISTANCE, the quantity behind "how far is every vector
+    * from a curated seed set" audits). Input: `edges(src, dst)`
+    * (directed — caller symmetrizes for undirected graphs) and
+    * `seeds(id)`. Output: (id, hops) for every vertex within
+    * `maxHops`, hops = length of the shortest edge path from any seed.
+    *
+    * Per round: frontier ⋈ edges (vertex-keyed equi-join), distinct,
+    * LEFT ANTI against visited (the BFS invariant — a vertex's first
+    * discovery round IS its distance, so later rediscoveries are
+    * dropped before they exist), then union into visited. Rounds are
+    * localCheckpoint-truncated exactly like [[graft.ext.DedupOps
+    * .dupClusters]]: without it round r's plan re-executes rounds
+    * 1..r−1 (the 3^rounds re-execution pathology k-core measured), and
+    * superseded rounds' blocks are dropped as soon as the next round
+    * materializes. The per-round driver sync is one count() — the
+    * early-exit when the frontier drains, which also bounds lineage:
+    * at 100 TB this is exactly Pregel-style iteration staged to a work
+    * table per superstep. The anti-join keeps the frontier MINIMAL
+    * (only first-time vertices expand), so total work is O(edges
+    * within maxHops of the seeds), not O(paths) — the property that
+    * separates distributed BFS from the naive path-enumeration the
+    * oracle's recursive CTE performs (affordable there only because
+    * the oracle corpus is small). */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    val e = graft.core.QueryCaches.track(
+      edges.select(col("src"), col("dst")))
+    def checkpoint(df: DataFrame): (DataFrame, Option[Int]) = {
+      val out = df.localCheckpoint()
+      val id = out.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }
+      id.foreach(graft.core.QueryCaches.trackRddId(sc, _))
+      (out, id)
+    }
+    def drop(id: Option[Int]): Unit =
+      id.foreach(i => sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
+    var (visited, vId) = checkpoint(seeds.select(col("id"), lit(0L).as("hops")))
+    var frontier = visited.select(col("id"))
+    var fId: Option[Int] = None // round-0 frontier shares visited's blocks
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val (next, nId) = checkpoint(
+        frontier.join(e, frontier("id") === e("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(visited.select(col("id")), Seq("id"), "left_anti")
+          .select(col("id"), lit(h.toLong).as("hops")))
+      if (next.count() == 0) { drop(nId); done = true }
+      else {
+        val (nv, nvId) = checkpoint(visited.union(next))
+        drop(vId); drop(fId)
+        visited = nv; vId = nvId
+        frontier = next.select(col("id")); fId = nId
+        h += 1
+      }
+    }
+    drop(fId) // final union copied the last frontier's rows into visited
+    visited
+  }
+
   def gramMatrix(corpus: DataFrame, vecCol: String, dims: Int): DataFrame =
     corpus.select(explode(expr(
       s"""flatten(transform(sequence(0, ${dims - 1}), i ->

@@ -601,7 +601,50 @@ object DedupQueries {
       .filter(col("n_shared") >= 3)
   }
 
+  /** Sorted-neighborhood blocking (Hernández–Stolfo SNM) — the third
+    * candidate-generation family beside hashing (LSH bands) and prefix
+    * filtering: sort the corpus by a mutation-tolerant blocking key,
+    * then pair only records within a fixed rank window W. Key here =
+    * the space-joined SORTED token list, so the planted first-token-
+    * dropped near-dup differs from its original only from the dropped
+    * token's sorted position onward and usually sorts adjacent
+    * (measured on this corpus: 423/500 planted pairs inside W=5 — the
+    * recall trade-off IS the method, and it is hash-visible). Pairs
+    * are verified with shingle-fps Jaccard ≥ 0.7, same kernel as
+    * [[dedupJaccard]]. Scale shape: the global sort rides
+    * [[graft.ext.SkewOps.globalRank]] (range-repartition + per-
+    * partition zipWithIndex — NO single-partition window), and the
+    * window pairing is an EQUI-join: each row explodes its rank into
+    * the W successor ranks and joins rank-to-rank, so the plan is two
+    * bounded-fanout shuffles — never a rank-range nested loop. At
+    * 100 TB, W stays constant, so candidates are W·n — linear in the
+    * corpus, the property that made SNM a production record-linkage
+    * staple. */
+  def dedupSortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 5
+    val d = docs(spark, sfDir)
+    val corpus = d.unionAll(d.select((col("doc_id") + SHIFT).as("doc_id"),
+      firstTokenDropped.as("text")))
+    val keyed = graft.core.QueryCaches.track(corpus.select(col("doc_id"),
+      array_join(array_sort(tokens(col("text"))), " ").as("k"),
+      shingleFps(tokens(col("text")), 3).as("fps")))
+    val ranked = graft.core.QueryCaches.track(
+      graft.ext.SkewOps.globalRank(keyed.select("doc_id", "k"), Seq("k", "doc_id"), "rk")
+        .select(col("doc_id"), col("rk")))
+    val a = ranked.select(col("doc_id").as("doc_a"), col("rk"))
+      .withColumn("tgt", explode(sequence(col("rk") + 1, col("rk") + W)))
+    val b = ranked.select(col("doc_id").as("doc_b"), col("rk").as("tgt"))
+    val fa = keyed.select(col("doc_id").as("doc_a"), col("fps").as("fps_a"))
+    val fb = keyed.select(col("doc_id").as("doc_b"), col("fps").as("fps_b"))
+    a.join(b, Seq("tgt")).select(col("doc_a"), col("doc_b"))
+      .join(fa, "doc_a").join(fb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        DedupOps.jaccard(col("fps_a"), col("fps_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_sorted_neighborhood" -> (dedupSortedNeighborhood _),
     "dedup_entity_jw" -> (dedupEntityJw _),
     "dedup_winnow" -> (dedupWinnow _),
     "dedup_entity_clusters" -> (dedupEntityClusters _),
@@ -686,6 +729,19 @@ object DedupQueries {
       |    (a, b) -> a + b)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_sorted_neighborhood" ->
+      s"""WITH corpus AS ($corpusNearSql),
+         |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+         |key_t AS (SELECT doc_id, array_to_string(list_sort(tk), ' ') AS k FROM tk_t),
+         |sh_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, list_transform(sh, s -> ${fpFold("s")}) AS fps FROM sh_t),
+         |r AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rk FROM key_t),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 5)
+         |SELECT doc_a, doc_b, $jaccardSql AS jaccard
+         |FROM p JOIN (SELECT doc_id AS doc_a, fps AS fps_a FROM fp_t) fa USING (doc_a)
+         |       JOIN (SELECT doc_id AS doc_b, fps AS fps_b FROM fp_t) fb USING (doc_b)
+         |WHERE $jaccardSql >= 0.7""".stripMargin,
     "dedup_canonical" ->
       s"""WITH RECURSIVE corpus AS ($corpusNearSql),
          |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),

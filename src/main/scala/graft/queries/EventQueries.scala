@@ -79,10 +79,12 @@ object EventQueries {
     * The sketch merges map-side, so the shuffle carries one fixed-size
     * sketch per (day, map task) instead of every distinct user id —
     * at warehouse scale that is the difference between a bounded
-    * exchange and shuffling the id universe. Approximate by nature, so
-    * NOT oracle-hashable: EventQueriesSpec bounds its relative error
-    * against [[eventsDailyActive]] instead (rsd defaults to 5%; HLL++
-    * is exact in sparse mode at small cardinalities). */
+    * exchange and shuffling the id universe. Spark's built-in sketch is
+    * opaque, so EventQueriesSpec bounds its relative error against
+    * [[eventsDailyActive]] instead (rsd defaults to 5%; HLL++ is exact
+    * in sparse mode at small cardinalities). [[eventsHllDistinct]] is
+    * the white-box twin: the same estimator in integer form, which the
+    * DuckDB oracle hashes bit-exactly. */
   def eventsDailyActiveApprox(spark: SparkSession, sfDir: String,
       rsd: Double = 0.05): DataFrame =
     events(spark, sfDir)
@@ -255,9 +257,9 @@ object EventQueries {
   }
 
   /** KMV (k-minimum-values) distinct sketch per event type — the
-    * third member of the approximate family, and the one the oracle
-    * CAN hash: unlike HLL ([[eventsDailyActiveApprox]]) or GK
-    * quantiles, a KMV sketch is just the k smallest hash values — a
+    * third member of the approximate family, and the first the oracle
+    * could hash (see [[eventsHllDistinct]] for the HLL analog): unlike
+    * GK quantiles, a KMV sketch is just the k smallest hash values — a
     * deterministic integer set, so the k-th minimum and the estimate
     * (k−1)·P div h_k (P = the fingerprint field 1e9+7, hashes
     * ~uniform on [0,P)) are bit-exact across engines. Reported beside
@@ -292,6 +294,108 @@ object EventQueries {
       .join(kth, Seq("event_type"), "left")
       .select(col("event_type"), col("n_hashes"), col("h_k"),
         expr("CAST(15000000105 div h_k AS BIGINT)").as("est_distinct"))
+  }
+
+  /** HyperLogLog distinct sketch per event type — in INTEGER form, so
+    * the oracle CAN hash it (completing the claim in
+    * [[eventsDailyActiveApprox]] that HLL is approximate "by nature":
+    * the ESTIMATOR is deterministic; only Spark's built-in sketch is
+    * opaque). Every HLL ingredient has an integer spelling both engines
+    * compute bit-identically: bucket = h mod 64; rho = leading-zeros+1
+    * of v = h div 64 in a 24-bit frame, i.e. 25 − length(bin(v)) (both
+    * engines print unpadded binary, so length(bin v) = ⌊log2 v⌋+1
+    * exactly); the harmonic denominator Z = Σ 2^−rmax is kept scaled by
+    * 2^25 — Σ shiftleft(1, 25−rmax) — which is a plain BIGINT sum; and
+    * the estimate α·m²/Z becomes one integer division by pre-scaling
+    * the constant: ⌊0.709·64²·2^25⌋ = 97444218012. Reported beside the
+    * exact distinct (the sketch-beside-truth calibration pattern), plus
+    * the standard small-range flag (raw est ≤ 2.5·m ⇒ a production
+    * reader switches to linear counting over empty_buckets — the ln()
+    * that decision needs is the one genuinely float step, so it stays
+    * OUT of the hashed surface). Scale: ONE corpus pass; the distinct
+    * (type, user) projection is the only data-sized exchange
+    * (map-side combined); everything after is ≤ |types|·64 rows, and
+    * the per-bucket MAX is the mergeable-sketch property itself —
+    * partial aggregation merges sub-sketches exactly like a 1000-node
+    * cluster would merge per-executor registers. */
+  def eventsHllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val M = 64     // registers (2^6)
+    val SCALE = 25 // rho ∈ [1, 25]: v = h div 64 < (1e9+7)/64 < 2^24
+    val dist = graft.core.QueryCaches.track(
+      events(spark, sfDir)
+        .select(col("event_type"), col("user_id")).distinct())
+    val h = dist.select(col("event_type"),
+      // salted fold, same rationale as [[eventsKmvDistinct]]: bare
+      // small-int ids never wrap the 1e9+7 field and break uniformity.
+      graft.ext.TextOps.fingerprint(
+        concat(lit("hll|"), col("user_id").cast("string"), lit("|graft"))).as("h"))
+    val regs = h
+      .select(col("event_type"), expr(s"h % $M").as("bucket"), expr(s"h div $M").as("v"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(when(col("v") === 0L, lit(SCALE))
+        .otherwise(lit(SCALE) - length(bin(col("v"))))).as("rmax"))
+    val z = regs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("used_buckets"),
+        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $SCALE - rmax)"))
+          + (lit(M) - count(lit(1))) * lit(1L << SCALE)).cast("bigint").as("z_scaled"))
+    val exact = dist.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    exact.join(broadcast(z), Seq("event_type"))
+      .select(col("event_type"), col("exact_distinct"), col("used_buckets"),
+        (lit(M) - col("used_buckets")).cast("bigint").as("empty_buckets"),
+        col("z_scaled"),
+        expr("CAST(97444218012 div z_scaled AS BIGINT)").as("est_distinct"),
+        expr("97444218012 div z_scaled <= 160").as("small_range"))
+  }
+
+  /** Interval join — the session-concurrency audit: for a panel of
+    * users (user_id ≡ 0 mod 10), how much foreign activity overlapped
+    * each of their sessions. Spark has no interval-join physical
+    * operator, so the naive spelling (`e.tus BETWEEN s.start AND
+    * s.end`) plans as a nested-loop join — O(|sessions|·|events|),
+    * dead at any scale. The scale pattern instead: DISCRETIZE time
+    * into fixed buckets (1 h here), explode each session interval into
+    * the buckets it covers, map each event to its single bucket,
+    * equi-join on the bucket, then apply the exact range predicate as
+    * a post-join filter. The bucket join is a plain shuffled hash
+    * join; an event matches a given session in exactly one bucket (its
+    * own), so no post-join dedup is needed — the classic correctness
+    * trap of bucketized range joins, avoided by construction because
+    * only ONE side explodes. Bucket width trades interval-side fanout
+    * (long sessions → more buckets) against per-bucket join density;
+    * at 100 TB set it near the p95 interval length, and salt the
+    * bucket key if one wall-clock hour is globally hot. Sessions with
+    * zero foreign overlap survive via the final left join (the inner
+    * bucket join would silently drop them). */
+  def eventsIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val HUS = 3600L * 1000 * 1000 // 1-hour buckets (µs basis, like tus)
+    val ev = graft.core.QueryCaches.track(
+      events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val sess = ev
+      .filter(col("user_id") % 10 === 0)
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") > GAP_NS / 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("tus")).as("s_start"), max(col("tus")).as("s_end"))
+    val sb = sess.withColumn("hb",
+      explode(sequence(expr(s"s_start div $HUS"), expr(s"s_end div $HUS"))))
+    val eb = ev.select(col("user_id").as("o_user"), col("event_id").as("o_event"),
+      col("tus"), expr(s"tus div $HUS").as("hb"))
+    val conc = sb.join(eb, Seq("hb"))
+      .filter(col("o_user") =!= col("user_id") &&
+        col("tus") >= col("s_start") && col("tus") <= col("s_end"))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_ev"), countDistinct(col("o_user")).as("n_us"))
+    sess.join(conc, Seq("user_id", "session_no"), "left")
+      .select(col("user_id"), col("session_no"), col("s_start"), col("s_end"),
+        coalesce(col("n_ev"), lit(0L)).as("n_concurrent_events"),
+        coalesce(col("n_us"), lit(0L)).as("n_concurrent_users"))
   }
 
   /** Robust daily-volume outliers — median absolute deviation instead
@@ -1097,6 +1201,8 @@ object EventQueries {
     "events_trend" -> (eventsTrend _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_kmv_distinct" -> (eventsKmvDistinct _),
+    "events_hll_distinct" -> (eventsHllDistinct _),
+    "events_interval_join" -> (eventsIntervalJoin _),
     "events_paths" -> (eventsPaths _),
     "events_attribution" -> (eventsAttribution _),
     "events_retention" -> (eventsRetention _),
@@ -1454,6 +1560,53 @@ object EventQueries {
         |SELECT event_type, n_hashes, h_k,
         |  CAST(15000000105 // h_k AS BIGINT) AS est_distinct
         |FROM e_t LEFT JOIN k_t USING (event_type)""".stripMargin,
+    "events_interval_join" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                    ORDER BY epoch_us(ts), event_id) AS prev
+        |           FROM events WHERE user_id % 10 = 0),
+        |s AS (SELECT user_id, tus, event_id,
+        |             CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |                  THEN 1 ELSE 0 END AS new_s FROM g),
+        |c AS (SELECT user_id, tus,
+        |             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM s),
+        |sess AS (SELECT user_id, session_no, MIN(tus) AS s_start, MAX(tus) AS s_end
+        |         FROM c GROUP BY 1, 2),
+        |j AS (SELECT sess.user_id, sess.session_no,
+        |             CAST(COUNT(*) AS BIGINT) AS n_ev,
+        |             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_us
+        |      FROM sess JOIN events e
+        |        ON epoch_us(e.ts) >= sess.s_start AND epoch_us(e.ts) <= sess.s_end
+        |       AND e.user_id <> sess.user_id
+        |      GROUP BY 1, 2)
+        |SELECT sess.user_id, sess.session_no, s_start, s_end,
+        |       COALESCE(n_ev, CAST(0 AS BIGINT)) AS n_concurrent_events,
+        |       COALESCE(n_us, CAST(0 AS BIGINT)) AS n_concurrent_users
+        |FROM sess LEFT JOIN j USING (user_id, session_no)""".stripMargin,
+    "events_hll_distinct" ->
+      """WITH h_t AS (SELECT DISTINCT event_type, user_id FROM events),
+        |hh AS (SELECT event_type,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('hll|' || CAST(user_id AS VARCHAR) || '|graft', ''),
+        |        ch -> CAST(unicode(ch) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM h_t),
+        |b AS (SELECT event_type, h % 64 AS bucket,
+        |        MAX(CASE WHEN h // 64 = 0 THEN 25
+        |                 ELSE 25 - length(bin(h // 64)) END) AS rmax
+        |      FROM hh GROUP BY 1, 2),
+        |z AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS used_buckets,
+        |        CAST(SUM(CAST(1 AS BIGINT) << CAST(25 - rmax AS INTEGER)) +
+        |             (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 25) AS BIGINT) AS z_scaled
+        |      FROM b GROUP BY 1),
+        |e AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+        |      FROM h_t GROUP BY 1)
+        |SELECT e.event_type, exact_distinct, used_buckets,
+        |  CAST(64 - used_buckets AS BIGINT) AS empty_buckets, z_scaled,
+        |  CAST(97444218012 // z_scaled AS BIGINT) AS est_distinct,
+        |  97444218012 // z_scaled <= 160 AS small_range
+        |FROM e JOIN z USING (event_type)""".stripMargin,
     "events_anomaly" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
         |               FROM events GROUP BY 1, 2),

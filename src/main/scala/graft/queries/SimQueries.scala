@@ -284,6 +284,34 @@ object SimQueries {
       .withColumn("accuracy", col("n_correct").cast("double") / col("n").cast("double"))
   }
 
+  /** BFS hop distances from the standard query panel (vec_id ≡ 0
+    * mod 100) over the symmetrized bucketed 5-NN graph — "how many
+    * neighbor hops separate every reachable vector from a curated seed
+    * set", the coverage-audit companion to [[simKnnClassify]] (labels)
+    * and sim_components (membership): distance tells you WHICH
+    * unreached data to curate next. Rides [[SimOps.bfsHops]] (frontier
+    * expansion, anti-join dedup, localCheckpoint per round — the
+    * Pregel shape); the edge set symmetrizes [[SimOps.knnGraph]]
+    * because k-NN is directed (a ∈ 5NN(b) ⇏ b ∈ 5NN(a)). The oracle
+    * spells the same reachability as a recursive CTE enumerating paths
+    * with hop < 4 and taking MIN(hop) per vertex — O(paths), fine at
+    * oracle scale, and exactly the cost the distributed frontier
+    * version avoids. Vectors outside 4 hops (or in seedless SRP
+    * buckets) are absent in BOTH engines — reachability is part of the
+    * hashed surface. */
+  def simBfsHops(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val knn = SimOps.knnGraph(
+      e.select(col("vec_id"), col("embedding")), k = 5, bits = 4)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val edges = knn.unionAll(
+      knn.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val seeds = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("id"))
+    SimOps.bfsHops(edges, seeds, maxHops = 4)
+      .select(col("id").as("vec_id"), col("hops"))
+  }
+
   /** Multi-probe SRP-LSH under the oracle gate: each query probes its
     * home bucket PLUS every 1-bit-flipped bucket
     * ([[SimOps.topkLshMultiProbe]]) — recall recovered from mis-signed
@@ -998,6 +1026,7 @@ object SimQueries {
     "sim_bucket_hist" -> (simBucketHist _),
     "sim_components" -> (simComponents _),
     "sim_semantic_dedup" -> (simSemanticDedup _),
+    "sim_bfs_hops" -> (simBfsHops _),
     "sim_kmeans" -> (simKmeans _),
     "curate_outliers" -> (curateOutliers _),
     "sim_lsh_probe" -> (simLshProbe _),
@@ -1433,6 +1462,22 @@ object SimQueries {
          |         ORDER BY cos DESC, nbr_id) AS BIGINT) AS rk, nbr_id, cos
          |FROM scored
          |QUALIFY rk <= 5""".stripMargin,
+    "sim_bfs_hops" ->
+      s"""WITH RECURSIVE b AS MATERIALIZED (SELECT vec_id, embedding,
+         |       ${srpSql("embedding", 4)} AS bucket FROM embeddings),
+         |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         |             ${cosSql("a.embedding", "b.embedding")} AS cos
+         |           FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |knn AS MATERIALIZED (SELECT vec_id, nbr_id FROM (
+         |        SELECT vec_id, nbr_id, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, nbr_id) AS rk FROM scored) WHERE rk <= 5),
+         |edges AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst FROM knn
+         |        UNION SELECT nbr_id, vec_id FROM knn),
+         |walk AS (SELECT vec_id AS id, 0 AS hop FROM embeddings WHERE vec_id % 100 = 0
+         |         UNION ALL
+         |         SELECT e.dst, w.hop + 1 FROM walk w JOIN edges e ON e.src = w.id
+         |         WHERE w.hop < 4)
+         |SELECT id AS vec_id, CAST(MIN(hop) AS BIGINT) AS hops FROM walk GROUP BY 1""".stripMargin,
     "sim_knn_classify" ->
       s"""WITH b AS MATERIALIZED (SELECT vec_id, embedding,
          |       ${srpSql("embedding", 4)} AS bucket FROM embeddings),

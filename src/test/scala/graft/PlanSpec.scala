@@ -1045,6 +1045,54 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("events_hll_distinct: one data-sized exchange; register join broadcasts; ts pruned") {
+    val p = plan("events_hll_distinct")
+    // the z/exact stitch joins a ≤|types|-row side — must broadcast,
+    // and nothing else may join at all
+    assert(nOps(p, "BroadcastHashJoin") >= 1, s"register join must broadcast:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") +
+      nOps(p, "BroadcastNestedLoopJoin") + nOps(p, "CartesianProduct") == 0,
+      s"only the tiny register/exact stitch may join:\n$p")
+    // the sketch never touches ts/value/props — column pruning must
+    // reach the scan whatever physical ts type the generator ships
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("event_type") && read.contains("user_id") &&
+      !read.contains("props") && !read.contains("value"),
+      s"scan must read only (event_type, user_id): $read")
+  }
+
+  test("events_interval_join: bucketized range join is an EQUI-join — never a nested loop") {
+    val p = plan("events_interval_join")
+    assert(nOps(p, "BroadcastNestedLoopJoin") == 0 && nOps(p, "CartesianProduct") == 0,
+      s"the range predicate must ride the bucket equi-join, not a BNLJ:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") +
+      nOps(p, "BroadcastHashJoin") >= 1, s"bucket join must be an equi-join:\n$p")
+    assert(p.contains("Generate"), s"interval side must explode into buckets:\n$p")
+  }
+
+  test("dedup_sorted_neighborhood: rank window pairing is an equi-join; no global Window") {
+    val p = plan("dedup_sorted_neighborhood")
+    assert(nOps(p, "BroadcastNestedLoopJoin") == 0 && nOps(p, "CartesianProduct") == 0,
+      s"rank-window pairing must be the exploded equi-join:\n$p")
+    // the global sort rides globalRank (range partition + zipWithIndex)
+    // — an empty-partition-spec Window here would serialize the corpus
+    assert(nOps(p, "Window") == 0, s"no window operator anywhere on this path:\n$p")
+    assert(p.contains("Generate"), s"successor ranks fan out via explode:\n$p")
+  }
+
+  test("sim_bfs_hops: iteration is STAGED (checkpointed rounds), not one inlined mega-plan") {
+    val p = plan("sim_bfs_hops")
+    // bfsHops localCheckpoints every round: the returned frame must be
+    // a scan of materialized blocks, not a 4-round join tree whose
+    // round r re-executes rounds 1..r-1
+    assert(p.contains("Scan ExistingRDD"), s"result must scan checkpointed rounds:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") +
+      nOps(p, "BroadcastHashJoin") + nOps(p, "BroadcastNestedLoopJoin") +
+      nOps(p, "CartesianProduct") == 0,
+      s"no join may survive into the returned plan:\n$p")
+    graft.core.QueryCaches.release()
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
