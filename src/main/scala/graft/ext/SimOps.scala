@@ -400,6 +400,57 @@ object SimOps {
     * typed Aggregator accumulating a primitive array per partition;
     * at pipeline-feature width (d ≤ 128) this plan wins on simplicity
     * and stays fully codegen'd. */
+  /** Greedy k-center (farthest-point / Gonzalez) selection — the
+    * diversity-sampling primitive of coreset curation: pick the vector
+    * farthest (here: least-max-cosine) from everything picked so far,
+    * k times. The 2-approximation guarantee of greedy k-center is what
+    * makes it the standard "cover the embedding space with k exemplars"
+    * op for training-data selection; the selection TRAJECTORY (rank,
+    * id, max-cos at pick time) is the output, because the mc column is
+    * the coverage radius curve — where it flattens is where more
+    * exemplars stop buying diversity.
+    *
+    * Scale shape, mirroring [[kmeans]]: each of the k−1 rounds is ONE
+    * distributed pass — chosen centers broadcast as a ≤k×dims literal
+    * relation, per-vector max-cos computed in-row, and the global
+    * argmin reduced via min_by over a (maxcos, vec_id) struct (total
+    * order, deterministic at any parallelism); the driver sync is a
+    * single row (id + maxcos + dims doubles) per round, exactly the
+    * bounded-scalar Lloyd sync. Seed = min vec_id (deterministic; a
+    * production caller seeds with a business-chosen exemplar). The
+    * oracle spells the identical greedy loop as a recursive CTE with a
+    * LATERAL argmin (NOTE: its cos relation must stay a PLAIN cte —
+    * DuckDB silently yields an empty recursion when the recursive term
+    * reads a MATERIALIZED one). */
+  def kcenterGreedy(corpus: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val e = graft.core.QueryCaches.track(
+      corpus.select(col("vec_id"), col("embedding")))
+    val seed = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].head()
+    var chosen = Vector[(Long, Seq[Double], Option[Double])]((seed._1, seed._2, None))
+    for (_ <- 2 to k) {
+      val cdf = chosen.map { case (id, v, _) => (id, v) }.toDF("c_id", "c_vec")
+      val ids = chosen.map(_._1)
+      val p = e.filter(!col("vec_id").isin(ids: _*))
+        .crossJoin(broadcast(cdf))
+        .select(col("vec_id"), col("embedding"),
+          cosine(col("embedding"), col("c_vec")).as("cc"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("cc")).as("maxcos"), first(col("embedding")).as("emb"))
+        .agg(min_by(struct(col("vec_id"), col("maxcos"), col("emb")),
+          struct(col("maxcos"), col("vec_id"))).as("p"))
+        .select(col("p.vec_id"), col("p.maxcos"),
+          transform(col("p.emb"), _.cast("double")).as("v"))
+        .as[(Long, Double, Seq[Double])].head()
+      chosen :+= ((p._1, p._3, Some(p._2)))
+    }
+    chosen.zipWithIndex.map { case ((id, _, mc), i) => (i + 1L, id, mc) }
+      .toDF("sel_rank", "vec_id", "maxcos")
+  }
+
   /** Multi-source BFS hop distances over an edge relation — frontier
     * expansion, the graph-suite primitive the components/label-prop/
     * k-core family still lacked (those converge on LABELS; this

@@ -643,7 +643,47 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.7)
   }
 
+  /** Bloom-filter dedup admission screen — the sketch that answers
+    * "might this batch doc already be in the corpus?" WITHOUT shipping
+    * the corpus fingerprint set to the batch (which is what
+    * [[dedupIncremental]]'s exact join does). The filter is m = 4096
+    * bits, k = 3 affine probes of the content fingerprint; spelled
+    * RELATIONALLY as the distinct set-bit positions (≤ 3·|corpus|,
+    * capped at 4096 rows — a bitmap in table form), so the whole
+    * filter BROADCASTS as a few KB however big the corpus is: the
+    * production shape is one bitmap per executor, and the FP rate
+    * (1−e^(−kn/m))^k is the declared price. Every step is integer
+    * arithmetic mod 1e9+7 then mod 4096 — hash-exact cross-engine like
+    * [[graft.queries.EventQueries.eventsHllDistinct]] — and the probe
+    * verdict sits beside the exact containment answer, so the green
+    * row pins the guarantee that matters: NO false negatives (every
+    * actual_dup has maybe_dup = true), false positives visible and
+    * counted. Batch plants both outcomes: +1e6 exact copies of every
+    * 3rd doc (dups) and +2e6 first-token-dropped texts (novel). */
+  def dedupBloomScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    val NB = 4096L
+    val P = 1000000007L
+    def pos(fp: org.apache.spark.sql.Column) = array(
+      (fp * 31 + 7) % P % NB, (fp * 37 + 11) % P % NB, (fp * 41 + 13) % P % NB)
+    val d = docs(spark, sfDir)
+    val corpusFp = graft.core.QueryCaches.track(
+      d.select(fingerprint(col("text")).as("fp")))
+    val filterBits = corpusFp.select(explode(pos(col("fp"))).as("pos")).distinct()
+    val batch = d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + SHIFT).as("doc_id"), col("text"))
+      .unionAll(d.select((col("doc_id") + 2 * SHIFT).as("doc_id"),
+        firstTokenDropped.as("text")))
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    batch.select(col("doc_id"), col("fp"), explode(pos(col("fp"))).as("pos"))
+      .join(broadcast(filterBits.withColumn("hit", lit(1L))), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("fp"))
+      .agg((count(col("hit")) === 3).as("maybe_dup"))
+      .join(broadcast(corpusFp.distinct().withColumn("indeed", lit(1L))), Seq("fp"), "left")
+      .select(col("doc_id"), col("maybe_dup"), col("indeed").isNotNull.as("actual_dup"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_bloom_screen" -> (dedupBloomScreen _),
     "dedup_sorted_neighborhood" -> (dedupSortedNeighborhood _),
     "dedup_entity_jw" -> (dedupEntityJw _),
     "dedup_winnow" -> (dedupWinnow _),
@@ -729,6 +769,24 @@ object DedupQueries {
       |    (a, b) -> a + b)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_bloom_screen" ->
+      s"""WITH cfp AS (SELECT ${fpFold("text")} AS fp FROM documents),
+         |f AS (SELECT DISTINCT pos FROM (
+         |    SELECT unnest([(fp*31+7) % 1000000007 % 4096,
+         |                   (fp*37+11) % 1000000007 % 4096,
+         |                   (fp*41+13) % 1000000007 % 4096]) AS pos FROM cfp)),
+         |batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |            WHERE doc_id % 3 = 0
+         |          UNION ALL
+         |          SELECT doc_id + 2000000, substr(text, strpos(text, ' ') + 1)
+         |            FROM documents),
+         |bfp AS (SELECT doc_id, ${fpFold("text")} AS fp FROM batch)
+         |SELECT doc_id,
+         |  (fp*31+7) % 1000000007 % 4096 IN (SELECT pos FROM f) AND
+         |  (fp*37+11) % 1000000007 % 4096 IN (SELECT pos FROM f) AND
+         |  (fp*41+13) % 1000000007 % 4096 IN (SELECT pos FROM f) AS maybe_dup,
+         |  fp IN (SELECT fp FROM cfp) AS actual_dup
+         |FROM bfp""".stripMargin,
     "dedup_sorted_neighborhood" ->
       s"""WITH corpus AS ($corpusNearSql),
          |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),

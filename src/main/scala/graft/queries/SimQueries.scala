@@ -312,6 +312,16 @@ object SimQueries {
       .select(col("id").as("vec_id"), col("hops"))
   }
 
+  /** Greedy k-center selection of 8 diversity exemplars over the
+    * embedding corpus — [[SimOps.kcenterGreedy]] under the oracle
+    * gate: the DuckDB recursive CTE replays the identical greedy
+    * trajectory (same seed, same (maxcos, vec_id) argmin tie-break),
+    * so all 8 (rank, id, coverage-radius) rows hash-match. The
+    * coreset-selection op for "pick k maximally-spread examples". */
+  def simKcenter(spark: SparkSession, sfDir: String): DataFrame =
+    SimOps.kcenterGreedy(
+      emb(spark, sfDir).select(col("vec_id"), col("embedding")), k = 8)
+
   /** Multi-probe SRP-LSH under the oracle gate: each query probes its
     * home bucket PLUS every 1-bit-flipped bucket
     * ([[SimOps.topkLshMultiProbe]]) — recall recovered from mis-signed
@@ -1027,6 +1037,7 @@ object SimQueries {
     "sim_components" -> (simComponents _),
     "sim_semantic_dedup" -> (simSemanticDedup _),
     "sim_bfs_hops" -> (simBfsHops _),
+    "sim_kcenter" -> (simKcenter _),
     "sim_kmeans" -> (simKmeans _),
     "curate_outliers" -> (curateOutliers _),
     "sim_lsh_probe" -> (simLshProbe _),
@@ -1462,6 +1473,26 @@ object SimQueries {
          |         ORDER BY cos DESC, nbr_id) AS BIGINT) AS rk, nbr_id, cos
          |FROM scored
          |QUALIFY rk <= 5""".stripMargin,
+    "sim_kcenter" ->
+      s"""WITH RECURSIVE cm AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j,
+         |         ${cosSql("a.embedding", "b.embedding")} AS c
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         |sel(r, chosen, vid, mc) AS (
+         |  SELECT 1, [(SELECT MIN(vec_id) FROM embeddings)],
+         |         (SELECT MIN(vec_id) FROM embeddings), CAST(NULL AS DOUBLE)
+         |  UNION ALL
+         |  SELECT r + 1, list_append(chosen, pick.j), pick.j, pick.mx
+         |  FROM sel, LATERAL (
+         |    SELECT j, mx FROM (
+         |      SELECT cm.j AS j, MAX(cm.c) AS mx
+         |      FROM cm WHERE list_contains(sel.chosen, cm.i)
+         |                AND NOT list_contains(sel.chosen, cm.j)
+         |      GROUP BY cm.j)
+         |    ORDER BY mx ASC, j ASC LIMIT 1) pick
+         |  WHERE sel.r < 8)
+         |SELECT CAST(r AS BIGINT) AS sel_rank, vid AS vec_id, mc AS maxcos
+         |FROM sel""".stripMargin,
     "sim_bfs_hops" ->
       s"""WITH RECURSIVE b AS MATERIALIZED (SELECT vec_id, embedding,
          |       ${srpSql("embedding", 4)} AS bucket FROM embeddings),

@@ -1093,6 +1093,32 @@ class PlanSpec extends AnyFunSuite {
     graft.core.QueryCaches.release()
   }
 
+  test("dedup_bloom_screen: the filter is BROADCAST-sized — both stitches broadcast, nothing shuffles a join") {
+    val p = plan("dedup_bloom_screen")
+    // set-bit positions (≤4096 rows) and the exact fp set both
+    // broadcast; a sort-merge join here would mean the 'bitmap' was
+    // shipped as a corpus-scaled relation
+    assert(nOps(p, "BroadcastHashJoin") == 2, s"filter + truth joins must broadcast:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") +
+      nOps(p, "BroadcastNestedLoopJoin") + nOps(p, "CartesianProduct") == 0, p)
+  }
+
+  test("sim_kcenter: greedy trajectory — coverage radius non-decreasing, seed first") {
+    // The returned frame is the k-row trajectory (the rounds already
+    // ran as bounded broadcast+argmin jobs); the invariant that makes
+    // it k-center is that each pick's max-cos to the chosen set is >=
+    // the previous pick's (greedy farthest-first => the space is
+    // covered at monotonically shrinking radius).
+    val rows = SparkEntry.queries("sim_kcenter")(spark, sf)
+      .orderBy(org.apache.spark.sql.functions.col("sel_rank")).collect()
+    assert(rows.length == 8)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("maxcos")), "seed row has no radius")
+    val mcs = rows.tail.map(_.getDouble(2))
+    assert(mcs.zip(mcs.tail).forall { case (a, b) => a <= b },
+      s"maxcos must be non-decreasing: ${mcs.toSeq}")
+    graft.core.QueryCaches.release()
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
