@@ -720,6 +720,49 @@ object GraftStream {
       }
   }
 
+  /** Streaming HyperLogLog fold — the unbounded twin of
+    * [[graft.queries.EventQueries.eventsHllDistinct]]'s integer-form
+    * sketch: per key, state is the 64 max-rho registers (rho =
+    * leading-zeros+1 of h div 64 in a 24-bit frame). Register max is
+    * MONOTONE and order-independent, so like [[kmvUpdates]]/
+    * [[cdcUpdates]] NO watermark is needed: any chunking of the input
+    * converges to the identical register array, and the LAST emission
+    * per key equals the batch sketch bit-exactly (same scaled-integer
+    * Z and ⌊α·m²·2²⁵ / Z⌋ estimate — StreamingSpec parity). Emits
+    * (key, z_scaled, est_distinct) only on triggers that changed a
+    * register; per-key state is a fixed 64-long array — bounded at any
+    * stream length, the mergeable-sketch property as keyed state. */
+  def hllUpdates(df: DataFrame, keyCol: String, hashCol: String)
+      : Dataset[(String, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val M = 64; val W = 24; val SCALE = 25
+    val keyed = df.select(col(keyCol).cast("string").as("k"),
+      col(hashCol).cast("long").as("h")).as[(String, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[Seq[Long]]) =>
+          val regs = state.getOption.getOrElse(Seq.fill(M)(0L)).toArray
+          var changed = false
+          rows.foreach { case (_, h) =>
+            val b = (h % M).toInt
+            val v = h / M
+            val rho =
+              if (v == 0L) (W + 1).toLong
+              else (W + 1).toLong - (64 - java.lang.Long.numberOfLeadingZeros(v))
+            if (rho > regs(b)) { regs(b) = rho; changed = true }
+          }
+          if (changed) {
+            state.update(regs.toSeq)
+            val z = regs.map(r =>
+              if (r == 0L) 1L << SCALE else 1L << (SCALE - r.toInt)).sum
+            Iterator.single((key, z, 97444218012L / z))
+          } else Iterator.empty
+      }
+  }
+
   /** Streaming CDC upsert fold — the unbounded feed of
     * [[graft.ext.MergeOps.cdcMerge]]'s changelog side: per key, state
     * holds the current last-writer-wins winner ((ord, tie) argmax over

@@ -922,6 +922,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty && got == batch, s"stream $got\nbatch $batch")
   }
 
+  test("streaming HLL sketch: final per-key (z_scaled, est) equals batch events_hll_distinct") {
+    // Same salted fingerprints as the batch query, fed in two chunks:
+    // the register-max fold is monotone, so the final emission per key
+    // must equal the batch integer-form sketch bit-exactly whatever
+    // the chunking — the streaming statement of sketch mergeability.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val hashed = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        graft.ext.TextOps.fingerprint(
+          concat(lit("hll|"), col("user_id").cast("string"), lit("|graft"))).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val in = MemoryStream[(String, Long)]
+    val df = in.toDF().toDF("etype", "h")
+    val rows = new ConcurrentLinkedQueue[(String, Long, Long)]()
+    val q = GraftStream.hllUpdates(df, "etype", "h")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    val (first, second) = hashed.splitAt(hashed.length / 2)
+    in.addData(first.toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(second.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // Z only shrinks as registers grow: the final word per key is the
+    // minimum z_scaled emitted.
+    val got = rows.toArray.map(_.asInstanceOf[(String, Long, Long)])
+      .groupBy(_._1).map { case (k, vs) =>
+        val f = vs.minBy(_._2); k -> (f._2, f._3)
+      }
+    val batch = queries.EventQueries.eventsHllDistinct(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(r.fieldIndex("z_scaled")), r.getLong(r.fieldIndex("est_distinct"))))
+      .toMap
+    graft.core.QueryCaches.release()
+    assert(batch.nonEmpty && got == batch, s"stream $got\nbatch $batch")
+  }
+
   test("streaming sliding WAU: coverage explode |> kmvUpdates equals the batch window sketch") {
     // Sliding-window distinct users with BOUNDED state, by COMPOSING
     // two existing operators: each (user, day) activity explodes to
