@@ -348,6 +348,44 @@ object EventQueries {
         expr("97444218012 div z_scaled <= 160").as("small_range"))
   }
 
+  /** Count-Min sketch frequency estimates — the fourth integer-form
+    * sketch beside KMV ([[eventsKmvDistinct]]), HLL
+    * ([[eventsHllDistinct]]) and the Bloom screen
+    * (graft.queries.DedupQueries.dedupBloomScreen), completing the
+    * sketch pillar: distinct-count, membership, and now POINT
+    * FREQUENCY. d = 3 salted fingerprint rows × w = 256 counters;
+    * est(u) = min over rows of the counter u hashes into, which
+    * upper-bounds the true count (collisions only ADD) — the green
+    * row pins est ≥ exact per key AND the exact overcount each
+    * collision contributes, all in integers both engines compute
+    * identically. Scale: the counter build is the one corpus pass
+    * (3× explode, then a (row, pos)-keyed map-side-combined count —
+    * counters are mergeable sums, so partial aggregation IS sketch
+    * merging; the streaming twin is [[graft.streaming.GraftStream
+    * .sumUpdates]] keyed on (row, pos)); the probe side joins the
+    * 768-row counter table BROADCAST against the distinct keys. At
+    * 100 TB the keys you probe are a curated watchlist, not the
+    * universe — here the 150-user universe doubles as the watchlist
+    * so the overcount distribution is fully visible. */
+  def eventsCmFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    val WIDTH = 256L
+    def rowFp(j: Int) = graft.ext.TextOps.fingerprint(
+      concat(lit(s"cm$j|"), col("user_id").cast("string"), lit("|graft"))) % WIDTH
+    val probes = explode(array((0 to 2).map(j =>
+      struct(lit(j.toLong).as("row"), rowFp(j).as("pos"))): _*)).as("p")
+    val ev = events(spark, sfDir).select(col("user_id"))
+    val counters = ev.select(probes).select(col("p.row"), col("p.pos"))
+      .groupBy(col("row"), col("pos")).agg(count(lit(1)).as("c"))
+    val exact = graft.core.QueryCaches.track(
+      ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n")))
+    exact.select(col("user_id"), probes).select(col("user_id"), col("p.row"), col("p.pos"))
+      .join(broadcast(counters), Seq("row", "pos"))
+      .groupBy(col("user_id")).agg(min(col("c")).as("est_n"))
+      .join(exact, Seq("user_id"))
+      .select(col("user_id"), col("exact_n"), col("est_n"),
+        (col("est_n") - col("exact_n")).as("overcount"))
+  }
+
   /** Interval join — the session-concurrency audit: for a panel of
     * users (user_id ≡ 0 mod 10), how much foreign activity overlapped
     * each of their sessions. Spark has no interval-join physical
@@ -1203,6 +1241,7 @@ object EventQueries {
     "events_kmv_distinct" -> (eventsKmvDistinct _),
     "events_hll_distinct" -> (eventsHllDistinct _),
     "events_interval_join" -> (eventsIntervalJoin _),
+    "events_cm_freq" -> (eventsCmFreq _),
     "events_paths" -> (eventsPaths _),
     "events_attribution" -> (eventsAttribution _),
     "events_retention" -> (eventsRetention _),
@@ -1560,6 +1599,24 @@ object EventQueries {
         |SELECT event_type, n_hashes, h_k,
         |  CAST(15000000105 // h_k AS BIGINT) AS est_distinct
         |FROM e_t LEFT JOIN k_t USING (event_type)""".stripMargin,
+    "events_cm_freq" ->
+      """WITH fp AS (SELECT user_id, j,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('cm' || CAST(j AS VARCHAR) || '|' ||
+        |          CAST(user_id AS VARCHAR) || '|graft', ''),
+        |        ch -> CAST(unicode(ch) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 256 AS pos
+        |  FROM (SELECT user_id FROM events) e, (SELECT unnest([0,1,2]) AS j)),
+        |counters AS (SELECT j, pos, CAST(COUNT(*) AS BIGINT) AS c
+        |             FROM fp GROUP BY 1, 2),
+        |exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+        |          FROM events GROUP BY 1),
+        |probe AS (SELECT DISTINCT user_id, j, pos FROM fp),
+        |est AS (SELECT p.user_id, MIN(c.c) AS est_n
+        |        FROM probe p JOIN counters c ON c.j = p.j AND c.pos = p.pos
+        |        GROUP BY 1)
+        |SELECT user_id, exact_n, est_n, est_n - exact_n AS overcount
+        |FROM exact JOIN est USING (user_id)""".stripMargin,
     "events_interval_join" ->
       """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
         |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id

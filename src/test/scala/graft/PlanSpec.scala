@@ -1119,6 +1119,16 @@ class PlanSpec extends AnyFunSuite {
     graft.core.QueryCaches.release()
   }
 
+  test("events_cm_freq: counter table broadcasts onto the probe; scan pruned to user_id") {
+    val p = plan("events_cm_freq")
+    assert(nOps(p, "BroadcastHashJoin") >= 1, s"768-row counter table must broadcast:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") +
+      nOps(p, "BroadcastNestedLoopJoin") + nOps(p, "CartesianProduct") == 0, p)
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("user_id") && !read.contains("event_type") &&
+      !read.contains("props"), s"sketch needs only user_id: $read")
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);

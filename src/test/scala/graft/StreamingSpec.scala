@@ -1141,6 +1141,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got\nbatch $batch")
   }
 
+  test("streaming Count-Min counters by composition: sumUpdates equals the batch sketch rows") {
+    // The CM counter table (events_cm_freq) is a (row, pos)-keyed sum,
+    // so the streaming sketch build IS the generic monotone-sum fold —
+    // no bespoke operator needed. Two shuffled chunks; the last
+    // emission per "j:pos" key must equal the batch counter exactly,
+    // which makes the streamed sketch give the same min-over-rows
+    // point estimates as the batch query.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val keyed = spark.read.parquet(s"$dir/events.parquet")
+      .select(explode(array((0 to 2).map(j =>
+        concat(lit(s"$j:"),
+          (graft.ext.TextOps.fingerprint(concat(lit(s"cm$j|"),
+            col("user_id").cast("string"), lit("|graft"))) % 256).cast("string"))): _*))
+        .as("k"))
+    val data = new scala.util.Random(7).shuffle(
+      keyed.collect().map(_.getString(0)).toSeq)
+    val in = MemoryStream[String]
+    val df = in.toDF().toDF("k").withColumn("one", lit(1L))
+    val rows = new ConcurrentLinkedQueue[(String, Long, Long)]()
+    val q = GraftStream.sumUpdates(df, "k", "one")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    data.grouped((data.length + 1) / 2).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(String, Long, Long)])
+      .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._3)._2 }
+    val batch = keyed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == batch, s"stream $got\nbatch $batch")
+  }
+
   test("streaming Space-Saving heavy hitters: bounded state honors the est/err/coverage guarantees") {
     // Corpus tokens in three shuffled chunks through capacity-16
     // tables in 8 hash groups. The Space-Saving contract vs the batch
