@@ -1049,7 +1049,54 @@ object Relational {
         sum(col("fp").cast(DecimalType(38, 0))).as("checksum"))
   }
 
+  /** Bitmap index intersection — the low-cardinality-column index
+    * structure as a relational op: per (value, 63-row bucket) one LONG
+    * mask (bit i set ⟺ the row with key ≡ i mod 63 in that bucket has
+    * the value), built with the bit_or aggregate; a conjunctive
+    * predicate (status = s AND priority = p) is then a bucket-keyed
+    * equi-join of the two masks, a bitwise AND, and a popcount sum —
+    * no row ever revisited. The green row proves the index EXACT: each
+    * (s, p) bitmap count is reported beside the direct groupBy count
+    * and they must be equal (bitmaps are not a sketch; the index is
+    * lossless). Scale shape: both mask builds are map-side-combined
+    * aggregates over one scan each (bit_or is commutative/associative
+    * — partial aggregation merges sub-bitmaps, the same mergeability
+    * argument as the sketches); the AND join is keyed on the bucket id
+    * with per-bucket fanout = |statuses| × |priorities| (≤ 15 here) —
+    * bitmap AND is bucket-local, which is exactly why warehouses use
+    * bitmap indexes for this query shape instead of row intersection.
+    * At 100 TB the masks relation is rows/63 longs per value — the
+    * 63× compression plus popcount is the win; roaring-style
+    * run-length containers are the production refinement. */
+  def qBitmapIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = graft.core.QueryCaches.track(
+      load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+        .withColumn("bucket", expr("o_orderkey div 63"))
+        // 63 rows per container, not 64: bit 63 is the sign bit, and
+        // DuckDB's checked left shift rejects 1::BIGINT << 63 — same
+        // compression story, one engine-portable bit narrower.
+        .withColumn("bit", expr("shiftleft(CAST(1 AS BIGINT), CAST(o_orderkey % 63 AS INT))")))
+    val ms = o.groupBy(col("o_orderstatus"), col("bucket"))
+      .agg(expr("bit_or(bit)").as("m_s"))
+    val mp = o.groupBy(col("o_orderpriority"), col("bucket"))
+      .agg(expr("bit_or(bit)").as("m_p"))
+    val viaIndex = ms.join(mp, Seq("bucket"))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(expr("bit_count(m_s & m_p)")).cast("bigint").as("n_bitmap"))
+    val direct = o.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_direct"))
+    // inner join: a (s, p) pair absent from `direct` has empty
+    // intersection in every bucket too — bit_count sums to 0 there, so
+    // restrict to pairs that exist (matching the oracle's join).
+    viaIndex.filter(col("n_bitmap") > 0)
+      .join(direct, Seq("o_orderstatus", "o_orderpriority"))
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("n_bitmap"), col("n_direct"), (col("n_bitmap") === col("n_direct")).as("exact"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bitmap_index" -> (qBitmapIndex _),
     "q_table_checksum" -> (qTableChecksum _),
     "q_analyze_stats" -> (qAnalyzeStats _),
     "q_k_generalize" -> (qKGeneralize _),
@@ -1099,6 +1146,20 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_bitmap_index" ->
+      """WITH o AS (SELECT o_orderkey // 63 AS bucket,
+        |    CAST(1 AS BIGINT) << CAST(o_orderkey % 63 AS INTEGER) AS bit,
+        |    o_orderstatus, o_orderpriority FROM orders),
+        |ms AS (SELECT o_orderstatus, bucket, bit_or(bit) AS m_s FROM o GROUP BY 1, 2),
+        |mp AS (SELECT o_orderpriority, bucket, bit_or(bit) AS m_p FROM o GROUP BY 1, 2),
+        |v AS (SELECT o_orderstatus, o_orderpriority,
+        |        CAST(SUM(bit_count(m_s & m_p)) AS BIGINT) AS n_bitmap
+        |      FROM ms JOIN mp USING (bucket) GROUP BY 1, 2),
+        |d AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_direct
+        |      FROM o GROUP BY 1, 2)
+        |SELECT o_orderstatus, o_orderpriority, n_bitmap, n_direct,
+        |       n_bitmap = n_direct AS exact
+        |FROM v JOIN d USING (o_orderstatus, o_orderpriority)""".stripMargin,
     "q_table_checksum" ->
       """SELECT c_custkey // 1000 AS bucket, COUNT(*) AS n_rows,
         |  SUM(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),

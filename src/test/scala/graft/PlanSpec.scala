@@ -1129,6 +1129,15 @@ class PlanSpec extends AnyFunSuite {
       !read.contains("props"), s"sketch needs only user_id: $read")
   }
 
+  test("q_bitmap_index: mask builds are map-side-combined aggregates; AND join keyed on bucket") {
+    val p = plan("q_bitmap_index")
+    assert(nOps(p, "BroadcastNestedLoopJoin") == 0 && nOps(p, "CartesianProduct") == 0, p)
+    // two mask builds + direct count: >= 3 partial/final HashAggregate
+    // pairs — bit_or partials merging IS distributed bitmap union
+    assert(nOps(p, "HashAggregate") >= 6, s"mask builds must partial-aggregate:\n$p")
+    graft.core.QueryCaches.release()
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
