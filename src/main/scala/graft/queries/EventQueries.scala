@@ -436,6 +436,34 @@ object EventQueries {
         coalesce(col("n_us"), lit(0L)).as("n_concurrent_users"))
   }
 
+  /** Sequence-pattern matching over per-user event histories —
+    * MATCH_RECOGNIZE-lite: each user's history collapses to an ordered
+    * initial string (view→v, click→c, purchase→p, signup→s, error→e;
+    * the five types have distinct initials), and row-pattern queries
+    * become plain regexes over it: 'vc*p' counts view→clicks→purchase
+    * funnel RUNS (the sequence-shape statement of [[eventsFunnel]],
+    * which counts users), 'ee+' counts error bursts. Both engines use
+    * non-overlapping greedy scans, so the counts are deterministic and
+    * hash-comparable. Plan: ONE user-keyed exchange (the collect_list
+    * groupBy); the ordering is an IN-ROW array_sort over (tus,
+    * event_id, ini) structs — no window, no secondary shuffle — then
+    * regexp_count runs inside the projection. Scale: per-user state is
+    * the user's own history string — fine for human-scale users; a
+    * 100 TB bot-guard caps per-user events upstream (the
+    * [[eventsSessions]] skew note), or windows the sequence per
+    * session before matching. */
+  def eventsPatternMatch(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"),
+        substring(col("event_type"), 1, 1).as("ini"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("tus"), col("event_id"), col("ini")))),
+        x => x("ini"))).as("seq"))
+      .select(col("user_id"), length(col("seq")).cast("bigint").as("n_events"),
+        expr("CAST(regexp_count(seq, 'vc*p') AS BIGINT)").as("n_funnel_runs"),
+        expr("CAST(regexp_count(seq, 'ee+') AS BIGINT)").as("n_error_bursts"))
+
   /** Robust daily-volume outliers — median absolute deviation instead
     * of [[eventsSpikes]]' trailing mean, because one genuine spike in
     * the trailing window masks the next one (the classic robustness
@@ -1242,6 +1270,7 @@ object EventQueries {
     "events_hll_distinct" -> (eventsHllDistinct _),
     "events_interval_join" -> (eventsIntervalJoin _),
     "events_cm_freq" -> (eventsCmFreq _),
+    "events_pattern_match" -> (eventsPatternMatch _),
     "events_paths" -> (eventsPaths _),
     "events_attribution" -> (eventsAttribution _),
     "events_retention" -> (eventsRetention _),
@@ -1599,6 +1628,15 @@ object EventQueries {
         |SELECT event_type, n_hashes, h_k,
         |  CAST(15000000105 // h_k AS BIGINT) AS est_distinct
         |FROM e_t LEFT JOIN k_t USING (event_type)""".stripMargin,
+    "events_pattern_match" ->
+      """WITH s AS (SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY epoch_us(ts), event_id) AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_funnel_runs,
+        |  CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT) AS n_error_bursts
+        |FROM s""".stripMargin,
     "events_cm_freq" ->
       """WITH fp AS (SELECT user_id, j,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),

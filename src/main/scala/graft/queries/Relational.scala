@@ -1095,7 +1095,44 @@ object Relational {
         col("n_bitmap"), col("n_direct"), (col("n_bitmap") === col("n_direct")).as("exact"))
   }
 
+  /** Right-to-erasure manifest — the deletion-propagation audit the
+    * governance pillar (q_k_anonymity, events_time_travel) was still
+    * missing: for a deletion batch (every 50th customer), enumerate
+    * the full cascade — the customer row, their orders, and those
+    * orders' lineitems — BEFORE any delete runs, so the erasure job
+    * has an auditable, idempotency-checkable work manifest (re-run
+    * after the delete, every count must be 0 except the absent
+    * customer row). Plan: the deletion batch is regulatory-request
+    * sized — small by NATURE, not by luck — so it broadcasts into
+    * orders, and the (custkey, orderkey) cascade relation (bounded by
+    * the batch's own order count) broadcasts into lineitem: the two
+    * fact tables are each scanned ONCE and never shuffled. Zero-
+    * activity customers stay in the manifest via left joins (an
+    * erasure request for a dormant account must still close). */
+  def qErasureManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val del = load(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 50 === 0).select(col("c_custkey"))
+    val ord = graft.core.QueryCaches.track(
+      load(spark, sfDir, "orders")
+        .join(broadcast(del), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey")))
+    val no = ord.groupBy(col("c_custkey")).agg(count(lit(1)).as("n_orders"))
+    val nl = load(spark, sfDir, "lineitem")
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_lineitems"))
+    // the per-customer rollups are deletion-batch-sized too: broadcast
+    // the stitches so the WHOLE manifest plans without one shuffle
+    del.join(broadcast(no), Seq("c_custkey"), "left")
+      .join(broadcast(nl), Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_lineitems"), lit(0L)).as("n_lineitems"),
+        (lit(1L) + coalesce(col("n_orders"), lit(0L)) +
+          coalesce(col("n_lineitems"), lit(0L))).as("n_rows_total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_erasure_manifest" -> (qErasureManifest _),
     "q_bitmap_index" -> (qBitmapIndex _),
     "q_table_checksum" -> (qTableChecksum _),
     "q_analyze_stats" -> (qAnalyzeStats _),
@@ -1146,6 +1183,21 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_erasure_manifest" ->
+      """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0),
+        |o AS (SELECT c_custkey, o_orderkey
+        |      FROM orders JOIN del ON o_custkey = c_custkey),
+        |no_t AS (SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |         FROM o GROUP BY 1),
+        |nl_t AS (SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_lineitems
+        |         FROM lineitem JOIN o ON l_orderkey = o_orderkey GROUP BY 1)
+        |SELECT del.c_custkey,
+        |  COALESCE(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+        |  COALESCE(n_lineitems, CAST(0 AS BIGINT)) AS n_lineitems,
+        |  1 + COALESCE(n_orders, CAST(0 AS BIGINT)) +
+        |    COALESCE(n_lineitems, CAST(0 AS BIGINT)) AS n_rows_total
+        |FROM del LEFT JOIN no_t USING (c_custkey)
+        |         LEFT JOIN nl_t USING (c_custkey)""".stripMargin,
     "q_bitmap_index" ->
       """WITH o AS (SELECT o_orderkey // 63 AS bucket,
         |    CAST(1 AS BIGINT) << CAST(o_orderkey % 63 AS INTEGER) AS bit,

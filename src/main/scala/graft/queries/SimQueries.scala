@@ -606,6 +606,41 @@ object SimQueries {
       .agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Per-vertex local clustering coefficient — triangles normalized by
+    * possible wedges, C(v) = 2·tri(v) / (deg(v)·(deg(v)−1)): the
+    * neighborhood-density metric that separates hub-spoke regions
+    * (C→0) from clique-like near-dup clusters (C→1) on the mutual-kNN
+    * graph, completing [[simTriangles]] (which reports the raw
+    * numerator). Exact integer numerator/denominator columns carry the
+    * value (one IEEE division for the reader-friendly double — same
+    * num/den discipline as events_trend's slope). Plan shape: the
+    * triangle join is the a<b<c ordered double equi-join (each
+    * triangle counted once), degrees are one exploded map-side count
+    * over the SAME persisted edge relation, and the final stitch is a
+    * vertex-keyed left join — deg≥2 filters the undefined
+    * denominator. At 100 TB the mutual-kNN degree is capped by k, so
+    * every relation here is O(N·k): clustering coefficients on a
+    * bounded-degree graph are linear work, the reason this metric is
+    * routinely computed corpus-wide. */
+  def simClusteringCoeff(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = graft.core.QueryCaches.track(mutualEdges(spark, sfDir))
+    val tri = m.as("ab").join(m.as("bc"), col("ab.v") === col("bc.u"))
+      .join(m.as("ac"),
+        col("ab.u") === col("ac.u") && col("bc.v") === col("ac.v"))
+      .select(col("ab.u").as("a"), col("ab.v").as("b"), col("bc.v").as("c"))
+    val ntri = tri.select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_tri"))
+    val deg = m.select(explode(array(col("u"), col("v"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(ntri, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        (coalesce(col("n_tri"), lit(0L)) * 2).as("cc_num"),
+        (col("deg") * (col("deg") - 1)).as("cc_den"))
+      .withColumn("coeff", col("cc_num").cast("double") / col("cc_den").cast("double"))
+  }
+
   /** Bounded-depth min-label propagation over the mutual-kNN graph:
     * labels start as vec_id and each of 3 rounds replaces a vertex's
     * label with the minimum over its closed neighborhood — after r
@@ -1038,6 +1073,7 @@ object SimQueries {
     "sim_semantic_dedup" -> (simSemanticDedup _),
     "sim_bfs_hops" -> (simBfsHops _),
     "sim_kcenter" -> (simKcenter _),
+    "sim_clustering_coeff" -> (simClusteringCoeff _),
     "sim_kmeans" -> (simKmeans _),
     "curate_outliers" -> (curateOutliers _),
     "sim_lsh_probe" -> (simLshProbe _),
@@ -1323,6 +1359,25 @@ object SimQueries {
          |            UNION ALL SELECT b FROM tri
          |            UNION ALL SELECT c FROM tri)
          |SELECT vec_id, COUNT(*) AS n_tri FROM corners GROUP BY vec_id""".stripMargin,
+    "sim_clustering_coeff" ->
+      s"""WITH $mutualSql,
+         |tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+         |        FROM m ab JOIN m bc ON ab.v = bc.u
+         |                  JOIN m ac ON ab.u = ac.u AND bc.v = ac.v),
+         |corners AS (SELECT a AS vec_id FROM tri
+         |            UNION ALL SELECT b FROM tri
+         |            UNION ALL SELECT c FROM tri),
+         |ntri AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+         |         FROM corners GROUP BY 1),
+         |deg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+         |        (SELECT u AS vec_id FROM m UNION ALL SELECT v FROM m)
+         |        GROUP BY 1)
+         |SELECT d.vec_id, deg, COALESCE(n_tri, CAST(0 AS BIGINT)) AS n_tri,
+         |  COALESCE(n_tri, CAST(0 AS BIGINT)) * 2 AS cc_num,
+         |  deg * (deg - 1) AS cc_den,
+         |  CAST(COALESCE(n_tri, 0) * 2 AS DOUBLE) / CAST(deg * (deg - 1) AS DOUBLE) AS coeff
+         |FROM deg d LEFT JOIN ntri USING (vec_id)
+         |WHERE deg >= 2""".stripMargin,
     "sim_rank_fusion" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 100 = 0),
          |s AS (SELECT q_id, vec_id, ${cosSql("embedding", "q_vec")} AS cos,

@@ -848,7 +848,53 @@ object TextQueries {
         row_number().over(w).cast("bigint").as("rnk"))
   }
 
+  /** RAKE keyword extraction (Rose et al.) — the unsupervised
+    * keyphrase op of the text pillar: candidate phrases are maximal
+    * stopword-free token runs, each word scores degree/frequency over
+    * the whole corpus (degree = Σ length of phrases containing the
+    * word, frequency = occurrences — co-occurring words in long
+    * phrases outrank ubiquitous singletons), and a phrase scores the
+    * sum of its words' scores. Run segmentation is RELATIONAL, not a
+    * per-doc lambda: posexplode, drop stopwords, then the classic
+    * gaps-and-islands run id (pos − row_number over the doc-keyed
+    * window — same idiom as dedup_substring's span islands; the window
+    * is per-document, so no global sort exists anywhere). The
+    * score-sum rides [[Tables.dsum]] (per-term IEEE division is
+    * engine-identical, the DECIMAL(38,6) fold makes the SUM
+    * order-independent) — so even the double scores hash-match.
+    * Scale: phrases ≤ tokens, word-stats is a vocab-sized map-side
+    * combined aggregate joined back onto DISTINCT phrases (not
+    * occurrences), and output is bounded by the n_occur ≥ 3 support
+    * floor. */
+  def textRake(spark: SparkSession, sfDir: String): DataFrame = {
+    val stops = Seq("the", "a", "data", "table")
+    val t = load(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = t.filter(!col("tok").isin(stops: _*))
+      .withColumn("g", col("pos") - row_number().over(w))
+    val phrases = graft.core.QueryCaches.track(
+      runs.groupBy(col("doc_id"), col("g"))
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok"))).as("phrase"),
+          count(lit(1)).as("n_words")))
+    val pw = phrases.select(col("n_words"), explode(split(col("phrase"), " ")).as("wd"))
+    val ws = pw.groupBy(col("wd"))
+      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+    val pd = phrases.groupBy(col("phrase"), col("n_words"))
+      .agg(count(lit(1)).as("n_occur"))
+    pd.select(col("phrase"), col("n_words"), col("n_occur"),
+        explode(split(col("phrase"), " ")).as("wd"))
+      .join(ws, "wd")
+      .groupBy(col("phrase"), col("n_words"), col("n_occur"))
+      .agg(dsum(col("deg").cast("double") / col("freq").cast("double")).as("score"))
+      .filter(col("n_words") >= 2 && col("n_occur") >= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake" -> (textRake _),
     "curate_data_card" -> (curateDataCard _),
     "text_bpe_merge_step" -> (textBpeMergeStep _),
     "curate_gopher" -> (curateGopher _),
@@ -910,6 +956,31 @@ object TextQueries {
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_rake" ->
+      s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |t AS (SELECT doc_id, unnest(tk) AS tok,
+         |             unnest(range(1, len(tk)+1)) AS pos FROM tk_t),
+         |ns AS (SELECT doc_id, tok, pos FROM t
+         |       WHERE tok NOT IN ('the', 'a', 'data', 'table')),
+         |r AS (SELECT doc_id, tok, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |      FROM ns),
+         |ph AS (SELECT doc_id, g, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         |         CAST(COUNT(*) AS BIGINT) AS n_words
+         |       FROM r GROUP BY 1, 2),
+         |pw AS (SELECT n_words, unnest(string_split(phrase, ' ')) AS wd FROM ph),
+         |ws AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS freq,
+         |         CAST(SUM(n_words) AS BIGINT) AS deg FROM pw GROUP BY 1),
+         |pd AS (SELECT phrase, n_words, CAST(COUNT(*) AS BIGINT) AS n_occur
+         |       FROM ph GROUP BY 1, 2),
+         |pdw AS (SELECT phrase, n_words, n_occur,
+         |          unnest(string_split(phrase, ' ')) AS wd FROM pd)
+         |SELECT phrase, n_words, n_occur,
+         |  CAST(SUM(CAST(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+         |    AS DECIMAL(38,6))) AS DOUBLE) AS score
+         |FROM pdw JOIN ws USING (wd)
+         |GROUP BY 1, 2, 3
+         |HAVING n_words >= 2 AND n_occur >= 3""".stripMargin,
     "curate_data_card" ->
       s"""WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS docs,
          |             CAST(SUM(len($toksSql)) AS BIGINT) AS toks

@@ -1138,6 +1138,41 @@ class PlanSpec extends AnyFunSuite {
     graft.core.QueryCaches.release()
   }
 
+  test("events_pattern_match: one user-keyed exchange; in-row sequence sort, no second shuffle") {
+    val p = plan("events_pattern_match")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "BroadcastHashJoin") +
+      nOps(p, "ShuffledHashJoin") + nOps(p, "BroadcastNestedLoopJoin") +
+      nOps(p, "CartesianProduct") == 0, s"no join anywhere on this path:\n$p")
+    // the ordering is array_sort inside the aggregate, not a Window —
+    // a window here would add a per-user sort exchange before the group
+    assert(nOps(p, "Window") == 0, p)
+    assert(nOps(p, "Exchange") <= 1, s"one user-keyed exchange only:\n$p")
+  }
+
+  test("q_erasure_manifest: both fact scans broadcast-joined against the request batch — zero fact shuffles") {
+    val p = plan("q_erasure_manifest")
+    assert(nOps(p, "BroadcastHashJoin") >= 4, s"batch, cascade AND stitches must broadcast:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") == 0,
+      s"nothing in an erasure manifest is big enough to shuffle-join:\n$p")
+    graft.core.QueryCaches.release()
+  }
+
+  test("sim_clustering_coeff: ordered triangle equi-joins, no BNLJ, shared edge relation") {
+    val p = plan("sim_clustering_coeff")
+    assert(nOps(p, "BroadcastNestedLoopJoin") == 0 && nOps(p, "CartesianProduct") == 0, p)
+    assert(p.contains("InMemoryTableScan"), s"degrees and triangles must share the persisted edges:\n$p")
+    graft.core.QueryCaches.release()
+  }
+
+  test("text_rake: doc-keyed islands window only; word stats joined onto DISTINCT phrases") {
+    val p = plan("text_rake")
+    assert(nOps(p, "BroadcastNestedLoopJoin") == 0 && nOps(p, "CartesianProduct") == 0, p)
+    // exactly one Window (the per-doc run id); a second would mean a
+    // global rank crept in
+    assert(nOps(p, "Window") == 1, s"one doc-keyed islands window:\n$p")
+    graft.core.QueryCaches.release()
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
