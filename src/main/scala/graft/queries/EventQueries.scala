@@ -399,8 +399,12 @@ object EventQueries {
     * join; an event matches a given session in exactly one bucket (its
     * own), so no post-join dedup is needed — the classic correctness
     * trap of bucketized range joins, avoided by construction because
-    * only ONE side explodes. Bucket width trades interval-side fanout
-    * (long sessions → more buckets) against per-bucket join density;
+    * only ONE side explodes. This manual spelling is also AUTOMATED as an
+    * opt-in optimizer rule: [[graft.plans.IntervalJoinRewrite]] gives
+    * any naive BETWEEN join this exact plan under
+    * `spark.graft.interval.rewrite`. Bucket width trades interval-side
+    * fanout (long sessions → more buckets) against per-bucket join
+    * density;
     * at 100 TB set it near the p95 interval length, and salt the
     * bucket key if one wall-clock hour is globally hot. Sessions with
     * zero foreign overlap survive via the final left join (the inner

@@ -138,5 +138,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "scala_udf"), b))
     }
     ext.injectOptimizerRule(_ => graft.plans.LshJoinRewrite())
+    ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite())
   }
 }

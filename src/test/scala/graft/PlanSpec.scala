@@ -274,6 +274,62 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IntervalJoinRewrite: BETWEEN containment join becomes a bucketized equi-join (opt-in, EXACT)") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.queries.Tables.loadEvents(spark, sf)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
+    val iv = ev.groupBy(col("user_id").as("iv_user"))
+      .agg(min(col("tus")).as("lo"), max(col("tus")).as("hi"))
+      .filter(col("iv_user") % 7 === 0)
+    val pts = ev.select(col("user_id").as("pt_user"), col("event_id"), col("tus"))
+    def joined = pts.join(iv,
+      col("tus") >= col("lo") && col("tus") <= col("hi") &&
+        col("pt_user") =!= col("iv_user"))
+      .groupBy(col("iv_user")).agg(count(lit(1)).as("n"))
+    val before = joined.queryExecution.executedPlan.toString
+    assert(before.contains("BroadcastNestedLoopJoin") || before.contains("CartesianProduct"),
+      s"the naive containment join must be a nested loop:\n$before")
+    val expected = joined.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    spark.experimental.extraOptimizations = Seq(graft.plans.IntervalJoinRewrite())
+    spark.conf.set("spark.graft.interval.rewrite", "true")
+    spark.conf.set("spark.graft.interval.bucket", "3600000000")
+    try {
+      val after = joined.queryExecution.executedPlan.toString
+      assert(!after.contains("BroadcastNestedLoopJoin") && !after.contains("CartesianProduct"),
+        s"rewrite must produce a bucket equi-join:\n$after")
+      assert(after.contains("Generate"), s"interval side must explode into buckets:\n$after")
+      // unlike the LSH rewrite this one is EXACT: same rows, any width
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == expected, s"rewrite changed results: got ${got.take(3)} vs ${expected.take(3)}")
+    } finally {
+      spark.conf.unset("spark.graft.interval.rewrite")
+      spark.conf.unset("spark.graft.interval.bucket")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("IntervalJoinRewrite: a join that already has a cross-side equi-key is left alone") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.queries.Tables.loadEvents(spark, sf)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
+    val iv = ev.groupBy(col("user_id").as("iv_user"))
+      .agg(min(col("tus")).as("lo"), max(col("tus")).as("hi"))
+    val pts = ev.select(col("user_id").as("pt_user"), col("tus"))
+    spark.experimental.extraOptimizations = Seq(graft.plans.IntervalJoinRewrite())
+    spark.conf.set("spark.graft.interval.rewrite", "true")
+    try {
+      val keyed = pts.join(iv,
+        col("pt_user") === col("iv_user") &&
+          col("tus") >= col("lo") && col("tus") <= col("hi"))
+        .queryExecution.executedPlan.toString
+      assert(!keyed.contains("Generate"),
+        s"an equi-keyed range join needs no bucketing — rule must skip:\n$keyed")
+    } finally {
+      spark.conf.unset("spark.graft.interval.rewrite")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("sampleFrames: pure column expressions — no ScalaUDF in the plan (codegen survives)") {
     // Round-4 finding: the index/slice UDFs broke whole-stage codegen on
     // a path that scans every blob. The plan must carry no UDF nodes.
