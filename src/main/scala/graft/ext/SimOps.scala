@@ -451,6 +451,82 @@ object SimOps {
       .toDF("sel_rank", "vec_id", "maxcos")
   }
 
+  /** Greedy best-first search over a neighbor graph — the query-time
+    * half of graph-based ANN (the HNSW/NSG layer-0 idiom, where
+    * [[knnGraph]] is the index-build half): from a fixed entry vertex,
+    * repeatedly hop to the neighbor most similar to the query, stop
+    * when no neighbor improves. All queries walk SIMULTANEOUSLY as one
+    * small state relation — each round is one (cur→neighbors) edge
+    * equi-join, one vec_id join against the persisted corpus for
+    * candidate vectors, and one per-query max_by argmax; the state is
+    * |queries| rows (localCheckpoint-truncated per round like
+    * [[bfsHops]]), so `maxSteps` rounds cost maxSteps bounded passes
+    * regardless of corpus size — the whole point of graph ANN: query
+    * cost scales with walk length × degree, not corpus size. Entry =
+    * the smallest vec_id ≠ the query's own (deterministic; production
+    * uses a hierarchy or medoid). Strict-improvement stopping; ties on
+    * cos break to the smaller id, so the trajectory is replayable —
+    * the oracle's recursive CTE walks the identical path. Walks can
+    * get stuck at local optima (greedy on a 5-NN graph): report beside
+    * the brute-force truth, so the hit rate is part of the hashed
+    * surface exactly like sim_recall_report. */
+  def graphSearchGreedy(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int,
+      maxSteps: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val sc = spark.sparkContext
+    val e = graft.core.QueryCaches.track(
+      corpus.select(col("vec_id"), col("embedding")))
+    val knn = knnGraph(e, k, bits).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val edges = graft.core.QueryCaches.track(
+      knn.unionAll(knn.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    val low2 = e.select(col("vec_id")).orderBy(col("vec_id")).limit(2)
+      .collect().map(_.getLong(0))
+    require(low2.length == 2, "graph search needs at least two vectors")
+    def checkpoint(df: DataFrame): (DataFrame, Option[Int]) = {
+      val out = df.localCheckpoint()
+      val id = out.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }
+      id.foreach(graft.core.QueryCaches.trackRddId(sc, _))
+      (out, id)
+    }
+    def drop(id: Option[Int]): Unit =
+      id.foreach(i => sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
+    val entry = queries.select(col("q_id"), col("q_vec"),
+      when(col("q_id") === low2(0), low2(1)).otherwise(low2(0)).as("cur"))
+    var (state, sId) = checkpoint(
+      entry.join(e.select(col("vec_id").as("cur"), col("embedding").as("cvec")), "cur")
+        .select(col("q_id"), col("q_vec"), col("cur"),
+          cosine(col("cvec"), col("q_vec")).as("cur_cos"),
+          lit(0L).as("steps"), lit(false).as("done")))
+    for (_ <- 1 to maxSteps) {
+      val live = state.filter(!col("done"))
+      val cand = live.join(edges, live("cur") === edges("src"))
+        .filter(col("dst") =!= col("q_id"))
+        .join(e.select(col("vec_id").as("dst"), col("embedding").as("dvec")), "dst")
+        .select(col("q_id"), col("dst"),
+          cosine(col("dvec"), col("q_vec")).as("c"))
+      val best = cand.groupBy(col("q_id"))
+        .agg(max_by(struct(col("dst"), col("c")),
+          struct(col("c"), (-col("dst")).as("nd"))).as("b"))
+      val (next, nId) = checkpoint(
+        state.join(best, Seq("q_id"), "left")
+          .select(col("q_id"), col("q_vec"),
+            when(!col("done") && col("b.c") > col("cur_cos"), col("b.dst"))
+              .otherwise(col("cur")).as("cur"),
+            when(!col("done") && col("b.c") > col("cur_cos"), col("b.c"))
+              .otherwise(col("cur_cos")).as("cur_cos"),
+            when(!col("done") && col("b.c") > col("cur_cos"), col("steps") + 1)
+              .otherwise(col("steps")).as("steps"),
+            (col("done") || col("b.c").isNull || col("b.c") <= col("cur_cos")).as("done")))
+      next.count() // materialize before dropping the previous round
+      drop(sId)
+      state = next; sId = nId
+    }
+    state.select(col("q_id"), col("cur").as("found_id"),
+      col("cur_cos").as("found_cos"), col("steps").as("n_steps"))
+  }
+
   /** Multi-source BFS hop distances over an edge relation — frontier
     * expansion, the graph-suite primitive the components/label-prop/
     * k-core family still lacked (those converge on LABELS; this

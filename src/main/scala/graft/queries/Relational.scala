@@ -1112,13 +1112,15 @@ object Relational {
   def qErasureManifest(spark: SparkSession, sfDir: String): DataFrame = {
     val del = load(spark, sfDir, "customer")
       .filter(col("c_custkey") % 50 === 0).select(col("c_custkey"))
-    val ord = graft.core.QueryCaches.track(
+    // cascade = the deletion batch's own orders — bounded by the
+    // request, NOT SF-scaled (the fact scans are probe sides only)
+    val cascade = graft.core.QueryCaches.track(
       load(spark, sfDir, "orders")
         .join(broadcast(del), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("o_orderkey")))
-    val no = ord.groupBy(col("c_custkey")).agg(count(lit(1)).as("n_orders"))
+    val no = cascade.groupBy(col("c_custkey")).agg(count(lit(1)).as("n_orders"))
     val nl = load(spark, sfDir, "lineitem")
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cascade), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_lineitems"))
     // the per-customer rollups are deletion-batch-sized too: broadcast
     // the stitches so the WHOLE manifest plans without one shuffle

@@ -322,6 +322,34 @@ object SimQueries {
     SimOps.kcenterGreedy(
       emb(spark, sfDir).select(col("vec_id"), col("embedding")), k = 8)
 
+  /** Greedy graph-ANN search under the oracle gate —
+    * [[SimOps.graphSearchGreedy]] (the HNSW layer-0 walk over the
+    * symmetrized 5-NN graph) for the standard query panel, reported
+    * beside the brute-force true nearest neighbor so the walk's local-
+    * optimum risk is hash-visible (found_cos ≤ true_cos always; hit
+    * says whether greedy reached the optimum). The oracle's recursive
+    * CTE replays each walk step-for-step — entry vertex, strict-
+    * improvement stop, (cos, id) tie-break — so even n_steps is part
+    * of the hashed surface. */
+  def simGraphSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = querySet(e)
+    val walked = SimOps.graphSearchGreedy(
+      e.select(col("vec_id"), col("embedding")), q, k = 5, bits = 4, maxSteps = 6)
+    val truth = e.select(col("vec_id"), col("embedding")).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        SimOps.cosine(col("embedding"), col("q_vec")).as("c"))
+      .groupBy(col("q_id"))
+      .agg(max_by(struct(col("vec_id"), col("c")),
+        struct(col("c"), (-col("vec_id")).as("nv"))).as("t"))
+      .select(col("q_id"), col("t.vec_id").as("true_id"), col("t.c").as("true_cos"))
+    walked.join(truth, "q_id")
+      .select(col("q_id"), col("found_id"), col("found_cos"), col("n_steps"),
+        col("true_id"), col("true_cos"),
+        (col("found_id") === col("true_id")).as("hit"))
+  }
+
   /** Multi-probe SRP-LSH under the oracle gate: each query probes its
     * home bucket PLUS every 1-bit-flipped bucket
     * ([[SimOps.topkLshMultiProbe]]) — recall recovered from mis-signed
@@ -1074,6 +1102,7 @@ object SimQueries {
     "sim_bfs_hops" -> (simBfsHops _),
     "sim_kcenter" -> (simKcenter _),
     "sim_clustering_coeff" -> (simClusteringCoeff _),
+    "sim_graph_search" -> (simGraphSearch _),
     "sim_kmeans" -> (simKmeans _),
     "curate_outliers" -> (curateOutliers _),
     "sim_lsh_probe" -> (simLshProbe _),
@@ -1528,6 +1557,47 @@ object SimQueries {
          |         ORDER BY cos DESC, nbr_id) AS BIGINT) AS rk, nbr_id, cos
          |FROM scored
          |QUALIFY rk <= 5""".stripMargin,
+    // NOTE: every CTE below stays PLAIN — the recursive walk reads
+    // edges (transitively knn/scored/b) through a LATERAL, and a
+    // MATERIALIZED cte on that path silently empties the recursion
+    // (the sim_kcenter quirk, which also bites transitively).
+    "sim_graph_search" ->
+      s"""WITH RECURSIVE b AS (SELECT vec_id, embedding,
+         |       ${srpSql("embedding", 4)} AS bucket FROM embeddings),
+         |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         |             ${cosSql("a.embedding", "b.embedding")} AS cos
+         |           FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |knn AS (SELECT vec_id, nbr_id FROM (
+         |        SELECT vec_id, nbr_id, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, nbr_id) AS rk FROM scored) WHERE rk <= 5),
+         |edges AS (SELECT vec_id AS src, nbr_id AS dst FROM knn
+         |        UNION SELECT nbr_id, vec_id FROM knn),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |      WHERE vec_id % 100 = 0),
+         |walk(q_id, cur, cur_cos, steps) AS (
+         |  SELECT q.q_id, e.vec_id, ${cosSql("e.embedding", "q.q_vec")}, CAST(0 AS BIGINT)
+         |  FROM q JOIN embeddings e
+         |    ON e.vec_id = (SELECT MIN(vec_id) FROM embeddings WHERE vec_id <> q.q_id)
+         |  UNION ALL
+         |  SELECT w.q_id, pick.dst, pick.c, w.steps + 1
+         |  FROM walk w, LATERAL (
+         |    SELECT ed.dst AS dst, ${cosSql("e2.embedding", "q2.q_vec")} AS c
+         |    FROM edges ed JOIN embeddings e2 ON e2.vec_id = ed.dst
+         |         JOIN q q2 ON q2.q_id = w.q_id
+         |    WHERE ed.src = w.cur AND ed.dst <> w.q_id
+         |    ORDER BY c DESC, ed.dst LIMIT 1) pick
+         |  WHERE w.steps < 6 AND pick.c > w.cur_cos),
+         |fin AS (SELECT q_id, cur AS found_id, cur_cos AS found_cos,
+         |          steps AS n_steps FROM walk
+         |        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY steps DESC) = 1),
+         |tr AS (SELECT q_id, vec_id AS true_id, c AS true_cos FROM (
+         |        SELECT q.q_id, e.vec_id, ${cosSql("e.embedding", "q.q_vec")} AS c,
+         |               row_number() OVER (PARTITION BY q.q_id
+         |                 ORDER BY ${cosSql("e.embedding", "q.q_vec")} DESC, e.vec_id) AS rk
+         |        FROM embeddings e, q WHERE e.vec_id <> q.q_id) WHERE rk = 1)
+         |SELECT fin.q_id, found_id, found_cos, n_steps, true_id, true_cos,
+         |       found_id = true_id AS hit
+         |FROM fin JOIN tr USING (q_id)""".stripMargin,
     "sim_kcenter" ->
       s"""WITH RECURSIVE cm AS (
          |  SELECT a.vec_id AS i, b.vec_id AS j,

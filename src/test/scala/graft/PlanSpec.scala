@@ -1229,6 +1229,20 @@ class PlanSpec extends AnyFunSuite {
     graft.core.QueryCaches.release()
   }
 
+  test("sim_graph_search: walk rounds are staged; final stitch joins the checkpointed state") {
+    val p = plan("sim_graph_search")
+    // the walk ran as bounded per-round jobs (localCheckpoint per
+    // round, like bfsHops); the returned plan must stitch a scan of
+    // checkpointed state to the brute-truth aggregate — never replay
+    // the rounds as one inlined join tree
+    assert(p.contains("Scan ExistingRDD"), s"walk state must be checkpointed:\n$p")
+    // exactly one BNLJ is DELIBERATE: brute-force truth crossJoins the
+    // broadcast bounded query panel (the sim_rank_fusion pattern) —
+    // any second one would mean the walk itself went quadratic
+    assert(nOps(p, "BroadcastNestedLoopJoin") <= 1, p)
+    graft.core.QueryCaches.release()
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
