@@ -1171,6 +1171,38 @@ object EventQueries {
         (col("f.err") / (col("n_days") - lit(1)).cast("double")).as("mae"))
   }
 
+  /** Holt's linear-trend double exponential smoothing — the trend-
+    * aware sibling of [[eventsSesForecast]] (SES assumes a level-only
+    * series, so it lags any drift; Holt carries a trend state and
+    * forecasts level+trend). Same engineering statement: the recurrence
+    * is an IN-ROW `aggregate` fold over the day-sorted per-type series
+    * — one groupBy builds each series, the fold runs inside the
+    * projection, zero extra exchanges — and α = β = 0.5 keeps every
+    * operation an exact IEEE halving/add, so the fold is
+    * bit-deterministic and the oracle's recursive-CTE replay of the
+    * identical recurrence (operand order matched term for term)
+    * hash-matches the one-step-ahead MAE. Init: l₂ = x₂, b₂ = x₂−x₁,
+    * errors accumulated from x₃ (n−2 forecasts). */
+  def eventsHoltForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = loadEvents(spark, sfDir)
+      .select(col("event_type").as("t"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("t"), col("day")).agg(count(lit(1)).as("c"))
+    d.groupBy(col("t"))
+      .agg(expr("transform(sort_array(collect_list(struct(day, c))), x -> x.c)").as("cs"))
+      .select(col("t"), size(col("cs")).cast("bigint").as("n_days"),
+        expr("""aggregate(slice(cs, 3, size(cs) - 2),
+          named_struct('l', CAST(cs[1] AS DOUBLE),
+                       'b', CAST(cs[1] - cs[0] AS DOUBLE),
+                       'err', CAST(0.0 AS DOUBLE)),
+          (a, x) -> named_struct(
+            'l', 0.5 * x + 0.5 * (a.l + a.b),
+            'b', 0.5 * ((0.5 * x + 0.5 * (a.l + a.b)) - a.l) + 0.5 * a.b,
+            'err', a.err + abs(x - (a.l + a.b))))""").as("f"))
+      .select(col("t"), col("n_days"), col("f.l").as("level"), col("f.b").as("trend"),
+        (col("f.l") + col("f.b")).as("forecast_next"),
+        (col("f.err") / (col("n_days") - lit(2)).cast("double")).as("mae"))
+  }
+
   def eventsSeasonalNaive(spark: SparkSession, sfDir: String): DataFrame = {
     val d = graft.core.QueryCaches.track(
       loadEvents(spark, sfDir)
@@ -1275,6 +1307,7 @@ object EventQueries {
     "events_interval_join" -> (eventsIntervalJoin _),
     "events_cm_freq" -> (eventsCmFreq _),
     "events_pattern_match" -> (eventsPatternMatch _),
+    "events_holt_forecast" -> (eventsHoltForecast _),
     "events_paths" -> (eventsPaths _),
     "events_attribution" -> (eventsAttribution _),
     "events_retention" -> (eventsRetention _),
@@ -1311,6 +1344,30 @@ object EventQueries {
         |SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS step1_users,
         |       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS step2_users,
         |       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS step3_users""".stripMargin,
+    "events_holt_forecast" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT t, CAST(row_number() OVER (PARTITION BY t ORDER BY day)
+        |          AS BIGINT) AS i, c FROM d),
+        |n AS (SELECT t, MAX(i) AS n_days FROM ser GROUP BY t),
+        |rec AS (
+        |  SELECT s2.t, CAST(2 AS BIGINT) AS i, CAST(s2.c AS DOUBLE) AS level,
+        |         CAST(s2.c - s1.c AS DOUBLE) AS trend, CAST(0 AS DOUBLE) AS err
+        |  FROM ser s1 JOIN ser s2 ON s1.t = s2.t AND s1.i = 1 AND s2.i = 2
+        |  UNION ALL
+        |  SELECT s.t, s.i,
+        |         CAST(0.5 AS DOUBLE) * s.c + CAST(0.5 AS DOUBLE) * (r.level + r.trend),
+        |         CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * s.c
+        |             + CAST(0.5 AS DOUBLE) * (r.level + r.trend)) - r.level)
+        |           + CAST(0.5 AS DOUBLE) * r.trend,
+        |         r.err + abs(s.c - (r.level + r.trend))
+        |  FROM rec r JOIN ser s ON s.t = r.t AND s.i = r.i + 1)
+        |SELECT r.t, n.n_days, r.level, r.trend,
+        |       r.level + r.trend AS forecast_next,
+        |       r.err / CAST(n.n_days - 2 AS DOUBLE) AS mae
+        |FROM rec r JOIN n ON r.t = n.t AND r.i = n.n_days""".stripMargin,
     "events_ses_forecast" ->
       """WITH RECURSIVE d AS (
         |  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.ext.{MultimodalOps, SimOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -198,6 +199,41 @@ object MultimodalQueries {
         (col("l1") * lit(2L) > col("frame_len")).as("is_cut"))
   }
 
+  /** Activity segmentation over the audio-shaped blob — the
+    * silence-detection op of the audio pillar (voice-activity
+    * detection's codec-free skeleton): frame the blob at 16 bytes,
+    * score each frame's "energy" as its letter-range byte count
+    * (space bytes are the silence analog), flag majority-active
+    * frames, and roll maximal active runs into segments via the
+    * relational gaps-and-islands id (fi − row_number over the
+    * doc-keyed window — text_rake's idiom on the byte side). Each
+    * frame's energy comes from the codegen'd
+    * [[MultimodalOps.byteHistCounts]] kernel (buckets 4–7 = bytes
+    * 64–127), so the blob is scanned once in-partition and only
+    * (doc, frame, letters) rows ever leave it — frames per blob is
+    * len/16, the segment rollup is frame-bounded, and nothing joins.
+    * The oracle re-slices the SAME boundaries from the text side
+    * (ASCII ⟺ byte equivalence, the mm_frames contract) and must
+    * reproduce every segment's start/length/energy exactly. */
+  def mmAudioSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val FL = 16
+    val frames = bin(spark, sfDir)
+      .withColumn("nf", greatest(lit(1), floor(length(col("content")) / lit(FL)).cast("int")))
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), col("nf") - 1),
+        i => aggregate(
+          slice(MultimodalOps.byteHistCounts(
+            col("content").substr(i * FL + lit(1), lit(FL)), 16), 5, 4),
+          lit(0L), (s, v) => s + v))))
+      .toDF("doc_id", "fi", "letters")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("fi"))
+    frames.filter(col("letters") * 2 > FL)
+      .withColumn("g", col("fi") - row_number().over(w))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("fi")).cast("bigint").as("seg_start"),
+        count(lit(1)).as("n_frames"), sum(col("letters")).as("n_letters"))
+      .select(col("doc_id"), col("seg_start"), col("n_frames"), col("n_letters"))
+  }
+
   /** The frame UDTF under the oracle gate — pure-SQL consumers slice a
     * media blob into per-frame rows with `LATERAL VIEW
     * graft_explode_frames(content, 8)` (a true Catalyst `Generator` —
@@ -218,6 +254,7 @@ object MultimodalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_segments" -> (mmAudioSegments _),
     "mm_frames_sql" -> (mmFramesSql _),
     "mm_scene_cuts" -> (mmSceneCuts _),
     "mm_audio_dupes" -> (mmAudioDupes _),
@@ -270,6 +307,25 @@ object MultimodalQueries {
        |  FROM p, (SELECT unnest([0, 1, 2, 3]) AS band))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "mm_audio_segments" ->
+      """WITH f0 AS (SELECT doc_id, text,
+        |             greatest(1, CAST(length(text) // 16 AS BIGINT)) AS nf
+        |           FROM documents),
+        |fr AS (SELECT doc_id, unnest(range(0, nf)) AS fi, text FROM f0),
+        |en AS (SELECT doc_id, fi,
+        |         CAST(len(list_filter(
+        |           list_transform(string_split(substr(text, CAST(fi * 16 + 1 AS BIGINT), 16), ''),
+        |             ch -> unicode(ch)),
+        |           b -> b >= 64 AND b < 128)) AS BIGINT) AS letters
+        |       FROM fr),
+        |act AS (SELECT doc_id, fi, letters FROM en WHERE letters * 2 > 16),
+        |r AS (SELECT doc_id, fi, letters,
+        |        fi - row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS g
+        |      FROM act)
+        |SELECT doc_id, CAST(MIN(fi) AS BIGINT) AS seg_start,
+        |       CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |       CAST(SUM(letters) AS BIGINT) AS n_letters
+        |FROM r GROUP BY doc_id, g""".stripMargin,
     "mm_frames_sql" ->
       """WITH c AS (SELECT doc_id, text, greatest(1, len(text) // 8) AS sz
         |           FROM documents)

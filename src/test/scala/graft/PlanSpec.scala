@@ -1243,6 +1243,23 @@ class PlanSpec extends AnyFunSuite {
     graft.core.QueryCaches.release()
   }
 
+  test("events_holt_forecast: series fold is in-row — no window, no join, two aggregations") {
+    val p = plan("events_holt_forecast")
+    assert(nOps(p, "Window") == 0, s"the recurrence runs inside the projection:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "BroadcastHashJoin") +
+      nOps(p, "ShuffledHashJoin") + nOps(p, "BroadcastNestedLoopJoin") +
+      nOps(p, "CartesianProduct") == 0, p)
+  }
+
+  test("mm_audio_segments: blob scanned once in-partition; only the doc-keyed islands window") {
+    val p = plan("mm_audio_segments")
+    assert(nOps(p, "Scan parquet") == 1, s"one documents scan:\n$p")
+    assert(nOps(p, "Window") == 1, s"exactly the per-doc run-id window:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "BroadcastHashJoin") +
+      nOps(p, "ShuffledHashJoin") + nOps(p, "BroadcastNestedLoopJoin") +
+      nOps(p, "CartesianProduct") == 0, s"nothing joins:\n$p")
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
