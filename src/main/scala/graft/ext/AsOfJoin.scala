@@ -103,4 +103,35 @@ object AsOfJoin {
         rightVals.map(c => when(fresh, col(c)).as(c)): _*)
     }
   }
+
+  /** The as-of join as a NATIVE operator — [[graft.plans.AsOfJoinPlan]]
+    * / [[graft.plans.AsOfJoinExec]]: co-partition on the key, sort by
+    * (key, ts), one O(1)-state streaming merge per partition (see the
+    * exec's scaladoc for why this beats [[asOfJoin]]'s union+window at
+    * scale: no carry-forward window ever materializes L+R rows).
+    * Left-outer ≤ semantics identical to [[asOfJoin]]; key and ts must
+    * be LONG columns, and right-side non-key columns should be
+    * pre-renamed to avoid clashes (output = left columns ++ right
+    * columns, right side nullable). Injects [[graft.plans
+    * .AsOfJoinStrategy]] into the session's extraStrategies on first
+    * use — safe to leave installed: the strategy matches ONLY the
+    * library's own plan node, so no other query's planning changes
+    * (unlike the opt-in rewrite RULES, which alter foreign joins and
+    * therefore restore their confs). */
+  def asOfNative(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"asOfNative: no column '$n'"))
+    org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lp, rp,
+        attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTs), attr(rp, rightTs)))
+  }
 }

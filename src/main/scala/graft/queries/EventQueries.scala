@@ -468,6 +468,35 @@ object EventQueries {
         expr("CAST(regexp_count(seq, 'vc*p') AS BIGINT)").as("n_funnel_runs"),
         expr("CAST(regexp_count(seq, 'ee+') AS BIGINT)").as("n_error_bursts"))
 
+  /** The NATIVE as-of join under the oracle gate — purchases matched
+    * to each user's latest at-or-before click through
+    * [[graft.ext.AsOfJoin.asOfNative]], i.e. the custom
+    * LogicalPlan → Strategy → AsOfJoinExec path (co-partition, sort,
+    * O(1)-state streaming merge — see the exec's scaladoc), NOT the
+    * union+window composition that [[eventsAttribution]] rides. The
+    * right side carries only (user, ts), so equal-ts click ties are
+    * value-identical and the match is deterministic; purchases with no
+    * prior click keep NULL click_tus/gap (left-outer ≤ semantics,
+    * spelled in the oracle as a correlated MAX). A green row here
+    * gates the whole custom-operator stack end to end: planning
+    * (strategy fires), distribution/ordering (EnsureRequirements
+    * inserts the exchanges+sorts), and the merge itself. */
+  def eventsAsofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.core.QueryCaches.track(
+      events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("tus")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event"), col("tus").as("p_tus"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tus").as("c_tus"))
+    graft.ext.AsOfJoin.asOfNative(purchases, clicks,
+        "user_id", "c_user", "p_tus", "c_tus")
+      .select(col("user_id"), col("p_event"), col("p_tus"),
+        col("c_tus").as("click_tus"),
+        (col("p_tus") - col("c_tus")).as("gap_us"))
+  }
+
   /** Robust daily-volume outliers — median absolute deviation instead
     * of [[eventsSpikes]]' trailing mean, because one genuine spike in
     * the trailing window masks the next one (the classic robustness
@@ -1308,6 +1337,7 @@ object EventQueries {
     "events_cm_freq" -> (eventsCmFreq _),
     "events_pattern_match" -> (eventsPatternMatch _),
     "events_holt_forecast" -> (eventsHoltForecast _),
+    "events_asof_native" -> (eventsAsofNative _),
     "events_paths" -> (eventsPaths _),
     "events_attribution" -> (eventsAttribution _),
     "events_retention" -> (eventsRetention _),
@@ -1344,6 +1374,19 @@ object EventQueries {
         |SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS step1_users,
         |       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS step2_users,
         |       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS step3_users""".stripMargin,
+    "events_asof_native" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |           FROM events),
+        |p AS (SELECT user_id, event_id AS p_event, tus AS p_tus FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, tus AS c_tus FROM e WHERE event_type = 'click'),
+        |m AS (SELECT p.user_id, p.p_event, p.p_tus,
+        |        (SELECT MAX(c.c_tus) FROM c
+        |         WHERE c.user_id = p.user_id AND c.c_tus <= p.p_tus) AS click_tus
+        |      FROM p)
+        |SELECT user_id, p_event, p_tus, click_tus,
+        |       p_tus - click_tus AS gap_us
+        |FROM m""".stripMargin,
     "events_holt_forecast" ->
       """WITH RECURSIVE d AS (
         |  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,

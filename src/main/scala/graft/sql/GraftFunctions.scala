@@ -139,5 +139,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => graft.plans.LshJoinRewrite())
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite())
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

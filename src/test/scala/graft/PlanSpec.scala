@@ -1260,6 +1260,42 @@ class PlanSpec extends AnyFunSuite {
       nOps(p, "CartesianProduct") == 0, s"nothing joins:\n$p")
   }
 
+  test("events_asof_native: the custom operator plans — AsOfJoin exec, no window, no generic join") {
+    val p = plan("events_asof_native")
+    assert(p.contains("AsOfJoin"), s"strategy must plan the native exec:\n$p")
+    assert(nOps(p, "Window") == 0, s"the whole point: no carry-forward window:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "BroadcastHashJoin") +
+      nOps(p, "ShuffledHashJoin") + nOps(p, "BroadcastNestedLoopJoin") +
+      nOps(p, "CartesianProduct") == 0, s"no generic join machinery:\n$p")
+    // EnsureRequirements gives each side its key exchange + (key, ts) sort
+    assert(nOps(p, "Exchange") == 2 && nOps(p, "Sort") == 2,
+      s"exactly the two distributions + orderings the exec declares:\n$p")
+    graft.core.QueryCaches.release()
+  }
+
+  test("AsOfJoinExec == union+window composition: identical matches on the events data") {
+    import org.apache.spark.sql.functions._
+    val e = graft.queries.Tables.loadEvents(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), expr("ts div 1000").as("tus"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event"), col("tus").as("p_tus"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tus").as("c_tus"))
+    val native = graft.ext.AsOfJoin.asOfNative(purchases, clicks,
+        "user_id", "c_user", "p_tus", "c_tus")
+      .select(col("user_id"), col("p_event"), col("p_tus"), col("c_tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sorted.toSeq
+    val composed = graft.ext.AsOfJoin.asOfJoin(
+        purchases, clicks.select(col("c_user").as("user_id"), col("c_tus")),
+        Seq("user_id"), "p_tus", "c_tus", "p_event", "c_tus")
+      .select(col("user_id"), col("p_event"), col("p_tus"), col("c_tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sorted.toSeq
+    assert(native.nonEmpty && native == composed,
+      s"native ${native.take(3)} vs composed ${composed.take(3)}")
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
