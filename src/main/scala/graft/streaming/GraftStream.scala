@@ -763,6 +763,51 @@ object GraftStream {
       }
   }
 
+  /** Streaming as-of enrichment — the unbounded twin of
+    * [[graft.ext.AsOfJoin]] (both implementations): a tagged union of
+    * reference rows (side 0: the right/build stream, e.g. quotes or
+    * feature snapshots) and probe rows (side 1: the left stream, e.g.
+    * trades or purchases) flows through per-key state holding ONLY the
+    * latest-so-far reference (ts, value) — the streaming statement of
+    * AsOfJoinExec's O(1) merge state. Each probe emits
+    * (key, probe_ts, ref_ts, ref_val) with the best reference whose
+    * ts ≤ probe_ts at PROCESSING time. Within one trigger, rows are
+    * folded in (ts, side) order, so reference rows at ts ≤ a probe in
+    * the same batch ARE visible to it (the ≤ contract), and a
+    * same-trigger feed sorted by event time reproduces the batch
+    * as-of exactly (StreamingSpec parity). Late REFERENCE rows that
+    * arrive in a later trigger than a probe they precede are the
+    * documented approximation — the batch operator is the repair path
+    * (the cdcUpdates → cdcMerge pattern); state never grows (one
+    * (Long, Long) per key), so no watermark/TTL is required. */
+  def asofUpdates(df: DataFrame, keyCol: String, tsCol: String,
+      sideCol: String, valCol: String): Dataset[(Long, Long, Long, Long, Boolean)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(keyCol).cast("long").as("k"),
+      col(tsCol).cast("long").as("ts"), col(sideCol).cast("int").as("side"),
+      col(valCol).cast("long").as("v")).as[(Long, Long, Int, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Int, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var ref = state.getOption // (refTs, refVal), None before any reference
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Boolean)]
+          // (ts, side) order: references at a probe's exact ts sort first
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, side, v) =>
+            if (side == 0) {
+              if (ref.forall(_._1 <= ts)) ref = Some((ts, v))
+            } else ref match {
+              case Some((rts, rv)) if rts <= ts => out += ((key, ts, rts, rv, true))
+              case _ => out += ((key, ts, 0L, 0L, false))
+            }
+          }
+          ref.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming CDC upsert fold — the unbounded feed of
     * [[graft.ext.MergeOps.cdcMerge]]'s changelog side: per key, state
     * holds the current last-writer-wins winner ((ord, tie) argmax over

@@ -1179,6 +1179,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got\nbatch $batch")
   }
 
+  test("streaming as-of enrichment: time-ordered feed reproduces batch asOfNative matches") {
+    // clicks (side 0, reference) + purchases (side 1, probe) fed in
+    // three TIME-CONTIGUOUS chunks: per-key state is the latest
+    // reference so far (AsOfJoinExec's O(1) merge state as keyed
+    // state), and with no cross-chunk lateness the match set must
+    // equal the native batch operator's exactly.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val e = normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+    val feed = e.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"),
+        col("tus"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"),
+        col("tus").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(r => (r._2, r._3))
+    val in = MemoryStream[(Long, Long, Int, Long)]
+    val df = in.toDF().toDF("k", "ts", "side", "v")
+    val rows = new ConcurrentLinkedQueue[(Long, Long, Long, Long, Boolean)]()
+    val q = GraftStream.asofUpdates(df, "k", "ts", "side", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Boolean)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    feed.grouped((feed.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(Long, Long, Long, Long, Boolean)])
+      .map(r => (r._1, r._2, if (r._5) r._3 else -1L)).sorted.toSeq
+    val batch = queries.EventQueries.eventsAsofNative(spark, dir)
+      .select(col("user_id"), col("p_tus"), col("click_tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    graft.core.QueryCaches.release()
+    assert(got.nonEmpty && got == batch,
+      s"stream ${got.take(3)}... vs batch ${batch.take(3)}...")
+  }
+
   test("streaming Space-Saving heavy hitters: bounded state honors the est/err/coverage guarantees") {
     // Corpus tokens in three shuffled chunks through capacity-16
     // tables in 8 hash groups. The Space-Saving contract vs the batch
