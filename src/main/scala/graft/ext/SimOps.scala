@@ -527,6 +527,76 @@ object SimOps {
       col("cur_cos").as("found_cos"), col("steps").as("n_steps"))
   }
 
+  /** Beam search over the neighbor graph — [[graphSearchGreedy]] with
+    * width > 1 (the ef-search knob of HNSW): state per query is the
+    * top-`width` frontier by cosine plus the visited set, each round
+    * expands EVERY beam member's neighbors, scores the unvisited ones,
+    * and re-ranks (beam ∪ candidates) down to `width`. Greedy gets
+    * stuck at the first local optimum; the beam keeps `width` escape
+    * routes, which is exactly the recall-vs-work dial production graph
+    * ANN exposes. Runs a FIXED `rounds` expansions (a drained frontier
+    * just re-emits the converged beam), so the trajectory is replayable
+    * — the oracle's recursive CTE carries the same (beam, visited)
+    * lists and must agree on the final ranking. Plan shape per round:
+    * beam⋈edges equi-join, anti-join against visited (≤ width·deg
+    * candidate rows per query), one corpus vec lookup, one per-query
+    * rank over ≤ width·(deg+1) rows — all relations are
+    * query-count-sized, localCheckpoint-truncated like the greedy
+    * walk. */
+  def beamSearch(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int,
+      width: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    val sc = spark.sparkContext
+    val e = graft.core.QueryCaches.track(
+      corpus.select(col("vec_id"), col("embedding")))
+    val knn = knnGraph(e, k, bits).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val edges = graft.core.QueryCaches.track(
+      knn.unionAll(knn.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    val q = graft.core.QueryCaches.track(queries.select(col("q_id"), col("q_vec")))
+    val low2 = e.select(col("vec_id")).orderBy(col("vec_id")).limit(2)
+      .collect().map(_.getLong(0))
+    require(low2.length == 2, "beam search needs at least two vectors")
+    def checkpoint(df: DataFrame): (DataFrame, Option[Int]) = {
+      val out = df.localCheckpoint()
+      val id = out.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }
+      id.foreach(graft.core.QueryCaches.trackRddId(sc, _))
+      (out, id)
+    }
+    def drop(id: Option[Int]): Unit =
+      id.foreach(i => sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
+    val entry = q.select(col("q_id"),
+      when(col("q_id") === low2(0), low2(1)).otherwise(low2(0)).as("id"))
+    var (beam, bId) = checkpoint(
+      entry.join(e.select(col("vec_id").as("id"), col("embedding").as("ivec")), "id")
+        .join(q, "q_id")
+        .select(col("q_id"), col("id"), cosine(col("ivec"), col("q_vec")).as("cos")))
+    var (visited, vId) = checkpoint(beam.select(col("q_id"), col("id")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
+    for (_ <- 1 to rounds) {
+      val cand = beam.join(edges, beam("id") === edges("src"))
+        .select(col("q_id"), col("dst").as("id")).distinct()
+        .join(visited, Seq("q_id", "id"), "left_anti")
+        .filter(col("id") =!= col("q_id"))
+      val scored = cand
+        .join(e.select(col("vec_id").as("id"), col("embedding").as("ivec")), "id")
+        .join(q, "q_id")
+        .select(col("q_id"), col("id"), cosine(col("ivec"), col("q_vec")).as("cos"))
+      val (nb, nbId) = checkpoint(
+        beam.unionAll(scored)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= width).drop("rk"))
+      val (nv, nvId) = checkpoint(visited.unionAll(cand.select(col("q_id"), col("id"))))
+      nb.count(); nv.count()
+      drop(bId); drop(vId)
+      beam = nb; bId = nbId
+      visited = nv; vId = nvId
+    }
+    beam
+  }
+
   /** Multi-source BFS hop distances over an edge relation — frontier
     * expansion, the graph-suite primitive the components/label-prop/
     * k-core family still lacked (those converge on LABELS; this

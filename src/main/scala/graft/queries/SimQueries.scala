@@ -350,6 +350,39 @@ object SimQueries {
         (col("found_id") === col("true_id")).as("hit"))
   }
 
+  /** Beam search under the oracle gate — [[SimOps.beamSearch]]
+    * (width 3, 4 rounds) beside the same brute-force truth as
+    * [[simGraphSearch]]: the ef-search dial made hash-visible. On this
+    * corpus greedy strands several queries at the entry vertex; the
+    * 3-wide beam escapes (hit/beam_hit flags under the hash), which is
+    * the exact recall-vs-work trade the width parameter buys. The
+    * oracle's recursive CTE carries the identical (beam, visited)
+    * list state and re-ranks with the same (cos desc, id) order. */
+  def simBeamSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = querySet(e)
+    val beam = SimOps.beamSearch(
+      e.select(col("vec_id"), col("embedding")), q, k = 5, bits = 4,
+      width = 3, rounds = 4)
+    val bAgg = beam.groupBy(col("q_id")).agg(
+      max_by(struct(col("id"), col("cos")),
+        struct(col("cos"), (-col("id")).as("ni"))).as("t1"),
+      collect_list(col("id")).as("beam_ids"))
+    val truth = e.select(col("vec_id"), col("embedding")).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        SimOps.cosine(col("embedding"), col("q_vec")).as("c"))
+      .groupBy(col("q_id"))
+      .agg(max_by(struct(col("vec_id"), col("c")),
+        struct(col("c"), (-col("vec_id")).as("nv"))).as("t"))
+      .select(col("q_id"), col("t.vec_id").as("true_id"), col("t.c").as("true_cos"))
+    bAgg.join(truth, "q_id")
+      .select(col("q_id"), col("t1.id").as("found_id"), col("t1.cos").as("found_cos"),
+        col("true_id"), col("true_cos"),
+        (col("t1.id") === col("true_id")).as("hit"),
+        array_contains(col("beam_ids"), col("true_id")).as("beam_hit"))
+  }
+
   /** Multi-probe SRP-LSH under the oracle gate: each query probes its
     * home bucket PLUS every 1-bit-flipped bucket
     * ([[SimOps.topkLshMultiProbe]]) — recall recovered from mis-signed
@@ -1103,6 +1136,7 @@ object SimQueries {
     "sim_kcenter" -> (simKcenter _),
     "sim_clustering_coeff" -> (simClusteringCoeff _),
     "sim_graph_search" -> (simGraphSearch _),
+    "sim_beam_search" -> (simBeamSearch _),
     "sim_kmeans" -> (simKmeans _),
     "curate_outliers" -> (curateOutliers _),
     "sim_lsh_probe" -> (simLshProbe _),
@@ -1598,6 +1632,56 @@ object SimQueries {
          |SELECT fin.q_id, found_id, found_cos, n_steps, true_id, true_cos,
          |       found_id = true_id AS hit
          |FROM fin JOIN tr USING (q_id)""".stripMargin,
+    "sim_beam_search" ->
+      s"""WITH RECURSIVE b AS (SELECT vec_id, embedding,
+         |       ${srpSql("embedding", 4)} AS bucket FROM embeddings),
+         |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         |             ${cosSql("a.embedding", "b.embedding")} AS cos
+         |           FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |knn AS (SELECT vec_id, nbr_id FROM (
+         |        SELECT vec_id, nbr_id, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, nbr_id) AS rk FROM scored) WHERE rk <= 5),
+         |edges AS (SELECT vec_id AS src, nbr_id AS dst FROM knn
+         |        UNION SELECT nbr_id, vec_id FROM knn),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |      WHERE vec_id % 100 = 0),
+         |rec(q_id, r, beam, visited) AS (
+         |  SELECT q.q_id, CAST(0 AS BIGINT),
+         |         [(SELECT MIN(vec_id) FROM embeddings WHERE vec_id <> q.q_id)],
+         |         [(SELECT MIN(vec_id) FROM embeddings WHERE vec_id <> q.q_id)]
+         |  FROM q
+         |  UNION ALL
+         |  SELECT rec.q_id, rec.r + 1, nb.newbeam,
+         |         list_distinct(list_concat(rec.visited, cd.cands))
+         |  FROM rec,
+         |  LATERAL (SELECT coalesce(list(DISTINCT ed.dst), []) AS cands
+         |           FROM edges ed
+         |           WHERE list_contains(rec.beam, ed.src)
+         |             AND NOT list_contains(rec.visited, ed.dst)
+         |             AND ed.dst <> rec.q_id) cd,
+         |  LATERAL (SELECT (list(s.id ORDER BY s.cs DESC, s.id))[1:3] AS newbeam
+         |           FROM (SELECT u.id AS id, ${cosSql("e3.embedding", "q2.q_vec")} AS cs
+         |                 FROM unnest(list_concat(rec.beam, cd.cands)) AS u(id),
+         |                      embeddings e3, q q2
+         |                 WHERE e3.vec_id = u.id AND q2.q_id = rec.q_id) s) nb
+         |  WHERE rec.r < 4),
+         |fin AS (SELECT q_id, beam FROM rec
+         |        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY r DESC) = 1),
+         |sc2 AS (SELECT f.q_id, u.id AS id, ${cosSql("e4.embedding", "q3.q_vec")} AS cs
+         |        FROM fin f, unnest(f.beam) AS u(id), embeddings e4, q q3
+         |        WHERE e4.vec_id = u.id AND q3.q_id = f.q_id),
+         |top1 AS (SELECT q_id, id AS found_id, cs AS found_cos FROM sc2
+         |         QUALIFY row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cs DESC, id) = 1),
+         |tr AS (SELECT q_id, vec_id AS true_id, c AS true_cos FROM (
+         |        SELECT q.q_id, e.vec_id, ${cosSql("e.embedding", "q.q_vec")} AS c,
+         |               row_number() OVER (PARTITION BY q.q_id
+         |                 ORDER BY ${cosSql("e.embedding", "q.q_vec")} DESC, e.vec_id) AS rk
+         |        FROM embeddings e, q WHERE e.vec_id <> q.q_id) WHERE rk = 1)
+         |SELECT t.q_id, found_id, found_cos, true_id, true_cos,
+         |       found_id = true_id AS hit,
+         |       list_contains(f.beam, true_id) AS beam_hit
+         |FROM top1 t JOIN tr USING (q_id) JOIN fin f USING (q_id)""".stripMargin,
     "sim_kcenter" ->
       s"""WITH RECURSIVE cm AS (
          |  SELECT a.vec_id AS i, b.vec_id AS j,
