@@ -39,6 +39,27 @@ object TextQueries {
       langId(tokens(col("text"))).as("pred_lang"))
   }
 
+  /** Language-ID confusion matrix — [[textLangId]]'s per-doc
+    * prediction rolled into the QA artifact a labeler actually reads:
+    * (labeled lang × predicted lang) cell counts with the per-label
+    * row total and diagonal flag, so recall per language and every
+    * systematic confusion are one green row away from the hash. The
+    * classifier-audit op for any heuristic tagger in the pipeline
+    * (here the marker-word lang-id). Plan: one scan with the scorer
+    * inline, one |langs|²-bounded map-side-combined aggregate, totals
+    * re-derived from the CELLS (|langs|² rows, not a second corpus
+    * pass) and broadcast back. */
+  def textLangidConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val cm = graft.core.QueryCaches.track(
+      load(spark, sfDir, "documents")
+        .select(col("lang"), langId(tokens(col("text"))).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n")))
+    val tot = cm.groupBy(col("lang")).agg(sum(col("n")).cast("bigint").as("lang_total"))
+    cm.join(broadcast(tot), "lang")
+      .select(col("lang"), col("pred_lang"), col("n"), col("lang_total"),
+        (col("lang") === col("pred_lang")).as("is_diagonal"))
+  }
+
   /** Corpus-wide token frequency, top 20 (count desc, token asc) —
     * the canonical map-side-combine wordcount: explode shuffles only
     * (token, partial count) pairs after partial aggregation. */
@@ -895,6 +916,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_rake" -> (textRake _),
+    "text_langid_confusion" -> (textLangidConfusion _),
     "curate_data_card" -> (curateDataCard _),
     "text_bpe_merge_step" -> (textBpeMergeStep _),
     "curate_gopher" -> (curateGopher _),
@@ -1374,6 +1396,20 @@ object TextQueries {
         |    list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents""".stripMargin,
+    "text_langid_confusion" ->
+      s"""WITH p AS (
+         |  SELECT lang, $langCase AS pred_lang
+         |  FROM (SELECT *,
+         |          GREATEST(${TextOps.langMarkers.map { case (l, _) => s"score_$l" }.mkString(", ")}) AS best
+         |        FROM (SELECT doc_id, lang,
+         |                ${TextOps.langMarkers.map { case (l, ws) => s"${markerSql(ws)} AS score_$l" }.mkString(", ")}
+         |              FROM documents))),
+         |cm AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM p GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_total
+         |        FROM cm GROUP BY 1)
+         |SELECT lang, pred_lang, n, lang_total, lang = pred_lang AS is_diagonal
+         |FROM cm JOIN tot USING (lang)""".stripMargin,
     "text_lang_id" ->
       s"""SELECT doc_id, lang, $langCase AS pred_lang
          |FROM (SELECT *,
