@@ -126,7 +126,19 @@ object AsOfJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     val lp = left.queryExecution.analyzed
-    val rp = right.queryExecution.analyzed
+    val rp0 = right.queryExecution.analyzed
+    // Self-join lineage guard: if the two analyzed children share any
+    // exprId (e.g. asOfNative(df, df, ...)), the output projection
+    // would bind every duplicated reference to the FIRST matching
+    // attribute — right columns silently reading left values. Re-alias
+    // the whole right side with fresh exprIds in that case.
+    val rp =
+      if (rp0.output.exists(a => lp.outputSet.contains(a)))
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          rp0.output.map(a =>
+            org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+          rp0)
+      else rp0
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"asOfNative: no column '$n'"))

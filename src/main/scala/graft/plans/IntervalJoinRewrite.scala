@@ -1,6 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Explode, Expression, GreaterThanOrEqual, IntegralDivide, LessThanOrEqual, Literal, PredicateHelper, Sequence}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Explode, Expression, GreaterThanOrEqual, If, IntegralDivide, LessThanOrEqual, Literal, PredicateHelper, Sequence}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.ArrayType
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -94,9 +96,16 @@ case class IntervalJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper 
             // Sequence is TimeZoneAwareExpression: it stays UNRESOLVED
             // without a zone even over LONGs, and an optimizer rule
             // runs after the analyzer's zone-filling pass — set it here
-            val ivSeq = Sequence(
-              IntegralDivide(lo, w), IntegralDivide(hi, w), Some(one),
-              Some(conf.sessionLocalTimeZone))
+            // Sequence with a positive step THROWS on start > stop, so a
+            // degenerate interval (hi < lo — empty under BETWEEN) must
+            // short-circuit to an empty bucket array, not fail the query
+            val emptyArr = Literal.create(
+              ArrayData.toArrayData(Array.empty[Long]), ArrayType(LongType, containsNull = false))
+            val ivSeq = If(LessThanOrEqual(lo, hi),
+              Sequence(
+                IntegralDivide(lo, w), IntegralDivide(hi, w), Some(one),
+                Some(conf.sessionLocalTimeZone)),
+              emptyArr)
             val (ptChild, ivChild) = if (pointOnLeft) (l, r) else (r, l)
             val ptSide = Project(ptChild.output :+ ptBucket, ptChild)
             // optimizer-time Generate: the analyzer's ResolveGenerate

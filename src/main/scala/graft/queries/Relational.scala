@@ -1046,7 +1046,11 @@ object Relational {
         graft.functions.HashExprs.fingerprint(row).as("fp"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("fp").cast(DecimalType(38, 0))).as("checksum"))
+        // decimal partials for exactness, BIGINT at the surface: each fp
+        // < 1e9+7, so the per-bucket sum fits int64 up to ~9e9 rows —
+        // and a raw DECIMAL(38,0) output column is the one type the
+        // cross-engine hash gate represents differently (r10 lesson).
+        sum(col("fp").cast(DecimalType(38, 0))).cast("bigint").as("checksum"))
   }
 
   /** Bitmap index intersection — the low-cardinality-column index
@@ -1216,11 +1220,11 @@ object Relational {
         |FROM v JOIN d USING (o_orderstatus, o_orderpriority)""".stripMargin,
     "q_table_checksum" ->
       """SELECT c_custkey // 1000 AS bucket, COUNT(*) AS n_rows,
-        |  SUM(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  CAST(SUM(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(string_split(concat_ws('|', c_custkey, c_name,
         |        c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)), c_mktsegment), ''),
         |      ch -> CAST(unicode(ch) AS BIGINT))),
-        |    (a, b) -> (a * 31 + b) % 1000000007) AS DECIMAL(38,0))) AS checksum
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS DECIMAL(38,0))) AS BIGINT) AS checksum
         |FROM customer GROUP BY 1""".stripMargin,
     "q_analyze_stats" ->
       """WITH v AS (SELECT o_totalprice AS x FROM orders),

@@ -140,9 +140,15 @@ private class StatsDataWriter(schema: StructType) extends DataWriter[InternalRow
           if (lo(i) == null || v < lo(i).asInstanceOf[Double]) lo(i) = v
           if (hi(i) == null || v > hi(i).asInstanceOf[Double]) hi(i) = v
         case StringType =>
-          val v = row.getUTF8String(i).toString
-          if (lo(i) == null || v < lo(i).asInstanceOf[String]) lo(i) = v
-          if (hi(i) == null || v > hi(i).asInstanceOf[String]) hi(i) = v
+          // compare as UTF8String (UTF-8 byte order) — Java String '<'
+          // is UTF-16 code-unit order, which disagrees for supplementary
+          // characters and would desync the zone map from engine min/max.
+          // clone(): getUTF8String may alias a reused row buffer.
+          val v = row.getUTF8String(i)
+          if (lo(i) == null || v.compareTo(lo(i).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]) < 0)
+            lo(i) = v.clone()
+          if (hi(i) == null || v.compareTo(hi(i).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]) > 0)
+            hi(i) = v.clone()
         case _ => () // other types: counted in `rows`, no zone entry
       }
       dt match {
@@ -164,8 +170,16 @@ private class StatsDataWriter(schema: StructType) extends DataWriter[InternalRow
       org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
   }
 
-  override def commit(): WriterCommitMessage =
-    StatsSink.TaskStats(rows, checksum, nulls.clone(), lo.clone(), hi.clone())
+  override def commit(): WriterCommitMessage = {
+    // UTF8String → String only here, at the task boundary; ordering
+    // decisions all happened in UTF-8 byte order above and happen again
+    // via UTF8String.fromString in the driver-side merge.
+    def surface(a: Array[Any]): Array[Any] = a.map {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case x => x
+    }
+    StatsSink.TaskStats(rows, checksum, nulls.clone(), surface(lo), surface(hi))
+  }
   override def abort(): Unit = ()
   override def close(): Unit = ()
 }
@@ -184,7 +198,11 @@ object StatsSink {
   private def lt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Long) => x < y
     case (x: Double, y: Double) => x < y
-    case (x: String, y: String) => x < y
+    case (x: String, y: String) =>
+      // driver-side merge must use the SAME UTF-8 byte order as the
+      // task-side fold, not Java's UTF-16 code-unit order
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
     case _ => false
   }
 

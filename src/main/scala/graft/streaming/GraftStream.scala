@@ -747,6 +747,13 @@ object GraftStream {
           val regs = state.getOption.getOrElse(Seq.fill(M)(0L)).toArray
           var changed = false
           rows.foreach { case (_, h) =>
+            // contract: h is a non-negative ≤30-bit fingerprint (the
+            // batch twin's is < 1e9+7 < 2^30). Enforce it — a negative
+            // h would index regs(-b) and a wider one breaks the rho
+            // frame; fail with the contract, not an AIOOBE mid-trigger.
+            require(h >= 0L && h < (1L << 30),
+              s"hllUpdates: hash column must be in [0, 2^30) — got $h " +
+                "(use a bounded fingerprint, e.g. the batch twin's (…)%1000000007)")
             val b = (h % M).toInt
             val v = h / M
             val rho =

@@ -1296,6 +1296,52 @@ class PlanSpec extends AnyFunSuite {
       s"native ${native.take(3)} vs composed ${composed.take(3)}")
   }
 
+  test("asOfNative: shared-lineage sides (duplicate exprIds) re-alias — right values stay right") {
+    // r10 advice: without the guard, a self-join lineage binds right
+    // references to the FIRST (left) attribute — right columns silently
+    // read left values. (k, v) keep their exprIds through the select;
+    // only ts2 gets a fresh one, so the overlap path is exercised.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 10L, 300L))
+      .toDF("k", "ts", "v")
+    val left = base.select(col("k"), (col("ts") + 15L).as("ts2"), col("v"))
+    val r = graft.ext.AsOfJoin.asOfNative(left, base, "k", "k", "ts2", "ts")
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getLong(4), row.getLong(5))).sorted.toSeq
+    // left (k=1, ts2=25, v=100) must match right (ts=20, v=200), NOT
+    // reflect its own v; (k=1, ts2=35) matches the same; (k=2, ts2=25)
+    // matches (ts=10, v=300).
+    assert(r == Seq((1L, 25L, 100L, 20L, 200L), (1L, 35L, 200L, 20L, 200L),
+      (2L, 25L, 300L, 10L, 300L)), s"got $r")
+  }
+
+  test("IntervalJoinRewrite: degenerate hi < lo intervals match nothing (not a Sequence crash)") {
+    // r10 advice: Sequence with a positive step THROWS on start > stop,
+    // turning BETWEEN's empty-match semantics into a runtime failure.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val iv = Seq((1L, 100L, 900L), (2L, 5000L, 4000L), (3L, 200L, 200L))
+      .toDF("iv_id", "lo", "hi") // iv 2 is reversed — empty under BETWEEN
+    val pts = Seq((10L, 150L), (11L, 4500L), (12L, 200L)).toDF("pt_id", "t")
+    spark.experimental.extraOptimizations = Seq(graft.plans.IntervalJoinRewrite())
+    spark.conf.set("spark.graft.interval.rewrite", "true")
+    spark.conf.set("spark.graft.interval.bucket", "100")
+    try {
+      val got = pts.join(iv, col("t") >= col("lo") && col("t") <= col("hi"))
+        .select(col("pt_id"), col("iv_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // pt 11 (t=4500) falls inside the REVERSED interval's span — it
+      // must NOT match (BETWEEN 5000 AND 4000 is empty), and the query
+      // must not throw planning its buckets.
+      assert(got == Seq((10L, 1L), (12L, 1L), (12L, 3L)), s"got $got")
+    } finally {
+      spark.conf.unset("spark.graft.interval.rewrite")
+      spark.conf.unset("spark.graft.interval.bucket")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("sim_beam_search: beam rounds staged; beam recall >= greedy recall on the same graph") {
     import org.apache.spark.sql.functions.col
     val beamRows = SparkEntry.queries("sim_beam_search")(spark, sf)

@@ -48,6 +48,21 @@ class StatsSinkSpec extends AnyFunSuite {
     assert(got.zones.forall(_.nulls == 0L))
   }
 
+  test("string zone map orders by UTF-8 bytes (Spark's order), not UTF-16 code units") {
+    // r10 advice: U+FF61 sorts BELOW U+10000 in UTF-8 byte order (Spark
+    // min/max) but ABOVE it in Java String '<' (its UTF-16 surrogate
+    // 0xD800 < 0xFF61). The sink's lo/hi must agree with the engine.
+    import spark.implicits._
+    StatsSink.stats.remove("t_utf8")
+    val df = Seq("｡", "𐀀", "m").toDF("s")
+    df.write.mode("append").format("graft-stats").option("name", "t_utf8").save()
+    val z = StatsSink.stats("t_utf8").zones.find(_.name == "s").get
+    val mm = df.agg(min(col("s")), max(col("s"))).head()
+    assert(z.lo == mm.getString(0) && z.hi == mm.getString(1),
+      s"zone (${z.lo}, ${z.hi}) vs engine (${mm.getString(0)}, ${mm.getString(1)})")
+    assert(z.hi == "𐀀", "U+10000 is the UTF-8 max of the three")
+  }
+
   test("commit merge is layout-independent: 7-partition and 3-partition writes agree") {
     StatsSink.stats.remove("t_a"); StatsSink.stats.remove("t_b")
     customer.repartition(7).write.mode("append").format("graft-stats").option("name", "t_a").save()

@@ -963,6 +963,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty && got == batch, s"stream $got\nbatch $batch")
   }
 
+  test("streaming HLL sketch: an out-of-frame hash fails the contract, not an array index") {
+    // r10 advice: a negative caller hash used to crash regs(-b) with
+    // ArrayIndexOutOfBoundsException mid-trigger; the fold now states
+    // its [0, 2^30) fingerprint contract up front.
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = GraftStream.hllUpdates(in.toDF().toDF("etype", "h"), "etype", "h")
+      .writeStream.outputMode("append").format("noop").start()
+    in.addData(("a", -1L))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("hllUpdates: hash column must be in [0, 2^30)")),
+      s"want the contract message in the cause chain, got: $ex")
+    assert(!causes(ex).exists(_.isInstanceOf[ArrayIndexOutOfBoundsException]))
+  }
+
   test("streaming sliding WAU: coverage explode |> kmvUpdates equals the batch window sketch") {
     // Sliding-window distinct users with BOUNDED state, by COMPOSING
     // two existing operators: each (user, day) activity explodes to
