@@ -563,6 +563,93 @@ object EventQueries {
         (col("n_days") * col("sxy") - col("sx") * col("sum_count") > 0).as("rising"))
   }
 
+  /** Autocorrelation of the daily event-count series, lags 1..7 — the
+    * seasonality detector beside [[eventsTrend]]'s direction test (a
+    * weekly cycle shows as a lag-7 peak). Exactness: the series is the
+    * GAPFILLED integer daily count (missing days count 0 — dropping
+    * them would silently shift every lag alignment), and the Pearson
+    * ingredients are plain BIGINT sums; the correlation itself needs a
+    * square root, so what crosses the hash gate is r² in milli units
+    * with the sign carried separately: sign(num)·⌊1000·num² /
+    * (denx·deny)⌋ — squares as DECIMAL(38,0) (num is ~n·Σxy, int64
+    * death at warehouse scale), one integral division whose quotient is
+    * ≤1000 by Cauchy-Schwarz, truncation-consistent across engines
+    * (Spark `div` vs DuckDB HUGEINT `//`, both toward zero; the
+    * numerator is a square, so flooring never disagrees anyway). Scale:
+    * the corpus collapses to one row per DAY in the first aggregate;
+    * the spine explode, 7-lag fanout, and self-join are all
+    * days-sized — at 100 TB this is a 36,500-row tail on a one-pass
+    * map-side-combined count. */
+  def eventsAcf(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = events(spark, sfDir)
+      .groupBy(expr("CAST(datediff(CAST(timestamp_micros(ts div 1000) AS DATE), " +
+        "DATE '1970-01-01') AS BIGINT)").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val spine = bounds.select(explode(expr("sequence(lo, hi)")).as("d"))
+      .join(daily, Seq("d"), "left")
+      .select(col("d"), coalesce(col("n"), lit(0L)).as("x"))
+    val sp = graft.core.QueryCaches.track(spine)
+    val lags = spark.range(1, 8).select(col("id").as("lag"))
+    val pairs = sp.crossJoin(lags)
+      .select(col("lag"), col("d"), col("x"), (col("d") + col("lag")).as("d2"))
+      .join(sp.select(col("d").as("d2"), col("x").as("y")), Seq("d2"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n_pairs") * col("sxx") - col("sx") * col("sx")).as("denx"),
+        (col("n_pairs") * col("syy") - col("sy") * col("sy")).as("deny"))
+      .select(col("lag"), col("n_pairs"), col("num"), col("denx"), col("deny"),
+        when(col("denx") === 0L || col("deny") === 0L, lit(null).cast("bigint"))
+          .otherwise(signum(col("num")).cast("bigint") *
+            expr("CAST((CAST(1000 AS DECIMAL(38,0)) * CAST(num AS DECIMAL(38,0)) * CAST(num AS DECIMAL(38,0))) div " +
+              "(CAST(denx AS DECIMAL(38,0)) * CAST(deny AS DECIMAL(38,0))) AS BIGINT)"))
+          .as("r2_milli_signed"))
+  }
+
+  /** A/B conversion test — the experimentation readout the event pillar
+    * was missing: users split into two arms by id parity (deterministic,
+    * content-keyed — the same no-RNG stance as curate_pps_sample),
+    * converted = reached at least one `purchase`. The 2×2 χ² statistic
+    * has an all-integer spelling — χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)
+    * (b+d)) — emitted in micro units via one integral division with
+    * DECIMAL(38,0) partials ((ad−bc)² alone kills int64 past ~10⁵ users
+    * per arm); the quotient is χ²·10⁶ ≤ 10⁶·N, in-range until ~10¹²
+    * users. Per-arm conversion rates ride the same pattern (milli
+    * units, non-negative, so engine div agreement is trivial). Scale:
+    * one pass to per-user (arm, converted) — map-side combined,
+    * users-sized — then a single 4-cell fold; nothing after the first
+    * aggregate exceeds one row. */
+  def eventsAbtest(spark: SparkSession, sfDir: String): DataFrame = {
+    // "reached a purchase" is ~universal in this corpus, which would
+    // zero a χ² margin — convert on heavy purchasing (≥14, the global
+    // median) so both margins stay populated at every SF.
+    val u = events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .select((col("user_id") % 2).as("arm"),
+        when(col("np") >= 14L, 1L).otherwise(0L).as("conv"))
+    u.agg(
+        sum(when(col("arm") === 0L && col("conv") === 1L, 1L).otherwise(0L)).as("a"),
+        sum(when(col("arm") === 0L && col("conv") === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(col("arm") === 1L && col("conv") === 1L, 1L).otherwise(0L)).as("c"),
+        sum(when(col("arm") === 1L && col("conv") === 0L, 1L).otherwise(0L)).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        expr("CAST((1000 * a) div (a + b) AS BIGINT)").as("conv_a_milli"),
+        expr("CAST((1000 * c) div (c + d) AS BIGINT)").as("conv_b_milli"),
+        expr("CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN NULL ELSE " +
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * (a + b + c + d) * " +
+          "(CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c) * " +
+          "(CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)) div " +
+          "(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)) AS BIGINT) END")
+          .as("chi2_micro"))
+  }
+
   /** Weekly cohort retention matrix — the acquisition dashboard beside
     * [[eventsRetention]]'s D1 view: users bucketed by their FIRST
     * active week (epoch-week numbering — engine-neutral, no locale
@@ -1330,6 +1417,8 @@ object EventQueries {
     "events_cohorts" -> (eventsCohorts _),
     "events_spikes" -> (eventsSpikes _),
     "events_trend" -> (eventsTrend _),
+    "events_acf" -> (eventsAcf _),
+    "events_abtest" -> (eventsAbtest _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_kmv_distinct" -> (eventsKmvDistinct _),
     "events_hll_distinct" -> (eventsHllDistinct _),
@@ -1348,6 +1437,59 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_acf" ->
+      """WITH daily AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |                      CAST(COUNT(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1),
+        |b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+        |days AS (SELECT CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS d FROM b),
+        |spine AS (SELECT days.d, COALESCE(daily.n, 0) AS x
+        |          FROM days LEFT JOIN daily ON daily.d = days.d),
+        |lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+        |p AS (SELECT l.lag, s1.x AS x, s2.x AS y
+        |      FROM lags l
+        |      JOIN spine s1 ON TRUE
+        |      JOIN spine s2 ON s2.d = s1.d + l.lag),
+        |agg AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |          CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |          CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |          CAST(SUM(y * y) AS BIGINT) AS syy
+        |        FROM p GROUP BY 1),
+        |ing AS (SELECT lag, n_pairs,
+        |          n_pairs * sxy - sx * sy AS num,
+        |          n_pairs * sxx - sx * sx AS denx,
+        |          n_pairs * syy - sy * sy AS deny
+        |        FROM agg)
+        |SELECT lag, n_pairs, num, denx, deny,
+        |  CASE WHEN denx = 0 OR deny = 0 THEN NULL
+        |       ELSE CAST(sign(num) AS BIGINT) *
+        |         CAST(CAST(1000 AS HUGEINT) * CAST(num AS HUGEINT) * CAST(num AS HUGEINT) //
+        |           (CAST(denx AS HUGEINT) * CAST(deny AS HUGEINT)) AS BIGINT)
+        |  END AS r2_milli_signed
+        |FROM ing""".stripMargin,
+    "events_abtest" ->
+      """WITH np AS (SELECT user_id,
+        |              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+        |            FROM events GROUP BY user_id),
+        |u AS (SELECT user_id % 2 AS arm,
+        |        CASE WHEN np >= 14 THEN 1 ELSE 0 END AS conv FROM np),
+        |cells AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM u)
+        |SELECT a, b, c, d,
+        |  (1000 * a) // (a + b) AS conv_a_milli,
+        |  (1000 * c) // (c + d) AS conv_b_milli,
+        |  CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN NULL ELSE
+        |    CAST(CAST(1000000 AS HUGEINT) * CAST(a + b + c + d AS HUGEINT) *
+        |      (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) *
+        |      (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) //
+        |      (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)) AS BIGINT)
+        |  END AS chi2_micro
+        |FROM cells""".stripMargin,
     "events_power_users" ->
       """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
         |           FROM events GROUP BY 1),

@@ -1137,7 +1137,90 @@ object Relational {
           coalesce(col("n_lineitems"), lit(0L))).as("n_rows_total"))
   }
 
+  /** Correlated EXISTS / NOT EXISTS — the subquery-decorrelation
+    * surface: "segment customers who had a high-value return but never
+    * placed a jumbo order", spelled exactly as an analyst would (two
+    * correlated subqueries), leaving Catalyst's RewritePredicateSubquery
+    * to turn them into a LEFT SEMI and a LEFT ANTI hash join. That
+    * rewrite IS the 100 TB story: a per-customer re-scan of orders ∪
+    * lineitem (the naive nested-loop reading of EXISTS) is dead at any
+    * scale, while the decorrelated form is two key-partitioned joins
+    * against fact-side pre-filters — the returned-lineitem probe is
+    * filtered to flag='R' AND price>threshold BEFORE the join, so the
+    * semi-join build input is outlier-sized, and PlanSpec pins the plan
+    * (semi + anti, no BroadcastNestedLoopJoin). */
+  def qExistsRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    load(spark, sfDir, "customer").createOrReplaceTempView("graft_qer_customer")
+    load(spark, sfDir, "orders").createOrReplaceTempView("graft_qer_orders")
+    load(spark, sfDir, "lineitem").createOrReplaceTempView("graft_qer_lineitem")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment
+        |FROM graft_qer_customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM graft_qer_orders o
+        |    JOIN graft_qer_lineitem l ON l.l_orderkey = o.o_orderkey
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND l.l_returnflag = 'R' AND l.l_extendedprice > 50000)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM graft_qer_orders o2
+        |    WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 400000)
+        |""".stripMargin)
+  }
+
+  /** Sketch-based join-cardinality estimation — the optimizer-stats
+    * story as a first-class query: a KMV/θ-sketch over the DISTINCT
+    * join-key universe (orders ∪ lineitem orderkeys) picks θ = the
+    * K-th smallest salted fingerprint; the keys below θ are a fixed
+    * uniform sample whose per-side frequencies are exact counts, so
+    * Σ f_orders·f_lineitem over the sample, scaled by the inverse
+    * sampling rate P/θ, estimates |orders ⋈ lineitem| — the quantity a
+    * cost-based join reorderer actually needs (ndv alone misleads under
+    * skew; this estimator sees the frequency PRODUCT). Reported beside
+    * the exact join count and exact key-universe count (the
+    * sketch-beside-truth calibration pattern of events_hll_distinct).
+    * All integer arithmetic: one integral division per estimate with
+    * DECIMAL(38,0) partials. Scale: each side collapses to (key, count)
+    * with map-side combine; the global K-smallest filter plans as a
+    * partial WindowGroupLimit (each task forwards ≤K hashes), and the
+    * frequency joins run over ≤K sampled keys broadcast against the
+    * per-key count relations — the corpus is scanned once per side,
+    * exactly like the ANALYZE pass a warehouse already pays. */
+  def qJoinCardEst(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 64
+    val P = 1000000007L
+    val fO = graft.core.QueryCaches.track(
+      load(spark, sfDir, "orders").groupBy(col("o_orderkey").as("key"))
+        .agg(count(lit(1)).as("f_o")))
+    val fL = graft.core.QueryCaches.track(
+      load(spark, sfDir, "lineitem").groupBy(col("l_orderkey").as("key"))
+        .agg(count(lit(1)).as("f_l")))
+    val universe = graft.core.QueryCaches.track(
+      fO.select(col("key")).union(fL.select(col("key"))).distinct()
+        .select(col("key"), graft.ext.TextOps.fingerprint(
+          concat(lit("jce|"), col("key").cast("string"), lit("|graft"))).as("h")))
+    val w = Window.orderBy(col("h"))
+    val ranked = universe.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= K)
+    val theta = ranked.filter(col("rk") === K).select(col("h").as("theta"))
+    val sample = ranked.filter(col("rk") < K) // KMV convention: θ itself is excluded
+      .join(fO, Seq("key"), "left").join(fL, Seq("key"), "left")
+      .agg(sum(coalesce(col("f_o"), lit(0L)) * coalesce(col("f_l"), lit(0L))).as("sum_ff"))
+    val actuals = fO.join(fL, Seq("key"))
+      .agg(sum(col("f_o") * col("f_l")).as("actual_join_rows"))
+    val nUniverse = universe.agg(count(lit(1)).as("actual_union"))
+    sample.crossJoin(theta).crossJoin(actuals).crossJoin(nUniverse)
+      .select(lit(K.toLong).as("k"), col("theta"), col("sum_ff"),
+        expr(s"CAST((CAST(${K - 1} AS DECIMAL(38,0)) * $P) div theta AS BIGINT)")
+          .as("est_union"),
+        col("actual_union"),
+        expr(s"CAST((CAST(sum_ff AS DECIMAL(38,0)) * $P) div theta AS BIGINT)")
+          .as("est_join_rows"),
+        col("actual_join_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exists_rewrite" -> (qExistsRewrite _),
+    "q_join_card_est" -> (qJoinCardEst _),
     "q_erasure_manifest" -> (qErasureManifest _),
     "q_bitmap_index" -> (qBitmapIndex _),
     "q_table_checksum" -> (qTableChecksum _),
@@ -1189,6 +1272,44 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_exists_rewrite" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o
+        |    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND l.l_returnflag = 'R' AND l.l_extendedprice > 50000)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o2
+        |    WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 400000)""".stripMargin,
+    "q_join_card_est" ->
+      """WITH f_o AS (SELECT o_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS f_o
+        |             FROM orders GROUP BY 1),
+        |f_l AS (SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS f_l
+        |        FROM lineitem GROUP BY 1),
+        |u AS (SELECT key,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split('jce|' || CAST(key AS VARCHAR) || '|graft', ''),
+        |            ch -> CAST(unicode(ch) AS BIGINT))),
+        |          (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |      FROM (SELECT key FROM f_o UNION SELECT key FROM f_l)),
+        |r AS (SELECT key, h, row_number() OVER (ORDER BY h) AS rk FROM u),
+        |th AS (SELECT h AS theta FROM r WHERE rk = 64),
+        |s AS (SELECT CAST(SUM(COALESCE(f_o.f_o, 0) * COALESCE(f_l.f_l, 0)) AS BIGINT) AS sum_ff
+        |      FROM r LEFT JOIN f_o USING (key) LEFT JOIN f_l USING (key)
+        |      WHERE r.rk < 64),
+        |act AS (SELECT CAST(SUM(f_o.f_o * f_l.f_l) AS BIGINT) AS actual_join_rows
+        |        FROM f_o JOIN f_l USING (key)),
+        |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual_union FROM u)
+        |SELECT CAST(64 AS BIGINT) AS k, theta, sum_ff,
+        |  CAST(CAST(63 AS HUGEINT) * 1000000007 // CAST(theta AS HUGEINT) AS BIGINT)
+        |    AS est_union,
+        |  actual_union,
+        |  CAST(CAST(sum_ff AS HUGEINT) * 1000000007 // CAST(theta AS HUGEINT) AS BIGINT)
+        |    AS est_join_rows,
+        |  actual_join_rows
+        |FROM s, th, act, nu""".stripMargin,
     "q_erasure_manifest" ->
       """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0),
         |o AS (SELECT c_custkey, o_orderkey
