@@ -288,8 +288,24 @@ object HashExprs {
     override def prettyName: String = "graft_edit_within"
   }
 
+  /** char_entropy_bound(str): [n_codepoints, distinct_chars, Σ
+    * k·⌊log2(n div k)⌋] — the one-pass integer compression bound used
+    * as a text-quality signal (see [[HashKernels.charEntropyBound]]).
+    * Array return keeps it one kernel invocation; callers project the
+    * three elements out immediately. */
+  case class CharEntropyBoundExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongArray
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.charEntropyBound(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.charEntropyBound($c)")
+    override protected def withNewChildInternal(c: Expression): CharEntropyBoundExpr = copy(child = c)
+    override def prettyName: String = "graft_char_entropy_bound"
+  }
+
   // ---- Column-facing wrappers --------------------------------------
   def fingerprint(c: Column): Column = toColumn(FingerprintExpr(toExpression(c)))
+  def charEntropyBound(s: Column): Column = toColumn(CharEntropyBoundExpr(toExpression(s)))
   def tokenFps(toks: Column): Column = toColumn(TokenFpsExpr(toExpression(toks)))
   def shingleFps(toks: Column, k: Int): Column = toColumn(ShingleFpsExpr(toExpression(toks), k))
   def charShingleFps(s: Column, k: Int): Column = toColumn(CharShingleFpsExpr(toExpression(s), k))

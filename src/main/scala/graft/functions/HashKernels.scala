@@ -532,6 +532,36 @@ object HashKernels {
     * touches ONE frame, so it flips at most 2*(bands-1) bits — and a
     * LAST-byte edit only (bands-1): the bounded-hamming contract the
     * pairing threshold rides. */
+  /** Character-entropy compression bound: [n_codepoints, distinct,
+    * Σ k_c·⌊log2(n div k_c)⌋] in one pass. The third element is an
+    * integer LOWER bound on the Shannon information content in bits
+    * (⌊log2⌋ of the integer-division inverse frequency underestimates
+    * −log2 p), so it is exact cross-engine — the real-entropy float
+    * spelling (Σ p·ln p) is not. Used as a repetition/gibberish quality
+    * signal: natural prose lands near ~4 bits/char, `aaaa…` near 0.
+    * DuckDB oracle: per-char counts via unnest(string_split) +
+    * length(bin(n // k)) − 1 (both engines print unpadded binary). */
+  def charEntropyBound(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Long]()
+    var n = 0L
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var bound = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      bound += k * (63 - java.lang.Long.numberOfLeadingZeros(n / k))
+    }
+    new GenericArrayData(Array(n, counts.size.toLong, bound))
+  }
+
   def byteBandEnergyHash(bs: Array[Byte], frames: Int, bands: Int): Long = {
     val n = bs.length
     val bandWidth = 256 / bands

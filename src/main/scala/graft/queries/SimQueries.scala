@@ -647,6 +647,41 @@ object SimQueries {
       .select(col("f.vec_id").as("u"), col("f.nbr_id").as("v"))
   }
 
+  /** Common-neighbor link prediction over the mutual-kNN graph — the
+    * recommender/graph-completion op beside [[simTriangles]]'s quality
+    * metric: for every NON-edge pair sharing ≥2 neighbors, score by
+    * common-neighbor count with the Jaccard of neighborhoods in milli
+    * units (1000·|common| div (deg_u + deg_v − |common|) — all
+    * integers), and report the global top-20. Wedge enumeration is the
+    * same two-hop equi-join as the triangle count (bounded by Σ deg²,
+    * deg ≤ k = 5 by construction), existing edges leave via one
+    * left-anti join on the oriented pair, and the global top-20 plans
+    * as a partial WindowGroupLimit — each task forwards ≤20 rows. At
+    * 100 TB the kNN-graph build dominates (see [[SimOps.knnGraph]]);
+    * prediction itself never touches an embedding again. */
+  def simLinkPredict(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = graft.core.QueryCaches.track(mutualEdges(spark, sfDir))
+    val adj = graft.core.QueryCaches.track(
+      m.union(m.select(col("v").as("u"), col("u").as("v"))))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val cand = adj.as("x").join(adj.as("y"),
+        col("x.v") === col("y.u") && col("x.u") < col("y.v"))
+      .groupBy(col("x.u").as("u"), col("y.v").as("v"))
+      .agg(count(lit(1)).as("common"))
+      .join(m, Seq("u", "v"), "left_anti")
+      .filter(col("common") >= 2L)
+    val scored = cand
+      .join(deg.select(col("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .withColumn("jaccard_milli",
+        expr("CAST((1000 * common) div (deg_u + deg_v - common) AS BIGINT)"))
+    scored.withColumn("rk", row_number().over(
+        Window.orderBy(col("common").desc, col("u"), col("v"))).cast("bigint"))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("u"), col("v"), col("common"),
+        col("deg_u"), col("deg_v"), col("jaccard_milli"))
+  }
+
   /** Distributed triangle counting over the mutual-kNN graph — the
     * classic graph-quality metric (clustering coefficient numerator)
     * for embedding-space neighborhoods. The u<v orientation makes each
@@ -1127,6 +1162,7 @@ object SimQueries {
     "sim_pq" -> (simPq _),
     "sim_pq_topk" -> (simPqTopk _),
     "sim_triangles" -> (simTriangles _),
+    "sim_link_predict" -> (simLinkPredict _),
     "sim_label_prop" -> (simLabelProp _),
     "sim_pagerank" -> (simPagerank _),
     "sim_bucket_hist" -> (simBucketHist _),
@@ -1413,6 +1449,23 @@ object SimQueries {
          |  SELECT q_id, vec_id, adist,
          |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
          |  FROM ad) WHERE rk <= 5""".stripMargin,
+    "sim_link_predict" ->
+      s"""WITH $mutualSql,
+         |adj AS (SELECT u, v FROM m UNION ALL SELECT v, u FROM m),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+         |cand AS (SELECT x.u AS u, y.v AS v, CAST(COUNT(*) AS BIGINT) AS common
+         |         FROM adj x JOIN adj y ON x.v = y.u AND x.u < y.v
+         |         GROUP BY 1, 2),
+         |nonedge AS (SELECT c.u, c.v, c.common FROM cand c
+         |            WHERE c.common >= 2 AND NOT EXISTS (
+         |              SELECT 1 FROM m WHERE m.u = c.u AND m.v = c.v)),
+         |lp AS (SELECT n.u, n.v, n.common, du.deg AS deg_u, dv.deg AS deg_v,
+         |         (1000 * n.common) // (du.deg + dv.deg - n.common) AS jaccard_milli
+         |       FROM nonedge n
+         |       JOIN deg du ON du.u = n.u JOIN deg dv ON dv.u = n.v)
+         |SELECT rk, u, v, common, deg_u, deg_v, jaccard_milli FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY common DESC, u, v) AS BIGINT) AS rk, *
+         |  FROM lp) WHERE rk <= 20""".stripMargin,
     "sim_triangles" ->
       s"""WITH $mutualSql,
          |tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c

@@ -139,6 +139,69 @@ object TextQueries {
           lit(0.5) + col("stop_ratio") - col("punct_ratio") * 2 - col("digit_ratio"))))
   }
 
+  /** Feature-hashing (hashing-trick) audit — the vectorizer every
+    * large-scale text classifier actually ships (fixed 64-bucket
+    * hashed bag-of-words, no vocabulary build) measured against the
+    * exact token-count vector it approximates: per doc, ‖φ(x)‖² under
+    * bucket collisions vs the exact Σ tf² — the distortion ratio IS
+    * the collision cost, reported in milli units via one integral
+    * division. All integers, so the hash gate carries the whole audit.
+    * Plan at 100 TB: token explode → two doc-keyed count aggregates
+    * (map-side combined; the (doc, bucket) relation is docs×64 max,
+    * the (doc, token) one docs×vocab-per-doc) → one docs-sized join.
+    * No vocabulary table, no global dictionary exchange — the entire
+    * point of the hashing trick, stated as a plan shape. */
+  def textFeatureHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = 64
+    val tok = load(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val t = graft.core.QueryCaches.track(tok)
+    val hashed = t
+      .select(col("doc_id"),
+        (graft.ext.TextOps.fingerprint(col("tok")) % B).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("used_buckets"),
+        sum(col("c") * col("c")).as("hashed_norm_sq"))
+    val exact = t
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("c")).as("exact_norm_sq"))
+    exact.join(hashed, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("used_buckets"), col("exact_norm_sq"), col("hashed_norm_sq"),
+        expr("CAST((1000 * hashed_norm_sq) div exact_norm_sq AS BIGINT)")
+          .as("distortion_milli"))
+  }
+
+  /** Character-entropy quality signal — the information-theoretic
+    * sibling of [[textQuality]]'s ratio heuristics and
+    * [[textRepetition]]'s n-gram view: per doc, the integer Shannon
+    * LOWER bound Σ k_c·⌊log2(n/k_c)⌋ bits from the one-pass native
+    * kernel [[graft.functions.HashExprs.charEntropyBound]] (real
+    * entropy needs ln() — the same float the HLL sketch keeps out of
+    * its hashed surface — so the hash gate carries the floor-log2
+    * bound both engines compute bit-identically). Low bits-per-char
+    * flags repeated-character/boilerplate walls that length and
+    * stopword ratios miss. Plan at 100 TB: ONE codegen'd kernel call
+    * per document inside the scan projection — no char explode, no
+    * shuffle before the final docs-sized projection (the DuckDB oracle
+    * explodes per char; the Spark side must NOT, that is the point of
+    * the kernel). */
+  def textEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.functions.HashExprs.charEntropyBound(col("text"))
+    load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), e.as("e"))
+      .select(col("doc_id"), col("lang"),
+        col("e").getItem(0).as("n_cp"),
+        col("e").getItem(1).as("distinct_chars"),
+        col("e").getItem(2).as("entropy_bound_bits"))
+      .withColumn("milli_bits_per_char",
+        expr("CAST((1000 * entropy_bound_bits) div n_cp AS BIGINT)"))
+  }
+
   /** BPE-ish token counting: GPT-2-style pre-tokenizer classes —
     * letter runs, digit runs, single non-alphanumerics — via
     * regexp_extract_all (the alternation branches are disjoint char
@@ -946,6 +1009,8 @@ object TextQueries {
     "text_lang_id" -> (textLangId _),
     "text_token_freq" -> (textTokenFreq _),
     "text_quality" -> (textQuality _),
+    "text_entropy" -> (textEntropy _),
+    "text_feature_hash" -> (textFeatureHash _),
     "text_bpe_tokens" -> (textBpeTokens _))
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -978,6 +1043,39 @@ object TextQueries {
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_feature_hash" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |hb AS (SELECT doc_id, ${foldSql("tok")} % 64 AS bucket,
+         |         CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM t GROUP BY 1, 2),
+         |h AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS used_buckets,
+         |        CAST(SUM(c * c) AS BIGINT) AS hashed_norm_sq
+         |      FROM hb GROUP BY 1),
+         |eb AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM t GROUP BY 1, 2),
+         |e AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+         |        CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |        CAST(SUM(c * c) AS BIGINT) AS exact_norm_sq
+         |      FROM eb GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_distinct_tokens, used_buckets,
+         |       exact_norm_sq, hashed_norm_sq,
+         |       (1000 * hashed_norm_sq) // exact_norm_sq AS distortion_milli
+         |FROM e JOIN h USING (doc_id)""".stripMargin,
+    "text_entropy" ->
+      """WITH ch AS (SELECT doc_id, lang, unnest(string_split(text, '')) AS c
+        |            FROM documents),
+        |cnt AS (SELECT doc_id, lang, c, CAST(COUNT(*) AS BIGINT) AS k
+        |        FROM ch GROUP BY 1, 2, 3),
+        |n_t AS (SELECT doc_id, lang, CAST(SUM(k) AS BIGINT) AS n_cp,
+        |          CAST(COUNT(*) AS BIGINT) AS distinct_chars
+        |        FROM cnt GROUP BY 1, 2),
+        |e AS (SELECT cnt.doc_id, cnt.lang, n_t.n_cp, n_t.distinct_chars,
+        |        CAST(SUM(k * (length(bin(n_t.n_cp // k)) - 1)) AS BIGINT)
+        |          AS entropy_bound_bits
+        |      FROM cnt JOIN n_t USING (doc_id, lang) GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, lang, n_cp, distinct_chars, entropy_bound_bits,
+        |       (1000 * entropy_bound_bits) // n_cp AS milli_bits_per_char
+        |FROM e""".stripMargin,
     "text_rake" ->
       s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |t AS (SELECT doc_id, unnest(tk) AS tok,

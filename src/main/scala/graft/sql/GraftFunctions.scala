@@ -54,6 +54,9 @@ object GraftFunctions {
       es => DotExpr(es.head, es(1))),
     ("graft_srp_bucket", "graft_srp_bucket(vec, bits) - sign-random-projection LSH bucket",
       es => SrpBucketExpr(es.head, intLit(es(1), "graft_srp_bucket"))),
+    ("graft_char_entropy_bound",
+      "graft_char_entropy_bound(str) - [n_codepoints, distinct, sum k*floor(log2(n/k))] entropy lower bound",
+      es => CharEntropyBoundExpr(es.head)),
     ("graft_byte_stats", "graft_byte_stats(bin) - n/sum/min/max over raw bytes",
       es => ByteStatsExpr(es.head)),
     ("graft_byte_hist", "graft_byte_hist(bin, bins) - normalized byte histogram",

@@ -21,6 +21,32 @@ class PlanSpec extends AnyFunSuite {
   private def nOps(p: String, op: String): Int =
     ("\\(\\d+\\) " + op).r.findAllIn(p).length
 
+  test("q_exists_rewrite: EXISTS/NOT EXISTS decorrelate to semi + anti hash joins") {
+    val p = plan("q_exists_rewrite")
+    assert(p.contains("LeftSemi"), s"EXISTS must become a left semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must become a left anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no per-customer re-scan of the fact tables:\n$p")
+  }
+
+  test("text_entropy: one codegen'd kernel call per doc — no char explode, no Generate") {
+    val p = plan("text_entropy")
+    assert(nOps(p, "Generate") == 0,
+      s"the whole point of the native kernel: the Spark side must not explode chars:\n$p")
+    assert(p.contains("graft_char_entropy_bound"), p)
+    assert(nOps(p, "Exchange") == 0, s"per-doc projection only, nothing shuffles:\n$p")
+    assert(p.contains("codegen id"),
+      s"kernel projection must run inside whole-stage codegen:\n$p")
+  }
+
+  test("sim_link_predict: wedge equi-joins + partial global top-k, never all-pairs") {
+    val p = plan("sim_link_predict")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"),
+      s"global top-20 must push a partial rank limit:\n$p")
+    graft.core.QueryCaches.release()
+  }
+
   test("sim_topk: query side broadcast, partial top-k before the rank exchange") {
     val p = plan("sim_topk")
     assert(p.contains("WindowGroupLimit"), "rank limit must push a partial top-k")

@@ -61,6 +61,29 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(hc.length == 16 && hc(6) == 3L && hc.sum == 3L) // 97..99 all in bin 6
   }
 
+  test("graft_char_entropy_bound: hand-computed bounds, edges, codegen == kernel") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_char_entropy_bound('aaaa') AS uniform,
+        |  graft_char_entropy_bound('abcd') AS spread,
+        |  graft_char_entropy_bound('aab') AS mixed,
+        |  graft_char_entropy_bound('') AS empty,
+        |  graft_char_entropy_bound('𐀀𐀀x') AS supp
+        |""".stripMargin).head()
+    // 'aaaa': n=4, 1 distinct, 4·⌊log2(4/4)⌋ = 0 bits — the repetition wall
+    assert(r.getSeq[Long](0) == Seq(4L, 1L, 0L))
+    // 'abcd': every k=1 → 4·⌊log2 4⌋ = 8 bits (exactly 2 bits/char)
+    assert(r.getSeq[Long](1) == Seq(4L, 4L, 8L))
+    // 'aab': a contributes 2·⌊log2(3 div 2)⌋=0, b contributes ⌊log2 3⌋=1
+    assert(r.getSeq[Long](2) == Seq(3L, 2L, 1L))
+    assert(r.getSeq[Long](3) == Seq(0L, 0L, 0L))
+    // U+10000 counts as ONE codepoint (not two UTF-16 units)
+    assert(r.getSeq[Long](4) == Seq(3L, 2L, 1L))
+    // codegen path (the SQL above) == interpreted kernel
+    val k = HashKernels.charEntropyBound(UTF8String.fromString("aab"))
+    assert(k.toLongArray().toSeq == Seq(3L, 2L, 1L))
+  }
+
   test("bloom pair from SQL: scalar-subquery build + probe filters like the exact semi-join") {
     GraftFunctions.register(spark)
     import spark.implicits._
