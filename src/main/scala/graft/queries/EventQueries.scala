@@ -159,6 +159,63 @@ object EventQueries {
         coalesce(col("retained_d1"), lit(0L)).as("retained_d1"))
   }
 
+  /** Kaplan-Meier survival curve with right-censoring — the actuarial
+    * op beside [[eventsRetention]]'s D1 ratio, on the axis that
+    * actually needs it here: per-user INACTIVITY GAPS in whole hours
+    * ("probability a quiet spell survives past t hours" — the
+    * principled way to pick a session timeout, cf. the 30-min GAP_NS
+    * constant this file hard-codes). Each consecutive-event gap is an
+    * observation; each user's OPEN tail gap (last event → corpus edge)
+    * is right-censored — it testifies the user was quiet AT LEAST that
+    * long, and dropping it is the classic downward bias KM exists to
+    * avoid. At each hour t: n_risk = gaps with length ≥ t, n_churn =
+    * CLOSED gaps of exactly t, and S(t) = Π (1 − d/n) carried as a
+    * micro-scaled integer FOLD (s ← s·(n−d) div n, s₀ = 10⁶) —
+    * deterministic in both engines (Spark: one `aggregate` HOF over
+    * the collected hour series, a bounded array in ONE row, so the
+    * interpreted-HOF caveat does not bite; DuckDB: a recursive CTE,
+    * kept un-MATERIALIZED per the known quirk). Scale: gaps come from
+    * the one (user)-keyed lead window every session query already
+    * pays; everything after is hour-domain-sized (≤ observation span),
+    * and s·n stays in int64 up to ~10¹² observations. */
+  def eventsSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val ev = graft.core.QueryCaches.track(
+      events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus")))
+    val edge = ev.agg(max(col("tus")).as("corpus_max"))
+    val gaps = ev
+      .withColumn("nxt", lead(col("tus"), 1).over(w))
+      .crossJoin(broadcast(edge))
+      .select(
+        expr("CAST(coalesce(nxt, corpus_max) - tus AS BIGINT) div 3600000000")
+          .as("life"),
+        when(col("nxt").isNull, 1L).otherwise(0L).as("censored"))
+    val byT = gaps.groupBy(col("life").as("t"))
+      .agg(count(lit(1)).as("ended_here"),
+        sum(lit(1L) - col("censored")).as("n_churn"))
+    val wRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // hour-domain rows only (≤ observation span): the global window and
+    // the collected fold array are both bounded by it
+    val series = byT
+      .withColumn("n_risk", sum(col("ended_here")).over(wRisk))
+      .select(col("t"), col("n_risk"), col("n_churn"))
+    series.groupBy()
+      .agg(sort_array(collect_list(struct(col("t"), col("n_risk"), col("n_churn"))))
+        .as("ser"))
+      // fold: acc is the running array of s values (head = s₀ = 10⁶);
+      // day i (0-based) pairs with fold element i+2 (1-based element_at)
+      .withColumn("km", expr(
+        """aggregate(ser, array(CAST(1000000 AS BIGINT)),
+          |  (acc, x) -> array_append(acc,
+          |    (element_at(acc, -1) * (x.n_risk - x.n_churn)) div x.n_risk))""".stripMargin))
+      .select(posexplode(col("ser")).as(Seq("i", "x")), col("km"))
+      .select(col("x.t").as("t"), col("x.n_risk").as("n_risk"),
+        col("x.n_churn").as("n_churn"),
+        element_at(col("km"), (col("i") + 2).cast("int")).as("s_micro"))
+  }
+
   /** Top session-local event-type transitions (path mining): sessionize
     * exactly like [[eventsSessions]], take each event's successor WITHIN
     * its session, count (src → dst) transition bigrams, rank the top 20.
@@ -1419,6 +1476,7 @@ object EventQueries {
     "events_trend" -> (eventsTrend _),
     "events_acf" -> (eventsAcf _),
     "events_abtest" -> (eventsAbtest _),
+    "events_survival" -> (eventsSurvival _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_kmv_distinct" -> (eventsKmvDistinct _),
     "events_hll_distinct" -> (eventsHllDistinct _),
@@ -1437,6 +1495,31 @@ object EventQueries {
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_survival" ->
+      """WITH RECURSIVE g0 AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events),
+        |edge AS (SELECT MAX(tus) AS corpus_max FROM g0),
+        |gaps AS (SELECT CAST(COALESCE(nxt, corpus_max) - tus AS BIGINT) // 3600000000 AS life,
+        |           CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS censored
+        |         FROM g0, edge),
+        |by_t AS (SELECT life AS t, CAST(COUNT(*) AS BIGINT) AS ended_here,
+        |           CAST(SUM(1 - censored) AS BIGINT) AS n_churn
+        |         FROM gaps GROUP BY 1),
+        |series AS (SELECT t,
+        |             CAST(SUM(ended_here) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk,
+        |             n_churn,
+        |             row_number() OVER (ORDER BY t) AS rn
+        |           FROM by_t),
+        |km(rn, s) AS (
+        |  SELECT 0, CAST(1000000 AS BIGINT)
+        |  UNION ALL
+        |  SELECT series.rn, (km.s * (series.n_risk - series.n_churn)) // series.n_risk
+        |  FROM km JOIN series ON series.rn = km.rn + 1)
+        |SELECT series.t, series.n_risk, series.n_churn, km.s AS s_micro
+        |FROM series JOIN km ON km.rn = series.rn""".stripMargin,
     "events_acf" ->
       """WITH daily AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
         |                      CAST(COUNT(*) AS BIGINT) AS n

@@ -647,6 +647,56 @@ object SimQueries {
       .select(col("f.vec_id").as("u"), col("f.nbr_id").as("v"))
   }
 
+  /** MMR diversified retrieval (Carbonell-Goldstein maximal marginal
+    * relevance) — the re-ranking pass real retrieval stacks run AFTER
+    * ANN: from each query's top-8 relevance candidates, greedily pick 4
+    * maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) (λ = 0.7), so
+    * near-duplicate hits stop crowding out coverage. The greedy loop is
+    * UNROLLED into 4 dataframe stages (rank-1 window argmax each, ties
+    * to the smaller vec_id — deterministic, and the identical unrolled
+    * CTE chain is the oracle): selection depth is a product constant,
+    * not data — this is a fixed-depth plan, no driver iteration. Scale:
+    * candidates are |queries|×8 rows (the expensive part is the ANN
+    * stage that produced them), the pairwise-sim relation |queries|×56,
+    * and every greedy stage joins on q_id over those bounded relations
+    * — at 100 TB the re-rank costs the same as at sf0.01 once
+    * candidates exist. Both persisted query-scoped: all 4 stages fold
+    * the same two relations. */
+  def simMmr(spark: SparkSession, sfDir: String): DataFrame = {
+    val lam = 0.7
+    val e = emb(spark, sfDir)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    val cand = graft.core.QueryCaches.track(
+      SimOps.topkBrute(corpus, querySet(e), 8))
+    val ce = cand.join(corpus, "vec_id")
+    val pair = graft.core.QueryCaches.track(
+      ce.select(col("q_id"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        .join(ce.select(col("q_id"), col("vec_id").as("b_id"),
+          col("embedding").as("b_emb")), Seq("q_id"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("q_id"), col("a_id"), col("b_id"),
+          graft.functions.HashExprs.cosineSim(col("a_emb"), col("b_emb")).as("sim")))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    def pick(scored: DataFrame, rank: Int): DataFrame =
+      scored.withColumn("rk", row_number().over(wq)).filter(col("rk") === 1)
+        .select(col("q_id"), lit(rank.toLong).as("rank"), col("vec_id"),
+          col("cos").as("rel"), col("score").as("mmr_score"))
+    var selected = pick(cand.withColumn("score", lit(lam) * col("cos")), 1)
+    for (k <- 2 to 4) {
+      val rem = cand.join(selected.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"), "left_anti")
+      val msim = pair.join(selected.select(col("q_id"), col("vec_id").as("b_id")),
+          Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id")).agg(max(col("sim")).as("m"))
+      val scored = rem.join(msim,
+          rem("q_id") === msim("q_id") && rem("vec_id") === msim("a_id"))
+        .select(rem("q_id"), col("vec_id"), col("cos"),
+          (lit(lam) * col("cos") - lit(1.0 - lam) * col("m")).as("score"))
+      selected = selected.unionByName(pick(scored, k))
+    }
+    selected.select(col("q_id"), col("rank"), col("vec_id"), col("rel"), col("mmr_score"))
+  }
+
   /** Common-neighbor link prediction over the mutual-kNN graph — the
     * recommender/graph-completion op beside [[simTriangles]]'s quality
     * metric: for every NON-edge pair sharing ≥2 neighbors, score by
@@ -1163,6 +1213,7 @@ object SimQueries {
     "sim_pq_topk" -> (simPqTopk _),
     "sim_triangles" -> (simTriangles _),
     "sim_link_predict" -> (simLinkPredict _),
+    "sim_mmr" -> (simMmr _),
     "sim_label_prop" -> (simLabelProp _),
     "sim_pagerank" -> (simPagerank _),
     "sim_bucket_hist" -> (simBucketHist _),
@@ -1449,6 +1500,48 @@ object SimQueries {
          |  SELECT q_id, vec_id, adist,
          |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
          |  FROM ad) WHERE rk <= 5""".stripMargin,
+    "sim_mmr" -> {
+      // unrolled greedy: step k anti-joins the union of prior picks,
+      // takes the max pairwise sim to them, and argmaxes the MMR score.
+      // (CAST(1 AS DOUBLE) - 0.7) — NOT 0.3 — reproduces Spark's
+      // 1.0 - 0.7 = 0.30000000000000004 bit-exactly.
+      def step(k: Int): String = {
+        val prev = (1 until k).map(i => s"s$i").mkString(" UNION ALL SELECT * FROM ")
+        s"""sel$k AS (SELECT * FROM $prev),
+           |r$k AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+           |    SELECT 1 FROM sel$k WHERE sel$k.q_id = c.q_id AND sel$k.vec_id = c.vec_id)),
+           |m$k AS (SELECT p.q_id, p.a_id, MAX(p.sim) AS m
+           |        FROM pr p JOIN sel$k ON sel$k.q_id = p.q_id AND sel$k.vec_id = p.b_id
+           |        GROUP BY 1, 2),
+           |s$k AS (SELECT q_id, CAST($k AS BIGINT) AS rank, vec_id, cos AS rel,
+           |          score AS mmr_score FROM (
+           |        SELECT r.q_id, r.vec_id, r.cos,
+           |          CAST(0.7 AS DOUBLE) * r.cos - (CAST(1 AS DOUBLE) - 0.7) * m.m AS score
+           |        FROM r$k r JOIN m$k m ON m.q_id = r.q_id AND m.a_id = r.vec_id)
+           |      QUALIFY row_number() OVER (PARTITION BY q_id
+           |        ORDER BY score DESC, vec_id) = 1)""".stripMargin
+      }
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 100 = 0),
+         |cand AS (SELECT q_id, vec_id, cos FROM (
+         |    SELECT q_id, vec_id, ${cosSql("embedding", "q_vec")} AS cos
+         |    FROM embeddings, q WHERE vec_id <> q_id)
+         |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 8),
+         |ce AS (SELECT c.q_id, c.vec_id, c.cos, e.embedding
+         |       FROM cand c JOIN embeddings e USING (vec_id)),
+         |pr AS (SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+         |         ${cosSql("a.embedding", "b.embedding")} AS sim
+         |       FROM ce a JOIN ce b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+         |s1 AS (SELECT q_id, CAST(1 AS BIGINT) AS rank, vec_id, cos AS rel,
+         |         score AS mmr_score FROM (
+         |       SELECT q_id, vec_id, cos, CAST(0.7 AS DOUBLE) * cos AS score FROM cand)
+         |     QUALIFY row_number() OVER (PARTITION BY q_id
+         |       ORDER BY score DESC, vec_id) = 1),
+         |${step(2)},
+         |${step(3)},
+         |${step(4)}
+         |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4""".stripMargin
+    },
     "sim_link_predict" ->
       s"""WITH $mutualSql,
          |adj AS (SELECT u, v FROM m UNION ALL SELECT v, u FROM m),

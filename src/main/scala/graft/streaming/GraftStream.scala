@@ -720,6 +720,43 @@ object GraftStream {
       }
   }
 
+  /** Streaming inactivity-gap feed — the unbounded producer for
+    * [[graft.queries.EventQueries.eventsSurvival]]'s Kaplan-Meier
+    * curve: per user, state is ONE long (the latest event ts); each
+    * arriving event whose ts advances it emits the CLOSED gap
+    * (user, prev_ts, gap_us). Time-ordered input per user reproduces
+    * the batch lead-window gap set exactly (StreamingSpec parity; the
+    * batch query's censored tail gaps are by definition the ones a
+    * stream has not closed yet). Out-of-order arrivals within a
+    * trigger are sorted before folding; a REGRESSING ts across
+    * triggers (late data) is dropped rather than emitting a negative
+    * gap — the batch operator is the repair path, the cdcUpdates →
+    * cdcMerge pattern. State never grows (one long per user), so no
+    * watermark/TTL is required. */
+  def gapUpdates(df: DataFrame, keyCol: String, tsCol: String)
+      : Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(keyCol).cast("long").as("k"),
+      col(tsCol).cast("long").as("ts")).as[(Long, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          rows.toSeq.map(_._2).sorted.foreach { ts =>
+            last match {
+              case Some(p) if ts >= p => out += ((key, p, ts - p)); last = Some(ts)
+              case Some(_) => () // regressed across triggers: drop, batch repairs
+              case None => last = Some(ts)
+            }
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming HyperLogLog fold — the unbounded twin of
     * [[graft.queries.EventQueries.eventsHllDistinct]]'s integer-form
     * sketch: per key, state is the 64 max-rho registers (rho =

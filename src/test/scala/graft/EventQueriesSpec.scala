@@ -165,6 +165,25 @@ class EventQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("events_survival: KM invariants — S monotone non-increasing, risk set telescopes") {
+    val rows = graft.queries.EventQueries.eventsSurvival(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    graft.core.QueryCaches.release()
+    assert(rows.nonEmpty)
+    assert(rows.head._4 <= 1000000L)
+    rows.sliding(2).foreach { case Array((t1, n1, _, s1), (t2, n2, _, s2)) =>
+      assert(t1 < t2 && s2 <= s1, s"S must not rise: t=$t2 s=$s2 after t=$t1 s=$s1")
+      assert(n2 < n1, s"risk set must shrink strictly between represented hours")
+    }
+    // every event contributes exactly ONE observation (a closed gap to
+    // its successor, or its user's censored tail) and all gaps are >= 0,
+    // so the t=0 risk set is the full event count
+    val (t0, n0, _, _) = rows.head
+    val nEvents = graft.queries.Tables.loadEvents(spark, sf).count()
+    assert(t0 == 0L && n0 == nEvents, s"n_risk(0)=$n0 vs events=$nEvents")
+  }
+
   test("approx sketch merges map-side: plan has partial + final HashAggregate, no id shuffle") {
     val p = graft.queries.EventQueries.eventsDailyActiveApprox(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)

@@ -963,6 +963,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty && got == batch, s"stream $got\nbatch $batch")
   }
 
+  test("streaming gap feed: closed gaps across two time-split triggers equal the batch lead-window gaps") {
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val ev = graft.queries.Tables.loadEvents(spark, dir)
+      .selectExpr("user_id", "ts div 1000 AS tus")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val in = MemoryStream[(Long, Long)]
+    val rows = new ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val q = GraftStream.gapUpdates(in.toDF().toDF("user_id", "tus"), "user_id", "tus")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    // split by TIME (not arbitrary position): cross-trigger ts only advance
+    val (first, second) = ev.splitAt(ev.length / 2)
+    in.addData(first.toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(second.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(Long, Long, Long)])
+      .groupBy(identity).view.mapValues(_.length).toMap
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+    val batch = graft.queries.Tables.loadEvents(spark, dir)
+      .selectExpr("user_id", "ts div 1000 AS tus")
+      .withColumn("nxt", lead(col("tus"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("user_id"), col("tus"), (col("nxt") - col("tus")).as("gap"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(batch.nonEmpty && got == batch,
+      s"stream ${got.size} distinct vs batch ${batch.size}")
+  }
+
   test("streaming HLL sketch: an out-of-frame hash fails the contract, not an array index") {
     // r10 advice: a negative caller hash used to crash regs(-b) with
     // ArrayIndexOutOfBoundsException mid-trigger; the fold now states
