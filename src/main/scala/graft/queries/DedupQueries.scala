@@ -172,6 +172,61 @@ object DedupQueries {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
   }
 
+  /** LSH band-parameter sweep — "measure, don't guess" for the ONE
+    * knob every MinHash deployment has to pick: with 64 hashes, the
+    * (bands × rows) split sets the S-curve's threshold (t ≈ (1/b)^(1/r)
+    * — 32×2 fires near 0.18, 16×4 near 0.5, 8×8 near 0.77). Each
+    * config's candidate pairs are generated by its OWN banded
+    * equi-join over the SAME persisted signature relation (one corpus
+    * scan, one signature build — the sweep costs three bucket
+    * shuffles, not three pipelines), then verified with exact Jaccard
+    * (≥ 0.5, the mid curve's design point). Reported per config:
+    * candidates, confirmed, precision in milli units, and recall
+    * against the most permissive config's confirmed set (32 bands
+    * admits a superset of true pairs at this threshold — the
+    * calibration reference). At 100 TB this is exactly how the knob
+    * should be chosen: run the sweep on a sampled shard, read the
+    * (precision, recall, candidate-volume) row, ship the config. */
+  def dedupBandSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val corpus = d.unionAll(d.select((col("doc_id") + SHIFT).as("doc_id"),
+      firstTokenDropped.as("text")))
+    val withSig = graft.core.QueryCaches.track(
+      corpus.select(col("doc_id"), shingleFps(tokens(col("text")), 3).as("fps"))
+        .select(col("doc_id"), col("fps"), minhash(col("fps"), 64).as("mh")))
+    def confirmed(bands: Int): DataFrame = {
+      val r = 64 / bands
+      val ex = withSig.select(col("doc_id"),
+        posexplode(DedupOps.bandSigs(col("mh"), bands, r)).as(Seq("band", "sig")))
+      ex.as("a").join(ex.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .join(withSig.select(col("doc_id").as("doc_a"), col("fps").as("fps_a")), "doc_a")
+        .join(withSig.select(col("doc_id").as("doc_b"), col("fps").as("fps_b")), "doc_b")
+        .select(lit(bands.toLong).as("bands"), col("doc_a"), col("doc_b"),
+          (DedupOps.jaccard(col("fps_a"), col("fps_b")) >= 0.5).as("ok"))
+    }
+    val all = graft.core.QueryCaches.track(
+      confirmed(32).unionByName(confirmed(16)).unionByName(confirmed(8)))
+    val ref = all.filter(col("bands") === 32L && col("ok"))
+      .select(col("doc_a"), col("doc_b"))
+    val refN = ref.agg(count(lit(1)).as("n_ref"))
+    val hits = all.filter(col("ok"))
+      .join(ref, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("bands")).agg(count(lit(1)).as("n_ref_hit"))
+    all.groupBy(col("bands"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_confirmed"))
+      .join(hits, Seq("bands"))
+      .crossJoin(refN)
+      .select(col("bands"), expr("64 div bands").as("rows_per_band"),
+        col("n_candidates"), col("n_confirmed"),
+        expr("CAST((1000 * n_confirmed) div n_candidates AS BIGINT)").as("precision_milli"),
+        expr("CAST((1000 * n_ref_hit) div n_ref AS BIGINT)").as("recall_vs_widest_milli"))
+  }
+
   /** SimHash signatures (30-bit, token-level): near-identical docs land
     * within a small hamming ball. Emitting the signature per doc — the
     * downstream dedup is a band-split on signature halves (same bucket
@@ -706,6 +761,7 @@ object DedupQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
+    "dedup_band_sweep" -> (dedupBandSweep _),
     "dedup_near" -> (dedupNear _),
     "dedup_near_capped" -> (dedupNearCapped _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -753,6 +809,11 @@ object DedupQueries {
 
   private val bandSql =
     "list_reduce(list_prepend(CAST(j AS BIGINT), list_slice(mh, j*4 + 1, j*4 + 4)), " +
+      "(s, x) -> (s * 1000003 + x) % 1000000007)"
+
+  /** [[bandSql]] parameterized over rows-per-band (the sweep's knob). */
+  private def bandSqlR(r: Int): String =
+    s"list_reduce(list_prepend(CAST(j AS BIGINT), list_slice(mh, j*$r + 1, j*$r + $r)), " +
       "(s, x) -> (s * 1000003 + x) % 1000000007)"
 
   private val jaccardSql =
@@ -975,6 +1036,41 @@ object DedupQueries {
       s"""SELECT ${fpFold("text")} AS fp, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
          |FROM ($corpusExactSql)
          |GROUP BY fp""".stripMargin,
+    "dedup_band_sweep" -> {
+      def cfg(b: Int): String = {
+        val r = 64 / b
+        s"""bands_$b AS (SELECT doc_id, j AS band, ${bandSqlR(r)} AS sig
+           |          FROM mh_t, (SELECT unnest(range(0, $b)) AS j)),
+           |conf_$b AS (SELECT CAST($b AS BIGINT) AS bands, doc_a, doc_b,
+           |            $jaccardSql >= 0.5 AS ok
+           |          FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |                FROM bands_$b a JOIN bands_$b b
+           |                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+           |          JOIN (SELECT doc_id AS doc_a, fps AS fps_a FROM fp_t) USING (doc_a)
+           |          JOIN (SELECT doc_id AS doc_b, fps AS fps_b FROM fp_t) USING (doc_b))""".stripMargin
+      }
+      s"""WITH corpus AS ($corpusNearSql),
+         |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+         |sh_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, list_transform(sh, s -> ${fpFold("s")}) AS fps FROM sh_t),
+         |mh_t AS (SELECT doc_id, fps, $minhashSql AS mh FROM fp_t),
+         |${cfg(32)},
+         |${cfg(16)},
+         |${cfg(8)},
+         |allc AS (SELECT * FROM conf_32 UNION ALL SELECT * FROM conf_16
+         |         UNION ALL SELECT * FROM conf_8),
+         |ref AS (SELECT doc_a, doc_b FROM allc WHERE bands = 32 AND ok),
+         |ref_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ref FROM ref),
+         |hits AS (SELECT bands, CAST(COUNT(*) AS BIGINT) AS n_ref_hit
+         |         FROM allc JOIN ref USING (doc_a, doc_b) WHERE ok GROUP BY 1),
+         |st AS (SELECT bands, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |         CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_confirmed
+         |       FROM allc GROUP BY 1)
+         |SELECT st.bands, 64 // st.bands AS rows_per_band, n_candidates, n_confirmed,
+         |  (1000 * n_confirmed) // n_candidates AS precision_milli,
+         |  (1000 * n_ref_hit) // n_ref AS recall_vs_widest_milli
+         |FROM st JOIN hits USING (bands), ref_n""".stripMargin
+    },
     "dedup_near" ->
       s"""WITH corpus AS ($corpusNearSql),
          |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),

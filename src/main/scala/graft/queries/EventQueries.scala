@@ -1376,6 +1376,60 @@ object EventQueries {
         (col("f.err") / (col("n_days") - lit(2)).cast("double")).as("mae"))
   }
 
+  /** Forecast backtest / model selection — the evaluation harness OVER
+    * the forecasting family ([[eventsSeasonalNaive]], [[eventsSesForecast]],
+    * [[eventsHoltForecast]] each report their own error; this query
+    * makes the CHOICE): three all-integer models are scored on the same
+    * last-7-days holdout per event type — persistence (same weekday
+    * last week, the t−7 copy), weekday-mean (the seasonal profile from
+    * the full train span), and global-mean (the no-seasonality null).
+    * Errors are milli-scaled integer divisions (|1000·c·k − 1000·s|
+    * div k — exact fraction comparison without a float), summed and
+    * divided once per model, and the winner column is the argmin with
+    * a fixed tie order (persistence < seasonal < mean — prefer the
+    * simpler model on ties, Occam by construction). Scale: the corpus
+    * collapses to (type, day) counts in one map-side-combined pass;
+    * train profiles are |types|×7 rows and broadcast; the holdout join
+    * is days-sized. This is the nightly model-router a 100 TB metrics
+    * platform actually runs — backtest on yesterday's tail, route
+    * today's forecast to whichever model won. */
+  def eventsForecastEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = graft.core.QueryCaches.track(
+      loadEvents(spark, sfDir)
+        .select(col("event_type").as("t"), expr("ts div 86400000000000").as("day"))
+        .groupBy(col("t"), col("day")).agg(count(lit(1)).as("c")))
+    val b = d.agg(max(col("day")).as("d1"))
+    val withB = d.crossJoin(broadcast(b))
+    val train = withB.filter(col("day") <= col("d1") - 7)
+    val test = withB.filter(col("day") > col("d1") - 7)
+    val wk = train.groupBy(col("t"), pmod(col("day"), lit(7L)).as("wd"))
+      .agg(sum(col("c")).as("s"), count(lit(1)).as("k"))
+    val gl = train.groupBy(col("t"))
+      .agg(sum(col("c")).as("gs"), count(lit(1)).as("gn"))
+    val prev = d.select(col("t"), (col("day") + 7).as("day"), col("c").as("c_prev"))
+    test
+      .join(prev, Seq("t", "day"), "left")
+      .join(broadcast(wk), test("t") === wk("t") &&
+        pmod(col("day"), lit(7L)) === col("wd"))
+      .drop(wk("t"))
+      .join(broadcast(gl), Seq("t"))
+      .select(col("t"),
+        (abs(col("c") - coalesce(col("c_prev"), lit(0L))) * 1000L).as("e_p"),
+        expr("abs(1000 * c * k - 1000 * s) div k").as("e_s"),
+        expr("abs(1000 * c * gn - 1000 * gs) div gn").as("e_g"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_test"),
+        expr("CAST(sum(e_p) div count(1) AS BIGINT)").as("mae_persist_milli"),
+        expr("CAST(sum(e_s) div count(1) AS BIGINT)").as("mae_seasonal_milli"),
+        expr("CAST(sum(e_g) div count(1) AS BIGINT)").as("mae_global_milli"))
+      .withColumn("winner", expr(
+        """CASE
+          |  WHEN mae_persist_milli <= mae_seasonal_milli
+          |   AND mae_persist_milli <= mae_global_milli THEN 'persistence'
+          |  WHEN mae_seasonal_milli <= mae_global_milli THEN 'seasonal'
+          |  ELSE 'global_mean' END""".stripMargin))
+  }
+
   def eventsSeasonalNaive(spark: SparkSession, sfDir: String): DataFrame = {
     val d = graft.core.QueryCaches.track(
       loadEvents(spark, sfDir)
@@ -1477,6 +1531,7 @@ object EventQueries {
     "events_acf" -> (eventsAcf _),
     "events_abtest" -> (eventsAbtest _),
     "events_survival" -> (eventsSurvival _),
+    "events_forecast_eval" -> (eventsForecastEval _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_kmv_distinct" -> (eventsKmvDistinct _),
     "events_hll_distinct" -> (eventsHllDistinct _),
@@ -1520,6 +1575,39 @@ object EventQueries {
         |  FROM km JOIN series ON series.rn = km.rn + 1)
         |SELECT series.t, series.n_risk, series.n_churn, km.s AS s_micro
         |FROM series JOIN km ON km.rn = series.rn""".stripMargin,
+    "events_forecast_eval" ->
+      """WITH d AS (SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
+        |             CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT MAX(day) AS d1 FROM d),
+        |train AS (SELECT d.* FROM d, b WHERE day <= d1 - 7),
+        |test AS (SELECT d.* FROM d, b WHERE day > d1 - 7),
+        |wk AS (SELECT t, day % 7 AS wd, CAST(SUM(c) AS BIGINT) AS s,
+        |         CAST(COUNT(*) AS BIGINT) AS k
+        |       FROM train GROUP BY 1, 2),
+        |gl AS (SELECT t, CAST(SUM(c) AS BIGINT) AS gs,
+        |         CAST(COUNT(*) AS BIGINT) AS gn
+        |       FROM train GROUP BY 1),
+        |prev AS (SELECT t, day + 7 AS day, c AS c_prev FROM d),
+        |err AS (SELECT test.t,
+        |          abs(test.c - COALESCE(prev.c_prev, 0)) * 1000 AS e_p,
+        |          abs(1000 * test.c * wk.k - 1000 * wk.s) // wk.k AS e_s,
+        |          abs(1000 * test.c * gl.gn - 1000 * gl.gs) // gl.gn AS e_g
+        |        FROM test
+        |        LEFT JOIN prev ON prev.t = test.t AND prev.day = test.day
+        |        JOIN wk ON wk.t = test.t AND wk.wd = test.day % 7
+        |        JOIN gl ON gl.t = test.t),
+        |m AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |        CAST(SUM(e_p) // COUNT(*) AS BIGINT) AS mae_persist_milli,
+        |        CAST(SUM(e_s) // COUNT(*) AS BIGINT) AS mae_seasonal_milli,
+        |        CAST(SUM(e_g) // COUNT(*) AS BIGINT) AS mae_global_milli
+        |      FROM err GROUP BY 1)
+        |SELECT *,
+        |  CASE WHEN mae_persist_milli <= mae_seasonal_milli
+        |        AND mae_persist_milli <= mae_global_milli THEN 'persistence'
+        |       WHEN mae_seasonal_milli <= mae_global_milli THEN 'seasonal'
+        |       ELSE 'global_mean' END AS winner
+        |FROM m""".stripMargin,
     "events_acf" ->
       """WITH daily AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
         |                      CAST(COUNT(*) AS BIGINT) AS n
