@@ -120,7 +120,8 @@ object AsOfJoin {
     * therefore restore their confs). */
   def asOfNative(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -144,6 +145,7 @@ object AsOfJoin {
         throw new IllegalArgumentException(s"asOfNative: no column '$n'"))
     org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
       graft.plans.AsOfJoinPlan(lp, rp,
-        attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTs), attr(rp, rightTs)))
+        attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTs), attr(rp, rightTs),
+        direction))
   }
 }

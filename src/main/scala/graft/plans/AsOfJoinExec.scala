@@ -23,6 +23,16 @@ import org.apache.spark.sql.types.LongType
   * O(1) state, no row buffered twice, no window machinery. Each left
   * row emits exactly once (left-outer: misses join a null right).
   *
+  * `direction` selects the match among same-key right rows — the full
+  * pandas-`merge_asof` surface, each still O(1) state on the SAME
+  * sorted merge (sortedness serves all three; only the keep/stop rule
+  * changes):
+  *   - `backward` (default): latest right with rt ≤ lt;
+  *   - `forward`: earliest right with rt ≥ lt (the lookahead row
+  *     itself — never consumed, so it can match many left rows);
+  *   - `nearest`: closer of the two, ties to backward (deterministic;
+  *     a tie means equidistant strict-past and strict-future rows).
+  *
   * Both key and ts must be non-null LONG attributes (the engine's
   * canonical id/µs types); null key or ts left rows emit as misses,
   * null right rows never match. Output ordering (key, ts) is
@@ -31,9 +41,12 @@ import org.apache.spark.sql.types.LongType
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
-    leftTs: Attribute, rightTs: Attribute) extends BinaryNode {
+    leftTs: Attribute, rightTs: Attribute,
+    direction: String = "backward") extends BinaryNode {
   require(Seq(leftKey, rightKey, leftTs, rightTs).forall(_.dataType == LongType),
     "asOfNative requires LONG key and ts columns on both sides")
+  require(AsOfJoinExec.Directions.contains(direction),
+    s"asOfNative direction must be one of ${AsOfJoinExec.Directions.mkString("/")}, got '$direction'")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -45,15 +58,20 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * spark.sql.extensions → graft.sql.GraftExtensions. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir) :: Nil
     case _ => Nil
   }
 }
 
+object AsOfJoinExec {
+  val Directions: Set[String] = Set("backward", "forward", "nearest")
+}
+
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
-    leftTs: Attribute, rightTs: Attribute) extends BinaryExecNode {
+    leftTs: Attribute, rightTs: Attribute,
+    direction: String = "backward") extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -81,10 +99,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       "as-of key/ts attributes must be direct child outputs")
     val nRight = right.output.size
     val outAttrs = output
+    val dir = direction
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joiner = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(nRight)
+      val trackBest = dir != "forward"     // backward/nearest keep the ≤ row
+      val consumeEq = dir != "forward"     // forward stops AT rt == lt (it matches)
       new Iterator[InternalRow] {
         // one lookahead right row (not yet consumed) + one buffered
         // best-so-far per current key — the O(1) merge state
@@ -106,8 +127,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             else {
               val rKey = rNext.getLong(rk)
               val rTime = rNext.getLong(rt)
-              if (rKey < lKey || (rKey == lKey && rTime <= lTime)) {
-                if (rKey == lKey) {
+              val consume = rKey < lKey ||
+                (rKey == lKey && (if (consumeEq) rTime <= lTime else rTime < lTime))
+              if (consume) {
+                if (rKey == lKey && trackBest) {
                   // iterator rows are reused buffers — copy the keeper
                   best = rNext.copy(); bestKey = rKey
                 }
@@ -115,7 +138,25 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               } else scanning = false
             }
           }
-          proj(joiner(l, if (best != null && bestKey == lKey) best else nullRight))
+          val backRow = if (best != null && bestKey == lKey) best else null
+          // the stopped-at lookahead is the forward candidate when it
+          // shares the key (its rt is ≥/> lt by the stop rule)
+          val fwdRow =
+            if (rNext != null && !rNext.isNullAt(rk) && rNext.getLong(rk) == lKey) rNext
+            else null
+          val m = dir match {
+            case "backward" => backRow
+            case "forward" => fwdRow
+            case _ =>
+              if (backRow == null) fwdRow
+              else if (fwdRow == null) backRow
+              else {
+                val db = lTime - backRow.getLong(rt) // ≥ 0
+                val df = fwdRow.getLong(rt) - lTime  // > 0
+                if (df < db) fwdRow else backRow     // tie → backward
+              }
+          }
+          proj(joiner(l, if (m != null) m else nullRight))
         }
       }
     }

@@ -554,6 +554,40 @@ object EventQueries {
         (col("p_tus") - col("c_tus")).as("gap_us"))
   }
 
+  /** The native as-of operator in its other two directions — FORWARD
+    * (earliest click at-or-after each purchase: the "next touch" join)
+    * and NEAREST (closer of past/future, ties to the past) — emitted
+    * side by side for every purchase. Same
+    * [[graft.plans.AsOfJoinExec]] streaming merge as
+    * [[eventsAsofNative]]: direction changes only the per-row
+    * keep/stop rule, not the plan (one key exchange + sort per side,
+    * O(1) merge state, each side scanned once per direction). The
+    * oracle states both directions as correlated MIN/MAX subqueries
+    * plus the tie-to-backward CASE — declarative semantics checked
+    * against the imperative merge. */
+  def eventsAsofDirections(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.core.QueryCaches.track(
+      events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("tus")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event"), col("tus").as("p_tus"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tus").as("c_tus"))
+    val fwd = graft.ext.AsOfJoin.asOfNative(purchases, clicks,
+        "user_id", "c_user", "p_tus", "c_tus", direction = "forward")
+      .select(col("user_id"), col("p_event"), col("p_tus"),
+        col("c_tus").as("next_click_tus"))
+    val near = graft.ext.AsOfJoin.asOfNative(purchases, clicks,
+        "user_id", "c_user", "p_tus", "c_tus", direction = "nearest")
+      .select(col("user_id"), col("p_event"),
+        col("c_tus").as("nearest_click_tus"))
+    fwd.join(near, Seq("user_id", "p_event"))
+      .select(col("user_id"), col("p_event"), col("p_tus"),
+        col("next_click_tus"), col("nearest_click_tus"),
+        (col("nearest_click_tus") - col("p_tus")).as("nearest_gap_us"))
+  }
+
   /** Robust daily-volume outliers — median absolute deviation instead
     * of [[eventsSpikes]]' trailing mean, because one genuine spike in
     * the trailing window masks the next one (the classic robustness
@@ -1532,6 +1566,7 @@ object EventQueries {
     "events_abtest" -> (eventsAbtest _),
     "events_survival" -> (eventsSurvival _),
     "events_forecast_eval" -> (eventsForecastEval _),
+    "events_asof_directions" -> (eventsAsofDirections _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_kmv_distinct" -> (eventsKmvDistinct _),
     "events_hll_distinct" -> (eventsHllDistinct _),
@@ -1687,6 +1722,28 @@ object EventQueries {
         |SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS step1_users,
         |       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS step2_users,
         |       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS step3_users""".stripMargin,
+    "events_asof_directions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |           FROM events),
+        |p AS (SELECT user_id, event_id AS p_event, tus AS p_tus FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, tus AS c_tus FROM e WHERE event_type = 'click'),
+        |m AS (SELECT p.user_id, p.p_event, p.p_tus,
+        |        (SELECT MAX(c.c_tus) FROM c
+        |         WHERE c.user_id = p.user_id AND c.c_tus <= p.p_tus) AS back_tus,
+        |        (SELECT MIN(c.c_tus) FROM c
+        |         WHERE c.user_id = p.user_id AND c.c_tus >= p.p_tus) AS next_click_tus
+        |      FROM p)
+        |SELECT user_id, p_event, p_tus, next_click_tus,
+        |  CASE WHEN back_tus IS NULL THEN next_click_tus
+        |       WHEN next_click_tus IS NULL THEN back_tus
+        |       WHEN next_click_tus - p_tus < p_tus - back_tus THEN next_click_tus
+        |       ELSE back_tus END AS nearest_click_tus,
+        |  CASE WHEN back_tus IS NULL THEN next_click_tus
+        |       WHEN next_click_tus IS NULL THEN back_tus
+        |       WHEN next_click_tus - p_tus < p_tus - back_tus THEN next_click_tus
+        |       ELSE back_tus END - p_tus AS nearest_gap_us
+        |FROM m""".stripMargin,
     "events_asof_native" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
         |           FROM events),

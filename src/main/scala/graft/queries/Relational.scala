@@ -1167,6 +1167,42 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** Partition-layout skew audit — the write-side planning question
+    * beside q_zorder's read-side one: before committing a table layout,
+    * measure how evenly each candidate partitioning spreads rows. Three
+    * 32-way strategies over orders — key-mod on the customer (the
+    * natural join key, inherits customer hot spots), key-mod on the
+    * order id (a synthetic round-robin — the uniform reference), and
+    * calendar month (the operational favorite, inherits seasonality;
+    * NOT 32-way, which is the point — month count is data-determined).
+    * Per strategy: bucket count, min/max/avg rows and the milli skew
+    * ratio max/avg — the number that predicts straggler tasks and
+    * oversized files at write time. All integer (avg enters as an
+    * exact count product: 1000·max·n_buckets div total). One scan,
+    * three map-side-combined aggregates over ≤ hundreds of groups —
+    * the audit costs a fraction of the write it de-risks, at any
+    * scale. The deliberately engine-portable "hash" is key mod N
+    * (Murmur3 vs DuckDB's hash differ; the SKEW MEASUREMENT, not the
+    * hash function, is what this query verifies). */
+  def qPartitionSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = graft.core.QueryCaches.track(
+      load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")))
+    def audit(bucket: org.apache.spark.sql.Column, name: String): DataFrame =
+      o.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
+        .groupBy(lit(name).as("strategy"))
+        .agg(count(lit(1)).as("n_buckets"),
+          min(col("n")).as("min_rows"), max(col("n")).as("max_rows"),
+          sum(col("n")).as("total_rows"))
+        .select(col("strategy"), col("n_buckets"), col("min_rows"), col("max_rows"),
+          expr("total_rows div n_buckets").as("avg_rows"),
+          expr("CAST((1000 * max_rows * n_buckets) div total_rows AS BIGINT)")
+            .as("skew_milli"))
+    audit(pmod(col("o_custkey"), lit(32L)), "mod_custkey")
+      .unionAll(audit(pmod(col("o_orderkey"), lit(32L)), "mod_orderkey"))
+      .unionAll(audit(expr("date_trunc('month', o_orderdate)"), "by_month"))
+  }
+
   /** Sketch-based join-cardinality estimation — the optimizer-stats
     * story as a first-class query: a KMV/θ-sketch over the DISTINCT
     * join-key universe (orders ∪ lineitem orderkeys) picks θ = the
@@ -1221,6 +1257,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_exists_rewrite" -> (qExistsRewrite _),
     "q_join_card_est" -> (qJoinCardEst _),
+    "q_partition_skew" -> (qPartitionSkew _),
     "q_erasure_manifest" -> (qErasureManifest _),
     "q_bitmap_index" -> (qBitmapIndex _),
     "q_table_checksum" -> (qTableChecksum _),
@@ -1283,6 +1320,28 @@ object Relational {
         |  AND NOT EXISTS (
         |    SELECT 1 FROM orders o2
         |    WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 400000)""".stripMargin,
+    "q_partition_skew" ->
+      """WITH a1 AS (SELECT o_custkey % 32 AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+        |            FROM orders GROUP BY 1),
+        |a2 AS (SELECT o_orderkey % 32 AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM orders GROUP BY 1),
+        |a3 AS (SELECT date_trunc('month', o_orderdate) AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT 'mod_custkey' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    MIN(n) AS min_rows, MAX(n) AS max_rows, CAST(SUM(n) AS BIGINT) AS total_rows
+        |  FROM a1
+        |  UNION ALL
+        |  SELECT 'mod_orderkey', CAST(COUNT(*) AS BIGINT), MIN(n), MAX(n),
+        |    CAST(SUM(n) AS BIGINT) FROM a2
+        |  UNION ALL
+        |  SELECT 'by_month', CAST(COUNT(*) AS BIGINT), MIN(n), MAX(n),
+        |    CAST(SUM(n) AS BIGINT) FROM a3)
+        |SELECT strategy, n_buckets, min_rows, max_rows,
+        |  total_rows // n_buckets AS avg_rows,
+        |  (1000 * max_rows * n_buckets) // total_rows AS skew_milli
+        |FROM s""".stripMargin,
     "q_join_card_est" ->
       """WITH f_o AS (SELECT o_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS f_o
         |             FROM orders GROUP BY 1),

@@ -720,6 +720,51 @@ object GraftStream {
       }
   }
 
+  /** Streaming strict-order funnel — the real-time twin of
+    * [[graft.queries.EventQueries.eventsFunnel3]]: per user, state is
+    * the three first-qualifying timestamps (t1 = first view; t2 =
+    * first click in (t1, t1+w]; t3 = first purchase in (t2, t2+w]);
+    * each stage ADVANCE emits (user, stage, ts) exactly once. Because
+    * the batch query takes per-stage MINIMUM times, a time-ordered
+    * fold reaches the identical (t1, t2, t3) — the first qualifying
+    * event in ts order IS the min — so a time-ordered feed's stage
+    * counts equal the batch funnel bit-exactly (StreamingSpec parity).
+    * Within a trigger rows are sorted by (ts, type); cross-trigger
+    * late events older than an already-set stage cannot qualify (every
+    * window is strictly after the prior stage), so no watermark is
+    * needed and state is three longs per user, bounded forever. */
+  def funnelUpdates(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, windowUs: Long = 86400000000L): Dataset[(Long, Int, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(userCol).cast("long").as("u"),
+      col(typeCol).cast("string").as("e"), col(tsCol).cast("long").as("ts"))
+      .as[(Long, String, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (t1, t2, t3) = state.getOption.getOrElse((0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, e, ts) =>
+            e match {
+              case "view" if t1 == 0L =>
+                t1 = ts; out += ((user, 1, ts))
+              case "click" if t1 != 0L && t2 == 0L &&
+                  ts > t1 && ts <= t1 + windowUs =>
+                t2 = ts; out += ((user, 2, ts))
+              case "purchase" if t2 != 0L && t3 == 0L &&
+                  ts > t2 && ts <= t2 + windowUs =>
+                t3 = ts; out += ((user, 3, ts))
+              case _ => ()
+            }
+          }
+          state.update((t1, t2, t3))
+          out.iterator
+      }
+  }
+
   /** Streaming inactivity-gap feed — the unbounded producer for
     * [[graft.queries.EventQueries.eventsSurvival]]'s Kaplan-Meier
     * curve: per user, state is ONE long (the latest event ts); each

@@ -1322,6 +1322,40 @@ class PlanSpec extends AnyFunSuite {
       s"native ${native.take(3)} vs composed ${composed.take(3)}")
   }
 
+  test("asOfNative directions: forward/nearest match a brute-force oracle incl. ties and misses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // crafted edges: exact-ts tie (25), equidistant pair (40 between 30
+    // and 50), key with no rights (3), left before any right (k=2 t=5)
+    val leftRows = Seq((1L, 10L), (1L, 25L), (1L, 40L), (2L, 5L), (2L, 100L), (3L, 7L))
+    val rightRows = Seq((1L, 25L, 250L), (1L, 30L, 300L), (1L, 50L, 500L),
+      (2L, 60L, 600L), (2L, 100L, 1000L))
+    val l = leftRows.toDF("k", "t")
+    val r = rightRows.toDF("rk", "rt", "rv")
+    def brute(dir: String): Seq[(Long, Long, Option[Long])] =
+      leftRows.map { case (k, t) =>
+        val cands = rightRows.filter(_._1 == k)
+        val back = cands.filter(_._2 <= t).sortBy(_._2).lastOption
+        val fwd = cands.filter(_._2 >= t).sortBy(_._2).headOption
+        val m = dir match {
+          case "forward" => fwd
+          case "nearest" => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (f._2 - t < t - b._2) Some(f) else Some(b) // tie → backward
+            case (b, f) => b.orElse(f)
+          }
+        }
+        (k, t, m.map(_._3))
+      }.sorted
+    for (dir <- Seq("forward", "nearest")) {
+      val got = graft.ext.AsOfJoin.asOfNative(l, r, "k", "rk", "t", "rt", dir)
+        .select(col("k"), col("t"), col("rv"))
+        .collect().map(row => (row.getLong(0), row.getLong(1),
+          if (row.isNullAt(2)) None else Some(row.getLong(2)))).toSeq.sorted
+      assert(got == brute(dir), s"direction=$dir: got $got expected ${brute(dir)}")
+    }
+  }
+
   test("asOfNative: shared-lineage sides (duplicate exprIds) re-alias — right values stay right") {
     // r10 advice: without the guard, a self-join lineage binds right
     // references to the FIRST (left) attribute — right columns silently

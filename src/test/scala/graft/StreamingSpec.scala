@@ -963,6 +963,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty && got == batch, s"stream $got\nbatch $batch")
   }
 
+  test("streaming strict funnel: stage counts across time-split triggers equal batch events_funnel3") {
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val ev = graft.queries.Tables.loadEvents(spark, dir)
+      .selectExpr("user_id", "event_type", "ts div 1000 AS tus")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._3)
+    val in = MemoryStream[(Long, String, Long)]
+    val rows = new ConcurrentLinkedQueue[(Long, Int, Long)]()
+    val q = GraftStream.funnelUpdates(
+        in.toDF().toDF("user_id", "event_type", "tus"), "user_id", "event_type", "tus")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Int, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    val (first, second) = ev.splitAt(ev.length / 2)
+    in.addData(first.toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(second.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = rows.toArray.map(_.asInstanceOf[(Long, Int, Long)])
+    // each (user, stage) advances at most once, ever
+    assert(emitted.groupBy(e => (e._1, e._2)).forall(_._2.length == 1))
+    val gotCounts = (1 to 3).map(s => emitted.count(_._2 == s).toLong)
+    val b = graft.queries.EventQueries.eventsFunnel3(spark, dir).head()
+    graft.core.QueryCaches.release()
+    val batchCounts = Seq(b.getLong(0), b.getLong(1), b.getLong(2))
+    assert(batchCounts.head > 0 && gotCounts == batchCounts,
+      s"stream $gotCounts vs batch $batchCounts")
+  }
+
   test("streaming gap feed: closed gaps across two time-split triggers equal the batch lead-window gaps") {
     implicit val sq = spark.sqlContext
     val dir = "/root/testdata/sf0.01"
