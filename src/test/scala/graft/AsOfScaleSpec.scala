@@ -45,6 +45,35 @@ class AsOfScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("1M generated events: forward direction == backward on the time-reversed axis") {
+    // Duality property: the earliest rt ≥ lt on axis t is exactly the
+    // latest (−rt) ≤ (−lt) on axis −t — so forward must agree with
+    // backward run on negated timestamps, at scale, including misses.
+    // An independent check of the direction logic that reuses the
+    // already-proven backward merge as its own oracle.
+    val e = gen(1000000L).persist()
+    try {
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event"), col("tus").as("p_tus"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("tus").as("c_tus"))
+      val fwd = graft.ext.AsOfJoin.asOfNative(purchases, clicks,
+          "user_id", "c_user", "p_tus", "c_tus", direction = "forward")
+        .select(col("user_id"), col("p_event"), coalesce(col("c_tus"), lit(-1L)))
+      val rev = graft.ext.AsOfJoin.asOfNative(
+          purchases.withColumn("np_tus", -col("p_tus")),
+          clicks.withColumn("nc_tus", -col("c_tus")),
+          "user_id", "c_user", "np_tus", "nc_tus")
+        .select(col("user_id"), col("p_event"), coalesce(col("c_tus"), lit(-1L)))
+      assert(fwd.exceptAll(rev).isEmpty && rev.exceptAll(fwd).isEmpty,
+        "forward and time-reversed backward disagree at 1M rows")
+      assert(fwd.count() > 50000L)
+    } finally {
+      e.unpersist()
+      graft.core.QueryCaches.release()
+    }
+  }
+
   test("8M generated events: native as-of completes with full match accounting") {
     val t0 = System.nanoTime()
     val e = gen(8000000L)
