@@ -789,6 +789,63 @@ object EventQueries {
         col("value"))
   }
 
+  /** RFM segmentation — the classic customer-value grid (recency /
+    * frequency / monetary) as an exact integer pipeline: per user, R =
+    * days since last event, F = event count, M = floor-cents of
+    * purchase value (floor(v·100) is the one double op, identical in
+    * both engines); each metric quintile-bands by the
+    * [[eventsQuantiles]] rank-selection idiom — the 4 boundary VALUES
+    * at exact ranks 1+((n−1)·q div 5), then band = 1 + Σ (v > bᵢ) by
+    * comparison, so tied users always land in the same band
+    * (value-determined, no rank ties to arbitrate) — and the output is
+    * the segment grid rollup (≤125 rows) with user counts and summed
+    * F/M. Scale: one corpus pass to per-user metrics; the melt is
+    * 3×|users|; the ranked window partitions by metric (3 partitions
+    * of user-scaled rows — at warehouse scale swap the boundary step
+    * for [[graft.ext.SkewOps.globalNtile]]'s approx-quantile banding,
+    * same comparison-banding downstream); boundaries broadcast. */
+  def eventsRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.core.QueryCaches.track(
+      events(spark, sfDir)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+          col("event_type"), col("value")))
+    val edge = e.agg(max(col("day")).as("d1"))
+    val rfm = graft.core.QueryCaches.track(
+      e.crossJoin(broadcast(edge))
+        .groupBy(col("user_id"))
+        .agg((max(col("d1")) - max(col("day"))).as("r"),
+          count(lit(1)).as("f"),
+          sum(when(col("event_type") === "purchase",
+            expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)).as("m")))
+    val melt = graft.core.QueryCaches.track(
+      rfm.selectExpr("user_id", "stack(3, 'R', r, 'F', f, 'M', m) AS (metric, v)"))
+    val n = melt.groupBy(col("metric")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("metric")).orderBy(col("v"), col("user_id"))
+    val bounds = melt.withColumn("rk", row_number().over(w).cast("bigint"))
+      .join(broadcast(n), "metric")
+      .filter((col("rk") === expr("1 + ((n - 1) * 1) div 5")) ||
+        (col("rk") === expr("1 + ((n - 1) * 2) div 5")) ||
+        (col("rk") === expr("1 + ((n - 1) * 3) div 5")) ||
+        (col("rk") === expr("1 + ((n - 1) * 4) div 5")))
+      .groupBy(col("metric"))
+      // a boundary value can repeat at several quantile ranks — the
+      // band-by-comparison sum must still count it once per RANK, so
+      // keep the multiset (no distinct) sorted
+      .agg(sort_array(collect_list(col("v"))).as("bs"))
+    val banded = melt.join(broadcast(bounds), "metric")
+      .select(col("user_id"), col("metric"),
+        (lit(1L) + expr("aggregate(bs, CAST(0 AS BIGINT), " +
+          "(acc, b) -> acc + CASE WHEN v > b THEN 1 ELSE 0 END)")).as("band"))
+    banded.groupBy(col("user_id"))
+      .agg(max(when(col("metric") === "R", col("band"))).as("r_band"),
+        max(when(col("metric") === "F", col("band"))).as("f_band"),
+        max(when(col("metric") === "M", col("band"))).as("m_band"))
+      .join(rfm, "user_id")
+      .groupBy(col("r_band"), col("f_band"), col("m_band"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("f")).as("sum_f"), sum(col("m")).as("sum_m_cents"))
+  }
+
   /** Within-60s event-type co-occurrence — the banded RANGE JOIN
     * pattern: the naive form is an inequality self-join (quadratic
     * nested loop); the scale form buckets time into 60-s bands and
@@ -1567,6 +1624,7 @@ object EventQueries {
     "events_survival" -> (eventsSurvival _),
     "events_forecast_eval" -> (eventsForecastEval _),
     "events_asof_directions" -> (eventsAsofDirections _),
+    "events_rfm" -> (eventsRfm _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_kmv_distinct" -> (eventsKmvDistinct _),
     "events_hll_distinct" -> (eventsHllDistinct _),
@@ -1610,6 +1668,42 @@ object EventQueries {
         |  FROM km JOIN series ON series.rn = km.rn + 1)
         |SELECT series.t, series.n_risk, series.n_churn, km.s AS s_micro
         |FROM series JOIN km ON km.rn = series.rn""".stripMargin,
+    "events_rfm" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |             event_type, value FROM events),
+        |edge AS (SELECT MAX(day) AS d1 FROM e),
+        |rfm AS (SELECT user_id,
+        |          CAST(MAX(d1) - MAX(day) AS BIGINT) AS r,
+        |          CAST(COUNT(*) AS BIGINT) AS f,
+        |          CAST(SUM(CASE WHEN event_type = 'purchase'
+        |                   THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m
+        |        FROM e, edge GROUP BY user_id),
+        |melt AS (SELECT user_id, 'R' AS metric, r AS v FROM rfm
+        |         UNION ALL SELECT user_id, 'F', f FROM rfm
+        |         UNION ALL SELECT user_id, 'M', m FROM rfm),
+        |n_t AS (SELECT metric, CAST(COUNT(*) AS BIGINT) AS n FROM melt GROUP BY 1),
+        |rk_t AS (SELECT melt.*, n,
+        |           CAST(row_number() OVER (PARTITION BY melt.metric
+        |             ORDER BY v, user_id) AS BIGINT) AS rk
+        |         FROM melt JOIN n_t USING (metric)),
+        |bounds AS (SELECT metric, list_sort(list(v)) AS bs FROM rk_t
+        |           WHERE rk = 1 + ((n - 1) * 1) // 5 OR rk = 1 + ((n - 1) * 2) // 5
+        |              OR rk = 1 + ((n - 1) * 3) // 5 OR rk = 1 + ((n - 1) * 4) // 5
+        |           GROUP BY metric),
+        |banded AS (SELECT user_id, metric,
+        |             1 + list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(bs, b -> CAST(CASE WHEN v > b THEN 1 ELSE 0 END AS BIGINT))),
+        |               (a, b) -> a + b) AS band
+        |           FROM melt JOIN bounds USING (metric)),
+        |seg AS (SELECT user_id,
+        |          MAX(CASE WHEN metric = 'R' THEN band END) AS r_band,
+        |          MAX(CASE WHEN metric = 'F' THEN band END) AS f_band,
+        |          MAX(CASE WHEN metric = 'M' THEN band END) AS m_band
+        |        FROM banded GROUP BY user_id)
+        |SELECT r_band, f_band, m_band, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(SUM(f) AS BIGINT) AS sum_f, CAST(SUM(m) AS BIGINT) AS sum_m_cents
+        |FROM seg JOIN rfm USING (user_id)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "events_forecast_eval" ->
       """WITH d AS (SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
         |             CAST(COUNT(*) AS BIGINT) AS c
