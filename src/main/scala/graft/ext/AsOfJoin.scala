@@ -121,7 +121,8 @@ object AsOfJoin {
   def asOfNative(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -146,6 +147,6 @@ object AsOfJoin {
     org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
       graft.plans.AsOfJoinPlan(lp, rp,
         attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTs), attr(rp, rightTs),
-        direction))
+        direction, tolerance))
   }
 }

@@ -33,6 +33,11 @@ import org.apache.spark.sql.types.LongType
   *   - `nearest`: closer of the two, ties to backward (deterministic;
   *     a tie means equidistant strict-past and strict-future rows).
   *
+  * `tolerance` (optional, in the ts columns' own units) bounds the
+  * match gap |lt − rt| — the `merge_asof(tolerance=)` contract. It is
+  * applied per CANDIDATE before the nearest choice, so an
+  * out-of-window past row never shadows an in-window future one.
+  *
   * Both key and ts must be non-null LONG attributes (the engine's
   * canonical id/µs types); null key or ts left rows emit as misses,
   * null right rows never match. Output ordering (key, ts) is
@@ -42,11 +47,13 @@ import org.apache.spark.sql.types.LongType
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
-    direction: String = "backward") extends BinaryNode {
+    direction: String = "backward",
+    tolerance: Option[Long] = None) extends BinaryNode {
   require(Seq(leftKey, rightKey, leftTs, rightTs).forall(_.dataType == LongType),
     "asOfNative requires LONG key and ts columns on both sides")
   require(AsOfJoinExec.Directions.contains(direction),
     s"asOfNative direction must be one of ${AsOfJoinExec.Directions.mkString("/")}, got '$direction'")
+  require(tolerance.forall(_ >= 0L), "asOfNative tolerance must be >= 0")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -58,8 +65,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * spark.sql.extensions → graft.sql.GraftExtensions. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -71,7 +78,8 @@ object AsOfJoinExec {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
-    direction: String = "backward") extends BinaryExecNode {
+    direction: String = "backward",
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -100,6 +108,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val nRight = right.output.size
     val outAttrs = output
     val dir = direction
+    // tolerance = max |lt − rt| a match may span (merge_asof contract);
+    // candidates beyond it are nulled out BEFORE the nearest choice, so
+    // an out-of-window past row never shadows an in-window future one
+    val tol = tolerance.getOrElse(Long.MaxValue)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joiner = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -138,12 +150,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               } else scanning = false
             }
           }
-          val backRow = if (best != null && bestKey == lKey) best else null
+          val backRow0 = if (best != null && bestKey == lKey) best else null
+          val backRow =
+            if (backRow0 != null && lTime - backRow0.getLong(rt) <= tol) backRow0 else null
           // the stopped-at lookahead is the forward candidate when it
           // shares the key (its rt is ≥/> lt by the stop rule)
-          val fwdRow =
+          val fwdRow0 =
             if (rNext != null && !rNext.isNullAt(rk) && rNext.getLong(rk) == lKey) rNext
             else null
+          val fwdRow =
+            if (fwdRow0 != null && fwdRow0.getLong(rt) - lTime <= tol) fwdRow0 else null
           val m = dir match {
             case "backward" => backRow
             case "forward" => fwdRow

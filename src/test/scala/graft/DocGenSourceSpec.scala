@@ -44,6 +44,28 @@ class DocGenSourceSpec extends AnyFunSuite {
     assert(agg.getLong(0) > 990000L, s"distinct fps: ${agg.getLong(0)}")
   }
 
+  test("scale smoke: char-entropy bound kernel over 1M generated docs, one codegen pass") {
+    // the text_entropy hot path at 2000x the oracle corpus: one kernel
+    // call per doc inside the scan projection — a per-char explode at
+    // this size would shuffle ~10^8 rows; the kernel shuffles zero.
+    val t0 = System.nanoTime()
+    val d = docs(1000000L, 32)
+    val e = graft.functions.HashExprs.charEntropyBound(col("text"))
+    val agg = d.select(e.getItem(0).as("n"), e.getItem(2).as("bits"))
+      .agg(count(lit(1)).as("rows"), sum(col("n")).as("chars"),
+        sum(col("bits")).as("bits"),
+        min(expr("(1000 * bits) div n")).as("lo_mbpc"),
+        max(expr("(1000 * bits) div n")).as("hi_mbpc")).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(agg.getLong(0) == 1000000L)
+    // generator prose must land in a sane bits-per-char band: above a
+    // repetition wall (0), below the log2(distinct-chars) ceiling
+    assert(agg.getLong(3) >= 1000L && agg.getLong(4) <= 6000L,
+      s"milli-bits/char band [${agg.getLong(3)}, ${agg.getLong(4)}]")
+    info(f"1M docs (${agg.getLong(1)} chars) entropy-bounded in $secs%.1f s")
+    assert(secs < 120, f"kernel pass must stay bounded, took $secs%.1f s")
+  }
+
   test("scale smoke: Gopher rule bundle (incl. modal-bigram kernel) over 1M generated docs") {
     // The whole per-row rule suite at 100x oracle scale: proves the
     // linear modalNgramCount kernel and the in-row line/length/stopword

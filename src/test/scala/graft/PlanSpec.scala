@@ -1354,6 +1354,25 @@ class PlanSpec extends AnyFunSuite {
           if (row.isNullAt(2)) None else Some(row.getLong(2)))).toSeq.sorted
       assert(got == brute(dir), s"direction=$dir: got $got expected ${brute(dir)}")
     }
+    // tolerance: per-candidate window — (k=1, t=40) has back 30 (gap 10)
+    // and fwd 50 (gap 10): tol=5 nulls both; tol=10 keeps the backward
+    // tie-winner. (k=2, t=5)'s only candidate (60, gap 55) dies at tol=10,
+    // and critically NEAREST at (k=2, t=100) keeps its exact match.
+    val tol = graft.ext.AsOfJoin.asOfNative(l, r, "k", "rk", "t", "rt",
+        "nearest", tolerance = Some(10L))
+      .select(col("k"), col("t"), col("rv"))
+      .collect().map(row => (row.getLong(0), row.getLong(1),
+        if (row.isNullAt(2)) None else Some(row.getLong(2)))).toSeq.sorted
+    assert(tol == Seq((1L, 10L, None), (1L, 25L, Some(250L)), (1L, 40L, Some(300L)),
+      (2L, 5L, None), (2L, 100L, Some(1000L)), (3L, 7L, None)), s"tolerance: $tol")
+    // out-of-window past must not shadow an in-window future: backward
+    // 25 is 15 away from t=40, forward 50 is 10 away — tol=12 must pick 50
+    val shadow = graft.ext.AsOfJoin.asOfNative(
+        Seq((9L, 40L)).toDF("k", "t"),
+        Seq((9L, 25L, 1L), (9L, 50L, 2L)).toDF("rk", "rt", "rv"),
+        "k", "rk", "t", "rt", "nearest", tolerance = Some(12L))
+      .select(col("rv")).head()
+    assert(shadow.getLong(0) == 2L, s"tolerance must filter candidates pre-choice")
   }
 
   test("asOfNative: shared-lineage sides (duplicate exprIds) re-alias — right values stay right") {
