@@ -748,6 +748,11 @@ object GraftStream {
           var (t1, t2, t3) = state.getOption.getOrElse((0L, 0L, 0L))
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
           rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, e, ts) =>
+            // 0 is the unset-stage sentinel; a ts of exactly 0 would be
+            // indistinguishable from it — state the contract (epoch-µs
+            // event times are positive) instead of corrupting state
+            require(ts > 0L,
+              s"funnelUpdates: ts must be positive (0 is the unset sentinel) — got $ts")
             e match {
               case "view" if t1 == 0L =>
                 t1 = ts; out += ((user, 1, ts))

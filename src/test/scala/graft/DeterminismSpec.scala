@@ -45,7 +45,15 @@ class DeterminismSpec extends AnyFunSuite {
     "curate_gopher",     // modal-ngram kernel + in-row rules
     "sim_incremental_ivf", // broadcast argmax assignment + cell join
     "q_binpack",         // ordered cumsum bin assignment
-    "mm_scene_cuts")     // per-row frame histograms
+    "mm_scene_cuts",     // per-row frame histograms
+    // round-11 additions with partitioning-sensitive machinery:
+    "events_survival",   // collected-series HOF product fold
+    "sim_mmr",           // 4-stage greedy argmax windows with tiebreaks
+    "dedup_band_sweep",  // three banded joins over one persisted signature
+    "events_rfm",        // rank-selected quantile boundaries + band compare
+    "q_join_card_est",   // global K-smallest order statistic
+    "events_asof_directions", // streaming-merge exec both directions
+    "events_acf")        // spine explode + 7-lag self-join
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
