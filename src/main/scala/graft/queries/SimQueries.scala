@@ -107,6 +107,37 @@ object SimQueries {
       .withColumn("recall", col("n_found").cast("double") / col("n_truth"))
   }
 
+  /** SRP bit-width sweep — [[simRecallReport]] measures ONE config;
+    * this sweeps the ANN knob the way [[graft.queries.DedupQueries
+    * .dedupBandSweep]] sweeps the LSH bands: 2/4/6 SRP bits against
+    * the SAME brute-force truth (one broadcast pass, persisted — the
+    * expensive relation is shared across configs), reporting per
+    * config the aggregate recall@10 in milli units plus the expected
+    * candidate volume (corpus÷2^bits per query — the cost axis the
+    * recall trades against). Fewer bits → bigger buckets → higher
+    * recall and more cosine evaluations; the row a deployment reads to
+    * pick its operating point. All integers under the hash. */
+  def simAnnSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
+    val truth = graft.core.QueryCaches.track(
+      SimOps.topkBrute(corpus, querySet(e), 10).select(col("q_id"), col("vec_id")))
+    def cfg(bits: Int): DataFrame =
+      truth.join(
+          SimOps.topkLsh(corpus, querySet(e), 10, bits)
+            .select(col("q_id").as("a_q"), col("vec_id").as("a_v")),
+          col("q_id") === col("a_q") && col("vec_id") === col("a_v"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("a_v").isNotNull, 1L).otherwise(0L)).as("n_found"))
+        .crossJoin(broadcast(nCorpus))
+        .select(lit(bits.toLong).as("bits"), col("n_truth"), col("n_found"),
+          expr("CAST((1000 * n_found) div n_truth AS BIGINT)").as("recall_milli"),
+          expr(s"n_corpus div CAST(shiftleft(1, $bits) AS BIGINT)")
+            .as("exp_candidates_per_q"))
+    cfg(2).unionByName(cfg(4)).unionByName(cfg(6))
+  }
+
   /** Embedding near-duplicate pairs: corpus ∪ planted exact copies
     * (vec_id+1e6), bucketed by 16-bit SRP — identical vectors collide
     * with probability 1 — then cosine ≥ 0.999 verification inside
@@ -1214,6 +1245,7 @@ object SimQueries {
     "sim_triangles" -> (simTriangles _),
     "sim_link_predict" -> (simLinkPredict _),
     "sim_mmr" -> (simMmr _),
+    "sim_ann_sweep" -> (simAnnSweep _),
     "sim_label_prop" -> (simLabelProp _),
     "sim_pagerank" -> (simPagerank _),
     "sim_bucket_hist" -> (simBucketHist _),
@@ -1927,6 +1959,37 @@ object SimQueries {
          |  CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
          |FROM t LEFT JOIN l ON t.q_id = l.q_id AND t.vec_id = l.vec_id
          |GROUP BY t.q_id""".stripMargin,
+    "sim_ann_sweep" -> {
+      def cfg(bits: Int): String =
+        s"""bc_$bits AS (SELECT vec_id, embedding, ${srpSql("embedding", bits)} AS bucket
+           |          FROM embeddings),
+           |bq_$bits AS (SELECT vec_id AS q_id, embedding AS q_vec,
+           |            ${srpSql("embedding", bits)} AS bucket
+           |          FROM embeddings WHERE vec_id % 100 = 0),
+           |ls_$bits AS (SELECT q_id, vec_id, ${cosSql("embedding", "q_vec")} AS cos
+           |          FROM bc_$bits JOIN bq_$bits USING (bucket) WHERE vec_id <> q_id),
+           |l_$bits AS (SELECT q_id, vec_id FROM ls_$bits
+           |          QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10),
+           |r_$bits AS (SELECT CAST($bits AS BIGINT) AS bits,
+           |            CAST(COUNT(*) AS BIGINT) AS n_truth,
+           |            CAST(SUM(CASE WHEN l_$bits.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+           |          FROM t LEFT JOIN l_$bits
+           |            ON t.q_id = l_$bits.q_id AND t.vec_id = l_$bits.vec_id)""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 100 = 0),
+         |bscored AS (SELECT q_id, vec_id, ${cosSql("embedding", "q_vec")} AS cos
+         |            FROM embeddings, q WHERE vec_id <> q_id),
+         |t AS (SELECT q_id, vec_id FROM bscored
+         |      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings),
+         |${cfg(2)},
+         |${cfg(4)},
+         |${cfg(6)},
+         |allr AS (SELECT * FROM r_2 UNION ALL SELECT * FROM r_4 UNION ALL SELECT * FROM r_6)
+         |SELECT bits, n_truth, n_found,
+         |  (1000 * n_found) // n_truth AS recall_milli,
+         |  n_corpus // CAST(2 ** bits AS BIGINT) AS exp_candidates_per_q
+         |FROM allr, nc""".stripMargin
+    },
     "sim_lsh" ->
       s"""WITH bc AS (SELECT vec_id, embedding, ${srpSql("embedding", 4)} AS bucket FROM embeddings),
          |bq AS (SELECT vec_id AS q_id, embedding AS q_vec, ${srpSql("embedding", 4)} AS bucket

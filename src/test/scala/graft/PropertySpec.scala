@@ -188,4 +188,34 @@ class PropertySpec extends AnyFunSuite {
       assert(graft.functions.HashKernels.zInterleave(a & mask, b & mask, 16) <= z)
     }
   }
+
+  test("prop: charEntropyBound equals a reference fold; bound laws hold on random strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def reference(s: String): (Long, Long, Long) = {
+      val cps = s.codePoints().toArray
+      val counts = cps.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = cps.length.toLong
+      val bound = counts.values.map(k =>
+        k * (63 - java.lang.Long.numberOfLeadingZeros(n / k))).sum
+      (n, counts.size.toLong, bound)
+    }
+    val rng = new scala.util.Random(13)
+    val alphabets = Seq("ab", "abcdefgh", "aaaaaaab", "xyζ𝄞", " etaoinshrdlu.")
+    for (_ <- 0 until 300) {
+      val alpha = alphabets(rng.nextInt(alphabets.length))
+      val cps = alpha.codePoints().toArray
+      val s = new String((0 until rng.nextInt(80)).flatMap(_ =>
+        Character.toChars(cps(rng.nextInt(cps.length)))).toArray)
+      val got = graft.functions.HashKernels.charEntropyBound(
+        UTF8String.fromString(s)).toLongArray()
+      val (n, d, bound) = reference(s)
+      assert(got.toSeq == Seq(n, d, bound), s"kernel mismatch on '$s'")
+      // entropy laws: 0 ≤ bound ≤ n·⌈log2 distinct⌉; single-char → 0
+      assert(bound >= 0L)
+      if (d > 0)
+        assert(bound <= n * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, d - 1))),
+          s"bound $bound exceeds n·ceil(log2 d) for n=$n d=$d")
+      if (d == 1) assert(bound == 0L)
+    }
+  }
 }
