@@ -224,7 +224,10 @@ object DedupQueries {
       .select(col("bands"), expr("64 div bands").as("rows_per_band"),
         col("n_candidates"), col("n_confirmed"),
         expr("CAST((1000 * n_confirmed) div n_candidates AS BIGINT)").as("precision_milli"),
-        expr("CAST((1000 * n_ref_hit) div n_ref AS BIGINT)").as("recall_vs_widest_milli"))
+        // guard: a corpus with no confirmable pairs must yield NULL
+        // recall, not an ANSI divide-by-zero
+        expr("CASE WHEN n_ref = 0 THEN NULL ELSE " +
+          "CAST((1000 * n_ref_hit) div n_ref AS BIGINT) END").as("recall_vs_widest_milli"))
   }
 
   /** SimHash signatures (30-bit, token-level): near-identical docs land
@@ -1068,7 +1071,8 @@ object DedupQueries {
          |       FROM allc GROUP BY 1)
          |SELECT st.bands, 64 // st.bands AS rows_per_band, n_candidates, n_confirmed,
          |  (1000 * n_confirmed) // n_candidates AS precision_milli,
-         |  (1000 * n_ref_hit) // n_ref AS recall_vs_widest_milli
+         |  CASE WHEN n_ref = 0 THEN NULL
+         |       ELSE (1000 * n_ref_hit) // n_ref END AS recall_vs_widest_milli
          |FROM st JOIN hits USING (bands), ref_n""".stripMargin
     },
     "dedup_near" ->
