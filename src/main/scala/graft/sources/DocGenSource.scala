@@ -37,7 +37,17 @@ class DocGenSource extends TableProvider with DataSourceRegister {
     val rows = properties.getOrDefault("rows", "1000").toLong
     new RangeGenTable(s"graft-docs($rows)", rows,
       properties.getOrDefault("partitions", "8").toInt, DocGenSource.schema,
-      id => InternalRow(id, UTF8String.fromString(DocGenSource.textFor(id))))
+      "doc_id",
+      // pruned-schema row builder: when `text` is not requested the
+      // string is never GENERATED — the whole point of column pushdown
+      // on a generator (a count/id-only scan does zero text work)
+      pruned => {
+        val fields = pruned.fieldNames.toIndexedSeq
+        id => InternalRow.fromSeq(fields.map {
+          case "doc_id" => id
+          case "text" => UTF8String.fromString(DocGenSource.textFor(id))
+        })
+      })
   }
 }
 

@@ -45,7 +45,18 @@ class EventGenSource extends TableProvider with DataSourceRegister {
     require(days >= 1, s"graft-events: days must be >= 1, got $days")
     new RangeGenTable(s"graft-events($rows)", rows,
       properties.getOrDefault("partitions", "8").toInt, EventGenSource.schema,
-      id => EventGenSource.rowFor(id, users, days))
+      "event_id",
+      // event fields all derive from ONE rng stream, so generation cost
+      // is indivisible — pruning here projects the value array (the
+      // row stays narrow on the wire; the saving is downstream width)
+      pruned => {
+        val idx = pruned.fieldNames.toIndexedSeq
+          .map(EventGenSource.schema.fieldIndex)
+        id => {
+          val full = EventGenSource.valuesFor(id, users, days)
+          InternalRow.fromSeq(idx.map(full))
+        }
+      })
   }
 }
 
@@ -67,7 +78,12 @@ object EventGenSource {
     * hash-uniform but type mix is weighted (views dominate), values
     * are mostly small with rare spikes — the shape the spike/anomaly/
     * gap-fill ops key on. */
-  def rowFor(id: Long, users: Long, days: Int): InternalRow = {
+  def rowFor(id: Long, users: Long, days: Int): InternalRow =
+    InternalRow.fromSeq(valuesFor(id, users, days).toIndexedSeq)
+
+  /** The row as a positional value array (schema order) — the pruning
+    * projection picks from it without re-deriving the rng stream. */
+  def valuesFor(id: Long, users: Long, days: Int): Array[Any] = {
     var s = id * 0x9e3779b97f4a7c15L + 0x100000001b3L
     def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
     val user = Math.floorMod(next(), users)
@@ -77,6 +93,6 @@ object EventGenSource {
       Math.floorMod(next(), 1000000000L)
     val base = Math.floorMod(next(), 10000L) / 100.0
     val value = if (Math.floorMod(next(), 50L) == 0L) base * 5.0 else base
-    InternalRow(id, ns, user, types(typ), value)
+    Array[Any](id, ns, user, types(typ), value)
   }
 }

@@ -4,20 +4,41 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Shared scaffold for the deterministic id-range generator sources
-  * ([[DocGenSource]], [[VecGenSource]]): a batch-readable table over
-  * the id range [0, rows), split into `partitions` contiguous input
-  * partitions, each materializing its rows executor-side via `rowFn` —
-  * zero storage, no driver materialization, embarrassingly parallel.
-  * `rowFn` ships inside each input partition, so it must capture only
-  * serializable values (both sources close over object methods and
-  * primitive options). */
+  * ([[DocGenSource]], [[VecGenSource]], [[EventGenSource]]): a
+  * batch-readable table over the id range [0, rows), split into
+  * `partitions` contiguous input partitions, each materializing its
+  * rows executor-side via the source's row function — zero storage, no
+  * driver materialization, embarrassingly parallel.
+  *
+  * The scan implements BOTH DSv2 pushdowns, because a generator can
+  * honor them EXACTLY — the same contracts a parquet scan offers:
+  *
+  *   - `SupportsPushDownFilters`: comparisons against the id column
+  *     narrow the generated range itself (ids ARE the values, so
+  *     `doc_id < N` is not a post-filter — rows above N are never
+  *     produced, and input partitions whose chunk falls entirely
+  *     outside the range are never planned: generator-side partition
+  *     pruning, observable as a smaller `rdd.getNumPartitions`).
+  *     Everything else is returned as residual for Spark to evaluate.
+  *   - `SupportsPushDownRequiredColumns`: the row function is built
+  *     FOR the pruned schema, so an un-requested payload column
+  *     (document text, embedding array, event row) is never generated
+  *     at all — the generator analog of parquet's column skipping, and
+  *     the reason `count(*)` over a 10^9-row generated corpus does no
+  *     string work.
+  *
+  * `rowFnFor(prunedSchema)` ships inside each input partition, so it
+  * must capture only serializable values (the sources close over
+  * object methods and primitive options). */
 private[sources] class RangeGenTable(
     tableName: String, rows: Long, partitions: Int, tschema: StructType,
-    rowFn: Long => InternalRow) extends Table with SupportsRead {
+    idCol: String, rowFnFor: StructType => Long => InternalRow)
+  extends Table with SupportsRead {
   require(rows >= 0, s"$tableName: rows must be >= 0, got $rows")
   require(partitions >= 1, s"$tableName: partitions must be >= 1, got $partitions")
   override def name(): String = tableName
@@ -25,14 +46,57 @@ private[sources] class RangeGenTable(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch
+      with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      private var lo = 0L          // inclusive
+      private var hi = rows        // exclusive
+      private var pushed: Array[Filter] = Array.empty
+      private var pruned: StructType = tschema
+
+      private def longOf(v: Any): Option[Long] = v match {
+        case n: java.lang.Number => Some(n.longValue())
+        case _ => None
+      }
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val residual = filters.filter {
+          case EqualTo(c, v) if c == idCol && longOf(v).isDefined =>
+            val x = longOf(v).get
+            lo = math.max(lo, x); hi = math.min(hi, x + 1); false
+          case GreaterThan(c, v) if c == idCol && longOf(v).isDefined =>
+            lo = math.max(lo, longOf(v).get + 1); false
+          case GreaterThanOrEqual(c, v) if c == idCol && longOf(v).isDefined =>
+            lo = math.max(lo, longOf(v).get); false
+          case LessThan(c, v) if c == idCol && longOf(v).isDefined =>
+            hi = math.min(hi, longOf(v).get); false
+          case LessThanOrEqual(c, v) if c == idCol && longOf(v).isDefined =>
+            hi = math.min(hi, longOf(v).get + 1); false
+          case _ => true
+        }
+        pushed = filters.diff(residual)
+        residual
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        pruned = requiredSchema
+
       override def build(): Scan = this
-      override def readSchema(): StructType = tschema
+      override def readSchema(): StructType = pruned
       override def toBatch: Batch = this
+      override def description(): String =
+        s"$tableName range=[$lo, $hi) pushed=${pushed.mkString(",")} " +
+          s"columns=${pruned.fieldNames.mkString(",")}"
       override def planInputPartitions(): Array[InputPartition] = {
+        // clip the ORIGINAL partition grid to the pushed range so a
+        // narrowed scan also plans fewer tasks (partition pruning), not
+        // just fewer rows per task
         val per = (rows + partitions - 1) / partitions
-        (0 until partitions).map { i =>
-          RangeGenPartition(i * per, math.min(rows, (i + 1) * per), rowFn): InputPartition
+        val fn = rowFnFor(pruned)
+        (0 until partitions).flatMap { i =>
+          val s = math.max(lo, i * per)
+          val e = math.min(hi, math.min(rows, (i + 1) * per))
+          if (s < e) Some(RangeGenPartition(s, e, fn): InputPartition) else None
         }.toArray
       }
       override def createReaderFactory(): PartitionReaderFactory = RangeGenReaderFactory()

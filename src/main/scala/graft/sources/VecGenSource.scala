@@ -42,7 +42,16 @@ class VecGenSource extends TableProvider with DataSourceRegister {
     require(dims >= 1, s"graft-vecs: dims must be >= 1, got $dims")
     new RangeGenTable(s"graft-vecs($rows x $dims)", rows,
       properties.getOrDefault("partitions", "8").toInt, VecGenSource.schema,
-      id => InternalRow(id, new GenericArrayData(VecGenSource.vecFor(id, dims))))
+      "vec_id",
+      // pruned-schema row builder: an id-only scan never materializes
+      // the `dims`-float embedding
+      pruned => {
+        val fields = pruned.fieldNames.toIndexedSeq
+        id => InternalRow.fromSeq(fields.map {
+          case "vec_id" => id
+          case "embedding" => new GenericArrayData(VecGenSource.vecFor(id, dims))
+        })
+      })
   }
 }
 

@@ -44,6 +44,44 @@ class DocGenSourceSpec extends AnyFunSuite {
     assert(agg.getLong(0) > 990000L, s"distinct fps: ${agg.getLong(0)}")
   }
 
+  test("filter pushdown: id-range predicates narrow generation and PRUNE input partitions") {
+    val df = spark.read.format("graft-docs")
+      .option("rows", 1000).option("partitions", 10).load()
+    val ranged = df.filter(col("doc_id") >= 250 && col("doc_id") < 700)
+    // exactness first: pushed range == post-hoc filter of the full scan
+    val full = df.collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(r => r._1 >= 250 && r._1 < 700).sortBy(_._1).toSeq
+    val got = ranged.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == full && got.size == 450)
+    // partition pruning: the 10×100 grid clipped to [250, 700) keeps
+    // exactly chunks 2..6 — five tasks, not ten
+    assert(ranged.rdd.getNumPartitions == 5,
+      s"expected 5 pruned partitions, got ${ranged.rdd.getNumPartitions}")
+    // point lookup plans a single task
+    val point = df.filter(col("doc_id") === 42L)
+    assert(point.rdd.getNumPartitions == 1 && point.count() == 1L)
+    // a non-id predicate stays residual and still applies
+    val residual = df.filter(col("doc_id") < 100 && col("text").contains("spark"))
+    val naive = df.collect().filter(r => r.getLong(0) < 100 && r.getString(1).contains("spark"))
+    assert(residual.count() == naive.length.toLong)
+  }
+
+  test("column pushdown: an id-only scan reads struct<doc_id> — text is never generated") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = spark.read.format("graft-docs")
+      .option("rows", 100).option("partitions", 4).load()
+    val idOnly = df.select(col("doc_id"))
+    val scans = idOnly.queryExecution.executedPlan.collectLeaves()
+      .collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("doc_id"),
+      s"scan must read only doc_id, got ${scans.head.scan.readSchema()}")
+    assert(idOnly.collect().map(_.getLong(0)).sorted.toSeq == (0L until 100L).toSeq)
+    // pruning must not disturb determinism of the surviving column
+    val prunedText = df.filter(col("doc_id") === 7L).select(col("text")).head().getString(0)
+    assert(prunedText == graft.sources.DocGenSource.textFor(7L))
+  }
+
   test("scale smoke: char-entropy bound kernel over 1M generated docs, one codegen pass") {
     // the text_entropy hot path at 2000x the oracle corpus: one kernel
     // call per doc inside the scan projection — a per-char explode at
