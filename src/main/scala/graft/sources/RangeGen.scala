@@ -4,6 +4,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -31,6 +33,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     at all — the generator analog of parquet's column skipping, and
   *     the reason `count(*)` over a 10^9-row generated corpus does no
   *     string work.
+  *   - `SupportsPushDownAggregates` (COMPLETE pushdown): an ungrouped
+  *     COUNT(*) / MIN(id) / MAX(id) is a closed-form function of the
+  *     (already filter-narrowed) range — count = hi−lo, min = lo,
+  *     max = hi−1 — so the scan answers it with ONE plan-time row and
+  *     zero generation: `count()` over a 10^12-row generator returns
+  *     instantly (the metadata-only count parquet footers give a
+  *     warehouse, stated for a generator). Spark only attempts this
+  *     after every filter is pushed, so the narrowed range is the
+  *     correct base; any other aggregate/groupBy is refused and runs
+  *     as a normal scan.
   *
   * `rowFnFor(prunedSchema)` ships inside each input partition, so it
   * must capture only serializable values (the sources close over
@@ -47,11 +59,13 @@ private[sources] class RangeGenTable(
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch
-      with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+      with SupportsPushDownAggregates {
       private var lo = 0L          // inclusive
       private var hi = rows        // exclusive
       private var pushed: Array[Filter] = Array.empty
       private var pruned: StructType = tschema
+      private var aggFns: Option[Seq[AggregateFunc]] = None
 
       private def longOf(v: Any): Option[Long] = v match {
         case n: java.lang.Number => Some(n.longValue())
@@ -81,23 +95,62 @@ private[sources] class RangeGenTable(
       override def pruneColumns(requiredSchema: StructType): Unit =
         pruned = requiredSchema
 
+      private def isIdRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+        e match {
+          case nr: NamedReference => nr.fieldNames.sameElements(Array(idCol))
+          case _ => false
+        }
+      private def canAnswer(agg: Aggregation): Boolean =
+        agg.groupByExpressions().isEmpty &&
+          agg.aggregateExpressions().forall {
+            case _: CountStar => true
+            case m: Min => isIdRef(m.column)
+            case m: Max => isIdRef(m.column)
+            case _ => false
+          }
+      override def supportCompletePushDown(agg: Aggregation): Boolean = canAnswer(agg)
+      override def pushAggregation(agg: Aggregation): Boolean =
+        if (canAnswer(agg)) { aggFns = Some(agg.aggregateExpressions().toSeq); true }
+        else false
+
       override def build(): Scan = this
-      override def readSchema(): StructType = pruned
+      override def readSchema(): StructType = aggFns match {
+        case Some(fns) => StructType(fns.zipWithIndex.map {
+          case (_: CountStar, i) =>
+            org.apache.spark.sql.types.StructField(s"count_$i",
+              org.apache.spark.sql.types.LongType, nullable = false)
+          case (_, i) =>
+            org.apache.spark.sql.types.StructField(s"minmax_$i",
+              org.apache.spark.sql.types.LongType, nullable = true)
+        })
+        case None => pruned
+      }
       override def toBatch: Batch = this
       override def description(): String =
         s"$tableName range=[$lo, $hi) pushed=${pushed.mkString(",")} " +
           s"columns=${pruned.fieldNames.mkString(",")}"
-      override def planInputPartitions(): Array[InputPartition] = {
-        // clip the ORIGINAL partition grid to the pushed range so a
-        // narrowed scan also plans fewer tasks (partition pruning), not
-        // just fewer rows per task
-        val per = (rows + partitions - 1) / partitions
-        val fn = rowFnFor(pruned)
-        (0 until partitions).flatMap { i =>
-          val s = math.max(lo, i * per)
-          val e = math.min(hi, math.min(rows, (i + 1) * per))
-          if (s < e) Some(RangeGenPartition(s, e, fn): InputPartition) else None
-        }.toArray
+      override def planInputPartitions(): Array[InputPartition] = aggFns match {
+        case Some(fns) =>
+          // closed-form answer: one partition, one row, zero generation
+          val n = math.max(0L, hi - lo)
+          val vals: IndexedSeq[Any] = fns.toIndexedSeq.map {
+            case _: CountStar => n
+            case _: Min => if (n == 0L) null else lo
+            case _: Max => if (n == 0L) null else hi - 1
+          }
+          val row = InternalRow.fromSeq(vals)
+          Array(RangeGenPartition(0L, 1L, _ => row))
+        case None =>
+          // clip the ORIGINAL partition grid to the pushed range so a
+          // narrowed scan also plans fewer tasks (partition pruning),
+          // not just fewer rows per task
+          val per = (rows + partitions - 1) / partitions
+          val fn = rowFnFor(pruned)
+          (0 until partitions).flatMap { i =>
+            val s = math.max(lo, i * per)
+            val e = math.min(hi, math.min(rows, (i + 1) * per))
+            if (s < e) Some(RangeGenPartition(s, e, fn): InputPartition) else None
+          }.toArray
       }
       override def createReaderFactory(): PartitionReaderFactory = RangeGenReaderFactory()
     }

@@ -82,6 +82,29 @@ class DocGenSourceSpec extends AnyFunSuite {
     assert(prunedText == graft.sources.DocGenSource.textFor(7L))
   }
 
+  test("aggregate pushdown: count/min/max answer from the range — a trillion-row count is instant") {
+    val huge = spark.read.format("graft-docs")
+      .option("rows", 1000000000000L).option("partitions", 32).load()
+    val t0 = System.nanoTime()
+    val n = huge.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n == 1000000000000L)
+    assert(secs < 30, f"plan-time count must not generate rows, took $secs%.1f s")
+    // min/max of the id ride the same closed form, AFTER a pushed filter
+    val mm = huge.filter(col("doc_id") >= 500L && col("doc_id") < 2000L)
+      .agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    assert(mm.getLong(0) == 1500L && mm.getLong(1) == 500L && mm.getLong(2) == 1999L)
+    // an aggregate the range cannot answer must REFUSE pushdown and
+    // still be correct through normal generation
+    val small = spark.read.format("graft-docs")
+      .option("rows", 1000).option("partitions", 4).load()
+    val grouped = small.groupBy((col("doc_id") % 7).as("g")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(grouped.values.sum == 1000L && grouped.size == 7)
+    val avgRow = small.agg(avg(col("doc_id"))).head()
+    assert(avgRow.getDouble(0) == 499.5)
+  }
+
   test("scale smoke: char-entropy bound kernel over 1M generated docs, one codegen pass") {
     // the text_entropy hot path at 2000x the oracle corpus: one kernel
     // call per doc inside the scan projection — a per-char explode at
