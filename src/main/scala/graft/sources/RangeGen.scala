@@ -33,6 +33,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     at all — the generator analog of parquet's column skipping, and
   *     the reason `count(*)` over a 10^9-row generated corpus does no
   *     string work.
+  *   - `SupportsReportStatistics`: the scan reports exact row count
+  *     and an estimated byte size for the (filter-narrowed) range, so
+  *     Catalyst's join planning sees a small generated dimension as
+  *     broadcastable WITHOUT an explicit `broadcast()` hint — the
+  *     optimizer integration that makes these sources behave like
+  *     catalog tables with fresh ANALYZE stats.
   *   - `SupportsPushDownAggregates` (COMPLETE pushdown): an ungrouped
   *     COUNT(*) / MIN(id) / MAX(id) is a closed-form function of the
   *     (already filter-narrowed) range — count = hi−lo, min = lo,
@@ -60,7 +66,7 @@ private[sources] class RangeGenTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch
       with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-      with SupportsPushDownAggregates {
+      with SupportsPushDownAggregates with SupportsReportStatistics {
       private var lo = 0L          // inclusive
       private var hi = rows        // exclusive
       private var pushed: Array[Filter] = Array.empty
@@ -112,6 +118,16 @@ private[sources] class RangeGenTable(
       override def pushAggregation(agg: Aggregation): Boolean =
         if (canAnswer(agg)) { aggFns = Some(agg.aggregateExpressions().toSeq); true }
         else false
+
+      override def estimateStatistics(): Statistics = new Statistics {
+        private val n = math.max(0L, hi - lo)
+        // conservative per-row width from the PRUNED schema (defaultSize
+        // overestimates strings slightly — safe for broadcast decisions)
+        private val width = math.max(8, readSchema().map(_.dataType.defaultSize).sum)
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(math.max(1L, n * width))
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
+      }
 
       override def build(): Scan = this
       override def readSchema(): StructType = aggFns match {

@@ -105,6 +105,32 @@ class DocGenSourceSpec extends AnyFunSuite {
     assert(avgRow.getDouble(0) == 499.5)
   }
 
+  test("reported statistics: a small generated dimension auto-broadcasts, a big one does not") {
+    // SupportsReportStatistics → Catalyst sees exact numRows/sizeInBytes
+    // and picks the broadcast side itself — no broadcast() hint anywhere.
+    val dim = spark.read.format("graft-docs")
+      .option("rows", 100).option("partitions", 2).load()
+      .select(col("doc_id").as("d_id"), col("text").as("d_text"))
+    val fact = spark.read.format("graft-events")
+      .option("rows", 200000).option("partitions", 8).load()
+    val joined = fact.join(dim, fact("user_id") % 100 === dim("d_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"100-row generated dim must auto-broadcast:\n$plan")
+    assert(joined.count() == 200000L)
+    // two fact-sized sides must NOT broadcast (stats above the threshold)
+    val bigL = spark.read.format("graft-events")
+      .option("rows", 3000000).option("partitions", 8).load()
+      .select(col("event_id"), col("user_id"))
+    val bigR = spark.read.format("graft-events")
+      .option("rows", 3000000).option("partitions", 8).load()
+      .select(col("event_id").as("e2"), col("user_id").as("u2"))
+    val big = bigL.join(bigR, bigL("event_id") === bigR("e2"))
+      .queryExecution.executedPlan.toString
+    assert(!big.contains("BroadcastHashJoin"),
+      s"3M x 3M generated join must not broadcast either side:\n$big")
+  }
+
   test("scale smoke: char-entropy bound kernel over 1M generated docs, one codegen pass") {
     // the text_entropy hot path at 2000x the oracle corpus: one kernel
     // call per doc inside the scan projection — a per-char explode at
