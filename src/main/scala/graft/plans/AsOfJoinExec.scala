@@ -81,6 +81,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     direction: String = "backward",
     tolerance: Option[Long] = None) extends BinaryExecNode {
 
+  // first-class operator observability: the match rate is THE health
+  // signal of an as-of enrichment (a collapsing rate means the
+  // reference feed is late/empty) — surfaced as SQL metrics so the UI
+  // and listeners see it per execution, like any built-in join
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "probe rows matched"))
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -112,6 +122,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     // candidates beyond it are nulled out BEFORE the nearest choice, so
     // an out-of-window past row never shadows an in-window future one
     val tol = tolerance.getOrElse(Long.MaxValue)
+    val outRows = longMetric("numOutputRows")
+    val matched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joiner = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -127,6 +139,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
+          outRows += 1
           if (l.isNullAt(lk) || l.isNullAt(lt)) return proj(joiner(l, nullRight))
           val lKey = l.getLong(lk)
           val lTime = l.getLong(lt)
@@ -172,6 +185,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                 if (df < db) fwdRow else backRow     // tie → backward
               }
           }
+          if (m != null) matched += 1
           proj(joiner(l, if (m != null) m else nullRight))
         }
       }

@@ -1375,6 +1375,29 @@ class PlanSpec extends AnyFunSuite {
     assert(shadow.getLong(0) == 2L, s"tolerance must filter candidates pre-choice")
   }
 
+  test("AsOfJoinExec metrics: numOutputRows == probes, numMatched == non-null matches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 25L), (2L, 5L)).toDF("k", "t")
+    val r = Seq((1L, 20L, 200L)).toDF("rk", "rt", "rv")
+    val df = graft.ext.AsOfJoin.asOfNative(l, r, "k", "rk", "t", "rt")
+    val rows = df.collect()
+    assert(rows.length == 3 && rows.count(!_.isNullAt(4)) == 1) // only (1, 25) matches
+    // AQE wraps the executed tree — descend through the adaptive root
+    def findExec(p: org.apache.spark.sql.execution.SparkPlan): Option[graft.plans.AsOfJoinExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          findExec(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findExec(q.plan)
+        case e: graft.plans.AsOfJoinExec => Some(e)
+        case other => other.children.iterator.flatMap(findExec).nextOption()
+      }
+    val exec = findExec(df.queryExecution.executedPlan).get
+    assert(exec.metrics("numOutputRows").value == 3L)
+    assert(exec.metrics("numMatched").value == 1L)
+  }
+
   test("asOfNative: shared-lineage sides (duplicate exprIds) re-alias — right values stay right") {
     // r10 advice: without the guard, a self-join lineage binds right
     // references to the FIRST (left) attribute — right columns silently
