@@ -976,6 +976,35 @@ object EventQueries {
       .select(col("wday").as("day"), col("wau"))
   }
 
+  /** DAU/WAU stickiness — the engagement ratio product dashboards lead
+    * with (classically DAU/MAU; the 7-day window is the honest variant
+    * for this 30-day corpus — one constant changes it), via the SAME
+    * coverage-explode that makes [[eventsRollingWau]] shuffle-bounded:
+    * each (user, active day) covers the 7 window-END days it
+    * contributes to, so the rolling distinct (WAU as of each day) is a
+    * plain count over the coverage relation — no per-day re-scan, no
+    * 7-way self-join; DAU rides the same distinct projection. Emitted
+    * only for days with a full window (the partial-window ramp would
+    * fake a rising ratio), stickiness in milli units by integer
+    * division. Scale: one fact pass to the distinct (user, day)
+    * projection; the explode is window× that — bounded by activity,
+    * not events — and everything after is calendar-sized. */
+  def eventsStickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = graft.core.QueryCaches.track(events(spark, sfDir)
+      .select(col("user_id"), to_date(tsMicros).as("day")).distinct())
+    val bounds = du.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = du.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+      .distinct()
+      .groupBy(col("wday").as("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") >= date_add(col("mn"), 6) && col("day") <= col("mx"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("CAST((1000 * dau) div wau AS BIGINT)").as("stickiness_milli"))
+  }
+
   /** MERGE idempotence under the hash gate — the re-run-safety property
     * every warehouse maintenance job leans on: re-applying the SAME
     * changelog to an already-merged snapshot must be a state no-op
@@ -1625,6 +1654,7 @@ object EventQueries {
     "events_forecast_eval" -> (eventsForecastEval _),
     "events_asof_directions" -> (eventsAsofDirections _),
     "events_rfm" -> (eventsRfm _),
+    "events_stickiness" -> (eventsStickiness _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_kmv_distinct" -> (eventsKmvDistinct _),
     "events_hll_distinct" -> (eventsHllDistinct _),
@@ -1668,6 +1698,20 @@ object EventQueries {
         |  FROM km JOIN series ON series.rn = km.rn + 1)
         |SELECT series.t, series.n_risk, series.n_churn, km.s AS s_micro
         |FROM series JOIN km ON km.rn = series.rn""".stripMargin,
+    "events_stickiness" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM du),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+        |cov AS (SELECT DISTINCT user_id,
+        |          CAST(unnest(range(0, 7)) AS BIGINT) AS off, day
+        |        FROM du),
+        |wau AS (SELECT day + CAST(off AS INTEGER) AS day,
+        |          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |        FROM cov GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |       (1000 * dau.dau) // wau.wau AS stickiness_milli
+        |FROM dau JOIN wau USING (day), b
+        |WHERE dau.day >= mn + 6 AND dau.day <= mx""".stripMargin,
     "events_rfm" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
         |             event_type, value FROM events),

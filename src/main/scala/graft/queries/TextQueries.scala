@@ -5,6 +5,7 @@ import graft.ext.TextOps._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Tables._
 
 /** Text-analysis suite over the `documents` table: quality stats,
@@ -137,6 +138,44 @@ object TextQueries {
       .withColumn("quality",
         greatest(lit(0.0), least(lit(1.0),
           lit(0.5) + col("stop_ratio") - col("punct_ratio") * 2 - col("digit_ratio"))))
+  }
+
+  /** Per-source token-distribution drift — `q_drift`'s all-integer TVD
+    * verdict lifted to TEXT: each source's token distribution against
+    * the whole-corpus mix, TVD = ½ Σ|p_s − p_g| spelled with cross
+    * multiplication (|c_s·N − c_g·N_s| summed as DECIMAL(38,0), ONE
+    * integral division per source) so the hash gate carries it exactly
+    * — the mixture-shift monitor a curation pipeline runs when a new
+    * crawl lands (a source whose token mix diverges from the corpus is
+    * boilerplate, another language, or spam; cf. curate_mix which
+    * rebalances BY this kind of signal). The absent-token terms are
+    * real (a source missing a corpus-common token IS drift), so the
+    * per-source sum runs over sources × vocabulary via a bounded
+    * cross join — vocabulary-bounded, not corpus-bounded, the same
+    * scale argument as every lexical aggregate here. */
+  def curateSourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = graft.core.QueryCaches.track(
+      load(spark, sfDir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok")))
+    val bySrc = graft.core.QueryCaches.track(
+      tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_s")))
+    val srcN = bySrc.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"),
+      count(lit(1)).as("n_distinct_s"))
+    val glob = graft.core.QueryCaches.track(
+      bySrc.groupBy(col("tok")).agg(sum(col("c_s")).as("c_g")))
+    val n = glob.agg(sum(col("c_g")).as("n"))
+    // full (source × vocabulary) grid: absent tokens must contribute
+    srcN.crossJoin(broadcast(n))
+      .join(glob.crossJoin(srcN.select(col("source"))),
+        Seq("source"))
+      .join(bySrc, Seq("source", "tok"), "left")
+      .select(col("source"), col("n_s"), col("n_distinct_s"), col("n"),
+        abs(coalesce(col("c_s"), lit(0L)).cast(DecimalType(38, 0)) * col("n") -
+          col("c_g").cast(DecimalType(38, 0)) * col("n_s")).as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), max(col("n_distinct_s")).as("n_distinct"),
+        expr("CAST((1000 * sum(term)) div (2 * max(n_s) * max(n)) AS BIGINT)")
+          .as("tvd_vs_corpus_milli"))
   }
 
   /** Feature-hashing (hashing-trick) audit — the vectorizer every
@@ -1011,6 +1050,7 @@ object TextQueries {
     "text_quality" -> (textQuality _),
     "text_entropy" -> (textEntropy _),
     "text_feature_hash" -> (textFeatureHash _),
+    "curate_source_drift" -> (curateSourceDrift _),
     "text_bpe_tokens" -> (textBpeTokens _))
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -1043,6 +1083,26 @@ object TextQueries {
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
+    "curate_source_drift" ->
+      s"""WITH t AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+         |by_src AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_s
+         |           FROM t GROUP BY 1, 2),
+         |src_n AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s,
+         |            CAST(COUNT(*) AS BIGINT) AS n_distinct_s
+         |          FROM by_src GROUP BY 1),
+         |gtok AS (SELECT tok, CAST(SUM(c_s) AS BIGINT) AS c_g FROM by_src GROUP BY 1),
+         |n_t AS (SELECT CAST(SUM(c_g) AS BIGINT) AS n FROM gtok),
+         |grid AS (SELECT s.source, s.n_s, s.n_distinct_s, g.tok, g.c_g, n_t.n
+         |         FROM src_n s, gtok g, n_t),
+         |terms AS (SELECT grid.source, grid.n_s, grid.n_distinct_s, grid.n,
+         |            abs(CAST(COALESCE(by_src.c_s, 0) AS HUGEINT) * grid.n -
+         |                CAST(grid.c_g AS HUGEINT) * grid.n_s) AS term
+         |          FROM grid LEFT JOIN by_src
+         |            ON by_src.source = grid.source AND by_src.tok = grid.tok)
+         |SELECT source, MAX(n_s) AS n_tokens, MAX(n_distinct_s) AS n_distinct,
+         |  CAST(CAST(1000 AS HUGEINT) * SUM(term) //
+         |    (2 * CAST(MAX(n_s) AS HUGEINT) * MAX(n)) AS BIGINT) AS tvd_vs_corpus_milli
+         |FROM terms GROUP BY source""".stripMargin,
     "text_feature_hash" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |hb AS (SELECT doc_id, ${foldSql("tok")} % 64 AS bucket,
