@@ -53,7 +53,9 @@ class DeterminismSpec extends AnyFunSuite {
     "events_rfm",        // rank-selected quantile boundaries + band compare
     "q_join_card_est",   // global K-smallest order statistic
     "events_asof_directions", // streaming-merge exec both directions
-    "events_acf")        // spine explode + 7-lag self-join
+    "events_acf",        // spine explode + 7-lag self-join
+    "events_stickiness", // coverage explode + distinct window counts
+    "curate_source_drift") // source x vocab grid + decimal TVD fold
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
