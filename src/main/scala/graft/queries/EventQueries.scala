@@ -1184,21 +1184,27 @@ object EventQueries {
     * [[eventsQuantiles]] percentile_disc idiom — order statistics are
     * tie-permutation-safe, no interpolation). Plan: per-user firsts
     * are ONE map-side-combined conditional min aggregate over the two
-    * event types (no self-join of the fact table); the quartile rank
-    * filter runs over the converters relation (|users| bound), with
-    * the count arriving as a 1-row broadcast. */
+    * event types (no self-join of the fact table); the converters
+    * relation is USERS-scale, so the global rank runs through
+    * [[graft.ext.SkewOps.globalRank]] (repartitionByRange +
+    * zipWithIndex — the q_analyze_stats shape), NOT a
+    * single-partition window: the rank filter compares against
+    * broadcast-derived expressions, so no WindowGroupLimit could ever
+    * pre-trim it, and at 100× a window form would sort every
+    * converting user in one task. (lat_s, user_id) is a total key, so
+    * the two-job rank is deterministic; the count arrives as a 1-row
+    * broadcast. */
   def eventsFunnelLatency(spark: SparkSession, sfDir: String): DataFrame = {
-    val conv = events(spark, sfDir)
+    val conv = graft.core.QueryCaches.track(events(spark, sfDir)
       .filter(col("event_type").isin("view", "purchase"))
       .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
       .groupBy(col("user_id"))
       .agg(min(when(col("event_type") === "view", col("tus"))).as("fv"),
         min(when(col("event_type") === "purchase", col("tus"))).as("fp"))
       .filter(col("fv").isNotNull && col("fp").isNotNull && col("fp") > col("fv"))
-      .select(col("user_id"), expr("(fp - fv) div 1000000").as("lat_s"))
+      .select(col("user_id"), expr("(fp - fv) div 1000000").as("lat_s")))
     val n = conv.agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("lat_s"), col("user_id"))
-    conv.withColumn("rk", row_number().over(w).cast("bigint"))
+    graft.ext.SkewOps.globalRank(conv, Seq("lat_s", "user_id"), "rk")
       .crossJoin(broadcast(n))
       .filter(col("rk") === expr("(n + 3) div 4") ||
         col("rk") === expr("(n + 1) div 2") ||

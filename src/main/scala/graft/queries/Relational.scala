@@ -1234,9 +1234,17 @@ object Relational {
       fO.select(col("key")).union(fL.select(col("key"))).distinct()
         .select(col("key"), graft.ext.TextOps.fingerprint(
           concat(lit("jce|"), col("key").cast("string"), lit("|graft"))).as("h")))
-    val w = Window.orderBy(col("h"))
-    val ranked = universe.withColumn("rk", row_number().over(w).cast("bigint"))
-      .filter(col("rk") <= K)
+    // filter the UNCAST rank, cast after (the qHeavyHitters idiom): a
+    // cast between row_number and the <= K filter defeats
+    // InsertWindowGroupLimit and the K-smallest scan degrades to a full
+    // single-partition sort of the key universe. Persisted: both the
+    // theta branch and the sample branch read `ranked`, and without the
+    // persist each would re-execute the rank exchange.
+    val ranked = graft.core.QueryCaches.track(
+      universe
+        .withColumn("rk0", row_number().over(Window.orderBy(col("h"))))
+        .filter(col("rk0") <= K)
+        .select(col("key"), col("h"), col("rk0").cast("bigint").as("rk")))
     val theta = ranked.filter(col("rk") === K).select(col("h").as("theta"))
     val sample = ranked.filter(col("rk") < K) // KMV convention: θ itself is excluded
       .join(fO, Seq("key"), "left").join(fL, Seq("key"), "left")
