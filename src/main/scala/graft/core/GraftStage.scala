@@ -512,22 +512,58 @@ object GraftStage {
 
   /** Shared scratch pool for per-element timeout evaluation; daemon
     * threads so abandoned (non-interruptible) user code never blocks JVM
-    * exit. Unbounded by design: a bounded pool would deadlock elements
-    * behind abandoned hung ones; interrupt-on-timeout (below) reclaims
-    * threads from any user code that honors interruption. */
+    * exit. The pool itself is cached/elastic: a hard thread cap would
+    * deadlock fresh elements behind abandoned hung ones, and
+    * interrupt-on-timeout (below) reclaims threads from any user code
+    * that honors interruption — so for cooperative code the pool stays
+    * at ≈ the number of concurrently evaluating elements. */
   private lazy val timeoutPool = java.util.concurrent.Executors.newCachedThreadPool(r => {
     val t = new Thread(r, "graft-timeout"); t.setDaemon(true); t
   })
 
+  /** Live count of ABANDONED attempts: timed-out elements whose user
+    * code ignored the interrupt and is still running on its scratch
+    * thread. The reference reclaims these by killing the OS worker
+    * process (process/worker.py:152-161); a JVM cannot kill a thread
+    * safely, so the analog is a RESOURCE BOUND: past
+    * `graft.timeout.maxAbandoned` live abandoned threads (default 256,
+    * a system property so operators can size it per executor), the
+    * next timed element fails fast with a diagnosis instead of letting
+    * the JVM accrete hung threads without limit. */
+  private[graft] val abandonedCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def maxAbandoned: Int =
+    Integer.getInteger("graft.timeout.maxAbandoned", 256)
+
   /** Run `body` with a wall-clock bound: Some(result) if it finishes,
     * None if not — in which case the attempt is cancelled WITH interrupt
     * (reference semantics: kill worker, drop element, keep going —
-    * process/supervisor.py:26-31). */
+    * process/supervisor.py:26-31). Non-interruptible attempts count
+    * against the abandoned-thread bound until they eventually exit. */
   private[graft] def withTimeout[A](t: Duration)(body: => A): Option[A] = {
-    val fut = timeoutPool.submit(new Callable[A] { def call(): A = body })
+    if (abandonedCount.get() >= maxAbandoned)
+      throw new IllegalStateException(
+        s"graft timeout: ${abandonedCount.get()} abandoned worker threads " +
+          "are still running user code that ignored interruption " +
+          "(limit graft.timeout.maxAbandoned=" + maxAbandoned + "). " +
+          "Make the timed code honor Thread.interrupt, raise the limit, " +
+          "or restart the executor — refusing new timed work rather than " +
+          "accreting hung threads without bound.")
+    // abandoned bookkeeping: the flag flips exactly once, either by the
+    // waiter (timeout path, increments) or by task exit (decrements iff
+    // the waiter already gave up on it)
+    val abandoned = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val fut = timeoutPool.submit(new Callable[A] {
+      def call(): A =
+        try body
+        finally if (abandoned.getAndSet(true)) abandonedCount.decrementAndGet()
+    })
     try Some(fut.get(t.toMillis, TimeUnit.MILLISECONDS))
     catch {
-      case _: JTimeoutException => fut.cancel(true); None
+      case _: JTimeoutException =>
+        fut.cancel(true)
+        if (!abandoned.getAndSet(true)) abandonedCount.incrementAndGet()
+        None
       case e: java.util.concurrent.ExecutionException => throw e.getCause
     }
   }

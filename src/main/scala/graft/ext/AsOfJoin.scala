@@ -118,11 +118,19 @@ object AsOfJoin {
     * library's own plan node, so no other query's planning changes
     * (unlike the opt-in rewrite RULES, which alter foreign joins and
     * therefore restore their confs). */
+  /** `rightTieBreaker` (optional column name on `right`) totalizes
+    * the match when several right rows share one (key, ts): it joins
+    * the right child's required sort order, and backward/nearest then
+    * deterministically keep the max-tie row (latest record wins),
+    * forward the min-tie row. Omit ONLY when (key, ts) is unique on
+    * the right — otherwise equal-ts payloads follow partition order,
+    * which is not stable across retries. */
   def asOfNative(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
       direction: String = "backward",
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      rightTieBreaker: Option[String] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -147,6 +155,6 @@ object AsOfJoin {
     org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
       graft.plans.AsOfJoinPlan(lp, rp,
         attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTs), attr(rp, rightTs),
-        direction, tolerance))
+        direction, tolerance, rightTieBreaker.map(attr(rp, _))))
   }
 }

@@ -43,12 +43,22 @@ import org.apache.spark.sql.types.LongType
   * null right rows never match. Output ordering (key, ts) is
   * preserved and advertised, so a downstream window over the same key
   * plans with zero additional exchanges.
+  *
+  * `rightTie` (optional) makes the match DETERMINISTIC when several
+  * right rows share one (key, ts): it is appended to the right child's
+  * required ordering, and the merge's keep/stop rules then resolve
+  * ties totally — backward/nearest keep the LAST row in tie order
+  * (max tie: "latest record wins", the update-stream contract),
+  * forward matches the FIRST (min tie). Without it, equal-(key, ts)
+  * payloads inherit partition order, which Spark does not guarantee
+  * stable across retries — fine only when (key, ts) is unique.
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
     direction: String = "backward",
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    rightTie: Option[Attribute] = None) extends BinaryNode {
   require(Seq(leftKey, rightKey, leftTs, rightTs).forall(_.dataType == LongType),
     "asOfNative requires LONG key and ts columns on both sides")
   require(AsOfJoinExec.Directions.contains(direction),
@@ -65,8 +75,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * spark.sql.extensions → graft.sql.GraftExtensions. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir, tol, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol, tie) :: Nil
     case _ => Nil
   }
 }
@@ -79,7 +89,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
     direction: String = "backward",
-    tolerance: Option[Long] = None) extends BinaryExecNode {
+    tolerance: Option[Long] = None,
+    rightTie: Option[Attribute] = None) extends BinaryExecNode {
 
   // first-class operator observability: the match rate is THE health
   // signal of an as-of enrichment (a collapsing rate means the
@@ -99,7 +110,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+    // the optional tie column totalizes the right order: the merge's
+    // keep/stop rules then pick a deterministic winner among
+    // equal-(key, ts) rows (see the plan-node scaladoc)
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+      rightTie.map(SortOrder(_, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -125,6 +140,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val outRows = longMetric("numOutputRows")
     val matched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // saturating a − b for the gap tests below: a ≥ b at every call
+      // site (candidate rules guarantee it), so the true difference is
+      // non-negative and an overflow (opposite-sign extremes) means it
+      // exceeds Long.MaxValue — saturate rather than wrap, which keeps
+      // `gap <= tol` correct for both a finite tolerance (saturated is
+      // out-of-window) and the no-tolerance MaxValue sentinel (any
+      // candidate is in-window, however distant).
+      def gapSat(a: Long, b: Long): Long =
+        try Math.subtractExact(a, b)
+        catch { case _: ArithmeticException => Long.MaxValue }
       val joiner = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(nRight)
@@ -165,14 +190,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           }
           val backRow0 = if (best != null && bestKey == lKey) best else null
           val backRow =
-            if (backRow0 != null && lTime - backRow0.getLong(rt) <= tol) backRow0 else null
+            if (backRow0 != null && gapSat(lTime, backRow0.getLong(rt)) <= tol) backRow0
+            else null
           // the stopped-at lookahead is the forward candidate when it
           // shares the key (its rt is ≥/> lt by the stop rule)
           val fwdRow0 =
             if (rNext != null && !rNext.isNullAt(rk) && rNext.getLong(rk) == lKey) rNext
             else null
           val fwdRow =
-            if (fwdRow0 != null && fwdRow0.getLong(rt) - lTime <= tol) fwdRow0 else null
+            if (fwdRow0 != null && gapSat(fwdRow0.getLong(rt), lTime) <= tol) fwdRow0
+            else null
           val m = dir match {
             case "backward" => backRow
             case "forward" => fwdRow
@@ -180,8 +207,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               if (backRow == null) fwdRow
               else if (fwdRow == null) backRow
               else {
-                val db = lTime - backRow.getLong(rt) // ≥ 0
-                val df = fwdRow.getLong(rt) - lTime  // > 0
+                val db = gapSat(lTime, backRow.getLong(rt)) // ≥ 0
+                val df = gapSat(fwdRow.getLong(rt), lTime)  // > 0
                 if (df < db) fwdRow else backRow     // tie → backward
               }
           }

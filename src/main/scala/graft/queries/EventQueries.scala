@@ -828,9 +828,15 @@ object EventQueries {
         (col("rk") === expr("1 + ((n - 1) * 3) div 5")) ||
         (col("rk") === expr("1 + ((n - 1) * 4) div 5")))
       .groupBy(col("metric"))
-      // a boundary value can repeat at several quantile ranks — the
-      // band-by-comparison sum must still count it once per RANK, so
-      // keep the multiset (no distinct) sorted
+      // the four rank POSITIONS are distinct whenever n ≥ 5, so the
+      // boundary multiset has exactly 4 elements — kept as a multiset
+      // (no distinct): a VALUE repeating at several positions must
+      // count once per position or upper bands vanish. Degenerate
+      // n < 5: positions collide and the OR-filter emits the collided
+      // row once, so the multiset shrinks and band ids top out below
+      // 5 — the oracle computes the identical degraded banding, and a
+      // metric with fewer than 5 observations has no 5-quantile
+      // banding to degrade from.
       .agg(sort_array(collect_list(col("v"))).as("bs"))
     val banded = melt.join(broadcast(bounds), "metric")
       .select(col("user_id"), col("metric"),

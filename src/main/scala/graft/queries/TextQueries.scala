@@ -1121,6 +1121,14 @@ object TextQueries {
          |       exact_norm_sq, hashed_norm_sq,
          |       (1000 * hashed_norm_sq) // exact_norm_sq AS distortion_milli
          |FROM e JOIN h USING (doc_id)""".stripMargin,
+    // ASCII-corpus assumption (round-11 advice): the Spark kernel
+    // counts Unicode CODE POINTS (codePointAt/charCount — pinned with
+    // supplementary characters in SqlFunctionsSpec), while DuckDB's
+    // string_split(text, '') unit for supplementary characters is the
+    // engine's own grapheme/char notion — the two agree on the
+    // generated ASCII corpus, which is what this oracle compares. A
+    // non-ASCII corpus would need the oracle respelled over DuckDB
+    // code-point semantics before trusting the hash gate.
     "text_entropy" ->
       """WITH ch AS (SELECT doc_id, lang, unnest(string_split(text, '')) AS c
         |            FROM documents),

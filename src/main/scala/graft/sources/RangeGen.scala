@@ -73,24 +73,41 @@ private[sources] class RangeGenTable(
       private var pruned: StructType = tschema
       private var aggFns: Option[Seq[AggregateFunc]] = None
 
+      // INTEGRAL boxed types only: a fractional comparison value (e.g.
+      // id < 5.5) truncated via longValue() would silently drop id=5,
+      // which satisfies the predicate — leave non-integral Numbers as
+      // residual filters for Spark to evaluate. (Spark's filter
+      // translation casts literals to the LONG column's type first, so
+      // fractional values are unexpected here — this is defense, not a
+      // hot path.)
       private def longOf(v: Any): Option[Long] = v match {
-        case n: java.lang.Number => Some(n.longValue())
+        case n: java.lang.Long => Some(n.longValue())
+        case n: java.lang.Integer => Some(n.longValue())
+        case n: java.lang.Short => Some(n.longValue())
+        case n: java.lang.Byte => Some(n.longValue())
         case _ => None
       }
+
+      // x + 1 with an overflow guard: EqualTo/LessThanOrEqual at
+      // Long.MaxValue must clamp the exclusive bound to MaxValue (the
+      // range generator's domain is [0, rows) with rows ≤ MaxValue, so
+      // the clamp loses nothing), not wrap negative and empty the range.
+      private def succ(x: Long): Long =
+        if (x == Long.MaxValue) Long.MaxValue else x + 1
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         val residual = filters.filter {
           case EqualTo(c, v) if c == idCol && longOf(v).isDefined =>
             val x = longOf(v).get
-            lo = math.max(lo, x); hi = math.min(hi, x + 1); false
+            lo = math.max(lo, x); hi = math.min(hi, succ(x)); false
           case GreaterThan(c, v) if c == idCol && longOf(v).isDefined =>
-            lo = math.max(lo, longOf(v).get + 1); false
+            lo = math.max(lo, succ(longOf(v).get)); false
           case GreaterThanOrEqual(c, v) if c == idCol && longOf(v).isDefined =>
             lo = math.max(lo, longOf(v).get); false
           case LessThan(c, v) if c == idCol && longOf(v).isDefined =>
             hi = math.min(hi, longOf(v).get); false
           case LessThanOrEqual(c, v) if c == idCol && longOf(v).isDefined =>
-            hi = math.min(hi, longOf(v).get + 1); false
+            hi = math.min(hi, succ(longOf(v).get)); false
           case _ => true
         }
         pushed = filters.diff(residual)

@@ -95,4 +95,56 @@ class AsOfScaleSpec extends AnyFunSuite {
     info(f"8M-event native as-of: ${r.getLong(0)} probes, ${r.getLong(1)} matched, $secs%.1f s")
     assert(secs < 300, f"merge must complete in bounded time, took $secs%.1f s")
   }
+
+  test("duplicate (key, ts) right rows: rightTieBreaker makes every direction deterministic") {
+    // Round-11 advice: without a tie column, equal-(key, ts) right rows
+    // match in partition order, which Spark does not keep stable across
+    // runs. With `rightTieBreaker`, the contract is total: backward and
+    // nearest keep the MAX-tie row of the matched instant (latest
+    // record wins), forward the MIN-tie row. 200 keys × two duplicated
+    // instants, right side deliberately scattered across partitions in
+    // tie-scrambled order, run at two shuffle partitionings.
+    import spark.implicits._
+    val keys = (1L to 200L)
+    val right = keys.flatMap { k =>
+      Seq((k, 10L, k * 100 + 3), (k, 10L, k * 100 + 1), (k, 10L, k * 100 + 2),
+        (k, 20L, k * 100 + 7), (k, 20L, k * 100 + 5))
+    }.toDF("r_key", "r_ts", "tie")
+      .repartition(7, col("tie")) // scramble physical order vs tie order
+    val left = keys.flatMap(k => Seq((k, 5L), (k, 15L), (k, 25L)))
+      .toDF("l_key", "l_ts")
+    def run(direction: String, parts: Int): Map[(Long, Long), Long] = {
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try graft.ext.AsOfJoin.asOfNative(left, right,
+          "l_key", "r_key", "l_ts", "r_ts", direction = direction,
+          rightTieBreaker = Some("tie"))
+        .select(col("l_key"), col("l_ts"), coalesce(col("tie"), lit(-1L)))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val a = run(dir, 5)
+      val b = run(dir, 16)
+      assert(a == b, s"$dir direction differs across partitionings")
+      keys.foreach { k =>
+        dir match {
+          case "backward" =>
+            assert(a((k, 5L)) == -1L)          // no prior row
+            assert(a((k, 15L)) == k * 100 + 3) // max tie at ts=10
+            assert(a((k, 25L)) == k * 100 + 7) // max tie at ts=20
+          case "forward" =>
+            assert(a((k, 5L)) == k * 100 + 1)  // min tie at ts=10
+            assert(a((k, 15L)) == k * 100 + 5) // min tie at ts=20
+            assert(a((k, 25L)) == -1L)         // no future row
+          case "nearest" =>
+            assert(a((k, 5L)) == k * 100 + 1)  // only forward exists
+            // ts=15 is equidistant (gap 5 both ways): ties to backward,
+            // and backward keeps the max-tie row of ts=10
+            assert(a((k, 15L)) == k * 100 + 3)
+            assert(a((k, 25L)) == k * 100 + 7) // only backward exists
+        }
+      }
+    }
+  }
 }

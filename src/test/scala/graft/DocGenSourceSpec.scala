@@ -64,6 +64,11 @@ class DocGenSourceSpec extends AnyFunSuite {
     val residual = df.filter(col("doc_id") < 100 && col("text").contains("spark"))
     val naive = df.collect().filter(r => r.getLong(0) < 100 && r.getString(1).contains("spark"))
     assert(residual.count() == naive.length.toLong)
+    // Long.MaxValue boundary (round-11 advice): `<= MaxValue` must keep
+    // every row — the unguarded `+ 1` used to wrap the exclusive bound
+    // to MinValue and silently EMPTY the scan
+    assert(df.filter(col("doc_id") <= Long.MaxValue).count() == 1000L)
+    assert(df.filter(col("doc_id") > Long.MaxValue).count() === 0L)
   }
 
   test("column pushdown: an id-only scan reads struct<doc_id> — text is never generated") {

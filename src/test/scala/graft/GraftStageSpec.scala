@@ -163,6 +163,66 @@ class GraftStageSpec extends AnyFunSuite {
     assert(got.sorted == xs.filterNot(_ == 3))
   }
 
+  test("timeout thread hygiene: interrupted elements return their threads; abandoned count drains to zero") {
+    // Many timed-out elements whose code HONORS interruption: every
+    // scratch thread is reclaimed, so the pool stays at ≈ the number of
+    // concurrently evaluating elements and the abandoned counter ends
+    // at its pre-test level (the reference analog: the supervisor's
+    // worker restart, process/supervisor.py:19-32).
+    val before = core.GraftStage.abandonedCount.get()
+    val got = (0 until 100).toSeq.toStage
+      .mapEx[Null, Int]((x, _) => { if (x % 2 == 0) Thread.sleep(60000); x },
+        workers = 4, timeout = 100.millis)
+      .collectValues()
+    assert(got.sorted == (0 until 100).filter(_ % 2 == 1))
+    // interrupt delivery is immediate for Thread.sleep; give the finally
+    // blocks a beat to run
+    val deadline = System.nanoTime() + 5000000000L
+    while (core.GraftStage.abandonedCount.get() > before && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(core.GraftStage.abandonedCount.get() <= before,
+      s"abandoned count must drain, still ${core.GraftStage.abandonedCount.get()}")
+    val live = Thread.getAllStackTraces.keySet.toArray.count {
+      case t: Thread => t.getName.startsWith("graft-timeout") && t.isAlive
+      case _ => false
+    }
+    assert(live <= 64, s"$live live graft-timeout threads after 50 interrupts")
+  }
+
+  test("timeout thread hygiene: non-interruptible hangs hit the abandoned bound with a clear error") {
+    // User code that IGNORES the interrupt: each timed-out element
+    // permanently (here: for 8 s) occupies a scratch thread. Past the
+    // graft.timeout.maxAbandoned bound the next timed element must fail
+    // fast with a diagnosis, not let the JVM accrete hung threads — the
+    // bounded-resource analog of pypeln's kill-and-restart reclamation
+    // (process/worker.py:152-161).
+    val prop = "graft.timeout.maxAbandoned"
+    val old = System.getProperty(prop)
+    System.setProperty(prop, "4")
+    try {
+      val e = intercept[IllegalStateException] {
+        (0 until 10).toSeq.toStage
+          .mapEx[Null, Int]((x, _) => {
+            val end = System.nanoTime() + 8000000000L
+            while (System.nanoTime() < end)
+              try Thread.sleep(100) catch { case _: InterruptedException => () }
+            x
+          }, workers = 1, timeout = 50.millis)
+          .collectValues()
+      }
+      assert(e.getMessage.contains("abandoned"), e.getMessage)
+      assert(e.getMessage.contains(prop), e.getMessage)
+    } finally {
+      if (old == null) System.clearProperty(prop) else System.setProperty(prop, old)
+      // drain: the 8 s hangs exit on their own; don't leak elevated
+      // abandoned counts into later suites
+      val deadline = System.nanoTime() + 15000000000L
+      while (core.GraftStage.abandonedCount.get() > 0 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(core.GraftStage.abandonedCount.get() == 0)
+    }
+  }
+
   test("mapEx: onStart/onDone fire once per worker; state reaches f") {
     Counters.reset()
     val got = (0 until 40).toSeq.toStage
