@@ -692,13 +692,39 @@ object SimQueries {
     * and every greedy stage joins on q_id over those bounded relations
     * — at 100 TB the re-rank costs the same as at sf0.01 once
     * candidates exist. Both persisted query-scoped: all 4 stages fold
-    * the same two relations. */
+    * the same two relations. THIS row's candidate stage is brute
+    * top-8 — the ground-truth contract; [[simMmrAnn]] is the
+    * LSH-candidate operating path, separately oracle-gated. */
   def simMmr(spark: SparkSession, sfDir: String): DataFrame = {
-    val lam = 0.7
     val e = emb(spark, sfDir)
     val corpus = e.select(col("vec_id"), col("embedding"))
-    val cand = graft.core.QueryCaches.track(
-      SimOps.topkBrute(corpus, querySet(e), 8))
+    mmrRerank(SimOps.topkBrute(corpus, querySet(e), 8), corpus)
+  }
+
+  /** [[simMmr]] fed by the SRP-LSH candidate stage instead of the
+    * brute-force scan — the 100 TB operating path: candidate
+    * generation drops from O(|corpus|·|queries|) cosine evaluations to
+    * one bucket equi-join (corpus/2^bits expected candidates per
+    * query, the [[simLsh]] plan), and the re-rank is IDENTICAL — the
+    * same 4-stage unrolled greedy over the bounded candidate/pair
+    * relations. Keeps its own oracle hash (the [[simRecallReport]]
+    * pattern: the deterministic SRP spelling is reproduced in SQL), so
+    * the brute row stays the ground-truth contract and this row proves
+    * the swap end to end. Queries whose bucket holds fewer than 4
+    * candidates emit that many ranks (both engines agree). */
+  def simMmrAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    mmrRerank(SimOps.topkLsh(corpus, querySet(e), 8, 4), corpus)
+  }
+
+  /** The shared MMR greedy re-rank over a candidate relation
+    * (q_id, vec_id, cos) — see [[simMmr]]'s scaladoc for the unrolled
+    * plan shape. `cand0` is persisted query-scoped: all 4 stages fold
+    * the same candidate and pairwise-sim relations. */
+  private def mmrRerank(cand0: DataFrame, corpus: DataFrame): DataFrame = {
+    val lam = 0.7
+    val cand = graft.core.QueryCaches.track(cand0)
     val ce = cand.join(corpus, "vec_id")
     val pair = graft.core.QueryCaches.track(
       ce.select(col("q_id"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
@@ -1245,6 +1271,7 @@ object SimQueries {
     "sim_triangles" -> (simTriangles _),
     "sim_link_predict" -> (simLinkPredict _),
     "sim_mmr" -> (simMmr _),
+    "sim_mmr_ann" -> (simMmrAnn _),
     "sim_ann_sweep" -> (simAnnSweep _),
     "sim_label_prop" -> (simLabelProp _),
     "sim_pagerank" -> (simPagerank _),
@@ -1303,6 +1330,47 @@ object SimQueries {
       s"/ 499999968.5 - 1.0))), " +
       s"(s,x) -> s + x) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
       s"(acc, b) -> acc*2 + b)"
+
+  /** Shared MMR greedy chain over a `cand(q_id, vec_id, cos)` CTE
+    * supplied by `candPrelude` — the unrolled 4-stage argmax identical
+    * to [[mmrRerank]]: step k anti-joins the union of prior picks,
+    * takes the max pairwise sim to them, and argmaxes the MMR score.
+    * (CAST(1 AS DOUBLE) - 0.7) — NOT 0.3 — reproduces Spark's
+    * 1.0 - 0.7 = 0.30000000000000004 bit-exactly. */
+  private def mmrOracleSql(candPrelude: String): String = {
+    def step(k: Int): String = {
+      val prev = (1 until k).map(i => s"s$i").mkString(" UNION ALL SELECT * FROM ")
+      s"""sel$k AS (SELECT * FROM $prev),
+         |r$k AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+         |    SELECT 1 FROM sel$k WHERE sel$k.q_id = c.q_id AND sel$k.vec_id = c.vec_id)),
+         |m$k AS (SELECT p.q_id, p.a_id, MAX(p.sim) AS m
+         |        FROM pr p JOIN sel$k ON sel$k.q_id = p.q_id AND sel$k.vec_id = p.b_id
+         |        GROUP BY 1, 2),
+         |s$k AS (SELECT q_id, CAST($k AS BIGINT) AS rank, vec_id, cos AS rel,
+         |          score AS mmr_score FROM (
+         |        SELECT r.q_id, r.vec_id, r.cos,
+         |          CAST(0.7 AS DOUBLE) * r.cos - (CAST(1 AS DOUBLE) - 0.7) * m.m AS score
+         |        FROM r$k r JOIN m$k m ON m.q_id = r.q_id AND m.a_id = r.vec_id)
+         |      QUALIFY row_number() OVER (PARTITION BY q_id
+         |        ORDER BY score DESC, vec_id) = 1)""".stripMargin
+    }
+    s"""WITH $candPrelude,
+       |ce AS (SELECT c.q_id, c.vec_id, c.cos, e.embedding
+       |       FROM cand c JOIN embeddings e USING (vec_id)),
+       |pr AS (SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+       |         ${cosSql("a.embedding", "b.embedding")} AS sim
+       |       FROM ce a JOIN ce b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+       |s1 AS (SELECT q_id, CAST(1 AS BIGINT) AS rank, vec_id, cos AS rel,
+       |         score AS mmr_score FROM (
+       |       SELECT q_id, vec_id, cos, CAST(0.7 AS DOUBLE) * cos AS score FROM cand)
+       |     QUALIFY row_number() OVER (PARTITION BY q_id
+       |       ORDER BY score DESC, vec_id) = 1),
+       |${step(2)},
+       |${step(3)},
+       |${step(4)}
+       |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4""".stripMargin
+  }
 
   /** Shared CTE chain: directed 5-NN graph (the sim_knn_graph
     * semantics) symmetrized to mutual u<v edges. */
@@ -1532,48 +1600,23 @@ object SimQueries {
          |  SELECT q_id, vec_id, adist,
          |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
          |  FROM ad) WHERE rk <= 5""".stripMargin,
-    "sim_mmr" -> {
-      // unrolled greedy: step k anti-joins the union of prior picks,
-      // takes the max pairwise sim to them, and argmaxes the MMR score.
-      // (CAST(1 AS DOUBLE) - 0.7) — NOT 0.3 — reproduces Spark's
-      // 1.0 - 0.7 = 0.30000000000000004 bit-exactly.
-      def step(k: Int): String = {
-        val prev = (1 until k).map(i => s"s$i").mkString(" UNION ALL SELECT * FROM ")
-        s"""sel$k AS (SELECT * FROM $prev),
-           |r$k AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
-           |    SELECT 1 FROM sel$k WHERE sel$k.q_id = c.q_id AND sel$k.vec_id = c.vec_id)),
-           |m$k AS (SELECT p.q_id, p.a_id, MAX(p.sim) AS m
-           |        FROM pr p JOIN sel$k ON sel$k.q_id = p.q_id AND sel$k.vec_id = p.b_id
-           |        GROUP BY 1, 2),
-           |s$k AS (SELECT q_id, CAST($k AS BIGINT) AS rank, vec_id, cos AS rel,
-           |          score AS mmr_score FROM (
-           |        SELECT r.q_id, r.vec_id, r.cos,
-           |          CAST(0.7 AS DOUBLE) * r.cos - (CAST(1 AS DOUBLE) - 0.7) * m.m AS score
-           |        FROM r$k r JOIN m$k m ON m.q_id = r.q_id AND m.a_id = r.vec_id)
-           |      QUALIFY row_number() OVER (PARTITION BY q_id
-           |        ORDER BY score DESC, vec_id) = 1)""".stripMargin
-      }
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 100 = 0),
+    // brute-candidate MMR: ground-truth contract
+    "sim_mmr" -> mmrOracleSql(
+      s"""q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 100 = 0),
          |cand AS (SELECT q_id, vec_id, cos FROM (
          |    SELECT q_id, vec_id, ${cosSql("embedding", "q_vec")} AS cos
          |    FROM embeddings, q WHERE vec_id <> q_id)
-         |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 8),
-         |ce AS (SELECT c.q_id, c.vec_id, c.cos, e.embedding
-         |       FROM cand c JOIN embeddings e USING (vec_id)),
-         |pr AS (SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
-         |         ${cosSql("a.embedding", "b.embedding")} AS sim
-         |       FROM ce a JOIN ce b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
-         |s1 AS (SELECT q_id, CAST(1 AS BIGINT) AS rank, vec_id, cos AS rel,
-         |         score AS mmr_score FROM (
-         |       SELECT q_id, vec_id, cos, CAST(0.7 AS DOUBLE) * cos AS score FROM cand)
-         |     QUALIFY row_number() OVER (PARTITION BY q_id
-         |       ORDER BY score DESC, vec_id) = 1),
-         |${step(2)},
-         |${step(3)},
-         |${step(4)}
-         |SELECT * FROM s1 UNION ALL SELECT * FROM s2
-         |UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4""".stripMargin
-    },
+         |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 8)""".stripMargin),
+    // LSH-candidate MMR: same re-rank chain over the sim_lsh bucket
+    // candidates — the operating path proved against its own hash
+    "sim_mmr_ann" -> mmrOracleSql(
+      s"""bc AS (SELECT vec_id, embedding, ${srpSql("embedding", 4)} AS bucket FROM embeddings),
+         |bq AS (SELECT vec_id AS q_id, embedding AS q_vec, ${srpSql("embedding", 4)} AS bucket
+         |       FROM embeddings WHERE vec_id % 100 = 0),
+         |cand AS (SELECT q_id, vec_id, cos FROM (
+         |    SELECT q_id, bc.vec_id, ${cosSql("bc.embedding", "q_vec")} AS cos
+         |    FROM bc JOIN bq USING (bucket) WHERE bc.vec_id <> q_id)
+         |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 8)""".stripMargin),
     "sim_link_predict" ->
       s"""WITH $mutualSql,
          |adj AS (SELECT u, v FROM m UNION ALL SELECT v, u FROM m),

@@ -193,4 +193,45 @@ class EventQueriesSpec extends AnyFunSuite {
     assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).length >= 2, p)
     assert(!p.contains("Expand"), s"sketch path must not expand per-id:\n$p")
   }
+
+  test("events_rfm scale swap: globalNtile banding == rank-selected boundaries on tie-free values") {
+    // The eventsRfm scaladoc promises the warehouse-scale swap: replace
+    // the per-metric rank window boundary step with
+    // SkewOps.globalNtile's approxQuantile banding, same
+    // comparison-banding downstream. This EXECUTES that promise: on a
+    // tie-free metric both paths must assign every value the same
+    // 5-band. (With ties, rank-ntile splits a tied group across bands
+    // while both banders here are value-determined — that is why the
+    // declared query's comparison-banding is the semantics worth
+    // preserving, and both paths share it.)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // deterministic tie-free permutation: ×7919 is a unit mod the
+    // prime 100003, so the 1000 values are distinct and scrambled
+    val vals = (1 to 1000).map(i => (i.toLong * 7919L) % 100003L).toDF("v")
+    val n = 1000L
+    // path 1: the declared query's boundary idiom — 4 exact rank
+    // positions, then band by comparison
+    val w = Window.orderBy(col("v"))
+    val ranks = (1 to 4).map(q => 1L + ((n - 1) * q) / 5)
+    val bs = vals.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk").isin(ranks: _*))
+      .collect().map(_.getLong(0)).sorted
+    assert(bs.length == 4)
+    val rankBanded = vals.select(col("v"),
+      (lit(1L) + bs.map(b => when(col("v") > b, 1L).otherwise(0L))
+        .reduce(_ + _)).as("band"))
+    // path 2: the scale swap — no window anywhere
+    val ntileBanded = graft.ext.SkewOps.globalNtile(vals, "v", 5)
+    val joined = rankBanded.join(ntileBanded, "v")
+      .select(col("v"), col("band"), col("tile"))
+    val mismatches = joined.filter(col("band") =!= col("tile")).count()
+    assert(mismatches == 0L,
+      s"$mismatches of $n values band differently under the swap")
+    // and each band holds exactly n/5 values in both paths
+    val sizes = ntileBanded.groupBy(col("tile")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == (1L to 5L).map(_ -> 200L).toMap, s"uneven tiles: $sizes")
+  }
 }

@@ -55,6 +55,17 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "BroadcastExchange") == 1, p)
   }
 
+  test("sim_mmr_ann: LSH bucket candidates — no brute corpus×queries nested loop") {
+    // The operating-path MMR: the candidate stage must be the sim_lsh
+    // bucket equi-join, not the ground-truth row's broadcast
+    // nested-loop corpus scan; the greedy stages stay bounded joins.
+    val p = plan("sim_mmr_ann")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(nOps(p, "BroadcastNestedLoopJoin") == 0,
+      s"candidates must come from the bucket equi-join, not a corpus NLJ:\n$p")
+    graft.core.QueryCaches.release()
+  }
+
   test("sim_lsh: bucket equi-join (hash), never nested-loop over the corpus") {
     val p = plan("sim_lsh")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
