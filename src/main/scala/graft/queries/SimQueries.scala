@@ -738,7 +738,13 @@ object SimQueries {
       scored.withColumn("rk", row_number().over(wq)).filter(col("rk") === 1)
         .select(col("q_id"), lit(rank.toLong).as("rank"), col("vec_id"),
           col("cos").as("rel"), col("score").as("mmr_score"))
-    var selected = pick(cand.withColumn("score", lit(lam) * col("cos")), 1)
+    // each stage's `selected` is read THREE times downstream (the
+    // anti-join, the max-sim join, the final union) and its lineage
+    // contains every earlier stage's window — persisted per stage
+    // (|queries|·k rows each), or stage 4 re-executes the whole chain
+    // a combinatorial number of times
+    var selected = graft.core.QueryCaches.track(
+      pick(cand.withColumn("score", lit(lam) * col("cos")), 1))
     for (k <- 2 to 4) {
       val rem = cand.join(selected.select(col("q_id"), col("vec_id")),
         Seq("q_id", "vec_id"), "left_anti")
@@ -749,7 +755,8 @@ object SimQueries {
           rem("q_id") === msim("q_id") && rem("vec_id") === msim("a_id"))
         .select(rem("q_id"), col("vec_id"), col("cos"),
           (lit(lam) * col("cos") - lit(1.0 - lam) * col("m")).as("score"))
-      selected = selected.unionByName(pick(scored, k))
+      selected = graft.core.QueryCaches.track(
+        selected.unionByName(pick(scored, k)))
     }
     selected.select(col("q_id"), col("rank"), col("vec_id"), col("rel"), col("mmr_score"))
   }
