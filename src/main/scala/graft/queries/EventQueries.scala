@@ -66,6 +66,36 @@ object EventQueries {
         (max(col("tus")) - min(col("tus"))).as("dur_us"))
   }
 
+  /** Session-gap PARAMETER SWEEP — the operating-curve row for
+    * [[eventsSessions]]'s one fixed threshold (the dedup_band_sweep /
+    * sim_ann_sweep pattern applied to sessionization): the inactivity
+    * gap is the knob every analytics deployment has to pick, and this
+    * query reports, per candidate gap (15/30/60 min), the session
+    * count and mean session density the corpus would produce. ONE
+    * window pass computes every event's backward gap (a session START
+    * is a null gap — first event per user — or a gap above threshold);
+    * the sweep is then three conditional aggregates over the SAME
+    * persisted gaps relation — the threshold never re-sorts the
+    * corpus, which is what makes sweeping affordable at 100 TB (the
+    * sort dominates; three counts over it are marginal). All integer:
+    * session counts are sums of indicator longs, density is one
+    * integral division. */
+  def eventsGapSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val gaps = graft.core.QueryCaches.track(
+      events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
+        .withColumn("prev", lag(col("tus"), 1).over(w))
+        .select((col("tus") - col("prev")).as("gap_us")))
+    Seq(900L, 1800L, 3600L).map { g =>
+      gaps.agg(count(lit(1)).as("n_events"),
+          sum(when(col("gap_us").isNull || col("gap_us") > g * 1000000L, 1L)
+            .otherwise(0L)).as("n_sessions"))
+        .select(lit(g).as("gap_s"), col("n_events"), col("n_sessions"),
+          expr("(1000 * n_events) div n_sessions").as("events_per_session_milli"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Daily active users + event volume. Exact COUNT(DISTINCT) to match
     * the oracle; see scaladoc for the sketch-based 100 TB variant. */
   def eventsDailyActive(spark: SparkSession, sfDir: String): DataFrame =
@@ -1681,10 +1711,26 @@ object EventQueries {
     "events_funnel" -> (eventsFunnel _),
     "events_window" -> (eventsWindow _),
     "events_sessions" -> (eventsSessions _),
+    "events_gap_sweep" -> (eventsGapSweep _),
     "events_daily_active" -> (eventsDailyActive _),
     "events_props" -> (eventsProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_gap_sweep" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts), event_id) AS prev
+        |           FROM events),
+        |gaps AS (SELECT tus - prev AS gap_us FROM g),
+        |thr AS (SELECT * FROM (VALUES (900), (1800), (3600)) t(gap_s))
+        |SELECT CAST(gap_s AS BIGINT) AS gap_s,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > CAST(gap_s AS BIGINT) * 1000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  (1000 * CAST(COUNT(*) AS BIGINT)) //
+        |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > CAST(gap_s AS BIGINT) * 1000000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS events_per_session_milli
+        |FROM gaps CROSS JOIN thr GROUP BY gap_s""".stripMargin,
     "events_survival" ->
       """WITH RECURSIVE g0 AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus,

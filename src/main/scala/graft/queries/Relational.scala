@@ -1203,6 +1203,71 @@ object Relational {
       .unionAll(audit(expr("date_trunc('month', o_orderdate)"), "by_month"))
   }
 
+  /** EAGER AGGREGATION (Yan & Larson: push the group-by below the
+    * join) — the plan transformation declared as a query: revenue per
+    * order priority is computed by pre-aggregating lineitem to ONE row
+    * per orderkey BEFORE the join, so the orders⋈lineitem exchange
+    * carries |orders| fixed-width partial rows instead of |lineitem|
+    * fact rows — at 100 TB the difference between shuffling the fact
+    * table and shuffling its 4×-smaller rollup. The DuckDB oracle is
+    * deliberately the LAZY spelling (join first, aggregate after):
+    * a green hash PROVES the transformation sound, including the
+    * decimal algebra — the inner partial stays DECIMAL(38,6) (never
+    * rounds through a double), so the two-level fold is bit-equal to
+    * the one-level fold by decimal associativity; n_orders becomes a
+    * plain count (each order surfaces once post-rollup) where the lazy
+    * form needs COUNT(DISTINCT). The same shape is how
+    * q_incremental_mv's partials work — this row pins the JOIN
+    * commutation specifically. */
+  def qEagerAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val liRollup = load(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(38, 6))).as("rev_dec"),
+        count(lit(1)).as("items"))
+    load(spark, sfDir, "orders")
+      .join(liRollup, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("rev_dec")).cast("double").as("revenue"),
+        sum(col("items")).as("n_items"))
+  }
+
+  /** YANNAKAKIS SEMI-JOIN REDUCTION over the acyclic chain customer →
+    * orders → lineitem: the downward pass reduces each relation to the
+    * tuples that can reach the (selective) customer filter — orders
+    * semi-join customers, lineitem semi-join reduced orders — and the
+    * upward join then joins ONLY non-dangling tuples, so no join in
+    * the plan ever produces a row the final aggregate discards. The
+    * oracle is the straight 3-way join + aggregate; the green hash
+    * proves the reduction loses nothing. At 100 TB the wins compound:
+    * the semi-joins carry key columns only (Spark prunes the payload
+    * off the probe side), the BUILDING filter cuts the fact volume
+    * ~5× before any wide row is shuffled, and AQE can promote the
+    * reduced sides to broadcast where the unreduced join could not.
+    * ([[qBloomPrune]] is the sketch version of ONE such reduction
+    * step; this row is the full multi-relation evaluation.) */
+  def qSemijoinReduce(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_nationkey"))
+    // downward pass: reduce each relation to tuples that join upward
+    val oRed = load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(c.select(col("c_custkey")), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+    val liRed = load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(oRed.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+    // upward pass: every join is now dangling-tuple-free
+    liRed.join(oRed, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("bigint").as("nation"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
   /** Sketch-based join-cardinality estimation — the optimizer-stats
     * story as a first-class query: a KMV/θ-sketch over the DISTINCT
     * join-key universe (orders ∪ lineitem orderkeys) picks θ = the
@@ -1264,6 +1329,8 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_exists_rewrite" -> (qExistsRewrite _),
+    "q_eager_agg" -> (qEagerAgg _),
+    "q_semijoin_reduce" -> (qSemijoinReduce _),
     "q_join_card_est" -> (qJoinCardEst _),
     "q_partition_skew" -> (qPartitionSkew _),
     "q_erasure_manifest" -> (qErasureManifest _),
@@ -1317,6 +1384,28 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    // the LAZY spelling on purpose: proves the eager (pushed-below-
+    // join) aggregation equivalent, decimal fold included
+    "q_eager_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+    // the UNREDUCED 3-way join on purpose: proves the Yannakakis
+    // semi-join reduction lossless
+    "q_semijoin_reduce" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1""".stripMargin,
     "q_exists_rewrite" ->
       """SELECT c_custkey, c_mktsegment
         |FROM customer c

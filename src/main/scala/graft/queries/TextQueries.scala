@@ -971,6 +971,39 @@ object TextQueries {
         row_number().over(w).cast("bigint").as("rnk"))
   }
 
+  /** Integer readability banding — the Flesch-Kincaid-shaped quality
+    * signal as an ALL-INTEGER pipeline (the curation stack's other
+    * scores are already integer-exact; a float Flesch constant would
+    * be the only IEEE in the pillar): per document, words (the shared
+    * whitespace tokenizer), sentences (terminator runs `[.!?]+`,
+    * floored at 1 so fragments band rather than divide by zero), and
+    * a syllable proxy (vowel runs `[aeiou]+` over the lowercased text
+    * — the classic approximation). The two Flesch axes surface as
+    * exact milli-ratios (1000·words div sents, 1000·vowel-runs div
+    * words), and the band is the standard grade ladder on integer
+    * thresholds: long sentences OR dense syllables → 'hard',
+    * short+light → 'easy', else 'mid'. Plan at 100 TB: one scan, one
+    * regexp+arithmetic projection per doc, zero joins/windows — the
+    * same shape as text_quality, composable into curate_e2e-style
+    * gates. Regex classes are single-char-class alternations, so Java
+    * and RE2 agree (the text_bpe_tokens contract). */
+  def textReadability(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_words"),
+        greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("bigint"),
+          lit(1L)).as("n_sents"),
+        size(expr("regexp_extract_all(lower(text), '[aeiou]+', 0)"))
+          .cast("bigint").as("n_syl"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syl"),
+        expr("(1000 * n_words) div n_sents").as("wps_milli"),
+        expr("(1000 * n_syl) div n_words").as("spw_milli"))
+      .withColumn("band",
+        when(col("wps_milli") > 25000L || col("spw_milli") > 1600L, "hard")
+          .when(col("wps_milli") < 12000L && col("spw_milli") < 1300L, "easy")
+          .otherwise("mid"))
+
   /** RAKE keyword extraction (Rose et al.) — the unsupervised
     * keyphrase op of the text pillar: candidate phrases are maximal
     * stopword-free token runs, each word scores degree/frequency over
@@ -1051,7 +1084,8 @@ object TextQueries {
     "text_entropy" -> (textEntropy _),
     "text_feature_hash" -> (textFeatureHash _),
     "curate_source_drift" -> (curateSourceDrift _),
-    "text_bpe_tokens" -> (textBpeTokens _))
+    "text_bpe_tokens" -> (textBpeTokens _),
+    "text_readability" -> (textReadability _))
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
@@ -1603,6 +1637,22 @@ object TextQueries {
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha
          |FROM documents""".stripMargin,
+    "text_readability" ->
+      s"""WITH r AS (SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_words,
+         |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+         |      CAST(1 AS BIGINT)) AS n_sents,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS n_syl
+         |  FROM documents),
+         |m AS (SELECT doc_id, n_words, n_sents, n_syl,
+         |        (1000 * n_words) // n_sents AS wps_milli,
+         |        (1000 * n_syl) // n_words AS spw_milli
+         |      FROM r WHERE n_words > 0)
+         |SELECT doc_id, n_words, n_sents, n_syl, wps_milli, spw_milli,
+         |  CASE WHEN wps_milli > 25000 OR spw_milli > 1600 THEN 'hard'
+         |       WHEN wps_milli < 12000 AND spw_milli < 1300 THEN 'easy'
+         |       ELSE 'mid' END AS band
+         |FROM m""".stripMargin,
     "text_token_freq" ->
       """SELECT rank, token, cnt FROM (
         |  SELECT token, cnt,

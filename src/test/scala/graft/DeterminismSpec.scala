@@ -55,7 +55,13 @@ class DeterminismSpec extends AnyFunSuite {
     "events_asof_directions", // streaming-merge exec both directions
     "events_acf",        // spine explode + 7-lag self-join
     "events_stickiness", // coverage explode + distinct window counts
-    "curate_source_drift") // source x vocab grid + decimal TVD fold
+    "curate_source_drift", // source x vocab grid + decimal TVD fold
+    // round-12 additions with partitioning-sensitive machinery:
+    "q_eager_agg",       // two-level decimal fold below/above a join
+    "q_semijoin_reduce", // semi-reduction chain + decimal rollup
+    "events_gap_sweep",  // one persisted lag relation, 3 conditional aggs
+    "sim_mmr_ann",       // LSH candidates + 4 persisted greedy stages
+    "events_funnel_latency") // globalRank two-job quartile selection
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -246,6 +246,27 @@ class GraftStageSpec extends AnyFunSuite {
     intercept[GraftUserError] { st.collectValues() }
   }
 
+  test("error propagation: the REMOTE stack frames survive the rethrow (utils.py:21-39)") {
+    // The reference embeds the worker's formatted traceback in
+    // PipelineException; Spark serializes the executor-side stack into
+    // the exception it ships back, and GraftErrors rethrows the
+    // original — so the frames of the USER lambda (this test's closure,
+    // running inside a task) must still be on the caught exception's
+    // stack trace, not replaced by driver-side unwrap frames.
+    def failingUserLambda(x: Int): Int =
+      if (x == 2) throw new GraftUserError("remote") else x
+    val e = intercept[GraftUserError] {
+      Seq(1, 2, 3).toStage.map(failingUserLambda).collectValues()
+    }
+    val frames = e.getStackTrace.map(f => s"${f.getClassName}.${f.getMethodName}")
+    assert(frames.exists(_.contains("failingUserLambda")),
+      s"remote user frame lost; got:\n${frames.take(10).mkString("\n")}")
+    // and the executor machinery frames prove it is the REMOTE stack,
+    // not a driver-side re-creation
+    assert(frames.exists(_.startsWith("org.apache.spark.")),
+      s"expected executor frames on the remote stack:\n${frames.take(10).mkString("\n")}")
+  }
+
   test("mapAsync: bounded async window preserves values; per-partition submission order") {
     // The EC is referenced statically inside the lambda: GraftStage.asyncEc
     // resolves executor-side (a captured driver EC is not serializable).

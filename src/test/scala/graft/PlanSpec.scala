@@ -1132,6 +1132,35 @@ class PlanSpec extends AnyFunSuite {
       nOps(p, "BroadcastHashJoin") >= 2, s"step joins must be user equi-joins:\n$p")
   }
 
+  test("q_eager_agg: lineitem rolls up BELOW the join — the fact exchange carries partials") {
+    val p = plan("q_eager_agg")
+    // inner rollup (partial+final) + outer rollup (partial+final): the
+    // lineitem-side join input is the aggregated relation, not fact rows
+    assert(nOps(p, "HashAggregate") >= 4, s"expected two aggregation levels:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") +
+      nOps(p, "BroadcastHashJoin") == 1, s"exactly one key equi-join:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_semijoin_reduce: two LeftSemi reduction passes; segment filter reaches the scan") {
+    val p = plan("q_semijoin_reduce")
+    assert(nOps(p, "SortMergeJoin LeftSemi") + nOps(p, "ShuffledHashJoin LeftSemi") +
+      nOps(p, "BroadcastHashJoin LeftSemi") +
+      "LeftSemi".r.findAllIn(p).length >= 2, // any physical semi form
+      s"both downward reduction passes must plan as semi joins:\n$p")
+    assert(p.contains("c_mktsegment"), s"the selective filter must reach the scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
+  test("events_gap_sweep: one fact sort feeds all three thresholds") {
+    val p = plan("events_gap_sweep")
+    // the gaps relation is persisted: one parquet scan + one window
+    // sort, three conditional aggregates over the cache
+    assert(nOps(p, "Scan parquet") == 1, s"one events scan for the whole sweep:\n$p")
+    assert(nOps(p, "Window") == 1, s"one lag window, shared by every threshold:\n$p")
+    graft.core.QueryCaches.release()
+  }
+
   test("q_join_card_est: K-smallest pre-trims per task; ranked relation cached once") {
     // Round-11 weak finding: the rank was cast BEFORE the <= K filter,
     // defeating the partial top-k, and `ranked` was unpersisted so the
