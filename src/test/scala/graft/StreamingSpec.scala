@@ -1032,6 +1032,45 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${got.size} distinct vs batch ${batch.size}")
   }
 
+  test("streaming gap sweep by composition: streamed gaps reproduce events_gap_sweep exactly") {
+    // The session-gap operating curve from the UNBOUNDED side: the
+    // closed gaps emitted by gapUpdates plus the user count are
+    // sufficient statistics for every threshold — n_sessions(g) =
+    // |users| + #{gaps > g} (each user's first event opens a session;
+    // each over-threshold gap opens another), n_events = |gaps| +
+    // |users|. Must equal the batch events_gap_sweep rows.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val ev = graft.queries.Tables.loadEvents(spark, dir)
+      .selectExpr("user_id", "ts div 1000 AS tus")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val in = MemoryStream[(Long, Long)]
+    val rows = new ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val q = GraftStream.gapUpdates(in.toDF().toDF("user_id", "tus"), "user_id", "tus")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    val (first, second) = ev.splitAt(ev.length / 2)
+    in.addData(first.toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(second.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val gaps = rows.toArray.map(_.asInstanceOf[(Long, Long, Long)]._3)
+    val nUsers = ev.map(_._1).distinct.length.toLong
+    val streamRows = Seq(900L, 1800L, 3600L).map { g =>
+      val nSessions = nUsers + gaps.count(_ > g * 1000000L)
+      (g, ev.length.toLong, nSessions, 1000L * ev.length / nSessions)
+    }.toSet
+    val batch = SparkEntry.queries("events_gap_sweep")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    graft.core.QueryCaches.release()
+    assert(batch.nonEmpty && streamRows == batch,
+      s"stream $streamRows vs batch $batch")
+  }
+
   test("streaming HLL sketch: an out-of-frame hash fails the contract, not an array index") {
     // r10 advice: a negative caller hash used to crash regs(-b) with
     // ArrayIndexOutOfBoundsException mid-trigger; the fold now states
