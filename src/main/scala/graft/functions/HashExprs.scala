@@ -303,9 +303,27 @@ object HashExprs {
     override def prettyName: String = "graft_char_entropy_bound"
   }
 
+  /** Content-defined chunk fingerprints — see
+    * [[HashKernels.cdcChunkFps]] for semantics and the oracle
+    * spelling. `w`/`mask` are plan-time constants (chunking policy,
+    * not data). */
+  case class CdcChunkFpsExpr(child: Expression, w: Int, mask: Long)
+      extends UnaryExpression {
+    require(w >= 2 && mask >= 2, "cdc chunking needs w >= 2 and mask >= 2")
+    override def dataType: DataType = LongArray
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.cdcChunkFps(input.asInstanceOf[UTF8String], w, mask)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.cdcChunkFps($c, $w, ${mask}L)")
+    override protected def withNewChildInternal(c: Expression): CdcChunkFpsExpr = copy(child = c)
+    override def prettyName: String = "graft_cdc_chunks"
+  }
+
   // ---- Column-facing wrappers --------------------------------------
   def fingerprint(c: Column): Column = toColumn(FingerprintExpr(toExpression(c)))
   def charEntropyBound(s: Column): Column = toColumn(CharEntropyBoundExpr(toExpression(s)))
+  def cdcChunkFps(s: Column, w: Int, mask: Long): Column =
+    toColumn(CdcChunkFpsExpr(toExpression(s), w, mask))
   def tokenFps(toks: Column): Column = toColumn(TokenFpsExpr(toExpression(toks)))
   def shingleFps(toks: Column, k: Int): Column = toColumn(ShingleFpsExpr(toExpression(toks), k))
   def charShingleFps(s: Column, k: Int): Column = toColumn(CharShingleFpsExpr(toExpression(s), k))

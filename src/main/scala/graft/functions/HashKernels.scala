@@ -562,6 +562,58 @@ object HashKernels {
     new GenericArrayData(Array(n, counts.size.toLong, bound))
   }
 
+  /** Content-defined chunk fingerprints (LBFS/rsync-family CDC) — the
+    * storage-dedup primitive: the code-point stream is CUT after
+    * position i (i ≥ w−1, never the last position) whenever the
+    * w-wide polynomial rolling hash `(Σ_{j<w} cp[i−j]·31^j) mod P`
+    * is ≡ 0 (mod mask), and each chunk reports the standard
+    * `(h·31+cp) mod P` content fingerprint. Because a cut depends only
+    * on the LOCAL w-window, an insertion re-synchronizes within one
+    * window and every later chunk fingerprint is unchanged — the
+    * shift-resistance fixed-size blocks lack (pinned by the
+    * SqlFunctionsSpec locality tests). Expected chunk length ≈ mask
+    * code points. One pass, O(w) per position, no allocation beyond
+    * the output buffer. DuckDB oracle: the same pow-table sum over
+    * range windows + per-slice list_reduce folds
+    * (MultimodalQueries.mm_cdc_chunks). */
+  def cdcChunkFps(s: UTF8String, w: Int, mask: Long): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val cps = new Array[Int](str.codePointCount(0, len))
+    var i = 0
+    var k = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      cps(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val pow = new Array[Long](w)
+    pow(0) = 1L
+    var j = 1
+    while (j < w) { pow(j) = pow(j - 1) * 31L % P; j += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var fp = 0L
+    var idx = 0
+    while (idx < n) {
+      fp = (fp * 31 + cps(idx)) % P
+      if (idx >= w - 1 && idx != n - 1) {
+        // cp ≤ 0x10FFFF and pow < P < 2^30, so the w-term sum stays
+        // far below Long overflow — one mod at the end, matching the
+        // oracle's spelling exactly
+        var h = 0L
+        var t = 0
+        while (t < w) { h += cps(idx - t) * pow(t); t += 1 }
+        if (h % P % mask == 0L) { out += fp; fp = 0L }
+      }
+      idx += 1
+    }
+    out += fp
+    new GenericArrayData(out.toArray)
+  }
+
   def byteBandEnergyHash(bs: Array[Byte], frames: Int, bands: Int): Long = {
     val n = bs.length
     val bandWidth = 256 / bands

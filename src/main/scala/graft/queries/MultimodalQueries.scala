@@ -253,7 +253,35 @@ object MultimodalQueries {
         |LATERAL VIEW graft_explode_frames(content, 8) f AS frame_idx, frame_bytes""".stripMargin)
   }
 
+  /** Content-defined-chunking storage dedup (LBFS/rsync CDC, the
+    * backup-system primitive applied to a training corpus): every
+    * blob's byte stream is cut by the [[graft.functions.HashKernels
+    * .cdcChunkFps]] rolling-hash kernel (w=8, mask=64 → ~64-byte
+    * expected chunks), and per SOURCE the query reports chunk volume,
+    * distinct-chunk volume, and the duplicated-chunk share — the
+    * number a dedup store actually saves, ROBUST TO SHIFTS (an
+    * insertion re-synchronizes within one window, unlike fixed-size
+    * blocks; pinned in SqlFunctionsSpec). Plan at 100 TB: one scan,
+    * one codegen kernel call per blob, explode of ~len/64 fingerprints,
+    * then a map-side-combined (source, fp) rollup — the explode is
+    * chunk-grain, never char-grain. The blob-vs-text duality is the
+    * suite contract (ASCII ⇒ bytes == codepoints): the kernel runs on
+    * the text column, DuckDB re-derives identical cuts from the same
+    * pow-table rolling hash over its codepoint lists. */
+  def mmCdcChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = load(spark, sfDir, "documents")
+      .select(col("source"),
+        explode(graft.functions.HashExprs.cdcChunkFps(col("text"), 8, 64L))
+          .as("fp"))
+    fps.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("fp")).as("n_distinct"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        expr("(1000 * (n_chunks - n_distinct)) div n_chunks").as("dup_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_cdc_chunks" -> (mmCdcChunks _),
     "mm_audio_segments" -> (mmAudioSegments _),
     "mm_frames_sql" -> (mmFramesSql _),
     "mm_scene_cuts" -> (mmSceneCuts _),
@@ -307,6 +335,34 @@ object MultimodalQueries {
        |  FROM p, (SELECT unnest([0, 1, 2, 3]) AS band))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // CDC chunking re-derived from first principles: the same 31^j
+    // pow table (mod 1e9+7), the same cut rule (after 0-based idx ∈
+    // [7, n−2] when the 8-window rolling hash ≡ 0 mod 64), the same
+    // (a·31+cp) chunk folds over the 1-based slices between cuts.
+    "mm_cdc_chunks" ->
+      """WITH c AS (SELECT doc_id, source,
+        |    list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT)) AS cps
+        |  FROM documents WHERE len(text) > 0),
+        |cut AS (SELECT doc_id, source, cps,
+        |    list_filter(range(8, len(cps)), i ->
+        |      (list_reduce(list_transform(range(0, 8), j ->
+        |         cps[i - j] * ([1, 31, 961, 29791, 923521, 28629151,
+        |                        887503681, 512613922])[j + 1]),
+        |        (a, x) -> a + x) % 1000000007) % 64 = 0) AS cuts
+        |  FROM c),
+        |fps AS (SELECT doc_id, source,
+        |    list_transform(range(1, len(cuts) + 2), k ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        cps[(CASE WHEN k = 1 THEN 1 ELSE cuts[k - 1] + 1 END):
+        |            (CASE WHEN k = len(cuts) + 1 THEN len(cps) ELSE cuts[k] END)]),
+        |        (a, x) -> (a * 31 + x) % 1000000007)) AS chunk_fps
+        |  FROM cut)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+        |  CAST((1000 * (COUNT(*) - COUNT(DISTINCT fp))) // COUNT(*) AS BIGINT)
+        |    AS dup_milli
+        |FROM (SELECT source, unnest(chunk_fps) AS fp FROM fps)
+        |GROUP BY 1""".stripMargin,
     "mm_audio_segments" ->
       """WITH f0 AS (SELECT doc_id, text,
         |             greatest(1, CAST(length(text) // 16 AS BIGINT)) AS nf

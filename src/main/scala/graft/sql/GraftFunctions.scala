@@ -57,6 +57,10 @@ object GraftFunctions {
     ("graft_char_entropy_bound",
       "graft_char_entropy_bound(str) - [n_codepoints, distinct, sum k*floor(log2(n/k))] entropy lower bound",
       es => CharEntropyBoundExpr(es.head)),
+    ("graft_cdc_chunks",
+      "graft_cdc_chunks(str, w, mask) - content-defined chunk fingerprints (rolling-hash cuts)",
+      es => CdcChunkFpsExpr(es.head, intLit(es(1), "graft_cdc_chunks"),
+        intLit(es(2), "graft_cdc_chunks").toLong)),
     ("graft_byte_stats", "graft_byte_stats(bin) - n/sum/min/max over raw bytes",
       es => ByteStatsExpr(es.head)),
     ("graft_byte_hist", "graft_byte_hist(bin, bins) - normalized byte histogram",

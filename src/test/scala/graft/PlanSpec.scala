@@ -1132,6 +1132,15 @@ class PlanSpec extends AnyFunSuite {
       nOps(p, "BroadcastHashJoin") >= 2, s"step joins must be user equi-joins:\n$p")
   }
 
+  test("mm_cdc_chunks: one kernel call per blob; the explode is chunk-grain, not char-grain") {
+    val p = plan("mm_cdc_chunks")
+    assert(p.contains("graft_cdc_chunks"), p)
+    assert(nOps(p, "Generate") == 1,
+      s"exactly one explode — of ~len/64 chunk fps, never of chars:\n$p")
+    assert(nOps(p, "Scan parquet") == 1, s"one documents scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
   test("q_eager_agg: lineitem rolls up BELOW the join — the fact exchange carries partials") {
     val p = plan("q_eager_agg")
     // inner rollup (partial+final) + outer rollup (partial+final): the
