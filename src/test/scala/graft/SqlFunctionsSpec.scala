@@ -177,8 +177,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
     new graft.sql.GraftExtensions().apply(ext)
     // pinned count catches an accidentally dropped builder; distinct
     // catches a duplicated name
-    assert(GraftFunctions.builders.size == 26)
-    assert(GraftFunctions.builders.map(_._1).distinct.size == 26)
+    assert(GraftFunctions.builders.size == 27)
+    assert(GraftFunctions.builders.map(_._1).distinct.size == 27)
   }
 
   test("graft_explode_shingles: a true Generator — 1→N from SQL with child positions") {
