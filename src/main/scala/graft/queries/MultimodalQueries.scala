@@ -280,8 +280,43 @@ object MultimodalQueries {
         expr("(1000 * (n_chunks - n_distinct)) div n_chunks").as("dup_milli"))
   }
 
+  /** Cross-SOURCE chunk containment — the decontamination/provenance
+    * view of [[mmCdcChunks]]: which source pairs share content, by
+    * DISTINCT CDC chunk fingerprints (the same cuts, so a shifted
+    * copy-paste still counts), scored as shared ÷ the smaller side's
+    * chunk vocabulary (containment, not Jaccard — a small source fully
+    * embedded in a big one scores 1000‰, exactly the leak the measure
+    * must catch; the [[graft.ext.DedupOps]] containment convention).
+    * Plan: the (source, fp) relation is ONE kernel pass + distinct,
+    * persisted query-scoped — the pair join and both marginals read
+    * it; candidate pairs form by fp EQUI-JOIN (each fingerprint joins
+    * only its own bucket, the engine-wide no-all-pairs rule), and a
+    * fingerprint shared by s sources yields s·(s−1)/2 ≤ |sources|²/2
+    * pre-combined rows, bounded by the source domain, not by docs.
+    * shared ≥ 2 support floor: one coincident 64-byte chunk is noise,
+    * a repeat is provenance. */
+  def mmChunkOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = graft.core.QueryCaches.track(
+      load(spark, sfDir, "documents")
+        .select(col("source"),
+          explode(graft.functions.HashExprs.cdcChunkFps(col("text"), 8, 64L))
+            .as("fp"))
+        .distinct())
+    val n = sf.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+    sf.as("a").join(sf.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      .join(n.select(col("source").as("src_a"), col("n_fp").as("n_a")), "src_a")
+      .join(n.select(col("source").as("src_b"), col("n_fp").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"),
+        expr("(1000 * shared) div least(n_a, n_b)").as("containment_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_cdc_chunks" -> (mmCdcChunks _),
+    "mm_chunk_overlap" -> (mmChunkOverlap _),
     "mm_audio_segments" -> (mmAudioSegments _),
     "mm_frames_sql" -> (mmFramesSql _),
     "mm_scene_cuts" -> (mmSceneCuts _),
@@ -334,35 +369,56 @@ object MultimodalQueries {
        |    WHEN 2 THEN (ah // 4194304) % 2048 ELSE ah // 8589934592 END AS key
        |  FROM p, (SELECT unnest([0, 1, 2, 3]) AS band))""".stripMargin
 
+  // CDC chunking re-derived from first principles: the same 31^j
+  // pow table (mod 1e9+7), the same cut rule (after 0-based idx ∈
+  // [7, n−2] when the 8-window rolling hash ≡ 0 mod 64), the same
+  // (a·31+cp) chunk folds over the 1-based slices between cuts.
+  // MATERIALIZED: both consumers fan out of `fps`, and the chunk-fold
+  // chain must not re-expand per reference (the mutualSql precedent).
+  private val cdcFpsSql: String =
+    """c AS (SELECT doc_id, source,
+      |    list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT)) AS cps
+      |  FROM documents WHERE len(text) > 0),
+      |cut AS (SELECT doc_id, source, cps,
+      |    list_filter(range(8, len(cps)), i ->
+      |      (list_reduce(list_transform(range(0, 8), j ->
+      |         cps[i - j] * ([1, 31, 961, 29791, 923521, 28629151,
+      |                        887503681, 512613922])[j + 1]),
+      |        (a, x) -> a + x) % 1000000007) % 64 = 0) AS cuts
+      |  FROM c),
+      |fps AS MATERIALIZED (SELECT doc_id, source,
+      |    list_transform(range(1, len(cuts) + 2), k ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        cps[(CASE WHEN k = 1 THEN 1 ELSE cuts[k - 1] + 1 END):
+      |            (CASE WHEN k = len(cuts) + 1 THEN len(cps) ELSE cuts[k] END)]),
+      |        (a, x) -> (a * 31 + x) % 1000000007)) AS chunk_fps
+      |  FROM cut)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    // CDC chunking re-derived from first principles: the same 31^j
-    // pow table (mod 1e9+7), the same cut rule (after 0-based idx ∈
-    // [7, n−2] when the 8-window rolling hash ≡ 0 mod 64), the same
-    // (a·31+cp) chunk folds over the 1-based slices between cuts.
     "mm_cdc_chunks" ->
-      """WITH c AS (SELECT doc_id, source,
-        |    list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT)) AS cps
-        |  FROM documents WHERE len(text) > 0),
-        |cut AS (SELECT doc_id, source, cps,
-        |    list_filter(range(8, len(cps)), i ->
-        |      (list_reduce(list_transform(range(0, 8), j ->
-        |         cps[i - j] * ([1, 31, 961, 29791, 923521, 28629151,
-        |                        887503681, 512613922])[j + 1]),
-        |        (a, x) -> a + x) % 1000000007) % 64 = 0) AS cuts
-        |  FROM c),
-        |fps AS (SELECT doc_id, source,
-        |    list_transform(range(1, len(cuts) + 2), k ->
-        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        cps[(CASE WHEN k = 1 THEN 1 ELSE cuts[k - 1] + 1 END):
-        |            (CASE WHEN k = len(cuts) + 1 THEN len(cps) ELSE cuts[k] END)]),
-        |        (a, x) -> (a * 31 + x) % 1000000007)) AS chunk_fps
-        |  FROM cut)
-        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
-        |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
-        |  CAST((1000 * (COUNT(*) - COUNT(DISTINCT fp))) // COUNT(*) AS BIGINT)
-        |    AS dup_milli
-        |FROM (SELECT source, unnest(chunk_fps) AS fp FROM fps)
-        |GROUP BY 1""".stripMargin,
+      s"""WITH $cdcFpsSql
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+         |  CAST((1000 * (COUNT(*) - COUNT(DISTINCT fp))) // COUNT(*) AS BIGINT)
+         |    AS dup_milli
+         |FROM (SELECT source, unnest(chunk_fps) AS fp FROM fps)
+         |GROUP BY 1""".stripMargin,
+    "mm_chunk_overlap" ->
+      s"""WITH $cdcFpsSql,
+         |sf AS MATERIALIZED (SELECT DISTINCT source, fp FROM
+         |       (SELECT source, unnest(chunk_fps) AS fp FROM fps)),
+         |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fp FROM sf GROUP BY 1),
+         |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+         |            CAST(COUNT(*) AS BIGINT) AS shared
+         |          FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+         |          GROUP BY 1, 2)
+         |SELECT src_a, src_b, shared, na.n_fp AS n_a, nb.n_fp AS n_b,
+         |  CAST((1000 * shared) // least(na.n_fp, nb.n_fp) AS BIGINT)
+         |    AS containment_milli
+         |FROM pairs
+         |JOIN n na ON na.source = src_a
+         |JOIN n nb ON nb.source = src_b
+         |WHERE shared >= 2""".stripMargin,
     "mm_audio_segments" ->
       """WITH f0 AS (SELECT doc_id, text,
         |             greatest(1, CAST(length(text) // 16 AS BIGINT)) AS nf

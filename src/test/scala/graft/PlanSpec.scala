@@ -1141,6 +1141,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
   }
 
+  test("mm_chunk_overlap: pairs via fp equi-join over one cached kernel pass") {
+    val p = plan("mm_chunk_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairs must form by fingerprint equi-join:\n$p")
+    // the (source, fp) relation is persisted: the kernel+explode runs
+    // once, the self-join and both marginals read the cache
+    assert(nOps(p, "Generate") == 1, s"one chunk explode for the whole query:\n$p")
+    graft.core.QueryCaches.release()
+  }
+
   test("q_eager_agg: lineitem rolls up BELOW the join — the fact exchange carries partials") {
     val p = plan("q_eager_agg")
     // inner rollup (partial+final) + outer rollup (partial+final): the
