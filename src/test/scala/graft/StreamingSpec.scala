@@ -1071,6 +1071,46 @@ class StreamingSpec extends AnyFunSuite {
       s"stream $streamRows vs batch $batch")
   }
 
+  test("streaming CDC chunk dedup by composition: first-seen chunks equal batch distinct vocabulary") {
+    // The storage-dedup INGEST path: docs stream in, the codegen CDC
+    // kernel chunks each blob in-batch, and dedupExact keeps only
+    // first-seen (source, fp) — so the stream's admitted chunk set IS
+    // the batch mm_cdc_chunks distinct vocabulary, computed without
+    // ever holding the corpus.
+    implicit val sq = spark.sqlContext
+    val docs = graft.queries.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val in = MemoryStream[(String, String)]
+    val rows = new ConcurrentLinkedQueue[(String, Long)]()
+    val chunks = GraftStream.dedupExact(
+      in.toDF().toDF("source", "text")
+        .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+        .select(col("source"), col("ts"),
+          explode(graft.functions.HashExprs.cdcChunkFps(col("text"), 8, 64L)).as("fp")),
+      "ts", "1 minute", "source", "fp")
+    val q = chunks.writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        b.select(col("source"), col("fp")).collect()
+          .foreach(r => rows.add((r.getString(0), r.getLong(1)))); ()
+      })
+      .start()
+    val (first, second) = docs.splitAt(docs.length / 2)
+    in.addData(first.toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(second.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = rows.toArray.map(_.asInstanceOf[(String, Long)]).toSeq
+    assert(emitted.distinct.size == emitted.size, "re-occurrences must be dropped in-stream")
+    val got = emitted.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val batch = SparkEntry.queries("mm_cdc_chunks")(spark, "/root/testdata/sf0.01")
+      .select(col("source"), col("n_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.core.QueryCaches.release()
+    assert(batch.nonEmpty && got == batch, s"stream $got vs batch $batch")
+  }
+
   test("streaming HLL sketch: an out-of-frame hash fails the contract, not an array index") {
     // r10 advice: a negative caller hash used to crash regs(-b) with
     // ArrayIndexOutOfBoundsException mid-trigger; the fold now states
