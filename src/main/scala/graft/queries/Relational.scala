@@ -1203,6 +1203,32 @@ object Relational {
       .unionAll(audit(expr("date_trunc('month', o_orderdate)"), "by_month"))
   }
 
+  /** TPC-H Q19-shaped DISJUNCTIVE join filter — the OR-of-ANDs
+    * predicate class that defeats naive pushdown: the match condition
+    * mixes columns of BOTH sides inside each disjunct, so no single
+    * branch can move below the join as-is. Catalyst's CNF extraction
+    * (`extractPredicatesWithinOutputSet`) derives the per-side
+    * WEAKENINGS — `p_brand IN (…) AND p_size ≤ …` onto the part scan,
+    * the union of quantity ranges onto the lineitem scan — leaving the
+    * exact disjunction as the join's residual. At 100 TB that derived
+    * pushdown is the query: both scans prune to the selective slice
+    * (PushedFilters carries the In/Or — PlanSpec pins it) before any
+    * row reaches the exchange. Decimal-exact revenue; the oracle is
+    * the same disjunction verbatim. */
+  def q19Disjunctive(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = load(spark, sfDir, "lineitem")
+    val p = load(spark, sfDir, "part")
+    li.join(p, col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
   /** EAGER AGGREGATION (Yan & Larson: push the group-by below the
     * join) — the plan transformation declared as a query: revenue per
     * order priority is computed by pre-aggregating lineitem to ONE row
@@ -1329,6 +1355,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_exists_rewrite" -> (qExistsRewrite _),
+    "q19_disjunctive" -> (q19Disjunctive _),
     "q_eager_agg" -> (qEagerAgg _),
     "q_semijoin_reduce" -> (qSemijoinReduce _),
     "q_join_card_est" -> (qJoinCardEst _),
@@ -1384,6 +1411,17 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q19_disjunctive" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey AND (
+        |     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
     // the LAZY spelling on purpose: proves the eager (pushed-below-
     // join) aggregation equivalent, decimal fold included
     "q_eager_agg" ->

@@ -1151,6 +1151,18 @@ class PlanSpec extends AnyFunSuite {
     graft.core.QueryCaches.release()
   }
 
+  test("q19_disjunctive: per-side weakenings of the OR-of-ANDs reach BOTH parquet scans") {
+    // CNF extraction must derive each side's disjunction and push it:
+    // the union of quantity ranges onto lineitem, the brand/size
+    // disjunction onto part — neither scan may read unfiltered.
+    val p = plan("q19_disjunctive")
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      s"lineitem scan must carry the derived quantity disjunction:\n$p")
+    assert(p.contains("EqualTo(p_brand,Brand#12)"),
+      s"part scan must carry the brand/size disjunction:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_eager_agg: lineitem rolls up BELOW the join — the fact exchange carries partials") {
     val p = plan("q_eager_agg")
     // inner rollup (partial+final) + outer rollup (partial+final): the
