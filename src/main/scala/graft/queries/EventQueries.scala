@@ -618,6 +618,42 @@ object EventQueries {
         (col("nearest_click_tus") - col("p_tus")).as("nearest_gap_us"))
   }
 
+  /** As-of tie-break contract, oracle-gated — the round-11 advice fix
+    * ([[graft.plans.AsOfJoinExec]] `rightTie`) exercised on REAL
+    * duplicate timestamps: every click is deliberately doubled into
+    * two payload rows sharing one (user, ts), and the native operator
+    * must deterministically match backward/nearest to the MAX-tie row
+    * of the latest qualifying instant (latest-record-wins, the update
+    * -stream contract) and forward to the MIN-tie row of the earliest.
+    * Without the tie column both picks would be partition-order
+    * lottery — the DuckDB oracle spells the total rule (max pay at max
+    * ts ≤ t; min pay at min ts ≥ t), so a green hash pins the operator
+    * semantics end to end. Same merge plan as every as-of row: one
+    * hash exchange per side, sorted streaming merge, O(1) state. */
+  def eventsAsofTies(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.core.QueryCaches.track(
+      events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("tus")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event"), col("tus").as("p_tus"))
+    val clicks = e.filter(col("event_type") === "click")
+    val rights = graft.core.QueryCaches.track(
+      clicks.select(col("user_id").as("c_user"), col("tus").as("c_tus"),
+          (col("event_id") * 2).as("pay"))
+        .unionByName(clicks.select(col("user_id").as("c_user"),
+          col("tus").as("c_tus"), (col("event_id") * 2 + 1).as("pay"))))
+    val back = graft.ext.AsOfJoin.asOfNative(purchases, rights,
+        "user_id", "c_user", "p_tus", "c_tus",
+        rightTieBreaker = Some("pay"))
+      .select(col("user_id"), col("p_event"), col("pay").as("back_pay"))
+    val fwd = graft.ext.AsOfJoin.asOfNative(purchases, rights,
+        "user_id", "c_user", "p_tus", "c_tus", direction = "forward",
+        rightTieBreaker = Some("pay"))
+      .select(col("user_id"), col("p_event"), col("pay").as("fwd_pay"))
+    back.join(fwd, Seq("user_id", "p_event"))
+  }
+
   /** Robust daily-volume outliers — median absolute deviation instead
     * of [[eventsSpikes]]' trailing mean, because one genuine spike in
     * the trailing window masks the next one (the classic robustness
@@ -1695,6 +1731,7 @@ object EventQueries {
     "events_survival" -> (eventsSurvival _),
     "events_forecast_eval" -> (eventsForecastEval _),
     "events_asof_directions" -> (eventsAsofDirections _),
+    "events_asof_ties" -> (eventsAsofTies _),
     "events_rfm" -> (eventsRfm _),
     "events_stickiness" -> (eventsStickiness _),
     "events_anomaly" -> (eventsAnomaly _),
@@ -1940,6 +1977,26 @@ object EventQueries {
         |       WHEN next_click_tus - p_tus < p_tus - back_tus THEN next_click_tus
         |       ELSE back_tus END - p_tus AS nearest_gap_us
         |FROM m""".stripMargin,
+    "events_asof_ties" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |           FROM events),
+        |p AS (SELECT user_id, event_id AS p_event, tus AS p_tus FROM e
+        |      WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, tus AS c_tus, event_id * 2 AS pay FROM e
+        |      WHERE event_type = 'click'
+        |      UNION ALL
+        |      SELECT user_id, tus, event_id * 2 + 1 FROM e
+        |      WHERE event_type = 'click')
+        |SELECT p.user_id, p.p_event,
+        |  (SELECT MAX(pay) FROM r
+        |   WHERE r.user_id = p.user_id AND r.c_tus =
+        |     (SELECT MAX(c_tus) FROM r
+        |      WHERE r.user_id = p.user_id AND c_tus <= p.p_tus)) AS back_pay,
+        |  (SELECT MIN(pay) FROM r
+        |   WHERE r.user_id = p.user_id AND r.c_tus =
+        |     (SELECT MIN(c_tus) FROM r
+        |      WHERE r.user_id = p.user_id AND c_tus >= p.p_tus)) AS fwd_pay
+        |FROM p""".stripMargin,
     "events_asof_native" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
         |           FROM events),
