@@ -136,6 +136,35 @@ class WindowAuditSpec extends AnyFunSuite {
       s"a boundedness argument):\n${bad.mkString("\n")}")
   }
 
+  /** Queries allowed a CartesianProduct, each with the boundedness
+    * argument (a BroadcastNestedLoopJoin over a 1-row/domain-bounded
+    * side does NOT plan as CartesianProduct, so those never trip
+    * this). */
+  private val cartesianAllowlist: Map[String, String] = Map.empty
+
+  test("no declared query plans a CartesianProduct — 1-row stitches broadcast instead") {
+    // The companion guard to the window audit: an unbroadcast cross
+    // join is quadratic at scale. Every deliberate 1-row count stitch
+    // in the inventory goes through broadcast() and plans as
+    // BroadcastNestedLoopJoin; a plain CartesianProduct means a
+    // broadcast was lost (e.g. a relation grew past the hint's reach
+    // or a refactor dropped the hint) and must be fixed or allowlisted
+    // with a boundedness argument.
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, sf).queryExecution.explainString(FormattedMode)
+        if (p.contains("CartesianProduct") && !cartesianAllowlist.contains(name))
+          bad += name
+      } finally {
+        graft.core.QueryCaches.release()
+        graft.ext.DedupOps.releaseCaches()
+        spark.conf.set("spark.graft.lsh.rewrite", "false")
+      }
+    }
+    assert(bad.isEmpty, s"CartesianProduct in: ${bad.mkString(", ")}")
+  }
+
   test("the parser itself detects the defeated-top-k shape (self-test)") {
     // A synthetic plan with a cast-defeated rank filter: Window over a
     // SinglePartition exchange whose child is the raw scan.
