@@ -85,14 +85,16 @@ object SimOps {
     * nearest centroids. Work per query: O(nprobe × corpus/centroids)
     * instead of O(corpus). `centroids` must be small (labels × dims) —
     * broadcast on both sides. */
-  def topkIvf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Nearest-centroid assignment as an aggregate (max_by with a
-    // deterministic (score, -c_id) tie-break): partial maxima combine
-    // map-side, so the exchange moves one row per vector — a window
-    // rank here would shuffle every (vector × centroid) score row.
-    val assigned = corpus.crossJoin(broadcast(centroids))
+  /** Nearest-centroid assignment as an aggregate (max_by with a
+    * deterministic (score, -c_id) tie-break): partial maxima combine
+    * map-side, so the exchange moves one row per vector — a window
+    * rank here would shuffle every (vector × centroid) score row.
+    * Split out of [[topkIvf]] so a parameter sweep can persist ONE
+    * assignment and probe it at several `nprobe` settings (at
+    * warehouse scale the assignment is the table's physical
+    * bucketing — computed once, not per query). */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("c_id"),
         cosine(col("embedding"), col("c_vec")).as("cc"))
       .groupBy(col("vec_id"))
@@ -100,6 +102,16 @@ object SimOps {
         struct(col("cc"), (-col("c_id")).as("nc"))).as("best"))
       .select(col("vec_id"), col("best.embedding").as("embedding"),
         col("best.c_id").as("cent"))
+
+  def topkIvf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame =
+    topkIvfAssigned(ivfAssign(corpus, centroids), queries, centroids, k, nprobe)
+
+  /** The probe phase of [[topkIvf]] over a precomputed (or persisted)
+    * [[ivfAssign]] relation. */
+  def topkIvfAssigned(assigned: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val probes = queries.crossJoin(broadcast(centroids))
       .select(col("q_id"), col("q_vec"), col("c_id"),
         cosine(col("q_vec"), col("c_vec")).as("qc"))

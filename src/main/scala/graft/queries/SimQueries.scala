@@ -138,6 +138,39 @@ object SimQueries {
     cfg(2).unionByName(cfg(4)).unionByName(cfg(6))
   }
 
+  /** IVF nprobe sweep — the third knob family beside [[simAnnSweep]]'s
+    * SRP bits and [[graft.queries.DedupQueries.dedupBandSweep]]'s LSH
+    * bands, and the first row to ORACLE-GATE [[SimOps.topkIvf]]'s full
+    * search path (sim_ivf gates only the coarse assignment): one
+    * persisted [[SimOps.ivfAssign]] relation (the expensive corpus ×
+    * centroids pass — at warehouse scale it IS the table's physical
+    * bucketing, computed once) probed at nprobe ∈ {1, 2, 4} against
+    * one persisted brute-force truth, reporting recall@10 beside the
+    * scanned-fraction cost axis (1000·nprobe div |cells|). More probes
+    * → more posting lists scanned → higher recall; the row that picks
+    * the deployment's operating point. All integers under the hash. */
+  def simIvfSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    val cents = graft.core.QueryCaches.track(SimOps.labelCentroids(e, "label"))
+    val nCents = cents.agg(count(lit(1)).as("n_cents"))
+    val assigned = graft.core.QueryCaches.track(SimOps.ivfAssign(corpus, cents))
+    val truth = graft.core.QueryCaches.track(
+      SimOps.topkBrute(corpus, querySet(e), 10).select(col("q_id"), col("vec_id")))
+    def cfg(np: Int): DataFrame =
+      truth.join(
+          SimOps.topkIvfAssigned(assigned, querySet(e), cents, 10, np)
+            .select(col("q_id").as("a_q"), col("vec_id").as("a_v")),
+          col("q_id") === col("a_q") && col("vec_id") === col("a_v"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("a_v").isNotNull, 1L).otherwise(0L)).as("n_found"))
+        .crossJoin(broadcast(nCents))
+        .select(lit(np.toLong).as("nprobe"), col("n_truth"), col("n_found"),
+          expr("CAST((1000 * n_found) div n_truth AS BIGINT)").as("recall_milli"),
+          expr(s"CAST((1000 * $np) div n_cents AS BIGINT)").as("scanned_permille"))
+    cfg(1).unionByName(cfg(2)).unionByName(cfg(4))
+  }
+
   /** Embedding near-duplicate pairs: corpus ∪ planted exact copies
     * (vec_id+1e6), bucketed by 16-bit SRP — identical vectors collide
     * with probability 1 — then cosine ≥ 0.999 verification inside
@@ -1280,6 +1313,7 @@ object SimQueries {
     "sim_mmr" -> (simMmr _),
     "sim_mmr_ann" -> (simMmrAnn _),
     "sim_ann_sweep" -> (simAnnSweep _),
+    "sim_ivf_sweep" -> (simIvfSweep _),
     "sim_label_prop" -> (simLabelProp _),
     "sim_pagerank" -> (simPagerank _),
     "sim_bucket_hist" -> (simBucketHist _),
@@ -2038,6 +2072,54 @@ object SimQueries {
          |SELECT bits, n_truth, n_found,
          |  (1000 * n_found) // n_truth AS recall_milli,
          |  n_corpus // CAST(2 ** bits AS BIGINT) AS exp_candidates_per_q
+         |FROM allr, nc""".stripMargin
+    },
+    "sim_ivf_sweep" -> {
+      def cfg(np: Int): String =
+        s"""p_$np AS (SELECT q_id, q_vec, c_label AS cent FROM qp
+           |       QUALIFY row_number() OVER (PARTITION BY q_id
+           |         ORDER BY qc DESC, c_label) <= $np),
+           |c_$np AS (SELECT p.q_id, a.vec_id,
+           |            ${cosSql("a.embedding", "p.q_vec")} AS cos
+           |          FROM asg a JOIN p_$np p ON a.cent = p.cent
+           |          WHERE a.vec_id <> p.q_id),
+           |l_$np AS (SELECT q_id, vec_id FROM c_$np
+           |       QUALIFY row_number() OVER (PARTITION BY q_id
+           |         ORDER BY cos DESC, vec_id) <= 10),
+           |r_$np AS (SELECT CAST($np AS BIGINT) AS nprobe,
+           |            CAST(COUNT(*) AS BIGINT) AS n_truth,
+           |            CAST(SUM(CASE WHEN l_$np.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS n_found
+           |          FROM t LEFT JOIN l_$np
+           |            ON t.q_id = l_$np.q_id AND t.vec_id = l_$np.vec_id)""".stripMargin
+      s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         |                     unnest(embedding) AS v FROM embeddings),
+         |cd AS (SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS cv
+         |       FROM comp GROUP BY label, pos),
+         |cents AS MATERIALIZED (SELECT label AS c_label, list(cv ORDER BY pos) AS c_vec
+         |         FROM cd GROUP BY label),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 100 = 0),
+         |bscored AS (SELECT q_id, vec_id, ${cosSql("embedding", "q_vec")} AS cos
+         |            FROM embeddings, q WHERE vec_id <> q_id),
+         |t AS MATERIALIZED (SELECT q_id, vec_id FROM bscored
+         |      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10),
+         |asg0 AS (SELECT vec_id, embedding, c_label,
+         |           ${cosMixedSql("embedding", "c_vec")} AS cc
+         |         FROM embeddings, cents),
+         |asg AS MATERIALIZED (SELECT vec_id, embedding, c_label AS cent FROM asg0
+         |       QUALIFY row_number() OVER (PARTITION BY vec_id
+         |         ORDER BY cc DESC, c_label) = 1),
+         |qp AS MATERIALIZED (SELECT q_id, q_vec, c_label,
+         |        ${cosMixedSql("q_vec", "c_vec")} AS qc
+         |      FROM q, cents),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cents FROM cents),
+         |${cfg(1)},
+         |${cfg(2)},
+         |${cfg(4)},
+         |allr AS (SELECT * FROM r_1 UNION ALL SELECT * FROM r_2 UNION ALL SELECT * FROM r_4)
+         |SELECT nprobe, n_truth, n_found,
+         |  (1000 * n_found) // n_truth AS recall_milli,
+         |  (1000 * nprobe) // n_cents AS scanned_permille
          |FROM allr, nc""".stripMargin
     },
     "sim_lsh" ->

@@ -1141,6 +1141,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
   }
 
+  test("sim_ivf_sweep: cell-restricted probes over one cached assignment; partial top-k") {
+    val p = plan("sim_ivf_sweep")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-10 must pre-trim per task:\n$p")
+    // candidates form by cent equi-join against broadcast probes —
+    // never a corpus nested loop (centroid cross joins are broadcast
+    // 1-side-bounded by construction)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    graft.core.QueryCaches.release()
+  }
+
   test("mm_chunk_overlap: pairs via fp equi-join over one cached kernel pass") {
     val p = plan("mm_chunk_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
