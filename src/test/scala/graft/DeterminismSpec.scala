@@ -61,7 +61,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q_semijoin_reduce", // semi-reduction chain + decimal rollup
     "events_gap_sweep",  // one persisted lag relation, 3 conditional aggs
     "sim_mmr_ann",       // LSH candidates + 4 persisted greedy stages
-    "events_funnel_latency") // globalRank two-job quartile selection
+    "events_funnel_latency", // globalRank two-job quartile selection
+    "mm_cdc_chunks",     // CDC kernel + chunk-grain explode + distinct
+    "mm_chunk_overlap",  // fp equi-join pairs over persisted chunk vocab
+    "sim_ivf_sweep",     // shared assignment probed at 3 nprobe settings
+    "events_asof_ties")  // tie-ordered streaming merge, dup timestamps
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
