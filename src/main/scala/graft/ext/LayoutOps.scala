@@ -97,6 +97,32 @@ object LayoutOps {
     spark.table(name)
   }
 
+  /** Partition-pruning layout: write `df` as a directory-PARTITIONED
+    * parquet table (`partitionBy(partCol)`) and return the
+    * catalog-backed read. The scan of this table carries
+    * PartitionFilters: a static predicate on `partCol` prunes
+    * directories at PLANNING time, and a join against a filtered
+    * dimension prunes them at RUNTIME via Spark's dynamic partition
+    * pruning (the star-schema date-dim shape — the 100 TB answer for
+    * "the filter lives on the dimension, not the fact"). The frame is
+    * repartitioned by the partition column first so each directory
+    * holds one file instead of one-per-task small files. Skipped when
+    * the table already exists in this session (lay out once, query
+    * many) — same contract as [[bucketedTable]]. */
+  def partitionedTable(df: DataFrame, name: String, partCol: String): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(name)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      df.repartition(col(partCol))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy(partCol).saveAsTable(name)
+    }
+    spark.table(name)
+  }
+
   /** Compaction/bin-packing PLANNER over file metadata — the OPTIMIZE
     * step every lakehouse table needs once streaming ingest has strewn
     * small files: files (in a caller-chosen order — usually partition/

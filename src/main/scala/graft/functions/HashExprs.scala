@@ -319,11 +319,26 @@ object HashExprs {
     override def prettyName: String = "graft_cdc_chunks"
   }
 
+  /** Delta+zigzag+varint byte cost of a long series — see
+    * [[HashKernels.varintCost]] for semantics and the oracle
+    * spelling (lag-window deltas + CASE zigzag + unpadded-binary
+    * length, Relational.q_encode_cost). */
+  case class VarintCostExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongArray
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.varintCost(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.varintCost($c)")
+    override protected def withNewChildInternal(c: Expression): VarintCostExpr = copy(child = c)
+    override def prettyName: String = "graft_varint_cost"
+  }
+
   // ---- Column-facing wrappers --------------------------------------
   def fingerprint(c: Column): Column = toColumn(FingerprintExpr(toExpression(c)))
   def charEntropyBound(s: Column): Column = toColumn(CharEntropyBoundExpr(toExpression(s)))
   def cdcChunkFps(s: Column, w: Int, mask: Long): Column =
     toColumn(CdcChunkFpsExpr(toExpression(s), w, mask))
+  def varintCost(series: Column): Column = toColumn(VarintCostExpr(toExpression(series)))
   def tokenFps(toks: Column): Column = toColumn(TokenFpsExpr(toExpression(toks)))
   def shingleFps(toks: Column, k: Int): Column = toColumn(ShingleFpsExpr(toExpression(toks), k))
   def charShingleFps(s: Column, k: Int): Column = toColumn(CharShingleFpsExpr(toExpression(s), k))

@@ -643,4 +643,32 @@ object HashKernels {
     }
     h
   }
+
+  /** Columnar encoding COST MODEL — the exact byte footprint of a long
+    * series under delta + zigzag + LEB128 varint (the parquet
+    * DELTA_BINARY_PACKED family's cost shape, and literally the
+    * protobuf/ORC varint rule: zigzag(d) = (d<<1)^(d>>63), then one
+    * byte per started 7-bit group). Element 0 encodes as its own
+    * zigzag varint; element i>0 encodes the delta v[i]−v[i−1]. Returns
+    * [n, 8·n (raw int64 bytes), encoded bytes] so a layout advisor can
+    * rank SORT ORDERS by real storage cost: a clustered order yields
+    * ±1-ish deltas (1 byte each) where a scattered order pays 3–5.
+    * Contract: |values| < 2^62 so 2·|delta| never overflows — the
+    * CASE spelling `2d / −2d−1` the DuckDB oracle uses is then
+    * bit-identical to the shift/xor here. One pass, no allocation. */
+  def varintCost(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var prev = 0L
+    var bytes = 0L
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      val d = if (i == 0) v else v - prev
+      prev = v
+      val u = (d << 1) ^ (d >> 63)
+      bytes += (if (u == 0L) 1 else (70 - java.lang.Long.numberOfLeadingZeros(u)) / 7)
+      i += 1
+    }
+    new GenericArrayData(Array(n.toLong, 8L * n, bytes))
+  }
 }

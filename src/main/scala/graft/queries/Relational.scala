@@ -560,6 +560,56 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
   }
 
+  /** Columnar encoding-cost ADVISOR — ranks candidate SORT ORDERS by
+    * the exact storage bytes a column costs under delta + zigzag +
+    * varint (the parquet DELTA_BINARY_PACKED / ORC-varint cost shape),
+    * via the one-pass codegen kernel
+    * [[graft.functions.HashExprs.varintCost]]. Buckets model 512-key
+    * row groups under each layout's clustering key; each group's
+    * series is collected in a DETERMINISTIC total order (sort_array
+    * over a unique struct key) and costed in ONE kernel call; byte
+    * costs are additive across groups, so the rollup is exact. Three
+    * layouts tell the whole story: l_orderkey clustered by itself
+    * (≈1-byte deltas), l_orderkey scattered by a foreign clustering
+    * key (random ≈3-byte deltas — the cost of clustering by the WRONG
+    * key), and the effectively-random l_partkey column under the
+    * orderkey layout (a column the clustering does nothing for —
+    * encoding can't rescue entropy). Scale posture: the per-group
+    * relation IS the
+    * row-group grain (the corpus has duplicate (orderkey, linenumber)
+    * pairs, so the VALUE rides last in the sort struct as tie-break
+    * and the oracle's ORDER BY spells the same total order) — at
+    * 100 TB the advisor runs over a sampled
+    * fraction of groups (filter this frame), never a global sort; each
+    * collect_list is bounded by rows-per-bucket. The oracle respells
+    * the kernel as lag-window deltas + CASE zigzag + unpadded-binary
+    * length, proving it bit-exact cross-engine. */
+  def qEncodeCost(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashExprs
+    val li = graft.core.QueryCaches.track(
+      load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_linenumber").cast("bigint").as("ln")))
+    def layoutCost(name: String, bucket: org.apache.spark.sql.Column,
+        sortKeys: Seq[org.apache.spark.sql.Column],
+        value: org.apache.spark.sql.Column): DataFrame =
+      li.groupBy(bucket.as("bucket"))
+        .agg(sort_array(collect_list(struct(sortKeys :+ value.as("v"): _*))).as("s"))
+        .select(HashExprs.varintCost(expr("transform(s, x -> x.v)")).as("c"))
+        .agg(sum(expr("c[0]")).as("n_values"),
+          sum(expr("c[1]")).as("raw_bytes"),
+          sum(expr("c[2]")).as("encoded_bytes"))
+        .select(lit(name).as("layout"), col("n_values"),
+          col("raw_bytes"), col("encoded_bytes"))
+    layoutCost("orderkey_clustered", expr("l_orderkey div 512"),
+        Seq(col("l_orderkey"), col("ln")), col("l_orderkey"))
+      .union(layoutCost("orderkey_scattered", expr("l_partkey div 512"),
+        Seq(col("l_partkey"), col("l_orderkey"), col("ln")), col("l_orderkey")))
+      .union(layoutCost("partkey_clustered", expr("l_orderkey div 512"),
+        Seq(col("l_orderkey"), col("ln")), col("l_partkey")))
+      .withColumn("ratio_permille", expr("encoded_bytes * 1000 div raw_bytes"))
+  }
+
   /** Per-nation customer-balance quartiles: ntile(4) runs PARTITIONED
     * by nation, so the sort parallelizes across nations — the
     * partitioned form of equal-height bucketing (a GLOBAL ntile would
@@ -907,6 +957,41 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("n_items")).as("n_items"),
         sum(col("rev")).cast("double").as("revenue"))
+  }
+
+  /** DYNAMIC PARTITION PRUNING under the oracle gate — the
+    * star-schema scan killer at 100 TB: the fact table
+    * ([[graft.ext.LayoutOps.partitionedTable]]: lineitem written
+    * directory-partitioned by ship month) carries NO static predicate;
+    * the date filter lives on the DIMENSION (six 1996 months of orders).
+    * Catalyst's PartitionPruning rule plants a dynamicpruning
+    * subquery into the fact scan's PartitionFilters, reusing the
+    * broadcast of the dim — at runtime only the six matching month
+    * directories are read out of the table's ~84, without the query
+    * author ever touching the fact's predicate. PlanSpec pins the
+    * `dynamicpruning` expression in the executed plan; the oracle
+    * spells the same join over the raw unpartitioned parquet, proving
+    * the pruned scan LOSSLESS. Layout cost is paid once per
+    * session/scale (skip-if-exists), the production shape. */
+  def qDppPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.LayoutOps
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val fact = LayoutOps.partitionedTable(
+      load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+          expr("year(l_shipdate) * 12 + month(l_shipdate) - 1")
+            .cast("bigint").as("ship_month")),
+      s"graft_p_lineitem_$tag", "ship_month")
+    val dim = load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1")
+        .cast("bigint").as("m"))
+      .distinct()
+    fact.join(broadcast(dim), col("ship_month") === col("m"))
+      .groupBy(col("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
   }
 
   /** The oracle's spelling of [[graft.functions.HashKernels.zInterleave]]:
@@ -1374,6 +1459,8 @@ object Relational {
     "q_incremental_mv" -> (qIncrementalMv _),
     "q_incremental_join_mv" -> (qIncrementalJoinMv _),
     "q_bloom_prune" -> (qBloomPrune _),
+    "q_dpp_prune" -> (qDppPrune _),
+    "q_encode_cost" -> (qEncodeCost _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_trailing_30d" -> (qTrailing30d _),
     "q_ntile" -> (qNtile _),
@@ -1742,6 +1829,56 @@ object Relational {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         |GROUP BY l_returnflag""".stripMargin,
+    // same join over the RAW unpartitioned parquet — lossless-pruning proof
+    "q_dpp_prune" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-07-01')
+        |SELECT year(l_shipdate) * 12 + month(l_shipdate) - 1 AS ship_month,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN dim ON year(l_shipdate) * 12 + month(l_shipdate) - 1 = dim.m
+        |GROUP BY 1""".stripMargin,
+    // the kernel respelled: lag-window deltas in the SAME per-bucket
+    // total order, CASE zigzag (== (d<<1)^(d>>63) for |d| < 2^62),
+    // varint bytes = (unpadded-binary length + 6) // 7 (bin(0)='0'
+    // gives the required 1), all-integer so the engines agree exactly
+    "q_encode_cost" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_partkey, CAST(l_linenumber AS BIGINT) AS ln
+        |  FROM lineitem),
+        |a AS (SELECT l_orderkey AS v,
+        |        lag(l_orderkey) OVER (PARTITION BY l_orderkey // 512
+        |                              ORDER BY l_orderkey, ln) AS prev
+        |      FROM base),
+        |b AS (SELECT l_orderkey AS v,
+        |        lag(l_orderkey) OVER (PARTITION BY l_partkey // 512
+        |                              ORDER BY l_partkey, l_orderkey, ln) AS prev
+        |      FROM base),
+        |c AS (SELECT l_partkey AS v,
+        |        lag(l_partkey) OVER (PARTITION BY l_orderkey // 512
+        |                             ORDER BY l_orderkey, ln, l_partkey) AS prev
+        |      FROM base),
+        |cost AS (
+        |  SELECT 'orderkey_clustered' AS layout, COUNT(*) AS n_values,
+        |         CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+        |         CAST(SUM((length(bin(CASE WHEN d >= 0 THEN 2*d ELSE -2*d-1 END)) + 6) // 7) AS BIGINT) AS encoded_bytes
+        |  FROM (SELECT CASE WHEN prev IS NULL THEN v ELSE v - prev END AS d FROM a) t
+        |  UNION ALL
+        |  SELECT 'orderkey_scattered', COUNT(*),
+        |         CAST(COUNT(*) * 8 AS BIGINT),
+        |         CAST(SUM((length(bin(CASE WHEN d >= 0 THEN 2*d ELSE -2*d-1 END)) + 6) // 7) AS BIGINT)
+        |  FROM (SELECT CASE WHEN prev IS NULL THEN v ELSE v - prev END AS d FROM b) t
+        |  UNION ALL
+        |  SELECT 'partkey_clustered', COUNT(*),
+        |         CAST(COUNT(*) * 8 AS BIGINT),
+        |         CAST(SUM((length(bin(CASE WHEN d >= 0 THEN 2*d ELSE -2*d-1 END)) + 6) // 7) AS BIGINT)
+        |  FROM (SELECT CASE WHEN prev IS NULL THEN v ELSE v - prev END AS d FROM c) t)
+        |SELECT layout, n_values, raw_bytes, encoded_bytes,
+        |       CAST(encoded_bytes * 1000 // raw_bytes AS BIGINT) AS ratio_permille
+        |FROM cost""".stripMargin,
     "q_ntile" ->
       """WITH r AS (SELECT c_nationkey, c_acctbal,
         |    CAST(ntile(4) OVER (PARTITION BY c_nationkey

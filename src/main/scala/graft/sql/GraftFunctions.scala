@@ -61,6 +61,9 @@ object GraftFunctions {
       "graft_cdc_chunks(str, w, mask) - content-defined chunk fingerprints (rolling-hash cuts)",
       es => CdcChunkFpsExpr(es.head, intLit(es(1), "graft_cdc_chunks"),
         intLit(es(2), "graft_cdc_chunks").toLong)),
+    ("graft_varint_cost",
+      "graft_varint_cost(longs) - [n, raw_bytes, encoded_bytes] under delta+zigzag+varint",
+      es => VarintCostExpr(es.head)),
     ("graft_byte_stats", "graft_byte_stats(bin) - n/sum/min/max over raw bytes",
       es => ByteStatsExpr(es.head)),
     ("graft_byte_hist", "graft_byte_hist(bin, bins) - normalized byte histogram",

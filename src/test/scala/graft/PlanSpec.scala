@@ -441,6 +441,28 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE ord_b")
   }
 
+  test("q_dpp_prune: the fact scan carries a runtime dynamicpruning partition filter") {
+    // The star-schema scan killer: no static predicate on the fact —
+    // the dim filter must reach the partitioned scan at RUNTIME via
+    // Catalyst's PartitionPruning rule (dynamicpruningexpression in
+    // PartitionFilters). If this pin breaks, the query silently reads
+    // every partition of the fact table — at 100 TB that is the whole
+    // point of the layout gone.
+    val p = plan("q_dpp_prune")
+    assert(p.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic partition-pruning filter:\n${p.take(3000)}")
+    assert(p.contains("PartitionFilters"), p.take(1500))
+  }
+
+  test("q_encode_cost: three bounded-group aggregations, zero windows, zero generic joins") {
+    // The kernel path replaces the oracle's three global lag windows
+    // with per-row-group collect + one codegen kernel call — nothing
+    // sorts globally and nothing joins.
+    val p = plan("q_encode_cost")
+    assert(nOps(p, "Window") == 0, s"the kernel path must not window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("events_attribution: as-of join plans as union + window — no join operator at all") {
     // The carry-forward shape is the whole point of AsOfJoin: a range
     // join would nested-loop per key. The plan must contain a Window

@@ -84,6 +84,52 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(k.toLongArray().toSeq == Seq(3L, 2L, 1L))
   }
 
+  test("graft_varint_cost: hand-computed byte costs, edges, clustering wins, codegen == kernel") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_varint_cost(array(CAST(0 AS BIGINT))) AS zero,
+        |  graft_varint_cost(array(CAST(5 AS BIGINT), 6, 7, 8)) AS seq,
+        |  graft_varint_cost(array(CAST(100 AS BIGINT), 36)) AS neg,
+        |  graft_varint_cost(array(CAST(64 AS BIGINT))) AS twob,
+        |  graft_varint_cost(CAST(array() AS ARRAY<BIGINT>)) AS empty
+        |""".stripMargin).head()
+    // zigzag(0)=0 → 1 byte even for the zero value
+    assert(r.getSeq[Long](0) == Seq(1L, 8L, 1L))
+    // 5,+1,+1,+1: zigzag(5)=10 (1B), each +1 → zigzag 2 (1B) — the
+    // clustered-layout shape: one byte per element
+    assert(r.getSeq[Long](1) == Seq(4L, 32L, 4L))
+    // negative delta −64: zigzag = 127 → still 1 byte; first 100 → 200 → 2 bytes
+    assert(r.getSeq[Long](2) == Seq(2L, 16L, 3L))
+    // zigzag(64)=128 needs an 8th bit → 2 bytes (the 7-bit group boundary)
+    assert(r.getSeq[Long](3) == Seq(1L, 8L, 2L))
+    assert(r.getSeq[Long](4) == Seq(0L, 0L, 0L))
+    // reference fold (loop-free spelling of the LEB128 rule) == kernel
+    // on an adversarial series: sign flips, group boundaries, 2^61 scale
+    def refBytes(vs: Seq[Long]): Long = {
+      var prev = 0L
+      vs.zipWithIndex.map { case (v, i) =>
+        val d = if (i == 0) v else v - prev
+        prev = v
+        val u = (d << 1) ^ (d >> 63)
+        var n = 1L; var x = u >>> 7
+        while (x != 0) { n += 1; x >>>= 7 }
+        n
+      }.sum
+    }
+    val rng = new scala.util.Random(42)
+    val series = Seq.fill(500)(rng.nextLong() >> 3) // |v| < 2^61: contract range
+    val got = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(series.toArray)
+    val k = HashKernels.varintCost(got).toLongArray()
+    assert(k.toSeq == Seq(500L, 4000L, refBytes(series)))
+    // the advisor's premise: a sorted series costs strictly less than
+    // the same multiset scattered
+    val sorted = series.sorted
+    assert(HashKernels.varintCost(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sorted.toArray))
+      .toLongArray()(2) < k(2))
+  }
+
   test("graft_cdc_chunks: shift resistance, edges, codegen == kernel") {
     GraftFunctions.register(spark)
     // deterministic APERIODIC pseudo-text via a 64-bit LCG (a linear
@@ -177,8 +223,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
     new graft.sql.GraftExtensions().apply(ext)
     // pinned count catches an accidentally dropped builder; distinct
     // catches a duplicated name
-    assert(GraftFunctions.builders.size == 27)
-    assert(GraftFunctions.builders.map(_._1).distinct.size == 27)
+    assert(GraftFunctions.builders.size == 28)
+    assert(GraftFunctions.builders.map(_._1).distinct.size == 28)
   }
 
   test("graft_explode_shingles: a true Generator — 1→N from SQL with child positions") {
