@@ -435,6 +435,63 @@ object EventQueries {
         expr("97444218012 div z_scaled <= 160").as("small_range"))
   }
 
+  /** Incremental HLL maintenance — the MERGEABILITY contract that
+    * makes sketches the 100 TB distinct-count answer: yesterday's
+    * persisted 64-register table absorbs a new batch's registers by
+    * per-bucket MAX (union + max over two |M|-row relations — no
+    * rescan of history, idempotent when a user spans both periods),
+    * and the merged sketch must be BIT-IDENTICAL to recomputing from
+    * the full corpus. Three independent aggregation trees (history
+    * registers, batch registers, full recompute) meet in one row:
+    * zero mismatched buckets, equal z-sums and estimates — plus the
+    * exact per-period distincts beside, where `overlap_users =
+    * hist + batch − full` is precisely the re-dedup work exact
+    * counting pays on every refresh and the sketch never does.
+    * Register construction matches [[eventsHllDistinct]] (salted
+    * fingerprint fold, rho via unpadded binary). Scale: the corpus
+    * pass is the per-period distinct projection; everything after is
+    * ≤ 64-row relations stitched by broadcast. */
+  def eventsHllIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val M = 64
+    val SCALE = 25
+    // 2024-01-24T00:00:00Z as epoch nanos — the last week is the batch
+    val CUT = 1706054400L * 1000000000L
+    val dist = graft.core.QueryCaches.track(
+      events(spark, sfDir)
+        .select(col("user_id"), (col("ts") >= lit(CUT)).as("is_new"))
+        .distinct())
+    def regsOf(df: DataFrame): DataFrame = df
+      .select(graft.ext.TextOps.fingerprint(
+        concat(lit("hll|"), col("user_id").cast("string"), lit("|graft"))).as("h"))
+      .select(expr(s"h % $M").as("bucket"), expr(s"h div $M").as("v"))
+      .groupBy(col("bucket"))
+      .agg(max(when(col("v") === 0L, lit(SCALE))
+        .otherwise(lit(SCALE) - length(bin(col("v"))))).as("r"))
+    val rHist = regsOf(dist.filter(!col("is_new")))
+    val rBatch = regsOf(dist.filter(col("is_new")))
+    // THE maintenance step: merge two persisted register tables
+    val rMerged = rHist.union(rBatch).groupBy(col("bucket")).agg(max(col("r")).as("r"))
+    val rFull = regsOf(dist.select(col("user_id")).distinct())
+    def zOf(regs: DataFrame, zName: String, eName: String): DataFrame = regs
+      .agg((sum(expr(s"shiftleft(CAST(1 AS BIGINT), $SCALE - r)"))
+        + (lit(M) - count(lit(1))) * lit(1L << SCALE)).cast("bigint").as(zName))
+      .select(col(zName), expr(s"CAST(97444218012 div $zName AS BIGINT)").as(eName))
+    val mism = rMerged.as("m").join(rFull.as("f"), Seq("bucket"), "full_outer")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(coalesce(col("m.r"), lit(-1L)) =!= coalesce(col("f.r"), lit(-2L)),
+          1L).otherwise(0L)).as("n_mismatch"))
+    dist.agg(
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("exact_hist"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("exact_batch"),
+        countDistinct(col("user_id")).as("exact_full"))
+      .crossJoin(broadcast(mism))
+      .crossJoin(broadcast(zOf(rMerged, "z_merged", "est_merged")))
+      .crossJoin(broadcast(zOf(rFull, "z_full", "est_full")))
+      .withColumn("overlap_users", expr("exact_hist + exact_batch - exact_full"))
+      .withColumn("merge_exact",
+        col("n_mismatch") === 0L && col("z_merged") === col("z_full"))
+  }
+
   /** Count-Min sketch frequency estimates — the fourth integer-form
     * sketch beside KMV ([[eventsKmvDistinct]]), HLL
     * ([[eventsHllDistinct]]) and the Bloom screen
@@ -853,6 +910,60 @@ object EventQueries {
           .when(col("rk") === expr("(n + 1) div 2"), "p50")
           .otherwise("p75").as("q"),
         col("value"))
+  }
+
+  /** Mergeable QUANTILE SKETCH beside exact — the p50/p90/p99 answer
+    * that actually ships at 100 TB: an HDR-style log-bucket histogram
+    * (8 linear sub-buckets per octave over v = gap+1, so bucket counts
+    * are plain mergeable SUMS and the bucket domain is ≤ 8·64 rows no
+    * matter the data) walked cumulatively to each rank target, with
+    * the bucket's [lo, hi) reconstruction guaranteeing relative error
+    * ≤ 1/8. The EXACT side rides [[graft.ext.SkewOps.globalRank]]
+    * (two-job distributed rank — no users-scale global window) and
+    * the green row pins lo ≤ exact < hi per quantile ON DATA
+    * (`bound_ok`), the sketch-beside-truth calibration pattern of
+    * [[eventsHllDistinct]]. The only ordered window is the cumsum
+    * over the ≤512-bucket histogram — domain-bounded by the sketch
+    * size itself (WindowAuditSpec-allowlisted), which is the whole
+    * point: the full gap multiset never crosses one partition. */
+  def eventsQuantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val gaps = graft.core.QueryCaches.track(
+      events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
+        .withColumn("prev", lag(col("tus"), 1).over(wu))
+        .filter(col("prev").isNotNull)
+        .select(expr("(tus - prev) div 1000000").as("gap_s")))
+    val n1 = gaps.agg(count(lit(1)).as("n"))
+    val ranks = spark.range(1)
+      .select(explode(array(lit(50L), lit(90L), lit(99L))).as("q"))
+      .crossJoin(broadcast(n1))
+      .withColumn("rk_t", expr("(q * n + 99) div 100"))
+    val exact = graft.ext.SkewOps.globalRank(gaps, Seq("gap_s"), "rk")
+      .join(broadcast(ranks), col("rk") === col("rk_t"))
+      .select(col("q"), col("n"), col("rk_t"), col("gap_s").as("exact_gap"))
+    val hist = gaps
+      .withColumn("v", col("gap_s") + 1)
+      .withColumn("e", (length(bin(col("v"))) - 1).cast("bigint"))
+      .withColumn("bucket", expr(
+        "CASE WHEN v < 8 THEN v ELSE e * 8 + (shiftright(v, CAST(e - 3 AS INT)) & 7) END"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)))
+    val pick = cum.join(broadcast(ranks), col("cum") >= col("rk_t"))
+      .groupBy(col("q")).agg(min(col("bucket")).as("bucket"))
+      .withColumn("lo_v", expr("CASE WHEN bucket < 8 THEN bucket " +
+        "ELSE shiftleft(8 + bucket % 8, CAST(bucket div 8 - 3 AS INT)) END"))
+      .withColumn("width", expr("CASE WHEN bucket < 8 THEN CAST(1 AS BIGINT) " +
+        "ELSE shiftleft(CAST(1 AS BIGINT), CAST(bucket div 8 - 3 AS INT)) END"))
+    exact.join(pick, Seq("q"))
+      .select(col("q"), col("n"), col("rk_t").as("rank_t"), col("bucket"),
+        (col("lo_v") - 1).as("lo_gap"),
+        (col("lo_v") + col("width") - 1).as("hi_gap_excl"),
+        (col("lo_v") + expr("width div 2") - 1).as("est_gap"),
+        col("exact_gap"),
+        (col("lo_v") <= col("exact_gap") + 1 &&
+          col("exact_gap") + 1 < col("lo_v") + col("width")).as("bound_ok"))
   }
 
   /** RFM segmentation — the classic customer-value grid (recency /
@@ -1723,6 +1834,7 @@ object EventQueries {
     "events_markov" -> (eventsMarkov _),
     "events_gap_hist" -> (eventsGapHist _),
     "events_quantiles" -> (eventsQuantiles _),
+    "events_quantile_sketch" -> (eventsQuantileSketch _),
     "events_cohorts" -> (eventsCohorts _),
     "events_spikes" -> (eventsSpikes _),
     "events_trend" -> (eventsTrend _),
@@ -1737,6 +1849,7 @@ object EventQueries {
     "events_anomaly" -> (eventsAnomaly _),
     "events_kmv_distinct" -> (eventsKmvDistinct _),
     "events_hll_distinct" -> (eventsHllDistinct _),
+    "events_hll_incremental" -> (eventsHllIncremental _),
     "events_interval_join" -> (eventsIntervalJoin _),
     "events_cm_freq" -> (eventsCmFreq _),
     "events_pattern_match" -> (eventsPatternMatch _),
@@ -2310,6 +2423,39 @@ object EventQueries {
         |SELECT CAST(length(bin(gap_s)) - 1 AS BIGINT) AS bucket,
         |       COUNT(*) AS n_gaps, MIN(gap_s) AS min_gap, MAX(gap_s) AS max_gap
         |FROM s GROUP BY 1""".stripMargin,
+    // sketch respelled: same log-bucket arithmetic, naive global
+    // row_number for the exact side (what globalRank replaces)
+    "events_quantile_sketch" ->
+      """WITH g AS (SELECT epoch_us(ts) AS tus,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |gaps AS (SELECT (tus - prev) // 1000000 AS gap_s FROM g WHERE prev IS NOT NULL),
+        |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gaps),
+        |ranks AS (SELECT CAST(q AS BIGINT) AS q, n,
+        |            (CAST(q AS BIGINT) * n + 99) // 100 AS rk_t
+        |          FROM (VALUES (50), (90), (99)) t(q), n1),
+        |ex AS (SELECT q, n, rk_t, gap_s AS exact_gap
+        |       FROM (SELECT gap_s, row_number() OVER (ORDER BY gap_s) AS rk FROM gaps) s
+        |       JOIN ranks ON rk = rk_t),
+        |hist AS (SELECT CASE WHEN v < 8 THEN v
+        |             ELSE (length(bin(v)) - 1) * 8 + ((v >> (length(bin(v)) - 1 - 3)) & 7)
+        |           END AS bucket, COUNT(*) AS cnt
+        |         FROM (SELECT gap_s + 1 AS v FROM gaps) GROUP BY 1),
+        |cum AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum FROM hist),
+        |pick AS (SELECT q, MIN(bucket) AS bucket
+        |         FROM cum JOIN ranks ON cum >= rk_t GROUP BY q),
+        |pv AS (SELECT q, bucket,
+        |         CASE WHEN bucket < 8 THEN bucket
+        |           ELSE (8 + bucket % 8) << CAST(bucket // 8 - 3 AS INTEGER) END AS lo_v,
+        |         CASE WHEN bucket < 8 THEN CAST(1 AS BIGINT)
+        |           ELSE CAST(1 AS BIGINT) << CAST(bucket // 8 - 3 AS INTEGER) END AS width
+        |       FROM pick)
+        |SELECT ex.q, n, rk_t AS rank_t, pv.bucket,
+        |       lo_v - 1 AS lo_gap, lo_v + width - 1 AS hi_gap_excl,
+        |       lo_v + width // 2 - 1 AS est_gap, exact_gap,
+        |       lo_v <= exact_gap + 1 AND exact_gap + 1 < lo_v + width AS bound_ok
+        |FROM ex JOIN pv USING (q)""".stripMargin,
     "events_quantiles" ->
       """WITH n_t AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
         |r AS (SELECT event_type, value,
@@ -2429,6 +2575,49 @@ object EventQueries {
         |  CAST(97444218012 // z_scaled AS BIGINT) AS est_distinct,
         |  97444218012 // z_scaled <= 160 AS small_range
         |FROM e JOIN z USING (event_type)""".stripMargin,
+    // merged-vs-full register equality: the DuckDB side rebuilds the
+    // same three aggregation trees; rf folds hh directly (a user in
+    // both periods carries the same h, MAX is idempotent)
+    "events_hll_incremental" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |              ts >= TIMESTAMP '2024-01-24' AS is_new FROM events),
+        |hh AS (SELECT user_id, is_new,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('hll|' || CAST(user_id AS VARCHAR) || '|graft', ''),
+        |        ch -> CAST(unicode(ch) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM ev),
+        |rh AS (SELECT h % 64 AS bucket,
+        |         MAX(CASE WHEN h // 64 = 0 THEN 25 ELSE 25 - length(bin(h // 64)) END) AS r
+        |       FROM hh WHERE NOT is_new GROUP BY 1),
+        |rb AS (SELECT h % 64 AS bucket,
+        |         MAX(CASE WHEN h // 64 = 0 THEN 25 ELSE 25 - length(bin(h // 64)) END) AS r
+        |       FROM hh WHERE is_new GROUP BY 1),
+        |rm AS (SELECT bucket, MAX(r) AS r
+        |       FROM (SELECT * FROM rh UNION ALL SELECT * FROM rb) GROUP BY 1),
+        |rf AS (SELECT h % 64 AS bucket,
+        |         MAX(CASE WHEN h // 64 = 0 THEN 25 ELSE 25 - length(bin(h // 64)) END) AS r
+        |       FROM hh GROUP BY 1),
+        |zm AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST(25 - r AS INTEGER)) +
+        |                (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 25) AS BIGINT) AS z_merged
+        |       FROM rm),
+        |zf AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST(25 - r AS INTEGER)) +
+        |                (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 25) AS BIGINT) AS z_full
+        |       FROM rf),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |         CAST(SUM(CASE WHEN COALESCE(m.r, -1) <> COALESCE(f.r, -2)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+        |       FROM rm m FULL OUTER JOIN rf f USING (bucket)),
+        |ex AS (SELECT CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS exact_hist,
+        |              CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS exact_batch,
+        |              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_full
+        |       FROM ev)
+        |SELECT exact_hist, exact_batch, exact_full, n_buckets, n_mismatch,
+        |       z_merged, CAST(97444218012 // z_merged AS BIGINT) AS est_merged,
+        |       z_full, CAST(97444218012 // z_full AS BIGINT) AS est_full,
+        |       exact_hist + exact_batch - exact_full AS overlap_users,
+        |       n_mismatch = 0 AND z_merged = z_full AS merge_exact
+        |FROM ex, mm, zm, zf""".stripMargin,
     "events_anomaly" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
         |               FROM events GROUP BY 1, 2),

@@ -65,7 +65,10 @@ class DeterminismSpec extends AnyFunSuite {
     "mm_cdc_chunks",     // CDC kernel + chunk-grain explode + distinct
     "mm_chunk_overlap",  // fp equi-join pairs over persisted chunk vocab
     "sim_ivf_sweep",     // shared assignment probed at 3 nprobe settings
-    "events_asof_ties")  // tie-ordered streaming merge, dup timestamps
+    "events_asof_ties",  // tie-ordered streaming merge, dup timestamps
+    "q_encode_cost",     // sort_array total order feeds the varint kernel
+    "events_hll_incremental", // three independent register aggregation trees
+    "events_quantile_sketch") // globalRank exact side + bucket-histogram walk
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -39,7 +39,11 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_monthly_growth" -> ("lag window over one row per MONTH — " +
       "calendar-bounded"),
     "q_skyline" -> ("frontier window over one row per distinct p_size " +
-      "(TPC-H domain 1..50) — domain-bounded"))
+      "(TPC-H domain 1..50) — domain-bounded"),
+    "events_quantile_sketch" -> ("cumsum walks the log-bucket histogram " +
+      "— ≤ 8·64 rows by the sketch's own construction regardless of " +
+      "data; the gap multiset itself goes through globalRank, never " +
+      "a window"))
 
   /** One tree occurrence: node name, id, and indent column. */
   private case class N(name: String, id: Int, col: Int)
