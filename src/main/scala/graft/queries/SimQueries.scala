@@ -911,6 +911,42 @@ object SimQueries {
     labels.select(col("id").as("vec_id"), col("label"))
   }
 
+  /** Community-quality audit: Newman MODULARITY of the partition
+    * [[simLabelProp]] produces, integer-exact — the score that tells a
+    * pipeline whether its label-prop/component clusters are real
+    * structure or noise before acting on them. Per community c:
+    * q_num = 4·m·e_c − d_c² (Q = Σ q_num / 4m²), where e_c = intra
+    * edges, d_c = degree mass, m = |edges| — all three from ONE
+    * persisted edge relation (edge-labeled via two vertex equi-joins,
+    * degrees via the coverage explode) and the labels relation both
+    * aggregations share. Everything is int64: exact while
+    * m < 1.52e9 edges (4m² < 2^63 — a 300M-vertex k=5 mutual graph;
+    * past that, hoist q_num to DECIMAL(38,0) internally, same plan).
+    * Scale: O(N·k) relations end to end, label-keyed rollups;
+    * communities-count output rows. */
+  def simModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = graft.core.QueryCaches.track(mutualEdges(spark, sfDir))
+    val labels = graft.core.QueryCaches.track(simLabelProp(spark, sfDir))
+    val mTot = m.agg(count(lit(1)).as("m_edges"))
+    val eIn = m
+      .join(labels.select(col("vec_id").as("u"), col("label").as("lu")), "u")
+      .join(labels.select(col("vec_id").as("v"), col("label").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label")).agg(count(lit(1)).as("e_in"))
+    val deg = m.select(explode(array(col("u"), col("v"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+    labels
+      .join(deg, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("deg"), lit(0L))).as("d_sum"))
+      .join(eIn, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"), col("d_sum"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"))
+      .crossJoin(broadcast(mTot))
+      .withColumn("q_num", expr("4 * m_edges * e_in - d_sum * d_sum"))
+  }
+
   /** Integer-exact PageRank over the mutual-kNN graph — the canonical
     * centrality beside [[simTriangles]]/[[simLabelProp]], closing the
     * graph-analytics suite. Three damped rounds (d = 85/100), spelled
@@ -1315,6 +1351,7 @@ object SimQueries {
     "sim_ann_sweep" -> (simAnnSweep _),
     "sim_ivf_sweep" -> (simIvfSweep _),
     "sim_label_prop" -> (simLabelProp _),
+    "sim_modularity" -> (simModularity _),
     "sim_pagerank" -> (simPagerank _),
     "sim_bucket_hist" -> (simBucketHist _),
     "sim_components" -> (simComponents _),
@@ -1760,6 +1797,31 @@ object SimQueries {
          |l3 AS (SELECT a.src AS id, MIN(l.label) AS label
          |       FROM adj a JOIN l2 l ON a.dst = l.id GROUP BY a.src)
          |SELECT id AS vec_id, label FROM l3""".stripMargin,
+    // same label chain; Q contributions in int64 (q_num = 4·m·e_c − d_c²)
+    "sim_modularity" ->
+      s"""WITH $mutualSql,
+         |adj AS (SELECT u AS src, v AS dst FROM m
+         |        UNION ALL SELECT v, u FROM m
+         |        UNION ALL SELECT vec_id, vec_id FROM embeddings),
+         |l1 AS (SELECT src AS id, MIN(dst) AS label FROM adj GROUP BY src),
+         |l2 AS (SELECT a.src AS id, MIN(l.label) AS label
+         |       FROM adj a JOIN l1 l ON a.dst = l.id GROUP BY a.src),
+         |l3 AS MATERIALIZED (SELECT a.src AS id, MIN(l.label) AS label
+         |       FROM adj a JOIN l2 l ON a.dst = l.id GROUP BY a.src),
+         |lab AS (SELECT id AS vec_id, label FROM l3),
+         |mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM m),
+         |ein AS (SELECT a.label AS label, CAST(COUNT(*) AS BIGINT) AS e_in
+         |        FROM m JOIN lab a ON m.u = a.vec_id JOIN lab b ON m.v = b.vec_id
+         |        WHERE a.label = b.label GROUP BY 1),
+         |deg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |          SELECT u AS vec_id FROM m UNION ALL SELECT v FROM m) GROUP BY 1),
+         |ds AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |         CAST(SUM(COALESCE(deg, 0)) AS BIGINT) AS d_sum
+         |       FROM lab LEFT JOIN deg USING (vec_id) GROUP BY 1)
+         |SELECT ds.label, n_nodes, d_sum,
+         |       CAST(COALESCE(e_in, 0) AS BIGINT) AS e_in, m_edges,
+         |       4 * m_edges * CAST(COALESCE(e_in, 0) AS BIGINT) - d_sum * d_sum AS q_num
+         |FROM ds LEFT JOIN ein USING (label), mt""".stripMargin,
     "sim_bucket_hist" ->
       s"""WITH b AS (SELECT ${srpSql("embedding", 8)} AS bucket FROM embeddings),
          |s AS (SELECT bucket, COUNT(*) AS sz FROM b GROUP BY bucket)
