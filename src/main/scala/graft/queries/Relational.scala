@@ -827,6 +827,66 @@ object Relational {
         col("ms").cast("double").as("sum_merged"))
   }
 
+  /** Query-side materialized-view REWRITE — the consumer complement of
+    * [[qIncrementalMv]]'s maintenance rows. Registers a tiny roll-up of
+    * orders (status × priority → count/sum/min/max) with
+    * [[graft.plans.MvCatalog]], enables the opt-in
+    * [[graft.plans.MvRewrite]] optimizer rule, then runs a DIFFERENT
+    * aggregate (key-subset grouping + a key filter) spelled against the
+    * RAW orders table. The rule must answer it from the ~15-row MV: the
+    * body `require`s that the optimized plan contains no base-table
+    * relation, so a silent non-fire fails loudly rather than letting
+    * the bench measure the un-rewritten path. The DuckDB oracle
+    * aggregates the base table directly — the hash proves the MV answer
+    * IS the ground truth (the rule is exact-or-absent). At 100 TB this
+    * turns every dashboard roll-up that matches a registered view from
+    * a full fact scan into a broadcast-sized lookup.
+    *
+    * Revenue sums ride DECIMAL(38,6) partials (order-independent, equal
+    * to DuckDB's serial sum — [[Tables.dsum]] contract) and the MV
+    * measure is registered under the SAME cast so the canonicalized
+    * measure expressions match; min/max are registered on the raw
+    * double (order-independent already). Conf + catalog are
+    * query-scoped: eager `localCheckpoint` under the rule, restore in
+    * `finally` (round-7 session-hygiene idiom). */
+  def qMvRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.MvRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.MvRewrite()
+    val prev = spark.conf.getOption("spark.graft.mv.rewrite")
+    val orders = load(spark, sfDir, "orders")
+    graft.plans.MvCatalog.clear()
+    graft.plans.MvCatalog.register("orders_by_status_priority", orders,
+      keys = Seq(col("o_orderstatus"), col("o_orderpriority")),
+      measures = Seq(col("o_totalprice").cast(DecimalType(38, 6)), col("o_totalprice")))
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    try {
+      val agg = orders
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double").as("revenue"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .select(col("o_orderstatus").as("status"), col("n_orders"),
+          col("revenue"), col("min_price"), col("max_price"))
+      require(!agg.queryExecution.optimizedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]),
+        "q_mv_rewrite: MvRewrite did not fire — plan still scans the base table")
+      val out = agg.localCheckpoint()
+      out.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.foreach(graft.core.QueryCaches.trackRddId(spark.sparkContext, _))
+      out
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.mv.rewrite", v)
+        case None => spark.conf.unset("spark.graft.mv.rewrite")
+      }
+      graft.plans.MvCatalog.clear()
+    }
+  }
+
   /** JOIN-view delta maintenance, extending [[qIncrementalMv]] from
     * aggregate-only to join views: V = orders ⋈ customer rolled up per
     * nation. Join distributes over the fact partition
@@ -1457,6 +1517,7 @@ object Relational {
     "q_dq_report" -> (qDqReport _),
     "q_drift" -> (qDrift _),
     "q_incremental_mv" -> (qIncrementalMv _),
+    "q_mv_rewrite" -> (qMvRewrite _),
     "q_incremental_join_mv" -> (qIncrementalJoinMv _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_dpp_prune" -> (qDppPrune _),
@@ -1746,6 +1807,12 @@ object Relational {
         |SELECT st, month, n_full, n_merged,
         |  CAST(fs AS DOUBLE) AS sum_full, CAST(ms AS DOUBLE) AS sum_merged
         |FROM mg JOIN f USING (st, month)""".stripMargin,
+    "q_mv_rewrite" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |GROUP BY 1""".stripMargin,
     "q_incremental_join_mv" ->
       """WITH o AS (SELECT o_custkey, o_orderdate AS d,
         |    CAST(o_totalprice AS DECIMAL(38,6)) AS p FROM orders),

@@ -149,6 +149,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => graft.plans.LshJoinRewrite())
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite())
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite())
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
