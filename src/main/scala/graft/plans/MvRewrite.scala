@@ -4,9 +4,10 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BoundReference, Cast, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BoundReference, Cast, Coalesce, EqualTo, Expression, IsNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{count, lit, max, min, sum}
@@ -79,31 +80,58 @@ case class MvRewrite() extends Rule[LogicalPlan] {
     }
   }
 
-  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
-    (filters, subst, rel) <- MvCatalog.destructure(agg.child)
-    // Inline intermediate Project aliases (e.g. the optimizer's
-    // PullOutGroupingExpressions `_groupingexpression#N`) so every
-    // expression is spelled directly over relation attributes before
-    // canonical matching. Values in `subst` are pre-inlined to
-    // relation-attr form by destructure.
-    inline = (e: Expression) => e.transformUp {
-      case a: Attribute if subst.contains(a) => subst(a)
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
+    MvCatalog.shred(agg.child, joinOk = true).flatMap { s =>
+      // Inline intermediate Project aliases (e.g. the optimizer's
+      // PullOutGroupingExpressions `_groupingexpression#N`) so every
+      // expression is spelled directly over relation attributes before
+      // canonical matching. Values in `s.subst` are pre-inlined to
+      // relation-attr form by shred.
+      val inline: Expression => Expression = _.transformUp {
+        case a: Attribute if s.subst.contains(a) => s.subst(a)
+      }
+      val inlineNamed: NamedExpression => NamedExpression = {
+        case ar: AttributeReference if s.subst.contains(ar) =>
+          Alias(s.subst(ar), ar.name)(exprId = ar.exprId)
+        case other => inline(other).asInstanceOf[NamedExpression]
+      }
+
+      def attempt(binding: Seq[Attribute], src: MvCatalog.MvSrc): Option[LogicalPlan] = for {
+        mv <- MvCatalog.find(src)
+        r = new Rewriter(mv, binding)
+        // An inner equi-join implies isnotnull on its keys; the
+        // optimizer materializes that constraint as side filters. The
+        // MV aggregated the same inner join, so those filters are
+        // no-ops over it — drop them rather than failing to map a
+        // join key that is not a view key.
+        filters = s.filters.map(inline).filterNot {
+          case IsNotNull(x) => r.canonOf(x).exists(mv.nullGuarded.contains)
+          case _ => false
+        }
+        newFilters <- traverseOpt(filters)(r.mapScalar)
+        newGroups <- traverseOpt(agg.groupingExpressions.map(inline))(r.mapScalar)
+        newAggs <- traverseOpt(agg.aggregateExpressions.map(inlineNamed))(r.mapNamed)
+      } yield {
+        val child = if (newFilters.isEmpty) r.freshMv
+                    else Filter(newFilters.reduce(And), r.freshMv)
+        Aggregate(newGroups, newAggs, child)
+      }
+
+      s.base match {
+        case Left(rel) =>
+          attempt(rel.output, MvCatalog.TableSrc(MvCatalog.rootPaths(rel)))
+        case Right((lrel, rrel, cond)) =>
+          val (lp, rp) = (MvCatalog.rootPaths(lrel), MvCatalog.rootPaths(rrel))
+          // Exactly one orientation can match (ordinals shift by the
+          // side the table landed on); try as-written, then swapped.
+          def orient(binding: Seq[Attribute], a: Set[String], b: Set[String]) =
+            MvCatalog.boundCanon(binding, inline(cond)).flatMap { c =>
+              attempt(binding, MvCatalog.JoinSrc(a, b, c))
+            }
+          orient(lrel.output ++ rrel.output, lp, rp)
+            .orElse(orient(rrel.output ++ lrel.output, rp, lp))
+      }
     }
-    inlineNamed = (ne: NamedExpression) => ne match {
-      case ar: AttributeReference if subst.contains(ar) =>
-        Alias(subst(ar), ar.name)(exprId = ar.exprId)
-      case other => inline(other).asInstanceOf[NamedExpression]
-    }
-    mv <- MvCatalog.find(MvCatalog.rootPaths(rel))
-    r = new Rewriter(mv, rel.output)
-    newFilters <- traverseOpt(filters.map(inline))(r.mapScalar)
-    newGroups <- traverseOpt(agg.groupingExpressions.map(inline))(r.mapScalar)
-    newAggs <- traverseOpt(agg.aggregateExpressions.map(inlineNamed))(r.mapNamed)
-  } yield {
-    val child = if (newFilters.isEmpty) r.freshMv
-                else Filter(newFilters.reduce(And), r.freshMv)
-    Aggregate(newGroups, newAggs, child)
-  }
 
   private def traverseOpt[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
     val out = xs.map(f)
@@ -113,7 +141,7 @@ case class MvRewrite() extends Rule[LogicalPlan] {
   /** Per-rewrite expression mapper. Instantiates a FRESH copy of the
     * MV plan (new exprIds via MultiInstanceRelation) so two rewrites
     * in one query tree cannot collide on attribute ids. */
-  private class Rewriter(mv: MvCatalog.MvDef, relOut: Seq[Attribute]) {
+  private class Rewriter(mv: MvCatalog.MvDef, binding: Seq[Attribute]) {
     val freshMv: LogicalPlan = mv.plan match {
       case m: MultiInstanceRelation => m.newInstance()
       case p => p
@@ -122,23 +150,16 @@ case class MvRewrite() extends Rule[LogicalPlan] {
       mv.plan.output.zip(freshMv.output).toMap
     private def fresh(a: Attribute): Attribute = remap.getOrElse(a, a)
 
-    /** Canonical form of `e` with base-relation attributes bound to
-      * their ordinal — the exprId-free shape stored at registration;
-      * None if `e` still references anything outside the relation. */
-    private def boundCanon(e: Expression): Option[Expression] = {
-      val idx = relOut.map(_.exprId).zipWithIndex.toMap
-      val b = e.transform {
-        case a: AttributeReference if idx.contains(a.exprId) =>
-          BoundReference(idx(a.exprId), a.dataType, a.nullable)
-      }
-      if (b.exists(_.isInstanceOf[AttributeReference])) None
-      else Some(b.canonicalized)
-    }
+    /** Canonical form of `e` with base attributes bound to their
+      * ordinal in `binding` — the exprId-free shape stored at
+      * registration; None if `e` references anything outside it. */
+    def canonOf(e: Expression): Option[Expression] =
+      MvCatalog.boundCanon(binding, e)
 
     private def keyFor(e: Expression): Option[Attribute] =
-      boundCanon(e).flatMap(mv.keys.get).map(fresh)
+      canonOf(e).flatMap(mv.keys.get).map(fresh)
     private def lookupMeasure(m: Map[Expression, Attribute], e: Expression): Option[Attribute] =
-      boundCanon(e).flatMap(m.get).map(fresh)
+      canonOf(e).flatMap(m.get).map(fresh)
 
     /** Rewrite a scalar expression (filter predicate, grouping expr,
       * or the non-aggregate parts of a result expr) over the MV:
@@ -214,67 +235,128 @@ private object MvPredicates
 }
 
 /** Registry + builder for aggregate materialized views consumed by
-  * [[MvRewrite]]. `register` derives the summary (count + sum/min/max
-  * per measure, grouped by the keys), materializes it eagerly via
-  * `localCheckpoint` (lineage truncated — the rewritten plan provably
-  * contains no base-table scan), and records the canonicalized key and
-  * measure expressions for structural matching. Register BEFORE
-  * enabling the conf: the build itself must aggregate the base. */
+  * [[MvRewrite]]. `register` (single table) and `registerJoin` (inner
+  * equi-join view, the star-schema roll-up) derive the summary (count +
+  * sum/min/max per measure, grouped by the keys), materialize it
+  * eagerly via `localCheckpoint` (lineage truncated — the rewritten
+  * plan provably contains no base-table scan), and record the
+  * canonicalized key/measure/join-condition expressions for structural
+  * matching. Register BEFORE enabling the conf: the build itself must
+  * aggregate the base. */
 object MvCatalog {
+
+  /** Identity of a view's base: catalog anchoring by parquet root
+    * paths, the way production MV matchers (Calcite) anchor views.
+    * Join conditions are stored canonicalized over (left ++ right)
+    * relation ordinals, so equality is orientation-sensitive — the
+    * rule tries both orientations of a query join. */
+  sealed trait MvSrc
+  case class TableSrc(paths: Set[String]) extends MvSrc
+  case class JoinSrc(left: Set[String], right: Set[String], cond: Expression) extends MvSrc
+
   case class MvDef(
       name: String,
-      paths: Set[String],
+      src: MvSrc,
       plan: LogicalPlan,
       keys: Map[Expression, Attribute],
       cnt: Attribute,
       sums: Map[Expression, Attribute],
       mins: Map[Expression, Attribute],
-      maxs: Map[Expression, Attribute])
+      maxs: Map[Expression, Attribute],
+      /** canons of join-equality operands: isnotnull filters on these
+        * are implied by the view's inner join and safely dropped. */
+      nullGuarded: Set[Expression])
 
   private val views = mutable.ArrayBuffer.empty[MvDef]
 
   def isEmpty: Boolean = synchronized(views.isEmpty)
   def clear(): Unit = synchronized(views.clear())
-  def find(paths: Set[String]): Option[MvDef] =
-    synchronized(views.find(_.paths == paths))
+  def find(src: MvSrc): Option[MvDef] = synchronized(views.find(_.src == src))
 
   def rootPaths(rel: LogicalRelation): Set[String] = rel.relation match {
     case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).toSet
     case _ => Set.empty
   }
 
-  /** Strip conjunctive Filters and Projects off a plan, down to a
-    * parquet scan. Attribute-only projects (column pruning) preserve
-    * exprIds, so expressions above them bind to the relation's output
-    * directly; alias-bearing projects (the optimizer pulls grouping
-    * expressions into `_groupingexpression#N` aliases) contribute an
-    * attribute→expression substitution whose values are themselves
-    * inlined down to relation attributes. Returned filters are NOT yet
-    * substituted (a Filter above a Project may reference its aliases) —
-    * the caller applies the composed map to everything. */
-  private[plans] def destructure(
-      p: LogicalPlan): Option[(Seq[Expression], Map[Attribute, Expression], LogicalRelation)] =
-    p match {
-      case rel: LogicalRelation => Some((Nil, Map.empty, rel))
-      case Project(pl, c) if pl.forall(ne =>
-          ne.isInstanceOf[AttributeReference] || ne.isInstanceOf[Alias]) =>
-        destructure(c).map { case (fs, lower, rel) =>
-          val entries = pl.collect { case al: Alias =>
-            al.toAttribute -> al.child.transformUp {
-              case a: Attribute if lower.contains(a) => lower(a)
-            }
-          }
-          (fs, lower ++ entries, rel)
-        }
-      case Filter(cond, c) =>
-        destructure(c).map { case (fs, m, rel) => (MvPredicates.split(cond) ++ fs, m, rel) }
-      case _ => None
+  /** Canonical form of `e` with attributes bound to their ordinal in
+    * `binding` — exprId-free, so registration-time and query-time
+    * spellings of the same expression compare equal; None if `e`
+    * references anything outside the binding. */
+  private[plans] def boundCanon(binding: Seq[Attribute], e: Expression): Option[Expression] = {
+    val idx = binding.map(_.exprId).zipWithIndex.toMap
+    val b = e.transform {
+      case a: AttributeReference if idx.contains(a.exprId) =>
+        BoundReference(idx(a.exprId), a.dataType, a.nullable)
     }
+    if (b.exists(_.isInstanceOf[AttributeReference])) None
+    else Some(b.canonicalized)
+  }
+
+  /** What shred() recovers from an aggregate's child: conjunctive
+    * filters (NOT yet alias-substituted), the composed Project-alias
+    * substitution (values pre-inlined to relation attributes), the
+    * attribute binding for canonicalization, and the base — a single
+    * relation or one inner join of two distinct relations. */
+  private[plans] case class Shredded(
+      filters: Seq[Expression],
+      subst: Map[Attribute, Expression],
+      binding: Seq[Attribute],
+      base: Either[LogicalRelation, (LogicalRelation, LogicalRelation, Expression)])
+
+  /** Strip conjunctive Filters and Projects off a plan, down to a
+    * parquet scan (or, with `joinOk`, one inner join of two scans).
+    * Attribute-only projects (column pruning) preserve exprIds, so
+    * expressions above them bind to the relation output directly;
+    * alias-bearing projects (the optimizer pulls grouping expressions
+    * into `_groupingexpression#N` aliases) contribute substitution
+    * entries, inlined down to relation attributes through lower
+    * projects on the way up. */
+  private[plans] def shred(p: LogicalPlan, joinOk: Boolean): Option[Shredded] = p match {
+    case rel: LogicalRelation =>
+      Some(Shredded(Nil, Map.empty, rel.output, Left(rel)))
+    case Project(pl, c) if pl.forall(ne =>
+        ne.isInstanceOf[AttributeReference] || ne.isInstanceOf[Alias]) =>
+      shred(c, joinOk).map { s =>
+        val entries = pl.collect { case al: Alias =>
+          al.toAttribute -> al.child.transformUp {
+            case a: Attribute if s.subst.contains(a) => s.subst(a)
+          }
+        }
+        s.copy(subst = s.subst ++ entries)
+      }
+    case Filter(cond, c) =>
+      shred(c, joinOk).map(s => s.copy(filters = MvPredicates.split(cond) ++ s.filters))
+    case Join(l, r, Inner, Some(cond), _) if joinOk =>
+      for {
+        sl <- shred(l, joinOk = false)
+        sr <- shred(r, joinOk = false)
+        lrel <- sl.base.left.toOption
+        rrel <- sr.base.left.toOption
+        lp = rootPaths(lrel); rp = rootPaths(rrel)
+        // distinct tables only: a self-join's orientation is ambiguous
+        if lp.nonEmpty && rp.nonEmpty && lp != rp
+      } yield Shredded(sl.filters ++ sr.filters, sl.subst ++ sr.subst,
+        lrel.output ++ rrel.output, Right((lrel, rrel, cond)))
+    case _ => None
+  }
 
   /** Build + register an aggregate MV over a RAW table read. Returns
     * the materialized summary (for inspection / reuse). */
   def register(name: String, base: DataFrame, keys: Seq[Column],
-               measures: Seq[Column]): DataFrame = {
+               measures: Seq[Column]): DataFrame =
+    buildAndStore(name, base, keys, measures, expectJoin = false)
+
+  /** Build + register an aggregate MV over `left INNER JOIN right ON
+    * cond` of two RAW table reads — the star-schema roll-up. Queries
+    * that join the same two tables on the same condition (either
+    * orientation) and aggregate over view keys/measures are answered
+    * from the summary without scanning either table. */
+  def registerJoin(name: String, left: DataFrame, right: DataFrame, cond: Column,
+                   keys: Seq[Column], measures: Seq[Column]): DataFrame =
+    buildAndStore(name, left.join(right, cond), keys, measures, expectJoin = true)
+
+  private def buildAndStore(name: String, base: DataFrame, keys: Seq[Column],
+                            measures: Seq[Column], expectJoin: Boolean): DataFrame = {
     val keyCols = keys.zipWithIndex.map { case (c, i) => c.as(s"mv_k$i") }
     val aggCols = count(lit(1)).as("mv_cnt") +:
       measures.zipWithIndex.flatMap { case (c, i) =>
@@ -283,32 +365,33 @@ object MvCatalog {
     val aggDf = base.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
 
     val analyzed = aggDf.queryExecution.analyzed
-    val (groups, results, rel) = analyzed match {
-      case a: Aggregate => destructure(a.child) match {
-        case Some((Seq(), m, r)) if m.isEmpty =>
-          (a.groupingExpressions, a.aggregateExpressions, r)
+    val (groups, results, sh) = analyzed match {
+      case a: Aggregate => shred(a.child, joinOk = expectJoin) match {
+        case Some(s) if s.filters.isEmpty && s.subst.isEmpty =>
+          (a.groupingExpressions, a.aggregateExpressions, s)
         case _ => throw new IllegalArgumentException(
-          s"MV '$name': base must be a raw table scan (got ${a.child.nodeName})")
+          s"MV '$name': base must be raw table scan(s) (got ${a.child.nodeName})")
       }
       case other => throw new IllegalStateException(
         s"MV '$name': unexpected analyzed shape ${other.nodeName}")
     }
-    val relOut = rel.output
-    val idx = relOut.map(_.exprId).zipWithIndex.toMap
-    def canon(e: Expression): Expression = {
-      val b = e.transform {
-        case at: AttributeReference if idx.contains(at.exprId) =>
-          BoundReference(idx(at.exprId), at.dataType, at.nullable)
-      }
-      require(!b.exists(_.isInstanceOf[AttributeReference]),
-        s"MV '$name': expression $e references columns outside the base table")
-      b.canonicalized
-    }
+    def canon(e: Expression): Expression =
+      boundCanon(sh.binding, e).getOrElse(throw new IllegalArgumentException(
+        s"MV '$name': expression $e references columns outside the base"))
     def stripAlias(e: Expression): Expression = e match {
       case a: Alias => a.child
       case other => other
     }
     val keyCanon = groups.map(g => canon(stripAlias(g)))
+
+    val (src, nullGuarded) = sh.base match {
+      case Left(rel) => (TableSrc(rootPaths(rel)), Set.empty[Expression])
+      case Right((lrel, rrel, cond)) =>
+        val ng = MvPredicates.split(cond).collect {
+          case EqualTo(x, y) => Seq(canon(x), canon(y))
+        }.flatten.toSet
+        (JoinSrc(rootPaths(lrel), rootPaths(rrel), canon(cond)), ng)
+    }
 
     // measure expressions, in registration order, from the analyzed
     // aggregate result list (resolved, so canon() binds them exactly
@@ -329,13 +412,14 @@ object MvCatalog {
     val byName = matPlan.output.map(a => a.name -> a).toMap
     val mvDef = MvDef(
       name = name,
-      paths = rootPaths(rel),
+      src = src,
       plan = matPlan,
       keys = keyCanon.zipWithIndex.map { case (k, i) => k -> byName(s"mv_k$i") }.toMap,
       cnt = byName("mv_cnt"),
       sums = measureCanon.zipWithIndex.map { case (m, i) => m -> byName(s"mv_sum_$i") }.toMap,
       mins = measureCanon.zipWithIndex.map { case (m, i) => m -> byName(s"mv_min_$i") }.toMap,
-      maxs = measureCanon.zipWithIndex.map { case (m, i) => m -> byName(s"mv_max_$i") }.toMap)
+      maxs = measureCanon.zipWithIndex.map { case (m, i) => m -> byName(s"mv_max_$i") }.toMap,
+      nullGuarded = nullGuarded)
     synchronized { views += mvDef }
     mat
   }

@@ -887,6 +887,60 @@ object Relational {
     }
   }
 
+  /** Star-schema JOIN-view rewrite — [[qMvRewrite]] extended from one
+    * table to `orders ⋈ customer`: the view is the classic warehouse
+    * roll-up (nation × status → count/sum/max) and the query is a
+    * dashboard cut of it (status filter, nation grouping) spelled as a
+    * plain join+aggregate over the RAW tables. [[graft.plans.MvRewrite]]
+    * must recognize the join structurally — same two parquet relations
+    * (catalog identity by root path), same canonicalized equi-join
+    * condition in either orientation — and answer from the ~75-row
+    * summary; the body `require`s that NEITHER base relation survives
+    * in the optimized plan. Inferred `isnotnull(join key)` side filters
+    * (InferFiltersFromConstraints) are implied by the view's own inner
+    * join and dropped during matching. At 100 TB this is the highest-
+    * leverage rewrite a star schema has: fact-scan + shuffle-join →
+    * broadcast-sized lookup, with [[qIncrementalJoinMv]] as the
+    * maintenance half that keeps the summary fresh. */
+  def qMvRewriteJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.MvRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.MvRewrite()
+    val prev = spark.conf.getOption("spark.graft.mv.rewrite")
+    val orders = load(spark, sfDir, "orders")
+    val customer = load(spark, sfDir, "customer")
+    graft.plans.MvCatalog.clear()
+    graft.plans.MvCatalog.registerJoin("orders_cust_by_nation_status",
+      orders, customer, col("o_custkey") === col("c_custkey"),
+      keys = Seq(col("c_nationkey"), col("o_orderstatus")),
+      measures = Seq(col("o_totalprice").cast(DecimalType(38, 6)), col("o_totalprice")))
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    try {
+      val agg = orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderstatus") =!= "P")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double").as("revenue"),
+          max(col("o_totalprice")).as("max_price"))
+        .select(col("c_nationkey").as("nation_key"), col("n_orders"),
+          col("revenue"), col("max_price"))
+      require(!agg.queryExecution.optimizedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]),
+        "q_mv_rewrite_join: MvRewrite did not fire — plan still scans a base table")
+      val out = agg.localCheckpoint()
+      out.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.foreach(graft.core.QueryCaches.trackRddId(spark.sparkContext, _))
+      out
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.mv.rewrite", v)
+        case None => spark.conf.unset("spark.graft.mv.rewrite")
+      }
+      graft.plans.MvCatalog.clear()
+    }
+  }
+
   /** JOIN-view delta maintenance, extending [[qIncrementalMv]] from
     * aggregate-only to join views: V = orders ⋈ customer rolled up per
     * nation. Join distributes over the fact partition
@@ -1518,6 +1572,7 @@ object Relational {
     "q_drift" -> (qDrift _),
     "q_incremental_mv" -> (qIncrementalMv _),
     "q_mv_rewrite" -> (qMvRewrite _),
+    "q_mv_rewrite_join" -> (qMvRewriteJoin _),
     "q_incremental_join_mv" -> (qIncrementalJoinMv _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_dpp_prune" -> (qDppPrune _),
@@ -1812,6 +1867,13 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
         |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
         |FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |GROUP BY 1""".stripMargin,
+    "q_mv_rewrite_join" ->
+      """SELECT c_nationkey AS nation_key, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'P'
         |GROUP BY 1""".stripMargin,
     "q_incremental_join_mv" ->
       """WITH o AS (SELECT o_custkey, o_orderdate AS d,

@@ -116,6 +116,46 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("join view: fires on either orientation, absent on a different condition") {
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite()
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    MvCatalog.clear()
+    MvCatalog.registerJoin("t_orders_cust_mv", orders, customer,
+      col("o_custkey") === col("c_custkey"),
+      keys = Seq(col("c_nationkey"), col("o_orderstatus")),
+      measures = Seq(col("o_totalprice").cast(DecimalType(38, 6))))
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    try {
+      def q(fact: DataFrame, dim: DataFrame) =
+        fact.join(dim, col("o_custkey") === col("c_custkey"))
+          .filter(col("o_orderstatus") === "F")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double").as("rev"))
+      assertRewrittenAndEqual(q(orders, customer))
+      // swapped orientation: customer JOIN orders
+      val swapped = customer.join(orders, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      assert(!scansBase(swapped), s"swapped orientation should fire:\n" +
+        swapped.queryExecution.optimizedPlan)
+      // a different join condition is a different view
+      val wrongCond = orders.join(customer, col("o_orderkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      assert(scansBase(wrongCond))
+      // non-key filter on the dim side
+      val nonKey = orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .filter(col("c_acctbal") > 0)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      assert(scansBase(nonKey))
+    } finally {
+      spark.conf.unset("spark.graft.mv.rewrite")
+      MvCatalog.clear()
+      graft.core.QueryCaches.release()
+    }
+  }
+
   test("different base table (lineitem) is untouched even with a view registered") {
     withMv {
       val li = spark.read.parquet(s"$sf/lineitem.parquet")
