@@ -314,7 +314,42 @@ object MultimodalQueries {
         expr("(1000 * shared) div least(n_a, n_b)").as("containment_milli"))
   }
 
+  /** Aspect-bucketed training-batch packing — the NaViT/WebDataset
+    * loader step that groups images of similar shape into fixed-size
+    * batches so a resolution bucket pads minimally. Image dims are
+    * derived DETERMINISTICALLY from the blob (w = 16 + n_bytes mod 17,
+    * h = 16 + sum_bytes mod 13 — the stub-decode contract: the
+    * Spark-side plumbing is real, the codec is faked reproducibly so
+    * DuckDB can replay it from the text side). Packing: bucket =
+    * (4·w) div h aspect band, then per (bucket, range-shard) the
+    * images are ordered by doc_id and cut into batches of 8 — the
+    * [[TextQueries.curatePack]] offset-sharding idiom: the window
+    * partitions on (bucket, shard), never on bucket alone, so at
+    * 100 TB no aspect band serializes onto one partition (shards are
+    * ≤2000 docs by construction) and every batch assignment is
+    * reproducible run-to-run. Output is the loader's batch manifest:
+    * per-batch image count, pixel volume (pad-efficiency numerator),
+    * and the doc range. */
+  def mmBatchPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val meta = bin(spark, sfDir)
+      .select(col("doc_id"), MultimodalOps.byteStats(col("content")).as("s"))
+      .select(col("doc_id"),
+        (lit(16L) + col("s.n_bytes") % 17).as("w"),
+        (lit(16L) + col("s.sum_bytes") % 13).as("h"))
+      .withColumn("bucket", expr("(w * 4) div h"))
+      .withColumn("shard", expr("doc_id div 2000"))
+    val win = Window.partitionBy(col("bucket"), col("shard")).orderBy(col("doc_id"))
+    meta.withColumn("seq", row_number().over(win))
+      .withColumn("batch", expr("(seq - 1) div 8"))
+      .groupBy(col("bucket"), col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n_imgs"),
+        sum(expr("w * h")).as("sum_pixels"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_batch_pack" -> (mmBatchPack _),
     "mm_cdc_chunks" -> (mmCdcChunks _),
     "mm_chunk_overlap" -> (mmChunkOverlap _),
     "mm_audio_segments" -> (mmAudioSegments _),
@@ -395,6 +430,20 @@ object MultimodalQueries {
       |  FROM cut)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "mm_batch_pack" ->
+      s"""WITH c AS (SELECT doc_id, $cpsSql AS cps FROM documents),
+         |m AS (SELECT doc_id,
+         |        16 + CAST(len(cps) AS BIGINT) % 17 AS w,
+         |        16 + CAST(list_aggregate(cps, 'sum') AS BIGINT) % 13 AS h
+         |      FROM c),
+         |b AS (SELECT doc_id, w, h, (w * 4) // h AS bucket,
+         |        doc_id // 2000 AS shard FROM m),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY bucket, shard ORDER BY doc_id) AS seq FROM b)
+         |SELECT bucket, shard, (seq - 1) // 8 AS batch,
+         |  COUNT(*) AS n_imgs, CAST(SUM(w * h) AS BIGINT) AS sum_pixels,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM r GROUP BY 1, 2, 3""".stripMargin,
     "mm_cdc_chunks" ->
       s"""WITH $cdcFpsSql
          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,

@@ -1098,6 +1098,47 @@ object GraftStream {
       }
   }
 
+  /** Streaming MATERIALIZED-VIEW maintenance — the unbounded twin of
+    * [[graft.plans.MvCatalog]]'s aggregate summary: per key, state is
+    * the exact MV partial (count, micro-scaled sum, min, max). Every
+    * component is an associative, commutative, order-independent fold
+    * (addition; monotone min/max), so like [[sumUpdates]] NO watermark
+    * is needed — any chunking/ordering of the input converges, and the
+    * LAST emission per key equals the batch
+    * `groupBy(key).agg(count, sum, min, max)` row exactly
+    * (StreamingSpec parity against the registered MvCatalog summary
+    * itself). This is the freshness half of the MV story as a stream:
+    * [[graft.queries.Relational.qIncrementalMv]] proves delta
+    * re-aggregation in batch, `MvRewrite` answers queries from the
+    * summary, and this keeps the summary current row-by-row. Values
+    * arrive MICRO-SCALED longs (the caller applies the
+    * decimal(38,6) → micros contract) so sums are integer-exact at any
+    * parallelism; a hi/lo 128-bit pair is the declared scale swap past
+    * ±9.2e12 units. State is 4 longs per key, bounded by the key
+    * domain — the MV's own cardinality. */
+  def mvUpdates(df: DataFrame, keyCol: String, valCol: String)
+      : Dataset[(String, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(keyCol).cast("string").as("k"),
+      col(valCol).cast("long").as("v")).as[(String, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (n, s, mn, mx) =
+            state.getOption.getOrElse((0L, 0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { r =>
+            n += 1; s += r._2
+            if (r._2 < mn) mn = r._2
+            if (r._2 > mx) mx = r._2
+          }
+          state.update((n, s, mn, mx))
+          Iterator.single((key, n, s, mn, mx))
+      }
+  }
+
   /** Watermarked stream-stream interval join — the streaming form of
     * the attribution shape ([[graft.ext.AsOfJoin]] in batch): each left
     * row joins right rows with the same key whose event time falls in

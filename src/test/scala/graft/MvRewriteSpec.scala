@@ -116,6 +116,18 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("fires on a SQL-spelled aggregate (the rule is plan-level, not API-level)") {
+    withMv {
+      assertRewrittenAndEqual {
+        spark.sql(
+          s"""SELECT o_orderstatus AS st, COUNT(*) AS n, MIN(o_totalprice) AS lo
+             |FROM parquet.`$sf/orders.parquet`
+             |WHERE o_orderpriority <> '2-HIGH'
+             |GROUP BY 1""".stripMargin)
+      }
+    }
+  }
+
   test("join view: fires on either orientation, absent on a different condition") {
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
       spark.experimental.extraOptimizations =

@@ -1273,6 +1273,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got\nbatch $batch")
   }
 
+  test("streaming MV maintenance: mvUpdates converges to the registered MvCatalog summary") {
+    // The freshness half of the MV flagship as a stream: orders rows
+    // arrive shuffled in three chunks keyed by o_orderstatus, values
+    // micro-scaled (the decimal(38,6) -> micros contract, so sums are
+    // integer-exact). Every state component (count, sum, min, max) is
+    // an order-independent fold, so the LAST emission per key must
+    // equal the MvCatalog-registered summary — the same relation
+    // MvRewrite answers queries from — bit-exactly.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    import org.apache.spark.sql.types.DecimalType
+    val mv = graft.plans.MvCatalog.register("stream_parity_mv", orders,
+      keys = Seq(col("o_orderstatus")),
+      measures = Seq(col("o_totalprice").cast(DecimalType(38, 6))))
+    val batch =
+      try mv.select(col("mv_k0"),
+          col("mv_cnt"),
+          (col("mv_sum_0") * 1000000).cast("long"),
+          (col("mv_min_0") * 1000000).cast("long"),
+          (col("mv_max_0") * 1000000).cast("long"))
+        .collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      finally graft.plans.MvCatalog.clear()
+    val rendered = orders.select(col("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(38, 6)) * 1000000).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val data = new scala.util.Random(17).shuffle(rendered)
+    val in = MemoryStream[(String, Long)]
+    val df = in.toDF().toDF("k", "v")
+    val rows = new ConcurrentLinkedQueue[(String, Long, Long, Long, Long)]()
+    val q = GraftStream.mvUpdates(df, "k", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[(String, Long, Long, Long, Long)], _: Long) => {
+          b.collect().foreach(rows.add); ()
+        })
+      .start()
+    data.grouped((data.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(String, Long, Long, Long, Long)])
+      .groupBy(_._1)
+      .map { case (k, vs) =>
+        val last = vs.maxBy(_._2) // count is strictly increasing per key
+        k -> (last._2, last._3, last._4, last._5)
+      }
+    assert(got == batch, s"stream $got\nbatch $batch")
+    graft.core.QueryCaches.release()
+  }
+
   test("streaming PAA series sketch by composition: sumUpdates equals the batch segment sums") {
     // events keyed "type|segment" (the events_series_sim PAA unit) fed
     // through the generic monotone-sum fold in three shuffled chunks:
