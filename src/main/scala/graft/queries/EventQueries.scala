@@ -794,6 +794,52 @@ object EventQueries {
     * the spine explode, 7-lag fanout, and self-join are all
     * days-sized — at 100 TB this is a 36,500-row tail on a one-pass
     * map-side-combined count. */
+  /** Two-sided CUSUM monitor over the daily event-count series — the
+    * ONLINE mean-shift detector beside the retrospective single-split
+    * [[eventsChangepoint]]: that row asks "where was the one best
+    * break", this one tracks per-day drift charts (the form a
+    * monitoring system alerts on, and the form [[graft.streaming
+    * .GraftStream]] can maintain incrementally). The textbook recursion
+    * s_d = max(0, s_{d−1} + dev_d) is sequential, which would force a
+    * driver loop; the identity s_d = cum_d − min(0, min_{j≤d} cum_j)
+    * re-expresses it as TWO stacked window functions (running sum, then
+    * running extremum of it) — fully distributed, one pass. Both sides:
+    * CUSUM⁺ flags upward level shifts, CUSUM⁻ = max(0, max cum) − cum
+    * the downward ones. Exactness: the series is GAPFILLED (missing
+    * days are real zero-count observations, the [[eventsAcf]]
+    * contract), and deviations are the all-integer cnt·n_days − total
+    * (scaling by n_days instead of dividing by it), so every statistic
+    * is a BIGINT and the flag thresholds (sustained shift worth 4×
+    * the daily mean, i.e. cusum > 4·total in the scaled units) compare
+    * integers. Windows partition per event type over calendar days —
+    * domain-bounded at any event volume; the heavy work (daily rollup)
+    * is one hash aggregate and the type totals broadcast. */
+  def eventsCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = events(spark, sfDir)
+      .groupBy(col("event_type").as("t"),
+        expr("CAST(datediff(CAST(timestamp_micros(ts div 1000) AS DATE), " +
+          "DATE '1970-01-01') AS BIGINT)").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.groupBy(col("t"))
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(col("t"), explode(expr("sequence(lo, hi)")).as("d"))
+      .join(daily, Seq("t", "d"), "left")
+      .select(col("t"), col("d"), coalesce(col("n"), lit(0L)).as("cnt"))
+    val sp = graft.core.QueryCaches.track(spine)
+    val tot = sp.groupBy(col("t"))
+      .agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_days"))
+    val dev = sp.join(broadcast(tot), Seq("t"))
+      .withColumn("dev", col("cnt") * col("n_days") - col("total"))
+    val w = Window.partitionBy(col("t")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dev.withColumn("cum", sum(col("dev")).over(w))
+      .withColumn("cusum_pos", col("cum") - least(lit(0L), min(col("cum")).over(w)))
+      .withColumn("cusum_neg", greatest(lit(0L), max(col("cum")).over(w)) - col("cum"))
+      .select(col("t"), col("d"), col("cnt"), col("cusum_pos"), col("cusum_neg"),
+        (col("cusum_pos") > col("total") * 4).as("up_shift"),
+        (col("cusum_neg") > col("total") * 4).as("down_shift"))
+  }
+
   def eventsAcf(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = events(spark, sfDir)
       .groupBy(expr("CAST(datediff(CAST(timestamp_micros(ts div 1000) AS DATE), " +
@@ -1839,6 +1885,7 @@ object EventQueries {
     "events_spikes" -> (eventsSpikes _),
     "events_trend" -> (eventsTrend _),
     "events_acf" -> (eventsAcf _),
+    "events_cusum" -> (eventsCusum _),
     "events_abtest" -> (eventsAbtest _),
     "events_survival" -> (eventsSurvival _),
     "events_forecast_eval" -> (eventsForecastEval _),
@@ -1988,6 +2035,29 @@ object EventQueries {
         |        AND mae_persist_milli <= mae_global_milli THEN 'persistence'
         |       WHEN mae_seasonal_milli <= mae_global_milli THEN 'seasonal'
         |       ELSE 'global_mean' END AS winner
+        |FROM m""".stripMargin,
+    "events_cusum" ->
+      """WITH daily AS (SELECT event_type AS t,
+        |        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |        COUNT(*) AS n
+        |      FROM events GROUP BY 1, 2),
+        |b AS (SELECT t, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1),
+        |spine AS (SELECT t, unnest(range(lo, hi + 1)) AS d FROM b),
+        |s AS (SELECT spine.t, spine.d, COALESCE(n, 0) AS cnt
+        |      FROM spine LEFT JOIN daily ON spine.t = daily.t AND spine.d = daily.d),
+        |tot AS (SELECT t, CAST(SUM(cnt) AS BIGINT) AS total,
+        |          COUNT(*) AS n_days FROM s GROUP BY 1),
+        |dv AS (SELECT s.t, d, cnt, cnt * n_days - total AS dev, total
+        |       FROM s JOIN tot ON s.t = tot.t),
+        |c AS (SELECT t, d, cnt, total,
+        |        CAST(SUM(dev) OVER (PARTITION BY t ORDER BY d) AS BIGINT) AS cum
+        |      FROM dv),
+        |m AS (SELECT *,
+        |        least(CAST(0 AS BIGINT), MIN(cum) OVER (PARTITION BY t ORDER BY d)) AS mn,
+        |        greatest(CAST(0 AS BIGINT), MAX(cum) OVER (PARTITION BY t ORDER BY d)) AS mx
+        |      FROM c)
+        |SELECT t, d, cnt, cum - mn AS cusum_pos, mx - cum AS cusum_neg,
+        |  cum - mn > total * 4 AS up_shift, mx - cum > total * 4 AS down_shift
         |FROM m""".stripMargin,
     "events_acf" ->
       """WITH daily AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,

@@ -1098,6 +1098,48 @@ object GraftStream {
       }
   }
 
+  /** Streaming two-sided CUSUM drift chart — the unbounded twin of
+    * [[graft.queries.EventQueries.eventsCusum]]: per key, state is
+    * three longs (running deviation sum, its running min, its running
+    * max); each in-order arrival emits that step's
+    * (cusum⁺, cusum⁻) = (cum − min(0, minCum), max(0, maxCum) − cum) —
+    * the same stacked-window identity the batch query uses, folded
+    * incrementally. Unlike the monotone folds ([[sumUpdates]],
+    * [[mvUpdates]]) CUSUM is ORDER-dependent, so the op carries the
+    * [[gapUpdates]] in-order contract: rows sort by `ordCol` within a
+    * trigger, and an arrival at or before the last applied ord is
+    * DROPPED rather than corrupting the chart — the batch operator is
+    * the repair path. State never grows (4 longs/key); emissions are
+    * per input row, so alerting (cusum > threshold) is a stateless
+    * filter downstream. */
+  def cusumUpdates(df: DataFrame, keyCol: String, ordCol: String,
+      devCol: String): Dataset[(String, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(keyCol).cast("string").as("k"),
+      col(ordCol).cast("long").as("o"), col(devCol).cast("long").as("dev"))
+      .as[(String, Long, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (lastOrd, cum, mn, mx) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, o, dev) =>
+            if (o > lastOrd) {
+              lastOrd = o; cum += dev
+              if (cum < mn) mn = cum
+              if (cum > mx) mx = cum
+              out += ((key, o, cum - math.min(0L, mn), math.max(0L, mx) - cum))
+            } // else: late/duplicate ord — drop, batch repairs
+          }
+          state.update((lastOrd, cum, mn, mx))
+          out.iterator
+      }
+  }
+
   /** Streaming MATERIALIZED-VIEW maintenance — the unbounded twin of
     * [[graft.plans.MvCatalog]]'s aggregate summary: per key, state is
     * the exact MV partial (count, micro-scaled sum, min, max). Every

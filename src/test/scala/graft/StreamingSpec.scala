@@ -1273,6 +1273,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got\nbatch $batch")
   }
 
+  test("streaming CUSUM chart: cusumUpdates equals the batch events_cusum rows") {
+    // Order-dependent fold under the in-order contract: the gapfilled
+    // per-(type, day) deviation rows arrive day-ordered in three
+    // chunks; every emission must equal the batch query's
+    // (cusum_pos, cusum_neg) for that (type, day).
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.EventQueries.eventsCusum(spark, dir)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(3), r.getLong(4))))
+      .toMap
+    // rebuild the query's dev inputs: gapfilled daily counts, scaled
+    // deviations cnt*n_days - total
+    val daily = normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+      .groupBy(col("event_type").as("t"),
+        expr("CAST(datediff(CAST(timestamp_micros(ts div 1000) AS DATE), " +
+          "DATE '1970-01-01') AS BIGINT)").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.groupBy(col("t"))
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(col("t"), explode(expr("sequence(lo, hi)")).as("d"))
+      .join(daily, Seq("t", "d"), "left")
+      .select(col("t"), col("d"), coalesce(col("n"), lit(0L)).as("cnt"))
+    val tot = spine.groupBy(col("t"))
+      .agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_days"))
+    val devRows = spine.join(tot, Seq("t"))
+      .select(col("t"), col("d"), (col("cnt") * col("n_days") - col("total")).as("dev"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._2, r._1)).toSeq // day-ordered, keys interleaved
+    val in = MemoryStream[(String, Long, Long)]
+    val df = in.toDF().toDF("t", "d", "dev")
+    val rows = new ConcurrentLinkedQueue[(String, Long, Long, Long)]()
+    val q = GraftStream.cusumUpdates(df, "t", "d", "dev")
+      .writeStream.outputMode("append")
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[(String, Long, Long, Long)], _: Long) => {
+          b.collect().foreach(rows.add); ()
+        })
+      .start()
+    devRows.grouped((devRows.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(String, Long, Long, Long)])
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    assert(got == batch, s"stream/batch diverged: ${got.size} vs ${batch.size} rows")
+    graft.core.QueryCaches.release()
+  }
+
   test("streaming MV maintenance: mvUpdates converges to the registered MvCatalog summary") {
     // The freshness half of the MV flagship as a stream: orders rows
     // arrive shuffled in three chunks keyed by o_orderstatus, values
