@@ -941,6 +941,46 @@ object Relational {
     }
   }
 
+  /** MV candidate ADVISOR — the design-time third of the MV story
+    * ([[qMvRewrite]] consumes views, [[qIncrementalMv]] maintains
+    * them; this row decides WHICH to build). Every candidate key set
+    * over (status, priority, year) is measured in ONE scan via
+    * GROUPING SETS: per candidate, the group count (= the MV's size),
+    * total rows (= what a rewrite saves scanning), their ratio (the
+    * compression a view buys — the advisor's ranking key), and the
+    * hottest group (a skew warning: one giant group means the view
+    * helps less than the ratio suggests). All integers; recommend =
+    * ratio ≥ 64, the "a summary is two orders denser than the fact"
+    * heuristic. At 100 TB the single grouping-sets pass IS the point:
+    * a naive advisor re-aggregates the fact once per candidate, this
+    * plan expands each row into the 6 candidate groups map-side and
+    * pays one shuffle total. */
+  def qMvAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = col("o_orderstatus"); val pr = col("o_orderpriority")
+    val gs = load(spark, sfDir, "orders")
+      .select(st, pr, year(col("o_orderdate")).cast("bigint").as("yr"))
+      .groupingSets(
+        Seq(Seq(st), Seq(pr), Seq(st, pr), Seq(st, col("yr")),
+          Seq(pr, col("yr")), Seq(st, pr, col("yr"))),
+        st, pr, col("yr"))
+      .agg(count(lit(1)).as("rows_in_group"),
+        grouping(st).cast("bigint").as("g_s"),
+        grouping(pr).cast("bigint").as("g_p"),
+        grouping(col("yr")).cast("bigint").as("g_y"))
+    gs.groupBy(col("g_s"), col("g_p"), col("g_y"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("rows_in_group")).as("n_rows"),
+        max(col("rows_in_group")).as("max_group"))
+      .select(
+        concat_ws("+",
+          when(col("g_s") === 0, lit("status")),
+          when(col("g_p") === 0, lit("priority")),
+          when(col("g_y") === 0, lit("year"))).as("candidate"),
+        col("n_groups"), col("n_rows"), col("max_group"),
+        expr("n_rows div n_groups").as("ratio"),
+        (expr("n_rows div n_groups") >= 64).as("recommend"))
+  }
+
   /** JOIN-view delta maintenance, extending [[qIncrementalMv]] from
     * aggregate-only to join views: V = orders ⋈ customer rolled up per
     * nation. Join distributes over the fact partition
@@ -1573,6 +1613,7 @@ object Relational {
     "q_incremental_mv" -> (qIncrementalMv _),
     "q_mv_rewrite" -> (qMvRewrite _),
     "q_mv_rewrite_join" -> (qMvRewriteJoin _),
+    "q_mv_advisor" -> (qMvAdvisor _),
     "q_incremental_join_mv" -> (qIncrementalJoinMv _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_dpp_prune" -> (qDppPrune _),
@@ -1875,6 +1916,26 @@ object Relational {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus <> 'P'
         |GROUP BY 1""".stripMargin,
+    "q_mv_advisor" ->
+      """WITH gs AS (
+        |  SELECT o_orderstatus AS st, o_orderpriority AS pr,
+        |         CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |         COUNT(*) AS rows_in_group,
+        |         CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s,
+        |         CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
+        |         CAST(GROUPING(CAST(year(o_orderdate) AS BIGINT)) AS BIGINT) AS g_y
+        |  FROM orders
+        |  GROUP BY GROUPING SETS ((st), (pr), (st, pr), (st, yr), (pr, yr), (st, pr, yr)))
+        |SELECT concat_ws('+',
+        |    CASE WHEN g_s = 0 THEN 'status' END,
+        |    CASE WHEN g_p = 0 THEN 'priority' END,
+        |    CASE WHEN g_y = 0 THEN 'year' END) AS candidate,
+        |  COUNT(*) AS n_groups,
+        |  CAST(SUM(rows_in_group) AS BIGINT) AS n_rows,
+        |  CAST(MAX(rows_in_group) AS BIGINT) AS max_group,
+        |  CAST(SUM(rows_in_group) AS BIGINT) // COUNT(*) AS ratio,
+        |  CAST(SUM(rows_in_group) AS BIGINT) // COUNT(*) >= 64 AS recommend
+        |FROM gs GROUP BY g_s, g_p, g_y""".stripMargin,
     "q_incremental_join_mv" ->
       """WITH o AS (SELECT o_custkey, o_orderdate AS d,
         |    CAST(o_totalprice AS DECIMAL(38,6)) AS p FROM orders),

@@ -610,6 +610,36 @@ object TextQueries {
         min(col("doc_id")).as("first_doc"))
   }
 
+  /** Per-document NOVELTY contribution — the marginal-value metric a
+    * corpus curator ranks ingestion batches by: of a document's
+    * distinct 5-gram shingles, what fraction appears in NO
+    * earlier-id document (first occurrence = min(doc_id) per gram —
+    * the deterministic arrival order of the corpus). Dedup asks "is
+    * this a copy"; novelty asks the graded complement "how much new
+    * n-gram mass does this doc add", which is the admission score
+    * incremental-crawl pipelines use before paying to keep a page.
+    * Plan at 100 TB: the (doc, fp) gram relation is computed once and
+    * persisted query-scoped (both the first-occurrence aggregate and
+    * the join probe read it); first-occurrence is one map-side-
+    * combined MIN per fp; the re-join is an fp-keyed SHUFFLE join
+    * (the frequency side is corpus-sized — never a broadcast); all
+    * exchanges carry (long, long) rows. Zero-gram docs drop out of
+    * the output on both engines, so the milli ratio never divides by
+    * zero (ANSI-safe). */
+  def curateNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val grams = graft.core.QueryCaches.track(
+      d.select(col("doc_id"),
+        explode(array_distinct(
+          graft.ext.DedupOps.shingleFps(tokens(col("text")), 5))).as("fp")))
+    val first = grams.groupBy(col("fp")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_milli", expr("(1000 * n_novel) div n_grams"))
+  }
+
   /** Cross-document boilerplate detection — the line/paragraph-dedup
     * analog for a corpus without line structure: per document, the
     * fraction of its distinct 5-gram shingles that appear in at least
@@ -1062,6 +1092,7 @@ object TextQueries {
     "curate_dsir" -> (curateDsir _),
     "curate_e2e" -> (curateE2e _),
     "curate_boilerplate" -> (curateBoilerplate _),
+    "curate_novelty" -> (curateNovelty _),
     "curate_pack" -> (curatePack _),
     "curate_sources" -> (curateSources _),
     "text_tfidf" -> (textTfidf _),
@@ -1383,6 +1414,22 @@ object TextQueries {
          |      list_transform(string_split(kept_text, ''), ch -> CAST(unicode(ch) AS BIGINT))),
          |      (a, b) -> (a * 31 + b) % 1000000007) END AS new_fp
          |FROM r""".stripMargin,
+    "curate_novelty" ->
+      s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |sh_t AS (SELECT doc_id, CASE WHEN len(tk) >= 5 THEN list_transform(range(1, len(tk) - 3),
+         |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])
+         |  ELSE [] END AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, list_distinct(list_transform(sh, s ->
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(s, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007))) AS fps FROM sh_t),
+         |g AS (SELECT doc_id, unnest(fps) AS fp FROM fp_t),
+         |f_t AS (SELECT fp, MIN(doc_id) AS first_doc FROM g GROUP BY fp)
+         |SELECT g.doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST((1000 * SUM(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+         |    AS novelty_milli
+         |FROM g JOIN f_t USING (fp) GROUP BY g.doc_id""".stripMargin,
     "curate_boilerplate" ->
       s"""WITH tk_t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |sh_t AS (SELECT doc_id, CASE WHEN len(tk) >= 5 THEN list_transform(range(1, len(tk) - 3),
