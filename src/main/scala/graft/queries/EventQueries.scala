@@ -840,6 +840,51 @@ object EventQueries {
         (col("cusum_neg") > col("total") * 4).as("down_shift"))
   }
 
+  /** Classical additive seasonal decomposition of the daily series —
+    * trend + day-of-week seasonal + residual, the STL-lite every
+    * metrics pipeline runs before alerting (a Monday dip is seasonal,
+    * not drift; [[eventsCusum]] charts shifts, this row explains
+    * them). Exactness through scaling, never division: the 7-day
+    * centered trend is kept as its window SUM (scale 7), detrended =
+    * 7·y − trend7 (integers), the per-(type, dow) seasonal mean and
+    * the residual surface in milli units via TRUNCATING division —
+    * Spark's `div` truncates toward zero while DuckDB's BIGINT `//`
+    * floors, so every division is spelled sign-safely (divide the
+    * absolute value, re-apply the sign). Edge days without a full
+    * 7-day window are excluded (n7 = 7 filter) rather than emitting
+    * a biased partial trend. Windows partition per type over calendar
+    * days (domain-bounded); the seasonal relation is |types|×7 rows
+    * and broadcasts back. */
+  def eventsSeasonal(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = events(spark, sfDir)
+      .groupBy(col("event_type").as("t"),
+        expr("CAST(datediff(CAST(timestamp_micros(ts div 1000) AS DATE), " +
+          "DATE '1970-01-01') AS BIGINT)").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.groupBy(col("t"))
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(col("t"), explode(expr("sequence(lo, hi)")).as("d"))
+      .join(daily, Seq("t", "d"), "left")
+      .select(col("t"), col("d"), coalesce(col("n"), lit(0L)).as("cnt"))
+    val w7 = Window.partitionBy(col("t")).orderBy(col("d")).rowsBetween(-3, 3)
+    val interior = graft.core.QueryCaches.track(
+      spine.withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("trend7", sum(col("cnt")).over(w7))
+        .filter(col("n7") === 7)
+        .withColumn("det", col("cnt") * 7 - col("trend7"))
+        .withColumn("dow", (col("d") + 4) % 7)) // 1970-01-01 = Thursday
+    val seasonal = interior.groupBy(col("t"), col("dow"))
+      .agg(sum(col("det")).as("sdet"), count(lit(1)).as("ndow"))
+      .select(col("t"), col("dow"),
+        (signum(col("sdet")).cast("bigint") *
+          expr("abs(1000 * sdet) div (7 * ndow)")).as("seasonal_milli"))
+    interior.join(broadcast(seasonal), Seq("t", "dow"))
+      .select(col("t"), col("d"), col("dow"), col("cnt"), col("trend7"),
+        col("det"), col("seasonal_milli"),
+        (signum(col("det")).cast("bigint") * expr("abs(1000 * det) div 7") -
+          col("seasonal_milli")).as("resid_milli"))
+  }
+
   def eventsAcf(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = events(spark, sfDir)
       .groupBy(expr("CAST(datediff(CAST(timestamp_micros(ts div 1000) AS DATE), " +
@@ -1886,6 +1931,7 @@ object EventQueries {
     "events_trend" -> (eventsTrend _),
     "events_acf" -> (eventsAcf _),
     "events_cusum" -> (eventsCusum _),
+    "events_seasonal" -> (eventsSeasonal _),
     "events_abtest" -> (eventsAbtest _),
     "events_survival" -> (eventsSurvival _),
     "events_forecast_eval" -> (eventsForecastEval _),
@@ -2036,6 +2082,33 @@ object EventQueries {
         |       WHEN mae_seasonal_milli <= mae_global_milli THEN 'seasonal'
         |       ELSE 'global_mean' END AS winner
         |FROM m""".stripMargin,
+    "events_seasonal" ->
+      """WITH daily AS (SELECT event_type AS t,
+        |        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |        COUNT(*) AS n
+        |      FROM events GROUP BY 1, 2),
+        |b AS (SELECT t, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1),
+        |spine AS (SELECT t, unnest(range(lo, hi + 1)) AS d FROM b),
+        |s AS (SELECT spine.t, spine.d, COALESCE(n, 0) AS cnt
+        |      FROM spine LEFT JOIN daily ON spine.t = daily.t AND spine.d = daily.d),
+        |w AS (SELECT t, d, cnt,
+        |        COUNT(*) OVER w7 AS n7,
+        |        CAST(SUM(cnt) OVER w7 AS BIGINT) AS trend7
+        |      FROM s WINDOW w7 AS (PARTITION BY t ORDER BY d
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |i AS (SELECT t, d, cnt, trend7, cnt * 7 - trend7 AS det,
+        |        (d + 4) % 7 AS dow
+        |      FROM w WHERE n7 = 7),
+        |seas AS (SELECT t, dow,
+        |    CASE WHEN SUM(det) < 0 THEN
+        |      -(abs(CAST(1000 * SUM(det) AS BIGINT)) // (7 * COUNT(*)))
+        |    ELSE CAST(1000 * SUM(det) AS BIGINT) // (7 * COUNT(*)) END
+        |      AS seasonal_milli
+        |  FROM i GROUP BY 1, 2)
+        |SELECT i.t, d, i.dow AS dow, cnt, trend7, det, seasonal_milli,
+        |  CASE WHEN det < 0 THEN -(abs(1000 * det) // 7)
+        |       ELSE (1000 * det) // 7 END - seasonal_milli AS resid_milli
+        |FROM i JOIN seas ON i.t = seas.t AND i.dow = seas.dow""".stripMargin,
     "events_cusum" ->
       """WITH daily AS (SELECT event_type AS t,
         |        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,

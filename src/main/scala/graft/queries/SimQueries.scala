@@ -644,6 +644,51 @@ object SimQueries {
     SimOps.pqTopk(codes, queries, cb, k = 5, m = 8, sub = 8)
   }
 
+  /** Reciprocal-rank fusion — the hybrid-retrieval merge every RAG
+    * stack runs when two rankers disagree: the exact cosine top-10
+    * (the [[simTopk]] contract) and the compressed ADC top-10 over the
+    * PQ index (the [[simPqTopk]] contract) fuse per (query, candidate)
+    * as Σ 1/(60 + rank), kept integer-exact as
+    * `1000000 div (60 + rank)` micro-units so the fused ORDER is
+    * hashable cross-engine (RRF's whole point is that it needs only
+    * ranks, never the incomparable raw scores — which is also what
+    * makes it exactly oracle-checkable). Candidates missing from one
+    * list contribute 0 from it (rank surfaced as 0 = absent). Plan at
+    * 100 TB: both rankers keep their own proven shapes (broadcast
+    * query side + partial top-k; broadcast distance table +
+    * map-side-combined code sums); the fusion itself touches only
+    * 2·k·|queries| rows — a full-outer join and a bounded per-query
+    * window. */
+  def simRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.core.QueryCaches.track(emb(spark, sfDir))
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val dense = SimOps.topkBrute(corpus, queries, 10)
+      .withColumn("rk_d", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id")))
+        .cast("bigint"))
+      .select(col("q_id"), col("vec_id"), col("rk_d"))
+    val cb = SimOps.pqSeedCodebook(e, kCodes = 4, m = 8, sub = 8)
+    val codes = SimOps.pqEncode(corpus, cb, m = 8, sub = 8)
+      .select(col("vec_id"), col("s"), col("code"))
+    val adc = SimOps.pqTopk(codes, queries, cb, k = 10, m = 8, sub = 8)
+      .withColumn("rk_a", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id")))
+        .cast("bigint"))
+      .select(col("q_id"), col("vec_id"), col("rk_a"))
+    dense.join(adc, Seq("q_id", "vec_id"), "full_outer")
+      .select(col("q_id"), col("vec_id"),
+        (coalesce(expr("1000000 div (60 + rk_d)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rk_a)"), lit(0L))).as("rrf_micro"),
+        coalesce(col("rk_d"), lit(0L)).as("rk_dense"),
+        coalesce(col("rk_a"), lit(0L)).as("rk_adc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rrf_micro").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .drop("rk")
+  }
+
   /** IVF-PQ — the production ANN index composition (the FAISS
     * `IVFx,PQy` shape) assembled from this module's oracle-proven
     * parts: coarse-quantize every vector to its nearest label
@@ -1344,6 +1389,7 @@ object SimQueries {
     "sim_pca_power" -> (simPcaPower _),
     "sim_pq" -> (simPq _),
     "sim_pq_topk" -> (simPqTopk _),
+    "sim_rrf" -> (simRrf _),
     "sim_triangles" -> (simTriangles _),
     "sim_link_predict" -> (simLinkPredict _),
     "sim_mmr" -> (simMmr _),
@@ -1678,6 +1724,54 @@ object SimQueries {
          |  SELECT q_id, vec_id, adist,
          |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
          |  FROM ad) WHERE rk <= 5""".stripMargin,
+    "sim_rrf" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS (SELECT q_id, vec_id, ${cosSql("embedding", "q_vec")} AS cos
+         |           FROM embeddings, q WHERE vec_id <> q_id),
+         |dn AS (SELECT q_id, vec_id, rk_d FROM (
+         |    SELECT q_id, vec_id, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk_d FROM scored)
+         |  WHERE rk_d <= 10),
+         |sub AS (SELECT vec_id, s, list_slice(embedding, s*8 + 1, s*8 + 8) AS sv
+         |        FROM embeddings, (SELECT unnest(range(0, 8)) AS s)),
+         |cb AS (SELECT vec_id AS code, s, list_slice(embedding, s*8 + 1, s*8 + 8) AS cw
+         |       FROM embeddings, (SELECT unnest(range(0, 8)) AS s)
+         |       WHERE vec_id < 4),
+         |d AS (SELECT vec_id, sub.s AS s, code,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+         |          i -> (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)) *
+         |               (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)))),
+         |          (a, b) -> a + b) AS dist
+         |      FROM sub JOIN cb USING (s)),
+         |codes AS (SELECT vec_id, s, code FROM (
+         |            SELECT vec_id, s, code,
+         |              row_number() OVER (PARTITION BY vec_id, s
+         |                ORDER BY dist, code) AS rk FROM d) WHERE rk = 1),
+         |qs AS (SELECT vec_id AS q_id, s, list_slice(embedding, s*8 + 1, s*8 + 8) AS sv
+         |       FROM embeddings, (SELECT unnest(range(0, 8)) AS s)
+         |       WHERE vec_id % 100 = 0),
+         |dt AS (SELECT q_id, qs.s AS s, code,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+         |          i -> (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)) *
+         |               (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)))),
+         |          (a, b) -> a + b) AS dd
+         |       FROM qs JOIN cb USING (s)),
+         |ad AS (SELECT q_id, vec_id,
+         |         CAST(SUM(CAST(dd AS DECIMAL(38,6))) AS DOUBLE) AS adist
+         |       FROM codes JOIN dt USING (s, code)
+         |       GROUP BY q_id, vec_id),
+         |an AS (SELECT q_id, vec_id, rk_a FROM (
+         |    SELECT q_id, vec_id, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY adist, vec_id) AS rk_a FROM ad)
+         |  WHERE rk_a <= 10),
+         |f AS (SELECT COALESCE(dn.q_id, an.q_id) AS q_id,
+         |        COALESCE(dn.vec_id, an.vec_id) AS vec_id,
+         |        COALESCE(1000000 // (60 + rk_d), 0) +
+         |          COALESCE(1000000 // (60 + rk_a), 0) AS rrf_micro,
+         |        COALESCE(rk_d, 0) AS rk_dense, COALESCE(rk_a, 0) AS rk_adc
+         |      FROM dn FULL JOIN an ON dn.q_id = an.q_id AND dn.vec_id = an.vec_id)
+         |SELECT q_id, vec_id, rrf_micro, rk_dense, rk_adc FROM f
+         |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, vec_id) <= 5""".stripMargin,
     // brute-candidate MMR: ground-truth contract
     "sim_mmr" -> mmrOracleSql(
       s"""q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 100 = 0),

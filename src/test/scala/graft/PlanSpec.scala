@@ -565,6 +565,23 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.ext.DedupOps.releaseCaches()
   }
 
+  test("curate_novelty: grams exploded once — first-occurrence agg and probe read the cache") {
+    try {
+      val p = plan("curate_novelty")
+      assert(nOps(p, "Scan parquet") <= 1,
+        s"corpus must be scanned once (through the gram cache):\n$p")
+      assert(nOps(p, "InMemoryTableScan") + nOps(p, "TableCacheQueryStage") >= 2,
+        s"both gram consumers must read the cached relation:\n$p")
+    } finally graft.ext.DedupOps.releaseCaches()
+  }
+
+  test("q_mv_advisor: all candidates measured in ONE fact scan via a single Expand") {
+    val p = plan("q_mv_advisor")
+    assert(nOps(p, "Scan parquet") == 1,
+      s"a naive advisor re-scans per candidate; this plan must not:\n$p")
+    assert(nOps(p, "Expand") == 1, s"grouping sets = one Expand:\n$p")
+  }
+
   test("curate_line_dedup: one corpus scan, df + rebuild both read the cached line relation, no Window") {
     // The line relation is exploded once and persisted; the df
     // aggregate and the join probe both read the cache. The rebuild
