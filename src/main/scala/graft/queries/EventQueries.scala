@@ -1131,6 +1131,76 @@ object EventQueries {
     * spells the naive inequality join — identical semantics, so the
     * green row pins the banding rewrite. Pair orientation: earlier
     * event first (ties broken by event_id). */
+  /** Association rules over (user, day) baskets — support, confidence,
+    * and lift per ordered event-type pair: the market-basket screen
+    * that separates "B follows A because both are popular" from a real
+    * association (lift > 1). Basket = the distinct event types a user
+    * produced in one calendar day. ALL-INTEGER surfaces: support,
+    * confidence, and lift are single integral divisions in micro
+    * units, the lift product routed through DECIMAL(38,0) (1e6·n_ab·N
+    * passes int64 at warehouse scale). Plan at 100 TB: the corpus
+    * collapses to the DISTINCT (user, day, type) relation in one
+    * map-side-combined pass; the pair join is keyed (user, day) —
+    * co-partitioned with ≤|types| rows per basket side, so candidates
+    * are basket-bounded, never quadratic in events; the type
+    * marginals (|types| rows) and the 1-row basket total broadcast
+    * back. */
+  def eventsLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = graft.core.QueryCaches.track(
+      events(spark, sfDir).select(col("user_id"),
+        expr("CAST(datediff(CAST(timestamp_micros(ts div 1000) AS DATE), " +
+          "DATE '1970-01-01') AS BIGINT)").as("d"),
+        col("event_type")).distinct())
+    val nT = b.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val nBaskets = b.select(col("user_id"), col("d")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val pairs = b.select(col("user_id"), col("d"), col("event_type").as("type_a"))
+      .join(b.select(col("user_id"), col("d"), col("event_type").as("type_b")),
+        Seq("user_id", "d"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(nT.select(col("event_type").as("type_a"), col("n_t").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(nT.select(col("event_type").as("type_b"), col("n_t").as("n_b"))),
+        Seq("type_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        expr("(1000000 * n_ab) div n_baskets").as("support_micro"),
+        expr("(1000000 * n_ab) div n_a").as("conf_micro"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_ab * n_baskets) " +
+          "div (n_a * n_b) AS BIGINT)").as("lift_micro"))
+  }
+
+  /** Pareto concentration of activity — the skew audit run before
+    * choosing partitioning and salting strategies (and the product
+    * question "how much of the volume do the heaviest users drive").
+    * One row: user count, event total, the exact Gini coefficient in
+    * milli units via the rank identity G = Σ(2i−n−1)x_(i) / (n·Σx)
+    * over counts ranked ascending, and the top-decile share. The
+    * global rank comes from [[graft.ext.SkewOps.globalRank]]
+    * (repartitionByRange + zipWithIndex, two jobs, NO single-partition
+    * window — the [[qAnalyzeStats]] posture) while the oracle spells
+    * the row_number window this plan exists to avoid. The rank-sum is
+    * DECIMAL(38,0)-exact (i·x reaches n·Σx ≈ 1e21 at warehouse scale)
+    * and every surfaced figure is one integral division. */
+  def eventsPareto(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnt = graft.core.QueryCaches.track(
+      events(spark, sfDir).groupBy(col("user_id")).agg(count(lit(1)).as("x")))
+    val tot = cnt.agg(count(lit(1)).as("nu"), sum(col("x")).as("te"))
+    val ranked = graft.ext.SkewOps.globalRank(cnt, Seq("x", "user_id"), "rk")
+    ranked.crossJoin(broadcast(tot))
+      .agg(max(col("nu")).as("n_users"), max(col("te")).as("total_events"),
+        sum(expr("CAST(2 * rk - nu - 1 AS DECIMAL(38,0)) * x")).as("gs"),
+        sum(when(col("rk") > col("nu") - expr("nu div 10"), col("x"))
+          .otherwise(lit(0L))).as("top_x"))
+      .select(col("n_users"), col("total_events"),
+        expr("CAST((1000 * gs) div (CAST(n_users AS DECIMAL(38,0)) * total_events) " +
+          "AS BIGINT)").as("gini_milli"),
+        expr("(1000 * top_x) div total_events").as("top10_share_milli"))
+  }
+
   def eventsCooccur(spark: SparkSession, sfDir: String): DataFrame = {
     val e = graft.core.QueryCaches.track(
       events(spark, sfDir).select(col("event_id"), col("user_id"),
@@ -1922,6 +1992,8 @@ object EventQueries {
     "events_changepoint" -> (eventsChangepoint _),
     "events_kmv_overlap" -> (eventsKmvOverlap _),
     "events_cooccur" -> (eventsCooccur _),
+    "events_lift" -> (eventsLift _),
+    "events_pareto" -> (eventsPareto _),
     "events_markov" -> (eventsMarkov _),
     "events_gap_hist" -> (eventsGapHist _),
     "events_quantiles" -> (eventsQuantiles _),
@@ -2558,6 +2630,41 @@ object EventQueries {
         |  AND b.us - a.us BETWEEN 0 AND 60000000
         |  AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
         |GROUP BY 1, 2""".stripMargin,
+    "events_lift" ->
+      """WITH b AS (SELECT DISTINCT user_id,
+        |        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |        event_type
+        |      FROM events),
+        |nt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM b GROUP BY 1),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets
+        |       FROM (SELECT DISTINCT user_id, d FROM b)),
+        |p AS (SELECT a.event_type AS type_a, c.event_type AS type_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_ab
+        |      FROM b a JOIN b c ON a.user_id = c.user_id AND a.d = c.d
+        |      WHERE a.event_type < c.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab,
+        |  (1000000 * n_ab) // n_baskets AS support_micro,
+        |  (1000000 * n_ab) // na.n_t AS conf_micro,
+        |  CAST((CAST(1000000 AS HUGEINT) * n_ab * n_baskets)
+        |    // (na.n_t * nbt.n_t) AS BIGINT) AS lift_micro
+        |FROM p
+        |JOIN nt na ON p.type_a = na.event_type
+        |JOIN nt nbt ON p.type_b = nbt.event_type
+        |CROSS JOIN nb""".stripMargin,
+    "events_pareto" ->
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu, CAST(SUM(x) AS BIGINT) AS te
+        |      FROM c),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS rk FROM c)
+        |SELECT nu AS n_users, te AS total_events,
+        |  CAST((1000 * SUM(CAST(2 * rk - nu - 1 AS HUGEINT) * x))
+        |    // (CAST(nu AS HUGEINT) * te) AS BIGINT) AS gini_milli,
+        |  CAST((1000 * SUM(CASE WHEN rk > nu - nu // 10 THEN x ELSE 0 END))
+        |    // te AS BIGINT) AS top10_share_milli
+        |FROM r CROSS JOIN t
+        |GROUP BY nu, te""".stripMargin,
     "events_gap_hist" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
         |g AS (SELECT us - lag(us) OVER (PARTITION BY user_id

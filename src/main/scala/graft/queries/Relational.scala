@@ -263,6 +263,68 @@ object Relational {
         dsum(vol)).as("mkt_share"))
   }
 
+  /** TPC-H Q9-shaped product-type profit: lineitem joined to part
+    * (name-filtered), supplier, its nation, and orders, profit rolled
+    * up per (supplier nation, order year). The testdata schema carries
+    * no partsupp/supplycost, so cost is the documented proxy
+    * 0.5·p_retailprice·l_quantity — the JOIN SHAPE (the point of Q9:
+    * a fact table stitched to two dimension chains at once) is
+    * faithful. Per-row profit is a fixed-order double expression
+    * (deterministic IEEE), the rollup is [[Tables.dsum]]-exact.
+    * Plan at 100 TB: the part filter prunes at the scan and AQE
+    * broadcasts the surviving slice; nation is hint-broadcast;
+    * lineitem⋈orders is the one genuine shuffle — exactly the
+    * q8 posture, with the filter on the OTHER dimension chain. */
+  def q9ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = load(spark, sfDir, "part")
+      .filter(col("p_name").endsWith("widget"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val li = load(spark, sfDir, "lineitem")
+    val ord = load(spark, sfDir, "orders")
+    val supp = load(spark, sfDir, "supplier")
+    val nat = load(spark, sfDir, "nation").select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("nation"))
+    val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+      (lit(0.5) * col("p_retailprice")) * col("l_quantity")
+    li.join(part, li("l_partkey") === part("p_partkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("sn_key"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(amount).as("sum_profit"))
+  }
+
+  /** Benford first-digit audit over order totals — the forensic
+    * screen every finance/quality pipeline runs on a value column:
+    * naturally-grown magnitudes follow P(d) = log10(1+1/d); a fleet
+    * of fabricated or clipped values shows up as a digit histogram
+    * that deviates. ALL-INTEGER cross-engine: the first significant
+    * digit of ⌊value⌋ is digit-string arithmetic on a BIGINT (both
+    * engines print integers identically), the observed share is one
+    * integral division in milli units, and the Benford expectation is
+    * pinned as ⌊1000·log10(1+1/d)⌋ literals — no float log at query
+    * time. Plan: one scan, one 9-group map-side-combined aggregate,
+    * 1-row total broadcast back. */
+  def qBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    // ⌊1000·log10(1+1/d)⌋ for d = 1..9
+    val benford = Seq(301L, 176L, 124L, 96L, 79L, 66L, 57L, 51L, 45L)
+    val expected = element_at(
+      array(benford.map(lit): _*), col("digit").cast("int"))
+    // persisted: the 9-row histogram feeds both the total and the report
+    // — without it the total branch re-scans orders
+    val digits = graft.core.QueryCaches.track(
+      load(spark, sfDir, "orders")
+        .select(expr("CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) " +
+          "AS STRING), 1, 1) AS BIGINT)").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n")))
+    val total = digits.agg(sum(col("n")).as("total"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("share_milli", expr("(1000 * n) div total"))
+      .withColumn("benford_milli", expected)
+      .select(col("digit"), col("n"), col("share_milli"), col("benford_milli"),
+        abs(col("share_milli") - col("benford_milli")).as("dev_milli"))
+  }
+
   /** Range-band join: facts classified into a tiny banded dimension via
     * a BETWEEN join — the histogram-dim / SLA-bucket / price-tier
     * pattern. With no equi-key the right distributed plan IS a
@@ -1634,6 +1696,8 @@ object Relational {
     "q22_rich_idle" -> (q22RichIdle _),
     "q7_volume" -> (q7Volume _),
     "q8_mkt_share" -> (q8MktShare _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q_benford" -> (qBenford _),
     "q_value_bands" -> (qValueBands _),
     "q_skyline" -> (qSkyline _),
     "q_unpivot" -> (qUnpivot _),
@@ -2220,6 +2284,36 @@ object Relational {
         |  AS v(band, lo, hi)
         |  ON l_quantity >= lo AND l_quantity <= hi
         |GROUP BY band""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+        |       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |             - (0.5 * p_retailprice) * l_quantity
+        |           AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |             AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |           FROM orders),
+        |h AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h)
+        |SELECT digit, n, (1000 * n) // total AS share_milli,
+        |  CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 124
+        |             WHEN 4 THEN 96 WHEN 5 THEN 79 WHEN 6 THEN 66
+        |             WHEN 7 THEN 57 WHEN 8 THEN 51 ELSE 45
+        |  END AS benford_milli,
+        |  abs((1000 * n) // total -
+        |    CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 124
+        |               WHEN 4 THEN 96 WHEN 5 THEN 79 WHEN 6 THEN 66
+        |               WHEN 7 THEN 57 WHEN 8 THEN 51 ELSE 45
+        |    END) AS dev_milli
+        |FROM h, t""".stripMargin,
     "q8_mkt_share" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |       CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_6'

@@ -33,6 +33,68 @@ object TextQueries {
     load(spark, sfDir, "documents")
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Sliding-window token chunking — the RAG-index preprocessing op:
+    * every document becomes overlapping 32-token windows on a
+    * 24-token stride (8 tokens of overlap keep sentence fragments
+    * retrievable from either side of a boundary), each chunk carrying
+    * its offset, length, and content fingerprint — the (doc_id,
+    * chunk_idx) → fp relation an embedding pipeline consumes and a
+    * chunk-granular dedup keys on. Reference analog: flat_map
+    * (`/root/reference/pypeln/process/api/flat_map.py:9-18`) — one
+    * input element fanning out to derived elements, here with the
+    * child offset carried the way pypeln extends the element index.
+    * Chunk COUNT is derived, never iterated: 1 + ⌈(n−32)/24⌉ spelled
+    * as an integer division, the chunk list is `sequence(...)`
+    * exploded, and the slice/join/fingerprint are all codegen column
+    * expressions — at 100 TB this is a pure one-scan map with output
+    * linear in token count (≈ n/24 chunks per doc), no shuffle, no
+    * UDF, and the fingerprint rides the native [[fingerprint]]
+    * kernel. DuckDB mirrors with list_slice (inclusive end indexes)
+    * over the same whitespace token convention. */
+  private[queries] def chunkRel(spark: SparkSession, sfDir: String): DataFrame = {
+    val C = 32L // chunk size (tokens)
+    val S = 24L // stride (tokens)
+    load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("bigint"))
+      // integer ceil: 1 + (n - C + S - 1) div S once n exceeds one chunk
+      .withColumn("n_chunks",
+        lit(1L) + when(col("n") > C, expr(s"(n - $C + ${S - 1}) div $S")).otherwise(lit(0L)))
+      .select(col("doc_id"), col("source"), col("toks"), col("n"),
+        posexplode(expr("sequence(0, n_chunks - 1)")).as(Seq("pos", "i")))
+      .withColumn("start_tok", lit(1L) + col("i") * S)
+      .withColumn("chunk", expr(s"slice(toks, start_tok, $C)"))
+      .select(col("doc_id"), col("source"), col("i").as("chunk_idx"),
+        col("start_tok"), size(col("chunk")).cast("bigint").as("n_tok"),
+        fingerprint(concat_ws(" ", col("chunk"))).as("fp"))
+  }
+
+  def textChunk(spark: SparkSession, sfDir: String): DataFrame =
+    chunkRel(spark, sfDir)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_tok"), col("fp"))
+
+  /** Chunk-granular dedup audit per source — [[textChunk]]'s relation
+    * rolled into the retrieval-index health metric: a RAG index built
+    * on these chunks stores n_distinct vectors, not n_chunks, and a
+    * source whose dup share is high (boilerplate repeated across its
+    * documents) wastes index space and biases retrieval toward the
+    * repeated content. dup_milli = 1000·(n_chunks − n_distinct) div
+    * n_chunks, all integer. Plan: the chunk map (no shuffle) feeds ONE
+    * map-side-combined aggregate keyed (source, fp), then a
+    * sources-bounded rollup — the exact/(fp,count) collapse posture of
+    * the document-level dedup rows, one granularity down. */
+  def curateChunkDedup(spark: SparkSession, sfDir: String): DataFrame =
+    chunkRel(spark, sfDir)
+      .groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("n_in_dup_groups"))
+      .withColumn("dup_milli",
+        expr("(1000 * (n_chunks - n_distinct)) div n_chunks"))
+
   /** Heuristic language ID (marker-token argmax) vs. the labeled lang. */
   def textLangId(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = load(spark, sfDir, "documents")
@@ -1080,6 +1142,8 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk" -> (textChunk _),
+    "curate_chunk_dedup" -> (curateChunkDedup _),
     "text_rake" -> (textRake _),
     "text_langid_confusion" -> (textLangidConfusion _),
     "curate_data_card" -> (curateDataCard _),
@@ -1148,6 +1212,39 @@ object TextQueries {
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+         |        1 + CASE WHEN len(toks) > 32
+         |              THEN (CAST(len(toks) AS BIGINT) - 32 + 23) // 24
+         |              ELSE 0 END AS n_chunks
+         |      FROM t),
+         |c AS (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS i FROM n),
+         |s AS (SELECT doc_id, i AS chunk_idx, 1 + i * 24 AS start_tok,
+         |        list_slice(toks, 1 + i * 24,
+         |          LEAST(1 + i * 24 + 31, n)) AS chunk
+         |      FROM c)
+         |SELECT doc_id, chunk_idx, start_tok,
+         |  CAST(len(chunk) AS BIGINT) AS n_tok,
+         |  ${foldSql("array_to_string(chunk, ' ')")} AS fp
+         |FROM s""".stripMargin,
+    "curate_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n,
+         |        1 + CASE WHEN len(toks) > 32
+         |              THEN (CAST(len(toks) AS BIGINT) - 32 + 23) // 24
+         |              ELSE 0 END AS n_chunks
+         |      FROM t),
+         |c AS (SELECT doc_id, source, toks, n, unnest(range(0, n_chunks)) AS i FROM n),
+         |f AS (SELECT source,
+         |        ${foldSql("array_to_string(list_slice(toks, 1 + i * 24, LEAST(1 + i * 24 + 31, n)), ' ')")} AS fp
+         |      FROM c),
+         |g AS (SELECT source, fp, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY 1, 2)
+         |SELECT source, CAST(SUM(c) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_in_dup_groups,
+         |  (1000 * (CAST(SUM(c) AS BIGINT) - COUNT(*))) // CAST(SUM(c) AS BIGINT) AS dup_milli
+         |FROM g GROUP BY 1""".stripMargin,
     "curate_source_drift" ->
       s"""WITH t AS (SELECT source, unnest($toksSql) AS tok FROM documents),
          |by_src AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_s
