@@ -294,6 +294,42 @@ object Relational {
       .agg(dsum(amount).as("sum_profit"))
   }
 
+  /** Column-correlation statistics — the optimizer-stats row beside
+    * [[qAnalyzeStats]]'s histograms: Pearson r between an order's item
+    * count and its total-price band, the quantity a cost-based planner
+    * needs to stop multiplying selectivities as if columns were
+    * independent (the classic correlated-predicate misestimate).
+    * Exactness at scale: the five moment sums are plain BIGINTs (y is
+    * pre-banded to k$ so Σy² survives 1e12 rows in int64); the
+    * correlation needs a square root, so the surfaced figure is signed
+    * r² in micro units — and the division is staged as
+    * sign·((10⁶·|num| div denx)·|num| div deny), every intermediate
+    * bounded by 10⁶·deny (Cauchy-Schwarz), so DECIMAL(38,0) holds at
+    * warehouse scale where the single-division spelling
+    * 10⁶·num²/(denx·deny) would overflow 38 digits. Identical staged
+    * arithmetic on both engines = identical truncation. Plan: one
+    * map-side-combined count per order co-partitioned into the orders
+    * join, ONE 1-row moment aggregate — no window, no sort. */
+  def qCorrStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = load(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("x"))
+    val o = load(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice) AS BIGINT) div 1000").as("y"))
+    o.join(x, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_orders"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy").as("num"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx").as("denx"),
+        expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy").as("deny"))
+      .select(col("n_orders"),
+        expr("CAST(signum(num) AS BIGINT)").as("corr_sign"),
+        expr("CAST(((1000000 * abs(num) div denx) * abs(num)) div deny AS BIGINT)")
+          .as("r2_micro"))
+  }
+
   /** Benford first-digit audit over order totals — the forensic
     * screen every finance/quality pipeline runs on a value column:
     * naturally-grown magnitudes follow P(d) = log10(1+1/d); a fleet
@@ -1698,6 +1734,7 @@ object Relational {
     "q8_mkt_share" -> (q8MktShare _),
     "q9_product_profit" -> (q9ProductProfit _),
     "q_benford" -> (qBenford _),
+    "q_corr_stats" -> (qCorrStats _),
     "q_value_bands" -> (qValueBands _),
     "q_skyline" -> (qSkyline _),
     "q_unpivot" -> (qUnpivot _),
@@ -2297,6 +2334,27 @@ object Relational {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE p_name LIKE '%widget'
         |GROUP BY 1, 2""".stripMargin,
+    "q_corr_stats" ->
+      """WITH x AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x
+        |           FROM lineitem GROUP BY 1),
+        |o AS (SELECT o_orderkey,
+        |        CAST(floor(o_totalprice) AS BIGINT) // 1000 AS y
+        |      FROM orders),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |        CAST(SUM(y * y) AS BIGINT) AS syy
+        |      FROM o JOIN x ON o_orderkey = l_orderkey),
+        |d AS (SELECT n,
+        |        CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |        CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS denx,
+        |        CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+        |      FROM m)
+        |SELECT n AS n_orders,
+        |  CAST(sign(num) AS BIGINT) AS corr_sign,
+        |  CAST(((1000000 * abs(num) // denx) * abs(num)) // deny AS BIGINT) AS r2_micro
+        |FROM d""".stripMargin,
     "q_benford" ->
       """WITH d AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
         |             AS VARCHAR), 1, 1) AS BIGINT) AS digit

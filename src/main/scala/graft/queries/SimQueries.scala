@@ -497,6 +497,47 @@ object SimQueries {
       .withColumn("outlier", (col("cos_centroid") < 0.1).cast("boolean"))
   }
 
+  /** Cluster-separation silhouette (cosine-margin variant) per label —
+    * the partition-quality audit run on any clustering or labeling
+    * before trusting it downstream: for each vector, a = cosine to its
+    * OWN label centroid, b = the best cosine to any OTHER centroid;
+    * margin = a − b (the silhouette numerator in similarity space —
+    * positive means correctly placed, negative means the point sits
+    * closer to a foreign centroid, the mislabel screen). Per label:
+    * size, decimal-exact mean margin, and the misplaced count/share
+    * (all-integer milli). Exactness: centroids are the
+    * [[curateOutliers]] decimal-mean contract, each point sees k
+    * deterministic doubles, MAX and subtraction are exact, the mean
+    * rides [[Tables.dsum]]. Plan at 100 TB: centroids are a
+    * |labels|×dims relation computed in one map-side-combined pass and
+    * broadcast; scoring is a k-fanout map over one corpus scan (the
+    * standard assignment cost), the rollup is |labels|-bounded. */
+  def simSilhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.core.QueryCaches.track(
+      emb(spark, sfDir).select(col("vec_id"),
+        col("label").cast("bigint").as("lab"), col("embedding")))
+    val cents = e.select(col("lab"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("lab"), col("pos"))
+      .agg((sum(col("v").cast("double").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+        .cast("double") / count(lit(1))).as("cv"))
+      .groupBy(col("lab"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x("cv")).as("c_vec"))
+      .select(col("lab").as("c_lab"), col("c_vec"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("lab"), col("c_lab"),
+        SimOps.cosine(col("embedding"), col("c_vec")).as("cc"))
+      .groupBy(col("vec_id"), col("lab"))
+      .agg(max(when(col("lab") === col("c_lab"), col("cc"))).as("a"),
+        max(when(col("lab") =!= col("c_lab"), col("cc"))).as("b"))
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("n"),
+        (sum((col("a") - col("b")).cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double") / count(lit(1))).as("mean_margin"),
+        sum(when(col("a") < col("b"), lit(1L)).otherwise(lit(0L))).as("n_misplaced"))
+      .withColumn("misplaced_milli", expr("(1000 * n_misplaced) div n"))
+  }
+
   /** One k-means (Lloyd) iteration — the semantic-clustering primitive
     * SemDeDup-style curation and IVF index training iterate: k = 8
     * deterministic seeds (the first 8 vectors), every vector assigned
@@ -1408,6 +1449,7 @@ object SimQueries {
     "sim_graph_search" -> (simGraphSearch _),
     "sim_beam_search" -> (simBeamSearch _),
     "sim_kmeans" -> (simKmeans _),
+    "sim_silhouette" -> (simSilhouette _),
     "curate_outliers" -> (curateOutliers _),
     "sim_lsh_probe" -> (simLshProbe _),
     "sim_knn_graph" -> (simKnnGraph _),
@@ -1976,6 +2018,29 @@ object SimQueries {
          |       list_reduce(list_prepend(CAST(0 AS DOUBLE), list(cv ORDER BY pos)),
          |         (a, b) -> a + b) AS c_sum
          |FROM cd GROUP BY c_id""".stripMargin,
+    "sim_silhouette" ->
+      s"""WITH comp AS (SELECT CAST(label AS BIGINT) AS lab,
+         |                generate_subscripts(embedding, 1) - 1 AS pos,
+         |                unnest(embedding) AS v FROM embeddings),
+         |cd AS (SELECT lab, pos,
+         |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+         |           / COUNT(*) AS cv
+         |       FROM comp GROUP BY lab, pos),
+         |cents AS (SELECT lab AS c_lab, list(cv ORDER BY pos) AS c_vec
+         |          FROM cd GROUP BY lab),
+         |scored AS (SELECT vec_id, CAST(label AS BIGINT) AS lab, c_lab,
+         |             ${cosMixedSql("embedding", "c_vec")} AS cc
+         |           FROM embeddings, cents),
+         |m AS (SELECT vec_id, lab,
+         |        MAX(CASE WHEN lab = c_lab THEN cc END) AS a,
+         |        MAX(CASE WHEN lab <> c_lab THEN cc END) AS b
+         |      FROM scored GROUP BY 1, 2)
+         |SELECT lab, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(a - b AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean_margin,
+         |  CAST(SUM(CASE WHEN a < b THEN 1 ELSE 0 END) AS BIGINT) AS n_misplaced,
+         |  (1000 * CAST(SUM(CASE WHEN a < b THEN 1 ELSE 0 END) AS BIGINT))
+         |    // COUNT(*) AS misplaced_milli
+         |FROM m GROUP BY 1""".stripMargin,
     "curate_outliers" ->
       s"""WITH j AS (SELECT doc_id, lang, embedding
          |           FROM documents JOIN embeddings ON doc_id = vec_id),
