@@ -51,10 +51,16 @@ object TextQueries {
     * UDF, and the fingerprint rides the native [[fingerprint]]
     * kernel. DuckDB mirrors with list_slice (inclusive end indexes)
     * over the same whitespace token convention. */
-  private[queries] def chunkRel(spark: SparkSession, sfDir: String): DataFrame = {
+  private[queries] def chunkRel(spark: SparkSession, sfDir: String): DataFrame =
+    chunkOf(load(spark, sfDir, "documents"))
+
+  /** The chunking transform itself — pure stateless column algebra, so
+    * it applies unchanged to a STREAMING DataFrame (the readStream →
+    * chunk → writeStream RAG-ingest path; StreamingSpec parity). */
+  def chunkOf(docs: DataFrame): DataFrame = {
     val C = 32L // chunk size (tokens)
     val S = 24L // stride (tokens)
-    load(spark, sfDir, "documents")
+    docs
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")).cast("bigint"))
       // integer ceil: 1 + (n - C + S - 1) div S once n exceeds one chunk

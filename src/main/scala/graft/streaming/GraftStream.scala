@@ -770,6 +770,54 @@ object GraftStream {
       }
   }
 
+  /** Streaming basket-association deltas — the unbounded twin of
+    * [[graft.queries.EventQueries.eventsLift]]: per (user, day)
+    * basket, state is the distinct type set seen so far; a type's
+    * FIRST arrival in its basket emits one marginal delta
+    * ("type", t, "") plus one pair delta ("pair", min, max) against
+    * every type already present, and the basket's first event emits
+    * ("basket", "", ""). Because every emission is keyed to a first
+    * occurrence, each (basket, type) / (basket, pair) delta fires
+    * exactly once at ANY trigger chunking and in ANY arrival order —
+    * summing the deltas downstream reproduces the batch sufficient
+    * statistics (n_t, n_ab, n_baskets) bit-exactly (StreamingSpec
+    * parity), from which support/confidence/lift are the same integral
+    * divisions the batch row performs. State: one ≤|types| string set
+    * per open basket — the type DOMAIN bounds it, and day baskets are
+    * closeable by watermark TTL one day after midnight in production
+    * (the test keeps NoTimeout; the batch row is the repair path). */
+  def liftUpdates(df: DataFrame, userCol: String, dayCol: String,
+      typeCol: String): Dataset[(String, String, String)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(userCol).cast("long").as("u"),
+      col(dayCol).cast("long").as("d"), col(typeCol).cast("string").as("e"))
+      .as[(Long, Long, String)]
+    keyed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, Long), rows: Iterator[(Long, Long, String)],
+         state: GroupState[Seq[String]]) =>
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          state.getOption.foreach(_.foreach(seen.add))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+          var opened = seen.nonEmpty
+          // sorted fold: deterministic emission order within a trigger
+          rows.toSeq.map(_._3).sorted.foreach { t =>
+            if (!seen.contains(t)) {
+              if (!opened) { out += (("basket", "", "")); opened = true }
+              out += (("type", t, ""))
+              seen.foreach { s =>
+                out += (("pair", if (s < t) s else t, if (s < t) t else s))
+              }
+              seen.add(t)
+            }
+          }
+          if (out.nonEmpty) state.update(seen.toSeq)
+          out.iterator
+      }
+  }
+
   /** Streaming inactivity-gap feed — the unbounded producer for
     * [[graft.queries.EventQueries.eventsSurvival]]'s Kaplan-Meier
     * curve: per user, state is ONE long (the latest event ts); each

@@ -1545,4 +1545,79 @@ class StreamingSpec extends AnyFunSuite {
         }
     }
   }
+
+  test("streaming basket lift: summed deltas equal the batch sufficient statistics") {
+    // liftUpdates emits first-occurrence deltas; their sums must equal
+    // the batch events_lift ingredients (n_baskets, per-type marginals,
+    // per-pair counts) at ANY trigger chunking — here three chunks cut
+    // at arbitrary positions (emissions are chunking-invariant because
+    // they key to first occurrences, not to time order).
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val ev = graft.queries.Tables.loadEvents(spark, dir)
+      .selectExpr("user_id", "(ts div 1000) div 86400000000 AS d", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val in = MemoryStream[(Long, Long, String)]
+    val rows = new ConcurrentLinkedQueue[(String, String, String)]()
+    val q = GraftStream.liftUpdates(
+      in.toDF().toDF("user_id", "d", "event_type"), "user_id", "d", "event_type")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, String, String)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    ev.grouped((ev.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val all = rows.toArray.map(_.asInstanceOf[(String, String, String)])
+    val gotBaskets = all.count(_._1 == "basket").toLong
+    val gotTypes = all.filter(_._1 == "type")
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val gotPairs = all.filter(_._1 == "pair")
+      .groupBy(v => (v._2, v._3)).view.mapValues(_.length.toLong).toMap
+    val b = ev.map { case (u, d, t) => (u, d, t) }.distinct
+    val truBaskets = b.map(v => (v._1, v._2)).distinct.length.toLong
+    val truTypes = b.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val truPairs = b.groupBy(v => (v._1, v._2)).values.flatMap { basket =>
+      val ts = basket.map(_._3).distinct.sorted
+      for (i <- ts.indices; j <- (i + 1) until ts.length) yield (ts(i), ts(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(gotBaskets == truBaskets, s"baskets $gotBaskets vs $truBaskets")
+    assert(gotTypes == truTypes, "per-type marginals diverge")
+    assert(gotPairs == truPairs, "per-pair counts diverge")
+  }
+
+  test("streaming RAG chunking: stateless chunkOf on a stream equals the batch text_chunk") {
+    // chunkOf is pure column algebra — the same expression tree runs on
+    // a stream (readStream → chunk → writeStream ingest); every chunk
+    // row must match the batch relation regardless of trigger cuts.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val in = MemoryStream[(Long, String, String)]
+    val rows = new ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val q = graft.queries.TextQueries.chunkOf(
+      in.toDF().toDF("doc_id", "source", "text"))
+      .selectExpr("doc_id", "chunk_idx", "fp")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        b.collect().foreach(r => rows.add((r.getLong(0), r.getLong(1), r.getLong(2)))); ()
+      })
+      .start()
+    docs.grouped((docs.length + 1) / 2).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(Long, Long, Long)]).toSet
+    val batch = graft.queries.TextQueries.textChunk(spark, dir)
+      .selectExpr("doc_id", "chunk_idx", "fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty && got == batch,
+      s"stream ${got.size} chunks vs batch ${batch.size}")
+  }
 }
