@@ -459,6 +459,46 @@ object SimQueries {
     SimOps.topkLshMultiProbe(e.select(col("vec_id"), col("embedding")), querySet(e), 10, 4)
   }
 
+  /** Graded retrieval quality — nDCG@10 of the multi-probe LSH path
+    * against brute-force ground truth, per query. [[simRecallReport]]
+    * counts set overlap (every hit weighs the same); this row grades
+    * the ORDER the index returns — the metric that actually moves when
+    * an ANN index starts surfacing rank-9 hits where rank-1 hits
+    * belong. Graded relevance = 11 − brute_rank (0 for misses); the
+    * log2 position discounts are pinned ⌊1000/log2(i+1)⌋ INTEGER
+    * literals and the ideal DCG is their rel-weighted constant 29944,
+    * so ndcg_milli is one integral division — no float log at query
+    * time, hash-exact cross-engine. Plan: both rankers keep their
+    * proven shapes (broadcast query side; corpus bucketed once); the
+    * grade join touches 2·k·|queries| rows and every window ranks a
+    * ≤k-row partition. */
+  def simNdcg(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.core.QueryCaches.track(emb(spark, sfDir))
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    // ⌊1000 / log2(i + 1)⌋ for positions i = 1..10
+    val disc = array(Seq(1000L, 630L, 500L, 430L, 386L, 356L, 333L, 315L, 301L, 289L)
+      .map(lit): _*)
+    val idcgMilli = 29944L // Σ (11 − i)·disc(i), i = 1..10
+    val truth = SimOps.topkBrute(corpus, querySet(e), 10)
+      .withColumn("rk_b", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id")))
+        .cast("bigint"))
+      .select(col("q_id"), col("vec_id"), col("rk_b"))
+    val sys = SimOps.topkLshMultiProbe(corpus, querySet(e), 10, 4)
+      .withColumn("rk_s", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id")))
+        .cast("bigint"))
+      .select(col("q_id"), col("vec_id"), col("rk_s"))
+    sys.join(truth, Seq("q_id", "vec_id"), "left")
+      .select(col("q_id"), col("rk_s"),
+        coalesce(lit(11L) - col("rk_b"), lit(0L)).as("rel"),
+        element_at(disc, col("rk_s").cast("int")).as("disc"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(col("rel") * col("disc")).as("dcg_milli"))
+      .withColumn("ndcg_milli", expr(s"(1000 * dcg_milli) div $idcgMilli"))
+  }
+
   /** Embedding-outlier QC — the cross-table curation pass: documents
     * joined to their embeddings (shared id space), per-LANGUAGE
     * centroids (decimal-exact means, the [[simIvf]] aggregation), then
@@ -1452,6 +1492,7 @@ object SimQueries {
     "sim_silhouette" -> (simSilhouette _),
     "curate_outliers" -> (curateOutliers _),
     "sim_lsh_probe" -> (simLshProbe _),
+    "sim_ndcg" -> (simNdcg _),
     "sim_knn_graph" -> (simKnnGraph _),
     "sim_topk" -> (simTopk _),
     "sim_hard_negatives" -> (simHardNegatives _),
@@ -2053,6 +2094,37 @@ object SimQueries {
          |SELECT doc_id, lang, ${cosMixedSql("embedding", "c_vec")} AS cos_centroid,
          |       ${cosMixedSql("embedding", "c_vec")} < 0.1 AS outlier
          |FROM j JOIN cents USING (lang)""".stripMargin,
+    "sim_ndcg" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |bs AS (SELECT q_id, vec_id, ${cosSql("embedding", "q_vec")} AS cos
+         |       FROM embeddings, q WHERE vec_id <> q_id),
+         |truth AS (SELECT q_id, vec_id,
+         |            row_number() OVER (PARTITION BY q_id
+         |              ORDER BY cos DESC, vec_id) AS rk_b
+         |          FROM bs QUALIFY rk_b <= 10),
+         |bc AS (SELECT vec_id, embedding, ${srpSql("embedding", 4)} AS bucket FROM embeddings),
+         |bq AS (SELECT vec_id AS q_id, embedding AS q_vec, ${srpSql("embedding", 4)} AS b0
+         |       FROM embeddings WHERE vec_id % 100 = 0),
+         |probes AS (SELECT q_id, q_vec,
+         |             CASE WHEN f = 4 THEN b0
+         |                  ELSE xor(b0, CAST(power(2, f) AS BIGINT)) END AS bucket
+         |           FROM bq, (SELECT unnest(range(0, 5)) AS f)),
+         |scored AS (SELECT DISTINCT q_id, vec_id, ${cosSql("embedding", "q_vec")} AS cos
+         |           FROM bc JOIN probes USING (bucket) WHERE vec_id <> q_id),
+         |sys AS (SELECT q_id, vec_id,
+         |          row_number() OVER (PARTITION BY q_id
+         |            ORDER BY cos DESC, vec_id) AS rk_s
+         |        FROM scored QUALIFY rk_s <= 10),
+         |g AS (SELECT sys.q_id, rk_s,
+         |        COALESCE(11 - rk_b, 0) AS rel,
+         |        ([1000, 630, 500, 430, 386, 356, 333, 315, 301, 289])[rk_s] AS disc
+         |      FROM sys LEFT JOIN truth
+         |        ON sys.q_id = truth.q_id AND sys.vec_id = truth.vec_id)
+         |SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_returned,
+         |  CAST(SUM(rel * disc) AS BIGINT) AS dcg_milli,
+         |  (1000 * CAST(SUM(rel * disc) AS BIGINT)) // 29944 AS ndcg_milli
+         |FROM g GROUP BY 1""".stripMargin,
     "sim_lsh_probe" ->
       s"""WITH bc AS (SELECT vec_id, embedding, ${srpSql("embedding", 4)} AS bucket FROM embeddings),
          |bq AS (SELECT vec_id AS q_id, embedding AS q_vec, ${srpSql("embedding", 4)} AS b0

@@ -582,6 +582,46 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "Expand") == 1, s"grouping sets = one Expand:\n$p")
   }
 
+  test("q_benford: orders scanned once through the cached 9-row histogram; only o_totalprice read") {
+    try {
+      val p = plan("q_benford")
+      assert(nOps(p, "Scan parquet") <= 1,
+        s"total branch must read the cached histogram, not re-scan orders:\n$p")
+      assert(p.contains("struct<o_totalprice:double>"),
+        s"scan must prune to the single audited column:\n$p")
+    } finally graft.core.QueryCaches.release()
+  }
+
+  test("events_pareto: rank comes from globalRank — no Window node at all") {
+    try {
+      val p = plan("events_pareto")
+      assert(nOps(p, "Window") == 0,
+        s"the Gini rank must ride repartitionByRange+zipWithIndex, not a window:\n$p")
+    } finally graft.core.QueryCaches.release()
+  }
+
+  test("events_lift: basket-keyed pair join — no cartesian, corpus scanned once via the cache") {
+    try {
+      val p = plan("events_lift")
+      assert(!p.contains("CartesianProduct"), s"pair join must stay equi-keyed:\n$p")
+      assert(nOps(p, "Scan parquet") <= 1,
+        s"marginals, pairs, and basket total must all read the cached distinct relation:\n$p")
+    } finally graft.core.QueryCaches.release()
+  }
+
+  test("q_corr_stats: one moment aggregate, no window, no sort") {
+    val p = plan("q_corr_stats")
+    assert(nOps(p, "Window") == 0 && nOps(p, "Sort") == 0,
+      s"the correlation row is pure map-side-combined moments:\n$p")
+  }
+
+  test("text_chunk: pure scan -> generate map — zero exchanges") {
+    val p = plan("text_chunk")
+    assert(nOps(p, "Exchange") == 0,
+      s"chunking must not shuffle (it is a per-document map):\n$p")
+    assert(nOps(p, "Generate") == 1, s"one sequence explode:\n$p")
+  }
+
   test("curate_line_dedup: one corpus scan, df + rebuild both read the cached line relation, no Window") {
     // The line relation is exploded once and persisted; the df
     // aggregate and the join probe both read the cache. The rebuild
