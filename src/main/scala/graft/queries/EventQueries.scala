@@ -885,6 +885,34 @@ object EventQueries {
           col("seasonal_milli")).as("resid_milli"))
   }
 
+  /** Seasonality-adjusted anomaly flags — the alerting layer on
+    * [[eventsSeasonal]]: a raw daily count can look anomalous merely
+    * because it is a Sunday; the residual (trend- and
+    * day-of-week-removed) is the series worth thresholding. The
+    * threshold is a robust 3×MAD-about-zero on |residual| per type
+    * (median, not mean — one genuine outlier must not widen its own
+    * gate), with an integer floor of 1 milli so a perfectly regular
+    * series doesn't flag noise-free zeros. Exactness: the residual
+    * relation is the oracle-pinned [[eventsSeasonal]] output
+    * (persisted — the MAD pass and the flag join both read it); the
+    * median is a rank pick at (n+1) div 2, all comparisons integer.
+    * Scale: windows partition per type over calendar days
+    * (domain-bounded); the |types|-row MAD relation broadcasts. */
+  def eventsSeasonalAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = graft.core.QueryCaches.track(eventsSeasonal(spark, sfDir))
+    val nt = r.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val mad = r.select(col("t"), abs(col("resid_milli")).as("a"), col("d"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("t")).orderBy(col("a"), col("d"))))
+      .join(broadcast(nt), Seq("t"))
+      .filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col("t"), col("a").as("mad_milli"))
+    r.join(broadcast(mad), Seq("t"))
+      .select(col("t"), col("d"), col("cnt"), col("resid_milli"), col("mad_milli"),
+        (abs(col("resid_milli")) > greatest(lit(3L) * col("mad_milli"), lit(1L)))
+          .as("anomaly"))
+  }
+
   def eventsAcf(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = events(spark, sfDir)
       .groupBy(expr("CAST(datediff(CAST(timestamp_micros(ts div 1000) AS DATE), " +
@@ -2004,6 +2032,7 @@ object EventQueries {
     "events_acf" -> (eventsAcf _),
     "events_cusum" -> (eventsCusum _),
     "events_seasonal" -> (eventsSeasonal _),
+    "events_seasonal_anomaly" -> (eventsSeasonalAnomaly _),
     "events_abtest" -> (eventsAbtest _),
     "events_survival" -> (eventsSurvival _),
     "events_forecast_eval" -> (eventsForecastEval _),
@@ -2029,6 +2058,37 @@ object EventQueries {
     "events_gap_sweep" -> (eventsGapSweep _),
     "events_daily_active" -> (eventsDailyActive _),
     "events_props" -> (eventsProps _))
+
+  /** Shared CTE chain for the seasonal-decomposition oracles: ends at
+    * `resid(t, d, dow, cnt, trend7, det, seasonal_milli, resid_milli)`
+    * — the DuckDB spelling of [[eventsSeasonal]]'s output. */
+  private val seasonalCteSql =
+    """daily AS (SELECT event_type AS t,
+      |        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+      |        COUNT(*) AS n
+      |      FROM events GROUP BY 1, 2),
+      |b AS (SELECT t, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1),
+      |spine AS (SELECT t, unnest(range(lo, hi + 1)) AS d FROM b),
+      |s AS (SELECT spine.t, spine.d, COALESCE(n, 0) AS cnt
+      |      FROM spine LEFT JOIN daily ON spine.t = daily.t AND spine.d = daily.d),
+      |w AS (SELECT t, d, cnt,
+      |        COUNT(*) OVER w7 AS n7,
+      |        CAST(SUM(cnt) OVER w7 AS BIGINT) AS trend7
+      |      FROM s WINDOW w7 AS (PARTITION BY t ORDER BY d
+      |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |i AS (SELECT t, d, cnt, trend7, cnt * 7 - trend7 AS det,
+      |        (d + 4) % 7 AS dow
+      |      FROM w WHERE n7 = 7),
+      |seas AS (SELECT t, dow,
+      |    CASE WHEN SUM(det) < 0 THEN
+      |      -(abs(CAST(1000 * SUM(det) AS BIGINT)) // (7 * COUNT(*)))
+      |    ELSE CAST(1000 * SUM(det) AS BIGINT) // (7 * COUNT(*)) END
+      |      AS seasonal_milli
+      |  FROM i GROUP BY 1, 2),
+      |resid AS (SELECT i.t, d, i.dow AS dow, cnt, trend7, det, seasonal_milli,
+      |  CASE WHEN det < 0 THEN -(abs(1000 * det) // 7)
+      |       ELSE (1000 * det) // 7 END - seasonal_milli AS resid_milli
+      |FROM i JOIN seas ON i.t = seas.t AND i.dow = seas.dow)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "events_gap_sweep" ->
@@ -2155,32 +2215,21 @@ object EventQueries {
         |       ELSE 'global_mean' END AS winner
         |FROM m""".stripMargin,
     "events_seasonal" ->
-      """WITH daily AS (SELECT event_type AS t,
-        |        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
-        |        COUNT(*) AS n
-        |      FROM events GROUP BY 1, 2),
-        |b AS (SELECT t, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1),
-        |spine AS (SELECT t, unnest(range(lo, hi + 1)) AS d FROM b),
-        |s AS (SELECT spine.t, spine.d, COALESCE(n, 0) AS cnt
-        |      FROM spine LEFT JOIN daily ON spine.t = daily.t AND spine.d = daily.d),
-        |w AS (SELECT t, d, cnt,
-        |        COUNT(*) OVER w7 AS n7,
-        |        CAST(SUM(cnt) OVER w7 AS BIGINT) AS trend7
-        |      FROM s WINDOW w7 AS (PARTITION BY t ORDER BY d
-        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |i AS (SELECT t, d, cnt, trend7, cnt * 7 - trend7 AS det,
-        |        (d + 4) % 7 AS dow
-        |      FROM w WHERE n7 = 7),
-        |seas AS (SELECT t, dow,
-        |    CASE WHEN SUM(det) < 0 THEN
-        |      -(abs(CAST(1000 * SUM(det) AS BIGINT)) // (7 * COUNT(*)))
-        |    ELSE CAST(1000 * SUM(det) AS BIGINT) // (7 * COUNT(*)) END
-        |      AS seasonal_milli
-        |  FROM i GROUP BY 1, 2)
-        |SELECT i.t, d, i.dow AS dow, cnt, trend7, det, seasonal_milli,
-        |  CASE WHEN det < 0 THEN -(abs(1000 * det) // 7)
-        |       ELSE (1000 * det) // 7 END - seasonal_milli AS resid_milli
-        |FROM i JOIN seas ON i.t = seas.t AND i.dow = seas.dow""".stripMargin,
+      s"""WITH $seasonalCteSql
+         |SELECT t, d, dow, cnt, trend7, det, seasonal_milli, resid_milli
+         |FROM resid""".stripMargin,
+    "events_seasonal_anomaly" ->
+      s"""WITH $seasonalCteSql,
+         |nt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM resid GROUP BY 1),
+         |m AS (SELECT t, abs(resid_milli) AS a,
+         |        row_number() OVER (PARTITION BY t
+         |          ORDER BY abs(resid_milli), d) AS rk
+         |      FROM resid),
+         |mad AS (SELECT m.t, m.a AS mad_milli
+         |        FROM m JOIN nt ON m.t = nt.t AND m.rk = (nt.n + 1) // 2)
+         |SELECT r.t, d, cnt, resid_milli, mad_milli,
+         |  abs(resid_milli) > GREATEST(3 * mad_milli, 1) AS anomaly
+         |FROM resid r JOIN mad ON r.t = mad.t""".stripMargin,
     "events_cusum" ->
       """WITH daily AS (SELECT event_type AS t,
         |        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,

@@ -1363,6 +1363,38 @@ object Relational {
         col("cnt"), col("ndv"), col("mn"), col("mx"))
   }
 
+  /** Histogram-selectivity audit — the validation loop that closes
+    * [[qAnalyzeStats]]: an equi-depth histogram PROMISES that x ≤
+    * boundary(k) selects k/8 of the rows; this row measures what the
+    * predicate actually selects and reports the error a cost model
+    * would inherit (duplicates concentrated at a boundary are exactly
+    * what makes real histograms lie). Boundaries ride the same
+    * [[graft.ext.SkewOps.globalRank]] two-job rank (no
+    * single-partition window); the actual counts come from ONE scan
+    * against the ≤3-row broadcast boundary relation (the
+    * [[qValueBands]] nested-loop-over-tiny-side pattern); every
+    * surfaced figure is an integral milli division. */
+  def qSelectivityAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = graft.core.QueryCaches.track(
+      load(spark, sfDir, "orders").select(col("o_totalprice").as("x")))
+    val n = v.agg(count(lit(1)).as("cnt"))
+    val ranked = graft.ext.SkewOps.globalRank(v, Seq("x"), "rk")
+    val targets = spark.range(1, 4).toDF("k")
+      .select((col("k") * 2).cast("bigint").as("bucket"))
+      .crossJoin(broadcast(n))
+      .select(col("bucket"), col("cnt"),
+        (lit(1L) + expr("(cnt - 1) * bucket DIV 8")).as("trk"))
+    val bounds = ranked.join(broadcast(targets), col("rk") === col("trk"))
+      .select(col("bucket"), col("x").as("boundary"), col("cnt"))
+    v.join(broadcast(bounds), col("x") <= col("boundary"))
+      .groupBy(col("bucket"), col("boundary"), col("cnt"))
+      .agg(count(lit(1)).as("n_le"))
+      .select(col("bucket"), col("boundary"),
+        expr("(1000 * bucket) div 8").as("est_milli"),
+        expr("(1000 * n_le) div cnt").as("actual_milli"),
+        expr("(1000 * n_le) div cnt - (1000 * bucket) div 8").as("err_milli"))
+  }
+
   /** Merkle-style table content checksum per key range — the
     * replica-sync / backup-integrity audit: two copies of a table
     * agree iff every bucket's (n_rows, checksum) agrees, and a drifted
@@ -1735,6 +1767,7 @@ object Relational {
     "q9_product_profit" -> (q9ProductProfit _),
     "q_benford" -> (qBenford _),
     "q_corr_stats" -> (qCorrStats _),
+    "q_selectivity_audit" -> (qSelectivityAudit _),
     "q_value_bands" -> (qValueBands _),
     "q_skyline" -> (qSkyline _),
     "q_unpivot" -> (qUnpivot _),
@@ -1886,6 +1919,22 @@ object Relational {
         |      ch -> CAST(unicode(ch) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS DECIMAL(38,0))) AS BIGINT) AS checksum
         |FROM customer GROUP BY 1""".stripMargin,
+    "q_selectivity_audit" ->
+      """WITH v AS (SELECT o_totalprice AS x FROM orders),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM v),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rk FROM v),
+        |b AS (SELECT CAST(bq.q AS BIGINT) AS bucket, r.x AS boundary, n.cnt
+        |      FROM (SELECT unnest([2, 4, 6]) AS q) bq
+        |      JOIN n ON TRUE
+        |      JOIN r ON r.rk = 1 + ((n.cnt - 1) * bq.q) // 8),
+        |a AS (SELECT bucket, boundary, cnt, CAST(COUNT(*) AS BIGINT) AS n_le
+        |      FROM v JOIN b ON v.x <= b.boundary
+        |      GROUP BY 1, 2, 3)
+        |SELECT bucket, boundary,
+        |  (1000 * bucket) // 8 AS est_milli,
+        |  (1000 * n_le) // cnt AS actual_milli,
+        |  (1000 * n_le) // cnt - (1000 * bucket) // 8 AS err_milli
+        |FROM a""".stripMargin,
     "q_analyze_stats" ->
       """WITH v AS (SELECT o_totalprice AS x FROM orders),
         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,

@@ -459,6 +459,58 @@ object SimQueries {
     SimOps.topkLshMultiProbe(e.select(col("vec_id"), col("embedding")), querySet(e), 10, 4)
   }
 
+  /** Rocchio pseudo-relevance feedback — the classic query-expansion
+    * loop every retrieval stack eventually ships: take the top-3
+    * neighbors of each query as presumed-relevant, move the query
+    * toward their centroid (q' = q + mean(rel), α = β = 1), re-run
+    * top-5 with the expanded vector, and report each result with its
+    * was-it-already-there flag (the drift-vs-reinforcement readout:
+    * in_orig=false rows are what the expansion BOUGHT). Exactness: the
+    * feedback centroid is the decimal-mean contract, q' is one
+    * element-wise double addition (zip_with — deterministic IEEE), and
+    * both ranking stages order by (cos DESC, vec_id). Plan at 100 TB:
+    * the brute stage keeps its broadcast-queries + partial-top-k
+    * shape and is PERSISTED (feedback and the overlap flag both read
+    * it); the feedback join touches 3·|queries| rows; the expanded
+    * queries re-broadcast — two corpus scans total, the documented
+    * cost of one feedback round (the ANN paths are the plug-in swap
+    * for both stages, as in [[simMmrAnn]]). */
+  def simRocchio(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.core.QueryCaches.track(emb(spark, sfDir))
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    val bt = graft.core.QueryCaches.track(
+      SimOps.topkBrute(corpus, querySet(e), 10)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id")))))
+    val fb = corpus
+      .join(broadcast(bt.filter(col("rk") <= 3).select(col("q_id"), col("vec_id"))),
+        Seq("vec_id"))
+      .select(col("q_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("q_id"), col("pos"))
+      .agg((sum(col("v").cast("double").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+        .cast("double") / count(lit(1))).as("cv"))
+      .groupBy(col("q_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x("cv")).as("c_vec"))
+    val expanded = querySet(e).join(broadcast(fb), Seq("q_id"))
+      .select(col("q_id"),
+        zip_with(transform(col("q_vec"), _.cast("double")), col("c_vec"),
+          (a, b) => a + b).as("x_vec"))
+    corpus.crossJoin(broadcast(expanded))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        SimOps.cosine(col("embedding"), col("x_vec")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id")))
+        .cast("bigint"))
+      .filter(col("rk") <= 5)
+      .join(bt.filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"), lit(true).as("orig")),
+        Seq("q_id", "vec_id"), "left")
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"),
+        coalesce(col("orig"), lit(false)).as("in_orig"))
+  }
+
   /** Graded retrieval quality — nDCG@10 of the multi-probe LSH path
     * against brute-force ground truth, per query. [[simRecallReport]]
     * counts set overlap (every hit weighs the same); this row grades
@@ -1493,6 +1545,7 @@ object SimQueries {
     "curate_outliers" -> (curateOutliers _),
     "sim_lsh_probe" -> (simLshProbe _),
     "sim_ndcg" -> (simNdcg _),
+    "sim_rocchio" -> (simRocchio _),
     "sim_knn_graph" -> (simKnnGraph _),
     "sim_topk" -> (simTopk _),
     "sim_hard_negatives" -> (simHardNegatives _),
@@ -2094,6 +2147,38 @@ object SimQueries {
          |SELECT doc_id, lang, ${cosMixedSql("embedding", "c_vec")} AS cos_centroid,
          |       ${cosMixedSql("embedding", "c_vec")} < 0.1 AS outlier
          |FROM j JOIN cents USING (lang)""".stripMargin,
+    "sim_rocchio" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |bs AS (SELECT q_id, vec_id, ${cosSql("embedding", "q_vec")} AS cos
+         |       FROM embeddings, q WHERE vec_id <> q_id),
+         |bt AS (SELECT q_id, vec_id,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos DESC, vec_id) AS rk
+         |       FROM bs QUALIFY rk <= 10),
+         |comp AS (SELECT bt.q_id, generate_subscripts(e.embedding, 1) - 1 AS pos,
+         |           unnest(e.embedding) AS v
+         |         FROM bt JOIN embeddings e ON bt.vec_id = e.vec_id
+         |         WHERE bt.rk <= 3),
+         |cd AS (SELECT q_id, pos,
+         |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+         |           / COUNT(*) AS cv
+         |       FROM comp GROUP BY 1, 2),
+         |cvec AS (SELECT q_id, list(cv ORDER BY pos) AS c_vec FROM cd GROUP BY 1),
+         |ex AS (SELECT q.q_id,
+         |         list_transform(range(1, len(q_vec) + 1),
+         |           i -> CAST(q_vec[i] AS DOUBLE) + c_vec[i]) AS x_vec
+         |       FROM q JOIN cvec USING (q_id)),
+         |re AS (SELECT ex.q_id, vec_id, ${cosMixedSql("embedding", "x_vec")} AS cos
+         |       FROM embeddings, ex WHERE vec_id <> ex.q_id),
+         |rr AS (SELECT q_id, vec_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+         |       FROM re QUALIFY rk <= 5)
+         |SELECT rr.q_id, rk, rr.vec_id, cos,
+         |  COALESCE(o.orig, FALSE) AS in_orig
+         |FROM rr LEFT JOIN (SELECT q_id, vec_id, TRUE AS orig FROM bt WHERE rk <= 5) o
+         |  ON rr.q_id = o.q_id AND rr.vec_id = o.vec_id""".stripMargin,
     "sim_ndcg" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
          |           FROM embeddings WHERE vec_id % 100 = 0),

@@ -101,6 +101,31 @@ object TextQueries {
       .withColumn("dup_milli",
         expr("(1000 * (n_chunks - n_distinct)) div n_chunks"))
 
+  /** Heaps'-law vocabulary-growth profile — the corpus scaling-law
+    * audit a tokenizer/vocab decision rests on: how many NEW distinct
+    * tokens each doubling of the corpus contributes (vocab ~ K·nᵝ
+    * shows as straight decay across log2 prefixes; a corpus whose
+    * curve flattens early is repetitive, one that keeps climbing has
+    * unbounded vocabulary pressure). Exact and one-pass at any scale:
+    * a token's prefix bucket is floor(log2(first_doc_id+1)) — the
+    * all-integer length(bin())−1 idiom — computed from ONE
+    * min-aggregate over the (token, doc) pairs; the cumulative vocab
+    * per doubling is a ≤64-row broadcast self-join (never a global
+    * window). */
+  def textHeaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val firsts = load(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    val buckets = graft.core.QueryCaches.track(
+      firsts.select((length(bin(col("first_doc") + 1)) - 1).cast("bigint").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n_new")))
+    buckets.join(broadcast(buckets.select(col("b").as("b2"), col("n_new").as("m"))),
+        col("b2") <= col("b"))
+      .groupBy(col("b"))
+      .agg(max(col("n_new")).as("n_new"), sum(col("m")).as("vocab_cum"))
+      .select(col("b").as("log2_docs"), col("n_new"), col("vocab_cum"))
+  }
+
   /** Heuristic language ID (marker-token argmax) vs. the labeled lang. */
   def textLangId(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = load(spark, sfDir, "documents")
@@ -1150,6 +1175,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_chunk" -> (textChunk _),
     "curate_chunk_dedup" -> (curateChunkDedup _),
+    "text_heaps" -> (textHeaps _),
     "text_rake" -> (textRake _),
     "text_langid_confusion" -> (textLangidConfusion _),
     "curate_data_card" -> (curateDataCard _),
@@ -1251,6 +1277,17 @@ object TextQueries {
          |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_in_dup_groups,
          |  (1000 * (CAST(SUM(c) AS BIGINT) - COUNT(*))) // CAST(SUM(c) AS BIGINT) AS dup_milli
          |FROM g GROUP BY 1""".stripMargin,
+    "text_heaps" ->
+      s"""WITH f AS (SELECT tok, MIN(doc_id) AS first_doc
+         |           FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |           GROUP BY 1),
+         |b AS (SELECT CAST(length(bin(first_doc + 1)) - 1 AS BIGINT) AS b,
+         |        CAST(COUNT(*) AS BIGINT) AS n_new
+         |      FROM f GROUP BY 1)
+         |SELECT a.b AS log2_docs, MAX(a.n_new) AS n_new,
+         |  CAST(SUM(c.n_new) AS BIGINT) AS vocab_cum
+         |FROM b a JOIN b c ON c.b <= a.b
+         |GROUP BY 1""".stripMargin,
     "curate_source_drift" ->
       s"""WITH t AS (SELECT source, unnest($toksSql) AS tok FROM documents),
          |by_src AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_s
