@@ -102,6 +102,50 @@ object SkewOps {
     sorted.sparkSession.createDataFrame(withCum, schema)
   }
 
+  /** Distributed running MAX over a global sort order — the prefix
+    * cousin of [[globalCumSum]] with the same two-pass shape: range
+    * partition on `sortCols`, per-partition maxima to the driver
+    * (numPartitions longs — a bounded scalar sync), prefix-max the
+    * offsets, broadcast back, local running max per partition. MAX is
+    * associative and idempotent, so the composition equals the
+    * sequential `MAX(v) OVER (ORDER BY …)` exactly — the window this
+    * helper exists to avoid serializing onto one task. Powers
+    * out-of-orderness audits (`events_lateness`): "has any EARLIER row
+    * a larger v" is a prefix-max compare. `valCol` must be LongType. */
+  def globalCumMax(df: DataFrame, sortCols: Seq[String], valCol: String,
+      cumCol: String = "_cmax", partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val np = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val cols = sortCols.map(col)
+    val sorted = graft.core.QueryCaches.track(
+      df.repartitionByRange(np, cols: _*).sortWithinPartitions(cols: _*))
+    val vIdx = sorted.schema.fieldIndex(valCol)
+    val partMax = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var m = Long.MinValue
+      it.foreach { r => val v = r.getLong(vIdx); if (v > m) m = v }
+      Iterator((pid, m))
+    }.collect().sortBy(_._1)
+    val nParts = partMax.length
+    // offset(p) = max over all partitions strictly before p
+    val maxOff = new Array[Long](nParts + 1)
+    maxOff(0) = Long.MinValue
+    partMax.foreach { case (pid, m) => maxOff(pid + 1) = m }
+    for (i <- 1 to nParts)
+      if (maxOff(i - 1) > maxOff(i)) maxOff(i) = maxOff(i - 1)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(cumCol, LongType, nullable = false))
+    val withMax = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var m = maxOff(pid)
+      it.map { r =>
+        val v = r.getLong(vIdx); if (v > m) m = v
+        Row.fromSeq(r.toSeq :+ m)
+      }
+    }
+    sorted.sparkSession.createDataFrame(withMax, schema)
+  }
+
   def globalRank(df: DataFrame, sortCols: Seq[String],
       outCol: String = "_rk", partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.Row

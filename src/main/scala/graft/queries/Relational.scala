@@ -1395,6 +1395,35 @@ object Relational {
         expr("(1000 * n_le) div cnt - (1000 * bucket) div 8").as("err_milli"))
   }
 
+  /** Append-order lateness audit — the measurement a watermark delay
+    * (or an incremental-load lookback) is actually chosen from: in an
+    * appended fact table whose key reflects arrival order, a row is
+    * LATE iff some earlier-appended row carries a newer event time,
+    * and its lateness is the gap to the running maximum. Reported as
+    * the power-of-2 lateness histogram in days with per-bucket ppm:
+    * "re-read 2^k days on each incremental load" reads directly off
+    * the cumulative tail (orders arrive ~every date here — 14990 of
+    * 15000 rows are behind the frontier at sf0.01, exactly why naive
+    * date-partitioned incremental loads silently drop rows). The
+    * running max rides [[graft.ext.SkewOps.globalCumMax]] (range
+    * partition + bounded per-partition maxima sync, two jobs, NO
+    * single-partition window) while the oracle spells the sequential
+    * MAX OVER (ORDER BY …) this plan exists to avoid. All-integer. */
+  def qIngestLateness(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = graft.core.QueryCaches.track(
+      load(spark, sfDir, "orders").select(col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("tus")))
+    val tot = o.agg(count(lit(1)).as("n_rows"))
+    val cm = graft.ext.SkewOps.globalCumMax(o, Seq("o_orderkey"), "tus", "cmax")
+    cm.filter(col("cmax") > col("tus"))
+      .withColumn("late_days", expr("(cmax - tus) div 86400000000"))
+      .withColumn("bucket", (length(bin(col("late_days"))) - 1).cast("bigint"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_late"), max(col("late_days")).as("max_late_days"))
+      .crossJoin(broadcast(tot))
+      .withColumn("late_ppm", expr("(1000000 * n_late) div n_rows"))
+  }
+
   /** Merkle-style table content checksum per key range — the
     * replica-sync / backup-integrity audit: two copies of a table
     * agree iff every bucket's (n_rows, checksum) agrees, and a drifted
@@ -1768,6 +1797,7 @@ object Relational {
     "q_benford" -> (qBenford _),
     "q_corr_stats" -> (qCorrStats _),
     "q_selectivity_audit" -> (qSelectivityAudit _),
+    "q_ingest_lateness" -> (qIngestLateness _),
     "q_value_bands" -> (qValueBands _),
     "q_skyline" -> (qSkyline _),
     "q_unpivot" -> (qUnpivot _),
@@ -1919,6 +1949,20 @@ object Relational {
         |      ch -> CAST(unicode(ch) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS DECIMAL(38,0))) AS BIGINT) AS checksum
         |FROM customer GROUP BY 1""".stripMargin,
+    "q_ingest_lateness" ->
+      """WITH e AS (SELECT o_orderkey, epoch_us(o_orderdate) AS tus FROM orders),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM e),
+        |c AS (SELECT o_orderkey, tus,
+        |        MAX(tus) OVER (ORDER BY o_orderkey) AS cmax
+        |      FROM e),
+        |l AS (SELECT (cmax - tus) // 86400000000 AS late_days
+        |      FROM c WHERE cmax > tus)
+        |SELECT CAST(length(bin(late_days)) - 1 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_late,
+        |  MAX(late_days) AS max_late_days, n_rows,
+        |  (1000000 * CAST(COUNT(*) AS BIGINT)) // n_rows AS late_ppm
+        |FROM l CROSS JOIN t
+        |GROUP BY 1, n_rows""".stripMargin,
     "q_selectivity_audit" ->
       """WITH v AS (SELECT o_totalprice AS x FROM orders),
         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM v),

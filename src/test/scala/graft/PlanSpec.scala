@@ -943,6 +943,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("globalCumMax: equals the single-partition window cummax on scrambled input") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // values deliberately NOT monotone in id — the lateness shape
+    val vals = (1 to 500).map(i => (i.toLong, rng.nextInt(1000).toLong))
+      .toDF("id", "v").repartition(8).cache()
+    try {
+      val exact = vals
+        .withColumn("emax", max(col("v")).over(
+          W.orderBy(col("id")).rowsBetween(W.unboundedPreceding, W.currentRow)))
+      val got = graft.ext.SkewOps.globalCumMax(vals, Seq("id"), "v", "cm")
+      val diff = got.join(exact.select(col("id"), col("emax")), "id")
+        .filter(col("cm") =!= col("emax")).count()
+      assert(diff == 0, s"$diff rows differ from the exact window cummax")
+    } finally {
+      vals.unpersist()
+      graft.core.QueryCaches.releaseAll()
+    }
+  }
+
+  test("q_ingest_lateness: running max from globalCumMax — no Window node") {
+    try {
+      val p = plan("q_ingest_lateness")
+      assert(nOps(p, "Window") == 0,
+        s"the lateness frontier must ride the two-job prefix max, not a window:\n$p")
+    } finally graft.core.QueryCaches.release()
+  }
+
   test("events_power_users: Pareto coverage with NO window (oracle spells two global windows)") {
     val p = plan("events_power_users")
     assert(!p.contains("Window"), s"the running total must come from the distributed prefix-sum:\n$p")
