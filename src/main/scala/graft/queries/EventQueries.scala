@@ -1977,6 +1977,51 @@ object EventQueries {
       .crossJoin(p.agg(count(lit(1)).as("step3_users")))
   }
 
+  /** Conversion-window operating curve — [[eventsFunnel3]] measures
+    * ONE window; this sweeps it (1 h / 6 h / 24 h) the way
+    * [[eventsGapSweep]] sweeps the session gap, and from the SAME
+    * one-pass sufficient statistics: the per-user unconditional stage
+    * minima (earliest view t1, earliest click after t1, earliest
+    * purchase after that) anchor every window — the earliest click
+    * after t1 within w exists iff the unconditional earliest one lands
+    * within w, so each window's funnel is three conditional counts
+    * over one bounded per-user relation, never a re-scan per
+    * operating point. Conversion surfaces in integer ppm. Scale: the
+    * stage minima are the funnel3 plan (map-side-combined minima,
+    * user-keyed joins); the sweep is a 3-row broadcast fan-out. */
+  def eventsFunnelSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.core.QueryCaches.track(
+      loadEvents(spark, sfDir)
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus")))
+    val v = graft.core.QueryCaches.track(
+      e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t1")))
+    val c = graft.core.QueryCaches.track(
+      e.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("tus") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t2")))
+    val p = e.join(c, "user_id")
+      .filter(col("event_type") === "purchase" && col("tus") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t3"))
+    val stages = graft.core.QueryCaches.track(
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3")))
+    val windows = spark.range(0, 3).toDF("i")
+      .select(element_at(array(lit(3600L), lit(21600L), lit(86400L)),
+        col("i").cast("int") + 1).as("w_s"))
+    stages.crossJoin(broadcast(windows))
+      .groupBy(col("w_s"))
+      .agg(count(lit(1)).as("step1_users"),
+        sum(when(col("t2").isNotNull &&
+          col("t2") - col("t1") <= col("w_s") * 1000000L, 1L).otherwise(0L))
+          .as("step2_users"),
+        sum(when(col("t2").isNotNull && col("t3").isNotNull &&
+          col("t2") - col("t1") <= col("w_s") * 1000000L &&
+          col("t3") - col("t2") <= col("w_s") * 1000000L, 1L).otherwise(0L))
+          .as("step3_users"))
+      .withColumn("conv_ppm", expr("(1000000 * step3_users) div step1_users"))
+  }
+
   /** PARETO coverage — "how many users produce 80% of the events":
     * the concentration question behind every capacity/abuse/sampling
     * decision. Per-user counts rank by activity through
@@ -2033,6 +2078,7 @@ object EventQueries {
     "events_cusum" -> (eventsCusum _),
     "events_seasonal" -> (eventsSeasonal _),
     "events_seasonal_anomaly" -> (eventsSeasonalAnomaly _),
+    "events_funnel_sweep" -> (eventsFunnelSweep _),
     "events_abtest" -> (eventsAbtest _),
     "events_survival" -> (eventsSurvival _),
     "events_forecast_eval" -> (eventsForecastEval _),
@@ -2317,6 +2363,33 @@ object EventQueries {
         |  CAST(MIN(CASE WHEN 5 * cc >= 4 * t.total_events THEN rk END) AS BIGINT)
         |    AS users_for_80pct
         |FROM cum, t GROUP BY 1, 2""".stripMargin,
+    "events_funnel_sweep" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |v AS (SELECT user_id, MIN(tus) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.tus) AS t2
+        |      FROM e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.tus > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.tus) AS t3
+        |      FROM e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.tus > c.t2 GROUP BY 1),
+        |st AS (SELECT v.user_id, t1, t2, t3
+        |       FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id),
+        |wd AS (SELECT CAST(unnest([3600, 21600, 86400]) AS BIGINT) AS w_s),
+        |g AS (SELECT CAST(w_s AS BIGINT) AS w_s,
+        |        CAST(COUNT(*) AS BIGINT) AS step1_users,
+        |        CAST(SUM(CASE WHEN t2 IS NOT NULL
+        |              AND t2 - t1 <= w_s * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS step2_users,
+        |        CAST(SUM(CASE WHEN t2 IS NOT NULL AND t3 IS NOT NULL
+        |              AND t2 - t1 <= w_s * 1000000
+        |              AND t3 - t2 <= w_s * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS step3_users
+        |      FROM st CROSS JOIN wd GROUP BY 1)
+        |SELECT w_s, step1_users, step2_users, step3_users,
+        |  (1000000 * step3_users) // step1_users AS conv_ppm
+        |FROM g""".stripMargin,
     "events_funnel3" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
         |v AS (SELECT user_id, MIN(tus) AS t1 FROM e

@@ -1395,6 +1395,36 @@ object Relational {
         expr("(1000 * n_le) div cnt - (1000 * bucket) div 8").as("err_milli"))
   }
 
+  /** Deterministic pseudonymization audit — the PII-release pattern
+    * [[qKAnonymity]] gates: replace the identifying column with its
+    * content fingerprint (stable across tables and loads, so every
+    * FOREIGN KEY join still works on the pseudonym) and audit the two
+    * properties a release needs: collisions (distinct names vs
+    * distinct pseudonyms — a collision silently merges two people) and
+    * join preservation (fact rows still land under the pseudonymized
+    * dimension 1:1). The fingerprint is the native codegen kernel —
+    * tokenization happens inside the scan, raw names never cross an
+    * exchange. Plan: one dim scan feeding both the per-segment
+    * identity audit and the fact join's build side; the segment-level
+    * stitch broadcasts. */
+  def qPseudonymize(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = graft.core.QueryCaches.track(
+      load(spark, sfDir, "customer").select(col("c_custkey"), col("c_mktsegment"),
+        col("c_name"), graft.functions.HashExprs.fingerprint(col("c_name")).as("pseud")))
+    val ident = c.groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        countDistinct(col("c_name")).as("n_names"),
+        countDistinct(col("pseud")).as("n_pseudonyms"))
+      .withColumn("collisions", col("n_names") - col("n_pseudonyms"))
+    val facts = load(spark, sfDir, "orders")
+      .join(c.select(col("c_custkey"), col("c_mktsegment"), col("pseud")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("pseud")).as("n_active_pseudonyms"))
+    ident.join(broadcast(facts), Seq("segment"))
+  }
+
   /** Append-order lateness audit — the measurement a watermark delay
     * (or an incremental-load lookback) is actually chosen from: in an
     * appended fact table whose key reflects arrival order, a row is
@@ -1798,6 +1828,7 @@ object Relational {
     "q_corr_stats" -> (qCorrStats _),
     "q_selectivity_audit" -> (qSelectivityAudit _),
     "q_ingest_lateness" -> (qIngestLateness _),
+    "q_pseudonymize" -> (qPseudonymize _),
     "q_value_bands" -> (qValueBands _),
     "q_skyline" -> (qSkyline _),
     "q_unpivot" -> (qUnpivot _),
@@ -1949,6 +1980,26 @@ object Relational {
         |      ch -> CAST(unicode(ch) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS DECIMAL(38,0))) AS BIGINT) AS checksum
         |FROM customer GROUP BY 1""".stripMargin,
+    "q_pseudonymize" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment, c_name,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(c_name, ''),
+        |            ch -> CAST(unicode(ch) AS BIGINT))),
+        |          (a, b) -> (a * 31 + b) % 1000000007) AS pseud
+        |      FROM customer),
+        |i AS (SELECT c_mktsegment AS segment,
+        |        CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |        CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_names,
+        |        CAST(COUNT(DISTINCT pseud) AS BIGINT) AS n_pseudonyms
+        |      FROM c GROUP BY 1),
+        |f AS (SELECT c_mktsegment AS segment,
+        |        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |        CAST(COUNT(DISTINCT pseud) AS BIGINT) AS n_active_pseudonyms
+        |      FROM orders JOIN c ON o_custkey = c_custkey
+        |      GROUP BY 1)
+        |SELECT i.segment, n_customers, n_names, n_pseudonyms,
+        |  n_names - n_pseudonyms AS collisions, n_orders, n_active_pseudonyms
+        |FROM i JOIN f ON i.segment = f.segment""".stripMargin,
     "q_ingest_lateness" ->
       """WITH e AS (SELECT o_orderkey, epoch_us(o_orderdate) AS tus FROM orders),
         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM e),
