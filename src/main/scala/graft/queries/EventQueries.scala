@@ -1977,6 +1977,65 @@ object EventQueries {
       .crossJoin(p.agg(count(lit(1)).as("step3_users")))
   }
 
+  /** Growth accounting — the MAU bridge every growth team closes
+    * monthly: each month's active users decomposed into NEW (first
+    * month ever), RETAINED (also active the previous month) and
+    * RESURRECTED (active, not last month, not new), plus the month's
+    * CHURN (last month's actives who went quiet) — with the identity
+    * mau = new + retained + resurrected enforced by construction.
+    * [[eventsRetention]]/[[eventsCohorts]] slice by signup cohort;
+    * this row is the month-over-month ledger. Plan: the corpus
+    * collapses to the DISTINCT (user, month) relation once (persisted
+    * — the shifted copy, the first-month aggregate, and the
+    * classification all read it); the prev-month comparison is a
+    * self-join on the SAME (user, month) key (co-partitioned), and the
+    * output is months-bounded. All counts integer. */
+  def eventsGrowthAccounting(spark: SparkSession, sfDir: String): DataFrame = {
+    val um = graft.core.QueryCaches.track(
+      events(spark, sfDir).select(col("user_id"),
+        expr("CAST((year(timestamp_micros(ts div 1000)) - 1970) * 12 " +
+          "+ month(timestamp_micros(ts div 1000)) - 1 AS BIGINT)").as("m"))
+        .distinct())
+    val first = um.groupBy(col("user_id")).agg(min(col("m")).as("m0"))
+    val prev = um.select(col("user_id"), (col("m") + 1).as("m"), lit(true).as("was_active"))
+    val cur = um.select(col("user_id"), col("m"), lit(true).as("is_active"))
+    cur.join(prev, Seq("user_id", "m"), "full_outer")
+      .join(first, Seq("user_id"))
+      .groupBy(col("m").as("month"))
+      .agg(
+        sum(when(col("is_active") && col("m") === col("m0"), 1L).otherwise(0L))
+          .as("new_users"),
+        sum(when(col("is_active") && col("was_active"), 1L).otherwise(0L))
+          .as("retained"),
+        sum(when(col("is_active") && col("was_active").isNull &&
+          col("m") > col("m0"), 1L).otherwise(0L)).as("resurrected"),
+        sum(when(col("was_active") && col("is_active").isNull, 1L).otherwise(0L))
+          .as("churned"))
+      .withColumn("mau", col("new_users") + col("retained") + col("resurrected"))
+  }
+
+  /** Per-user burst-velocity screen — the rate-limit / fraud audit:
+    * the maximum events any user produced in one clock minute, rolled
+    * into a power-of-2 histogram of users by their peak burst (the
+    * [[eventsGapHist]] bucket idiom). The capacity question "what
+    * per-minute limit would false-positive how many users" reads
+    * straight off the cumulative buckets. Plan: one (user, minute)
+    * map-side-combined count, one per-user max (both key-collapsing
+    * aggregates), a ≤64-bucket rollup, 1-row total broadcast. */
+  def eventsVelocity(spark: SparkSession, sfDir: String): DataFrame = {
+    val burst = events(spark, sfDir)
+      .groupBy(col("user_id"), expr("(ts div 1000) div 60000000").as("minute"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id")).agg(max(col("c")).as("burst"))
+      .withColumn("bucket", (length(bin(col("burst"))) - 1).cast("bigint"))
+    val h = graft.core.QueryCaches.track(
+      burst.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_users"), max(col("burst")).as("max_burst")))
+    val tot = h.agg(sum(col("n_users")).as("total_users"))
+    h.crossJoin(broadcast(tot))
+      .withColumn("share_milli", expr("(1000 * n_users) div total_users"))
+  }
+
   /** Conversion-window operating curve — [[eventsFunnel3]] measures
     * ONE window; this sweeps it (1 h / 6 h / 24 h) the way
     * [[eventsGapSweep]] sweeps the session gap, and from the SAME
@@ -2079,6 +2138,8 @@ object EventQueries {
     "events_seasonal" -> (eventsSeasonal _),
     "events_seasonal_anomaly" -> (eventsSeasonalAnomaly _),
     "events_funnel_sweep" -> (eventsFunnelSweep _),
+    "events_growth_accounting" -> (eventsGrowthAccounting _),
+    "events_velocity" -> (eventsVelocity _),
     "events_abtest" -> (eventsAbtest _),
     "events_survival" -> (eventsSurvival _),
     "events_forecast_eval" -> (eventsForecastEval _),
@@ -2363,6 +2424,44 @@ object EventQueries {
         |  CAST(MIN(CASE WHEN 5 * cc >= 4 * t.total_events THEN rk END) AS BIGINT)
         |    AS users_for_80pct
         |FROM cum, t GROUP BY 1, 2""".stripMargin,
+    "events_growth_accounting" ->
+      """WITH um AS (SELECT DISTINCT user_id,
+        |        CAST((year(ts) - 1970) * 12 + month(ts) - 1 AS BIGINT) AS m
+        |      FROM events),
+        |f AS (SELECT user_id, MIN(m) AS m0 FROM um GROUP BY 1),
+        |cur AS (SELECT user_id, m, TRUE AS is_active FROM um),
+        |prev AS (SELECT user_id, m + 1 AS m, TRUE AS was_active FROM um),
+        |j AS (SELECT COALESCE(cur.user_id, prev.user_id) AS user_id,
+        |        COALESCE(cur.m, prev.m) AS m, is_active, was_active
+        |      FROM cur FULL JOIN prev
+        |        ON cur.user_id = prev.user_id AND cur.m = prev.m)
+        |SELECT j.m AS month,
+        |  CAST(SUM(CASE WHEN is_active AND j.m = f.m0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_users,
+        |  CAST(SUM(CASE WHEN is_active AND was_active THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS retained,
+        |  CAST(SUM(CASE WHEN is_active AND was_active IS NULL AND j.m > f.m0
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+        |  CAST(SUM(CASE WHEN was_active AND is_active IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS churned,
+        |  CAST(SUM(CASE WHEN is_active AND j.m = f.m0 THEN 1 ELSE 0 END)
+        |    + SUM(CASE WHEN is_active AND was_active THEN 1 ELSE 0 END)
+        |    + SUM(CASE WHEN is_active AND was_active IS NULL AND j.m > f.m0
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS mau
+        |FROM j JOIN f ON j.user_id = f.user_id
+        |GROUP BY 1""".stripMargin,
+    "events_velocity" ->
+      """WITH pm AS (SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+        |        CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, MAX(c) AS burst FROM pm GROUP BY 1),
+        |h AS (SELECT CAST(length(bin(burst)) - 1 AS BIGINT) AS bucket,
+        |        CAST(COUNT(*) AS BIGINT) AS n_users, MAX(burst) AS max_burst
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS total_users FROM h)
+        |SELECT bucket, n_users, max_burst, total_users,
+        |  (1000 * n_users) // total_users AS share_milli
+        |FROM h CROSS JOIN t""".stripMargin,
     "events_funnel_sweep" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
         |v AS (SELECT user_id, MIN(tus) AS t1 FROM e

@@ -589,6 +589,39 @@ object SimQueries {
       .withColumn("outlier", (col("cos_centroid") < 0.1).cast("boolean"))
   }
 
+  /** IVF posting-list balance audit — the index-health check that
+    * decides whether an IVF index's nprobe math holds: a skewed
+    * coarse quantizer (one centroid owning most of the corpus) makes
+    * "probe 2 of 10 lists" scan half the data, silently erasing the
+    * speedup the index exists for. Per centroid: posting-list size,
+    * share in milli, and the over-occupancy flag share·k > 2000 (more
+    * than 2× the balanced share). One assignment pass ([[simIvf]]'s
+    * map-side-combined argmax — one row per vector crosses the
+    * shuffle), one |centroids|-bounded rollup, 1-row total broadcast.
+    * All-integer surfaces. */
+  def simIvfBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val cents = SimOps.labelCentroids(e, "label")
+      .select(col("c_id").cast("int").as("c_label"), col("c_vec"))
+    val k = lit(10L) // the label-centroid count — the oracle pins it too
+    // persisted: the 1-row total and the report both read the ≤k-row
+    // posting-list relation — without it the assignment runs twice
+    val lists = graft.core.QueryCaches.track(
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("c_label"),
+          SimOps.cosine(col("embedding"), col("c_vec")).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("c_label"), struct(col("cos"), (-col("c_label")).as("nc"))).as("c_label"))
+        .groupBy(col("c_label"))
+        .agg(count(lit(1)).as("n")))
+    val tot = lists.agg(sum(col("n")).as("total"))
+    lists.crossJoin(broadcast(tot))
+      .select(col("c_label"), col("n"),
+        expr("(1000 * n) div total").as("share_milli"),
+        ((k * lit(1000L) * col("n")).cast("bigint") > lit(2000L) * col("total"))
+          .as("oversized"))
+  }
+
   /** Cluster-separation silhouette (cosine-margin variant) per label —
     * the partition-quality audit run on any clustering or labeling
     * before trusting it downstream: for each vector, a = cosine to its
@@ -1546,6 +1579,7 @@ object SimQueries {
     "sim_lsh_probe" -> (simLshProbe _),
     "sim_ndcg" -> (simNdcg _),
     "sim_rocchio" -> (simRocchio _),
+    "sim_ivf_balance" -> (simIvfBalance _),
     "sim_knn_graph" -> (simKnnGraph _),
     "sim_topk" -> (simTopk _),
     "sim_hard_negatives" -> (simHardNegatives _),
@@ -2553,6 +2587,24 @@ object SimQueries {
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, v -> v * v)),
          |    (acc, v) -> acc + v) AS q_dot
          |FROM q_t""".stripMargin,
+    "sim_ivf_balance" ->
+      s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         |                     unnest(embedding) AS v FROM embeddings),
+         |cd AS (SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS cv
+         |       FROM comp GROUP BY label, pos),
+         |cents AS (SELECT label AS c_label, list(cv ORDER BY pos) AS c_vec FROM cd GROUP BY label),
+         |scored AS (SELECT vec_id, c_label,
+         |                  ${cosMixedSql("embedding", "c_vec")} AS cos
+         |           FROM embeddings, cents),
+         |best AS (SELECT vec_id, c_label,
+         |                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rk
+         |         FROM scored),
+         |l AS (SELECT c_label, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM best WHERE rk = 1 GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM l)
+         |SELECT c_label, n, (1000 * n) // total AS share_milli,
+         |  10 * 1000 * n > 2000 * total AS oversized
+         |FROM l CROSS JOIN t""".stripMargin,
     "sim_ivf" ->
       s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
          |                     unnest(embedding) AS v FROM embeddings),
