@@ -68,7 +68,14 @@ class DeterminismSpec extends AnyFunSuite {
     "events_asof_ties",  // tie-ordered streaming merge, dup timestamps
     "q_encode_cost",     // sort_array total order feeds the varint kernel
     "events_hll_incremental", // three independent register aggregation trees
-    "events_quantile_sketch") // globalRank exact side + bucket-histogram walk
+    "events_quantile_sketch", // globalRank exact side + bucket-histogram walk
+    // round-12 tail additions with partitioning-sensitive machinery:
+    "events_pareto",     // globalRank rank-sum fold (tie permutation)
+    "q_ingest_lateness", // globalCumMax distributed prefix-max
+    "q_selectivity_audit", // globalRank boundary pick + inequality probe
+    "sim_rocchio",       // persisted brute stage + decimal feedback means
+    "events_growth_accounting", // full-outer self-join on shifted months
+    "text_chunk")        // per-doc sequence explode + fingerprint kernel
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
