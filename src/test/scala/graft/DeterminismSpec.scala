@@ -75,7 +75,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q_selectivity_audit", // globalRank boundary pick + inequality probe
     "sim_rocchio",       // persisted brute stage + decimal feedback means
     "events_growth_accounting", // full-outer self-join on shifted months
-    "text_chunk")        // per-doc sequence explode + fingerprint kernel
+    "text_chunk",        // per-doc sequence explode + fingerprint kernel
+    // TPC-H completion block (round 12) with partitioning-sensitive shapes:
+    "q2_min_cost_supp",  // double-equality min-cost self-join + top-100
+    "q11_important_parts", // 1-row broadcast threshold vs decimal folds
+    "q21_waiting_supp")  // semi/anti self-join chain + count rank order
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1685,6 +1685,37 @@ class PlanSpec extends AnyFunSuite {
       s"beam $beamHit vs greedy $greedyHit")
   }
 
+  test("q21_waiting_supp: exists/not-exists plan as semi + anti joins, never a nested loop") {
+    val p = plan("q21_waiting_supp")
+    assert(p.contains("LeftSemi"), s"EXISTS leg must be a left semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS leg must be a left anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the self-join chain:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-25 must be a partial TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("q2_min_cost_supp: correlated min is an agg + equi-join; offers cached once") {
+    val p = plan("q2_min_cost_supp")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"min-cost stitch must stay an equi-join:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"offers relation must be query-scope persisted (feeds min + stitch):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be a partial TakeOrdered:\n$p")
+  }
+
+  test("q11_important_parts: scalar total broadcasts onto cached vals — one fact agg") {
+    val p = plan("q11_important_parts")
+    // the single BroadcastNestedLoopJoin is the 1-row total stitch;
+    // the part-value relation itself must come from the cache, so the
+    // lineitem join+agg executes once even though vals has two readers
+    assert(nOps(p, "BroadcastNestedLoopJoin") == 1,
+      s"exactly one 1-row scalar stitch expected:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"vals must be query-scope persisted:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
