@@ -218,14 +218,20 @@ object DedupOps {
     * pairs (e.g. from [[nearDupPairs]]).
     *
     * Iterative: each round propagates the minimum label across edges
-    * (one join + one aggregation), converging in O(component diameter)
-    * rounds — duplicate clusters are shallow (near-cliques from LSH),
-    * so a handful of rounds suffices; `maxIter` bounds adversarial
-    * chains. localCheckpoint truncates the growing lineage each round
-    * (at warehouse scale: stage labels to a work table per round).
-    * The per-round driver sync is one count() — the loop is
-    * driver-coordinated but all data stays distributed. */
-  def dupClusters(pairs: org.apache.spark.sql.DataFrame, maxIter: Int = 10): org.apache.spark.sql.DataFrame = {
+    * (one join + one aggregation) AND pointer-jumps — every node also
+    * takes its current label's label (one labels self-join), the
+    * path-halving step, so convergence is O(log diameter) rounds, not
+    * O(diameter): a 10⁶-node density ridge (events_dbscan's core graph
+    * is exactly that shape at scale) converges in ~20 rounds where
+    * plain propagation needs the full diameter. LSH dup components are
+    * near-cliques that still converge at initialization, so the common
+    * case pays nothing extra but the self-join. `maxIter` is a safety
+    * ceiling only — the label-sum fixpoint exits the loop the first
+    * round nothing changes. localCheckpoint truncates the growing
+    * lineage each round (at warehouse scale: stage labels to a work
+    * table per round). The per-round driver sync is one aggregate —
+    * the loop is driver-coordinated but all data stays distributed. */
+  def dupClusters(pairs: org.apache.spark.sql.DataFrame, maxIter: Int = 64): org.apache.spark.sql.DataFrame = {
     // Symmetrize in ONE pass over `pairs` (explode of a 2-struct array)
     // — a self-union would execute the whole upstream candidate
     // pipeline twice before the persist materializes.
@@ -277,8 +283,16 @@ object DedupOps {
       val viaNbr = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nbr_label"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("min_nbr"))
-      val nextPlan = labels.join(viaNbr, "id")
-        .select(col("id"), least(col("label"), col("min_nbr")).as("label"))
+      // pointer jump: my label is a node id in my component, so its
+      // label is at least as small — taking it halves min-carrying
+      // path lengths each round (log-diameter convergence)
+      val viaPtr = labels
+        .join(labels.select(col("id").as("p_id"), col("label").as("ptr_label")),
+          col("label") === col("p_id"))
+        .select(col("id"), col("ptr_label"))
+      val nextPlan = labels.join(viaNbr, "id").join(viaPtr, "id")
+        .select(col("id"),
+          least(col("label"), col("min_nbr"), col("ptr_label")).as("label"))
       // Aggregate the round's sum over the UNMATERIALIZED plan first:
       // when it equals prevSum no label changed, the current checkpoint
       // already IS the fixpoint, and the round needs no checkpoint at

@@ -2105,7 +2105,94 @@ object EventQueries {
       .select(col("total_events"), col("n_users"), col("users_for_80pct"))
   }
 
+  /** DBSCAN density clustering over the integer RFM behavior space —
+    * the classic density algorithm, distributed without any all-pairs
+    * join. Features per user are ALL-INTEGER (so every distance and
+    * threshold compare is exact in both engines): x = frequency·2500,
+    * y = monetary cents, z = recency-days·25000 (weights bring the
+    * three axes to comparable spread). Neighborhood: squared L2
+    * ≤ EPS² = 6000²; core = ≥ MINPTS−1 = 3 neighbors (minPts counts
+    * the point itself, the sklearn convention); clusters = connected
+    * components over core–core edges ([[graft.ext.DedupOps.dupClusters]]
+    * label fixpoint, rep = min user_id); border points attach to the
+    * MIN core-neighbor rep (deterministic, where textbook DBSCAN is
+    * first-come); the rest is noise.
+    *
+    * Scale path: candidates come from a 3-D grid join — each point
+    * probes its 27 adjacent cells of width EPS (integer `div`, same
+    * truncation in both engines), an EQUI-join on the cell key that is
+    * LOSSLESS for the L2 ball (|Δcoord| ≤ EPS ⇒ adjacent cells, cell
+    * intervals are ≥ EPS wide under truncation), so the quadratic
+    * neighbor search exists only in the DuckDB oracle spelling.
+    * Density params are per-deployment: at 10× user density the same
+    * EPS turns most borders into cores — expected DBSCAN behavior,
+    * and the oracle computes the identical result at every SF. */
+  def eventsDbscan(spark: SparkSession, sfDir: String): DataFrame = {
+    val EPS = 6000L
+    val E2 = EPS * EPS
+    val e = events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+        col("event_type"), col("value"))
+    val edge = e.agg(max(col("day")).as("d1"))
+    val feats = graft.core.QueryCaches.track(
+      e.crossJoin(broadcast(edge)).groupBy(col("user_id")).agg(
+        (count(lit(1)) * lit(2500L)).as("x"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)).as("y"),
+        ((max(col("d1")) - max(col("day"))) * lit(25000L)).as("z")))
+    val cell = feats.select(col("user_id"), col("x"), col("y"), col("z"),
+      expr(s"x div $EPS").as("cx"), expr(s"y div $EPS").as("cy"),
+      expr(s"z div $EPS").as("cz"))
+    val offs = Seq(-1L, 0L, 1L)
+    val probe = cell
+      .select(col("user_id").as("p_id"), col("x").as("px"),
+        col("y").as("py"), col("z").as("pz"),
+        explode(array((for { dx <- offs; dy <- offs; dz <- offs } yield
+          struct((col("cx") + lit(dx)).as("gx"), (col("cy") + lit(dy)).as("gy"),
+            (col("cz") + lit(dz)).as("gz"))): _*)).as("g"))
+      .select(col("p_id"), col("px"), col("py"), col("pz"),
+        col("g.gx").as("gx"), col("g.gy").as("gy"), col("g.gz").as("gz"))
+    // directed ε-neighbor pairs (p_id → q_id), exact distances only
+    val cand = graft.core.QueryCaches.track(probe
+      .join(cell, col("gx") === col("cx") && col("gy") === col("cy") &&
+        col("gz") === col("cz") && col("p_id") =!= col("user_id"))
+      .filter((col("px") - col("x")) * (col("px") - col("x")) +
+        (col("py") - col("y")) * (col("py") - col("y")) +
+        (col("pz") - col("z")) * (col("pz") - col("z")) <= lit(E2))
+      .select(col("p_id"), col("user_id").as("q_id")))
+    val core = graft.core.QueryCaches.track(
+      cand.groupBy(col("p_id")).agg(count(lit(1)).as("n_nb"))
+        .filter(col("n_nb") + lit(1L) >= lit(4L))
+        .select(col("p_id").as("id")))
+    val corePairs = cand
+      .join(core.select(col("id").as("ca")), col("p_id") === col("ca"), "left_semi")
+      .join(core.select(col("id").as("cb")), col("q_id") === col("cb"), "left_semi")
+      .filter(col("p_id") < col("q_id"))
+      .select(col("p_id").as("id_a"), col("q_id").as("id_b"))
+    // isolated cores (no core neighbor) are their own singleton cluster
+    val reps = graft.ext.DedupOps.dupClusters(corePairs)
+      .select(col("id").as("r_id"), col("cluster_rep"))
+    val coreRep = graft.core.QueryCaches.track(
+      core.join(reps, col("id") === col("r_id"), "left")
+        .select(col("id"),
+          coalesce(col("cluster_rep"), col("id")).as("rep")))
+    val borderRep = cand
+      .join(core.select(col("id").as("na")), col("p_id") === col("na"), "left_anti")
+      .join(coreRep, col("q_id") === col("id"))
+      .groupBy(col("p_id")).agg(min(col("rep")).as("rep"))
+    val assigned =
+      coreRep.select(col("id").as("user_id"), lit("core").as("role"), col("rep").as("cluster"))
+        .unionAll(borderRep.select(col("p_id").as("user_id"), lit("border").as("role"),
+          col("rep").as("cluster")))
+    feats.select(col("user_id"))
+      .join(assigned.select(col("user_id").as("a_id")),
+        col("user_id") === col("a_id"), "left_anti")
+      .select(col("user_id"), lit("noise").as("role"), lit(-1L).as("cluster"))
+      .unionAll(assigned)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dbscan" -> (eventsDbscan _),
     "events_power_users" -> (eventsPowerUsers _),
     "events_funnel3" -> (eventsFunnel3 _),
     "events_seasonal_naive" -> (eventsSeasonalNaive _),
@@ -2198,6 +2285,41 @@ object EventQueries {
       |FROM i JOIN seas ON i.t = seas.t AND i.dow = seas.dow)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // naive quadratic neighbor search ON PURPOSE — proves the grid-cell
+    // candidate join lossless for the L2 ball
+    "events_dbscan" ->
+      """WITH RECURSIVE feats AS (
+        |  SELECT user_id,
+        |    CAST(COUNT(*) * 2500 AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+        |    CAST(((SELECT MAX(epoch_us(ts) // 86400000000) FROM events)
+        |      - MAX(epoch_us(ts) // 86400000000)) * 25000 AS BIGINT) AS z
+        |  FROM events GROUP BY user_id),
+        |cand AS (SELECT a.user_id AS pa, b.user_id AS pb
+        |  FROM feats a JOIN feats b ON a.user_id <> b.user_id
+        |    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |      + (a.z - b.z) * (a.z - b.z) <= 36000000),
+        |core AS (SELECT pa AS id FROM cand GROUP BY pa
+        |         HAVING COUNT(*) + 1 >= 4),
+        |cpairs AS (SELECT pa AS a, pb AS b FROM cand
+        |  WHERE pa IN (SELECT id FROM core) AND pb IN (SELECT id FROM core)),
+        |reach AS (SELECT a, b FROM cpairs
+        |  UNION SELECT r.a, s.b FROM reach r JOIN cpairs s ON r.b = s.a),
+        |rep AS (SELECT a AS id, LEAST(a, MIN(b)) AS rep FROM reach GROUP BY a
+        |  UNION ALL SELECT id, id FROM core
+        |    WHERE id NOT IN (SELECT a FROM reach)),
+        |border AS (SELECT c.pa AS id, MIN(r.rep) AS rep FROM cand c
+        |  JOIN rep r ON c.pb = r.id
+        |  WHERE c.pa NOT IN (SELECT id FROM core) GROUP BY c.pa)
+        |SELECT f.user_id, 'core' AS role, r.rep AS cluster
+        |  FROM feats f JOIN rep r ON f.user_id = r.id
+        |UNION ALL SELECT f.user_id, 'border', b.rep
+        |  FROM feats f JOIN border b ON f.user_id = b.id
+        |UNION ALL SELECT f.user_id, 'noise', CAST(-1 AS BIGINT)
+        |  FROM feats f
+        |  WHERE f.user_id NOT IN (SELECT id FROM rep)
+        |    AND f.user_id NOT IN (SELECT id FROM border)""".stripMargin,
     "events_gap_sweep" ->
       """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
         |             lag(epoch_us(ts)) OVER (PARTITION BY user_id

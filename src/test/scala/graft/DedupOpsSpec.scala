@@ -89,6 +89,20 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got == (0L to 11L).map(_ -> 0L).toMap, s"got $got")
   }
 
+  test("dupClusters: 300-node path converges within the default rounds (pointer jumping)") {
+    // Diameter 300 ≫ the safety ceiling under plain one-hop
+    // propagation — only path-halving makes the fixpoint reachable in
+    // O(log diameter) rounds. This is the events_dbscan core-graph
+    // shape at scale (a density ridge), where the silent early-exit
+    // produced wrong cluster reps at sf0.1 before the fix.
+    val path = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = DedupOps.dupClusters(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    DedupOps.releaseCaches()
+    assert(got.size == 300 && got.values.forall(_ == 0L),
+      s"non-converged labels: ${got.filter(_._2 != 0L).take(5)}")
+  }
+
   test("releaseCaches: no persisted RDDs leak after declared queries (persist, checkpoint, cached fan-out)") {
     val sc = spark.sparkContext
     val baseline = sc.getPersistentRDDs.keySet
