@@ -2191,7 +2191,50 @@ object EventQueries {
       .unionAll(assigned)
   }
 
+  /** Welch's unequal-variance t-test on per-user purchase revenue
+    * between the two experiment arms — the CONTINUOUS-metric
+    * experimentation row beside [[eventsAbtest]]'s χ² conversion test
+    * (a real A/B readout needs both: rates AND revenue). Per-arm
+    * (n, Σm, Σm²) fold as DECIMAL(38,6) over exact integer cents (m²
+    * stays under 2^53, so the double products are exact integers and
+    * the decimal sums are bit-reproducible at any parallelism); the
+    * t²/df arithmetic then runs on IDENTICAL double expression trees
+    * in both engines — deterministic IEEE, no library transcendentals.
+    * t² (not t) avoids sqrt-of-rounding sign issues; df is the
+    * Welch–Satterthwaite estimate. Plan at 100 TB: one user-keyed
+    * fold, then a 2-row aggregate — nothing else crosses the shuffle. */
+  def eventsWelch(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)).as("m"))
+      .select((col("user_id") % 2).as("arm"), col("m").cast("double").as("md"))
+    val g = u.groupBy(col("arm")).agg(
+      count(lit(1)).as("n"),
+      dsum(col("md")).as("s1"),
+      dsum(col("md") * col("md")).as("s2"))
+    val a = g.filter(col("arm") === 0L)
+      .select(col("n").as("na"), col("s1").as("s1a"), col("s2").as("s2a"))
+    val b = g.filter(col("arm") === 1L)
+      .select(col("n").as("nb"), col("s1").as("s1b"), col("s2").as("s2b"))
+    a.crossJoin(broadcast(b))
+      .selectExpr("na", "nb",
+        "s1a / CAST(na AS DOUBLE) AS mean_a",
+        "s1b / CAST(nb AS DOUBLE) AS mean_b",
+        "(s2a - s1a * s1a / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS var_a",
+        "(s2b - s1b * s1b / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS var_b")
+      .selectExpr("na", "nb", "mean_a", "mean_b", "var_a", "var_b",
+        "var_a / CAST(na AS DOUBLE) AS se_a",
+        "var_b / CAST(nb AS DOUBLE) AS se_b")
+      .selectExpr("na", "nb", "mean_a", "mean_b", "var_a", "var_b",
+        "((mean_a - mean_b) * (mean_a - mean_b)) / (se_a + se_b) AS t2_stat",
+        "((se_a + se_b) * (se_a + se_b)) / " +
+          "(se_a * se_a / CAST(na - 1 AS DOUBLE) + " +
+          "se_b * se_b / CAST(nb - 1 AS DOUBLE)) AS df")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_welch" -> (eventsWelch _),
     "events_dbscan" -> (eventsDbscan _),
     "events_power_users" -> (eventsPowerUsers _),
     "events_funnel3" -> (eventsFunnel3 _),
@@ -2285,6 +2328,39 @@ object EventQueries {
       |FROM i JOIN seas ON i.t = seas.t AND i.dow = seas.dow)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "events_welch" ->
+      """WITH u AS (SELECT user_id % 2 AS arm,
+        |    CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS DOUBLE) AS md
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(md AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(md * md AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        |  FROM u GROUP BY arm),
+        |ab AS (SELECT
+        |    (SELECT n FROM g WHERE arm = 0) AS na,
+        |    (SELECT n FROM g WHERE arm = 1) AS nb,
+        |    (SELECT s1 FROM g WHERE arm = 0) AS s1a,
+        |    (SELECT s1 FROM g WHERE arm = 1) AS s1b,
+        |    (SELECT s2 FROM g WHERE arm = 0) AS s2a,
+        |    (SELECT s2 FROM g WHERE arm = 1) AS s2b),
+        |m AS (SELECT na, nb,
+        |    s1a / CAST(na AS DOUBLE) AS mean_a,
+        |    s1b / CAST(nb AS DOUBLE) AS mean_b,
+        |    (s2a - s1a * s1a / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS var_a,
+        |    (s2b - s1b * s1b / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS var_b
+        |  FROM ab),
+        |s AS (SELECT na, nb, mean_a, mean_b, var_a, var_b,
+        |    var_a / CAST(na AS DOUBLE) AS se_a,
+        |    var_b / CAST(nb AS DOUBLE) AS se_b
+        |  FROM m)
+        |SELECT na, nb, mean_a, mean_b, var_a, var_b,
+        |  ((mean_a - mean_b) * (mean_a - mean_b)) / (se_a + se_b) AS t2_stat,
+        |  ((se_a + se_b) * (se_a + se_b)) /
+        |    (se_a * se_a / CAST(na - 1 AS DOUBLE)
+        |     + se_b * se_b / CAST(nb - 1 AS DOUBLE)) AS df
+        |FROM s""".stripMargin,
     // naive quadratic neighbor search ON PURPOSE — proves the grid-cell
     // candidate join lossless for the L2 ball
     "events_dbscan" ->

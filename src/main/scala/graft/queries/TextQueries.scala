@@ -1172,7 +1172,49 @@ object TextQueries {
       .filter(col("n_words") >= 2 && col("n_occur") >= 3)
   }
 
+  /** Per-document surprisal under the corpus bigram LM — the
+    * perplexity-filter stage of a training-data pipeline (score every
+    * document by how surprising it is to a model of the corpus; the
+    * high tail is noise/garble, the low tail is boilerplate), beside
+    * [[textNgramLm]]'s probability view. The -log2 p surprisal is
+    * computed in MILLIBITS with the classic fast-log trick — whole
+    * bits from the integer binade (floor-log2 = length(bin(q))-1,
+    * exact: floor preserves the binade for q ≥ 1) plus a
+    * piecewise-linear fraction within the binade — so every score is
+    * INTEGER arithmetic, bit-identical across engines and any
+    * parallelism (an IEEE log2 differs in ULPs between libms, which a
+    * hash gate cannot tolerate; in-cluster use can swap in `log2`).
+    * p = (c2+1)/(c1+V) add-one smoothing ⇒ q = ((c1+V)<<20) div
+    * (c2+1) ≥ 2^20, so millibits ≥ 0. Plan at 100 TB: bigram and
+    * unigram tables broadcast (vocab-bounded); one explode over the
+    * corpus; per-doc sums are map-side combined. */
+  def textPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val tk = graft.core.QueryCaches.track(
+      d.select(col("doc_id"), tokens(col("text")).as("tk")))
+    val uni = graft.ext.DedupOps.trackPersist(
+      tk.select(explode(col("tk")).as("w")).groupBy(col("w")).agg(count(lit(1)).as("c1")))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = tk.select(col("doc_id"), explode(expr(
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] AS w1, tk[i + 1] AS w2)) ELSE array() END")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    bi.join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(uni.select(col("w").as("w1"), col("c1"))), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("q", expr("((c1 + v) * 1048576) div (c2 + 1)"))
+      .withColumn("b", expr("length(bin(q)) - 1"))
+      .withColumn("mb", expr("CAST((b - 20) * 1000 AS BIGINT) + " +
+        "((q - shiftleft(CAST(1 AS BIGINT), b)) * 1000) div " +
+        "shiftleft(CAST(1 AS BIGINT), b)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("mb")).as("sum_millibits"))
+      .withColumn("avg_millibits", expr("sum_millibits div n_bigrams"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_perplexity" -> (textPerplexity _),
     "text_chunk" -> (textChunk _),
     "curate_chunk_dedup" -> (curateChunkDedup _),
     "text_heaps" -> (textHeaps _),
@@ -1244,6 +1286,29 @@ object TextQueries {
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |uni AS (SELECT w, COUNT(*) AS c1
+         |        FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY w),
+         |voc AS (SELECT COUNT(*) AS v FROM uni),
+         |bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+         |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |               i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS b
+         |             FROM tk)),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+         |sc AS (SELECT doc_id,
+         |         ((c1 + v) * 1048576) // (c2.c2 + 1) AS q
+         |       FROM bi JOIN c2 USING (w1, w2) JOIN uni ON bi.w1 = uni.w, voc),
+         |s2 AS (SELECT doc_id, q, length(bin(q)) - 1 AS b FROM sc),
+         |s3 AS (SELECT doc_id,
+         |         CAST((b - 20) * 1000 AS BIGINT)
+         |           + ((q - (CAST(1 AS BIGINT) << b)) * 1000)
+         |             // (CAST(1 AS BIGINT) << b) AS mb
+         |       FROM s2)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |       CAST(SUM(mb) AS BIGINT) AS sum_millibits,
+         |       CAST(SUM(mb) AS BIGINT) // COUNT(*) AS avg_millibits
+         |FROM s3 GROUP BY doc_id""".stripMargin,
     "text_chunk" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,

@@ -1146,6 +1146,38 @@ object GraftStream {
       }
   }
 
+  /** Streaming Welch experiment monitor — the unbounded twin of
+    * [[graft.queries.EventQueries.eventsWelch]]: each arriving
+    * (user, revenue-cents) observation folds into its arm's exact
+    * integer moment state (n, Σm, Σm² — three longs per arm, constant
+    * state, 2 keys total); every trigger emits the arm's updated
+    * moments, so the t²/df readout is a stateless 2-row compute
+    * downstream running the batch query's double expression tree —
+    * stream equals batch because integer addition is commutative
+    * across any trigger chunking. Input contract: ONE row per user
+    * (the per-user revenue fold happens upstream — e.g. a compacted
+    * CDC feed of user totals); the arm derives as user % 2, the same
+    * assignment as the batch row. Σm² in cents² holds ~1e9 users of
+    * 1e6-cent revenue under 2^63; the warehouse swap is a decimal
+    * accumulator. */
+  def welchUpdates(df: DataFrame, userCol: String,
+      valCol: String): Dataset[(Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select((col(userCol) % 2).cast("long").as("arm"),
+      col(valCol).cast("long").as("m")).as[(Long, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (arm: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (n, s1, s2) = state.getOption.getOrElse((0L, 0L, 0L))
+          rows.foreach { r => n += 1L; s1 += r._2; s2 += r._2 * r._2 }
+          state.update((n, s1, s2))
+          Iterator.single((arm, n, s1, s2))
+      }
+  }
+
   /** Streaming two-sided CUSUM drift chart — the unbounded twin of
     * [[graft.queries.EventQueries.eventsCusum]]: per key, state is
     * three longs (running deviation sum, its running min, its running

@@ -1273,6 +1273,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got\nbatch $batch")
   }
 
+  test("streaming Welch monitor: welchUpdates' final arm moments equal the batch fold") {
+    // Feed the per-user revenue relation (the batch query's own first
+    // fold) in shuffled thirds; the last emission per arm must carry
+    // exactly the batch (n, Σm, Σm²) whatever the chunking — the t²
+    // readout downstream is then bit-identical to events_welch.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val perUser = graft.queries.Tables.loadEvents(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = perUser.groupBy(_._1 % 2).map { case (arm, vs) =>
+      arm -> ((vs.size.toLong, vs.map(_._2).sum, vs.map(v => v._2 * v._2).sum))
+    }
+    val data = new scala.util.Random(13).shuffle(perUser)
+    val in = MemoryStream[(Long, Long)]
+    val df = in.toDF().toDF("user_id", "m")
+    val rows = new ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    val q = GraftStream.welchUpdates(df, "user_id", "m")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    data.grouped((data.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(Long, Long, Long, Long)])
+      .groupBy(_._1).map { case (arm, vs) =>
+        val last = vs.maxBy(_._2)
+        arm -> ((last._2, last._3, last._4))
+      }
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("streaming CUSUM chart: cusumUpdates equals the batch events_cusum rows") {
     // Order-dependent fold under the in-order contract: the gapfilled
     // per-(type, day) deviation rows arrive day-ordered in three
