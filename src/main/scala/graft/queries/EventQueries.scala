@@ -2233,7 +2233,43 @@ object EventQueries {
           "se_b * se_b / CAST(nb - 1 AS DOUBLE)) AS df")
   }
 
+  /** Cohort LTV curve — cumulative purchase revenue per user by weeks
+    * since acquisition, the revenue companion to [[eventsCohorts]]'s
+    * retention matrix (the two together are the standard growth
+    * dashboard). All-integer: cents folds, per-user milli-cents as one
+    * scaled integer division. Grain is (cohort-week, observed offset)
+    * — weeks with no revenue emit no row, the cumsum carries across.
+    * Plan at 100 TB: first-touch fold and the revenue join both key on
+    * user_id (co-partitioned, one logical shuffle); everything after
+    * lives on the calendar-bounded cohort × offset grid, where the
+    * cumsum window partitions by cohort week — never single-partition;
+    * cohort sizes broadcast onto the grid. */
+  def eventsLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.core.QueryCaches.track(
+      events(spark, sfDir).select(col("user_id"),
+        expr("ts div 604800000000000").as("week"),
+        col("event_type"), col("value")))
+    val firstW = graft.core.QueryCaches.track(
+      e.groupBy(col("user_id")).agg(min(col("week")).as("cw")))
+    val grid = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("week"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .join(firstW, "user_id")
+      .groupBy(col("cw"), (col("week") - col("cw")).as("off"))
+      .agg(sum(col("cents")).as("wk_cents"))
+    val sizes = firstW.groupBy(col("cw").as("s_cw"))
+      .agg(count(lit(1)).as("n_users"))
+    val w = Window.partitionBy(col("cw")).orderBy(col("off"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("cum_cents", sum(col("wk_cents")).over(w))
+      .join(broadcast(sizes), col("cw") === col("s_cw"))
+      .select(col("cw").as("cohort_week"), col("off").as("offset_weeks"),
+        col("n_users"), col("cum_cents"),
+        expr("(1000 * cum_cents) div n_users").as("ltv_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ltv" -> (eventsLtv _),
     "events_welch" -> (eventsWelch _),
     "events_dbscan" -> (eventsDbscan _),
     "events_power_users" -> (eventsPowerUsers _),
@@ -2328,6 +2364,25 @@ object EventQueries {
       |FROM i JOIN seas ON i.t = seas.t AND i.dow = seas.dow)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "events_ltv" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // 604800000000 AS week, event_type, value
+        |  FROM events),
+        |fw AS (SELECT user_id, MIN(week) AS cw FROM e GROUP BY user_id),
+        |grid AS (SELECT cw, week - cw AS off,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS wk_cents
+        |  FROM e JOIN fw USING (user_id)
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |sz AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM fw GROUP BY cw),
+        |c AS (SELECT grid.cw, off, n_users,
+        |    CAST(SUM(wk_cents) OVER (PARTITION BY grid.cw ORDER BY off
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM grid JOIN sz ON grid.cw = sz.cw)
+        |SELECT cw AS cohort_week, off AS offset_weeks, n_users, cum_cents,
+        |  (1000 * cum_cents) // n_users AS ltv_milli
+        |FROM c""".stripMargin,
     "events_welch" ->
       """WITH u AS (SELECT user_id % 2 AS arm,
         |    CAST(CAST(SUM(CASE WHEN event_type = 'purchase'

@@ -1415,6 +1415,48 @@ class StreamingSpec extends AnyFunSuite {
     graft.core.QueryCaches.release()
   }
 
+  test("streaming DBSCAN density grid by composition: sumUpdates equals the batch cell histogram") {
+    // The streaming feed of events_dbscan: per-user feature rows keyed
+    // by their grid cell "cx|cy|cz" (cell width = EPS, the same
+    // truncating div as the batch query) fold through the generic
+    // monotone-sum — the maintained per-cell counts ARE the density
+    // summary a periodic batch DBSCAN pass reads (micro-cluster
+    // maintenance; the clustering itself stays a batch repair path).
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val e = normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+        col("event_type"), col("value"))
+    val edge = e.agg(max(col("day")).as("d1"))
+    val cells = e.crossJoin(broadcast(edge)).groupBy(col("user_id")).agg(
+        (count(lit(1)) * lit(2500L)).as("x"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)).as("y"),
+        ((max(col("d1")) - max(col("day"))) * lit(25000L)).as("z"))
+      .selectExpr("concat(x div 6000, '|', y div 6000, '|', z div 6000) AS k")
+    val expected = cells.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val data = new scala.util.Random(7).shuffle(
+      cells.collect().map(_.getString(0)).toSeq)
+    val in = MemoryStream[String]
+    val df = in.toDF().toDF("k").withColumn("one", lit(1L))
+    val rows = new ConcurrentLinkedQueue[(String, Long, Long)]()
+    val q = GraftStream.sumUpdates(df, "k", "one")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    data.grouped((data.length + 1) / 2).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(String, Long, Long)])
+      .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._3)._2 }
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("streaming PAA series sketch by composition: sumUpdates equals the batch segment sums") {
     // events keyed "type|segment" (the events_series_sim PAA unit) fed
     // through the generic monotone-sum fold in three shuffled chunks:
