@@ -1986,7 +1986,48 @@ object Relational {
       .limit(25)
   }
 
+  /** Winsorized (P5/P95-clamped) mean order value per market segment —
+    * the robust-aggregation row: one extreme order no longer owns the
+    * segment average (the outlier complaint every revenue dashboard
+    * eventually files). Boundaries are EXACT order statistics selected
+    * by rank, but the rank is [[graft.ext.SkewOps.globalRank]] over
+    * (segment, price, key) — range-partitioned two-job rank, never a
+    * users-scale window; within-segment positions recover from the
+    * global rank minus a 5-row broadcast segment-offset relation
+    * (computed by a domain-bounded self-join, not a window). The 10
+    * boundary rows broadcast back onto the scan for the clamp; the
+    * winsorized mean folds decimal-exact. The oracle spells the
+    * per-segment row_number window this plan exists to avoid. */
+  def qWinsorized(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val c = load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val rows = graft.core.QueryCaches.track(
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderkey"),
+          col("o_totalprice")))
+    val counts = rows.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    val offsets = counts.alias("a")
+      .join(broadcast(counts.alias("b")), col("b.seg") < col("a.seg"), "left")
+      .groupBy(col("a.seg").as("seg"), col("a.n").as("n"))
+      .agg(coalesce(sum(col("b.n")), lit(0L)).as("off"))
+    val ranked = graft.ext.SkewOps.globalRank(
+      rows, Seq("seg", "o_totalprice", "o_orderkey"), "grk")
+    val bounds = ranked.join(broadcast(offsets), "seg")
+      .filter(col("grk") - col("off") === expr("1 + ((n - 1) * 5) div 100") ||
+        col("grk") - col("off") === expr("1 + ((n - 1) * 95) div 100"))
+      .groupBy(col("seg").as("b_seg"))
+      .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    rows.join(broadcast(bounds), col("seg") === col("b_seg"))
+      .select(col("seg"), col("lo"), col("hi"),
+        greatest(least(col("o_totalprice"), col("hi")), col("lo")).as("wv"))
+      .groupBy(col("seg"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_orders"), davg(col("wv")).as("wins_mean"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorized" -> (qWinsorized _),
     "q2_min_cost_supp" -> (q2MinCostSupp _),
     "q11_important_parts" -> (q11ImportantParts _),
     "q12_ship_delay" -> (q12ShipDelay _),
@@ -2061,6 +2102,26 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    // per-segment row_number window ON PURPOSE — the plan the engine's
+    // globalRank + offset spelling exists to avoid at scale
+    "q_winsorized" ->
+      """WITH rows_ AS (SELECT c_mktsegment AS seg, o_orderkey, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT seg, o_totalprice,
+        |    row_number() OVER (PARTITION BY seg
+        |      ORDER BY o_totalprice, o_orderkey) AS rk,
+        |    COUNT(*) OVER (PARTITION BY seg) AS n
+        |  FROM rows_),
+        |b AS (SELECT seg, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |  FROM r
+        |  WHERE rk = 1 + ((n - 1) * 5) // 100
+        |     OR rk = 1 + ((n - 1) * 95) // 100
+        |  GROUP BY seg)
+        |SELECT r2.seg, lo, hi, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(GREATEST(LEAST(o_totalprice, hi), lo)
+        |    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS wins_mean
+        |FROM rows_ r2 JOIN b ON r2.seg = b.seg
+        |GROUP BY r2.seg, lo, hi""".stripMargin,
     "q2_min_cost_supp" ->
       """WITH supply AS (
         |  SELECT l_partkey, l_suppkey,

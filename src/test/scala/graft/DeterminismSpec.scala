@@ -79,7 +79,9 @@ class DeterminismSpec extends AnyFunSuite {
     // TPC-H completion block (round 12) with partitioning-sensitive shapes:
     "q2_min_cost_supp",  // double-equality min-cost self-join + top-100
     "q11_important_parts", // 1-row broadcast threshold vs decimal folds
-    "q21_waiting_supp")  // semi/anti self-join chain + count rank order
+    "q21_waiting_supp",  // semi/anti self-join chain + count rank order
+    "events_dbscan",     // grid candidate join + label fixpoint + min-rep
+    "q_winsorized")      // globalRank boundary pick + broadcast clamp
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
