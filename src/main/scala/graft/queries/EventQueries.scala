@@ -945,6 +945,60 @@ object EventQueries {
           .as("r2_milli_signed"))
   }
 
+  /** Dominant-period detection per event type — [[eventsAcf]] taken to
+    * its decision: for each type's gap-filled daily count series, the
+    * lag in 2..14 days maximizing the signed autocorrelation r² (ties →
+    * the SHORTEST lag, the harmonic-root convention) is the cycle a
+    * seasonal model should key on — the automated readout behind
+    * "weekly pattern?" that [[eventsSeasonal]] assumes rather than
+    * tests. Same all-integer moment spelling as the ACF row. Scale:
+    * the grid is (types × calendar days) — domain-bounded, never
+    * events-scale — built from a 1-row bounds broadcast; the argmax
+    * window partitions BY TYPE (13 candidate rows per partition, no
+    * global sort anywhere). */
+  def eventsPeriodicity(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("CAST(datediff(CAST(timestamp_micros(ts div 1000) AS DATE), " +
+          "DATE '1970-01-01') AS BIGINT)").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val days = bounds.select(explode(expr("sequence(lo, hi)")).as("d"))
+    val types = daily.select(col("event_type")).distinct()
+    val grid = graft.core.QueryCaches.track(
+      types.crossJoin(broadcast(days))
+        .join(daily, Seq("event_type", "d"), "left")
+        .select(col("event_type"), col("d"), coalesce(col("n"), lit(0L)).as("x")))
+    val lags = spark.range(2, 15).select(col("id").as("lag"))
+    val scored = grid.crossJoin(broadcast(lags))
+      .select(col("event_type"), col("lag"), col("x"), (col("d") + col("lag")).as("d2"))
+      .join(grid.select(col("event_type"), col("d").as("d2"), col("x").as("y")),
+        Seq("event_type", "d2"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n_pairs") * col("sxx") - col("sx") * col("sx")).as("denx"),
+        (col("n_pairs") * col("syy") - col("sy") * col("sy")).as("deny"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        when(col("denx") === 0L || col("deny") === 0L, lit(null).cast("bigint"))
+          .otherwise(signum(col("num")).cast("bigint") *
+            expr("CAST((CAST(1000 AS DECIMAL(38,0)) * CAST(num AS DECIMAL(38,0)) * " +
+              "CAST(num AS DECIMAL(38,0))) div " +
+              "(CAST(denx AS DECIMAL(38,0)) * CAST(deny AS DECIMAL(38,0))) AS BIGINT)"))
+          .as("r2_milli_signed"))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("r2_milli_signed").desc_nulls_last, col("lag"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("lag").as("best_lag"),
+        col("n_pairs"), col("r2_milli_signed"))
+  }
+
   /** A/B conversion test — the experimentation readout the event pillar
     * was missing: users split into two arms by id parity (deterministic,
     * content-keyed — the same no-RNG stance as curate_pps_sample),
@@ -2300,6 +2354,7 @@ object EventQueries {
     "events_spikes" -> (eventsSpikes _),
     "events_trend" -> (eventsTrend _),
     "events_acf" -> (eventsAcf _),
+    "events_periodicity" -> (eventsPeriodicity _),
     "events_cusum" -> (eventsCusum _),
     "events_seasonal" -> (eventsSeasonal _),
     "events_seasonal_anomaly" -> (eventsSeasonalAnomaly _),
@@ -2644,6 +2699,48 @@ object EventQueries {
         |           (CAST(denx AS HUGEINT) * CAST(deny AS HUGEINT)) AS BIGINT)
         |  END AS r2_milli_signed
         |FROM ing""".stripMargin,
+    "events_periodicity" ->
+      """WITH daily AS (SELECT event_type,
+        |                      CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |                      CAST(COUNT(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+        |days AS (SELECT CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS d FROM b),
+        |types AS (SELECT DISTINCT event_type FROM daily),
+        |grid AS (SELECT t.event_type, days.d, COALESCE(daily.n, 0) AS x
+        |         FROM types t JOIN days ON TRUE
+        |         LEFT JOIN daily ON daily.event_type = t.event_type
+        |           AND daily.d = days.d),
+        |lags AS (SELECT CAST(unnest(range(2, 15)) AS BIGINT) AS lag),
+        |p AS (SELECT s1.event_type, l.lag, s1.x AS x, s2.x AS y
+        |      FROM lags l
+        |      JOIN grid s1 ON TRUE
+        |      JOIN grid s2 ON s2.event_type = s1.event_type
+        |        AND s2.d = s1.d + l.lag),
+        |agg AS (SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |          CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |          CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |          CAST(SUM(y * y) AS BIGINT) AS syy
+        |        FROM p GROUP BY 1, 2),
+        |ing AS (SELECT event_type, lag, n_pairs,
+        |          n_pairs * sxy - sx * sy AS num,
+        |          n_pairs * sxx - sx * sx AS denx,
+        |          n_pairs * syy - sy * sy AS deny
+        |        FROM agg),
+        |sc AS (SELECT event_type, lag, n_pairs,
+        |         CASE WHEN denx = 0 OR deny = 0 THEN NULL
+        |              ELSE CAST(sign(num) AS BIGINT) *
+        |                CAST(CAST(1000 AS HUGEINT) * CAST(num AS HUGEINT) *
+        |                  CAST(num AS HUGEINT) //
+        |                  (CAST(denx AS HUGEINT) * CAST(deny AS HUGEINT)) AS BIGINT)
+        |         END AS r2_milli_signed
+        |       FROM ing)
+        |SELECT event_type, lag AS best_lag, n_pairs, r2_milli_signed
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY r2_milli_signed DESC NULLS LAST, lag) AS rk
+        |      FROM sc)
+        |WHERE rk = 1""".stripMargin,
     "events_abtest" ->
       """WITH np AS (SELECT user_id,
         |              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np

@@ -348,7 +348,66 @@ object MultimodalQueries {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Modality-mix data card — the corpus composition report a
+    * multimodal training run opens with: blobs carry a typed modality
+    * annotation (here derived `doc_id % 3` → image/audio/video, the
+    * deterministic stand-in for real container sniffing), and each
+    * modality reports volume (blob count, total/max bytes), the
+    * within-modality EXACT-dup rate off the md5 content key, and its
+    * byte share of the corpus in per-mille. Scale: one scan folds to
+    * (modality, md5) with map-side combine — the blob never crosses a
+    * shuffle, only 16-byte keys do (the [[mmDedup]] posture); the
+    * 3-row modality rollup then takes the corpus total as a 1-row
+    * broadcast. */
+  def mmModalMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val tagged = bin(spark, sfDir).select(
+      expr("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE 'video' END").as("modality"),
+      length(col("content")).cast("bigint").as("n_bytes"),
+      md5(col("content")).as("h"))
+    val perHash = tagged.groupBy(col("modality"), col("h"))
+      .agg(count(lit(1)).as("c"), sum(col("n_bytes")).as("b"))
+    val mix = graft.core.QueryCaches.track(
+      perHash.groupBy(col("modality"))
+        .agg(sum(col("c")).as("n_blobs"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("b")).cast("bigint").as("total_bytes"),
+          max(expr("b div c")).as("max_bytes")))
+    val tot = mix.agg(sum(col("total_bytes")).cast("bigint").as("t"))
+    mix.crossJoin(broadcast(tot))
+      .select(col("modality"), col("n_blobs"), col("n_distinct"),
+        expr("(1000 * (n_blobs - n_distinct)) div n_blobs").as("dup_milli"),
+        col("total_bytes"), col("max_bytes"),
+        expr("(1000 * total_bytes) div t").as("byte_share_milli"))
+  }
+
+  /** Dominant byte-bin profile — the codec-free analog of a
+    * dominant-color report: each blob's 16-bin byte histogram
+    * ([[MultimodalOps.byteHistCounts]], the all-integer codegen
+    * kernel) is reduced to its argmax bin (ties → lowest bin, the
+    * first-occurrence contract both engines share) with the bin's
+    * per-mille share of the blob, then the corpus rolls up per
+    * dominant bin — how many blobs each byte-range dominates and how
+    * concentrated they are. Scale: the kernel runs inside the scan
+    * partition (blob never shuffles, a 16-long array + 2 scalars do);
+    * the rollup is a ≤16-group map-side-combined aggregate. */
+  def mmDominantBin(spark: SparkSession, sfDir: String): DataFrame =
+    bin(spark, sfDir)
+      .select(col("doc_id"),
+        length(col("content")).cast("bigint").as("n_bytes"),
+        MultimodalOps.byteHistCounts(col("content"), 16).as("counts"))
+      .select(col("doc_id"), col("n_bytes"),
+        expr("array_position(counts, array_max(counts)) - 1").as("dominant_bin"),
+        expr("array_max(counts)").as("c_max"))
+      .groupBy(col("dominant_bin"))
+      .agg(count(lit(1)).as("n_blobs"),
+        min(col("doc_id")).as("first_doc"),
+        expr("CAST(SUM((c_max * 1000) div greatest(n_bytes, 1)) AS BIGINT) div COUNT(*)")
+          .as("avg_share_milli"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_modal_mix" -> (mmModalMix _),
+    "mm_dominant_bin" -> (mmDominantBin _),
     "mm_batch_pack" -> (mmBatchPack _),
     "mm_cdc_chunks" -> (mmCdcChunks _),
     "mm_chunk_overlap" -> (mmChunkOverlap _),
@@ -559,6 +618,42 @@ object MultimodalQueries {
          |FROM b_t a JOIN b_t b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ph, b.ph)) <= 2""".stripMargin,
+    "mm_modal_mix" ->
+      """WITH t AS (SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |             ELSE 'video' END AS modality,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |             md5(text) AS h
+        |           FROM documents),
+        |ph AS (SELECT modality, h, CAST(COUNT(*) AS BIGINT) AS c,
+        |         CAST(SUM(n_bytes) AS BIGINT) AS b
+        |       FROM t GROUP BY modality, h),
+        |mix AS (SELECT modality, CAST(SUM(c) AS BIGINT) AS n_blobs,
+        |          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |          CAST(SUM(b) AS BIGINT) AS total_bytes,
+        |          CAST(MAX(b // c) AS BIGINT) AS max_bytes
+        |        FROM ph GROUP BY modality),
+        |tot AS (SELECT CAST(SUM(total_bytes) AS BIGINT) AS t FROM mix)
+        |SELECT modality, n_blobs, n_distinct,
+        |  (1000 * (n_blobs - n_distinct)) // n_blobs AS dup_milli,
+        |  total_bytes, max_bytes,
+        |  (1000 * total_bytes) // t AS byte_share_milli
+        |FROM mix, tot""".stripMargin,
+    "mm_dominant_bin" ->
+      s"""WITH c AS (SELECT doc_id, $cpsSql AS cps FROM documents),
+         |h AS (SELECT doc_id, CAST(len(cps) AS BIGINT) AS n_bytes,
+         |        list_transform(range(0, 16),
+         |          b -> CAST(len(list_filter(cps, x -> x // 16 = b)) AS BIGINT)) AS counts
+         |      FROM c),
+         |d AS (SELECT doc_id, n_bytes,
+         |        CAST(list_position(counts, list_aggregate(counts, 'max')) - 1
+         |          AS BIGINT) AS dominant_bin,
+         |        CAST(list_aggregate(counts, 'max') AS BIGINT) AS c_max
+         |      FROM h)
+         |SELECT dominant_bin, CAST(COUNT(*) AS BIGINT) AS n_blobs,
+         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+         |  CAST(SUM((c_max * 1000) // greatest(n_bytes, 1)) AS BIGINT)
+         |    // CAST(COUNT(*) AS BIGINT) AS avg_share_milli
+         |FROM d GROUP BY dominant_bin""".stripMargin,
     "mm_dedup" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents
         |                UNION ALL SELECT doc_id + 1000000, text FROM documents)

@@ -1781,6 +1781,54 @@ object Relational {
         col("actual_join_rows"))
   }
 
+  /** AMS (tug-of-war) SELF-join-size estimation — the second-moment
+    * companion to [[qJoinCardEst]]'s KMV estimator: F2 = Σ_k c_k² over
+    * the `l_orderkey` frequency vector IS |lineitem ⋈ lineitem| on the
+    * key, the quantity that prices a self-join (and, normalized, the
+    * skew of any shuffle on that key) without ever materializing the
+    * per-key counts at the coordinator. One pass, NO group-by: 24
+    * independent ±1 counters Z_j = Σ_rows s_j(key) fold as plain
+    * conditional sums inside a single hash-free aggregate (map-side
+    * partials are 24 longs per task — the sketch property that makes
+    * this free at 100 TB), then E[Z²] = F2 is stabilized
+    * mean-of-8 × median-of-3 (Alon-Matias-Szegedy's exact recipe).
+    * Sign hash s_j = 1 − 2·((key·a_j + b_j) mod P mod 2) is integer
+    * arithmetic both engines spell identically; Z² partials ride
+    * DECIMAL(38,0) (worst-case Z = n overflows int64 at 100 TB row
+    * counts even though typical Z ~ √F2 does not). The exact F2 —
+    * reported beside the estimate, the sketch-beside-truth calibration
+    * pattern — needs the real per-key counts: map-side-combined
+    * groupBy, Σ c² with decimal partials. Median-of-3 is spelled
+    * sum − min − max (engine-neutral, no array ordering semantics). */
+  def qF2SelfjoinEst(spark: SparkSession, sfDir: String): DataFrame = {
+    val P = 1000000007L
+    def a(j: Int) = 104729L + 7919L * j
+    def b(j: Int) = 7L + 13L * j
+    val rows = load(spark, sfDir, "lineitem").select(col("l_orderkey").as("key"))
+    val zCols = (0 until 24).map { j =>
+      sum(expr(s"1 - 2 * (((key * ${a(j)}) + ${b(j)}) % $P % 2)")).as(s"z$j")
+    }
+    val sketch = rows.agg(count(lit(1)).as("n_rows"), zCols: _*)
+    val ests = sketch.select((col("n_rows") +: (0 until 3).map { g =>
+      val sq = (8 * g until 8 * g + 8)
+        .map(j => s"CAST(z$j AS DECIMAL(38,0)) * z$j").mkString(" + ")
+      expr(s"CAST(($sq) div 8 AS BIGINT)").as(s"est_g$g")
+    }): _*)
+    val exact = rows.groupBy(col("key")).agg(count(lit(1)).as("c"))
+      .agg(expr("CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT)").as("exact_f2"))
+    ests.crossJoin(broadcast(exact))
+      .withColumn("est_f2", expr(
+        "est_g0 + est_g1 + est_g2 - greatest(est_g0, est_g1, est_g2) " +
+          "- least(est_g0, est_g1, est_g2)"))
+      .withColumn("err_permille", expr(
+        "CAST(signum(est_f2 - exact_f2) AS BIGINT) * " +
+          "(CAST(abs(CAST(est_f2 AS DECIMAL(38,0)) - exact_f2) * 1000 AS DECIMAL(38,0)) " +
+          "div CAST(exact_f2 AS DECIMAL(38,0)))"))
+      .select(col("n_rows"), col("est_g0"), col("est_g1"), col("est_g2"),
+        col("est_f2"), col("exact_f2"),
+        col("err_permille").cast("bigint").as("err_permille"))
+  }
+
   // ---- TPC-H completion block (Q2/Q11/Q12/Q16/Q20/Q21 adapted to the
   // reduced schema: no partsupp/shipmode/commitdate, so each query keeps
   // its CANONICAL PLAN SHAPE — correlated min, scalar-subquery having,
@@ -2039,6 +2087,7 @@ object Relational {
     "q_eager_agg" -> (qEagerAgg _),
     "q_semijoin_reduce" -> (qSemijoinReduce _),
     "q_join_card_est" -> (qJoinCardEst _),
+    "q_f2_selfjoin_est" -> (qF2SelfjoinEst _),
     "q_partition_skew" -> (qPartitionSkew _),
     "q_erasure_manifest" -> (qErasureManifest _),
     "q_bitmap_index" -> (qBitmapIndex _),
@@ -2316,6 +2365,36 @@ object Relational {
         |    AS est_join_rows,
         |  actual_join_rows
         |FROM s, th, act, nu""".stripMargin,
+    "q_f2_selfjoin_est" -> {
+      val zDefs = (0 until 24).map { j =>
+        val a = 104729L + 7919L * j; val b = 7L + 13L * j
+        s"SUM(1 - 2 * ((((key * $a) + $b) % 1000000007) % 2)) AS z$j"
+      }.mkString(",\n        ")
+      val estDefs = (0 until 3).map { g =>
+        val sq = (8 * g until 8 * g + 8)
+          .map(j => s"CAST(z$j AS HUGEINT) * z$j").mkString(" + ")
+        s"CAST(($sq) // 8 AS BIGINT) AS est_g$g"
+      }.mkString(",\n        ")
+      s"""WITH r AS (SELECT l_orderkey AS key FROM lineitem),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |        $zDefs
+        |      FROM r),
+        |e AS (SELECT n_rows,
+        |        $estDefs
+        |      FROM s),
+        |x AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS exact_f2
+        |      FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey)),
+        |m AS (SELECT n_rows, est_g0, est_g1, est_g2,
+        |        est_g0 + est_g1 + est_g2 - greatest(est_g0, est_g1, est_g2)
+        |          - least(est_g0, est_g1, est_g2) AS est_f2,
+        |        exact_f2
+        |      FROM e, x)
+        |SELECT n_rows, est_g0, est_g1, est_g2, est_f2, exact_f2,
+        |  CAST(sign(est_f2 - exact_f2) AS BIGINT) *
+        |    CAST((abs(CAST(est_f2 AS HUGEINT) - exact_f2) * 1000)
+        |      // CAST(exact_f2 AS HUGEINT) AS BIGINT) AS err_permille
+        |FROM m""".stripMargin
+    },
     "q_erasure_manifest" ->
       """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0),
         |o AS (SELECT c_custkey, o_orderkey

@@ -126,6 +126,52 @@ object TextQueries {
       .select(col("b").as("log2_docs"), col("n_new"), col("vocab_cum"))
   }
 
+  /** Zipf's-law slope of the token frequency distribution — the
+    * scaling-law companion to [[textHeaps]] on the FREQUENCY axis: a
+    * natural corpus has log f ≈ −s·log r + c over the head ranks with
+    * s ≈ 1; a flattened slope means templated/duplicated text, a steep
+    * one a vocabulary collapse — the one-row corpus fingerprint a
+    * curation dashboard tracks per source drop. OLS over
+    * (log2 rank, log2 freq) for the top-64 tokens, every term INTEGER:
+    * both logs ride the millibit fast-log (binade floor-log2 +
+    * piecewise-linear fraction, the [[textPerplexity]] kernel), the
+    * slope is sign·(|n·Σxy − ΣxΣy|·1000 div (n·Σx² − (Σx)²)) and the
+    * fit quality r² the [[qCorrStats]] two-step division — so the row
+    * is bit-exact cross-engine with no library log anywhere. Scale:
+    * wordcount with map-side combine, and the top-64 rank filter stays
+    * on the UNCAST row_number so it plans as a partial top-k
+    * (TakeOrderedAndProject — each task forwards 64 rows, the
+    * vocabulary never sorts in one partition); everything after is a
+    * 64-row fold. */
+  def textZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    def mb(q: String): String =
+      s"CAST((length(bin($q)) - 1 - 20) * 1000 AS BIGINT) + " +
+        s"(($q - shiftleft(CAST(1 AS BIGINT), length(bin($q)) - 1)) * 1000) div " +
+        s"shiftleft(CAST(1 AS BIGINT), length(bin($q)) - 1)"
+    val freq = load(spark, sfDir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val top = freq
+      .withColumn("rk0", row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+      .filter(col("rk0") <= 64)
+      .select(col("rk0").cast("bigint").as("rank"), col("cnt"))
+      .withColumn("x", expr(mb("(rank * 1048576)")))
+      .withColumn("y", expr(mb("(cnt * 1048576)")))
+    top.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_tokens"),
+        expr("n * sxy - sx * sy").as("num"),
+        expr("n * sxx - sx * sx").as("denx"),
+        expr("n * syy - sy * sy").as("deny"))
+      .select(col("n_tokens"),
+        expr("CAST(signum(num) AS BIGINT) * ((abs(num) * 1000) div denx)")
+          .as("slope_milli"),
+        expr("CASE WHEN deny = 0 THEN NULL ELSE " +
+          "CAST(((1000 * abs(num) div denx) * abs(num)) div deny AS BIGINT) END")
+          .as("r2_milli"))
+  }
+
   /** Heuristic language ID (marker-token argmax) vs. the labeled lang. */
   def textLangId(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = load(spark, sfDir, "documents")
@@ -1218,6 +1264,7 @@ object TextQueries {
     "text_chunk" -> (textChunk _),
     "curate_chunk_dedup" -> (curateChunkDedup _),
     "text_heaps" -> (textHeaps _),
+    "text_zipf" -> (textZipf _),
     "text_rake" -> (textRake _),
     "text_langid_confusion" -> (textLangidConfusion _),
     "curate_data_card" -> (curateDataCard _),
@@ -1905,6 +1952,40 @@ object TextQueries {
          |       WHEN wps_milli < 12000 AND spw_milli < 1300 THEN 'easy'
          |       ELSE 'mid' END AS band
          |FROM m""".stripMargin,
+    "text_zipf" -> {
+      def mbSql(q: String): String =
+        s"CAST((length(bin($q)) - 1 - 20) * 1000 AS BIGINT) + " +
+          s"(($q - (CAST(1 AS BIGINT) << (length(bin($q)) - 1))) * 1000) // " +
+          s"(CAST(1 AS BIGINT) << (length(bin($q)) - 1))"
+      s"""WITH freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+         |        FROM (SELECT unnest($toksSql) AS token FROM documents)
+         |        GROUP BY token),
+         |top AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+         |          AS rank, cnt
+         |        FROM freq QUALIFY rank <= 64),
+         |m AS (SELECT ${mbSql("(rank * 1048576)")} AS x,
+         |             ${mbSql("(cnt * 1048576)")} AS y
+         |      FROM top),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |        CAST(SUM(y * y) AS BIGINT) AS syy
+         |      FROM m),
+         |d AS (SELECT n_tokens,
+         |        n_tokens * sxy - sx * sy AS num,
+         |        n_tokens * sxx - sx * sx AS denx,
+         |        n_tokens * syy - sy * sy AS deny
+         |      FROM s)
+         |SELECT n_tokens,
+         |  CAST(sign(num) AS BIGINT) * CAST((abs(CAST(num AS HUGEINT)) * 1000)
+         |    // CAST(denx AS HUGEINT) AS BIGINT) AS slope_milli,
+         |  CASE WHEN deny = 0 THEN NULL ELSE
+         |    CAST(((1000 * abs(CAST(num AS HUGEINT)) // CAST(denx AS HUGEINT))
+         |      * abs(CAST(num AS HUGEINT))) // CAST(deny AS HUGEINT) AS BIGINT) END
+         |    AS r2_milli
+         |FROM d""".stripMargin
+    },
     "text_token_freq" ->
       """SELECT rank, token, cnt FROM (
         |  SELECT token, cnt,
