@@ -1178,6 +1178,50 @@ object GraftStream {
       }
   }
 
+  /** Streaming AMS second-moment monitor — the unbounded twin of
+    * [[graft.queries.Relational.qF2SelfjoinEst]]: per stream key
+    * (e.g. event type), state is the 24 tug-of-war counters
+    * Z_j = Σ s_j(v) over every value seen — ±1 increments with the
+    * SAME sign hash as the batch row, so the estimate converges to the
+    * batch one on the same data regardless of trigger chunking (the
+    * counters are plain sums — commutative). Each trigger emits the
+    * refreshed mean-of-8 / median-of-3 estimate of F2 = Σ_k c_k², the
+    * live self-join-size / key-skew gauge for the value column — what
+    * a streaming planner consults before choosing a join strategy on
+    * an unbounded feed. State is 25 longs per key, constant; z² stays
+    * under int64 while a key has < ~3e9 rows (the batch row's decimal
+    * swap applies past that). */
+  def f2Updates(df: DataFrame, keyCol: String,
+      valCol: String): Dataset[(String, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(keyCol).cast("string").as("k"),
+      col(valCol).cast("long").as("v")).as[(String, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Long, Seq[Long])]) =>
+          val st = state.getOption.getOrElse((0L, Seq.fill(24)(0L)))
+          var n = st._1
+          val z = st._2.toArray
+          rows.foreach { r =>
+            n += 1L
+            var j = 0
+            while (j < 24) {
+              val h = (r._2 * (104729L + 7919L * j) + (7L + 13L * j)) % 1000000007L
+              z(j) += 1L - 2L * (h % 2L)
+              j += 1
+            }
+          }
+          state.update((n, z.toSeq))
+          val ests = (0 until 3).map { g =>
+            (8 * g until 8 * g + 8).map(j => z(j) * z(j)).sum / 8L
+          }
+          Iterator.single((key, n, ests.sorted.apply(1)))
+      }
+  }
+
   /** Streaming two-sided CUSUM drift chart — the unbounded twin of
     * [[graft.queries.EventQueries.eventsCusum]]: per key, state is
     * three longs (running deviation sum, its running min, its running

@@ -81,7 +81,12 @@ class DeterminismSpec extends AnyFunSuite {
     "q11_important_parts", // 1-row broadcast threshold vs decimal folds
     "q21_waiting_supp",  // semi/anti self-join chain + count rank order
     "events_dbscan",     // grid candidate join + label fixpoint + min-rep
-    "q_winsorized")      // globalRank boundary pick + broadcast clamp
+    "q_winsorized",      // globalRank boundary pick + broadcast clamp
+    // round-12 close additions with partitioning-sensitive machinery:
+    "q_f2_selfjoin_est", // 24 sign-hash counters in one hash-free fold
+    "text_zipf",         // partial top-64 rank with declared tiebreak
+    "events_periodicity", // per-type argmax window over the lag grid
+    "mm_dominant_bin")   // argmax-of-histogram kernel + 16-group rollup
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1311,6 +1311,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("streaming AMS F2 monitor: f2Updates' final estimate equals the batch fold") {
+    // Feed (event_type, user_id) pairs in shuffled thirds; the last
+    // emission per type must carry exactly the batch AMS estimate
+    // (24 counters -> mean-of-8 / median-of-3) whatever the chunking —
+    // the counters are plain sums, so order and trigger boundaries
+    // cannot move the result.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val pairs = graft.queries.Tables.loadEvents(spark, dir)
+      .select(col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    def sign(v: Long, j: Int): Long =
+      1L - 2L * ((v * (104729L + 7919L * j) + (7L + 13L * j)) % 1000000007L % 2L)
+    val expected = pairs.groupBy(_._1).map { case (t, vs) =>
+      val z = Array.tabulate(24)(j => vs.map(v => sign(v._2, j)).sum)
+      val ests = (0 until 3).map(g => (8 * g until 8 * g + 8).map(j => z(j) * z(j)).sum / 8L)
+      t -> ((vs.size.toLong, ests.sorted.apply(1)))
+    }
+    val data = new scala.util.Random(29).shuffle(pairs)
+    val in = MemoryStream[(String, Long)]
+    val df = in.toDF().toDF("event_type", "user_id")
+    val rows = new ConcurrentLinkedQueue[(String, Long, Long)]()
+    val q = GraftStream.f2Updates(df, "event_type", "user_id")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    data.grouped((data.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(String, Long, Long)])
+      .groupBy(_._1).map { case (t, vs) =>
+        val last = vs.maxBy(_._2)
+        t -> ((last._2, last._3))
+      }
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("streaming CUSUM chart: cusumUpdates equals the batch events_cusum rows") {
     // Order-dependent fold under the in-order contract: the gapfilled
     // per-(type, day) deviation rows arrive day-ordered in three
