@@ -39,6 +39,45 @@ class PlanSpec extends AnyFunSuite {
       s"kernel projection must run inside whole-stage codegen:\n$p")
   }
 
+  test("q_f2_selfjoin_est: hash-free sketch fold — one agg exchange pair, no join on the sketch side") {
+    val p = plan("q_f2_selfjoin_est")
+    // 24 counters fold in TWO ungrouped aggregates (sketch + exact-F2
+    // total) and one keyed aggregate (exact per-key counts): at most
+    // those exchanges, nothing sorts, and the stitch is the 1-row
+    // broadcast.
+    assert(nOps(p, "Sort") == 0, s"nothing in the F2 row may sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row exact side must broadcast into the stitch:\n$p")
+    assert(nOps(p, "Window") == 0, s"no window anywhere:\n$p")
+  }
+
+  test("text_zipf: top-64 rank plans as a partial top-k, never a vocabulary sort") {
+    val p = plan("text_zipf")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"),
+      s"the uncast rank filter must push a partial top-64:\n$p")
+  }
+
+  test("events_periodicity: argmax window partitions by type — never a global sort") {
+    val p = plan("events_periodicity")
+    // the only SinglePartition allowed is the 1-row calendar-bounds
+    // aggregate; the argmax window itself must be keyed by event_type
+    // (WindowAuditSpec enforces the general no-global-window rule).
+    assert(p.contains("windowspecdefinition(event_type"),
+      s"argmax window must partition by event_type:\n$p")
+    assert(nOps(p, "Window") - nOps(p, "WindowGroupLimit") == 1,
+      s"one argmax window only:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the rk=1 filter must push a per-type partial rank limit:\n$p")
+    graft.core.QueryCaches.release()
+  }
+
+  test("mm_dominant_bin: kernel argmax inside the scan partition — zero joins, one rollup exchange") {
+    val p = plan("mm_dominant_bin")
+    assert(p.contains("graft_byte_hist_counts"), p)
+    assert(nOps(p, "Exchange") == 1, s"blob never shuffles; only the 16-group rollup does:\n$p")
+    assert(nOps(p, "Generate") == 0, s"no char/byte explode — the kernel is one call:\n$p")
+  }
+
   test("sim_link_predict: wedge equi-joins + partial global top-k, never all-pairs") {
     val p = plan("sim_link_predict")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
