@@ -303,6 +303,19 @@ object HashExprs {
     override def prettyName: String = "graft_char_entropy_bound"
   }
 
+  /** Millibit fast-log — see [[HashKernels.log2Millis]] for semantics,
+    * domain and the `length(bin(q)) − 1` oracle spelling. LONG → LONG,
+    * one static call, codegen'd. */
+  case class Log2MillisExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.log2Millis(input.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.log2Millis($c)")
+    override protected def withNewChildInternal(c: Expression): Log2MillisExpr = copy(child = c)
+    override def prettyName: String = "graft_log2_millis"
+  }
+
   /** Content-defined chunk fingerprints — see
     * [[HashKernels.cdcChunkFps]] for semantics and the oracle
     * spelling. `w`/`mask` are plan-time constants (chunking policy,
@@ -336,6 +349,7 @@ object HashExprs {
   // ---- Column-facing wrappers --------------------------------------
   def fingerprint(c: Column): Column = toColumn(FingerprintExpr(toExpression(c)))
   def charEntropyBound(s: Column): Column = toColumn(CharEntropyBoundExpr(toExpression(s)))
+  def log2Millis(q: Column): Column = toColumn(Log2MillisExpr(toExpression(q)))
   def cdcChunkFps(s: Column, w: Int, mask: Long): Column =
     toColumn(CdcChunkFpsExpr(toExpression(s), w, mask))
   def varintCost(series: Column): Column = toColumn(VarintCostExpr(toExpression(series)))

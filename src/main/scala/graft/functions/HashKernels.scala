@@ -562,6 +562,24 @@ object HashKernels {
     new GenericArrayData(Array(n, counts.size.toLong, bound))
   }
 
+  /** Millibit fast-log: the integer log2 every scoring query shares —
+    * whole bits from the binade (floor-log2 = 63 − nlz(q), identical
+    * to the `length(bin(q)) − 1` oracle spelling for q ≥ 1) plus the
+    * classic piecewise-linear fraction within the binade:
+    * `b·1000 + ((q − 2^b)·1000) div 2^b`. Exactly the arithmetic of
+    * graft.queries.TextQueries.textPerplexity/textZipf, centralized —
+    * bit-identical across engines and any parallelism (a libm log2
+    * differs in ULPs, which a hash gate cannot tolerate). Domain:
+    * 1 ≤ q < 2^53 (the fraction product `(q − 2^b)·1000` must stay in
+    * int64; every caller scales by 2^20 so real inputs sit far below).
+    * q ≤ 0 returns Long.MinValue (callers guard; NULL-ish sentinel
+    * keeps the kernel branch-predictable). */
+  def log2Millis(q: Long): Long = {
+    if (q <= 0L) return Long.MinValue
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(q)
+    b * 1000L + ((q - (1L << b)) * 1000L) / (1L << b)
+  }
+
   /** Content-defined chunk fingerprints (LBFS/rsync-family CDC) — the
     * storage-dedup primitive: the code-point stream is CUT after
     * position i (i ≥ w−1, never the last position) whenever the

@@ -144,10 +144,7 @@ object TextQueries {
     * vocabulary never sorts in one partition); everything after is a
     * 64-row fold. */
   def textZipf(spark: SparkSession, sfDir: String): DataFrame = {
-    def mb(q: String): String =
-      s"CAST((length(bin($q)) - 1 - 20) * 1000 AS BIGINT) + " +
-        s"(($q - shiftleft(CAST(1 AS BIGINT), length(bin($q)) - 1)) * 1000) div " +
-        s"shiftleft(CAST(1 AS BIGINT), length(bin($q)) - 1)"
+    import graft.functions.HashExprs.log2Millis
     val freq = load(spark, sfDir, "documents")
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
@@ -155,8 +152,8 @@ object TextQueries {
       .withColumn("rk0", row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
       .filter(col("rk0") <= 64)
       .select(col("rk0").cast("bigint").as("rank"), col("cnt"))
-      .withColumn("x", expr(mb("(rank * 1048576)")))
-      .withColumn("y", expr(mb("(cnt * 1048576)")))
+      .withColumn("x", log2Millis(col("rank") * lit(1048576L)) - lit(20000L))
+      .withColumn("y", log2Millis(col("cnt") * lit(1048576L)) - lit(20000L))
     top.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
@@ -1250,10 +1247,11 @@ object TextQueries {
       .join(broadcast(uni.select(col("w").as("w1"), col("c1"))), "w1")
       .crossJoin(broadcast(vocab))
       .withColumn("q", expr("((c1 + v) * 1048576) div (c2 + 1)"))
-      .withColumn("b", expr("length(bin(q)) - 1"))
-      .withColumn("mb", expr("CAST((b - 20) * 1000 AS BIGINT) + " +
-        "((q - shiftleft(CAST(1 AS BIGINT), b)) * 1000) div " +
-        "shiftleft(CAST(1 AS BIGINT), b)"))
+      // surprisal in millibits off the shared codegen fast-log kernel
+      // (bit-identical to the oracle's length(bin(q))−1 spelling);
+      // −20000 re-centers for the 2^20 probability scale.
+      .withColumn("mb",
+        graft.functions.HashExprs.log2Millis(col("q")) - lit(20000L))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("mb")).as("sum_millibits"))
       .withColumn("avg_millibits", expr("sum_millibits div n_bigrams"))

@@ -57,6 +57,9 @@ object GraftFunctions {
     ("graft_char_entropy_bound",
       "graft_char_entropy_bound(str) - [n_codepoints, distinct, sum k*floor(log2(n/k))] entropy lower bound",
       es => CharEntropyBoundExpr(es.head)),
+    ("graft_log2_millis",
+      "graft_log2_millis(q) - integer millibit log2: binade floor-log2 + piecewise-linear fraction",
+      es => Log2MillisExpr(es.head)),
     ("graft_cdc_chunks",
       "graft_cdc_chunks(str, w, mask) - content-defined chunk fingerprints (rolling-hash cuts)",
       es => CdcChunkFpsExpr(es.head, intLit(es(1), "graft_cdc_chunks"),

@@ -61,6 +61,29 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(hc.length == 16 && hc(6) == 3L && hc.sum == 3L) // 97..99 all in bin 6
   }
 
+  test("graft_log2_millis: equals the length(bin)-1 SQL spelling across binades; edges") {
+    GraftFunctions.register(spark)
+    // exhaustive small range + binade edges + large values: the kernel
+    // must equal the oracle-side integer spelling everywhere.
+    val probes = (1L to 1030L) ++ Seq(1048575L, 1048576L, 1048577L,
+      (1L << 40) - 1, 1L << 40, (1L << 40) + 12345L, (1L << 52) + 999L)
+    import spark.implicits._
+    val df = probes.toDF("q")
+    val bad = df.selectExpr(
+        "q", "graft_log2_millis(q) AS got",
+        "CAST((length(bin(q)) - 1) * 1000 AS BIGINT) + " +
+          "((q - shiftleft(CAST(1 AS BIGINT), length(bin(q)) - 1)) * 1000) div " +
+          "shiftleft(CAST(1 AS BIGINT), length(bin(q)) - 1) AS want")
+      .filter("got <> want").collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+    // hand-pins: exact powers land on b·1000; q<=0 is the sentinel
+    assert(HashKernels.log2Millis(1L) == 0L)
+    assert(HashKernels.log2Millis(1024L) == 10000L)
+    assert(HashKernels.log2Millis(1536L) == 10500L) // 1.5·2^10 → half a bit linear
+    assert(HashKernels.log2Millis(0L) == Long.MinValue)
+    assert(HashKernels.log2Millis(-7L) == Long.MinValue)
+  }
+
   test("graft_char_entropy_bound: hand-computed bounds, edges, codegen == kernel") {
     GraftFunctions.register(spark)
     val r = spark.sql(
