@@ -405,7 +405,36 @@ object MultimodalQueries {
         expr("CAST(SUM((c_max * 1000) div greatest(n_bytes, 1)) AS BIGINT) div COUNT(*)")
           .as("avg_share_milli"))
 
+  /** Metadata-conflict audit — the provenance twin of [[mmDedup]]: a
+    * mirror feed re-hosts a slice of the corpus (every 7th blob,
+    * byte-identical, `source = 'mirror'`), and the audit surfaces
+    * every content hash whose copies DISAGREE on provenance — the
+    * label-noise screen a training pipeline runs before trusting
+    * per-source quality priors or licensing tags (identical bytes with
+    * conflicting metadata mean at least one tag is wrong). Same
+    * 100 TB posture as mmDedup: blobs fold to (16-byte hash, id,
+    * source) in their scan partition, one map-side-combined aggregate;
+    * countDistinct(source) is a sub-aggregate over the hash groups,
+    * never a second corpus pass. */
+  def mmMetaConflict(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("content"))
+    val mirrored = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        lit("mirror").as("source"), col("content"))
+    d.union(mirrored)
+      .select(md5(col("content")).as("content_md5"), col("doc_id"), col("source"))
+      .groupBy(col("content_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("keep_id"),
+        min(col("source")).as("src_min"),
+        max(col("source")).as("src_max"))
+      .filter(col("n_sources") > 1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta_conflict" -> (mmMetaConflict _),
     "mm_modal_mix" -> (mmModalMix _),
     "mm_dominant_bin" -> (mmDominantBin _),
     "mm_batch_pack" -> (mmBatchPack _),
@@ -618,6 +647,17 @@ object MultimodalQueries {
          |FROM b_t a JOIN b_t b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ph, b.ph)) <= 2""".stripMargin,
+    "mm_meta_conflict" ->
+      """WITH corpus AS (SELECT doc_id, source, text FROM documents
+        |                UNION ALL
+        |                SELECT doc_id + 1000000, 'mirror', text
+        |                FROM documents WHERE doc_id % 7 = 0)
+        |SELECT md5(text) AS content_md5,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |  MIN(source) AS src_min, MAX(source) AS src_max
+        |FROM corpus GROUP BY 1 HAVING COUNT(DISTINCT source) > 1""".stripMargin,
     "mm_modal_mix" ->
       """WITH t AS (SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |             ELSE 'video' END AS modality,

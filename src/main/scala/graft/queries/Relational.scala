@@ -1792,8 +1792,15 @@ object Relational {
     * partials are 24 longs per task — the sketch property that makes
     * this free at 100 TB), then E[Z²] = F2 is stabilized
     * mean-of-8 × median-of-3 (Alon-Matias-Szegedy's exact recipe).
-    * Sign hash s_j = 1 − 2·((key·a_j + b_j) mod P mod 2) is integer
-    * arithmetic both engines spell identically; Z² partials ride
+    * Sign hash: MID-SQUARE of the affine residue — s_j = 1 − 2·bit40
+    * of ((key·a_j + b_j) mod P)². The parity of the affine residue
+    * alone is NOT usable: over the near-contiguous key ranges real id
+    * columns have, parity((k·a) mod P) is a Sturmian sequence with
+    * long runs and the counter deviation grows ~linearly, not ~√n
+    * (measured 24× overestimates); squaring the residue and sampling a
+    * middle bit breaks the affinity, and stays integer arithmetic both
+    * engines spell identically (h² ≤ (10⁹+7)² fits int64). Z² partials
+    * ride
     * DECIMAL(38,0) (worst-case Z = n overflows int64 at 100 TB row
     * counts even though typical Z ~ √F2 does not). The exact F2 —
     * reported beside the estimate, the sketch-beside-truth calibration
@@ -1806,7 +1813,8 @@ object Relational {
     def b(j: Int) = 7L + 13L * j
     val rows = load(spark, sfDir, "lineitem").select(col("l_orderkey").as("key"))
     val zCols = (0 until 24).map { j =>
-      sum(expr(s"1 - 2 * (((key * ${a(j)}) + ${b(j)}) % $P % 2)")).as(s"z$j")
+      val h = s"(((key * ${a(j)}) + ${b(j)}) % $P)"
+      sum(expr(s"1 - 2 * (shiftright($h * $h, 40) & 1)")).as(s"z$j")
     }
     val sketch = rows.agg(count(lit(1)).as("n_rows"), zCols: _*)
     val ests = sketch.select((col("n_rows") +: (0 until 3).map { g =>
@@ -2368,7 +2376,8 @@ object Relational {
     "q_f2_selfjoin_est" -> {
       val zDefs = (0 until 24).map { j =>
         val a = 104729L + 7919L * j; val b = 7L + 13L * j
-        s"SUM(1 - 2 * ((((key * $a) + $b) % 1000000007) % 2)) AS z$j"
+        val h = s"(((key * $a) + $b) % 1000000007)"
+        s"SUM(1 - 2 * ((($h * $h) >> 40) & 1)) AS z$j"
       }.mkString(",\n        ")
       val estDefs = (0 until 3).map { g =>
         val sq = (8 * g until 8 * g + 8)

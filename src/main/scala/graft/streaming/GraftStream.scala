@@ -1182,7 +1182,8 @@ object GraftStream {
     * [[graft.queries.Relational.qF2SelfjoinEst]]: per stream key
     * (e.g. event type), state is the 24 tug-of-war counters
     * Z_j = Σ s_j(v) over every value seen — ±1 increments with the
-    * SAME sign hash as the batch row, so the estimate converges to the
+    * SAME mid-square sign hash as the batch row (see its scaladoc for
+    * why parity-of-affine is biased), so the estimate converges to the
     * batch one on the same data regardless of trigger chunking (the
     * counters are plain sums — commutative). Each trigger emits the
     * refreshed mean-of-8 / median-of-3 estimate of F2 = Σ_k c_k², the
@@ -1210,7 +1211,7 @@ object GraftStream {
             var j = 0
             while (j < 24) {
               val h = (r._2 * (104729L + 7919L * j) + (7L + 13L * j)) % 1000000007L
-              z(j) += 1L - 2L * (h % 2L)
+              z(j) += 1L - 2L * ((h * h >>> 40) & 1L)
               j += 1
             }
           }

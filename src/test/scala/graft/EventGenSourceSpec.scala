@@ -61,4 +61,40 @@ class EventGenSourceSpec extends AnyFunSuite {
     assert(secs < 300.0, f"50M-event sessionize took $secs%.1f s (budget 300 s)")
     info(f"50M events sessionized in $secs%.1f s, ${agg.getLong(0)} sessions")
   }
+
+  test("scale smoke: AMS F2 sketch over 50M generated events in one shuffle-free pass") {
+    // The q_f2_selfjoin_est arithmetic at ~7000x the oracle corpus:
+    // the 24-counter fold is ONE ungrouped aggregate whose map-side
+    // partials are 25 longs per task — zero keyed shuffle, vs the
+    // exact F2's full user-keyed exchange (at local[32] both are
+    // CPU-bound and comparable; on a cluster the sketch's shuffle
+    // volume is constant while the exact pass moves the key universe).
+    // Deterministic hash => the estimate/exact ratio is a constant of
+    // the generator; pin it within the mean-of-8/median-of-3 design
+    // envelope (factor 2).
+    val d = events(50000000L, 64, users = 1000000L)
+    val rows = d.select(col("user_id").as("key"))
+    val zCols = (0 until 24).map { j =>
+      val h = s"(((key * ${104729L + 7919L * j}) + ${7L + 13L * j}) % 1000000007)"
+      sum(expr(s"1 - 2 * (shiftright($h * $h, 40) & 1)")).as(s"z$j")
+    }
+    val t0 = System.nanoTime()
+    val sk = rows.agg(count(lit(1)).as("n"), zCols: _*).head()
+    val sketchSecs = (System.nanoTime() - t0) / 1e9
+    val ests = (0 until 3).map { g =>
+      (8 * g until 8 * g + 8).map { j =>
+        val z = sk.getLong(1 + j); z * z
+      }.sum / 8L
+    }
+    val est = ests.sorted.apply(1)
+    val t1 = System.nanoTime()
+    val exact = rows.groupBy(col("key")).agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * c")).as("f2")).head().getLong(0)
+    val exactSecs = (System.nanoTime() - t1) / 1e9
+    assert(sk.getLong(0) == 50000000L)
+    assert(est > exact / 2 && est < exact * 2,
+      s"AMS estimate $est outside the design envelope of exact $exact")
+    assert(sketchSecs < 120.0, f"sketch pass took $sketchSecs%.1f s (budget 120 s)")
+    info(f"F2 exact=$exact est=$est; sketch $sketchSecs%.1f s vs exact ${exactSecs}%.1f s")
+  }
 }

@@ -1322,8 +1322,10 @@ class StreamingSpec extends AnyFunSuite {
     val pairs = graft.queries.Tables.loadEvents(spark, dir)
       .select(col("event_type"), col("user_id"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    def sign(v: Long, j: Int): Long =
-      1L - 2L * ((v * (104729L + 7919L * j) + (7L + 13L * j)) % 1000000007L % 2L)
+    def sign(v: Long, j: Int): Long = {
+      val h = (v * (104729L + 7919L * j) + (7L + 13L * j)) % 1000000007L
+      1L - 2L * ((h * h >>> 40) & 1L)
+    }
     val expected = pairs.groupBy(_._1).map { case (t, vs) =>
       val z = Array.tabulate(24)(j => vs.map(v => sign(v._2, j)).sum)
       val ests = (0 until 3).map(g => (8 * g until 8 * g + 8).map(j => z(j) * z(j)).sum / 8L)
