@@ -1257,7 +1257,50 @@ object TextQueries {
       .withColumn("avg_millibits", expr("sum_millibits div n_bigrams"))
   }
 
+  /** Kneser–Ney document scoring — [[textPerplexity]]'s add-one LM
+    * upgraded to the smoothing that actually ships in LM-based quality
+    * filters: absolute discount d = ½ with the CONTINUATION-count
+    * unigram (how many distinct contexts a word follows, not how often
+    * it occurs — the fix for "Francisco is frequent but only follows
+    * San"). For an observed bigram, p_KN = (c₁₂−½)/c₁ +
+    * (½·N₁₊(w₁·)/c₁)·(N₁₊(·w₂)/B), which clears to the exact rational
+    * num/den = ((2c₁₂−1)·B + N₁₊(w₁·)·N₁₊(·w₂)) / (2·c₁·B) — so the
+    * surprisal is log2Millis(den) − log2Millis(num), two calls of the
+    * shared integer fast-log kernel and ZERO floats (num ≤ den always:
+    * p ≤ 1; both ≤ ~c₁·B, far inside the kernel's 2^53 domain at any
+    * realistic vocab — the decimal swap is the documented 100-LANGUAGE
+    * corpus path). Scale: identical posture to textPerplexity — the
+    * bigram/context/continuation tables are all vocab-bounded
+    * broadcasts, one corpus explode, map-side-combined per-doc sums. */
+  def textKnLm(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashExprs.log2Millis
+    val d = load(spark, sfDir, "documents")
+    val tk = graft.core.QueryCaches.track(
+      d.select(col("doc_id"), tokens(col("text")).as("tk")))
+    val bi = tk.select(col("doc_id"), explode(expr(
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] AS w1, tk[i + 1] AS w2)) ELSE array() END")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = graft.ext.DedupOps.trackPersist(
+      bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+    val w1s = c2.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1ctx"), count(lit(1)).as("n1fw"))
+    val w2s = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1pw"))
+    val b = c2.agg(count(lit(1)).as("btot"))
+    bi.join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(w1s), "w1")
+      .join(broadcast(w2s), "w2")
+      .crossJoin(broadcast(b))
+      .withColumn("den", expr("2 * c1ctx * btot"))
+      .withColumn("num", expr("(2 * c12 - 1) * btot + n1fw * n1pw"))
+      .withColumn("mb", log2Millis(col("den")) - log2Millis(col("num")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("mb")).as("sum_millibits_kn"))
+      .withColumn("avg_millibits_kn", expr("sum_millibits_kn div n_bigrams"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_kn_lm" -> (textKnLm _),
     "text_perplexity" -> (textPerplexity _),
     "text_chunk" -> (textChunk _),
     "curate_chunk_dedup" -> (curateChunkDedup _),
@@ -1331,6 +1374,34 @@ object TextQueries {
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_kn_lm" -> {
+      // NB the enclosing parens: this macro is subtracted inline, and
+      // an unparenthesized `a + b - c + d` flips the second fraction.
+      def mbSql(q: String): String =
+        s"(CAST((length(bin($q)) - 1) * 1000 AS BIGINT) + " +
+          s"(($q - (CAST(1 AS BIGINT) << (length(bin($q)) - 1))) * 1000) // " +
+          s"(CAST(1 AS BIGINT) << (length(bin($q)) - 1)))"
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+         |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |               i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS b
+         |             FROM tk)),
+         |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+         |w1s AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1ctx,
+         |          CAST(COUNT(*) AS BIGINT) AS n1fw FROM c2 GROUP BY 1),
+         |w2s AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1pw FROM c2 GROUP BY 1),
+         |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS btot FROM c2),
+         |sc AS (SELECT doc_id,
+         |         2 * c1ctx * btot AS den,
+         |         (2 * c12 - 1) * btot + n1fw * n1pw AS num
+         |       FROM bi JOIN c2 USING (w1, w2) JOIN w1s USING (w1)
+         |         JOIN w2s USING (w2), b),
+         |m AS (SELECT doc_id, ${mbSql("den")} - ${mbSql("num")} AS mb FROM sc)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(mb) AS BIGINT) AS sum_millibits_kn,
+         |       CAST(SUM(mb) AS BIGINT) // COUNT(*) AS avg_millibits_kn
+         |FROM m GROUP BY doc_id""".stripMargin
+    },
     "text_perplexity" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |uni AS (SELECT w, COUNT(*) AS c1
