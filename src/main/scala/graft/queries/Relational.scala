@@ -1837,6 +1837,75 @@ object Relational {
         col("err_permille").cast("bigint").as("err_permille"))
   }
 
+  /** One KMV join-size estimate — the [[qJoinCardEst]] machinery
+    * factored for reuse: K-smallest salted fingerprints over the key
+    * UNIVERSE of both sides pick θ and a fixed uniform key sample whose
+    * exact per-side frequency products, scaled by P/θ, estimate the
+    * equi-join size. Returns one row `(est)`. The rank filter stays on
+    * the UNCAST row_number (partial top-k; the round-11 lesson). */
+  private def kmvJoinEst(fA: DataFrame, fB: DataFrame, salt: String): DataFrame = {
+    val K = 64
+    val P = 1000000007L
+    val universe = fA.select(col("key")).union(fB.select(col("key"))).distinct()
+      .select(col("key"), graft.ext.TextOps.fingerprint(
+        concat(lit(s"$salt|"), col("key").cast("string"), lit("|graft"))).as("h"))
+    val ranked = universe
+      .withColumn("rk0", row_number().over(Window.orderBy(col("h"))))
+      .filter(col("rk0") <= K)
+      .select(col("key"), col("h"), col("rk0").cast("bigint").as("rk"))
+    val theta = ranked.filter(col("rk") === K).select(col("h").as("theta"))
+    ranked.filter(col("rk") < K)
+      .join(fA, Seq("key"), "left").join(fB, Seq("key"), "left")
+      .agg(sum(coalesce(col("f_a"), lit(0L)) * coalesce(col("f_b"), lit(0L))).as("sum_ff"))
+      .crossJoin(broadcast(theta))
+      .select(expr(s"CAST((CAST(sum_ff AS DECIMAL(38,0)) * $P) div theta AS BIGINT)")
+        .as("est"))
+  }
+
+  /** Join-ORDER advisor — what the sketch suite exists FOR: before
+    * planning customer ⋈ orders ⋈ lineitem, estimate both pairwise
+    * join sizes from KMV sketches ([[kmvJoinEst]] — two corpus-scan
+    * ANALYZE passes, never the joins themselves) and rank the two
+    * cross-join-free left-deep orders by their INTERMEDIATE size, the
+    * quantity a Selinger-style enumerator minimizes. The 3-way size is
+    * the textbook independence estimate est(o⋈l)·est(c⋈o)/|orders|
+    * (each o⋈l row survives the custkey probe with the same rate
+    * orders did). All integer: the orders total is exact, divisions
+    * are single integral divisions with DECIMAL(38,0) partials, and
+    * `chosen` is an integer comparison — so the advisor's DECISION,
+    * not just its numbers, is pinned cross-engine. Scale: three
+    * map-side-combined per-key count relations, two 64-key sketch
+    * selections (partial top-k), a 2-row readout. */
+  def qJoinOrderAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    val fCust = graft.core.QueryCaches.track(
+      load(spark, sfDir, "customer").groupBy(col("c_custkey").as("key"))
+        .agg(count(lit(1)).as("f_a")))
+    val fOrdC = graft.core.QueryCaches.track(
+      load(spark, sfDir, "orders").groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("f_b")))
+    val fOrdK = graft.core.QueryCaches.track(
+      load(spark, sfDir, "orders").groupBy(col("o_orderkey").as("key"))
+        .agg(count(lit(1)).as("f_a")))
+    val fLine = graft.core.QueryCaches.track(
+      load(spark, sfDir, "lineitem").groupBy(col("l_orderkey").as("key"))
+        .agg(count(lit(1)).as("f_b")))
+    val estCo = kmvJoinEst(fCust, fOrdC, "joa_co").select(col("est").as("est_co"))
+    val estOl = kmvJoinEst(fOrdK, fLine, "joa_ol").select(col("est").as("est_ol"))
+    val nOrders = load(spark, sfDir, "orders").agg(count(lit(1)).as("n_orders"))
+    estCo.crossJoin(broadcast(estOl)).crossJoin(broadcast(nOrders))
+      .withColumn("est_three_way", expr(
+        "CAST((CAST(est_ol AS DECIMAL(38,0)) * est_co) div n_orders AS BIGINT)"))
+      .withColumn("min_int", least(col("est_co"), col("est_ol")))
+      .select(explode(expr(
+        "array(struct('customer_orders_first' AS join_order, est_co AS est_intermediate), " +
+          "struct('orders_lineitem_first' AS join_order, est_ol AS est_intermediate))"))
+        .as("o"), col("est_three_way"), col("min_int"))
+      .select(col("o.join_order").as("join_order"),
+        col("o.est_intermediate").as("est_intermediate"),
+        col("est_three_way"),
+        (col("o.est_intermediate") === col("min_int")).as("chosen"))
+  }
+
   // ---- TPC-H completion block (Q2/Q11/Q12/Q16/Q20/Q21 adapted to the
   // reduced schema: no partsupp/shipmode/commitdate, so each query keeps
   // its CANONICAL PLAN SHAPE — correlated min, scalar-subquery having,
@@ -2096,6 +2165,7 @@ object Relational {
     "q_semijoin_reduce" -> (qSemijoinReduce _),
     "q_join_card_est" -> (qJoinCardEst _),
     "q_f2_selfjoin_est" -> (qF2SelfjoinEst _),
+    "q_join_order_advisor" -> (qJoinOrderAdvisor _),
     "q_partition_skew" -> (qPartitionSkew _),
     "q_erasure_manifest" -> (qErasureManifest _),
     "q_bitmap_index" -> (qBitmapIndex _),
@@ -2373,6 +2443,44 @@ object Relational {
         |    AS est_join_rows,
         |  actual_join_rows
         |FROM s, th, act, nu""".stripMargin,
+    "q_join_order_advisor" -> {
+      def fp(salt: String): String =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |          list_transform(string_split('$salt|' || CAST(key AS VARCHAR) || '|graft', ''),
+           |            ch -> CAST(unicode(ch) AS BIGINT))),
+           |          (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+      def kmv(i: Int, salt: String, fa: String, fb: String, out: String): String =
+        s"""u$i AS (SELECT key, ${fp(salt)} AS h
+           |      FROM (SELECT key FROM $fa UNION SELECT key FROM $fb)),
+           |r$i AS (SELECT key, h, row_number() OVER (ORDER BY h) AS rk FROM u$i),
+           |t$i AS (SELECT h AS theta FROM r$i WHERE rk = 64),
+           |s$i AS (SELECT CAST(SUM(COALESCE($fa.f_a, 0) * COALESCE($fb.f_b, 0)) AS BIGINT) AS sum_ff
+           |      FROM r$i LEFT JOIN $fa USING (key) LEFT JOIN $fb USING (key)
+           |      WHERE r$i.rk < 64),
+           |e$i AS (SELECT CAST(CAST(sum_ff AS HUGEINT) * 1000000007
+           |        // CAST(theta AS HUGEINT) AS BIGINT) AS $out FROM s$i, t$i)""".stripMargin
+      s"""WITH fc AS (SELECT c_custkey AS key, CAST(COUNT(*) AS BIGINT) AS f_a
+        |           FROM customer GROUP BY 1),
+        |foc AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS f_b
+        |        FROM orders GROUP BY 1),
+        |fok AS (SELECT o_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS f_a
+        |        FROM orders GROUP BY 1),
+        |fl AS (SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS f_b
+        |       FROM lineitem GROUP BY 1),
+        |${kmv(1, "joa_co", "fc", "foc", "est_co")},
+        |${kmv(2, "joa_ol", "fok", "fl", "est_ol")},
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders),
+        |base AS (SELECT est_co, est_ol,
+        |    CAST(CAST(est_ol AS HUGEINT) * est_co // n_orders AS BIGINT)
+        |      AS est_three_way,
+        |    least(est_co, est_ol) AS min_int
+        |  FROM e1, e2, n)
+        |SELECT 'customer_orders_first' AS join_order, est_co AS est_intermediate,
+        |  est_three_way, est_co = min_int AS chosen FROM base
+        |UNION ALL
+        |SELECT 'orders_lineitem_first', est_ol, est_three_way, est_ol = min_int
+        |FROM base""".stripMargin
+    },
     "q_f2_selfjoin_est" -> {
       val zDefs = (0 until 24).map { j =>
         val a = 104729L + 7919L * j; val b = 7L + 13L * j
