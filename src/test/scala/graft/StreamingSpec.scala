@@ -1500,6 +1500,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("streaming periodicity grid by composition: sumUpdates equals the batch daily counts") {
+    // The streaming feed of events_periodicity: events keyed
+    // "type|epoch-day" (the same datediff day the batch grid uses)
+    // fold through the generic monotone-sum in shuffled halves — the
+    // maintained (type, day) counts ARE the gap-filled grid's nonzero
+    // cells, so the periodic batch ACF-argmax pass reads maintained
+    // state instead of rescanning the corpus.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val keyed = normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+      .selectExpr("concat(event_type, '|', CAST(datediff(" +
+        "CAST(timestamp_micros(ts div 1000) AS DATE), DATE '1970-01-01') AS BIGINT)) AS k")
+    val expected = keyed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val data = new scala.util.Random(11).shuffle(
+      keyed.collect().map(_.getString(0)).toSeq)
+    val in = MemoryStream[String]
+    val df = in.toDF().toDF("k").withColumn("one", lit(1L))
+    val rows = new ConcurrentLinkedQueue[(String, Long, Long)]()
+    val q = GraftStream.sumUpdates(df, "k", "one")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    data.grouped((data.length + 1) / 2).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(String, Long, Long)])
+      .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._3)._2 }
+    assert(got == expected, s"got ${got.size} keys expected ${expected.size}")
+  }
+
   test("streaming PAA series sketch by composition: sumUpdates equals the batch segment sums") {
     // events keyed "type|segment" (the events_series_sim PAA unit) fed
     // through the generic monotone-sum fold in three shuffled chunks:
