@@ -584,6 +584,52 @@ object EventQueries {
         coalesce(col("n_us"), lit(0L)).as("n_concurrent_users"))
   }
 
+  /** Point-in-time feature materialization — the feature-store join
+    * every supervised training set needs done LEAKAGE-FREE: for each
+    * label event (here: purchases of a user sample), the trailing-7-day
+    * behavioral features (views, clicks, prior purchases, spend) as of
+    * STRICTLY BEFORE the label instant — a feature computed at or after
+    * the label timestamp is target leakage, the classic silent model
+    * inflation. Same bucketize-explode-equi-join shape as
+    * [[eventsIntervalJoin]] (the plan that replaces the nested-loop a
+    * BETWEEN join would get): labels explode over their 8 covering day
+    * buckets, features carry their own bucket, the join key is
+    * (user, bucket) so co-partitioning holds and each (label, feature)
+    * pair matches exactly once; the exact [lts−7d, lts) range is a
+    * post-join filter. Spend folds in integer cents. Scale: shuffle is
+    * user-keyed and bounded by 8× labels + events; no window, no
+    * global structure; zero-feature labels restored by a left join. */
+  def eventsFeaturePit(spark: SparkSession, sfDir: String): DataFrame = {
+    val D = 86400L * 1000 * 1000 // day bucket, µs
+    val W = 7L * D
+    val ev = graft.core.QueryCaches.track(
+      events(spark, sfDir).select(col("user_id"), col("event_id"),
+        col("event_type"), col("value"), expr("ts div 1000").as("tus")))
+    val labels = graft.core.QueryCaches.track(
+      ev.filter(col("event_type") === "purchase" && col("user_id") % 5 === 0)
+        .select(col("user_id"), col("event_id").as("label_event"),
+          col("tus").as("lts")))
+    val lb = labels.withColumn("db",
+      explode(sequence(expr(s"(lts - $W) div $D"), expr(s"lts div $D"))))
+    val fb = ev.select(col("user_id"), col("event_type"), col("value"),
+      col("tus"), expr(s"tus div $D").as("db"))
+    val feats = lb.join(fb, Seq("user_id", "db"))
+      .filter(col("tus") >= col("lts") - W && col("tus") < col("lts"))
+      .groupBy(col("user_id"), col("label_event"), col("lts"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)).as("s"))
+    labels.join(feats, Seq("user_id", "label_event", "lts"), "left")
+      .select(col("user_id"), col("label_event"), col("lts"),
+        coalesce(col("v"), lit(0L)).as("n_view_7d"),
+        coalesce(col("c"), lit(0L)).as("n_click_7d"),
+        coalesce(col("p"), lit(0L)).as("n_prior_purchase_7d"),
+        coalesce(col("s"), lit(0L)).as("spend_7d_cents"))
+  }
+
   /** Sequence-pattern matching over per-user event histories —
     * MATCH_RECOGNIZE-lite: each user's history collapses to an ordered
     * initial string (view→v, click→c, purchase→p, signup→s, error→e;
@@ -2373,6 +2419,7 @@ object EventQueries {
     "events_hll_distinct" -> (eventsHllDistinct _),
     "events_hll_incremental" -> (eventsHllIncremental _),
     "events_interval_join" -> (eventsIntervalJoin _),
+    "events_feature_pit" -> (eventsFeaturePit _),
     "events_cm_freq" -> (eventsCmFreq _),
     "events_pattern_match" -> (eventsPatternMatch _),
     "events_holt_forecast" -> (eventsHoltForecast _),
@@ -3349,6 +3396,31 @@ object EventQueries {
         |        GROUP BY 1)
         |SELECT user_id, exact_n, est_n, est_n - exact_n AS overcount
         |FROM exact JOIN est USING (user_id)""".stripMargin,
+    "events_feature_pit" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, value,
+        |              epoch_us(ts) AS tus FROM events),
+        |labels AS (SELECT user_id, event_id AS label_event, tus AS lts
+        |           FROM ev WHERE event_type = 'purchase' AND user_id % 5 = 0),
+        |f AS (SELECT l.user_id, l.label_event, l.lts,
+        |        CAST(SUM(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS v,
+        |        CAST(SUM(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS c,
+        |        CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS p,
+        |        CAST(SUM(CASE WHEN e.event_type = 'purchase'
+        |          THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+        |          AS BIGINT) AS s
+        |      FROM labels l JOIN ev e
+        |        ON e.user_id = l.user_id
+        |        AND e.tus >= l.lts - 604800000000 AND e.tus < l.lts
+        |      GROUP BY 1, 2, 3)
+        |SELECT labels.user_id, labels.label_event, labels.lts,
+        |  COALESCE(v, 0) AS n_view_7d,
+        |  COALESCE(c, 0) AS n_click_7d,
+        |  COALESCE(p, 0) AS n_prior_purchase_7d,
+        |  COALESCE(s, 0) AS spend_7d_cents
+        |FROM labels LEFT JOIN f USING (user_id, label_event, lts)""".stripMargin,
     "events_interval_join" ->
       """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
         |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id

@@ -169,6 +169,31 @@ object TextQueries {
           .as("r2_milli"))
   }
 
+  /** Tokenizer-fertility card — the cost model behind a tokenizer/vocab
+    * decision, per language: BPE-ish subword tokens per whitespace word
+    * (fertility: >1.3 for a language means its text pays a length tax
+    * in the context window) and characters per subword token, both as
+    * exact integer milli-ratios from corpus-total sums (never means of
+    * per-doc ratios — that would weight short docs up). Reuses
+    * [[textBpeTokens]]' regex token counts. Plan: one scan with the
+    * regexes in the projection, one |langs|-group map-side-combined
+    * aggregate — the data-card posture. */
+  def curateFertility(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents")
+      .select(col("lang"),
+        tokenCount(col("text")).as("n_ws"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("bigint").as("n_bpe"),
+        length(col("text")).cast("bigint").as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("n_words"),
+        sum(col("n_bpe")).as("n_subwords"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("fertility_milli", expr("(1000 * n_subwords) div greatest(n_words, 1)"))
+      .withColumn("chars_per_subword_milli",
+        expr("(1000 * n_chars) div greatest(n_subwords, 1)"))
+
   /** Heuristic language ID (marker-token argmax) vs. the labeled lang. */
   def textLangId(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = load(spark, sfDir, "documents")
@@ -1306,6 +1331,7 @@ object TextQueries {
     "curate_chunk_dedup" -> (curateChunkDedup _),
     "text_heaps" -> (textHeaps _),
     "text_zipf" -> (textZipf _),
+    "curate_fertility" -> (curateFertility _),
     "text_rake" -> (textRake _),
     "text_langid_confusion" -> (textLangidConfusion _),
     "curate_data_card" -> (curateDataCard _),
@@ -2055,6 +2081,22 @@ object TextQueries {
          |    AS r2_milli
          |FROM d""".stripMargin
     },
+    "curate_fertility" ->
+      s"""WITH t AS (SELECT lang,
+         |    CAST(len($toksSql) AS BIGINT) AS n_ws,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+         |      AS BIGINT) AS n_bpe,
+         |    CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM documents)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_ws) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_bpe) AS BIGINT) AS n_subwords,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |  (1000 * CAST(SUM(n_bpe) AS BIGINT))
+         |    // greatest(CAST(SUM(n_ws) AS BIGINT), 1) AS fertility_milli,
+         |  (1000 * CAST(SUM(n_chars) AS BIGINT))
+         |    // greatest(CAST(SUM(n_bpe) AS BIGINT), 1) AS chars_per_subword_milli
+         |FROM t GROUP BY lang""".stripMargin,
     "text_token_freq" ->
       """SELECT rank, token, cnt FROM (
         |  SELECT token, cnt,

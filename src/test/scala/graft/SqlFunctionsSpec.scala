@@ -246,8 +246,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
     new graft.sql.GraftExtensions().apply(ext)
     // pinned count catches an accidentally dropped builder; distinct
     // catches a duplicated name
-    assert(GraftFunctions.builders.size == 28)
-    assert(GraftFunctions.builders.map(_._1).distinct.size == 28)
+    assert(GraftFunctions.builders.size == 29)
+    assert(GraftFunctions.builders.map(_._1).distinct.size == 29)
   }
 
   test("graft_explode_shingles: a true Generator — 1→N from SQL with child positions") {
