@@ -2333,6 +2333,83 @@ object EventQueries {
           "se_b * se_b / CAST(nb - 1 AS DOUBLE)) AS df")
   }
 
+  /** CUPED variance reduction — the estimator upgrade every mature
+    * experimentation stack runs before calling a winner: each user's
+    * POST-period metric (purchase cents after the calendar midpoint)
+    * is adjusted by θ× their PRE-period covariate (same metric before
+    * the midpoint; θ = pooled cov(X,Y)/var(X), the regression
+    * adjustment), which removes the between-user variance the
+    * experiment didn't cause. Reported per arm: raw vs adjusted mean
+    * and variance — the variance ratio IS the sample-size saving.
+    * Exactness: the midpoint is integer-derived from the data's own
+    * day bounds; all moment sums fold decimal-exact per arm and pooled
+    * ([[eventsWelch]]'s contract); θ and the adjusted readouts are
+    * IDENTICAL double expression trees in both engines. Scale: one
+    * user-keyed fold to (arm, x, y), then a 2-group and a 1-row
+    * aggregate; 1-row broadcasts stitch — no window, no join on
+    * anything data-sized. */
+  def eventsCuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.core.QueryCaches.track(
+      events(spark, sfDir).select(col("user_id"), col("event_type"),
+        col("value"), expr("ts div 86400000000000").as("d")))
+    val mid = e.agg(expr("(min(d) + max(d)) div 2").as("mid"))
+    val u = e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase" && col("d") < col("mid"),
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L))
+          .cast("double").as("x"),
+        sum(when(col("event_type") === "purchase" && col("d") >= col("mid"),
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L))
+          .cast("double").as("y"))
+      .select((col("user_id") % 2).as("arm"), col("x"), col("y"))
+    val uu = graft.core.QueryCaches.track(u)
+    val pooled = uu.agg(count(lit(1)).as("n"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("y")).as("sxy"), dsum(col("x") * col("x")).as("sxx"))
+    val arms = uu.groupBy(col("arm")).agg(count(lit(1)).as("n_arm"),
+      dsum(col("x")).as("ax"), dsum(col("y")).as("ay"),
+      dsum(col("y") * col("y")).as("ayy"),
+      dsum(col("x") * col("y")).as("axy"),
+      dsum(col("x") * col("x")).as("axx"))
+    arms.crossJoin(broadcast(pooled))
+      .selectExpr("arm", "n_arm",
+        "(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS theta",
+        "sx / CAST(n AS DOUBLE) AS mx_pooled",
+        "ay / CAST(n_arm AS DOUBLE) AS mean_y",
+        "ax / CAST(n_arm AS DOUBLE) AS mean_x",
+        "ax", "ay", "ayy", "axy", "axx")
+      .selectExpr("arm", "n_arm", "theta", "mean_y",
+        "mean_y - theta * (mean_x - mx_pooled) AS mean_y_adj",
+        "(ayy - ay * ay / CAST(n_arm AS DOUBLE)) / CAST(n_arm - 1 AS DOUBLE) AS var_y",
+        // Σỹ² and Σỹ for ỹ = y − θ·x, straight from the moment sums
+        "ayy - CAST(2 AS DOUBLE) * theta * axy + theta * theta * axx AS syy_tilde",
+        "ay - theta * ax AS sy_tilde")
+      .selectExpr("arm", "n_arm", "theta", "mean_y", "mean_y_adj", "var_y",
+        "(syy_tilde - sy_tilde * sy_tilde / CAST(n_arm AS DOUBLE)) / " +
+          "CAST(n_arm - 1 AS DOUBLE) AS var_y_adj")
+      .orderBy(col("arm"))
+  }
+
+  /** Sample-ratio mismatch check — the experimentation trip wire that
+    * runs BEFORE any readout ([[eventsAbtest]], [[eventsWelch]],
+    * [[eventsCuped]]): if the 50/50 unit split didn't land 50/50, the
+    * assignment or logging is broken and every downstream p-value is
+    * fiction. For a two-arm even split the χ² statistic collapses to
+    * (n_a − n_b)²/n — one integral division in micro units with a
+    * DECIMAL(38,0) partial (worst-case diff² overflows int64 past ~3M
+    * units), flagged against the pinned χ²₍₁,0.05₎ = 3.841459 literal.
+    * Scale: one distinct-user fold, then a 1-row compare. */
+  def eventsSrm(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(col("user_id")).distinct()
+      .select((col("user_id") % 2).as("arm"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (n_a - n_b) * (n_a - n_b)) " +
+          "div (n_a + n_b) AS BIGINT)").as("chi2_micro"))
+      .withColumn("srm_flag", col("chi2_micro") > 3841459L)
+
   /** Cohort LTV curve — cumulative purchase revenue per user by weeks
     * since acquisition, the revenue companion to [[eventsCohorts]]'s
     * retention matrix (the two together are the standard growth
@@ -2408,6 +2485,8 @@ object EventQueries {
     "events_growth_accounting" -> (eventsGrowthAccounting _),
     "events_velocity" -> (eventsVelocity _),
     "events_abtest" -> (eventsAbtest _),
+    "events_cuped" -> (eventsCuped _),
+    "events_srm" -> (eventsSrm _),
     "events_survival" -> (eventsSurvival _),
     "events_forecast_eval" -> (eventsForecastEval _),
     "events_asof_directions" -> (eventsAsofDirections _),
@@ -2484,6 +2563,64 @@ object EventQueries {
         |  FROM grid JOIN sz ON grid.cw = sz.cw)
         |SELECT cw AS cohort_week, off AS offset_weeks, n_users, cum_cents,
         |  (1000 * cum_cents) // n_users AS ltv_milli
+        |FROM c""".stripMargin,
+    "events_cuped" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |             epoch_us(ts) // 86400000000 AS d FROM events),
+        |mth AS (SELECT (MIN(d) + MAX(d)) // 2 AS mid FROM e),
+        |u AS (SELECT user_id,
+        |        CAST(CAST(SUM(CASE WHEN event_type = 'purchase' AND d < mid
+        |          THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |          AS DOUBLE) AS x,
+        |        CAST(CAST(SUM(CASE WHEN event_type = 'purchase' AND d >= mid
+        |          THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |          AS DOUBLE) AS y
+        |      FROM e, mth GROUP BY user_id),
+        |uu AS (SELECT user_id % 2 AS arm, x, y FROM u),
+        |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |        CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |        CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |        CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        |      FROM uu),
+        |a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm,
+        |        CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS ax,
+        |        CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS ay,
+        |        CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS ayy,
+        |        CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS axy,
+        |        CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS axx
+        |      FROM uu GROUP BY arm),
+        |t AS (SELECT arm, n_arm,
+        |        (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |          (CAST(n AS DOUBLE) * sxx - sx * sx) AS theta,
+        |        sx / CAST(n AS DOUBLE) AS mx_pooled,
+        |        ay / CAST(n_arm AS DOUBLE) AS mean_y,
+        |        ax / CAST(n_arm AS DOUBLE) AS mean_x,
+        |        ax, ay, ayy, axy, axx
+        |      FROM a, p),
+        |r AS (SELECT arm, n_arm, theta, mean_y,
+        |        mean_y - theta * (mean_x - mx_pooled) AS mean_y_adj,
+        |        (ayy - ay * ay / CAST(n_arm AS DOUBLE)) /
+        |          CAST(n_arm - 1 AS DOUBLE) AS var_y,
+        |        ayy - CAST(2 AS DOUBLE) * theta * axy + theta * theta * axx
+        |          AS syy_tilde,
+        |        ay - theta * ax AS sy_tilde
+        |      FROM t)
+        |SELECT arm, n_arm, theta, mean_y, mean_y_adj, var_y,
+        |  (syy_tilde - sy_tilde * sy_tilde / CAST(n_arm AS DOUBLE)) /
+        |    CAST(n_arm - 1 AS DOUBLE) AS var_y_adj
+        |FROM r""".stripMargin,
+    "events_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM u)
+        |SELECT n_a, n_b,
+        |  CAST((CAST(1000000 AS HUGEINT) * (n_a - n_b) * (n_a - n_b))
+        |    // (n_a + n_b) AS BIGINT) AS chi2_micro,
+        |  CAST((CAST(1000000 AS HUGEINT) * (n_a - n_b) * (n_a - n_b))
+        |    // (n_a + n_b) AS BIGINT) > 3841459 AS srm_flag
         |FROM c""".stripMargin,
     "events_welch" ->
       """WITH u AS (SELECT user_id % 2 AS arm,
