@@ -1974,6 +1974,51 @@ object EventQueries {
         (col("f.err") / (col("n_days") - lit(2)).cast("double")).as("mae"))
   }
 
+  /** Holt–Winters triple exponential smoothing — the seasonal closure
+    * of the forecasting family ([[eventsSesForecast]] level,
+    * [[eventsHoltForecast]] level+trend, this row level+trend+weekly
+    * season, additive, α=β=γ=½): init from the series' first two
+    * weeks (l₀ = week-2 mean, b₀ = (m₂−m₁)/7, s₀ = week-1 deviations),
+    * then the classic three-recurrence fold from day 15 with one-step
+    * MAE accumulated against l+b+s. Exactness: the two init means are
+    * one IEEE division each over EXACT integer sums (order-free), every
+    * smoothing step is ×½ (exact) over identical expression trees, and
+    * the oracle replays the identical recurrence as a recursive CTE
+    * carrying the 7-slot season LIST — term-for-term. Scale: the
+    * series is the (type × active-day) relation — calendar-bounded —
+    * collected per type into one in-row fold; no window, one exchange. */
+  def eventsHoltWinters(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = loadEvents(spark, sfDir)
+      .select(col("event_type").as("t"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("t"), col("day")).agg(count(lit(1)).as("c"))
+    d.groupBy(col("t"))
+      .agg(expr("transform(sort_array(collect_list(struct(day, c))), x -> x.c)").as("cs"))
+      .filter(size(col("cs")) >= 21)
+      .withColumn("m1", expr(
+        "aggregate(slice(cs, 1, 7), CAST(0 AS DOUBLE), (a, x) -> a + x) / CAST(7 AS DOUBLE)"))
+      .withColumn("m2", expr(
+        "aggregate(slice(cs, 8, 7), CAST(0 AS DOUBLE), (a, x) -> a + x) / CAST(7 AS DOUBLE)"))
+      .withColumn("f", expr(
+        """aggregate(slice(cs, 15, size(cs) - 14),
+          named_struct('l', m2, 'b', (m2 - m1) / CAST(7 AS DOUBLE),
+                       's', transform(slice(cs, 1, 7), x -> CAST(x AS DOUBLE) - m1),
+                       'i', 0, 'err', CAST(0 AS DOUBLE)),
+          (a, x) -> named_struct(
+            'l', 0.5 * (x - a.s[a.i % 7]) + 0.5 * (a.l + a.b),
+            'b', 0.5 * ((0.5 * (x - a.s[a.i % 7]) + 0.5 * (a.l + a.b)) - a.l)
+              + 0.5 * a.b,
+            's', transform(a.s, (v, j) -> IF(j = a.i % 7,
+              0.5 * (x - (0.5 * (x - a.s[a.i % 7]) + 0.5 * (a.l + a.b))) + 0.5 * v,
+              v)),
+            'i', a.i + 1,
+            'err', a.err + abs(x - (a.l + a.b + a.s[a.i % 7]))))"""))
+      .select(col("t"), size(col("cs")).cast("bigint").as("n_days"),
+        col("f.l").as("level"), col("f.b").as("trend"),
+        expr("f.s[f.i % 7]").as("season_next"),
+        expr("f.l + f.b + f.s[f.i % 7]").as("forecast_next"),
+        expr("f.err / CAST(size(cs) - 14 AS DOUBLE)").as("mae"))
+  }
+
   /** Forecast backtest / model selection — the evaluation harness OVER
     * the forecasting family ([[eventsSeasonalNaive]], [[eventsSesForecast]],
     * [[eventsHoltForecast]] each report their own error; this query
@@ -2502,6 +2547,7 @@ object EventQueries {
     "events_cm_freq" -> (eventsCmFreq _),
     "events_pattern_match" -> (eventsPatternMatch _),
     "events_holt_forecast" -> (eventsHoltForecast _),
+    "events_holt_winters" -> (eventsHoltWinters _),
     "events_asof_native" -> (eventsAsofNative _),
     "events_paths" -> (eventsPaths _),
     "events_attribution" -> (eventsAttribution _),
@@ -3093,6 +3139,48 @@ object EventQueries {
         |SELECT user_id, p_event, p_tus, click_tus,
         |       p_tus - click_tus AS gap_us
         |FROM m""".stripMargin,
+    "events_holt_winters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT t, CAST(row_number() OVER (PARTITION BY t ORDER BY day)
+        |          AS BIGINT) AS i, c FROM d),
+        |n AS (SELECT t, MAX(i) AS n_days FROM ser GROUP BY t),
+        |m AS (SELECT t,
+        |        CAST(SUM(CASE WHEN i <= 7 THEN c END) AS DOUBLE)
+        |          / CAST(7 AS DOUBLE) AS m1,
+        |        CAST(SUM(CASE WHEN i BETWEEN 8 AND 14 THEN c END) AS DOUBLE)
+        |          / CAST(7 AS DOUBLE) AS m2
+        |      FROM ser GROUP BY t),
+        |w1 AS (SELECT t, list(CAST(c AS DOUBLE) ORDER BY i) AS cs7
+        |       FROM ser WHERE i <= 7 GROUP BY t),
+        |init AS (SELECT m.t, m.m1, m.m2,
+        |           list_transform(w1.cs7, x -> x - m.m1) AS s0
+        |         FROM m JOIN w1 ON w1.t = m.t JOIN n ON n.t = m.t
+        |         WHERE n.n_days >= 21),
+        |rec AS (
+        |  SELECT t, CAST(14 AS BIGINT) AS i, m2 AS l,
+        |         (m2 - m1) / CAST(7 AS DOUBLE) AS b,
+        |         s0 AS s, CAST(0 AS BIGINT) AS k, CAST(0 AS DOUBLE) AS err
+        |  FROM init
+        |  UNION ALL
+        |  SELECT r.t, r.i + 1,
+        |         0.5 * (sc.c - r.s[r.k % 7 + 1]) + 0.5 * (r.l + r.b),
+        |         0.5 * ((0.5 * (sc.c - r.s[r.k % 7 + 1]) + 0.5 * (r.l + r.b))
+        |             - r.l) + 0.5 * r.b,
+        |         r.s[1:CAST(r.k % 7 AS INTEGER)] ||
+        |           [0.5 * (sc.c - (0.5 * (sc.c - r.s[r.k % 7 + 1])
+        |              + 0.5 * (r.l + r.b))) + 0.5 * r.s[r.k % 7 + 1]] ||
+        |           r.s[CAST(r.k % 7 + 2 AS INTEGER):7],
+        |         r.k + 1,
+        |         r.err + abs(sc.c - (r.l + r.b + r.s[r.k % 7 + 1]))
+        |  FROM rec r JOIN ser sc ON sc.t = r.t AND sc.i = r.i + 1)
+        |SELECT r.t, n.n_days, r.l AS level, r.b AS trend,
+        |       r.s[CAST(r.k % 7 + 1 AS INTEGER)] AS season_next,
+        |       r.l + r.b + r.s[CAST(r.k % 7 + 1 AS INTEGER)] AS forecast_next,
+        |       r.err / CAST(n.n_days - 14 AS DOUBLE) AS mae
+        |FROM rec r JOIN n ON r.t = n.t AND r.i = n.n_days""".stripMargin,
     "events_holt_forecast" ->
       """WITH RECURSIVE d AS (
         |  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
