@@ -107,3 +107,56 @@ case class ExplodeFramesExpr(child: Expression, n: Int)
 
   override def prettyName: String = "graft_explode_frames"
 }
+
+/** Bigram UDTF — the n-gram-LM workhorse as a true [[Generator]]:
+  * `LATERAL VIEW graft_explode_bigrams(text) b AS pos, w1, w2`. The
+  * composed spelling every LM query previously used —
+  * `explode(transform(sequence(0, size(tk) − 2), i → struct(tk[i],
+  * tk[i+1])))` — MATERIALIZES the full array of bigram structs per
+  * document before Generate streams it out; this generator slides a
+  * 2-token window over the split directly, one live row at a time —
+  * the allocation profile that matters when documents are megabytes.
+  * Tokenization is the [[graft.ext.TextOps.tokens]] contract (split
+  * on single spaces, empties DROPPED — unlike the shingle UDTF's
+  * keep-empties flat_map parity contract), so `w1/w2` match the
+  * unigram relations those queries join against. Same planner shape:
+  * a `Generate` node expanding in-partition, no shuffle. */
+case class ExplodeBigramsExpr(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_explode_bigrams expects a STRING column, got $other")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Nil
+    else {
+      val toks = t.asInstanceOf[UTF8String].toString
+        .split(" ", -1).filter(_.nonEmpty)
+      if (toks.length < 2) Nil
+      else new Iterator[InternalRow] {
+        private var i = 0
+        override def hasNext: Boolean = i <= toks.length - 2
+        override def next(): InternalRow = {
+          val row = InternalRow(i,
+            UTF8String.fromString(toks(i)), UTF8String.fromString(toks(i + 1)))
+          i += 1
+          row
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExplodeBigramsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_explode_bigrams"
+}

@@ -350,6 +350,7 @@ object HashExprs {
   def fingerprint(c: Column): Column = toColumn(FingerprintExpr(toExpression(c)))
   def charEntropyBound(s: Column): Column = toColumn(CharEntropyBoundExpr(toExpression(s)))
   def log2Millis(q: Column): Column = toColumn(Log2MillisExpr(toExpression(q)))
+  def explodeBigrams(s: Column): Column = toColumn(ExplodeBigramsExpr(toExpression(s)))
   def cdcChunkFps(s: Column, w: Int, mask: Long): Column =
     toColumn(CdcChunkFpsExpr(toExpression(s), w, mask))
   def varintCost(series: Column): Column = toColumn(VarintCostExpr(toExpression(series)))

@@ -1263,10 +1263,11 @@ object TextQueries {
     val uni = graft.ext.DedupOps.trackPersist(
       tk.select(explode(col("tk")).as("w")).groupBy(col("w")).agg(count(lit(1)).as("c1")))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val bi = tk.select(col("doc_id"), explode(expr(
-        "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk) - 2), " +
-          "i -> struct(tk[i] AS w1, tk[i + 1] AS w2)) ELSE array() END")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // bigrams stream from the true Generator (no per-doc struct-array
+    // materialization — the graft_explode_bigrams allocation contract)
+    val bi = d.select(col("doc_id"),
+        graft.functions.HashExprs.explodeBigrams(col("text")))
+      .select(col("doc_id"), col("w1"), col("w2"))
     val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     bi.join(broadcast(c2), Seq("w1", "w2"))
       .join(broadcast(uni.select(col("w").as("w1"), col("c1"))), "w1")
@@ -1302,10 +1303,11 @@ object TextQueries {
     val d = load(spark, sfDir, "documents")
     val tk = graft.core.QueryCaches.track(
       d.select(col("doc_id"), tokens(col("text")).as("tk")))
-    val bi = tk.select(col("doc_id"), explode(expr(
-        "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk) - 2), " +
-          "i -> struct(tk[i] AS w1, tk[i + 1] AS w2)) ELSE array() END")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // bigrams stream from the true Generator (no per-doc struct-array
+    // materialization — the graft_explode_bigrams allocation contract)
+    val bi = d.select(col("doc_id"),
+        graft.functions.HashExprs.explodeBigrams(col("text")))
+      .select(col("doc_id"), col("w1"), col("w2"))
     val c2 = graft.ext.DedupOps.trackPersist(
       bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
     val w1s = c2.groupBy(col("w1"))

@@ -127,7 +127,10 @@ object GraftFunctions {
     ("graft_explode_frames",
       "graft_explode_frames(bin, n) - UDTF: one row per equal-size media frame",
       es => graft.functions.ExplodeFramesExpr(
-        es.head, intLit(es(1), "graft_explode_frames"))))
+        es.head, intLit(es(1), "graft_explode_frames"))),
+    ("graft_explode_bigrams",
+      "graft_explode_bigrams(text) - UDTF: one row per adjacent token pair (pos, w1, w2)",
+      es => graft.functions.ExplodeBigramsExpr(es.head)))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "scala_udf")

@@ -78,6 +78,16 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "Generate") == 0, s"no char/byte explode — the kernel is one call:\n$p")
   }
 
+  test("text_kn_lm: bigrams ride the true Generator, not a materialized struct array") {
+    val p = plan("text_kn_lm")
+    assert(p.contains("graft_explode_bigrams"),
+      s"bigram expansion must be the streaming UDTF:\n$p")
+    assert(!p.contains("transform(sequence"),
+      s"no per-doc bigram array materialization anywhere:\n$p")
+    graft.core.QueryCaches.release()
+    graft.ext.DedupOps.releaseCaches()
+  }
+
   test("sim_link_predict: wedge equi-joins + partial global top-k, never all-pairs") {
     val p = plan("sim_link_predict")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -246,8 +246,38 @@ class SqlFunctionsSpec extends AnyFunSuite {
     new graft.sql.GraftExtensions().apply(ext)
     // pinned count catches an accidentally dropped builder; distinct
     // catches a duplicated name
-    assert(GraftFunctions.builders.size == 29)
-    assert(GraftFunctions.builders.map(_._1).distinct.size == 29)
+    assert(GraftFunctions.builders.size == 30)
+    assert(GraftFunctions.builders.map(_._1).distinct.size == 30)
+  }
+
+  test("graft_explode_bigrams: streams token pairs, drops empties, equals the composed spelling") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Seq((1L, "a b  c"), (2L, "solo"), (3L, ""), (4L, "x y"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("graft_bigram_docs")
+    val got = spark.sql(
+      """SELECT doc_id, b.pos, b.w1, b.w2 FROM graft_bigram_docs
+        |LATERAL VIEW graft_explode_bigrams(text) b AS pos, w1, w2""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    // the double space in doc 1 is dropped (tokens() contract), so the
+    // pairs are (a,b), (b,c); 1-token and empty docs emit nothing
+    assert(got == Seq((1L, 0, "a", "b"), (1L, 1, "b", "c"), (4L, 0, "x", "y")), got)
+    // equals the composed transform(sequence(...)) spelling on real data
+    val t = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val composed = t.selectExpr("doc_id",
+        "filter(split(text, ' '), x -> x <> '') AS tk")
+      .selectExpr("doc_id", """explode(CASE WHEN size(tk) >= 2
+        THEN transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i + 1] AS w2))
+        ELSE array() END) AS b""")
+      .selectExpr("doc_id", "b.w1", "b.w2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val gen = t.select(t("doc_id"),
+        graft.functions.HashExprs.explodeBigrams(t("text")))
+      .selectExpr("doc_id", "w1", "w2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(gen == composed)
   }
 
   test("graft_explode_shingles: a true Generator — 1→N from SQL with child positions") {
