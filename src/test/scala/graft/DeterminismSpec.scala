@@ -86,7 +86,12 @@ class DeterminismSpec extends AnyFunSuite {
     "q_f2_selfjoin_est", // 24 sign-hash counters in one hash-free fold
     "text_zipf",         // partial top-64 rank with declared tiebreak
     "events_periodicity", // per-type argmax window over the lag grid
-    "mm_dominant_bin")   // argmax-of-histogram kernel + 16-group rollup
+    "mm_dominant_bin",   // argmax-of-histogram kernel + 16-group rollup
+    "text_kn_lm",        // generator bigrams + three broadcast stat joins
+    "events_cuped",      // pooled-theta double trees over decimal folds
+    "events_holt_winters", // collected in-row fold carrying the season array
+    "events_feature_pit", // bucketize-explode PIT join + left restore
+    "q_join_order_advisor") // two global K-smallest order statistics
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
