@@ -2436,6 +2436,48 @@ object EventQueries {
       .orderBy(col("arm"))
   }
 
+  /** Offline policy evaluation — the counterfactual readout that closes
+    * the experimentation suite: the LOG was collected under the uniform
+    * two-arm assignment (a = user % 2, propensity exactly ½); the
+    * CANDIDATE policy π targets arm 1 for users with any pre-period
+    * purchase activity (deterministic, derived from the same integer
+    * calendar midpoint as [[eventsCuped]]). Inverse-propensity scoring
+    * weighs each matched unit by 1/½: V_IPS = (2/n)·Σ_{a=π(x)} r — the
+    * unbiased estimate of π's per-user reward had it been deployed —
+    * beside the self-normalized V_SNIPS = Σ_match r / n_match (lower
+    * variance, slight bias) and the match rate. ALL integer: rewards
+    * fold in cents, each estimate is one integral division in milli
+    * units with DECIMAL(38,0) partials. Scale: one user-keyed fold,
+    * one 1-row aggregate. */
+  def eventsIps(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.core.QueryCaches.track(
+      events(spark, sfDir).select(col("user_id"), col("event_type"),
+        col("value"), expr("ts div 86400000000000").as("d")))
+    val mid = e.agg(expr("(min(d) + max(d)) div 2").as("mid"))
+    e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase" && col("d") < col("mid"),
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase" && col("d") >= col("mid"),
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)).as("r"))
+      .select((col("user_id") % 2).as("a"),
+        when(col("x") > 0L, 1L).otherwise(0L).as("pi"), col("r"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") === col("pi"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("a") === col("pi"), col("r")).otherwise(0L)).as("r_match"),
+        sum(col("r")).as("r_total"))
+      .select(col("n"), col("n_match"), col("r_match"),
+        expr("(1000 * n_match) div n").as("match_rate_milli"),
+        expr("CAST((CAST(2000 AS DECIMAL(38,0)) * r_match) div n AS BIGINT)")
+          .as("v_ips_millicents"),
+        expr("CASE WHEN n_match = 0 THEN NULL ELSE " +
+          "CAST((CAST(1000 AS DECIMAL(38,0)) * r_match) div n_match AS BIGINT) END")
+          .as("v_snips_millicents"),
+        expr("CAST((CAST(1000 AS DECIMAL(38,0)) * r_total) div n AS BIGINT)")
+          .as("v_logged_millicents"))
+  }
+
   /** Sample-ratio mismatch check — the experimentation trip wire that
     * runs BEFORE any readout ([[eventsAbtest]], [[eventsWelch]],
     * [[eventsCuped]]): if the 50/50 unit split didn't land 50/50, the
@@ -2532,6 +2574,7 @@ object EventQueries {
     "events_abtest" -> (eventsAbtest _),
     "events_cuped" -> (eventsCuped _),
     "events_srm" -> (eventsSrm _),
+    "events_ips" -> (eventsIps _),
     "events_survival" -> (eventsSurvival _),
     "events_forecast_eval" -> (eventsForecastEval _),
     "events_asof_directions" -> (eventsAsofDirections _),
@@ -2656,6 +2699,33 @@ object EventQueries {
         |  (syy_tilde - sy_tilde * sy_tilde / CAST(n_arm AS DOUBLE)) /
         |    CAST(n_arm - 1 AS DOUBLE) AS var_y_adj
         |FROM r""".stripMargin,
+    "events_ips" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |             epoch_us(ts) // 86400000000 AS d FROM events),
+        |mth AS (SELECT (MIN(d) + MAX(d)) // 2 AS mid FROM e),
+        |u AS (SELECT user_id,
+        |        CAST(SUM(CASE WHEN event_type = 'purchase' AND d < mid
+        |          THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |        CAST(SUM(CASE WHEN event_type = 'purchase' AND d >= mid
+        |          THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS r
+        |      FROM e, mth GROUP BY user_id),
+        |p AS (SELECT user_id % 2 AS a,
+        |        CASE WHEN x > 0 THEN 1 ELSE 0 END AS pi, r FROM u),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(CASE WHEN a = pi THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |        CAST(SUM(CASE WHEN a = pi THEN r ELSE 0 END) AS BIGINT) AS r_match,
+        |        CAST(SUM(r) AS BIGINT) AS r_total
+        |      FROM p)
+        |SELECT n, n_match, r_match,
+        |  (1000 * n_match) // n AS match_rate_milli,
+        |  CAST((CAST(2000 AS HUGEINT) * r_match) // n AS BIGINT)
+        |    AS v_ips_millicents,
+        |  CASE WHEN n_match = 0 THEN NULL ELSE
+        |    CAST((CAST(1000 AS HUGEINT) * r_match) // n_match AS BIGINT) END
+        |    AS v_snips_millicents,
+        |  CAST((CAST(1000 AS HUGEINT) * r_total) // n AS BIGINT)
+        |    AS v_logged_millicents
+        |FROM s""".stripMargin,
     "events_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |c AS (SELECT
