@@ -44,6 +44,43 @@ class DocGenSourceSpec extends AnyFunSuite {
     assert(agg.getLong(0) > 990000L, s"distinct fps: ${agg.getLong(0)}")
   }
 
+  test("scale smoke: Kneser-Ney LM scoring via the bigram UDTF over 1M generated docs") {
+    // The text_kn_lm plan at 200x the oracle corpus: bigrams stream
+    // from the Generator (no struct-array materialization on ~50M
+    // bigram instances), the c2/context/continuation stats stay
+    // vocab-bounded (fixed generator vocabulary => the broadcast-side
+    // contract holds at ANY corpus size), and the per-doc fold is
+    // map-side combined.
+    import graft.functions.HashExprs.{explodeBigrams, log2Millis}
+    val t0 = System.nanoTime()
+    val d = docs(1000000L, 32)
+    val bi = d.select(col("doc_id"), explodeBigrams(col("text")))
+      .select(col("doc_id"), col("w1"), col("w2"))
+      .persist()
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val w1s = c2.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1ctx"), count(lit(1)).as("n1fw"))
+    val w2s = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1pw"))
+    val b = c2.agg(count(lit(1)).as("btot"))
+    val scored = bi.join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(w1s), "w1").join(broadcast(w2s), "w2")
+      .crossJoin(broadcast(b))
+      .withColumn("den", expr("2 * c1ctx * btot"))
+      .withColumn("num", expr("(2 * c12 - 1) * btot + n1fw * n1pw"))
+      .withColumn("mb", log2Millis(col("den")) - log2Millis(col("num")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"), sum(col("mb")).as("smb"))
+    val agg = scored.agg(count(lit(1)), sum(col("nb")),
+      expr("CAST(SUM(smb) AS DECIMAL(38,0)) div SUM(nb)")).head()
+    bi.unpersist()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(agg.getLong(0) == 1000000L, "every generated doc has >= 19 bigrams")
+    val avgMb = agg.getLong(2)
+    assert(avgMb > 0L && avgMb < 20000L, s"corpus mean KN surprisal sane: $avgMb")
+    assert(secs < 180.0, f"1M-doc KN scoring took $secs%.1f s (budget 180 s)")
+    info(f"1M docs KN-scored in $secs%.1f s, mean surprisal $avgMb millibits")
+  }
+
   test("filter pushdown: id-range predicates narrow generation and PRUNE input partitions") {
     val df = spark.read.format("graft-docs")
       .option("rows", 1000).option("partitions", 10).load()
