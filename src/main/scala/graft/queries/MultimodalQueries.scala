@@ -433,7 +433,45 @@ object MultimodalQueries {
       .filter(col("n_sources") > 1)
   }
 
+  /** Container sniffing — the magic-byte format detector every media
+    * ingest runs before trusting a file extension: blobs are minted
+    * with a 4-byte container prefix derived from their ANNOTATED
+    * modality (the [[mmModalMix]] `doc_id % 3` assignment — ASCII
+    * magics so the oracle reproduces them from the text side), except
+    * every 11th blob ships the WRONG prefix (the planted
+    * extension-lies-about-content case). The sniffer reads ONLY the
+    * leading bytes — never the payload — and the readout is the
+    * (annotated × sniffed) confusion matrix with the diagonal flag,
+    * [[graft.queries.TextQueries.textLangidConfusion]]'s shape for
+    * binary containers. Scale: prefix mint + sniff are scan-partition
+    * projections on a 4-byte slice; the rollup is a ≤9-cell
+    * map-side-combined aggregate. */
+  def mmContainerSniff(spark: SparkSession, sfDir: String): DataFrame = {
+    val annotated = expr(
+      "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+    // the prefix is minted from the SHIPPED modality: wrong for every
+    // 11th blob (shifted one modality over), right otherwise
+    val shipped = expr("CASE WHEN doc_id % 11 = 0 THEN (doc_id + 1) % 3 " +
+      "ELSE doc_id % 3 END")
+    val d = load(spark, sfDir, "documents")
+      .select(col("doc_id"), annotated.as("annotated"),
+        concat(
+          element_at(array(lit("PNGX"), lit("RIFF"), lit("FTYP")),
+            (shipped + 1).cast("int")),
+          col("text")).as("payload"))
+      .select(col("doc_id"), col("annotated"),
+        encode(col("payload"), "UTF-8").as("content"))
+    d.select(col("annotated"),
+        expr("CASE decode(substring(content, 1, 4), 'UTF-8') " +
+          "WHEN 'PNGX' THEN 'image' WHEN 'RIFF' THEN 'audio' " +
+          "WHEN 'FTYP' THEN 'video' ELSE 'unknown' END").as("sniffed"))
+      .groupBy(col("annotated"), col("sniffed"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_diagonal", col("annotated") === col("sniffed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_container_sniff" -> (mmContainerSniff _),
     "mm_meta_conflict" -> (mmMetaConflict _),
     "mm_modal_mix" -> (mmModalMix _),
     "mm_dominant_bin" -> (mmDominantBin _),
@@ -647,6 +685,22 @@ object MultimodalQueries {
          |FROM b_t a JOIN b_t b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ph, b.ph)) <= 2""".stripMargin,
+    "mm_container_sniff" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS annotated,
+        |    ['PNGX', 'RIFF', 'FTYP'][CAST(
+        |      (CASE WHEN doc_id % 11 = 0 THEN (doc_id + 1) % 3
+        |       ELSE doc_id % 3 END) + 1 AS INTEGER)] || text AS payload
+        |  FROM documents),
+        |s AS (SELECT annotated,
+        |    CASE substring(payload, 1, 4)
+        |      WHEN 'PNGX' THEN 'image' WHEN 'RIFF' THEN 'audio'
+        |      WHEN 'FTYP' THEN 'video' ELSE 'unknown' END AS sniffed
+        |  FROM d)
+        |SELECT annotated, sniffed, CAST(COUNT(*) AS BIGINT) AS n,
+        |  annotated = sniffed AS is_diagonal
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "mm_meta_conflict" ->
       """WITH corpus AS (SELECT doc_id, source, text FROM documents
         |                UNION ALL
