@@ -1265,6 +1265,72 @@ object GraftStream {
       }
   }
 
+  /** Streaming Holt–Winters monitor — the unbounded twin of
+    * [[graft.queries.EventQueries.eventsHoltWinters]] under the
+    * [[cusumUpdates]] in-order contract (the recurrence is
+    * order-dependent; rows sort by `ordCol` within a trigger, an
+    * arrival at or before the last applied ord is DROPPED and the
+    * batch row is the repair path). State per key: the first 14
+    * observations buffer until the two init weeks are complete, then
+    * the (l, b, s[7], k) recurrence state replaces them — constant 11
+    * numbers — and every subsequent in-order arrival emits the
+    * refreshed (level, trend, one-step forecast l+b+s[next]) using the
+    * SAME ×½ expression the batch fold spells, so the final emission
+    * equals the batch row term-for-term on the same prefix. */
+  def holtWintersUpdates(df: DataFrame, keyCol: String, ordCol: String,
+      valCol: String): Dataset[(String, Long, Double, Double, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(keyCol).cast("string").as("k"),
+      col(ordCol).cast("long").as("o"), col(valCol).cast("double").as("x"))
+      .as[(String, Long, Double)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[(Long, Seq[Double], Double, Double, Seq[Double], Long)]) =>
+          // (lastOrd, initBuf, l, b, s, k); initBuf fills to 14 first,
+          // then s (7 slots) takes over and the buffer stays empty.
+          val st = state.getOption.getOrElse(
+            (Long.MinValue, Seq.empty[Double], 0.0, 0.0, Seq.empty[Double], 0L))
+          var lastOrd = st._1
+          val buf = st._2.toBuffer
+          var l = st._3
+          var b = st._4
+          var s = st._5.toArray
+          var k = st._6
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Double, Double, Double)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, o, x) =>
+            if (o > lastOrd) {
+              lastOrd = o
+              if (s.isEmpty) {
+                buf += x
+                if (buf.length == 14) {
+                  // two-week init: sequential left-fold sums — the
+                  // batch aggregate(slice(...)) order exactly
+                  val m1 = buf.take(7).sum / 7.0
+                  val m2 = buf.slice(7, 14).sum / 7.0
+                  l = m2; b = (m2 - m1) / 7.0
+                  s = Array.tabulate(7)(i => buf(i) - m1)
+                  buf.clear()
+                  out += ((key, o, l, b, l + b + s(0)))
+                }
+              } else {
+                val slot = (k % 7L).toInt
+                val lNew = 0.5 * (x - s(slot)) + 0.5 * (l + b)
+                val bNew = 0.5 * (lNew - l) + 0.5 * b
+                val sNew = 0.5 * (x - lNew) + 0.5 * s(slot)
+                l = lNew; b = bNew; s(slot) = sNew; k += 1
+                out += ((key, o, l, b, l + b + s((k % 7L).toInt)))
+              }
+            } // else: late/duplicate ord — drop, batch repairs
+          }
+          state.update((lastOrd, buf.toSeq, l, b, s.toSeq, k))
+          out.iterator
+      }
+  }
+
   /** Streaming MATERIALIZED-VIEW maintenance — the unbounded twin of
     * [[graft.plans.MvCatalog]]'s aggregate summary: per key, state is
     * the exact MV partial (count, micro-scaled sum, min, max). Every

@@ -1500,6 +1500,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("streaming Holt-Winters monitor: final emission equals the batch triple-smoothing fold") {
+    // Order-dependent recurrence under the in-order contract: the
+    // per-(type, day) counts arrive day-ordered in three contiguous
+    // chunks; after the same prefix the streaming (level, trend,
+    // forecast) must be BIT-equal to the batch in-row fold — both
+    // spell identical x1/2 double trees over the identical init sums.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val expected = SparkEntry.queries("events_holt_winters")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(5)))).toMap
+    val daily = graft.queries.Tables.loadEvents(spark, dir)
+      .selectExpr("event_type AS t", "ts div 86400000000000 AS day")
+      .groupBy(col("t"), col("day")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._2, r._1))
+    val in = MemoryStream[(String, Long, Long)]
+    val df = in.toDF().toDF("t", "day", "c")
+    val rows = new ConcurrentLinkedQueue[(String, Long, Double, Double, Double)]()
+    val q = GraftStream.holtWintersUpdates(df, "t", "day", "c")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Double, Double, Double)],
+                     _: Long) => { b.collect().foreach(rows.add); () })
+      .start()
+    daily.grouped((daily.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(String, Long, Double, Double, Double)])
+      .groupBy(_._1).map { case (t, vs) =>
+        val last = vs.maxBy(_._2)
+        t -> ((last._3, last._4, last._5))
+      }
+    expected.foreach { case (t, exp) =>
+      assert(got.get(t).contains(exp), s"$t: got ${got.get(t)} expected $exp")
+    }
+    assert(expected.nonEmpty)
+  }
+
   test("streaming periodicity grid by composition: sumUpdates equals the batch daily counts") {
     // The streaming feed of events_periodicity: events keyed
     // "type|epoch-day" (the same datediff day the batch grid uses)
