@@ -2436,6 +2436,29 @@ object EventQueries {
       .orderBy(col("arm"))
   }
 
+  /** Weekday × hour activity grid — the ops-dashboard heatmap behind
+    * capacity planning and anomaly eyeballing: event volume per
+    * (weekday, hour) cell with each cell's per-mille share of the
+    * total and the cell's purchase rate. Epoch-day arithmetic keeps
+    * the weekday engine-neutral (day 0 = Thursday; no locale
+    * week-start), the share is one integral division against a 1-row
+    * broadcast total. Scale: ONE map-side-combined aggregate into a
+    * fixed 168-cell grid — the shuffle carries 168 rows regardless of
+    * volume. */
+  def eventsCalendarGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = events(spark, sfDir)
+      .select(expr("(ts div 86400000000000) % 7").as("weekday"),
+        expr("(ts div 3600000000000) % 24").as("hour"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_p"))
+      .groupBy(col("weekday"), col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("is_p")).as("n_purchase"))
+    val tot = cells.agg(sum(col("n")).cast("bigint").as("t"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("weekday"), col("hour"), col("n"), col("n_purchase"),
+        expr("(1000 * n) div t").as("share_milli"),
+        expr("(1000 * n_purchase) div n").as("purchase_milli"))
+  }
+
   /** Offline policy evaluation — the counterfactual readout that closes
     * the experimentation suite: the LOG was collected under the uniform
     * two-arm assignment (a = user % 2, propensity exactly ½); the
@@ -2575,6 +2598,7 @@ object EventQueries {
     "events_cuped" -> (eventsCuped _),
     "events_srm" -> (eventsSrm _),
     "events_ips" -> (eventsIps _),
+    "events_calendar_grid" -> (eventsCalendarGrid _),
     "events_survival" -> (eventsSurvival _),
     "events_forecast_eval" -> (eventsForecastEval _),
     "events_asof_directions" -> (eventsAsofDirections _),
@@ -2699,6 +2723,19 @@ object EventQueries {
         |  (syy_tilde - sy_tilde * sy_tilde / CAST(n_arm AS DOUBLE)) /
         |    CAST(n_arm - 1 AS DOUBLE) AS var_y_adj
         |FROM r""".stripMargin,
+    "events_calendar_grid" ->
+      """WITH c AS (SELECT (epoch_us(ts) // 86400000000) % 7 AS weekday,
+        |             (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        |           FROM events),
+        |g AS (SELECT weekday, hour, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(is_p) AS BIGINT) AS n_purchase
+        |      FROM c GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM g)
+        |SELECT weekday, hour, n, n_purchase,
+        |  (1000 * n) // t AS share_milli,
+        |  (1000 * n_purchase) // n AS purchase_milli
+        |FROM g, t""".stripMargin,
     "events_ips" ->
       """WITH e AS (SELECT user_id, event_type, value,
         |             epoch_us(ts) // 86400000000 AS d FROM events),

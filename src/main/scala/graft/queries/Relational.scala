@@ -1862,6 +1862,36 @@ object Relational {
         .as("est"))
   }
 
+  /** Most-common-values statistics — the MCV list that completes the
+    * ANALYZE family ([[qAnalyzeStats]] count/NDV/boundaries,
+    * [[qCorrStats]] correlation, [[qJoinCardEst]]/[[qF2SelfjoinEst]]
+    * sketches): per audited column, the top-8 values with exact counts
+    * and per-mille frequency — what a cost model consults for
+    * equality-predicate selectivity on skewed categorical columns,
+    * where a histogram's equal-depth buckets smear exactly the values
+    * that matter. Ties break on the value string (deterministic).
+    * Scale: one map-side-combined count per column (domain-bounded
+    * output), the top-8 rank stays on the UNCAST row_number (partial
+    * top-k), totals broadcast. */
+  def qMcvStats(spark: SparkSession, sfDir: String): DataFrame = {
+    def mcv(table: String, cname: String): DataFrame = {
+      val t = load(spark, sfDir, table)
+      val cnt = t.groupBy(col(cname).cast("string").as("value"))
+        .agg(count(lit(1)).as("n"))
+      val tot = t.agg(count(lit(1)).as("tot"))
+      cnt.withColumn("rk0",
+          row_number().over(Window.orderBy(col("n").desc, col("value"))))
+        .filter(col("rk0") <= 8)
+        .crossJoin(broadcast(tot))
+        .select(lit(s"$table.$cname").as("col_name"), col("value"), col("n"),
+          col("rk0").cast("bigint").as("rank"),
+          expr("(1000 * n) div tot").as("freq_milli"))
+    }
+    mcv("orders", "o_orderpriority")
+      .unionAll(mcv("customer", "c_mktsegment"))
+      .unionAll(mcv("orders", "o_orderstatus"))
+  }
+
   /** Join-ORDER advisor — what the sketch suite exists FOR: before
     * planning customer ⋈ orders ⋈ lineitem, estimate both pairwise
     * join sizes from KMV sketches ([[kmvJoinEst]] — two corpus-scan
@@ -2166,6 +2196,7 @@ object Relational {
     "q_join_card_est" -> (qJoinCardEst _),
     "q_f2_selfjoin_est" -> (qF2SelfjoinEst _),
     "q_join_order_advisor" -> (qJoinOrderAdvisor _),
+    "q_mcv_stats" -> (qMcvStats _),
     "q_partition_skew" -> (qPartitionSkew _),
     "q_erasure_manifest" -> (qErasureManifest _),
     "q_bitmap_index" -> (qBitmapIndex _),
@@ -2443,6 +2474,19 @@ object Relational {
         |    AS est_join_rows,
         |  actual_join_rows
         |FROM s, th, act, nu""".stripMargin,
+    "q_mcv_stats" -> {
+      def mcv(table: String, cname: String): String =
+        s"""SELECT '$table.$cname' AS col_name, value, n, rank,
+           |  (1000 * n) // tot AS freq_milli
+           |FROM (SELECT CAST($cname AS VARCHAR) AS value,
+           |        CAST(COUNT(*) AS BIGINT) AS n,
+           |        CAST(row_number() OVER (ORDER BY COUNT(*) DESC,
+           |          CAST($cname AS VARCHAR)) AS BIGINT) AS rank
+           |      FROM $table GROUP BY 1 QUALIFY rank <= 8),
+           |  (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM $table)""".stripMargin
+      Seq(mcv("orders", "o_orderpriority"), mcv("customer", "c_mktsegment"),
+        mcv("orders", "o_orderstatus")).mkString("\nUNION ALL\n")
+    },
     "q_join_order_advisor" -> {
       def fp(salt: String): String =
         s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
