@@ -2078,10 +2078,14 @@ object Relational {
       .filter(col("p_name").startsWith("red ")).select(col("p_partkey"))
     // the filtered red-part 1997 slice feeds both quantity aggs —
     // persisted so the scan + part join run once.
+    // project BEFORE the persist: QueryCaches.track materializes the
+    // relation as-is, and an unpruned cache would hold all 11 lineitem
+    // columns for a 3-column consumer (ScanAuditSpec fleet rule).
     val li97 = graft.core.QueryCaches.track(
       load(spark, sfDir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
         .join(red, col("l_partkey") === col("p_partkey")))
     val bySupp = li97.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast(DecimalType(38, 6))).as("qty_dec"))
