@@ -55,12 +55,18 @@ class ScanAuditSpec extends AnyFunSuite {
     val all16 = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
       "l_quantity", "l_extendedprice", "l_discount", "l_tax",
       "l_returnflag", "l_linestatus", "l_shipdate")
+    // Same rule for the events table's fat column: `props` is a JSON
+    // blob only the semi-structured extraction row consumes — any
+    // other query reading it pays blob I/O for nothing.
+    val propsAllowed = Set("events_props")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = try plan(name) catch { case _: Throwable => "" }
       val schemas = scanDetails(p, "ReadSchema:")
       schemas.foreach { s =>
         assert(!all16.forall(s.contains),
           s"$name reads an unpruned lineitem schema:\n$s")
+        assert(!s.contains("props") || propsAllowed(name),
+          s"$name reads the events JSON blob column it never uses:\n$s")
       }
       graft.core.QueryCaches.release()
       graft.ext.DedupOps.releaseCaches()
