@@ -1265,6 +1265,59 @@ object GraftStream {
       }
   }
 
+  /** Streaming point-in-time feature server — the unbounded twin of
+    * [[graft.queries.EventQueries.eventsFeaturePit]]: per user, state
+    * is the trailing-7-day event window (pruned on every arrival, so
+    * it is bounded by the user's own activity rate — the
+    * [[funnelUpdates]] bound); when a label event (a purchase of a
+    * sampled user) arrives, the features are computed from state
+    * STRICTLY BEFORE the label instant — same-instant events are
+    * excluded exactly like the batch join's `tus < lts` — and only
+    * then does the label itself enter the window. In-order contract
+    * per key ([[cusumUpdates]]); equal timestamps are accepted (the
+    * strict-before filter makes their processing order irrelevant).
+    * Emissions are (user, label ts, views, clicks, prior purchases,
+    * spend cents) — the leakage-free training rows, served online. */
+  def pitUpdates(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valCol: String, labelType: String = "purchase",
+      sampleMod: Long = 5L)
+      : Dataset[(Long, Long, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val W = 7L * 86400L * 1000000L // trailing window, µs
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(userCol).cast("long").as("u"),
+      col(tsCol).cast("long").as("tus"), col(typeCol).cast("string").as("t"),
+      col(valCol).cast("long").as("cents")).as[(Long, Long, String, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, Long)],
+         state: GroupState[(Long, Seq[(Long, String, Long)])]) =>
+          val st = state.getOption.getOrElse((Long.MinValue, Seq.empty[(Long, String, Long)]))
+          var lastTus = st._1
+          var window = st._2.toBuffer
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long, Long)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, tus, t, cents) =>
+            if (tus >= lastTus) {
+              lastTus = tus
+              window = window.filter(_._1 >= tus - W)
+              if (t == labelType && user % sampleMod == 0) {
+                val feats = window.filter(e => e._1 >= tus - W && e._1 < tus)
+                out += ((user, tus,
+                  feats.count(_._2 == "view").toLong,
+                  feats.count(_._2 == "click").toLong,
+                  feats.count(_._2 == labelType).toLong,
+                  feats.filter(_._2 == labelType).map(_._3).sum))
+              }
+              window += ((tus, t, cents))
+            } // else: late arrival — drop, the batch PIT join repairs
+          }
+          state.update((lastTus, window.toSeq))
+          out.iterator
+      }
+  }
+
   /** Streaming Holt–Winters monitor — the unbounded twin of
     * [[graft.queries.EventQueries.eventsHoltWinters]] under the
     * [[cusumUpdates]] in-order contract (the recurrence is

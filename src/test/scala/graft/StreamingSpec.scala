@@ -1500,6 +1500,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("streaming PIT feature server: emissions equal the batch point-in-time join rows") {
+    // Order-dependent window state under the in-order contract: events
+    // arrive time-ordered in three contiguous chunks; every label
+    // emission must equal the batch bucketize-explode PIT join's row
+    // for that (user, label ts) — strictly-before semantics included.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val expected = SparkEntry.queries("events_feature_pit")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val feed = graft.queries.Tables.loadEvents(spark, dir)
+      .selectExpr("user_id", "ts div 1000 AS tus", "event_type",
+        "CAST(floor(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._2)
+    val in = MemoryStream[(Long, Long, String, Long)]
+    val df = in.toDF().toDF("user_id", "tus", "event_type", "cents")
+    val rows = new ConcurrentLinkedQueue[(Long, Long, Long, Long, Long, Long)]()
+    val q = GraftStream.pitUpdates(df, "user_id", "tus", "event_type", "cents")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Long)],
+                     _: Long) => { b.collect().foreach(rows.add); () })
+      .start()
+    feed.grouped((feed.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(Long, Long, Long, Long, Long, Long)])
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == expected,
+      s"PIT multisets differ: ${got.size} streamed vs ${expected.size} batch groups")
+    assert(expected.nonEmpty)
+  }
+
   test("streaming Holt-Winters monitor: final emission equals the batch triple-smoothing fold") {
     // Order-dependent recurrence under the in-order contract: the
     // per-(type, day) counts arrive day-ordered in three contiguous
