@@ -158,4 +158,50 @@ class StreamScaleSpec extends AnyFunSuite {
     assert(secs < 240.0, f"200k-doc verified near-dup stream took $secs%.1f s (budget 240 s on local[16])")
     info(f"200k docs through nearDupVerified in $secs%.1f s, ${gotSet.size} pairs")
   }
+
+  test("scale smoke: pitUpdates serves 1M events / 50k users with activity-bounded state") {
+    // The PIT feature server at volume: 20 events per user spread over
+    // 20 days, one per day — the trailing-7-day prune caps state at ~7
+    // events/user no matter the stream length, and every 4th event is
+    // a sampled-user purchase label. Structural oracle: label count is
+    // exact (every purchase of a user % 5 == 0 emits once), and each
+    // emission's prior-purchase count is < 2 (at one event/day, a 7-day
+    // window holds at most 1 earlier purchase of the 4-day cadence...
+    // exactly 1 after the first) — checked in aggregate.
+    implicit val sq = spark.sqlContext
+    val users = 50000
+    val days = 20
+    val DayUs = 86400L * 1000000L
+    val in = MemoryStream[(Long, Long, String, Long)]
+    val df = in.toDF().toDF("user_id", "tus", "event_type", "cents")
+    val nOut = new java.util.concurrent.atomic.AtomicLong
+    val sumPrior = new java.util.concurrent.atomic.AtomicLong
+    val q = GraftStream.pitUpdates(df, "user_id", "tus", "event_type", "cents")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Long)],
+                     _: Long) => {
+        val rs = b.collect(); nOut.addAndGet(rs.length.toLong)
+        rs.foreach(r => sumPrior.addAndGet(r._5)); ()
+      }).start()
+    val t0 = System.nanoTime()
+    for (range <- Seq(0 until 7, 7 until 14, 14 until 20)) {
+      val batch = for {
+        d <- range.toVector
+        u <- 0 until users
+      } yield (u.toLong, d * DayUs + (u % 1000).toLong,
+        if (d % 4 == 3) "purchase" else "view", 100L)
+      in.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val sampled = users / 5
+    // labels at days 3, 7, 11, 15, 19 for every sampled user
+    assert(nOut.get() == sampled.toLong * 5, s"label emissions: ${nOut.get()}")
+    // day-3 labels see 0 prior purchases; each later label sees exactly
+    // 1 (the previous purchase is 4 days back, inside the 7-day window)
+    assert(sumPrior.get() == sampled.toLong * 4, s"prior purchases: ${sumPrior.get()}")
+    assert(secs < 150.0, f"1M-event PIT stream took $secs%.1f s (budget 150 s on local[16])")
+    info(f"1M events through pitUpdates in $secs%.1f s, ${nOut.get()} feature rows")
+  }
 }
