@@ -91,7 +91,10 @@ class DeterminismSpec extends AnyFunSuite {
     "events_cuped",      // pooled-theta double trees over decimal folds
     "events_holt_winters", // collected in-row fold carrying the season array
     "events_feature_pit", // bucketize-explode PIT join + left restore
-    "q_join_order_advisor") // two global K-smallest order statistics
+    "q_join_order_advisor", // two global K-smallest order statistics
+    "q_mcv_stats",       // three partial top-8 ranks with value tiebreaks
+    "events_ips",        // data-derived midpoint broadcast + policy fold
+    "mm_container_sniff") // planted-prefix mint + leading-bytes sniff
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
