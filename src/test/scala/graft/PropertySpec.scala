@@ -218,4 +218,27 @@ class PropertySpec extends AnyFunSuite {
       if (d == 1) assert(bound == 0L)
     }
   }
+
+  test("prop: log2Millis tracks real log2 within the piecewise-linear error bound") {
+    // The within-binade linear interpolation is the CHORD of a concave
+    // function, so it sits at or below the true log2 everywhere; its
+    // worst gap is max(log2(1+f) − f) ≈ 0.0861 bits at f = 1/ln2 − 1,
+    // and millibit truncation adds < 0.001. Properties: one-sided
+    // error in [0, 0.0872], exact on powers of two, monotone
+    // non-decreasing.
+    val gen = Gen.chooseNum(1L, (1L << 52) - 1)
+    val qs = (0 until 300).flatMap(i => gen(Gen.Parameters.default, Seed(i.toLong))) ++
+      Seq(1L, 2L, 3L, 1023L, 1024L, 1025L, (1L << 52) - 1)
+    var prevQ = 0L
+    var prevMb = Long.MinValue
+    qs.sorted.foreach { q =>
+      val mb = graft.functions.HashKernels.log2Millis(q)
+      val real = math.log(q.toDouble) / math.log(2.0)
+      assert(mb / 1000.0 <= real + 1e-9, s"q=$q mb=$mb over log2=$real")
+      assert(real - mb / 1000.0 <= 0.0872, s"q=$q error ${real - mb / 1000.0}")
+      if ((q & (q - 1)) == 0L) // exact power of two
+        assert(mb == 1000L * (63 - java.lang.Long.numberOfLeadingZeros(q)))
+      if (q > prevQ) { assert(mb >= prevMb, s"non-monotone at $q"); prevQ = q; prevMb = mb }
+    }
+  }
 }
