@@ -2555,7 +2555,170 @@ object EventQueries {
         expr("(1000 * cum_cents) div n_users").as("ltv_milli"))
   }
 
+  /** Difference-in-differences — the quasi-experimental readout for
+    * rollouts WITHOUT randomized assignment: the treated arm's
+    * pre→post change minus the control arm's pre→post change cancels
+    * any shared time trend (seasonality, market shift) that a naive
+    * post-only compare would book as treatment effect. Units are
+    * users (arm = user_id % 2, the suite's assignment convention);
+    * pre/post is the same integer calendar midpoint as [[eventsCuped]];
+    * the metric is purchase cents. Readout: per-arm pre/post means in
+    * exact integral milli-cents, the DiD point estimate from those
+    * floored means (all-integer, engine-neutral), plus the per-user
+    * diff-based t² against the parallel-trends null with decimal-exact
+    * moment folds and IDENTICAL double trees ([[eventsWelch]]'s
+    * contract). Scale: one user-keyed fold, one 1-row conditional
+    * aggregate — no window, no join on anything data-sized. */
+  def eventsDid(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.core.QueryCaches.track(
+      events(spark, sfDir).select(col("user_id"), col("event_type"),
+        col("value"), expr("ts div 86400000000000").as("d")))
+    val mid = e.agg(expr("(min(d) + max(d)) div 2").as("mid"))
+    val u = e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase" && col("d") < col("mid"),
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)).as("pre"),
+        sum(when(col("event_type") === "purchase" && col("d") >= col("mid"),
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)).as("post"))
+      .select((col("user_id") % 2).as("arm"), col("pre"), col("post"),
+        (col("post") - col("pre")).as("dlt"))
+    u.agg(
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1L, col("pre")).otherwise(0L)).as("sp_t"),
+        sum(when(col("arm") === 1L, col("post")).otherwise(0L)).as("so_t"),
+        sum(when(col("arm") === 0L, col("pre")).otherwise(0L)).as("sp_c"),
+        sum(when(col("arm") === 0L, col("post")).otherwise(0L)).as("so_c"),
+        dsum(when(col("arm") === 1L, col("dlt").cast("double")).otherwise(0.0d))
+          .as("sd_t"),
+        dsum(when(col("arm") === 1L, (col("dlt") * col("dlt")).cast("double"))
+          .otherwise(0.0d)).as("sdd_t"),
+        dsum(when(col("arm") === 0L, col("dlt").cast("double")).otherwise(0.0d))
+          .as("sd_c"),
+        dsum(when(col("arm") === 0L, (col("dlt") * col("dlt")).cast("double"))
+          .otherwise(0.0d)).as("sdd_c"))
+      .selectExpr("n_t", "n_c",
+        "(1000 * sp_t) div n_t AS pre_t_milli",
+        "(1000 * so_t) div n_t AS post_t_milli",
+        "(1000 * sp_c) div n_c AS pre_c_milli",
+        "(1000 * so_c) div n_c AS post_c_milli",
+        "sd_t", "sdd_t", "sd_c", "sdd_c")
+      .selectExpr("n_t", "n_c", "pre_t_milli", "post_t_milli",
+        "pre_c_milli", "post_c_milli",
+        "(post_t_milli - pre_t_milli) - (post_c_milli - pre_c_milli) AS did_milli",
+        "sd_t / CAST(n_t AS DOUBLE) - sd_c / CAST(n_c AS DOUBLE) AS did_mean",
+        "(sdd_t - sd_t * sd_t / CAST(n_t AS DOUBLE)) / CAST(n_t - 1 AS DOUBLE)" +
+          " AS var_d_t",
+        "(sdd_c - sd_c * sd_c / CAST(n_c AS DOUBLE)) / CAST(n_c - 1 AS DOUBLE)" +
+          " AS var_d_c")
+      .selectExpr("n_t", "n_c", "pre_t_milli", "post_t_milli", "pre_c_milli",
+        "post_c_milli", "did_milli", "did_mean", "var_d_t", "var_d_c",
+        "(did_mean * did_mean) / " +
+          "(var_d_t / CAST(n_t AS DOUBLE) + var_d_c / CAST(n_c AS DOUBLE))" +
+          " AS t2_stat")
+  }
+
+  /** Poisson-bootstrap confidence interval — THE way to put error bars
+    * on a 100 TB aggregate in one pass: instead of resampling n units
+    * with replacement (which needs global coordination), each unit
+    * draws an independent Poisson(1) weight per replicate — for large
+    * n the replicate totals are distributionally indistinguishable
+    * from the multinomial bootstrap, and the weights are a PURE
+    * FUNCTION of (user_id, replicate) via a deterministic mid-square
+    * hash, so the "randomness" is reproducible in both engines and
+    * across retries/stragglers (the property a cluster bootstrap
+    * needs — a worker re-run must draw the same weights).
+    * Weight = Poisson(1) inverse-CDF over the hash's 2^20 cells with
+    * the CDF thresholds pinned as integer literals (tail capped at 5:
+    * P(X>5) ≈ 6e-4 of units keep weight 5 — documented bias far below
+    * the CI's own Monte-Carlo noise at R=32). Per replicate the
+    * estimate is the weighted mean of per-user purchase cents as one
+    * integral milli division; the CI is the 2nd/31st order statistic
+    * of the 32 replicate estimates (≈ the 5/95 percentile band) read
+    * from ONE sorted 32-element array — no window anywhere. Scale:
+    * one user fold, a ×32 explode into a 32-group map-side-combined
+    * aggregate, then a 1-row array fold. */
+  def eventsBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)).as("m"))
+    val reps = u.select(col("user_id"), col("m"),
+        explode(expr("sequence(0L, 31L)")).as("r"))
+      // affine residue then mid-square: keeps bits [10,30) of t², the
+      // mix that beat parity-of-affine in the AMS sign-hash measurement
+      .withColumn("t", expr(
+        "(user_id * 2654435761 + r * 1013904223 + 12345) % 1048576"))
+      .withColumn("h", expr("((t * t) div 1024) % 1048576"))
+      // Poisson(1) CDF × 2^20, floored: 385749|771499|964373|1028665|1044738
+      .withColumn("w", expr(
+        "CASE WHEN h < 385749 THEN 0 WHEN h < 771499 THEN 1 " +
+          "WHEN h < 964373 THEN 2 WHEN h < 1028665 THEN 3 " +
+          "WHEN h < 1044738 THEN 4 ELSE 5 END"))
+    val ests = reps.groupBy(col("r"))
+      .agg(sum(col("w") * col("m")).as("num"), sum(col("w")).as("den"))
+      .select(expr("CASE WHEN den = 0 THEN NULL ELSE (1000 * num) div den END")
+        .as("est"))
+    val band = ests.agg(sort_array(collect_list(col("est"))).as("a"))
+      .select(element_at(col("a"), 2).as("boot_lo_milli"),
+        expr("(element_at(a, 16) + element_at(a, 17)) div 2")
+          .as("boot_med_milli"),
+        element_at(col("a"), 31).as("boot_hi_milli"))
+    val point = u.agg(count(lit(1)).as("n_users"),
+      expr("(1000 * sum(m)) div count(*)").as("point_milli"))
+    point.crossJoin(broadcast(band))
+  }
+
+  /** Mann–Whitney rank-sum test — the robust two-sample readout when
+    * revenue is heavy-tailed enough that [[eventsWelch]]'s means are
+    * whale-driven: compares the full rank distribution of per-user
+    * purchase cents between arms, with the textbook average-rank tie
+    * handling and tie-corrected normal-approximation variance. ALL
+    * integer/rational: ranks in exact milli units (avg rank of a tie
+    * group = cum_before + (t+1)/2 → 1000·cum_before + 500·(t+1)),
+    * U and its null mean in milli, z² in micro via one DECIMAL(38,0)
+    * division (the worst-case product overflows int64). Scale: the
+    * rank pass runs on the VALUE-level relation (one row per distinct
+    * cents value with its count — tie groups collapse before ranking)
+    * through [[graft.ext.SkewOps.globalCumSum]]'s two-pass
+    * range-partitioned prefix sum — the global ORDER BY window this
+    * suite never serializes onto one task. */
+  def eventsMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)).as("m"))
+      .select((col("user_id") % 2).as("arm"), col("m"))
+    val g = graft.core.QueryCaches.track(
+      u.groupBy(col("m")).agg(count(lit(1)).as("t"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("t_a")))
+    val ranked = graft.ext.SkewOps.globalCumSum(g, Seq("m"), "t", "_rk", "cum")
+    val folds = ranked
+      .select(col("t"), col("t_a"),
+        (lit(1000L) * (col("cum") - col("t")) + lit(500L) * (col("t") + lit(1L)))
+          .as("avg_rank_milli"))
+      .agg(sum(col("t_a") * col("avg_rank_milli")).as("r_a_milli"),
+        sum(col("t_a")).as("n_a"), sum(col("t") - col("t_a")).as("n_b"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie_t"))
+    folds
+      .selectExpr("n_a", "n_b", "tie_t",
+        "r_a_milli - 500 * n_a * (n_a + 1) AS u_a_milli",
+        "500 * n_a * n_b AS mu_milli",
+        "n_a + n_b AS n")
+      .selectExpr("n_a", "n_b", "tie_t", "u_a_milli", "mu_milli",
+        "CAST((CAST(u_a_milli - mu_milli AS DECIMAL(38,0)) *" +
+          " (u_a_milli - mu_milli)) *" +
+          " CAST(12 AS DECIMAL(38,0)) * n * (n - 1) div" +
+          " (CAST(n_a AS DECIMAL(38,0)) * n_b *" +
+          "  ((n + 1) * CAST(n AS DECIMAL(38,0)) * (n - 1) - tie_t))" +
+          " AS BIGINT) AS z2_micro")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_did" -> (eventsDid _),
+    "events_bootstrap" -> (eventsBootstrap _),
+    "events_mannwhitney" -> (eventsMannWhitney _),
     "events_ltv" -> (eventsLtv _),
     "events_welch" -> (eventsWelch _),
     "events_dbscan" -> (eventsDbscan _),
@@ -2658,6 +2821,120 @@ object EventQueries {
       |FROM i JOIN seas ON i.t = seas.t AND i.dow = seas.dow)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "events_did" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |             epoch_us(ts) // 86400000000 AS d FROM events),
+        |mth AS (SELECT (MIN(d) + MAX(d)) // 2 AS mid FROM e),
+        |u AS (SELECT user_id % 2 AS arm,
+        |        CAST(SUM(CASE WHEN event_type = 'purchase' AND d < mid
+        |          THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |          AS pre,
+        |        CAST(SUM(CASE WHEN event_type = 'purchase' AND d >= mid
+        |          THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |          AS post
+        |      FROM e CROSS JOIN mth GROUP BY user_id),
+        |ud AS (SELECT arm, pre, post, post - pre AS dlt FROM u),
+        |f AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS BIGINT) AS sp_t,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT) AS so_t,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS BIGINT) AS sp_c,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT) AS so_c,
+        |    CAST(SUM(CAST(CASE WHEN arm = 1 THEN CAST(dlt AS DOUBLE)
+        |      ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS sd_t,
+        |    CAST(SUM(CAST(CASE WHEN arm = 1 THEN CAST(dlt * dlt AS DOUBLE)
+        |      ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS sdd_t,
+        |    CAST(SUM(CAST(CASE WHEN arm = 0 THEN CAST(dlt AS DOUBLE)
+        |      ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS sd_c,
+        |    CAST(SUM(CAST(CASE WHEN arm = 0 THEN CAST(dlt * dlt AS DOUBLE)
+        |      ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS sdd_c
+        |  FROM ud),
+        |m AS (SELECT n_t, n_c,
+        |    (1000 * sp_t) // n_t AS pre_t_milli,
+        |    (1000 * so_t) // n_t AS post_t_milli,
+        |    (1000 * sp_c) // n_c AS pre_c_milli,
+        |    (1000 * so_c) // n_c AS post_c_milli,
+        |    sd_t, sdd_t, sd_c, sdd_c
+        |  FROM f),
+        |v AS (SELECT n_t, n_c, pre_t_milli, post_t_milli, pre_c_milli,
+        |    post_c_milli,
+        |    (post_t_milli - pre_t_milli) - (post_c_milli - pre_c_milli)
+        |      AS did_milli,
+        |    sd_t / CAST(n_t AS DOUBLE) - sd_c / CAST(n_c AS DOUBLE) AS did_mean,
+        |    (sdd_t - sd_t * sd_t / CAST(n_t AS DOUBLE)) / CAST(n_t - 1 AS DOUBLE)
+        |      AS var_d_t,
+        |    (sdd_c - sd_c * sd_c / CAST(n_c AS DOUBLE)) / CAST(n_c - 1 AS DOUBLE)
+        |      AS var_d_c
+        |  FROM m)
+        |SELECT n_t, n_c, pre_t_milli, post_t_milli, pre_c_milli, post_c_milli,
+        |  did_milli, did_mean, var_d_t, var_d_c,
+        |  (did_mean * did_mean) /
+        |    (var_d_t / CAST(n_t AS DOUBLE) + var_d_c / CAST(n_c AS DOUBLE))
+        |    AS t2_stat
+        |FROM v""".stripMargin,
+    "events_bootstrap" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m
+        |  FROM events GROUP BY user_id),
+        |reps AS (SELECT user_id, m, CAST(r.range AS BIGINT) AS r
+        |  FROM u CROSS JOIN range(0, 32) r),
+        |hw AS (SELECT m, r,
+        |    ((((user_id * 2654435761 + r * 1013904223 + 12345) % 1048576)
+        |      * ((user_id * 2654435761 + r * 1013904223 + 12345) % 1048576))
+        |      // 1024) % 1048576 AS h
+        |  FROM reps),
+        |ws AS (SELECT m, r,
+        |    CASE WHEN h < 385749 THEN 0 WHEN h < 771499 THEN 1
+        |         WHEN h < 964373 THEN 2 WHEN h < 1028665 THEN 3
+        |         WHEN h < 1044738 THEN 4 ELSE 5 END AS w
+        |  FROM hw),
+        |ests AS (SELECT CASE WHEN SUM(w) = 0 THEN NULL
+        |      ELSE (1000 * CAST(SUM(w * m) AS BIGINT)) // CAST(SUM(w) AS BIGINT)
+        |    END AS est
+        |  FROM ws GROUP BY r),
+        |band AS (SELECT list_sort(list(est)) AS a FROM ests),
+        |pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    (1000 * CAST(SUM(m) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+        |      AS point_milli
+        |  FROM u)
+        |SELECT n_users, point_milli,
+        |  CAST(a[2] AS BIGINT) AS boot_lo_milli,
+        |  CAST((a[16] + a[17]) // 2 AS BIGINT) AS boot_med_milli,
+        |  CAST(a[31] AS BIGINT) AS boot_hi_milli
+        |FROM pt CROSS JOIN band""".stripMargin,
+    "events_mannwhitney" ->
+      """WITH u AS (SELECT user_id % 2 AS arm,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS t,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_a
+        |  FROM u GROUP BY m),
+        |rk AS (SELECT t, t_a,
+        |    CAST(SUM(t) OVER (ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM g),
+        |f AS (SELECT
+        |    CAST(SUM(t_a * (1000 * (cum - t) + 500 * (t + 1))) AS BIGINT)
+        |      AS r_a_milli,
+        |    CAST(SUM(t_a) AS BIGINT) AS n_a,
+        |    CAST(SUM(t - t_a) AS BIGINT) AS n_b,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie_t
+        |  FROM rk),
+        |s AS (SELECT n_a, n_b, tie_t,
+        |    r_a_milli - 500 * n_a * (n_a + 1) AS u_a_milli,
+        |    500 * n_a * n_b AS mu_milli,
+        |    n_a + n_b AS n
+        |  FROM f)
+        |SELECT n_a, n_b, tie_t, u_a_milli, mu_milli,
+        |  CAST((CAST(u_a_milli - mu_milli AS HUGEINT)
+        |      * (u_a_milli - mu_milli) * 12 * n * (n - 1))
+        |    // (CAST(n_a AS HUGEINT) * n_b
+        |      * ((n + 1) * CAST(n AS HUGEINT) * (n - 1) - tie_t))
+        |    AS BIGINT) AS z2_micro
+        |FROM s""".stripMargin,
     "events_ltv" ->
       """WITH e AS (SELECT user_id,
         |    epoch_us(ts) // 604800000000 AS week, event_type, value

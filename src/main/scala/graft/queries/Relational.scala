@@ -2185,7 +2185,47 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), davg(col("wv")).as("wins_mean"))
   }
 
+  /** Approximate query processing via a deterministic 1/16 hash sample
+    * — the AQP posture for interactive dashboards over 100 TB: answer
+    * from a fixed hash-bucket sample, scale up by the sampling rate,
+    * and AUDIT the error against the exact answer per group (the audit
+    * is what this row gates; in production only the sample side runs,
+    * ideally off a pre-materialized sample table). The sample
+    * predicate is a pure function of l_orderkey through the same
+    * affine+mid-square hash as events_bootstrap — reproducible across
+    * engines, retries, and cluster sizes, and UNCORRELATED with the
+    * key order (a `% 16` sample would inherit any generator pattern in
+    * the key sequence). ORDER-keyed (not row-keyed) so all lineitems
+    * of an order enter together — the join-consistent sampling unit.
+    * One scan: exact and sampled aggregates fold in the same
+    * conditional pass, revenue in exact cents; error readouts are
+    * integral milli divisions. */
+  def qAqpSample(spark: SparkSession, sfDir: String): DataFrame = {
+    load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("((((l_orderkey * 2654435761 + 12345) % 1048576) * " +
+          "((l_orderkey * 2654435761 + 12345) % 1048576)) div 1024) % 1048576")
+          .as("h"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(col("cents")).as("rev_exact"),
+        sum(when(col("h") < 65536L, 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("h") < 65536L, col("cents")).otherwise(0L)).as("rev_sampled"))
+      .select(col("l_returnflag"), col("n_exact"), col("rev_exact"),
+        col("n_sampled"),
+        (col("n_sampled") * 16L).as("n_est"),
+        (col("rev_sampled") * 16L).as("rev_est"),
+        expr("CAST(signum(16 * n_sampled - n_exact) AS BIGINT) * " +
+          "((1000 * abs(16 * n_sampled - n_exact)) div n_exact)")
+          .as("cnt_err_milli"),
+        expr("CAST(signum(16 * rev_sampled - rev_exact) AS BIGINT) * " +
+          "((1000 * abs(16 * rev_sampled - rev_exact)) div rev_exact)")
+          .as("rev_err_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_aqp_sample" -> (qAqpSample _),
     "q_winsorized" -> (qWinsorized _),
     "q2_min_cost_supp" -> (q2MinCostSupp _),
     "q11_important_parts" -> (q11ImportantParts _),
@@ -2264,6 +2304,31 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_aqp_sample" ->
+      """WITH l AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    ((((l_orderkey * 2654435761 + 12345) % 1048576)
+        |      * ((l_orderkey * 2654435761 + 12345) % 1048576))
+        |      // 1024) % 1048576 AS h
+        |  FROM lineitem),
+        |g AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |    CAST(SUM(cents) AS BIGINT) AS rev_exact,
+        |    CAST(SUM(CASE WHEN h < 65536 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_sampled,
+        |    CAST(SUM(CASE WHEN h < 65536 THEN cents ELSE 0 END) AS BIGINT)
+        |      AS rev_sampled
+        |  FROM l GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_exact, rev_exact, n_sampled,
+        |  n_sampled * 16 AS n_est,
+        |  rev_sampled * 16 AS rev_est,
+        |  CAST(sign(16 * n_sampled - n_exact) AS BIGINT)
+        |    * ((1000 * abs(16 * n_sampled - n_exact)) // n_exact)
+        |    AS cnt_err_milli,
+        |  CAST(sign(16 * rev_sampled - rev_exact) AS BIGINT)
+        |    * ((1000 * abs(16 * rev_sampled - rev_exact)) // rev_exact)
+        |    AS rev_err_milli
+        |FROM g""".stripMargin,
     // per-segment row_number window ON PURPOSE — the plan the engine's
     // globalRank + offset spelling exists to avoid at scale
     "q_winsorized" ->

@@ -1543,7 +1543,47 @@ object SimQueries {
         (lit(10L) * col("tvd_p") > col("n_a") * col("n_p")).as("drifted_planted"))
   }
 
+  /** HITS hubs & authorities (Kleinberg) on the DIRECTED bucketed kNN
+    * graph — the link-analysis dual of [[simPagerank]]: an AUTHORITY
+    * is a vector many others pick as neighbor (the density/centroid
+    * core of a region), a HUB is one whose own top-5 list points at
+    * strong authorities. Two exact power iterations from h⁰ ≡ 1,
+    * UNNORMALIZED so every score is an exact integer (a¹ = in-degree;
+    * h¹ = Σ_out a¹; a² = Σ_in h¹ — normalization only rescales the
+    * ranking this row reports, and dropping it keeps both engines in
+    * pure BIGINT arithmetic, no float drift over iterations). Readout:
+    * global top-20 by (a², vec_id) through the partial-rank idiom
+    * (filter on the UNCAST rank so InsertWindowGroupLimit keeps the
+    * top-k partial — the qHeavyHitters spelling). Scale: the directed
+    * edge relation is O(N·k) fixed-width rows, persisted query-scoped
+    * (read three times); each iteration is an edge-keyed equi-join +
+    * map-side-combined sum — out-degree is capped at k by
+    * construction, in-degree skew is the SRP bucket cap's job
+    * upstream; the final window sees only node-grain rows and keeps
+    * 20 per partition before the single merge. */
+  def simHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = graft.core.QueryCaches.track(
+      SimOps.knnGraph(
+        emb(spark, sfDir).select(col("vec_id"), col("embedding")), k = 5, bits = 4)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+    val a1 = edges.groupBy(col("dst").as("v")).agg(count(lit(1)).as("a1"))
+    val h1 = graft.core.QueryCaches.track(
+      edges.join(a1, edges("dst") === a1("v"))
+        .groupBy(col("src").as("u")).agg(sum(col("a1")).as("h1")))
+    val a2 = edges.join(h1, edges("src") === h1("u"))
+      .groupBy(col("dst").as("v")).agg(sum(col("h1")).as("a2"))
+    a2.join(h1, a2("v") === h1("u"), "left")
+      .select(col("v").as("vec_id"), col("a2"),
+        coalesce(col("h1"), lit(0L)).as("hub1"))
+      .withColumn("rk0", row_number().over(
+        Window.orderBy(col("a2").desc, col("vec_id"))))
+      .filter(col("rk0") <= 20)
+      .select(col("rk0").cast("bigint").as("rk"), col("vec_id"),
+        col("a2").as("authority2"), col("hub1"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hits" -> (simHits _),
     "sim_embedding_drift" -> (simEmbeddingDrift _),
     "sim_threshold_sweep" -> (simThresholdSweep _),
     "sim_mips_reduction" -> (simMipsReduction _),
@@ -1689,6 +1729,27 @@ object SimQueries {
        |      WHERE f.vec_id < f.nbr_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "sim_hits" ->
+      s"""WITH b AS MATERIALIZED (SELECT vec_id, embedding,
+         |       ${srpSql("embedding", 4)} AS bucket FROM embeddings),
+         |scored AS MATERIALIZED (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         |             ${cosSql("a.embedding", "b.embedding")} AS cos
+         |           FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |knn AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst FROM (
+         |        SELECT vec_id, nbr_id, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, nbr_id) AS rk FROM scored) WHERE rk <= 5),
+         |a1 AS (SELECT dst AS v, CAST(COUNT(*) AS BIGINT) AS a1
+         |       FROM knn GROUP BY dst),
+         |h1 AS MATERIALIZED (SELECT src AS u, CAST(SUM(a1) AS BIGINT) AS h1
+         |       FROM knn JOIN a1 ON knn.dst = a1.v GROUP BY src),
+         |a2 AS (SELECT dst AS v, CAST(SUM(h1) AS BIGINT) AS a2
+         |       FROM knn JOIN h1 ON knn.src = h1.u GROUP BY dst),
+         |j AS (SELECT a2.v AS vec_id, a2.a2,
+         |        CAST(COALESCE(h1.h1, 0) AS BIGINT) AS hub1
+         |      FROM a2 LEFT JOIN h1 ON a2.v = h1.u)
+         |SELECT CAST(row_number() OVER (ORDER BY a2 DESC, vec_id) AS BIGINT)
+         |    AS rk, vec_id, a2 AS authority2, hub1
+         |FROM j QUALIFY rk <= 20""".stripMargin,
     "sim_embedding_drift" ->
       s"""WITH n AS (SELECT vec_id, ${dotSql("embedding", "embedding")} AS nn
          |           FROM embeddings),

@@ -1326,7 +1326,93 @@ object TextQueries {
       .withColumn("avg_millibits_kn", expr("sum_millibits_kn div n_bigrams"))
   }
 
+  /** Temperature-reweighted language mix — the multilingual upsampling
+    * knob (mT5/XLM-R style): sampling rate ∝ c_lang^T with T = 0.5
+    * flattens the natural token distribution so low-resource languages
+    * stop vanishing from the training mix. T = 0.5 is computed as IEEE
+    * `sqrt` — correctly rounded by the standard in BOTH engines, so the
+    * per-language weight is bit-identical without any transcendental
+    * library risk (the reason this row pins T = ½ rather than a free
+    * exponent: pow(x, t) carries no such guarantee). The weight sum
+    * folds through DECIMAL(38,6) (order-proof, [[Tables.dsum]]'s
+    * contract); the sampled share and the boost-over-natural factor
+    * are floored milli readouts of identical double expression trees.
+    * Scale: one scan into a |langs|-group map-side-combined fold, then
+    * 1-row broadcast stitches — the [[curateMix]] plan with a
+    * principled rate rule instead of a hand-set share. */
+  def curateTemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = graft.core.QueryCaches.track(
+      load(spark, sfDir, "documents")
+        .select(col("lang"), tokenCount(col("text")).as("n_tokens"))
+        .groupBy(col("lang")).agg(sum(col("n_tokens")).as("c_tokens")))
+    val tot = stats.agg(sum(col("c_tokens")).as("t_tokens"),
+      sum(expr("CAST(sqrt(CAST(c_tokens AS DOUBLE)) AS DECIMAL(38,6))"))
+        .cast("double").as("s_w"))
+    stats.crossJoin(broadcast(tot))
+      .selectExpr("lang", "c_tokens",
+        "(1000 * c_tokens) div t_tokens AS natural_milli",
+        "CAST(floor(1000.0 * (sqrt(CAST(c_tokens AS DOUBLE)) / s_w)) AS BIGINT)" +
+          " AS temp_milli",
+        "CAST(floor(1000.0 * (sqrt(CAST(c_tokens AS DOUBLE)) / s_w)" +
+          " * CAST(t_tokens AS DOUBLE) / CAST(c_tokens AS DOUBLE)) AS BIGINT)" +
+          " AS boost_milli")
+  }
+
+  /** Pairwise Jensen–Shannon divergence between per-source unigram
+    * distributions — the source-similarity matrix a curation pass
+    * reads before merging or deduplicating corpora (JSD ≈ 0: the
+    * sources are interchangeable; JSD → 1 bit: disjoint vocabularies).
+    * Computed ENTIRELY in the integer millibit log algebra
+    * ([[graft.functions.HashExprs.log2Millis]], the fast-log kernel
+    * shared with text_perplexity/text_zipf/text_kn_lm — both engines
+    * evaluate the identical piecewise-chord formula, so the row is
+    * hash-exact): for matched tokens the contribution is
+    * a·Nb·(L(2aNb) − L(aNb+bNa)) + b·Na·(L(2bNa) − L(aNb+bNa)) at
+    * scale 2·Na·Nb; tokens private to one source contribute exactly
+    * 1000 millibits each at weight p (L(2x) − L(x) ≡ 1000 under the
+    * binade+chord kernel), folded CLOSED-FORM from the matched sums —
+    * so the pair join is a plain INNER join on token, no outer-join
+    * null handling anywhere. Per-token products stay under 2^63
+    * (count·total ≤ ~1e13 at sf0.1 × ≤44k millibits); the pair fold
+    * crosses into DECIMAL(38,0) where int64 would saturate. Scale:
+    * the self-join is token-keyed with fan-out bounded by |sources|²
+    * (a domain constant, not data); everything after lives on the
+    * 190-row pair grid with 20-row broadcast totals. */
+  def textJsd(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashExprs.log2Millis
+    val cnt = graft.core.QueryCaches.track(
+      load(spark, sfDir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c")))
+    val totals = cnt.groupBy(col("source")).agg(sum(col("c")).as("nt"))
+    val matched = cnt.as("x").join(cnt.as("y"),
+        col("x.token") === col("y.token") && col("x.source") < col("y.source"))
+      .select(col("x.source").as("sa"), col("y.source").as("sb"),
+        col("x.c").as("a"), col("y.c").as("b"))
+      .join(broadcast(totals.select(col("source").as("sa"), col("nt").as("na"))), "sa")
+      .join(broadcast(totals.select(col("source").as("sb"), col("nt").as("nb"))), "sb")
+      .withColumn("u", col("a") * col("nb"))
+      .withColumn("v", col("b") * col("na"))
+      .withColumn("term",
+        col("u") * (log2Millis(lit(2L) * col("u")) - log2Millis(col("u") + col("v"))) +
+          col("v") * (log2Millis(lit(2L) * col("v")) - log2Millis(col("u") + col("v"))))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("term").cast(DecimalType(38, 0))).as("term_sum"),
+        sum(col("a")).as("sam"), sum(col("b")).as("sbm"),
+        min(col("na")).as("na"), min(col("nb")).as("nb"))
+    matched
+      .withColumn("d", col("term_sum") +
+        lit(1000L).cast(DecimalType(38, 0)) * col("nb") * (col("na") - col("sam")) +
+        lit(1000L).cast(DecimalType(38, 0)) * col("na") * (col("nb") - col("sbm")))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"), col("n_common"),
+        expr("CAST((1000 * d) div (CAST(2 AS DECIMAL(38,0)) * na * nb) AS BIGINT)")
+          .as("jsd_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_temperature_mix" -> (curateTemperatureMix _),
+    "text_jsd" -> (textJsd _),
     "text_kn_lm" -> (textKnLm _),
     "text_perplexity" -> (textPerplexity _),
     "text_chunk" -> (textChunk _),
@@ -1402,6 +1488,57 @@ object TextQueries {
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
+    "curate_temperature_mix" ->
+      s"""WITH stats AS (SELECT lang,
+         |    CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS c_tokens
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(SUM(c_tokens) AS BIGINT) AS t_tokens,
+         |    CAST(SUM(CAST(sqrt(CAST(c_tokens AS DOUBLE)) AS DECIMAL(38,6)))
+         |      AS DOUBLE) AS s_w
+         |  FROM stats)
+         |SELECT lang, c_tokens,
+         |  (1000 * c_tokens) // t_tokens AS natural_milli,
+         |  CAST(floor(1000.0 * (sqrt(CAST(c_tokens AS DOUBLE)) / s_w))
+         |    AS BIGINT) AS temp_milli,
+         |  CAST(floor(1000.0 * (sqrt(CAST(c_tokens AS DOUBLE)) / s_w)
+         |    * CAST(t_tokens AS DOUBLE) / CAST(c_tokens AS DOUBLE)) AS BIGINT)
+         |    AS boost_milli
+         |FROM stats CROSS JOIN tot""".stripMargin,
+    "text_jsd" -> {
+      def mbSql(q: String): String =
+        s"(CAST((length(bin($q)) - 1) * 1000 AS BIGINT) + " +
+          s"(($q - (CAST(1 AS BIGINT) << (length(bin($q)) - 1))) * 1000) // " +
+          s"(CAST(1 AS BIGINT) << (length(bin($q)) - 1)))"
+      s"""WITH cnt AS MATERIALIZED (SELECT source, token,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT source, unnest($toksSql) AS token FROM documents)
+         |  GROUP BY source, token),
+         |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS nt
+         |  FROM cnt GROUP BY source),
+         |m AS (SELECT x.source AS sa, y.source AS sb, x.c AS a, y.c AS b,
+         |    ta.nt AS na, tb.nt AS nb
+         |  FROM cnt x JOIN cnt y ON x.token = y.token AND x.source < y.source
+         |  JOIN tot ta ON ta.source = x.source
+         |  JOIN tot tb ON tb.source = y.source),
+         |t AS (SELECT sa, sb, a, b, na, nb, a * nb AS u, b * na AS v FROM m),
+         |t2 AS (SELECT sa, sb, a, b, na, nb,
+         |    u * (${mbSql("(2 * u)")} - ${mbSql("(u + v)")})
+         |    + v * (${mbSql("(2 * v)")} - ${mbSql("(u + v)")}) AS term
+         |  FROM t),
+         |g AS (SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n_common,
+         |    SUM(CAST(term AS HUGEINT)) AS term_sum,
+         |    CAST(SUM(a) AS BIGINT) AS sam, CAST(SUM(b) AS BIGINT) AS sbm,
+         |    MIN(na) AS na, MIN(nb) AS nb
+         |  FROM t2 GROUP BY sa, sb),
+         |d AS (SELECT sa, sb, n_common, na, nb,
+         |    term_sum + CAST(1000 AS HUGEINT) * nb * (na - sam)
+         |             + CAST(1000 AS HUGEINT) * na * (nb - sbm) AS d
+         |  FROM g)
+         |SELECT sa AS source_a, sb AS source_b, n_common,
+         |  CAST((1000 * d) // (CAST(2 AS HUGEINT) * na * nb) AS BIGINT)
+         |    AS jsd_micro
+         |FROM d""".stripMargin
+    },
     "text_kn_lm" -> {
       // NB the enclosing parens: this macro is subtracted inline, and
       // an unparenthesized `a + b - c + d` flips the second fraction.

@@ -94,7 +94,14 @@ class DeterminismSpec extends AnyFunSuite {
     "q_join_order_advisor", // two global K-smallest order statistics
     "q_mcv_stats",       // three partial top-8 ranks with value tiebreaks
     "events_ips",        // data-derived midpoint broadcast + policy fold
-    "mm_container_sniff") // planted-prefix mint + leading-bytes sniff
+    "mm_container_sniff", // planted-prefix mint + leading-bytes sniff
+    // round-13 additions with partitioning-sensitive machinery:
+    "events_bootstrap",  // hash-deterministic Poisson weights + array fold
+    "events_mannwhitney", // globalCumSum milli-rank prefix over tie groups
+    "events_did",        // midpoint broadcast + decimal diff moment folds
+    "sim_hits",          // 3-pass integer power iteration + partial top-20
+    "text_jsd",          // token-keyed pair join + decimal millibit fold
+    "curate_temperature_mix") // IEEE sqrt weights through the decimal fold
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
