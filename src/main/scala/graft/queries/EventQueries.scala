@@ -2715,7 +2715,94 @@ object EventQueries {
           " AS BIGINT) AS z2_micro")
   }
 
+  /** Causal-impact readout with a seasonal counterfactual — the
+    * launch-review question ("what did the last week's change DO to
+    * the metric?") answered the way a metrics platform actually does
+    * at scale: the counterfactual for each post-intervention day is
+    * the weekday mean from the pre period (the `seasonal` model
+    * [[eventsForecastEval]] routes to when it wins), and the effect
+    * is actual − counterfactual, cumulated over the post window. This
+    * is CausalImpact-LITE: a deterministic seasonal baseline instead
+    * of the Bayesian structural time series — the posture that keeps
+    * every number an EXACT integer (counterfactual per day is the
+    * rational s/k surfaced in floored milli units; no posterior, no
+    * sampling). The "intervention" is the last 7 days of the corpus —
+    * the same synthetic holdout the backtest uses. Scale: corpus →
+    * (type, day) counts in one map-side-combined pass; weekday
+    * profiles are |types|×7 broadcast rows; the readout is one
+    * |types|-group fold. */
+  def eventsCausalImpact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = graft.core.QueryCaches.track(
+      loadEvents(spark, sfDir)
+        .select(col("event_type").as("t"), expr("ts div 86400000000000").as("day"))
+        .groupBy(col("t"), col("day")).agg(count(lit(1)).as("c")))
+    val b = d.agg(max(col("day")).as("d1"))
+    val withB = d.crossJoin(broadcast(b))
+    val pre = withB.filter(col("day") <= col("d1") - 7)
+    val post = withB.filter(col("day") > col("d1") - 7)
+    val wk = pre.groupBy(col("t"), pmod(col("day"), lit(7L)).as("wd"))
+      .agg(sum(col("c")).as("s"), count(lit(1)).as("k"))
+    post
+      .join(broadcast(wk), post("t") === wk("t") &&
+        pmod(col("day"), lit(7L)) === col("wd"))
+      .drop(wk("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_post"),
+        sum(col("c")).as("actual"),
+        sum(expr("(1000 * s) div k")).as("cf_milli"))
+      .withColumn("effect_milli", lit(1000L) * col("actual") - col("cf_milli"))
+      .withColumn("rel_milli",
+        expr("(1000 * (1000 * actual - cf_milli)) div cf_milli"))
+  }
+
+  /** Heterogeneous treatment effects — the uplift table behind "WHO
+    * did the experiment move?": users are banded by PRE-period
+    * purchase count (0 / 1–2 / 3+, fixed integer domain constants —
+    * no data-dependent quantile, so band membership is a pure function
+    * of the user's own history), and each band reports its
+    * treatment-vs-control POST conversion rate and revenue delta.
+    * A flat average (eventsWelch/eventsCuped) can hide a real effect
+    * concentrated in one segment — this is the row that finds it.
+    * ALL integer: conversion deltas and per-user revenue deltas in
+    * exact milli units. Scale: one user-keyed fold to (band, arm)
+    * grain, then a ≤6-row conditional aggregate — band × arm is a
+    * domain constant. */
+  def eventsHte(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.core.QueryCaches.track(
+      events(spark, sfDir).select(col("user_id"), col("event_type"),
+        col("value"), expr("ts div 86400000000000").as("d")))
+    val mid = e.agg(expr("(min(d) + max(d)) div 2").as("mid"))
+    val u = e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase" && col("d") < col("mid"), 1L)
+          .otherwise(0L)).as("pre_n"),
+        sum(when(col("event_type") === "purchase" && col("d") >= col("mid"),
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)).as("post_c"))
+      .select((col("user_id") % 2).as("arm"),
+        when(col("pre_n") === 0L, 0L)
+          .when(col("pre_n") <= 2L, 1L).otherwise(2L).as("band"),
+        when(col("post_c") > 0L, 1L).otherwise(0L).as("conv"), col("post_c"))
+    u.groupBy(col("band"))
+      .agg(
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1L, col("conv")).otherwise(0L)).as("conv_t"),
+        sum(when(col("arm") === 0L, col("conv")).otherwise(0L)).as("conv_c"),
+        sum(when(col("arm") === 1L, col("post_c")).otherwise(0L)).as("rev_t"),
+        sum(when(col("arm") === 0L, col("post_c")).otherwise(0L)).as("rev_c"))
+      .select(col("band"), col("n_t"), col("n_c"),
+        expr("(1000 * conv_t) div n_t").as("conv_t_milli"),
+        expr("(1000 * conv_c) div n_c").as("conv_c_milli"),
+        expr("(1000 * conv_t) div n_t - (1000 * conv_c) div n_c")
+          .as("uplift_conv_milli"),
+        expr("(1000 * rev_t) div n_t - (1000 * rev_c) div n_c")
+          .as("uplift_rev_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_causal_impact" -> (eventsCausalImpact _),
+    "events_hte" -> (eventsHte _),
     "events_did" -> (eventsDid _),
     "events_bootstrap" -> (eventsBootstrap _),
     "events_mannwhitney" -> (eventsMannWhitney _),
@@ -2821,6 +2908,60 @@ object EventQueries {
       |FROM i JOIN seas ON i.t = seas.t AND i.dow = seas.dow)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "events_causal_impact" ->
+      """WITH d AS (SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MAX(day) AS d1 FROM d),
+        |pre AS (SELECT * FROM d CROSS JOIN b WHERE day <= d1 - 7),
+        |post AS (SELECT * FROM d CROSS JOIN b WHERE day > d1 - 7),
+        |wk AS (SELECT t, day % 7 AS wd, CAST(SUM(c) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM pre GROUP BY 1, 2),
+        |g AS (SELECT post.t, CAST(COUNT(*) AS BIGINT) AS n_post,
+        |    CAST(SUM(c) AS BIGINT) AS actual,
+        |    CAST(SUM((1000 * s) // k) AS BIGINT) AS cf_milli
+        |  FROM post JOIN wk ON post.t = wk.t AND post.day % 7 = wk.wd
+        |  GROUP BY post.t)
+        |SELECT t, n_post, actual, cf_milli,
+        |  1000 * actual - cf_milli AS effect_milli,
+        |  (1000 * (1000 * actual - cf_milli)) // cf_milli AS rel_milli
+        |FROM g""".stripMargin,
+    "events_hte" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |             epoch_us(ts) // 86400000000 AS d FROM events),
+        |mth AS (SELECT (MIN(d) + MAX(d)) // 2 AS mid FROM e),
+        |u AS (SELECT user_id % 2 AS arm,
+        |        CAST(SUM(CASE WHEN event_type = 'purchase' AND d < mid
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS pre_n,
+        |        CAST(SUM(CASE WHEN event_type = 'purchase' AND d >= mid
+        |          THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |          AS post_c
+        |      FROM e CROSS JOIN mth GROUP BY user_id),
+        |ub AS (SELECT arm,
+        |        CASE WHEN pre_n = 0 THEN 0 WHEN pre_n <= 2 THEN 1 ELSE 2 END
+        |          AS band,
+        |        CASE WHEN post_c > 0 THEN 1 ELSE 0 END AS conv, post_c
+        |      FROM u),
+        |g AS (SELECT band,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_t,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_c,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN post_c ELSE 0 END) AS BIGINT)
+        |      AS rev_t,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN post_c ELSE 0 END) AS BIGINT)
+        |      AS rev_c
+        |  FROM ub GROUP BY band)
+        |SELECT CAST(band AS BIGINT) AS band, n_t, n_c,
+        |  (1000 * conv_t) // n_t AS conv_t_milli,
+        |  (1000 * conv_c) // n_c AS conv_c_milli,
+        |  (1000 * conv_t) // n_t - (1000 * conv_c) // n_c
+        |    AS uplift_conv_milli,
+        |  (1000 * rev_t) // n_t - (1000 * rev_c) // n_c AS uplift_rev_milli
+        |FROM g""".stripMargin,
     "events_did" ->
       """WITH e AS (SELECT user_id, event_type, value,
         |             epoch_us(ts) // 86400000000 AS d FROM events),

@@ -470,7 +470,54 @@ object MultimodalQueries {
       .withColumn("is_diagonal", col("annotated") === col("sniffed"))
   }
 
+  /** Tile-hash partial-duplicate detection — the CROP/SPLICE catch
+    * that whole-blob hashing ([[mmDedup]]) and global perceptual
+    * hashing ([[mmPhash]]) both miss: a media asset that EMBEDS a
+    * chunk of another (cropped image, spliced clip, quoted region)
+    * shares exact TILES without sharing any whole-content signature.
+    * Each blob splits into 16 equal byte tiles (floor(len/16) each,
+    * tail remainder ignored; blobs under 16 bytes drop out), each
+    * tile md5-keyed; pairs come from an EQUI-join on the tile hash —
+    * never all-pairs — counting DISTINCT shared tile values per pair,
+    * reported at ≥ 4 shared tiles. Boilerplate guard: a tile value
+    * occurring in > 50 blobs (the all-zeros frame, silence, letterbox
+    * bars) is excluded BEFORE the join — the same df-cap discipline
+    * as the text prefix join, making the fan-out per tile value ≤
+    * 50·49/2 regardless of corpus size. Planted partials: every 40th
+    * doc re-enters as a SELF-SPLICE (its first 8 tiles, twice) —
+    * length 16·tw is preserved, so tile boundaries ALIGN with the
+    * source and the pair shares its first-half tile values by
+    * construction (the alignment is the point: a splice at a non-tile
+    * offset is what the CDC chunker [[mmCdcChunks]] exists to catch). */
+  def mmTileHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = bin(spark, sfDir)
+    val spliced = b
+      .filter(col("doc_id") % 40 === 0 && length(col("content")) >= 16)
+      .withColumn("tw", expr("length(content) div 16"))
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(expr("substring(content, 1, 8 * tw)"),
+          expr("substring(content, 1, 8 * tw)")).as("content"))
+    val corpus = b.unionAll(spliced)
+    val tiles = graft.core.QueryCaches.track(corpus
+      .filter(length(col("content")) >= 16)
+      .withColumn("tw", expr("length(content) div 16"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 15), i -> md5(substring(content, i * tw + 1, tw)))"))
+        .as("tile_md5"))
+      .distinct())
+    val rare = tiles.groupBy(col("tile_md5")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50)
+    val keep = tiles.join(rare.select(col("tile_md5")), "tile_md5")
+    keep.as("x").join(keep.as("y"),
+        col("x.tile_md5") === col("y.tile_md5") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_tiles"))
+      .filter(col("n_shared_tiles") >= 4L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_tile_hash" -> (mmTileHash _),
     "mm_container_sniff" -> (mmContainerSniff _),
     "mm_meta_conflict" -> (mmMetaConflict _),
     "mm_modal_mix" -> (mmModalMix _),
@@ -556,6 +603,29 @@ object MultimodalQueries {
       |  FROM cut)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "mm_tile_hash" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |spliced AS (SELECT doc_id + 2000000 AS doc_id,
+        |    substring(text, 1, 8 * (length(text) // 16))
+        |      || substring(text, 1, 8 * (length(text) // 16)) AS text
+        |  FROM base WHERE doc_id % 40 = 0 AND length(text) >= 16),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM spliced),
+        |sized AS (SELECT doc_id, text, length(text) // 16 AS tw
+        |  FROM corpus WHERE length(text) >= 16),
+        |tiles AS (SELECT DISTINCT doc_id,
+        |    md5(substring(text, CAST(t.range AS BIGINT) * tw + 1, tw))
+        |      AS tile_md5
+        |  FROM sized CROSS JOIN range(0, 16) t),
+        |rare AS (SELECT tile_md5 FROM tiles GROUP BY tile_md5
+        |  HAVING COUNT(*) <= 50),
+        |keep AS (SELECT doc_id, tiles.tile_md5 FROM tiles
+        |  JOIN rare ON tiles.tile_md5 = rare.tile_md5)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared_tiles
+        |FROM keep x JOIN keep y ON x.tile_md5 = y.tile_md5
+        |  AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 4""".stripMargin,
     "mm_batch_pack" ->
       s"""WITH c AS (SELECT doc_id, $cpsSql AS cps FROM documents),
          |m AS (SELECT doc_id,

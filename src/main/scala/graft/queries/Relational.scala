@@ -2224,8 +2224,54 @@ object Relational {
           .as("rev_err_milli"))
   }
 
+  /** t-closeness audit — the rung ABOVE [[qKAnonymity]]'s k/l checks
+    * on the privacy ladder: a QI group can be k-anonymous and
+    * l-diverse yet still leak (its sensitive-value MIX can differ so
+    * sharply from the corpus that membership itself is informative).
+    * Per QI group (nation × $1000 balance band — the qKAnonymity
+    * grid), total-variation distance between the group's mktsegment
+    * distribution and the global one, ALL-INTEGER by
+    * cross-multiplication: TVD·2·n·N = Σ_s |cnt_gs·N − cnt_s·n| (the
+    * [[graft.queries.TextQueries]] source-drift trick), flagged
+    * against t = 0.25 as an integer inequality (4·Σ > 2·2·n·N/4 →
+    * 2·Σ > n·N). Scale: one (group, segment) map-side-combined fold
+    * — the segment domain is 5, so the per-group pivot is bounded;
+    * the global mix is a 5-row broadcast; no join touches
+    * customer-scale rows after the first aggregate. */
+  def qTCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = graft.core.QueryCaches.track(
+      load(spark, sfDir, "customer").select(
+        col("c_nationkey").cast("bigint").as("nation"),
+        floor(col("c_acctbal") / lit(1000.0d)).cast("bigint").as("band"),
+        col("c_mktsegment").as("seg")))
+    val gs = graft.core.QueryCaches.track(
+      c.groupBy(col("nation"), col("band"), col("seg"))
+        .agg(count(lit(1)).as("c_gs")))
+    val g = gs.groupBy(col("nation"), col("band")).agg(sum(col("c_gs")).as("n_g"))
+    val s = gs.groupBy(col("seg").as("g_seg")).agg(sum(col("c_gs")).as("c_s"))
+    val tot = s.agg(sum(col("c_s")).as("n_tot"))
+    // full segment × group grid: absent segments still contribute
+    // |0·N − c_s·n_g| to the TVD sum, so the join is the grid, not gs
+    val grid = g.select(col("nation").as("g_nation"), col("band").as("g_band"),
+        col("n_g"))
+      .crossJoin(broadcast(s)).crossJoin(broadcast(tot))
+      .join(gs,
+        col("g_nation") === gs("nation") && col("g_band") === gs("band") &&
+          col("g_seg") === gs("seg"), "left")
+      .select(col("g_nation").as("nation"), col("g_band").as("band"),
+        col("n_g"), col("n_tot"),
+        (abs(coalesce(col("c_gs"), lit(0L)) * col("n_tot") -
+          col("c_s") * col("n_g"))).as("gap"))
+    grid.groupBy(col("nation"), col("band"), col("n_g"), col("n_tot"))
+      .agg(sum(col("gap")).as("tvd_num"))
+      .select(col("nation"), col("band"), col("n_g"), col("tvd_num"),
+        expr("(1000 * tvd_num) div (2 * n_g * n_tot)").as("tvd_milli"),
+        (lit(2L) * col("tvd_num") > col("n_g") * col("n_tot")).as("t_violated"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_aqp_sample" -> (qAqpSample _),
+    "q_t_closeness" -> (qTCloseness _),
     "q_winsorized" -> (qWinsorized _),
     "q2_min_cost_supp" -> (q2MinCostSupp _),
     "q11_important_parts" -> (q11ImportantParts _),
@@ -2329,6 +2375,31 @@ object Relational {
         |    * ((1000 * abs(16 * rev_sampled - rev_exact)) // rev_exact)
         |    AS rev_err_milli
         |FROM g""".stripMargin,
+    "q_t_closeness" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |gs AS (SELECT nation, band, seg, CAST(COUNT(*) AS BIGINT) AS c_gs
+        |  FROM c GROUP BY 1, 2, 3),
+        |g AS (SELECT nation AS g_nation, band AS g_band,
+        |    CAST(SUM(c_gs) AS BIGINT) AS n_g
+        |  FROM gs GROUP BY 1, 2),
+        |s AS (SELECT seg AS g_seg, CAST(SUM(c_gs) AS BIGINT) AS c_s
+        |  FROM gs GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c_s) AS BIGINT) AS n_tot FROM s),
+        |grid AS (SELECT g_nation AS nation, g_band AS band, n_g, n_tot,
+        |    abs(COALESCE(c_gs, 0) * n_tot - c_s * n_g) AS gap
+        |  FROM g CROSS JOIN s CROSS JOIN tot
+        |  LEFT JOIN gs ON g_nation = gs.nation AND g_band = gs.band
+        |    AND g_seg = gs.seg),
+        |f AS (SELECT nation, band, n_g, n_tot,
+        |    CAST(SUM(gap) AS BIGINT) AS tvd_num
+        |  FROM grid GROUP BY 1, 2, 3, 4)
+        |SELECT nation, band, n_g, tvd_num,
+        |  (1000 * tvd_num) // (2 * n_g * n_tot) AS tvd_milli,
+        |  2 * tvd_num > n_g * n_tot AS t_violated
+        |FROM f""".stripMargin,
     // per-segment row_number window ON PURPOSE — the plan the engine's
     // globalRank + offset spelling exists to avoid at scale
     "q_winsorized" ->

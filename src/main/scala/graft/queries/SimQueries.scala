@@ -1582,8 +1582,45 @@ object SimQueries {
         col("a2").as("authority2"), col("hub1"))
   }
 
+  /** Adamic–Adar link prediction — the INFORMATIVENESS-weighted
+    * upgrade of [[simLinkPredict]]'s raw common-neighbor count: each
+    * shared neighbor z votes 1/log2(deg z), so a promiscuous hub that
+    * neighbors everything contributes almost nothing while a rare
+    * shared neighbor dominates. The weight rides the millibit fast-log
+    * kernel ([[graft.functions.HashExprs.log2Millis]]): contribution =
+    * 10⁹ div L(deg z) micro-units — exact integer arithmetic, the
+    * identical piecewise-chord formula in both engines (deg z ≥ 2 by
+    * construction: a common neighbor touches both endpoints, so
+    * L ≥ 1000 and the division is always defined). Same wedge-join
+    * shape as simLinkPredict (deg ≤ k caps the fan-out), same
+    * partial-top-20 readout with (score, u, v) total order. */
+  def simAdamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashExprs.log2Millis
+    val m = graft.core.QueryCaches.track(mutualEdges(spark, sfDir))
+    val adj = graft.core.QueryCaches.track(
+      m.union(m.select(col("v").as("u"), col("u").as("v"))))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val wedge = adj.as("x")
+      .join(deg.select(col("u").as("z"), col("deg").as("deg_z")),
+        col("x.v") === col("z"))
+      .select(col("x.u").as("u"), col("z"), log2Millis(col("deg_z")).as("lmb"))
+      .withColumn("aa_micro", expr("1000000000 div lmb"))
+    val cand = wedge.as("a").join(adj.as("y"),
+        col("a.z") === col("y.u") && col("a.u") < col("y.v"))
+      .groupBy(col("a.u").as("u"), col("y.v").as("v"))
+      .agg(count(lit(1)).as("common"), sum(col("aa_micro")).as("aa_micro"))
+      .join(m, Seq("u", "v"), "left_anti")
+    cand
+      .withColumn("rk0", row_number().over(
+        Window.orderBy(col("aa_micro").desc, col("u"), col("v"))))
+      .filter(col("rk0") <= 20)
+      .select(col("rk0").cast("bigint").as("rk"), col("u"), col("v"),
+        col("common"), col("aa_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_hits" -> (simHits _),
+    "sim_adamic_adar" -> (simAdamicAdar _),
     "sim_embedding_drift" -> (simEmbeddingDrift _),
     "sim_threshold_sweep" -> (simThresholdSweep _),
     "sim_mips_reduction" -> (simMipsReduction _),
@@ -2020,6 +2057,29 @@ object SimQueries {
          |    SELECT q_id, bc.vec_id, ${cosSql("bc.embedding", "q_vec")} AS cos
          |    FROM bc JOIN bq USING (bucket) WHERE bc.vec_id <> q_id)
          |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 8)""".stripMargin),
+    "sim_adamic_adar" -> {
+      def mbSql(q: String): String =
+        s"(CAST((length(bin($q)) - 1) * 1000 AS BIGINT) + " +
+          s"(($q - (CAST(1 AS BIGINT) << (length(bin($q)) - 1))) * 1000) // " +
+          s"(CAST(1 AS BIGINT) << (length(bin($q)) - 1)))"
+      s"""WITH $mutualSql,
+         |adj AS (SELECT u, v FROM m UNION ALL SELECT v, u FROM m),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+         |wedge AS (SELECT x.u AS u, x.v AS z,
+         |            1000000000 // ${mbSql("deg.deg")} AS aa_micro
+         |          FROM adj x JOIN deg ON x.v = deg.u),
+         |cand AS (SELECT w.u AS u, y.v AS v, CAST(COUNT(*) AS BIGINT) AS common,
+         |           CAST(SUM(aa_micro) AS BIGINT) AS aa_micro
+         |         FROM wedge w JOIN adj y ON w.z = y.u AND w.u < y.v
+         |         GROUP BY 1, 2),
+         |nonedge AS (SELECT c.u, c.v, c.common, c.aa_micro FROM cand c
+         |            WHERE NOT EXISTS (
+         |              SELECT 1 FROM m WHERE m.u = c.u AND m.v = c.v))
+         |SELECT rk, u, v, common, aa_micro FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY aa_micro DESC, u, v)
+         |    AS BIGINT) AS rk, *
+         |  FROM nonedge) WHERE rk <= 20""".stripMargin
+    },
     "sim_link_predict" ->
       s"""WITH $mutualSql,
          |adj AS (SELECT u, v FROM m UNION ALL SELECT v, u FROM m),

@@ -101,7 +101,10 @@ class DeterminismSpec extends AnyFunSuite {
     "events_did",        // midpoint broadcast + decimal diff moment folds
     "sim_hits",          // 3-pass integer power iteration + partial top-20
     "text_jsd",          // token-keyed pair join + decimal millibit fold
-    "curate_temperature_mix") // IEEE sqrt weights through the decimal fold
+    "curate_temperature_mix", // IEEE sqrt weights through the decimal fold
+    "sim_adamic_adar",   // millibit-weighted wedge join + partial top-20
+    "mm_tile_hash",      // tile explode + df cap + tile-keyed pair join
+    "q_t_closeness")     // segment grid left join + integer TVD fold
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
