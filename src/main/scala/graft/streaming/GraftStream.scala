@@ -1178,6 +1178,62 @@ object GraftStream {
       }
   }
 
+  /** Streaming Poisson-bootstrap CI monitor — the unbounded twin of
+    * [[graft.queries.EventQueries.eventsBootstrap]]: a LIVE confidence
+    * band on the running mean of per-user revenue. Works because the
+    * Poisson bootstrap is embarrassingly incremental: each unit's
+    * replicate weight is a pure function of (user_id, replicate)
+    * through the same affine+mid-square hash and pinned Poisson(1)
+    * CDF thresholds as the batch row, so each arrival folds
+    * (w·m, w) into its replicate's two counters — plain sums,
+    * commutative, stream == batch at every prefix regardless of
+    * trigger chunking. State: 2 + 2·32 longs per key, constant; each
+    * trigger emits (n, point_milli, boot_lo, boot_med, boot_hi) — the
+    * 2nd/16-17th/31st order statistics of the 32 replicate estimates,
+    * computed on the 32-element state array at emission (bounded
+    * work). Input contract: ONE row per unit ([[welchUpdates]]'
+    * compacted-feed contract — re-delivery of a unit double-counts;
+    * upstream CDC compaction or [[cdcUpdates]] is the dedup stage). */
+  def bootstrapUpdates(df: DataFrame, userCol: String,
+      valCol: String): Dataset[(String, Long, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(userCol).cast("long").as("u"),
+      col(valCol).cast("long").as("m")).as[(Long, Long)]
+    // Poisson(1) CDF × 2^20, floored — identical literals to the batch row
+    val cdf = Array(385749L, 771499L, 964373L, 1028665L, 1044738L)
+    keyed.groupByKey(_ => "all")
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long, Seq[Long], Seq[Long])]) =>
+          val st = state.getOption.getOrElse(
+            (0L, 0L, Seq.fill(32)(0L), Seq.fill(32)(0L)))
+          var n = st._1; var sm = st._2
+          val num = st._3.toArray; val den = st._4.toArray
+          rows.foreach { case (u, m) =>
+            n += 1L; sm += m
+            var r = 0
+            while (r < 32) {
+              val t = (u * 2654435761L + r * 1013904223L + 12345L) % 1048576L
+              val h = ((t * t) / 1024L) % 1048576L
+              var w = 5L
+              var i = 0
+              while (i < 5) { if (h < cdf(i) && w == 5L) w = i.toLong; i += 1 }
+              num(r) += w * m; den(r) += w
+              r += 1
+            }
+          }
+          state.update((n, sm, num.toSeq, den.toSeq))
+          val ests = (0 until 32).map { r =>
+            if (den(r) == 0L) Long.MinValue else 1000L * num(r) / den(r)
+          }.sorted
+          val point = if (n == 0L) 0L else 1000L * sm / n
+          Iterator.single((key, n, point,
+            ests(1), (ests(15) + ests(16)) / 2L, ests(30)))
+      }
+  }
+
   /** Streaming AMS second-moment monitor — the unbounded twin of
     * [[graft.queries.Relational.qF2SelfjoinEst]]: per stream key
     * (e.g. event type), state is the 24 tug-of-war counters

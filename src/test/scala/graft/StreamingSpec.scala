@@ -1311,6 +1311,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("streaming Poisson-bootstrap monitor: final CI band equals the batch fold") {
+    // Feed the per-user revenue relation in shuffled thirds; the final
+    // emission must carry exactly the batch events_bootstrap readout
+    // (point + 2nd/16-17th/31st order statistics of the 32 replicate
+    // estimates) — the replicate counters are plain sums over
+    // hash-deterministic weights, so chunking cannot move them.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val perUser = graft.queries.Tables.loadEvents(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cdf = Array(385749L, 771499L, 964373L, 1028665L, 1044738L)
+    def w(u: Long, r: Int): Long = {
+      val t = (u * 2654435761L + r * 1013904223L + 12345L) % 1048576L
+      val h = ((t * t) / 1024L) % 1048576L
+      cdf.indexWhere(h < _) match { case -1 => 5L; case i => i.toLong }
+    }
+    val ests = (0 until 32).map { r =>
+      val num = perUser.map { case (u, m) => w(u, r) * m }.sum
+      val den = perUser.map { case (u, _) => w(u, r) }.sum
+      1000L * num / den
+    }.sorted
+    val expected = (perUser.size.toLong,
+      1000L * perUser.map(_._2).sum / perUser.size,
+      ests(1), (ests(15) + ests(16)) / 2L, ests(30))
+    val data = new scala.util.Random(17).shuffle(perUser)
+    val in = MemoryStream[(Long, Long)]
+    val df = in.toDF().toDF("user_id", "m")
+    val rows = new ConcurrentLinkedQueue[(String, Long, Long, Long, Long, Long)]()
+    val q = GraftStream.bootstrapUpdates(df, "user_id", "m")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Long, Long, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    data.grouped((data.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val last = rows.toArray.map(_.asInstanceOf[(String, Long, Long, Long, Long, Long)])
+      .maxBy(_._2)
+    assert((last._2, last._3, last._4, last._5, last._6) == expected,
+      s"got $last expected $expected")
+  }
+
   test("streaming AMS F2 monitor: f2Updates' final estimate equals the batch fold") {
     // Feed (event_type, user_id) pairs in shuffled thirds; the last
     // emission per type must carry exactly the batch AMS estimate
