@@ -126,6 +126,26 @@ object MultimodalOps {
     override def prettyName: String = "graft_byte_seg_grad_hash"
   }
 
+  /** Sharpness/blur screen over raw bytes — discrete-Laplacian energy
+    * ([[graft.functions.HashKernels.byteLaplacianEnergy]], all-integer
+    * one-pass): the quality gate a media-curation pipeline runs before
+    * admitting an asset (blur ≈ low second-difference energy). Codegen
+    * UnaryExpression like the other byte kernels — stays inside
+    * whole-stage, the blob never leaves its scan partition. */
+  case class ByteLaplacianExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      graft.functions.HashKernels.byteLaplacianEnergy(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.byteLaplacianEnergy($c)")
+    override protected def withNewChildInternal(c: Expression): ByteLaplacianExpr =
+      copy(child = c)
+    override def prettyName: String = "graft_byte_laplacian"
+  }
+
   /** Audio-fingerprint analog over raw bytes: Haitsma–Kalker band-energy
     * bits ([[graft.functions.HashKernels.byteBandEnergyHash]] — `frames`
     * time windows × `bands` byte-value energy bands, one
@@ -194,6 +214,7 @@ object MultimodalOps {
     toColumn(ByteHistCountsExpr(toExpression(c), bins))
   def byteSegGradHash(c: Column, segs: Int): Column =
     toColumn(ByteSegGradHashExpr(toExpression(c), segs))
+  def byteLaplacian(c: Column): Column = toColumn(ByteLaplacianExpr(toExpression(c)))
   def byteBandEnergyHash(c: Column, frames: Int, bands: Int): Column =
     toColumn(ByteBandEnergyHashExpr(toExpression(c), frames, bands))
 

@@ -452,6 +452,25 @@ object HashKernels {
     new GenericArrayData(counts)
   }
 
+  /** Discrete-Laplacian energy over raw bytes:
+    * Σ_{i=1..n-2} |b[i+1] − 2·b[i] + b[i-1]| — the second-difference
+    * magnitude sum, the codec-free analog of the Laplacian-variance
+    * sharpness/blur screen (a smooth gradient scores near 0, texture
+    * and edges score high; in the byte domain: runs and ramps vs
+    * alternation). All-integer, one pass, max per-term 510 so the sum
+    * holds blobs to ~1.8e16 bytes in int64. Blobs shorter than 3
+    * bytes have no interior point and score 0. */
+  def byteLaplacianEnergy(bs: Array[Byte]): Long = {
+    var e = 0L
+    var i = 1
+    while (i < bs.length - 1) {
+      val d = (bs(i + 1) & 0xff) - 2 * (bs(i) & 0xff) + (bs(i - 1) & 0xff)
+      e += math.abs(d)
+      i += 1
+    }
+    e
+  }
+
   /** Area-average (box filter) resample of a row-major `w`×`h` float
     * grid to `ow`×`oh`: out(i,j) = mean of the input block
     * rows [i·h/oh, (i+1)·h/oh) × cols [j·w/ow, (j+1)·w/ow), each bound

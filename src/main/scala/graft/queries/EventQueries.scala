@@ -2800,7 +2800,34 @@ object EventQueries {
           .as("uplift_rev_milli"))
   }
 
+  /** Behavioral entropy rate — how PREDICTABLE each event type's
+    * successor is, from [[eventsMarkov]]'s within-session transition
+    * counts: H(dst | src) per source state in exact millibits through
+    * the fast-log kernel (H·T = Σ_dst c·(L(T) − L(c)), one integral
+    * division per source — the identical piecewise-chord formula in
+    * both engines, zero floats). Low entropy = a funnel edge worth
+    * hard-coding (prefetch, cache, UI shortcut); high entropy = a
+    * genuine decision point. The |types|-row broadcast of source
+    * totals replaces events_markov's per-src window. Scale: bigram
+    * counts are a (types × types)-bounded aggregate off the session
+    * lag pass — the one per-user shuffle the session family already
+    * pays; everything downstream is domain-bounded. */
+  def eventsMarkovEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashExprs.log2Millis
+    val bi = sessionBigrams(spark, sfDir)
+    val t = bi.groupBy(col("src").as("t_src")).agg(sum(col("cnt")).as("tt"))
+    bi.join(broadcast(t), col("src") === col("t_src"))
+      .withColumn("term",
+        col("cnt") * (log2Millis(col("tt")) - log2Millis(col("cnt"))))
+      .groupBy(col("src"))
+      .agg(min(col("tt")).as("t_total"), count(lit(1)).as("n_dst"),
+        sum(col("term")).as("term_sum"))
+      .select(col("src"), col("t_total"), col("n_dst"),
+        expr("term_sum div t_total").as("h_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_markov_entropy" -> (eventsMarkovEntropy _),
     "events_causal_impact" -> (eventsCausalImpact _),
     "events_hte" -> (eventsHte _),
     "events_did" -> (eventsDid _),
@@ -2908,6 +2935,37 @@ object EventQueries {
       |FROM i JOIN seas ON i.t = seas.t AND i.dow = seas.dow)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "events_markov_entropy" -> {
+      def mbSql(q: String): String =
+        s"(CAST((length(bin($q)) - 1) * 1000 AS BIGINT) + " +
+          s"(($q - (CAST(1 AS BIGINT) << (length(bin($q)) - 1))) * 1000) // " +
+          s"(CAST(1 AS BIGINT) << (length(bin($q)) - 1)))"
+      s"""WITH g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+         |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |                    ORDER BY epoch_us(ts), event_id) AS prev
+         |           FROM events),
+         |s AS (SELECT user_id, event_id, event_type, tus,
+         |             CASE WHEN prev IS NULL OR tus - prev > 1800000000
+         |                  THEN 1 ELSE 0 END AS new_s FROM g),
+         |c AS (SELECT user_id, event_id, event_type, tus,
+         |             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM s),
+         |n AS (SELECT event_type AS src,
+         |             lead(event_type) OVER w2 AS dst,
+         |             session_no,
+         |             lead(session_no) OVER w2 AS next_s
+         |      FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |t AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM n
+         |      WHERE dst IS NOT NULL AND next_s = session_no GROUP BY src, dst),
+         |tot AS (SELECT src AS t_src, CAST(SUM(cnt) AS BIGINT) AS tt
+         |        FROM t GROUP BY src),
+         |terms AS (SELECT src, tt, cnt * (${mbSql("tt")} - ${mbSql("cnt")}) AS term
+         |          FROM t JOIN tot ON t.src = tot.t_src)
+         |SELECT src, CAST(MIN(tt) AS BIGINT) AS t_total,
+         |  CAST(COUNT(*) AS BIGINT) AS n_dst,
+         |  CAST(SUM(term) AS BIGINT) // CAST(MIN(tt) AS BIGINT) AS h_milli
+         |FROM terms GROUP BY src""".stripMargin
+    },
     "events_causal_impact" ->
       """WITH d AS (SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
         |    CAST(COUNT(*) AS BIGINT) AS c

@@ -516,7 +516,36 @@ object MultimodalQueries {
       .filter(col("n_shared_tiles") >= 4L)
   }
 
+  /** Blur/sharpness quality screen — discrete-Laplacian energy per
+    * blob through the new codegen byte kernel
+    * ([[MultimodalOps.byteLaplacian]]): second-difference magnitude
+    * sum, normalized per interior byte in exact milli units. The
+    * media-curation gate that drops blurred/degenerate assets before
+    * they cost feature-extraction compute; in the byte domain a
+    * constant run or linear ramp scores 0 while texture scores high —
+    * the corpus's own spread is the readout. One scan, kernel inside
+    * whole-stage codegen, a 16-group rollup by energy band (share per
+    * band in per-mille) — the blob never leaves its scan partition
+    * and the shuffle carries 16 rows. */
+  def mmSharpness(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = bin(spark, sfDir)
+      .select(col("doc_id"), length(col("content")).cast("bigint").as("n_bytes"),
+        MultimodalOps.byteLaplacian(col("content")).as("lap_energy"))
+      .withColumn("sharp_milli",
+        expr("CASE WHEN n_bytes < 3 THEN 0 ELSE (1000 * lap_energy) div (n_bytes - 2) END"))
+    val bands = scored
+      .groupBy(expr("least(CAST(15 AS BIGINT), sharp_milli div 10000)").as("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("lap_energy")).as("sum_energy"),
+        min(col("sharp_milli")).as("min_milli"), max(col("sharp_milli")).as("max_milli"))
+    val tot = bands.agg(sum(col("n_docs")).as("n_tot"))
+    bands.crossJoin(broadcast(tot))
+      .select(col("band"), col("n_docs"), col("sum_energy"),
+        col("min_milli"), col("max_milli"),
+        expr("(1000 * n_docs) div n_tot").as("share_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_sharpness" -> (mmSharpness _),
     "mm_tile_hash" -> (mmTileHash _),
     "mm_container_sniff" -> (mmContainerSniff _),
     "mm_meta_conflict" -> (mmMetaConflict _),
@@ -603,6 +632,27 @@ object MultimodalQueries {
       |  FROM cut)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "mm_sharpness" ->
+      s"""WITH c AS (SELECT doc_id, $cpsSql AS cps FROM documents),
+         |s AS (SELECT doc_id, CAST(len(cps) AS BIGINT) AS n_bytes,
+         |    CAST(COALESCE(list_sum(list_transform(range(2, len(cps)),
+         |      i -> abs(cps[i + 1] - 2 * cps[i] + cps[i - 1]))), 0) AS BIGINT)
+         |      AS lap_energy
+         |  FROM c),
+         |m AS (SELECT doc_id, n_bytes, lap_energy,
+         |    CASE WHEN n_bytes < 3 THEN 0
+         |         ELSE (1000 * lap_energy) // (n_bytes - 2) END AS sharp_milli
+         |  FROM s),
+         |bands AS (SELECT least(15, sharp_milli // 10000) AS band,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(lap_energy) AS BIGINT) AS sum_energy,
+         |    CAST(MIN(sharp_milli) AS BIGINT) AS min_milli,
+         |    CAST(MAX(sharp_milli) AS BIGINT) AS max_milli
+         |  FROM m GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM bands)
+         |SELECT CAST(band AS BIGINT) AS band, n_docs, sum_energy, min_milli,
+         |  max_milli, (1000 * n_docs) // n_tot AS share_milli
+         |FROM bands CROSS JOIN tot""".stripMargin,
     "mm_tile_hash" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |spliced AS (SELECT doc_id + 2000000 AS doc_id,

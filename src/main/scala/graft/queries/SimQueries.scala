@@ -1618,9 +1618,62 @@ object SimQueries {
         col("common"), col("aa_micro"))
   }
 
+  /** Two-stage PQ retrieval with exact refinement — the standard
+    * production ANN pipeline ([[simPqTopk]] stops at stage one): the
+    * compressed ADC scan nominates top-32 candidates per query (cheap,
+    * code-table arithmetic only), then ONLY those 32 rows fetch their
+    * full vectors for an exact-cosine re-rank to top-5. The row
+    * reports what refinement BUYS: recall@5 against the brute-force
+    * truth for the raw ADC top-5 beside the refined top-5, plus the
+    * truth size — the accuracy-per-fetch trade a deployment reads
+    * before sizing its refinement budget. Self-matches are excluded
+    * on every path ([[graft.ext.SimOps.topkBrute]]'s convention) so
+    * the three rankings compare like for like. Scale: stage one is
+    * the proven PQ shape (broadcast distance table, map-side-combined
+    * code sums); stage two touches 32·|queries| rows — the full-vector
+    * fetch is an equi-join on vec_id, never a scan; recall folds are
+    * |queries|-bounded. */
+  def simPqRefine(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.core.QueryCaches.track(emb(spark, sfDir))
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    val cb = SimOps.pqSeedCodebook(e, kCodes = 4, m = 8, sub = 8)
+    val codes = SimOps.pqEncode(corpus, cb, m = 8, sub = 8)
+      .select(col("vec_id"), col("s"), col("code"))
+    val qs = querySet(e)
+    val cand = graft.core.QueryCaches.track(
+      SimOps.pqTopk(codes, qs, cb, k = 32, m = 8, sub = 8)
+        .filter(col("vec_id") =!= col("q_id")))
+    val adc5 = cand.withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("q_id").as("a_q"), col("vec_id").as("a_v"))
+    val refined5 = cand
+      .join(corpus, "vec_id")
+      .join(broadcast(qs), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        SimOps.cosine(col("embedding"), col("q_vec")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("q_id").as("r_q"), col("vec_id").as("r_v"))
+    val truth = SimOps.topkBrute(corpus, qs, 5).select(col("q_id"), col("vec_id"))
+    truth
+      .join(adc5, col("q_id") === col("a_q") && col("vec_id") === col("a_v"),
+        "left")
+      .join(refined5, col("q_id") === col("r_q") && col("vec_id") === col("r_v"),
+        "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("a_v").isNotNull, 1L).otherwise(0L)).as("found_adc"),
+        sum(when(col("r_v").isNotNull, 1L).otherwise(0L)).as("found_refined"))
+      .select(col("n_truth"), col("found_adc"), col("found_refined"),
+        expr("(1000 * found_adc) div n_truth").as("recall_adc_milli"),
+        expr("(1000 * found_refined) div n_truth").as("recall_refined_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_hits" -> (simHits _),
     "sim_adamic_adar" -> (simAdamicAdar _),
+    "sim_pq_refine" -> (simPqRefine _),
     "sim_embedding_drift" -> (simEmbeddingDrift _),
     "sim_threshold_sweep" -> (simThresholdSweep _),
     "sim_mips_reduction" -> (simMipsReduction _),
@@ -1959,6 +2012,72 @@ object SimQueries {
          |  CAST(SUM(code << (2*s)) AS BIGINT) AS code_key,
          |  CAST(SUM(CAST(dist AS DECIMAL(38,6))) AS DOUBLE) AS recon_err
          |FROM a WHERE rk = 1 GROUP BY vec_id""".stripMargin,
+    "sim_pq_refine" ->
+      s"""WITH sub AS (SELECT vec_id, s, list_slice(embedding, s*8 + 1, s*8 + 8) AS sv
+         |            FROM embeddings, (SELECT unnest(range(0, 8)) AS s)),
+         |cb AS (SELECT vec_id AS code, s, list_slice(embedding, s*8 + 1, s*8 + 8) AS cw
+         |       FROM embeddings, (SELECT unnest(range(0, 8)) AS s)
+         |       WHERE vec_id < 4),
+         |d AS (SELECT vec_id, sub.s AS s, code,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+         |          i -> (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)) *
+         |               (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)))),
+         |          (a, b) -> a + b) AS dist
+         |      FROM sub JOIN cb USING (s)),
+         |codes AS (SELECT vec_id, s, code FROM (
+         |            SELECT vec_id, s, code,
+         |              row_number() OVER (PARTITION BY vec_id, s
+         |                ORDER BY dist, code) AS rk FROM d) WHERE rk = 1),
+         |q AS (SELECT vec_id AS q_id, s, list_slice(embedding, s*8 + 1, s*8 + 8) AS sv
+         |      FROM embeddings, (SELECT unnest(range(0, 8)) AS s)
+         |      WHERE vec_id % 100 = 0),
+         |qfull AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |          WHERE vec_id % 100 = 0),
+         |dt AS (SELECT q_id, q.s AS s, code,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+         |          i -> (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)) *
+         |               (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)))),
+         |          (a, b) -> a + b) AS d
+         |       FROM q JOIN cb USING (s)),
+         |ad AS (SELECT q_id, vec_id,
+         |         CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) AS adist
+         |       FROM codes JOIN dt USING (s, code)
+         |       GROUP BY q_id, vec_id),
+         |cand AS MATERIALIZED (SELECT q_id, vec_id, adist FROM (
+         |  SELECT q_id, vec_id, adist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+         |  FROM ad) WHERE rk <= 32 AND vec_id <> q_id),
+         |adc5 AS (SELECT q_id AS a_q, vec_id AS a_v FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+         |  FROM cand) WHERE rk <= 5),
+         |ref AS (SELECT c.q_id, c.vec_id,
+         |          ${cosSql("e.embedding", "qq.q_vec")} AS cos
+         |        FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+         |        JOIN qfull qq ON c.q_id = qq.q_id),
+         |ref5 AS (SELECT q_id AS r_q, vec_id AS r_v FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM ref) WHERE rk <= 5),
+         |scored AS (SELECT q_id, vec_id,
+         |             ${cosSql("embedding", "q_vec")} AS cos
+         |           FROM embeddings, qfull WHERE vec_id <> q_id),
+         |truth AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored) WHERE rk <= 5),
+         |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |    CAST(SUM(CASE WHEN a_v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS found_adc,
+         |    CAST(SUM(CASE WHEN r_v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS found_refined
+         |  FROM truth
+         |  LEFT JOIN adc5 ON truth.q_id = adc5.a_q AND truth.vec_id = adc5.a_v
+         |  LEFT JOIN ref5 ON truth.q_id = ref5.r_q AND truth.vec_id = ref5.r_v)
+         |SELECT n_truth, found_adc, found_refined,
+         |  (1000 * found_adc) // n_truth AS recall_adc_milli,
+         |  (1000 * found_refined) // n_truth AS recall_refined_milli
+         |FROM f""".stripMargin,
     "sim_pq_topk" ->
       s"""WITH sub AS (SELECT vec_id, s, list_slice(embedding, s*8 + 1, s*8 + 8) AS sv
          |            FROM embeddings, (SELECT unnest(range(0, 8)) AS s)),

@@ -77,6 +77,9 @@ object GraftFunctions {
     ("graft_byte_phash",
       "graft_byte_phash(bin, segs) - positional segment-gradient perceptual hash",
       es => ByteSegGradHashExpr(es.head, intLit(es(1), "graft_byte_phash"))),
+    ("graft_byte_laplacian",
+      "graft_byte_laplacian(bin) - discrete-Laplacian (second-difference) energy",
+      es => graft.ext.MultimodalOps.ByteLaplacianExpr(es.head)),
     // Spark's internal runtime-filter pair, surfaced for the SQL path
     // (upstream registers neither): build with graft_bloom_agg(
     // xxhash64(k), items, bits) in a scalar subquery, probe with

@@ -104,7 +104,10 @@ class DeterminismSpec extends AnyFunSuite {
     "curate_temperature_mix", // IEEE sqrt weights through the decimal fold
     "sim_adamic_adar",   // millibit-weighted wedge join + partial top-20
     "mm_tile_hash",      // tile explode + df cap + tile-keyed pair join
-    "q_t_closeness")     // segment grid left join + integer TVD fold
+    "q_t_closeness",     // segment grid left join + integer TVD fold
+    "sim_pq_refine",     // ADC stage + bounded exact re-rank + recall folds
+    "events_markov_entropy", // session lag pass + millibit entropy fold
+    "mm_sharpness")      // codegen Laplacian kernel + 16-band rollup
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -61,6 +61,20 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(hc.length == 16 && hc(6) == 3L && hc.sum == 3L) // 97..99 all in bin 6
   }
 
+  test("graft_byte_laplacian: second-difference energy, short-blob zero") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_byte_laplacian(encode('aca', 'UTF-8')) AS tent,
+        |  graft_byte_laplacian(encode('abc', 'UTF-8')) AS ramp,
+        |  graft_byte_laplacian(encode('aa', 'UTF-8')) AS short,
+        |  graft_byte_laplacian(encode('', 'UTF-8')) AS empty
+        |""".stripMargin).head()
+    assert(r.getLong(0) == 4L) // |97 - 2*99 + 97| = 4: the tent peak
+    assert(r.getLong(1) == 0L) // linear ramp: zero second difference
+    assert(r.getLong(2) == 0L) // no interior byte
+    assert(r.getLong(3) == 0L)
+  }
+
   test("graft_log2_millis: equals the length(bin)-1 SQL spelling across binades; edges") {
     GraftFunctions.register(spark)
     // exhaustive small range + binade edges + large values: the kernel
@@ -246,8 +260,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
     new graft.sql.GraftExtensions().apply(ext)
     // pinned count catches an accidentally dropped builder; distinct
     // catches a duplicated name
-    assert(GraftFunctions.builders.size == 30)
-    assert(GraftFunctions.builders.map(_._1).distinct.size == 30)
+    assert(GraftFunctions.builders.size == 31)
+    assert(GraftFunctions.builders.map(_._1).distinct.size == 31)
   }
 
   test("graft_explode_bigrams: streams token pairs, drops empties, equals the composed spelling") {
