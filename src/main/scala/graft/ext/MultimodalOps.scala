@@ -126,6 +126,29 @@ object MultimodalOps {
     override def prettyName: String = "graft_byte_seg_grad_hash"
   }
 
+  /** Run-length profile — the silence/stuck-frame/padding screen
+    * ([[graft.functions.HashKernels.byteRunStats]]): long constant
+    * runs are dead air in audio, frozen frames in video, padding in
+    * containers — content that costs storage and feature compute but
+    * trains nothing. Codegen struct expression like
+    * [[ByteStatsExpr]]. */
+  case class ByteRunStatsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_runs", LongType, nullable = false),
+      StructField("max_run", LongType, nullable = false),
+      StructField("run8_bytes", LongType, nullable = false)))
+    override def nullSafeEval(input: Any): Any =
+      graft.functions.HashKernels.byteRunStats(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.byteRunStats($c)")
+    override protected def withNewChildInternal(c: Expression): ByteRunStatsExpr =
+      copy(child = c)
+    override def prettyName: String = "graft_byte_runs"
+  }
+
   /** Sharpness/blur screen over raw bytes — discrete-Laplacian energy
     * ([[graft.functions.HashKernels.byteLaplacianEnergy]], all-integer
     * one-pass): the quality gate a media-curation pipeline runs before
@@ -215,6 +238,7 @@ object MultimodalOps {
   def byteSegGradHash(c: Column, segs: Int): Column =
     toColumn(ByteSegGradHashExpr(toExpression(c), segs))
   def byteLaplacian(c: Column): Column = toColumn(ByteLaplacianExpr(toExpression(c)))
+  def byteRunStats(c: Column): Column = toColumn(ByteRunStatsExpr(toExpression(c)))
   def byteBandEnergyHash(c: Column, frames: Int, bands: Int): Column =
     toColumn(ByteBandEnergyHashExpr(toExpression(c), frames, bands))
 

@@ -471,6 +471,26 @@ object HashKernels {
     e
   }
 
+  /** Run-length profile over raw bytes: (n_runs, max_run,
+    * run8_bytes) where a run is a maximal block of one repeated byte
+    * value and run8_bytes counts bytes inside runs of length ≥ 8 —
+    * the silence/stuck-frame/padding share. One pass, all-integer;
+    * empty blob → (0, 0, 0). */
+  def byteRunStats(bs: Array[Byte]): InternalRow = {
+    var nRuns = 0L; var maxRun = 0L; var run8 = 0L
+    var i = 0
+    while (i < bs.length) {
+      var j = i + 1
+      while (j < bs.length && bs(j) == bs(i)) j += 1
+      val len = (j - i).toLong
+      nRuns += 1L
+      if (len > maxRun) maxRun = len
+      if (len >= 8L) run8 += len
+      i = j
+    }
+    InternalRow(nRuns, maxRun, run8)
+  }
+
   /** Area-average (box filter) resample of a row-major `w`×`h` float
     * grid to `ow`×`oh`: out(i,j) = mean of the input block
     * rows [i·h/oh, (i+1)·h/oh) × cols [j·w/ow, (j+1)·w/ow), each bound

@@ -2826,7 +2826,56 @@ object EventQueries {
         expr("term_sum div t_total").as("h_milli"))
   }
 
+  /** Partial autocorrelation at lags 1–2 — the AR-order decision
+    * [[eventsAcf]] can't make alone: ρ₂ being high doesn't mean a
+    * genuine 2-step dependence (AR(1) alone gives ρ₂ = ρ₁²); the
+    * Durbin–Levinson φ₂₂ = (ρ₂ − ρ₁²)/(1 − ρ₁²) is what's LEFT of
+    * lag-2 after lag-1 explains its share — the textbook "is AR(2)
+    * worth it" readout, per event type over the gap-filled daily grid.
+    * EXACT RATIONAL throughout: with x̄ = S/n, the lag-k covariance
+    * scales to the integer A_k = Σ_{t≤n−k}(n·x_t − S)(n·x_{t+k} − S),
+    * so φ₁₁ = A₁/A₀ and φ₂₂ = (A₂A₀ − A₁²)/(A₀² − A₁²) — both floored
+    * milli via one DECIMAL(38,0) division (the squares clear int64).
+    * Scale: the grid is types × calendar days (domain-bounded); the
+    * three shifted self-joins are day-keyed over that grid; per-type
+    * totals broadcast. */
+  def eventsPacf(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("ts div 86400000000000").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val days = bounds.select(explode(expr("sequence(lo, hi)")).as("d"),
+      (col("hi") - col("lo") + 1L).as("nd"))
+    val types = daily.select(col("event_type")).distinct()
+    val grid = graft.core.QueryCaches.track(
+      types.crossJoin(broadcast(days))
+        .join(daily, Seq("event_type", "d"), "left")
+        .select(col("event_type"), col("d"), col("nd"),
+          coalesce(col("n"), lit(0L)).as("x")))
+    val st = grid.groupBy(col("event_type").as("s_t"))
+      .agg(sum(col("x")).as("s"), min(col("nd")).as("n"))
+    val g = graft.core.QueryCaches.track(
+      grid.join(broadcast(st), col("event_type") === col("s_t"))
+        .select(col("event_type"), col("d"),
+          (col("n") * col("x") - col("s")).as("cx"), col("n")))
+    def ak(lag: Int): DataFrame = g
+      .join(g.select(col("event_type"), (col("d") - lag).as("d"),
+        col("cx").as("cy")), Seq("event_type", "d"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cx") * col("cy")).as(s"a$lag"))
+    ak(0).join(ak(1), "event_type").join(ak(2), "event_type")
+      .join(st.select(col("s_t").as("event_type"), col("n")), "event_type")
+      .select(col("event_type"), col("n").as("n_days"),
+        expr("(1000 * a1) div a0").as("phi11_milli"),
+        expr("CAST((CAST(1000 AS DECIMAL(38,0)) * " +
+          "(CAST(a2 AS DECIMAL(38,0)) * a0 - CAST(a1 AS DECIMAL(38,0)) * a1)) div " +
+          "(CAST(a0 AS DECIMAL(38,0)) * a0 - CAST(a1 AS DECIMAL(38,0)) * a1) " +
+          "AS BIGINT)").as("phi22_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_pacf" -> (eventsPacf _),
     "events_markov_entropy" -> (eventsMarkovEntropy _),
     "events_causal_impact" -> (eventsCausalImpact _),
     "events_hte" -> (eventsHte _),
@@ -2935,6 +2984,43 @@ object EventQueries {
       |FROM i JOIN seas ON i.t = seas.t AND i.dow = seas.dow)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "events_pacf" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+        |days AS (SELECT CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS d,
+        |    hi - lo + 1 AS nd
+        |  FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM daily),
+        |grid AS (SELECT ty.event_type, days.d, days.nd,
+        |    COALESCE(daily.n, 0) AS x
+        |  FROM ty CROSS JOIN days
+        |  LEFT JOIN daily ON ty.event_type = daily.event_type
+        |    AND days.d = daily.d),
+        |st AS (SELECT event_type AS s_t, CAST(SUM(x) AS BIGINT) AS s,
+        |    CAST(MIN(nd) AS BIGINT) AS n
+        |  FROM grid GROUP BY 1),
+        |g AS (SELECT grid.event_type, d, n * x - s AS cx, n
+        |  FROM grid JOIN st ON grid.event_type = st.s_t),
+        |a0 AS (SELECT x.event_type, CAST(SUM(x.cx * y.cx) AS BIGINT) AS a0
+        |  FROM g x JOIN g y ON x.event_type = y.event_type AND y.d - 0 = x.d
+        |  GROUP BY 1),
+        |a1 AS (SELECT x.event_type, CAST(SUM(x.cx * y.cx) AS BIGINT) AS a1
+        |  FROM g x JOIN g y ON x.event_type = y.event_type AND y.d - 1 = x.d
+        |  GROUP BY 1),
+        |a2 AS (SELECT x.event_type, CAST(SUM(x.cx * y.cx) AS BIGINT) AS a2
+        |  FROM g x JOIN g y ON x.event_type = y.event_type AND y.d - 2 = x.d
+        |  GROUP BY 1)
+        |SELECT a0.event_type, n AS n_days,
+        |  (1000 * a1) // a0 AS phi11_milli,
+        |  CAST((CAST(1000 AS HUGEINT)
+        |      * (CAST(a2 AS HUGEINT) * a0 - CAST(a1 AS HUGEINT) * a1))
+        |    // (CAST(a0 AS HUGEINT) * a0 - CAST(a1 AS HUGEINT) * a1)
+        |    AS BIGINT) AS phi22_milli
+        |FROM a0 JOIN a1 ON a0.event_type = a1.event_type
+        |JOIN a2 ON a0.event_type = a2.event_type
+        |JOIN st ON a0.event_type = st.s_t""".stripMargin,
     "events_markov_entropy" -> {
       def mbSql(q: String): String =
         s"(CAST((length(bin($q)) - 1) * 1000 AS BIGINT) + " +

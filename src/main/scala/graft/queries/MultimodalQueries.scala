@@ -544,7 +544,33 @@ object MultimodalQueries {
         expr("(1000 * n_docs) div n_tot").as("share_milli"))
   }
 
+  /** Dead-air screen — run-length profile per blob through the codegen
+    * [[MultimodalOps.byteRunStats]] kernel: maximal constant-byte runs
+    * are silence in audio, frozen frames in video, padding in
+    * containers; run8_bytes (bytes inside runs ≥ 8) over n_bytes is
+    * the per-mille dead-air share a curation gate thresholds before
+    * spending decode/feature compute. Planted positives: every 25th
+    * doc re-enters with a 32-byte constant tail — max_run ≥ 32 by
+    * construction, so the `padded` flag (max_run ≥ 16) catches every
+    * plant while natural ASCII text (runs of 1–2) stays clean. One
+    * scan, kernel inside whole-stage codegen, per-doc rows. */
+  def mmByteRuns(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val planted = d.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit("~" * 32)).as("text"))
+    d.select(col("doc_id"), col("text")).unionAll(planted)
+      .select(col("doc_id"), length(col("text")).cast("bigint").as("n_bytes"),
+        MultimodalOps.byteRunStats(encode(col("text"), "UTF-8")).as("r"))
+      .select(col("doc_id"), col("n_bytes"), col("r.n_runs"), col("r.max_run"),
+        col("r.run8_bytes"),
+        expr("CASE WHEN n_bytes = 0 THEN 0 " +
+          "ELSE (1000 * r.run8_bytes) div n_bytes END").as("dead_air_milli"),
+        (col("r.max_run") >= 16L).as("padded"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_byte_runs" -> (mmByteRuns _),
     "mm_sharpness" -> (mmSharpness _),
     "mm_tile_hash" -> (mmTileHash _),
     "mm_container_sniff" -> (mmContainerSniff _),
@@ -632,6 +658,35 @@ object MultimodalQueries {
       |  FROM cut)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "mm_byte_runs" ->
+      s"""WITH c AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 3000000, text || repeat('~', 32)
+         |    FROM documents WHERE doc_id % 25 = 0),
+         |cp AS (SELECT doc_id, $cpsSql AS cps FROM c),
+         |r AS (SELECT doc_id, cps,
+         |    list_concat([CAST(1 AS BIGINT)],
+         |      list_filter(range(2, len(cps) + 1), i -> cps[i] <> cps[i - 1]))
+         |      AS starts
+         |  FROM cp),
+         |runs AS (SELECT doc_id, CAST(len(cps) AS BIGINT) AS n_bytes,
+         |    list_transform(range(1, len(starts) + 1),
+         |      j -> CASE WHEN j = len(starts) THEN len(cps) + 1 - starts[j]
+         |           ELSE starts[j + 1] - starts[j] END) AS rl
+         |  FROM r),
+         |m AS (SELECT doc_id, n_bytes,
+         |    CASE WHEN n_bytes = 0 THEN 0 ELSE CAST(len(rl) AS BIGINT) END
+         |      AS n_runs,
+         |    CASE WHEN n_bytes = 0 THEN 0
+         |         ELSE CAST(list_max(rl) AS BIGINT) END AS max_run,
+         |    CASE WHEN n_bytes = 0 THEN 0
+         |         ELSE CAST(COALESCE(list_sum(list_filter(rl, x -> x >= 8)), 0)
+         |           AS BIGINT) END AS run8_bytes
+         |  FROM runs)
+         |SELECT doc_id, n_bytes, n_runs, max_run, run8_bytes,
+         |  CASE WHEN n_bytes = 0 THEN 0
+         |       ELSE (1000 * run8_bytes) // n_bytes END AS dead_air_milli,
+         |  max_run >= 16 AS padded
+         |FROM m""".stripMargin,
     "mm_sharpness" ->
       s"""WITH c AS (SELECT doc_id, $cpsSql AS cps FROM documents),
          |s AS (SELECT doc_id, CAST(len(cps) AS BIGINT) AS n_bytes,

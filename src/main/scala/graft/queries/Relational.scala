@@ -2269,7 +2269,82 @@ object Relational {
         (lit(2L) * col("tvd_num") > col("n_g") * col("n_tot")).as("t_violated"))
   }
 
+  /** Sample-based NDV estimation with the Chao1 estimator — the
+    * statistics problem behind every ANALYZE at 100 TB: exact distinct
+    * counting costs a full shuffle, so the planner wants NDV from the
+    * same 1/16 hash sample [[qAqpSample]] reads. Naive scale-up is
+    * famously biased (a sample misses exactly the rare values); Chao1
+    * corrects from the sample's own abundance profile:
+    * est = d + f₁·(f₁−1)/(2·(f₂+1)) where f₁/f₂ = values seen
+    * once/twice — the rare tail the sample DID catch predicts the tail
+    * it didn't. All-integer, audited against the exact NDV (the audit
+    * is the row; production runs only the sample side). Same
+    * order-keyed mid-square sample as q_aqp_sample — deterministic,
+    * key-pattern-free. Scale: the sample fold groups ≤ ndv sampled
+    * keys; the exact side is the one full distinct this AUDIT pays on
+    * purpose. */
+  def qNdvEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = graft.core.QueryCaches.track(
+      load(spark, sfDir, "orders").select(col("o_custkey"),
+        expr("((((o_orderkey * 2654435761 + 12345) % 1048576) * " +
+          "((o_orderkey * 2654435761 + 12345) % 1048576)) div 1024) % 1048576")
+          .as("h")))
+    val sample = o.filter(col("h") < 65536L)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("d_sample"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"),
+        sum(col("c")).as("n_sample"))
+    val exact = o.agg(countDistinct(col("o_custkey")).as("ndv_exact"))
+    sample.crossJoin(broadcast(exact))
+      .select(col("n_sample"), col("d_sample"), col("f1"), col("f2"),
+        col("ndv_exact"),
+        expr("d_sample + (f1 * (f1 - 1)) div (2 * (f2 + 1))").as("chao1_est"))
+      .withColumn("err_milli", expr(
+        "CAST(signum(chao1_est - ndv_exact) AS BIGINT) * " +
+          "((1000 * abs(chao1_est - ndv_exact)) div ndv_exact)"))
+  }
+
+  /** Partition-column advisor — which column should partition the
+    * table? Ranked by the SIMPSON INDEX λ = Σ(cᵢ/N)², which is
+    * exactly the expected fraction of rows a uniformly-row-drawn
+    * equality predicate still scans after pruning (draw a random
+    * row's value, its partition holds cᵢ rows): lower λ = better
+    * pruning. Candidates: order month, priority, status, and a
+    * 1000-key customer bucket. ONE scan: the four candidate values
+    * unpivot into a tall (candidate, value) relation (4× projection,
+    * no extra pass), count per value, then a per-candidate integral
+    * fold — λ in micro units with DECIMAL(38,0) partials (Σcᵢ² is
+    * int64-safe only to ~3e9 rows/value), beside the NDV (file-count
+    * pressure — the competing axis: great pruning over a million tiny
+    * partitions is a small-files problem) and the max per-mille share
+    * (skew pressure). Scale: shuffle carries (candidate × values)
+    * groups, never rows. */
+  def qPartitionAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    val tall = load(spark, sfDir, "orders")
+      .select(explode(map(
+        lit("month"), (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("string"),
+        lit("priority"), col("o_orderpriority"),
+        lit("status"), col("o_orderstatus"),
+        lit("cust_bucket"), expr("CAST(o_custkey div 1000 AS STRING)")))
+        .as(Seq("cand", "val")))
+    val counts = tall.groupBy(col("cand"), col("val"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("cand"))
+      .agg(count(lit(1)).as("ndv"), sum(col("c")).as("n_rows"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sum_c2"),
+        max(col("c")).as("max_c"))
+      .select(col("cand"), col("ndv"), col("n_rows"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * sum_c2) div " +
+          "(CAST(n_rows AS DECIMAL(38,0)) * n_rows) AS BIGINT)")
+          .as("lambda_micro"),
+        expr("(1000 * max_c) div n_rows").as("max_share_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ndv_estimate" -> (qNdvEstimate _),
+    "q_partition_advisor" -> (qPartitionAdvisor _),
     "q_aqp_sample" -> (qAqpSample _),
     "q_t_closeness" -> (qTCloseness _),
     "q_winsorized" -> (qWinsorized _),
@@ -2350,6 +2425,47 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_ndv_estimate" ->
+      """WITH o AS (SELECT o_custkey,
+        |    ((((o_orderkey * 2654435761 + 12345) % 1048576)
+        |      * ((o_orderkey * 2654435761 + 12345) % 1048576))
+        |      // 1024) % 1048576 AS h
+        |  FROM orders),
+        |s AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM o WHERE h < 65536 GROUP BY 1),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_sample,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |    CAST(SUM(c) AS BIGINT) AS n_sample
+        |  FROM s),
+        |e AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_exact
+        |  FROM o),
+        |m AS (SELECT n_sample, d_sample, f1, f2, ndv_exact,
+        |    d_sample + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS chao1_est
+        |  FROM f CROSS JOIN e)
+        |SELECT n_sample, d_sample, f1, f2, ndv_exact, chao1_est,
+        |  CAST(sign(chao1_est - ndv_exact) AS BIGINT)
+        |    * ((1000 * abs(chao1_est - ndv_exact)) // ndv_exact) AS err_milli
+        |FROM m""".stripMargin,
+    "q_partition_advisor" ->
+      """WITH tall AS (
+        |  SELECT 'month' AS cand,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS VARCHAR) AS val
+        |  FROM orders
+        |  UNION ALL SELECT 'priority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'status', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'cust_bucket', CAST(o_custkey // 1000 AS VARCHAR)
+        |    FROM orders),
+        |counts AS (SELECT cand, val, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tall GROUP BY 1, 2)
+        |SELECT cand, CAST(COUNT(*) AS BIGINT) AS ndv,
+        |  CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST((CAST(1000000 AS HUGEINT) * SUM(CAST(c AS HUGEINT) * c))
+        |    // (CAST(SUM(c) AS HUGEINT) * CAST(SUM(c) AS BIGINT)) AS BIGINT)
+        |    AS lambda_micro,
+        |  (1000 * CAST(MAX(c) AS BIGINT)) // CAST(SUM(c) AS BIGINT)
+        |    AS max_share_milli
+        |FROM counts GROUP BY cand""".stripMargin,
     "q_aqp_sample" ->
       """WITH l AS (SELECT l_returnflag,
         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,

@@ -80,6 +80,9 @@ object GraftFunctions {
     ("graft_byte_laplacian",
       "graft_byte_laplacian(bin) - discrete-Laplacian (second-difference) energy",
       es => graft.ext.MultimodalOps.ByteLaplacianExpr(es.head)),
+    ("graft_byte_runs",
+      "graft_byte_runs(bin) - [n_runs, max_run, run8_bytes] run-length profile",
+      es => graft.ext.MultimodalOps.ByteRunStatsExpr(es.head)),
     // Spark's internal runtime-filter pair, surfaced for the SQL path
     // (upstream registers neither): build with graft_bloom_agg(
     // xxhash64(k), items, bits) in a scalar subquery, probe with

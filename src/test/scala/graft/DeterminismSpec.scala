@@ -107,7 +107,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q_t_closeness",     // segment grid left join + integer TVD fold
     "sim_pq_refine",     // ADC stage + bounded exact re-rank + recall folds
     "events_markov_entropy", // session lag pass + millibit entropy fold
-    "mm_sharpness")      // codegen Laplacian kernel + 16-band rollup
+    "mm_sharpness",      // codegen Laplacian kernel + 16-band rollup
+    "events_pacf",       // grid self-joins + exact rational Durbin-Levinson
+    "q_ndv_estimate",    // hash sample + abundance-profile folds
+    "q_partition_advisor", // map-explode unpivot + decimal Simpson fold
+    "mm_byte_runs")      // codegen run-length kernel + planted tails
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -75,6 +75,21 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 0L)
   }
 
+  test("graft_byte_runs: run profile, constant blob, empty blob") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_byte_runs(encode('aabbbbbbbbc', 'UTF-8')) AS mix,
+        |  graft_byte_runs(encode('zzzz', 'UTF-8')) AS const,
+        |  graft_byte_runs(encode('', 'UTF-8')) AS empty
+        |""".stripMargin).head()
+    val mix = r.getStruct(0)
+    assert(mix.getLong(0) == 3L && mix.getLong(1) == 8L && mix.getLong(2) == 8L)
+    val const = r.getStruct(1)
+    assert(const.getLong(0) == 1L && const.getLong(1) == 4L && const.getLong(2) == 0L)
+    val empty = r.getStruct(2)
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L && empty.getLong(2) == 0L)
+  }
+
   test("graft_log2_millis: equals the length(bin)-1 SQL spelling across binades; edges") {
     GraftFunctions.register(spark)
     // exhaustive small range + binade edges + large values: the kernel
@@ -260,8 +275,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
     new graft.sql.GraftExtensions().apply(ext)
     // pinned count catches an accidentally dropped builder; distinct
     // catches a duplicated name
-    assert(GraftFunctions.builders.size == 31)
-    assert(GraftFunctions.builders.map(_._1).distinct.size == 31)
+    assert(GraftFunctions.builders.size == 32)
+    assert(GraftFunctions.builders.map(_._1).distinct.size == 32)
   }
 
   test("graft_explode_bigrams: streams token pairs, drops empties, equals the composed spelling") {
