@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale smokes for the round-13 statistics/graph/text additions —
+  * demonstrating headroom the sf0.01 oracle corpus cannot: each new
+  * plan shape runs at 100–1000× the gate scale on generated data with
+  * its structural invariants asserted (the DocGenSourceSpec /
+  * VecGenSourceSpec smoke discipline; generous budgets absorb a loaded
+  * co-tenant, round-3 postmortem).
+  */
+class StatsScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("scale smoke: Poisson-bootstrap CI over 5M units x 32 replicates") {
+    // The events_bootstrap plan at 33k× the oracle's unit count: the
+    // ×32 replicate explode feeds ONE map-side-combined aggregate (32
+    // groups — partials collapse per task, the shuffle carries ~32
+    // rows per task regardless of units). Deterministic metric
+    // m = (id·37) % 10000 ⇒ the replicate estimates concentrate hard
+    // around the point estimate (n = 5M ⇒ CI half-width ~0.1%), so
+    // the order-statistics band must BRACKET the point — the
+    // correctness invariant that survives any scale.
+    val t0 = System.nanoTime()
+    val u = spark.range(5000000L).select(col("id").as("user_id"),
+      expr("(id * 37) % 10000").as("m"))
+    val reps = u.select(col("user_id"), col("m"),
+        explode(expr("sequence(0L, 31L)")).as("r"))
+      .withColumn("t", expr(
+        "(user_id * 2654435761 + r * 1013904223 + 12345) % 1048576"))
+      .withColumn("h", expr("((t * t) div 1024) % 1048576"))
+      .withColumn("w", expr(
+        "CASE WHEN h < 385749 THEN 0 WHEN h < 771499 THEN 1 " +
+          "WHEN h < 964373 THEN 2 WHEN h < 1028665 THEN 3 " +
+          "WHEN h < 1044738 THEN 4 ELSE 5 END"))
+    val ests = reps.groupBy(col("r"))
+      .agg(sum(col("w") * col("m")).as("num"), sum(col("w")).as("den"))
+      .select(expr("(1000 * num) div den").as("est"))
+    val band = ests.agg(sort_array(collect_list(col("est"))).as("a"))
+      .select(element_at(col("a"), 2).as("lo"), element_at(col("a"), 31).as("hi"))
+      .head()
+    val point = u.agg(expr("(1000 * sum(m)) div count(1)").as("p")).head().getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(band.getLong(0) <= point && point <= band.getLong(1),
+      s"CI [${band.getLong(0)}, ${band.getLong(1)}] must bracket point $point")
+    assert(band.getLong(1) - band.getLong(0) < point / 50L,
+      "at 5M units the 90% band is within ±1% of the mean")
+    assert(secs < 180.0, f"5M-unit bootstrap took $secs%.1f s (budget 180 s)")
+    info(f"5M units x 32 replicates in $secs%.1f s, CI " +
+      s"[${band.getLong(0)}, ${band.getLong(1)}] around $point")
+  }
+
+  test("scale smoke: HITS two-iteration power pass over a 2M-vector kNN graph") {
+    // The sim_hits plan at 400× the oracle corpus. SRP bits SCALE WITH
+    // the corpus (the documented knob): 16 bits → 65k buckets → ~30
+    // vectors/bucket, so the bucket equi-join stays linear; maxBucket
+    // caps the hash-collision tail exactly like the dedup families.
+    // Invariants: top-20 exists, authority scores are positive and
+    // non-increasing in rank order.
+    val t0 = System.nanoTime()
+    val corpus = spark.read.format("graft-vecs")
+      .option("rows", 2000000L).option("partitions", 32).option("dims", 32).load()
+    val edges = graft.ext.SimOps.knnGraph(corpus, k = 5, bits = 16, maxBucket = 128)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      .persist()
+    val a1 = edges.groupBy(col("dst").as("v")).agg(count(lit(1)).as("a1"))
+    val h1 = edges.join(a1, edges("dst") === a1("v"))
+      .groupBy(col("src").as("u")).agg(sum(col("a1")).as("h1")).persist()
+    val a2 = edges.join(h1, edges("src") === h1("u"))
+      .groupBy(col("dst").as("v")).agg(sum(col("h1")).as("a2"))
+    val top = a2.orderBy(col("a2").desc, col("v")).limit(20).collect()
+    edges.unpersist(); h1.unpersist()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(top.length == 20, s"top-20 authorities exist, got ${top.length}")
+    val scores = top.map(_.getLong(1))
+    assert(scores.forall(_ > 0L) && scores.sameElements(scores.sortBy(-_)),
+      "authority scores positive and rank-ordered")
+    assert(secs < 240.0, f"2M-vector HITS took $secs%.1f s (budget 240 s)")
+    info(f"2M-vector kNN graph + 2 HITS iterations in $secs%.1f s")
+  }
+
+  test("scale smoke: pairwise source JSD over 1M generated docs / 20 sources") {
+    // The text_jsd plan at 200× the gate corpus: token explode → one
+    // (source, token) fold, a token-keyed pair join whose fan-out is
+    // bounded by |sources|² = a domain constant, and a 190-row pair
+    // grid. Invariants: all 190 pairs emit, and every JSD lands in
+    // [0, 1 bit] WIDENED by the fast-log kernel's own worst case: the
+    // chord sits within 87.2 millibits below true log2, L-differences
+    // carry ±87.2, and the weighted fold bounds the total drift by
+    // ±87.2 millibits of JSD — ±87,200 micro. The generator's 20
+    // "sources" are the SAME distribution (doc_id % 20 slices), so
+    // true JSD ≈ 0 and the lower edge is exactly where the chord
+    // slack shows up — the property pin for the error bound at
+    // corpus scale.
+    import graft.functions.HashExprs.log2Millis
+    val t0 = System.nanoTime()
+    val docs = spark.read.format("graft-docs")
+      .option("rows", 1000000L).option("partitions", 32).load()
+      .select(expr("CAST(doc_id % 20 AS STRING)").as("source"), col("text"))
+    val cnt = docs
+      .select(col("source"),
+        explode(graft.ext.TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      .persist()
+    val totals = cnt.groupBy(col("source")).agg(sum(col("c")).as("nt"))
+    val jsd = cnt.as("x").join(cnt.as("y"),
+        col("x.token") === col("y.token") && col("x.source") < col("y.source"))
+      .select(col("x.source").as("sa"), col("y.source").as("sb"),
+        col("x.c").as("a"), col("y.c").as("b"))
+      .join(broadcast(totals.select(col("source").as("sa"), col("nt").as("na"))), "sa")
+      .join(broadcast(totals.select(col("source").as("sb"), col("nt").as("nb"))), "sb")
+      .withColumn("u", col("a") * col("nb"))
+      .withColumn("v", col("b") * col("na"))
+      .withColumn("term",
+        col("u") * (log2Millis(lit(2L) * col("u")) - log2Millis(col("u") + col("v"))) +
+          col("v") * (log2Millis(lit(2L) * col("v")) - log2Millis(col("u") + col("v"))))
+      .groupBy(col("sa"), col("sb"))
+      .agg(sum(col("term").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("ts"),
+        sum(col("a")).as("sam"), sum(col("b")).as("sbm"),
+        min(col("na")).as("na"), min(col("nb")).as("nb"))
+      .withColumn("d", col("ts") +
+        lit(1000L).cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("nb") * (col("na") - col("sam")) +
+        lit(1000L).cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("na") * (col("nb") - col("sbm")))
+      .select(expr("CAST((1000 * d) div (CAST(2 AS DECIMAL(38,0)) * na * nb) " +
+        "AS BIGINT)").as("jsd_micro"))
+      .collect()
+    cnt.unpersist()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(jsd.length == 190, s"all 20*19/2 pairs emit, got ${jsd.length}")
+    assert(jsd.forall(r => r.getLong(0) >= -87200L && r.getLong(0) <= 1087200L),
+      s"JSD within [0, 1 bit] ± the 87.2-millibit chord bound; got " +
+        s"[${jsd.map(_.getLong(0)).min}, ${jsd.map(_.getLong(0)).max}]")
+    assert(secs < 240.0, f"1M-doc JSD took $secs%.1f s (budget 240 s)")
+    info(f"1M docs / 20 sources pairwise JSD in $secs%.1f s")
+  }
+}
