@@ -1540,6 +1540,50 @@ class PlanSpec extends AnyFunSuite {
     graft.core.QueryCaches.release()
   }
 
+  test("sim_hits: both rank stages keep partial top-k — knn WindowGroupLimit, readout TakeOrdered") {
+    val p = plan("sim_hits")
+    assert(nOps(p, "WindowGroupLimit") >= 1,
+      s"the per-vector knn top-5 must keep its map-side partial rank:\n$p")
+    assert(nOps(p, "TakeOrderedAndProject") >= 1,
+      s"the global top-20 must plan as a limit-style partial top-k:\n$p")
+    assert(nOps(p, "CartesianProduct") == 0, p)
+  }
+
+  test("q_aqp_sample: exact and sampled aggregates fold in ONE lineitem scan, no join") {
+    val p = plan("q_aqp_sample")
+    assert(nOps(p, "Scan parquet") == 1, s"one lineitem scan:\n$p")
+    assert(nOps(p, "Window") == 0, p)
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "BroadcastHashJoin") +
+      nOps(p, "ShuffledHashJoin") + nOps(p, "BroadcastNestedLoopJoin") +
+      nOps(p, "CartesianProduct") == 0, s"the sample is a conditional fold:\n$p")
+  }
+
+  test("text_jsd: token-keyed pair join only — totals broadcast, no cartesian, no window") {
+    val p = plan("text_jsd")
+    assert(nOps(p, "CartesianProduct") + nOps(p, "BroadcastNestedLoopJoin") == 0,
+      s"pairs come from the token equi-join, never all-pairs:\n$p")
+    assert(nOps(p, "Window") == 0, p)
+    assert(nOps(p, "BroadcastHashJoin") >= 2,
+      s"the 20-row totals broadcast onto the pair relation:\n$p")
+  }
+
+  test("q_partition_advisor: one orders scan through the map-explode unpivot") {
+    val p = plan("q_partition_advisor")
+    assert(nOps(p, "Scan parquet") == 1, s"one orders scan:\n$p")
+    assert(nOps(p, "Generate") == 1, s"the 4-candidate unpivot is one explode:\n$p")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "BroadcastHashJoin") +
+      nOps(p, "ShuffledHashJoin") + nOps(p, "CartesianProduct") == 0, p)
+  }
+
+  test("mm_byte_runs / mm_sharpness: kernel rows stay in-partition — no join, no window") {
+    for (q <- Seq("mm_byte_runs", "mm_sharpness")) {
+      val p = plan(q)
+      assert(nOps(p, "Window") == 0, s"$q:\n$p")
+      assert(nOps(p, "SortMergeJoin") + nOps(p, "ShuffledHashJoin") +
+        nOps(p, "CartesianProduct") == 0, s"$q joins nothing data-sized:\n$p")
+    }
+  }
+
   test("events_holt_forecast: series fold is in-row — no window, no join, two aggregations") {
     val p = plan("events_holt_forecast")
     assert(nOps(p, "Window") == 0, s"the recurrence runs inside the projection:\n$p")
