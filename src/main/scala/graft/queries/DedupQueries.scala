@@ -289,6 +289,37 @@ object DedupQueries {
     DedupOps.dupClusters(pairs)
   }
 
+  /** Near-dup cluster-SIZE distribution — the readout a curation plan
+    * reads before deduplicating: how much mass sits in big clusters
+    * (template spam, mirrors — cheap wins) vs pairs (organic near-dups
+    * — judgment calls)? Composes [[dedupClusters]]' label fixpoint
+    * with a singleton-restoring left join (a doc in no pair IS its own
+    * size-1 cluster — the fixpoint only sees edge-connected nodes),
+    * then rolls up rep → size → (n_clusters, n_docs, per-mille of the
+    * corpus). Scale: everything after the pair stage is cluster-grain;
+    * the histogram is at most |distinct sizes| rows. */
+  def dedupClusterHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val mut = d.select((col("doc_id") + SHIFT).as("doc_id"),
+      firstTokenDropped.as("text"))
+    val corpus = graft.core.QueryCaches.track(d.unionAll(mut))
+    val pairs = DedupOps.nearDupPairs(corpus, "doc_id", "text",
+      k = 3, hashes = 64, bands = 16, threshold = 0.7)
+    val reps = DedupOps.dupClusters(pairs)
+      .select(col("id"), col("cluster_rep"))
+    val all = corpus.select(col("doc_id").as("id"))
+      .join(reps, Seq("id"), "left")
+      .select(coalesce(col("cluster_rep"), col("id")).as("rep"))
+    val sizes = all.groupBy(col("rep")).agg(count(lit(1)).as("sz"))
+    val tot = corpus.agg(count(lit(1)).as("n_tot"))
+    sizes.groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"),
+        expr("(1000 * sz * n_clusters) div n_tot").as("mass_milli"))
+  }
+
   /** Character 5-gram Jaccard over consecutive doc pairs — the
     * short-text variant of [[dedupJaccard]] (word shingles miss edits
     * inside words; char n-grams catch them). */
@@ -757,6 +788,7 @@ object DedupQueries {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_simhash_pairs_capped" -> (dedupSimhashPairsCapped _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_cluster_histogram" -> (dedupClusterHistogram _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_edit_within" -> (dedupEditWithin _),
@@ -921,6 +953,38 @@ object DedupQueries {
          |          UNION
          |          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
          |SELECT a AS id, LEAST(a, MIN(b)) AS cluster_rep FROM reach GROUP BY a""".stripMargin,
+    "dedup_cluster_histogram" ->
+      s"""WITH RECURSIVE corpus AS ($corpusNearSql),
+         |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+         |sh_t AS (SELECT doc_id, $shinglesSql AS sh FROM tk_t),
+         |fp_t AS (SELECT doc_id, list_transform(sh, s -> ${fpFold("s")}) AS fps FROM sh_t),
+         |mh_t AS (SELECT doc_id, fps, $minhashSql AS mh FROM fp_t),
+         |bands AS (SELECT doc_id, j AS band, $bandSql AS sig
+         |          FROM mh_t, (SELECT unnest(range(0, 16)) AS j)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |verified AS (SELECT doc_a, doc_b
+         |             FROM cand
+         |             JOIN (SELECT doc_id AS doc_a, fps AS fps_a FROM fp_t) USING (doc_a)
+         |             JOIN (SELECT doc_id AS doc_b, fps AS fps_b FROM fp_t) USING (doc_b)
+         |             WHERE $jaccardSql >= 0.7),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM verified
+         |        UNION SELECT doc_b, doc_a FROM verified),
+         |reach AS (SELECT a, b FROM sym
+         |          UNION
+         |          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |reps AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster_rep
+         |         FROM reach GROUP BY a),
+         |alln AS (SELECT COALESCE(reps.cluster_rep, corpus.doc_id) AS rep
+         |         FROM corpus LEFT JOIN reps ON corpus.doc_id = reps.id),
+         |sizes AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS sz
+         |          FROM alln GROUP BY rep),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM corpus)
+         |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  sz * CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  (1000 * sz * CAST(COUNT(*) AS BIGINT)) // n_tot AS mass_milli
+         |FROM sizes CROSS JOIN tot GROUP BY sz, n_tot""".stripMargin,
     "dedup_winnow" ->
       s"""WITH corpus AS ($corpusNearSql),
          |fp_t AS (SELECT doc_id, CASE WHEN len(text) >= 12

@@ -2342,7 +2342,50 @@ object Relational {
         expr("(1000 * max_c) div n_rows").as("max_share_milli"))
   }
 
+  /** Conjunctive-filter evaluation-order advisor — the micro-decision
+    * inside every scan with a multi-term AND: evaluate the most
+    * selective predicate first and short-circuit the rest. Unlike the
+    * independence-assuming textbook rule, this row costs all 6 orders
+    * of 3 lineitem predicates from MEASURED selectivities INCLUDING
+    * the pairwise joints (correlated predicates are exactly where the
+    * independence heuristic reorders wrong): expected evaluations per
+    * row for order (X,Y,Z) = 1 + P(X) + P(X∧Y), all as exact milli
+    * integers from ONE scan's 7 conditional counts. The chosen order
+    * is the min-cost row (ties → the listed order, a fixed total
+    * order). Scale: one scan, a 1-row aggregate, a 6-element literal
+    * explode — the advisor costs nothing at any table size. */
+  def qFilterReorderAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = load(spark, sfDir, "lineitem")
+      .select(
+        when(col("l_quantity") < 10.0d, 1L).otherwise(0L).as("a"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("b"),
+        when(col("l_discount") >= 0.05d, 1L).otherwise(0L).as("c"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a")).as("na"), sum(col("b")).as("nb"), sum(col("c")).as("nc"),
+        sum(col("a") * col("b")).as("nab"),
+        sum(col("a") * col("c")).as("nac"),
+        sum(col("b") * col("c")).as("nbc"))
+    val orders = counts.select(col("n"), explode(array(
+      struct(lit("abc").as("ord"), col("na").as("n1"), col("nab").as("n12")),
+      struct(lit("acb").as("ord"), col("na").as("n1"), col("nac").as("n12")),
+      struct(lit("bac").as("ord"), col("nb").as("n1"), col("nab").as("n12")),
+      struct(lit("bca").as("ord"), col("nb").as("n1"), col("nbc").as("n12")),
+      struct(lit("cab").as("ord"), col("nc").as("n1"), col("nac").as("n12")),
+      struct(lit("cba").as("ord"), col("nc").as("n1"), col("nbc").as("n12"))))
+      .as("o"))
+      .select(col("n"), col("o.ord").as("ord"), col("o.n1").as("n1"),
+        col("o.n12").as("n12"))
+      .select(col("ord"), col("n1"), col("n12"),
+        (lit(1000L) + expr("(1000 * n1) div n") + expr("(1000 * n12) div n"))
+          .as("evals_milli"))
+    val best = orders.agg(min(col("evals_milli")).as("best_milli"))
+    orders.crossJoin(broadcast(best))
+      .select(col("ord"), col("n1"), col("n12"), col("evals_milli"),
+        (col("evals_milli") === col("best_milli")).as("chosen"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_reorder_advisor" -> (qFilterReorderAdvisor _),
     "q_ndv_estimate" -> (qNdvEstimate _),
     "q_partition_advisor" -> (qPartitionAdvisor _),
     "q_aqp_sample" -> (qAqpSample _),
@@ -2425,6 +2468,31 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_filter_reorder_advisor" ->
+      """WITH f AS (SELECT
+        |    CASE WHEN l_quantity < 10.0 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS b,
+        |    CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS c
+        |  FROM lineitem),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb,
+        |    CAST(SUM(c) AS BIGINT) AS nc,
+        |    CAST(SUM(a * b) AS BIGINT) AS nab,
+        |    CAST(SUM(a * c) AS BIGINT) AS nac,
+        |    CAST(SUM(b * c) AS BIGINT) AS nbc
+        |  FROM f),
+        |o AS (SELECT n, 'abc' AS ord, na AS n1, nab AS n12 FROM g
+        |  UNION ALL SELECT n, 'acb', na, nac FROM g
+        |  UNION ALL SELECT n, 'bac', nb, nab FROM g
+        |  UNION ALL SELECT n, 'bca', nb, nbc FROM g
+        |  UNION ALL SELECT n, 'cab', nc, nac FROM g
+        |  UNION ALL SELECT n, 'cba', nc, nbc FROM g),
+        |e AS (SELECT ord, n1, n12,
+        |    1000 + (1000 * n1) // n + (1000 * n12) // n AS evals_milli
+        |  FROM o),
+        |best AS (SELECT MIN(evals_milli) AS best_milli FROM e)
+        |SELECT ord, n1, n12, evals_milli, evals_milli = best_milli AS chosen
+        |FROM e CROSS JOIN best""".stripMargin,
     "q_ndv_estimate" ->
       """WITH o AS (SELECT o_custkey,
         |    ((((o_orderkey * 2654435761 + 12345) % 1048576)

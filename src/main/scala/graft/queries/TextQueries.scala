@@ -1410,7 +1410,43 @@ object TextQueries {
           .as("jsd_micro"))
   }
 
+  /** Dedup-mass data card — what exact dedup would actually REMOVE,
+    * per source, in token mass (the unit training cost is paid in),
+    * not doc count: fingerprint groups keep their min doc_id, every
+    * other copy is removed mass. A planted MIRROR source (every 10th
+    * doc re-entered verbatim) proves the readout: the mirror loses
+    * 100% of its tokens (all copies of an earlier original), while
+    * original sources lose only their organic dup share — exactly the
+    * asymmetry a real crawl's mirror-host audit shows. Scale: one
+    * fp-keyed aggregate for keepers, one fp equi-join back, a
+    * |sources|-group fold — the dedup_exact plan with a token-mass
+    * readout. */
+  def curateDedupMass(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val mirror = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        lit("mirror").as("source"), col("text"))
+    val d = graft.core.QueryCaches.track(
+      base.unionAll(mirror)
+        .select(col("doc_id"), col("source"),
+          fingerprint(col("text")).as("fp"),
+          tokenCount(col("text")).as("n_tokens")))
+    val keep = d.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    d.join(keep, "fp")
+      .select(col("source"), col("n_tokens"),
+        when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L).as("rm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("rm")).as("n_removed"),
+        sum(col("n_tokens")).as("tok_total"),
+        sum(col("rm") * col("n_tokens")).as("tok_removed"))
+      .withColumn("removed_milli",
+        expr("CASE WHEN tok_total = 0 THEN 0 " +
+          "ELSE (1000 * tok_removed) div tok_total END"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_dedup_mass" -> (curateDedupMass _),
     "curate_temperature_mix" -> (curateTemperatureMix _),
     "text_jsd" -> (textJsd _),
     "text_kn_lm" -> (textKnLm _),
@@ -1488,6 +1524,26 @@ object TextQueries {
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
+    "curate_dedup_mass" ->
+      s"""WITH c AS (SELECT doc_id, source, text FROM documents
+         |  UNION ALL SELECT doc_id + 5000000, 'mirror', text
+         |    FROM documents WHERE doc_id % 10 = 0),
+         |d AS (SELECT doc_id, source, $fpSql AS fp,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM c),
+         |keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM d GROUP BY fp),
+         |m AS (SELECT source, n_tokens,
+         |    CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END AS rm
+         |  FROM d JOIN keep USING (fp)),
+         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(rm) AS BIGINT) AS n_removed,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+         |    CAST(SUM(rm * n_tokens) AS BIGINT) AS tok_removed
+         |  FROM m GROUP BY source)
+         |SELECT source, n_docs, n_removed, tok_total, tok_removed,
+         |  CASE WHEN tok_total = 0 THEN 0
+         |       ELSE (1000 * tok_removed) // tok_total END AS removed_milli
+         |FROM g""".stripMargin,
     "curate_temperature_mix" ->
       s"""WITH stats AS (SELECT lang,
          |    CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS c_tokens

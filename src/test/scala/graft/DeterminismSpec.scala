@@ -111,7 +111,10 @@ class DeterminismSpec extends AnyFunSuite {
     "events_pacf",       // grid self-joins + exact rational Durbin-Levinson
     "q_ndv_estimate",    // hash sample + abundance-profile folds
     "q_partition_advisor", // map-explode unpivot + decimal Simpson fold
-    "mm_byte_runs")      // codegen run-length kernel + planted tails
+    "mm_byte_runs",      // codegen run-length kernel + planted tails
+    "dedup_cluster_histogram", // fixpoint + singleton restore + size rollup
+    "curate_dedup_mass", // fp-keyed keeper join + mirror-source plant
+    "q_filter_reorder_advisor") // 7 joint counts + literal order explode
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
