@@ -265,7 +265,7 @@ object EventQueries {
   /** Shared (src → dst, cnt) session-bigram table for [[eventsPaths]]
     * and [[eventsMarkov]] — the single-window machinery documented on
     * eventsPaths. */
-  private def sessionBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def sessionBigrams(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sess = events(spark, sfDir)
@@ -2874,7 +2874,99 @@ object EventQueries {
           "AS BIGINT)").as("phi22_milli"))
   }
 
+  /** Quantile treatment effects — where in the distribution the
+    * experiment moved revenue: the mean readouts ([[eventsWelch]],
+    * [[eventsCuped]]) can't distinguish "everyone +2%" from "whales
+    * +20%, median flat", and the QTE at P50/P90 is the standard
+    * decomposition. Per arm, the quantiles are exact ORDER STATISTICS
+    * (rank ⌈n/2⌉ and ⌈9n/10⌉, pinned integer conventions) picked from
+    * ONE arm-major [[graft.ext.SkewOps.globalRank]] pass — the
+    * two-job range-partitioned rank, never a single-partition window;
+    * arm offsets come from a 1-row broadcast of the two arm counts.
+    * Readout: one row with both arms' P50/P90 in cents and the
+    * treated-minus-control deltas. */
+  def eventsQte(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = graft.core.QueryCaches.track(
+      events(spark, sfDir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)).as("m"))
+        .select((col("user_id") % 2).as("arm"), col("m"), col("user_id")))
+    val counts = u.agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"))
+    val ranked = graft.ext.SkewOps.globalRank(u, Seq("arm", "m", "user_id"), "rk")
+    ranked.crossJoin(broadcast(counts))
+      .select(col("arm"), col("m"), col("n0"), col("n1"),
+        (col("rk") - when(col("arm") === 1L, col("n0")).otherwise(0L)).as("lrk"),
+        when(col("arm") === 1L, col("n1")).otherwise(col("n0")).as("na"))
+      .filter(col("lrk") === expr("(na + 1) div 2") ||
+        col("lrk") === expr("(9 * na + 9) div 10"))
+      .agg(min(col("n0")).as("n_c"), min(col("n1")).as("n_t"),
+        min(when(col("arm") === 0L && col("lrk") === expr("(na + 1) div 2"),
+          col("m"))).as("p50_c"),
+        min(when(col("arm") === 1L && col("lrk") === expr("(na + 1) div 2"),
+          col("m"))).as("p50_t"),
+        min(when(col("arm") === 0L && col("lrk") === expr("(9 * na + 9) div 10"),
+          col("m"))).as("p90_c"),
+        min(when(col("arm") === 1L && col("lrk") === expr("(9 * na + 9) div 10"),
+          col("m"))).as("p90_t"))
+      .select(col("n_c"), col("n_t"), col("p50_c"), col("p50_t"),
+        col("p90_c"), col("p90_t"),
+        (col("p50_t") - col("p50_c")).as("qte50_cents"),
+        (col("p90_t") - col("p90_c")).as("qte90_cents"))
+  }
+
+  /** Retention half-life — the exponential-decay fit over the pooled
+    * DAILY retention curve that turns [[eventsCohorts]]' matrix into
+    * ONE planning number: if retention r_k ≈ A·2^(−k/h), the half-life
+    * h (days until half the remaining users stop returning) prices
+    * acquisition spend. Daily grain because the corpus spans weeks,
+    * not quarters — the grain is a parameter, the plan identical.
+    * ELIGIBLE population only (cohort days with all 8 offsets
+    * observable — the triangle bias of naive pooling); y_k = L(a_k) −
+    * L(n) millibit log-retention (negative integers, exact), OLS
+    * slope over k = 1..8 in the text_zipf integer moment spelling,
+    * half-life = 1000·den/|num| millidays (1000 millibits = one
+    * halving). Scale: one distinct (user, day) pass, a first-day
+    * fold, 8 offset counts — everything after the user-keyed join is
+    * offset-grain. */
+  def eventsRetentionHalflife(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashExprs.log2Millis
+    val uw = graft.core.QueryCaches.track(
+      events(spark, sfDir)
+        .select(col("user_id"), expr("ts div 86400000000000").as("week"))
+        .distinct())
+    val hi = uw.agg(max(col("week")).as("hi"))
+    val fw = uw.groupBy(col("user_id")).agg(min(col("week")).as("cw"))
+    val eligible = graft.core.QueryCaches.track(
+      fw.crossJoin(broadcast(hi)).filter(col("cw") <= col("hi") - 8)
+        .select(col("user_id"), col("cw")))
+    val n = eligible.agg(count(lit(1)).as("n"))
+    val ak = uw.join(eligible, "user_id")
+      .select((col("week") - col("cw")).as("k"))
+      .filter(col("k").between(1L, 8L))
+      .groupBy(col("k")).agg(count(lit(1)).as("a_k"))
+    val pts = ak.crossJoin(broadcast(n))
+      .select(col("k"), col("a_k"), col("n"),
+        (log2Millis(col("a_k")) - log2Millis(col("n"))).as("y"))
+    pts.agg(count(lit(1)).as("np"), sum(col("k")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("k") * col("y")).as("sxy"),
+        sum(col("k") * col("k")).as("sxx"), min(col("n")).as("n_eligible"))
+      // slope = num/den millibits per week; half-life = 1000/|slope|
+      // weeks (1000 millibits = one halving) = 1000*den/|num| weeks
+      .select(col("n_eligible"), col("np").as("n_points"),
+        expr("CAST(signum(np * sxy - sx * sy) AS BIGINT) * " +
+          "((abs(np * sxy - sx * sy) * 1000) div (np * sxx - sx * sx))")
+          .as("slope_microbits"),
+        expr("CASE WHEN np * sxy - sx * sy >= 0 THEN NULL ELSE " +
+          "(1000000 * (np * sxx - sx * sx)) div abs(np * sxy - sx * sy) " +
+          "END").as("half_life_millidays"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_retention_halflife" -> (eventsRetentionHalflife _),
+    "events_qte" -> (eventsQte _),
     "events_pacf" -> (eventsPacf _),
     "events_markov_entropy" -> (eventsMarkovEntropy _),
     "events_causal_impact" -> (eventsCausalImpact _),
@@ -2984,6 +3076,65 @@ object EventQueries {
       |FROM i JOIN seas ON i.t = seas.t AND i.dow = seas.dow)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "events_retention_halflife" -> {
+      def mbSql(q: String): String =
+        s"(CAST((length(bin($q)) - 1) * 1000 AS BIGINT) + " +
+          s"(($q - (CAST(1 AS BIGINT) << (length(bin($q)) - 1))) * 1000) // " +
+          s"(CAST(1 AS BIGINT) << (length(bin($q)) - 1)))"
+      s"""WITH uw AS (SELECT DISTINCT user_id,
+         |    epoch_us(ts) // 86400000000 AS week FROM events),
+         |h AS (SELECT MAX(week) AS hi FROM uw),
+         |fw AS (SELECT user_id, MIN(week) AS cw FROM uw GROUP BY user_id),
+         |el AS (SELECT user_id, cw FROM fw CROSS JOIN h WHERE cw <= hi - 8),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM el),
+         |ak AS (SELECT week - cw AS k, CAST(COUNT(*) AS BIGINT) AS a_k
+         |  FROM uw JOIN el USING (user_id)
+         |  WHERE week - cw BETWEEN 1 AND 8 GROUP BY 1),
+         |pts AS (SELECT k, a_k, n, ${mbSql("a_k")} - ${mbSql("n")} AS y
+         |  FROM ak CROSS JOIN nn),
+         |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+         |    CAST(SUM(k) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(k * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(k * k) AS BIGINT) AS sxx,
+         |    CAST(MIN(n) AS BIGINT) AS n_eligible
+         |  FROM pts)
+         |SELECT n_eligible, np AS n_points,
+         |  CAST(sign(np * sxy - sx * sy) AS BIGINT)
+         |    * ((abs(np * sxy - sx * sy) * 1000) // (np * sxx - sx * sx))
+         |    AS slope_microbits,
+         |  CASE WHEN np * sxy - sx * sy >= 0 THEN NULL ELSE
+         |    (1000000 * (np * sxx - sx * sx)) // abs(np * sxy - sx * sy)
+         |  END AS half_life_millidays
+         |FROM f""".stripMargin
+    },
+    // per-arm row_number window ON PURPOSE — the single-partition plan
+    // the engine's arm-major globalRank spelling exists to avoid
+    "events_qte" ->
+      """WITH u AS (SELECT user_id % 2 AS arm,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m,
+        |    user_id
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT arm, m,
+        |    CAST(row_number() OVER (PARTITION BY arm ORDER BY m, user_id)
+        |      AS BIGINT) AS lrk,
+        |    CAST(COUNT(*) OVER (PARTITION BY arm) AS BIGINT) AS na
+        |  FROM u),
+        |p AS (SELECT * FROM r
+        |  WHERE lrk = (na + 1) // 2 OR lrk = (9 * na + 9) // 10),
+        |f AS (SELECT
+        |    (SELECT na FROM r WHERE arm = 0 LIMIT 1) AS n_c,
+        |    (SELECT na FROM r WHERE arm = 1 LIMIT 1) AS n_t,
+        |    MIN(CASE WHEN arm = 0 AND lrk = (na + 1) // 2 THEN m END) AS p50_c,
+        |    MIN(CASE WHEN arm = 1 AND lrk = (na + 1) // 2 THEN m END) AS p50_t,
+        |    MIN(CASE WHEN arm = 0 AND lrk = (9 * na + 9) // 10 THEN m END)
+        |      AS p90_c,
+        |    MIN(CASE WHEN arm = 1 AND lrk = (9 * na + 9) // 10 THEN m END)
+        |      AS p90_t
+        |  FROM p)
+        |SELECT n_c, n_t, p50_c, p50_t, p90_c, p90_t,
+        |  p50_t - p50_c AS qte50_cents, p90_t - p90_c AS qte90_cents
+        |FROM f""".stripMargin,
     "events_pacf" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
         |    CAST(COUNT(*) AS BIGINT) AS n

@@ -569,7 +569,52 @@ object MultimodalQueries {
         (col("r.max_run") >= 16L).as("padded"))
   }
 
+  /** Perceptual-hash RADIUS operating curve — the media twin of
+    * [[graft.queries.DedupQueries.dedupBandSweep]]: the hamming
+    * threshold is the near-dup knob (0 = exact-signature, 2 = the
+    * band-join's pigeonhole ceiling at 3 bands), and this row reports
+    * per radius the admitted pair volume beside planted-twin recall —
+    * the precision/recall trade a media-dedup deployment reads before
+    * picking its radius. ONE banded candidate generation (radius-2
+    * superset, persisted); each radius is a conditional count over it
+    * — the "sweep shares the expensive stage" discipline of the LSH
+    * and nprobe sweeps. Planted twins: the [[mmPhash]] last-byte
+    * mutation — only the final segment's mean moves, so every plant
+    * sits within the radius-2 candidate set by construction. */
+  def mmPhashSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val corpus = b.unionAll(b.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(expr("substring(text, 1, length(text) - 1)"), lit("~")).as("text")))
+    val hashed = corpus.select(col("doc_id"),
+      MultimodalOps.byteSegGradHash(encode(col("text"), "UTF-8"), 32).as("phash"))
+    val pairs = graft.core.QueryCaches.track(
+      graft.ext.DedupOps.hammingPairs(hashed, "doc_id", "phash",
+        bits = 31, bands = 3, maxHamming = 2)
+        .withColumn("planted",
+          when(col("id_b") === col("id_a") + 1000000L, 1L).otherwise(0L)))
+    val nd = b.agg(count(lit(1)).as("n_docs"))
+    val folded = pairs.agg(
+      sum(when(col("hamming") <= 0L, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("hamming") <= 1L, 1L).otherwise(0L)).as("c1"),
+      count(lit(1)).as("c2"),
+      sum(when(col("hamming") <= 0L, col("planted")).otherwise(0L)).as("p0"),
+      sum(when(col("hamming") <= 1L, col("planted")).otherwise(0L)).as("p1"),
+      sum(col("planted")).as("p2"))
+    folded.crossJoin(broadcast(nd))
+      .select(col("n_docs"), explode(array(
+        struct(lit(0L).as("radius"), col("c0").as("n_pairs"), col("p0").as("n_planted")),
+        struct(lit(1L).as("radius"), col("c1").as("n_pairs"), col("p1").as("n_planted")),
+        struct(lit(2L).as("radius"), col("c2").as("n_pairs"), col("p2").as("n_planted"))))
+        .as("s"))
+      .select(col("s.radius").as("radius"), col("s.n_pairs").as("n_pairs"),
+        col("s.n_planted").as("n_planted"),
+        expr("(1000 * s.n_planted) div n_docs").as("recall_milli"),
+        expr("CASE WHEN s.n_pairs = 0 THEN 0 " +
+          "ELSE (1000 * s.n_planted) div s.n_pairs END").as("precision_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_sweep" -> (mmPhashSweep _),
     "mm_byte_runs" -> (mmByteRuns _),
     "mm_sharpness" -> (mmSharpness _),
     "mm_tile_hash" -> (mmTileHash _),
@@ -658,6 +703,54 @@ object MultimodalQueries {
       |  FROM cut)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "mm_phash_sweep" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, substr(text, 1, len(text) - 1) || '~'
+         |  FROM documents),
+         |c AS (SELECT doc_id, $cpsSql AS cps FROM corpus),
+         |seg AS (SELECT doc_id,
+         |  list_transform(range(0, 32), j -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    cps[(j * len(cps)) // 32 + 1 : ((j + 1) * len(cps)) // 32]),
+         |    (a, b) -> a + b)) AS s,
+         |  list_transform(range(0, 32),
+         |    j -> ((j + 1) * len(cps)) // 32 - (j * len(cps)) // 32) AS l
+         |  FROM c),
+         |p AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range(0, 31), j -> CASE
+         |    WHEN s[j+2] * l[j+1] > s[j+1] * l[j+2]
+         |    THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |  (a, b) -> a + b) AS ph FROM seg),
+         |b_t AS (SELECT doc_id, ph, band, CASE band
+         |    WHEN 0 THEN ph % 1024 WHEN 1 THEN (ph // 1024) % 1024
+         |    ELSE ph // 1048576 END AS key
+         |  FROM p, (SELECT unnest([0, 1, 2]) AS band)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+         |  FROM b_t a JOIN b_t b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.ph, b.ph)) <= 2),
+         |pl AS (SELECT hamming,
+         |    CASE WHEN id_b = id_a + 1000000 THEN 1 ELSE 0 END AS planted
+         |  FROM pairs),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |f AS (SELECT
+         |    CAST(SUM(CASE WHEN hamming <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         |    CAST(SUM(CASE WHEN hamming <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(COUNT(*) AS BIGINT) AS c2,
+         |    CAST(SUM(CASE WHEN hamming <= 0 THEN planted ELSE 0 END) AS BIGINT)
+         |      AS p0,
+         |    CAST(SUM(CASE WHEN hamming <= 1 THEN planted ELSE 0 END) AS BIGINT)
+         |      AS p1,
+         |    CAST(SUM(planted) AS BIGINT) AS p2
+         |  FROM pl),
+         |o AS (SELECT 0 AS radius, c0 AS n_pairs, p0 AS n_planted FROM f
+         |  UNION ALL SELECT 1, c1, p1 FROM f
+         |  UNION ALL SELECT 2, c2, p2 FROM f)
+         |SELECT CAST(radius AS BIGINT) AS radius, n_pairs, n_planted,
+         |  (1000 * n_planted) // n_docs AS recall_milli,
+         |  CASE WHEN n_pairs = 0 THEN 0
+         |       ELSE (1000 * n_planted) // n_pairs END AS precision_milli
+         |FROM o CROSS JOIN nd""".stripMargin,
     "mm_byte_runs" ->
       s"""WITH c AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 3000000, text || repeat('~', 32)

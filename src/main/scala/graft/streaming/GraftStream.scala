@@ -1178,6 +1178,41 @@ object GraftStream {
       }
   }
 
+  /** Streaming behavioral-entropy monitor — the unbounded twin of
+    * [[graft.queries.EventQueries.eventsMarkovEntropy]]: per SOURCE
+    * state, the destination-count vector folds transition arrivals
+    * (plain sums — commutative, chunking-proof), and each trigger
+    * emits the refreshed H(dst | src) in exact millibits through the
+    * SAME fast-log formula as the batch row (H·T = Σ c·(L(T) − L(c))).
+    * A funnel edge whose entropy drifts UP is losing its
+    * predictability — the live counterpart of the batch readout.
+    * Input contract: (src, dst) transition rows from an upstream
+    * sessionizer (the session-boundary logic stays where order lives;
+    * counts themselves are order-free). State per src is the dst
+    * count map — bounded by the event-type domain, not the stream. */
+  def markovEntropyUpdates(df: DataFrame, srcCol: String,
+      dstCol: String): Dataset[(String, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(srcCol).cast("string").as("s"),
+      col(dstCol).cast("string").as("d")).as[(String, String)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, String)],
+         state: GroupState[Map[String, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, Long])
+          rows.foreach { r => m = m.updated(r._2, m.getOrElse(r._2, 0L) + 1L) }
+          state.update(m)
+          val t = m.values.sum
+          val h = m.values.map { c =>
+            c * (graft.functions.HashKernels.log2Millis(t) -
+              graft.functions.HashKernels.log2Millis(c))
+          }.sum
+          Iterator.single((src, t, m.size.toLong, h / t))
+      }
+  }
+
   /** Streaming Poisson-bootstrap CI monitor — the unbounded twin of
     * [[graft.queries.EventQueries.eventsBootstrap]]: a LIVE confidence
     * band on the running mean of per-user revenue. Works because the

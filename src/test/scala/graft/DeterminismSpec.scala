@@ -114,7 +114,10 @@ class DeterminismSpec extends AnyFunSuite {
     "mm_byte_runs",      // codegen run-length kernel + planted tails
     "dedup_cluster_histogram", // fixpoint + singleton restore + size rollup
     "curate_dedup_mass", // fp-keyed keeper join + mirror-source plant
-    "q_filter_reorder_advisor") // 7 joint counts + literal order explode
+    "q_filter_reorder_advisor", // 7 joint counts + literal order explode
+    "events_qte",        // arm-major globalRank order statistics
+    "events_retention_halflife", // eligibility fold + millibit OLS
+    "mm_phash_sweep")    // one banded candidate pass, 3 radius folds
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

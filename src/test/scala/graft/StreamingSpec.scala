@@ -1311,6 +1311,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("streaming Markov-entropy monitor: final per-source entropy equals the batch row") {
+    // Expand the batch row's own transition counts into unit rows,
+    // feed shuffled thirds; the last emission per source must carry
+    // exactly the batch (t_total, n_dst, h_milli) — counts are plain
+    // sums and the millibit fold is a pure function of them.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.queries.EventQueries
+      .eventsMarkovEntropy(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val bigrams = graft.queries.EventQueries.sessionBigrams(spark, dir)
+      .collect().flatMap(r =>
+        Seq.fill(r.getLong(2).toInt)((r.getString(0), r.getString(1))))
+      .toSeq
+    val data = new scala.util.Random(23).shuffle(bigrams)
+    val in = MemoryStream[(String, String)]
+    val df = in.toDF().toDF("src", "dst")
+    val rows = new ConcurrentLinkedQueue[(String, Long, Long, Long)]()
+    val q = GraftStream.markovEntropyUpdates(df, "src", "dst")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    data.grouped((data.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(String, Long, Long, Long)])
+      .groupBy(_._1).map { case (s, vs) =>
+        val last = vs.maxBy(_._2)
+        s -> ((last._2, last._3, last._4))
+      }
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("streaming Poisson-bootstrap monitor: final CI band equals the batch fold") {
     // Feed the per-user revenue relation in shuffled thirds; the final
     // emission must carry exactly the batch events_bootstrap readout
