@@ -613,7 +613,35 @@ object MultimodalQueries {
           "ELSE (1000 * s.n_planted) div s.n_pairs END").as("precision_milli"))
   }
 
+  /** Byte-distribution entropy — compression potential per blob, in
+    * exact millibits through the fast-log kernel over the codegen
+    * 16-bin byte histogram ([[MultimodalOps.byteHistCounts]]): a blob
+    * whose bytes concentrate in one bin (H → 0) is padding/silence
+    * and will crush under any codec; H near 4000 millibits (log₂ 16)
+    * is already-compressed or encrypted-looking content — the routing
+    * signal beside [[graft.queries.Relational.qEncodeCost]]'s exact
+    * varint answer for integer columns. Non-empty bins posexplode to
+    * rows (16 per blob, no HOF over a kernel column — the lambda
+    * re-evaluation trap), the millibit fold is H·n = Σ c·(L(n) −
+    * L(c)), one integral division per blob. */
+  def mmByteEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashExprs.log2Millis
+    val hist = bin(spark, sfDir)
+      .select(col("doc_id"), length(col("content")).cast("bigint").as("n_bytes"),
+        posexplode(MultimodalOps.byteHistCounts(col("content"), 16))
+          .as(Seq("bin", "c")))
+      .filter(col("c") > 0L)
+    hist
+      .withColumn("term", col("c") * (log2Millis(col("n_bytes")) - log2Millis(col("c"))))
+      .groupBy(col("doc_id"), col("n_bytes"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("term")).as("ts"))
+      .select(col("doc_id"), col("n_bytes"), col("n_bins"),
+        expr("CASE WHEN n_bytes = 0 THEN 0 ELSE ts div n_bytes END")
+          .as("entropy_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_byte_entropy" -> (mmByteEntropy _),
     "mm_phash_sweep" -> (mmPhashSweep _),
     "mm_byte_runs" -> (mmByteRuns _),
     "mm_sharpness" -> (mmSharpness _),
@@ -703,6 +731,24 @@ object MultimodalQueries {
       |  FROM cut)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "mm_byte_entropy" -> {
+      def mbSql(q: String): String =
+        s"(CAST((length(bin($q)) - 1) * 1000 AS BIGINT) + " +
+          s"(($q - (CAST(1 AS BIGINT) << (length(bin($q)) - 1))) * 1000) // " +
+          s"(CAST(1 AS BIGINT) << (length(bin($q)) - 1)))"
+      s"""WITH c AS (SELECT doc_id, $cpsSql AS cps FROM documents),
+         |n AS (SELECT doc_id, CAST(len(cps) AS BIGINT) AS n_bytes FROM c),
+         |e AS (SELECT doc_id, unnest(cps) AS cp FROM c),
+         |h AS (SELECT doc_id, cp // 16 AS b, CAST(COUNT(*) AS BIGINT) AS cc
+         |  FROM e GROUP BY 1, 2),
+         |t AS (SELECT h.doc_id, n_bytes, cc,
+         |    cc * (${mbSql("n_bytes")} - ${mbSql("cc")}) AS term
+         |  FROM h JOIN n ON h.doc_id = n.doc_id)
+         |SELECT doc_id, n_bytes, CAST(COUNT(*) AS BIGINT) AS n_bins,
+         |  CASE WHEN n_bytes = 0 THEN 0
+         |       ELSE CAST(SUM(term) AS BIGINT) // n_bytes END AS entropy_milli
+         |FROM t GROUP BY doc_id, n_bytes""".stripMargin
+    },
     "mm_phash_sweep" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 1000000, substr(text, 1, len(text) - 1) || '~'

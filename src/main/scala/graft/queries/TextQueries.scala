@@ -1445,7 +1445,28 @@ object TextQueries {
           "ELSE (1000 * tok_removed) div tok_total END"))
   }
 
+  /** Type-token-ratio curve by length band — the lexical-diversity
+    * card DONE RIGHT: raw TTR famously collapses with document length
+    * (longer text repeats more), so comparing documents' TTR without
+    * conditioning on length is noise. Banding by token count (10-token
+    * bands, capped at 9+) and aggregating CORPUS totals per band
+    * (Σ distinct / Σ tokens — never a mean of per-doc ratios, the
+    * [[curateFertility]] discipline) yields the curve a quality gate
+    * thresholds against: a document far below its band's TTR is
+    * repetitive for its length. One scan, |bands|-group fold. */
+  def textTtrCurve(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents")
+      .select(tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).cast("bigint").as("n_types"))
+      .groupBy(expr("least(CAST(9 AS BIGINT), n_tokens div 10)").as("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_total"),
+        sum(col("n_types")).as("type_total"))
+      .select(col("band"), col("n_docs"), col("tok_total"), col("type_total"),
+        expr("CASE WHEN tok_total = 0 THEN 0 " +
+          "ELSE (1000 * type_total) div tok_total END").as("ttr_milli"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ttr_curve" -> (textTtrCurve _),
     "curate_dedup_mass" -> (curateDedupMass _),
     "curate_temperature_mix" -> (curateTemperatureMix _),
     "text_jsd" -> (textJsd _),
@@ -1524,6 +1545,19 @@ object TextQueries {
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_ttr_curve" ->
+      s"""WITH d AS (SELECT CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_types
+         |  FROM documents),
+         |g AS (SELECT least(9, n_tokens // 10) AS band,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+         |    CAST(SUM(n_types) AS BIGINT) AS type_total
+         |  FROM d GROUP BY 1)
+         |SELECT CAST(band AS BIGINT) AS band, n_docs, tok_total, type_total,
+         |  CASE WHEN tok_total = 0 THEN 0
+         |       ELSE (1000 * type_total) // tok_total END AS ttr_milli
+         |FROM g""".stripMargin,
     "curate_dedup_mass" ->
       s"""WITH c AS (SELECT doc_id, source, text FROM documents
          |  UNION ALL SELECT doc_id + 5000000, 'mirror', text

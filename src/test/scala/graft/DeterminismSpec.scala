@@ -117,7 +117,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q_filter_reorder_advisor", // 7 joint counts + literal order explode
     "events_qte",        // arm-major globalRank order statistics
     "events_retention_halflife", // eligibility fold + millibit OLS
-    "mm_phash_sweep")    // one banded candidate pass, 3 radius folds
+    "mm_phash_sweep",    // one banded candidate pass, 3 radius folds
+    "mm_byte_entropy",   // histogram-kernel posexplode + millibit fold
+    "text_ttr_curve")    // distinct-token fold into length bands
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
