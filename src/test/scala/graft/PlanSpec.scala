@@ -1584,6 +1584,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("events_qte: order statistics ride globalRank — zero Window operators anywhere") {
+    val p = plan("events_qte")
+    assert(nOps(p, "Window") == 0,
+      s"the arm-major rank is the two-job range rank, never a window:\n$p")
+    assert(nOps(p, "CartesianProduct") == 0, p)
+  }
+
+  test("mm_phash_sweep: banded candidates via hash join; only the 1-row stitch nest-loops") {
+    val p = plan("mm_phash_sweep")
+    assert(nOps(p, "Window") == 0, p)
+    assert(nOps(p, "CartesianProduct") == 0, p)
+    // the n_docs scalar stitches with a broadcast nested loop (1 row x
+    // 1 row — the fleet-wide legitimate stitch); the PAIR join itself
+    // must be a hash join on the band keys
+    assert(nOps(p, "BroadcastHashJoin") + nOps(p, "SortMergeJoin") +
+      nOps(p, "ShuffledHashJoin") >= 1,
+      s"the candidate join must be an equi hash join:\n$p")
+    assert(nOps(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only the scalar stitch may nest-loop:\n$p")
+  }
+
   test("events_holt_forecast: series fold is in-row — no window, no join, two aggregations") {
     val p = plan("events_holt_forecast")
     assert(nOps(p, "Window") == 0, s"the recurrence runs inside the projection:\n$p")

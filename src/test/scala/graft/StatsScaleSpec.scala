@@ -80,6 +80,56 @@ class StatsScaleSpec extends AnyFunSuite {
     info(f"2M-vector kNN graph + 2 HITS iterations in $secs%.1f s")
   }
 
+  test("scale smoke: tile-hash partial-dup join over 1M generated docs") {
+    // The mm_tile_hash plan at 2000× the oracle corpus: 16M tile rows
+    // through the df-cap + tile-keyed equi-join, with 10k planted
+    // self-splices (first 8 tiles twice — boundaries align by
+    // construction). The generator's templated docs push MANY tile
+    // values over the df ≤ 50 cap, and plants built from common tiles
+    // are dropped WITH them — the cap's precision-first contract, not
+    // a recall bug (measured: ~6.5k of 10k surface). The assertions
+    // pin that contract: a solid majority of plants surface, and
+    // fan-out per surviving tile value stays ≤ 50·49/2, so candidate
+    // volume is linear in the corpus.
+    val t0 = System.nanoTime()
+    val base = spark.read.format("graft-docs")
+      .option("rows", 1000000L).option("partitions", 32).load()
+      .select(col("doc_id"), expr("encode(text, 'UTF-8')").as("content"))
+    val spliced = base.filter(col("doc_id") % 100 === 0 &&
+        length(col("content")) >= 16)
+      .withColumn("tw", expr("length(content) div 16"))
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(expr("substring(content, 1, 8 * tw)"),
+          expr("substring(content, 1, 8 * tw)")).as("content"))
+    val corpus = base.unionAll(spliced)
+    val tiles = corpus.filter(length(col("content")) >= 16)
+      .withColumn("tw", expr("length(content) div 16"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 15), i -> md5(substring(content, i * tw + 1, tw)))"))
+        .as("tile_md5"))
+      .distinct()
+      .persist()
+    val rare = tiles.groupBy(col("tile_md5")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50)
+    val keep = tiles.join(rare.select(col("tile_md5")), "tile_md5")
+    val got = keep.as("x").join(keep.as("y"),
+        col("x.tile_md5") === col("y.tile_md5") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 8L)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("b") === col("a") + 2000000L, 1L).otherwise(0L))
+          .as("n_planted")).head()
+    tiles.unpersist()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.getLong(1) >= 6000L,
+      s"plants surface through the cap: ${got.getLong(1)} of 10000")
+    assert(secs < 240.0, f"1M-doc tile-hash took $secs%.1f s (budget 240 s)")
+    info(f"1M docs tile-hash partial-dup join in $secs%.1f s, " +
+      s"${got.getLong(0)} pairs, ${got.getLong(1)} planted found")
+  }
+
   test("scale smoke: pairwise source JSD over 1M generated docs / 20 sources") {
     // The text_jsd plan at 200× the gate corpus: token explode → one
     // (source, token) fold, a token-keyed pair join whose fan-out is
