@@ -2384,7 +2384,112 @@ object Relational {
         (col("evals_milli") === col("best_milli")).as("chosen"))
   }
 
+  /** Item-item collaborative filtering over order baskets — the
+    * classic "customers who bought X also bought Y" recommender
+    * primitive (Linden et al. 2003, Amazon item-to-item CF), run where
+    * the basket data lives: lineitem grouped by order. Co-occurrence
+    * counts feed a cosine similarity cos(a,b) = n_ab/√(n_a·n_b),
+    * surfaced EXACTLY as cos²·10⁶ via one integral division of int64
+    * products routed through DECIMAL(38,0) (cos² orders identically to
+    * cos, so top-k is unaffected and no sqrt crosses an engine
+    * boundary). Each item keeps its top-3 neighbors with an n_ab ≥ 2
+    * noise floor. Scale at 100 TB: the pair join is keyed l_orderkey —
+    * co-partitioned, basket-bounded fan-out (≤7 items/order in
+    * TPC-H-shaped data), NEVER quadratic in items; the co-occurrence
+    * relation is persisted once and mirrored (union branches over an
+    * unpersisted relation re-run it); item marginals join by partkey
+    * (SF-scaled, no forced broadcast — AQE decides); the per-item rank
+    * filters the UNCAST row_number so it plans as a partial
+    * WindowGroupLimit — map tasks pre-trim to 3 before the exchange. */
+  def qItemCf(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = graft.core.QueryCaches.track(
+      load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct())
+    val nI = graft.core.QueryCaches.track(
+      b.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i")))
+    val pairs = graft.core.QueryCaches.track(
+      b.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        .join(b.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+          Seq("l_orderkey"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2L))
+    val sym = pairs.unionAll(pairs.select(
+      col("part_b").as("part_a"), col("part_a").as("part_b"), col("n_ab")))
+    val scored = sym
+      .join(nI.select(col("l_partkey").as("part_a"), col("n_i").as("n_a")),
+        Seq("part_a"))
+      .join(nI.select(col("l_partkey").as("part_b"), col("n_i").as("n_b")),
+        Seq("part_b"))
+      .withColumn("cos2_micro",
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_ab * n_ab) " +
+          "div (n_a * n_b) AS BIGINT)"))
+    scored
+      .withColumn("rk0", row_number().over(Window.partitionBy(col("part_a"))
+        .orderBy(col("cos2_micro").desc, col("n_ab").desc, col("part_b"))))
+      .filter(col("rk0") <= 3)
+      .select(col("part_a"), col("rk0").cast("bigint").as("rk"), col("part_b"),
+        col("n_ab"), col("n_a"), col("n_b"), col("cos2_micro"))
+  }
+
+  /** Distributed multiple linear regression by NORMAL EQUATIONS — the
+    * one-pass closed-form fit (y = b0 + b1·x1 + b2·x2 per return-flag
+    * segment: extendedprice on quantity and discount) that a 100 TB
+    * trainer runs as sufficient statistics, never gradient passes: all
+    * nine moments fold in ONE map-side-combined aggregate (decimal
+    * accumulation per [[Tables.dsum]] — exact, order-independent under
+    * any parallelism), then the 2×2 centered system solves by Cramer's
+    * rule in a fixed IEEE double tree spelled identically in both
+    * engines (the [[graft.queries.EventQueries]] events_welch
+    * contract: exact moments in, deterministic double arithmetic out —
+    * doubles hash raw because every op is the same correctly-rounded
+    * IEEE op in the same order). The inputs snap to their NATIVE
+    * integer grids first (quantity units, discount points, price
+    * cents) so the moments are INTEGER-exact through DECIMAL(38,0) —
+    * a decimal(38,6) fold of the raw double squares was measured to
+    * diverge by one decimal ulp between engines on tie-rounding of
+    * y², which the centered-moment cancellation amplified into a
+    * 1-double-ulp r² mismatch; integer moments have no rounding to
+    * disagree on. R² = (b1·S1y + b2·S2y)/Syy from the same moments.
+    * Group count is the return-flag domain (3), so everything after
+    * the scan is negligible. */
+  def qRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("x1"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("x2"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        isum(col("x1")).as("sx1"), isum(col("x2")).as("sx2"),
+        isum(col("y")).as("sy"),
+        isum(col("x1") * col("x1")).as("sx11"),
+        isum(col("x1") * col("x2")).as("sx12"),
+        isum(col("x2") * col("x2")).as("sx22"),
+        isum(col("x1") * col("y")).as("sx1y"),
+        isum(col("x2") * col("y")).as("sx2y"),
+        isum(col("y") * col("y")).as("syy"))
+    m.select(col("grp"), col("n"), col("sx1"), col("sx2"), col("sy"),
+        expr("n * sx11 - sx1 * sx1").as("s11"),
+        expr("n * sx12 - sx1 * sx2").as("s12"),
+        expr("n * sx22 - sx2 * sx2").as("s22"),
+        expr("n * sx1y - sx1 * sy").as("s1y"),
+        expr("n * sx2y - sx2 * sy").as("s2y"),
+        expr("n * syy - sy * sy").as("syy_c"))
+      .select(col("grp"), col("n"), col("sx1"), col("sx2"), col("sy"),
+        expr("(s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12)").as("b1"),
+        expr("(s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12)").as("b2"),
+        col("s1y"), col("s2y"), col("syy_c"))
+      .select(col("grp"), col("n").cast("bigint").as("n_rows"),
+        expr("(sy - b1 * sx1 - b2 * sx2) / n").as("b0"),
+        col("b1"), col("b2"),
+        expr("(b1 * s1y + b2 * s2y) / syy_c").as("r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_item_cf" -> (qItemCf _),
+    "q_regression" -> (qRegression _),
     "q_filter_reorder_advisor" -> (qFilterReorderAdvisor _),
     "q_ndv_estimate" -> (qNdvEstimate _),
     "q_partition_advisor" -> (qPartitionAdvisor _),
@@ -2468,6 +2573,56 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_item_cf" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ni AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_i FROM b GROUP BY 1),
+        |p AS MATERIALIZED (SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_ab
+        |     FROM b a JOIN b c USING (l_orderkey)
+        |     WHERE a.l_partkey < c.l_partkey
+        |     GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT part_a, part_b, n_ab FROM p
+        |        UNION ALL SELECT part_b, part_a, n_ab FROM p),
+        |sc AS (SELECT s.part_a, s.part_b, s.n_ab,
+        |         na.n_i AS n_a, nb.n_i AS n_b,
+        |         CAST((CAST(1000000 AS HUGEINT) * s.n_ab * s.n_ab)
+        |           // (na.n_i * nb.n_i) AS BIGINT) AS cos2_micro
+        |       FROM sym s JOIN ni na ON s.part_a = na.l_partkey
+        |                  JOIN ni nb ON s.part_b = nb.l_partkey)
+        |SELECT part_a, rk, part_b, n_ab, n_a, n_b, cos2_micro FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY part_a
+        |    ORDER BY cos2_micro DESC, n_ab DESC, part_b) AS BIGINT) AS rk
+        |  FROM sc) WHERE rk <= 3""".stripMargin,
+    "q_regression" ->
+      """WITH g AS (SELECT l_returnflag AS grp,
+        |    CAST(round(l_quantity) AS BIGINT) AS x1,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS x2,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE) AS sx1,
+        |    CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x1 * x1 AS HUGEINT)) AS DOUBLE) AS sx11,
+        |    CAST(SUM(CAST(x1 * x2 AS HUGEINT)) AS DOUBLE) AS sx12,
+        |    CAST(SUM(CAST(x2 * x2 AS HUGEINT)) AS DOUBLE) AS sx22,
+        |    CAST(SUM(CAST(x1 * y AS HUGEINT)) AS DOUBLE) AS sx1y,
+        |    CAST(SUM(CAST(x2 * y AS HUGEINT)) AS DOUBLE) AS sx2y,
+        |    CAST(SUM(CAST(y * y AS HUGEINT)) AS DOUBLE) AS syy
+        |  FROM g GROUP BY 1),
+        |c AS (SELECT grp, n, sx1, sx2, sy,
+        |    n * sx11 - sx1 * sx1 AS s11, n * sx12 - sx1 * sx2 AS s12,
+        |    n * sx22 - sx2 * sx2 AS s22, n * sx1y - sx1 * sy AS s1y,
+        |    n * sx2y - sx2 * sy AS s2y, n * syy - sy * sy AS syy_c
+        |  FROM m),
+        |s AS (SELECT grp, n, sx1, sx2, sy, s1y, s2y, syy_c,
+        |    (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+        |    (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
+        |  FROM c)
+        |SELECT grp, CAST(n AS BIGINT) AS n_rows,
+        |  (sy - b1 * sx1 - b2 * sx2) / n AS b0, b1, b2,
+        |  (b1 * s1y + b2 * s2y) / syy_c AS r2
+        |FROM s""".stripMargin,
     "q_filter_reorder_advisor" ->
       """WITH f AS (SELECT
         |    CASE WHEN l_quantity < 10.0 THEN 1 ELSE 0 END AS a,

@@ -1618,6 +1618,45 @@ object SimQueries {
         col("common"), col("aa_micro"))
   }
 
+  /** Degree assortativity of the mutual-kNN graph — Newman 2002's
+    * "do hubs connect to hubs" health metric: the Pearson correlation
+    * of (deg(u), deg(v)) over the DIRECTED edge list (both
+    * orientations, the standard convention). Near-dup-heavy corpora
+    * drive it positive (clique cores), well-spread embeddings sit near
+    * zero — the one-row screen read before trusting kNN-graph
+    * community structure. EXACT RATIONALS throughout (the
+    * [[graft.queries.TextQueries]] text_zipf posture): cleared moments
+    * num = n·Σxy − ΣxΣy, denx/deny likewise, and the signed r²-milli
+    * via the staged integral division (1000·|num| div denx)·|num| div
+    * deny — degrees are ≤ k so every product sits far inside int64.
+    * Scale: two vertex-keyed equi-joins of the degree relation onto
+    * the edge list, one map-side-combined 1-row fold; edges are
+    * corpus×k-bounded. */
+  def simAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = graft.core.QueryCaches.track(mutualEdges(spark, sfDir))
+    val adj = graft.core.QueryCaches.track(
+      m.union(m.select(col("v").as("u"), col("u").as("v"))))
+    val deg = graft.core.QueryCaches.track(
+      adj.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+    adj
+      .join(deg.select(col("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("deg_u")).as("sx"), sum(col("deg_v")).as("sy"),
+        sum(col("deg_u") * col("deg_v")).as("sxy"),
+        sum(col("deg_u") * col("deg_u")).as("sxx"),
+        sum(col("deg_v") * col("deg_v")).as("syy"))
+      .select(col("n").as("n_dir_edges"),
+        expr("n * sxy - sx * sy").as("num"),
+        expr("n * sxx - sx * sx").as("denx"),
+        expr("n * syy - sy * sy").as("deny"))
+      .select(col("n_dir_edges"), col("num"), col("denx"), col("deny"),
+        expr("CASE WHEN denx = 0 OR deny = 0 THEN NULL ELSE " +
+          "CAST(signum(num) AS BIGINT) * " +
+          "(((1000 * abs(num)) div denx) * abs(num)) div deny END")
+          .as("r2s_milli"))
+  }
+
   /** Two-stage PQ retrieval with exact refinement — the standard
     * production ANN pipeline ([[simPqTopk]] stops at stage one): the
     * compressed ADC scan nominates top-32 candidates per query (cheap,
@@ -1673,6 +1712,7 @@ object SimQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_hits" -> (simHits _),
     "sim_adamic_adar" -> (simAdamicAdar _),
+    "sim_assortativity" -> (simAssortativity _),
     "sim_pq_refine" -> (simPqRefine _),
     "sim_embedding_drift" -> (simEmbeddingDrift _),
     "sim_threshold_sweep" -> (simThresholdSweep _),
@@ -2199,6 +2239,26 @@ object SimQueries {
          |    AS BIGINT) AS rk, *
          |  FROM nonedge) WHERE rk <= 20""".stripMargin
     },
+    "sim_assortativity" ->
+      s"""WITH $mutualSql,
+         |adj AS (SELECT u, v FROM m UNION ALL SELECT v, u FROM m),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+         |e AS (SELECT du.deg AS deg_u, dv.deg AS deg_v
+         |      FROM adj a JOIN deg du ON a.u = du.u JOIN deg dv ON a.v = dv.u),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(deg_u) AS BIGINT) AS sx, CAST(SUM(deg_v) AS BIGINT) AS sy,
+         |        CAST(SUM(deg_u * deg_v) AS BIGINT) AS sxy,
+         |        CAST(SUM(deg_u * deg_u) AS BIGINT) AS sxx,
+         |        CAST(SUM(deg_v * deg_v) AS BIGINT) AS syy
+         |      FROM e),
+         |d AS (SELECT n, n * sxy - sx * sy AS num,
+         |        n * sxx - sx * sx AS denx, n * syy - sy * sy AS deny
+         |      FROM s)
+         |SELECT n AS n_dir_edges, num, denx, deny,
+         |  CASE WHEN denx = 0 OR deny = 0 THEN NULL ELSE
+         |    CAST(sign(num) AS BIGINT) *
+         |      ((((1000 * abs(num)) // denx) * abs(num)) // deny) END AS r2s_milli
+         |FROM d""".stripMargin,
     "sim_link_predict" ->
       s"""WITH $mutualSql,
          |adj AS (SELECT u, v FROM m UNION ALL SELECT v, u FROM m),

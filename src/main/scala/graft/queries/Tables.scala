@@ -65,6 +65,16 @@ object Tables {
     */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
 
+  /** Exact integer-moment sum surfaced as double: accumulate BIGINT
+    * inputs as DECIMAL(38,0) (no overflow at warehouse scale, no
+    * rounding ever) and cast the total once — the one correctly-rounded
+    * conversion both engines share. Use for sufficient statistics of
+    * integer-grid data (cents, counts): unlike [[dsum]] there is no
+    * per-row double→decimal rounding for the engines to disagree on.
+    * DuckDB oracle spelling: CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE).
+    */
+  def isum(c: Column): Column = sum(c.cast(DecimalType(38, 0))).cast(DoubleType)
+
   /** Association-proof mean: exact decimal sum cast to double, divided
     * by the count in double — one deterministic IEEE division.
     * DuckDB: CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*).

@@ -143,6 +143,55 @@ object TextQueries {
     * (TakeOrderedAndProject — each task forwards 64 rows, the
     * vocabulary never sorts in one partition); everything after is a
     * 64-row fold. */
+  /** Multinomial Naive Bayes language ID — the LEARNED counterpart of
+    * [[textLangId]]'s fixed marker heuristic: the classifier is trained
+    * on the corpus's own (lang, token) counts with add-1 smoothing and
+    * scored back over every document, surfacing the full confusion
+    * matrix (where the weak labels and the learned model disagree — the
+    * label-noise screen run before trusting `lang` downstream). ALL
+    * arithmetic in exact MILLIBITS off the shared integer fast-log
+    * kernel (`graft_log2_millis`, bit-identical to the oracle's
+    * length(bin(q))−1 spelling): score(d, L) = Σ_matched mlog(c(L,tok)+1)
+    * − n_tok·mlog(c(L)+V) + mlog(n_docs_L); unmatched tokens contribute
+    * mlog(1) = 0 by construction, so the inner model join IS the
+    * smoothing. Prediction = per-doc max score, ties to the
+    * lexicographically-least language via an equi-join back (no struct
+    * argmax crosses an engine boundary). Scale: the model is
+    * vocab×|langs|-bounded and broadcasts (the [[textPerplexity]]
+    * contract), the lang table is |langs| rows crossed onto the
+    * docs×|langs| grid, scoring is ONE corpus explode with a
+    * map-side-combined (doc, lang) fold. */
+  def textNbLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashExprs.log2Millis
+    val d = load(spark, sfDir, "documents")
+    val tok = graft.core.QueryCaches.track(
+      d.select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
+    val model = graft.ext.DedupOps.trackPersist(
+      d.select(col("lang").as("lang_c"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("lang_c"), col("tok")).agg(count(lit(1)).as("c")))
+    val vocab = tok.agg(countDistinct(col("tok")).as("v"))
+    val lt = model.groupBy(col("lang_c")).agg(sum(col("c")).as("ctot"))
+    val pri = d.groupBy(col("lang").as("lang_c")).agg(count(lit(1)).as("nd"))
+    val langs = lt.join(pri, Seq("lang_c")).crossJoin(broadcast(vocab))
+      .select(col("lang_c"), log2Millis(col("ctot") + col("v")).as("dmlog"),
+        log2Millis(col("nd")).as("pmlog"))
+    val matched = tok
+      .join(broadcast(model.withColumn("mlog", log2Millis(col("c") + 1))
+        .select(col("tok"), col("lang_c"), col("mlog"))), Seq("tok"))
+      .groupBy(col("doc_id"), col("lang_c")).agg(sum(col("mlog")).as("s"))
+    val grid = graft.core.QueryCaches.track(
+      d.select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tok"))
+        .crossJoin(broadcast(langs))
+        .join(matched, Seq("doc_id", "lang_c"), "left")
+        .withColumn("score", coalesce(col("s"), lit(0L)) -
+          col("n_tok") * col("dmlog") + col("pmlog")))
+    val best = grid.groupBy(col("doc_id")).agg(max(col("score")).as("mx"))
+    grid.join(best, Seq("doc_id"))
+      .filter(col("score") === col("mx"))
+      .groupBy(col("doc_id"), col("lang")).agg(min(col("lang_c")).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+  }
+
   def textZipf(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.HashExprs.log2Millis
     val freq = load(spark, sfDir, "documents")
@@ -1466,6 +1515,7 @@ object TextQueries {
           "ELSE (1000 * type_total) div tok_total END").as("ttr_milli"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_nb_langid" -> (textNbLangid _),
     "text_ttr_curve" -> (textTtrCurve _),
     "curate_dedup_mass" -> (curateDedupMass _),
     "curate_temperature_mix" -> (curateTemperatureMix _),
@@ -1545,6 +1595,42 @@ object TextQueries {
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_nb_langid" -> {
+      def mbSql(q: String): String =
+        s"(CAST((length(bin($q)) - 1) * 1000 AS BIGINT) + " +
+          s"(($q - (CAST(1 AS BIGINT) << (length(bin($q)) - 1))) * 1000) // " +
+          s"(CAST(1 AS BIGINT) << (length(bin($q)) - 1)))"
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id, unnest($toksSql) AS tok
+         |       FROM documents),
+         |model AS MATERIALIZED (SELECT lang_c, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM (SELECT lang AS lang_c, unnest($toksSql) AS tok
+         |             FROM documents)
+         |       GROUP BY 1, 2),
+         |vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tok),
+         |lt AS (SELECT lang_c, CAST(SUM(c) AS BIGINT) AS ctot FROM model GROUP BY 1),
+         |pri AS (SELECT lang AS lang_c, CAST(COUNT(*) AS BIGINT) AS nd
+         |        FROM documents GROUP BY 1),
+         |langs AS (SELECT lt.lang_c,
+         |            ${mbSql("(lt.ctot + vocab.v)")} AS dmlog,
+         |            ${mbSql("pri.nd")} AS pmlog
+         |          FROM lt CROSS JOIN vocab JOIN pri USING (lang_c)),
+         |matched AS (SELECT t.doc_id, m.lang_c,
+         |              CAST(SUM(${mbSql("(m.c + 1)")}) AS BIGINT) AS s
+         |            FROM tok t JOIN model m USING (tok) GROUP BY 1, 2),
+         |docs AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tok
+         |         FROM documents),
+         |grid AS MATERIALIZED (SELECT d.doc_id, d.lang, l.lang_c,
+         |          COALESCE(ms.s, 0) - d.n_tok * l.dmlog + l.pmlog AS score
+         |        FROM docs d CROSS JOIN langs l
+         |        LEFT JOIN matched ms
+         |          ON ms.doc_id = d.doc_id AND ms.lang_c = l.lang_c),
+         |best AS (SELECT doc_id, MAX(score) AS mx FROM grid GROUP BY 1),
+         |pred AS (SELECT g.doc_id, g.lang, MIN(g.lang_c) AS pred_lang
+         |         FROM grid g JOIN best b
+         |           ON g.doc_id = b.doc_id AND g.score = b.mx
+         |         GROUP BY 1, 2)
+         |SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM pred GROUP BY 1, 2""".stripMargin },
     "text_ttr_curve" ->
       s"""WITH d AS (SELECT CAST(len($toksSql) AS BIGINT) AS n_tokens,
          |    CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_types

@@ -1605,6 +1605,43 @@ class PlanSpec extends AnyFunSuite {
       s"only the scalar stitch may nest-loop:\n$p")
   }
 
+  test("q_item_cf: basket pair join is an equi join; per-item rank keeps its partial top-k") {
+    val p = plan("q_item_cf")
+    assert(nOps(p, "CartesianProduct") == 0 &&
+      nOps(p, "BroadcastNestedLoopJoin") == 0,
+      s"the co-occurrence join must stay keyed on l_orderkey:\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
+      s"the uncast top-3 rank filter must plan as a partial top-k:\n$p")
+  }
+
+  test("q_regression: sufficient statistics in one scan — no joins, no windows") {
+    val p = plan("q_regression")
+    assert(nOps(p, "Window") == 0, p)
+    assert(nOps(p, "Scan parquet") == 1,
+      s"nine moments must fold in a single lineitem pass:\n$p")
+    assert(!p.contains("Join"), s"normal equations need no join at all:\n$p")
+  }
+
+  test("sim_assortativity: degree stitch is vertex-keyed — equi joins only, no cartesian") {
+    val p = plan("sim_assortativity")
+    // windows exist only inside the kNN-graph construction (vec_id-
+    // partitioned top-k); the assortativity stitch itself is two
+    // vertex-keyed equi joins + one ungrouped fold
+    assert(nOps(p, "CartesianProduct") == 0 &&
+      nOps(p, "BroadcastNestedLoopJoin") == 0, p)
+    assert(nOps(p, "BroadcastHashJoin") + nOps(p, "SortMergeJoin") +
+      nOps(p, "ShuffledHashJoin") >= 2,
+      s"degree relation must join the edge list by vertex key:\n$p")
+  }
+
+  test("text_nb_langid: model broadcasts; only the docs×langs grid may nest-loop") {
+    val p = plan("text_nb_langid")
+    assert(nOps(p, "CartesianProduct") == 0, p)
+    // vocab×langs model joins the token stream as a broadcast hash join
+    assert(nOps(p, "BroadcastHashJoin") >= 1,
+      s"the model join must broadcast (the textPerplexity contract):\n$p")
+  }
+
   test("events_holt_forecast: series fold is in-row — no window, no join, two aggregations") {
     val p = plan("events_holt_forecast")
     assert(nOps(p, "Window") == 0, s"the recurrence runs inside the projection:\n$p")
