@@ -17,10 +17,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityOps.queries ++ Relational.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimQueries.queries ++ EventQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ GeoQueries.queries
 
   def oracleSql: Map[String, String] =
     ParityOps.oracleSql ++ Relational.oracleSql ++ TextQueries.oracleSql ++
       DedupQueries.oracleSql ++ SimQueries.oracleSql ++ EventQueries.oracleSql ++
-      MultimodalQueries.oracleSql
+      MultimodalQueries.oracleSql ++ GeoQueries.oracleSql
 }

@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Spatial analytics over gridded 2-D points — the geo suite every
+  * location-bearing corpus needs (radius self-join, kNN, hotspot
+  * detection, tile pyramids), built on the same bucket-equi-join
+  * discipline as the dedup/ANN pillars: a GRID CELL is the spatial
+  * twin of an LSH band, and every candidate set is cell-bounded,
+  * never quadratic. Points derive deterministically from the
+  * embeddings table's first two dimensions snapped to an integer
+  * milli-grid (float→double is exact, ·1000.0 one IEEE multiply,
+  * floor exact — identical in both engines), then shifted
+  * non-negative so truncating integer division IS floor division on
+  * both sides. Every distance is INTEGER squared-Euclidean — no sqrt
+  * crosses an engine boundary.
+  *
+  * 100 TB posture: all candidate generation is (cell_x, cell_y)
+  * equi-joins whose fan-out is bounded by cell occupancy (a skewed
+  * cell caps exactly the way a hot LSH bucket does — the
+  * [[graft.ext.DedupOps.capBuckets]] guard applies unchanged); the
+  * tile pyramid is one scan with a fixed 4-level explode and
+  * map-side combine. The naive quadratic spellings exist only on the
+  * DuckDB oracle side — which is exactly what proves the grid plans
+  * exact.
+  */
+object GeoQueries {
+
+  /** (vec_id, px, py) on the non-negative integer milli-grid. */
+  private def points(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "embeddings").select(col("vec_id"),
+      (expr("CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) * 1000.0) AS BIGINT)")
+        + lit(2000L)).as("px"),
+      (expr("CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE) * 1000.0) AS BIGINT)")
+        + lit(2000L)).as("py"))
+
+  /** 9-cell probe ring: each row of `df` replicated for the 3×3
+    * neighborhood of its (px div cell, py div cell) cell. */
+  private def probeRing(df: DataFrame, cell: Long, idAs: String): DataFrame = {
+    val offs = Seq(-1L, 0L, 1L)
+    df.select(col("vec_id").as(idAs), col("px").as("ax"), col("py").as("ay"),
+        explode(array((for { dx <- offs; dy <- offs } yield
+          struct((expr(s"px div $cell") + lit(dx)).as("gx"),
+            (expr(s"py div $cell") + lit(dy)).as("gy"))): _*)).as("g"))
+      .select(col(idAs), col("ax"), col("ay"),
+        col("g.gx").as("gx"), col("g.gy").as("gy"))
+  }
+
+  /** All point pairs within Euclidean distance 20 — the spatial radius
+    * self-join done the scale way: cell width = radius, so a
+    * qualifying pair ALWAYS has the second point inside the first's
+    * 3×3 probe ring; side A explodes to 9 probe cells (the
+    * events_dbscan offset idiom), the join is a (gx, gy) equi-join
+    * against B's single home cell, and each unordered pair meets
+    * EXACTLY once (B's home cell is fixed; id_a < id_b orients). The
+    * oracle spells the naive quadratic distance join — identical
+    * semantics, so the green row pins the grid rewrite's 100% recall.
+    * Candidate volume is Σ(ring occupancy) — linear in points for any
+    * bounded-density corpus. */
+  def geoRadiusJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = graft.core.QueryCaches.track(points(spark, sfDir))
+    val home = p.select(col("vec_id"), col("px"), col("py"),
+      expr("px div 20").as("gx"), expr("py div 20").as("gy"))
+    probeRing(p, 20L, "id_a")
+      .join(home, Seq("gx", "gy"))
+      .filter(col("id_a") < col("vec_id") &&
+        (col("ax") - col("px")) * (col("ax") - col("px")) +
+          (col("ay") - col("py")) * (col("ay") - col("py")) <= lit(400L))
+      .select(col("id_a"), col("vec_id").as("id_b"),
+        ((col("ax") - col("px")) * (col("ax") - col("px")) +
+          (col("ay") - col("py")) * (col("ay") - col("py"))).as("d2"))
+  }
+
+  /** Radius-bounded 3-nearest-neighbors — the grid kNN: candidates
+    * come from the same 9-cell ring (cell = radius = 50), each
+    * DIRECTED pair meets once (A probes B's home cell), and the
+    * per-point top-3 by (d², id) filters the UNCAST row_number so the
+    * rank plans as a partial WindowGroupLimit — map tasks pre-trim to
+    * 3 before the exchange. Points with no neighbor within 50 are
+    * absent by contract (the radius bound is what keeps candidates
+    * cell-bounded at any density; an unbounded exact kNN is
+    * [[graft.ext.SimOps.knnGraph]]'s job). */
+  def geoKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = graft.core.QueryCaches.track(points(spark, sfDir))
+    val home = p.select(col("vec_id"), col("px"), col("py"),
+      expr("px div 50").as("gx"), expr("py div 50").as("gy"))
+    probeRing(p, 50L, "id_a")
+      .join(home, Seq("gx", "gy"))
+      .filter(col("id_a") =!= col("vec_id") &&
+        (col("ax") - col("px")) * (col("ax") - col("px")) +
+          (col("ay") - col("py")) * (col("ay") - col("py")) <= lit(2500L))
+      .select(col("id_a"), col("vec_id").as("id_b"),
+        ((col("ax") - col("px")) * (col("ax") - col("px")) +
+          (col("ay") - col("py")) * (col("ay") - col("py"))).as("d2"))
+      .withColumn("rk0", row_number().over(Window.partitionBy(col("id_a"))
+        .orderBy(col("d2"), col("id_b"))))
+      .filter(col("rk0") <= 3)
+      .select(col("id_a"), col("rk0").cast("bigint").as("rk"),
+        col("id_b"), col("d2"))
+  }
+
+  /** Grid hotspot detection (Getis-Ord-lite): per occupied 100-cell
+    * the point count, its 3×3 neighborhood mass, and an ALL-INTEGER
+    * hot flag — n_cells·n_nbhd > 27·n_total ⇔ the neighborhood holds
+    * more than 3× the average 9-cell mass. The neighborhood fold is
+    * the probe-ring equi-join over the CELL relation (domain-bounded:
+    * cells, not points, cross the exchange); totals are a 1-row
+    * broadcast. The oracle spells the naive BETWEEN range join the
+    * engine plan avoids. */
+  def geoHotspot(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = graft.core.QueryCaches.track(
+      points(spark, sfDir)
+        .select(expr("px div 100").as("cx"), expr("py div 100").as("cy"))
+        .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n")))
+    val tot = cells.agg(sum(col("n")).as("n_total"),
+      count(lit(1)).as("n_cells"))
+    val offs = Seq(-1L, 0L, 1L)
+    val ring = cells.select(col("cx").as("hx"), col("cy").as("hy"),
+        col("n").as("hn"),
+        explode(array((for { dx <- offs; dy <- offs } yield
+          struct((col("cx") + lit(dx)).as("gx"),
+            (col("cy") + lit(dy)).as("gy"))): _*)).as("g"))
+      .select(col("hx"), col("hy"), col("hn"),
+        col("g.gx").as("cx"), col("g.gy").as("cy"))
+    ring.join(cells.select(col("cx"), col("cy"), col("n")), Seq("cx", "cy"))
+      .groupBy(col("hx").as("cell_x"), col("hy").as("cell_y"))
+      .agg(max(col("hn")).as("n"), sum(col("n")).as("n_nbhd"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell_x"), col("cell_y"), col("n"), col("n_nbhd"),
+        (col("n_cells") * col("n_nbhd") > lit(27L) * col("n_total")).as("hot"))
+  }
+
+  /** Tile-pyramid rollup — the multi-zoom density index a map service
+    * materializes: zoom z ∈ {0..3} tiles of side 2000 div 2^z, per
+    * (z, tx, ty) the point count. ONE scan: the fixed 4-level zoom
+    * explode runs in the projection and the (z, tx, ty) aggregate
+    * combines map-side — adding a zoom level adds a literal, not a
+    * pass. The oracle spells the UNION-of-GROUP-BYs equivalent via
+    * unnest. */
+  def geoPyramid(spark: SparkSession, sfDir: String): DataFrame =
+    points(spark, sfDir)
+      .select(col("px"), col("py"),
+        explode(expr("array(0L, 1L, 2L, 3L)")).as("z"))
+      .select(col("z"),
+        expr("px div (2000 div shiftleft(1L, CAST(z AS INT)))").as("tx"),
+        expr("py div (2000 div shiftleft(1L, CAST(z AS INT)))").as("ty"))
+      .groupBy(col("z"), col("tx"), col("ty"))
+      .agg(count(lit(1)).as("n_points"))
+
+  private val pSql: String =
+    """p AS MATERIALIZED (SELECT vec_id,
+      |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT) + 2000 AS px,
+      |  CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000.0) AS BIGINT) + 2000 AS py
+      |FROM embeddings)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_radius_join" -> (geoRadiusJoin _),
+    "geo_knn" -> (geoKnn _),
+    "geo_hotspot" -> (geoHotspot _),
+    "geo_pyramid" -> (geoPyramid _))
+
+  val oracleSql: Map[String, String] = Map(
+    "geo_radius_join" ->
+      s"""WITH $pSql
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) AS d2
+         |FROM p a JOIN p b ON a.vec_id < b.vec_id
+         |WHERE (a.px - b.px) * (a.px - b.px) +
+         |      (a.py - b.py) * (a.py - b.py) <= 400""".stripMargin,
+    "geo_knn" ->
+      s"""WITH $pSql,
+         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) AS d2
+         |  FROM p a JOIN p b ON a.vec_id <> b.vec_id
+         |  WHERE (a.px - b.px) * (a.px - b.px) +
+         |        (a.py - b.py) * (a.py - b.py) <= 2500)
+         |SELECT id_a, rk, id_b, d2 FROM (
+         |  SELECT id_a, id_b, d2, CAST(row_number() OVER (
+         |    PARTITION BY id_a ORDER BY d2, id_b) AS BIGINT) AS rk
+         |  FROM cand) WHERE rk <= 3""".stripMargin,
+    "geo_hotspot" ->
+      s"""WITH $pSql,
+         |cells AS MATERIALIZED (SELECT px // 100 AS cx, py // 100 AS cy,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         |    CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells),
+         |nb AS (SELECT c.cx AS cell_x, c.cy AS cell_y, c.n AS n,
+         |    CAST(SUM(o.n) AS BIGINT) AS n_nbhd
+         |  FROM cells c JOIN cells o
+         |    ON o.cx BETWEEN c.cx - 1 AND c.cx + 1
+         |   AND o.cy BETWEEN c.cy - 1 AND c.cy + 1
+         |  GROUP BY 1, 2, 3)
+         |SELECT cell_x, cell_y, n, n_nbhd,
+         |  n_cells * n_nbhd > 27 * n_total AS hot
+         |FROM nb CROSS JOIN tot""".stripMargin,
+    "geo_pyramid" ->
+      s"""WITH $pSql,
+         |z AS (SELECT unnest([CAST(0 AS BIGINT), 1, 2, 3]) AS z)
+         |SELECT z.z,
+         |  px // (2000 // (CAST(1 AS BIGINT) << z.z)) AS tx,
+         |  py // (2000 // (CAST(1 AS BIGINT) << z.z)) AS ty,
+         |  CAST(COUNT(*) AS BIGINT) AS n_points
+         |FROM p CROSS JOIN z GROUP BY 1, 2, 3""".stripMargin)
+}

@@ -1642,6 +1642,37 @@ class PlanSpec extends AnyFunSuite {
       s"the model join must broadcast (the textPerplexity contract):\n$p")
   }
 
+  test("geo_radius_join: grid candidates via cell equi-join — never a cartesian") {
+    val p = plan("geo_radius_join")
+    assert(nOps(p, "CartesianProduct") == 0 &&
+      nOps(p, "BroadcastNestedLoopJoin") == 0,
+      s"the radius join must stay a (gx, gy) equi-join:\n$p")
+    assert(nOps(p, "BroadcastHashJoin") + nOps(p, "SortMergeJoin") +
+      nOps(p, "ShuffledHashJoin") >= 1, p)
+  }
+
+  test("geo_knn: per-point top-3 keeps its partial rank; cell equi-join candidates") {
+    val p = plan("geo_knn")
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
+      s"the uncast rank filter must plan as a partial top-k:\n$p")
+    assert(nOps(p, "CartesianProduct") == 0, p)
+  }
+
+  test("geo_hotspot: neighborhood fold joins the CELL relation; only the 1-row stitch nest-loops") {
+    val p = plan("geo_hotspot")
+    assert(nOps(p, "CartesianProduct") == 0, p)
+    assert(nOps(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only the totals stitch may nest-loop:\n$p")
+    assert(nOps(p, "Window") == 0, p)
+  }
+
+  test("geo_pyramid: one scan, zoom explode in the projection, no joins") {
+    val p = plan("geo_pyramid")
+    assert(nOps(p, "Scan parquet") == 1, s"one embeddings pass:\n$p")
+    assert(!p.contains("Join"), s"the pyramid is scan + explode + aggregate:\n$p")
+    assert(nOps(p, "Window") == 0, p)
+  }
+
   test("events_holt_forecast: series fold is in-row — no window, no join, two aggregations") {
     val p = plan("events_holt_forecast")
     assert(nOps(p, "Window") == 0, s"the recurrence runs inside the projection:\n$p")
