@@ -2487,7 +2487,112 @@ object Relational {
         expr("(b1 * s1y + b2 * s2y) / syy_c").as("r2"))
   }
 
+  /** Range-predicate selectivity estimation from the equi-depth
+    * histogram, AUDITED — the planner arithmetic [[qAnalyzeStats]]'
+    * statistics exist to feed, proved against ground truth:
+    * [[qSelectivityAudit]] checks the boundary POINTS; this row runs
+    * the real estimator — each of the 8 buckets contributes its full
+    * 1/8 mass when inside the predicate range and a LINEARLY
+    * INTERPOLATED fraction when straddling (the uniform-within-bucket
+    * assumption every histogram-based optimizer makes) — for three
+    * fixed price-range predicates, beside the measured selectivity
+    * from one conditional scan. ALL-INTEGER: prices snap to the cents
+    * grid, each bucket contributes (125000·overlap) div width micro
+    * units (zero-width buckets contribute their full mass iff their
+    * point is in range), so est and error are exact in both engines.
+    * Boundaries come from [[graft.ext.SkewOps.globalRank]] (two jobs,
+    * NO single-partition window) while the oracle spells the global
+    * row_number. Scale: one ranked pass for boundaries, one
+    * conditional-sum scan for truth; the bucket×predicate grid is 24
+    * rows. */
+  def qRangeSelAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = graft.core.QueryCaches.track(
+      load(spark, sfDir, "lineitem")
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("x")))
+    val n1 = v.agg(count(lit(1)).as("cnt"),
+      min(col("x")).as("x0"), max(col("x")).as("x8"))
+    val ranked = graft.ext.SkewOps.globalRank(v, Seq("x"), "rk")
+    val targets = spark.range(1, 8).toDF("k")
+      .crossJoin(broadcast(n1))
+      .select(col("k").cast("bigint").as("b"),
+        (lit(1L) + expr("(cnt - 1) * k DIV 8")).as("trk"))
+    val bmid = ranked.join(broadcast(targets), col("rk") === col("trk"))
+      .select(col("b"), col("x").as("bx"))
+    val pts = graft.core.QueryCaches.track(bmid
+      .unionAll(n1.select(lit(0L).as("b"), col("x0").as("bx")))
+      .unionAll(n1.select(lit(8L).as("b"), col("x8").as("bx"))))
+    val buckets = pts.as("l").join(pts.as("u"), col("u.b") === col("l.b") + 1)
+      .select(col("l.bx").as("lb"), col("u.bx").as("ub"))
+    val preds = spark.range(1).select(explode(expr(
+      "array(named_struct('pid', 1L, 'lo', 0L, 'hi', 2000000L), " +
+        "named_struct('pid', 2L, 'lo', 3000000L, 'hi', 6000000L), " +
+        "named_struct('pid', 3L, 'lo', 8000000L, 'hi', 99999999999L))")).as("p"))
+      .select(col("p.pid").as("pid"), col("p.lo").as("lo"), col("p.hi").as("hi"))
+    val est = buckets.crossJoin(broadcast(preds))
+      .select(col("pid"), col("lo"), col("hi"),
+        expr("CASE WHEN ub = lb THEN " +
+          "CASE WHEN lb BETWEEN lo AND hi THEN 125000L ELSE 0L END " +
+          "ELSE (125000 * greatest(0L, least(hi, ub) - greatest(lo, lb))) " +
+          "div (ub - lb) END").as("contrib"))
+      .groupBy(col("pid"), col("lo"), col("hi"))
+      .agg(sum(col("contrib")).as("est_micro"))
+    val act = v.agg(count(lit(1)).as("cnt"),
+        sum(when(col("x").between(0L, 2000000L), 1L).otherwise(0L)).as("a1"),
+        sum(when(col("x").between(3000000L, 6000000L), 1L).otherwise(0L)).as("a2"),
+        sum(when(col("x").between(8000000L, 99999999999L), 1L).otherwise(0L)).as("a3"))
+      .select(explode(expr("array(named_struct('pid', 1L, 'm', a1), " +
+        "named_struct('pid', 2L, 'm', a2), named_struct('pid', 3L, 'm', a3))"))
+        .as("q"), col("cnt"))
+      .select(col("q.pid").as("pid"),
+        expr("(1000000 * q.m) div cnt").as("actual_micro"))
+    est.join(broadcast(act), Seq("pid"))
+      .select(col("pid"), col("lo"), col("hi"), col("est_micro"),
+        col("actual_micro"),
+        abs(col("est_micro") - col("actual_micro")).as("err_micro"))
+  }
+
+  /** Foreign-key cardinality profile — the fan-out statistics a
+    * cost-based join planner multiplies (and the referential-integrity
+    * audit run beside them): for each FK edge of the schema, the
+    * parent/child row counts, exact milli fan-out, the max fan-out
+    * (the skew number that decides salting), and the orphan count
+    * (child keys with no parent — each is a row an inner join silently
+    * drops). One map-side-combined group-count per edge plus one
+    * anti-join probe; edges union into a 4-row report. 100 TB: every
+    * aggregate is key-partitioned, orphan checks are semi-join-shaped
+    * (the bloomPrunedSemiJoin upgrade applies when the parent side is
+    * huge). */
+  def qFkCardAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+             parent: DataFrame, parentKey: String): DataFrame = {
+      val fan = graft.core.QueryCaches.track(
+        child.groupBy(col(childKey).as("k")).agg(count(lit(1)).as("f")))
+      val orphans = fan.join(
+        parent.select(col(parentKey).as("k")), Seq("k"), "left_anti")
+        .agg(coalesce(sum(col("f")), lit(0L)).as("n_orphans"))
+      val p = parent.agg(count(lit(1)).as("n_parent"))
+      fan.agg(sum(col("f")).as("n_child"), count(lit(1)).as("n_keys"),
+          max(col("f")).as("max_fanout"))
+        .crossJoin(broadcast(p)).crossJoin(broadcast(orphans))
+        .select(lit(name).as("edge"), col("n_parent"), col("n_child"),
+          col("n_keys"),
+          expr("(1000 * n_child) div n_parent").as("fanout_milli"),
+          col("max_fanout"), col("n_orphans"))
+    }
+    val li = load(spark, sfDir, "lineitem")
+    edge("lineitem->orders", li, "l_orderkey",
+        load(spark, sfDir, "orders"), "o_orderkey")
+      .unionAll(edge("lineitem->part", li, "l_partkey",
+        load(spark, sfDir, "part"), "p_partkey"))
+      .unionAll(edge("orders->customer", load(spark, sfDir, "orders"),
+        "o_custkey", load(spark, sfDir, "customer"), "c_custkey"))
+      .unionAll(edge("supplier->nation", load(spark, sfDir, "supplier"),
+        "s_nationkey", load(spark, sfDir, "nation"), "n_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_sel_audit" -> (qRangeSelAudit _),
+    "q_fk_card_audit" -> (qFkCardAudit _),
     "q_item_cf" -> (qItemCf _),
     "q_regression" -> (qRegression _),
     "q_filter_reorder_advisor" -> (qFilterReorderAdvisor _),
@@ -2573,6 +2678,62 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_range_sel_audit" ->
+      """WITH v AS MATERIALIZED (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+        |  FROM lineitem),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt, MIN(x) AS x0, MAX(x) AS x8 FROM v),
+        |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS rk FROM v),
+        |t AS (SELECT k AS b, 1 + ((cnt - 1) * k) // 8 AS trk
+        |      FROM (SELECT unnest([CAST(1 AS BIGINT), 2, 3, 4, 5, 6, 7]) AS k)
+        |      CROSS JOIN n),
+        |bmid AS (SELECT t.b, r.x AS bx FROM r JOIN t ON r.rk = t.trk),
+        |pts AS MATERIALIZED (SELECT b, bx FROM bmid
+        |  UNION ALL SELECT CAST(0 AS BIGINT), x0 FROM n
+        |  UNION ALL SELECT CAST(8 AS BIGINT), x8 FROM n),
+        |bk AS (SELECT l.bx AS lb, u.bx AS ub FROM pts l JOIN pts u ON u.b = l.b + 1),
+        |preds AS (SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(2000000 AS BIGINT)),
+        |    (CAST(2 AS BIGINT), CAST(3000000 AS BIGINT), CAST(6000000 AS BIGINT)),
+        |    (CAST(3 AS BIGINT), CAST(8000000 AS BIGINT), CAST(99999999999 AS BIGINT)))
+        |  AS q(pid, lo, hi)),
+        |est AS (SELECT pid, lo, hi, CAST(SUM(
+        |    CASE WHEN ub = lb THEN
+        |      CASE WHEN lb BETWEEN lo AND hi THEN 125000 ELSE 0 END
+        |    ELSE (125000 * greatest(CAST(0 AS BIGINT),
+        |      least(hi, ub) - greatest(lo, lb))) // (ub - lb) END) AS BIGINT)
+        |    AS est_micro
+        |  FROM bk CROSS JOIN preds GROUP BY 1, 2, 3),
+        |act AS (SELECT p.pid,
+        |    (1000000 * CAST(SUM(CASE WHEN v.x BETWEEN p.lo AND p.hi
+        |      THEN 1 ELSE 0 END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+        |    AS actual_micro
+        |  FROM v CROSS JOIN preds p GROUP BY 1)
+        |SELECT e.pid, e.lo, e.hi, e.est_micro, a.actual_micro,
+        |  abs(e.est_micro - a.actual_micro) AS err_micro
+        |FROM est e JOIN act a USING (pid)""".stripMargin,
+    "q_fk_card_audit" -> {
+      def edgeSql(name: String, child: String, ck: String,
+                  parent: String, pk: String): String =
+        s"""SELECT '$name' AS edge, p.n_parent, f.n_child, f.n_keys,
+           |  (1000 * f.n_child) // p.n_parent AS fanout_milli,
+           |  f.max_fanout, o.n_orphans
+           |FROM (SELECT CAST(SUM(f) AS BIGINT) AS n_child,
+           |        CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |        CAST(MAX(f) AS BIGINT) AS max_fanout
+           |      FROM (SELECT $ck AS k, CAST(COUNT(*) AS BIGINT) AS f
+           |            FROM $child GROUP BY 1)) f
+           |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_parent FROM $parent) p
+           |CROSS JOIN (SELECT CAST(COALESCE(SUM(f), 0) AS BIGINT) AS n_orphans
+           |  FROM (SELECT $ck AS k, CAST(COUNT(*) AS BIGINT) AS f
+           |        FROM $child GROUP BY 1) fk
+           |  WHERE NOT EXISTS (SELECT 1 FROM $parent WHERE $pk = fk.k)) o""".stripMargin
+      Seq(
+        edgeSql("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edgeSql("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edgeSql("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edgeSql("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "")
+    },
     "q_item_cf" ->
       """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |ni AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_i FROM b GROUP BY 1),

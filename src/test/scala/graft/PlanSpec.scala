@@ -1673,6 +1673,21 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "Window") == 0, p)
   }
 
+  test("q_range_sel_audit: boundaries ride globalRank — zero Window operators") {
+    val p = plan("q_range_sel_audit")
+    assert(nOps(p, "Window") == 0,
+      s"the boundary ranks are the two-job range rank, never a window:\n$p")
+    assert(nOps(p, "CartesianProduct") == 0, p)
+  }
+
+  test("q_fk_card_audit: orphan probes are anti joins; no windows anywhere") {
+    val p = plan("q_fk_card_audit")
+    assert(nOps(p, "Window") == 0, p)
+    assert(p.contains("LeftAnti"),
+      s"orphan detection must be an anti join, not a re-scan:\n$p")
+    assert(nOps(p, "CartesianProduct") == 0, p)
+  }
+
   test("events_holt_forecast: series fold is in-row — no window, no join, two aggregations") {
     val p = plan("events_holt_forecast")
     assert(nOps(p, "Window") == 0, s"the recurrence runs inside the projection:\n$p")
