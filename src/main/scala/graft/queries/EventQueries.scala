@@ -262,6 +262,66 @@ object EventQueries {
       .filter(col("rk") <= 20)
       .select(col("rk"), col("src"), col("dst"), col("cnt"))
 
+  /** Top-10 session TRIGRAM paths — [[eventsPaths]]' bigram miner
+    * extended one step: the sequential-pattern primitive (PrefixSpan's
+    * length-3 slice) product teams read to find the canonical journeys
+    * a funnel definition should encode. Same single-window machinery
+    * (lag for the session cut, two leads for the continuation — ONE
+    * shuffle+sort per user), trigrams kept only when the third event
+    * is still in the same session. The global top-10 rank runs over
+    * the ≤|types|³ aggregate relation and filters the UNCAST
+    * row_number so it plans as a partial top-k. */
+  def eventsSeq3(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") > GAP_NS / 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("new_s")).over(wRun))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .withColumn("s3", lead(col("session_no"), 2).over(w))
+    sess.filter(col("t3").isNotNull && col("s3") === col("session_no"))
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk0", row_number().over(
+        Window.orderBy(col("cnt").desc, col("t1"), col("t2"), col("t3"))))
+      .filter(col("rk0") <= 10)
+      .select(col("rk0").cast("bigint").as("rk"), col("t1"), col("t2"),
+        col("t3"), col("cnt"))
+  }
+
+  /** Per-user behavioral entropy, banded — how PREDICTABLE each user's
+    * event-type mix is (H = 0: one-note users; high H: diverse
+    * sessions), the segmentation signal behind "explorer vs
+    * transactor" cohorts and the per-user twin of
+    * [[eventsMarkovEntropy]]'s per-source readout. EXACT MILLIBITS:
+    * H·n = n·mlog(n) − Σ c·mlog(c) over the user's type counts via the
+    * shared integer fast-log kernel, surfaced as h_millibits = that
+    * div n — all integers, no float log. Users then band at 250-mb
+    * resolution into a DOMAIN-BOUNDED histogram (≤ ~14 bands for any
+    * corpus: H ≤ log2 |types|), so the output is fleet-readable at any
+    * user count. Scale: one (user, type) map-side-combined count, one
+    * per-user fold, one band rollup. */
+  def eventsUserEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashExprs.log2Millis
+    val c = events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+    val h = c.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * log2Millis(col("c"))).as("sc"))
+      .select(col("user_id"),
+        (col("n") * log2Millis(col("n")) - col("sc")).as("num"), col("n"))
+      .select(col("user_id"), expr("num div n").as("h_mb"))
+    h.groupBy(expr("h_mb div 250").as("band"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("h_mb")).as("min_mb"), max(col("h_mb")).as("max_mb"))
+  }
+
   /** Shared (src → dst, cnt) session-bigram table for [[eventsPaths]]
     * and [[eventsMarkov]] — the single-window machinery documented on
     * eventsPaths. */
@@ -3035,6 +3095,8 @@ object EventQueries {
     "events_holt_winters" -> (eventsHoltWinters _),
     "events_asof_native" -> (eventsAsofNative _),
     "events_paths" -> (eventsPaths _),
+    "events_seq3" -> (eventsSeq3 _),
+    "events_user_entropy" -> (eventsUserEntropy _),
     "events_attribution" -> (eventsAttribution _),
     "events_retention" -> (eventsRetention _),
     "events_funnel" -> (eventsFunnel _),
@@ -4586,6 +4648,45 @@ object EventQueries {
         |  CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
         |  n_days * sxy - sx * sum_count > 0 AS rising
         |FROM a""".stripMargin,
+    "events_seq3" ->
+      """WITH g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+        |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                    ORDER BY epoch_us(ts), event_id) AS prev
+        |           FROM events),
+        |s AS (SELECT user_id, event_id, event_type, tus,
+        |             CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |                  THEN 1 ELSE 0 END AS new_s FROM g),
+        |c AS (SELECT user_id, event_id, event_type, tus,
+        |             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM s),
+        |n AS (SELECT event_type AS t1,
+        |             lead(event_type, 1) OVER w2 AS t2,
+        |             lead(event_type, 2) OVER w2 AS t3,
+        |             session_no,
+        |             lead(session_no, 2) OVER w2 AS s3
+        |      FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |t AS (SELECT t1, t2, t3, COUNT(*) AS cnt FROM n
+        |      WHERE t3 IS NOT NULL AND s3 = session_no GROUP BY 1, 2, 3)
+        |SELECT rk, t1, t2, t3, cnt FROM (
+        |  SELECT t1, t2, t3, cnt,
+        |         CAST(row_number() OVER (ORDER BY cnt DESC, t1, t2, t3) AS BIGINT) AS rk
+        |  FROM t)
+        |WHERE rk <= 10""".stripMargin,
+    "events_user_entropy" -> {
+      def mbSql(q: String): String =
+        s"(CAST((length(bin($q)) - 1) * 1000 AS BIGINT) + " +
+          s"(($q - (CAST(1 AS BIGINT) << (length(bin($q)) - 1))) * 1000) // " +
+          s"(CAST(1 AS BIGINT) << (length(bin($q)) - 1)))"
+      s"""WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+         |           FROM events GROUP BY 1, 2),
+         |u AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+         |        CAST(SUM(c * ${mbSql("c")}) AS BIGINT) AS sc
+         |      FROM c GROUP BY 1),
+         |h AS (SELECT user_id, (n * ${mbSql("n")} - sc) // n AS h_mb FROM u)
+         |SELECT h_mb // 250 AS band, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  MIN(h_mb) AS min_mb, MAX(h_mb) AS max_mb
+         |FROM h GROUP BY 1""".stripMargin
+    },
     "events_paths" ->
       """WITH g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
         |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id

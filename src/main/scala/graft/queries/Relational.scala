@@ -2590,7 +2590,35 @@ object Relational {
         "s_nationkey", load(spark, sfDir, "nation"), "n_nationkey"))
   }
 
+  /** Multi-column numeric profile — the ANALYZE sweep that fills a
+    * catalog's per-COLUMN statistics in ONE fact pass ([[qAnalyzeStats]]
+    * goes deep on one column; this goes wide): each row unpivots its
+    * numeric columns onto their native integer grids (units, points,
+    * cents) through a fixed literal explode, and a single (column)
+    * aggregate yields count, NDV (exact — the gate needs bit-exact
+    * counts; approx_count_distinct is the documented 100 TB swap),
+    * min/max (zone-map inputs), the DECIMAL(38,0)-exact sum, and the
+    * exact milli mean. Adding a column adds a literal, not a pass —
+    * the [[GeoQueries.geoPyramid]] explode posture applied to
+    * profiling. */
+  def qColumnProfile(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "lineitem")
+      .select(explode(expr(
+        "array(named_struct('c', 'quantity', 'v', CAST(round(l_quantity) AS BIGINT)), " +
+          "named_struct('c', 'discount_pts', 'v', CAST(round(l_discount * 100) AS BIGINT)), " +
+          "named_struct('c', 'price_cents', 'v', CAST(round(l_extendedprice * 100) AS BIGINT)))"))
+        .as("p"))
+      .select(col("p.c").as("column"), col("p.v").as("v"))
+      .groupBy(col("column"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("ndv"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        sum(col("v").cast(DecimalType(38, 0))).cast("decimal(38,0)").as("sum_d"))
+      .select(col("column"), col("n"), col("ndv"), col("min_v"), col("max_v"),
+        col("sum_d").cast("bigint").as("sum_v"),
+        expr("CAST((1000 * sum_d) div n AS BIGINT)").as("mean_milli"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_column_profile" -> (qColumnProfile _),
     "q_range_sel_audit" -> (qRangeSelAudit _),
     "q_fk_card_audit" -> (qFkCardAudit _),
     "q_item_cf" -> (qItemCf _),
@@ -2678,6 +2706,18 @@ object Relational {
     "q_running_revenue" -> (qRunningRevenue _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_column_profile" ->
+      """WITH g AS (SELECT c, v FROM lineitem, LATERAL (VALUES
+        |    ('quantity', CAST(round(l_quantity) AS BIGINT)),
+        |    ('discount_pts', CAST(round(l_discount * 100) AS BIGINT)),
+        |    ('price_cents', CAST(round(l_extendedprice * 100) AS BIGINT)))
+        |  AS t(c, v))
+        |SELECT c AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+        |  MIN(v) AS min_v, MAX(v) AS max_v,
+        |  CAST(SUM(CAST(v AS HUGEINT)) AS BIGINT) AS sum_v,
+        |  CAST((1000 * SUM(CAST(v AS HUGEINT))) // COUNT(*) AS BIGINT) AS mean_milli
+        |FROM g GROUP BY 1""".stripMargin,
     "q_range_sel_audit" ->
       """WITH v AS MATERIALIZED (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x
         |  FROM lineitem),

@@ -192,6 +192,32 @@ object TextQueries {
       .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Corpus-driven stopword DISCOVERY — the data-dependent list the
+    * fixed stopword sets ([[textStats]]' ratio, BM25's pruning) should
+    * be validated against per corpus: every token appearing in more
+    * than half the documents, with its document frequency and the
+    * share of ALL token occurrences it absorbs (coverage — what a
+    * stop-list actually buys at scan time). All-integer milli
+    * readouts. Scale: one corpus explode feeds both the distinct
+    * (doc, token) df count and the occurrence count (persisted once);
+    * the two scalar totals broadcast; output is vocabulary-bounded and
+    * tiny (high-df tokens are rare by Zipf). */
+  def textStopwordDisco(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val tok = graft.core.QueryCaches.track(
+      d.select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
+    val dfreq = tok.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val cfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+    val total = tok.agg(count(lit(1)).as("total"))
+    dfreq.join(cfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(total))
+      .filter(lit(2L) * col("df") > col("n_docs"))
+      .select(col("tok"), col("df"), col("cf"),
+        expr("(1000 * df) div n_docs").as("df_milli"),
+        expr("(1000 * cf) div total").as("coverage_milli"))
+  }
+
   def textZipf(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.HashExprs.log2Millis
     val freq = load(spark, sfDir, "documents")
@@ -1516,6 +1542,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_nb_langid" -> (textNbLangid _),
+    "text_stopword_disco" -> (textStopwordDisco _),
     "text_ttr_curve" -> (textTtrCurve _),
     "curate_dedup_mass" -> (curateDedupMass _),
     "curate_temperature_mix" -> (curateTemperatureMix _),
@@ -1595,6 +1622,20 @@ object TextQueries {
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_stopword_disco" ->
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id, unnest($toksSql) AS tok
+         |       FROM documents),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+         |        FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY 1),
+         |cfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM tok GROUP BY 1),
+         |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok)
+         |SELECT d.tok, d.df, c.cf,
+         |  (1000 * d.df) // nd.n_docs AS df_milli,
+         |  (1000 * c.cf) // tt.total AS coverage_milli
+         |FROM dfq d JOIN cfq c USING (tok)
+         |CROSS JOIN nd CROSS JOIN tt
+         |WHERE 2 * d.df > nd.n_docs""".stripMargin,
     "text_nb_langid" -> {
       def mbSql(q: String): String =
         s"(CAST((length(bin($q)) - 1) * 1000 AS BIGINT) + " +

@@ -1688,6 +1688,34 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "CartesianProduct") == 0, p)
   }
 
+  test("events_seq3: trigram top-10 keeps a partial rank over the bounded relation") {
+    val p = plan("events_seq3")
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
+      s"the uncast top-10 rank must plan as a partial top-k:\n$p")
+    assert(nOps(p, "CartesianProduct") == 0, p)
+  }
+
+  test("events_user_entropy: two folds and a band rollup — no joins, no windows") {
+    val p = plan("events_user_entropy")
+    assert(nOps(p, "Window") == 0, p)
+    assert(!p.contains("Join"), s"entropy needs only keyed aggregates:\n$p")
+  }
+
+  test("text_stopword_disco: one persisted explode; only the scalar totals nest-loop") {
+    val p = plan("text_stopword_disco")
+    assert(nOps(p, "CartesianProduct") == 0, p)
+    assert(nOps(p, "BroadcastNestedLoopJoin") <= 2,
+      s"only the n_docs/total 1-row stitches may nest-loop:\n$p")
+    assert(nOps(p, "Window") == 0, p)
+  }
+
+  test("q_column_profile: one scan, literal unpivot in the projection, no joins") {
+    val p = plan("q_column_profile")
+    assert(nOps(p, "Scan parquet") == 1, s"one lineitem pass:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(nOps(p, "Window") == 0, p)
+  }
+
   test("events_holt_forecast: series fold is in-row — no window, no join, two aggregations") {
     val p = plan("events_holt_forecast")
     assert(nOps(p, "Window") == 0, s"the recurrence runs inside the projection:\n$p")

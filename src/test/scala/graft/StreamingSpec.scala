@@ -1440,6 +1440,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("streaming NB model maintenance by composition: token folds equal the batch model") {
+    // text_nb_langid's model is (lang, token) counts — a monotone sum,
+    // so the classifier's training state is stream-maintainable through
+    // the generic keyed fold with NO new operator code: the last
+    // emission per (lang, token) key must equal the batch model count
+    // under any chunking/order.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), explode(graft.ext.TextOps.tokens(col("text"))).as("tok"))
+      .select(concat_ws("\u0001", col("lang"), col("tok")).as("k"), lit(1L).as("one"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = toks.groupBy(_._1).map { case (k, vs) => k -> vs.size.toLong }
+    val data = new scala.util.Random(13).shuffle(toks)
+    val in = MemoryStream[(String, Long)]
+    val rows = new ConcurrentLinkedQueue[(String, Long, Long)]()
+    val q = GraftStream.sumUpdates(in.toDF().toDF("k", "one"), "k", "one")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    data.grouped((data.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(String, Long, Long)])
+      .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._3)._2 }
+    assert(got == batch, s"stream model drifted from batch: ${got.size} vs ${batch.size} keys")
+  }
+
   test("streaming CUSUM chart: cusumUpdates equals the batch events_cusum rows") {
     // Order-dependent fold under the in-order contract: the gapfilled
     // per-(type, day) deviation rows arrive day-ordered in three
