@@ -161,7 +161,10 @@ object TextQueries {
     * contract), the lang table is |langs| rows crossed onto the
     * docs×|langs| grid, scoring is ONE corpus explode with a
     * map-side-combined (doc, lang) fold. */
-  def textNbLangid(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The NB (doc_id, lang, lang_c, score) grid shared by
+    * [[textNbLangid]] and [[textLangidMargin]] — callers track it
+    * query-scoped. */
+  private def nbScoreGrid(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.HashExprs.log2Millis
     val d = load(spark, sfDir, "documents")
     val tok = graft.core.QueryCaches.track(
@@ -179,17 +182,47 @@ object TextQueries {
       .join(broadcast(model.withColumn("mlog", log2Millis(col("c") + 1))
         .select(col("tok"), col("lang_c"), col("mlog"))), Seq("tok"))
       .groupBy(col("doc_id"), col("lang_c")).agg(sum(col("mlog")).as("s"))
-    val grid = graft.core.QueryCaches.track(
-      d.select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tok"))
-        .crossJoin(broadcast(langs))
-        .join(matched, Seq("doc_id", "lang_c"), "left")
-        .withColumn("score", coalesce(col("s"), lit(0L)) -
-          col("n_tok") * col("dmlog") + col("pmlog")))
+    d.select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tok"))
+      .crossJoin(broadcast(langs))
+      .join(matched, Seq("doc_id", "lang_c"), "left")
+      .withColumn("score", coalesce(col("s"), lit(0L)) -
+        col("n_tok") * col("dmlog") + col("pmlog"))
+  }
+
+  def textNbLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = graft.core.QueryCaches.track(nbScoreGrid(spark, sfDir))
     val best = grid.groupBy(col("doc_id")).agg(max(col("score")).as("mx"))
     grid.join(best, Seq("doc_id"))
       .filter(col("score") === col("mx"))
       .groupBy(col("doc_id"), col("lang")).agg(min(col("lang_c")).as("pred_lang"))
       .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** NB confidence CALIBRATION — does the classifier's margin actually
+    * predict correctness? Per document the margin between the best and
+    * second-best language score (exact millibits; a tie reads as
+    * margin 0), banded at 1-bit resolution into (n_docs, n_correct) —
+    * the reliability curve read before using [[textNbLangid]]'s
+    * predictions to OVERRIDE weak labels (high-margin disagreements
+    * are relabel candidates; low-margin ones are abstentions). Same
+    * vocab-bounded grid machinery; the margin fold adds one |langs|-
+    * bounded aggregate per doc and a band rollup. */
+  def textLangidMargin(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = graft.core.QueryCaches.track(nbScoreGrid(spark, sfDir))
+    val best = grid.groupBy(col("doc_id")).agg(max(col("score")).as("mx"))
+    val g2 = graft.core.QueryCaches.track(grid.join(best, Seq("doc_id")))
+    val pred = g2.filter(col("score") === col("mx"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(col("lang_c")).as("pred_lang"), max(col("mx")).as("mx"))
+    val second = g2.filter(col("score") < col("mx"))
+      .groupBy(col("doc_id")).agg(max(col("score")).as("mx2"))
+    pred.join(second, Seq("doc_id"), "left")
+      .select(col("lang"), col("pred_lang"),
+        coalesce(col("mx") - col("mx2"), lit(0L)).as("margin"))
+      .groupBy(expr("margin div 1000").as("margin_bits"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
+          .as("n_correct"))
   }
 
   /** Corpus-driven stopword DISCOVERY — the data-dependent list the
@@ -1542,6 +1575,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_nb_langid" -> (textNbLangid _),
+    "text_langid_margin" -> (textLangidMargin _),
     "text_stopword_disco" -> (textStopwordDisco _),
     "text_ttr_curve" -> (textTtrCurve _),
     "curate_dedup_mass" -> (curateDedupMass _),
@@ -1621,6 +1655,40 @@ object TextQueries {
       s"list_transform(string_split($v, ''), ch -> CAST(unicode(ch) AS BIGINT))), " +
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
+  /** Shared CTE chain ending at `grid(doc_id, lang, lang_c, score)` —
+    * the DuckDB spelling of [[nbScoreGrid]], with the integer fast-log
+    * spelled as length(bin(q))−1 + the piecewise-linear fraction. */
+  private def nbGridSql: String = {
+    def mbSql(q: String): String =
+      s"(CAST((length(bin($q)) - 1) * 1000 AS BIGINT) + " +
+        s"(($q - (CAST(1 AS BIGINT) << (length(bin($q)) - 1))) * 1000) // " +
+        s"(CAST(1 AS BIGINT) << (length(bin($q)) - 1)))"
+    s"""tok AS MATERIALIZED (SELECT doc_id, unnest($toksSql) AS tok
+       |       FROM documents),
+       |model AS MATERIALIZED (SELECT lang_c, tok, CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM (SELECT lang AS lang_c, unnest($toksSql) AS tok
+       |             FROM documents)
+       |       GROUP BY 1, 2),
+       |vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tok),
+       |lt AS (SELECT lang_c, CAST(SUM(c) AS BIGINT) AS ctot FROM model GROUP BY 1),
+       |pri AS (SELECT lang AS lang_c, CAST(COUNT(*) AS BIGINT) AS nd
+       |        FROM documents GROUP BY 1),
+       |langs AS (SELECT lt.lang_c,
+       |            ${mbSql("(lt.ctot + vocab.v)")} AS dmlog,
+       |            ${mbSql("pri.nd")} AS pmlog
+       |          FROM lt CROSS JOIN vocab JOIN pri USING (lang_c)),
+       |matched AS (SELECT t.doc_id, m.lang_c,
+       |              CAST(SUM(${mbSql("(m.c + 1)")}) AS BIGINT) AS s
+       |            FROM tok t JOIN model m USING (tok) GROUP BY 1, 2),
+       |docs AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tok
+       |         FROM documents),
+       |grid AS MATERIALIZED (SELECT d.doc_id, d.lang, l.lang_c,
+       |          COALESCE(ms.s, 0) - d.n_tok * l.dmlog + l.pmlog AS score
+       |        FROM docs d CROSS JOIN langs l
+       |        LEFT JOIN matched ms
+       |          ON ms.doc_id = d.doc_id AND ms.lang_c = l.lang_c)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "text_stopword_disco" ->
       s"""WITH tok AS MATERIALIZED (SELECT doc_id, unnest($toksSql) AS tok
@@ -1636,42 +1704,31 @@ object TextQueries {
          |FROM dfq d JOIN cfq c USING (tok)
          |CROSS JOIN nd CROSS JOIN tt
          |WHERE 2 * d.df > nd.n_docs""".stripMargin,
-    "text_nb_langid" -> {
-      def mbSql(q: String): String =
-        s"(CAST((length(bin($q)) - 1) * 1000 AS BIGINT) + " +
-          s"(($q - (CAST(1 AS BIGINT) << (length(bin($q)) - 1))) * 1000) // " +
-          s"(CAST(1 AS BIGINT) << (length(bin($q)) - 1)))"
-      s"""WITH tok AS MATERIALIZED (SELECT doc_id, unnest($toksSql) AS tok
-         |       FROM documents),
-         |model AS MATERIALIZED (SELECT lang_c, tok, CAST(COUNT(*) AS BIGINT) AS c
-         |       FROM (SELECT lang AS lang_c, unnest($toksSql) AS tok
-         |             FROM documents)
-         |       GROUP BY 1, 2),
-         |vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tok),
-         |lt AS (SELECT lang_c, CAST(SUM(c) AS BIGINT) AS ctot FROM model GROUP BY 1),
-         |pri AS (SELECT lang AS lang_c, CAST(COUNT(*) AS BIGINT) AS nd
-         |        FROM documents GROUP BY 1),
-         |langs AS (SELECT lt.lang_c,
-         |            ${mbSql("(lt.ctot + vocab.v)")} AS dmlog,
-         |            ${mbSql("pri.nd")} AS pmlog
-         |          FROM lt CROSS JOIN vocab JOIN pri USING (lang_c)),
-         |matched AS (SELECT t.doc_id, m.lang_c,
-         |              CAST(SUM(${mbSql("(m.c + 1)")}) AS BIGINT) AS s
-         |            FROM tok t JOIN model m USING (tok) GROUP BY 1, 2),
-         |docs AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tok
-         |         FROM documents),
-         |grid AS MATERIALIZED (SELECT d.doc_id, d.lang, l.lang_c,
-         |          COALESCE(ms.s, 0) - d.n_tok * l.dmlog + l.pmlog AS score
-         |        FROM docs d CROSS JOIN langs l
-         |        LEFT JOIN matched ms
-         |          ON ms.doc_id = d.doc_id AND ms.lang_c = l.lang_c),
+    "text_nb_langid" ->
+      s"""WITH $nbGridSql,
          |best AS (SELECT doc_id, MAX(score) AS mx FROM grid GROUP BY 1),
          |pred AS (SELECT g.doc_id, g.lang, MIN(g.lang_c) AS pred_lang
          |         FROM grid g JOIN best b
          |           ON g.doc_id = b.doc_id AND g.score = b.mx
          |         GROUP BY 1, 2)
          |SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
-         |FROM pred GROUP BY 1, 2""".stripMargin },
+         |FROM pred GROUP BY 1, 2""".stripMargin,
+    "text_langid_margin" ->
+      s"""WITH $nbGridSql,
+         |best AS (SELECT doc_id, MAX(score) AS mx FROM grid GROUP BY 1),
+         |g2 AS MATERIALIZED (SELECT g.doc_id, g.lang, g.lang_c, g.score, b.mx
+         |      FROM grid g JOIN best b USING (doc_id)),
+         |pred AS (SELECT doc_id, lang, MIN(lang_c) AS pred_lang, MAX(mx) AS mx
+         |         FROM g2 WHERE score = mx GROUP BY 1, 2),
+         |scnd AS (SELECT doc_id, MAX(score) AS mx2 FROM g2
+         |         WHERE score < mx GROUP BY 1),
+         |mrg AS (SELECT p.lang, p.pred_lang,
+         |          COALESCE(p.mx - s.mx2, 0) AS margin
+         |        FROM pred p LEFT JOIN scnd s USING (doc_id))
+         |SELECT margin // 1000 AS margin_bits, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct
+         |FROM mrg GROUP BY 1""".stripMargin,
     "text_ttr_curve" ->
       s"""WITH d AS (SELECT CAST(len($toksSql) AS BIGINT) AS n_tokens,
          |    CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_types

@@ -80,6 +80,54 @@ class StatsScaleSpec extends AnyFunSuite {
     info(f"2M-vector kNN graph + 2 HITS iterations in $secs%.1f s")
   }
 
+  test("scale smoke: grid radius join over 1M generated points + 10k planted twins") {
+    // The geo_radius_join plan at 2000× the oracle corpus: 1M points on
+    // a 400k-wide integer grid (sparse — organic <20-distance pairs are
+    // rare) plus 10k coincident twins planted at +2M ids. The 9-cell
+    // probe ring joins on (gx, gy); every planted pair must surface at
+    // distance 0, and total candidate volume stays linear (the cells
+    // are mostly singletons, so the equi-join fan-out is ~9 rows per
+    // point, never quadratic).
+    val t0 = System.nanoTime()
+    val base = spark.read.format("graft-vecs")
+      .option("rows", 1000000L).option("partitions", 32).option("dims", 2).load()
+      .select(col("vec_id"),
+        (expr("CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) * 100000.0) AS BIGINT)")
+          + lit(200000L)).as("px"),
+        (expr("CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE) * 100000.0) AS BIGINT)")
+          + lit(200000L)).as("py"))
+    val twins = base.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("px"), col("py"))
+    val p = base.unionAll(twins).persist()
+    val home = p.select(col("vec_id"), col("px"), col("py"),
+      expr("px div 20").as("gx"), expr("py div 20").as("gy"))
+    val offs = Seq(-1L, 0L, 1L)
+    val probe = p.select(col("vec_id").as("id_a"), col("px").as("ax"),
+        col("py").as("ay"),
+        explode(array((for { dx <- offs; dy <- offs } yield
+          struct((expr("px div 20") + lit(dx)).as("gx"),
+            (expr("py div 20") + lit(dy)).as("gy"))): _*)).as("g"))
+      .select(col("id_a"), col("ax"), col("ay"),
+        col("g.gx").as("gx"), col("g.gy").as("gy"))
+    val got = probe.join(home, Seq("gx", "gy"))
+      .filter(col("id_a") < col("vec_id") &&
+        (col("ax") - col("px")) * (col("ax") - col("px")) +
+          (col("ay") - col("py")) * (col("ay") - col("py")) <= lit(400L))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("vec_id") === col("id_a") + 2000000L &&
+          (col("ax") - col("px")) * (col("ax") - col("px")) +
+            (col("ay") - col("py")) * (col("ay") - col("py")) === 0L, 1L)
+          .otherwise(0L)).as("n_planted")).head()
+    p.unpersist()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.getLong(1) == 10000L,
+      s"every planted coincident twin must surface: ${got.getLong(1)}")
+    assert(got.getLong(0) < 100000L,
+      s"sparse grid must stay near-plant-only: ${got.getLong(0)} pairs")
+    assert(secs < 120.0, f"1M-point radius join took $secs%.1f s (budget 120 s)")
+    info(f"1M-point grid radius join in $secs%.1f s, ${got.getLong(0)} pairs")
+  }
+
   test("scale smoke: tile-hash partial-dup join over 1M generated docs") {
     // The mm_tile_hash plan at 2000× the oracle corpus: 16M tile rows
     // through the df-cap + tile-keyed equi-join, with 10k planted
