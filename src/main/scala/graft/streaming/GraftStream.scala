@@ -391,6 +391,78 @@ object GraftStream {
       }
   }
 
+  /** Streaming spatial radius join — the unbounded twin of
+    * [[graft.queries.GeoQueries]] geo_radius_join: each arriving point
+    * (non-negative integer grid coords, the batch contract) lands a
+    * HOME entry in its own cell and PROBE entries in the 8 ring
+    * neighbors; within a cell's keyed state, a pair emits iff the
+    * LARGER id's entry is a home entry — which happens in exactly ONE
+    * cell (the larger point's home; the smaller point always has an
+    * entry there because a ≤radius pair is within one cell step per
+    * axis), so each qualifying pair emits exactly once regardless of
+    * arrival order or chunking, matching the batch orientation
+    * id_a < id_b. Flood bounds as in [[nearDupCandidates]]: fresh
+    * entries always verify against the stored prefix; only the first
+    * `maxCell` entries per cell are admitted to state; `stateTtl`
+    * evicts cold cells. Emits (id_a, id_b, d2) with d2 the integer
+    * squared Euclidean distance ≤ radius². */
+  def gridCandidates(df: DataFrame, idCol: String, xCol: String, yCol: String,
+      radius: Long, maxCell: Int = 64,
+      stateTtl: String = "30 minutes"): Dataset[(Long, Long, Long)] = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offs = Seq(-1L, 0L, 1L)
+    val entries = df
+      .select(col(idCol).cast("long").as("id"),
+        col(xCol).cast("long").as("px"), col(yCol).cast("long").as("py"))
+      .select(col("id"), col("px"), col("py"),
+        explode(array((for { dx <- offs; dy <- offs } yield
+          struct((expr(s"px div $radius") + lit(dx)).as("gx"),
+            (expr(s"py div $radius") + lit(dy)).as("gy"),
+            lit(dx == 0L && dy == 0L).as("home"))): _*)).as("g"))
+      .select(col("id"), col("px"), col("py"),
+        col("g.gx").as("gx"), col("g.gy").as("gy"), col("g.home").as("home"))
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+    val ttl = stateTtl
+    val r2 = radius * radius
+    val timeoutConf =
+      if (ttl.isEmpty) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
+    entries.groupByKey(r => (r._4, r._5))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (_: (Long, Long), rows: Iterator[(Long, Long, Long, Long, Long, Boolean)],
+            state: GroupState[Seq[(Long, Long, Long, Boolean)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(Seq.empty)
+            val prevKeys = prev.map(e => (e._1, e._4)).toSet
+            val fresh = rows.map(r => (r._1, r._2, r._3, r._6)).toSeq
+              .distinctBy(e => (e._1, e._4))
+              .filterNot(e => prevKeys.contains((e._1, e._4)))
+            val admitted = fresh.take(math.max(0, maxCell - prev.size))
+            def pair(u: (Long, Long, Long, Boolean),
+                     v: (Long, Long, Long, Boolean)): Option[(Long, Long, Long)] = {
+              if (u._1 == v._1) None
+              else {
+                val (s, l) = if (u._1 < v._1) (u, v) else (v, u)
+                val d2 = (s._2 - l._2) * (s._2 - l._2) + (s._3 - l._3) * (s._3 - l._3)
+                if (l._4 && d2 <= r2) Some((s._1, l._1, d2)) else None
+              }
+            }
+            val cross = for { f <- fresh; p <- prev; e <- pair(f, p) } yield e
+            val intra = admitted.combinations(2)
+              .flatMap { case Seq(a, b) => pair(a, b) }.toSeq
+            state.update(prev ++ admitted)
+            if (ttl.nonEmpty) state.setTimeoutDuration(ttl)
+            (cross ++ intra).iterator
+          }
+      }
+  }
+
   /** Streaming blocked entity resolution — the unbounded twin of
     * `dedup_entity_jw`: each arriving record's mention (leading
     * `mentionLen` chars) is compared by [[HashKernels.jaroWinkler]]

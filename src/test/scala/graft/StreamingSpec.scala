@@ -1440,6 +1440,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("streaming grid radius join: gridCandidates equals the batch geo_radius_join pairs") {
+    // The spatial pillar's unbounded twin: points stream in shuffled
+    // chunks, cells hold keyed state, and the emitted (id_a, id_b, d2)
+    // set must equal the batch grid join EXACTLY — the once-per-pair
+    // orientation (emit in the larger id's home cell) is arrival-order
+    // independent.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val pts = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        (expr("CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) * 1000.0) AS BIGINT)")
+          + lit(2000L)).as("px"),
+        (expr("CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE) * 1000.0) AS BIGINT)")
+          + lit(2000L)).as("py"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = SparkEntry.queries("geo_radius_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.core.QueryCaches.release()
+    val data = new scala.util.Random(17).shuffle(pts)
+    val in = MemoryStream[(Long, Long, Long)]
+    val rows = new ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val q = GraftStream.gridCandidates(
+        in.toDF().toDF("vec_id", "px", "py"), "vec_id", "px", "py",
+        radius = 20L, maxCell = 4096, stateTtl = "")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    data.grouped((data.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(Long, Long, Long)]).toSet
+    assert(batch.nonEmpty && got == batch,
+      s"stream ${got.size} pairs vs batch ${batch.size}")
+  }
+
   test("streaming NB model maintenance by composition: token folds equal the batch model") {
     // text_nb_langid's model is (lang, token) counts — a monotone sum,
     // so the classifier's training state is stream-maintainable through
