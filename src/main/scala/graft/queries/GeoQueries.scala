@@ -74,6 +74,34 @@ object GeoQueries {
           (col("ay") - col("py")) * (col("ay") - col("py"))).as("d2"))
   }
 
+  /** [[geoRadiusJoin]] with the HOT-CELL guard engaged — the spatial
+    * spelling of the skew cap every other candidate family carries
+    * (MinHash/SimHash/SRP/prefix all have oracle-verified caps): home
+    * cells holding more than 3 points are excluded from the build side
+    * BEFORE pairing, so one dense downtown block can never bucket
+    * occupancy² candidates. The recall trade is VISIBLE and
+    * hash-checked (pairs whose home-side cell is hot fall away; the
+    * oracle spells the identical HAVING-bounded cell set). Production
+    * sizing reads [[geoHotspot]] first — the cap threshold is the
+    * occupancy histogram's tail knee. */
+  def geoRadiusJoinCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = graft.core.QueryCaches.track(points(spark, sfDir))
+    val home = graft.core.QueryCaches.track(
+      p.select(col("vec_id"), col("px"), col("py"),
+        expr("px div 20").as("gx"), expr("py div 20").as("gy")))
+    val ok = home.groupBy(col("gx"), col("gy")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= 3L).select(col("gx"), col("gy"))
+    val cool = home.join(ok, Seq("gx", "gy"), "left_semi")
+    probeRing(p, 20L, "id_a")
+      .join(cool, Seq("gx", "gy"))
+      .filter(col("id_a") < col("vec_id") &&
+        (col("ax") - col("px")) * (col("ax") - col("px")) +
+          (col("ay") - col("py")) * (col("ay") - col("py")) <= lit(400L))
+      .select(col("id_a"), col("vec_id").as("id_b"),
+        ((col("ax") - col("px")) * (col("ax") - col("px")) +
+          (col("ay") - col("py")) * (col("ay") - col("py"))).as("d2"))
+  }
+
   /** Radius-bounded 3-nearest-neighbors — the grid kNN: candidates
     * come from the same 9-cell ring (cell = radius = 50), each
     * DIRECTED pair meets once (A probes B's home cell), and the
@@ -158,6 +186,7 @@ object GeoQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_radius_join" -> (geoRadiusJoin _),
+    "geo_radius_join_capped" -> (geoRadiusJoinCapped _),
     "geo_knn" -> (geoKnn _),
     "geo_hotspot" -> (geoHotspot _),
     "geo_pyramid" -> (geoPyramid _))
@@ -168,6 +197,17 @@ object GeoQueries {
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) AS d2
          |FROM p a JOIN p b ON a.vec_id < b.vec_id
+         |WHERE (a.px - b.px) * (a.px - b.px) +
+         |      (a.py - b.py) * (a.py - b.py) <= 400""".stripMargin,
+    "geo_radius_join_capped" ->
+      s"""WITH $pSql,
+         |h AS MATERIALIZED (SELECT vec_id, px, py,
+         |    px // 20 AS gx, py // 20 AS gy FROM p),
+         |ok AS (SELECT gx, gy FROM h GROUP BY 1, 2 HAVING COUNT(*) <= 3),
+         |cool AS (SELECT h.* FROM h JOIN ok USING (gx, gy))
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) AS d2
+         |FROM p a JOIN cool b ON a.vec_id < b.vec_id
          |WHERE (a.px - b.px) * (a.px - b.px) +
          |      (a.py - b.py) * (a.py - b.py) <= 400""".stripMargin,
     "geo_knn" ->
