@@ -130,6 +130,51 @@ object GeoQueries {
         col("id_b"), col("d2"))
   }
 
+  /** Reverse kNN influence — for each point, how many OTHER points
+    * count it among their 3 nearest within the radius (the
+    * facility-placement / cannibalization readout: a high-RkNN point
+    * serves many neighborhoods). Rides [[geoKnn]]'s candidate
+    * machinery exactly — one more domain-bounded aggregate over the
+    * ranked relation (each point contributes ≤3 votes, so the vote
+    * table is 3n rows max) plus a global top-10 by influence that
+    * filters the UNCAST rank (partial top-k). */
+  def geoRknn(spark: SparkSession, sfDir: String): DataFrame =
+    geoKnn(spark, sfDir)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(count(lit(1)).as("rknn"), min(col("d2")).as("closest_d2"))
+      .withColumn("rk0", row_number().over(
+        Window.orderBy(col("rknn").desc, col("vec_id"))))
+      .filter(col("rk0") <= 10)
+      .select(col("rk0").cast("bigint").as("rk"), col("vec_id"),
+        col("rknn"), col("closest_d2"))
+
+  /** Spatial choropleth — per 100-cell the point count, the DOMINANT
+    * label, its vote count, and an all-integer purity (1000·votes div
+    * n): the map-layer every labeled-corpus release ships, and the
+    * spatial twin of the label-quality audits (a low-purity cell is a
+    * label-noise or boundary region). The argmax is a map-side
+    * max_by over (votes, −label) — one row per cell crosses the
+    * exchange; ties break to the SMALLEST label, spelled identically
+    * in the oracle's rank-1 window. */
+  def geoChoropleth(spark: SparkSession, sfDir: String): DataFrame = {
+    val votes = load(spark, sfDir, "embeddings").select(
+        expr("CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) * 1000.0) AS BIGINT)" +
+          " + 2000").as("px"),
+        expr("CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE) * 1000.0) AS BIGINT)" +
+          " + 2000").as("py"),
+        col("label").cast("long").as("label"))
+      .select(expr("px div 100").as("cell_x"), expr("py div 100").as("cell_y"),
+        col("label"))
+      .groupBy(col("cell_x"), col("cell_y"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    votes.groupBy(col("cell_x"), col("cell_y"))
+      .agg(sum(col("votes")).as("n"),
+        max_by(col("label"), struct(col("votes"), -col("label"))).as("top_label"),
+        max(struct(col("votes"), -col("label"))).getField("votes").as("top_votes"))
+      .select(col("cell_x"), col("cell_y"), col("n"), col("top_label"),
+        col("top_votes"), expr("(1000 * top_votes) div n").as("purity_milli"))
+  }
+
   /** Grid hotspot detection (Getis-Ord-lite): per occupied 100-cell
     * the point count, its 3×3 neighborhood mass, and an ALL-INTEGER
     * hot flag — n_cells·n_nbhd > 27·n_total ⇔ the neighborhood holds
@@ -187,6 +232,8 @@ object GeoQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_radius_join" -> (geoRadiusJoin _),
     "geo_radius_join_capped" -> (geoRadiusJoinCapped _),
+    "geo_rknn" -> (geoRknn _),
+    "geo_choropleth" -> (geoChoropleth _),
     "geo_knn" -> (geoKnn _),
     "geo_hotspot" -> (geoHotspot _),
     "geo_pyramid" -> (geoPyramid _))
@@ -221,6 +268,41 @@ object GeoQueries {
          |  SELECT id_a, id_b, d2, CAST(row_number() OVER (
          |    PARTITION BY id_a ORDER BY d2, id_b) AS BIGINT) AS rk
          |  FROM cand) WHERE rk <= 3""".stripMargin,
+    "geo_rknn" ->
+      s"""WITH $pSql,
+         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) AS d2
+         |  FROM p a JOIN p b ON a.vec_id <> b.vec_id
+         |  WHERE (a.px - b.px) * (a.px - b.px) +
+         |        (a.py - b.py) * (a.py - b.py) <= 2500),
+         |knn AS (SELECT id_a, id_b, d2 FROM (
+         |  SELECT id_a, id_b, d2, row_number() OVER (
+         |    PARTITION BY id_a ORDER BY d2, id_b) AS rk
+         |  FROM cand) WHERE rk <= 3),
+         |r AS (SELECT id_b AS vec_id, CAST(COUNT(*) AS BIGINT) AS rknn,
+         |        MIN(d2) AS closest_d2
+         |      FROM knn GROUP BY 1)
+         |SELECT rk, vec_id, rknn, closest_d2 FROM (
+         |  SELECT vec_id, rknn, closest_d2, CAST(row_number() OVER (
+         |    ORDER BY rknn DESC, vec_id) AS BIGINT) AS rk
+         |  FROM r) WHERE rk <= 10""".stripMargin,
+    "geo_choropleth" ->
+      """WITH pl AS (SELECT
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT) + 2000 AS px,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000.0) AS BIGINT) + 2000 AS py,
+        |    CAST(label AS BIGINT) AS label
+        |  FROM embeddings),
+        |v AS (SELECT px // 100 AS cell_x, py // 100 AS cell_y, label,
+        |    CAST(COUNT(*) AS BIGINT) AS votes
+        |  FROM pl GROUP BY 1, 2, 3),
+        |t AS (SELECT cell_x, cell_y, votes, label,
+        |    row_number() OVER (PARTITION BY cell_x, cell_y
+        |      ORDER BY votes DESC, label) AS rk,
+        |    CAST(SUM(votes) OVER (PARTITION BY cell_x, cell_y) AS BIGINT) AS n
+        |  FROM v)
+        |SELECT cell_x, cell_y, n, label AS top_label, votes AS top_votes,
+        |  (1000 * votes) // n AS purity_milli
+        |FROM t WHERE rk = 1""".stripMargin,
     "geo_hotspot" ->
       s"""WITH $pSql,
          |cells AS MATERIALIZED (SELECT px // 100 AS cx, py // 100 AS cy,

@@ -9,10 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * matching SURVEY/README ledger update fails the suite on purpose.
   */
 class InventorySpec extends AnyFunSuite {
-  test("336 declared queries, each with an oracle, keysets identical") {
+  test("338 declared queries, each with an oracle, keysets identical") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert(q.size == 336, s"ledger says 336, found ${q.size}")
+    assert(q.size == 338, s"ledger says 338, found ${q.size}")
     assert(q == o,
       s"queries without oracle: ${(q -- o).toSeq.sorted.mkString(",")}; " +
         s"oracles without query: ${(o -- q).toSeq.sorted.mkString(",")}")

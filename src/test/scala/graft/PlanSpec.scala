@@ -1666,6 +1666,21 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "Window") == 0, p)
   }
 
+  test("geo_rknn: both ranks keep partial top-k; no cartesian") {
+    val p = plan("geo_rknn")
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
+      s"the uncast rank filters must plan partial:\n$p")
+    assert(nOps(p, "CartesianProduct") == 0, p)
+  }
+
+  test("geo_choropleth: dominant label is a max_by fold — one scan, no window, no join") {
+    val p = plan("geo_choropleth")
+    assert(nOps(p, "Window") == 0,
+      s"the argmax must be map-side max_by, not the oracle's rank window:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(nOps(p, "Scan parquet") == 1, p)
+  }
+
   test("geo_pyramid: one scan, zoom explode in the projection, no joins") {
     val p = plan("geo_pyramid")
     assert(nOps(p, "Scan parquet") == 1, s"one embeddings pass:\n$p")
