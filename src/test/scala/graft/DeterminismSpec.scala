@@ -119,7 +119,22 @@ class DeterminismSpec extends AnyFunSuite {
     "events_retention_halflife", // eligibility fold + millibit OLS
     "mm_phash_sweep",    // one banded candidate pass, 3 radius folds
     "mm_byte_entropy",   // histogram-kernel posexplode + millibit fold
-    "text_ttr_curve")    // distinct-token fold into length bands
+    "text_ttr_curve",    // distinct-token fold into length bands
+    // round-13b additions with partitioning-sensitive machinery:
+    "q_item_cf",         // basket pair join + mirrored persist + top-3 rank
+    "q_regression",      // integer-grid moment folds + pinned IEEE solve
+    "text_nb_langid",    // broadcast model join + max-score equi-join argmax
+    "text_langid_margin", // double-persisted score grid + second-best fold
+    "sim_assortativity", // degree stitch joins + cleared-rational fold
+    "geo_radius_join",   // 9-cell probe ring + home-cell equi-join
+    "geo_knn",           // radius-bounded partial top-3 with id tiebreak
+    "geo_hotspot",       // cell-domain ring join + 1-row broadcast verdict
+    "geo_choropleth",    // map-side max_by argmax with (votes, -label) ties
+    "geo_rknn",          // vote rollup + global partial top-10
+    "q_range_sel_audit", // globalRank boundaries + interpolation grid
+    "q_fk_card_audit",   // per-edge fan-out folds + anti-join orphans
+    "events_seq3",       // session window trigrams + partial top-10
+    "events_user_entropy") // per-user millibit fold into bands
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
