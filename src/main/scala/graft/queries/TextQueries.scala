@@ -692,6 +692,54 @@ object TextQueries {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Cross-source 5-gram containment heatmap — the provenance
+    * contamination matrix ([[graft.queries.MultimodalQueries]]
+    * mm_chunk_overlap's text twin at SOURCE granularity): for every
+    * ordered source pair, the share of a's distinct 5-gram
+    * fingerprints that also appear in b. The number a release reads to
+    * find mirror crawls, syndication rings, and benchmark bleed BEFORE
+    * per-document dedup runs. Scale: the corpus collapses to the
+    * DISTINCT (source, fp) relation in one explode+distinct pass
+    * (persisted once, both join sides); the fp-keyed self-join's
+    * fan-out is bounded by per-fp source-df ≤ |sources|; output is
+    * |sources|² max. All-integer milli containment. */
+  def curateSourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = graft.core.QueryCaches.track(
+      load(spark, sfDir, "documents")
+        .select(col("source"), explode(array_distinct(
+          graft.ext.DedupOps.shingleFps(tokens(col("text")), 5))).as("fp"))
+        .distinct())
+    val tot = g.groupBy(col("source").as("src_a")).agg(count(lit(1)).as("n_a"))
+    g.select(col("source").as("src_a"), col("fp"))
+      .join(g.select(col("source").as("src_b"), col("fp")), Seq("fp"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_shared"))
+      .join(tot, Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        expr("(1000 * n_shared) div n_a").as("containment_milli"))
+  }
+
+  /** Lexicon blocklist screen — the fixed-list content filter every
+    * curation stack runs first (toxicity/NSFW/spam lexicons are this
+    * op with a bigger list): per source, the document count, how many
+    * documents contain ANY blocklist token, the flag rate in milli,
+    * and total hit occurrences. Pure scan work — the lexicon lives in
+    * the predicate, a bigger list is a broadcast join against the
+    * exploded tokens (the curate_decontaminate shape); zero shuffles
+    * beyond the |sources|-group fold. */
+  def curateBlocklist(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents")
+      .select(col("source"),
+        expr("CAST(size(filter(" +
+          "filter(split(text, ' '), t -> t != ''), " +
+          "t -> t IN ('data', 'casino', 'spam'))) AS BIGINT)").as("hits"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0L, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("hits")).as("n_hits"))
+      .select(col("source"), col("n_docs"), col("n_flagged"), col("n_hits"),
+        expr("(1000 * n_flagged) div n_docs").as("flag_rate_milli"))
+
   /** TF-IDF keyword extraction — the per-document salient-term view
     * search/curation pipelines build over any corpus: term frequency
     * per (doc, token), document frequency per token, rarity weight
@@ -1577,6 +1625,8 @@ object TextQueries {
     "text_nb_langid" -> (textNbLangid _),
     "text_langid_margin" -> (textLangidMargin _),
     "text_stopword_disco" -> (textStopwordDisco _),
+    "curate_source_overlap" -> (curateSourceOverlap _),
+    "curate_blocklist" -> (curateBlocklist _),
     "text_ttr_curve" -> (textTtrCurve _),
     "curate_dedup_mass" -> (curateDedupMass _),
     "curate_temperature_mix" -> (curateTemperatureMix _),
@@ -1690,6 +1740,36 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "curate_source_overlap" ->
+      s"""WITH tk_t AS (SELECT source, $toksSql AS tk FROM documents),
+         |sh_t AS (SELECT source, CASE WHEN len(tk) >= 5 THEN list_transform(range(1, len(tk) - 3),
+         |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])
+         |  ELSE [] END AS sh FROM tk_t),
+         |fp_t AS (SELECT source, list_distinct(list_transform(sh, s ->
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(s, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007))) AS fps FROM sh_t),
+         |g AS MATERIALIZED (SELECT DISTINCT source, unnest(fps) AS fp FROM fp_t),
+         |tot AS (SELECT source AS src_a, CAST(COUNT(*) AS BIGINT) AS n_a
+         |        FROM g GROUP BY 1),
+         |sh AS (SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_shared
+         |       FROM g a JOIN g b USING (fp)
+         |       WHERE a.source <> b.source GROUP BY 1, 2)
+         |SELECT sh.src_a, sh.src_b, sh.n_shared, t.n_a,
+         |  (1000 * sh.n_shared) // t.n_a AS containment_milli
+         |FROM sh JOIN tot t ON sh.src_a = t.src_a""".stripMargin,
+    "curate_blocklist" ->
+      s"""WITH h AS (SELECT source,
+         |    CAST(len(list_filter($toksSql,
+         |      t -> t IN ('data', 'casino', 'spam'))) AS BIGINT) AS hits
+         |  FROM documents)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(SUM(hits) AS BIGINT) AS n_hits,
+         |  (1000 * CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT))
+         |    // CAST(COUNT(*) AS BIGINT) AS flag_rate_milli
+         |FROM h GROUP BY 1""".stripMargin,
     "text_stopword_disco" ->
       s"""WITH tok AS MATERIALIZED (SELECT doc_id, unnest($toksSql) AS tok
          |       FROM documents),

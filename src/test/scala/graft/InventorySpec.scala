@@ -9,10 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * matching SURVEY/README ledger update fails the suite on purpose.
   */
 class InventorySpec extends AnyFunSuite {
-  test("338 declared queries, each with an oracle, keysets identical") {
+  test("340 declared queries, each with an oracle, keysets identical") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert(q.size == 338, s"ledger says 338, found ${q.size}")
+    assert(q.size == 340, s"ledger says 340, found ${q.size}")
     assert(q == o,
       s"queries without oracle: ${(q -- o).toSeq.sorted.mkString(",")}; " +
         s"oracles without query: ${(o -- q).toSeq.sorted.mkString(",")}")

@@ -1731,6 +1731,21 @@ class PlanSpec extends AnyFunSuite {
     assert(nOps(p, "Window") == 0, p)
   }
 
+  test("curate_source_overlap: fp-keyed equi self-join over the distinct relation") {
+    val p = plan("curate_source_overlap")
+    assert(nOps(p, "CartesianProduct") == 0 &&
+      nOps(p, "BroadcastNestedLoopJoin") == 0,
+      s"the containment join must stay keyed on fp:\n$p")
+    assert(nOps(p, "Window") == 0, p)
+  }
+
+  test("curate_blocklist: lexicon screen is pure scan work — one pass, no joins") {
+    val p = plan("curate_blocklist")
+    assert(nOps(p, "Scan parquet") == 1, s"one documents pass:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(nOps(p, "Window") == 0, p)
+  }
+
   test("events_holt_forecast: series fold is in-row — no window, no join, two aggregations") {
     val p = plan("events_holt_forecast")
     assert(nOps(p, "Window") == 0, s"the recurrence runs inside the projection:\n$p")
