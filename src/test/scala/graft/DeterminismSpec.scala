@@ -134,7 +134,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q_range_sel_audit", // globalRank boundaries + interpolation grid
     "q_fk_card_audit",   // per-edge fan-out folds + anti-join orphans
     "events_seq3",       // session window trigrams + partial top-10
-    "events_user_entropy") // per-user millibit fold into bands
+    "events_user_entropy", // per-user millibit fold into bands
+    "curate_source_overlap") // distinct (source, fp) + fp-keyed self-join
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
