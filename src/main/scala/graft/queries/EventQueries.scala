@@ -2716,9 +2716,17 @@ object EventQueries {
         "CASE WHEN h < 385749 THEN 0 WHEN h < 771499 THEN 1 " +
           "WHEN h < 964373 THEN 2 WHEN h < 1028665 THEN 3 " +
           "WHEN h < 1044738 THEN 4 ELSE 5 END"))
+    // den = 0 needs every unit to draw weight 0 in one replicate —
+    // practically unreachable, but the convention must still be pinned
+    // CROSS-ENGINE: a NULL est would sort FIRST in Spark's sort_array
+    // and LAST in DuckDB's list_sort, silently skewing lo/med/hi. The
+    // uniform convention (here, the oracle, and the streaming twin
+    // bootstrapUpdates) is the sentinel -1: estimates are ≥ 0 (purchase
+    // cents and Poisson weights are non-negative), so -1 is unambiguous
+    // and sorts first in BOTH engines.
     val ests = reps.groupBy(col("r"))
       .agg(sum(col("w") * col("m")).as("num"), sum(col("w")).as("den"))
-      .select(expr("CASE WHEN den = 0 THEN NULL ELSE (1000 * num) div den END")
+      .select(expr("CASE WHEN den = 0 THEN -1L ELSE (1000 * num) div den END")
         .as("est"))
     val band = ests.agg(sort_array(collect_list(col("est"))).as("a"))
       .select(element_at(col("a"), 2).as("boot_lo_milli"),
@@ -3388,7 +3396,7 @@ object EventQueries {
         |         WHEN h < 964373 THEN 2 WHEN h < 1028665 THEN 3
         |         WHEN h < 1044738 THEN 4 ELSE 5 END AS w
         |  FROM hw),
-        |ests AS (SELECT CASE WHEN SUM(w) = 0 THEN NULL
+        |ests AS (SELECT CASE WHEN SUM(w) = 0 THEN CAST(-1 AS BIGINT)
         |      ELSE (1000 * CAST(SUM(w * m) AS BIGINT)) // CAST(SUM(w) AS BIGINT)
         |    END AS est
         |  FROM ws GROUP BY r),

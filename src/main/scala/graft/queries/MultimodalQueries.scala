@@ -559,8 +559,12 @@ object MultimodalQueries {
     val planted = d.filter(col("doc_id") % 25 === 0)
       .select((col("doc_id") + 3000000L).as("doc_id"),
         concat(col("text"), lit("~" * 32)).as("text"))
+    // n_bytes via octet_length: the kernel runs over UTF-8 BYTES, so the
+    // dead-air ratio's denominator must be bytes too — length(text)
+    // (characters) would silently mix units on non-ASCII input (it
+    // matched only because this corpus is ASCII).
     d.select(col("doc_id"), col("text")).unionAll(planted)
-      .select(col("doc_id"), length(col("text")).cast("bigint").as("n_bytes"),
+      .select(col("doc_id"), expr("octet_length(text)").cast("bigint").as("n_bytes"),
         MultimodalOps.byteRunStats(encode(col("text"), "UTF-8")).as("r"))
       .select(col("doc_id"), col("n_bytes"), col("r.n_runs"), col("r.max_run"),
         col("r.run8_bytes"),
@@ -801,13 +805,14 @@ object MultimodalQueries {
       s"""WITH c AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 3000000, text || repeat('~', 32)
          |    FROM documents WHERE doc_id % 25 = 0),
-         |cp AS (SELECT doc_id, $cpsSql AS cps FROM c),
-         |r AS (SELECT doc_id, cps,
+         |cp AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nb,
+         |    $cpsSql AS cps FROM c),
+         |r AS (SELECT doc_id, nb, cps,
          |    list_concat([CAST(1 AS BIGINT)],
          |      list_filter(range(2, len(cps) + 1), i -> cps[i] <> cps[i - 1]))
          |      AS starts
          |  FROM cp),
-         |runs AS (SELECT doc_id, CAST(len(cps) AS BIGINT) AS n_bytes,
+         |runs AS (SELECT doc_id, nb AS n_bytes,
          |    list_transform(range(1, len(starts) + 1),
          |      j -> CASE WHEN j = len(starts) THEN len(cps) + 1 - starts[j]
          |           ELSE starts[j + 1] - starts[j] END) AS rl

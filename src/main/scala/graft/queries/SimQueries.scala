@@ -1589,9 +1589,16 @@ object SimQueries {
     * shared neighbor dominates. The weight rides the millibit fast-log
     * kernel ([[graft.functions.HashExprs.log2Millis]]): contribution =
     * 10⁹ div L(deg z) micro-units — exact integer arithmetic, the
-    * identical piecewise-chord formula in both engines (deg z ≥ 2 by
-    * construction: a common neighbor touches both endpoints, so
-    * L ≥ 1000 and the division is always defined). Same wedge-join
+    * identical piecewise-chord formula in both engines. Any z that
+    * SURVIVES to a candidate pair has deg z ≥ 2 (a common neighbor
+    * touches both endpoints), but the wedge projection itself also
+    * visits degree-1 nodes — whose L = 0 divisor would yield NULL in
+    * both engines and be dropped by the later join — so deg ≥ 2 is
+    * filtered EXPLICITLY before the division (output-identical, and
+    * the division is then provably defined: L ≥ 1000). The oracle
+    * keeps the unfiltered spelling (its NULL rows are dropped by the
+    * same join), which is exactly what proves the filter loses
+    * nothing. Same wedge-join
     * shape as simLinkPredict (deg ≤ k caps the fan-out), same
     * partial-top-20 readout with (score, u, v) total order. */
   def simAdamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1601,7 +1608,8 @@ object SimQueries {
       m.union(m.select(col("v").as("u"), col("u").as("v"))))
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val wedge = adj.as("x")
-      .join(deg.select(col("u").as("z"), col("deg").as("deg_z")),
+      .join(deg.filter(col("deg") >= 2)
+          .select(col("u").as("z"), col("deg").as("deg_z")),
         col("x.v") === col("z"))
       .select(col("x.u").as("u"), col("z"), log2Millis(col("deg_z")).as("lmb"))
       .withColumn("aa_micro", expr("1000000000 div lmb"))

@@ -206,6 +206,51 @@ object GraftStream {
     * superset; verification needs the fps, which the caller retains) —
     * or use [[nearDupVerified]], which keeps the minhash signature in
     * state and emits estimator-verified pairs in-stream. */
+  /** The PURE per-bucket transition behind [[nearDupCandidates]] — one
+    * keyed-state callback, extracted so eviction/admission/pairing
+    * semantics are provable by direct unit test (StreamingSpec's
+    * bucketStep tests) instead of racing micro-batch scheduling.
+    *
+    * Inputs mirror the engine callback exactly: `prev` is the stored
+    * member prefix (`None` = bucket absent or already evicted),
+    * `timedOut` the engine's `hasTimedOut` flag (rows never accompany
+    * a timeout callback), `freshIds` this micro-batch's arrivals for
+    * the bucket. Returns `(nextState, emittedPairs)`; `nextState =
+    * None` means the bucket is evicted (caller must `state.remove()`).
+    *
+    * Contract (each clause is a unit test):
+    *  - timeout ⇒ `(None, Nil)`: the bucket is forgotten, nothing emits;
+    *  - a fresh id with `prev = None` re-seeds the bucket and pairs with
+    *    nothing — the documented recall trade for late duplicates;
+    *  - every fresh id pairs against the FULL stored prefix (cross,
+    *    linear, ≤ maxBucket per element) even when over the cap;
+    *  - only ids admitted under `maxBucket` pair among themselves
+    *    (intra) and are remembered;
+    *  - pairs are oriented (min, max); ids already stored are no-ops. */
+  def bucketStep(prev: Option[Seq[Long]], timedOut: Boolean,
+      freshIds: Seq[Long], maxBucket: Int): (Option[Seq[Long]], Seq[(Long, Long)]) =
+    if (timedOut) (None, Seq.empty)
+    else {
+      val stored = prev.getOrElse(Seq.empty)
+      val fresh = freshIds.distinct.filterNot(stored.contains)
+      // maxBucket must bound the trigger-local work too: M copies
+      // of a template arriving in ONE micro-batch would otherwise
+      // emit ~M²/2 intra pairs before any post-hoc state cap. Only
+      // ADMITTED members (up to the bucket's remaining capacity)
+      // pair among themselves and enter state; every fresh member
+      // still pairs against the stored prefix (cross is linear,
+      // ≤ maxBucket per element — detection against the bucket's
+      // established members continues at any flood size, matching
+      // the pre-cap behavior where overflow members paired but
+      // were not remembered).
+      val admitted = fresh.take(math.max(0, maxBucket - stored.size))
+      val cross = for { n <- fresh; p <- stored }
+        yield (math.min(n, p), math.max(n, p))
+      val intra = admitted.combinations(2).map { case Seq(a, b) =>
+        (math.min(a, b), math.max(a, b)) }.toSeq
+      (Some(stored ++ admitted), cross ++ intra)
+    }
+
   def nearDupCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, hashes: Int = 64, bands: Int = 16, maxBucket: Int = 64,
       stateTtl: String = "30 minutes"): Dataset[(Long, Long)] = {
@@ -225,32 +270,17 @@ object GraftStream {
     sigs.groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (_: (Int, Long), rows: Iterator[(Long, Int, Long)], state: GroupState[Seq[Long]]) =>
-          if (state.hasTimedOut) {
-            // cold bucket: evict (no rows accompany a timeout callback)
-            state.remove()
-            Iterator.empty
-          } else {
-            val prev = state.getOption.getOrElse(Seq.empty)
-            val fresh = rows.map(_._1).toSeq.distinct.filterNot(prev.contains)
-            // maxBucket must bound the trigger-local work too: M copies
-            // of a template arriving in ONE micro-batch would otherwise
-            // emit ~M²/2 intra pairs before any post-hoc state cap. Only
-            // ADMITTED members (up to the bucket's remaining capacity)
-            // pair among themselves and enter state; every fresh member
-            // still pairs against the stored prefix (cross is linear,
-            // ≤ maxBucket per element — detection against the bucket's
-            // established members continues at any flood size, matching
-            // the pre-cap behavior where overflow members paired but
-            // were not remembered).
-            val admitted = fresh.take(math.max(0, maxBucket - prev.size))
-            val cross = for { n <- fresh; p <- prev }
-              yield (math.min(n, p), math.max(n, p))
-            val intra = admitted.combinations(2).map { case Seq(a, b) =>
-              (math.min(a, b), math.max(a, b)) }.toSeq
-            state.update(prev ++ admitted)
-            if (ttl.nonEmpty) state.setTimeoutDuration(ttl) // re-arm on every access
-            (cross ++ intra).iterator
+          // All semantics live in the pure bucketStep (unit-tested
+          // directly); this callback only bridges the GroupState API.
+          val (next, out) = bucketStep(state.getOption, state.hasTimedOut,
+            rows.map(_._1).toSeq, maxBucket)
+          next match {
+            case None => state.remove() // cold bucket: evict
+            case Some(members) =>
+              state.update(members)
+              if (ttl.nonEmpty) state.setTimeoutDuration(ttl) // re-arm on every access
           }
+          out.iterator
       }
   }
 
@@ -404,8 +434,15 @@ object GraftStream {
     * id_a < id_b. Flood bounds as in [[nearDupCandidates]]: fresh
     * entries always verify against the stored prefix; only the first
     * `maxCell` entries per cell are admitted to state; `stateTtl`
-    * evicts cold cells. Emits (id_a, id_b, d2) with d2 the integer
-    * squared Euclidean distance ≤ radius². */
+    * evicts cold cells. Cap caveat (mirrors nearDupCandidates): an
+    * entry REJECTED by the `maxCell` cap still pairs against the
+    * previously STORED members (cross), but not against other entries
+    * arriving in the same micro-batch (intra pairs only among admitted
+    * members) — so near the cap, emission for over-cap entries depends
+    * on how arrivals chunk into batches; the exactly-once guarantee
+    * above is for pairs whose larger-id member is admitted. Emits
+    * (id_a, id_b, d2) with d2 the integer squared Euclidean distance
+    * ≤ radius². */
   def gridCandidates(df: DataFrame, idCol: String, xCol: String, yCol: String,
       radius: Long, maxCell: Int = 64,
       stateTtl: String = "30 minutes"): Dataset[(Long, Long, Long)] = {
@@ -1332,8 +1369,11 @@ object GraftStream {
             }
           }
           state.update((n, sm, num.toSeq, den.toSeq))
+          // den = 0 → sentinel -1, the SAME convention as the batch row
+          // and its oracle (estimates are ≥ 0, so -1 is unambiguous and
+          // sorts first in every engine involved).
           val ests = (0 until 32).map { r =>
-            if (den(r) == 0L) Long.MinValue else 1000L * num(r) / den(r)
+            if (den(r) == 0L) -1L else 1000L * num(r) / den(r)
           }.sorted
           val point = if (n == 0L) 0L else 1000L * sm / n
           Iterator.single((key, n, point,

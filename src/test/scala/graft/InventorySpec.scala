@@ -5,8 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The declared-inventory contract, pinned: every `SparkEntry.queries`
   * entry has a DuckDB oracle under the SAME name (the driver's compare
   * joins on the name — an orphan on either side silently weakens the
-  * gate), and the total is the ledgered 320. A count drift without a
-  * matching SURVEY/README ledger update fails the suite on purpose.
+  * gate), and the total equals the ledgered count asserted below (the
+  * single source of truth — SURVEY §2.2.1 and README mirror it). A
+  * count drift without a matching ledger update fails the suite on
+  * purpose.
   */
 class InventorySpec extends AnyFunSuite {
   test("340 declared queries, each with an oracle, keysets identical") {

@@ -565,6 +565,45 @@ class StreamingSpec extends AnyFunSuite {
       s"intra pairing must cover exactly the C(3,2) admitted members, got $intraGot")
   }
 
+  test("bucketStep (pure): timeout evicts — state removed, nothing emitted") {
+    // The eviction CONTRACT, proved on the extracted pure transition
+    // (GraftStream.bucketStep) instead of racing micro-batch scheduling
+    // — the round-13 flake taught that a wall-clock TTL test can stall
+    // past any deadline under load; the semantics themselves are
+    // deterministic and live here.
+    assert(GraftStream.bucketStep(Some(Seq(1L, 5L)), timedOut = true,
+      Seq.empty, 64) == (None, Seq.empty))
+    // timeout on an already-absent bucket is a clean no-op eviction
+    assert(GraftStream.bucketStep(None, timedOut = true,
+      Seq.empty, 64) == (None, Seq.empty))
+  }
+
+  test("bucketStep (pure): late duplicate re-seeds an evicted bucket without pairing; successors pair") {
+    // The recall trade, end to end on the pure function: seed → evict →
+    // late duplicate re-seeds (no pair with the evicted original) →
+    // subsequent duplicate pairs against the re-seeded state.
+    val (s1, out1) = GraftStream.bucketStep(None, timedOut = false, Seq(1L), 64)
+    assert(s1 == Some(Seq(1L)) && out1.isEmpty)
+    val (s2, out2) = GraftStream.bucketStep(s1, timedOut = true, Seq.empty, 64)
+    assert(s2 == None && out2.isEmpty, "TTL fires: doc 1 forgotten")
+    val (s3, out3) = GraftStream.bucketStep(s2, timedOut = false, Seq(2L), 64)
+    assert(s3 == Some(Seq(2L)) && out3.isEmpty,
+      "late duplicate re-seeds, does NOT pair with the evicted original")
+    val (s4, out4) = GraftStream.bucketStep(s3, timedOut = false, Seq(3L), 64)
+    assert(s4 == Some(Seq(2L, 3L)) && out4 == Seq((2L, 3L)),
+      "successor pairs against the re-seeded state")
+  }
+
+  test("bucketStep (pure): cap admits prefix; over-cap ids cross-pair but are not remembered") {
+    // maxBucket = 3, 2 stored, 4 fresh in one batch: 1 slot remains.
+    val (st, out) = GraftStream.bucketStep(Some(Seq(10L, 20L)), timedOut = false,
+      Seq(30L, 40L, 50L, 60L, 30L /* dup in-batch */, 10L /* already stored */), 3)
+    assert(st == Some(Seq(10L, 20L, 30L)), "only the admitted prefix enters state")
+    val cross = for { n <- Seq(30L, 40L, 50L, 60L); p <- Seq(10L, 20L) } yield (p, n)
+    assert(out == cross, // every fresh id crosses the FULL stored prefix; no intra (1 admitted)
+      s"cross must cover all fresh ids, intra only admitted ones, got $out")
+  }
+
   test("streaming near-dup: cold bucket state evicts after stateTtl; late duplicate re-seeds (recall trade)") {
     // The unbounded-runtime guard (round-3 finding): bucket state
     // carries a processing-time timeout re-armed on access. A bucket
@@ -572,6 +611,17 @@ class StreamingSpec extends AnyFunSuite {
     // duplicate does NOT pair with the evicted original (the documented
     // recall trade) — it re-seeds the bucket, and subsequent duplicates
     // pair against the re-seeded state.
+    //
+    // Determinism (round-14 rework after the round-13 red run): the
+    // per-step semantics are proved by the pure bucketStep tests above;
+    // this test only proves the ENGINE wiring (ProcessingTimeTimeout
+    // arms, fires, and removes state). Two rules make it stall-proof:
+    // (a) the TTL is 10 s — far above any micro-batch latency — and
+    //     eviction is awaited by counting COMPLETED batches after
+    //     expiry, not by sleeping;
+    // (b) the re-seed doc and its pairing successor ride ONE addData
+    //     block = ONE micro-batch, which a TTL cannot straddle, so the
+    //     (2,3) intra pair is guaranteed once eviction happened.
     // processAllAvailable is unusable under ProcessingTimeTimeout (the
     // engine busy-schedules timeout-check batches — shouldRunAnotherBatch
     // is always true — and never signals quiescence), so progress is
@@ -580,7 +630,8 @@ class StreamingSpec extends AnyFunSuite {
     val in = MemoryStream[(Long, String)]
     val df = in.toDF().toDF("doc_id", "text")
     val pairs = new ConcurrentLinkedQueue[(Long, Long)]()
-    val q = GraftStream.nearDupCandidates(df, "doc_id", "text", stateTtl = "1 seconds")
+    val ttlMs = 10000L
+    val q = GraftStream.nearDupCandidates(df, "doc_id", "text", stateTtl = "10 seconds")
       .writeStream.outputMode("append")
       .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
         { b.collect().foreach(pairs.add); () })
@@ -592,7 +643,7 @@ class StreamingSpec extends AnyFunSuite {
     // MemoryStream offsets are 0-based: the k-th addData block commits
     // as endOffset k-1.
     def awaitOffset(n: Long): Unit = {
-      val deadline = System.currentTimeMillis() + 60000
+      val deadline = System.currentTimeMillis() + 120000
       while (sourceOffset < n && System.currentTimeMillis() < deadline) {
         q.exception.foreach(e => fail(s"query died: ${e.cause}"))
         Thread.sleep(50)
@@ -601,44 +652,34 @@ class StreamingSpec extends AnyFunSuite {
     }
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     in.addData((1L, base))
-    awaitOffset(0) // doc 1's buckets seeded, 1s TTL armed
+    awaitOffset(0) // doc 1's buckets seeded, 10s TTL armed
     // Wait until (a) the TTL has elapsed AND (b) at least two further
     // batches COMPLETED after that instant — guaranteeing a
     // timeout-check batch ran post-expiry and evicted doc 1's buckets
-    // before doc 2 arrives (a fixed sleep could straddle a load stall
-    // where no batch runs, leaving state alive for doc 2's batch).
+    // before docs 2/3 arrive (a fixed sleep could straddle a load stall
+    // where no batch runs, leaving state alive for the next batch).
     val tArm = System.currentTimeMillis()
     def batchId: Long = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-    val expiry = tArm + 1200
-    while (System.currentTimeMillis() < expiry) Thread.sleep(50)
+    val expiry = tArm + ttlMs + 1000
+    while (System.currentTimeMillis() < expiry) Thread.sleep(100)
     val bAtExpiry = batchId
-    val evictDeadline = System.currentTimeMillis() + 60000
+    val evictDeadline = System.currentTimeMillis() + 120000
     while (batchId < bAtExpiry + 2 && System.currentTimeMillis() < evictDeadline)
       Thread.sleep(50)
     assert(batchId >= bAtExpiry + 2, "no timeout-check batches ran after TTL expiry")
-    // late duplicate: original evicted → re-seeds instead of pairing
-    in.addData((2L, base))
+    // Late duplicate 2 re-seeds; successor 3 pairs with it. BOTH in one
+    // addData block = one micro-batch: fresh = [2, 3], prev = [] after
+    // eviction, so bucketStep emits the intra pair (2, 3) in that very
+    // batch — no second TTL window to race.
+    in.addData((2L, base), (3L, base))
     awaitOffset(1)
-    // fresh duplicates: pair against the re-seeded state. Under a load
-    // stall the 1 s TTL can ALSO fire between two consecutive feeds,
-    // evicting the just-re-seeded bucket — so keep feeding duplicates
-    // until one lands inside its predecessor's TTL window (any pair
-    // among ids ≥ 2 proves re-seeded state pairs subsequent docs; a
-    // single fixed (2,3) expectation was timing-flaky).
     def got = pairs.toArray.map(_.asInstanceOf[(Long, Long)]).toSet
-    var next = 3L
-    val deadline = System.currentTimeMillis() + 60000
-    while (!got.exists(_._1 >= 2L) && System.currentTimeMillis() < deadline) {
-      in.addData((next, base))
-      awaitOffset(next - 1)
-      next += 1
-      val settle = System.currentTimeMillis() + 500
-      while (!got.exists(_._1 >= 2L) && System.currentTimeMillis() < settle)
-        Thread.sleep(50)
-    }
+    val settleDeadline = System.currentTimeMillis() + 120000
+    while (!got.contains((2L, 3L)) && System.currentTimeMillis() < settleDeadline)
+      Thread.sleep(50)
     q.stop()
-    assert(got.exists(p => p._1 >= 2L && p._2 > p._1),
-      s"re-seeded bucket must pair subsequent duplicates, got $got")
+    assert(got.contains((2L, 3L)),
+      s"re-seeded bucket must pair the same-batch successor, got $got")
     assert(got.forall(p => p._1 != 1L && p._2 != 1L),
       s"evicted bucket must not pair the late duplicates, got $got")
   }
@@ -2012,3 +2053,5 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${got.size} chunks vs batch ${batch.size}")
   }
 }
+
+
