@@ -77,8 +77,65 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Bench trend guard: BEFORE overwriting bench_result.json, diff the
+    // fresh per-query times against the previous run's full-precision
+    // map (the committed bench_result.json) and write BENCH_delta.json
+    // — top drifts by ratio over a 0.2s noise floor, plus the shared-
+    // query mass ratio. A per-query regression is then a first-class
+    // artifact each round instead of a cross-round archeology exercise.
+    // Skipped for SPARK_GRAFT_BENCH_ONLY subset runs (a 2-query local
+    // iteration must not clobber the round-over-round report), when the
+    // previous map was measured at a DIFFERENT scale factor (an sf0.001
+    // smoke vs the sf0.1 baseline would report nonsense ratios), and
+    // when the previous map shares no queries (first run / renamed
+    // suite).
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    if (only.isEmpty) {
+      val prevPath = Paths.get("bench_result.json")
+      val prevText =
+        if (Files.exists(prevPath)) Files.readString(prevPath) else ""
+      val prevSf = raw""""sf":"([^"]*)"""".r.findFirstMatchIn(prevText).map(_.group(1))
+      val prev: Map[String, Double] =
+        if (!prevSf.contains(sfDir)) Map.empty
+        else {
+          val s = prevText
+          val qStart = s.indexOf("\"queries\":{")
+          if (qStart < 0) Map.empty
+          else {
+            val qEnd = s.indexOf('}', qStart)
+            val body = s.substring(qStart + 11, if (qEnd < 0) s.length else qEnd)
+            raw""""([A-Za-z0-9_]+)":([-0-9.eE+]+)""".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        }
+      val cur = results.toMap
+      val shared = (cur.keySet intersect prev.keySet).toSeq.sorted
+      if (shared.nonEmpty) {
+        val massPrev = shared.map(prev).sum
+        val massCur = shared.map(cur).sum
+        val drifts = shared
+          .filter(n => cur(n) >= 0.2 && prev(n) > 0) // noise floor
+          .map(n => (n, prev(n), cur(n), cur(n) / prev(n)))
+          .sortBy(-_._4).take(10)
+        val dJson = drifts.map { case (n, p, c, r) =>
+          s"""{"query":"$n","prev":${f3(p)},"cur":${f3(c)},"ratio":${f3(r)}}"""
+        }.mkString("[", ",", "]")
+        val added = (cur.keySet -- prev.keySet).toSeq.sorted
+        val removed = (prev.keySet -- cur.keySet).toSeq.sorted
+        def names(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+        Files.writeString(Paths.get("BENCH_delta.json"),
+          s"""{"shared_queries":${shared.size},"mass_prev":${f3(massPrev)},""" +
+            s""""mass_cur":${f3(massCur)},"mass_ratio":${f3(massCur / massPrev)},""" +
+            s""""top_drifts":$dJson,"added":${names(added)},""" +
+            s""""removed":${names(removed)},"sf":"$sfDir"}""" + "\n")
+      }
+    }
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench_result.json"), full + "\n")
+    // Subset runs land in a scratch file: bench_result.json is the
+    // round-over-round delta BASELINE and must only ever hold a full
+    // inventory map (a 2-query local iteration would otherwise wipe it).
+    val outName = if (only.isEmpty) "bench_result.json" else "bench_result_subset.json"
+    Files.writeString(Paths.get(outName), full + "\n")
     // The driver recovers the stdout JSON from the LAST ~2000 chars of
     // the (sbt-suffixed) output. Round 6's 92-query full-precision line
     // was ~2900 chars, started before that window, and parsed as null.
@@ -86,7 +143,6 @@ object Bench {
     // expensive queries first (the ones performance review needs),
     // cheap tail omitted once the budget is reached. The COMPLETE
     // full-precision map is always in bench_result.json (committed).
-    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val budget = 1800
     val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","nq":${results.size},"queries":{"""
     val tail = s"""},"errors":$errs,"sf":"$sfDir"}"""

@@ -276,10 +276,18 @@ object DedupOps {
     // yield an empty result, not an NPE at the fixpoint seed.
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
       df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    // GRAFT_CC_DEBUG=1: per-round wall-clock to stderr — the knob that
+    // tells a profiling pass whether a slow clustering query is paying
+    // for MANY rounds (long chains) or EXPENSIVE rounds (fat edges).
+    val dbg = sys.env.get("GRAFT_CC_DEBUG").contains("1")
+    def tlog(msg: => String): Unit = if (dbg) System.err.println(s"[cc] $msg")
+    val t0 = System.nanoTime()
     var prevSum = labelSum(labels)
+    tlog(f"seed ${(System.nanoTime() - t0) / 1e9}%.2fs")
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
+      val tr = System.nanoTime()
       val viaNbr = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nbr_label"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("min_nbr"))
@@ -304,6 +312,7 @@ object DedupOps {
       // previous round's blocks), which is cheaper than writing
       // checkpoint blocks every round including the confirmation one.
       val s = labelSum(nextPlan)
+      val tSum = (System.nanoTime() - tr) / 1e9
       if (s == prevSum) done = true
       else {
         val (next, newId) = checkpoint(nextPlan)
@@ -312,6 +321,8 @@ object DedupOps {
         ckptId = newId
         prevSum = s
       }
+      tlog(f"round $iter${if (done) " (fixpoint)" else ""}: sum $tSum%.2fs, " +
+        f"total ${(System.nanoTime() - tr) / 1e9}%.2fs")
       iter += 1
     }
     edges.unpersist()

@@ -97,6 +97,33 @@ object LayoutOps {
     spark.table(name)
   }
 
+  /** ANN-index layout: directory-PARTITIONED by the coarse list id
+    * AND bucketed by the vector id — the persisted IVF-PQ shape.
+    * The partition dirs make list probes PARTITION-PRUNED scans (an
+    * nprobe=1 query touches 1/n_lists of the files at any corpus
+    * size), while the bucket partitioning makes the per-(query,
+    * vector) ADC aggregation exchange-free: the scan reports
+    * `HashPartitioning(bucketKey, buckets)`, which satisfies the
+    * ClusteredDistribution of any grouping that CONTAINS the bucket
+    * key — so `groupBy(q_id, vec_id)` runs directly on scan output.
+    * Same skip-if-exists contract as [[bucketedTable]]. */
+  def indexTable(df: DataFrame, name: String, partCol: String,
+      bucketKey: String, buckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(name)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      df.repartition(col(partCol))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy(partCol)
+        .bucketBy(buckets, bucketKey).sortBy(bucketKey)
+        .saveAsTable(name)
+    }
+    spark.table(name)
+  }
+
   /** Partition-pruning layout: write `df` as a directory-PARTITIONED
     * parquet table (`partitionBy(partCol)`) and return the
     * catalog-backed read. The scan of this table carries

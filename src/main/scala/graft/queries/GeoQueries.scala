@@ -223,6 +223,87 @@ object GeoQueries {
       .groupBy(col("z"), col("tx"), col("ty"))
       .agg(count(lit(1)).as("n_points"))
 
+  /** The region catalog for [[geoRegionJoin]]: four CONVEX CCW
+    * polygons (triangle, quad, hexagon, square) on the milli-grid,
+    * overlapping on purpose (a point can belong to several regions —
+    * the multi-membership case a containment join must get right).
+    * Convex + CCW makes containment an exact INTEGER sign test: p is
+    * inside iff every edge cross product (x2−x1)(py−y1) − (y2−y1)(px−x1)
+    * is ≥ 0 (boundary inclusive) — no floats, no ray-cast edge cases,
+    * bit-identical in both engines. */
+  private val regions: Seq[(Long, Seq[(Long, Long)])] = Seq(
+    1L -> Seq((1600L, 1600L), (2100L, 1650L), (1800L, 2100L)),
+    2L -> Seq((1950L, 1700L), (2350L, 1750L), (2300L, 2200L), (1900L, 2150L)),
+    3L -> Seq((2250L, 1950L), (2125L, 2167L), (1875L, 2167L),
+      (1750L, 1950L), (1875L, 1733L), (2125L, 1733L)),
+    4L -> Seq((2150L, 1550L), (2300L, 1550L), (2300L, 1700L), (2150L, 1700L)))
+
+  private def regionEdges(vs: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long)] =
+    vs.indices.map { i =>
+      val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
+      (x1, y1, x2, y2)
+    }
+
+  /** Point-in-region containment join — the geo twin of the lexicon
+    * blocklist broadcast: a SMALL region catalog (polygons) against
+    * the full point corpus, answered without evaluating every polygon
+    * for every point. The scale plan is the pillar's cell discipline
+    * applied to COVERS: each region is expanded driver-side into the
+    * grid cells its bounding box touches (a conservative cover — the
+    * region is a subset of its bbox, so no containment can escape it),
+    * the (cell → region) cover and the (region → edge array) catalog
+    * are BROADCAST, points equi-join the cover on their single home
+    * cell, and only cover-candidates pay the exact winding test — a
+    * `forall` over the region's edge array of the integer cross-product
+    * sign. Readout: per region the membership count and centroid in
+    * milli-of-grid units, plus the region −1 row counting points in NO
+    * region. The oracle spells the QUADRATIC winding test (every point
+    * × every edge, bool_and per (point, region)) — the green hash pins
+    * the cell cover's 100% recall. At 100 TB the pattern holds: covers
+    * grow with region count (broadcastable for any real catalog), the
+    * point side never shuffles before the aggregate. */
+  def geoRegionJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val C = 200L
+    val p = graft.core.QueryCaches.track(points(spark, sfDir))
+    val coverRows = for {
+      (rid, vs) <- regions
+      gx <- (vs.map(_._1).min / C) to (vs.map(_._1).max / C)
+      gy <- (vs.map(_._2).min / C) to (vs.map(_._2).max / C)
+    } yield (gx, gy, rid)
+    val cover = coverRows.toDF("gx", "gy", "region_id")
+    val edgeCat = regions.map { case (rid, vs) => (rid, regionEdges(vs)) }
+      .toDF("region_id", "edges")
+    val home = p.select(col("vec_id"), col("px"), col("py"),
+      expr(s"px div $C").as("gx"), expr(s"py div $C").as("gy"))
+    val inside = graft.core.QueryCaches.track(home
+      .join(broadcast(cover), Seq("gx", "gy"))
+      .join(broadcast(edgeCat), Seq("region_id"))
+      .filter(forall(col("edges"), e =>
+        (e.getField("_3") - e.getField("_1")) * (col("py") - e.getField("_2")) -
+          (e.getField("_4") - e.getField("_2")) * (col("px") - e.getField("_1")) >= 0))
+      .select(col("region_id"), col("vec_id"), col("px"), col("py")))
+    val perRegion = inside.groupBy(col("region_id"))
+      .agg(count(lit(1)).as("n_points"),
+        expr("(1000 * sum(px)) div count(*)").as("cx_milli"),
+        expr("(1000 * sum(py)) div count(*)").as("cy_milli"))
+    val outside = p
+      .join(inside.select(col("vec_id").as("i_id")),
+        col("vec_id") === col("i_id"), "left_anti")
+      .agg(count(lit(1)).as("n_points"),
+        expr("(1000 * sum(px)) div count(*)").as("cx_milli"),
+        expr("(1000 * sum(py)) div count(*)").as("cy_milli"))
+      .select(lit(-1L).as("region_id"), col("n_points"),
+        col("cx_milli"), col("cy_milli"))
+    perRegion.unionAll(outside)
+  }
+
+  private def regionEdgeValues: String =
+    regions.flatMap { case (rid, vs) =>
+      regionEdges(vs).map { case (x1, y1, x2, y2) =>
+        s"($rid, $x1, $y1, $x2, $y2)" }
+    }.mkString(", ")
+
   private val pSql: String =
     """p AS MATERIALIZED (SELECT vec_id,
       |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT) + 2000 AS px,
@@ -236,7 +317,8 @@ object GeoQueries {
     "geo_choropleth" -> (geoChoropleth _),
     "geo_knn" -> (geoKnn _),
     "geo_hotspot" -> (geoHotspot _),
-    "geo_pyramid" -> (geoPyramid _))
+    "geo_pyramid" -> (geoPyramid _),
+    "geo_region_join" -> (geoRegionJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "geo_radius_join" ->
@@ -326,5 +408,29 @@ object GeoQueries {
          |  px // (2000 // (CAST(1 AS BIGINT) << z.z)) AS tx,
          |  py // (2000 // (CAST(1 AS BIGINT) << z.z)) AS ty,
          |  CAST(COUNT(*) AS BIGINT) AS n_points
-         |FROM p CROSS JOIN z GROUP BY 1, 2, 3""".stripMargin)
+         |FROM p CROSS JOIN z GROUP BY 1, 2, 3""".stripMargin,
+    "geo_region_join" ->
+      s"""WITH $pSql,
+         |e(region_id, x1, y1, x2, y2) AS (VALUES $regionEdgeValues),
+         |s AS (SELECT p.vec_id, p.px, p.py, e.region_id,
+         |    (e.x2 - e.x1) * (p.py - e.y1) -
+         |    (e.y2 - e.y1) * (p.px - e.x1) >= 0 AS inside_e
+         |  FROM p CROSS JOIN e),
+         |m AS (SELECT region_id, vec_id, px, py FROM s
+         |  GROUP BY 1, 2, 3, 4 HAVING bool_and(inside_e)),
+         |per_r AS (SELECT CAST(region_id AS BIGINT) AS region_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_points,
+         |    (1000 * CAST(SUM(px) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+         |      AS cx_milli,
+         |    (1000 * CAST(SUM(py) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+         |      AS cy_milli
+         |  FROM m GROUP BY 1),
+         |outs AS (SELECT CAST(-1 AS BIGINT) AS region_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_points,
+         |    (1000 * CAST(SUM(px) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+         |      AS cx_milli,
+         |    (1000 * CAST(SUM(py) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+         |      AS cy_milli
+         |  FROM p WHERE vec_id NOT IN (SELECT vec_id FROM m))
+         |SELECT * FROM per_r UNION ALL SELECT * FROM outs""".stripMargin)
 }

@@ -902,6 +902,72 @@ object SimQueries {
     SimOps.pqTopkWithin(codes, queries, cb, k = 5, m = 8, sub = 8, listCol = "c_label")
   }
 
+  /** PERSISTED ANN index lifecycle — the maintenance row behind
+    * [[simIvfPq]]: the index artifacts (coarse centroids, PQ codebook,
+    * and the (vec_id, c_label, s, code) code rows) are WRITTEN ONCE as
+    * catalog tables — codes via [[graft.ext.LayoutOps.indexTable]]
+    * (directory-partitioned by the IVF list, bucketed by vec_id) — and
+    * the search runs entirely FROM THE REOPENED TABLES: queries arrive
+    * fresh from the raw corpus, are assigned and residualed against
+    * the PERSISTED centroids, and score against the PERSISTED codes
+    * through the persisted codebook. The oracle is [[simIvfPq]]'s
+    * from-scratch spelling — the green hash IS the proof that
+    * search-from-index equals search-from-scratch (build determinism +
+    * exact parquet round-trip: doubles bit-exact, residuals integer).
+    * 100 TB posture: this is the shape that amortizes the expensive
+    * build — the per-query cost is a partition-PRUNED scan of one
+    * list's directory, a broadcast distance-table join, and an ADC
+    * aggregation that needs NO exchange because the bucket
+    * partitioning (vec_id) already clusters the grouping keys
+    * (PlanSpec pins the exchange-free read path). Table names carry
+    * the sfDir hash (one JVM, several scale factors). */
+  def simIndexPersist(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.LayoutOps
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val e = emb(spark, sfDir)
+    // ---- build (runs once per session/scale: skip-if-exists tables)
+    val cents = SimOps.labelCentroids(e, "label")
+      .select(col("c_id").cast("int").as("c_label"), col("c_vec"))
+    val centsT = LayoutOps.bucketedTable(cents, s"graft_ivfpq_cents_$tag",
+      "c_label", buckets = 2)
+    val best = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_label"),
+        SimOps.cosine(col("embedding"), col("c_vec")).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_label"), struct(col("cos"), (-col("c_label")).as("nc"))).as("c_label"))
+    val resid = graft.core.QueryCaches.track(
+      e.select(col("vec_id"), col("embedding")).join(best, "vec_id")
+        .join(broadcast(cents), "c_label")
+        .select(col("vec_id"), col("c_label"),
+          zip_with(col("embedding"), col("c_vec"),
+            (a, b) => floor((a.cast("double") - b) * lit(1000.0)).cast("bigint"))
+            .as("embedding")))
+    val cb = SimOps.pqSeedCodebook(resid, kCodes = 4, m = 8, sub = 8)
+    val cbT = LayoutOps.bucketedTable(cb, s"graft_ivfpq_cb_$tag", "s", buckets = 2)
+    val codes = SimOps.pqEncode(resid.select(col("vec_id"), col("embedding")),
+        cb, m = 8, sub = 8)
+      .join(resid.select(col("vec_id"), col("c_label")), "vec_id")
+      .select(col("vec_id"), col("c_label"), col("s"), col("code"))
+    val codesT = LayoutOps.indexTable(codes, s"graft_ivfpq_codes_$tag",
+      "c_label", "vec_id", buckets = 8)
+    // ---- search (reads ONLY the reopened tables + fresh query rows)
+    val q0 = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_raw"))
+    val qBest = q0.crossJoin(broadcast(centsT))
+      .select(col("q_id"), col("c_label"),
+        SimOps.cosine(col("q_raw"), col("c_vec")).as("cos"))
+      .groupBy(col("q_id"))
+      .agg(max_by(col("c_label"), struct(col("cos"), (-col("c_label")).as("nc"))).as("c_label"))
+    val qResid = q0.join(qBest, "q_id")
+      .join(broadcast(centsT), "c_label")
+      .select(col("q_id"), col("c_label"),
+        zip_with(col("q_raw"), col("c_vec"),
+          (a, b) => floor((a.cast("double") - b) * lit(1000.0)).cast("bigint"))
+          .as("q_vec"))
+    SimOps.pqTopkWithin(codesT, qResid, cbT, k = 5, m = 8, sub = 8,
+      listCol = "c_label")
+  }
+
   /** Mutual-kNN edge set, oriented u < v: an (undirected) edge survives
     * only when EACH endpoint ranks the other inside its top-5
     * ([[SimOps.knnGraph]] both directions). Mutuality is the standard
@@ -1769,7 +1835,8 @@ object SimQueries {
     "sim_pairs_rewrite" -> (simPairsRewrite _),
     "sim_quantize" -> (simQuantize _),
     "sim_ivf" -> (simIvf _),
-    "sim_ivf_pq" -> (simIvfPq _))
+    "sim_ivf_pq" -> (simIvfPq _),
+    "sim_index_persist" -> (simIndexPersist _))
 
   // ---- DuckDB oracle spellings -------------------------------------
   // The cosine/SRP folds are spelled with list_reduce(list_prepend(...))
@@ -2926,7 +2993,14 @@ object SimQueries {
          |                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rk
          |         FROM scored)
          |SELECT label, c_label, COUNT(*) AS n FROM best WHERE rk = 1 GROUP BY label, c_label""".stripMargin,
-    "sim_ivf_pq" ->
+    "sim_ivf_pq" -> ivfPqOracleSql,
+    // sim_index_persist: search runs from the persisted index tables on
+    // the Spark side; the oracle is DELIBERATELY the identical
+    // from-scratch spelling as sim_ivf_pq — the green hash is the
+    // index-equals-scratch proof.
+    "sim_index_persist" -> ivfPqOracleSql)
+
+  private lazy val ivfPqOracleSql: String =
       s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
          |                     unnest(embedding) AS v FROM embeddings),
          |cd AS (SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS cv
@@ -2975,5 +3049,5 @@ object SimQueries {
          |SELECT q_id, vec_id, adist FROM (
          |  SELECT q_id, vec_id, adist,
          |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
-         |  FROM ad) WHERE rk <= 5""".stripMargin)
+         |  FROM ad) WHERE rk <= 5""".stripMargin
 }

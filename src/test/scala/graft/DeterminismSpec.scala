@@ -135,7 +135,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_fk_card_audit",   // per-edge fan-out folds + anti-join orphans
     "events_seq3",       // session window trigrams + partial top-10
     "events_user_entropy", // per-user millibit fold into bands
-    "curate_source_overlap") // distinct (source, fp) + fp-keyed self-join
+    "curate_source_overlap", // distinct (source, fp) + fp-keyed self-join
+    // round-14 additions with partitioning-sensitive machinery:
+    "geo_region_join",   // broadcast cell cover + winding forall + anti-join
+    "sim_index_persist") // reopened bucketed index + broadcast ADC join
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -2003,6 +2003,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_index_persist: bucketed index scan feeds the ADC aggregate with zero exchanges") {
+    // The persisted-index contract: the codes table is bucketed by
+    // vec_id, so the scan's HashPartitioning(vec_id, 8) already
+    // satisfies the (q_id, vec_id) ADC grouping — no shuffle may sit
+    // between the index scan and the final aggregate (the distance
+    // table joins in as a broadcast). Losing this (a dropped bucket
+    // spec, a repartition slipped into the read path) silently
+    // reintroduces the full per-candidate exchange the layout kills.
+    // AQE off for a traversable non-adaptive physical tree.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("sim_index_persist")(spark, sf)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.SparkPlan
+      def path(p: SparkPlan): Option[List[SparkPlan]] =
+        if (p.children.isEmpty && p.toString.contains("graft_ivfpq_codes"))
+          Some(List(p))
+        else p.children.flatMap(path(_)).headOption.map(p :: _)
+      val rev = path(exec)
+        .getOrElse(fail(s"no scan of the persisted codes table in:\n$exec"))
+        .reverse // scan first, root last
+      val aggIdxs = rev.zipWithIndex
+        .filter(_._1.nodeName.contains("HashAggregate")).map(_._2)
+      assert(aggIdxs.size >= 2,
+        s"partial+final ADC aggregate expected above the index scan:\n$exec")
+      val seg = rev.take(aggIdxs(1) + 1)
+      assert(!seg.exists(_.nodeName.contains("Exchange")),
+        "no exchange may sit between the bucketed index scan and the " +
+          s"final ADC aggregate:\n${seg.map(_.nodeName).mkString(" <- ")}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      graft.ext.DedupOps.releaseCaches()
+    }
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
