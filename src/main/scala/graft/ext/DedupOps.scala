@@ -293,7 +293,13 @@ object DedupOps {
         .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("min_nbr"))
       // pointer jump: my label is a node id in my component, so its
       // label is at least as small — taking it halves min-carrying
-      // path lengths each round (log-diameter convergence)
+      // path lengths each round (log-diameter convergence). A SECOND
+      // hop (label(label(label))) was measured in round 14 on
+      // events_dbscan (sf0.1): it did NOT reduce the round count (the
+      // binding constraint is the one-edge-per-round min_nbr
+      // propagation interleaved with the jump, not pointer depth) and
+      // its extra self-join cost ~1.5% — rejected, like the dbscan
+      // half-space probe before it.
       val viaPtr = labels
         .join(labels.select(col("id").as("p_id"), col("label").as("ptr_label")),
           col("label") === col("p_id"))
@@ -301,28 +307,42 @@ object DedupOps {
       val nextPlan = labels.join(viaNbr, "id").join(viaPtr, "id")
         .select(col("id"),
           least(col("label"), col("min_nbr"), col("ptr_label")).as("label"))
-      // Aggregate the round's sum over the UNMATERIALIZED plan first:
-      // when it equals prevSum no label changed, the current checkpoint
-      // already IS the fixpoint, and the round needs no checkpoint at
-      // all — in the common case (LSH dup components are near-cliques
-      // that converge at initialization) the whole loop then runs ONE
-      // checkpoint (the seed) instead of two. Only a round that
-      // actually changed labels pays the checkpoint; its join
-      // recomputes once from the cached inputs (edges persist + the
-      // previous round's blocks), which is cheaper than writing
-      // checkpoint blocks every round including the confirmation one.
-      val s = labelSum(nextPlan)
-      val tSum = (System.nanoTime() - tr) / 1e9
-      if (s == prevSum) done = true
-      else {
+      if (iter == 0) {
+        // Round 0 aggregates the UNMATERIALIZED plan first: when the
+        // sum already equals the seed's, the seed checkpoint IS the
+        // fixpoint and the loop runs ONE checkpoint total — the common
+        // case (LSH dup components are near-cliques that converge at
+        // initialization) pays no second checkpoint. The double plan
+        // evaluation (sum, then checkpoint) is confined to this round.
+        val s = labelSum(nextPlan)
+        val tSum = (System.nanoTime() - tr) / 1e9
+        if (s == prevSum) done = true
+        else {
+          val (next, newId) = checkpoint(nextPlan)
+          drop(ckptId)
+          labels = next
+          ckptId = newId
+          prevSum = s
+        }
+        tlog(f"round 0${if (done) " (fixpoint)" else ""}: sum $tSum%.2fs, " +
+          f"total ${(System.nanoTime() - tr) / 1e9}%.2fs")
+      } else {
+        // Past round 0 we are in the multi-round regime (long chains):
+        // checkpoint FIRST, then aggregate the cheap cached scan — one
+        // plan evaluation per round instead of two (sum-then-checkpoint
+        // re-derived the whole join twice; round-14 measurement: ~40%
+        // off events_dbscan's fixpoint). The confirmation round pays
+        // one extra checkpoint write, negligible next to a plan eval.
         val (next, newId) = checkpoint(nextPlan)
         drop(ckptId)
         labels = next
         ckptId = newId
+        val s = labelSum(next)
+        done = s == prevSum
         prevSum = s
+        tlog(f"round $iter${if (done) " (fixpoint)" else ""}: " +
+          f"total ${(System.nanoTime() - tr) / 1e9}%.2fs")
       }
-      tlog(f"round $iter${if (done) " (fixpoint)" else ""}: sum $tSum%.2fs, " +
-        f"total ${(System.nanoTime() - tr) / 1e9}%.2fs")
       iter += 1
     }
     edges.unpersist()
