@@ -114,4 +114,82 @@ object TextOps {
         Window.partitionBy(col(domainCol)).orderBy(ord: _*)).cast("bigint"))
       .filter(col("rk") <= k)
   }
+
+  /** FULL BPE tokenizer-training loop (Sennrich et al. 2016) — the
+    * library composition of the oracle-pinned single step
+    * (graft.queries.TextQueries.textBpeMergeStep), the
+    * [[SimOps.kmeans]]-vs-`sim_kmeans` pattern: the corpus collapses
+    * ONCE to its distinct-word vocab weighted by counts; every merge
+    * round is then vocab-sized work — count adjacent symbol pairs
+    * weighted by word count (map-side combined), take the modal pair
+    * (count desc, pair asc — a 1-row TakeOrdered, the only driver
+    * materialization per round beside the 1-row fertility fold), and
+    * rewrite every word's representation with the non-overlapping
+    * left-to-right `replace`. Each round's vocab is localCheckpoint'ed
+    * and the superseded round's blocks are dropped (the
+    * [[DedupOps.dupClusters]] cache discipline), so lineage stays flat
+    * at any merge count. Stops early when no adjacent pair remains
+    * (every word fused to one symbol).
+    *
+    * Returns the MERGE TABLE — the trained tokenizer artifact:
+    * (step, merged_pair, pcount, fertility_milli), where
+    * fertility_milli = 1000·Σ cnt·|symbols| div Σ cnt AFTER applying
+    * that step's merge — the curve a tokenizer team reads to pick
+    * vocab size (where fertility flattens, merges stop paying).
+    * 100 TB posture: the corpus is scanned exactly once (wordcount);
+    * rounds touch only the vocab relation; the merge table itself is
+    * `merges` rows on the driver — the model, not data. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Int): org.apache.spark.sql.DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def ckptId(df: org.apache.spark.sql.DataFrame): Option[Int] =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }
+    def drop(id: Option[Int]): Unit =
+      id.foreach(i => sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
+    var reps = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), array_join(split(col("w"), ""), " ").as("rep"))
+      .localCheckpoint()
+    var cur = ckptId(reps)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    var step = 1L
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val syms = split(col("rep"), " ")
+      val pairsArr = zip_with(
+        slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      val top = reps.select(col("cnt"), explode(pairsArr).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("pcount"))
+        .orderBy(col("pcount").desc, col("pair").asc).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val pcount = top(0).getLong(1)
+        // lit()-bound arguments (not string-spliced SQL): corpus tokens
+        // may contain quotes/backslashes.
+        val next = reps.select(col("cnt"),
+            call_function("replace", col("rep"), lit(pair),
+              lit(pair.replace(" ", ""))).as("rep"))
+          .localCheckpoint()
+        val nid = ckptId(next)
+        drop(cur)
+        reps = next
+        cur = nid
+        val fert = reps
+          .agg(expr("(1000 * sum(cnt * size(split(rep, ' ')))) div sum(cnt)"))
+          .head().getLong(0)
+        out += ((step, pair, pcount, fert))
+        step += 1
+      }
+    }
+    drop(cur) // the merge table is driver-side; the final vocab is scratch
+    out.toSeq.toDF("step", "merged_pair", "pcount", "fertility_milli")
+  }
 }

@@ -1298,6 +1298,23 @@ object TextQueries {
         expr("replace(rep, merged_pair, replace(merged_pair, ' ', ''))").as("new_rep"))
   }
 
+  /** FULL BPE training run — the loop composition of
+    * [[textBpeMergeStep]] through [[graft.ext.TextOps.bpeTrain]]
+    * (6 merges on the corpus vocab), declared so the TRAINED ARTIFACT
+    * is oracle-gated, not just one iteration: the output is the merge
+    * table (step, merged_pair, pcount) plus the post-merge FERTILITY
+    * curve (1000·Σ cnt·|symbols| div Σ cnt — the composed property the
+    * single-step row can't see: each round's replace must be applied
+    * correctly for round k+1's pair counts AND the symbol counts to
+    * come out right). The oracle is the same loop UNROLLED into 6
+    * chained CTL rounds (MATERIALIZED — each round is referenced by
+    * the next round's pair count, the rewrite, and the fertility
+    * fold). First merges on this corpus: "e r", "i n", "o w" — and
+    * then the first COMPOSED merge "m er", which only exists if round
+    * 1's rewrite actually fused "e r". */
+  def textBpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.TextOps.bpeTrain(load(spark, sfDir, "documents"), "text", 6)
+
   /** DATA CARD — the corpus-composition table every dataset release
     * publishes (docs, tokens, and the exact integer token share per
     * (lang, source) cell, ranked by volume): one map-side-combined
@@ -1642,6 +1659,7 @@ object TextQueries {
     "text_langid_confusion" -> (textLangidConfusion _),
     "curate_data_card" -> (curateDataCard _),
     "text_bpe_merge_step" -> (textBpeMergeStep _),
+    "text_bpe_train" -> (textBpeTrain _),
     "curate_gopher" -> (curateGopher _),
     "curate_domain_cap" -> (curateDomainCap _),
     "curate_mix" -> (curateMix _),
@@ -1677,6 +1695,41 @@ object TextQueries {
     "text_readability" -> (textReadability _))
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** The text_bpe_train oracle: the training loop UNROLLED to `steps`
+    * chained CTE rounds — pair count over round k−1's vocab, 1-row
+    * argmax, rewrite, fertility fold. MATERIALIZED on each round's
+    * vocab and argmax (each is referenced 2–3×; DuckDB would otherwise
+    * re-derive the whole chain per reference). */
+  private def bpeTrainOracleSql(steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH words AS (SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+              |  FROM (SELECT unnest($toksSql) AS token FROM documents)
+              |  GROUP BY 1),
+              |r0 AS MATERIALIZED (SELECT cnt,
+              |  array_to_string(string_split(w, ''), ' ') AS rep FROM words)""".stripMargin
+    for (k <- 1 to steps) {
+      val p = k - 1
+      sb ++= s""",
+                |p$k AS (SELECT s.cnt, string_split(s.rep, ' ')[i] || ' ' ||
+                |    string_split(s.rep, ' ')[i + 1] AS pair
+                |  FROM r$p s, LATERAL (SELECT unnest(range(1,
+                |    len(string_split(s.rep, ' ')))) AS i) ii),
+                |t$k AS MATERIALIZED (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pcount
+                |  FROM p$k GROUP BY 1 ORDER BY pcount DESC, pair LIMIT 1),
+                |r$k AS MATERIALIZED (SELECT cnt, replace(rep, (SELECT pair FROM t$k),
+                |    replace((SELECT pair FROM t$k), ' ', '')) AS rep FROM r$p),
+                |f$k AS (SELECT CAST($k AS BIGINT) AS step,
+                |  (SELECT pair FROM t$k) AS merged_pair,
+                |  (SELECT pcount FROM t$k) AS pcount,
+                |  (1000 * CAST(SUM(cnt * len(string_split(rep, ' '))) AS BIGINT))
+                |    // CAST(SUM(cnt) AS BIGINT) AS fertility_milli
+                |  FROM r$k)""".stripMargin
+    }
+    sb ++= (1 to steps).map(k => s"SELECT * FROM f$k")
+      .mkString("\n", "\nUNION ALL ", "")
+    sb.toString
+  }
 
   private def markerSql(ws: Seq[String]): String =
     s"CAST(len(list_filter($toksSql, t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
@@ -2084,6 +2137,7 @@ object TextQueries {
          |  CAST(row_number() OVER (ORDER BY g.toks DESC, g.lang, g.source)
          |    AS BIGINT) AS rnk
          |FROM g, t""".stripMargin,
+    "text_bpe_train" -> bpeTrainOracleSql(6),
     "text_bpe_merge_step" ->
       s"""WITH words AS (SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS cnt
          |               FROM (SELECT unnest($toksSql) AS token FROM documents)

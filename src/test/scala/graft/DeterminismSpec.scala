@@ -138,7 +138,8 @@ class DeterminismSpec extends AnyFunSuite {
     "curate_source_overlap", // distinct (source, fp) + fp-keyed self-join
     // round-14 additions with partitioning-sensitive machinery:
     "geo_region_join",   // broadcast cell cover + winding forall + anti-join
-    "sim_index_persist") // reopened bucketed index + broadcast ADC join
+    "sim_index_persist", // reopened bucketed index + broadcast ADC join
+    "text_bpe_train")    // looped vocab argmax + rewrite + fertility folds
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
