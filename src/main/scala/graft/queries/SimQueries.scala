@@ -921,11 +921,15 @@ object SimQueries {
     * partitioning (vec_id) already clusters the grouping keys
     * (PlanSpec pins the exchange-free read path). Table names carry
     * the sfDir hash (one JVM, several scale factors). */
-  def simIndexPersist(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Build-once accessor for the persisted IVF-PQ index artifacts:
+    * (centroids, codebook, codes) as reopened catalog tables — the
+    * shared substrate of [[simIndexPersist]] (search the index) and
+    * [[simIndexDelta]] (search index ∪ unindexed delta). */
+  private def ivfPqIndex(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame, DataFrame) = {
     import graft.ext.LayoutOps
     val tag = java.lang.Integer.toHexString(sfDir.hashCode)
     val e = emb(spark, sfDir)
-    // ---- build (runs once per session/scale: skip-if-exists tables)
     val cents = SimOps.labelCentroids(e, "label")
       .select(col("c_id").cast("int").as("c_label"), col("c_vec"))
     val centsT = LayoutOps.bucketedTable(cents, s"graft_ivfpq_cents_$tag",
@@ -950,21 +954,68 @@ object SimQueries {
       .select(col("vec_id"), col("c_label"), col("s"), col("code"))
     val codesT = LayoutOps.indexTable(codes, s"graft_ivfpq_codes_$tag",
       "c_label", "vec_id", buckets = 8)
-    // ---- search (reads ONLY the reopened tables + fresh query rows)
-    val q0 = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_raw"))
-    val qBest = q0.crossJoin(broadcast(centsT))
-      .select(col("q_id"), col("c_label"),
-        SimOps.cosine(col("q_raw"), col("c_vec")).as("cos"))
-      .groupBy(col("q_id"))
+    (centsT, cbT, codesT)
+  }
+
+  /** Assign fresh vectors to the PERSISTED centroids and emit their
+    * integer residuals — the shared query-side / delta-side prep of
+    * the index rows (`outId`/`outVec` name the id and residual cols). */
+  private def assignResid(vecs: DataFrame, centsT: DataFrame, idCol: String,
+      vecCol: String, outId: String, outVec: String): DataFrame = {
+    val bestC = vecs.crossJoin(broadcast(centsT))
+      .select(col(idCol), col("c_label"),
+        SimOps.cosine(col(vecCol), col("c_vec")).as("cos"))
+      .groupBy(col(idCol))
       .agg(max_by(col("c_label"), struct(col("cos"), (-col("c_label")).as("nc"))).as("c_label"))
-    val qResid = q0.join(qBest, "q_id")
+    vecs.join(bestC, idCol)
       .join(broadcast(centsT), "c_label")
-      .select(col("q_id"), col("c_label"),
-        zip_with(col("q_raw"), col("c_vec"),
+      .select(col(idCol).as(outId), col("c_label"),
+        zip_with(col(vecCol), col("c_vec"),
           (a, b) => floor((a.cast("double") - b) * lit(1000.0)).cast("bigint"))
-          .as("q_vec"))
+          .as(outVec))
+  }
+
+  def simIndexPersist(spark: SparkSession, sfDir: String): DataFrame = {
+    val (centsT, cbT, codesT) = ivfPqIndex(spark, sfDir)
+    // ---- search (reads ONLY the reopened tables + fresh query rows)
+    val q0 = emb(spark, sfDir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_raw"))
+    val qResid = assignResid(q0, centsT, "q_id", "q_raw", "q_id", "q_vec")
     SimOps.pqTopkWithin(codesT, qResid, cbT, k = 5, m = 8, sub = 8,
+      listCol = "c_label")
+  }
+
+  /** Lambda-architecture ANN search — the persisted index PLUS an
+    * UNINDEXED delta batch in one query: fresh vectors (here: reversed
+    * embeddings under shifted ids — content the index has never seen)
+    * are assigned and encoded ON THE FLY against the persisted
+    * centroids/codebook, their code rows UNION with the reopened index
+    * table, and the ADC top-k runs over both — the serving pattern
+    * between index rebuilds (new data searchable immediately, index
+    * rewritten on the maintenance cadence). Nothing is retrained: the
+    * oracle recomputes everything from scratch over corpus ∪ delta
+    * with centroids/codebook drawn from the ORIGINAL corpus only, so
+    * the green hash pins exactly the "stale coarse model, fresh data"
+    * semantics this architecture promises. Queries are original-corpus
+    * rows only (`vec_id < SHIFT`). */
+  def simIndexDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val (centsT, cbT, codesT) = ivfPqIndex(spark, sfDir)
+    val e = emb(spark, sfDir)
+    val delta = e.filter(col("vec_id") % 7 === 3)
+      .select((col("vec_id") + SHIFT).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val dResid = graft.core.QueryCaches.track(
+      assignResid(delta, centsT, "vec_id", "embedding", "vec_id", "embedding"))
+    val dCodes = SimOps.pqEncode(dResid.select(col("vec_id"), col("embedding")),
+        cbT, m = 8, sub = 8)
+      .join(dResid.select(col("vec_id"), col("c_label")), "vec_id")
+      .select(col("vec_id"), col("c_label"), col("s"), col("code"))
+    val allCodes = codesT.select(col("vec_id"), col("c_label"), col("s"), col("code"))
+      .unionAll(dCodes)
+    val q0 = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < SHIFT)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_raw"))
+    val qResid = assignResid(q0, centsT, "q_id", "q_raw", "q_id", "q_vec")
+    SimOps.pqTopkWithin(allCodes, qResid, cbT, k = 5, m = 8, sub = 8,
       listCol = "c_label")
   }
 
@@ -1836,7 +1887,8 @@ object SimQueries {
     "sim_quantize" -> (simQuantize _),
     "sim_ivf" -> (simIvf _),
     "sim_ivf_pq" -> (simIvfPq _),
-    "sim_index_persist" -> (simIndexPersist _))
+    "sim_index_persist" -> (simIndexPersist _),
+    "sim_index_delta" -> (simIndexDelta _))
 
   // ---- DuckDB oracle spellings -------------------------------------
   // The cosine/SRP folds are spelled with list_reduce(list_prepend(...))
@@ -2998,7 +3050,11 @@ object SimQueries {
     // the Spark side; the oracle is DELIBERATELY the identical
     // from-scratch spelling as sim_ivf_pq — the green hash is the
     // index-equals-scratch proof.
-    "sim_index_persist" -> ivfPqOracleSql)
+    "sim_index_persist" -> ivfPqOracleSql,
+    // sim_index_delta: Spark searches persisted index ∪ on-the-fly delta
+    // codes; the oracle recomputes from scratch over corpus ∪ delta with
+    // centroids/codebook from the ORIGINAL corpus only.
+    "sim_index_delta" -> ivfPqDeltaOracleSql)
 
   private lazy val ivfPqOracleSql: String =
       s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
@@ -3050,4 +3106,59 @@ object SimQueries {
          |  SELECT q_id, vec_id, adist,
          |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
          |  FROM ad) WHERE rk <= 5""".stripMargin
+
+  private lazy val ivfPqDeltaOracleSql: String =
+    s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+       |                     unnest(embedding) AS v FROM embeddings),
+       |cd AS (SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS cv
+       |       FROM comp GROUP BY label, pos),
+       |cents AS (SELECT label AS c_label, list(cv ORDER BY pos) AS c_vec FROM cd GROUP BY label),
+       |delta AS (SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS embedding
+       |          FROM embeddings WHERE vec_id % 7 = 3),
+       |allv AS (SELECT vec_id, embedding FROM embeddings
+       |         UNION ALL SELECT vec_id, embedding FROM delta),
+       |scored AS (SELECT vec_id, c_label, ${cosMixedSql("embedding", "c_vec")} AS cos
+       |           FROM allv, cents),
+       |best AS (SELECT vec_id, c_label FROM (
+       |           SELECT vec_id, c_label,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rk
+       |           FROM scored) WHERE rk = 1),
+       |resid AS (SELECT e.vec_id, b.c_label,
+       |            list_transform(range(1, len(embedding) + 1),
+       |              i -> CAST(floor((CAST(embedding[i] AS DOUBLE) - c_vec[i]) * 1000)
+       |                   AS BIGINT)) AS emb
+       |          FROM allv e JOIN best b USING (vec_id)
+       |          JOIN cents c ON b.c_label = c.c_label),
+       |sub AS (SELECT vec_id, c_label, s, emb[s*8 + 1 : s*8 + 8] AS sv
+       |        FROM resid, (SELECT unnest(range(0, 8)) AS s)),
+       |cb AS (SELECT vec_id AS code, s, emb[s*8 + 1 : s*8 + 8] AS cw
+       |       FROM resid, (SELECT unnest(range(0, 8)) AS s)
+       |       WHERE vec_id < 4),
+       |d AS (SELECT vec_id, c_label, sub.s AS s, code,
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+       |          i -> (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)) *
+       |               (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)))),
+       |          (a, b) -> a + b) AS dist
+       |      FROM sub JOIN cb USING (s)),
+       |codes AS (SELECT vec_id, c_label, s, code FROM (
+       |            SELECT vec_id, c_label, s, code,
+       |              row_number() OVER (PARTITION BY vec_id, s
+       |                ORDER BY dist, code) AS rk FROM d) WHERE rk = 1),
+       |q AS (SELECT vec_id AS q_id, c_label, s, emb[s*8 + 1 : s*8 + 8] AS sv
+       |      FROM resid, (SELECT unnest(range(0, 8)) AS s)
+       |      WHERE vec_id % 100 = 0 AND vec_id < 1000000),
+       |dt AS (SELECT q_id, q.c_label AS c_label, q.s AS s, code,
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+       |          i -> (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)) *
+       |               (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)))),
+       |          (a, b) -> a + b) AS d
+       |       FROM q JOIN cb USING (s)),
+       |ad AS (SELECT q_id, vec_id,
+       |         CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) AS adist
+       |       FROM codes JOIN dt USING (c_label, s, code)
+       |       GROUP BY q_id, vec_id HAVING COUNT(*) = 8)
+       |SELECT q_id, vec_id, adist FROM (
+       |  SELECT q_id, vec_id, adist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+       |  FROM ad) WHERE rk <= 5""".stripMargin
 }

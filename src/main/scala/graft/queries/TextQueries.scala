@@ -1315,6 +1315,41 @@ object TextQueries {
   def textBpeTrain(spark: SparkSession, sfDir: String): DataFrame =
     graft.ext.TextOps.bpeTrain(load(spark, sfDir, "documents"), "text", 6)
 
+  /** The trained tokenizer APPLIED — "load model, tokenize corpus":
+    * the 6-merge table from [[graft.ext.TextOps.bpeTrain]] (collected
+    * driver-side — it IS the model, 6 rows) is replayed over the vocab
+    * as 6 chained `replace` projections (Catalyst collapses them into
+    * ONE projection — a fixed-depth expression, not a loop at
+    * execution time), and the resulting subword stream is ranked:
+    * top-20 subword tokens by weighted frequency. This is the
+    * composed property the merge table alone can't pin: the APPLIED
+    * segmentation must produce exactly the vocabulary the oracle's
+    * replayed chain produces. Scale: one corpus wordcount feeds both
+    * training and application; everything downstream is vocab-sized;
+    * the top-20 is a partial rank over the bounded subword domain. */
+  def textBpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = load(spark, sfDir, "documents")
+    val merges = graft.ext.TextOps.bpeTrain(docs, "text", 6)
+      .orderBy(col("step")).collect().map(_.getString(1)).toSeq
+    val words = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var reps = words.select(col("cnt"),
+      array_join(split(col("w"), ""), " ").as("rep"))
+    merges.foreach { p =>
+      reps = reps.select(col("cnt"),
+        call_function("replace", col("rep"), lit(p),
+          lit(p.replace(" ", ""))).as("rep"))
+    }
+    // rank-filter on the UNCAST row_number (the qHeavyHitters idiom:
+    // the partial top-k rewrite must see the raw rank), cast after
+    reps.select(col("cnt"), explode(tokens(col("rep"))).as("tok"))
+      .groupBy(col("tok")).agg(sum(col("cnt")).as("n"))
+      .withColumn("rk0", row_number().over(
+        Window.orderBy(col("n").desc, col("tok"))))
+      .filter(col("rk0") <= 20)
+      .select(col("rk0").cast("bigint").as("rk"), col("tok"), col("n"))
+  }
+
   /** DATA CARD — the corpus-composition table every dataset release
     * publishes (docs, tokens, and the exact integer token share per
     * (lang, source) cell, ranked by volume): one map-side-combined
@@ -1660,6 +1695,7 @@ object TextQueries {
     "curate_data_card" -> (curateDataCard _),
     "text_bpe_merge_step" -> (textBpeMergeStep _),
     "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_apply" -> (textBpeApply _),
     "curate_gopher" -> (curateGopher _),
     "curate_domain_cap" -> (curateDomainCap _),
     "curate_mix" -> (curateMix _),
@@ -1701,7 +1737,7 @@ object TextQueries {
     * argmax, rewrite, fertility fold. MATERIALIZED on each round's
     * vocab and argmax (each is referenced 2–3×; DuckDB would otherwise
     * re-derive the whole chain per reference). */
-  private def bpeTrainOracleSql(steps: Int): String = {
+  private def bpeChainSql(steps: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH words AS (SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS cnt
               |  FROM (SELECT unnest($toksSql) AS token FROM documents)
@@ -1726,10 +1762,28 @@ object TextQueries {
                 |    // CAST(SUM(cnt) AS BIGINT) AS fertility_milli
                 |  FROM r$k)""".stripMargin
     }
-    sb ++= (1 to steps).map(k => s"SELECT * FROM f$k")
-      .mkString("\n", "\nUNION ALL ", "")
     sb.toString
   }
+
+  private def bpeTrainOracleSql(steps: Int): String =
+    bpeChainSql(steps) + (1 to steps).map(k => s"SELECT * FROM f$k")
+      .mkString("\n", "\nUNION ALL ", "")
+
+  /** The text_bpe_apply oracle: the SAME unrolled chain, read out as
+    * the applied segmentation — explode round `steps`' vocab into
+    * subword tokens, weight by word count, top-20 (n desc, tok asc).
+    * The unreferenced f* CTEs of the shared chain are never evaluated. */
+  private def bpeApplyOracleSql(steps: Int): String =
+    bpeChainSql(steps) +
+      s"""
+         |SELECT rk, tok, n FROM (
+         |  SELECT tok, n, CAST(row_number() OVER (ORDER BY n DESC, tok)
+         |    AS BIGINT) AS rk
+         |  FROM (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS n
+         |    FROM (SELECT cnt, unnest(list_filter(string_split(rep, ' '),
+         |      t -> t <> '')) AS tok FROM r$steps)
+         |    GROUP BY 1))
+         |WHERE rk <= 20""".stripMargin
 
   private def markerSql(ws: Seq[String]): String =
     s"CAST(len(list_filter($toksSql, t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
@@ -2138,6 +2192,7 @@ object TextQueries {
          |    AS BIGINT) AS rnk
          |FROM g, t""".stripMargin,
     "text_bpe_train" -> bpeTrainOracleSql(6),
+    "text_bpe_apply" -> bpeApplyOracleSql(6),
     "text_bpe_merge_step" ->
       s"""WITH words AS (SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS cnt
          |               FROM (SELECT unnest($toksSql) AS token FROM documents)

@@ -139,7 +139,9 @@ class DeterminismSpec extends AnyFunSuite {
     // round-14 additions with partitioning-sensitive machinery:
     "geo_region_join",   // broadcast cell cover + winding forall + anti-join
     "sim_index_persist", // reopened bucketed index + broadcast ADC join
-    "text_bpe_train")    // looped vocab argmax + rewrite + fertility folds
+    "text_bpe_train",    // looped vocab argmax + rewrite + fertility folds
+    "sim_index_delta",   // index union on-the-fly delta codes + ADC rank
+    "text_bpe_apply")    // replayed merge chain + weighted subword top-20
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
