@@ -90,6 +90,49 @@ object DedupQueries {
     * computes fixed-width band rows in one scan — candidates meet in
     * the broadcast hash join, never all-pairs — and only candidate
     * docs ship their fps arrays into the verify. */
+  /** Persisted EXACT-dedup index lifecycle — the fingerprint twin of
+    * [[graft.queries.SimQueries]]' sim_index_persist: the corpus
+    * fingerprint index (fp → occurrence count) is WRITTEN ONCE as a
+    * catalog table bucketed by fp ([[graft.ext.LayoutOps
+    * .bucketedTable]]) and the admission screen of a fresh batch runs
+    * against the REOPENED table: the batch shuffles ONCE to the
+    * index's bucket partitioning, the index side joins with ZERO
+    * exchanges (the bucketed scan already reports
+    * HashPartitioning(fp)), and the within-batch dedup window reuses
+    * the join's fp partitioning — one exchange in the whole plan
+    * (PlanSpec-pinned). Output and oracle are IDENTICAL to
+    * [[dedupIncremental]] (the from-scratch spelling): the green hash
+    * is the admission-from-index == admission-from-scratch proof.
+    * This is the shape a 100 TB ingest gate runs every batch — the
+    * corpus-sized index scan is paid at layout time, each batch pays
+    * only its own shuffle. */
+  def dedupIndexPersist(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.LayoutOps
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val d = docs(spark, sfDir)
+    val idx = LayoutOps.bucketedTable(
+      d.select(fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(count(lit(1)).as("n_corpus")),
+      s"graft_fp_index_$tag", "fp", buckets = 8)
+    val batch = d.select((col("doc_id") + SHIFT).as("doc_id"), col("text"))
+      .unionAll(d.select((col("doc_id") + 2 * SHIFT).as("doc_id"),
+        firstTokenDropped.as("text")))
+      .unionAll(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 3 * SHIFT).as("doc_id"), col("text")))
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    // join FIRST (batch co-partitions to the index buckets), window
+    // AFTER (it reuses the join's fp partitioning — no second
+    // exchange); `merge` pins SMJ so the exchange-free index side is
+    // visible even at test scale where AQE would broadcast.
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    batch.hint("merge").join(idx, Seq("fp"), "left")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
+        (col("rk") > 1).as("dup_in_batch"),
+        (coalesce(col("n_corpus"), lit(0L)) > 0 || col("rk") > 1).as("is_dup"))
+  }
+
   def curateDecontaminateNear(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     def sigs(df: DataFrame) = df.select(col("doc_id"),
@@ -790,6 +833,7 @@ object DedupQueries {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_cluster_histogram" -> (dedupClusterHistogram _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_index_persist" -> (dedupIndexPersist _),
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_edit_within" -> (dedupEditWithin _),
     "curate_decontaminate_near" -> (curateDecontaminateNear _),
@@ -816,6 +860,24 @@ object DedupQueries {
   private val shinglesSql =
     s"CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1), " +
       s"i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE [] END"
+
+  /** Shared by dedup_incremental (from-scratch) and dedup_index_persist
+    * (from the persisted bucketed index) — one spelling, two plans. */
+  private lazy val incrementalOracleSql: String =
+    s"""WITH cf AS (SELECT ${fpFold("text")} AS fp, COUNT(*) AS n_corpus
+       |           FROM documents GROUP BY 1),
+       |batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+       |          UNION ALL SELECT doc_id + 2000000,
+       |            substr(text, strpos(text, ' ') + 1) FROM documents
+       |          UNION ALL SELECT doc_id + 3000000, text FROM documents
+       |          WHERE doc_id % 5 = 0),
+       |bf AS (SELECT doc_id, ${fpFold("text")} AS fp FROM batch),
+       |r AS (SELECT doc_id, fp, CAST(row_number() OVER (PARTITION BY fp
+       |        ORDER BY doc_id) AS BIGINT) AS rk FROM bf)
+       |SELECT r.doc_id, r.fp, COALESCE(n_corpus, 0) AS n_corpus,
+       |       rk > 1 AS dup_in_batch,
+       |       COALESCE(n_corpus, 0) > 0 OR rk > 1 AS is_dup
+       |FROM r LEFT JOIN cf USING (fp)""".stripMargin
 
   /** k-token window strings (the general form of [[shinglesSql]]) —
     * space-joined so the fold matches ShingleFpsExpr exactly. */
@@ -1064,21 +1126,11 @@ object DedupQueries {
          |        JOIN (SELECT doc_id AS bench_id, fps AS fps_b FROM bfp) USING (bench_id))
          |SELECT doc_id, COUNT(*) AS n_bench_near, MAX(jaccard) AS max_jaccard
          |FROM ver WHERE jaccard >= 0.5 GROUP BY doc_id""".stripMargin,
-    "dedup_incremental" ->
-      s"""WITH cf AS (SELECT ${fpFold("text")} AS fp, COUNT(*) AS n_corpus
-         |           FROM documents GROUP BY 1),
-         |batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
-         |          UNION ALL SELECT doc_id + 2000000,
-         |            substr(text, strpos(text, ' ') + 1) FROM documents
-         |          UNION ALL SELECT doc_id + 3000000, text FROM documents
-         |          WHERE doc_id % 5 = 0),
-         |bf AS (SELECT doc_id, ${fpFold("text")} AS fp FROM batch),
-         |r AS (SELECT doc_id, fp, CAST(row_number() OVER (PARTITION BY fp
-         |        ORDER BY doc_id) AS BIGINT) AS rk FROM bf)
-         |SELECT r.doc_id, r.fp, COALESCE(n_corpus, 0) AS n_corpus,
-         |       rk > 1 AS dup_in_batch,
-         |       COALESCE(n_corpus, 0) > 0 OR rk > 1 AS is_dup
-         |FROM r LEFT JOIN cf USING (fp)""".stripMargin,
+    "dedup_incremental" -> incrementalOracleSql,
+    // dedup_index_persist: Spark admits against the reopened bucketed
+    // fingerprint table; the oracle is the identical from-scratch
+    // spelling — the green hash proves index == scratch.
+    "dedup_index_persist" -> incrementalOracleSql,
     "dedup_substring" ->
       s"""WITH corpus AS ($corpusNearSql),
          |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),

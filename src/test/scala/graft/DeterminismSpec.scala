@@ -141,7 +141,8 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_index_persist", // reopened bucketed index + broadcast ADC join
     "text_bpe_train",    // looped vocab argmax + rewrite + fertility folds
     "sim_index_delta",   // index union on-the-fly delta codes + ADC rank
-    "text_bpe_apply")    // replayed merge chain + weighted subword top-20
+    "text_bpe_apply",    // replayed merge chain + weighted subword top-20
+    "dedup_index_persist") // bucketed fp index join + window partition reuse
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -2038,6 +2038,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_index_persist: one exchange total — index side joins bucket-partitioned, window reuses it") {
+    // The admission plan's contract: the reopened fingerprint table
+    // joins from its bucket partitioning (no exchange above its scan),
+    // the batch pays the single shuffle, and the within-batch window
+    // reuses the join's fp partitioning instead of adding a second
+    // exchange. AQE off for a countable non-adaptive tree.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("dedup_index_persist")(spark, sf)
+        .queryExecution.executedPlan
+      def count(n: org.apache.spark.sql.execution.SparkPlan, name: String): Int =
+        n.collect { case x if x.nodeName.contains(name) => x }.size
+      assert(count(p, "Exchange") == 1,
+        s"exactly one exchange (the batch side) may appear:\n$p")
+      assert(count(p, "SortMergeJoin") == 1, s"the admission join must be SMJ:\n$p")
+      assert(p.toString.contains("graft_fp_index"),
+        s"the index must read from the bucketed table:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      graft.ext.DedupOps.releaseCaches()
+    }
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
