@@ -262,27 +262,38 @@ object GeoQueries {
     * the cell cover's 100% recall. At 100 TB the pattern holds: covers
     * grow with region count (broadcastable for any real catalog), the
     * point side never shuffles before the aggregate. */
-  def geoRegionJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Region-membership candidates → exact containment for ANY
+    * (vec_id, px, py) relation — batch or STREAMING (pure projections
+    * plus stream-static broadcast equi-joins, both streaming-legal):
+    * home-cell equi-join against the broadcast bbox cell cover, then
+    * the exact integer winding test over the broadcast edge catalog.
+    * Shared by [[geoRegionJoin]] and the streaming twin
+    * [[graft.streaming.GraftStream.regionMembers]] — ONE containment
+    * definition, two execution modes, parity-tested. */
+  def regionMembership(pts: DataFrame, cell: Long): DataFrame = {
+    val spark = pts.sparkSession
     import spark.implicits._
-    val C = 200L
-    val p = graft.core.QueryCaches.track(points(spark, sfDir))
     val coverRows = for {
       (rid, vs) <- regions
-      gx <- (vs.map(_._1).min / C) to (vs.map(_._1).max / C)
-      gy <- (vs.map(_._2).min / C) to (vs.map(_._2).max / C)
+      gx <- (vs.map(_._1).min / cell) to (vs.map(_._1).max / cell)
+      gy <- (vs.map(_._2).min / cell) to (vs.map(_._2).max / cell)
     } yield (gx, gy, rid)
     val cover = coverRows.toDF("gx", "gy", "region_id")
     val edgeCat = regions.map { case (rid, vs) => (rid, regionEdges(vs)) }
       .toDF("region_id", "edges")
-    val home = p.select(col("vec_id"), col("px"), col("py"),
-      expr(s"px div $C").as("gx"), expr(s"py div $C").as("gy"))
-    val inside = graft.core.QueryCaches.track(home
+    pts.select(col("vec_id"), col("px"), col("py"),
+        expr(s"px div $cell").as("gx"), expr(s"py div $cell").as("gy"))
       .join(broadcast(cover), Seq("gx", "gy"))
       .join(broadcast(edgeCat), Seq("region_id"))
       .filter(forall(col("edges"), e =>
         (e.getField("_3") - e.getField("_1")) * (col("py") - e.getField("_2")) -
           (e.getField("_4") - e.getField("_2")) * (col("px") - e.getField("_1")) >= 0))
-      .select(col("region_id"), col("vec_id"), col("px"), col("py")))
+      .select(col("region_id"), col("vec_id"), col("px"), col("py"))
+  }
+
+  def geoRegionJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = graft.core.QueryCaches.track(points(spark, sfDir))
+    val inside = graft.core.QueryCaches.track(regionMembership(p, 200L))
     val perRegion = inside.groupBy(col("region_id"))
       .agg(count(lit(1)).as("n_points"),
         expr("(1000 * sum(px)) div count(*)").as("cx_milli"),

@@ -443,6 +443,23 @@ object GraftStream {
     * above is for pairs whose larger-id member is admitted. Emits
     * (id_a, id_b, d2) with d2 the integer squared Euclidean distance
     * ≤ radius². */
+  /** Streaming point-in-region containment — the unbounded twin of
+    * the batch geo_region_join: each arriving point joins the
+    * BROADCAST cell cover on its home cell and pays the exact integer
+    * winding test only for cover candidates
+    * ([[graft.queries.GeoQueries.regionMembership]] verbatim — one
+    * containment definition for both modes). STATELESS (projection +
+    * stream-static broadcast equi-joins), so stream == batch holds at
+    * every prefix regardless of chunking — the geofence/alerting shape:
+    * points flow, the region catalog sits broadcast, membership rows
+    * (region_id, vec_id, px, py) emit per micro-batch. */
+  def regionMembers(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, cell: Long = 200L): DataFrame =
+    graft.queries.GeoQueries.regionMembership(
+      df.select(col(idCol).cast("long").as("vec_id"),
+        col(xCol).cast("long").as("px"), col(yCol).cast("long").as("py")),
+      cell)
+
   def gridCandidates(df: DataFrame, idCol: String, xCol: String, yCol: String,
       radius: Long, maxCell: Int = 64,
       stateTtl: String = "30 minutes"): Dataset[(Long, Long, Long)] = {

@@ -1520,6 +1520,44 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${got.size} pairs vs batch ${batch.size}")
   }
 
+  test("streaming region containment: regionMembers equals the batch membership under any chunking") {
+    // The geofence twin is STATELESS (broadcast cover + winding test),
+    // so parity must hold exactly at every prefix — here the full-set
+    // check after three shuffled chunks, against the shared
+    // regionMembership definition run in batch mode.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val pts = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        (expr("CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) * 1000.0) AS BIGINT)")
+          + lit(2000L)).as("px"),
+        (expr("CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE) * 1000.0) AS BIGINT)")
+          + lit(2000L)).as("py"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.queries.GeoQueries.regionMembership(
+        pts.toDF("vec_id", "px", "py"), 200L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val data = new scala.util.Random(23).shuffle(pts)
+    val in = MemoryStream[(Long, Long, Long)]
+    val rows = new ConcurrentLinkedQueue[(Long, Long)]()
+    val q = GraftStream.regionMembers(
+        in.toDF().toDF("vec_id", "px", "py"), "vec_id", "px", "py")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        b.collect().foreach(r => rows.add((r.getLong(0), r.getLong(1)))); ()
+      })
+      .start()
+    data.grouped((data.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(Long, Long)]).toSet
+    assert(batch.nonEmpty && got == batch,
+      s"stream ${got.size} memberships vs batch ${batch.size}")
+  }
+
   test("streaming NB model maintenance by composition: token folds equal the batch model") {
     // text_nb_langid's model is (lang, token) counts — a monotone sum,
     // so the classifier's training state is stream-maintainable through
