@@ -223,6 +223,111 @@ object GeoQueries {
       .groupBy(col("z"), col("tx"), col("ty"))
       .agg(count(lit(1)).as("n_points"))
 
+  /** Convex-hull boundary points — the spatial extent/outlier readout
+    * (which documents sit on the corpus's geographic frontier), done
+    * the two-phase scale way instead of a driver-side hull:
+    *
+    * Phase 1, the Akl–Toussaint prune: ONE distributed pass computes
+    * four directional extremes as packed BIGINT keys (px·2²²+py for
+    * W/E, py·2²²+px for S/N — lexicographic min/max, so ties resolve
+    * identically in both engines without an argmin), and a second
+    * map-only pass keeps exactly the points NOT strictly inside the
+    * CCW quadrilateral W→S→E→N (four integer cross-product sign
+    * tests against a 1-row broadcast). Every hull-boundary point
+    * survives for ANY quad-corner tie choice — strictly-inside-quad ⇒
+    * strictly-inside-hull — so the prune is conservative by
+    * construction; empirically it keeps tens of points per thousands.
+    *
+    * Phase 2, exact on the pruned set: p lies ON the hull boundary
+    * iff some directed line p→q (q a survivor) has EVERY survivor
+    * weakly left (cross ≥ 0). This is the collinearity-ROBUST
+    * definition — edge-interior collinear points (present in this
+    * snapped-grid corpus) are boundary points with a well-defined
+    * witness, where a strict-corner test would be tie-fragile. The
+    * O(m²) supporting-line candidates anti-join the O(m) witness
+    * relation (both sides broadcast — survivor cardinality is
+    * frontier-scale, not corpus-scale), so the cubic work never
+    * touches the full relation. The oracle spells the identical
+    * NOT-EXISTS over the identically-pruned set; validated externally
+    * against an Andrew-monotone-chain hull at sf0.001 (exact vertex
+    * set match). At 100 TB the prune stays one scan + one broadcast
+    * stitch; if the frontier itself grew pathological, per-partition
+    * partial hulls (mergeable, associative) are the next lever —
+    * documented, not needed at any tested density. */
+  def geoConvexHull(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 4194304L // 2^22 > any shifted milli-grid coordinate
+    val p = graft.core.QueryCaches.track(points(spark, sfDir))
+    val ext = p.agg(
+        min(col("px") * K + col("py")).as("kw"),
+        max(col("px") * K + col("py")).as("ke"),
+        min(col("py") * K + col("px")).as("ks"),
+        max(col("py") * K + col("px")).as("kn"))
+      .select(
+        expr(s"kw div $K").as("wx"), expr(s"kw % $K").as("wy"),
+        expr(s"ke div $K").as("ex"), expr(s"ke % $K").as("ey"),
+        expr(s"ks % $K").as("sx"), expr(s"ks div $K").as("sy"),
+        expr(s"kn % $K").as("nx"), expr(s"kn div $K").as("ny"))
+    def leftOf(x1: Column, y1: Column, x2: Column, y2: Column) =
+      (x2 - x1) * (col("py") - y1) - (y2 - y1) * (col("px") - x1) > 0
+    val surv = graft.core.QueryCaches.track(
+      p.crossJoin(broadcast(ext))
+        .filter(!(leftOf(col("wx"), col("wy"), col("sx"), col("sy")) &&
+          leftOf(col("sx"), col("sy"), col("ex"), col("ey")) &&
+          leftOf(col("ex"), col("ey"), col("nx"), col("ny")) &&
+          leftOf(col("nx"), col("ny"), col("wx"), col("wy"))))
+        .select(col("vec_id"), col("px"), col("py")))
+    val pairs = surv.select(col("vec_id").as("ia"), col("px").as("ax"),
+        col("py").as("ay"))
+      .join(broadcast(surv.select(col("vec_id").as("ib"), col("px").as("bx"),
+        col("py").as("by"))), col("ia") =!= col("ib"))
+    val supporting = pairs.join(
+      broadcast(surv.select(col("vec_id").as("ir"), col("px").as("rx"),
+        col("py").as("ry"))),
+      col("ir") =!= col("ia") && col("ir") =!= col("ib") &&
+        (col("bx") - col("ax")) * (col("ry") - col("ay")) -
+          (col("by") - col("ay")) * (col("rx") - col("ax")) < 0,
+      "left_anti")
+    surv.join(broadcast(supporting.select(col("ia")).distinct()),
+        col("vec_id") === col("ia"), "left_semi")
+      .select(col("vec_id"), col("px"), col("py"))
+  }
+
+  /** The facility catalog for [[geoVoronoi]]: six literal service
+    * points spread over the occupied milli-grid — small by contract
+    * (a facility catalog is always broadcastable), overlapping
+    * coverage on purpose. */
+  private val facilities: Seq[(Long, Long, Long)] = Seq(
+    (1L, 1600L, 1700L), (2L, 1800L, 2200L), (3L, 2000L, 1900L),
+    (4L, 2200L, 1600L), (5L, 2300L, 2300L), (6L, 1500L, 2000L))
+
+  /** Voronoi / nearest-facility assignment — every point assigned to
+    * its closest catalog facility, with per-facility load, mean and
+    * max squared distance (the coverage radius), and assigned-mass
+    * centroid. The 100 TB plan is the pillar's best case: the argmin
+    * is a PROJECTION — `least` over six (d², facility_id) structs
+    * compiled from the literal catalog, lexicographic struct order =
+    * deterministic (distance, id) tie-break — so the point relation
+    * never joins and never shuffles; only six partial-aggregate rows
+    * per map task cross the exchange. The oracle spells the quadratic
+    * cross-join + rank-1 argmin the projection avoids. All integer
+    * (sums, truncating divisions) — nothing crosses an engine
+    * boundary as a float. */
+  def geoVoronoi(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = points(spark, sfDir).select(
+      col("px"), col("py"),
+      least(facilities.map { case (fid, fx, fy) =>
+        struct(((col("px") - fx) * (col("px") - fx) +
+          (col("py") - fy) * (col("py") - fy)).as("d2"),
+          lit(fid).as("fid"))
+      }: _*).as("m"))
+    assigned.groupBy(col("m.fid").as("facility_id"))
+      .agg(count(lit(1)).as("n_points"),
+        expr("sum(m.d2) div count(*)").as("mean_d2"),
+        max(col("m.d2")).as("max_d2"),
+        expr("(1000 * sum(px)) div count(*)").as("cx_milli"),
+        expr("(1000 * sum(py)) div count(*)").as("cy_milli"))
+  }
+
   /** The region catalog for [[geoRegionJoin]]: four CONVEX CCW
     * polygons (triangle, quad, hexagon, square) on the milli-grid,
     * overlapping on purpose (a point can belong to several regions —
@@ -329,7 +434,9 @@ object GeoQueries {
     "geo_knn" -> (geoKnn _),
     "geo_hotspot" -> (geoHotspot _),
     "geo_pyramid" -> (geoPyramid _),
-    "geo_region_join" -> (geoRegionJoin _))
+    "geo_region_join" -> (geoRegionJoin _),
+    "geo_convex_hull" -> (geoConvexHull _),
+    "geo_voronoi" -> (geoVoronoi _))
 
   val oracleSql: Map[String, String] = Map(
     "geo_radius_join" ->
@@ -443,5 +550,50 @@ object GeoQueries {
          |    (1000 * CAST(SUM(py) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
          |      AS cy_milli
          |  FROM p WHERE vec_id NOT IN (SELECT vec_id FROM m))
-         |SELECT * FROM per_r UNION ALL SELECT * FROM outs""".stripMargin)
+         |SELECT * FROM per_r UNION ALL SELECT * FROM outs""".stripMargin,
+    "geo_convex_hull" ->
+      s"""WITH $pSql,
+         |ext AS (SELECT
+         |    min(px * 4194304 + py) AS kw, max(px * 4194304 + py) AS ke,
+         |    min(py * 4194304 + px) AS ks, max(py * 4194304 + px) AS kn
+         |  FROM p),
+         |e2 AS (SELECT kw // 4194304 AS wx, kw % 4194304 AS wy,
+         |    ke // 4194304 AS ex, ke % 4194304 AS ey,
+         |    ks % 4194304 AS sx, ks // 4194304 AS sy,
+         |    kn % 4194304 AS nx, kn // 4194304 AS ny FROM ext),
+         |surv AS MATERIALIZED (SELECT p.* FROM p, e2
+         |  WHERE NOT (
+         |    (sx - wx) * (py - wy) - (sy - wy) * (px - wx) > 0 AND
+         |    (ex - sx) * (py - sy) - (ey - sy) * (px - sx) > 0 AND
+         |    (nx - ex) * (py - ey) - (ny - ey) * (px - ex) > 0 AND
+         |    (wx - nx) * (py - ny) - (wy - ny) * (px - nx) > 0)),
+         |good AS (SELECT DISTINCT a.vec_id
+         |  FROM surv a JOIN surv b ON a.vec_id <> b.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM surv r
+         |    WHERE r.vec_id <> a.vec_id AND r.vec_id <> b.vec_id
+         |      AND (b.px - a.px) * (r.py - a.py) -
+         |          (b.py - a.py) * (r.px - a.px) < 0))
+         |SELECT s.vec_id, s.px, s.py
+         |FROM surv s JOIN good g ON s.vec_id = g.vec_id""".stripMargin,
+    "geo_voronoi" -> {
+      val facValues = facilities.map { case (fid, fx, fy) =>
+        s"($fid, $fx, $fy)" }.mkString(", ")
+      s"""WITH $pSql,
+         |f(fid, fx, fy) AS (VALUES $facValues),
+         |a AS (SELECT vec_id, px, py, fid,
+         |    (px - fx) * (px - fx) + (py - fy) * (py - fy) AS d2,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY (px - fx) * (px - fx) + (py - fy) * (py - fy), fid)
+         |      AS rk
+         |  FROM p CROSS JOIN f)
+         |SELECT CAST(fid AS BIGINT) AS facility_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_points,
+         |  CAST(SUM(d2) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_d2,
+         |  CAST(MAX(d2) AS BIGINT) AS max_d2,
+         |  (1000 * CAST(SUM(px) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+         |    AS cx_milli,
+         |  (1000 * CAST(SUM(py) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+         |    AS cy_milli
+         |FROM a WHERE rk = 1 GROUP BY 1""".stripMargin
+    })
 }

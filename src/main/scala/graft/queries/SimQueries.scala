@@ -1834,7 +1834,63 @@ object SimQueries {
         expr("(1000 * found_refined) div n_truth").as("recall_refined_milli"))
   }
 
+  /** Best decision-stump split per embedding dimension — the label-
+    * separability audit (which feature carries class signal, and
+    * where to cut it), done the gradient-boosting HISTOGRAM way: the
+    * only corpus-scale pass bins each of the first four dimensions to
+    * a 250-milli grid and map-side-combines (d, bin, label) counts —
+    * a ≤ 4·18·10-key shuffle regardless of corpus size, the exact
+    * XGBoost/LightGBM approximate-split trick. Everything after runs
+    * on that bounded histogram: candidate boundaries b ∈ 1..17 join
+    * bins < b for left-class counts, and the split score is the
+    * weighted-Gini MAXIMAND spelled as one exact integer fraction —
+    * maximizing Σc_L²/n_L + Σc_R²/n_R is minimizing weighted Gini, so
+    * score_num = Σc_L²·n_R + Σc_R²·n_L over score_den = n_L·n_R, both
+    * emitted (bounded by n³ — overflow-safe for any gate corpus; a
+    * 100 TB run orders by the same double ratio, which is all the
+    * argmax needs). The per-dimension argmax orders by that ratio's
+    * ONE IEEE division (identically rounded in both engines) with the
+    * boundary index as the deterministic tie-break. Degenerate
+    * one-sided splits (n_L = 0 or n_R = 0) are excluded before
+    * ranking in both spellings. */
+  def simSplitGain(spark: SparkSession, sfDir: String): DataFrame = {
+    val binned = emb(spark, sfDir).select(col("label").cast("long").as("label"),
+        posexplode(array((1 to 4).map(d => expr(
+          s"(CAST(floor(CAST(element_at(embedding, $d) AS DOUBLE) * 1000.0)" +
+            " AS BIGINT) + 2000) div 250")): _*)))
+      .select((col("pos") + 1).cast("long").as("d"), col("col").as("bin"),
+        col("label"))
+    val hist = graft.core.QueryCaches.track(
+      binned.groupBy(col("d"), col("bin"), col("label"))
+        .agg(count(lit(1)).as("c")))
+    val tot = hist.groupBy(col("d"), col("label")).agg(sum(col("c")).as("t"))
+    val bounds = spark.range(1, 18).select(col("id").as("b"))
+    val leftc = hist.join(broadcast(bounds), col("bin") < col("b"))
+      .groupBy(col("d"), col("b"), col("label")).agg(sum(col("c")).as("cl0"))
+    val full = tot.crossJoin(broadcast(bounds))
+      .join(broadcast(leftc), Seq("d", "b", "label"), "left")
+      .select(col("d"), col("b"), col("t"),
+        coalesce(col("cl0"), lit(0L)).as("cl"))
+    full.groupBy(col("d"), col("b"))
+      .agg(sum(col("cl")).as("n_left"),
+        sum(col("t") - col("cl")).as("n_right"),
+        sum(col("cl") * col("cl")).as("sl"),
+        sum((col("t") - col("cl")) * (col("t") - col("cl"))).as("sr"))
+      .filter(col("n_left") > 0 && col("n_right") > 0)
+      .select(col("d"), col("b"), col("n_left"), col("n_right"),
+        (col("sl") * col("n_right") + col("sr") * col("n_left"))
+          .as("score_num"),
+        (col("n_left") * col("n_right")).as("score_den"))
+      .withColumn("rk0", row_number().over(Window.partitionBy(col("d"))
+        .orderBy((col("score_num").cast("double") /
+          col("score_den").cast("double")).desc, col("b"))))
+      .filter(col("rk0") <= 1)
+      .select(col("d").as("feature"), (col("b") * 250 - 2000).as("t_milli"),
+        col("n_left"), col("n_right"), col("score_num"), col("score_den"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_split_gain" -> (simSplitGain _),
     "sim_hits" -> (simHits _),
     "sim_adamic_adar" -> (simAdamicAdar _),
     "sim_assortativity" -> (simAssortativity _),
@@ -1986,6 +2042,40 @@ object SimQueries {
        |      WHERE f.vec_id < f.nbr_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "sim_split_gain" ->
+      """WITH h AS MATERIALIZED (SELECT CAST(dd.d AS BIGINT) AS d,
+        |    (CAST(floor(CAST(embedding[dd.d] AS DOUBLE) * 1000.0) AS BIGINT)
+        |      + 2000) // 250 AS bin,
+        |    CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM embeddings CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS d) dd
+        |  GROUP BY 1, 2, 3),
+        |tot AS (SELECT d, label, CAST(SUM(c) AS BIGINT) AS t
+        |  FROM h GROUP BY 1, 2),
+        |bounds AS (SELECT CAST(b AS BIGINT) AS b FROM generate_series(1, 17) g(b)),
+        |leftc AS (SELECT d, b, label, CAST(SUM(c) AS BIGINT) AS cl0
+        |  FROM h JOIN bounds ON h.bin < bounds.b GROUP BY 1, 2, 3),
+        |fl AS (SELECT tot.d, bounds.b, tot.t,
+        |    COALESCE(leftc.cl0, 0) AS cl
+        |  FROM tot CROSS JOIN bounds
+        |  LEFT JOIN leftc ON leftc.d = tot.d AND leftc.b = bounds.b
+        |    AND leftc.label = tot.label),
+        |per AS (SELECT d, b,
+        |    CAST(SUM(cl) AS BIGINT) AS n_left,
+        |    CAST(SUM(t - cl) AS BIGINT) AS n_right,
+        |    CAST(SUM(cl * cl) AS BIGINT) AS sl,
+        |    CAST(SUM((t - cl) * (t - cl)) AS BIGINT) AS sr
+        |  FROM fl GROUP BY 1, 2
+        |  HAVING SUM(cl) > 0 AND SUM(t - cl) > 0),
+        |scored AS (SELECT d, b, n_left, n_right,
+        |    sl * n_right + sr * n_left AS score_num,
+        |    n_left * n_right AS score_den,
+        |    row_number() OVER (PARTITION BY d ORDER BY
+        |      CAST(sl * n_right + sr * n_left AS DOUBLE) /
+        |      CAST(n_left * n_right AS DOUBLE) DESC, b) AS rk
+        |  FROM per)
+        |SELECT d AS feature, b * 250 - 2000 AS t_milli, n_left, n_right,
+        |  score_num, score_den
+        |FROM scored WHERE rk = 1""".stripMargin,
     "sim_hits" ->
       s"""WITH b AS MATERIALIZED (SELECT vec_id, embedding,
          |       ${srpSql("embedding", 4)} AS bucket FROM embeddings),

@@ -2072,4 +2072,29 @@ class PlanSpec extends AnyFunSuite {
     val forced = "broadcast\\((cust|supp|orders|lineitem|li|ord)\\b".r.findAllIn(src).toList
     assert(forced.isEmpty, s"forced broadcast of SF-scaled tables: $forced")
   }
+
+  test("geo_voronoi: the argmin is a projection — zero joins, one aggregate exchange") {
+    val p = plan("geo_voronoi")
+    assert(nOps(p, "BroadcastHashJoin") + nOps(p, "SortMergeJoin") +
+      nOps(p, "BroadcastNestedLoopJoin") + nOps(p, "CartesianProduct") == 0,
+      s"nearest-facility must be least() over literal structs, never a join:\n$p")
+    assert(nOps(p, "Exchange") <= 2,
+      s"only the 6-group final aggregate may shuffle:\n$p")
+  }
+
+  test("geo_convex_hull: prune is a broadcast stitch; cubic phase never sort-merges") {
+    val p = plan("geo_convex_hull")
+    assert(nOps(p, "CartesianProduct") == 0, s"no cartesian:\n$p")
+    assert(nOps(p, "SortMergeJoin") == 0,
+      s"survivor relations are frontier-scale and must broadcast:\n$p")
+  }
+
+  test("sim_split_gain: histogram is the only corpus-scale pass; no sort-merge join") {
+    val p = plan("sim_split_gain")
+    assert(nOps(p, "SortMergeJoin") == 0,
+      s"post-histogram relations are domain-bounded and must broadcast:\n$p")
+    assert(nOps(p, "CartesianProduct") == 0, s"no cartesian:\n$p")
+    // corpus is touched exactly once: one scan of embeddings
+    assert(nOps(p, "Scan parquet") <= 1, s"one embeddings scan:\n$p")
+  }
 }
