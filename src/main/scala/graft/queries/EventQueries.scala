@@ -3032,7 +3032,57 @@ object EventQueries {
           "END").as("half_life_millidays"))
   }
 
+  /** Motif discovery (matrix-profile-lite) — per event type the best
+    * NON-OVERLAPPING pair of 7-day windows by exact integer SSE over
+    * zero-filled daily counts: the "which week repeated itself"
+    * readout that seeds seasonality mining. The series materializes
+    * ONCE per type as a global-span array ([[eventsSeriesSim]]'s
+    * map_from_entries + sequence zero-fill idiom — bounds are a 1-row
+    * broadcast), windows are a slice explode over that array, and the
+    * pair relation is a per-type self-join with start_b ≥ start_a + 7
+    * — volume grows with SPAN² per type, never with event rows, so
+    * 100 TB of events over the same calendar costs exactly what the
+    * aggregate scan costs (the full matrix-profile STOMP recurrence is
+    * the documented next lever if spans reached years). The 1-per-type
+    * argmin rides the rank-1 window with (sse, start_a, start_b)
+    * tie-break; the oracle spells the identical grid join without
+    * arrays. */
+  def eventsMotif(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = loadEvents(spark, sfDir)
+      .select(col("event_type").as("t"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("t"), col("day")).agg(count(lit(1)).as("c"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("d0"), (col("d1") - col("d0") + 1).as("tt"))
+    val wins = graft.core.QueryCaches.track(
+      daily.crossJoin(broadcast(bounds))
+        .groupBy(col("t"))
+        .agg(map_from_entries(collect_list(struct(col("day"), col("c")))).as("md"),
+          first(col("d0")).as("d0"), first(col("tt")).as("tt"))
+        .select(col("t"),
+          transform(sequence(lit(0L), col("tt") - 1),
+            i => coalesce(element_at(col("md"), col("d0") + i), lit(0L))).as("cv"),
+          col("tt"))
+        .select(col("t"), explode(sequence(lit(0L), col("tt") - 7)).as("s"),
+          col("cv"))
+        .select(col("t"), col("s"),
+          expr("slice(cv, CAST(s + 1 AS INT), 7)").as("w")))
+    val sse = aggregate(
+      zip_with(col("wa"), col("wb"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    wins.select(col("t"), col("s").as("start_a"), col("w").as("wa"))
+      .join(wins.select(col("t"), col("s").as("start_b"), col("w").as("wb")),
+        Seq("t"))
+      .filter(col("start_b") >= col("start_a") + 7)
+      .select(col("t"), col("start_a"), col("start_b"), sse.as("sse"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("t"))
+          .orderBy(col("sse"), col("start_a"), col("start_b"))))
+      .filter(col("rk") === 1)
+      .select(col("t"), col("start_a"), col("start_b"), col("sse"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_motif" -> (eventsMotif _),
     "events_retention_halflife" -> (eventsRetentionHalflife _),
     "events_qte" -> (eventsQte _),
     "events_pacf" -> (eventsPacf _),
@@ -3146,6 +3196,32 @@ object EventQueries {
       |FROM i JOIN seas ON i.t = seas.t AND i.dow = seas.dow)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "events_motif" ->
+      """WITH daily AS MATERIALIZED (SELECT event_type AS t,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) - MIN(day) + 1 AS tt FROM daily),
+        |tys AS (SELECT DISTINCT t FROM daily),
+        |idx AS (SELECT CAST(unnest(range(0, tt)) AS BIGINT) AS i, d0 FROM b),
+        |grid AS MATERIALIZED (SELECT tys.t, idx.i, COALESCE(d2.c, 0) AS c
+        |  FROM tys CROSS JOIN idx
+        |  LEFT JOIN daily d2 ON d2.t = tys.t AND d2.day = idx.d0 + idx.i),
+        |starts AS (SELECT CAST(unnest(range(0, tt - 6)) AS BIGINT) AS s FROM b),
+        |pr AS (SELECT tys.t, a.s AS start_a, b2.s AS start_b
+        |  FROM tys CROSS JOIN starts a CROSS JOIN starts b2
+        |  WHERE b2.s >= a.s + 7),
+        |off AS (SELECT CAST(unnest(range(0, 7)) AS BIGINT) AS o),
+        |ss AS (SELECT pr.t, pr.start_a, pr.start_b,
+        |    CAST(SUM((ga.c - gb.c) * (ga.c - gb.c)) AS BIGINT) AS sse
+        |  FROM pr CROSS JOIN off
+        |  JOIN grid ga ON ga.t = pr.t AND ga.i = pr.start_a + off.o
+        |  JOIN grid gb ON gb.t = pr.t AND gb.i = pr.start_b + off.o
+        |  GROUP BY 1, 2, 3)
+        |SELECT t, start_a, start_b, sse FROM (
+        |  SELECT t, start_a, start_b, sse, row_number() OVER (
+        |    PARTITION BY t ORDER BY sse, start_a, start_b) AS rk
+        |  FROM ss) WHERE rk = 1""".stripMargin,
     "events_retention_halflife" -> {
       def mbSql(q: String): String =
         s"(CAST((length(bin($q)) - 1) * 1000 AS BIGINT) + " +

@@ -414,6 +414,125 @@ object GeoQueries {
     perRegion.unionAll(outside)
   }
 
+  /** Global closest pairs — the top-5 tightest point pairs by squared
+    * distance, found WITHOUT a global all-pairs pass: candidates are
+    * [[geoRadiusJoin]]'s cell-bounded relation (any pair closer than
+    * the 20-unit horizon is inside one 3×3 probe ring by
+    * construction), and the global top-5 filters the UNCAST
+    * row_number so the rank plans as a partial WindowGroupLimit —
+    * every map task pre-trims to 5 rows before the single-partition
+    * stitch, so the exchange carries 5·tasks rows, never the
+    * candidate relation. Contract: pairs beyond the horizon are out
+    * of scope (at any real density the closest pairs are far inside
+    * it; a corpus sparse enough to violate that reads [[geoHotspot]]
+    * first and widens the cell). Ties break (d2, id_a, id_b) —
+    * deterministic in both engines. */
+  def geoClosestPair(spark: SparkSession, sfDir: String): DataFrame =
+    geoRadiusJoin(spark, sfDir)
+      .withColumn("rk0", row_number().over(
+        Window.orderBy(col("d2"), col("id_a"), col("id_b"))))
+      .filter(col("rk0") <= 5)
+      .select(col("rk0").cast("bigint").as("rk"),
+        col("id_a"), col("id_b"), col("d2"))
+
+  /** Discrete kernel density — the smoothed heat-map layer: each
+    * occupied 100-cell spreads its point mass over its 3×3
+    * neighborhood with integer kernel weights (center 4, edge 2,
+    * corner 1 — a binomial-ish 2-D kernel with Σw = 16), and the
+    * top-20 densest cells report. The smear runs over the CELL
+    * relation (domain-bounded, like [[geoHotspot]]'s ring), never the
+    * points — a point contributes to its cell's count map-side and
+    * the 9-way explode touches occupied cells only; the top-20
+    * filters the uncast rank (partial WindowGroupLimit). All integer;
+    * the oracle spells the offsets as a VALUES cross join. */
+  def geoKde(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = points(spark, sfDir)
+      .select(expr("px div 100").as("cx"), expr("py div 100").as("cy"))
+      .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+    val offs = Seq(-1L, 0L, 1L)
+    cells.select(col("n"),
+        explode(array((for { dx <- offs; dy <- offs } yield
+          struct((col("cx") + lit(dx)).as("gx"), (col("cy") + lit(dy)).as("gy"),
+            lit(if (dx == 0 && dy == 0) 4L
+                else if (dx == 0 || dy == 0) 2L else 1L).as("w"))): _*)).as("g"))
+      .groupBy(col("g.gx").as("cell_x"), col("g.gy").as("cell_y"))
+      .agg(sum(col("n") * col("g.w")).as("density"))
+      .withColumn("rk0", row_number().over(
+        Window.orderBy(col("density").desc, col("cell_x"), col("cell_y"))))
+      .filter(col("rk0") <= 20)
+      .select(col("rk0").cast("bigint").as("rk"),
+        col("cell_x"), col("cell_y"), col("density"))
+  }
+
+  /** Zonal label statistics — [[geoChoropleth]]'s dominant-label
+    * readout computed per REGION instead of per cell: for each catalog
+    * polygon the contained-point count, the dominant label, its votes,
+    * and the integer purity. Containment rides [[regionMembership]]
+    * (broadcast cell cover + exact winding test — candidates never
+    * leave the point's home cell), labels arrive by one vec_id
+    * equi-join, and the argmax is the same map-side max_by over
+    * (votes, −label) — one row per (region, label) crosses the
+    * exchange, ties to the smallest label. The oracle spells the
+    * quadratic winding test + rank-1 window. */
+  def geoZonalStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = graft.core.QueryCaches.track(points(spark, sfDir))
+    val lab = load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = regionMembership(p, 200L)
+      .join(lab, "vec_id")
+      .groupBy(col("region_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    votes.groupBy(col("region_id"))
+      .agg(sum(col("votes")).as("n"),
+        max_by(col("label"), struct(col("votes"), -col("label"))).as("top_label"),
+        max(struct(col("votes"), -col("label"))).getField("votes").as("top_votes"))
+      .select(col("region_id"), col("n"), col("top_label"), col("top_votes"),
+        expr("(1000 * top_votes) div n").as("purity_milli"))
+  }
+
+  /** Local Outlier Factor — density-based anomaly scoring done the
+    * radius-bounded way: neighborhoods are [[geoKnn]]'s top-≤3 within
+    * the 50-unit ring (k-distance is DEFINED for every point that
+    * appears — an id_b row proves at least one in-radius neighbor),
+    * reachability is max(d², kdist(b)), local reachability density is
+    * the exact integer lrd_micro = n_nbrs·10⁶ div Σreach, and the LOF
+    * ratio is Σ lrd(b)·1000 div (n_nbrs · lrd(a)) — > 1000 means the
+    * point is in a sparser neighborhood than its neighbors, the
+    * classic outlier signal. The Σreach = 0 degenerate (a fully
+    * coincident neighborhood) floors to 1 micro-unit via GREATEST —
+    * spelled identically in both engines, so no division ever NULLs.
+    * Everything is candidate-bounded (≤3 rows per point after the
+    * partial-top-k trim) and the top-20 readout filters the uncast
+    * rank. The oracle spells the quadratic kNN + identical integer
+    * algebra. */
+  def geoLof(spark: SparkSession, sfDir: String): DataFrame = {
+    val knn = graft.core.QueryCaches.track(geoKnn(spark, sfDir))
+    val kd = graft.core.QueryCaches.track(
+      knn.groupBy(col("id_a")).agg(
+        count(lit(1)).as("n_nbrs"), max(col("d2")).as("kdist")))
+    val reach = knn
+      .join(kd.select(col("id_a").as("id_b"), col("kdist").as("kdist_b")), "id_b")
+      .groupBy(col("id_a"))
+      .agg(sum(greatest(col("d2"), col("kdist_b"))).as("sum_reach"))
+    val lrd = graft.core.QueryCaches.track(
+      kd.join(reach, "id_a")
+        .select(col("id_a"), col("n_nbrs"),
+          expr("(n_nbrs * 1000000) div greatest(sum_reach, CAST(1 AS BIGINT))")
+            .as("lrd_micro")))
+    knn.select(col("id_a"), col("id_b"))
+      .join(lrd.select(col("id_a").as("id_b"), col("lrd_micro").as("lrd_b")), "id_b")
+      .groupBy(col("id_a"))
+      .agg(sum(col("lrd_b")).as("sum_lrd_b"))
+      .join(lrd, "id_a")
+      .select(col("id_a").as("vec_id"), col("n_nbrs"), col("lrd_micro"),
+        expr("(sum_lrd_b * 1000) div (n_nbrs * lrd_micro)").as("lof_milli"))
+      .withColumn("rk0", row_number().over(
+        Window.orderBy(col("lof_milli").desc, col("vec_id"))))
+      .filter(col("rk0") <= 20)
+      .select(col("rk0").cast("bigint").as("rk"), col("vec_id"),
+        col("n_nbrs"), col("lrd_micro"), col("lof_milli"))
+  }
+
   private def regionEdgeValues: String =
     regions.flatMap { case (rid, vs) =>
       regionEdges(vs).map { case (x1, y1, x2, y2) =>
@@ -436,9 +555,88 @@ object GeoQueries {
     "geo_pyramid" -> (geoPyramid _),
     "geo_region_join" -> (geoRegionJoin _),
     "geo_convex_hull" -> (geoConvexHull _),
-    "geo_voronoi" -> (geoVoronoi _))
+    "geo_voronoi" -> (geoVoronoi _),
+    "geo_closest_pair" -> (geoClosestPair _),
+    "geo_kde" -> (geoKde _),
+    "geo_zonal_stats" -> (geoZonalStats _),
+    "geo_lof" -> (geoLof _))
 
   val oracleSql: Map[String, String] = Map(
+    "geo_closest_pair" ->
+      s"""WITH $pSql,
+         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) AS d2
+         |  FROM p a JOIN p b ON a.vec_id < b.vec_id
+         |  WHERE (a.px - b.px) * (a.px - b.px) +
+         |        (a.py - b.py) * (a.py - b.py) <= 400)
+         |SELECT rk, id_a, id_b, d2 FROM (
+         |  SELECT id_a, id_b, d2, CAST(row_number() OVER (
+         |    ORDER BY d2, id_a, id_b) AS BIGINT) AS rk
+         |  FROM cand) WHERE rk <= 5""".stripMargin,
+    "geo_kde" ->
+      s"""WITH $pSql,
+         |cells AS (SELECT px // 100 AS cx, py // 100 AS cy,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2),
+         |o(dx, dy, w) AS (VALUES (-1, -1, 1), (-1, 0, 2), (-1, 1, 1),
+         |  (0, -1, 2), (0, 0, 4), (0, 1, 2), (1, -1, 1), (1, 0, 2), (1, 1, 1)),
+         |d AS (SELECT cx + dx AS cell_x, cy + dy AS cell_y,
+         |    CAST(SUM(n * w) AS BIGINT) AS density
+         |  FROM cells CROSS JOIN o GROUP BY 1, 2)
+         |SELECT rk, cell_x, cell_y, density FROM (
+         |  SELECT cell_x, cell_y, density, CAST(row_number() OVER (
+         |    ORDER BY density DESC, cell_x, cell_y) AS BIGINT) AS rk
+         |  FROM d) WHERE rk <= 20""".stripMargin,
+    "geo_zonal_stats" ->
+      s"""WITH $pSql,
+         |e(region_id, x1, y1, x2, y2) AS (VALUES $regionEdgeValues),
+         |s AS (SELECT p.vec_id, e.region_id,
+         |    (e.x2 - e.x1) * (p.py - e.y1) -
+         |    (e.y2 - e.y1) * (p.px - e.x1) >= 0 AS inside_e
+         |  FROM p CROSS JOIN e),
+         |m AS (SELECT CAST(region_id AS BIGINT) AS region_id, vec_id FROM s
+         |  GROUP BY 1, 2 HAVING bool_and(inside_e)),
+         |v AS (SELECT m.region_id, CAST(emb.label AS BIGINT) AS label,
+         |    CAST(COUNT(*) AS BIGINT) AS votes
+         |  FROM m JOIN embeddings emb ON m.vec_id = emb.vec_id
+         |  GROUP BY 1, 2),
+         |t AS (SELECT region_id, label, votes,
+         |    row_number() OVER (PARTITION BY region_id
+         |      ORDER BY votes DESC, label) AS rk,
+         |    CAST(SUM(votes) OVER (PARTITION BY region_id) AS BIGINT) AS n
+         |  FROM v)
+         |SELECT region_id, n, label AS top_label, votes AS top_votes,
+         |  (1000 * votes) // n AS purity_milli
+         |FROM t WHERE rk = 1""".stripMargin,
+    "geo_lof" ->
+      s"""WITH $pSql,
+         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) AS d2
+         |  FROM p a JOIN p b ON a.vec_id <> b.vec_id
+         |  WHERE (a.px - b.px) * (a.px - b.px) +
+         |        (a.py - b.py) * (a.py - b.py) <= 2500),
+         |knn AS MATERIALIZED (SELECT id_a, id_b, d2 FROM (
+         |  SELECT id_a, id_b, d2, row_number() OVER (
+         |    PARTITION BY id_a ORDER BY d2, id_b) AS rk
+         |  FROM cand) WHERE rk <= 3),
+         |kd AS MATERIALIZED (SELECT id_a, CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+         |    CAST(MAX(d2) AS BIGINT) AS kdist
+         |  FROM knn GROUP BY 1),
+         |reach AS (SELECT knn.id_a,
+         |    CAST(SUM(GREATEST(knn.d2, b.kdist)) AS BIGINT) AS sum_reach
+         |  FROM knn JOIN kd b ON knn.id_b = b.id_a GROUP BY 1),
+         |lrd AS MATERIALIZED (SELECT kd.id_a, kd.n_nbrs,
+         |    (kd.n_nbrs * 1000000) // GREATEST(reach.sum_reach, 1) AS lrd_micro
+         |  FROM kd JOIN reach ON kd.id_a = reach.id_a),
+         |agg AS (SELECT knn.id_a, CAST(SUM(b.lrd_micro) AS BIGINT) AS sum_lrd_b
+         |  FROM knn JOIN lrd b ON knn.id_b = b.id_a GROUP BY 1),
+         |lof AS (SELECT agg.id_a AS vec_id, lrd.n_nbrs, lrd.lrd_micro,
+         |    (agg.sum_lrd_b * 1000) // (lrd.n_nbrs * lrd.lrd_micro) AS lof_milli
+         |  FROM agg JOIN lrd ON agg.id_a = lrd.id_a)
+         |SELECT rk, vec_id, n_nbrs, lrd_micro, lof_milli FROM (
+         |  SELECT vec_id, n_nbrs, lrd_micro, lof_milli, CAST(row_number() OVER (
+         |    ORDER BY lof_milli DESC, vec_id) AS BIGINT) AS rk
+         |  FROM lof) WHERE rk <= 20""".stripMargin,
     "geo_radius_join" ->
       s"""WITH $pSql
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1323,6 +1323,49 @@ object SimQueries {
     pr.select(col("id").as("vec_id"), col("pr"))
   }
 
+  /** Personalized PageRank — [[simPagerank]]'s restart mass pinned to
+    * ONE seed vertex (the smallest vec_id, a collected bounded scalar
+    * like the node count): pr' = (seed ? (15·S) div 100 : 0) +
+    * (85·Σ contrib) div 100, three rounds, identical integer algebra.
+    * This is the "related items for THIS item" ranking (random walk
+    * with restart) — global PageRank answers "important anywhere",
+    * PPR answers "important NEAR the seed". The sparsity of the walk
+    * is exploited structurally: each round joins only the POSITIVE-
+    * mass frontier against the edge list (zero-mass vertices
+    * contribute 0 div deg = 0 — dropping them is output-identical and
+    * keeps early-round shuffles at frontier width, the locality that
+    * makes PPR cheap at 100 TB where the global rank is not). The
+    * oracle spells the same three unrolled rounds without the frontier
+    * filter — the green hash proves the filter's equivalence. */
+  def simPpr(spark: SparkSession, sfDir: String): DataFrame = {
+    val Scale = 1000000000000L
+    val ids = graft.core.QueryCaches.track(
+      emb(spark, sfDir).select(col("vec_id").as("id")))
+    val m = mutualEdges(spark, sfDir)
+    val adjDeg = graft.core.QueryCaches.track(
+      m.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(m.select(col("v").as("src"), col("u").as("dst")))
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src")))))
+    val seed = ids.agg(min(col("id"))).head().getLong(0)
+    val restart = (15L * Scale) / 100L
+    var pr = ids.select(col("id"),
+      when(col("id") === seed, lit(Scale)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = adjDeg
+        .join(pr.filter(col("pr") > 0)
+          .select(col("id").as("src"), col("pr").as("ppr")), "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("ppr div deg")).as("sc"))
+        .select(col("dst").as("id"), col("sc"))
+      pr = ids.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("id") === seed, lit(restart)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("pr"))
+    }
+    pr.select(col("id").as("vec_id"), col("pr"))
+  }
+
   /** SRP bucket-occupancy histogram — the skew diagnostic that feeds
     * every maxBucket choice in this suite: how many 8-bit buckets hold
     * exactly `sz` vectors. Two map-side-combined aggregates over one
@@ -1916,6 +1959,7 @@ object SimQueries {
     "sim_label_prop" -> (simLabelProp _),
     "sim_modularity" -> (simModularity _),
     "sim_pagerank" -> (simPagerank _),
+    "sim_ppr" -> (simPpr _),
     "sim_bucket_hist" -> (simBucketHist _),
     "sim_components" -> (simComponents _),
     "sim_semantic_dedup" -> (simSemanticDedup _),
@@ -2564,6 +2608,27 @@ object SimQueries {
          |nn AS (SELECT COUNT(*) AS n_nodes FROM embeddings),
          |p0 AS (SELECT vec_id AS id, CAST(1000000000000 // n_nodes AS BIGINT) AS pr
          |       FROM embeddings, nn),
+         |$rounds
+         |SELECT id AS vec_id, pr FROM p3""".stripMargin
+    },
+    "sim_ppr" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT a.dst AS id, CAST(SUM(p.pr // d.deg) AS BIGINT) AS sc
+           |        FROM adj a JOIN dg d ON a.src = d.src
+           |        JOIN p${i - 1} p ON a.src = p.id GROUP BY a.dst),
+           |p$i AS MATERIALIZED (SELECT p${i - 1}.id AS id,
+           |          CAST(CASE WHEN p${i - 1}.id = sd.seed
+           |              THEN (15 * 1000000000000) // 100 ELSE 0 END
+           |            + (85 * COALESCE(c$i.sc, 0)) // 100 AS BIGINT) AS pr
+           |        FROM p${i - 1} LEFT JOIN c$i ON p${i - 1}.id = c$i.id, sd)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $mutualSql,
+         |adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM m UNION ALL SELECT v, u FROM m),
+         |dg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
+         |sd AS (SELECT MIN(vec_id) AS seed FROM embeddings),
+         |p0 AS (SELECT vec_id AS id, CAST(CASE WHEN vec_id = sd.seed
+         |          THEN 1000000000000 ELSE 0 END AS BIGINT) AS pr
+         |       FROM embeddings, sd),
          |$rounds
          |SELECT id AS vec_id, pr FROM p3""".stripMargin
     },

@@ -1673,7 +1673,60 @@ object TextQueries {
         expr("CASE WHEN tok_total = 0 THEN 0 " +
           "ELSE (1000 * type_total) div tok_total END").as("ttr_milli"))
 
+  /** Distributional (second-order) word similarity over PPMI context
+    * vectors — the count-based ancestor of word embeddings, exact to
+    * the bit: the top-40 vocabulary by document frequency spans the
+    * context space, co-occurrence is DOCUMENT-level set semantics
+    * (distinct (doc, token) pairs — multiplicity-free, so the count
+    * algebra stays integer), PMI rides the shared millibit fast-log
+    * (pmi = mb(c_wc·N) − mb(c_w·c_c), positive part only), and two
+    * words are similar when their PPMI context ROWS align — the
+    * integer dot product over shared contexts, top-3 per word. Plan
+    * shape at 100 TB: the vocab is a top-k broadcast (40 rows), the
+    * (doc, vocab-token) relation is corpus-bounded but 40-wide per
+    * doc max, the co-occurrence self-join is doc-keyed with V²-bounded
+    * output, and everything after the PPMI matrix (≤ V² rows) is
+    * domain-bounded — corpus size only feeds the two count scans.
+    * The frontier doc (`w1 <> w2`, both orientations kept) makes the
+    * matrix symmetric so the similarity join needs no re-orientation. */
+  def textPpmiSim(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashExprs.log2Millis
+    val d = load(spark, sfDir, "documents")
+    val tok = graft.core.QueryCaches.track(
+      d.select(col("doc_id"), explode(tokens(col("text"))).as("w")).distinct())
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("dfw"))
+      .withColumn("rk0", row_number().over(
+        Window.orderBy(col("dfw").desc, col("w"))))
+      .filter(col("rk0") <= 40).select(col("w"), col("dfw"))
+    val tv = graft.core.QueryCaches.track(tok.join(broadcast(vocab), "w"))
+    val nd = d.agg(count(lit(1)).as("n"))
+    val co = tv.select(col("doc_id"), col("w").as("w1"), col("dfw").as("df1"))
+      .join(tv.select(col("doc_id"), col("w").as("w2"), col("dfw").as("df2")),
+        "doc_id")
+      .filter(col("w1") =!= col("w2"))
+      .groupBy(col("w1"), col("w2"), col("df1"), col("df2"))
+      .agg(count(lit(1)).as("cwc"))
+    val pp = graft.core.QueryCaches.track(
+      co.crossJoin(broadcast(nd))
+        .select(col("w1"), col("w2"),
+          (log2Millis(col("cwc") * col("n")) -
+            log2Millis(col("df1") * col("df2"))).as("pmi"))
+        .filter(col("pmi") > 0))
+    pp.select(col("w1").as("w"), col("w2").as("c"), col("pmi").as("pa"))
+      .join(pp.select(col("w1").as("other"), col("w2").as("c"),
+        col("pmi").as("pb")), "c")
+      .filter(col("w") =!= col("other"))
+      .groupBy(col("w"), col("other"))
+      .agg(sum(col("pa") * col("pb")).as("dot"))
+      .withColumn("rk0", row_number().over(
+        Window.partitionBy(col("w")).orderBy(col("dot").desc, col("other"))))
+      .filter(col("rk0") <= 3)
+      .select(col("w"), col("rk0").cast("bigint").as("rk"), col("other"),
+        col("dot"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ppmi_sim" -> (textPpmiSim _),
     "text_nb_langid" -> (textNbLangid _),
     "text_langid_margin" -> (textLangidMargin _),
     "text_stopword_disco" -> (textStopwordDisco _),
@@ -1847,6 +1900,37 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "text_ppmi_sim" -> {
+      def mbSql(q: String): String =
+        s"(CAST((length(bin($q)) - 1) * 1000 AS BIGINT) + " +
+          s"(($q - (CAST(1 AS BIGINT) << (length(bin($q)) - 1))) * 1000) // " +
+          s"(CAST(1 AS BIGINT) << (length(bin($q)) - 1)))"
+      s"""WITH tok AS MATERIALIZED (SELECT DISTINCT doc_id,
+         |    unnest($toksSql) AS w FROM documents),
+         |df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS dfw FROM tok GROUP BY 1),
+         |voc AS MATERIALIZED (SELECT w, dfw FROM (
+         |  SELECT w, dfw, row_number() OVER (ORDER BY dfw DESC, w) AS rk
+         |  FROM df) WHERE rk <= 40),
+         |tv AS MATERIALIZED (SELECT tok.doc_id, tok.w, voc.dfw
+         |  FROM tok JOIN voc ON tok.w = voc.w),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |co AS (SELECT a.w AS w1, b.w AS w2, a.dfw AS df1, b.dfw AS df2,
+         |    CAST(COUNT(*) AS BIGINT) AS cwc
+         |  FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.w <> b.w
+         |  GROUP BY 1, 2, 3, 4),
+         |pp AS MATERIALIZED (SELECT w1, w2, pmi FROM (
+         |  SELECT w1, w2,
+         |    ${mbSql("(cwc * n)")} - ${mbSql("(df1 * df2)")} AS pmi
+         |  FROM co, nd) WHERE pmi > 0),
+         |sim AS (SELECT x.w1 AS w, y.w1 AS other,
+         |    CAST(SUM(x.pmi * y.pmi) AS BIGINT) AS dot
+         |  FROM pp x JOIN pp y ON x.w2 = y.w2 AND x.w1 <> y.w1
+         |  GROUP BY 1, 2)
+         |SELECT w, rk, other, dot FROM (
+         |  SELECT w, other, dot, CAST(row_number() OVER (
+         |    PARTITION BY w ORDER BY dot DESC, other) AS BIGINT) AS rk
+         |  FROM sim) WHERE rk <= 3""".stripMargin
+    },
     "curate_source_overlap" ->
       s"""WITH tk_t AS (SELECT source, $toksSql AS tk FROM documents),
          |sh_t AS (SELECT source, CASE WHEN len(tk) >= 5 THEN list_transform(range(1, len(tk) - 3),
