@@ -321,6 +321,26 @@ object SimQueries {
     SimOps.knnGraph(
       emb(spark, sfDir).select(col("vec_id"), col("embedding")), k = 5, bits = 4)
 
+  /** Hubness audit — the in-degree histogram of the directed kNN
+    * graph, including the ZERO row: how many vectors are never
+    * retrieved as anyone's neighbor (orphans a similarity index
+    * silently drops from every result set) and how many are hubs
+    * (high in-degree points that crowd into every neighbor list — the
+    * classic high-dimensional pathology that makes [[mutualEdges]]'
+    * symmetrization necessary). One left join of the corpus ids onto
+    * the graph's map-side-combined in-degree counts, then a
+    * |degrees|-group fold — the audit costs one pass over the O(N·k)
+    * edge relation regardless of corpus size. */
+  def simHubness(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnt = SimOps.knnGraph(
+        emb(spark, sfDir).select(col("vec_id"), col("embedding")), k = 5, bits = 4)
+      .groupBy(col("nbr_id")).agg(count(lit(1)).as("c"))
+    emb(spark, sfDir).select(col("vec_id"))
+      .join(cnt, col("vec_id") === col("nbr_id"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("indeg"))
+      .groupBy(col("indeg")).agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** Label-quality audit via k-NN classification: predict every
     * vector's label by majority vote of its bucketed 5-NN
     * ([[SimOps.knnGraph]] — SRP buckets, never all-pairs), then report
@@ -1976,6 +1996,7 @@ object SimQueries {
     "sim_rocchio" -> (simRocchio _),
     "sim_ivf_balance" -> (simIvfBalance _),
     "sim_knn_graph" -> (simKnnGraph _),
+    "sim_hubness" -> (simHubness _),
     "sim_topk" -> (simTopk _),
     "sim_hard_negatives" -> (simHardNegatives _),
     "sim_knn_classify" -> (simKnnClassify _),
@@ -2847,6 +2868,18 @@ object SimQueries {
          |         ORDER BY cos DESC, nbr_id) AS BIGINT) AS rk, nbr_id, cos
          |FROM scored
          |QUALIFY rk <= 5""".stripMargin,
+    "sim_hubness" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${srpSql("embedding", 4)} AS bucket FROM embeddings),
+         |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         |                  ${cosSql("a.embedding", "b.embedding")} AS cos
+         |           FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |knn AS (SELECT vec_id, nbr_id FROM (SELECT vec_id, nbr_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rk
+         |  FROM scored) WHERE rk <= 5),
+         |ind AS (SELECT e.vec_id, CAST(COUNT(k.nbr_id) AS BIGINT) AS indeg
+         |  FROM embeddings e LEFT JOIN knn k ON k.nbr_id = e.vec_id GROUP BY 1)
+         |SELECT indeg, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |FROM ind GROUP BY 1""".stripMargin,
     // NOTE: every CTE below stays PLAIN — the recursive walk reads
     // edges (transitively knn/scored/b) through a LATERAL, and a
     // MATERIALIZED cte on that path silently empties the recursion

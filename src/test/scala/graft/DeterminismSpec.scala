@@ -142,7 +142,16 @@ class DeterminismSpec extends AnyFunSuite {
     "text_bpe_train",    // looped vocab argmax + rewrite + fertility folds
     "sim_index_delta",   // index union on-the-fly delta codes + ADC rank
     "text_bpe_apply",    // replayed merge chain + weighted subword top-20
-    "dedup_index_persist") // bucketed fp index join + window partition reuse
+    "dedup_index_persist", // bucketed fp index join + window partition reuse
+    // round-14 depth-wave additions with partitioning-sensitive machinery:
+    "geo_lof",           // chained rank/kdist/lrd joins + partial top-20
+    "geo_closest_pair",  // global partial top-5 over ring candidates
+    "geo_kde",           // cell-domain kernel smear + partial top-20
+    "geo_zonal_stats",   // winding containment + max_by label argmax
+    "events_motif",      // map-built day vectors + per-type rank-1 argmin
+    "sim_ppr",           // frontier-filtered integer walk + seed scalar sync
+    "text_ppmi_sim",     // rank-selected vocab + millibit PMI + top-3 rank
+    "sim_hubness")       // left-join in-degree fold over the kNN graph
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

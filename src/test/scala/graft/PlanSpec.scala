@@ -2097,4 +2097,28 @@ class PlanSpec extends AnyFunSuite {
     // corpus is touched exactly once: one scan of embeddings
     assert(nOps(p, "Scan parquet") <= 1, s"one embeddings scan:\n$p")
   }
+
+  test("geo_kde: kernel smear is pure cell-domain work — no joins at all") {
+    val p = plan("geo_kde")
+    assert(nOps(p, "BroadcastHashJoin") + nOps(p, "SortMergeJoin") +
+      nOps(p, "BroadcastNestedLoopJoin") + nOps(p, "CartesianProduct") == 0,
+      s"the 3x3 smear must be an explode over the cell relation, never a join:\n$p")
+    assert(nOps(p, "Scan parquet") <= 1, s"one embeddings scan:\n$p")
+  }
+
+  test("geo_lof: every stage is an equi-join over candidate-bounded relations") {
+    val p = plan("geo_lof")
+    assert(nOps(p, "CartesianProduct") == 0, s"no cartesian:\n$p")
+    assert(nOps(p, "BroadcastNestedLoopJoin") == 0,
+      s"kdist/lrd stitches are key-equi joins, never nested loops:\n$p")
+  }
+
+  test("text_ppmi_sim: vocab restriction broadcasts; nothing nest-loops") {
+    val p = plan("text_ppmi_sim")
+    assert(nOps(p, "CartesianProduct") == 0, s"no cartesian:\n$p")
+    // the 40-row vocab and the 1-row doc count are the only small sides;
+    // both must broadcast onto the corpus-scale token relation
+    assert(nOps(p, "BroadcastHashJoin") >= 1,
+      s"vocab must reach the token relation as a broadcast:\n$p")
+  }
 }
