@@ -281,6 +281,12 @@ object DedupOps {
     // for MANY rounds (long chains) or EXPENSIVE rounds (fat edges).
     val dbg = sys.env.get("GRAFT_CC_DEBUG").contains("1")
     def tlog(msg: => String): Unit = if (dbg) System.err.println(s"[cc] $msg")
+    // AQE stays ON through the loop — measured (round 14, events_dbscan
+    // sf0.1): disabling it for the label-sized rounds RAISED per-round
+    // cost 0.5 s → 1.0 s. The intuition "AQE's replan barrier is pure
+    // latency on tiny data" is backwards here: its partition coalescing
+    // is what keeps each round's three shuffles from scheduling 32
+    // near-empty tasks apiece.
     val t0 = System.nanoTime()
     var prevSum = labelSum(labels)
     tlog(f"seed ${(System.nanoTime() - t0) / 1e9}%.2fs")
@@ -333,6 +339,12 @@ object DedupOps {
         // re-derived the whole join twice; round-14 measurement: ~40%
         // off events_dbscan's fixpoint). The confirmation round pays
         // one extra checkpoint write, negligible next to a plan eval.
+        // A SECOND edge propagation per round was measured here
+        // (round 14, events_dbscan sf0.1): rounds 8 → 6 but the
+        // un-checkpointed intermediate labels evaluate twice per round
+        // and total fixpoint time went 5.5 s → 7.2 s — rejected, like
+        // the two-hop pointer jump before it. One edge hop + one
+        // pointer jump per checkpointed round is the measured optimum.
         val (next, newId) = checkpoint(nextPlan)
         drop(ckptId)
         labels = next
