@@ -505,8 +505,20 @@ object GeoQueries {
     * partial-top-k trim) and the top-20 readout filters the uncast
     * rank. The oracle spells the quadratic kNN + identical integer
     * algebra. */
-  def geoLof(spark: SparkSession, sfDir: String): DataFrame = {
-    val knn = graft.core.QueryCaches.track(geoKnn(spark, sfDir))
+  def geoLof(spark: SparkSession, sfDir: String): DataFrame =
+    lofScores(graft.core.QueryCaches.track(geoKnn(spark, sfDir)))
+      .withColumn("rk0", row_number().over(
+        Window.orderBy(col("lof_milli").desc, col("vec_id"))))
+      .filter(col("rk0") <= 20)
+      .select(col("rk0").cast("bigint").as("rk"), col("vec_id"),
+        col("n_nbrs"), col("lrd_micro"), col("lof_milli"))
+
+  /** The LOF integer algebra over ANY ranked (id_a, rk, id_b, d2)
+    * neighbor relation (shared by the gated [[geoLof]] row and the
+    * 1M-point scale smoke): kdist/count per point, reachability
+    * max(d², kdist(b)), lrd_micro, and the lof_milli ratio — all
+    * candidate-bounded equi-joins, nothing quadratic. */
+  def lofScores(knn: DataFrame): DataFrame = {
     val kd = graft.core.QueryCaches.track(
       knn.groupBy(col("id_a")).agg(
         count(lit(1)).as("n_nbrs"), max(col("d2")).as("kdist")))
@@ -526,11 +538,6 @@ object GeoQueries {
       .join(lrd, "id_a")
       .select(col("id_a").as("vec_id"), col("n_nbrs"), col("lrd_micro"),
         expr("(sum_lrd_b * 1000) div (n_nbrs * lrd_micro)").as("lof_milli"))
-      .withColumn("rk0", row_number().over(
-        Window.orderBy(col("lof_milli").desc, col("vec_id"))))
-      .filter(col("rk0") <= 20)
-      .select(col("rk0").cast("bigint").as("rk"), col("vec_id"),
-        col("n_nbrs"), col("lrd_micro"), col("lof_milli"))
   }
 
   private def regionEdgeValues: String =

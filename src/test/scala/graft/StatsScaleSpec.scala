@@ -128,6 +128,73 @@ class StatsScaleSpec extends AnyFunSuite {
     info(f"1M-point grid radius join in $secs%.1f s, ${got.getLong(0)} pairs")
   }
 
+  test("scale smoke: LOF over 1M points — planted outlier scores high, clump members score 1000") {
+    // The geo_lof algebra at 2000× the oracle corpus, with an
+    // ANALYTICALLY pinned verdict: a 10-point coincident clump planted
+    // far outside the organic range (each member's 3-NN are clump
+    // mates at d²=0 → sum_reach floors to 1 → lrd = 3·10⁶, and a
+    // neighborhood of equals must score exactly lof = 1000) plus one
+    // loner 45 units away (its 3-NN are clump members: reach 3·2025,
+    // lrd = 3·10⁶ div 6075 = 493, lof = 9·10⁹ div 1479 ≈ 6.09·10⁶ —
+    // the classic "sparser than its neighbors" signal, > 6000× the
+    // clump baseline). The candidate pass is the same cell-bounded
+    // ring join as the radius smoke; every post-knn stage is
+    // candidate-bounded, so 1M points cost one grid join + small-key
+    // stitches.
+    import graft.queries.GeoQueries
+    val t0 = System.nanoTime()
+    try {
+      val base = spark.read.format("graft-vecs")
+        .option("rows", 1000000L).option("partitions", 32).option("dims", 2).load()
+        .select(col("vec_id"),
+          (expr("CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) * 100000.0) AS BIGINT)")
+            + lit(200000L)).as("px"),
+          (expr("CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE) * 100000.0) AS BIGINT)")
+            + lit(200000L)).as("py"))
+      val clump = spark.range(10).select((col("id") + 3000000L).as("vec_id"),
+        lit(500000L).as("px"), lit(500000L).as("py"))
+      val loner = spark.range(1).select(lit(3000010L).as("vec_id"),
+        lit(500045L).as("px"), lit(500000L).as("py"))
+      val p = base.unionAll(clump).unionAll(loner).persist()
+      val home = p.select(col("vec_id"), col("px"), col("py"),
+        expr("px div 50").as("gx"), expr("py div 50").as("gy"))
+      val offs = Seq(-1L, 0L, 1L)
+      val knn = p.select(col("vec_id").as("id_a"), col("px").as("ax"),
+          col("py").as("ay"),
+          explode(array((for { dx <- offs; dy <- offs } yield
+            struct((expr("px div 50") + lit(dx)).as("gx"),
+              (expr("py div 50") + lit(dy)).as("gy"))): _*)).as("g"))
+        .select(col("id_a"), col("ax"), col("ay"),
+          col("g.gx").as("gx"), col("g.gy").as("gy"))
+        .join(home, Seq("gx", "gy"))
+        .filter(col("id_a") =!= col("vec_id") &&
+          (col("ax") - col("px")) * (col("ax") - col("px")) +
+            (col("ay") - col("py")) * (col("ay") - col("py")) <= lit(2500L))
+        .select(col("id_a"), col("vec_id").as("id_b"),
+          ((col("ax") - col("px")) * (col("ax") - col("px")) +
+            (col("ay") - col("py")) * (col("ay") - col("py"))).as("d2"))
+        .withColumn("rk0", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id_a")).orderBy(col("d2"), col("id_b"))))
+        .filter(col("rk0") <= 3)
+        .select(col("id_a"), col("rk0").cast("bigint").as("rk"),
+          col("id_b"), col("d2"))
+      val planted = GeoQueries.lofScores(knn)
+        .filter(col("vec_id") >= 3000000L).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      p.unpersist()
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(planted.size == 11, s"all planted points scored, got ${planted.size}")
+      (3000000L to 3000009L).foreach { id =>
+        assert(planted(id) == 1000L,
+          s"clump member $id must score exactly 1000, got ${planted(id)}") }
+      assert(planted(3000010L) > 6000000L,
+        s"loner must score > 6e6 milli, got ${planted(3000010L)}")
+      assert(secs < 150.0, f"1M-point LOF took $secs%.1f s (budget 150 s)")
+      info(f"1M-point LOF in $secs%.1f s; loner lof=${planted(3000010L)} vs clump 1000")
+    } finally graft.ext.DedupOps.releaseCaches()
+  }
+
   test("scale smoke: tile-hash partial-dup join over 1M generated docs") {
     // The mm_tile_hash plan at 2000× the oracle corpus: 16M tile rows
     // through the df-cap + tile-keyed equi-join, with 10k planted
