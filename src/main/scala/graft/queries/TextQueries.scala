@@ -1687,8 +1687,10 @@ object TextQueries {
     * doc max, the co-occurrence self-join is doc-keyed with V²-bounded
     * output, and everything after the PPMI matrix (≤ V² rows) is
     * domain-bounded — corpus size only feeds the two count scans.
-    * The frontier doc (`w1 <> w2`, both orientations kept) makes the
-    * matrix symmetric so the similarity join needs no re-orientation. */
+    * Each unordered pair is generated ONCE (w1 < w2) and mirrored, so
+    * the matrix is symmetric and the similarity join needs no
+    * re-orientation; the oracle spells the equivalent both-orientation
+    * self-join. */
   def textPpmiSim(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.HashExprs.log2Millis
     val d = load(spark, sfDir, "documents")
@@ -1698,14 +1700,26 @@ object TextQueries {
       .withColumn("rk0", row_number().over(
         Window.orderBy(col("dfw").desc, col("w"))))
       .filter(col("rk0") <= 40).select(col("w"), col("dfw"))
-    val tv = graft.core.QueryCaches.track(tok.join(broadcast(vocab), "w"))
+    val tv = tok.join(broadcast(vocab), "w")
     val nd = d.agg(count(lit(1)).as("n"))
-    val co = tv.select(col("doc_id"), col("w").as("w1"), col("dfw").as("df1"))
-      .join(tv.select(col("doc_id"), col("w").as("w2"), col("dfw").as("df2")),
-        "doc_id")
-      .filter(col("w1") =!= col("w2"))
-      .groupBy(col("w1"), col("w2"), col("df1"), col("df2"))
-      .agg(count(lit(1)).as("cwc"))
+    // Ordered pairs expand IN-ROW from each doc's ≤40-entry vocab
+    // array (double explode + w1 < w2), then mirror: one collect_list
+    // shuffle of the 40-wide-per-doc relation replaces the doc-keyed
+    // self-join's two input shuffles, and the expansion generates each
+    // unordered pair once instead of twice. Measured (round 14,
+    // sf0.1): 3.32 → 2.96 s — the remaining floor is the corpus-scale
+    // distinct (doc, token) pass that exact document frequency
+    // requires, not the pairing.
+    val half = graft.core.QueryCaches.track(tv.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("w"), col("dfw"))).as("ws"))
+      .select(explode(col("ws")).as("a"), col("ws"))
+      .select(col("a"), explode(col("ws")).as("b"))
+      .filter(col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"),
+        col("a.dfw").as("df1"), col("b.dfw").as("df2"))
+      .agg(count(lit(1)).as("cwc")))
+    val co = half.unionAll(half.select(col("w2").as("w1"), col("w1").as("w2"),
+      col("df2").as("df1"), col("df1").as("df2"), col("cwc")))
     val pp = graft.core.QueryCaches.track(
       co.crossJoin(broadcast(nd))
         .select(col("w1"), col("w2"),
