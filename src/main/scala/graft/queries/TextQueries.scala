@@ -1739,8 +1739,38 @@ object TextQueries {
         col("dot"))
   }
 
+  /** Token-budget fill — the data-mixing selection every training run
+    * makes concrete: order the corpus by a quality score (here the
+    * integer TTR milli — distinct-token ratio, ties to doc_id), take
+    * documents greedily until the token budget (50k) is spent, and
+    * report per source how much survived plus the score the cut landed
+    * on. The prefix sum is [[graft.ext.SkewOps.globalCumSum]] — range
+    * partition on (score, id), per-partition (count, sum) scalars to
+    * the driver, broadcast offsets, local prefix — so the global
+    * "running total over everything" never passes through a
+    * single-partition window; at 100 TB the ordered fill costs two
+    * passes and one bounded scalar sync. The oracle spells the naive
+    * global window SUM (total order, so RANGE == ROWS). */
+  def curateBudgetFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).cast("bigint").as("n_types"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("(1000 * n_types) div n_tokens").as("score"))
+      .withColumn("score_ord", lit(1000L) - col("score"))
+    graft.ext.SkewOps.globalCumSum(base, Seq("score_ord", "doc_id"),
+        "n_tokens", "_rk", "cum")
+      .filter(col("cum") <= 50000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sel"), sum(col("n_tokens")).as("tok_sel"),
+        min(col("score")).as("cut_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ppmi_sim" -> (textPpmiSim _),
+    "curate_budget_fill" -> (curateBudgetFill _),
     "text_nb_langid" -> (textNbLangid _),
     "text_langid_margin" -> (textLangidMargin _),
     "text_stopword_disco" -> (textStopwordDisco _),
@@ -1914,6 +1944,21 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "curate_budget_fill" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_types
+         |  FROM documents),
+         |s AS (SELECT doc_id, source, n_tokens,
+         |    (1000 * n_types) // n_tokens AS score
+         |  FROM d WHERE n_tokens > 0),
+         |c AS (SELECT source, n_tokens, score,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         |      AS cum
+         |  FROM s)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sel,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tok_sel, MIN(score) AS cut_milli
+         |FROM c WHERE cum <= 50000 GROUP BY source""".stripMargin,
     "text_ppmi_sim" -> {
       def mbSql(q: String): String =
         s"(CAST((length(bin($q)) - 1) * 1000 AS BIGINT) + " +

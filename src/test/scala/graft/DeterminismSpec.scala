@@ -151,7 +151,8 @@ class DeterminismSpec extends AnyFunSuite {
     "events_motif",      // map-built day vectors + per-type rank-1 argmin
     "sim_ppr",           // frontier-filtered integer walk + seed scalar sync
     "text_ppmi_sim",     // rank-selected vocab + millibit PMI + top-3 rank
-    "sim_hubness")       // left-join in-degree fold over the kNN graph
+    "sim_hubness",       // left-join in-degree fold over the kNN graph
+    "curate_budget_fill") // globalCumSum ordered fill + budget boundary
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
