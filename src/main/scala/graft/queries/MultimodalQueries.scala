@@ -111,6 +111,24 @@ object MultimodalQueries {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
   }
 
+  /** Perceptual near-dup CLUSTERS — the step after [[mmPhash]]'s pair
+    * list that a media-dedup pipeline actually acts on: connected
+    * components over the banded hamming pairs (pointer-jumped
+    * [[graft.ext.DedupOps.dupClusters]] fixpoint, O(log diameter)
+    * rounds), reported as (cluster_rep, size) — the keeper manifest's
+    * group table, completing the modality's exact-dedup → pairwise
+    * near-dup → clusters ladder that the text pillar already has
+    * (`dedup_clusters`/`dedup_cluster_histogram`). Same 100 TB shape
+    * as every component consumer: candidates are banded, the fixpoint
+    * moves label-sized rows, and the rollup is one map-side-combined
+    * fold. The oracle spells the recursive-CTE transitive closure over
+    * the quadratic-free banded pair relation. */
+  def mmPhashClusters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.DedupOps.dupClusters(
+        mmPhash(spark, sfDir)
+          .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
+      .groupBy(col("cluster_rep")).agg(count(lit(1)).as("sz"))
+
   /** AUDIO-fingerprint near-dup — the generic-fingerprint promise of
     * [[graft.ext.DedupOps.hammingPairs]] delivered for a second
     * modality: [[MultimodalOps.byteBandEnergyHash]] (Haitsma–Kalker
@@ -663,6 +681,7 @@ object MultimodalQueries {
     "mm_audio_dupes" -> (mmAudioDupes _),
     "mm_audio_dupes_capped" -> (mmAudioDupesCapped _),
     "mm_phash" -> (mmPhash _),
+    "mm_phash_clusters" -> (mmPhashClusters _),
     "mm_dedup" -> (mmDedup _),
     "mm_frames" -> (mmFrames _),
     "mm_meta" -> (mmMeta _),
@@ -1004,6 +1023,40 @@ object MultimodalQueries {
          |FROM b_t a JOIN b_t b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ph, b.ph)) <= 2""".stripMargin,
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, substr(text, 1, len(text) - 1) || '~'
+         |  FROM documents),
+         |c AS (SELECT doc_id, $cpsSql AS cps FROM corpus),
+         |seg AS (SELECT doc_id,
+         |  list_transform(range(0, 32), j -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    cps[(j * len(cps)) // 32 + 1 : ((j + 1) * len(cps)) // 32]),
+         |    (a, b) -> a + b)) AS s,
+         |  list_transform(range(0, 32),
+         |    j -> ((j + 1) * len(cps)) // 32 - (j * len(cps)) // 32) AS l
+         |  FROM c),
+         |p AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range(0, 31), j -> CASE
+         |    WHEN s[j+2] * l[j+1] > s[j+1] * l[j+2]
+         |    THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |  (a, b) -> a + b) AS ph FROM seg),
+         |b_t AS (SELECT doc_id, ph, band, CASE band
+         |    WHEN 0 THEN ph % 1024 WHEN 1 THEN (ph // 1024) % 1024
+         |    ELSE ph // 1048576 END AS key
+         |  FROM p, (SELECT unnest([0, 1, 2]) AS band)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM b_t a JOIN b_t b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.ph, b.ph)) <= 2),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT a, b FROM sym
+         |          UNION
+         |          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |lab AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster_rep
+         |        FROM reach GROUP BY a)
+         |SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS sz
+         |FROM lab GROUP BY 1""".stripMargin,
     "mm_container_sniff" ->
       """WITH d AS (SELECT doc_id,
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

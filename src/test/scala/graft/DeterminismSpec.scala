@@ -152,7 +152,8 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_ppr",           // frontier-filtered integer walk + seed scalar sync
     "text_ppmi_sim",     // rank-selected vocab + millibit PMI + top-3 rank
     "sim_hubness",       // left-join in-degree fold over the kNN graph
-    "curate_budget_fill") // globalCumSum ordered fill + budget boundary
+    "curate_budget_fill", // globalCumSum ordered fill + budget boundary
+    "mm_phash_clusters") // banded hamming pairs + label fixpoint rollup
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
