@@ -622,7 +622,14 @@ object DedupQueries {
     * Plan: the attribution side is |dup docs| fixed-width ids joining
     * the (doc_id, source) projection — candidate generation happens
     * once in the pair step, the rollup adds only key-equi joins and
-    * map-side-combined counts. */
+    * map-side-combined counts. The prefix join runs with the hot-element
+    * skew guard engaged (maxDf = 4, same as [[dedupPrefixJoinCapped]]):
+    * this is precisely the report a curation team runs on the FULL
+    * corpus, where one boilerplate shingle in the prefix region would
+    * otherwise bucket df² candidate pairs. The declared recall trade:
+    * a dup pair whose prefixes overlap only on capped-out elements is
+    * missed, slightly UNDERSTATING per-source rates — the oracle spells
+    * the identical capped semantics, so the trade is hash-checked. */
   def curateDupRateBySource(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val corpus = d.unionAll(
@@ -630,7 +637,7 @@ object DedupQueries {
         .select((col("doc_id") + SHIFT).as("doc_id"), firstTokenDropped.as("text")))
     val withFps = corpus.select(col("doc_id"),
       shingleFps(tokens(col("text")), 3).as("fps"))
-    val pairs = DedupOps.prefixJoin(withFps, "doc_id", "fps", 4, 5)
+    val pairs = DedupOps.prefixJoin(withFps, "doc_id", "fps", 4, 5, maxDf = 4)
     val members = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("cid"))
       .select(pmod(col("cid"), lit(SHIFT)).as("doc_id")).distinct()
@@ -1337,8 +1344,18 @@ object DedupQueries {
          |fp_t AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${fpFold("s")})) AS fps FROM sh_t),
          |tok AS (SELECT doc_id, unnest(fps) AS fp FROM fp_t WHERE len(fps) > 0),
          |sz AS (SELECT doc_id, len(fps) AS s FROM fp_t WHERE len(fps) > 0),
-         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |       FROM tok a JOIN tok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |d_t AS (SELECT fp, count(*) AS df FROM tok GROUP BY fp),
+         |rk AS (SELECT t.doc_id, t.fp, d.df,
+         |         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.fp) AS rn,
+         |         count(*) OVER (PARTITION BY t.doc_id) AS s
+         |       FROM tok t JOIN d_t d USING (fp)),
+         |pref AS (SELECT doc_id, fp FROM rk
+         |         WHERE rn <= s - (4 * s + 4) // 5 + 1 AND df <= 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM pref a JOIN pref b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |pr AS (SELECT id_a, id_b, count(*) AS inter
+         |       FROM cand JOIN tok ta ON ta.doc_id = id_a
+         |                 JOIN tok tb ON tb.doc_id = id_b AND tb.fp = ta.fp
          |       GROUP BY 1, 2),
          |lex AS (SELECT id_a, id_b FROM pr
          |        JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b

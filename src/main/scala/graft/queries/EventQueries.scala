@@ -3062,6 +3062,11 @@ object EventQueries {
           transform(sequence(lit(0L), col("tt") - 1),
             i => coalesce(element_at(col("md"), col("d0") + i), lit(0L))).as("cv"),
           col("tt"))
+        // tt < 7 would make sequence(0, tt-7) DESCEND (Spark defaults to
+        // step -1 when start > stop) — guard so a corpus spanning fewer
+        // than 7 days yields no windows, exactly like the oracle's
+        // empty range(0, tt - 6).
+        .filter(col("tt") >= 7)
         .select(col("t"), explode(sequence(lit(0L), col("tt") - 7)).as("s"),
           col("cv"))
         .select(col("t"), col("s"),

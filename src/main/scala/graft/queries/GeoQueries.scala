@@ -517,7 +517,12 @@ object GeoQueries {
     * neighbor relation (shared by the gated [[geoLof]] row and the
     * 1M-point scale smoke): kdist/count per point, reachability
     * max(d², kdist(b)), lrd_micro, and the lof_milli ratio — all
-    * candidate-bounded equi-joins, nothing quadratic. */
+    * candidate-bounded equi-joins, nothing quadratic. lrd_micro floors
+    * to 0 whenever average reachability exceeds 10⁶ (micro-scale
+    * densities), so the lof_milli denominator carries the same
+    * GREATEST(…, 1) guard as lrd itself — a floored neighborhood reads
+    * as "infinitely sparse" (huge lof_milli) instead of dividing by
+    * zero; callers on such scales should re-scale d² first. */
   def lofScores(knn: DataFrame): DataFrame = {
     val kd = graft.core.QueryCaches.track(
       knn.groupBy(col("id_a")).agg(
@@ -537,7 +542,8 @@ object GeoQueries {
       .agg(sum(col("lrd_b")).as("sum_lrd_b"))
       .join(lrd, "id_a")
       .select(col("id_a").as("vec_id"), col("n_nbrs"), col("lrd_micro"),
-        expr("(sum_lrd_b * 1000) div (n_nbrs * lrd_micro)").as("lof_milli"))
+        expr("(sum_lrd_b * 1000) div greatest(n_nbrs * lrd_micro, CAST(1 AS BIGINT))")
+          .as("lof_milli"))
   }
 
   private def regionEdgeValues: String =
@@ -638,7 +644,7 @@ object GeoQueries {
          |agg AS (SELECT knn.id_a, CAST(SUM(b.lrd_micro) AS BIGINT) AS sum_lrd_b
          |  FROM knn JOIN lrd b ON knn.id_b = b.id_a GROUP BY 1),
          |lof AS (SELECT agg.id_a AS vec_id, lrd.n_nbrs, lrd.lrd_micro,
-         |    (agg.sum_lrd_b * 1000) // (lrd.n_nbrs * lrd.lrd_micro) AS lof_milli
+         |    (agg.sum_lrd_b * 1000) // GREATEST(lrd.n_nbrs * lrd.lrd_micro, 1) AS lof_milli
          |  FROM agg JOIN lrd ON agg.id_a = lrd.id_a)
          |SELECT rk, vec_id, n_nbrs, lrd_micro, lof_milli FROM (
          |  SELECT vec_id, n_nbrs, lrd_micro, lof_milli, CAST(row_number() OVER (
