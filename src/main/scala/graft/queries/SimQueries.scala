@@ -1039,6 +1039,50 @@ object SimQueries {
       listCol = "c_label")
   }
 
+  /** Index COMPACTION — the third act of the persisted-index
+    * lifecycle after [[simIndexPersist]] (build+search) and
+    * [[simIndexDelta]] (serve base ∪ unindexed delta): the delta batch
+    * is folded INTO the index. The delta's code rows are produced
+    * exactly as the serving path produces them (assign + residual +
+    * PQ-encode against the PERSISTED coarse model — nothing is
+    * retrained), unioned with the reopened generation-1 code table,
+    * and REWRITTEN as a generation-2 [[graft.ext.LayoutOps
+    * .indexTable]] (directory-partitioned by IVF list, bucketed by
+    * vec_id — the same layout, so every read-path property carries
+    * over). The search then runs from ONLY the reopened generation-2
+    * table; the oracle is [[simIndexDelta]]'s from-scratch corpus ∪
+    * delta spelling, so the green hash pins
+    * search-after-compaction == lambda-serving == from-scratch. At
+    * 100 TB this is the maintenance-cadence job: one scan of base
+    * codes + the (small) delta encode, one partitioned/bucketed
+    * write, zero recompute of the standing corpus — and serving
+    * returns to the single-table exchange-free plan (PlanSpec pins
+    * the generation-2 read path like generation 1's). */
+  def simIndexCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.LayoutOps
+    val (centsT, cbT, codesT) = ivfPqIndex(spark, sfDir)
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val e = emb(spark, sfDir)
+    val delta = e.filter(col("vec_id") % 7 === 3)
+      .select((col("vec_id") + SHIFT).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val dResid = graft.core.QueryCaches.track(
+      assignResid(delta, centsT, "vec_id", "embedding", "vec_id", "embedding"))
+    val dCodes = SimOps.pqEncode(dResid.select(col("vec_id"), col("embedding")),
+        cbT, m = 8, sub = 8)
+      .join(dResid.select(col("vec_id"), col("c_label")), "vec_id")
+      .select(col("vec_id"), col("c_label"), col("s"), col("code"))
+    val mergedT = LayoutOps.indexTable(
+      codesT.select(col("vec_id"), col("c_label"), col("s"), col("code"))
+        .unionAll(dCodes),
+      s"graft_ivfpq_codes_g2_$tag", "c_label", "vec_id", buckets = 8)
+    val q0 = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < SHIFT)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_raw"))
+    val qResid = assignResid(q0, centsT, "q_id", "q_raw", "q_id", "q_vec")
+    SimOps.pqTopkWithin(mergedT, qResid, cbT, k = 5, m = 8, sub = 8,
+      listCol = "c_label")
+  }
+
   /** Mutual-kNN edge set, oriented u < v: an (undirected) edge survives
     * only when EACH endpoint ranks the other inside its top-5
     * ([[SimOps.knnGraph]] both directions). Mutuality is the standard
@@ -2009,7 +2053,8 @@ object SimQueries {
     "sim_ivf" -> (simIvf _),
     "sim_ivf_pq" -> (simIvfPq _),
     "sim_index_persist" -> (simIndexPersist _),
-    "sim_index_delta" -> (simIndexDelta _))
+    "sim_index_delta" -> (simIndexDelta _),
+    "sim_index_compact" -> (simIndexCompact _))
 
   // ---- DuckDB oracle spellings -------------------------------------
   // The cosine/SRP folds are spelled with list_reduce(list_prepend(...))
@@ -3242,7 +3287,12 @@ object SimQueries {
     // sim_index_delta: Spark searches persisted index ∪ on-the-fly delta
     // codes; the oracle recomputes from scratch over corpus ∪ delta with
     // centroids/codebook from the ORIGINAL corpus only.
-    "sim_index_delta" -> ivfPqDeltaOracleSql)
+    "sim_index_delta" -> ivfPqDeltaOracleSql,
+    // sim_index_compact: Spark folds the delta into a generation-2
+    // index table and searches ONLY the reopened merged table; the
+    // oracle is the same corpus ∪ delta from-scratch spelling — the
+    // green hash is the compaction-preserves-search proof.
+    "sim_index_compact" -> ivfPqDeltaOracleSql)
 
   private lazy val ivfPqOracleSql: String =
       s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,

@@ -2038,6 +2038,63 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_index_compact: generation-2 read path keeps the zero-exchange ADC contract") {
+    // After the delta is folded into the generation-2 table, serving
+    // must return to the single-table exchange-free plan — the whole
+    // point of compacting. Same pin as sim_index_persist's, against
+    // the g2 table name.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("sim_index_compact")(spark, sf)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.SparkPlan
+      def path(p: SparkPlan): Option[List[SparkPlan]] =
+        if (p.children.isEmpty && p.toString.contains("graft_ivfpq_codes_g2"))
+          Some(List(p))
+        else p.children.flatMap(path(_)).headOption.map(p :: _)
+      val rev = path(exec)
+        .getOrElse(fail(s"no scan of the generation-2 codes table in:\n$exec"))
+        .reverse
+      val aggIdxs = rev.zipWithIndex
+        .filter(_._1.nodeName.contains("HashAggregate")).map(_._2)
+      assert(aggIdxs.size >= 2,
+        s"partial+final ADC aggregate expected above the g2 index scan:\n$exec")
+      val seg = rev.take(aggIdxs(1) + 1)
+      assert(!seg.exists(_.nodeName.contains("Exchange")),
+        "no exchange may sit between the g2 index scan and the " +
+          s"final ADC aggregate:\n${seg.map(_.nodeName).mkString(" <- ")}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      graft.ext.DedupOps.releaseCaches()
+    }
+  }
+
+  test("dedup_index_compact: batch-2 admission reads the generation-2 table with one batch-side exchange") {
+    // The fold's serving contract: screening against the merged index
+    // has the SAME plan shape as against generation 1 — the g2 bucketed
+    // scan joins exchange-free, batch 2 pays the one shuffle, the
+    // window reuses it.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("dedup_index_compact")(spark, sf)
+        .queryExecution.executedPlan
+      def count(n: org.apache.spark.sql.execution.SparkPlan, name: String): Int =
+        n.collect { case x if x.nodeName.contains(name) => x }.size
+      // the fold itself runs EAGERLY inside bucketedTable at build
+      // time (a separate job), so the returned plan is purely the
+      // admission read path — and must match generation 1's shape.
+      assert(p.toString.contains("graft_fp_index_g2"),
+        s"admission must read from the generation-2 bucketed table:\n$p")
+      assert(count(p, "Exchange") == 1,
+        s"exactly one exchange (the batch-2 side) may appear:\n$p")
+      assert(count(p, "SortMergeJoin") == 1,
+        s"the admission join must be SMJ:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      graft.ext.DedupOps.releaseCaches()
+    }
+  }
+
   test("dedup_index_persist: one exchange total — index side joins bucket-partitioned, window reuses it") {
     // The admission plan's contract: the reopened fingerprint table
     // joins from its bucket partitioning (no exchange above its scan),
