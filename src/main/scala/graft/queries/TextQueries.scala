@@ -1350,6 +1350,67 @@ object TextQueries {
       .select(col("rk0").cast("bigint").as("rk"), col("tok"), col("n"))
   }
 
+  /** HELD-OUT BPE application — the number a tokenizer team actually
+    * ships on: the merge table is trained on HALF the corpus (even
+    * doc_ids) and evaluated on text it has never seen (odd doc_ids).
+    * Output: per merge step 0..6, the train-side and held-out
+    * fertility curves (1000·Σ cnt·|symbols| div Σ cnt — step 0 is the
+    * character-level baseline) side by side, plus the held-out OOV
+    * readout (character types absent from the training corpus, and
+    * their occurrence mass in ppm of all held-out characters — with a
+    * character-level base vocab, merges can never mint new symbols,
+    * so unseen CHARACTERS are the only true OOV). A held-out curve
+    * that tracks the train curve is the generalization signal; a gap
+    * is tokenizer overfit. Plan: train side is [[graft.ext.TextOps
+    * .bpeTrain]] (one corpus scan, vocab-sized rounds); the held-out
+    * side applies all 6 merges as ONE collapsed projection computing
+    * the 7 per-step symbol-count folds in a single vocab-sized
+    * aggregate (no per-step pass); OOV is a char-domain anti-join.
+    * Driver materializations are all 1-row/6-row scalar syncs. The
+    * oracle replays the identical unrolled chain on the even half and
+    * the identical 6 replace stages + folds on the odd half. */
+  def textBpeHeldout(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docsAll = load(spark, sfDir, "documents")
+    val mergeRows = graft.ext.TextOps
+      .bpeTrain(docsAll.filter(col("doc_id") % 2 === 0), "text", 6)
+      .orderBy(col("step")).collect()
+    val pairs = mergeRows.map(_.getString(1)).toSeq
+    val trainFerts = mergeRows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    def wordcount(df: DataFrame) =
+      df.select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val tw = graft.ext.DedupOps.trackPersist(wordcount(docsAll.filter(col("doc_id") % 2 === 0)))
+    val hw = graft.ext.DedupOps.trackPersist(wordcount(docsAll.filter(col("doc_id") % 2 === 1)))
+    val base = array_join(split(col("w"), ""), " ")
+    // rep after k merges, k = 0..6, as one collapsed projection chain
+    val reps: Seq[org.apache.spark.sql.Column] = pairs.scanLeft(base)((r, p) =>
+      call_function("replace", r, lit(p), lit(p.replace(" ", ""))))
+    val symCols = reps.zipWithIndex.map { case (r, k) =>
+      sum(col("cnt") * size(split(r, " "))).as(s"m$k") }
+    val hAgg = hw.agg(symCols.head, symCols.tail :+ sum(col("cnt")).as("tot"): _*).head()
+    val hTot = hAgg.getAs[Long]("tot")
+    val hFerts = reps.indices.map(k => 1000L * hAgg.getAs[Long](s"m$k") / hTot)
+    val tAgg = tw.agg(sum(col("cnt") * size(split(base, " "))).as("m0"),
+      sum(col("cnt")).as("tot")).head()
+    val f0Train = 1000L * tAgg.getAs[Long]("m0") / tAgg.getAs[Long]("tot")
+    val tChars = tw.select(explode(split(col("w"), "")).as("c")).distinct()
+    val hChars = hw.select(explode(split(col("w"), "")).as("c"), col("cnt"))
+      .groupBy(col("c")).agg(sum(col("cnt")).as("mass"))
+    val oovRow = hChars.join(tChars, Seq("c"), "left_anti")
+      .agg(count(lit(1)).as("types"),
+        coalesce(sum(col("mass")), lit(0L)).as("mass")).head()
+    val totMass = hChars.agg(sum(col("mass"))).head().getLong(0)
+    val oovTypes = oovRow.getAs[Long]("types")
+    val oovPpm = 1000000L * oovRow.getAs[Long]("mass") / totMass
+    reps.indices.map { k =>
+      (k.toLong, if (k == 0) "" else pairs(k - 1),
+        if (k == 0) f0Train else trainFerts(k.toLong),
+        hFerts(k), oovTypes, oovPpm)
+    }.toDF("step", "merged_pair", "fert_train_milli", "fert_held_milli",
+      "oov_char_types", "oov_char_mass_ppm")
+  }
+
   /** DATA CARD — the corpus-composition table every dataset release
     * publishes (docs, tokens, and the exact integer token share per
     * (lang, source) cell, ranked by volume): one map-side-combined
@@ -1793,6 +1854,7 @@ object TextQueries {
     "text_bpe_merge_step" -> (textBpeMergeStep _),
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_apply" -> (textBpeApply _),
+    "text_bpe_heldout" -> (textBpeHeldout _),
     "curate_gopher" -> (curateGopher _),
     "curate_domain_cap" -> (curateDomainCap _),
     "curate_mix" -> (curateMix _),
@@ -1834,10 +1896,10 @@ object TextQueries {
     * argmax, rewrite, fertility fold. MATERIALIZED on each round's
     * vocab and argmax (each is referenced 2–3×; DuckDB would otherwise
     * re-derive the whole chain per reference). */
-  private def bpeChainSql(steps: Int): String = {
+  private def bpeChainSql(steps: Int, where: String = ""): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH words AS (SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS cnt
-              |  FROM (SELECT unnest($toksSql) AS token FROM documents)
+              |  FROM (SELECT unnest($toksSql) AS token FROM documents$where)
               |  GROUP BY 1),
               |r0 AS MATERIALIZED (SELECT cnt,
               |  array_to_string(string_split(w, ''), ' ') AS rep FROM words)""".stripMargin
@@ -1881,6 +1943,51 @@ object TextQueries {
          |      t -> t <> '')) AS tok FROM r$steps)
          |    GROUP BY 1))
          |WHERE rk <= 20""".stripMargin
+
+  /** The text_bpe_heldout oracle: the train chain unrolled over the
+    * EVEN half, the 6 replace stages + per-step fertility folds over
+    * the ODD half, and the char-domain OOV anti-join — spelled
+    * identically to the Spark side's collapsed projection chain. */
+  private def bpeHeldoutOracleSql(steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= bpeChainSql(steps, " WHERE doc_id % 2 = 0")
+    sb ++= s""",
+              |f0 AS (SELECT (1000 * CAST(SUM(cnt * len(string_split(rep, ' '))) AS BIGINT))
+              |    // CAST(SUM(cnt) AS BIGINT) AS fertility_milli FROM r0),
+              |hw AS (SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+              |  FROM (SELECT unnest($toksSql) AS token FROM documents WHERE doc_id % 2 = 1)
+              |  GROUP BY 1),
+              |h0 AS MATERIALIZED (SELECT cnt,
+              |  array_to_string(string_split(w, ''), ' ') AS rep FROM hw)""".stripMargin
+    for (k <- 1 to steps) {
+      sb ++= s""",
+                |h$k AS MATERIALIZED (SELECT cnt, replace(rep, (SELECT pair FROM t$k),
+                |    replace((SELECT pair FROM t$k), ' ', '')) AS rep FROM h${k - 1})""".stripMargin
+    }
+    for (k <- 0 to steps) {
+      sb ++= s""",
+                |g$k AS (SELECT (1000 * CAST(SUM(cnt * len(string_split(rep, ' '))) AS BIGINT))
+                |    // CAST(SUM(cnt) AS BIGINT) AS f FROM h$k)""".stripMargin
+    }
+    sb ++= s""",
+              |tc AS (SELECT DISTINCT unnest(string_split(w, '')) AS c FROM words),
+              |hc AS MATERIALIZED (SELECT c, CAST(SUM(cnt) AS BIGINT) AS mass FROM
+              |  (SELECT cnt, unnest(string_split(w, '')) AS c FROM hw) GROUP BY 1),
+              |oov AS (SELECT CAST(COUNT(*) AS BIGINT) AS oov_char_types,
+              |  CAST(COALESCE(SUM(mass), 0) AS BIGINT) AS oov_mass
+              |  FROM hc WHERE c NOT IN (SELECT c FROM tc)),
+              |tm AS (SELECT CAST(SUM(mass) AS BIGINT) AS m FROM hc)""".stripMargin
+    val rows = (0 to steps).map { k =>
+      val pair = if (k == 0) "''" else s"(SELECT pair FROM t$k)"
+      val tf = s"(SELECT fertility_milli FROM f$k)"
+      s"""SELECT CAST($k AS BIGINT) AS step, $pair AS merged_pair,
+         |  $tf AS fert_train_milli, (SELECT f FROM g$k) AS fert_held_milli,
+         |  (SELECT oov_char_types FROM oov) AS oov_char_types,
+         |  (1000000 * (SELECT oov_mass FROM oov)) // (SELECT m FROM tm)
+         |    AS oov_char_mass_ppm""".stripMargin
+    }
+    sb.toString + rows.mkString("\n", "\nUNION ALL ", "")
+  }
 
   private def markerSql(ws: Seq[String]): String =
     s"CAST(len(list_filter($toksSql, t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
@@ -2336,6 +2443,7 @@ object TextQueries {
          |FROM g, t""".stripMargin,
     "text_bpe_train" -> bpeTrainOracleSql(6),
     "text_bpe_apply" -> bpeApplyOracleSql(6),
+    "text_bpe_heldout" -> bpeHeldoutOracleSql(6),
     "text_bpe_merge_step" ->
       s"""WITH words AS (SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS cnt
          |               FROM (SELECT unnest($toksSql) AS token FROM documents)

@@ -55,4 +55,39 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(t(1).getLong(3) < t(0).getLong(3),
       "fertility must strictly decrease while merges apply")
   }
+
+  test("scale smoke: held-out application over 1M generated docs") {
+    // The text_bpe_heldout shape at generator scale: train 2 merges on
+    // the even half, apply to the odd half as one collapsed projection
+    // computing all per-step folds in a single vocab-sized aggregate.
+    // Pins: completion, held-out fertility strictly decreasing while
+    // merges apply (the generator's halves are distribution-identical,
+    // so trained merges must generalize), and zero OOV characters
+    // (same generator alphabet on both halves).
+    val d = spark.read.format("graft-docs")
+      .option("rows", 1000000L).option("partitions", 32).load()
+    val train = d.filter(col("doc_id") % 2 === 0)
+    val held = d.filter(col("doc_id") % 2 === 1)
+    val pairs = graft.ext.TextOps.bpeTrain(train, "text", merges = 2)
+      .orderBy(col("step")).collect().map(_.getString(1)).toSeq
+    assert(pairs.length == 2)
+    val hw = held
+      .select(explode(graft.ext.TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val base = array_join(split(col("w"), ""), " ")
+    val reps = pairs.scanLeft(base: org.apache.spark.sql.Column)((r, p) =>
+      call_function("replace", r, lit(p), lit(p.replace(" ", ""))))
+    val symCols = reps.zipWithIndex.map { case (r, k) =>
+      sum(col("cnt") * size(split(r, " "))).as(s"m$k") }
+    val agg = hw.agg(symCols.head, symCols.tail :+ sum(col("cnt")).as("tot"): _*).head()
+    val ferts = reps.indices.map(k => 1000L * agg.getAs[Long](s"m$k") / agg.getAs[Long]("tot"))
+    assert(ferts(1) < ferts(0) && ferts(2) < ferts(1),
+      s"held-out fertility must strictly decrease: $ferts")
+    val trainChars = train
+      .select(explode(graft.ext.TextOps.tokens(col("text"))).as("w"))
+      .select(explode(split(col("w"), "")).as("c")).distinct()
+    val oov = hw.select(explode(split(col("w"), "")).as("c")).distinct()
+      .join(trainChars, Seq("c"), "left_anti").count()
+    assert(oov == 0L, s"generator halves share an alphabet; got $oov OOV chars")
+  }
 }
