@@ -22,6 +22,59 @@ object MultimodalQueries {
     load(spark, sfDir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
 
+  /** Deterministic NON-UTF8 binary fixture — bytes the text stand-in
+    * can never produce, minted per doc_id from pure integer
+    * arithmetic so BOTH engines construct the identical blob with no
+    * shared file: 4 REAL container magic bytes (PNG 89 50 4E 47 —
+    * leading byte ≥ 0x80; ADTS/AAC FF F1 4C 80; MPEG-PS 00 00 01 BA —
+    * embedded NULs), wrong for every 11th doc (the sniffing fixture's
+    * planted lie), then a 64-byte body of 4×16-byte tiles where tiles
+    * 0/2 and 1/3 repeat within a blob and 4 consecutive docs share
+    * tile content (duplicated-tile structure), bytes from a
+    * full-range multiplicative hash (b = ((seed+1)·(j+17)·2654435761)
+    * mod 256 — the odd multiplier is invertible mod 256 and the
+    * per-position step (seed+1)·C mod 256 is SEED-DEPENDENT, so the
+    * byte sawtooth's phase and slope differ across tile seeds; a
+    * seed-independent step would give every high-entropy blob the
+    * same gradient-sign pattern and collapse [[mmBinPhash]] into one
+    * near-clique), except every 5th doc is a CONSTANT-byte blob
+    * (the padding/silence degenerate). Spark builds the blob by
+    * hex-printing the same formula through `unhex` (a scan-partition
+    * projection — at 100 TB the mint is free beside the scan);
+    * [[synthCpsSql]] is the byte-value-list twin the oracle folds
+    * over. */
+  private def synthBin(spark: SparkSession, sfDir: String): DataFrame = {
+    val shipped = expr(
+      "CASE WHEN doc_id % 11 = 0 THEN (doc_id + 1) % 3 ELSE doc_id % 3 END")
+    val magicHex = element_at(
+      array(lit("89504e47"), lit("fff14c80"), lit("000001ba")),
+      (shipped + 1).cast("int"))
+    val body = transform(sequence(lit(0L), lit(63L)), i =>
+      lpad(lower(hex(
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          pmod(col("doc_id") * 7, lit(256)))
+          .otherwise(pmod(
+            ((col("doc_id") / 4).cast("bigint") * 2 +
+              (i / 16).cast("bigint") % 2 + 1) *
+              (pmod(i, lit(16)) + 17) * lit(2654435761L),
+            lit(256))))), 2, "0"))
+    load(spark, sfDir, "documents").select(col("doc_id"),
+      unhex(concat(magicHex, array_join(body, ""))).as("content"))
+  }
+
+  /** [[synthBin]]'s byte values as a BIGINT list, for the oracle. */
+  private val synthCpsSql: String =
+    """list_concat(
+      |  list_transform(CASE (CASE WHEN doc_id % 11 = 0 THEN (doc_id + 1) % 3
+      |                       ELSE doc_id % 3 END)
+      |     WHEN 0 THEN [137, 80, 78, 71]
+      |     WHEN 1 THEN [255, 241, 76, 128]
+      |     ELSE [0, 0, 1, 186] END, x -> CAST(x AS BIGINT)),
+      |  list_transform(range(0, 64), i ->
+      |    CASE WHEN doc_id % 5 = 0 THEN (doc_id * 7) % 256
+      |         ELSE (((doc_id // 4) * 2 + ((i // 16) % 2) + 1)
+      |               * ((i % 16) + 17) * 2654435761) % 256 END))""".stripMargin
+
   /** Blob metadata projection: byte length + content hash — the
     * dedup/integrity primitives for any media column (md5 on the raw
     * bytes is exactly how image dedup keys are built at scale). */
@@ -662,8 +715,75 @@ object MultimodalQueries {
           .as("entropy_milli"))
   }
 
+  /** [[mmContainerSniff]] re-gated over the GENUINE binary fixture:
+    * the sniffer reads 4 leading bytes that include values ≥ 0x80 and
+    * embedded NULs (real PNG/ADTS/MPEG-PS magics — bytes no UTF-8
+    * text stand-in can carry), so the prefix-slice path is exercised
+    * on content that is not text. Same planted wrong-prefix every
+    * 11th blob, same (annotated × sniffed) confusion readout. */
+  def mmBinSniff(spark: SparkSession, sfDir: String): DataFrame = {
+    val annotated = expr(
+      "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+    synthBin(spark, sfDir).withColumn("annotated", annotated)
+      .select(col("annotated"),
+        expr("CASE hex(substring(content, 1, 4)) " +
+          "WHEN '89504E47' THEN 'image' WHEN 'FFF14C80' THEN 'audio' " +
+          "WHEN '000001BA' THEN 'video' ELSE 'unknown' END").as("sniffed"))
+      .groupBy(col("annotated"), col("sniffed"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_diagonal", col("annotated") === col("sniffed"))
+  }
+
+  /** [[mmByteEntropy]] re-gated over the binary fixture — and the
+    * fixture makes the signal REAL: the planted constant-byte blobs
+    * (every 5th doc) collapse to one bin / 0 millibits while the LCG
+    * bodies spread over all 16 bins near the 4000-millibit ceiling —
+    * the routing split an ingest pipeline acts on (phash and codecs
+    * only for the high-entropy side, see [[mmBinPhash]]). */
+  def mmBinEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashExprs.log2Millis
+    val hist = synthBin(spark, sfDir)
+      .select(col("doc_id"), length(col("content")).cast("bigint").as("n_bytes"),
+        posexplode(MultimodalOps.byteHistCounts(col("content"), 16))
+          .as(Seq("bin", "c")))
+      .filter(col("c") > 0L)
+    hist
+      .withColumn("term", col("c") * (log2Millis(col("n_bytes")) - log2Millis(col("c"))))
+      .groupBy(col("doc_id"), col("n_bytes"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("term")).as("ts"))
+      .select(col("doc_id"), col("n_bytes"), col("n_bins"),
+        expr("CASE WHEN n_bytes = 0 THEN 0 ELSE ts div n_bytes END")
+          .as("entropy_milli"))
+  }
+
+  /** [[mmPhash]] re-gated over the binary fixture: gradient hashes on
+    * full-range bytes (not ASCII sums), planted near-dups as
+    * last-byte-overwritten mutants (one 2-byte segment moves ⇒
+    * hamming ≤ 1 by construction), PLUS the fixture's shared-body
+    * structure — 4 consecutive docs share the 64-byte body and differ
+    * only in magic bytes, so cross-doc near-dup pairs arise from
+    * content, not from planting. The constant-byte degenerates are
+    * EXCLUDED (the [[mmBinEntropy]] routing gate): dHash collapses
+    * every structured-constant blob to the same signature, so an
+    * ungated phash over padding/silence would bucket df² pairs — the
+    * entropy screen IS the 100 TB guard, applied here exactly as a
+    * production pipeline applies it. */
+  def mmBinPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = synthBin(spark, sfDir).filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val corpus = b.unionAll(b.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(expr("substring(content, 1, 67)"), unhex(lit("5a"))).as("content")))
+    val hashed = corpus.select(col("doc_id"),
+      MultimodalOps.byteSegGradHash(col("content"), 32).as("phash"))
+    graft.ext.DedupOps.hammingPairs(hashed, "doc_id", "phash",
+        bits = 31, bands = 3, maxHamming = 2)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_entropy" -> (mmByteEntropy _),
+    "mm_bin_sniff" -> (mmBinSniff _),
+    "mm_bin_entropy" -> (mmBinEntropy _),
+    "mm_bin_phash" -> (mmBinPhash _),
     "mm_phash_sweep" -> (mmPhashSweep _),
     "mm_byte_runs" -> (mmByteRuns _),
     "mm_sharpness" -> (mmSharpness _),
@@ -997,6 +1117,63 @@ object MultimodalQueries {
     // 32 equal byte segments (1-based inclusive slices), cross-multiplied
     // mean-gradient bits, then the 3-band (10/10/11-bit) pigeonhole join —
     // the exact arithmetic of byteSegGradHash + hammingPairs(31, 3, 2).
+    "mm_bin_sniff" ->
+      """WITH s AS (SELECT
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS annotated,
+        |    CASE (CASE WHEN doc_id % 11 = 0 THEN (doc_id + 1) % 3
+        |          ELSE doc_id % 3 END)
+        |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+        |      END AS sniffed
+        |  FROM documents)
+        |SELECT annotated, sniffed, CAST(COUNT(*) AS BIGINT) AS n,
+        |  annotated = sniffed AS is_diagonal
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "mm_bin_entropy" -> {
+      def mbSql(q: String): String =
+        s"(CAST((length(bin($q)) - 1) * 1000 AS BIGINT) + " +
+          s"(($q - (CAST(1 AS BIGINT) << (length(bin($q)) - 1))) * 1000) // " +
+          s"(CAST(1 AS BIGINT) << (length(bin($q)) - 1)))"
+      s"""WITH c AS (SELECT doc_id, $synthCpsSql AS cps FROM documents),
+         |n AS (SELECT doc_id, CAST(len(cps) AS BIGINT) AS n_bytes FROM c),
+         |e AS (SELECT doc_id, unnest(cps) AS cp FROM c),
+         |h AS (SELECT doc_id, cp // 16 AS b, CAST(COUNT(*) AS BIGINT) AS cc
+         |  FROM e GROUP BY 1, 2),
+         |t AS (SELECT h.doc_id, n_bytes, cc,
+         |    cc * (${mbSql("n_bytes")} - ${mbSql("cc")}) AS term
+         |  FROM h JOIN n ON h.doc_id = n.doc_id)
+         |SELECT doc_id, n_bytes, CAST(COUNT(*) AS BIGINT) AS n_bins,
+         |  CASE WHEN n_bytes = 0 THEN 0
+         |       ELSE CAST(SUM(term) AS BIGINT) // n_bytes END AS entropy_milli
+         |FROM t GROUP BY doc_id, n_bytes""".stripMargin
+    },
+    "mm_bin_phash" ->
+      s"""WITH c0 AS (SELECT doc_id, $synthCpsSql AS cps FROM documents
+         |  WHERE doc_id % 5 <> 0),
+         |c AS (SELECT doc_id, cps FROM c0
+         |  UNION ALL SELECT doc_id + 1000000,
+         |    list_concat(cps[1:67], [CAST(90 AS BIGINT)]) FROM c0),
+         |seg AS (SELECT doc_id,
+         |  list_transform(range(0, 32), j -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    cps[(j * len(cps)) // 32 + 1 : ((j + 1) * len(cps)) // 32]),
+         |    (a, b) -> a + b)) AS s,
+         |  list_transform(range(0, 32),
+         |    j -> ((j + 1) * len(cps)) // 32 - (j * len(cps)) // 32) AS l
+         |  FROM c),
+         |p AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range(0, 31), j -> CASE
+         |    WHEN s[j+2] * l[j+1] > s[j+1] * l[j+2]
+         |    THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |  (a, b) -> a + b) AS ph FROM seg),
+         |b_t AS (SELECT doc_id, ph, band, CASE band
+         |    WHEN 0 THEN ph % 1024 WHEN 1 THEN (ph // 1024) % 1024
+         |    ELSE ph // 1048576 END AS key
+         |  FROM p, (SELECT unnest([0, 1, 2]) AS band))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+         |FROM b_t a JOIN b_t b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph, b.ph)) <= 2""".stripMargin,
     "mm_phash" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 1000000, substr(text, 1, len(text) - 1) || '~'
