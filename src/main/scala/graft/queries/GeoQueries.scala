@@ -399,6 +399,49 @@ object GeoQueries {
   def geoRegionJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val p = graft.core.QueryCaches.track(points(spark, sfDir))
     val inside = graft.core.QueryCaches.track(regionMembership(p, 200L))
+    regionRollup(p, inside)
+  }
+
+  /** [[geoRegionJoin]] for region catalogs TOO LARGE TO BROADCAST —
+    * the shuffle-side plan a continent-scale polygon catalog (admin
+    * boundaries, geofences by the million) forces: the cell cover is
+    * a plain DataFrame whose rows CARRY their region's edge array
+    * (cover cells × regions rows, each self-contained), points meet
+    * it in a (gx, gy)-keyed SortMergeJoin — both sides shuffle on the
+    * cell key, nothing is broadcast, no BroadcastNestedLoopJoin can
+    * appear (PlanSpec-pinned) — and the exact integer winding test
+    * runs in-row on the joined edge array, so there is no second
+    * (region-keyed) join at all. Same 4-region catalog, same rollup,
+    * same quadratic oracle as the broadcast row: the green hash pins
+    * plan-shape equivalence. At 100 TB the trade is explicit: the
+    * broadcast row wins while the cover fits an executor; this row is
+    * the fallback whose cost is one co-partitioned shuffle of points
+    * + cover, with per-cell fan-out bounded by cover overlap. */
+  def geoRegionJoinLarge(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val cell = 200L
+    val coverRows = for {
+      (rid, vs) <- regions
+      gx <- (vs.map(_._1).min / cell) to (vs.map(_._1).max / cell)
+      gy <- (vs.map(_._2).min / cell) to (vs.map(_._2).max / cell)
+    } yield (gx, gy, rid, regionEdges(vs))
+    val cover = coverRows.toDF("gx", "gy", "region_id", "edges")
+    val p = graft.core.QueryCaches.track(points(spark, sfDir))
+    val inside = graft.core.QueryCaches.track(
+      p.select(col("vec_id"), col("px"), col("py"),
+          expr(s"px div $cell").as("gx"), expr(s"py div $cell").as("gy"))
+        .join(cover.hint("merge"), Seq("gx", "gy"))
+        .filter(forall(col("edges"), e =>
+          (e.getField("_3") - e.getField("_1")) * (col("py") - e.getField("_2")) -
+            (e.getField("_4") - e.getField("_2")) * (col("px") - e.getField("_1")) >= 0))
+        .select(col("region_id"), col("vec_id"), col("px"), col("py")))
+    regionRollup(p, inside)
+  }
+
+  /** Shared membership → (region_id, n_points, centroid) readout of
+    * the two region-join rows, including the region −1 not-in-any row. */
+  private def regionRollup(p: DataFrame, inside: DataFrame): DataFrame = {
     val perRegion = inside.groupBy(col("region_id"))
       .agg(count(lit(1)).as("n_points"),
         expr("(1000 * sum(px)) div count(*)").as("cx_milli"),
@@ -558,6 +601,34 @@ object GeoQueries {
       |  CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000.0) AS BIGINT) + 2000 AS py
       |FROM embeddings)""".stripMargin
 
+  /** One quadratic winding-test spelling shared by geo_region_join
+    * (broadcast cover) and geo_region_join_large (shuffle-side cover)
+    * — the two rows differ only in Spark plan shape. */
+  private lazy val regionJoinOracleSql: String =
+    s"""WITH $pSql,
+       |e(region_id, x1, y1, x2, y2) AS (VALUES $regionEdgeValues),
+       |s AS (SELECT p.vec_id, p.px, p.py, e.region_id,
+       |    (e.x2 - e.x1) * (p.py - e.y1) -
+       |    (e.y2 - e.y1) * (p.px - e.x1) >= 0 AS inside_e
+       |  FROM p CROSS JOIN e),
+       |m AS (SELECT region_id, vec_id, px, py FROM s
+       |  GROUP BY 1, 2, 3, 4 HAVING bool_and(inside_e)),
+       |per_r AS (SELECT CAST(region_id AS BIGINT) AS region_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_points,
+       |    (1000 * CAST(SUM(px) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+       |      AS cx_milli,
+       |    (1000 * CAST(SUM(py) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+       |      AS cy_milli
+       |  FROM m GROUP BY 1),
+       |outs AS (SELECT CAST(-1 AS BIGINT) AS region_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_points,
+       |    (1000 * CAST(SUM(px) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+       |      AS cx_milli,
+       |    (1000 * CAST(SUM(py) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+       |      AS cy_milli
+       |  FROM p WHERE vec_id NOT IN (SELECT vec_id FROM m))
+       |SELECT * FROM per_r UNION ALL SELECT * FROM outs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_radius_join" -> (geoRadiusJoin _),
     "geo_radius_join_capped" -> (geoRadiusJoinCapped _),
@@ -567,6 +638,7 @@ object GeoQueries {
     "geo_hotspot" -> (geoHotspot _),
     "geo_pyramid" -> (geoPyramid _),
     "geo_region_join" -> (geoRegionJoin _),
+    "geo_region_join_large" -> (geoRegionJoinLarge _),
     "geo_convex_hull" -> (geoConvexHull _),
     "geo_voronoi" -> (geoVoronoi _),
     "geo_closest_pair" -> (geoClosestPair _),
@@ -738,30 +810,11 @@ object GeoQueries {
          |  py // (2000 // (CAST(1 AS BIGINT) << z.z)) AS ty,
          |  CAST(COUNT(*) AS BIGINT) AS n_points
          |FROM p CROSS JOIN z GROUP BY 1, 2, 3""".stripMargin,
-    "geo_region_join" ->
-      s"""WITH $pSql,
-         |e(region_id, x1, y1, x2, y2) AS (VALUES $regionEdgeValues),
-         |s AS (SELECT p.vec_id, p.px, p.py, e.region_id,
-         |    (e.x2 - e.x1) * (p.py - e.y1) -
-         |    (e.y2 - e.y1) * (p.px - e.x1) >= 0 AS inside_e
-         |  FROM p CROSS JOIN e),
-         |m AS (SELECT region_id, vec_id, px, py FROM s
-         |  GROUP BY 1, 2, 3, 4 HAVING bool_and(inside_e)),
-         |per_r AS (SELECT CAST(region_id AS BIGINT) AS region_id,
-         |    CAST(COUNT(*) AS BIGINT) AS n_points,
-         |    (1000 * CAST(SUM(px) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
-         |      AS cx_milli,
-         |    (1000 * CAST(SUM(py) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
-         |      AS cy_milli
-         |  FROM m GROUP BY 1),
-         |outs AS (SELECT CAST(-1 AS BIGINT) AS region_id,
-         |    CAST(COUNT(*) AS BIGINT) AS n_points,
-         |    (1000 * CAST(SUM(px) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
-         |      AS cx_milli,
-         |    (1000 * CAST(SUM(py) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
-         |      AS cy_milli
-         |  FROM p WHERE vec_id NOT IN (SELECT vec_id FROM m))
-         |SELECT * FROM per_r UNION ALL SELECT * FROM outs""".stripMargin,
+    "geo_region_join" -> regionJoinOracleSql,
+    // geo_region_join_large: identical semantics and readout — the
+    // Spark side differs only in PLAN (shuffle-side cover join, no
+    // broadcast); one oracle spelling pins both.
+    "geo_region_join_large" -> regionJoinOracleSql,
     "geo_convex_hull" ->
       s"""WITH $pSql,
          |ext AS (SELECT

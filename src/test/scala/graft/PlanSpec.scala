@@ -2038,6 +2038,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("geo_region_join_large: shuffle-side cover join — no broadcast join of any kind") {
+    // The too-large-to-broadcast contract: the cover meets the points
+    // in a cell-keyed SortMergeJoin; neither a BroadcastNestedLoopJoin
+    // (the disaster plan a range/contains predicate invites) nor a
+    // BroadcastHashJoin (the small-catalog plan this row exists to
+    // avoid) may appear. AQE off so the pinned shape is the static one.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("geo_region_join_large")(spark, sf)
+        .queryExecution.executedPlan
+      val s = p.toString
+      assert(!s.contains("BroadcastNestedLoopJoin"),
+        s"BroadcastNestedLoopJoin in the large region join:\n$p")
+      assert(!s.contains("BroadcastHashJoin"),
+        s"the cover must not be broadcast in the large variant:\n$p")
+      assert(s.contains("SortMergeJoin"),
+        s"cell-keyed SortMergeJoin expected:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      graft.ext.DedupOps.releaseCaches()
+      graft.core.QueryCaches.releaseAll()
+    }
+  }
+
   test("sim_index_compact: generation-2 read path keeps the zero-exchange ADC contract") {
     // After the delta is folded into the generation-2 table, serving
     // must return to the single-table exchange-free plan — the whole
