@@ -2374,6 +2374,17 @@ object EventQueries {
       .join(core.select(col("id").as("cb")), col("q_id") === col("cb"), "left_semi")
       .filter(col("p_id") < col("q_id"))
       .select(col("p_id").as("id_a"), col("q_id").as("id_b"))
+    // Fine-grid seeding MEASURED AND REJECTED (round 15, sf0.1): a
+    // ⌊ε/√3⌋-wide fine grid makes a cell's space diagonal ≤ ε, so the
+    // per-cell core minimum is a SOUND pre-label (co-celled cores are
+    // mutual ε-neighbors, hence co-clustered), folded into the
+    // fixpoint seed via least(). Result: 8 rounds → 8 rounds, total
+    // 6.5 s → 5.8 s (within box noise) — the binding constraint is
+    // min-label propagation along CROSS-cell chains (one edge hop per
+    // round), and intra-cell cliques already collapse by round 0, so
+    // the seed buys nothing. Fourth rejected fixpoint variant after
+    // the two-hop jump, double edge-hop, and AQE-off measurements in
+    // DedupOps.dupClusters.
     // isolated cores (no core neighbor) are their own singleton cluster
     val reps = graft.ext.DedupOps.dupClusters(corePairs)
       .select(col("id").as("r_id"), col("cluster_rep"))
