@@ -1829,8 +1829,45 @@ object TextQueries {
         min(col("score")).as("cut_milli"))
   }
 
+  /** GLOBAL concat-and-chunk packing with the BOUNDARY manifest — the
+    * companion of [[curatePack]] (per-shard offset bins): documents in a deterministic
+    * content-hash order are conceptually concatenated into one token
+    * stream and cut into fixed 512-token training sequences; the
+    * manifest reports, per sequence, how many documents it touches,
+    * how many of those are PARTIAL (split across a boundary — the
+    * rows an attention-mask / document-boundary loss policy cares
+    * about), and its token count (512 everywhere but the tail). No
+    * driver loop and no single-partition window: the running offset
+    * is [[graft.ext.SkewOps.globalCumSum]] (range-sort + broadcast
+    * offsets), each doc explodes into only the ⌈len/512⌉ sequences it
+    * spans, and the rollup is map-side combined — at 100 TB the
+    * manifest costs one sorted scan of (doc, count) rows. The oracle
+    * spells the identical spans off a global window cumsum. */
+  def curatePackBoundaries(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = 512L
+    val base = load(spark, sfDir, "documents")
+      .select(col("doc_id"), pmod(fingerprint(col("text")), lit(1000000L)).as("h"),
+        tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val cum = graft.ext.SkewOps.globalCumSum(base, Seq("h", "doc_id"),
+      "n_tokens", "_rk", "cum")
+    val spans = cum.select(col("doc_id"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("s"), col("cum").as("e"))
+      .select(col("doc_id"), col("n_tokens"), col("s"), col("e"),
+        explode(sequence(expr(s"s div $B"), expr(s"(e - 1) div $B"))).as("seq_id"))
+    spans.select(col("seq_id"), col("n_tokens"),
+        greatest(col("s"), col("seq_id") * B).as("cs"),
+        least(col("e"), (col("seq_id") + 1) * B).as("ce"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ce") - col("cs") < col("n_tokens"), 1L).otherwise(0L))
+          .as("n_partial_docs"),
+        sum(col("ce") - col("cs")).as("n_seq_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ppmi_sim" -> (textPpmiSim _),
+    "curate_pack_boundaries" -> (curatePackBoundaries _),
     "curate_budget_fill" -> (curateBudgetFill _),
     "text_nb_langid" -> (textNbLangid _),
     "text_langid_margin" -> (textLangidMargin _),
@@ -2051,6 +2088,23 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "curate_pack_boundaries" ->
+      s"""WITH d AS (SELECT doc_id, $fpSql % 1000000 AS h,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id) AS BIGINT) AS e
+         |  FROM d WHERE n_tokens > 0),
+         |sp AS (SELECT doc_id, n_tokens, e - n_tokens AS s, e,
+         |    unnest(range((e - n_tokens) // 512, (e - 1) // 512 + 1)) AS seq_id
+         |  FROM c)
+         |SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN LEAST(e, (seq_id + 1) * 512) -
+         |    GREATEST(s, seq_id * 512) < n_tokens THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_partial_docs,
+         |  CAST(SUM(LEAST(e, (seq_id + 1) * 512) - GREATEST(s, seq_id * 512))
+         |    AS BIGINT) AS n_seq_tokens
+         |FROM sp GROUP BY seq_id""".stripMargin,
     "curate_budget_fill" ->
       s"""WITH d AS (SELECT doc_id, source,
          |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
