@@ -779,9 +779,37 @@ object MultimodalQueries {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
   }
 
+  /** Tile-level partial-duplicate detection over the binary fixture —
+    * the crop/splice catch exercised on bytes where it is REAL: the
+    * fixture plants exact duplicate 16-byte tiles both WITHIN a blob
+    * (tiles 0/2 and 1/3 repeat) and ACROSS blobs (4 consecutive docs
+    * share tile content), so the equi-join on the tile value finds
+    * pairs sharing ≥ 2 distinct tiles — exactly the within-group
+    * pairs, content-derived, not planted post-hoc. Constant-byte
+    * degenerates are excluded behind the [[mmBinEntropy]] gate (a
+    * constant tile is the padding boilerplate whose df would grow with
+    * the corpus; group tiles are bounded at 4 docs by construction —
+    * the tile-df cap documented on [[mmTileHash]] applies unchanged
+    * when real media violates that bound). Plan: 4 fixed-width tile
+    * keys per blob, distinct, one tile-keyed equi-join — blobs never
+    * cross the shuffle. */
+  def mmBinTiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = synthBin(spark, sfDir).filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val dt = b.select(col("doc_id"),
+        explode(array((0 to 3).map(t =>
+          expr(s"hex(substring(content, ${5 + 16 * t}, 16))")): _*)).as("tile"))
+      .distinct()
+    dt.as("a").join(dt.as("b"),
+        col("a.tile") === col("b.tile") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_tiles"))
+      .filter(col("n_shared_tiles") >= 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_entropy" -> (mmByteEntropy _),
     "mm_bin_sniff" -> (mmBinSniff _),
+    "mm_bin_tiles" -> (mmBinTiles _),
     "mm_bin_entropy" -> (mmBinEntropy _),
     "mm_bin_phash" -> (mmBinPhash _),
     "mm_phash_sweep" -> (mmPhashSweep _),
@@ -1117,6 +1145,16 @@ object MultimodalQueries {
     // 32 equal byte segments (1-based inclusive slices), cross-multiplied
     // mean-gradient bits, then the 3-band (10/10/11-bit) pigeonhole join —
     // the exact arithmetic of byteSegGradHash + hammingPairs(31, 3, 2).
+    "mm_bin_tiles" ->
+      s"""WITH c AS (SELECT doc_id, $synthCpsSql AS cps FROM documents
+         |  WHERE doc_id % 5 <> 0),
+         |t AS (SELECT DISTINCT doc_id,
+         |    cps[5 + 16 * t : 4 + 16 * (t + 1)] AS tile
+         |  FROM c, (SELECT unnest(range(0, 4)) AS t))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared_tiles
+         |FROM t a JOIN t b ON a.tile = b.tile AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
     "mm_bin_sniff" ->
       """WITH s AS (SELECT
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
