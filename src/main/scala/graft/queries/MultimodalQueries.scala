@@ -31,13 +31,19 @@ object MultimodalQueries {
     * planted lie), then a 64-byte body of 4×16-byte tiles where tiles
     * 0/2 and 1/3 repeat within a blob and 4 consecutive docs share
     * tile content (duplicated-tile structure), bytes from a
-    * full-range multiplicative hash (b = ((seed+1)·(j+17)·2654435761)
-    * mod 256 — the odd multiplier is invertible mod 256 and the
-    * per-position step (seed+1)·C mod 256 is SEED-DEPENDENT, so the
-    * byte sawtooth's phase and slope differ across tile seeds; a
-    * seed-independent step would give every high-entropy blob the
-    * same gradient-sign pattern and collapse [[mmBinPhash]] into one
-    * near-clique), except every 5th doc is a CONSTANT-byte blob
+    * MID-SQUARE hash: v = (seed·40503 + (j+1)·104729) mod (2³¹−1),
+    * b = bits 23..30 of v² — squaring makes b genuinely nonlinear in
+    * BOTH seed and position, which matters twice: (a) any formula
+    * affine in j gives every blob the same byte-difference pattern up
+    * to phase, collapsing [[mmBinPhash]]'s gradient signs into ~256
+    * classes (two such families were prescanned and rejected — 1,898
+    * and 50k distinct hashes over 160k blobs vs 24k+ here with
+    * bounded classes); (b) the prime modulus keeps tile content
+    * unique per seed across the full range (a mod-65537 variant
+    * repeated tile classes every 65k seeds; a mod-256 dependence
+    * collapsed 1M docs into ~7,800-doc tile classes whose uncapped
+    * join ran 20× budget). Prescanned floor: entropy ≥ 3088 millibits
+    * over 200k blobs. Every 5th doc is instead a CONSTANT-byte blob
     * (the padding/silence degenerate). Spark builds the blob by
     * hex-printing the same formula through `unhex` (a scan-partition
     * projection — at 100 TB the mint is free beside the scan);
@@ -54,9 +60,12 @@ object MultimodalQueries {
         when(pmod(col("doc_id"), lit(5)) === 0,
           pmod(col("doc_id") * 7, lit(256)))
           .otherwise(pmod(
-            ((col("doc_id") / 4).cast("bigint") * 2 +
-              (i / 16).cast("bigint") % 2 + 1) *
-              (pmod(i, lit(16)) + 17) * lit(2654435761L),
+            shiftright({
+              val v = pmod(((col("doc_id") / 4).cast("bigint") * 2 +
+                (i / 16).cast("bigint") % 2) * lit(40503L) +
+                (pmod(i, lit(16)) + 1) * lit(104729L), lit(2147483647L))
+              v * v
+            }, 23),
             lit(256))))), 2, "0"))
     load(spark, sfDir, "documents").select(col("doc_id"),
       unhex(concat(magicHex, array_join(body, ""))).as("content"))
@@ -72,8 +81,11 @@ object MultimodalQueries {
       |     ELSE [0, 0, 1, 186] END, x -> CAST(x AS BIGINT)),
       |  list_transform(range(0, 64), i ->
       |    CASE WHEN doc_id % 5 = 0 THEN (doc_id * 7) % 256
-      |         ELSE (((doc_id // 4) * 2 + ((i // 16) % 2) + 1)
-      |               * ((i % 16) + 17) * 2654435761) % 256 END))""".stripMargin
+      |         ELSE (((((doc_id // 4) * 2 + ((i // 16) % 2)) * 40503
+      |                  + ((i % 16) + 1) * 104729) % 2147483647)
+      |                * ((((doc_id // 4) * 2 + ((i // 16) % 2)) * 40503
+      |                  + ((i % 16) + 1) * 104729) % 2147483647)
+      |                // 8388608) % 256 END))""".stripMargin
 
   /** Blob metadata projection: byte length + content hash — the
     * dedup/integrity primitives for any media column (md5 on the raw
@@ -788,18 +800,30 @@ object MultimodalQueries {
     * pairs, content-derived, not planted post-hoc. Constant-byte
     * degenerates are excluded behind the [[mmBinEntropy]] gate (a
     * constant tile is the padding boilerplate whose df would grow with
-    * the corpus; group tiles are bounded at 4 docs by construction —
-    * the tile-df cap documented on [[mmTileHash]] applies unchanged
-    * when real media violates that bound). Plan: 4 fixed-width tile
-    * keys per blob, distinct, one tile-keyed equi-join — blobs never
+    * the corpus). The hot-tile skew guard is ENGAGED (maxDf = 8 — the
+    * seventh capped candidate family): tiles shared by more than 8
+    * docs are dropped before the pair join, because the fixture's own
+    * formula mints one at scale — seeds with (s+1) ≡ 0 mod 256
+    * produce an ALL-ZERO tile shared by ~0.8% of docs, which at 1M
+    * docs is a ~7,800-doc bucket and a 30M-pair df² explosion (the 1M
+    * smoke measured it: the uncapped join ran 20× the budget). The
+    * declared recall trade: pairs sharing ONLY a capped-out tile are
+    * missed — at oracle scale (seeds < 256, df ≤ 4) the cap drops
+    * nothing, and the oracle spells the identical capped semantics so
+    * that is hash-checked. Plan: 4 fixed-width tile keys per blob,
+    * distinct, df filter, one tile-keyed equi-join — blobs never
     * cross the shuffle. */
   def mmBinTiles(spark: SparkSession, sfDir: String): DataFrame = {
     val b = synthBin(spark, sfDir).filter(pmod(col("doc_id"), lit(5)) =!= 0)
-    val dt = b.select(col("doc_id"),
+    val dt = graft.core.QueryCaches.track(
+      b.select(col("doc_id"),
         explode(array((0 to 3).map(t =>
           expr(s"hex(substring(content, ${5 + 16 * t}, 16))")): _*)).as("tile"))
-      .distinct()
-    dt.as("a").join(dt.as("b"),
+      .distinct())
+    val dfreq = dt.groupBy(col("tile")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 8).select(col("tile"))
+    val capped = dt.join(dfreq, "tile")
+    capped.as("a").join(capped.as("b"),
         col("a.tile") === col("b.tile") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_tiles"))
@@ -1148,9 +1172,11 @@ object MultimodalQueries {
     "mm_bin_tiles" ->
       s"""WITH c AS (SELECT doc_id, $synthCpsSql AS cps FROM documents
          |  WHERE doc_id % 5 <> 0),
-         |t AS (SELECT DISTINCT doc_id,
+         |t0 AS (SELECT DISTINCT doc_id,
          |    cps[5 + 16 * t : 4 + 16 * (t + 1)] AS tile
-         |  FROM c, (SELECT unnest(range(0, 4)) AS t))
+         |  FROM c, (SELECT unnest(range(0, 4)) AS t)),
+         |keep AS (SELECT tile FROM t0 GROUP BY tile HAVING COUNT(*) <= 8),
+         |t AS (SELECT t0.doc_id, t0.tile FROM t0 JOIN keep USING (tile))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(COUNT(*) AS BIGINT) AS n_shared_tiles
          |FROM t a JOIN t b ON a.tile = b.tile AND a.doc_id < b.doc_id

@@ -285,6 +285,81 @@ class DocGenSourceSpec extends AnyFunSuite {
     info(f"1M docs + 10k planted tail-edits in $secs%.1f s, $nPlanted planted pairs found")
   }
 
+  test("scale smoke: binary-fixture mint + entropy kernel + tile join over 1M docs") {
+    // The mm_bin_* substrate at 1000x the oracle corpus: mint a 68-byte
+    // non-UTF8 blob per doc from doc_id arithmetic (the
+    // MultimodalQueries.synthBin formula — magic + 4x16-byte tiles,
+    // groups of 4 docs sharing tile content), run the codegen 16-bin
+    // histogram entropy fold, and the tile-keyed partial-dup equi-join.
+    // Pins: the mint is a pure scan-partition projection (no shuffle
+    // before the aggregates), constant-BODY docs land under 600
+    // millibits (the 4 magic bytes contribute ≤ ~0.45 bits over the
+    // 68-byte blob), high-entropy docs stay above 3000, and the tile join's
+    // pair count is LINEAR in docs (within-group pairs only — ~6 per
+    // group of 4, no df^2 clique), all inside a wall-clock pathology
+    // bound.
+    val t0 = System.nanoTime()
+    val d = docs(1000000L, 32)
+    val shipped = expr("CASE WHEN doc_id % 11 = 0 THEN (doc_id + 1) % 3 ELSE doc_id % 3 END")
+    val magicHex = element_at(
+      array(lit("89504e47"), lit("fff14c80"), lit("000001ba")),
+      (shipped + 1).cast("int"))
+    val body = transform(sequence(lit(0L), lit(63L)), i =>
+      lpad(lower(hex(
+        when(pmod(col("doc_id"), lit(5)) === 0, pmod(col("doc_id") * 7, lit(256)))
+          .otherwise(pmod(
+            shiftright({
+              val v = pmod(((col("doc_id") / 4).cast("bigint") * 2 +
+                (i / 16).cast("bigint") % 2) * lit(40503L) +
+                (pmod(i, lit(16)) + 1) * lit(104729L), lit(2147483647L))
+              v * v
+            }, 23),
+            lit(256))))), 2, "0"))
+    val blobs = d.select(col("doc_id"),
+      unhex(concat(magicHex, array_join(body, ""))).as("content"))
+    import graft.functions.HashExprs.log2Millis
+    val ent = blobs
+      .select(col("doc_id"), length(col("content")).cast("bigint").as("nb"),
+        posexplode(graft.ext.MultimodalOps.byteHistCounts(col("content"), 16))
+          .as(Seq("bin", "c")))
+      .filter(col("c") > 0L)
+      .withColumn("term", col("c") * (log2Millis(col("nb")) - log2Millis(col("c"))))
+      .groupBy(col("doc_id"), col("nb"))
+      .agg(sum(col("term")).as("ts"))
+      .select(col("doc_id"), expr("ts div nb").as("h"))
+    val flatCnt = ent.filter(pmod(col("doc_id"), lit(5)) === 0 && col("h") >= 600L).count()
+    val lowHi = ent.filter(pmod(col("doc_id"), lit(5)) =!= 0 && col("h") < 3000L).count()
+    assert(flatCnt == 0L, s"constant-body blobs must score under 600 millibits ($flatCnt violations)")
+    // the 177-stride sawtooth guarantees 16 distinct bytes per tile
+    // for EVERY seed — the routing split is total, no degenerate class
+    assert(lowHi == 0L, s"sawtooth blobs must stay above 3000 millibits ($lowHi below)")
+    // tile join WITH the mm_bin_tiles maxDf=8 cap engaged exactly as
+    // the gated row engages it. (History: the first fixture formula's
+    // tile content depended on seed only mod 256, collapsing 1M docs
+    // into ~7,800-doc tile classes whose uncapped join ran 20x the
+    // budget — this smoke is what caught it; the mid-square formula
+    // makes tiles unique per seed, and the cap stays as the guard
+    // real media needs anyway.)
+    val dt = blobs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(col("doc_id"),
+        explode(array((0 to 3).map(t =>
+          expr(s"hex(substring(content, ${5 + 16 * t}, 16))")): _*)).as("tile"))
+      .distinct()
+    val keep = dt.groupBy(col("tile")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 8).select(col("tile"))
+    val capped = dt.join(keep, "tile")
+    val nPairs = capped.as("a").join(capped.as("b"),
+        col("a.tile") === col("b.tile") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // 250k groups of 4; each group's 5th-doc exclusions leave ~3.2
+    // members -> ~3-6 pairs per group: linear, never df^2
+    assert(nPairs < 2500000L, s"tile-pair explosion: $nPairs")
+    assert(nPairs > 500000L, s"planted tile structure missing: $nPairs")
+    assert(secs < 150.0, f"1M-doc binary fixture pipeline took $secs%.1f s (budget 150 s)")
+    info(f"1M blobs minted + entropy + tile join in $secs%.1f s, $nPairs tile pairs")
+  }
+
   test("scale smoke: blocked Jaro-Winkler linkage over 1M generated docs") {
     // The dedup_entity_jw plan at 1M rows: first-token blocking
     // equi-join + codegen'd JW verify. The generator's first tokens
