@@ -2090,6 +2090,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty && got == batch,
       s"stream ${got.size} chunks vs batch ${batch.size}")
   }
+
+  test("index-delta serving: per-batch PQ encode over a stream equals the one-shot batch encode") {
+    // The sim_index_delta serving claim — "new data searchable
+    // immediately, index rewritten on the maintenance cadence" —
+    // rests on the delta ENCODE being stream-safe: pqEncode groups
+    // only within (vec_id, s) and joins a static broadcast codebook,
+    // so running it per micro-batch (foreachBatch, the lambda-arch
+    // ingest shape) must produce exactly the one-shot batch code rows
+    // regardless of how the delta is chunked.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(24)(j => ((seed * 31 + j * 17) % 100).toFloat / 10f)
+    val all = (0L until 30L).map(i => (i, vec(i)))
+    val corpus = all.toDF("vec_id", "embedding")
+    val cb = graft.ext.SimOps.pqSeedCodebook(corpus, kCodes = 4, m = 8, sub = 3)
+      .persist()
+    val batch = graft.ext.SimOps.pqEncode(corpus, cb, m = 8, sub = 3)
+      .collect().map(_.toSeq.toList).toSet
+    val in = MemoryStream[(Long, Array[Float])]
+    val rows = new ConcurrentLinkedQueue[List[Any]]()
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        graft.ext.SimOps.pqEncode(b, cb, m = 8, sub = 3)
+          .collect().foreach(r => rows.add(r.toSeq.toList)); ()
+      })
+      .start()
+    all.grouped(7).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    cb.unpersist()
+    val got = rows.toArray.map(_.asInstanceOf[List[Any]]).toSet
+    assert(batch.nonEmpty && got == batch,
+      s"stream ${got.size} code rows vs batch ${batch.size}")
+  }
 }
 
 
