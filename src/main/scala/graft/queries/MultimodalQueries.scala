@@ -830,10 +830,34 @@ object MultimodalQueries {
       .filter(col("n_shared_tiles") >= 2)
   }
 
+  /** [[mmFrames]]'s sampling re-gated over the binary fixture — the
+    * last mm path still exercised only on text stand-ins: each blob is
+    * treated as an 8-frame raw container (8-byte frames over the
+    * 68-byte blob, tail truncated by the substr contract), frames
+    * 0/3/6 + last sampled, and each sampled frame reports the
+    * single-pass [[MultimodalOps.byteStats]] kernel readout — run here
+    * over slices carrying ≥0x80 bytes and NULs. Pure projections:
+    * blobs never cross a shuffle, the frame explode is 4 fixed rows
+    * per blob. */
+  def mmBinFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = synthBin(spark, sfDir).select(col("doc_id").as("media_id"),
+      col("content"),
+      struct(lit("video").as("modality"), lit("raw").as("fmt"),
+        lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"),
+        lit(8).as("n_frames")).as("meta"))
+    MultimodalOps.sampleFrames(media, every = 3)
+      .select(col("media_id").as("doc_id"),
+        col("frame_idx").cast("bigint").as("frame_idx"),
+        MultimodalOps.byteStats(col("frame_bytes")).as("s"))
+      .select(col("doc_id"), col("frame_idx"), col("s.n_bytes"),
+        col("s.sum_bytes"), col("s.min_byte"), col("s.max_byte"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_entropy" -> (mmByteEntropy _),
     "mm_bin_sniff" -> (mmBinSniff _),
     "mm_bin_tiles" -> (mmBinTiles _),
+    "mm_bin_frames" -> (mmBinFrames _),
     "mm_bin_entropy" -> (mmBinEntropy _),
     "mm_bin_phash" -> (mmBinPhash _),
     "mm_phash_sweep" -> (mmPhashSweep _),
@@ -1169,6 +1193,16 @@ object MultimodalQueries {
     // 32 equal byte segments (1-based inclusive slices), cross-multiplied
     // mean-gradient bits, then the 3-band (10/10/11-bit) pigeonhole join —
     // the exact arithmetic of byteSegGradHash + hammingPairs(31, 3, 2).
+    "mm_bin_frames" ->
+      s"""WITH c AS (SELECT doc_id, $synthCpsSql AS cps FROM documents),
+         |f AS (SELECT doc_id, fi, cps[fi * 8 + 1 : fi * 8 + 8] AS fb
+         |  FROM c, (SELECT unnest([0, 3, 6, 7]) AS fi))
+         |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+         |  CAST(len(fb) AS BIGINT) AS n_bytes,
+         |  CAST(list_aggregate(fb, 'sum') AS BIGINT) AS sum_bytes,
+         |  CAST(list_aggregate(fb, 'min') AS INTEGER) AS min_byte,
+         |  CAST(list_aggregate(fb, 'max') AS INTEGER) AS max_byte
+         |FROM f""".stripMargin,
     "mm_bin_tiles" ->
       s"""WITH c AS (SELECT doc_id, $synthCpsSql AS cps FROM documents
          |  WHERE doc_id % 5 <> 0),
