@@ -789,10 +789,38 @@ class PlanSpec extends AnyFunSuite {
     try {
       Seq("dedup_near", "dedup_simhash", "sim_lsh", "mm_bytes", "mm_hist_sim",
         "text_fingerprint", "dedup_edit_within", "mm_phash",
-        "mm_audio_dupes").foreach { q =>
+        "mm_audio_dupes", "mm_bin_entropy", "mm_bin_frames").foreach { q =>
         assert(SparkEntry.queries(q)(spark, sf).count() >= 0, q)
       }
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("mm_bin_*: the minted binary payload never crosses an exchange") {
+    // The binary-fixture scale contract, pinned fleet-style: the blob
+    // mint is a scan-partition projection and every downstream exchange
+    // carries only fixed-width derived columns (hashes, stats, tile
+    // keys) — no Exchange in any mm_bin plan may output a BinaryType
+    // attribute. Losing this (a rollup keyed before the kernel, a join
+    // fetching content) silently ships megabyte blobs through the
+    // shuffle at real media sizes.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("mm_bin_sniff", "mm_bin_entropy", "mm_bin_phash", "mm_bin_tiles",
+        "mm_bin_frames").foreach { q =>
+        val exec = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        val offenders = exec.collect {
+          case e: org.apache.spark.sql.execution.exchange.Exchange
+            if e.output.exists(_.dataType ==
+              org.apache.spark.sql.types.BinaryType) => e
+        }
+        assert(offenders.isEmpty,
+          s"$q ships binary across an exchange:\n${offenders.headOption}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      graft.ext.DedupOps.releaseCaches()
+      graft.core.QueryCaches.releaseAll()
+    }
   }
 
   test("q_colocated_join: bucketed layout makes pre-agg and fact join exchange-free") {
