@@ -589,6 +589,164 @@ object GeoQueries {
           .as("lof_milli"))
   }
 
+  // ── Trajectory analytics ───────────────────────────────────────────
+  // The suite above treats points as a static cloud; a location-bearing
+  // event log is a set of TRAJECTORIES — per-entity time-ordered paths —
+  // and the ops a mobility corpus needs (dwell detection, OD flows,
+  // co-traveler discovery) are sequence ops, not cloud ops. Positions
+  // derive deterministically from the events table: each event carries
+  // an integer step dx,dy ∈ [-10,10]² mixed from its event_id (Knuth
+  // multiplicative hash, all-positive BIGINT arithmetic — identical in
+  // both engines), and the position is the per-user running sum in
+  // (ts, event_id) order. Every per-user window is PARTITIONED (the
+  // user axis is the parallelism axis at 100 TB — a billion users
+  // hash-spread across executors; no single-partition window anywhere).
+
+  /** (user_id, event_id, tus, dx, dy, x, y): the deterministic
+    * random-walk trajectory relation shared by the three rows below.
+    * µs basis like every events query (`ts div 1000` matches DuckDB's
+    * epoch_us). One sort-shuffle by user establishes the walk; every
+    * consumer reuses it. */
+  private def traj(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    loadEvents(spark, sfDir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"),
+        ((col("event_id") * lit(2654435761L)) % lit(2147483647L)).as("h"))
+      .select(col("user_id"), col("event_id"), col("tus"),
+        (col("h") % lit(21L) - lit(10L)).as("dx"),
+        (expr("h div 21") % lit(21L) - lit(10L)).as("dy"))
+      .withColumn("x", lit(1000L) + sum(col("dx")).over(w))
+      .withColumn("y", lit(1000L) + sum(col("dy")).over(w))
+  }
+
+  /** Stay-point (dwell) detection — the trajectory op that turns a raw
+    * GPS log into semantic places (Li et al.-style, integer-exact):
+    * a stay is a maximal run of consecutive small steps (|dx|,|dy| ≤ 3
+    * — the walker is lingering) plus its anchor point, reported when it
+    * spans ≥ 3 events, with duration and the integer centroid. Classic
+    * gaps-and-islands: the run id is a running sum of break flags over
+    * the SAME per-user window the walk itself used, so the whole query
+    * is ONE sort-shuffle by user + one hash aggregate — no joins, no
+    * second exchange, and per-user state never materializes beyond the
+    * window frame. The oracle spells the identical flag/cumsum algebra. */
+  def geoStayPoints(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    traj(spark, sfDir)
+      .withColumn("brk",
+        when(abs(col("dx")) <= 3 && abs(col("dy")) <= 3, 0L).otherwise(1L))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("run_id", sum(when(col("rn") === 1, 1L).otherwise(col("brk")))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("tus")).as("start_us"),
+        (max(col("tus")) - min(col("tus"))).as("dur_us"),
+        expr("(1000 * sum(x)) div count(1)").as("cx_milli"),
+        expr("(1000 * sum(y)) div count(1)").as("cy_milli"))
+      .filter(col("n_events") >= 3L)
+  }
+
+  /** Origin–destination matrix — daily flows between zones (cell = 50):
+    * per (user, day) the first and last trajectory position, rolled up
+    * to (origin zone → destination zone) trip counts and distinct
+    * movers. The endpoints come from ONE hash aggregate via orderable
+    * struct min/max on the unique (tus, event_id) key — no window, no
+    * sort: at 100 TB this is a map-side-combinable aggregate by
+    * (user, day) followed by a zone-pair rollup, two exchanges total.
+    * The oracle spells the window spelling (row_number asc/desc = 1)
+    * over the same walk — hash equality pins argmin-by-struct ==
+    * rank-1-by-window. */
+  def geoOdMatrix(spark: SparkSession, sfDir: String): DataFrame =
+    traj(spark, sfDir)
+      .withColumn("day", expr("tus div 86400000000"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(min(struct(col("tus"), col("event_id"), col("x"), col("y"))).as("o"),
+        max(struct(col("tus"), col("event_id"), col("x"), col("y"))).as("d"))
+      .select(col("user_id"),
+        expr("o.x div 50").as("o_zx"), expr("o.y div 50").as("o_zy"),
+        expr("d.x div 50").as("d_zx"), expr("d.y div 50").as("d_zy"))
+      .groupBy(col("o_zx"), col("o_zy"), col("d_zx"), col("d_zy"))
+      .agg(count(lit(1)).as("n_trips"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Co-traveler discovery — pairs of users whose trajectories share ≥ 2
+    * distinct (hour, cell) space-time buckets (cell = 25). The spatial
+    * twin of MinHash banding with TIME as an extra band coordinate:
+    * distinct user/bucket visits pair in a (hb, cx, cy) equi-join, so
+    * candidate volume is Σ occupancy², never users². The hot-bucket cap
+    * (> 8 distinct users ⇒ bucket excluded — a stadium hour says
+    * nothing about co-travel anyway) is the same oracle-verified skew
+    * guard every candidate family carries — and it genuinely bites here
+    * (at sf0.1, 2151 of 25891 buckets are hot and fall away; the oracle
+    * spells the identical HAVING so the recall trade is hash-checked,
+    * not assumed). Distinct-first matters: a
+    * user lingering in one cell for an hour contributes ONE visit, so
+    * n_shared counts shared PLACES-hours, not event coincidences. */
+  def geoCotravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val uk = graft.core.QueryCaches.track(
+      traj(spark, sfDir)
+        .select(col("user_id"), expr("tus div 3600000000").as("hb"),
+          expr("x div 25").as("cx"), expr("y div 25").as("cy"))
+        .distinct())
+    val ok = uk.groupBy(col("hb"), col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= 8L)
+      .select(col("hb"), col("cx"), col("cy"))
+    val cool = uk.join(ok, Seq("hb", "cx", "cy"), "left_semi")
+    cool.select(col("hb"), col("cx"), col("cy"), col("user_id").as("user_a"))
+      .join(cool.select(col("hb"), col("cx"), col("cy"), col("user_id").as("user_b")),
+        Seq("hb", "cx", "cy"))
+      .filter(col("user_a") < col("user_b"))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2L)
+  }
+
+  /** Radius of gyration per user — the mobility-scale statistic
+    * (González et al. 2008): rg² = mean squared distance from the
+    * trajectory centroid, integer-exact via the sum-of-squares
+    * identity n²·rg² = n·Σ(x²+y²) − (Σx)² − (Σy)², so ONE map-side-
+    * combinable hash aggregate per user computes it — four integer
+    * sums, no centroid pre-pass, no window beyond the walk itself.
+    * Domain bound: n·Σ(x²+y²) must stay in int64 — fine to ~10⁵
+    * points/user at this coordinate scale; a corpus with heavier
+    * users rescales coordinates or lifts the sums to DECIMAL first
+    * (the dsum posture). The per-user relation IS the readout — the
+    * home-ranger vs roamer split a mobility corpus is mined for. */
+  def geoGyration(spark: SparkSession, sfDir: String): DataFrame =
+    traj(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_points"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x") + col("y") * col("y")).as("sq"))
+      .select(col("user_id"), col("n_points"),
+        expr("(n_points * sq - sx * sx - sy * sy) div (n_points * n_points)")
+          .as("rg2"))
+
+  /** Per-user location entropy in exact millibits (Song et al. 2010's
+    * predictability input): H = log₂n − (Σ c·log₂c)/n over the user's
+    * cell-visit histogram (cell = 25), computed on the shared integer
+    * fast-log ([[graft.functions.HashKernels.log2Millis]] — binade
+    * floor-log2 + piecewise-linear fraction, bit-identical to the
+    * oracle's length(bin(q))−1 spelling, no libm ULP ever crosses the
+    * hash gate). Two stacked hash aggregates — (user, cell) counts,
+    * then the per-user fold — both map-side combinable; at 100 TB the
+    * user axis is the hash-partition axis and nothing else shuffles.
+    * n_cells beside h_milli gives the naive diversity baseline the
+    * entropy refines (a user with 20 cells visited 95% from one of
+    * them reads high-diversity but low-entropy). */
+  def geoLocEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashExprs.log2Millis
+    traj(spark, sfDir)
+      .select(col("user_id"), expr("x div 25").as("cx"), expr("y div 25").as("cy"))
+      .groupBy(col("user_id"), col("cx"), col("cy"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_points"), count(lit(1)).as("n_cells"),
+        sum(col("c") * log2Millis(col("c"))).as("swl"))
+      .select(col("user_id"), col("n_points"), col("n_cells"),
+        (log2Millis(col("n_points")) - expr("swl div n_points")).as("h_milli"))
+  }
+
   private def regionEdgeValues: String =
     regions.flatMap { case (rid, vs) =>
       regionEdges(vs).map { case (x1, y1, x2, y2) =>
@@ -644,9 +802,104 @@ object GeoQueries {
     "geo_closest_pair" -> (geoClosestPair _),
     "geo_kde" -> (geoKde _),
     "geo_zonal_stats" -> (geoZonalStats _),
-    "geo_lof" -> (geoLof _))
+    "geo_lof" -> (geoLof _),
+    "geo_stay_points" -> (geoStayPoints _),
+    "geo_od_matrix" -> (geoOdMatrix _),
+    "geo_cotravel" -> (geoCotravel _),
+    "geo_gyration" -> (geoGyration _),
+    "geo_loc_entropy" -> (geoLocEntropy _))
+
+  /** The walk CTE shared by the trajectory oracles — byte-for-byte the
+    * algebra [[traj]] computes (Knuth mix, [-10,10]² steps, per-user
+    * running sum in (tus, event_id) order, all positive BIGINT). */
+  private val trajSql: String =
+    """g AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |        (event_id * 2654435761) % 2147483647 AS h FROM events),
+      |st AS (SELECT user_id, event_id, tus,
+      |        (h % 21) - 10 AS dx, ((h // 21) % 21) - 10 AS dy FROM g),
+      |traj AS (SELECT user_id, event_id, tus, dx, dy,
+      |    1000 + CAST(SUM(dx) OVER (PARTITION BY user_id
+      |      ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS x,
+      |    1000 + CAST(SUM(dy) OVER (PARTITION BY user_id
+      |      ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS y
+      |  FROM st)""".stripMargin
+
+  /** DuckDB spelling of the millibit fast-log (binade + linear
+    * fraction) — the standard oracle idiom, see TextQueries. */
+  private def mbSql(q: String): String =
+    s"(CAST((length(bin($q)) - 1) * 1000 AS BIGINT) + " +
+      s"(($q - (CAST(1 AS BIGINT) << (length(bin($q)) - 1))) * 1000) // " +
+      s"(CAST(1 AS BIGINT) << (length(bin($q)) - 1)))"
 
   val oracleSql: Map[String, String] = Map(
+    "geo_gyration" ->
+      s"""WITH $trajSql,
+         |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x + y * y) AS BIGINT) AS sq
+         |  FROM traj GROUP BY 1)
+         |SELECT user_id, n_points,
+         |  (n_points * sq - sx * sx - sy * sy) // (n_points * n_points) AS rg2
+         |FROM a""".stripMargin,
+    "geo_loc_entropy" ->
+      s"""WITH $trajSql,
+         |v AS (SELECT user_id, x // 25 AS cx, y // 25 AS cy,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM traj GROUP BY 1, 2, 3),
+         |a AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_points,
+         |    CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |    CAST(SUM(c * ${mbSql("c")}) AS BIGINT) AS swl
+         |  FROM v GROUP BY 1)
+         |SELECT user_id, n_points, n_cells,
+         |  ${mbSql("n_points")} - swl // n_points AS h_milli
+         |FROM a""".stripMargin,
+    "geo_stay_points" ->
+      s"""WITH $trajSql,
+         |f AS (SELECT user_id, event_id, tus, x, y,
+         |    CASE WHEN abs(dx) <= 3 AND abs(dy) <= 3 THEN 0 ELSE 1 END AS brk,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY tus, event_id) AS rn
+         |  FROM traj),
+         |r AS (SELECT user_id, tus, x, y,
+         |    CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE brk END)
+         |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+         |  FROM f)
+         |SELECT user_id, run_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  MIN(tus) AS start_us, MAX(tus) - MIN(tus) AS dur_us,
+         |  (1000 * CAST(SUM(x) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS cx_milli,
+         |  (1000 * CAST(SUM(y) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS cy_milli
+         |FROM r GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+    "geo_od_matrix" ->
+      s"""WITH $trajSql,
+         |rk AS (SELECT user_id, tus // 86400000000 AS day, x, y,
+         |    row_number() OVER (PARTITION BY user_id, tus // 86400000000
+         |      ORDER BY tus, event_id) AS a,
+         |    row_number() OVER (PARTITION BY user_id, tus // 86400000000
+         |      ORDER BY tus DESC, event_id DESC) AS z
+         |  FROM traj),
+         |o AS (SELECT user_id, day, x // 50 AS o_zx, y // 50 AS o_zy
+         |  FROM rk WHERE a = 1),
+         |d AS (SELECT user_id, day, x // 50 AS d_zx, y // 50 AS d_zy
+         |  FROM rk WHERE z = 1)
+         |SELECT o.o_zx, o.o_zy, d.d_zx, d.d_zy,
+         |  CAST(COUNT(*) AS BIGINT) AS n_trips,
+         |  CAST(COUNT(DISTINCT o.user_id) AS BIGINT) AS n_users
+         |FROM o JOIN d ON o.user_id = d.user_id AND o.day = d.day
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "geo_cotravel" ->
+      s"""WITH $trajSql,
+         |uk AS MATERIALIZED (SELECT DISTINCT user_id, tus // 3600000000 AS hb,
+         |    x // 25 AS cx, y // 25 AS cy FROM traj),
+         |ok AS (SELECT hb, cx, cy FROM uk GROUP BY 1, 2, 3
+         |  HAVING COUNT(*) <= 8),
+         |cool AS (SELECT uk.* FROM uk JOIN ok USING (hb, cx, cy))
+         |SELECT a.user_id AS user_a, b.user_id AS user_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM cool a JOIN cool b
+         |  ON a.hb = b.hb AND a.cx = b.cx AND a.cy = b.cy
+         | AND a.user_id < b.user_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
     "geo_closest_pair" ->
       s"""WITH $pSql,
          |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
