@@ -607,10 +607,16 @@ object GeoQueries {
     * µs basis like every events query (`ts div 1000` matches DuckDB's
     * epoch_us). One sort-shuffle by user establishes the walk; every
     * consumer reuses it. */
-  private def traj(spark: SparkSession, sfDir: String): DataFrame = {
+  private def traj(spark: SparkSession, sfDir: String): DataFrame =
+    trajOf(loadEvents(spark, sfDir))
+
+  /** The walk over ANY events relation carrying (user_id, event_id,
+    * ts-nanos) — the library surface the scale smokes drive with the
+    * `graft-events` generator at 10M+ rows. */
+  def trajOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    loadEvents(spark, sfDir)
+    events
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"),
         ((col("event_id") * lit(2654435761L)) % lit(2147483647L)).as("h"))
       .select(col("user_id"), col("event_id"), col("tus"),
@@ -682,14 +688,23 @@ object GeoQueries {
     * not assumed). Distinct-first matters: a
     * user lingering in one cell for an hour contributes ONE visit, so
     * n_shared counts shared PLACES-hours, not event coincidences. */
-  def geoCotravel(spark: SparkSession, sfDir: String): DataFrame = {
+  def geoCotravel(spark: SparkSession, sfDir: String): DataFrame =
+    cotravelPairs(traj(spark, sfDir))
+
+  /** The co-travel pairing over ANY trajectory relation carrying
+    * (user_id, tus, x, y) — cap and support are parameters so the
+    * scale smoke can drive the same code the gated row runs. At 1M-user
+    * urban density the cap is not a refinement, it is what makes the
+    * query runnable at all: the origin-crowd buckets hold hundreds of
+    * users each and would pair occupancy² (billions of candidates)
+    * without it. */
+  def cotravelPairs(t: DataFrame, cap: Long = 8L, minShared: Long = 2L): DataFrame = {
     val uk = graft.core.QueryCaches.track(
-      traj(spark, sfDir)
-        .select(col("user_id"), expr("tus div 3600000000").as("hb"),
+      t.select(col("user_id"), expr("tus div 3600000000").as("hb"),
           expr("x div 25").as("cx"), expr("y div 25").as("cy"))
         .distinct())
     val ok = uk.groupBy(col("hb"), col("cx"), col("cy"))
-      .agg(count(lit(1)).as("n")).filter(col("n") <= 8L)
+      .agg(count(lit(1)).as("n")).filter(col("n") <= cap)
       .select(col("hb"), col("cx"), col("cy"))
     val cool = uk.join(ok, Seq("hb", "cx", "cy"), "left_semi")
     cool.select(col("hb"), col("cx"), col("cy"), col("user_id").as("user_a"))
@@ -698,7 +713,7 @@ object GeoQueries {
       .filter(col("user_a") < col("user_b"))
       .groupBy(col("user_a"), col("user_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 2L)
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Radius of gyration per user — the mobility-scale statistic

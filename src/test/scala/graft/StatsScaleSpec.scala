@@ -302,4 +302,59 @@ class StatsScaleSpec extends AnyFunSuite {
     assert(secs < 240.0, f"1M-doc JSD took $secs%.1f s (budget 240 s)")
     info(f"1M docs / 20 sources pairwise JSD in $secs%.1f s")
   }
+
+  test("scale smoke: co-travel over 10M events / 1M users — the cap survives urban density, planted pairs surface") {
+    // The geo_cotravel plan at 100× the sf0.1 corpus, driving the SAME
+    // library code the gated row runs (trajOf → cotravelPairs). At
+    // this density the walk crowds ~1M users into the cells around the
+    // shared origin, so origin-hour buckets hold hundreds of users —
+    // occupancy² pairing there would be billions of candidates; the
+    // cap excludes those buckets and is what makes the query runnable
+    // at all (the stadium-hour argument, measured). Recall is proved
+    // where co-travel is detectable: 100 planted pairs — user u's walk
+    // cloned to users 2M+u and 3M+u at a u-specific remote offset —
+    // land in otherwise-empty buckets (occupancy exactly 2) and every
+    // pair whose source walk spans ≥ 2 distinct (hour, cell) buckets
+    // MUST surface with n_shared equal to that bucket count.
+    val t0 = System.nanoTime()
+    val events = spark.read.format("graft-events")
+      .option("rows", 10000000L).option("partitions", 32)
+      .option("users", 1000000L).option("days", 30).load()
+    val walk = graft.queries.GeoQueries.trajOf(events)
+      .select(col("user_id"), col("tus"), col("x"), col("y"))
+    val seed = walk.filter(col("user_id") < 100L)
+    def planted(idOff: Long) = seed.select(
+      (col("user_id") + idOff).as("user_id"), col("tus"),
+      (col("x") + col("user_id") * 10000L + 5000000L).as("x"),
+      (col("y") + lit(5000000L)).as("y"))
+    val t = walk.unionAll(planted(2000000L)).unionAll(planted(3000000L))
+    val pairs = graft.queries.GeoQueries.cotravelPairs(t).persist()
+    val expected = seed
+      .select(col("user_id"), expr("tus div 3600000000").as("hb"),
+        expr("x div 25").as("cx"), expr("y div 25").as("cy"))
+      .distinct().groupBy(col("user_id")).agg(count(lit(1)).as("nb"))
+      .filter(col("nb") >= 2L)
+      .select(col("user_id"), col("nb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = pairs
+      .filter(col("user_a") >= 2000000L &&
+        col("user_b") === col("user_a") + 1000000L)
+      .collect().map(r => (r.getLong(0) - 2000000L, r.getLong(2))).toMap
+    val wellFormed = pairs
+      .agg(sum(when(col("user_a") < col("user_b") &&
+        col("n_shared") >= 2L, 0L).otherwise(1L)).as("bad")).head().getLong(0)
+    pairs.unpersist()
+    graft.core.QueryCaches.release()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(expected.nonEmpty && expected.size >= 90,
+      s"plant seeds span >=2 buckets for most of the 100 users: ${expected.size}")
+    assert(got == expected,
+      s"every detectable planted pair surfaces with exact shared-bucket " +
+        s"count: expected ${expected.size}, got ${got.size}; " +
+        s"diff=${(expected.toSet diff got.toSet).take(3)}")
+    assert(wellFormed == 0L, s"$wellFormed malformed pairs emitted")
+    assert(secs < 240.0, f"10M-event co-travel took $secs%.1f s (budget 240 s)")
+    info(f"10M events / 1M users co-travel in $secs%.1f s; " +
+      f"${expected.size} planted pairs exact")
+  }
 }
