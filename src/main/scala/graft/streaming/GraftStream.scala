@@ -1254,6 +1254,48 @@ object GraftStream {
     * key = "type|segment", value = 1 per event, final sums == the
     * batch segment vector (StreamingSpec parity). State is 2 longs per
     * key, bounded by the key domain. */
+  /** Streaming trajectory-endpoint tracker — the unbounded twin of
+    * [[graft.queries.GeoQueries.geoOdMatrix]]'s per-(user, day)
+    * endpoint fold for an always-on OD (origin→destination) matrix.
+    * State per key is exactly TWO (tus, tie, x, y) quadruples — the
+    * running (tus, tie)-argmin and argmax over the positions seen so
+    * far — plus an observation counter. Min/max is an associative,
+    * commutative, idempotent fold, so NO watermark is needed: the
+    * final emission per key equals the batch struct-min/max
+    * bit-exactly under any trigger chunking or arrival order (the
+    * cdcUpdates posture). Emissions carry the strictly increasing
+    * n_obs so a consumer keeps the last row per key; the zone rollup
+    * downstream is stateless arithmetic over |user×day| rows. */
+  def odUpdates(df: DataFrame, userCol: String, dayCol: String,
+      tusCol: String, tieCol: String, xCol: String, yCol: String)
+      : Dataset[(Long, Long, Long, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(userCol).cast("long").as("u"),
+      col(dayCol).cast("long").as("d"), col(tusCol).cast("long").as("t"),
+      col(tieCol).cast("long").as("e"), col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y")).as[(Long, Long, Long, Long, Long, Long)]
+    keyed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), rows: Iterator[(Long, Long, Long, Long, Long, Long)],
+         state: GroupState[((Long, Long, Long, Long), (Long, Long, Long, Long), Long)]) =>
+          def lt(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)): Boolean =
+            a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+          var (mn, mx, n) = state.getOption.getOrElse(
+            ((Long.MaxValue, Long.MaxValue, 0L, 0L),
+              (Long.MinValue, Long.MinValue, 0L, 0L), 0L))
+          rows.foreach { r =>
+            val q = (r._3, r._4, r._5, r._6)
+            if (lt(q, mn)) mn = q
+            if (lt(mx, q)) mx = q
+            n += 1
+          }
+          state.update((mn, mx, n))
+          Iterator.single((key._1, key._2, mn._3, mn._4, mx._3, mx._4, n))
+      }
+  }
+
   def sumUpdates(df: DataFrame, keyCol: String,
       valCol: String): Dataset[(String, Long, Long)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

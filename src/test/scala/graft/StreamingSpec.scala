@@ -886,6 +886,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got\nbatch $batch")
   }
 
+  test("streaming OD endpoints: final per-(user, day) fold equals batch struct min/max and the zone flows equal geo_od_matrix") {
+    // Trajectory positions at sf0.001 fed through odUpdates in three
+    // seed-shuffled chunks: the endpoint fold is an order-independent
+    // min/max by (tus, tie), so the final emission per key must equal
+    // the batch struct-min/max bit-exactly — and the stateless zone
+    // rollup over those finals must reproduce the gated geo_od_matrix
+    // relation row-for-row.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val t = graft.queries.GeoQueries.trajOf(
+        normalizeEventTs(spark.read.parquet(s"$dir/events.parquet")))
+      .select(col("user_id"), expr("tus div 86400000000").as("day"),
+        col("tus"), col("event_id").as("tie"), col("x"), col("y"))
+    val data = new scala.util.Random(11).shuffle(
+      t.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq)
+    val in = MemoryStream[(Long, Long, Long, Long, Long, Long)]
+    val df = in.toDF().toDF("u", "d", "t", "e", "x", "y")
+    val rows = new ConcurrentLinkedQueue[(Long, Long, Long, Long, Long, Long, Long)]()
+    val q = GraftStream.odUpdates(df, "u", "d", "t", "e", "x", "y")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    data.grouped((data.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val finals = rows.toArray.map(_.asInstanceOf[(Long, Long, Long, Long, Long, Long, Long)])
+      .groupBy(r => (r._1, r._2)).map { case (k, vs) =>
+        val last = vs.maxBy(_._7) // n_obs strictly increasing
+        k -> ((last._3, last._4, last._5, last._6, last._7))
+      }
+    val batch = t.groupBy(col("user_id"), col("day"))
+      .agg(min(struct(col("tus"), col("tie"), col("x"), col("y"))).as("o"),
+        max(struct(col("tus"), col("tie"), col("x"), col("y"))).as("z"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getStruct(2).getLong(2), r.getStruct(2).getLong(3),
+          r.getStruct(3).getLong(2), r.getStruct(3).getLong(3), r.getLong(4))))
+      .toMap
+    assert(finals == batch, s"stream $finals\nbatch $batch")
+    val flows = finals.toSeq
+      .map { case ((u, _), (ox, oy, dx, dy, _)) =>
+        ((Math.floorDiv(ox, 50L), Math.floorDiv(oy, 50L),
+          Math.floorDiv(dx, 50L), Math.floorDiv(dy, 50L)), u) }
+      .groupBy(_._1).map { case (z, us) =>
+        (z._1, z._2, z._3, z._4, us.size.toLong,
+          us.map(_._2).distinct.size.toLong) }.toSet
+    val batchFlows = graft.queries.GeoQueries.geoOdMatrix(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(flows == batchFlows, s"zone flows: stream $flows\nbatch $batchFlows")
+  }
+
   test("streaming skyline: final frontier per key equals a naive batch Pareto oracle") {
     // Frontier maintenance is an order-independent fold (a set's
     // skyline is unique), so the last emission per key must equal the
