@@ -2222,6 +2222,48 @@ class PlanSpec extends AnyFunSuite {
       s"kdist/lrd stitches are key-equi joins, never nested loops:\n$p")
   }
 
+  test("geo_od_matrix: endpoint extraction is join-free — one walk window, aggregates only") {
+    val p = plan("geo_od_matrix")
+    assert(nOps(p, "BroadcastHashJoin") + nOps(p, "SortMergeJoin") +
+      nOps(p, "BroadcastNestedLoopJoin") + nOps(p, "CartesianProduct") == 0,
+      s"first/last must be struct min/max aggregates, never a self-join or rank filter:\n$p")
+    assert(nOps(p, "Window") == 1,
+      s"exactly the walk's cumsum window — the endpoint fold itself adds none:\n$p")
+    // walk exchange (user) is reused by the (user, day) aggregate —
+    // user ⊆ {user, day} satisfies the clustering; only the zone
+    // rollup (with its distinct-user Expand) shuffles again
+    assert(nOps(p, "Exchange") <= 3, s"no redundant shuffles:\n$p")
+  }
+
+  test("geo_stay_points: gaps-and-islands rides the walk's user partitioning — one exchange, no joins") {
+    val p = plan("geo_stay_points")
+    assert(nOps(p, "BroadcastHashJoin") + nOps(p, "SortMergeJoin") +
+      nOps(p, "BroadcastNestedLoopJoin") + nOps(p, "CartesianProduct") == 0,
+      s"run detection is window algebra, never a join:\n$p")
+    // ONE user-hash exchange feeds the walk, the flag/cumsum windows
+    // (same partition+order — no re-sort), and the (user, run_id)
+    // aggregate (user ⊆ keys)
+    assert(nOps(p, "Exchange") <= 2, s"the whole query is one sort-shuffle:\n$p")
+  }
+
+  test("geo_gyration and geo_loc_entropy: per-user folds reuse the walk exchange") {
+    for (name <- Seq("geo_gyration", "geo_loc_entropy")) {
+      val p = plan(name)
+      assert(nOps(p, "BroadcastHashJoin") + nOps(p, "SortMergeJoin") +
+        nOps(p, "BroadcastNestedLoopJoin") + nOps(p, "CartesianProduct") == 0,
+        s"$name is aggregates over the walk, never a join:\n$p")
+      assert(nOps(p, "Exchange") <= 2,
+        s"$name: user-keyed aggregates must reuse the walk's hash partitioning:\n$p")
+    }
+  }
+
+  test("geo_cotravel: bucket pairing is an equi-join, never a nested loop") {
+    val p = plan("geo_cotravel")
+    assert(nOps(p, "CartesianProduct") == 0, s"no cartesian:\n$p")
+    assert(nOps(p, "BroadcastNestedLoopJoin") == 0,
+      s"candidates must meet on the (hb, cx, cy) key:\n$p")
+  }
+
   test("text_ppmi_sim: vocab restriction broadcasts; nothing nest-loops") {
     val p = plan("text_ppmi_sim")
     assert(nOps(p, "CartesianProduct") == 0, s"no cartesian:\n$p")
