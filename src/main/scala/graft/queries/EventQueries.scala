@@ -208,6 +208,29 @@ object EventQueries {
     * the one (user)-keyed lead window every session query already
     * pays; everything after is hour-domain-sized (≤ observation span),
     * and s·n stays in int64 up to ~10¹² observations. */
+  /** Exponential-decay activity counters — the feature-store staple
+    * (a half-life-weighted event count scores recency without storing
+    * history): each event contributes 2^(−age_days) of weight at the
+    * corpus horizon, held EXACT in ppm integers because halving is a
+    * right shift — weight = 10⁶ div 2^age (zero past 20 days, age
+    * capped at 62 so the shift stays defined) — so no float decay
+    * drifts across engines or partial-aggregation orders. One
+    * map-side-combinable aggregate per user after the 1-row horizon
+    * broadcast; at refresh time the counter updates incrementally
+    * (halve all, add today) — the classic trick this row's algebra
+    * makes auditable. */
+  def eventsDecayCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+    val horizon = ev.agg(max(col("day")).as("ref_day"))
+    ev.crossJoin(broadcast(horizon))
+      .select(col("user_id"),
+        expr("1000000 div shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(least(ref_day - day, 62) AS INT))").as("w"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("w")).as("decayed_ppm"))
+  }
+
   def eventsSurvival(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
     val ev = graft.core.QueryCaches.track(
@@ -3146,6 +3169,7 @@ object EventQueries {
     "events_funnel_sweep" -> (eventsFunnelSweep _),
     "events_growth_accounting" -> (eventsGrowthAccounting _),
     "events_velocity" -> (eventsVelocity _),
+    "events_decay_counts" -> (eventsDecayCounts _),
     "events_abtest" -> (eventsAbtest _),
     "events_cuped" -> (eventsCuped _),
     "events_srm" -> (eventsSrm _),
@@ -4012,6 +4036,13 @@ object EventQueries {
         |          THEN 1 ELSE 0 END) AS BIGINT) AS mau
         |FROM j JOIN f ON j.user_id = f.user_id
         |GROUP BY 1""".stripMargin,
+    "events_decay_counts" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |h AS (SELECT MAX(day) AS ref_day FROM d)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(1000000 // (CAST(1 AS BIGINT) <<
+        |    CAST(LEAST(ref_day - day, 62) AS INT))) AS BIGINT) AS decayed_ppm
+        |FROM d CROSS JOIN h GROUP BY 1""".stripMargin,
     "events_velocity" ->
       """WITH pm AS (SELECT user_id, epoch_us(ts) // 60000000 AS minute,
         |        CAST(COUNT(*) AS BIGINT) AS c

@@ -620,6 +620,45 @@ object TextQueries {
         ((col("tok_n") * lit(2000L)).cast("double") / col("n_chars").cast("double"))
           .as("ht_contrib"))
 
+  /** Neyman (variance-optimal) stratified allocation — the survey-
+    * sampling upgrade of [[curateSample]]'s fixed rates (Neyman 1934):
+    * with a 10%-of-corpus budget, stratum h gets n·(N_h·S_h)/Σ(N_h·S_h)
+    * slots — more where there are more docs AND more length variance,
+    * which is what minimizes the variance of the estimated total.
+    * Integer-exact end to end: per-stratum variance via the
+    * sum-of-squares identity, S_h as floor(sqrt(·)) — IEEE sqrt is
+    * correctly rounded, so both engines floor the identical double
+    * (the curate_temperature_mix precedent) — and the allocation one
+    * integral division. Selection is then deterministic: docs rank by
+    * content hash WITHIN their stratum (a lang-partitioned sort — the
+    * stratum axis parallelizes; no global order anywhere) and the
+    * top-alloc_h admit. The |langs|-bounded allocation relation
+    * broadcasts back over the scan. Output: the allocation card plus
+    * what the selection actually admitted. */
+  def curateNeymanSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = graft.core.QueryCaches.track(
+      load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          pmod(fingerprint(col("text")), lit(1000000L)).as("h")))
+    val s = d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .select(col("lang"), col("n_docs"),
+        expr("CAST(floor(sqrt((n_docs * sxx - sx * sx) div (n_docs * n_docs)))" +
+          " AS BIGINT)").as("s_int"))
+    val tot = s.agg(sum(col("n_docs")).as("n_total"),
+      sum(col("n_docs") * col("s_int")).as("mass"))
+    val alloc = s.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("s_int"),
+        expr("((n_total div 10) * n_docs * s_int) div mass").as("alloc"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    d.withColumn("rk", row_number().over(w))
+      .join(broadcast(alloc), Seq("lang"))
+      .filter(col("rk") <= col("alloc"))
+      .groupBy(col("lang"), col("n_docs"), col("s_int"), col("alloc"))
+      .agg(count(lit(1)).as("n_picked"), sum(col("n_chars")).as("picked_chars"))
+  }
+
   /** Inverted-index construction (the search-infrastructure operator):
     * per term, document frequency, collection frequency, and a BOUNDED
     * posting-list preview (first 10 doc_ids ascending, comma-joined).
@@ -1912,6 +1951,7 @@ object TextQueries {
     "curate_pipeline" -> (curatePipeline _),
     "curate_sample" -> (curateSample _),
     "curate_pps_sample" -> (curatePpsSample _),
+    "curate_neyman_sample" -> (curateNeymanSample _),
     "text_inverted_index" -> (textInvertedIndex _),
     "text_collocations" -> (textCollocations _),
     "text_redact" -> (textRedact _),
@@ -2823,6 +2863,31 @@ object TextQueries {
          |SELECT lang, CAST(rate AS BIGINT) AS rate, COUNT(*) AS n_sampled,
          |       MIN(doc_id) AS first_doc
          |FROM h_t WHERE h < rate GROUP BY lang, rate""".stripMargin,
+    "curate_neyman_sample" ->
+      s"""WITH d AS MATERIALIZED (SELECT doc_id, lang, n_chars,
+         |    $fpSql % 1000000 AS h
+         |  FROM documents),
+         |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+         |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+         |  FROM d GROUP BY 1),
+         |s AS (SELECT lang, n_docs,
+         |    CAST(floor(sqrt((n_docs * sxx - sx * sx) // (n_docs * n_docs)))
+         |      AS BIGINT) AS s_int
+         |  FROM a),
+         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+         |    CAST(SUM(n_docs * s_int) AS BIGINT) AS mass FROM s),
+         |al AS (SELECT s.lang, s.n_docs, s.s_int,
+         |    ((tot.n_total // 10) * s.n_docs * s.s_int) // tot.mass AS alloc
+         |  FROM s CROSS JOIN tot),
+         |rk AS (SELECT lang, n_chars, row_number() OVER (
+         |    PARTITION BY lang ORDER BY h, doc_id) AS rk
+         |  FROM d)
+         |SELECT al.lang, al.n_docs, al.s_int, al.alloc,
+         |  CAST(COUNT(*) AS BIGINT) AS n_picked,
+         |  CAST(SUM(rk.n_chars) AS BIGINT) AS picked_chars
+         |FROM rk JOIN al ON rk.lang = al.lang AND rk.rk <= al.alloc
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
     "curate_pps_sample" ->
       s"""WITH h_t AS (SELECT doc_id, n_chars,
          |  CAST(len($toksSql) AS BIGINT) AS tok_n,
