@@ -810,6 +810,68 @@ object GraftStream {
       }
   }
 
+  /** Streaming stay-point detection — the unbounded twin of
+    * [[graft.queries.GeoQueries.geoStayPoints]]'s gaps-and-islands
+    * fold: positions buffer until the watermark passes their event
+    * time (the scdUpdates posture — islands are SEQUENTIAL semantics,
+    * so out-of-order arrivals must be re-ordered inside the lateness
+    * horizon before folding), then fold in exact (tus, tie) order:
+    * a break (first position, or a step with |dx| or |dy| > 3) closes
+    * the open run — emitting it iff it spans ≥ 3 events — and opens
+    * the next. State per user is the lateness-horizon buffer plus ONE
+    * open-run accumulator (run ordinal, start, last, n, Σx, Σy — six
+    * longs), so state is horizon-bounded at any stream length. Closed
+    * runs match the batch row bit-exactly (StreamingSpec feeds the
+    * sf0.001 walk in shuffled chunks and closes final runs with
+    * sentinel breaks); the still-open run emits nothing — a dwell is
+    * only a dwell once the walker provably left. */
+  def stayUpdates(df: DataFrame, userCol: String, etCol: String,
+      tusCol: String, tieCol: String, dxCol: String, dyCol: String,
+      xCol: String, yCol: String, watermark: String)
+      : Dataset[(Long, Long, Long, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.withWatermark(etCol, watermark)
+      .select(col(userCol).cast("long").as("u"), col(etCol).as("et"),
+        col(tusCol).cast("long").as("t"), col(tieCol).cast("long").as("e"),
+        col(dxCol).cast("long").as("dx"), col(dyCol).cast("long").as("dy"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .as[(Long, java.sql.Timestamp, Long, Long, Long, Long, Long, Long)]
+    // state: (started, open run (runId, start, last, n, sx, sy),
+    //         buffer of (tus, tie, dx, dy, x, y))
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, Long, Long, Long, Long)],
+         state: GroupState[(Boolean, (Long, Long, Long, Long, Long, Long),
+           Seq[(Long, Long, Long, Long, Long, Long)])]) =>
+          val (started0, run0, buf0) = state.getOption.getOrElse(
+            (false, (0L, 0L, 0L, 0L, 0L, 0L), Seq.empty))
+          val wm = state.getCurrentWatermarkMs()
+          val buf = buf0 ++ rows.map(r => (r._3, r._4, r._5, r._6, r._7, r._8))
+            .filter(_._1 / 1000L >= wm) // drop past-horizon stragglers
+          val (ripe, open) = buf.partition(_._1 / 1000L < wm)
+          var started = started0
+          var run = run0
+          val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long, Long)]
+          def close(): Unit = if (started && run._4 >= 3L)
+            out += ((key, run._1, run._4, run._2, run._3 - run._2,
+              1000L * run._5 / run._4, 1000L * run._6 / run._4))
+          for ((tus, _, dx, dy, x, y) <- ripe.sorted) {
+            val small = math.abs(dx) <= 3L && math.abs(dy) <= 3L
+            if (!started || !small) {
+              close()
+              run = (run._1 + 1L, tus, tus, 1L, x, y)
+            } else run = (run._1, run._2, tus, run._4 + 1L,
+              run._5 + x, run._6 + y)
+            started = true
+          }
+          state.update((started, run, open))
+          if (open.nonEmpty) state.setTimeoutTimestamp(wm + 1L)
+          out.result().iterator
+      }
+  }
+
   /** Streaming KMV distinct sketch — the unbounded feed of
     * [[graft.queries.EventQueries.eventsKmvDistinct]]: per key, state
     * holds the k SMALLEST salted id-hashes seen (a monotone min-set, so

@@ -886,6 +886,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got\nbatch $batch")
   }
 
+  test("streaming stay points: closed runs equal the batch gaps-and-islands rows bit-exactly") {
+    // The sf0.001 walk fed through stayUpdates in three seed-shuffled
+    // chunks: islands are sequential semantics, so rows buffer until
+    // the watermark passes them and fold in (tus, tie) order — the
+    // emitted closed runs must equal geo_stay_points rows exactly.
+    // Final runs are still OPEN when the data ends (a dwell is only a
+    // dwell once the walker leaves), so a sentinel break per user
+    // closes them; two later dummy waves push the watermark past the
+    // sentinels.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val t = graft.queries.GeoQueries.trajOf(
+        normalizeEventTs(spark.read.parquet(s"$dir/events.parquet")))
+      .withColumn("et", timestamp_micros(col("tus")))
+    val raw = t.collect().map(r => (r.getLong(0), r.getTimestamp(7),
+      r.getLong(2), r.getLong(1), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)))
+    // (user_id, et, tus, event_id, dx, dy, x, y); time-contiguous
+    // chunks shuffled WITHIN (bounded disorder — a 0-second watermark
+    // would drop cross-chunk stragglers, the scdUpdates test shape)
+    val rng = new scala.util.Random(23)
+    val chunks = raw.sortBy(r => (r._3, r._4)).grouped((raw.length + 2) / 3)
+      .map(c => rng.shuffle(c.toSeq)).toSeq
+    val maxTus = raw.map(_._3).max
+    val users = raw.map(_._1).distinct.toSeq
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, Long, Long, Long, Long, Long)]
+    val df = in.toDF().toDF("u", "et", "t", "e", "dx", "dy", "x", "y")
+    val rows = new ConcurrentLinkedQueue[(Long, Long, Long, Long, Long, Long, Long)]()
+    val q = GraftStream.stayUpdates(df, "u", "et", "t", "e", "dx", "dy", "x", "y",
+        "0 seconds")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    def tup(u: Long, tus: Long, e: Long, dx: Long, dy: Long, x: Long, y: Long) =
+      (u, new java.sql.Timestamp(tus / 1000L), tus, e, dx, dy, x, y)
+    chunks.foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    val day = 86400000000L
+    in.addData(users.map(u => tup(u, maxTus + 2 * day, 0L, 99L, 99L, 0L, 0L)): _*)
+    q.processAllAvailable()
+    in.addData(tup(999999L, maxTus + 4 * day, 0L, 99L, 99L, 0L, 0L))
+    q.processAllAvailable()
+    in.addData(tup(999999L, maxTus + 6 * day, 1L, 99L, 99L, 0L, 0L))
+    q.processAllAvailable()
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(Long, Long, Long, Long, Long, Long, Long)])
+      .filter(_._1 != 999999L).toSet
+    val batch = graft.queries.GeoQueries.geoStayPoints(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == batch,
+      s"stream-closed runs must equal batch islands:\n" +
+        s"stream-only ${(got diff batch).take(3)}\nbatch-only ${(batch diff got).take(3)}")
+  }
+
   test("streaming OD endpoints: final per-(user, day) fold equals batch struct min/max and the zone flows equal geo_od_matrix") {
     // Trajectory positions at sf0.001 fed through odUpdates in three
     // seed-shuffled chunks: the endpoint fold is an order-independent
