@@ -716,6 +716,56 @@ object GeoQueries {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Zone-transition matrix — the mobility Markov chain (the input to
+    * next-location prediction and zone-flow modeling): consecutive
+    * trajectory steps per user, snapped to zones (cell = 50), rolled
+    * up to (from → to) transition counts with self-loops excluded
+    * (staying put is [[geoStayPoints]]'s signal, not a transition).
+    * The lag rides the SAME per-user (tus, tie) window the walk paid
+    * for — no new sort — and the rollup relation is zone-pair-domain
+    * bounded, so the top-20 readout's rank costs nothing at any corpus
+    * scale (rank filter on the uncast row_number → partial
+    * WindowGroupLimit). */
+  def geoZoneTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val z = traj(spark, sfDir)
+      .select(col("user_id"), col("tus"), col("event_id"),
+        expr("x div 50").as("zx"), expr("y div 50").as("zy"))
+      .withColumn("pzx", lag(col("zx"), 1).over(w))
+      .withColumn("pzy", lag(col("zy"), 1).over(w))
+      .filter(col("pzx").isNotNull &&
+        (col("pzx") =!= col("zx") || col("pzy") =!= col("zy")))
+      .groupBy(col("pzx").as("from_zx"), col("pzy").as("from_zy"),
+        col("zx").as("to_zx"), col("zy").as("to_zy"))
+      .agg(count(lit(1)).as("n_trans"),
+        countDistinct(col("user_id")).as("n_users"))
+    z.withColumn("rk0", row_number().over(Window.orderBy(col("n_trans").desc,
+        col("from_zx"), col("from_zy"), col("to_zx"), col("to_zy"))))
+      .filter(col("rk0") <= 20)
+      .select(col("rk0").cast("bigint").as("rk"), col("from_zx"), col("from_zy"),
+        col("to_zx"), col("to_zy"), col("n_trans"), col("n_users"))
+  }
+
+  /** Jump-length distribution — the Lévy-flight diagnostic (González
+    * et al. 2008 fit truncated power laws to exactly this histogram):
+    * per step the squared displacement d² bins by its integer binade
+    * (floor-log2 via length(bin(d2)) — the engine-neutral idiom),
+    * zero-length steps in their own bucket. One window pass the walk
+    * already pays + one domain-bounded aggregate (≤ 64 buckets
+    * forever). ppm shares ride a 1-row total broadcast, never a global
+    * window. */
+  def geoJumpLengths(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = traj(spark, sfDir)
+      .select((col("dx") * col("dx") + col("dy") * col("dy")).as("d2"))
+    val b = d.select(when(col("d2") === 0L, -1L)
+        .otherwise(length(bin(col("d2"))).cast("bigint") - 1L).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_steps"))
+    val tot = b.agg(sum(col("n_steps")).as("n_total"))
+    b.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_steps"),
+        expr("(1000000 * n_steps) div n_total").as("share_ppm"))
+  }
+
   /** Radius of gyration per user — the mobility-scale statistic
     * (González et al. 2008): rg² = mean squared distance from the
     * trajectory centroid, integer-exact via the sum-of-squares
@@ -822,7 +872,9 @@ object GeoQueries {
     "geo_od_matrix" -> (geoOdMatrix _),
     "geo_cotravel" -> (geoCotravel _),
     "geo_gyration" -> (geoGyration _),
-    "geo_loc_entropy" -> (geoLocEntropy _))
+    "geo_loc_entropy" -> (geoLocEntropy _),
+    "geo_zone_transitions" -> (geoZoneTransitions _),
+    "geo_jump_lengths" -> (geoJumpLengths _))
 
   /** The walk CTE shared by the trajectory oracles — byte-for-byte the
     * algebra [[traj]] computes (Knuth mix, [-10,10]² steps, per-user
@@ -868,6 +920,33 @@ object GeoQueries {
          |SELECT user_id, n_points, n_cells,
          |  ${mbSql("n_points")} - swl // n_points AS h_milli
          |FROM a""".stripMargin,
+    "geo_zone_transitions" ->
+      s"""WITH $trajSql,
+         |z AS (SELECT user_id, tus, event_id, x // 50 AS zx, y // 50 AS zy,
+         |    lag(x // 50) OVER (PARTITION BY user_id
+         |      ORDER BY tus, event_id) AS pzx,
+         |    lag(y // 50) OVER (PARTITION BY user_id
+         |      ORDER BY tus, event_id) AS pzy
+         |  FROM traj),
+         |tr AS (SELECT pzx AS from_zx, pzy AS from_zy, zx AS to_zx, zy AS to_zy,
+         |    CAST(COUNT(*) AS BIGINT) AS n_trans,
+         |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |  FROM z WHERE pzx IS NOT NULL AND (pzx <> zx OR pzy <> zy)
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT rk, from_zx, from_zy, to_zx, to_zy, n_trans, n_users FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY n_trans DESC,
+         |    from_zx, from_zy, to_zx, to_zy) AS BIGINT) AS rk
+         |  FROM tr) WHERE rk <= 20""".stripMargin,
+    "geo_jump_lengths" ->
+      s"""WITH $trajSql,
+         |d AS (SELECT dx * dx + dy * dy AS d2 FROM traj),
+         |b AS (SELECT CASE WHEN d2 = 0 THEN CAST(-1 AS BIGINT)
+         |    ELSE CAST(length(bin(d2)) - 1 AS BIGINT) END AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS n_steps
+         |  FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_steps) AS BIGINT) AS n_total FROM b)
+         |SELECT bucket, n_steps, (1000000 * n_steps) // n_total AS share_ppm
+         |FROM b CROSS JOIN t""".stripMargin,
     "geo_stay_points" ->
       s"""WITH $trajSql,
          |f AS (SELECT user_id, event_id, tus, x, y,
