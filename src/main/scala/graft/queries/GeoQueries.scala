@@ -766,6 +766,49 @@ object GeoQueries {
         expr("(1000000 * n_steps) div n_total").as("share_ppm"))
   }
 
+  /** Co-travel SIGNIFICANCE — the statistical refinement
+    * [[geoCotravel]]'s raw counts need before anyone acts on them: two
+    * heavy travelers share buckets by chance, so each surviving pair
+    * is scored against independence — lift_ppm = 10⁶ · n_shared · N
+    * div (n_a · n_b), where n_a/n_b are the users' cool-bucket visit
+    * counts and N the cool-bucket universe (PMI's ratio over the
+    * space-time bucket domain, integer-exact). lift ≫ 10⁶ means the
+    * pair co-occurs far above chance — the actual co-traveler signal;
+    * a pair of mall-rats at 10⁶ is noise. Per-user counts are one
+    * reuse of the distinct-visit relation and the universe is a 1-row
+    * broadcast, so the scoring adds two cheap stitches to the pairing
+    * plan. */
+  def geoCotravelLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val uk = graft.core.QueryCaches.track(
+      traj(spark, sfDir)
+        .select(col("user_id"), expr("tus div 3600000000").as("hb"),
+          expr("x div 25").as("cx"), expr("y div 25").as("cy"))
+        .distinct())
+    val ok = uk.groupBy(col("hb"), col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= 8L)
+      .select(col("hb"), col("cx"), col("cy"))
+    val cool = graft.core.QueryCaches.track(
+      uk.join(ok, Seq("hb", "cx", "cy"), "left_semi"))
+    val pairs = cool
+      .select(col("hb"), col("cx"), col("cy"), col("user_id").as("user_a"))
+      .join(cool.select(col("hb"), col("cx"), col("cy"),
+        col("user_id").as("user_b")), Seq("hb", "cx", "cy"))
+      .filter(col("user_a") < col("user_b"))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2L)
+    val per = cool.groupBy(col("user_id")).agg(count(lit(1)).as("nv"))
+    val universe = cool.select(col("hb"), col("cx"), col("cy")).distinct()
+      .agg(count(lit(1)).as("n_buckets"))
+    pairs
+      .join(per.select(col("user_id").as("user_a"), col("nv").as("n_a")), "user_a")
+      .join(per.select(col("user_id").as("user_b"), col("nv").as("n_b")), "user_b")
+      .crossJoin(broadcast(universe))
+      .select(col("user_a"), col("user_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("(1000000 * n_shared * n_buckets) div (n_a * n_b)").as("lift_ppm"))
+  }
+
   /** Radius of gyration per user — the mobility-scale statistic
     * (González et al. 2008): rg² = mean squared distance from the
     * trajectory centroid, integer-exact via the sum-of-squares
@@ -874,7 +917,8 @@ object GeoQueries {
     "geo_gyration" -> (geoGyration _),
     "geo_loc_entropy" -> (geoLocEntropy _),
     "geo_zone_transitions" -> (geoZoneTransitions _),
-    "geo_jump_lengths" -> (geoJumpLengths _))
+    "geo_jump_lengths" -> (geoJumpLengths _),
+    "geo_cotravel_lift" -> (geoCotravelLift _))
 
   /** The walk CTE shared by the trajectory oracles — byte-for-byte the
     * algebra [[traj]] computes (Knuth mix, [-10,10]² steps, per-user
@@ -947,6 +991,30 @@ object GeoQueries {
          |t AS (SELECT CAST(SUM(n_steps) AS BIGINT) AS n_total FROM b)
          |SELECT bucket, n_steps, (1000000 * n_steps) // n_total AS share_ppm
          |FROM b CROSS JOIN t""".stripMargin,
+    "geo_cotravel_lift" ->
+      s"""WITH $trajSql,
+         |uk AS MATERIALIZED (SELECT DISTINCT user_id, tus // 3600000000 AS hb,
+         |    x // 25 AS cx, y // 25 AS cy FROM traj),
+         |ok AS (SELECT hb, cx, cy FROM uk GROUP BY 1, 2, 3
+         |  HAVING COUNT(*) <= 8),
+         |cool AS MATERIALIZED (SELECT uk.* FROM uk JOIN ok USING (hb, cx, cy)),
+         |pairs AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM cool a JOIN cool b
+         |    ON a.hb = b.hb AND a.cx = b.cx AND a.cy = b.cy
+         |   AND a.user_id < b.user_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nv
+         |  FROM cool GROUP BY 1),
+         |u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets
+         |  FROM (SELECT DISTINCT hb, cx, cy FROM cool))
+         |SELECT p.user_a, p.user_b, p.n_shared,
+         |  pa.nv AS n_a, pb.nv AS n_b,
+         |  (1000000 * p.n_shared * u.n_buckets) // (pa.nv * pb.nv) AS lift_ppm
+         |FROM pairs p
+         |JOIN per pa ON p.user_a = pa.user_id
+         |JOIN per pb ON p.user_b = pb.user_id
+         |CROSS JOIN u""".stripMargin,
     "geo_stay_points" ->
       s"""WITH $trajSql,
          |f AS (SELECT user_id, event_id, tus, x, y,

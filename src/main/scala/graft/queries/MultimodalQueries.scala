@@ -830,6 +830,22 @@ object MultimodalQueries {
       .filter(col("n_shared_tiles") >= 2)
   }
 
+  /** Partial-duplicate GROUPS over the binary fixture — the step after
+    * [[mmBinTiles]]'s pair list that a storage-dedup pipeline acts on,
+    * closing the binary modality's exact → pairwise → clusters ladder
+    * exactly as [[mmPhashClusters]] closed the perceptual one, but on
+    * true bytes: connected components over the capped tile-share pairs
+    * (pointer-jumped [[graft.ext.DedupOps.dupClusters]] fixpoint,
+    * O(log diameter) rounds, label-sized rows only), reported as the
+    * (cluster_rep, sz) keeper-group table. The oracle spells the
+    * recursive-CTE transitive closure over the identical capped pair
+    * relation. */
+  def mmBinDupGroups(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.DedupOps.dupClusters(
+        mmBinTiles(spark, sfDir)
+          .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
+      .groupBy(col("cluster_rep")).agg(count(lit(1)).as("sz"))
+
   /** [[mmFrames]]'s sampling re-gated over the binary fixture — the
     * last mm path still exercised only on text stand-ins: each blob is
     * treated as an 8-frame raw container (8-byte frames over the
@@ -857,6 +873,7 @@ object MultimodalQueries {
     "mm_byte_entropy" -> (mmByteEntropy _),
     "mm_bin_sniff" -> (mmBinSniff _),
     "mm_bin_tiles" -> (mmBinTiles _),
+    "mm_bin_dup_groups" -> (mmBinDupGroups _),
     "mm_bin_frames" -> (mmBinFrames _),
     "mm_bin_entropy" -> (mmBinEntropy _),
     "mm_bin_phash" -> (mmBinPhash _),
@@ -1215,6 +1232,26 @@ object MultimodalQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_shared_tiles
          |FROM t a JOIN t b ON a.tile = b.tile AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    "mm_bin_dup_groups" ->
+      s"""WITH RECURSIVE c AS (SELECT doc_id, $synthCpsSql AS cps FROM documents
+         |  WHERE doc_id % 5 <> 0),
+         |t0 AS (SELECT DISTINCT doc_id,
+         |    cps[5 + 16 * t : 4 + 16 * (t + 1)] AS tile
+         |  FROM c, (SELECT unnest(range(0, 4)) AS t)),
+         |keep AS (SELECT tile FROM t0 GROUP BY tile HAVING COUNT(*) <= 8),
+         |t AS (SELECT t0.doc_id, t0.tile FROM t0 JOIN keep USING (tile)),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM t a JOIN t b ON a.tile = b.tile AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT a, b FROM sym
+         |          UNION
+         |          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |lab AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster_rep
+         |        FROM reach GROUP BY a)
+         |SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS sz
+         |FROM lab GROUP BY 1""".stripMargin,
     "mm_bin_sniff" ->
       """WITH s AS (SELECT
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
