@@ -332,6 +332,20 @@ object HashExprs {
     override def prettyName: String = "graft_cdc_chunks"
   }
 
+  /** [[CdcChunkFpsExpr]] for BinaryType blobs — see
+    * [[HashKernels.cdcChunkFpsBin]]. */
+  case class CdcChunkFpsBinExpr(child: Expression, w: Int, mask: Long)
+      extends UnaryExpression {
+    require(w >= 2 && mask >= 2, "cdc chunking needs w >= 2 and mask >= 2")
+    override def dataType: DataType = LongArray
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.cdcChunkFpsBin(input.asInstanceOf[Array[Byte]], w, mask)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.cdcChunkFpsBin($c, $w, ${mask}L)")
+    override protected def withNewChildInternal(c: Expression): CdcChunkFpsBinExpr = copy(child = c)
+    override def prettyName: String = "graft_cdc_chunks_bin"
+  }
+
   /** Delta+zigzag+varint byte cost of a long series — see
     * [[HashKernels.varintCost]] for semantics and the oracle
     * spelling (lag-window deltas + CASE zigzag + unpadded-binary
@@ -353,6 +367,8 @@ object HashExprs {
   def explodeBigrams(s: Column): Column = toColumn(ExplodeBigramsExpr(toExpression(s)))
   def cdcChunkFps(s: Column, w: Int, mask: Long): Column =
     toColumn(CdcChunkFpsExpr(toExpression(s), w, mask))
+  def cdcChunkFpsBin(b: Column, w: Int, mask: Long): Column =
+    toColumn(CdcChunkFpsBinExpr(toExpression(b), w, mask))
   def varintCost(series: Column): Column = toColumn(VarintCostExpr(toExpression(series)))
   def tokenFps(toks: Column): Column = toColumn(TokenFpsExpr(toExpression(toks)))
   def shingleFps(toks: Column, k: Int): Column = toColumn(ShingleFpsExpr(toExpression(toks), k))

@@ -671,6 +671,37 @@ object HashKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** [[cdcChunkFps]] over RAW BYTES — the binary-modality spelling the
+    * multimodal pillar chunks real blobs with (a media container is not
+    * UTF-8; the codepoint path would mangle or reject bytes ≥ 0x80 and
+    * NULs). Identical cut rule and fingerprint fold with the byte value
+    * (0..255) where the text kernel uses the code point, so the DuckDB
+    * oracle folds the same algebra over the blob's byte-value list.
+    * One pass, O(w) per position. */
+  def cdcChunkFpsBin(bs: Array[Byte], w: Int, mask: Long): ArrayData = {
+    val n = bs.length
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val pow = new Array[Long](w)
+    pow(0) = 1L
+    var j = 1
+    while (j < w) { pow(j) = pow(j - 1) * 31L % P; j += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var fp = 0L
+    var idx = 0
+    while (idx < n) {
+      fp = (fp * 31 + (bs(idx) & 0xff)) % P
+      if (idx >= w - 1 && idx != n - 1) {
+        var h = 0L
+        var t = 0
+        while (t < w) { h += (bs(idx - t) & 0xff).toLong * pow(t); t += 1 }
+        if (h % P % mask == 0L) { out += fp; fp = 0L }
+      }
+      idx += 1
+    }
+    out += fp
+    new GenericArrayData(out.toArray)
+  }
+
   def byteBandEnergyHash(bs: Array[Byte], frames: Int, bands: Int): Long = {
     val n = bs.length
     val bandWidth = 256 / bands

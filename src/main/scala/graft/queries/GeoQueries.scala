@@ -601,6 +601,19 @@ object GeoQueries {
   // (ts, event_id) order. Every per-user window is PARTITIONED (the
   // user axis is the parallelism axis at 100 TB — a billion users
   // hash-spread across executors; no single-partition window anywhere).
+  //
+  // Sign discipline: a user with ≳10⁴ events CAN drift x or y below
+  // zero (the 1000 offset is a convenience, not a bound). Every zone /
+  // cell snap downstream therefore uses TRUNCATING integer division,
+  // which all three surfaces agree on for any sign — Spark `div`,
+  // DuckDB `//`, and Scala `Long./` all round toward zero — so engine
+  // parity and the stream==batch twins hold on negative coordinates
+  // too (StreamingSpec's reference rollups use plain `/` for the same
+  // reason). Truncation does merge cells ±0 across the origin (cell 0
+  // spans (-cell, cell)); the snap is a bucketing, not a geodesic, so
+  // the only contract that matters is that every engine buckets
+  // identically — which truncation gives and floor (floorDiv vs `div`)
+  // would not.
 
   /** (user_id, event_id, tus, dx, dy, x, y): the deterministic
     * random-walk trajectory relation shared by the three rows below.
@@ -612,13 +625,23 @@ object GeoQueries {
 
   /** The walk over ANY events relation carrying (user_id, event_id,
     * ts-nanos) — the library surface the scale smokes drive with the
-    * `graft-events` generator at 10M+ rows. */
+    * `graft-events` generator at 10M+ rows.
+    *
+    * The Knuth mix reduces BOTH factors mod 2¬³¹−1 BEFORE multiplying:
+    * 2654435761 ≡ 506952114 (mod 2147483647), so h is bit-identical to
+    * the naive (event_id · 2654435761) % p for every event_id — but the
+    * product now peaks at (p−1)·506952114 ≈ 1.09e18 < 2⁶³, so the walk
+    * is overflow-free for ANY int64 event_id (the naive spelling wraps
+    * negative past event_id ≈ 3.47e9 — exactly the billion-event scale
+    * this suite targets — where Spark would silently produce negative
+    * remainders and DuckDB would raise). */
   def trajOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"),
-        ((col("event_id") * lit(2654435761L)) % lit(2147483647L)).as("h"))
+        (((col("event_id") % lit(2147483647L)) * lit(506952114L))
+          % lit(2147483647L)).as("h"))
       .select(col("user_id"), col("event_id"), col("tus"),
         (col("h") % lit(21L) - lit(10L)).as("dx"),
         (expr("h div 21") % lit(21L) - lit(10L)).as("dy"))
@@ -698,7 +721,16 @@ object GeoQueries {
     * query runnable at all: the origin-crowd buckets hold hundreds of
     * users each and would pair occupancy² (billions of candidates)
     * without it. */
-  def cotravelPairs(t: DataFrame, cap: Long = 8L, minShared: Long = 2L): DataFrame = {
+  def cotravelPairs(t: DataFrame, cap: Long = 8L, minShared: Long = 2L): DataFrame =
+    cotravelPairsOf(cotravelCool(t, cap), minShared)
+
+  /** The capped distinct-visit relation (user_id, hb, cx, cy) the
+    * co-travel family shares — ONE definition of the (hour, cell)
+    * banding and the hot-bucket cap, so [[geoCotravel]]'s raw counts
+    * and [[geoCotravelLift]]'s scoring can never desynchronize on a
+    * cap/cell change. Tracked: both the pairing and the per-user /
+    * universe stitches re-read it. */
+  def cotravelCool(t: DataFrame, cap: Long = 8L): DataFrame = {
     val uk = graft.core.QueryCaches.track(
       t.select(col("user_id"), expr("tus div 3600000000").as("hb"),
           expr("x div 25").as("cx"), expr("y div 25").as("cy"))
@@ -706,7 +738,11 @@ object GeoQueries {
     val ok = uk.groupBy(col("hb"), col("cx"), col("cy"))
       .agg(count(lit(1)).as("n")).filter(col("n") <= cap)
       .select(col("hb"), col("cx"), col("cy"))
-    val cool = uk.join(ok, Seq("hb", "cx", "cy"), "left_semi")
+    uk.join(ok, Seq("hb", "cx", "cy"), "left_semi")
+  }
+
+  /** The bucket-keyed pairing over an already-capped visit relation. */
+  def cotravelPairsOf(cool: DataFrame, minShared: Long = 2L): DataFrame =
     cool.select(col("hb"), col("cx"), col("cy"), col("user_id").as("user_a"))
       .join(cool.select(col("hb"), col("cx"), col("cy"), col("user_id").as("user_b")),
         Seq("hb", "cx", "cy"))
@@ -714,7 +750,6 @@ object GeoQueries {
       .groupBy(col("user_a"), col("user_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-  }
 
   /** Zone-transition matrix — the mobility Markov chain (the input to
     * next-location prediction and zone-flow modeling): consecutive
@@ -779,24 +814,8 @@ object GeoQueries {
     * broadcast, so the scoring adds two cheap stitches to the pairing
     * plan. */
   def geoCotravelLift(spark: SparkSession, sfDir: String): DataFrame = {
-    val uk = graft.core.QueryCaches.track(
-      traj(spark, sfDir)
-        .select(col("user_id"), expr("tus div 3600000000").as("hb"),
-          expr("x div 25").as("cx"), expr("y div 25").as("cy"))
-        .distinct())
-    val ok = uk.groupBy(col("hb"), col("cx"), col("cy"))
-      .agg(count(lit(1)).as("n")).filter(col("n") <= 8L)
-      .select(col("hb"), col("cx"), col("cy"))
-    val cool = graft.core.QueryCaches.track(
-      uk.join(ok, Seq("hb", "cx", "cy"), "left_semi"))
-    val pairs = cool
-      .select(col("hb"), col("cx"), col("cy"), col("user_id").as("user_a"))
-      .join(cool.select(col("hb"), col("cx"), col("cy"),
-        col("user_id").as("user_b")), Seq("hb", "cx", "cy"))
-      .filter(col("user_a") < col("user_b"))
-      .groupBy(col("user_a"), col("user_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 2L)
+    val cool = graft.core.QueryCaches.track(cotravelCool(traj(spark, sfDir)))
+    val pairs = cotravelPairsOf(cool)
     val per = cool.groupBy(col("user_id")).agg(count(lit(1)).as("nv"))
     val universe = cool.select(col("hb"), col("cx"), col("cy")).distinct()
       .agg(count(lit(1)).as("n_buckets"))
@@ -925,7 +944,8 @@ object GeoQueries {
     * running sum in (tus, event_id) order, all positive BIGINT). */
   private val trajSql: String =
     """g AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
-      |        (event_id * 2654435761) % 2147483647 AS h FROM events),
+      |        ((event_id % 2147483647) * 506952114) % 2147483647 AS h
+      |      FROM events),
       |st AS (SELECT user_id, event_id, tus,
       |        (h % 21) - 10 AS dx, ((h // 21) % 21) - 10 AS dy FROM g),
       |traj AS (SELECT user_id, event_id, tus, dx, dy,

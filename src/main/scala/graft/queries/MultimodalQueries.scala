@@ -49,7 +49,8 @@ object MultimodalQueries {
     * projection — at 100 TB the mint is free beside the scan);
     * [[synthCpsSql]] is the byte-value-list twin the oracle folds
     * over. */
-  private def synthBin(spark: SparkSession, sfDir: String): DataFrame = {
+  private def synthBin(spark: SparkSession, sfDir: String,
+      keep: Seq[String] = Nil): DataFrame = {
     val shipped = expr(
       "CASE WHEN doc_id % 11 = 0 THEN (doc_id + 1) % 3 ELSE doc_id % 3 END")
     val magicHex = element_at(
@@ -67,8 +68,9 @@ object MultimodalQueries {
               v * v
             }, 23),
             lit(256))))), 2, "0"))
-    load(spark, sfDir, "documents").select(col("doc_id"),
-      unhex(concat(magicHex, array_join(body, ""))).as("content"))
+    load(spark, sfDir, "documents").select(col("doc_id") +:
+      unhex(concat(magicHex, array_join(body, ""))).as("content") +:
+      keep.map(col): _*)
   }
 
   /** [[synthBin]]'s byte values as a BIGINT list, for the oracle. */
@@ -869,7 +871,101 @@ object MultimodalQueries {
         col("s.sum_bytes"), col("s.min_byte"), col("s.max_byte"))
   }
 
+  /** The band-energy-hashed binary corpus shared by the two audio rows:
+    * [[synthBin]] blobs minus the constant-byte degenerates (the
+    * [[mmBinEntropy]] routing gate — a silence blob's band energies
+    * collapse to one pattern and would bucket df² pairs), each doubled
+    * with a last-byte-overwritten mutant (byte 67 lives in time frame
+    * 15 alone, so only frame 15's band energies move ⇒ ≤ bands−1 = 3
+    * of the 45 second-difference bits flip — the planted pair is
+    * within hamming 3 BY CONSTRUCTION, and 4 bands > 3 flips makes
+    * recall pigeonhole-exact). The fixture's shared-body structure (4
+    * consecutive docs share the 64-byte body, differing only in the
+    * frame-0 magic ⇒ only the t=1 bits move) also yields CONTENT-
+    * derived near-dup pairs, exactly as [[mmBinPhash]]. */
+  private def binAudioHashed(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = synthBin(spark, sfDir).filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val corpus = b.unionAll(b.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(expr("substring(content, 1, 67)"), unhex(lit("5a"))).as("content")))
+    corpus.select(col("doc_id"),
+      MultimodalOps.byteBandEnergyHash(col("content"), 16, 4).as("ahash"))
+  }
+
+  /** [[mmAudioDupes]] re-gated over the binary fixture — the
+    * Haitsma–Kalker band-energy kernel finally run on full-range bytes
+    * (values ≥ 0x80 land in bands 2–3, which ASCII stand-ins never
+    * populate; NULs pin band 0). Same banded hamming join, same
+    * pigeonhole-exact ≤3-bit recall. */
+  def mmBinAudioDupes(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.DedupOps.hammingPairs(binAudioHashed(spark, sfDir), "doc_id", "ahash",
+        bits = 45, bands = 4, maxHamming = 3)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+
+  /** [[mmBinAudioDupes]] under the hot-bucket guard (maxBucket = 8) —
+    * the production posture: a band key minted from few high-entropy
+    * frames can still collide across body groups, and the cap bounds
+    * any bucket's pair fan-out to 8²/2 regardless of corpus size. The
+    * recall trade is hash-checked against the identical HAVING-capped
+    * oracle spelling. */
+  def mmBinAudioDupesCapped(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.DedupOps.hammingPairs(binAudioHashed(spark, sfDir), "doc_id", "ahash",
+        bits = 45, bands = 4, maxHamming = 3, maxBucket = 8)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+
+  /** [[mmCdcChunks]] re-gated over the binary fixture through the NEW
+    * byte-level rolling-hash kernel ([[graft.functions.HashKernels
+    * .cdcChunkFpsBin]] — a media container is not UTF-8; the codepoint
+    * path cannot chunk it): per source, chunk volume, distinct-chunk
+    * volume, and the duplicated-chunk share. mask = 16 sizes expected
+    * chunks to ~16 bytes over the 68-byte blobs (the text row's 64
+    * would leave most blobs one chunk); the fixture's duplicated tiles
+    * and shared bodies make the dup share REAL — identical byte runs
+    * re-synchronize to identical cuts and fingerprints. Same plan: one
+    * scan, codegen kernel per blob, chunk-grain explode, map-side
+    * combined (source, fp) rollup. */
+  def mmBinCdcChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = synthBin(spark, sfDir, keep = Seq("source"))
+      .select(col("source"),
+        explode(graft.functions.HashExprs.cdcChunkFpsBin(col("content"), 8, 16L))
+          .as("fp"))
+    fps.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("fp")).as("n_distinct"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        expr("(1000 * (n_chunks - n_distinct)) div n_chunks").as("dup_milli"))
+  }
+
+  /** [[mmChunkOverlap]] on the binary fixture — cross-source
+    * containment by DISTINCT byte-level CDC chunk fingerprints, the
+    * provenance matrix computed on content the text twin cannot
+    * represent. Same plan discipline: the (source, fp) relation is one
+    * kernel pass + distinct (query-scoped persist, three consumers),
+    * pairs form by fp equi-join bounded by the source domain, shared ≥
+    * 2 support floor. */
+  def mmBinChunkOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = graft.core.QueryCaches.track(
+      synthBin(spark, sfDir, keep = Seq("source"))
+        .select(col("source"),
+          explode(graft.functions.HashExprs.cdcChunkFpsBin(col("content"), 8, 16L))
+            .as("fp"))
+        .distinct())
+    val n = sf.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+    sf.as("a").join(sf.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      .join(n.select(col("source").as("src_a"), col("n_fp").as("n_a")), "src_a")
+      .join(n.select(col("source").as("src_b"), col("n_fp").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"),
+        expr("(1000 * shared) div least(n_a, n_b)").as("containment_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_bin_audio_dupes" -> (mmBinAudioDupes _),
+    "mm_bin_audio_dupes_capped" -> (mmBinAudioDupesCapped _),
+    "mm_bin_cdc_chunks" -> (mmBinCdcChunks _),
+    "mm_bin_chunk_overlap" -> (mmBinChunkOverlap _),
     "mm_byte_entropy" -> (mmByteEntropy _),
     "mm_bin_sniff" -> (mmBinSniff _),
     "mm_bin_tiles" -> (mmBinTiles _),
@@ -941,6 +1037,52 @@ object MultimodalQueries {
        |    WHEN 2 THEN (ah // 4194304) % 2048 ELSE ah // 8589934592 END AS key
        |  FROM p, (SELECT unnest([0, 1, 2, 3]) AS band))""".stripMargin
 
+  // audioBandSql's arithmetic over the BINARY fixture: synthBin byte
+  // lists (constant-byte degenerates gated out), last-byte-overwritten
+  // mutants (0x5a = 90), then the identical 16×4 energy / 45-bit sign
+  // / 4-band key pipeline. Shared by the capped and uncapped pairings.
+  private val binAudioBandSql =
+    s"""WITH base AS (SELECT doc_id, $synthCpsSql AS cps FROM documents
+       |  WHERE doc_id % 5 <> 0),
+       |c AS (SELECT doc_id, cps FROM base
+       |  UNION ALL SELECT doc_id + 1000000,
+       |    list_concat(cps[1:67], [CAST(90 AS BIGINT)]) FROM base),
+       |e AS (SELECT doc_id, list_transform(range(0, 16), t ->
+       |    list_transform(range(0, 4), bb ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_filter(cps[(t * len(cps)) // 16 + 1 : ((t + 1) * len(cps)) // 16],
+       |                    v -> v // 64 = bb)),
+       |        (x, y) -> x + y))) AS eng FROM c),
+       |p AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    flatten(list_transform(range(1, 16), t -> list_transform(range(0, 3), bb ->
+       |      CASE WHEN (eng[t+1][bb+1] - eng[t+1][bb+2]) - (eng[t][bb+1] - eng[t][bb+2]) > 0
+       |      THEN CAST(power(2, (t - 1) * 3 + bb) AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END)))),
+       |    (a, b) -> a + b) AS ah FROM e),
+       |b_t AS (SELECT doc_id, ah, band, CASE band
+       |    WHEN 0 THEN ah % 2048 WHEN 1 THEN (ah // 2048) % 2048
+       |    WHEN 2 THEN (ah // 4194304) % 2048 ELSE ah // 8589934592 END AS key
+       |  FROM p, (SELECT unnest([0, 1, 2, 3]) AS band))""".stripMargin
+
+  // cdcFpsSql's algebra over the BINARY fixture's byte lists, mask 16
+  // (~16-byte expected chunks over the 68-byte blobs).
+  private val binCdcFpsSql: String =
+    s"""c AS (SELECT doc_id, source, $synthCpsSql AS cps FROM documents),
+       |cut AS (SELECT doc_id, source, cps,
+       |    list_filter(range(8, len(cps)), i ->
+       |      (list_reduce(list_transform(range(0, 8), j ->
+       |         cps[i - j] * ([1, 31, 961, 29791, 923521, 28629151,
+       |                        887503681, 512613922])[j + 1]),
+       |        (a, x) -> a + x) % 1000000007) % 16 = 0) AS cuts
+       |  FROM c),
+       |fps AS MATERIALIZED (SELECT doc_id, source,
+       |    list_transform(range(1, len(cuts) + 2), k ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        cps[(CASE WHEN k = 1 THEN 1 ELSE cuts[k - 1] + 1 END):
+       |            (CASE WHEN k = len(cuts) + 1 THEN len(cps) ELSE cuts[k] END)]),
+       |        (a, x) -> (a * 31 + x) % 1000000007)) AS chunk_fps
+       |  FROM cut)""".stripMargin
+
   // CDC chunking re-derived from first principles: the same 31^j
   // pow table (mod 1e9+7), the same cut rule (after 0-based idx ∈
   // [7, n−2] when the 8-window rolling hash ≡ 0 mod 64), the same
@@ -967,6 +1109,46 @@ object MultimodalQueries {
       |  FROM cut)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "mm_bin_audio_dupes" ->
+      s"""$binAudioBandSql
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.ah, b.ah)) AS BIGINT) AS hamming
+         |FROM b_t a JOIN b_t b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ah, b.ah)) <= 3""".stripMargin,
+    "mm_bin_audio_dupes_capped" ->
+      s"""$binAudioBandSql,
+         |kept AS (SELECT band, key FROM b_t GROUP BY band, key HAVING COUNT(*) <= 8),
+         |cb AS (SELECT doc_id, ah, band, key FROM b_t JOIN kept USING (band, key))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.ah, b.ah)) AS BIGINT) AS hamming
+         |FROM cb a JOIN cb b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ah, b.ah)) <= 3""".stripMargin,
+    "mm_bin_cdc_chunks" ->
+      s"""WITH $binCdcFpsSql
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+         |  CAST((1000 * (COUNT(*) - COUNT(DISTINCT fp))) // COUNT(*) AS BIGINT)
+         |    AS dup_milli
+         |FROM (SELECT source, unnest(chunk_fps) AS fp FROM fps)
+         |GROUP BY 1""".stripMargin,
+    "mm_bin_chunk_overlap" ->
+      s"""WITH $binCdcFpsSql,
+         |sf AS MATERIALIZED (SELECT DISTINCT source, fp FROM
+         |       (SELECT source, unnest(chunk_fps) AS fp FROM fps)),
+         |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fp FROM sf GROUP BY 1),
+         |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+         |            CAST(COUNT(*) AS BIGINT) AS shared
+         |          FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+         |          GROUP BY 1, 2)
+         |SELECT src_a, src_b, shared, na.n_fp AS n_a, nb.n_fp AS n_b,
+         |  CAST((1000 * shared) // least(na.n_fp, nb.n_fp) AS BIGINT)
+         |    AS containment_milli
+         |FROM pairs
+         |JOIN n na ON na.source = src_a
+         |JOIN n nb ON nb.source = src_b
+         |WHERE shared >= 2""".stripMargin,
     "mm_byte_entropy" -> {
       def mbSql(q: String): String =
         s"(CAST((length(bin($q)) - 1) * 1000 AS BIGINT) + " +

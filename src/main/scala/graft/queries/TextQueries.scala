@@ -634,7 +634,17 @@ object TextQueries {
     * stratum axis parallelizes; no global order anywhere) and the
     * top-alloc_h admit. The |langs|-bounded allocation relation
     * broadcasts back over the scan. Output: the allocation card plus
-    * what the selection actually admitted. */
+    * what the selection actually admitted.
+    *
+    * Degenerate + domain bounds: mass = Σ N_h·S_h is 0 when EVERY
+    * stratum has zero integer length-variance (a constant-length
+    * corpus) — the GREATEST(mass, 1) floor in both spellings keeps the
+    * division defined and allocates 0 everywhere (nothing admitted,
+    * the honest answer) instead of Spark NULLing while DuckDB raises.
+    * Int64 bound (the geoGyration posture): n_docs·sxx must stay under
+    * 2⁶³ — with n_chars ≤ 2¹⁴ that holds to ~3.4e10 docs per stratum;
+    * a heavier corpus rescales lengths or lifts the moments to DECIMAL
+    * first. */
   def curateNeymanSample(spark: SparkSession, sfDir: String): DataFrame = {
     val d = graft.core.QueryCaches.track(
       load(spark, sfDir, "documents")
@@ -650,7 +660,8 @@ object TextQueries {
       sum(col("n_docs") * col("s_int")).as("mass"))
     val alloc = s.crossJoin(broadcast(tot))
       .select(col("lang"), col("n_docs"), col("s_int"),
-        expr("((n_total div 10) * n_docs * s_int) div mass").as("alloc"))
+        expr("((n_total div 10) * n_docs * s_int) div " +
+          "greatest(mass, CAST(1 AS BIGINT))").as("alloc"))
     val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
     d.withColumn("rk", row_number().over(w))
       .join(broadcast(alloc), Seq("lang"))
@@ -2878,7 +2889,8 @@ object TextQueries {
          |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
          |    CAST(SUM(n_docs * s_int) AS BIGINT) AS mass FROM s),
          |al AS (SELECT s.lang, s.n_docs, s.s_int,
-         |    ((tot.n_total // 10) * s.n_docs * s.s_int) // tot.mass AS alloc
+         |    ((tot.n_total // 10) * s.n_docs * s.s_int)
+         |      // GREATEST(tot.mass, 1) AS alloc
          |  FROM s CROSS JOIN tot),
          |rk AS (SELECT lang, n_chars, row_number() OVER (
          |    PARTITION BY lang ORDER BY h, doc_id) AS rk

@@ -64,6 +64,10 @@ object GraftFunctions {
       "graft_cdc_chunks(str, w, mask) - content-defined chunk fingerprints (rolling-hash cuts)",
       es => CdcChunkFpsExpr(es.head, intLit(es(1), "graft_cdc_chunks"),
         intLit(es(2), "graft_cdc_chunks").toLong)),
+    ("graft_cdc_chunks_bin",
+      "graft_cdc_chunks_bin(bin, w, mask) - content-defined chunk fingerprints over raw bytes",
+      es => CdcChunkFpsBinExpr(es.head, intLit(es(1), "graft_cdc_chunks_bin"),
+        intLit(es(2), "graft_cdc_chunks_bin").toLong)),
     ("graft_varint_cost",
       "graft_varint_cost(longs) - [n, raw_bytes, encoded_bytes] under delta+zigzag+varint",
       es => VarintCostExpr(es.head)),

@@ -1327,9 +1327,21 @@ object GraftStream {
     * bit-exactly under any trigger chunking or arrival order (the
     * cdcUpdates posture). Emissions carry the strictly increasing
     * n_obs so a consumer keeps the last row per key; the zone rollup
-    * downstream is stateless arithmetic over |user×day| rows. */
+    * downstream is stateless arithmetic over |user×day| rows.
+    *
+    * State lifecycle: the (user, day) key domain grows by one
+    * generation per day on an always-on stream, so `stateTtl` (the
+    * file's processing-time convention — re-armed on every access,
+    * "" = NoTimeout for bounded replays/tests) evicts keys whose day
+    * has gone quiet past any realistic lateness horizon; a straggler
+    * after eviction re-opens the key and its emission's n_obs restarts,
+    * which the keep-the-max-n_obs consumer contract already tolerates
+    * only if the consumer treats (user, day) rows idempotently by
+    * upsert — the cdcMerge repair path is the backstop, as with every
+    * TTL'd twin in this file. */
   def odUpdates(df: DataFrame, userCol: String, dayCol: String,
-      tusCol: String, tieCol: String, xCol: String, yCol: String)
+      tusCol: String, tieCol: String, xCol: String, yCol: String,
+      stateTtl: String = "")
       : Dataset[(Long, Long, Long, Long, Long, Long, Long)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = df.sparkSession
@@ -1338,23 +1350,33 @@ object GraftStream {
       col(dayCol).cast("long").as("d"), col(tusCol).cast("long").as("t"),
       col(tieCol).cast("long").as("e"), col(xCol).cast("long").as("x"),
       col(yCol).cast("long").as("y")).as[(Long, Long, Long, Long, Long, Long)]
+    val ttl = stateTtl
+    val timeoutConf =
+      if (ttl.isEmpty) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
     keyed.groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (key: (Long, Long), rows: Iterator[(Long, Long, Long, Long, Long, Long)],
          state: GroupState[((Long, Long, Long, Long), (Long, Long, Long, Long), Long)]) =>
-          def lt(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)): Boolean =
-            a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
-          var (mn, mx, n) = state.getOption.getOrElse(
-            ((Long.MaxValue, Long.MaxValue, 0L, 0L),
-              (Long.MinValue, Long.MinValue, 0L, 0L), 0L))
-          rows.foreach { r =>
-            val q = (r._3, r._4, r._5, r._6)
-            if (lt(q, mn)) mn = q
-            if (lt(mx, q)) mx = q
-            n += 1
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            def lt(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)): Boolean =
+              a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+            var (mn, mx, n) = state.getOption.getOrElse(
+              ((Long.MaxValue, Long.MaxValue, 0L, 0L),
+                (Long.MinValue, Long.MinValue, 0L, 0L), 0L))
+            rows.foreach { r =>
+              val q = (r._3, r._4, r._5, r._6)
+              if (lt(q, mn)) mn = q
+              if (lt(mx, q)) mx = q
+              n += 1
+            }
+            state.update((mn, mx, n))
+            if (ttl.nonEmpty) state.setTimeoutDuration(ttl)
+            Iterator.single((key._1, key._2, mn._3, mn._4, mx._3, mx._4, n))
           }
-          state.update((mn, mx, n))
-          Iterator.single((key._1, key._2, mn._3, mn._4, mx._3, mx._4, n))
       }
   }
 

@@ -989,10 +989,13 @@ class StreamingSpec extends AnyFunSuite {
           r.getStruct(3).getLong(2), r.getStruct(3).getLong(3), r.getLong(4))))
       .toMap
     assert(finals == batch, s"stream $finals\nbatch $batch")
+    // truncating /, not floorDiv: the zone snap's contract is Spark
+    // `div` == DuckDB `//` == Scala `/` (all round toward zero), which
+    // is what keeps this rollup equal to geo_od_matrix if a heavy
+    // user's walk drifts negative — see the trajOf sign-discipline note
     val flows = finals.toSeq
       .map { case ((u, _), (ox, oy, dx, dy, _)) =>
-        ((Math.floorDiv(ox, 50L), Math.floorDiv(oy, 50L),
-          Math.floorDiv(dx, 50L), Math.floorDiv(dy, 50L)), u) }
+        ((ox / 50L, oy / 50L, dx / 50L, dy / 50L), u) }
       .groupBy(_._1).map { case (z, us) =>
         (z._1, z._2, z._3, z._4, us.size.toLong,
           us.map(_._2).distinct.size.toLong) }.toSet
