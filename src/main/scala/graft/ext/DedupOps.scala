@@ -173,6 +173,16 @@ object DedupOps {
   def prefixJoin(withFps: org.apache.spark.sql.DataFrame, idCol: String, fpsCol: String,
       num: Int, den: Int, maxDf: Int = 0): org.apache.spark.sql.DataFrame = {
     require(0 < num && num <= den, s"threshold $num/$den not in (0,1]")
+    // Deliberately NOT persisted: the shingle kernel in `withFps` does
+    // execute twice before `ordered` materializes (once under the df
+    // aggregate, once under the ordered-array build), but a doc-grain
+    // persist was MEASURED at sf0.1 (dedup_prefix_join, 3 runs each) to
+    // be 0-to-negative: 17/19/19 s wall unpersisted vs 20/19/21 s
+    // persisted — the persist's write+read cost cancels the saved
+    // kernel pass because the query is exchange-bound (the fp-keyed df
+    // join and the collect_list re-shuffle dominate), not kernel-bound.
+    // r15's 3.33 → 4.24 s driver drift was box noise, consistent with
+    // the sub-second driver-to-driver deltas the round-15 audit found.
     val base = withFps.select(col(idCol).as("_id"), array_distinct(col(fpsCol)).as("_fps"))
       .filter(size(col("_fps")) > 0)
     val toks = base.select(col("_id"), explode(col("_fps")).as("fp"))
@@ -349,10 +359,12 @@ object DedupOps {
         drop(ckptId)
         labels = next
         ckptId = newId
+        val ts = System.nanoTime()
         val s = labelSum(next)
         done = s == prevSum
         prevSum = s
         tlog(f"round $iter${if (done) " (fixpoint)" else ""}: " +
+          f"sum ${(System.nanoTime() - ts) / 1e9}%.2fs, " +
           f"total ${(System.nanoTime() - tr) / 1e9}%.2fs")
       }
       iter += 1

@@ -187,6 +187,52 @@ object DedupQueries {
         (coalesce(col("n_index"), lit(0L)) > 0 || col("rk") > 1).as("is_dup"))
   }
 
+  /** Fingerprint-index DELETES — the fourth act of the exact-dedup
+    * index lifecycle (the [[graft.queries.SimQueries]] sim_index_delete
+    * twin): retiring documents from the corpus must DECREMENT their
+    * fingerprint counts, or the index keeps flagging fresh copies of
+    * content that no longer exists. The delete manifest (every 9th ≡ 2
+    * doc) folds into the reopened generation-1 index with one fp-keyed
+    * left join — counts decrement, fps whose count reaches 0 DROP OUT
+    * of the rewritten generation-3 table (a tombstoned fingerprint
+    * must not linger as a 0-count row that a `> 0` screen would
+    * ignore but a `IS NOT NULL` screen would trip on). A batch of
+    * copies of EVERY corpus doc then screens against only the
+    * reopened generation-3 table: copies of deleted docs read
+    * n_index = 0 (their content left the corpus — admissible again,
+    * the takedown-then-resubmit case), copies of survivors still
+    * flag. The oracle recomputes counts from scratch over
+    * corpus∖deleted — the green hash is the decrement == rebuild
+    * proof. Same 100 TB contract as compaction: no corpus rescan, one
+    * bucketed-side zero-exchange join + one bucketed write. */
+  def dedupIndexDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.LayoutOps
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val d = docs(spark, sfDir)
+    val idx = LayoutOps.bucketedTable(
+      d.select(fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(count(lit(1)).as("n_corpus")),
+      s"graft_fp_index_$tag", "fp", buckets = 8)
+    val delCounts = d.filter(pmod(col("doc_id"), lit(9L)) === 2)
+      .select(fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_del"))
+    val idx3 = LayoutOps.bucketedTable(
+      idx.join(delCounts, Seq("fp"), "left")
+        .select(col("fp"),
+          (col("n_corpus") - coalesce(col("n_del"), lit(0L))).as("n_index"))
+        .filter(col("n_index") > 0L),
+      s"graft_fp_index_g3_$tag", "fp", buckets = 8)
+    val batch = d.select((col("doc_id") + SHIFT).as("doc_id"),
+      fingerprint(col("text")).as("fp"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    batch.hint("merge").join(idx3, Seq("fp"), "left")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("n_index"), lit(0L)).as("n_index"),
+        (col("rk") > 1).as("dup_in_batch"),
+        (coalesce(col("n_index"), lit(0L)) > 0 || col("rk") > 1).as("is_dup"))
+  }
+
   def curateDecontaminateNear(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     def sigs(df: DataFrame) = df.select(col("doc_id"),
@@ -896,6 +942,7 @@ object DedupQueries {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_index_persist" -> (dedupIndexPersist _),
     "dedup_index_compact" -> (dedupIndexCompact _),
+    "dedup_index_delete" -> (dedupIndexDelete _),
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_edit_within" -> (dedupEditWithin _),
     "curate_decontaminate_near" -> (curateDecontaminateNear _),
@@ -1197,6 +1244,22 @@ object DedupQueries {
     // generation-2 bucketed index and screens batch 2 against ONLY the
     // reopened merged table; the oracle recomputes the merged counts
     // from scratch over corpus ∪ batch-1 texts — fold == rebuild.
+    // dedup_index_delete: Spark decrements the reopened gen-1 index by
+    // the tombstoned docs' fp counts (0-count fps dropped) and screens
+    // a copy-of-everything batch against the reopened gen-3 table; the
+    // oracle rebuilds the counts from scratch over corpus∖deleted.
+    "dedup_index_delete" ->
+      s"""WITH kept AS (SELECT text FROM documents WHERE doc_id % 9 <> 2),
+         |cf AS (SELECT ${fpFold("text")} AS fp, COUNT(*) AS n_index
+         |       FROM kept GROUP BY 1),
+         |batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+         |bf AS (SELECT doc_id, ${fpFold("text")} AS fp FROM batch),
+         |r AS (SELECT doc_id, fp, CAST(row_number() OVER (PARTITION BY fp
+         |        ORDER BY doc_id) AS BIGINT) AS rk FROM bf)
+         |SELECT r.doc_id, r.fp, COALESCE(n_index, 0) AS n_index,
+         |       rk > 1 AS dup_in_batch,
+         |       COALESCE(n_index, 0) > 0 OR rk > 1 AS is_dup
+         |FROM r LEFT JOIN cf USING (fp)""".stripMargin,
     "dedup_index_compact" ->
       s"""WITH all_t AS (SELECT text FROM documents
          |  UNION ALL SELECT text FROM documents

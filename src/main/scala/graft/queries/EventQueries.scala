@@ -2408,6 +2408,17 @@ object EventQueries {
     // the seed buys nothing. Fourth rejected fixpoint variant after
     // the two-hop jump, double edge-hop, and AQE-off measurements in
     // DedupOps.dupClusters.
+    // FIFTH and final rejection (round 16, sf0.1): checking the
+    // label-sum fixpoint every 2nd round instead of every round. The
+    // per-round sum was instrumented at 0.08–0.11 s (a cached-scan
+    // aggregate; the checkpoint plan eval is the other ~0.45 s of each
+    // ~0.55 s round), so halving the cadence caps the saving at ~0.4 s
+    // while detecting the fixpoint one round late whenever it lands on
+    // a skipped round — an expected ~0.25 s extra propagation. Net
+    // ≈ 0.1 s on a 6.7 s query: noise. Every structural lever on this
+    // fixpoint is now measured; the query is CLOSED at ~6.7 s — the
+    // residual cost is 8 genuinely sequential label rounds over a
+    // long-chain core graph, which no cadence trick shortens.
     // isolated cores (no core neighbor) are their own singleton cluster
     val reps = graft.ext.DedupOps.dupClusters(corePairs)
       .select(col("id").as("r_id"), col("cluster_rep"))

@@ -828,6 +828,78 @@ object GeoQueries {
         expr("(1000000 * n_shared * n_buckets) div (n_a * n_b)").as("lift_ppm"))
   }
 
+  /** The anchor-point catalog for [[geoMapMatch]]: an 11×11 grid of
+    * literal infrastructure points (cell towers / road nodes / POIs)
+    * spaced 40 apart over the walk's home range — broadcastable by
+    * contract, like every facility catalog. Snap radius 25 < the 40
+    * spacing, so genuinely OFF-NETWORK positions exist (the points a
+    * matcher must NOT force onto an anchor). */
+  private val anchors: Seq[(Long, Long, Long)] =
+    for { i <- 0L to 10L; j <- 0L to 10L }
+      yield (i * 11L + j + 1L, 800L + 40L * i, 800L + 40L * j)
+
+  /** Map-matching / anchor-sequence extraction — the mobility pillar's
+    * join-to-infrastructure shape (snap a raw trajectory onto a known
+    * catalog, then read the path as anchor visits): each walk position
+    * snaps to its nearest catalog anchor within radius 25 (ties to the
+    * smallest anchor id — deterministic, where a naive matcher is
+    * first-come), off-network positions snap to −1, and maximal runs
+    * of consecutive same-anchor positions roll up into VISITS — per
+    * (user, run) the anchor, dwell length, entry time, and duration.
+    * An off-network excursion BREAKS the run (A → gap → A is two
+    * visits, the map-matching convention), then drops from the
+    * readout.
+    *
+    * 100 TB plan — the [[geoRadiusJoin]] cell discipline fused with
+    * [[geoVoronoi]]'s projection argmin: the catalog expands
+    * driver-side into (cell → in-ring anchor array) cover rows (cell
+    * width = radius, so any in-radius anchor is in the position's home
+    * cell's 3×3 ring — the cover is LOSSLESS), the cover BROADCASTS,
+    * each position left-joins its single home cell, and the
+    * nearest-anchor argmin is an IN-ROW array_min over (d², aid)
+    * structs — no per-point aggregate, no second exchange. The visit
+    * rollup rides the SAME per-user (tus, tie) window the walk paid
+    * for, and the final groupBy(user, run) is satisfied by the
+    * window's user partitioning (the geoStayPoints shape). The walk
+    * relation is scanned ONCE end to end (PlanSpec pins: one events
+    * scan, anchors broadcast, no shuffle join). The oracle spells the
+    * quadratic CROSS JOIN + rank-1 argmin + identical islands fold. */
+  def geoMapMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val R = 25L
+    val cover = anchors.flatMap { case (aid, ax, ay) =>
+      for { dx <- -1L to 1L; dy <- -1L to 1L }
+        yield ((ax / R + dx, ay / R + dy), (aid, ax, ay))
+    }.groupBy(_._1).toSeq
+      .map { case ((gx, gy), as) => (gx, gy, as.map(_._2).sortBy(_._1)) }
+      .toDF("gx", "gy", "cands")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val snapped = traj(spark, sfDir)
+      .withColumn("gx", expr(s"x div $R")).withColumn("gy", expr(s"y div $R"))
+      .join(broadcast(cover), Seq("gx", "gy"), "left")
+      .withColumn("aid", coalesce(
+        array_min(filter(
+          transform(col("cands"), a =>
+            struct(((col("x") - a.getField("_2")) * (col("x") - a.getField("_2")) +
+              (col("y") - a.getField("_3")) * (col("y") - a.getField("_3"))).as("d2"),
+              a.getField("_1").as("aid"))),
+          s => s.getField("d2") <= lit(R * R))).getField("aid"),
+        lit(-1L)))
+      .select(col("user_id"), col("tus"), col("event_id"), col("aid"))
+    snapped
+      .withColumn("rn", row_number().over(w))
+      .withColumn("brk", when(col("rn") === 1 ||
+        lag(col("aid"), 1).over(w) =!= col("aid"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("aid") >= 0L)
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("aid")).as("anchor_id"), count(lit(1)).as("n_points"),
+        min(col("tus")).as("enter_us"),
+        (max(col("tus")) - min(col("tus"))).as("dur_us"))
+  }
+
   /** Radius of gyration per user — the mobility-scale statistic
     * (González et al. 2008): rg² = mean squared distance from the
     * trajectory centroid, integer-exact via the sum-of-squares
@@ -937,7 +1009,8 @@ object GeoQueries {
     "geo_loc_entropy" -> (geoLocEntropy _),
     "geo_zone_transitions" -> (geoZoneTransitions _),
     "geo_jump_lengths" -> (geoJumpLengths _),
-    "geo_cotravel_lift" -> (geoCotravelLift _))
+    "geo_cotravel_lift" -> (geoCotravelLift _),
+    "geo_map_match" -> (geoMapMatch _))
 
   /** The walk CTE shared by the trajectory oracles — byte-for-byte the
     * algebra [[traj]] computes (Knuth mix, [-10,10]² steps, per-user
@@ -963,6 +1036,37 @@ object GeoQueries {
       s"(CAST(1 AS BIGINT) << (length(bin($q)) - 1)))"
 
   val oracleSql: Map[String, String] = Map(
+    "geo_map_match" -> {
+      val anchorValues = anchors.map { case (aid, ax, ay) =>
+        s"($aid, $ax, $ay)" }.mkString(", ")
+      s"""WITH $trajSql,
+         |a(aid, ax, ay) AS (VALUES $anchorValues),
+         |cand AS (SELECT t.user_id, t.tus, t.event_id, a.aid,
+         |    (t.x - a.ax) * (t.x - a.ax) + (t.y - a.ay) * (t.y - a.ay) AS d2
+         |  FROM traj t CROSS JOIN a
+         |  WHERE (t.x - a.ax) * (t.x - a.ax) +
+         |        (t.y - a.ay) * (t.y - a.ay) <= 625),
+         |best AS (SELECT user_id, tus, event_id, CAST(aid AS BIGINT) AS aid
+         |  FROM (SELECT user_id, tus, event_id, aid, row_number() OVER (
+         |      PARTITION BY user_id, tus, event_id ORDER BY d2, aid) AS rk
+         |    FROM cand) WHERE rk = 1),
+         |m AS (SELECT t.user_id, t.tus, t.event_id,
+         |    COALESCE(b.aid, -1) AS aid
+         |  FROM traj t LEFT JOIN best b ON t.user_id = b.user_id
+         |    AND t.tus = b.tus AND t.event_id = b.event_id),
+         |f AS (SELECT user_id, tus, event_id, aid,
+         |    CASE WHEN row_number() OVER w = 1
+         |           OR lag(aid) OVER w <> aid THEN 1 ELSE 0 END AS brk
+         |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |r AS (SELECT user_id, tus, aid,
+         |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+         |  FROM f)
+         |SELECT user_id, run_id, MIN(aid) AS anchor_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_points,
+         |  MIN(tus) AS enter_us, MAX(tus) - MIN(tus) AS dur_us
+         |FROM r WHERE aid >= 0 GROUP BY 1, 2""".stripMargin
+    },
     "geo_gyration" ->
       s"""WITH $trajSql,
          |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,

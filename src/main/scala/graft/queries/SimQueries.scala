@@ -1083,6 +1083,43 @@ object SimQueries {
       listCol = "c_label")
   }
 
+  /** Index DELETES — the fourth act of the persisted-index lifecycle:
+    * production indexes also RETIRE vectors (takedowns, TTL'd content,
+    * right-to-erasure), and the maintenance job that serves them is a
+    * tombstone fold, not a rebuild. The delete manifest (every 11th ≡ 5
+    * original id — fixed-width ids, broadcastable at any real takedown
+    * volume) anti-joins the reopened generation-1 code table and the
+    * SURVIVORS rewrite as a generation-3 [[graft.ext.LayoutOps
+    * .indexTable]] (same layout — every read-path property carries
+    * over); the coarse centroids and PQ codebook are NOT retrained
+    * (deletion must not shift the standing corpus's geometry — the
+    * lambda-architecture contract in reverse). Search runs from ONLY
+    * the reopened generation-3 table with surviving queries; the
+    * oracle recomputes from scratch over corpus∖deleted with the FULL
+    * corpus's coarse model, so the green hash pins
+    * search-after-delete == from-scratch-on-survivors under one hash.
+    * At 100 TB: one pruned scan of the code table + a broadcast
+    * anti-join + one partitioned write — no embedding is ever
+    * re-encoded, and the deleted ids can never surface in a result
+    * (the compliance property the row exists to prove). */
+  def simIndexDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.LayoutOps
+    val (centsT, cbT, codesT) = ivfPqIndex(spark, sfDir)
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val e = emb(spark, sfDir)
+    val tombs = e.filter(col("vec_id") % 11 === 5)
+      .select(col("vec_id").as("del_id"))
+    val g3 = LayoutOps.indexTable(
+      codesT.select(col("vec_id"), col("c_label"), col("s"), col("code"))
+        .join(broadcast(tombs), col("vec_id") === col("del_id"), "left_anti"),
+      s"graft_ivfpq_codes_g3_$tag", "c_label", "vec_id", buckets = 8)
+    val q0 = e.filter(col("vec_id") % 100 === 0 && col("vec_id") % 11 =!= 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_raw"))
+    val qResid = assignResid(q0, centsT, "q_id", "q_raw", "q_id", "q_vec")
+    SimOps.pqTopkWithin(g3, qResid, cbT, k = 5, m = 8, sub = 8,
+      listCol = "c_label")
+  }
+
   /** Mutual-kNN edge set, oriented u < v: an (undirected) edge survives
     * only when EACH endpoint ranks the other inside its top-5
     * ([[SimOps.knnGraph]] both directions). Mutuality is the standard
@@ -2054,7 +2091,8 @@ object SimQueries {
     "sim_ivf_pq" -> (simIvfPq _),
     "sim_index_persist" -> (simIndexPersist _),
     "sim_index_delta" -> (simIndexDelta _),
-    "sim_index_compact" -> (simIndexCompact _))
+    "sim_index_compact" -> (simIndexCompact _),
+    "sim_index_delete" -> (simIndexDelete _))
 
   // ---- DuckDB oracle spellings -------------------------------------
   // The cosine/SRP folds are spelled with list_reduce(list_prepend(...))
@@ -3292,9 +3330,16 @@ object SimQueries {
     // index table and searches ONLY the reopened merged table; the
     // oracle is the same corpus ∪ delta from-scratch spelling — the
     // green hash is the compaction-preserves-search proof.
-    "sim_index_compact" -> ivfPqDeltaOracleSql)
+    "sim_index_compact" -> ivfPqDeltaOracleSql,
+    "sim_index_delete" -> ivfPqDeleteOracleSql)
 
-  private lazy val ivfPqOracleSql: String =
+  /** The from-scratch IVF-PQ search spelling, parameterized for the
+    * DELETE act: `codesFilter` drops tombstoned rows from the code
+    * relation ONLY (the coarse model and codebook stay trained on the
+    * full original corpus — deletion never retrains, exactly the
+    * stale-coarse-model semantics the persisted index implements) and
+    * `qFilter` restricts the query set to survivors. */
+  private def ivfPqSearchOracleSql(codesFilter: String, qFilter: String): String =
       s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
          |                     unnest(embedding) AS v FROM embeddings),
          |cd AS (SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS cv
@@ -3326,10 +3371,10 @@ object SimQueries {
          |codes AS (SELECT vec_id, c_label, s, code FROM (
          |            SELECT vec_id, c_label, s, code,
          |              row_number() OVER (PARTITION BY vec_id, s
-         |                ORDER BY dist, code) AS rk FROM d) WHERE rk = 1),
+         |                ORDER BY dist, code) AS rk FROM d) WHERE rk = 1$codesFilter),
          |q AS (SELECT vec_id AS q_id, c_label, s, emb[s*8 + 1 : s*8 + 8] AS sv
          |      FROM resid, (SELECT unnest(range(0, 8)) AS s)
-         |      WHERE vec_id % 100 = 0),
+         |      WHERE vec_id % 100 = 0$qFilter),
          |dt AS (SELECT q_id, q.c_label AS c_label, q.s AS s, code,
          |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
          |          i -> (CAST(sv[i] AS DOUBLE) - CAST(cw[i] AS DOUBLE)) *
@@ -3344,6 +3389,16 @@ object SimQueries {
          |  SELECT q_id, vec_id, adist,
          |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
          |  FROM ad) WHERE rk <= 5""".stripMargin
+
+  private lazy val ivfPqOracleSql: String = ivfPqSearchOracleSql("", "")
+
+  // sim_index_delete: Spark drops the tombstoned ids' code rows at
+  // compaction and searches the reopened generation-3 table; the
+  // oracle recomputes from scratch over corpus∖deleted with the FULL
+  // corpus's coarse model and codebook — the green hash pins
+  // search-after-delete == from-scratch-on-survivors.
+  private lazy val ivfPqDeleteOracleSql: String =
+    ivfPqSearchOracleSql(" AND vec_id % 11 <> 5", " AND vec_id % 11 <> 5")
 
   private lazy val ivfPqDeltaOracleSql: String =
     s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,

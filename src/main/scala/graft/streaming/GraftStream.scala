@@ -1380,6 +1380,73 @@ object GraftStream {
       }
   }
 
+  /** Streaming co-traveler discovery — the unbounded twin of
+    * [[graft.queries.GeoQueries.geoCotravel]]'s (hour, cell)
+    * visit-bucket pairing, with the SAME >cap hot-bucket exclusion
+    * expressed as stream-time RETRACTION: state per bucket is the
+    * distinct-user member set; each NEW user pairs against the stored
+    * members (emitting (bucket, user_a, user_b, +1) deltas — each
+    * bucket-pair exactly once, the members-set dedup is the distinct()
+    * of the batch row); the arrival that would push the bucket PAST
+    * `cap` instead emits a −1 delta for every previously emitted pair
+    * and tombstones the bucket (hot ⇒ excluded, matching the batch
+    * HAVING ≤ cap exactly — a stadium hour says nothing about
+    * co-travel). A consumer keeps pairs with positive net delta and
+    * counts shared buckets ≥ minShared downstream; the net pair set
+    * equals the batch cool-bucket pairing under ANY chunking or
+    * arrival order (StreamingSpec parity). State per bucket is ≤ cap
+    * member ids or the 1-bit tombstone; `stateTtl` (processing-time,
+    * re-armed — "" = NoTimeout for bounded replays) evicts quiet hour
+    * buckets, with the standard re-opened-bucket duplicate caveat of
+    * every TTL'd op in this file ([[nearDupCandidates]]). */
+  def cotravelUpdates(df: DataFrame, userCol: String, hbCol: String,
+      cxCol: String, cyCol: String, cap: Int = 8, stateTtl: String = "")
+      : Dataset[(Long, Long, Long, Long, Long, Int)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(userCol).cast("long").as("u"),
+      col(hbCol).cast("long").as("hb"), col(cxCol).cast("long").as("cx"),
+      col(cyCol).cast("long").as("cy")).as[(Long, Long, Long, Long)]
+    val ttl = stateTtl
+    val timeoutConf =
+      if (ttl.isEmpty) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
+    keyed.groupByKey(r => (r._2, r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (key: (Long, Long, Long), rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[(Boolean, Seq[Long])]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (hot, members) = state.getOption.getOrElse((false, Seq.empty[Long]))
+            val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Int)]
+            rows.foreach { r =>
+              val u = r._1
+              if (!hot && !members.contains(u)) {
+                if (members.size + 1 > cap) {
+                  // the bucket turns HOT: retract every emitted pair and
+                  // tombstone — no pair for the tipping user, none later
+                  for (Seq(a, b) <- members.combinations(2))
+                    out += ((key._1, key._2, key._3,
+                      math.min(a, b), math.max(a, b), -1))
+                  hot = true
+                  members = Seq.empty
+                } else {
+                  members.foreach(p => out += ((key._1, key._2, key._3,
+                    math.min(u, p), math.max(u, p), 1)))
+                  members = members :+ u
+                }
+              }
+            }
+            state.update((hot, members))
+            if (ttl.nonEmpty) state.setTimeoutDuration(ttl)
+            out.result().iterator
+          }
+      }
+  }
+
   def sumUpdates(df: DataFrame, keyCol: String,
       valCol: String): Dataset[(String, Long, Long)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

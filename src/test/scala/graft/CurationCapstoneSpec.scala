@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 10M-doc END-TO-END curation capstone — the closest local proxy
+  * for the 100 TB pretraining pipeline this engine targets, chaining
+  * the pillars' library surfaces over the DSv2 doc generator in ONE
+  * run with stage row-counts asserted:
+  *
+  *   graft-docs (10M) → cross-document line dedup (rebuild) →
+  *   Gopher-style quality gate → capped near-dup dedup (MinHash LSH +
+  *   connected components, keep-rep) → DSIR importance selection
+  *   (sample-estimated distribution — the documented 100 TB posture) →
+  *   global concat-and-chunk packing (512-token sequences).
+  *
+  * Each stage is the SAME plan shape as its oracle-gated query
+  * (curate_line_dedup, curate_gopher, dedup_near_capped +
+  * dedup_clusters, curate_dsir, curate_pack_boundaries) — this smoke
+  * proves the shapes COMPOSE at 1000× the gate scale without a
+  * quadratic, an un-combined shuffle, or a persist blowup. Wall-clock
+  * asserts are PATHOLOGY bounds only (the 10M near-dup smoke's
+  * measured 46–231 s cross-round drift precedent); the real gates are
+  * the stage-count and conservation asserts.
+  */
+class CurationCapstoneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("10M-doc curation pipeline: line dedup → gopher → near-dup → DSIR → pack") {
+    import graft.ext.{DedupOps, TextOps}
+    val N = 10000000L
+    val t0 = System.nanoTime()
+    def lap(stage: String, since: Long): Long = {
+      val now = System.nanoTime()
+      info(f"$stage: ${(now - since) / 1e9}%.1f s")
+      now
+    }
+    val d = spark.read.format("graft-docs")
+      .option("rows", N).option("partitions", 64).load()
+      // lang/source stand-ins (the generator ships only doc_id + text);
+      // deterministic so every later stage can re-derive them
+      .select(col("doc_id"), col("text"),
+        expr("CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de' " +
+          "WHEN 2 THEN 'fr' ELSE 'ja' END").as("lang"),
+        concat(lit("src"), (col("doc_id") % 8).cast("string")).as("source"))
+
+    // ── stage 1: cross-document line-level boilerplate removal ──────
+    // curate_line_dedup's construction (planted per-source nav header +
+    // 5-token chunks) with the threshold SCALED to the corpus — the
+    // lesson this smoke exists to teach: the gated row's absolute
+    // df ≥ 5 is right at oracle scale but at 10M docs the generator's
+    // uniform draws saturate the 5-token chunk space (103M chunks over
+    // ~8M possibilities ⇒ organic df ≈ 13), so an absolute threshold
+    // deletes the corpus (measured: 1260 of 10M docs survived the
+    // gate). Boilerplate at scale is a FRACTION-of-corpus property
+    // (the CCNet convention): df ≥ 1% of docs drops exactly the
+    // planted headers (df = 1.25M) while the organic tail (Poisson-13,
+    // max ≈ 50 over 8M cells) survives untouched.
+    val allToks = concat(
+      array(lit("nav"), lit("home"), col("source"), lit("menu"), lit("login")),
+      TextOps.tokens(col("text")))
+    val lineArr = transform(
+      sequence(lit(0), ((size(allToks) - lit(1)) / lit(5)).cast("int")),
+      i => array_join(slice(allToks, i * lit(5) + lit(1), lit(5)), " "))
+    val lines = d.select(col("doc_id"), posexplode(lineArr).as(Seq("line_no", "line")))
+      .select(col("doc_id"), col("line_no").cast("bigint").as("line_no"),
+        col("line"), TextOps.fingerprint(col("line")).as("lfp"))
+      .persist()
+    val boiler = N / 100L
+    val dfreq = lines.groupBy(col("lfp")).agg(countDistinct(col("doc_id")).as("df"))
+    val rebuilt = lines.join(dfreq, "lfp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("df") >= boiler, 1L).otherwise(0L)).as("dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("df") < boiler,
+            struct(col("line_no"), col("line"))))),
+          s => s.getField("line")), " ").as("kept_text"))
+      .persist()
+    val reb = rebuilt.agg(count(lit(1)), sum(col("dropped"))).head()
+    lines.unpersist()
+    assert(reb.getLong(0) == N, s"rebuild must preserve doc count: ${reb.getLong(0)}")
+    assert(reb.getLong(1) >= N, s"every doc's nav header must drop: ${reb.getLong(1)}")
+    val t1 = lap("stage 1 line-dedup", t0)
+
+    // ── stage 2: Gopher-style quality gate over the REBUILT text ────
+    // (curate_gopher's signal bundle: word-count band, mean-word-length
+    // band, modal-bigram repetition cap — all in-row, zero shuffles)
+    val tk = TextOps.tokens(col("kept_text"))
+    val gated = rebuilt
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("kept_text"),
+        size(tk).cast("bigint").as("n_words"),
+        aggregate(transform(tk, t => length(t).cast("bigint")),
+          lit(0L), (a, b) => a + b).as("sum_chars"),
+        graft.functions.HashExprs.modalNgramCount(tk, 2).as("max_big"))
+      .filter(col("n_words") >= 10L && col("n_words") <= 10000L &&
+        lit(3L) * col("n_words") <= col("sum_chars") &&
+        col("sum_chars") <= lit(10L) * col("n_words") &&
+        lit(10L) * col("max_big") <= col("n_words"))
+      .select(col("doc_id"), col("lang"), col("kept_text"))
+      .persist()
+    val nGated = gated.count()
+    rebuilt.unpersist()
+    assert(nGated > N / 2, s"gate must keep the generator's prose majority: $nGated")
+    assert(nGated < N, s"gate must actually reject something: $nGated")
+    val t2 = lap(s"stage 2 gopher gate ($nGated kept)", t1)
+
+    // ── stage 3: capped near-dup dedup, keep-rep ─────────────────────
+    // 10k planted exact copies must collapse onto their originals; the
+    // pairing is dedup_near_capped's exact pipeline (banded MinHash,
+    // maxBucket=8 skew guard), components are the pointer-jumped
+    // fixpoint, survivors = min-id reps (keep-first).
+    val plants = gated.filter(col("doc_id") < 40000L) // ~10k pass the gate
+      .select((col("doc_id") + 100000000L).as("doc_id"), col("lang"),
+        col("kept_text"))
+    val nPlants = plants.count()
+    val withPlants = gated.unionAll(plants)
+    val pairs = DedupOps.nearDupPairs(
+      withPlants.select(col("doc_id"), col("kept_text").as("text")),
+      "doc_id", "text", k = 3, hashes = 16, bands = 2,
+      threshold = 0.7, maxBucket = 8)
+    val nonReps = DedupOps.dupClusters(pairs)
+      .filter(col("id") =!= col("cluster_rep"))
+      .select(col("id").as("doc_id"))
+      .persist()
+    val nDropped = nonReps.count()
+    val survivors = withPlants.join(nonReps, Seq("doc_id"), "left_anti").persist()
+    val nSurv = survivors.count()
+    DedupOps.releaseCaches()
+    gated.unpersist()
+    assert(nSurv == nGated + nPlants - nDropped,
+      s"dedup conservation: $nSurv != $nGated + $nPlants - $nDropped")
+    // every planted copy shares ALL shingles with its original (J=1,
+    // identical sigs ⇒ identical band keys); only a capped-out bucket
+    // can hide one — allow a small cap loss, require the bulk removed
+    assert(nDropped >= (nPlants * 8) / 10,
+      s"planted copies must collapse: dropped $nDropped of >= $nPlants")
+    val t3 = lap(s"stage 3 near-dup ($nDropped dropped of ${nPlants} planted + organic)", t2)
+
+    // ── stage 4: DSIR importance selection ───────────────────────────
+    // The documented 100 TB posture: the 512-bucket target/raw
+    // distribution is estimated from a 1M-doc SAMPLE (it converges by
+    // ~10^6 docs), then the corpus is scanned ONCE for scoring — no
+    // corpus-sized gram persist anywhere.
+    def grams(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("lang"),
+          explode(graft.functions.HashExprs.shingleFps(
+            TextOps.tokens(col("kept_text")), 2)).as("fp"))
+        .select(col("doc_id"), col("lang"), pmod(col("fp"), lit(512L)).as("b"))
+    val w = grams(survivors.filter(col("doc_id") < 1000000L))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("r_cnt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"))
+      .select(col("b"), expr("(t_cnt + 1) * 1000000 div (r_cnt + 1)").as("w"))
+      .persist()
+    val meanW = w.agg(expr("sum(w) div count(1)")).head().getLong(0)
+    val selected = grams(survivors).join(broadcast(w), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("score"))
+      .filter(col("score") > col("n_bigrams") * lit(meanW))
+      .select(col("doc_id"))
+      .join(survivors, "doc_id")
+      .persist()
+    val nSel = selected.count()
+    w.unpersist(); survivors.unpersist(); nonReps.unpersist()
+    assert(nSel > 0L && nSel < nSurv,
+      s"DSIR must select a strict subset: $nSel of $nSurv")
+    val t4 = lap(s"stage 4 DSIR select ($nSel selected)", t3)
+
+    // ── stage 5: global concat-and-chunk packing, 512-token seqs ────
+    // (curate_pack_boundaries' plan: content-hash order, distributed
+    // prefix sum — no single-partition window at any corpus size)
+    val B = 512L
+    val base = selected.select(col("doc_id"),
+        pmod(TextOps.fingerprint(col("kept_text")), lit(1000000L)).as("h"),
+        TextOps.tokenCount(col("kept_text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val cum = graft.ext.SkewOps.globalCumSum(base, Seq("h", "doc_id"),
+      "n_tokens", "_rk", "cum")
+    val spans = cum.select(col("doc_id"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("s"), col("cum").as("e"))
+      .select(col("n_tokens"), col("s"), col("e"),
+        explode(sequence(expr(s"s div $B"), expr(s"(e - 1) div $B"))).as("seq_id"))
+    val manifest = spans.select(col("seq_id"),
+        greatest(col("s"), col("seq_id") * B).as("cs"),
+        least(col("e"), (col("seq_id") + 1) * B).as("ce"))
+      .groupBy(col("seq_id"))
+      .agg(sum(col("ce") - col("cs")).as("n_seq_tokens"))
+    val m = manifest.agg(count(lit(1)).as("n_seqs"),
+      sum(col("n_seq_tokens")).as("tok"),
+      sum(when(col("n_seq_tokens") === B, 1L).otherwise(0L)).as("full")).head()
+    val totalTok = base.agg(sum(col("n_tokens"))).head().getLong(0)
+    selected.unpersist()
+    assert(m.getLong(1) == totalTok,
+      s"packing must conserve tokens: ${m.getLong(1)} != $totalTok")
+    assert(m.getLong(0) == (totalTok + B - 1) / B,
+      s"sequence count must be ceil(total/512): ${m.getLong(0)}")
+    assert(m.getLong(2) >= m.getLong(0) - 1,
+      s"every sequence but the tail must be exactly 512: ${m.getLong(2)} of ${m.getLong(0)}")
+    lap(s"stage 5 pack (${m.getLong(0)} sequences, $totalTok tokens)", t4)
+
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"capstone: 10M docs -> $nGated gated -> $nSurv deduped -> " +
+      f"$nSel selected -> ${m.getLong(0)} sequences in $secs%.1f s")
+    assert(secs < 1500.0,
+      f"10M-doc pipeline took $secs%.1f s (pathology bound 1500 s on local[16])")
+  }
+}

@@ -2170,6 +2170,69 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("geo_map_match: anchors broadcast onto one walk scan — argmin in-row, no shuffle join") {
+    val p = plan("geo_map_match")
+    assert(nOps(p, "SortMergeJoin") + nOps(p, "BroadcastNestedLoopJoin") +
+      nOps(p, "CartesianProduct") == 0,
+      s"the cover must broadcast; nothing may shuffle-join or nest-loop:\n$p")
+    assert(nOps(p, "BroadcastHashJoin") == 1,
+      s"exactly the cell-cover broadcast join:\n$p")
+    assert(nOps(p, "Scan parquet") <= 1, s"the walk is scanned once:\n$p")
+  }
+
+  test("sim_index_delete: generation-3 read path keeps the zero-exchange ADC contract") {
+    // After tombstones fold out, serving must return to the same
+    // single-table exchange-free plan as generations 1 and 2 — the
+    // delete is a layout rewrite, not a plan regression.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("sim_index_delete")(spark, sf)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.SparkPlan
+      def path(p: SparkPlan): Option[List[SparkPlan]] =
+        if (p.children.isEmpty && p.toString.contains("graft_ivfpq_codes_g3"))
+          Some(List(p))
+        else p.children.flatMap(path(_)).headOption.map(p :: _)
+      val rev = path(exec)
+        .getOrElse(fail(s"no scan of the generation-3 codes table in:\n$exec"))
+        .reverse
+      val aggIdxs = rev.zipWithIndex
+        .filter(_._1.nodeName.contains("HashAggregate")).map(_._2)
+      assert(aggIdxs.size >= 2,
+        s"partial+final ADC aggregate expected above the g3 index scan:\n$exec")
+      val seg = rev.take(aggIdxs(1) + 1)
+      assert(!seg.exists(_.nodeName.contains("Exchange")),
+        "no exchange may sit between the g3 index scan and the " +
+          s"final ADC aggregate:\n${seg.map(_.nodeName).mkString(" <- ")}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      graft.ext.DedupOps.releaseCaches()
+    }
+  }
+
+  test("dedup_index_delete: admission reads the generation-3 table with one batch-side exchange") {
+    // The decrement fold runs eagerly at layout time; the returned plan
+    // is purely the admission read path and must match generation 1's
+    // shape — g3 bucketed scan joins exchange-free, the batch pays the
+    // single shuffle, the window reuses it.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("dedup_index_delete")(spark, sf)
+        .queryExecution.executedPlan
+      def count(n: org.apache.spark.sql.execution.SparkPlan, name: String): Int =
+        n.collect { case x if x.nodeName.contains(name) => x }.size
+      assert(p.toString.contains("graft_fp_index_g3"),
+        s"admission must read from the generation-3 bucketed table:\n$p")
+      assert(count(p, "Exchange") == 1,
+        s"exactly one exchange (the batch side) may appear:\n$p")
+      assert(count(p, "SortMergeJoin") == 1,
+        s"the admission join must be SMJ:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      graft.ext.DedupOps.releaseCaches()
+    }
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);

@@ -1005,6 +1005,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(flows == batchFlows, s"zone flows: stream $flows\nbatch $batchFlows")
   }
 
+  test("streaming co-travel: net pair deltas equal the batch cool-bucket pairing") {
+    // The sf0.001 walk's (user, hour, cell) visits — WITH raw
+    // duplicates (the stream must dedup members per bucket exactly as
+    // the batch distinct() does) — fed in three seed-shuffled chunks.
+    // Emissions are (bucket, pair, ±1) deltas: +1 when a pair first
+    // shares a bucket, −1 retractions when the bucket tips past cap=8
+    // and is excluded. Net-positive pairs grouped to shared-bucket
+    // counts ≥ 2 must equal geoCotravel's gated relation exactly.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val visits = graft.queries.GeoQueries.trajOf(
+        normalizeEventTs(spark.read.parquet(s"$dir/events.parquet")))
+      .select(col("user_id"), expr("tus div 3600000000").as("hb"),
+        expr("x div 25").as("cx"), expr("y div 25").as("cy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val data = new scala.util.Random(41).shuffle(visits.toSeq)
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val df = in.toDF().toDF("u", "hb", "cx", "cy")
+    val rows = new ConcurrentLinkedQueue[(Long, Long, Long, Long, Long, Int)]()
+    val q = GraftStream.cotravelUpdates(df, "u", "hb", "cx", "cy", cap = 8)
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Int)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    data.grouped((data.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // toSeq FIRST: collect on a Map with a Tuple2-valued function
+    // rebuilds a Map and silently dedups by the first element
+    val net = rows.toArray.map(_.asInstanceOf[(Long, Long, Long, Long, Long, Int)])
+      .groupBy(r => (r._1, r._2, r._3, r._4, r._5))
+      .view.mapValues(_.map(_._6).sum).toMap
+    assert(net.values.forall(d => d == 0 || d == 1),
+      s"every (bucket, pair) must net to 0 or 1: ${net.filter(v => v._2 != 0 && v._2 != 1).take(3)}")
+    val got = net.toSeq.collect { case ((_, _, _, a, b), 1) => (a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2L)
+      .map { case ((a, b), n) => (a, b, n) }.toSet
+    val batch = graft.queries.GeoQueries.geoCotravel(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch,
+      s"stream-only ${(got diff batch).take(3)}\nbatch-only ${(batch diff got).take(3)}")
+  }
+
+  test("streaming co-travel: a bucket tipping past cap retracts every emitted pair") {
+    // Crafted feed, cap=3: bucket A receives users 1..3 (3 pairs emit
+    // +1 incrementally), then user 4 tips it hot — the 3 pairs retract
+    // (−1) and later arrivals (user 5) emit nothing. Bucket B stays
+    // cool (users 1, 2 → one surviving pair). Nets: A all 0, B = +1 —
+    // the stream-time spelling of the batch HAVING COUNT(*) <= cap.
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val df = in.toDF().toDF("u", "hb", "cx", "cy")
+    val rows = new ConcurrentLinkedQueue[(Long, Long, Long, Long, Long, Int)]()
+    val q = GraftStream.cotravelUpdates(df, "u", "hb", "cx", "cy", cap = 3)
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Int)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    // chunk 1: A gets 1,2,3 (dup 2 ignored); B gets 1
+    in.addData((1L, 9L, 0L, 0L), (2L, 9L, 0L, 0L), (2L, 9L, 0L, 0L), (3L, 9L, 0L, 0L),
+      (1L, 9L, 5L, 5L))
+    q.processAllAvailable()
+    // chunk 2: A tips hot with 4, then 5 arrives dead; B gets 2
+    in.addData((4L, 9L, 0L, 0L), (5L, 9L, 0L, 0L), (2L, 9L, 5L, 5L))
+    q.processAllAvailable()
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(Long, Long, Long, Long, Long, Int)]).toSeq
+    val a = got.filter(r => r._2 == 0L)
+    assert(a.count(_._6 == 1) == 3 && a.count(_._6 == -1) == 3,
+      s"bucket A must emit 3 pairs then retract all 3: $a")
+    assert(a.groupBy(r => (r._4, r._5)).values.forall(_.map(_._6).sum == 0),
+      s"bucket A nets must all be 0: $a")
+    val b = got.filter(r => r._2 == 5L)
+    assert(b == Seq((9L, 5L, 5L, 1L, 2L, 1)), s"bucket B must net one pair: $b")
+  }
+
   test("streaming skyline: final frontier per key equals a naive batch Pareto oracle") {
     // Frontier maintenance is an order-independent fold (a set's
     // skyline is unique), so the last emission per key must equal the
