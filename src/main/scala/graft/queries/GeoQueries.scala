@@ -864,8 +864,16 @@ object GeoQueries {
     * relation is scanned ONCE end to end (PlanSpec pins: one events
     * scan, anchors broadcast, no shuffle join). The oracle spells the
     * quadratic CROSS JOIN + rank-1 argmin + identical islands fold. */
-  def geoMapMatch(spark: SparkSession, sfDir: String): DataFrame = {
-    val spark2 = spark
+  /** The stateless anchor SNAP for ANY (user_id, tus, event_id, x, y)
+    * relation — batch or STREAMING (a broadcast equi-join + in-row
+    * argmin projection, both streaming-legal; the [[regionMembership]]
+    * posture): nearest catalog anchor within radius 25 via the
+    * lossless cell cover, −1 when off-network. Shared by
+    * [[geoMapMatch]] and the streaming twin
+    * [[graft.streaming.GraftStream.anchorVisitUpdates]]'s test feed —
+    * ONE snap definition, two execution modes. */
+  def anchorSnap(t: DataFrame): DataFrame = {
+    val spark2 = t.sparkSession
     import spark2.implicits._
     val R = 25L
     val cover = anchors.flatMap { case (aid, ax, ay) =>
@@ -874,9 +882,7 @@ object GeoQueries {
     }.groupBy(_._1).toSeq
       .map { case ((gx, gy), as) => (gx, gy, as.map(_._2).sortBy(_._1)) }
       .toDF("gx", "gy", "cands")
-    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
-    val snapped = traj(spark, sfDir)
-      .withColumn("gx", expr(s"x div $R")).withColumn("gy", expr(s"y div $R"))
+    t.withColumn("gx", expr(s"x div $R")).withColumn("gy", expr(s"y div $R"))
       .join(broadcast(cover), Seq("gx", "gy"), "left")
       .withColumn("aid", coalesce(
         array_min(filter(
@@ -887,7 +893,14 @@ object GeoQueries {
           s => s.getField("d2") <= lit(R * R))).getField("aid"),
         lit(-1L)))
       .select(col("user_id"), col("tus"), col("event_id"), col("aid"))
-    snapped
+  }
+
+  /** The snap + islands rollup over ANY trajectory relation — the
+    * library surface the 10M-event scale smoke drives with the same
+    * code the gated row runs. */
+  def anchorVisits(t: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    anchorSnap(t)
       .withColumn("rn", row_number().over(w))
       .withColumn("brk", when(col("rn") === 1 ||
         lag(col("aid"), 1).over(w) =!= col("aid"), 1L).otherwise(0L))
@@ -898,6 +911,75 @@ object GeoQueries {
       .agg(min(col("aid")).as("anchor_id"), count(lit(1)).as("n_points"),
         min(col("tus")).as("enter_us"),
         (max(col("tus")) - min(col("tus"))).as("dur_us"))
+  }
+
+  def geoMapMatch(spark: SparkSession, sfDir: String): DataFrame =
+    anchorVisits(traj(spark, sfDir))
+
+  /** Co-location EPISODES — the temporal refinement [[geoCotravel]]'s
+    * flat bucket counts and [[geoCotravelLift]]'s significance scores
+    * both lack: HOW a pair's shared hours arrange. Two users sharing 6
+    * scattered lunch hours and two users sharing one continuous 6-hour
+    * block have the same n_shared but mean completely different things
+    * (routine overlap vs an actual joint trip) — the episode structure
+    * is the readout an analyst acts on. Pairs come from the SAME
+    * capped cool-bucket equi-join as the co-travel family
+    * ([[cotravelCool]] — one definition of the banding and the skew
+    * cap), the (pair, hour) relation is distinct (a pair sharing 3
+    * cells in one hour has ONE co-located hour), and maximal runs of
+    * CONSECUTIVE shared hours roll up via gaps-and-islands (hb −
+    * row_number over the pair-partitioned window — partitioned on the
+    * pair axis, never global). Per surviving pair: episode count,
+    * longest episode, total co-located hours, first hour. Plan: all
+    * candidate volume is bucket-bounded (the cap), the islands window
+    * partitions by pair, and the rollups are map-side combinable. */
+  def geoEncounters(spark: SparkSession, sfDir: String): DataFrame = {
+    val cool = graft.core.QueryCaches.track(cotravelCool(traj(spark, sfDir)))
+    val ph = cool.select(col("hb"), col("cx"), col("cy"), col("user_id").as("user_a"))
+      .join(cool.select(col("hb"), col("cx"), col("cy"), col("user_id").as("user_b")),
+        Seq("hb", "cx", "cy"))
+      .filter(col("user_a") < col("user_b"))
+      .select(col("user_a"), col("user_b"), col("hb"))
+      .distinct()
+    val w = Window.partitionBy(col("user_a"), col("user_b")).orderBy(col("hb"))
+    ph.withColumn("isl", col("hb") - row_number().over(w))
+      .groupBy(col("user_a"), col("user_b"), col("isl"))
+      .agg(count(lit(1)).as("n_hours"), min(col("hb")).as("start_hb"))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n_episodes"), max(col("n_hours")).as("max_hours"),
+        sum(col("n_hours")).as("tot_hours"), min(col("start_hb")).as("first_hb"))
+      .filter(col("tot_hours") >= 2L)
+  }
+
+  /** Home/work anchor detection — the Song/González-school mobility
+    * profile every location corpus gets mined for: per user, the
+    * dominant cell by visit count during WORK hours (8–17 local,
+    * hour-of-day = hb mod 24) and during the complementary HOME
+    * period, with the period's total visits and an integer focus share
+    * (how concentrated the period is on its top cell — a 1000‰ work
+    * focus is a fixed desk; 100‰ is a field job). The argmax is the
+    * [[geoChoropleth]] map-side max_by over a unique ordering struct
+    * (count, −cx, −cy) — ties break to the smallest cell,
+    * deterministic in both engines, one row per (user, period) crosses
+    * the final exchange. Two stacked map-side-combinable aggregates;
+    * the user axis parallelizes everything. */
+  def geoHomeWork(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = traj(spark, sfDir)
+      .select(col("user_id"),
+        when(expr("(tus div 3600000000) % 24").between(8, 17), lit("work"))
+          .otherwise(lit("home")).as("period"),
+        expr("x div 25").as("cx"), expr("y div 25").as("cy"))
+      .groupBy(col("user_id"), col("period"), col("cx"), col("cy"))
+      .agg(count(lit(1)).as("c"))
+    v.groupBy(col("user_id"), col("period"))
+      .agg(sum(col("c")).as("n_visits"),
+        max_by(struct(col("cx"), col("cy")),
+          struct(col("c"), -col("cx"), -col("cy"))).as("top"),
+        max(struct(col("c"), -col("cx"), -col("cy"))).getField("c").as("top_visits"))
+      .select(col("user_id"), col("period"), col("n_visits"),
+        col("top.cx").as("cell_x"), col("top.cy").as("cell_y"),
+        col("top_visits"),
+        expr("(1000 * top_visits) div n_visits").as("focus_milli"))
   }
 
   /** Radius of gyration per user — the mobility-scale statistic
@@ -1010,7 +1092,9 @@ object GeoQueries {
     "geo_zone_transitions" -> (geoZoneTransitions _),
     "geo_jump_lengths" -> (geoJumpLengths _),
     "geo_cotravel_lift" -> (geoCotravelLift _),
-    "geo_map_match" -> (geoMapMatch _))
+    "geo_map_match" -> (geoMapMatch _),
+    "geo_encounters" -> (geoEncounters _),
+    "geo_home_work" -> (geoHomeWork _))
 
   /** The walk CTE shared by the trajectory oracles — byte-for-byte the
     * algebra [[traj]] computes (Knuth mix, [-10,10]² steps, per-user
@@ -1036,6 +1120,45 @@ object GeoQueries {
       s"(CAST(1 AS BIGINT) << (length(bin($q)) - 1)))"
 
   val oracleSql: Map[String, String] = Map(
+    "geo_encounters" ->
+      s"""WITH $trajSql,
+         |uk AS MATERIALIZED (SELECT DISTINCT user_id, tus // 3600000000 AS hb,
+         |    x // 25 AS cx, y // 25 AS cy FROM traj),
+         |ok AS (SELECT hb, cx, cy FROM uk GROUP BY 1, 2, 3
+         |  HAVING COUNT(*) <= 8),
+         |cool AS MATERIALIZED (SELECT uk.* FROM uk JOIN ok USING (hb, cx, cy)),
+         |ph AS (SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b, a.hb
+         |  FROM cool a JOIN cool b
+         |    ON a.hb = b.hb AND a.cx = b.cx AND a.cy = b.cy
+         |   AND a.user_id < b.user_id),
+         |r AS (SELECT user_a, user_b, hb,
+         |    hb - row_number() OVER (PARTITION BY user_a, user_b
+         |      ORDER BY hb) AS isl
+         |  FROM ph),
+         |e AS (SELECT user_a, user_b, isl, CAST(COUNT(*) AS BIGINT) AS n_hours,
+         |    MIN(hb) AS start_hb
+         |  FROM r GROUP BY 1, 2, 3)
+         |SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_episodes,
+         |  CAST(MAX(n_hours) AS BIGINT) AS max_hours,
+         |  CAST(SUM(n_hours) AS BIGINT) AS tot_hours,
+         |  MIN(start_hb) AS first_hb
+         |FROM e GROUP BY 1, 2 HAVING SUM(n_hours) >= 2""".stripMargin,
+    "geo_home_work" ->
+      s"""WITH $trajSql,
+         |v AS (SELECT user_id,
+         |    CASE WHEN (tus // 3600000000) % 24 BETWEEN 8 AND 17
+         |      THEN 'work' ELSE 'home' END AS period,
+         |    x // 25 AS cx, y // 25 AS cy, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM traj GROUP BY 1, 2, 3, 4),
+         |t AS (SELECT user_id, period, cx, cy, c,
+         |    row_number() OVER (PARTITION BY user_id, period
+         |      ORDER BY c DESC, cx, cy) AS rk,
+         |    CAST(SUM(c) OVER (PARTITION BY user_id, period) AS BIGINT)
+         |      AS n_visits
+         |  FROM v)
+         |SELECT user_id, period, n_visits, cx AS cell_x, cy AS cell_y,
+         |  c AS top_visits, (1000 * c) // n_visits AS focus_milli
+         |FROM t WHERE rk = 1""".stripMargin,
     "geo_map_match" -> {
       val anchorValues = anchors.map { case (aid, ax, ay) =>
         s"($aid, $ax, $ay)" }.mkString(", ")

@@ -872,6 +872,62 @@ object GraftStream {
       }
   }
 
+  /** Streaming anchor-visit extraction — the unbounded twin of
+    * [[graft.queries.GeoQueries.geoMapMatch]]'s islands fold: the
+    * anchor SNAP itself is stateless (a broadcast cover join +
+    * projection — [[graft.queries.GeoQueries.anchorSnap]] runs
+    * unchanged on a stream, the regionMembers posture), so the only
+    * stateful work is ordering: snapped positions buffer until the
+    * watermark passes their event time, then fold in exact (tus, tie)
+    * order — an anchor CHANGE (including to/from the off-network −1)
+    * closes the open run, emitting it iff it was on-network, and opens
+    * the next. The run ordinal counts EVERY break (off-network runs
+    * consume an ordinal without emitting), so emitted rows equal the
+    * batch rollup bit-exactly (StreamingSpec parity with sentinel
+    * closes). State per user: the lateness-horizon buffer + one 5-long
+    * open-run accumulator — horizon-bounded at any stream length. */
+  def anchorVisitUpdates(df: DataFrame, userCol: String, etCol: String,
+      tusCol: String, tieCol: String, aidCol: String, watermark: String)
+      : Dataset[(Long, Long, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.withWatermark(etCol, watermark)
+      .select(col(userCol).cast("long").as("u"), col(etCol).as("et"),
+        col(tusCol).cast("long").as("t"), col(tieCol).cast("long").as("e"),
+        col(aidCol).cast("long").as("aid"))
+      .as[(Long, java.sql.Timestamp, Long, Long, Long)]
+    // state: (started, open run (runId, start, last, n, aid),
+    //         buffer of (tus, tie, aid))
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, Long)],
+         state: GroupState[(Boolean, (Long, Long, Long, Long, Long),
+           Seq[(Long, Long, Long)])]) =>
+          val (started0, run0, buf0) = state.getOption.getOrElse(
+            (false, (0L, 0L, 0L, 0L, 0L), Seq.empty))
+          val wm = state.getCurrentWatermarkMs()
+          val buf = buf0 ++ rows.map(r => (r._3, r._4, r._5))
+            .filter(_._1 / 1000L >= wm)
+          val (ripe, open) = buf.partition(_._1 / 1000L < wm)
+          var started = started0
+          var run = run0
+          val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
+          def close(): Unit = if (started && run._5 >= 0L)
+            out += ((key, run._1, run._5, run._4, run._2, run._3 - run._2))
+          for ((tus, _, aid) <- ripe.sorted) {
+            if (!started || aid != run._5) {
+              close()
+              run = (run._1 + 1L, tus, tus, 1L, aid)
+            } else run = (run._1, run._2, tus, run._4 + 1L, aid)
+            started = true
+          }
+          state.update((started, run, open))
+          if (open.nonEmpty) state.setTimeoutTimestamp(wm + 1L)
+          out.result().iterator
+      }
+  }
+
   /** Streaming KMV distinct sketch — the unbounded feed of
     * [[graft.queries.EventQueries.eventsKmvDistinct]]: per key, state
     * holds the k SMALLEST salted id-hashes seen (a monotone min-set, so

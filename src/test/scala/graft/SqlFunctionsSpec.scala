@@ -275,8 +275,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
     new graft.sql.GraftExtensions().apply(ext)
     // pinned count catches an accidentally dropped builder; distinct
     // catches a duplicated name
-    assert(GraftFunctions.builders.size == 32)
-    assert(GraftFunctions.builders.map(_._1).distinct.size == 32)
+    assert(GraftFunctions.builders.size == 33)
+    assert(GraftFunctions.builders.map(_._1).distinct.size == 33)
   }
 
   test("graft_explode_bigrams: streams token pairs, drops empties, equals the composed spelling") {

@@ -357,4 +357,38 @@ class StatsScaleSpec extends AnyFunSuite {
     info(f"10M events / 1M users co-travel in $secs%.1f s; " +
       f"${expected.size} planted pairs exact")
   }
+
+  test("scale smoke: map-matching over 10M events / 1M users — snap at scan speed, islands conserve points") {
+    // geo_map_match's plan at 100× the sf0.1 corpus, driving the SAME
+    // library code the gated row runs (trajOf → anchorVisits): the
+    // anchor snap is a broadcast cover join + in-row argmin (no
+    // per-point aggregate, nothing shuffles before the walk's own
+    // window), and the islands fold rides the user partitioning. The
+    // conservation pin is the real gate: Σ n_points over emitted
+    // visits must equal EXACTLY the number of on-network positions —
+    // a window fold that dropped or duplicated rows across partition
+    // boundaries would break the equality at this scale even when
+    // sf0.001 hashes stay green.
+    val t0 = System.nanoTime()
+    val events = spark.read.format("graft-events")
+      .option("rows", 10000000L).option("partitions", 32)
+      .option("users", 1000000L).option("days", 30).load()
+    val t = graft.queries.GeoQueries.trajOf(events)
+    val onNet = graft.queries.GeoQueries.anchorSnap(t)
+      .filter(col("aid") >= 0L).count()
+    val v = graft.queries.GeoQueries.anchorVisits(t)
+      .agg(count(lit(1)).as("n_visits"), sum(col("n_points")).as("pts"),
+        countDistinct(col("anchor_id")).as("n_anchors")).head()
+    graft.core.QueryCaches.release()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the 1M-user walk crowds the origin, which sits inside the anchor
+    // grid — a large slice of positions must snap on-network
+    assert(onNet > 1000000L, s"snap coverage collapsed: $onNet of 10M on-network")
+    assert(v.getLong(1) == onNet,
+      s"islands must conserve on-network points: ${v.getLong(1)} != $onNet")
+    assert(v.getLong(0) > 0L && v.getLong(0) <= onNet, s"visit count sane: ${v.getLong(0)}")
+    assert(secs < 240.0, f"10M-event map-match took $secs%.1f s (budget 240 s)")
+    info(f"10M events map-matched in $secs%.1f s: $onNet on-network points, " +
+      f"${v.getLong(0)} visits over ${v.getLong(2)} anchors")
+  }
 }

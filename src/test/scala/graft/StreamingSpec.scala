@@ -1005,6 +1005,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(flows == batchFlows, s"zone flows: stream $flows\nbatch $batchFlows")
   }
 
+  test("streaming anchor visits: closed runs equal the batch map-match rollup bit-exactly") {
+    // anchorSnap is stateless (broadcast cover + projection — it runs
+    // identically on the stream), so the twin's stateful surface is
+    // the watermark-ordered islands fold: snapped sf0.001 positions in
+    // three seed-shuffled chunks must close exactly geo_map_match's
+    // visit rows. Sentinel off-network rows close each user's final
+    // run (an open visit emits nothing until the walker provably
+    // moves); two dummy waves push the watermark past the sentinels.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val snapped = graft.queries.GeoQueries.anchorSnap(
+        graft.queries.GeoQueries.trajOf(
+          normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))))
+      .withColumn("et", timestamp_micros(col("tus")))
+    val raw = snapped.collect().map(r => (r.getLong(0), r.getTimestamp(4),
+      r.getLong(1), r.getLong(2), r.getLong(3)))
+    // (user_id, et, tus, event_id, aid)
+    val rng = new scala.util.Random(31)
+    val chunks = raw.sortBy(r => (r._3, r._4)).grouped((raw.length + 2) / 3)
+      .map(c => rng.shuffle(c.toSeq)).toSeq
+    val maxTus = raw.map(_._3).max
+    val users = raw.map(_._1).distinct.toSeq
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, Long, Long)]
+    val df = in.toDF().toDF("u", "et", "t", "e", "aid")
+    val rows = new ConcurrentLinkedQueue[(Long, Long, Long, Long, Long, Long)]()
+    val q = GraftStream.anchorVisitUpdates(df, "u", "et", "t", "e", "aid",
+        "0 seconds")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Long)], _: Long) => {
+        b.collect().foreach(rows.add); ()
+      })
+      .start()
+    def tup(u: Long, tus: Long, e: Long, aid: Long) =
+      (u, new java.sql.Timestamp(tus / 1000L), tus, e, aid)
+    chunks.foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    val day = 86400000000L
+    in.addData(users.map(u => tup(u, maxTus + 2 * day, 0L, -1L)): _*)
+    q.processAllAvailable()
+    in.addData(tup(999999L, maxTus + 4 * day, 0L, -1L))
+    q.processAllAvailable()
+    in.addData(tup(999999L, maxTus + 6 * day, 1L, -1L))
+    q.processAllAvailable()
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(Long, Long, Long, Long, Long, Long)])
+      .filter(_._1 != 999999L).toSet
+    val batch = graft.queries.GeoQueries.geoMapMatch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == batch,
+      s"stream visits must equal batch map-match rows:\n" +
+        s"stream-only ${(got diff batch).take(3)}\nbatch-only ${(batch diff got).take(3)}")
+  }
+
   test("streaming co-travel: net pair deltas equal the batch cool-bucket pairing") {
     // The sf0.001 walk's (user, hour, cell) visits — WITH raw
     // duplicates (the stream must dedup members per bucket exactly as
