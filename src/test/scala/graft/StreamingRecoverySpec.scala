@@ -125,6 +125,51 @@ class StreamingRecoverySpec extends AnyFunSuite {
       s"restart must preserve doc 1's buckets so doc 2 pairs it, got $got")
   }
 
+  test("co-travel bucket state survives restart: a post-restart tip retracts PRE-restart pairs") {
+    // The retraction contract under restarts: bucket membership lives
+    // in the checkpointed store, so a bucket that emitted pairs BEFORE
+    // a stop must, when the cap-tipping user arrives AFTER the
+    // restart, retract exactly those pre-restart pairs — the
+    // exactly-once delta ledger holds across process boundaries.
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_rec_ct_src").toString
+    val ckptDir = Files.createTempDirectory("graft_rec_ct_ckpt").toString
+    def feed(name: String, rows: Seq[(Long, Long, Long, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_rec_ct_stage").toString
+      rows.toDF("u", "hb", "cx", "cy").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      assert(part.renameTo(new java.io.File(srcDir, s"$name.parquet")))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq("u", "hb", "cx", "cy").map(n => org.apache.spark.sql.types.StructField(
+        n, org.apache.spark.sql.types.LongType)))
+    val out = new ConcurrentLinkedQueue[(Long, Long, Long, Long, Long, Int)]()
+    def pipeline() = graft.streaming.GraftStream.cotravelUpdates(
+        spark.readStream.schema(schema).parquet(srcDir),
+        "u", "hb", "cx", "cy", cap = 3)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Int)], _: Long) =>
+        { b.collect().foreach(out.add); () })
+    // run 1: bucket A fills to the cap (3 members -> 3 emitted pairs)
+    feed("a", Seq((1L, 9L, 0L, 0L), (2L, 9L, 0L, 0L), (3L, 9L, 0L, 0L)))
+    val q1 = pipeline().start()
+    q1.processAllAvailable(); q1.stop()
+    assert(out.toArray.length == 3, s"run 1 must emit A's 3 pairs: ${out.toArray.mkString(",")}")
+    // run 2 from the SAME checkpoint: user 4 tips A hot; bucket B pairs
+    feed("b", Seq((4L, 9L, 0L, 0L), (1L, 9L, 5L, 5L), (2L, 9L, 5L, 5L)))
+    val q2 = pipeline().start()
+    q2.processAllAvailable(); q2.stop()
+    val rows = out.toArray.map(_.asInstanceOf[(Long, Long, Long, Long, Long, Int)]).toSeq
+    val netA = rows.filter(_._2 == 0L).groupBy(r => (r._4, r._5))
+      .view.mapValues(_.map(_._6).sum).toMap
+    assert(netA == Map((1L, 2L) -> 0, (1L, 3L) -> 0, (2L, 3L) -> 0),
+      s"the post-restart tip must retract exactly the pre-restart pairs: $netA")
+    assert(rows.filter(_._2 == 5L) == Seq((9L, 5L, 5L, 1L, 2L, 1)),
+      s"bucket B's fresh pair must still emit: ${rows.filter(_._2 == 5L)}")
+  }
+
   test("TTL-armed state across restart: the deadline RESUMES (absolute, checkpointed); data beats a lapsed deadline") {
     // The ProcessingTimeTimeout restart contract, pinned: the timeout
     // deadline is an ABSOLUTE processing-time instant stored in the
