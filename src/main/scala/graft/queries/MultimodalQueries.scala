@@ -961,7 +961,50 @@ object MultimodalQueries {
         expr("(1000 * shared) div least(n_a, n_b)").as("containment_milli"))
   }
 
+  /** [[mmSharpness]] re-gated over the binary fixture — and the
+    * Laplacian finally measures something: the mid-square bodies are
+    * full-range texture (high second-difference energy) while the
+    * constant-byte degenerates score ≈0 beyond the magic→body
+    * boundary, so the band histogram splits the corpus the way a
+    * blur/padding screen must. Same one-scan plan: codegen kernel in
+    * the projection, ≤16-group rollup. */
+  def mmBinSharpness(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = synthBin(spark, sfDir)
+      .select(col("doc_id"), length(col("content")).cast("bigint").as("n_bytes"),
+        MultimodalOps.byteLaplacian(col("content")).as("lap_energy"))
+      .withColumn("sharp_milli",
+        expr("CASE WHEN n_bytes < 3 THEN 0 ELSE (1000 * lap_energy) div (n_bytes - 2) END"))
+    val bands = scored
+      .groupBy(expr("least(CAST(15 AS BIGINT), sharp_milli div 10000)").as("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("lap_energy")).as("sum_energy"),
+        min(col("sharp_milli")).as("min_milli"), max(col("sharp_milli")).as("max_milli"))
+    val tot = bands.agg(sum(col("n_docs")).as("n_tot"))
+    bands.crossJoin(broadcast(tot))
+      .select(col("band"), col("n_docs"), col("sum_energy"),
+        col("min_milli"), col("max_milli"),
+        expr("(1000 * n_docs) div n_tot").as("share_milli"))
+  }
+
+  /** [[mmByteRuns]] re-gated over the binary fixture — the dead-air
+    * screen on content where the positives are STRUCTURAL, not
+    * appended: every 5th blob's constant 64-byte body is a maximal run
+    * by construction (max_run ≥ 64 ⇒ `padded`), while mid-square
+    * bodies keep runs of 1–2, so the flag partitions the corpus
+    * exactly along the [[mmBinEntropy]] routing split. One scan,
+    * kernel in codegen, per-doc rows. */
+  def mmBinRuns(spark: SparkSession, sfDir: String): DataFrame =
+    synthBin(spark, sfDir)
+      .select(col("doc_id"), length(col("content")).cast("bigint").as("n_bytes"),
+        MultimodalOps.byteRunStats(col("content")).as("r"))
+      .select(col("doc_id"), col("n_bytes"), col("r.n_runs"), col("r.max_run"),
+        col("r.run8_bytes"),
+        expr("CASE WHEN n_bytes = 0 THEN 0 " +
+          "ELSE (1000 * r.run8_bytes) div n_bytes END").as("dead_air_milli"),
+        (col("r.max_run") >= 16L).as("padded"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_bin_sharpness" -> (mmBinSharpness _),
+    "mm_bin_runs" -> (mmBinRuns _),
     "mm_bin_audio_dupes" -> (mmBinAudioDupes _),
     "mm_bin_audio_dupes_capped" -> (mmBinAudioDupesCapped _),
     "mm_bin_cdc_chunks" -> (mmBinCdcChunks _),
@@ -1109,6 +1152,53 @@ object MultimodalQueries {
       |  FROM cut)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "mm_bin_sharpness" ->
+      s"""WITH c AS (SELECT doc_id, $synthCpsSql AS cps FROM documents),
+         |s AS (SELECT doc_id, CAST(len(cps) AS BIGINT) AS n_bytes,
+         |    CAST(COALESCE(list_sum(list_transform(range(2, len(cps)),
+         |      i -> abs(cps[i + 1] - 2 * cps[i] + cps[i - 1]))), 0) AS BIGINT)
+         |      AS lap_energy
+         |  FROM c),
+         |m AS (SELECT doc_id, n_bytes, lap_energy,
+         |    CASE WHEN n_bytes < 3 THEN 0
+         |         ELSE (1000 * lap_energy) // (n_bytes - 2) END AS sharp_milli
+         |  FROM s),
+         |bands AS (SELECT least(15, sharp_milli // 10000) AS band,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(lap_energy) AS BIGINT) AS sum_energy,
+         |    CAST(MIN(sharp_milli) AS BIGINT) AS min_milli,
+         |    CAST(MAX(sharp_milli) AS BIGINT) AS max_milli
+         |  FROM m GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM bands)
+         |SELECT CAST(band AS BIGINT) AS band, n_docs, sum_energy, min_milli,
+         |  max_milli, (1000 * n_docs) // n_tot AS share_milli
+         |FROM bands CROSS JOIN tot""".stripMargin,
+    "mm_bin_runs" ->
+      s"""WITH cp AS (SELECT doc_id, $synthCpsSql AS cps FROM documents),
+         |r AS (SELECT doc_id, CAST(len(cps) AS BIGINT) AS nb, cps,
+         |    list_concat([CAST(1 AS BIGINT)],
+         |      list_filter(range(2, len(cps) + 1), i -> cps[i] <> cps[i - 1]))
+         |      AS starts
+         |  FROM cp),
+         |runs AS (SELECT doc_id, nb AS n_bytes,
+         |    list_transform(range(1, len(starts) + 1),
+         |      j -> CASE WHEN j = len(starts) THEN len(cps) + 1 - starts[j]
+         |           ELSE starts[j + 1] - starts[j] END) AS rl
+         |  FROM r),
+         |m AS (SELECT doc_id, n_bytes,
+         |    CASE WHEN n_bytes = 0 THEN 0 ELSE CAST(len(rl) AS BIGINT) END
+         |      AS n_runs,
+         |    CASE WHEN n_bytes = 0 THEN 0
+         |         ELSE CAST(list_max(rl) AS BIGINT) END AS max_run,
+         |    CASE WHEN n_bytes = 0 THEN 0
+         |         ELSE CAST(COALESCE(list_sum(list_filter(rl, x -> x >= 8)), 0)
+         |           AS BIGINT) END AS run8_bytes
+         |  FROM runs)
+         |SELECT doc_id, n_bytes, n_runs, max_run, run8_bytes,
+         |  CASE WHEN n_bytes = 0 THEN 0
+         |       ELSE (1000 * run8_bytes) // n_bytes END AS dead_air_milli,
+         |  max_run >= 16 AS padded
+         |FROM m""".stripMargin,
     "mm_bin_audio_dupes" ->
       s"""$binAudioBandSql
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -1602,6 +1602,38 @@ object TextQueries {
       .withColumn("avg_millibits", expr("sum_millibits div n_bigrams"))
   }
 
+  /** Perplexity-gate OPERATING CURVE — the threshold-picking artifact
+    * a curation team reads BEFORE wiring [[textPerplexity]] into a
+    * keep/drop gate (the dedup_band_sweep / sim_ivf_sweep discipline
+    * applied to the LM quality filter): per candidate surprisal
+    * threshold, how many documents and how much token mass survive,
+    * with integer per-mille shares. ONE scoring pass (the expensive
+    * stage is shared across all thresholds — the sweep adds only
+    * conditional sums), thresholds as literals exploded from a 1-row
+    * fold. Documents too short to carry a bigram have no surprisal and
+    * sit outside the curve's denominator in BOTH engines (the join).
+    * At 100 TB the curve costs exactly one more aggregate than the
+    * filter itself — which is why it should always be run first. */
+  def curatePplSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val ths = Seq(9000L, 10000L, 11000L, 12000L, 13000L)
+    val scored = graft.core.QueryCaches.track(
+      textPerplexity(spark, sfDir)
+        .join(load(spark, sfDir, "documents")
+          .select(col("doc_id"), tokenCount(col("text")).as("n_tokens")), "doc_id"))
+    val aggs = Seq(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_total")) ++
+      ths.flatMap(t => Seq(
+        sum(when(col("avg_millibits") <= t, 1L).otherwise(0L)).as(s"k$t"),
+        sum(when(col("avg_millibits") <= t, col("n_tokens")).otherwise(0L)).as(s"m$t")))
+    scored.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_docs"), col("tok_total"), explode(array(ths.map(t =>
+          struct(lit(t).as("th"), col(s"k$t").as("nk"),
+            col(s"m$t").as("mk"))): _*)).as("s"))
+      .select(col("s.th").as("threshold_millibits"),
+        col("s.nk").as("n_kept"), col("s.mk").as("tok_kept"),
+        expr("(1000 * s.nk) div n_docs").as("keep_milli"),
+        expr("(1000 * s.mk) div tok_total").as("tok_milli"))
+  }
+
   /** Kneser–Ney document scoring — [[textPerplexity]]'s add-one LM
     * upgraded to the smoothing that actually ships in LM-based quality
     * filters: absolute discount d = ½ with the CONTINUATION-count
@@ -1930,6 +1962,7 @@ object TextQueries {
     "text_jsd" -> (textJsd _),
     "text_kn_lm" -> (textKnLm _),
     "text_perplexity" -> (textPerplexity _),
+    "curate_ppl_sweep" -> (curatePplSweep _),
     "text_chunk" -> (textChunk _),
     "curate_chunk_dedup" -> (curateChunkDedup _),
     "text_heaps" -> (textHeaps _),
@@ -2383,6 +2416,45 @@ object TextQueries {
          |       CAST(SUM(mb) AS BIGINT) // COUNT(*) AS avg_millibits_kn
          |FROM m GROUP BY doc_id""".stripMargin
     },
+    "curate_ppl_sweep" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |uni AS (SELECT w, COUNT(*) AS c1
+         |        FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY w),
+         |voc AS (SELECT COUNT(*) AS v FROM uni),
+         |bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+         |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |               i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS b
+         |             FROM tk)),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+         |sc AS (SELECT doc_id,
+         |         ((c1 + v) * 1048576) // (c2.c2 + 1) AS q
+         |       FROM bi JOIN c2 USING (w1, w2) JOIN uni ON bi.w1 = uni.w, voc),
+         |s2 AS (SELECT doc_id, q, length(bin(q)) - 1 AS b FROM sc),
+         |s3 AS (SELECT doc_id,
+         |         CAST((b - 20) * 1000 AS BIGINT)
+         |           + ((q - (CAST(1 AS BIGINT) << b)) * 1000)
+         |             // (CAST(1 AS BIGINT) << b) AS mb
+         |       FROM s2),
+         |ppl AS (SELECT doc_id,
+         |          CAST(SUM(mb) AS BIGINT) // COUNT(*) AS avg_mb
+         |        FROM s3 GROUP BY doc_id),
+         |tok AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |        FROM documents),
+         |j AS (SELECT p.doc_id, avg_mb, n_tokens
+         |      FROM ppl p JOIN tok ON p.doc_id = tok.doc_id),
+         |t0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_tokens) AS BIGINT) AS tok_total FROM j),
+         |th(t) AS (VALUES (9000), (10000), (11000), (12000), (13000)),
+         |k AS (SELECT CAST(th.t AS BIGINT) AS threshold_millibits,
+         |        CAST(SUM(CASE WHEN avg_mb <= th.t THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_kept,
+         |        CAST(SUM(CASE WHEN avg_mb <= th.t THEN n_tokens ELSE 0 END)
+         |          AS BIGINT) AS tok_kept
+         |      FROM j CROSS JOIN th GROUP BY 1)
+         |SELECT threshold_millibits, n_kept, tok_kept,
+         |  (1000 * n_kept) // n_docs AS keep_milli,
+         |  (1000 * tok_kept) // tok_total AS tok_milli
+         |FROM k CROSS JOIN t0""".stripMargin,
     "text_perplexity" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |uni AS (SELECT w, COUNT(*) AS c1

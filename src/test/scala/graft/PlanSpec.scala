@@ -2233,6 +2233,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("geo_encounters: pairing is bucket-keyed, islands window partitions on the pair") {
+    val p = plan("geo_encounters")
+    assert(nOps(p, "CartesianProduct") + nOps(p, "BroadcastNestedLoopJoin") == 0,
+      s"co-located hours must come from the capped bucket equi-join:\n$p")
+  }
+
+  test("geo_home_work: argmax is map-side max_by — no joins, no rank window") {
+    val p = plan("geo_home_work")
+    assert(nOps(p, "BroadcastHashJoin") + nOps(p, "SortMergeJoin") +
+      nOps(p, "BroadcastNestedLoopJoin") + nOps(p, "CartesianProduct") == 0,
+      s"the period argmax must be an aggregate, never a join or rank filter:\n$p")
+    assert(nOps(p, "Scan parquet") <= 1, s"one events scan:\n$p")
+  }
+
   test("relational joins: no SF-scaled table is force-broadcast (q3/q5 plans adapt)") {
     // No broadcast() hint on customer/supplier survives in the source —
     // at sf0.001 AQE may still pick broadcasts (everything is tiny);
