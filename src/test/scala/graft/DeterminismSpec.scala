@@ -153,7 +153,11 @@ class DeterminismSpec extends AnyFunSuite {
     "text_ppmi_sim",     // rank-selected vocab + millibit PMI + top-3 rank
     "sim_hubness",       // left-join in-degree fold over the kNN graph
     "curate_budget_fill", // globalCumSum ordered fill + budget boundary
-    "mm_phash_clusters") // banded hamming pairs + label fixpoint rollup
+    "mm_phash_clusters", // banded hamming pairs + label fixpoint rollup
+    "geo_map_match",     // broadcast-cover argmin + per-user islands fold
+    "geo_encounters",    // capped bucket pairing + pair-keyed islands
+    "mm_bin_audio_dupes", // banded hamming join over band-energy bits
+    "curate_ppl_sweep")  // shared LM scoring pass + threshold explode
 
   private def run(name: String, parts: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
