@@ -1002,7 +1002,56 @@ object MultimodalQueries {
           "ELSE (1000 * r.run8_bytes) div n_bytes END").as("dead_air_milli"),
         (col("r.max_run") >= 16L).as("padded"))
 
+  /** [[mmSceneCuts]] re-gated over genuine binary content — and the
+    * planted boundary is STRUCTURAL: each media blob is a splice of a
+    * 64-byte CONSTANT half (the padding/silence scene, byte
+    * (7·doc_id) mod 256) and a 64-byte mid-square TEXTURED half (the
+    * [[synthBin]] body formula), so with 8 16-byte frames the
+    * constant→textured boundary (4) carries the maximal histogram move
+    * — L1 = 32 > frame_len = 16 fires BY CONSTRUCTION — while
+    * boundaries 1–3 are exactly quiet (identical constant frames,
+    * L1 = 0; measured at sf0.01: 500/500 cut at 4, 0/500 at 1–3).
+    * Textured-side boundaries (5–7) fire 492/500 — a 16-byte frame is
+    * too short for a stable 16-bin histogram, so high-entropy content
+    * reads as constant scene churn at this threshold: exactly the
+    * frame-length-vs-bin-count trade a detector deployment must size
+    * first, surfaced on content where it is real. Same
+    * zero-shuffle plan as the text row: histograms, L1s, and flags all
+    * compute in-row; the blob never leaves its scan partition. */
+  def mmBinSceneCuts(spark: SparkSession, sfDir: String): DataFrame = {
+    val nf = 8
+    val constHex = transform(sequence(lit(0L), lit(63L)), _ =>
+      lpad(lower(hex(pmod(col("doc_id") * 7, lit(256)))), 2, "0"))
+    val texHex = transform(sequence(lit(0L), lit(63L)), i =>
+      lpad(lower(hex(pmod(
+        shiftright({
+          val v = pmod(((col("doc_id") / 4).cast("bigint") * 2 +
+            (i / 16).cast("bigint") % 2) * lit(40503L) +
+            (pmod(i, lit(16)) + 1) * lit(104729L), lit(2147483647L))
+          v * v
+        }, 23),
+        lit(256)))), 2, "0"))
+    val media = load(spark, sfDir, "documents").select(col("doc_id"),
+      unhex(concat(array_join(constHex, ""), array_join(texHex, ""))).as("content"))
+    val withH = media
+      .withColumn("sz", greatest(lit(1), floor(length(col("content")) / lit(nf)).cast("int")))
+      .withColumn("hists", transform(sequence(lit(0), lit(nf - 1)),
+        i => MultimodalOps.byteHistCounts(
+          col("content").substr(i * col("sz") + lit(1), col("sz")), 16)))
+    val l1s = transform(sequence(lit(1), lit(nf - 1)),
+      b => aggregate(
+        zip_with(element_at(col("hists"), b), element_at(col("hists"), b + lit(1)),
+          (x, y) => abs(x - y)),
+        lit(0L), (s, v) => s + v))
+    withH.select(col("doc_id"), col("sz").cast("bigint").as("frame_len"),
+        posexplode(l1s).as(Seq("p", "l1")))
+      .select(col("doc_id"), (col("p") + lit(1)).cast("bigint").as("boundary"),
+        col("frame_len"), col("l1"),
+        (col("l1") * lit(2L) > col("frame_len")).as("is_cut"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_bin_scene_cuts" -> (mmBinSceneCuts _),
     "mm_bin_sharpness" -> (mmBinSharpness _),
     "mm_bin_runs" -> (mmBinRuns _),
     "mm_bin_audio_dupes" -> (mmBinAudioDupes _),
@@ -1152,6 +1201,28 @@ object MultimodalQueries {
       |  FROM cut)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "mm_bin_scene_cuts" ->
+      """WITH c AS (SELECT doc_id, list_concat(
+        |    list_transform(range(0, 64), i -> (doc_id * 7) % 256),
+        |    list_transform(range(0, 64), i ->
+        |      (((((doc_id // 4) * 2 + ((i // 16) % 2)) * 40503
+        |           + ((i % 16) + 1) * 104729) % 2147483647)
+        |         * ((((doc_id // 4) * 2 + ((i // 16) % 2)) * 40503
+        |           + ((i % 16) + 1) * 104729) % 2147483647)
+        |         // 8388608) % 256)) AS cps FROM documents),
+        |f AS (SELECT doc_id, b,
+        |    list_transform(range(0, 16), bb -> CAST(len(list_filter(
+        |      cps[(b - 1) * 16 + 1 : b * 16], v -> v // 16 = bb)) AS BIGINT))
+        |      AS hist
+        |  FROM c, (SELECT unnest(range(1, 9)) AS b)),
+        |p AS (SELECT a.doc_id, CAST(a.b AS BIGINT) AS boundary,
+        |    CAST(16 AS BIGINT) AS frame_len,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 17), i -> abs(a.hist[i] - x.hist[i]))),
+        |      (s, v) -> s + v) AS l1
+        |  FROM f a JOIN f x ON x.doc_id = a.doc_id AND x.b = a.b + 1)
+        |SELECT doc_id, boundary, frame_len, l1, 2 * l1 > frame_len AS is_cut
+        |FROM p""".stripMargin,
     "mm_bin_sharpness" ->
       s"""WITH c AS (SELECT doc_id, $synthCpsSql AS cps FROM documents),
          |s AS (SELECT doc_id, CAST(len(cps) AS BIGINT) AS n_bytes,

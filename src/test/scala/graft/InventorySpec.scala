@@ -11,10 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * purpose.
   */
 class InventorySpec extends AnyFunSuite {
-  test("392 declared queries, each with an oracle, keysets identical") {
+  test("393 declared queries, each with an oracle, keysets identical") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert(q.size == 392, s"ledger says 392, found ${q.size}")
+    assert(q.size == 393, s"ledger says 393, found ${q.size}")
     assert(q == o,
       s"queries without oracle: ${(q -- o).toSeq.sorted.mkString(",")}; " +
         s"oracles without query: ${(o -- q).toSeq.sorted.mkString(",")}")
