@@ -25,6 +25,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // r17 MEASURED REJECTION (guide §1.2 — configuration last):
+      // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true
+      // (let AQE coalesce persisted-plan output) was trialed because the
+      // fixpoint states / sketch relations materialize 32 near-empty
+      // tasks per downstream stage. Task counts dropped 5–10×
+      // (events_dbscan 1219→133) and events_dbscan gained ~4 s — but
+      // AQE's coalescing is BYTE-based, so byte-small / compute-DENSE
+      // cached relations (embedding vectors, phash arrays) collapsed to
+      // 1 partition and serialized their downstream CPU work: same-box
+      // A/B (sf0.1, local[32]) sim_mmr 18.4 s/998 tasks → 69.3 s/40
+      // tasks, mm_tile_hash 4.3 → 25.2, mm_phash_clusters 6.6 → 43.4.
+      // Byte size is the wrong proxy for compute density; rejected
+      // session-wide at any scale. Per-op fixes target the overhead
+      // instead (fewer jobs/round in fixpoints, explicit scale-derived
+      // partition counts on tiny state relations).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -109,8 +109,12 @@ object DedupOps {
       k: Int = 3, hashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
       maxBucket: Int = 0): org.apache.spark.sql.DataFrame = {
     val r = hashes / bands
-    val withFps = trackPersist(df.select(col(idCol).as("_id"),
-      shingleFps(TextOps.tokens(col(textCol)), k).as("fps")))
+    // r17: fan the raw text out before the shingle/minhash kernels
+    // (SkewOps.fanOut — identity at warehouse scale, 32× kernel
+    // parallelism over the local one-row-group scans).
+    val withFps = trackPersist(graft.ext.SkewOps.fanOut(df)
+      .select(col(idCol).as("_id"),
+        shingleFps(TextOps.tokens(col(textCol)), k).as("fps")))
     val exploded = withFps.select(col("_id"),
       posexplode(bandSigs(minhash(col("fps"), hashes), bands, r)).as(Seq("band", "sig")))
     // Capped path: ONE shuffle. Collect each (band, sig) bucket's
@@ -430,7 +434,10 @@ object DedupOps {
     // same bound at expression-construction time.
     require(b0 >= 1 && bits >= b0 && bits <= 62,
       s"simhashPairs requires 1 <= bands <= bits <= 62, got bits=$bits bands=$b0")
-    hammingPairs(df.select(col(idCol).as("_id"),
+    // r17: fan the RAW text out before the fingerprint kernel — the
+    // single-row-group scan otherwise fuses tokenize+fps+simhash into
+    // a 2-task stage (SkewOps.fanOut scaladoc; measured below).
+    hammingPairs(graft.ext.SkewOps.fanOut(df).select(col(idCol).as("_id"),
         simhash(tokenFps(TextOps.tokens(col(textCol))), bits).as("sig")),
       "_id", "sig", bits, b0, maxHamming, maxBucket)
   }

@@ -631,10 +631,15 @@ object GeoQueries {
     * 2654435761 ≡ 506952114 (mod 2147483647), so h is bit-identical to
     * the naive (event_id · 2654435761) % p for every event_id — but the
     * product now peaks at (p−1)·506952114 ≈ 1.09e18 < 2⁶³, so the walk
-    * is overflow-free for ANY int64 event_id (the naive spelling wraps
-    * negative past event_id ≈ 3.47e9 — exactly the billion-event scale
-    * this suite targets — where Spark would silently produce negative
-    * remainders and DuckDB would raise). */
+    * is overflow-free for any NON-NEGATIVE int64 event_id — the
+    * generator contract; a negative event_id would make both engines'
+    * `%` return a negative remainder (engine parity still holds, but h
+    * < 0 pushes dx/dy outside [−10,10], silently changing the walk
+    * semantics), so negative ids are out of contract, not merely
+    * unexercised. (The naive unreduced spelling wraps negative past
+    * event_id ≈ 3.47e9 — exactly the billion-event scale this suite
+    * targets — where Spark would silently produce negative remainders
+    * and DuckDB would raise.) */
   def trajOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -19,7 +19,12 @@ object Relational {
     * Scale posture: map-side partial agg on 6 groups → negligible shuffle. */
   def q1Pricing(spark: SparkSession, sfDir: String): DataFrame = {
     val li = load(spark, sfDir, "lineitem")
-    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    // r17: the 8 decimal folds are the query's kernel and otherwise run
+    // inside the one-row-group scan's single task (SkewOps.fanOut —
+    // identity at warehouse scale); decimal addition is exactly
+    // associative-commutative, so the fold order change is value-free.
+    graft.ext.SkewOps.fanOut(
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
@@ -684,6 +689,11 @@ object Relational {
     * length, proving it bit-exact cross-engine. */
   def qEncodeCost(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.HashExprs
+    // r17: SkewOps.fanOut on the cached projection was measured HERE
+    // and rejected (interleaved A/B, sf0.1 min-of-2: 1.47 → 1.98 s) —
+    // the three sort_array(collect_list) rollups don't parallelize
+    // usefully (bucket-grain partial lists just fragment across more
+    // map tasks) and the added raw-row exchange is pure cost.
     val li = graft.core.QueryCaches.track(
       load(spark, sfDir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"),
@@ -2402,16 +2412,32 @@ object Relational {
     * filters the UNCAST row_number so it plans as a partial
     * WindowGroupLimit — map tasks pre-trim to 3 before the exchange. */
   def qItemCf(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = graft.core.QueryCaches.track(
+    // r17 (guide §2.4 — remove shuffles outright): the co-occurrence
+    // pairs previously came from distinct() + a basket SELF-JOIN on
+    // l_orderkey (one exchange to dedup, one to re-key the cached
+    // relation by orderkey, plus the join itself producing ~6 rows per
+    // basket only to filter half away). Baskets are small (TPC-H
+    // orders hold ≤ 7 lines), so collect the per-order part SET once
+    // (sort_array(collect_set) — map-side partial merge, one exchange)
+    // and generate each unordered pair IN-ROW (posexplode × slice over
+    // the sorted array: strictly-increasing elements make a < b by
+    // construction). Same (part_a, part_b, n_ab) relation — n_ab counts
+    // orders containing both parts either way; nI explodes the same
+    // cached baskets. Exchanges 5 → 4, the 3M-row join output never
+    // exists. Measured sf0.1 (bench methodology, quiet): 3.72 → 3.03 s.
+    val baskets = graft.core.QueryCaches.track(
       load(spark, sfDir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct())
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("items")))
     val nI = graft.core.QueryCaches.track(
-      b.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i")))
+      baskets.select(explode(col("items")).as("l_partkey"))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i")))
     val pairs = graft.core.QueryCaches.track(
-      b.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-        .join(b.select(col("l_orderkey"), col("l_partkey").as("part_b")),
-          Seq("l_orderkey"))
-        .filter(col("part_a") < col("part_b"))
+      baskets
+        .select(col("items"), posexplode(col("items")).as(Seq("i", "part_a")))
+        .select(col("part_a"),
+          explode(expr("slice(items, i + 2, size(items))")).as("part_b"))
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 2L))
@@ -2602,7 +2628,7 @@ object Relational {
     * the [[GeoQueries.geoPyramid]] explode posture applied to
     * profiling. */
   def qColumnProfile(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "lineitem")
+    graft.ext.SkewOps.fanOut(load(spark, sfDir, "lineitem"))
       .select(explode(expr(
         "array(named_struct('c', 'quantity', 'v', CAST(round(l_quantity) AS BIGINT)), " +
           "named_struct('c', 'discount_pts', 'v', CAST(round(l_discount * 100) AS BIGINT)), " +

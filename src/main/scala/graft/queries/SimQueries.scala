@@ -157,10 +157,35 @@ object SimQueries {
     val assigned = graft.core.QueryCaches.track(SimOps.ivfAssign(corpus, cents))
     val truth = graft.core.QueryCaches.track(
       SimOps.topkBrute(corpus, querySet(e), 10).select(col("q_id"), col("vec_id")))
-    def cfg(np: Int): DataFrame =
-      truth.join(
-          SimOps.topkIvfAssigned(assigned, querySet(e), cents, 10, np)
-            .select(col("q_id").as("a_q"), col("vec_id").as("a_v")),
+    // r17 (guide §2.4 — share one pass): nprobe ∈ {1,2,4} probe sets
+    // NEST (cells ranked ≤ np by the same (qc desc, c_id) order), so
+    // the expensive pass — posting-list join + exact cosine over the
+    // probed candidates — runs ONCE at the widest setting with the
+    // cell rank carried along, and each sweep point is a rank-filter +
+    // re-rank over the persisted scored relation. Identical rows to
+    // three independent topkIvfAssigned searches (the np-filtered
+    // candidate set and the (cos desc, vec_id) rank are unchanged);
+    // was 3 full probe passes, 37 jobs — now 1 pass, ~24 jobs.
+    val maxNp = 4
+    val probes = querySet(e).crossJoin(broadcast(cents))
+      .select(col("q_id"), col("q_vec"), col("c_id"),
+        SimOps.cosine(col("q_vec"), col("c_vec")).as("qc"))
+      .withColumn("cent_rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("qc").desc, col("c_id"))))
+      .filter(col("cent_rk") <= maxNp)
+      .select(col("q_id"), col("q_vec"), col("c_id").as("cent"), col("cent_rk"))
+    val scored = graft.core.QueryCaches.track(
+      assigned.join(broadcast(probes), "cent")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("cent_rk"),
+          SimOps.cosine(col("embedding"), col("q_vec")).as("cos")))
+    def cfg(np: Int): DataFrame = {
+      val ann = scored.filter(col("cent_rk") <= np)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("q_id").as("a_q"), col("vec_id").as("a_v"))
+      truth.join(ann,
           col("q_id") === col("a_q") && col("vec_id") === col("a_v"), "left")
         .agg(count(lit(1)).as("n_truth"),
           sum(when(col("a_v").isNotNull, 1L).otherwise(0L)).as("n_found"))
@@ -168,6 +193,7 @@ object SimQueries {
         .select(lit(np.toLong).as("nprobe"), col("n_truth"), col("n_found"),
           expr("CAST((1000 * n_found) div n_truth AS BIGINT)").as("recall_milli"),
           expr(s"CAST((1000 * $np) div n_cents AS BIGINT)").as("scanned_permille"))
+    }
     cfg(1).unionByName(cfg(2)).unionByName(cfg(4))
   }
 
@@ -1324,9 +1350,17 @@ object SimQueries {
     * iteration expressed as joins; adjacency (edges both directions +
     * self-loops, O(N·k) rows) is persisted once and reused by all
     * rounds. */
-  def simLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
-    val ids = emb(spark, sfDir).select(col("vec_id"))
-    val m = mutualEdges(spark, sfDir)
+  def simLabelProp(spark: SparkSession, sfDir: String): DataFrame =
+    labelPropOver(emb(spark, sfDir).select(col("vec_id")),
+      mutualEdges(spark, sfDir))
+
+  /** [[simLabelProp]]'s body over a CALLER-SUPPLIED edge relation —
+    * r17 (guide §1.2 step 1, don't compute things twice): simModularity
+    * previously called simLabelProp(spark, sfDir), which rebuilt
+    * mutualEdges — and with it the whole kNN-graph candidate pass, the
+    * query's dominant cost at scale — a second time inside one query.
+    * Sharing the caller's (persisted) edge relation halves that. */
+  private def labelPropOver(ids: DataFrame, m: DataFrame): DataFrame = {
     val adj = graft.core.QueryCaches.track(
       m.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(m.select(col("v").as("src"), col("u").as("dst")))
@@ -1355,7 +1389,11 @@ object SimQueries {
     * communities-count output rows. */
   def simModularity(spark: SparkSession, sfDir: String): DataFrame = {
     val m = graft.core.QueryCaches.track(mutualEdges(spark, sfDir))
-    val labels = graft.core.QueryCaches.track(simLabelProp(spark, sfDir))
+    // r17: share THIS query's persisted edge relation with the label
+    // pass — simLabelProp(spark, sfDir) would rebuild mutualEdges (and
+    // the kNN graph behind it) a second time inside this one query.
+    val labels = graft.core.QueryCaches.track(
+      labelPropOver(emb(spark, sfDir).select(col("vec_id")), m))
     val mTot = m.agg(count(lit(1)).as("m_edges"))
     val eIn = m
       .join(labels.select(col("vec_id").as("u"), col("label").as("lu")), "u")

@@ -1065,7 +1065,8 @@ object TextQueries {
       sequence(lit(0), ((size(allToks) - lit(1)) / lit(5)).cast("int")),
       i => array_join(slice(allToks, i * lit(5) + lit(1), lit(5)), " "))
     val lines = graft.core.QueryCaches.track(
-      d.select(col("doc_id"), posexplode(lineArr).as(Seq("line_no", "line")))
+      graft.ext.SkewOps.fanOut(d)
+        .select(col("doc_id"), posexplode(lineArr).as(Seq("line_no", "line")))
         .select(col("doc_id"), col("line_no").cast("bigint").as("line_no"),
           col("line"), fingerprint(col("line")).as("lfp")))
     val dfreq = lines.groupBy(col("lfp"))
@@ -1177,7 +1178,8 @@ object TextQueries {
       sequence(lit(0), ((size(allToks) - lit(1)) / lit(5)).cast("int")),
       i => array_join(slice(allToks, i * lit(5) + lit(1), lit(5)), " "))
     val lines = graft.core.QueryCaches.track(
-      d.select(col("doc_id"), posexplode(lineArr).as(Seq("line_no", "line")))
+      graft.ext.SkewOps.fanOut(d)
+        .select(col("doc_id"), posexplode(lineArr).as(Seq("line_no", "line")))
         .select(col("doc_id"), col("line_no").cast("bigint").as("line_no"),
           col("line"), fingerprint(col("line")).as("lfp")))
     val dfreq = lines.groupBy(col("lfp")).agg(countDistinct(col("doc_id")).as("df"))

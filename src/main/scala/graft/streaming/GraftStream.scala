@@ -885,9 +885,22 @@ object GraftStream {
     * consume an ordinal without emitting), so emitted rows equal the
     * batch rollup bit-exactly (StreamingSpec parity with sentinel
     * closes). State per user: the lateness-horizon buffer + one 5-long
-    * open-run accumulator — horizon-bounded at any stream length. */
+    * open-run accumulator — horizon-bounded at any stream length.
+    *
+    * State lifecycle (round-16 advice): without a TTL the per-user key
+    * and open-run accumulator persist forever — one state entry per
+    * ever-seen user on an always-on stream. `stateTtl` (an EVENT-TIME
+    * duration string, e.g. "1 hour"; "" = never, for bounded
+    * replays/tests) arms an eviction timeout whenever the buffer
+    * drains: if the watermark then advances past last-activity + TTL
+    * with nothing new, the still-open run is CLOSED AND EMITTED (the
+    * user went quiet past any realistic gap — the visit is over) and
+    * the key is dropped. A straggler after eviction re-opens the user
+    * with a fresh ordinal — the odUpdates idempotent-upsert consumer
+    * caveat, standard for every TTL'd twin in this file. */
   def anchorVisitUpdates(df: DataFrame, userCol: String, etCol: String,
-      tusCol: String, tieCol: String, aidCol: String, watermark: String)
+      tusCol: String, tieCol: String, aidCol: String, watermark: String,
+      stateTtl: String = "")
       : Dataset[(Long, Long, Long, Long, Long, Long)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = df.sparkSession
@@ -897,6 +910,7 @@ object GraftStream {
         col(tusCol).cast("long").as("t"), col(tieCol).cast("long").as("e"),
         col(aidCol).cast("long").as("aid"))
       .as[(Long, java.sql.Timestamp, Long, Long, Long)]
+    val ttl = stateTtl
     // state: (started, open run (runId, start, last, n, aid),
     //         buffer of (tus, tie, aid))
     keyed.groupByKey(_._1)
@@ -907,24 +921,39 @@ object GraftStream {
           val (started0, run0, buf0) = state.getOption.getOrElse(
             (false, (0L, 0L, 0L, 0L, 0L), Seq.empty))
           val wm = state.getCurrentWatermarkMs()
-          val buf = buf0 ++ rows.map(r => (r._3, r._4, r._5))
-            .filter(_._1 / 1000L >= wm)
-          val (ripe, open) = buf.partition(_._1 / 1000L < wm)
-          var started = started0
-          var run = run0
-          val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
-          def close(): Unit = if (started && run._5 >= 0L)
-            out += ((key, run._1, run._5, run._4, run._2, run._3 - run._2))
-          for ((tus, _, aid) <- ripe.sorted) {
-            if (!started || aid != run._5) {
-              close()
-              run = (run._1 + 1L, tus, tus, 1L, aid)
-            } else run = (run._1, run._2, tus, run._4 + 1L, aid)
-            started = true
+          val fresh = rows.map(r => (r._3, r._4, r._5))
+            .filter(_._1 / 1000L >= wm).toSeq
+          if (ttl.nonEmpty && state.hasTimedOut && buf0.isEmpty && fresh.isEmpty) {
+            // TTL eviction (the only timeout that fires with a drained
+            // buffer): the user went quiet past the horizon — the open
+            // run is over, emit it iff on-network, drop the key.
+            val out =
+              if (started0 && run0._5 >= 0L)
+                Iterator.single((key, run0._1, run0._5, run0._4, run0._2,
+                  run0._3 - run0._2))
+              else Iterator.empty
+            state.remove()
+            out
+          } else {
+            val buf = buf0 ++ fresh
+            val (ripe, open) = buf.partition(_._1 / 1000L < wm)
+            var started = started0
+            var run = run0
+            val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
+            def close(): Unit = if (started && run._5 >= 0L)
+              out += ((key, run._1, run._5, run._4, run._2, run._3 - run._2))
+            for ((tus, _, aid) <- ripe.sorted) {
+              if (!started || aid != run._5) {
+                close()
+                run = (run._1 + 1L, tus, tus, 1L, aid)
+              } else run = (run._1, run._2, tus, run._4 + 1L, aid)
+              started = true
+            }
+            state.update((started, run, open))
+            if (open.nonEmpty) state.setTimeoutTimestamp(wm + 1L)
+            else if (ttl.nonEmpty) state.setTimeoutTimestamp(math.max(wm, 0L), ttl)
+            out.result().iterator
           }
-          state.update((started, run, open))
-          if (open.nonEmpty) state.setTimeoutTimestamp(wm + 1L)
-          out.result().iterator
       }
   }
 
@@ -1453,8 +1482,18 @@ object GraftStream {
     * arrival order (StreamingSpec parity). State per bucket is ≤ cap
     * member ids or the 1-bit tombstone; `stateTtl` (processing-time,
     * re-armed — "" = NoTimeout for bounded replays) evicts quiet hour
-    * buckets, with the standard re-opened-bucket duplicate caveat of
-    * every TTL'd op in this file ([[nearDupCandidates]]). */
+    * buckets' MEMBER SETS but persists the 1-bit hot tombstone
+    * (round-16 advice): a bucket that tipped hot already retracted its
+    * pairs, so forgetting the flag would let a straggler re-admit
+    * pairs into a provably hot bucket — the flag is the cheapest state
+    * in the op and is kept for the life of the stream. COOL buckets
+    * evicted with emitted +1 deltas keep the standard re-opened-bucket
+    * duplicate caveat ([[nearDupCandidates]]) — and one stronger edge:
+    * if a re-opened bucket LATER tips past cap, only post-eviction
+    * pairs are retracted, leaving pre-eviction +1s as net-positive
+    * false positives. Deploy with stateTtl comfortably above the hour
+    * bucket's activity horizon (hour + max lateness) so a bucket can
+    * only be evicted once no arrival can still mutate it. */
   def cotravelUpdates(df: DataFrame, userCol: String, hbCol: String,
       cxCol: String, cyCol: String, cap: Int = 8, stateTtl: String = "")
       : Dataset[(Long, Long, Long, Long, Long, Int)] = {
@@ -1473,7 +1512,13 @@ object GraftStream {
         (key: (Long, Long, Long), rows: Iterator[(Long, Long, Long, Long)],
          state: GroupState[(Boolean, Seq[Long])]) =>
           if (state.hasTimedOut) {
-            state.remove()
+            // evict the member set; KEEP the hot tombstone (1 bit) so a
+            // straggler can never re-admit pairs into a bucket that
+            // already retracted. No re-arm: the flag persists; the next
+            // arrival's normal branch re-arms the TTL as usual.
+            val wasHot = state.getOption.exists(_._1)
+            if (wasHot) state.update((true, Seq.empty[Long]))
+            else state.remove()
             Iterator.empty
           } else {
             var (hot, members) = state.getOption.getOrElse((false, Seq.empty[Long]))
