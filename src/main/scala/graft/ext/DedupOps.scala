@@ -177,18 +177,28 @@ object DedupOps {
   def prefixJoin(withFps: org.apache.spark.sql.DataFrame, idCol: String, fpsCol: String,
       num: Int, den: Int, maxDf: Int = 0): org.apache.spark.sql.DataFrame = {
     require(0 < num && num <= den, s"threshold $num/$den not in (0,1]")
-    // Deliberately NOT persisted: the shingle kernel in `withFps` does
-    // execute twice before `ordered` materializes (once under the df
-    // aggregate, once under the ordered-array build), but a doc-grain
-    // persist was MEASURED at sf0.1 (dedup_prefix_join, 3 runs each) to
-    // be 0-to-negative: 17/19/19 s wall unpersisted vs 20/19/21 s
-    // persisted — the persist's write+read cost cancels the saved
-    // kernel pass because the query is exchange-bound (the fp-keyed df
-    // join and the collect_list re-shuffle dominate), not kernel-bound.
-    // r15's 3.33 → 4.24 s driver drift was box noise, consistent with
-    // the sub-second driver-to-driver deltas the round-15 audit found.
-    val base = withFps.select(col(idCol).as("_id"), array_distinct(col(fpsCol)).as("_fps"))
-      .filter(size(col("_fps")) > 0)
+    // r16 had this deliberately NOT persisted: the shingle kernel in
+    // `withFps` executed twice before `ordered` materialized (once
+    // under the df aggregate, once under the ordered-array build), and
+    // a doc-grain persist MEASURED at sf0.1 (3 runs each) 0-to-negative
+    // — 17/19/19 s wall unpersisted vs 20/19/21 s persisted — because
+    // the r16 shape was exchange-bound, not kernel-bound.
+    // Persisted (r17 re-measure, reversing the r16 rejection —
+    // the world changed): (a) fanOut now exists, so the kernel the
+    // persist deduplicates runs 32-way, and (b) the r16 shape had a
+    // worse defect the persist ALSO fixes: `InferFiltersFromGenerate`
+    // synthesizes `size(_fps) > 0 AND isnotnull(_fps)` below the
+    // explode (an explicit filter here is redundant — removing one was
+    // plan-identical), and predicate pushdown substitutes the WHOLE
+    // fingerprint expression through the fanOut exchange into the
+    // SCAN-stage Filter: the shingle kernel re-evaluated per row on the
+    // 1-2-task pre-exchange side, defeating the fan-out. The
+    // InMemoryRelation is a pushdown barrier, so with the persist the
+    // kernel runs exactly ONCE, post-exchange, 32-way (plan diff:
+    // plans/r17/dedup_prefix_join_{before2,after2}.txt; interleaved
+    // A/B numbers in OPTIMIZATION_r17.md).
+    val base = trackPersist(
+      withFps.select(col(idCol).as("_id"), array_distinct(col(fpsCol)).as("_fps")))
     val toks = base.select(col("_id"), explode(col("_fps")).as("fp"))
     val dfreq = toks.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     // (df, fp)-sorted element array + size, computed once for the
