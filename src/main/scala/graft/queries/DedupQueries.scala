@@ -344,22 +344,32 @@ object DedupQueries {
     val withSig = graft.core.QueryCaches.track(
       corpus.select(col("doc_id"), shingleFps(tokens(col("text")), 3).as("fps"))
         .select(col("doc_id"), col("fps"), minhash(col("fps"), 64).as("mh")))
-    def confirmed(bands: Int): DataFrame = {
+    // r17 continuation: the three operating points used to run three
+    // SEPARATE banded self-joins + distincts + verify-join pairs over
+    // the persisted signatures. Tagging each exploded bucket row with
+    // its config and unioning BEFORE the join folds those into ONE
+    // (bands, band, sig)-keyed self-join, ONE distinct and ONE
+    // verify-join pair — same candidate rows per config (the bands
+    // column is in the join key, so configs can never cross-match),
+    // same bytes through one exchange instead of three. Value-identical
+    // by construction; oracle hash re-verified at both SFs.
+    def exploded(bands: Int): DataFrame = {
       val r = 64 / bands
-      val ex = withSig.select(col("doc_id"),
+      withSig.select(lit(bands.toLong).as("bands"), col("doc_id"),
         posexplode(DedupOps.bandSigs(col("mh"), bands, r)).as(Seq("band", "sig")))
+    }
+    val ex = exploded(32).unionByName(exploded(16)).unionByName(exploded(8))
+    val all = graft.core.QueryCaches.track(
       ex.as("a").join(ex.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          col("a.bands") === col("b.bands") && col("a.band") === col("b.band") &&
+            col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.bands").as("bands"),
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
         .join(withSig.select(col("doc_id").as("doc_a"), col("fps").as("fps_a")), "doc_a")
         .join(withSig.select(col("doc_id").as("doc_b"), col("fps").as("fps_b")), "doc_b")
-        .select(lit(bands.toLong).as("bands"), col("doc_a"), col("doc_b"),
-          (DedupOps.jaccard(col("fps_a"), col("fps_b")) >= 0.5).as("ok"))
-    }
-    val all = graft.core.QueryCaches.track(
-      confirmed(32).unionByName(confirmed(16)).unionByName(confirmed(8)))
+        .select(col("bands"), col("doc_a"), col("doc_b"),
+          (DedupOps.jaccard(col("fps_a"), col("fps_b")) >= 0.5).as("ok")))
     val ref = all.filter(col("bands") === 32L && col("ok"))
       .select(col("doc_a"), col("doc_b"))
     val refN = ref.agg(count(lit(1)).as("n_ref"))
