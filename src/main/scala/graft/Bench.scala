@@ -45,7 +45,20 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // SPARK_GRAFT_BENCH_ONLY=a,b: local-iteration subset (unset in the
     // driver's run — the full inventory is the reported surface).
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_BENCH_SCALE=N (see Tables.scaleProbe): parallelism
+    // probe that replicates every input row N× in-plan. Its numbers are
+    // NOT comparable to the contract bench, so a scaled run is treated
+    // exactly like a subset run: results land in bench_result_subset
+    // .json, never in the bench_result.json delta baseline.
+    val scaled = sys.env.get("SPARK_GRAFT_BENCH_SCALE").exists(_.trim.toInt >= 2)
+    if (scaled)
+      System.err.println("[bench] SPARK_GRAFT_BENCH_SCALE set: parallelism-probe " +
+        "mode, inputs replicated in-plan; writing bench_result_subset.json")
+    val only0 = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // a scaled full run still must not clobber the baseline: force the
+    // subset path by naming every query explicitly
+    val only = if (scaled && only0.isEmpty) Some(SparkEntry.queries.keySet.toSet)
+      else only0
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // Materialize EVERY column through the noop sink: a count() would
@@ -93,6 +106,13 @@ object Bench {
     // Previous committed full-inventory map (same SF only): the drift
     // re-run trigger AND the BENCH_delta baseline. Parsed BEFORE the
     // delta step so apparent regressions can be re-measured first.
+    // Baseline identity (r17 advice): bench_result.json carries a "ts"
+    // stamp; BENCH_delta echoes it as "baseline_ts" plus its own
+    // "cur_ts", so a delta whose two stamps are minutes apart reads as
+    // the same-tree noise bracket it is, and an automated gate can
+    // distinguish it from a cross-round change delta. Additive keys —
+    // the driver parses "value"/"queries" only.
+    var prevTs = ""
     val prev: Map[String, Double] =
       if (only.nonEmpty) Map.empty
       else {
@@ -100,6 +120,7 @@ object Bench {
         val prevText =
           if (Files.exists(prevPath)) Files.readString(prevPath) else ""
         val prevSf = raw""""sf":"([^"]*)"""".r.findFirstMatchIn(prevText).map(_.group(1))
+        prevTs = raw""""ts":"([^"]*)"""".r.findFirstMatchIn(prevText).map(_.group(1)).getOrElse("")
         if (!prevSf.contains(sfDir)) Map.empty
         else {
           val s = prevText
@@ -172,11 +193,12 @@ object Bench {
         Files.writeString(Paths.get("BENCH_delta.json"),
           s"""{"shared_queries":${shared.size},"mass_prev":${f3(massPrev)},""" +
             s""""mass_cur":${f3(massCur)},"mass_ratio":${f3(massCur / massPrev)},""" +
+            s""""baseline_ts":"$prevTs","cur_ts":"${java.time.Instant.now()}",""" +
             s""""top_drifts":$dJson,"added":${names(added)},""" +
             s""""removed":${names(removed)},"sf":"$sfDir"}""" + "\n")
       }
     }
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","ts":"${java.time.Instant.now()}","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // Subset runs land in a scratch file: bench_result.json is the
     // round-over-round delta BASELINE and must only ever hold a full
     // inventory map (a 2-query local iteration would otherwise wipe it).

@@ -197,6 +197,12 @@ object DedupOps {
     // kernel runs exactly ONCE, post-exchange, 32-way (plan diff:
     // plans/r17/dedup_prefix_join_{before2,after2}.txt; interleaved
     // A/B numbers in OPTIMIZATION_r17.md).
+    // Footprint note (r17 advice): `base` and `ordered` are two
+    // overlapping doc-grain persists held concurrently; base is only
+    // consumed while dfreq/ordered build. Accepted: QueryCaches
+    // releases both at end-of-query, the default storage level spills
+    // to disk under pressure, and an eager early unpersist would need
+    // an extra materialization barrier costing more than the overlap.
     val base = trackPersist(
       withFps.select(col(idCol).as("_id"), array_distinct(col(fpsCol)).as("_fps")))
     val toks = base.select(col("_id"), explode(col("_fps")).as("fp"))
@@ -330,6 +336,18 @@ object DedupOps {
       // propagation interleaved with the jump, not pointer depth) and
       // its extra self-join cost ~1.5% — rejected, like the dbscan
       // half-space probe before it.
+      // SIXTH rejected fixpoint variant (r18, sf0.1, interleaved
+      // Profile A/B): folding the three label sources into ONE
+      // reference relation (edges ∪ id→label pointer rows ∪ id→id
+      // self rows) joined once against labels and min-folded — fewer
+      // joins and jobs per round on paper (events_dbscan 131 → 90
+      // jobs), but per-round wall DOUBLED (warm rounds 0.27–0.35 s →
+      // 0.55–0.68 s; events_dbscan 6.87 → 8.74 s): the union of the
+      // persisted edge relation with two label-derived legs defeats
+      // the per-join broadcast/size reasoning the three tiny joins
+      // get, and the single wider shuffle costs more than the three
+      // it replaced. Reverted; the 3-join round below stays the
+      // measured optimum.
       val viaPtr = labels
         .join(labels.select(col("id").as("p_id"), col("label").as("ptr_label")),
           col("label") === col("p_id"))

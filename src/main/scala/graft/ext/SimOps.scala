@@ -240,6 +240,23 @@ object SimOps {
     * Returns (vec_id, rk, nbr_id, cos), rk in 1..k. */
   def knnGraph(corpus: DataFrame, k: Int, bits: Int, maxBucket: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r18 kernel-in-Filter triage round 2 — MEASURED AND REJECTED (the
+    // r17 audit left the sim family's isnotnull(graft_srp_bucket(...))
+    // double-eval with a rationale but no number at scale): this
+    // relation feeds both sides of the self-join and the inferred
+    // join-key null filter pushes into each side's scan, so the SRP
+    // kernel evaluates up to 4× per corpus row. A query-scoped persist
+    // (the prefixJoin pushdown-barrier pattern) was trialed under the
+    // SPARK_GRAFT_BENCH_SCALE=8 probe (sf0.1 inputs replicated 8×,
+    // interleaved min-of-4 Profile reps): sim_graph_search 10.22 →
+    // 10.36 s, sim_link_predict 7.65 → 7.48 s — FLAT within noise even
+    // with the kernel work inflated 8×, because srpBucket is `bits`(=4)
+    // in-row dot products while the join+rank exchanges dominate; the
+    // persist also caches the full embedding payload a second time
+    // (callers already track the corpus relation). Unlike prefixJoin's
+    // shingle kernel (per-token polynomial fold over whole documents),
+    // this kernel is too cheap for the barrier to pay. Left
+    // unpersisted; revisit only if `bits` grows an order of magnitude.
     val b0 = corpus.select(col("vec_id"), col("embedding"),
       srpBucket(col("embedding"), bits).as("bucket"))
     val b = if (maxBucket > 0) {

@@ -55,7 +55,14 @@ object SkewOps {
     * contract). */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val cur = df.rdd.getNumPartitions
+    // queryExecution.toRdd: the INTERNAL-row RDD — same partition count
+    // as .rdd but without appending the external-row deserializer plan
+    // (r17 verdict note: .rdd built a second, wider plan per probe; the
+    // probe only needs the partitioning). Still a build-time plan of
+    // the raw relation — cheap (a scan node), and the pre-AQE count is
+    // the right one to test: the guard asks what the SCAN stage's
+    // parallelism would be.
+    val cur = df.queryExecution.toRdd.getNumPartitions
     if (cur * 2 <= target) df.repartition(target) else df
   }
 

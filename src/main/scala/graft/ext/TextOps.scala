@@ -140,9 +140,61 @@ object TextOps {
     * rounds touch only the vocab relation; the merge table itself is
     * `merges` rows on the driver — the model, not data. */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Int): org.apache.spark.sql.DataFrame =
+    bpeTrainFromWords(
+      docs.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt")),
+      merges)
+
+  /** [[bpeTrain]] over an ALREADY-COMPUTED weighted word relation
+    * (w, cnt) — callers that need the wordcount for their own
+    * downstream stages (text_bpe_apply's application pass,
+    * text_bpe_heldout's train-side folds) pass the shared persisted
+    * relation here instead of paying a second corpus scan + wordcount
+    * shuffle inside training (guide §2.4: the corpus is touched once).
+    *
+    * r18 round shape (2 jobs per merge instead of 3): each round runs
+    * (a) the rewrite + localCheckpoint of the vocab and (b) ONE
+    * combined aggregate over the new vocab's exploded adjacent-pair
+    * relation that yields BOTH the next round's modal pair
+    * (min(struct(-pcount, pair)) — identical to ORDER BY pcount DESC,
+    * pair ASC: longs negate exactly, struct comparison is
+    * lexicographic, and both engines compare strings bytewise) AND
+    * this round's fertility via Σpcount: every word contributes
+    * (|symbols|−1) weighted pairs, so Σ cnt·|symbols| = Σpcount + W
+    * with W = Σ cnt the invariant total word mass (computed once) —
+    * the separate per-round fertility job collapses into the pair
+    * count. All-integer, so fertility_milli is bit-identical to the
+    * former 1000·Σ cnt·|symbols| div W spelling. */
+  def bpeTrainFromWords(words: org.apache.spark.sql.DataFrame,
+      merges: Int): org.apache.spark.sql.DataFrame = {
+    val reps0 = words
+      .select(col("cnt"), array_join(split(col("w"), ""), " ").as("rep"))
+      .localCheckpoint()
+    try bpeTrainFromReps(reps0, merges)
+    finally reps0.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        reps0.sparkSession.sparkContext.getPersistentRDDs.get(l.rdd.id)
+          .foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** [[bpeTrainFromWords]] over an ALREADY-CHECKPOINTED round-0 vocab
+    * (cnt, rep) — for callers (text_bpe_apply) that replay the merge
+    * table over the SAME relation afterwards: sharing the checkpoint
+    * keeps the corpus at one scan AND keeps the round-0 partitioning
+    * the AQE-coalesced one (a trial that shared a PERSISTED wordcount
+    * instead pinned 32 near-empty cache partitions under every
+    * training round — the canChangeCachedPlanOutputPartitioning trap
+    * Bench.scala documents — and cost text_bpe_apply ~25%: 1.73 →
+    * 2.16 s, tasks 49 → 575, interleaved Profile A/B at sf0.1).
+    * `reps0` must be a localCheckpoint; this function never unpersists
+    * it — the caller owns its lifecycle (training is fully eager, so
+    * the caller may drop it as soon as this returns). */
+  def bpeTrainFromReps(reps0: org.apache.spark.sql.DataFrame,
       merges: Int): org.apache.spark.sql.DataFrame = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
-    val spark = docs.sparkSession
+    val spark = reps0.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
     def ckptId(df: org.apache.spark.sql.DataFrame): Option[Int] =
@@ -151,43 +203,51 @@ object TextOps {
       }
     def drop(id: Option[Int]): Unit =
       id.foreach(i => sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
-    var reps = docs.select(explode(tokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"), array_join(split(col("w"), ""), " ").as("rep"))
-      .localCheckpoint()
-    var cur = ckptId(reps)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
-    var step = 1L
-    var exhausted = false
-    while (step <= merges && !exhausted) {
+    var reps = reps0
+    // round 0 is caller-owned: never dropped here
+    var cur: Option[Int] = None
+    // (modal pair, its count, Σ all pair counts) in ONE job. Empty pair
+    // relation (every word fused to one symbol, or empty corpus) →
+    // null top struct → None; Σ coalesces to 0 (fertility is then
+    // exactly 1000·W div W, matching the old per-round fold).
+    def pairStats(df: org.apache.spark.sql.DataFrame): (Option[(String, Long)], Long) = {
       val syms = split(col("rep"), " ")
       val pairsArr = zip_with(
         slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
         (a, b) => concat(a, lit(" "), b))
-      val top = reps.select(col("cnt"), explode(pairsArr).as("pair"))
+      val r = df.select(col("cnt"), explode(pairsArr).as("pair"))
         .groupBy(col("pair")).agg(sum(col("cnt")).as("pcount"))
-        .orderBy(col("pcount").desc, col("pair").asc).limit(1)
-        .collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val pair = top(0).getString(0)
-        val pcount = top(0).getLong(1)
-        // lit()-bound arguments (not string-spliced SQL): corpus tokens
-        // may contain quotes/backslashes.
-        val next = reps.select(col("cnt"),
-            call_function("replace", col("rep"), lit(pair),
-              lit(pair.replace(" ", ""))).as("rep"))
-          .localCheckpoint()
-        val nid = ckptId(next)
-        drop(cur)
-        reps = next
-        cur = nid
-        val fert = reps
-          .agg(expr("(1000 * sum(cnt * size(split(rep, ' ')))) div sum(cnt)"))
-          .head().getLong(0)
-        out += ((step, pair, pcount, fert))
-        step += 1
+        .agg(min(struct((-col("pcount")).as("np"), col("pair"))).as("top"),
+          coalesce(sum(col("pcount")), lit(0L)).as("ptot"))
+        .head()
+      val top = if (r.isNullAt(0)) None else {
+        val s = r.getStruct(0)
+        Some((s.getString(1), -s.getLong(0)))
       }
+      (top, r.getLong(1))
+    }
+    // W = Σ cnt — invariant across merges (merges fuse symbols inside
+    // words, never words). One job, once.
+    val w0 = reps.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    var (topPair, _) = pairStats(reps)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    var step = 1L
+    while (step <= merges && topPair.isDefined) {
+      val (pair, pcount) = topPair.get
+      // lit()-bound arguments (not string-spliced SQL): corpus tokens
+      // may contain quotes/backslashes.
+      val next = reps.select(col("cnt"),
+          call_function("replace", col("rep"), lit(pair),
+            lit(pair.replace(" ", ""))).as("rep"))
+        .localCheckpoint()
+      val nid = ckptId(next)
+      drop(cur)
+      reps = next
+      cur = nid
+      val (nextTop, ptot) = pairStats(reps)
+      out += ((step, pair, pcount, (1000L * (ptot + w0)) / w0))
+      topPair = nextTop
+      step += 1
     }
     drop(cur) // the merge table is driver-side; the final vocab is scratch
     out.toSeq.toDF("step", "merged_pair", "pcount", "fertility_milli")

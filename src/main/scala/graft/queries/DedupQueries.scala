@@ -700,9 +700,10 @@ object DedupQueries {
     val d = docs(spark, sfDir)
     val corpus = d.unionAll(d.select((col("doc_id") + SHIFT).as("doc_id"),
       firstTokenDropped.as("text")))
-    // r17: fanOut BELOW the shingle kernel — prefixJoin evaluates this
-    // plan twice by design (measured persist rejection in its scaladoc)
-    // and both evaluations otherwise tokenize 2-task.
+    // r17: fanOut BELOW the shingle kernel — prefixJoin persists the
+    // fingerprint relation (the r17 pushdown-barrier fix reversing the
+    // r16 rejection), so the kernel runs ONCE, from the cache-building
+    // evaluation — which otherwise tokenizes 2-task.
     val withFps = graft.ext.SkewOps.fanOut(corpus).select(col("doc_id"),
       shingleFps(tokens(col("text")), 3).as("fps"))
     DedupOps.prefixJoin(withFps, "doc_id", "fps", 4, 5)

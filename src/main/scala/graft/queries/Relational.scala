@@ -852,40 +852,64 @@ object Relational {
     // with a 10-bit sk leaves the top z-bits pure pk bits — the curve
     // degenerates to a pk sort and multi-dim skipping evaporates
     // (measured: 18 buckets read vs linear's 17 before normalizing).
-    // Ranks come from SkewOps.globalRank — the two-job distributed
-    // rank, NO single-partition window. Its tie caveat is moot here:
-    // rows tied on a full sort key are INDISTINGUISHABLE (z is a
-    // function of (pk, sk)), so every per-bucket aggregate below is
-    // invariant to tie permutation and both engines agree without a
-    // unique tiebreaker column.
-    // each globalRank runs THREE jobs over its input (range-boundary
-    // sampling, zipWithIndex count, final map) — persist every rank
-    // input or those jobs re-execute the whole upstream lineage
-    // (scan + maxima broadcast) once per job
-    val zed = graft.core.QueryCaches.track(base.crossJoin(broadcast(mx))
-      .withColumn("z", graft.functions.HashExprs.zorder(
-        expr("pk * 65536 div (pkm + 1)"), expr("sk * 65536 div (skm + 1)"), 16)))
-    val rkl = graft.core.QueryCaches.track(
-      graft.ext.SkewOps.globalRank(zed, Seq("pk", "sk"), "rkl"))
-    // persisted: BOTH layout branches fold this ranked frame — without
-    // it each union branch re-runs the rank jobs from scratch
+    //
+    // r18 (guide §2.3 — shuffle/sort the PROXY, not the payload): both
+    // layouts' equal-size bucket cuts depend only on each row's GLOBAL
+    // RANK, rows tied on the full (pk, sk) sort key are
+    // indistinguishable (z is a function of (pk, sk)), and every
+    // per-bucket aggregate is a per-key constant or a count — so the
+    // two full-data globalRank passes (each: range sampling +
+    // zipWithIndex count + RDD-row map over ALL lineitem rows, ×2
+    // serially) collapse to ONE map-side-combined groupBy to the
+    // distinct-(pk, sk) grain (~7.5× fewer rows at any TPC-H SF: the
+    // partsupp cardinality) followed by two distributed prefix-sums
+    // (SkewOps.globalCumSum) over that key relation. A key occupying
+    // 1-based ranks [s+1, s+cnt] (s = cum − cnt) spans buckets
+    // r0·nB div nr for r0 ∈ [s, s+cnt−1]; the per-(key, bucket) row
+    // count is the integer overlap of that r0 range with the bucket's
+    // r0 range [⌈b·nr/nB⌉, ⌈(b+1)·nr/nB⌉−1] — all-integer, exactly the
+    // rows the per-row rank form put there, so every aggregate (and
+    // the oracle hash) is unchanged.
+    val g = graft.core.QueryCaches.track(
+      base.groupBy(col("pk"), col("sk")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(mx))
+        .withColumn("z", graft.functions.HashExprs.zorder(
+          expr("pk * 65536 div (pkm + 1)"), expr("sk * 65536 div (skm + 1)"), 16)))
+    val cl = graft.ext.SkewOps.globalCumSum(g, Seq("pk", "sk"), "cnt", "_rkl", "_cuml")
+    // chained: the z-order prefix-sum carries _cuml through, so BOTH
+    // starts live on one relation (each globalCumSum persists its own
+    // sorted input query-scoped)
     val b = graft.core.QueryCaches.track(
-      graft.ext.SkewOps.globalRank(rkl, Seq("z", "pk", "sk"), "rkz")
-      .select(
-      col("pk"), col("sk"),
-      expr(s"(rkl - 1) * $nB div nr").as("b_lin"),
-      expr(s"(rkz - 1) * $nB div nr").as("b_z"),
-      expr("pkm div 4").as("p_lo"), expr("pkm div 2").as("p_hi"),
-      expr("skm div 4").as("s_lo"), expr("skm div 2").as("s_hi")))
-    def layout(bucket: org.apache.spark.sql.Column, name: String): DataFrame = {
+      graft.ext.SkewOps.globalCumSum(cl, Seq("z", "pk", "sk"), "cnt", "_rkz", "_cumz")
+        .select(
+          col("pk"), col("sk"), col("cnt"), col("nr"),
+          (col("_cuml") - col("cnt")).as("s_lin"),
+          (col("_cumz") - col("cnt")).as("s_z"),
+          expr("pkm div 4").as("p_lo"), expr("pkm div 2").as("p_hi"),
+          expr("skm div 4").as("s_lo"), expr("skm div 2").as("s_hi")))
+    def layout(startCol: String, name: String): DataFrame = {
       val hit = col("pk_min") <= col("p_hi") && col("pk_max") >= col("p_lo") &&
         col("sk_min") <= col("s_hi") && col("sk_max") >= col("s_lo")
-      b.groupBy(bucket.as("bucket"))
+      // rows_b ≥ 1 by construction when nr ≥ nB (the bucket step per
+      // rank is ≤ 1, no bucket is skipped); the filter also keeps the
+      // nr < nB corner exact (sparse ranks can skip buckets — the
+      // per-row form simply never emits those).
+      b.select(col("pk"), col("sk"), col("p_lo"), col("p_hi"),
+          col("s_lo"), col("s_hi"),
+          col(startCol).as("s"), col("cnt"), col("nr"),
+          explode(sequence(expr(s"$startCol * $nB div nr"),
+            expr(s"($startCol + cnt - 1) * $nB div nr"))).as("bucket"))
+        .select(col("pk"), col("sk"), col("p_lo"), col("p_hi"),
+          col("s_lo"), col("s_hi"), col("bucket"),
+          expr(s"least(s + cnt - 1, ((bucket + 1) * nr + ${nB - 1}) div $nB - 1) - " +
+            s"greatest(s, (bucket * nr + ${nB - 1}) div $nB) + 1").as("rows_b"))
+        .filter(col("rows_b") >= 1L)
+        .groupBy(col("bucket"))
         .agg(min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"),
           min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"),
-          count(lit(1)).as("n_rows"),
+          sum(col("rows_b")).as("n_rows"),
           sum(when(col("pk").between(col("p_lo"), col("p_hi")) &&
-            col("sk").between(col("s_lo"), col("s_hi")), 1L)
+            col("sk").between(col("s_lo"), col("s_hi")), col("rows_b"))
             .otherwise(0L)).as("n_match"),
           min(col("p_lo")).as("p_lo"), min(col("p_hi")).as("p_hi"),
           min(col("s_lo")).as("s_lo"), min(col("s_hi")).as("s_hi"))
@@ -895,7 +919,7 @@ object Relational {
           sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_scanned"),
           sum(col("n_match")).as("rows_matched"))
     }
-    layout(col("b_lin"), "linear_pk").unionAll(layout(col("b_z"), "zorder_pk_sk"))
+    layout("s_lin", "linear_pk").unionAll(layout("s_z", "zorder_pk_sk"))
   }
 
   /** Incremental materialized-view maintenance — the partial-aggregate

@@ -1207,46 +1207,72 @@ object SimQueries {
   }
 
   /** The shared MMR greedy re-rank over a candidate relation
-    * (q_id, vec_id, cos) — see [[simMmr]]'s scaladoc for the unrolled
-    * plan shape. `cand0` is persisted query-scoped: all 4 stages fold
-    * the same candidate and pairwise-sim relations. */
+    * (q_id, vec_id, cos) — see [[simMmr]]'s scaladoc for the greedy
+    * contract. r18 fold (the sim_beam_search single-state-relation
+    * pattern, guide §2.4): instead of 4 unrolled stages each paying an
+    * anti-join + pairwise max-sim join + groupBy + window over three
+    * per-stage persisted `selected` relations, ONE state relation
+    * (q_id, vec_id, cos, sims, m, picked_rank, mmr_score) carries the
+    * whole greedy: each candidate row holds its pairwise sims to the
+    * other ≤7 candidates as an in-row map, `m` is the running
+    * max-sim-to-selected (greatest-folded — double max is exact, so m
+    * equals the oracle's MAX over the selected set bit-for-bit), and
+    * each round is ONE window over q_id: rank the unpicked rows by the
+    * identical (score DESC, vec_id) comparator, mark the top row
+    * picked, and merge the picked row's sim into every surviving
+    * row's m via an O(1) map lookup. No per-round join, no per-round
+    * persist; all 4 windows share one q_id exchange. Score expressions
+    * are byte-identical to the unrolled form (lam·cos, then
+    * lam·cos − (1−lam)·m), so the oracle hash is unchanged. */
   private def mmrRerank(cand0: DataFrame, corpus: DataFrame): DataFrame = {
     val lam = 0.7
     val cand = graft.core.QueryCaches.track(cand0)
     val ce = cand.join(corpus, "vec_id")
-    val pair = graft.core.QueryCaches.track(
-      ce.select(col("q_id"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-        .join(ce.select(col("q_id"), col("vec_id").as("b_id"),
-          col("embedding").as("b_emb")), Seq("q_id"))
-        .filter(col("a_id") =!= col("b_id"))
-        .select(col("q_id"), col("a_id"), col("b_id"),
-          graft.functions.HashExprs.cosineSim(col("a_emb"), col("b_emb")).as("sim")))
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-    def pick(scored: DataFrame, rank: Int): DataFrame =
-      scored.withColumn("rk", row_number().over(wq)).filter(col("rk") === 1)
-        .select(col("q_id"), lit(rank.toLong).as("rank"), col("vec_id"),
-          col("cos").as("rel"), col("score").as("mmr_score"))
-    // each stage's `selected` is read THREE times downstream (the
-    // anti-join, the max-sim join, the final union) and its lineage
-    // contains every earlier stage's window — persisted per stage
-    // (|queries|·k rows each), or stage 4 re-executes the whole chain
-    // a combinatorial number of times
-    var selected = graft.core.QueryCaches.track(
-      pick(cand.withColumn("score", lit(lam) * col("cos")), 1))
-    for (k <- 2 to 4) {
-      val rem = cand.join(selected.select(col("q_id"), col("vec_id")),
-        Seq("q_id", "vec_id"), "left_anti")
-      val msim = pair.join(selected.select(col("q_id"), col("vec_id").as("b_id")),
-          Seq("q_id", "b_id"))
-        .groupBy(col("q_id"), col("a_id")).agg(max(col("sim")).as("m"))
-      val scored = rem.join(msim,
-          rem("q_id") === msim("q_id") && rem("vec_id") === msim("a_id"))
-        .select(rem("q_id"), col("vec_id"), col("cos"),
-          (lit(lam) * col("cos") - lit(1.0 - lam) * col("m")).as("score"))
-      selected = graft.core.QueryCaches.track(
-        selected.unionByName(pick(scored, k)))
+    val pair = ce.select(col("q_id"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      .join(ce.select(col("q_id"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb")), Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        graft.functions.HashExprs.cosineSim(col("a_emb"), col("b_emb")).as("sim"))
+    val sims = pair.groupBy(col("q_id"), col("a_id"))
+      .agg(map_from_entries(collect_list(struct(col("b_id"), col("sim")))).as("sims"))
+      .select(col("q_id").as("sq_id"), col("a_id"), col("sims"))
+    // left join: a query whose bucket held a single candidate has no
+    // pairs — its sims map is null and is never consulted (that lone
+    // row is picked in round 1 and m never updates).
+    var state = cand
+      .join(sims, col("q_id") === col("sq_id") && col("vec_id") === col("a_id"), "left")
+      .select(col("q_id"), col("vec_id"), col("cos"), col("sims"),
+        lit(null).cast("double").as("m"),
+        lit(null).cast("bigint").as("picked_rank"),
+        lit(null).cast("double").as("mmr_score"))
+    // Unpicked rows sort first (isNotNull: false < true), then the
+    // EXACT comparator of the unrolled form: score DESC, vec_id. Picked
+    // rows carry a null score and sort last within the picked band —
+    // irrelevant, only rk==1 on an unpicked top row acts.
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("picked_rank").isNotNull.asc, col("score").desc, col("vec_id").asc)
+    for (k <- 1 to 4) {
+      val scored = state.withColumn("score",
+        when(col("picked_rank").isNull,
+          when(col("m").isNull, lit(lam) * col("cos"))
+            .otherwise(lit(lam) * col("cos") - lit(1.0 - lam) * col("m"))))
+      val win = scored
+        .withColumn("rk", row_number().over(w))
+        .withColumn("top_id", first(col("vec_id")).over(w))
+        .withColumn("top_unpicked", first(col("picked_rank")).over(w).isNull)
+      state = win.select(col("q_id"), col("vec_id"), col("cos"), col("sims"),
+        when(col("picked_rank").isNull && col("top_unpicked") && col("rk") =!= 1,
+          greatest(col("m"), element_at(col("sims"), col("top_id"))))
+          .otherwise(col("m")).as("m"),
+        when(col("picked_rank").isNull && col("rk") === 1, lit(k.toLong))
+          .otherwise(col("picked_rank")).as("picked_rank"),
+        when(col("picked_rank").isNull && col("rk") === 1, col("score"))
+          .otherwise(col("mmr_score")).as("mmr_score"))
     }
-    selected.select(col("q_id"), col("rank"), col("vec_id"), col("rel"), col("mmr_score"))
+    state.filter(col("picked_rank").isNotNull)
+      .select(col("q_id"), col("picked_rank").as("rank"), col("vec_id"),
+        col("cos").as("rel"), col("mmr_score"))
   }
 
   /** Common-neighbor link prediction over the mutual-kNN graph — the
@@ -1566,21 +1592,15 @@ object SimQueries {
     * restrict edges to survivors". The true 3-core is this peel's
     * fixpoint; a FIXED round count (the [[simLabelProp]] bounded-
     * horizon contract) keeps the result deterministic at every scale
-    * factor and bounds latency — each extra round is one map-side-
-    * combined degree aggregate plus two vertex-keyed semi-joins, so
-    * peel depth is a declared knob, not a data-dependent loop. Every
-    * round's edge relation is localCheckpoint'ed (the [[graft.ext
-    * .DedupOps.dupClusters]] fixpoint pattern): round r is read THREE
-    * times by round r+1 (degree count feeds two semi-joins), and a
-    * persist-only chain measured ~4x growth per round — the cached
-    * self-referencing semi-join plan is not substituted, so the
-    * LSH-bucketed kNN pipeline re-executed ~3^rounds times (94 s for
-    * round 5 alone at sf0.1; checkpointed: the whole peel is
-    * sub-second per round). The checkpoint truncates lineage, so its
-    * blocks are the only copy — they register with
+    * factor and bounds latency — peel depth is a declared knob, not a
+    * data-dependent loop. The carried per-round state is the VERTEX
+    * relation (id, deg, alive), localCheckpoint'ed each round (the
+    * [[graft.ext.DedupOps.dupClusters]] fixpoint pattern — the
+    * checkpoint truncates lineage; its blocks register with
     * [[graft.core.QueryCaches]] for release after the query's terminal
-    * action, exactly like the dupClusters rounds. Output: surviving
-    * vertices with their degree in the round-5 subgraph. */
+    * action); the EDGE relation is persisted once and never rewritten
+    * (see the in-body equivalence note). Output: surviving vertices
+    * with their degree in the round-5 subgraph. */
   def simKcore(spark: SparkSession, sfDir: String): DataFrame = {
     val m = graft.core.QueryCaches.track(mutualEdges(spark, sfDir))
     def checkpoint(df: DataFrame): DataFrame = {
@@ -1591,17 +1611,45 @@ object SimQueries {
       }
       out
     }
-    var adj = checkpoint(m.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(m.select(col("v").as("src"), col("u").as("dst"))))
+    // r18 degree-delta peel (guide §2.4 — do the per-round work on the
+    // DELTA, not the whole graph): the edge relation is materialized
+    // ONCE and never rewritten; the carried state is the VERTEX
+    // relation (id, deg, alive), where deg always equals the vertex's
+    // alive-neighbor count. Each round: the sub-3-degree alive
+    // vertices die, and every alive vertex subtracts its count of
+    // newly-dead neighbors — a join of the static edge relation
+    // against the (small) newly-removed set plus one vertex-sized
+    // left join, instead of re-aggregating degrees over the whole
+    // surviving edge set and rewriting it through two semi-joins.
+    // Equivalence: an edge dies exactly when an endpoint dies, so for
+    // a newly-dead v (alive until now) its surviving edges to alive u
+    // are exactly its ORIGINAL edges to never-dead u — counting the
+    // delta over the static relation is exact, and deg(u) stays equal
+    // to u's alive-degree by induction. Vertices that reach deg 0 die
+    // one round later than they vanish from the shrinking-edge form,
+    // but a deg-0 vertex has no alive edges left, so its removal
+    // produces an empty delta — observable state is identical, and the
+    // final output filters deg >= 1 (the groupBy-over-edges semantic).
+    val adj = graft.core.QueryCaches.track(
+      m.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(m.select(col("v").as("src"), col("u").as("dst"))))
+    var state = checkpoint(
+      adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("id"), col("deg"), lit(true).as("alive")))
     for (_ <- 1 to 5) {
-      val keep = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= 3).select(col("src").as("kid"))
-      adj = checkpoint(
-        adj.join(keep, col("src") === col("kid"), "left_semi")
-          .join(keep, col("dst") === col("kid"), "left_semi"))
+      val removed = state.filter(col("alive") && col("deg") < 3)
+        .select(col("id").as("rid"))
+      val delta = adj.join(removed, col("dst") === col("rid"))
+        .groupBy(col("src")).agg(count(lit(1)).as("dd"))
+        .select(col("src").as("did"), col("dd"))
+      state = checkpoint(state
+        .join(delta, col("id") === col("did"), "left")
+        .select(col("id"),
+          (col("deg") - coalesce(col("dd"), lit(0L))).as("deg"),
+          (col("alive") && col("deg") >= 3).as("alive")))
     }
-    adj.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
-      .select(col("src").as("vec_id"), col("core_deg"))
+    state.filter(col("alive") && col("deg") >= 1)
+      .select(col("id").as("vec_id"), col("deg").as("core_deg"))
   }
 
   /** Hybrid-retrieval RANK FUSION — reciprocal-rank fusion (RRF, the

@@ -15,7 +15,26 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    scaleProbe(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** OPT-IN parallelism probe (r17 verdict: at sf0.1 the whole suite is
+    * scheduling-overhead-bound — c8 ≈ c32 — so the bench cannot see a
+    * change that serializes a hot path). SPARK_GRAFT_BENCH_SCALE=N
+    * (N ≥ 2) replicates every loaded row N× in-plan (explode of a
+    * sequence, before any kernel), inflating compute so c8 vs c32
+    * separates on kernel-bound queries. Diagnostics only: replicated
+    * ids change join/group cardinalities, so results are NOT the
+    * declared query results — never set it for an oracle or reported
+    * bench run ([[graft.Bench]] refuses to write bench_result.json
+    * under it). Unset (the driver's contract), this is byte-identical
+    * to a plain parquet read. */
+  def scaleProbe(df: DataFrame): DataFrame =
+    sys.env.get("SPARK_GRAFT_BENCH_SCALE").map(_.trim.toInt).filter(_ >= 2) match {
+      case Some(n) =>
+        df.withColumn("_graft_scale_rep", explode(sequence(lit(1), lit(n))))
+          .drop("_graft_scale_rep")
+      case None => df
+    }
 
   /** Events loader with a canonical `ts`: nanos-since-epoch BIGINT,
     * whatever the parquet physically stores. The generator has shipped

@@ -1381,12 +1381,26 @@ object TextQueries {
     * the top-20 is a partial rank over the bounded subword domain. */
   def textBpeApply(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = load(spark, sfDir, "documents")
-    val merges = graft.ext.TextOps.bpeTrain(docs, "text", 6)
-      .orderBy(col("step")).collect().map(_.getString(1)).toSeq
-    val words = docs.select(explode(tokens(col("text"))).as("w"))
+    // ONE corpus scan: the round-0 char-level vocab (cnt, rep) is
+    // localCheckpoint'ed once and shared by training
+    // (bpeTrainFromReps) and the application replay below — previously
+    // each side ran its own corpus scan + wordcount shuffle. The
+    // checkpoint (not a persist of the wordcount) keeps the round-0
+    // partitioning AQE-coalesced — see bpeTrainFromReps's scaladoc for
+    // the measured persisted-wordcount rejection. Registered with
+    // QueryCaches: its blocks back the returned plan's lineage until
+    // the query's terminal action.
+    val reps0 = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    var reps = words.select(col("cnt"),
-      array_join(split(col("w"), ""), " ").as("rep"))
+      .select(col("cnt"), array_join(split(col("w"), ""), " ").as("rep"))
+      .localCheckpoint()
+    reps0.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        graft.core.QueryCaches.trackRddId(spark.sparkContext, l.rdd.id)
+    }
+    val merges = graft.ext.TextOps.bpeTrainFromReps(reps0, 6)
+      .orderBy(col("step")).collect().map(_.getString(1)).toSeq
+    var reps = reps0
     merges.foreach { p =>
       reps = reps.select(col("cnt"),
         call_function("replace", col("rep"), lit(p),
@@ -1424,16 +1438,18 @@ object TextQueries {
   def textBpeHeldout(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docsAll = load(spark, sfDir, "documents")
-    val mergeRows = graft.ext.TextOps
-      .bpeTrain(docsAll.filter(col("doc_id") % 2 === 0), "text", 6)
-      .orderBy(col("step")).collect()
-    val pairs = mergeRows.map(_.getString(1)).toSeq
-    val trainFerts = mergeRows.map(r => r.getLong(0) -> r.getLong(3)).toMap
     def wordcount(df: DataFrame) =
       df.select(explode(tokens(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // ONE scan of the train half: the persisted train-side wordcount
+    // feeds bpeTrainFromWords AND the fold/OOV stages below (previously
+    // bpeTrain re-scanned the even half for its own wordcount).
     val tw = graft.ext.DedupOps.trackPersist(wordcount(docsAll.filter(col("doc_id") % 2 === 0)))
     val hw = graft.ext.DedupOps.trackPersist(wordcount(docsAll.filter(col("doc_id") % 2 === 1)))
+    val mergeRows = graft.ext.TextOps.bpeTrainFromWords(tw, 6)
+      .orderBy(col("step")).collect()
+    val pairs = mergeRows.map(_.getString(1)).toSeq
+    val trainFerts = mergeRows.map(r => r.getLong(0) -> r.getLong(3)).toMap
     val base = array_join(split(col("w"), ""), " ")
     // rep after k merges, k = 0..6, as one collapsed projection chain
     val reps: Seq[org.apache.spark.sql.Column] = pairs.scanLeft(base)((r, p) =>
